@@ -1,0 +1,78 @@
+package graft.jobs
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import graft.ops.{SignalExplode, SyncOps}
+import graft.schema.SignalDefinitions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Options mirroring the reference `internal/sync/options.go:9-27`.
+  *
+  * @param tokens      explicit token list (CSV-ish strings, whitespace
+  *                    tolerated, bad entries skipped); empty ⇒ discover from
+  *                    the sink (`sync.go:211-234`)
+  * @param signalNames VSS signal filter; empty ⇒ all signals
+  * @param start       inclusive lower time bound; None ⇒ stop − 1 month
+  *                    (`sync.go:57-60`)
+  * @param stop        exclusive upper time bound; None ⇒ now (`sync.go:54-56`)
+  */
+final case class SyncOptions(
+    tokens: Seq[String] = Nil,
+    signalNames: Seq[String] = Nil,
+    start: Option[Timestamp] = None,
+    stop: Option[Timestamp] = None
+)
+
+/** The full sync pipeline as one bounded Spark job — the reference's
+  * per-vehicle pagination loops (`internal/sync/sync.go:53-160`) collapse
+  * into: resolve token scope → per-token watermarks from the sink → one
+  * bounded, pruned source scan → columnar signal explosion → append.
+  *
+  * Shuffle profile at scale: the only wide operation is the watermark
+  * aggregate over the sink (keyed by tokenId, low cardinality); both joins
+  * (dim, watermark) broadcast. Scan→explode→write is narrow, so the job
+  * scales linearly with source bytes on any executor count.
+  */
+object SyncJob {
+
+  def run(
+      docs: DataFrame,
+      dim: DataFrame,
+      existingSink: Option[DataFrame],
+      opts: SyncOptions = SyncOptions()
+  ): DataFrame = {
+    val stop = opts.stop.getOrElse(Timestamp.from(Instant.now()))
+    val start = opts.start.getOrElse {
+      Timestamp.from(stop.toInstant.atZone(java.time.ZoneOffset.UTC).minusMonths(1).toInstant)
+    }
+    val defs = SignalDefinitions.resolve(opts.signalNames)
+
+    // Token scope: explicit list, else DISTINCT from the sink (sync.go:61,211-234).
+    val explicitTokens = SyncOps.parseTokenList(opts.tokens)
+    val scopedDim =
+      if (explicitTokens.nonEmpty) dim.where(col("tokenId").isin(explicitTokens: _*))
+      else
+        existingSink match {
+          case Some(sink) => dim.join(SyncOps.tokensFromSink(sink), Seq("tokenId"), "left_semi")
+          case None       => dim.limit(0) // no tokens, no sink ⇒ nothing to sync
+        }
+
+    val bounded = docs.where(SyncOps.timeBound(col("time"), start, stop))
+
+    // Per-token incremental resume: drop rows at/after the sink watermark.
+    val wmNames =
+      if (opts.signalNames.isEmpty) Nil else defs.map(_.vssName)
+    val scoped = existingSink match {
+      case Some(sink) =>
+        SyncOps.applyWatermarks(bounded, scopedDim, SyncOps.watermarks(sink, wmNames))
+      case None =>
+        bounded.join(broadcast(scopedDim.select("tokenId", "subject")), Seq("subject"), "inner")
+    }
+
+    SignalExplode
+      .explodeSignals(scoped, defs)
+      .select("tokenId", "timestamp", "name", "valueNumber", "valueString", "source")
+  }
+}

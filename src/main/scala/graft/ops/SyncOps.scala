@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental-sync building blocks: token-set resolution, low-watermark
+  * computation, and the bounded scan predicate.
+  *
+  * The reference runs one pagination loop per vehicle, each resuming from
+  * the oldest already-synced timestamp and walking **backwards in time**
+  * (`internal/sync/sync.go:109-160`, watermark `:128-137`). In Spark the
+  * loop disappears: one watermark aggregate over the sink + one bounded
+  * predicate on the source reads everything still missing, in a single
+  * shuffle-light pass, with no page-boundary skip bug (SURVEY §2.7).
+  */
+object SyncOps {
+
+  /** Parse an explicit token list — CSV semantics of the reference
+    * (`sync.go:211-234`, `main.go:90-97`): whitespace-tolerant, unparsable
+    * entries skipped.
+    */
+  def parseTokenList(raw: Seq[String]): Seq[Long] =
+    raw.map(_.trim).filter(_.nonEmpty).flatMap(s => s.toLongOption)
+
+  /** Token discovery from the sink when no explicit list is given:
+    * `SELECT DISTINCT token_id FROM signal` (`clickhouse.go:89-110`).
+    */
+  def tokensFromSink(sink: DataFrame): DataFrame =
+    sink.select(col("tokenId")).distinct()
+
+  /** Per-token low watermark = oldest already-synced timestamp, optionally
+    * restricted to a signal-name set — the reference's `QueryOldestSignal`
+    * (`clickhouse.go:65-87`) done for ALL tokens in one aggregate instead of
+    * N point queries.
+    */
+  def watermarks(sink: DataFrame, names: Seq[String] = Nil): DataFrame = {
+    val base =
+      if (names.isEmpty) sink
+      else sink.where(col("name").isin(names: _*))
+    base.groupBy(col("tokenId")).agg(min(col("timestamp")).as("watermark"))
+  }
+
+  /** The bounded-scan predicate: half-open `[start, stop)` interval
+    * (inclusive start, exclusive stop — reference Gte/Lt,
+    * `elastic.go:47-48,54`; the tests' +500ms arithmetic depends on it,
+    * `sync_test.go:68,75`).
+    */
+  def timeBound(timeCol: Column, start: java.sql.Timestamp, stop: java.sql.Timestamp): Column =
+    timeCol >= lit(start) && timeCol < lit(stop)
+
+  /** Restrict a per-token bounded scan by each token's watermark: rows at or
+    * after the watermark are already synced (sync walks backwards from the
+    * watermark toward start). Docs are keyed by `subject`; `dim` maps
+    * subject→tokenId; `wm` is the [[watermarks]] output. Tokens absent from
+    * the sink have no watermark row and keep their full `[start, stop)`
+    * range (reference `sync.go:96-100`: fresh token ⇒ opts.StopTime).
+    */
+  def applyWatermarks(docs: DataFrame, dim: DataFrame, wm: DataFrame): DataFrame =
+    docs
+      .join(broadcast(dim.select("tokenId", "subject")), Seq("subject"), "inner")
+      .join(broadcast(wm), Seq("tokenId"), "left_outer")
+      .where(col("watermark").isNull || col("time") < col("watermark"))
+      .drop("watermark")
+}
