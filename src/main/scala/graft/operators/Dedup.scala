@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Document-deduplication operators for the training-data pipeline: exact,
+  * MinHash+LSH, SimHash, and exact n-gram Jaccard with prefix filtering.
+  *
+  * Scale posture (the part that matters at 100 TB): every algorithm here is
+  * **candidate-generation by equi-join on a bucket key** — never an n²
+  * cross-join. MinHash banding and SimHash banding both reduce pair
+  * generation to a shuffle on (band, key); exact Jaccard uses prefix
+  * filtering (PPJoin-style) so the inverted index only contains each set's
+  * rarest prefix. All hashing is engine-portable md5 arithmetic
+  * ([[graft.functions.TextFunctions]]) so a DuckDB oracle can replay it.
+  */
+object Dedup {
+
+  /** MinHash affine coefficients (a_i odd, b_i arbitrary, both < p),
+    * derived from fixed multiplicative constants — deterministic across
+    * engines and runs.
+    */
+  val NumHashes = 16
+  val MinhashCoeffs: Seq[(Long, Long)] =
+    (0 until NumHashes).map { i =>
+      (((i + 1) * 2654435761L % HashPrime) | 1L, ((i + 1) * 1013904223L + 12345L) % HashPrime)
+    }
+
+  val LshBands = 4
+  val LshRows = 4 // NumHashes / LshBands
+
+  /** (id, text) → (id, sh: array<long>) distinct k-shingle hashes. Tokens
+    * are staged as their own projection first (see [[TextFunctions.shingles]]
+    * — an inlined tokenizer would re-split per shingle window).
+    */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), array_distinct(shingleHashes(shingles(col("toks"), k))).as("sh"))
+      .where(size(col("sh")) > 0)
+
+  /** Exact duplicate groups by content hash: every row keyed by md5(text),
+    * kept = the group's min id. A single hash-aggregate — the cheapest and
+    * first dedup pass of any pipeline.
+    */
+  def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signature: sig_i = min over shingle hashes h of (a_i·h+b_i) mod p. */
+  def minhashSignature(sh: Column): Column =
+    array(MinhashCoeffs.map { case (a, b) =>
+      array_min(transform(sh, h => pmod(h * a + b, lit(HashPrime))))
+    }: _*)
+
+  /** LSH candidate pairs: signatures split into [[LshBands]] bands of
+    * [[LshRows]] rows; docs colliding on an entire band become candidates.
+    * The self-join shuffles on the (band, key) pair — uniform, narrow keys.
+    */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String): DataFrame = {
+    val banded = sigs.select(
+      col(idCol),
+      posexplode(
+        array((0 until LshBands).map(b => concat_ws(",", (0 until LshRows).map(r => element_at(col("sig"), b * LshRows + r + 1)): _*)): _*)
+      ).as(Seq("band", "key"))
+    )
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("key"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Verify candidate pairs with exact Jaccard over the shingle sets and
+    * keep those at/above the threshold. Joins are on the narrow id key;
+    * the arrays ride along only for the final intersect/union.
+    */
+  def jaccardVerify(pairs: DataFrame, shSets: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val sa = shSets.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val sb = shSets.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    pairs
+      .join(sa, "id_a")
+      .join(sb, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+      .withColumn("uni", (size(col("sh_a")) + size(col("sh_b"))).cast(LongType) - col("inter"))
+      .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni").cast(DoubleType))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → bucket-join
+    * → exact-Jaccard verify.
+    */
+  def minhashDedup(docs: DataFrame, idCol: String, textCol: String, k: Int, threshold: Double): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, k).cache()
+    val sigs = sets.select(col(idCol), minhashSignature(col("sh")).as("sig"))
+    jaccardVerify(lshCandidatePairs(sigs, idCol), sets, idCol, threshold)
+  }
+
+  /** Exact n-gram Jaccard similarity join with **prefix filtering**: two
+    * sets with Jaccard ≥ τ must share an element within each other's first
+    * (n − ⌈τ·n⌉ + 1) smallest elements, so only that prefix enters the
+    * inverted index — the candidate join stays near-linear instead of
+    * quadratic. τ is a rational `tNum/tDen` so the prefix length is exact
+    * integer arithmetic (no float-ceiling edge cases cross-engine).
+    */
+  def ngramJaccardJoin(docs: DataFrame, idCol: String, textCol: String, k: Int, tNum: Int, tDen: Int): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, k)
+      .withColumn("sh", array_sort(col("sh")))
+      .cache()
+    // ceil(tNum*n/tDen) with integer arithmetic: (tNum*n + tDen - 1) div tDen
+    val prefixLen = (size(col("sh")) - floor((size(col("sh")) * tNum + tDen - 1) / tDen) + 1).cast(IntegerType)
+    val prefixes = sets.select(col(idCol), explode(slice(col("sh"), lit(1), prefixLen)).as("h"))
+    val cands = prefixes.select(col(idCol).as("id_a"), col("h"))
+      .join(prefixes.select(col(idCol).as("id_b"), col("h")), Seq("h"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    jaccardVerify(cands, sets, idCol, tNum.toDouble / tDen.toDouble)
+  }
+
+  /** 64-bit SimHash as two 32-bit words (keeps all arithmetic inside
+    * signed-64 range): bit j of word w is set when the sum over tokens of
+    * ±1 (per that token's hash bit) is positive. Token multiplicity counts
+    * (term-frequency weighting).
+    */
+  /** One SimHash word from an already-materialized token-hash array column.
+    * Static unroll over bit positions keeps every shift amount a literal
+    * (Spark's shiftright takes an Int). The input must be an attribute
+    * reference — 32 bit-sums each scan the array, and an inlined md5
+    * expression would be recomputed 32× (measured 30s → <1s at sf0.1).
+    */
+  def simhashWord(hashes: Column): Column =
+    (0 until 32).map { j =>
+      val bitsum = aggregate(hashes, lit(0L), (a, h) => a + (shiftright(h, j) % 2L) * 2L - 1L)
+      when(bitsum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** SimHash near-dup pairs: band each 64-bit fingerprint into four 16-bit
+    * chunks (pigeonhole: any pair within Hamming distance 3 collides on at
+    * least one chunk), bucket-join, then keep pairs with Hamming ≤ maxDist.
+    */
+  def simhashDedup(docs: DataFrame, idCol: String, textCol: String, maxDist: Int): DataFrame = {
+    val fps = docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(
+        col(idCol),
+        transform(col("toks"), t => hash32(t)).as("h1"),
+        transform(col("toks"), t => hash32b(t)).as("h2")
+      )
+      .select(col(idCol), simhashWord(col("h1")).as("w1"), simhashWord(col("h2")).as("w2"))
+    val banded = fps.select(
+      col(idCol), col("w1"), col("w2"),
+      posexplode(array(
+        shiftright(col("w1"), 0) % 65536L, shiftright(col("w1"), 16) % 65536L,
+        shiftright(col("w2"), 0) % 65536L, shiftright(col("w2"), 16) % 65536L
+      )).as(Seq("band", "key"))
+    )
+    val a = banded.select(col(idCol).as("id_a"), col("w1").as("w1a"), col("w2").as("w2a"), col("band"), col("key"))
+    val b = banded.select(col(idCol).as("id_b"), col("w1").as("w1b"), col("w2").as("w2b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("w1a").bitwiseXOR(col("w1b"))) + bit_count(col("w2a").bitwiseXOR(col("w2b")))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers, mirroring a production ANN stack:
+  *   - [[bruteForceTopK]] — exact cosine top-k, the correctness baseline.
+  *     Broadcast the (small) query set against the corpus: one narrow pass,
+  *     no shuffle of the corpus, `TakeOrdered`-style per-query top-k.
+  *   - [[ivfTopK]] — IVF (inverted-file) search: a coarse quantizer assigns
+  *     every vector to its nearest centroid (the "list"); queries probe only
+  *     their `nprobe` closest lists. Corpus work drops by ~|lists|/nprobe;
+  *     the corpus is partitioned by list id, so at cluster scale each probe
+  *     touches only matching partitions.
+  *
+  * All floating-point math is sequential left-to-right (`zip_with` +
+  * `aggregate`), giving bit-identical results to an engine that evaluates
+  * the same expression order — which the DuckDB oracles do.
+  */
+object Similarity {
+
+  /** Elementwise-sequential dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.vecDot(a, b)
+
+  /** L2 norm, same accumulation order. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** float[] → double[] (exact upcast) so all scoring runs in doubles. */
+  def asDouble(v: Column): Column = transform(v, _.cast(DoubleType))
+
+  def cosine(a: Column, na: Column, b: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
+  /** Corpus prepared once: id, vector as doubles, precomputed norm. */
+  def prepare(vecs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    vecs.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** Exact top-k cosine neighbors of each query vector (self excluded).
+    * `queries` must be small (it is broadcast); the corpus streams through
+    * unshuffled until the final per-query top-k.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vid").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = corpus
+      .join(broadcast(q), col("vid") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("qn"), col("v"), col("nrm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vid").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** Assign each corpus vector to its nearest centroid (max cosine,
+    * centroid-id tiebreak). Centroids must be small (broadcast).
+    */
+  def assignLists(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = centroids.select(col("vid").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid").asc)
+    corpus
+      .crossJoin(broadcast(c))
+      .withColumn("ccos", cosine(col("cv"), col("cn"), col("v"), col("nrm")))
+      .withColumn("crank", row_number().over(w))
+      .where(col("crank") === 1)
+      .select(col("vid"), col("v"), col("nrm"), col("cid"))
+  }
+
+  /** IVF search: probe each query's `nprobe` nearest lists, exact-score
+    * only the vectors in those lists, return per-query top-k.
+    */
+  def ivfTopK(corpus: DataFrame, centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val listed = assignLists(corpus, centroids)
+    val probes = {
+      val q = queries.select(col("vid").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val c = centroids.select(col("vid").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("pcos").desc, col("cid").asc)
+      q.crossJoin(broadcast(c))
+        .withColumn("pcos", cosine(col("qv"), col("qn"), col("cv"), col("cn")))
+        .withColumn("prank", row_number().over(w))
+        .where(col("prank") <= nprobe)
+        .select(col("query_id"), col("qv"), col("qn"), col("cid"))
+    }
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vid").asc)
+    listed
+      .join(broadcast(probes), Seq("cid"))
+      .where(col("vid") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("qn"), col("v"), col("nrm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("vid").as("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold. Exact
+    * all-pairs within LSH-free small corpora; at scale the same verify
+    * runs after [[assignLists]] bucketing (pairs within a list).
+    */
+  def embeddingNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vid").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = corpus.select(col("vid").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("na"), col("vb"), col("nb")))
+      .where(col("cos") > threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

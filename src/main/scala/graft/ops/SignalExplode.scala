@@ -83,17 +83,21 @@ object SignalExplode {
       defs: Seq[SignalDefinition] = SignalDefinitions.all
   ): DataFrame = {
     require(defs.nonEmpty, "signal definition set must not be empty")
-    val payload: Column =
+    // Stage the payload parse as its own projection: every signal struct
+    // reads the SAME parsed struct attribute. Inlining from_json into the
+    // signal array would re-parse the JSON once per definition per row.
+    val staged =
       if (docs.schema("data").dataType == StringType)
-        from_json(col("data"), payloadSchema(defs))
-      else col("data")
+        docs.withColumn("data", from_json(col("data"), payloadSchema(defs)))
+      else docs
+    val payload = col("data")
 
     val sigs = array(defs.map(d => signalStruct(payload, d)): _*)
     // tokenId passes through when the dim join already ran upstream.
     val keyCols =
       if (docs.columns.contains("tokenId")) Seq(col("tokenId"), col("subject"))
       else Seq(col("subject"))
-    docs
+    staged
       .select(
         keyCols ++ Seq(
           col("time").as("timestamp"),

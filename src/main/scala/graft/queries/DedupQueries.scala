@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Deduplication capability surface over the `documents` (and `embeddings`)
+  * tables: exact, exact n-gram Jaccard (prefix-filtered), MinHash+LSH,
+  * SimHash, embedding-cosine. Spark side in [[graft.operators.Dedup]] /
+  * [[graft.operators.Similarity]]; each oracle replays the *identical*
+  * md5-derived hash arithmetic in DuckDB SQL (generated below from the same
+  * Scala constants, so they can never drift).
+  */
+object DedupQueries {
+
+  private val P = TextFunctions.HashPrime
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) = Tables.load(s, d, "documents")
+  private def emb(s: org.apache.spark.sql.SparkSession, d: String) = Tables.load(s, d, "embeddings")
+
+  /** DuckDB CTEs: documents → distinct k-shingle hash sets `hh(doc_id, h)`
+    * plus exploded `ds(doc_id, sh)` and sizes `sz(doc_id, n)`.
+    */
+  private def shingleCtes(k: Int): String = {
+    val gram = (1 to k).map(i => s"t[j+$i]").mkString("||' '||")
+    s"""d AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+       |sh0 AS (SELECT doc_id, list_transform(range(0, len(t)-${k - 1}), j -> $gram) s FROM d),
+       |hh AS (SELECT doc_id, list_distinct(list_transform(s, x -> ('0x'||substr(md5(x),1,8))::BIGINT % $P)) h
+       |       FROM sh0 WHERE len(s) > 0),
+       |ds AS (SELECT doc_id, unnest(h) sh FROM hh),
+       |sz AS (SELECT doc_id, len(h) n FROM hh)""".stripMargin
+  }
+
+  /** DuckDB jaccard-verify over candidate pairs CTE `cand(id_a, id_b)`. */
+  private def jaccardSql(threshold: String): String =
+    s"""inter AS (SELECT c.id_a, c.id_b, count(*) i FROM cand c
+       |  JOIN ds x ON x.doc_id = c.id_a JOIN ds y ON y.doc_id = c.id_b AND y.sh = x.sh
+       |  GROUP BY 1, 2),
+       |jac AS (SELECT id_a, id_b, i::DOUBLE / (sx.n + sy.n - i)::DOUBLE jaccard FROM inter
+       |  JOIN sz sx ON sx.doc_id = id_a JOIN sz sy ON sy.doc_id = id_b)
+       |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= $threshold""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Exact dedup: one hash-aggregate on the content digest; keeper =
+    //    min id per group. The always-first, always-cheapest pass.
+    QueryDef(
+      "q40_dedup_exact",
+      (s, d) => Dedup.exactDuplicates(docs(s, d), "doc_id", "text"),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+        FROM documents GROUP BY 1""")
+    ),
+
+    // ── Exact n-gram Jaccard join with prefix filtering (PPJoin-style):
+    //    index only each set's (n − ⌈n/2⌉ + 1) smallest shingles, candidate
+    //    pairs must collide there, then exact verify ≥ 0.5.
+    QueryDef(
+      "q41_dedup_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardJoin(docs(s, d), "doc_id", "text", k = 3, tNum = 1, tDen = 2),
+      Some(s"""WITH ${shingleCtes(3)},
+        srt AS (SELECT doc_id, list_sort(h) h, len(h) n FROM hh),
+        pfx AS (SELECT doc_id, unnest(list_slice(h, 1, (n - ((n * 1 + 1) // 2) + 1)::BIGINT)) sh FROM srt),
+        cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b FROM pfx a
+                 JOIN pfx b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+        ${jaccardSql("(1.0/2.0)")}""")
+    ),
+
+    // ── MinHash + LSH banding: 16 affine min-hashes, 4 bands × 4 rows,
+    //    bucket-join on whole-band collision, exact-Jaccard verify ≥ 0.5.
+    QueryDef(
+      "q42_dedup_minhash_lsh",
+      (s, d) => Dedup.minhashDedup(docs(s, d), "doc_id", "text", k = 3, threshold = 0.5),
+      Some {
+        val sigCols = Dedup.MinhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+          s"list_aggregate(list_transform(h, v -> (v*$a+$b)%$P), 'min') s$i"
+        }.mkString(",\n          ")
+        val bandSelects = (0 until Dedup.LshBands).map { bnd =>
+          val key = (0 until Dedup.LshRows).map(r => s"s${bnd * Dedup.LshRows + r}::VARCHAR").mkString("||','||")
+          s"SELECT doc_id, $bnd band, $key bkey FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH ${shingleCtes(3)},
+        sig AS (SELECT doc_id, $sigCols FROM hh),
+        banded AS ($bandSelects),
+        cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b FROM banded a
+                 JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        ${jaccardSql("0.5")}"""
+      }
+    ),
+
+    // ── SimHash: 64-bit fingerprint (two 32-bit words), 16-bit banding for
+    //    candidates, Hamming ≤ 8 verify.
+    QueryDef(
+      "q43_dedup_simhash",
+      (s, d) => Dedup.simhashDedup(docs(s, d), "doc_id", "text", maxDist = 8),
+      Some {
+        def word(hcol: String) =
+          s"CAST(list_sum(list_transform(range(0,32), j -> CASE WHEN CAST(list_sum(list_transform($hcol, v -> ((v >> j) & 1)*2 - 1)) AS BIGINT) > 0 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)"
+        val bandSelects = (0 until 4).map { bnd =>
+          val w = if (bnd < 2) "w1" else "w2"
+          val sh = (bnd % 2) * 16
+          s"SELECT doc_id, w1, w2, $bnd band, (($w >> $sh) & 65535) bkey FROM w"
+        }.mkString(" UNION ALL ")
+        s"""WITH d AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+        h AS (SELECT doc_id,
+          list_transform(t, x -> ('0x'||substr(md5(x),1,8))::BIGINT) h1,
+          list_transform(t, x -> ('0x'||substr(md5(x),9,8))::BIGINT) h2 FROM d),
+        w AS (SELECT doc_id, ${word("h1")} w1, ${word("h2")} w2 FROM h),
+        banded AS ($bandSelects),
+        cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b,
+                 bit_count(xor(a.w1, b.w1)) + bit_count(xor(a.w2, b.w2)) hamming
+                 FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 8"""
+      }
+    ),
+
+    // ── Embedding-cosine near-dup pairs: exact all-pairs above 0.4 (the
+    //    corpus-scale path buckets by IVF list first — see q51).
+    QueryDef(
+      "q44_dedup_embedding",
+      (s, d) => Similarity.embeddingNearDupPairs(
+        Similarity.prepare(emb(s, d), "vec_id", "embedding"), threshold = 0.4),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, v), (a,b) -> a + b*b)) nrm FROM e),
+        p AS (SELECT a.vec_id id_a, b.vec_id id_b,
+          list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])), (x,y) -> x+y) / (a.nrm*b.nrm) cos
+          FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cos FROM p WHERE cos > 0.4""")
+    )
+  )
+}

@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor capability surface over `embeddings`:
+  * exact brute-force cosine top-k (the baseline) and IVF probe search (the
+  * scale path). Spark side in [[graft.operators.Similarity]]; oracles
+  * replay the identical sequential float arithmetic so scores are
+  * bit-exact across engines.
+  */
+object SimilarityQueries {
+
+  private def emb(s: org.apache.spark.sql.SparkSession, d: String) = Tables.load(s, d, "embeddings")
+
+  /** Shared oracle CTE: embeddings as doubles with sequential L2 norms. */
+  private val NormCte =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, v), (a,b) -> a + b*b)) nrm FROM e)""".stripMargin
+
+  /** Sequential dot product a·b in DuckDB matching Spark's zip_with +
+    * aggregate order (a's elements on the left of each product).
+    */
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])), (x,y) -> x+y)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Exact ANN baseline: top-5 cosine neighbors for the 8 probe
+    //    vectors. Broadcast the probe set; the corpus never shuffles.
+    QueryDef(
+      "q50_ann_bruteforce",
+      (s, d) => {
+        val corpus = Similarity.prepare(emb(s, d), "vec_id", "embedding")
+        Similarity.bruteForceTopK(corpus, corpus.where(col("vid") < 8), k = 5)
+      },
+      Some(s"""WITH $NormCte,
+        q AS (SELECT vec_id query_id, v qv, nrm qn FROM n WHERE vec_id < 8),
+        s AS (SELECT query_id, vec_id neighbor_id, ${dotSql("qv", "v")} / (qn*nrm) cos
+              FROM q JOIN n ON vec_id <> query_id)
+        SELECT query_id, neighbor_id, rank, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) rank FROM s)
+        WHERE rank <= 5""")
+    ),
+
+    // ── IVF search: 16 coarse centroids (vectors 0..15), every vector
+    //    assigned to its nearest list, queries probe their 2 closest lists
+    //    and exact-score only those lists' members.
+    QueryDef(
+      "q51_ann_ivf",
+      (s, d) => {
+        val corpus = Similarity.prepare(emb(s, d), "vec_id", "embedding")
+        Similarity.ivfTopK(
+          corpus,
+          centroids = corpus.where(col("vid") < 16),
+          queries = corpus.where(col("vid") < 8),
+          k = 5,
+          nprobe = 2
+        )
+      },
+      Some(s"""WITH $NormCte,
+        c AS (SELECT vec_id cid, v cv, nrm cn FROM n WHERE vec_id < 16),
+        assigned AS (SELECT vec_id, v, nrm, cid FROM (
+          SELECT n.vec_id, n.v, n.nrm, c.cid,
+            row_number() OVER (PARTITION BY n.vec_id ORDER BY ${dotSql("cv", "v")} / (cn*nrm) DESC, c.cid ASC) crank
+          FROM n CROSS JOIN c) WHERE crank = 1),
+        q AS (SELECT vec_id query_id, v qv, nrm qn FROM n WHERE vec_id < 8),
+        probes AS (SELECT query_id, qv, qn, cid FROM (
+          SELECT q.query_id, q.qv, q.qn, c.cid,
+            row_number() OVER (PARTITION BY q.query_id ORDER BY ${dotSql("qv", "cv")} / (qn*cn) DESC, c.cid ASC) prank
+          FROM q CROSS JOIN c) WHERE prank <= 2),
+        s AS (SELECT query_id, a.vec_id neighbor_id, ${dotSql("qv", "v")} / (qn*nrm) cos
+              FROM assigned a JOIN probes p ON a.cid = p.cid AND a.vec_id <> p.query_id)
+        SELECT query_id, neighbor_id, rank, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) rank FROM s)
+        WHERE rank <= 5""")
+    )
+  )
+}

@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis capability surface over `documents`: token counting
+  * (whitespace + BPE-ish regex), quality scoring, n-gram-profile language
+  * ID, and rolling-hash / winnowing document fingerprints. Pure Column
+  * programs — no UDFs — so everything stays codegen-able and pushdown-safe.
+  */
+object TextQueries {
+
+  private val P = TextFunctions.HashPrime
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  /** English-ish stopword list used by the quality score. */
+  private val Stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Token counting: whitespace tokens, BPE-ish subword segments,
+    //    distinct tokens, characters. One narrow projection pass.
+    QueryDef(
+      "q30_token_count",
+      (s, d) =>
+        docs(s, d).select(
+          col("doc_id"),
+          size(tokens(col("text"))).cast(LongType).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit(BpeTokenPattern), lit(0))).cast(LongType).as("bpe_tokens"),
+          size(array_distinct(tokens(col("text")))).cast(LongType).as("uniq_tokens"),
+          length(col("text")).cast(LongType).as("n_chars")
+        ),
+      Some(s"""SELECT doc_id,
+        len(string_split(text, ' '))::BIGINT AS ws_tokens,
+        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS bpe_tokens,
+        len(list_distinct(string_split(text, ' ')))::BIGINT AS uniq_tokens,
+        length(text)::BIGINT AS n_chars
+        FROM documents""")
+    ),
+
+    // ── Quality scoring: lexical-diversity, token-length, and stopword
+    //    components combined into one [0,1] score — the standard cheap
+    //    pre-filter before expensive pipeline stages.
+    QueryDef(
+      "q31_quality_score",
+      (s, d) => {
+        val t = tokens(col("text"))
+        val nTok = size(t).cast(DoubleType)
+        val uniqRatio = size(array_distinct(t)).cast(DoubleType) / nTok
+        val avgLen = aggregate(transform(t, x => length(x).cast(LongType)), lit(0L), _ + _).cast(DoubleType) / nTok
+        val stopRatio = size(filter(t, x => x.isin(Stop: _*))).cast(DoubleType) / nTok
+        docs(s, d).select(
+          col("doc_id"),
+          size(t).cast(LongType).as("n_tokens"),
+          uniqRatio.as("uniq_ratio"),
+          avgLen.as("avg_token_len"),
+          stopRatio.as("stop_ratio"),
+          (lit(0.5) * uniqRatio + lit(0.3) * least(avgLen / 8.0, lit(1.0)) + lit(0.2) * stopRatio).as("quality")
+        )
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        m AS (SELECT doc_id,
+          len(t)::BIGINT n_tokens,
+          len(list_distinct(t))::DOUBLE / len(t)::DOUBLE uniq_ratio,
+          CAST(list_reduce(list_prepend(0::BIGINT, list_transform(t, x -> length(x)::BIGINT)), (a,b) -> a+b) AS DOUBLE) / len(t)::DOUBLE avg_token_len,
+          len(list_filter(t, x -> list_contains(${sqlList(Stop)}, x)))::DOUBLE / len(t)::DOUBLE stop_ratio
+         FROM d)
+        SELECT doc_id, n_tokens, uniq_ratio, avg_token_len, stop_ratio,
+          0.5*uniq_ratio + 0.3*least(avg_token_len/8.0, 1.0) + 0.2*stop_ratio AS quality
+        FROM m""")
+    ),
+
+    // ── Language ID: stopword-profile scores per language, argmax with
+    //    deterministic first-wins tiebreak. (The corpus is synthetic, so
+    //    the interesting property is determinism, not accuracy.)
+    QueryDef(
+      "q32_langid",
+      (s, d) => {
+        val t = tokens(col("text"))
+        val scores = LangProfiles.map { case (lang, words) =>
+          lang -> size(filter(t, x => x.isin(words: _*))).cast(LongType)
+        }
+        val scoreCols = scores.map { case (lang, c) => c.as(s"s_$lang") }
+        val langs = LangProfiles.map(_._1)
+        val pred = langs.foldRight(lit(langs.last): org.apache.spark.sql.Column) { (lang, rest) =>
+          val mine = col(s"s_$lang")
+          val beatsAll = langs.filter(_ != lang).map(o => mine >= col(s"s_$o")).reduce(_ && _)
+          when(beatsAll, lit(lang)).otherwise(rest)
+        }
+        docs(s, d)
+          .select((col("doc_id") +: col("lang") +: scoreCols): _*)
+          .withColumn("pred_lang", pred)
+          .withColumn("correct", col("pred_lang") === col("lang"))
+      },
+      Some {
+        val scoreSelects = LangProfiles.map { case (lang, words) =>
+          s"len(list_filter(t, x -> list_contains(${sqlList(words)}, x)))::BIGINT s_$lang"
+        }.mkString(",\n          ")
+        val langs = LangProfiles.map(_._1)
+        val whenChain = langs.dropRight(1).map { lang =>
+          val cond = langs.filter(_ != lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+          s"WHEN $cond THEN '$lang'"
+        }.mkString(" ")
+        s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') t FROM documents),
+        sc AS (SELECT doc_id, lang,
+          $scoreSelects
+         FROM d)
+        SELECT doc_id, lang, ${langs.map(l => s"s_$l").mkString(", ")},
+          CASE $whenChain ELSE '${langs.last}' END AS pred_lang,
+          (CASE $whenChain ELSE '${langs.last}' END) = lang AS correct
+        FROM sc"""
+      }
+    ),
+
+    // ── Document fingerprinting: whole-document polynomial rolling hash +
+    //    MOSS-style winnowing fingerprint set (4-token grams, window 5),
+    //    one row per retained fingerprint. The window-minimum runs as a
+    //    ROW-BASED window aggregate after posexplode — array-lambda
+    //    winnowing ([[TextFunctions.winnowMins]]) degrades to interpreted
+    //    per-window re-evaluation under a Generate (measured 60ms/doc);
+    //    the row form is whole-stage-codegen'd and scales with one shuffle
+    //    on doc_id.
+    QueryDef(
+      "q33_fingerprint",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val grams = docs(s, d)
+          .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+          .select(
+            col("doc_id"),
+            rollingHash(col("text")).as("doc_hash"),
+            shingleHashes(shingles(col("toks"), k = 4)).as("gh")
+          )
+          .select(col("doc_id"), col("doc_hash"), size(col("gh")).as("n"),
+            posexplode(col("gh")).as(Seq("pos", "h")))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.currentRow, 4)
+        grams
+          .withColumn("wmin", min(col("h")).over(w))
+          .where(col("n") < 5 || col("pos") <= col("n") - 5)
+          .select(
+            col("doc_id"),
+            col("doc_hash"),
+            when(col("n") < 5, col("h")).otherwise(col("wmin")).as("fp")
+          )
+          .distinct()
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') t FROM documents),
+        g AS (SELECT doc_id, text,
+          list_transform(list_transform(range(0, len(t)-3), j -> t[j+1]||' '||t[j+2]||' '||t[j+3]||' '||t[j+4]),
+                         x -> ('0x'||substr(md5(x),1,8))::BIGINT % $P) gh
+         FROM d WHERE len(t) >= 4),
+        wn AS (SELECT doc_id, text,
+          CASE WHEN len(gh) >= 5
+               THEN list_transform(range(0, len(gh)-4), j -> list_aggregate(list_slice(gh, j+1, j+5), 'min'))
+               ELSE gh END mins
+         FROM g),
+        fp AS (SELECT DISTINCT doc_id, text, unnest(mins) fp FROM wn)
+        SELECT doc_id,
+          list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text,''), c -> ord(c)::BIGINT)), (a,b) -> (a*31+b) % $P) AS doc_hash,
+          fp
+        FROM fp""")
+    )
+  )
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Dedup-operator specs on small controlled corpora: known duplicates in,
+  * known pairs out.
+  */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 1
+    (4L, "completely different words about spark shuffles and partitions and joins here"),
+    (5L, "another unrelated document mentioning catalyst optimizer rules and codegen stages only")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeper = min id") {
+    val out = Dedup.exactDuplicates(corpus, "doc_id", "text").collect()
+    assert(out.length === 4) // 1+2 collapse
+    val dupGroup = out.find(_.getLong(2) == 2L).get
+    assert(dupGroup.getLong(1) === 1L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashDedup(corpus, "doc_id", "text", k = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("exact jaccard with prefix filtering matches brute-force jaccard") {
+    val out = Dedup.ngramJaccardJoin(corpus, "doc_id", "text", k = 3, tNum = 1, tDen = 2)
+    val got = out.select("id_a", "id_b", "jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // Brute force over distinct 3-shingle sets computed independently.
+    val sets = Dedup.shingleSets(corpus, "doc_id", "text", 3)
+      .as[(Long, Seq[Long])].collect().toMap
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = sets(a).toSet.intersect(sets(b).toSet).size
+      jac = inter.toDouble / (sets(a).size + sets(b).size - inter)
+      if jac >= 0.5
+    } yield (a, b) -> jac).toMap
+    assert(got === expected)
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) === 1.0)
+  }
+
+  test("simhash: identical docs at hamming 0, near dups close, unrelated far") {
+    val out = Dedup.simhashDedup(corpus, "doc_id", "text", maxDist = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Number](2).longValue)).toMap
+    assert(out((1L, 2L)) === 0L)
+    assert(out.get((1L, 3L)).exists(_ <= 8L))
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embedding near-dup pairs respect the cosine threshold") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)), // ~0.995 vs 1
+      (3L, Array(0.0f, 1.0f, 0.0f)) // orthogonal
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingNearDupPairs(
+      Similarity.prepare(vecs, "vec_id", "embedding"), threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** ANN operator specs: brute force is the ground truth; IVF must agree with
+  * it when probing covers the true neighbors' lists.
+  */
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("brute-force top-k: k rows per query, self excluded, rank ordered by cosine") {
+    val corpus = Similarity.prepare(emb, "vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(corpus, corpus.where(col("vid") < 4), k = 5)
+    val rows = out.collect()
+    assert(rows.length === 4 * 5)
+    assert(!rows.exists(r => r.getLong(0) == r.getLong(1)))
+    // per query: ranks 1..5 with non-increasing cosine
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq === (1 to 5))
+      assert(sorted.sliding(2).forall(p => p.head.getDouble(3) >= p.last.getDouble(3)))
+    }
+  }
+
+  test("IVF results are a subset-consistent approximation of brute force") {
+    val corpus = Similarity.prepare(emb, "vec_id", "embedding")
+    val queries = corpus.where(col("vid") < 4)
+    val ivf = Similarity.ivfTopK(corpus, corpus.where(col("vid") < 16), queries, k = 5, nprobe = 2)
+    val bf = Similarity.bruteForceTopK(corpus, queries, k = 5)
+    val ivfRows = ivf.collect()
+    assert(ivfRows.groupBy(_.getLong(0)).forall(_._2.length <= 5))
+    // Every IVF hit's cosine can't beat the brute-force rank-1 neighbor.
+    val best = bf.where(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ivfRows.forall(r => r.getDouble(3) <= best(r.getLong(0)) + 1e-12))
+  }
+
+  test("assignLists: every vector lands on exactly one list") {
+    val corpus = Similarity.prepare(emb, "vec_id", "embedding")
+    val assigned = Similarity.assignLists(corpus, corpus.where(col("vid") < 16))
+    assert(assigned.count() === corpus.count())
+    assert(assigned.groupBy("vid").count().where(col("count") > 1).count() === 0)
+    assert(assigned.select("cid").distinct().count() <= 16)
+  }
+}

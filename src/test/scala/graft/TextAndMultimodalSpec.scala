@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaItem
+import org.apache.spark.sql.functions._
+
+class TextAndMultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("shingles: k-grams in order, short docs yield empty") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(col("text"), tokens(col("text")).as("toks"))
+      .select(shingles(col("toks"), 3).as("sh"))
+    val got = df.as[Seq[String]].collect()
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq.empty)
+  }
+
+  test("rolling hash is deterministic and order-sensitive") {
+    val df = Seq("abc", "abc", "acb").toDF("text").select(rollingHash(col("text")).as("h"))
+    val hs = df.as[Long].collect()
+    assert(hs(0) === hs(1))
+    assert(hs(0) !== hs(2))
+    // closed form: ((0*31+97)*31+98)*31+99 for "abc"
+    assert(hs(0) === ((97L * 31 + 98) * 31 + 99) % HashPrime)
+  }
+
+  test("winnowing keeps window minima and survives local edits mostly") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    val edited = base.replace("w16", "zz")
+    val df = Seq(base, edited).toDF("text")
+      .select(tokens(col("text")).as("toks"))
+      .select(shingleHashes(shingles(col("toks"), 4)).as("gh"))
+      .select(winnowMins(col("gh"), 5).as("fps"))
+    val Array(a, b) = df.as[Seq[Long]].collect()
+    assert(a.nonEmpty && b.nonEmpty)
+    assert(a.toSet.intersect(b.toSet).nonEmpty) // early fingerprints shared
+  }
+
+  test("multimodal: metadata + frame sampling without decoding") {
+    val df = Seq((1L, "x" * 100)).toDF("id", "text")
+      .withColumn("content", encode(col("text"), "UTF-8"))
+    val meta = Multimodal.withMetadata(df, "content")
+    val row = meta.select("n_bytes", "digest", "magic").head()
+    assert(row.getLong(0) === 100L)
+    assert(row.getString(1).length === 32)
+    assert(row.getString(2) === "78787878") // 'x' = 0x78
+    val frames = df.select(Multimodal.sampleFrames(col("content"), 16, 4).as("f"))
+      .select(size(col("f"))).head().getInt(0)
+    assert(frames === (100 - 1) / 64 + 1)
+  }
+
+  test("batched fake decode: fixed dim, per-item isolation, deterministic") {
+    val items = Seq(
+      MediaItem(1L, "image", "hello world".getBytes, 11L),
+      MediaItem(2L, "image", Array.empty[Byte], 0L),
+      MediaItem(3L, "audio", "hello world".getBytes, 11L)
+    ).toDS()
+    val feats = Multimodal.decodeFeatures(items, dim = 4, batchSize = 2).collect()
+    assert(feats.length === 3)
+    assert(feats.forall(_.features.length === 4))
+    val f1 = feats.find(_.mediaId == 1L).get
+    val f3 = feats.find(_.mediaId == 3L).get
+    assert(f1.features.toSeq === f3.features.toSeq) // content-determined
+    assert(feats.find(_.mediaId == 2L).get.features.forall(_ == 0.0f))
+  }
+}
