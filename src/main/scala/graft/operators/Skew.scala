@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot keys — the 100 TB posture when AQE's runtime
+  * skew-join splitting isn't enough (e.g. a single token_id holding 10% of
+  * all telemetry, or one user dominating an event stream).
+  *
+  * Salting is deterministic here (salt = hash of non-key columns mod
+  * buckets), so results are reproducible run-to-run and testable against
+  * the unsalted formulation.
+  */
+object Skew {
+
+  /** Deterministic salt in [0, buckets) derived from the row's columns. */
+  def saltColumn(cols: Seq[Column], buckets: Int): Column =
+    pmod(hash(cols: _*), lit(buckets))
+
+  /** Two-phase salted aggregation: partial sum/count per (key, salt) —
+    * spreading a hot key over `buckets` reducers — then the final combine
+    * per key. Produces exactly `sum(valueCol)` (DECIMAL-exact, order-free)
+    * and `count(*)` per key.
+    */
+  def saltedSumCount(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      buckets: Int
+  ): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val salted = df.withColumn(
+      "__salt",
+      saltColumn(df.columns.filter(_ != keyCol).map(col).toSeq, buckets)
+    )
+    salted
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(sum(col(valueCol).cast(dec)).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(col(keyCol))
+      .agg(
+        sum(col("__psum")).cast(org.apache.spark.sql.types.DoubleType).as("total"),
+        sum(col("__pcnt")).as("n")
+      )
+  }
+
+  /** Salted equi-join for a skewed fact side: the fact takes a
+    * deterministic salt, the (small-ish but above-broadcast-threshold) dim
+    * side is replicated once per salt bucket, and the join key becomes
+    * (key, salt) — splitting each hot key's rows across `buckets` tasks.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      buckets: Int
+  ): DataFrame = {
+    val saltedFact = fact.withColumn(
+      "__salt",
+      saltColumn(fact.columns.filter(_ != key).map(col).toSeq, buckets)
+    )
+    val replicatedDim = dim.withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
+    saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Second analytics tranche: sessionization, pivot, time-bucketed rollups,
+  * exact distributed median, and ntile bucketing — the event-stream and
+  * reporting shapes a telemetry engine serves daily.
+  */
+object Analytics2 {
+
+  private val dec = DecimalType(18, 2)
+
+  private def ord(s: org.apache.spark.sql.SparkSession, d: String) = Tables.load(s, d, "orders")
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String) = Tables.load(s, d, "events")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Sessionization: 30-minute-gap sessions per user via lag + running
+    //    sum of session-break flags — the linear-scan formulation (one
+    //    shuffle on user_id, no self-join), identical in any engine.
+    QueryDef(
+      "q22_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("brk",
+            when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("brk")).over(run))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            count(lit(1)).as("n_events")
+          )
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        g AS (SELECT user_id, ts, event_id,
+          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) prev_us FROM e),
+        b AS (SELECT user_id, ts, event_id,
+          CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END brk FROM g),
+        sid AS (SELECT user_id, ts,
+          CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) session_id
+          FROM b)
+        SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+        FROM sid GROUP BY user_id, session_id""")
+    ),
+
+    // ── Pivot (explicit CASE aggregation — what .pivot() desugars to, with
+    //    engine-identical 0-for-absent semantics).
+    QueryDef(
+      "q24_pivot",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val aggs = types.map(t => count(when(col("event_type") === t, 1)).as(s"n_$t")) :+
+          sum(col("value").cast(dec)).cast(DoubleType).as("total_value")
+        ev(s, d).groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
+      },
+      Some("""SELECT user_id,
+          count(*) FILTER (event_type = 'click') AS n_click,
+          count(*) FILTER (event_type = 'error') AS n_error,
+          count(*) FILTER (event_type = 'purchase') AS n_purchase,
+          count(*) FILTER (event_type = 'signup') AS n_signup,
+          count(*) FILTER (event_type = 'view') AS n_view,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY user_id""")
+    ),
+
+    // ── Time-bucketed rollup: daily event counts and value sums — the
+    //    partition-by-day shape 100 TB telemetry tables are laid out in.
+    QueryDef(
+      "q25_time_bucket",
+      (s, d) =>
+        ev(s, d)
+          .groupBy(date_trunc("DAY", col("ts")).as("day"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast(dec)).cast(DoubleType).as("total_value")
+          ),
+      Some("""WITH e AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM e GROUP BY 1, 2""")
+    ),
+
+    // ── Exact distributed median (no percentile_cont cross-engine
+    //    interpolation hazards): row_number + count picks the middle
+    //    element(s); DECIMAL mean of the two middles is engine-exact.
+    QueryDef(
+      "q23_median",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"), col("o_orderkey"))
+        val cw = Window.partitionBy(col("o_orderpriority"))
+        ord(s, d)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(cw))
+          .where(col("rn") * 2 === col("cnt") || col("rn") * 2 === col("cnt") + 1 || col("rn") * 2 === col("cnt") + 2)
+          .groupBy(col("o_orderpriority"))
+          .agg((sum(col("o_totalprice").cast(dec)) / count(lit(1))).cast(DoubleType).as("median_price"))
+      },
+      Some("""WITH r AS (SELECT o_orderpriority, o_totalprice,
+          row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) rn,
+          count(*) OVER (PARTITION BY o_orderpriority) cnt
+        FROM orders)
+        SELECT o_orderpriority,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) / count(*) AS DOUBLE) AS median_price
+        FROM r WHERE rn * 2 = cnt OR rn * 2 = cnt + 1 OR rn * 2 = cnt + 2
+        GROUP BY o_orderpriority""")
+    ),
+
+    // ── Salted two-phase aggregation (skew mitigation): spreading each
+    //    key over hash-salt buckets then recombining must equal the plain
+    //    GROUP BY — which is exactly what the oracle asserts.
+    QueryDef(
+      "q27_salted_agg",
+      (s, d) => graft.operators.Skew.saltedSumCount(ev(s, d), "user_id", "value", buckets = 8),
+      Some("""SELECT user_id,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+          count(*) AS n
+        FROM events GROUP BY user_id""")
+    ),
+
+    // ── NTILE bucketing: per-customer order-price quartiles.
+    QueryDef(
+      "q26_ntile",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"), col("o_orderkey"))
+        ord(s, d).select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          col("o_totalprice"),
+          ntile(4).over(w).as("quartile")
+        )
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+          ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS quartile
+        FROM orders""")
+    )
+  )
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+
+/** SQL-surface (extensions) and skew-mitigation specs. */
+class ExtensionsAndSkewSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("vec_dot SQL function matches hand-computed dot product") {
+    GraftExtensions.register(spark)
+    val got = spark.sql("SELECT vec_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d))")
+      .head().getDouble(0)
+    assert(got === 32.0)
+  }
+
+  test("explode_signals UDTF: LATERAL VIEW over raw payload JSON") {
+    GraftExtensions.register(spark)
+    Seq(
+      ("""{"speed": 55.5, "make": "toyota", "engineLoad": 0.5}""", "v1"),
+      ("""not json""", "v2"),
+      ("""{"unknownField": 1}""", "v3")
+    ).toDF("data", "subject").createOrReplaceTempView("status_raw")
+    val rows = spark.sql(
+      """SELECT subject, s.name, s.value_number, s.value_string
+        |FROM status_raw
+        |LATERAL VIEW explode_signals(data) s AS name, value_number, value_string""".stripMargin
+    ).collect()
+    assert(rows.length === 3) // only v1's three known signals
+    val byName = rows.map(r => r.getString(1) -> r).toMap
+    assert(byName("Vehicle.Speed").getDouble(2) === 55.5)
+    assert(byName("Vehicle.VehicleIdentification.Brand").getString(3) === "toyota")
+    assert(byName("Vehicle.OBD.EngineLoad").getDouble(2) === 50.0) // ratio→percent
+  }
+
+  test("UDTF agrees with the Column-program explosion on the fixture corpus") {
+    GraftExtensions.register(spark)
+    val docs = graft.sources.StatusSource.readJson(
+      spark, getClass.getResource("/static_vehicle_data_test.json").getPath)
+    docs.select(col("subject"), to_json(col("data")).as("data")).createOrReplaceTempView("fixture_raw")
+    val udtf = spark.sql(
+      "SELECT subject, s.name FROM fixture_raw LATERAL VIEW explode_signals(data) s AS name, value_number, value_string")
+    assert(udtf.count() === 8L * 18)
+  }
+
+  test("salted join equals plain join") {
+    val fact = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val dim = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val plain = fact.join(dim, "o_custkey").count()
+    val salted = Skew.saltedJoin(fact, dim, "o_custkey", buckets = 4).count()
+    assert(salted === plain)
+  }
+}
