@@ -38,7 +38,7 @@ object Dedup {
   def shingleSets(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     docs
       .select(col(idCol), tokens(col(textCol)).as("toks"))
-      .select(col(idCol), array_distinct(shingleHashes(shingles(col("toks"), k))).as("sh"))
+      .select(col(idCol), array_distinct(graft.functions.HashExpressions.shingleHash32(col("toks"), k)).as("sh"))
       .where(size(col("sh")) > 0)
 
   /** Exact duplicate groups by content hash: every row keyed by md5(text),
@@ -146,10 +146,14 @@ object Dedup {
       .select(col(idCol), tokens(col(textCol)).as("toks"))
       .select(
         col(idCol),
-        transform(col("toks"), t => hash32(t)).as("h1"),
-        transform(col("toks"), t => hash32b(t)).as("h2")
+        graft.functions.HashExpressions.tokenHash32(col("toks")).as("h1"),
+        graft.functions.HashExpressions.tokenHash32(col("toks"), second = true).as("h2")
       )
-      .select(col(idCol), simhashWord(col("h1")).as("w1"), simhashWord(col("h2")).as("w2"))
+      .select(
+        col(idCol),
+        graft.functions.HashExpressions.simhashWord(col("h1")).as("w1"),
+        graft.functions.HashExpressions.simhashWord(col("h2")).as("w2")
+      )
     val banded = fps.select(
       col(idCol), col("w1"), col("w2"),
       posexplode(array(

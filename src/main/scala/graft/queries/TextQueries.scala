@@ -133,7 +133,7 @@ object TextQueries {
           .select(
             col("doc_id"),
             rollingHash(col("text")).as("doc_hash"),
-            shingleHashes(shingles(col("toks"), k = 4)).as("gh")
+            graft.functions.HashExpressions.shingleHash32(col("toks"), 4).as("gh")
           )
           .select(col("doc_id"), col("doc_hash"), size(col("gh")).as("n"),
             posexplode(col("gh")).as(Seq("pos", "h")))

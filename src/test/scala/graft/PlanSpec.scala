@@ -1,0 +1,71 @@
+package graft
+
+/** Physical-plan audits: the properties that make these queries scale are
+  * asserted, not hoped for. If an optimizer upgrade or a refactor loses a
+  * pushdown/broadcast/TakeOrdered, these fail before any benchmark does.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q2 scan: filter pushed to parquet and columns pruned") {
+    val p = plan("q2_scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"), p)
+    // pruned read schema: the 4 selected columns only
+    assert(p.contains("ReadSchema") && !p.contains("l_extendedprice"), p)
+  }
+
+  test("q3 time-range filter reaches the scan") {
+    val p = plan("q3_filter_eq_range")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(event_type,purchase)"), p)
+  }
+
+  test("q5 top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q5_topk_desc")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortExec"), p)
+  }
+
+  test("q7 dim lookup is a broadcast hash join") {
+    val p = plan("q7_broadcast_lookup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q1 aggregation is two-phase (map-side partial)") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.split("HashAggregate").length >= 3, "expected partial+final HashAggregate\n" + p)
+  }
+
+  test("q13 five-way join broadcasts the dimension chain") {
+    val p = plan("q13_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q9 semi join stays a join, not a distinct+inner rewrite") {
+    val p = plan("q9_semi_join")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("q11 explosion pipeline is shuffle-free (narrow scan->generate)") {
+    val p = plan("q11_signal_explode")
+    assert(!p.contains("Exchange"), "signal explosion must not shuffle\n" + p)
+  }
+
+  test("q50 ANN: corpus side never shuffles; query side broadcasts") {
+    val p = plan("q50_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // the only exchange allowed is the final per-query top-k window
+    val exchanges = p.split("\n").count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"too many shuffles ($exchanges)\n" + p)
+  }
+
+  test("entry flagship query produces rows and a non-degenerate plan") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+  }
+}
