@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** DSv2 pushdown source spec: results match the plain JSON reader and the
+  * plan proves the filters/pruning actually reached the scan.
+  */
+class StatusV2SourceSpec extends SparkTestBase {
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-v2src")
+    val docs = Seq(
+      """{"id":"a","subject":"1","source":"s","specversion":"1.0","time":"2024-01-01T00:00:00Z","data":{"speed":10}}""",
+      """{"id":"b","subject":"1","source":"s","specversion":"1.0","time":"2024-01-01T00:10:00Z","data":{"speed":20}}""",
+      """{"id":"c","subject":"2","source":"s","specversion":"1.0","time":"2024-01-01T00:20:00Z","data":{"speed":30}}""",
+      """not json at all""",
+      """{"id":"d","subject":"2","source":"s","specversion":"1.0","time":"2024-01-01T00:30:00Z","data":{"speed":40}}"""
+    )
+    Files.writeString(d.resolve("part-0.ndjson"), docs.take(3).mkString("\n"))
+    Files.writeString(d.resolve("part-1.ndjson"), docs.drop(3).mkString("\n"))
+    d.toString
+  }
+
+  private def read = spark.read.format("graft-status").load(dir)
+
+  test("scan returns all well-formed docs; malformed lines skipped") {
+    assert(read.count() === 4)
+    assert(read.select("data").where(col("data").contains("40")).count() === 1)
+  }
+
+  test("subject + half-open time range are pushed and applied") {
+    val q = read.where(
+      col("subject") === "1" &&
+        col("time") >= lit("2024-01-01 00:05:00") &&
+        col("time") < lit("2024-01-01 00:30:00")
+    )
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=[") && plan.contains("EqualTo(subject,1)"), plan)
+    assert(plan.contains("GreaterThanOrEqual(time,") && plan.contains("LessThan(time,"), plan)
+    val rows = q.select("id").collect().map(_.getString(0))
+    assert(rows.toSeq === Seq("b"))
+  }
+
+  test("column pruning: data payload not read unless required") {
+    val q = read.select("id", "subject")
+    val scanLine = q.queryExecution.executedPlan.toString.split("\n").find(_.contains("BatchScan")).get
+    assert(!scanLine.contains("data#"), scanLine) // payload pruned out of the scan output
+    assert(q.schema.fieldNames.toSeq === Seq("id", "subject"))
+    assert(q.count() === 4)
+  }
+
+  test("limit pushes into the scan (per-partition early stop)") {
+    val q = read.limit(2)
+    assert(q.collect().length === 2)
+  }
+
+  test("V2 source composes with the signal-explosion operator") {
+    val out = graft.ops.SignalExplode.explodeSignals(
+      read.select(col("subject"), col("source"), col("time"), col("data")),
+      graft.schema.SignalDefinitions.resolve(Seq("Vehicle.Speed"))
+    )
+    assert(out.count() === 4)
+    assert(out.agg(sum("valueNumber")).head().getDouble(0) === 100.0)
+  }
+}
