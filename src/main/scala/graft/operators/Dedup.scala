@@ -120,6 +120,50 @@ object Dedup {
     jaccardVerify(cands, sets, idCol, tNum.toDouble / tDen.toDouble)
   }
 
+  /** Duplicate-cluster resolution, transitive: connected components over
+    * the near-dup pair graph by min-label propagation (the label-
+    * propagation core of large-star/small-star CC). Each iteration is one
+    * join+aggregate; the driver loop only checks a converged COUNT — no
+    * data ever collects. Iterations ≈ graph diameter, which for dup
+    * clusters is small. `localCheckpoint` truncates lineage per round.
+    *
+    * Output: (id, cluster) where cluster = min id reachable via pairs.
+    */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster").as("nc")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nc")).as("min_nbr"))
+      val updated = labels
+        .join(nbrMin, Seq("id"), "left_outer")
+        .select(
+          col("id"),
+          col("cluster"),
+          least(col("cluster"), coalesce(col("min_nbr"), col("cluster"))).as("new_cluster")
+        )
+        .localCheckpoint()
+      changed = updated.where(col("new_cluster") < col("cluster")).count()
+      labels = updated.select(col("id"), col("new_cluster").as("cluster"))
+    }
+    labels
+  }
+
+  /** One-pass greedy resolution: keep every doc that is never the larger
+    * id of a verified near-dup pair (the "first occurrence wins" policy
+    * streaming dedup uses).
+    */
+  def keepAfterDedup(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    docs.join(pairs.select(col("id_b").as(idCol)), Seq(idCol), "left_anti")
+
   /** 64-bit SimHash as two 32-bit words (keeps all arithmetic inside
     * signed-64 range): bit j of word w is set when the sum over tokens of
     * ±1 (per that token's hash bit) is positive. Token multiplicity counts

@@ -31,14 +31,37 @@ object DedupQueries {
        |sz AS (SELECT doc_id, len(h) n FROM hh)""".stripMargin
   }
 
-  /** DuckDB jaccard-verify over candidate pairs CTE `cand(id_a, id_b)`. */
-  private def jaccardSql(threshold: String): String =
+  /** DuckDB jaccard-verify CTEs over candidate pairs CTE `cand(id_a,
+    * id_b)`, ending in `verified(id_a, id_b, jaccard)`.
+    */
+  private def jaccardCtes(threshold: String): String =
     s"""inter AS (SELECT c.id_a, c.id_b, count(*) i FROM cand c
        |  JOIN ds x ON x.doc_id = c.id_a JOIN ds y ON y.doc_id = c.id_b AND y.sh = x.sh
        |  GROUP BY 1, 2),
        |jac AS (SELECT id_a, id_b, i::DOUBLE / (sx.n + sy.n - i)::DOUBLE jaccard FROM inter
-       |  JOIN sz sx ON sx.doc_id = id_a JOIN sz sy ON sy.doc_id = id_b)
-       |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= $threshold""".stripMargin
+       |  JOIN sz sx ON sx.doc_id = id_a JOIN sz sy ON sy.doc_id = id_b),
+       |verified AS (SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= $threshold)""".stripMargin
+
+  private def jaccardSql(threshold: String): String =
+    s"""${jaccardCtes(threshold)}
+       |SELECT id_a, id_b, jaccard FROM verified""".stripMargin
+
+  /** The full MinHash+LSH pipeline CTEs ending in `verified`. */
+  private def minhashCtes: String = {
+    val sigCols = Dedup.MinhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"list_aggregate(list_transform(h, v -> (v*$a+$b)%$P), 'min') s$i"
+    }.mkString(", ")
+    val bandSelects = (0 until Dedup.LshBands).map { bnd =>
+      val key = (0 until Dedup.LshRows).map(r => s"s${bnd * Dedup.LshRows + r}::VARCHAR").mkString("||','||")
+      s"SELECT doc_id, $bnd band, $key bkey FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""${shingleCtes(3)},
+       |sig AS (SELECT doc_id, $sigCols FROM hh),
+       |banded AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b FROM banded a
+       |         JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |${jaccardCtes("0.5")}""".stripMargin
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -70,21 +93,36 @@ object DedupQueries {
     QueryDef(
       "q42_dedup_minhash_lsh",
       (s, d) => Dedup.minhashDedup(docs(s, d), "doc_id", "text", k = 3, threshold = 0.5),
-      Some {
-        val sigCols = Dedup.MinhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
-          s"list_aggregate(list_transform(h, v -> (v*$a+$b)%$P), 'min') s$i"
-        }.mkString(",\n          ")
-        val bandSelects = (0 until Dedup.LshBands).map { bnd =>
-          val key = (0 until Dedup.LshRows).map(r => s"s${bnd * Dedup.LshRows + r}::VARCHAR").mkString("||','||")
-          s"SELECT doc_id, $bnd band, $key bkey FROM sig"
-        }.mkString(" UNION ALL ")
-        s"""WITH ${shingleCtes(3)},
-        sig AS (SELECT doc_id, $sigCols FROM hh),
-        banded AS ($bandSelects),
-        cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b FROM banded a
-                 JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-        ${jaccardSql("0.5")}"""
-      }
+      Some(s"""WITH $minhashCtes
+        SELECT id_a, id_b, jaccard FROM verified""")
+    ),
+
+    // ── Dedup resolution, greedy: keep every doc never marked as the
+    //    larger id of a verified near-dup pair.
+    QueryDef(
+      "q45_dedup_resolution",
+      (s, d) => Dedup.keepAfterDedup(
+        docs(s, d).select(col("doc_id")), "doc_id",
+        Dedup.minhashDedup(docs(s, d), "doc_id", "text", k = 3, threshold = 0.5)),
+      Some(s"""WITH $minhashCtes
+        SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM verified)""")
+    ),
+
+    // ── Dedup resolution, transitive: connected components over the
+    //    near-dup graph (min-label propagation; the oracle replays it as a
+    //    recursive transitive closure).
+    QueryDef(
+      "q46_dedup_clusters",
+      (s, d) => Dedup.duplicateClusters(
+        Dedup.minhashDedup(docs(s, d), "doc_id", "text", k = 3, threshold = 0.5)),
+      Some(s"""WITH RECURSIVE $minhashCtes,
+        edges AS (SELECT id_a a, id_b b FROM verified UNION ALL SELECT id_b, id_a FROM verified),
+        nodes AS (SELECT DISTINCT a n FROM edges),
+        reach(n, r) AS (
+          SELECT n, n FROM nodes
+          UNION
+          SELECT reach.n, e.b FROM reach JOIN edges e ON e.a = reach.r)
+        SELECT n AS id, min(r) AS cluster FROM reach GROUP BY n""")
     ),
 
     // ── SimHash: 64-bit fingerprint (two 32-bit words), 16-bit banding for

@@ -74,6 +74,44 @@ object SimilarityQueries {
         SELECT query_id, neighbor_id, rank, cos FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) rank FROM s)
         WHERE rank <= 5""")
+    ),
+
+    // ── k-NN classification on top of the exact search: majority label
+    //    vote among the 5 nearest neighbors, min-label tiebreak — the
+    //    similarity-search application shape (labeling by retrieval).
+    QueryDef(
+      "q52_knn_classify",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val corpus = Similarity.prepare(emb(s, d), "vec_id", "embedding")
+        val bf = Similarity.bruteForceTopK(corpus, corpus.where(col("vid") < 8), k = 5)
+        val labels = emb(s, d).select(col("vec_id"), col("label"))
+        val w = Window.partitionBy(col("query_id")).orderBy(col("votes").desc, col("pred_label").asc)
+        bf.join(labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+          .groupBy(col("query_id"), col("label").as("pred_label"))
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .join(labels.select(col("vec_id").as("query_id"), col("label").as("true_label")), "query_id")
+          .select(col("query_id"), col("pred_label"), col("votes"), col("true_label"),
+            (col("pred_label") === col("true_label")).as("correct"))
+      },
+      Some(s"""WITH $NormCte,
+        q AS (SELECT vec_id query_id, v qv, nrm qn FROM n WHERE vec_id < 8),
+        s AS (SELECT query_id, vec_id neighbor_id, ${dotSql("qv", "v")} / (qn*nrm) cos
+              FROM q JOIN n ON vec_id <> query_id),
+        topk AS (SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) rank FROM s)
+          WHERE rank <= 5),
+        votes AS (SELECT t.query_id, e.label pred_label, count(*) votes
+          FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+          GROUP BY 1, 2),
+        winner AS (SELECT query_id, pred_label, votes FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, pred_label ASC) rn FROM votes)
+          WHERE rn = 1)
+        SELECT w.query_id, w.pred_label, w.votes, e.label AS true_label,
+          w.pred_label = e.label AS correct
+        FROM winner w JOIN embeddings e ON e.vec_id = w.query_id""")
     )
   )
 }

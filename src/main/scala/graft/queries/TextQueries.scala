@@ -116,6 +116,25 @@ object TextQueries {
       }
     ),
 
+    // ── Corpus n-gram statistics: top-100 bigrams with deterministic
+    //    tiebreak — TakeOrderedAndProject over a hash aggregate, the
+    //    vocabulary-building pass of a tokenizer pipeline.
+    QueryDef(
+      "q34_ngram_freq",
+      (s, d) =>
+        docs(s, d)
+          .select(tokens(col("text")).as("toks"))
+          .select(explode(shingles(col("toks"), 2)).as("bigram"))
+          .groupBy(col("bigram"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram").asc)
+          .limit(100),
+      Some("""WITH d AS (SELECT string_split(text, ' ') t FROM documents),
+        b AS (SELECT unnest(list_transform(range(0, len(t)-1), j -> t[j+1]||' '||t[j+2])) bigram FROM d)
+        SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+        ORDER BY n DESC, bigram ASC LIMIT 100""")
+    ),
+
     // ── Document fingerprinting: whole-document polynomial rolling hash +
     //    MOSS-style winnowing fingerprint set (4-token grams, window 5),
     //    one row per retained fingerprint. The window-minimum runs as a

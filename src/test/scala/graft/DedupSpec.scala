@@ -58,6 +58,19 @@ class DedupSpec extends SparkTestBase {
     assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("duplicate clusters: connected components across transitive pairs") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("greedy resolution keeps docs never marked as a pair's larger id") {
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepAfterDedup(corpus.select($"doc_id"), "doc_id", pairs)
+      .as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 4L, 5L))
+  }
+
   test("embedding near-dup pairs respect the cosine threshold") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
