@@ -1,9 +1,11 @@
 package graft.streaming
 
+import graft.model.Signal
 import graft.ops.SignalExplode
 import graft.schema.{SignalDefinition, SignalDefinitions}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Continuous-sync mode: the reference's batch catch-up loop re-expressed
   * as Structured Streaming (SURVEY.md §2.9 — the reference persists a
@@ -59,4 +61,52 @@ object StreamingSync {
         col("n"),
         col("avg_value")
       )
+
+  /** Per-(token, signal) change-detection state: emitted per key, per
+    * micro-batch. */
+  final case class SignalChange(
+      tokenId: Long,
+      name: String,
+      valueNumber: Double,
+      prevValue: Double,
+      nSeen: Long
+  )
+
+  /** State record for [[changeDetection]] (top-level visibility required
+    * by the state encoder's codegen). */
+  final case class LatestState(value: Double, nSeen: Long)
+
+  /** Custom keyed state via `flatMapGroupsWithState` — the catch-up-state
+    * shape SURVEY §2.9 flags (the reference re-derives per-token state from
+    * the sink each run; a streaming engine holds it in the state store):
+    * tracks the latest numeric value per (tokenId, name) and emits a row
+    * only when the value CHANGES — streaming change-data-capture over the
+    * signal stream. State is per-key and bounded; processing-time timeout
+    * would expire idle vehicles in production.
+    */
+  def changeDetection(signals: Dataset[Signal]): Dataset[SignalChange] = {
+    import signals.sparkSession.implicits._
+    signals
+      .filter(_.valueString.isEmpty) // numeric signals only
+      .groupByKey(s => (s.tokenId, s.name))
+      .flatMapGroupsWithState[LatestState, SignalChange](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()
+      ) { case ((tokenId, name), rows, state: GroupState[LatestState]) =>
+        // Deterministic within-batch order: by timestamp.
+        val sorted = rows.toSeq.sortBy(_.timestamp.getTime)
+        var st = state.getOption.getOrElse(LatestState(Double.NaN, 0L))
+        val out = Seq.newBuilder[SignalChange]
+        sorted.foreach { s =>
+          val prev = st
+          val changed = prev.nSeen == 0L || s.valueNumber != prev.value
+          st = LatestState(s.valueNumber, prev.nSeen + 1)
+          if (changed)
+            out += SignalChange(tokenId, name, s.valueNumber,
+              if (prev.nSeen == 0L) Double.NaN else prev.value, st.nSeen)
+        }
+        state.update(st)
+        out.result().iterator
+      }
+  }
 }

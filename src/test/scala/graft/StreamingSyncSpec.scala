@@ -55,6 +55,32 @@ class StreamingSyncSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("change detection keeps per-key state across micro-batches") {
+    import graft.model.Signal
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Signal]
+    val out = StreamingSync.changeDetection(input.toDS())
+    val query = out.writeStream.format("memory").queryName("cdc").outputMode("append").start()
+    try {
+      input.addData(
+        Signal(1L, Timestamp.valueOf("2024-01-01 00:00:00"), "Vehicle.Speed", 10.0, "", "t"),
+        Signal(1L, Timestamp.valueOf("2024-01-01 00:00:01"), "Vehicle.Speed", 10.0, "", "t"), // no change
+        Signal(1L, Timestamp.valueOf("2024-01-01 00:00:02"), "Vehicle.Speed", 20.0, "", "t")
+      )
+      query.processAllAvailable()
+      // Second batch: state (20.0) must persist — same value emits nothing.
+      input.addData(Signal(1L, Timestamp.valueOf("2024-01-01 00:00:03"), "Vehicle.Speed", 20.0, "", "t"))
+      query.processAllAvailable()
+      input.addData(Signal(1L, Timestamp.valueOf("2024-01-01 00:00:04"), "Vehicle.Speed", 30.0, "", "t"))
+      query.processAllAvailable()
+
+      val rows = spark.table("cdc").orderBy("nSeen").collect()
+      assert(rows.map(_.getDouble(2)).toSeq === Seq(10.0, 20.0, 30.0))
+      assert(rows.map(_.getLong(4)).toSeq === Seq(1L, 3L, 5L)) // state counted every row
+      assert(rows(1).getDouble(3) === 10.0 && rows(2).getDouble(3) === 20.0)
+    } finally query.stop()
+  }
+
   test("windowed rollup compiles to a valid streaming plan") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
