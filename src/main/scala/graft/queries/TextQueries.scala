@@ -116,6 +116,61 @@ object TextQueries {
       }
     ),
 
+    // ── TF-IDF-style term scoring: tf = in-doc frequency, idf as the raw
+    //    N/df ratio (division-only arithmetic — no cross-engine log()
+    //    hazards), top-3 terms per doc. The N scalar broadcasts; everything
+    //    else is two hash aggregates and a window.
+    QueryDef(
+      "q35_tfidf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val terms = docs(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_tok"), explode(col("toks")).as("term"))
+        val tf = terms.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("c"), min(col("n_tok")).as("n_tok"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
+        tf.join(df, "term")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            (col("c").cast(DoubleType) / col("n_tok").cast(DoubleType)) *
+              (col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 3)
+          .select(col("doc_id"), col("term"), col("score"), col("rn"))
+      },
+      Some("""WITH t AS (SELECT doc_id, len(string_split(text,' '))::BIGINT n_tok, unnest(string_split(text,' ')) term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) c, min(n_tok) n_tok FROM t GROUP BY 1, 2),
+        df AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) n_docs FROM documents),
+        sc AS (SELECT doc_id, term,
+          (c::DOUBLE / n_tok::DOUBLE) * (n_docs::DOUBLE / df::DOUBLE) score
+          FROM tf JOIN df USING (term) CROSS JOIN n)
+        SELECT doc_id, term, score, rn FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) rn FROM sc)
+        WHERE rn <= 3""")
+    ),
+
+    // ── Sketches: HLL distinct-count and quantile approximations. No SQL
+    //    oracle (approx algorithms differ across engines by design) —
+    //    declared with the driver's weaker rows-only check; the ScalaTest
+    //    spec bounds the estimates against exact values instead.
+    QueryDef(
+      "q36_sketches",
+      (s, d) =>
+        docs(s, d)
+          .select(col("source"), tokens(col("text")).as("toks"))
+          .select(col("source"), explode(col("toks")).as("term"))
+          .groupBy(col("source"))
+          .agg(
+            approx_count_distinct(col("term"), 0.02).as("approx_terms"),
+            count(lit(1)).as("n")
+          ),
+      None
+    ),
+
     // ── Corpus n-gram statistics: top-100 bigrams with deterministic
     //    tiebreak — TakeOrderedAndProject over a hash aggregate, the
     //    vocabulary-building pass of a tokenizer pipeline.

@@ -50,6 +50,11 @@ object SignalSink {
       .select(Columns.map(col): _*)
       .withColumn("token_bucket", pmod(col("tokenId"), lit(buckets)))
       .withColumn("day", date_trunc("DAY", col("timestamp")))
+      // One task per output partition, rows sorted by (tokenId, timestamp):
+      // fewer files and run-length-friendly pages — the MergeTree ORDER BY
+      // analog of the reference's signal table.
+      .repartition(col("token_bucket"), col("day"))
+      .sortWithinPartitions(col("tokenId"), col("timestamp"))
       .write
       .mode(SaveMode.Append)
       .partitionBy("token_bucket", "day")

@@ -38,6 +38,26 @@ class TextAndMultimodalSpec extends SparkTestBase {
     assert(a.toSet.intersect(b.toSet).nonEmpty) // early fingerprints shared
   }
 
+  test("sketch estimates stay within tolerance of exact distinct counts") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val est = SparkEntry.queries("q36_sketches")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source").agg(countDistinct("term").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (src, d) =>
+      assert(math.abs(est(src) - d) <= math.max(2L, (d * 0.1).toLong), s"$src: est=${est(src)} exact=$d")
+    }
+  }
+
+  test("null and empty text degrade to empty outputs, not failures") {
+    import graft.operators.Dedup
+    val df = Seq((1L, "a b c d e f"), (2L, null), (3L, "")).toDF("doc_id", "text")
+    assert(Dedup.shingleSets(df, "doc_id", "text", 3).count() === 1)
+    assert(Dedup.simhashDedup(df, "doc_id", "text", 8).count() === 0)
+  }
+
   test("multimodal: metadata + frame sampling without decoding") {
     val df = Seq((1L, "x" * 100)).toDF("id", "text")
       .withColumn("content", encode(col("text"), "UTF-8"))
