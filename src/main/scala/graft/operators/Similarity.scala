@@ -95,6 +95,28 @@ object Similarity {
       .select(col("query_id"), col("vid").as("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** One spherical k-means refinement of an IVF coarse quantizer: assign
+    * every vector to its nearest seed (cosine), then recompute each list's
+    * centroid as the per-coordinate DECIMAL-exact SUM of its members —
+    * cosine is scale-invariant, so the unnormalized sum serves as the mean
+    * and no order-dependent float division ever happens. Fully
+    * deterministic: reruns (and the DuckDB oracle) reproduce the training
+    * bit-for-bit — the property that makes a trained index reproducible
+    * across cluster runs.
+    */
+  def kmeansRefineOnce(corpus: DataFrame, seeds: DataFrame): DataFrame = {
+    val dec = DecimalType(30, 15)
+    val dims = assignLists(corpus, seeds)
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+    dims
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("x").cast(dec)).cast(DoubleType).as("sv"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("sv")))).as("arr"))
+      .select(col("cid").as("vid"), transform(col("arr"), a => a.getField("sv")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold. Exact
     * all-pairs within LSH-free small corpora; at scale the same verify
     * runs after [[assignLists]] bucketing (pairs within a list).

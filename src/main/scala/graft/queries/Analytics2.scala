@@ -112,6 +112,32 @@ object Analytics2 {
         GROUP BY o_orderpriority""")
     ),
 
+    // ── Bounded-range self-join: each error event matched to the same
+    //    user's click events within ±5 minutes, via the bucketed interval
+    //    join (equi-join on time cells, never a per-key cross product).
+    //    The oracle is the plain theta join — proving the bucketing loses
+    //    and duplicates nothing.
+    QueryDef(
+      "q29_range_join",
+      (s, d) => {
+        val e = ev(s, d)
+        val errs = e.where(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id"), unix_micros(col("ts")).as("err_us"))
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), unix_micros(col("ts")).as("click_us"))
+        graft.operators.RangeJoin
+          .within(errs, clicks, "user_id", "err_us", "click_us", windowMicros = 300L * 1000000L)
+          .select(col("err_id"), col("click_id"), col("user_id"),
+            (col("click_us") - col("err_us")).as("delta_us"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) us FROM events)
+        SELECT a.event_id AS err_id, b.event_id AS click_id, a.user_id,
+          b.us - a.us AS delta_us
+        FROM e a JOIN e b ON a.user_id = b.user_id
+          AND a.event_type = 'error' AND b.event_type = 'click'
+          AND abs(a.us - b.us) <= 300 * 1000000""")
+    ),
+
     // ── Salted two-phase aggregation (skew mitigation): spreading each
     //    key over hash-salt buckets then recombining must equal the plain
     //    GROUP BY — which is exactly what the oracle asserts.

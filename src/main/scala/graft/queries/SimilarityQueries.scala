@@ -76,6 +76,44 @@ object SimilarityQueries {
         WHERE rank <= 5""")
     ),
 
+    // ── IVF with a TRAINED quantizer: one spherical k-means refinement of
+    //    the 16 seeds (decimal-exact centroid sums — reproducible training),
+    //    then the same nprobe=2 search. The oracle replays assignment,
+    //    refinement, and search.
+    QueryDef(
+      "q53_ann_ivf_kmeans",
+      (s, d) => {
+        val corpus = Similarity.prepare(emb(s, d), "vec_id", "embedding")
+        val refined = Similarity.kmeansRefineOnce(corpus, corpus.where(col("vid") < 16))
+        Similarity.ivfTopK(corpus, refined, corpus.where(col("vid") < 8), k = 5, nprobe = 2)
+      },
+      Some(s"""WITH $NormCte,
+        seeds AS (SELECT vec_id cid, v cv, nrm cn FROM n WHERE vec_id < 16),
+        seeded AS (SELECT vec_id, v, nrm, cid FROM (
+          SELECT n.vec_id, n.v, n.nrm, s.cid,
+            row_number() OVER (PARTITION BY n.vec_id ORDER BY ${dotSql("cv", "v")} / (cn*nrm) DESC, s.cid ASC) crank
+          FROM n CROSS JOIN seeds s) WHERE crank = 1),
+        dims AS (SELECT cid, i - 1 pos, v[i] x FROM seeded CROSS JOIN (SELECT unnest(range(1, 65)) i)),
+        sums AS (SELECT cid, pos, CAST(sum(CAST(x AS DECIMAL(30,15))) AS DOUBLE) sv
+                 FROM dims GROUP BY cid, pos),
+        cent AS (SELECT cid, list(sv ORDER BY pos) cv FROM sums GROUP BY cid),
+        c AS (SELECT cid, cv, sqrt(list_reduce(list_prepend(0.0, cv), (a,b) -> a + b*b)) cn FROM cent),
+        assigned AS (SELECT vec_id, v, nrm, cid FROM (
+          SELECT n.vec_id, n.v, n.nrm, c.cid,
+            row_number() OVER (PARTITION BY n.vec_id ORDER BY ${dotSql("cv", "v")} / (cn*nrm) DESC, c.cid ASC) crank
+          FROM n CROSS JOIN c) WHERE crank = 1),
+        q AS (SELECT vec_id query_id, v qv, nrm qn FROM n WHERE vec_id < 8),
+        probes AS (SELECT query_id, qv, qn, cid FROM (
+          SELECT q.query_id, q.qv, q.qn, c.cid,
+            row_number() OVER (PARTITION BY q.query_id ORDER BY ${dotSql("qv", "cv")} / (qn*cn) DESC, c.cid ASC) prank
+          FROM q CROSS JOIN c) WHERE prank <= 2),
+        s AS (SELECT query_id, a.vec_id neighbor_id, ${dotSql("qv", "v")} / (qn*nrm) cos
+              FROM assigned a JOIN probes p ON a.cid = p.cid AND a.vec_id <> p.query_id)
+        SELECT query_id, neighbor_id, rank, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) rank FROM s)
+        WHERE rank <= 5""")
+    ),
+
     // ── k-NN classification on top of the exact search: majority label
     //    vote among the 5 nearest neighbors, min-label tiebreak — the
     //    similarity-search application shape (labeling by retrieval).
