@@ -42,15 +42,42 @@ object Similarity {
 
   /** Exact top-k cosine neighbors of each query vector (self excluded).
     * `queries` must be small (it is broadcast); the corpus streams through
-    * unshuffled until the final per-query top-k.
+    * unshuffled, each task pre-reduces to its local k-best per query with
+    * a bounded heap (narrow `mapPartitions`), and only tasks×queries×k
+    * candidate rows reach the final per-query window. Without the
+    * pre-reduce, the window would shuffle |corpus|×|queries| scored rows
+    * and serialize each query's ranking through one task — the difference
+    * between hours and seconds at 10^9 vectors.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vid").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = corpus
-      .join(broadcast(q), col("vid") =!= col("query_id"))
+      .join(broadcast(queries.select(col("vid").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))),
+        col("vid") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("qn"), col("v"), col("nrm")))
+      .select(col("query_id"), col("vid"), col("cos"))
+    topKPerKey(scored, k)
+  }
+
+  /** Exact per-key top-k of (query_id, vid, cos) rows: narrow local
+    * bounded-heap pre-reduce, then a window over the surviving ≤
+    * partitions×k rows per key. Ordering ties break on ascending vid, so
+    * the result is identical to a global sort.
+    */
+  private[operators] def topKPerKey(scored: DataFrame, k: Int): DataFrame = {
+    import scored.sparkSession.implicits._
+    val pre = scored.as[(Long, Long, Double)].mapPartitions { it =>
+      // (cos desc, vid asc) best-first ⇒ heap keeps the worst on top.
+      val heapOrd = Ordering.by[(Long, Long, Double), (Double, Long)] { case (_, vid, cos) => (-cos, vid) }
+      val heaps = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
+      it.foreach { row =>
+        val h = heaps.getOrElseUpdate(row._1, scala.collection.mutable.PriorityQueue.empty(heapOrd))
+        if (h.size < k) h.enqueue(row)
+        else if (heapOrd.lt(row, h.head)) { h.dequeue(); h.enqueue(row) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }.toDF("query_id", "vid", "cos")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vid").asc)
-    scored
+    pre
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("vid").as("neighbor_id"), col("rank"), col("cos"))
@@ -85,14 +112,12 @@ object Similarity {
         .where(col("prank") <= nprobe)
         .select(col("query_id"), col("qv"), col("qn"), col("cid"))
     }
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vid").asc)
-    listed
+    val scored = listed
       .join(broadcast(probes), Seq("cid"))
       .where(col("vid") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("qn"), col("v"), col("nrm")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("vid").as("neighbor_id"), col("rank"), col("cos"))
+      .select(col("query_id"), col("vid"), col("cos"))
+    topKPerKey(scored, k)
   }
 
   /** One spherical k-means refinement of an IVF coarse quantizer: assign
@@ -125,6 +150,23 @@ object Similarity {
     val a = corpus.select(col("vid").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = corpus.select(col("vid").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("na"), col("vb"), col("nb")))
+      .where(col("cos") > threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Corpus-scale near-dup: pairs are only scored WITHIN an IVF list
+    * (vectors assigned to the same centroid), turning the n² cross product
+    * into per-list blocks — the standard blocking trade: pairs split
+    * across lists are missed (bound the loss with more lists / multi-
+    * assignment), everything found is exact.
+    */
+  def embeddingNearDupPairsBucketed(corpus: DataFrame, centroids: DataFrame, threshold: Double): DataFrame = {
+    val listed = assignLists(corpus, centroids)
+    val a = listed.select(col("cid"), col("vid").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = listed.select(col("cid"), col("vid").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cid"))
+      .where(col("id_a") < col("id_b"))
       .withColumn("cos", cosine(col("va"), col("na"), col("vb"), col("nb")))
       .where(col("cos") > threshold)
       .select(col("id_a"), col("id_b"), col("cos"))

@@ -38,6 +38,16 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivfRows.forall(r => r.getDouble(3) <= best(r.getLong(0)) + 1e-12))
   }
 
+  test("bucketed near-dup is a subset of exact near-dup") {
+    val corpus = Similarity.prepare(emb, "vec_id", "embedding")
+    val exact = Similarity.embeddingNearDupPairs(corpus, 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val bucketed = Similarity
+      .embeddingNearDupPairsBucketed(corpus, corpus.where(col("vid") < 16), 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bucketed.subsetOf(exact))
+  }
+
   test("assignLists: every vector lands on exactly one list") {
     val corpus = Similarity.prepare(emb, "vec_id", "embedding")
     val assigned = Similarity.assignLists(corpus, corpus.where(col("vid") < 16))
