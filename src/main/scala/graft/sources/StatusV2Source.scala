@@ -138,7 +138,7 @@ class StatusPartitionReader(path: String, filters: Array[Filter], required: Stru
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val lines = scala.io.Source.fromFile(path)
+  private val lines = scala.io.Source.fromFile(path)(scala.io.Codec.UTF8)
   private val it = lines.getLines()
   private var current: InternalRow = _
   private var emitted = 0

@@ -64,6 +64,20 @@ class PlanSpec extends SparkTestBase {
     assert(exchanges <= 2, s"too many shuffles ($exchanges)\n" + p)
   }
 
+  test("dedup family never degenerates to a cartesian product") {
+    for (q <- Seq("q41_dedup_ngram_jaccard", "q42_dedup_minhash_lsh", "q43_dedup_simhash", "q29_range_join")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q went quadratic\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q uses a nested-loop join\n$p")
+    }
+  }
+
+  test("as-of join is join-free: union + window only") {
+    val p = plan("q20_asof_join")
+    assert(!p.contains("Join"), "as-of must compose via union+window, not a join\n" + p)
+    assert(p.contains("Window"), p)
+  }
+
   test("entry flagship query produces rows and a non-degenerate plan") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
