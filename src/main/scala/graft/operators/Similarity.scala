@@ -97,6 +97,22 @@ object Similarity {
       .select(col("vid"), col("v"), col("nrm"), col("cid"))
   }
 
+  /** Multi-assignment variant: each vector lands on its `m` nearest lists.
+    * Costs m× index size; recovers pairs/neighbors that single assignment
+    * splits across list boundaries — the recall lever for
+    * [[embeddingNearDupPairsBucketed]].
+    */
+  def assignListsMulti(corpus: DataFrame, centroids: DataFrame, m: Int): DataFrame = {
+    val c = centroids.select(col("vid").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid").asc)
+    corpus
+      .crossJoin(broadcast(c))
+      .withColumn("ccos", cosine(col("cv"), col("cn"), col("v"), col("nrm")))
+      .withColumn("crank", row_number().over(w))
+      .where(col("crank") <= m)
+      .select(col("vid"), col("v"), col("nrm"), col("cid"))
+  }
+
   /** IVF search: probe each query's `nprobe` nearest lists, exact-score
     * only the vectors in those lists, return per-query top-k.
     */
@@ -161,8 +177,13 @@ object Similarity {
     * across lists are missed (bound the loss with more lists / multi-
     * assignment), everything found is exact.
     */
-  def embeddingNearDupPairsBucketed(corpus: DataFrame, centroids: DataFrame, threshold: Double): DataFrame = {
-    val listed = assignLists(corpus, centroids)
+  def embeddingNearDupPairsBucketed(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      threshold: Double,
+      m: Int = 1
+  ): DataFrame = {
+    val listed = if (m <= 1) assignLists(corpus, centroids) else assignListsMulti(corpus, centroids, m)
     val a = listed.select(col("cid"), col("vid").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = listed.select(col("cid"), col("vid").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("cid"))
@@ -170,5 +191,6 @@ object Similarity {
       .withColumn("cos", cosine(col("va"), col("na"), col("vb"), col("nb")))
       .where(col("cos") > threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
+      .distinct() // multi-assignment can surface a pair in several lists
   }
 }

@@ -62,6 +62,26 @@ object StreamingSync {
         col("avg_value")
       )
 
+  /** Run a signal stream into the batch sink: each micro-batch appends
+    * through [[graft.sources.SignalSink.appendParquet]] — the streaming
+    * `foreachBatch` + idempotent-append pattern that replaces the
+    * reference's per-page ClickHouse inserts. Checkpointing makes restarts
+    * resume from the last committed batch.
+    */
+  def startParquetSink(
+      signals: DataFrame,
+      path: String,
+      checkpoint: String,
+      buckets: Int = 64
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    signals.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.SignalSink.appendParquet(batch.toDF(), path, buckets)
+      }
+      .start()
+
   /** Per-(token, signal) change-detection state: emitted per key, per
     * micro-batch. */
   final case class SignalChange(

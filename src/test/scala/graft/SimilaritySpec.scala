@@ -46,6 +46,12 @@ class SimilaritySpec extends SparkTestBase {
       .embeddingNearDupPairsBucketed(corpus, corpus.where(col("vid") < 16), 0.4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(bucketed.subsetOf(exact))
+    // Multi-assignment (m=2) can only add recall, never lose it or
+    // fabricate pairs.
+    val multi = Similarity
+      .embeddingNearDupPairsBucketed(corpus, corpus.where(col("vid") < 16), 0.4, m = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bucketed.subsetOf(multi) && multi.subsetOf(exact))
   }
 
   test("assignLists: every vector lands on exactly one list") {

@@ -55,6 +55,26 @@ class StreamingSyncSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("foreachBatch parquet sink: stream appends land in the partitioned layout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val docs = parseDocs(input.toDS())
+    val dim = DeviceDim.identityDim(spark, 1L to 4L)
+    val out = StreamingSync.signalStream(docs, dim, watermarkDelay = "1 hour")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-sink")
+    val query = StreamingSync.startParquetSink(
+      out, dir.resolve("data").toString, dir.resolve("ckpt").toString, buckets = 2)
+    try {
+      input.addData(doc("1", "2024-01-01T00:00:00.000Z", 10.0))
+      query.processAllAvailable()
+      input.addData(doc("2", "2024-01-01T00:00:01.000Z", 20.0))
+      query.processAllAvailable()
+      val sunk = graft.sources.SignalSink.readParquet(spark, dir.resolve("data").toString)
+      assert(sunk.where(col("name") === "Vehicle.Speed").count() === 2)
+      assert(sunk.select("tokenId").distinct().count() === 2)
+    } finally query.stop()
+  }
+
   test("change detection keeps per-key state across micro-batches") {
     import graft.model.Signal
     implicit val sqlCtx = spark.sqlContext
