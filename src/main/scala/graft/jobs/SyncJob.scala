@@ -25,6 +25,31 @@ final case class SyncOptions(
     stop: Option[Timestamp] = None
 )
 
+object SyncOptions {
+
+  /** Build options from the reference's env-style settings surface
+    * (`cmd/es-ch-sync/main.go:71-106`): CSV `TOKEN_IDS` (whitespace
+    * tolerated), CSV `SIGNAL_NAMES`, RFC3339 `START_TIME` / `STOP_TIME`
+    * (invalid or absent ⇒ the reference defaults: stop=now,
+    * start=stop−1 month, applied inside [[SyncJob.run]]).
+    */
+  def fromConfig(settings: Map[String, String]): SyncOptions = {
+    def csv(key: String): Seq[String] =
+      settings.get(key).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    def rfc3339(key: String): Option[Timestamp] =
+      settings.get(key).flatMap { s =>
+        try Some(Timestamp.from(Instant.parse(s)))
+        catch { case _: Exception => None }
+      }
+    SyncOptions(
+      tokens = csv("TOKEN_IDS"),
+      signalNames = csv("SIGNAL_NAMES"),
+      start = rfc3339("START_TIME"),
+      stop = rfc3339("STOP_TIME")
+    )
+  }
+}
+
 /** The full sync pipeline as one bounded Spark job — the reference's
   * per-vehicle pagination loops (`internal/sync/sync.go:53-160`) collapse
   * into: resolve token scope → per-token watermarks from the sink → one

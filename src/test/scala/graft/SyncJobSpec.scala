@@ -104,6 +104,22 @@ class SyncJobSpec extends SparkTestBase {
     assert(out.count() === 201L * 18 + 7L * 501 * 18)
   }
 
+  test("options from env-style config: CSV tokens, RFC3339 bounds, bad values dropped") {
+    val opts = SyncOptions.fromConfig(Map(
+      "TOKEN_IDS" -> "1, 2 ,\t3,,zzz",
+      "SIGNAL_NAMES" -> "Vehicle.Speed , Vehicle.VehicleIdentification.Brand",
+      "START_TIME" -> "2020-01-01T00:00:00.500Z",
+      "STOP_TIME" -> "not-a-time"
+    ))
+    assert(opts.tokens === Seq("1", "2", "3", "zzz"))
+    assert(opts.signalNames.map(_.trim) === Seq("Vehicle.Speed", "Vehicle.VehicleIdentification.Brand"))
+    assert(opts.start.contains(tAt(500)))
+    assert(opts.stop.isEmpty)
+    // And the full pipeline accepts it (bad token "zzz" skipped downstream).
+    val out = SyncJob.run(docs, dim, existingSink = None, opts.copy(stop = Some(tAt(2000))))
+    assert(out.count() === 3L * 501 * 2)
+  }
+
   test("bad token entries are skipped, not fatal") {
     val out = SyncJob.run(
       docs,
