@@ -14,10 +14,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * [[GraftExtensions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.PushSignalNameFilter)
+  }
 }
 
 object GraftExtensions {
@@ -38,9 +40,18 @@ object GraftExtensions {
     )
   )
 
-  /** Register on an already-built session (tests, notebooks). */
-  def register(spark: SparkSession): Unit =
+  /** Register on an already-built session (tests, notebooks). The
+    * optimizer rule lands in `experimental.extraOptimizations` (same
+    * effect as `injectOptimizerRule` for a session built with the
+    * extensions class).
+    */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
     }
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!classic.experimental.extraOptimizations.contains(graft.plans.PushSignalNameFilter))
+      classic.experimental.extraOptimizations =
+        classic.experimental.extraOptimizations :+ graft.plans.PushSignalNameFilter
+  }
 }

@@ -22,12 +22,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * payloads whose schema is unknowable at plan time. Row-at-a-time Jackson
   * parse, like any Generator; registered via [[graft.GraftExtensions]].
   */
-case class ExplodeSignals(child: Expression)
+case class ExplodeSignals(child: Expression, requiredNames: Option[Seq[String]] = None)
     extends UnaryExpression
     with Generator
     with CodegenFallback {
 
-  private val defs: Seq[SignalDefinition] = SignalDefinitions.all
+  private val defs: Seq[SignalDefinition] = requiredNames match {
+    case Some(names) => SignalDefinitions.resolve(names)
+    case None        => SignalDefinitions.all
+  }
 
   override def elementSchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),

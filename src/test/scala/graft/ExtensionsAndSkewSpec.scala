@@ -43,6 +43,29 @@ class ExtensionsAndSkewSpec extends SparkTestBase {
     assert(udtf.count() === 8L * 18)
   }
 
+  test("name filter is pushed into the explode_signals generator") {
+    GraftExtensions.register(spark)
+    val docs = graft.sources.StatusSource.readJson(
+      spark, getClass.getResource("/static_vehicle_data_test.json").getPath)
+    docs.select(col("subject"), to_json(col("data")).as("data")).createOrReplaceTempView("fixture_raw2")
+    val q = spark.sql(
+      """SELECT subject, s.name, s.value_number
+        |FROM fixture_raw2
+        |LATERAL VIEW explode_signals(data) s AS name, value_number, value_string
+        |WHERE s.name = 'Vehicle.Speed'""".stripMargin)
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("Some(List(Vehicle.Speed))"),
+      "generator should carry the pushed name set\n" + optimized)
+    assert(q.count() === 8) // same rows as the unpushed filter
+    // IN-list form pushes too.
+    val q2 = spark.sql(
+      """SELECT s.name FROM fixture_raw2
+        |LATERAL VIEW explode_signals(data) s AS name, value_number, value_string
+        |WHERE s.name IN ('Vehicle.Speed', 'Vehicle.VehicleIdentification.Brand')""".stripMargin)
+    assert(q2.queryExecution.optimizedPlan.toString.contains("Vehicle.VehicleIdentification.Brand"), q2.queryExecution.optimizedPlan.toString)
+    assert(q2.count() === 16)
+  }
+
   test("salted join equals plain join") {
     val fact = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val dim = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
