@@ -7,6 +7,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThanOrEqual, IsNotNull, LessThan}
 import org.apache.spark.sql.types._
@@ -119,6 +120,21 @@ class StatusScan(path: String, filters: Array[Filter], required: StructType, lim
 
   override def createReaderFactory(): PartitionReaderFactory =
     new StatusReaderFactory(filters, required, limit)
+
+  // Observability: malformed-line skips are a first-class metric (the
+  // reference only logs them, sync.go:193-203), surfaced per-scan in the
+  // SQL UI / metrics sink.
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new SkippedLinesMetric)
+}
+
+class SkippedLinesMetric extends CustomSumMetric {
+  override def name(): String = "skippedLines"
+  override def description(): String = "malformed status lines skipped"
+}
+
+case class SkippedLinesTaskMetric(value: Long) extends CustomTaskMetric {
+  override def name(): String = "skippedLines"
 }
 
 case class StatusFilePartition(path: String) extends InputPartition
@@ -142,6 +158,10 @@ class StatusPartitionReader(path: String, filters: Array[Filter], required: Stru
   private val it = lines.getLines()
   private var current: InternalRow = _
   private var emitted = 0
+  private var skipped = 0L
+
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    Array(SkippedLinesTaskMetric(skipped))
 
   private val subjectEq: Option[String] = filters.collectFirst { case EqualTo("subject", v: String) => v }
   private def tsMicros(v: Any): Long = v match {
@@ -159,7 +179,8 @@ class StatusPartitionReader(path: String, filters: Array[Filter], required: Stru
       if (line.nonEmpty) {
         try {
           val node = mapper.readTree(line)
-          if (node != null && node.isObject) {
+          if (node == null || !node.isObject) skipped += 1
+          else {
             val subject = Option(node.get("subject")).filter(_.isTextual).map(_.asText())
             val timeUs = Option(node.get("time")).filter(_.isTextual).flatMap { t =>
               try {
@@ -187,7 +208,7 @@ class StatusPartitionReader(path: String, filters: Array[Filter], required: Stru
               return true
             }
           }
-        } catch { case _: Exception => () } // malformed line ⇒ skip
+        } catch { case _: Exception => skipped += 1 } // malformed line ⇒ skip + count
       }
     }
     false

@@ -56,6 +56,16 @@ class StatusV2SourceSpec extends SparkTestBase {
     assert(q.collect().length === 2)
   }
 
+  test("skipped malformed lines surface as a scan metric") {
+    val df = read
+    assert(df.collect().length === 4) // executes THIS plan, populating its metrics
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .find(_.getClass.getSimpleName == "BatchScanExec").get
+    val m = scan.metrics.get("skippedLines")
+    assert(m.isDefined, s"metrics: ${scan.metrics.keys}")
+    assert(m.get.value === 1L) // the one non-JSON line
+  }
+
   test("V2 source composes with the signal-explosion operator") {
     val out = graft.ops.SignalExplode.explodeSignals(
       read.select(col("subject"), col("source"), col("time"), col("data")),
