@@ -19,22 +19,25 @@ object Bench {
     // Reference-workload ingestion benchmark: the e2e corpus of the
     // reference's CI suite (8,000 docs -> 144,000 signal rows;
     // BASELINE.md "CI e2e workload") through the full sync pipeline.
-    val syncBench: (String, Double) = {
-      val corpus = BenchCorpus.write8000DocCorpus()
-      val docs = graft.sources.StatusSource.readJson(spark, corpus, multiLine = false)
-      val dim = graft.sources.DeviceDim.identityDim(spark, 1L to 8L)
-      val t0 = System.nanoTime()
-      val n = graft.jobs.SyncJob.run(
-        docs, dim, existingSink = None,
-        graft.jobs.SyncOptions(
-          tokens = (1 to 8).map(_.toString),
-          start = Some(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")),
-          stop = Some(java.sql.Timestamp.valueOf("2020-01-02 00:00:00"))
-        )
-      ).count()
-      require(n == 144000L, s"sync bench produced $n rows, expected 144000")
-      "sync_e2e_8000docs" -> (System.nanoTime() - t0) / 1e9
-    }
+    val syncBench: (String, Double) =
+      try {
+        val corpus = BenchCorpus.write8000DocCorpus()
+        val docs = graft.sources.StatusSource.readJson(spark, corpus, multiLine = false)
+        val dim = graft.sources.DeviceDim.identityDim(spark, 1L to 8L)
+        val t0 = System.nanoTime()
+        val n = graft.jobs.SyncJob.run(
+          docs, dim, existingSink = None,
+          graft.jobs.SyncOptions(
+            tokens = (1 to 8).map(_.toString),
+            start = Some(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")),
+            stop = Some(java.sql.Timestamp.valueOf("2020-01-02 00:00:00"))
+          )
+        ).count()
+        // 144,000-row oracle (BASELINE.md CI e2e workload); a mismatch marks
+        // the metric invalid without killing the whole bench run.
+        if (n == 144000L) "sync_e2e_8000docs" -> (System.nanoTime() - t0) / 1e9
+        else "sync_e2e_8000docs" -> -1.0
+      } catch { case _: Throwable => "sync_e2e_8000docs" -> -1.0 }
 
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
