@@ -70,6 +70,24 @@ object Multimodal {
       i => substring(content, (i * frameBytes * stride + 1).cast(IntegerType), lit(frameBytes))
     )
 
+  /** STUB "resize": deterministic byte-domain downsample to `targetBytes`
+    * (every k-th byte) — stands in for an image resize the way
+    * [[FakeDecoder]] stands in for decode: the Spark-side shape (binary in,
+    * smaller binary out, pure Column-free partition work) is real.
+    */
+  def fakeResize(content: Array[Byte], targetBytes: Int): Array[Byte] =
+    if (content.length <= targetBytes) content
+    else {
+      val out = new Array[Byte](targetBytes)
+      val step = content.length.toDouble / targetBytes
+      var i = 0
+      while (i < targetBytes) {
+        out(i) = content((i * step).toInt)
+        i += 1
+      }
+      out
+    }
+
   /** Batched decode over partitions — the real plumbing a vectorized codec
     * needs: items are processed partition-local in fixed-size batches (the
     * shape a GPU/native decoder consumes), with per-item isolation so one

@@ -71,6 +71,15 @@ class TextAndMultimodalSpec extends SparkTestBase {
     assert(frames === (100 - 1) / 64 + 1)
   }
 
+  test("fake resize downsamples deterministically and idempotently on small inputs") {
+    val big = (0 until 1000).map(_.toByte).toArray
+    val small = Multimodal.fakeResize(big, 100)
+    assert(small.length === 100)
+    assert(small.toSeq === Multimodal.fakeResize(big, 100).toSeq)
+    val tiny = Array[Byte](1, 2, 3)
+    assert(Multimodal.fakeResize(tiny, 100).toSeq === tiny.toSeq)
+  }
+
   test("batched fake decode: fixed dim, per-item isolation, deterministic") {
     val items = Seq(
       MediaItem(1L, "image", "hello world".getBytes, 11L),
