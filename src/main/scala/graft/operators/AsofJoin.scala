@@ -31,7 +31,7 @@ object AsofJoin {
       leftTime: String,
       rightTime: String
   ): DataFrame = {
-    val leftCols = left.columns
+    val leftCols = left.columns.toIndexedSeq
     // side=0 orders right rows before left rows at equal timestamps so an
     // exact-time match is visible to the left row (>= semantics).
     val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
