@@ -15,7 +15,7 @@ object SparkEntry {
     * first, then the LLM-pipeline extensions.
     */
   def allDefs: Seq[QueryDef] =
-    Relational.defs ++ Analytics.defs ++ Analytics2.defs ++ TextQueries.defs ++
+    Relational.defs ++ Analytics.defs ++ Analytics2.defs ++ Analytics3.defs ++ TextQueries.defs ++
       DedupQueries.defs ++ SimilarityQueries.defs ++ MultimodalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
