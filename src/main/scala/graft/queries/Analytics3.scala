@@ -75,6 +75,105 @@ object Analytics3 {
         SELECT event_id, n FROM e JOIN grp ON e.nk IS NOT DISTINCT FROM grp.nk""")
     ),
 
+    // ── Map-typed semi-structured column: events.props parsed as
+    //    map<string,string> and exploded to key-value rows — the dynamic-
+    //    attributes shape (the input side of the EAV conversion).
+    QueryDef(
+      "q48_map_explode",
+      (s, d) =>
+        ev(s, d)
+          .select(
+            col("event_id"),
+            explode(from_json(col("props"), MapType(StringType, StringType))).as(Seq("k", "v"))
+          ),
+      Some("""SELECT event_id, unnest(json_keys(props)) AS k,
+          json_extract_string(props, '$.' || unnest(json_keys(props))) AS v
+        FROM events""")
+    ),
+
+    // ── Array higher-order functions over the embedding vectors: size,
+    //    extrema, sequential sum, predicate count — the Column-lambda
+    //    surface (transform/filter/aggregate) with fixed evaluation order.
+    QueryDef(
+      "q49_array_ops",
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val v = transform(col("embedding"), _.cast(DoubleType))
+        emb.select(
+          col("vec_id"),
+          size(col("embedding")).cast(LongType).as("dim"),
+          array_min(v).as("mn"),
+          array_max(v).as("mx"),
+          aggregate(v, lit(0.0), (a, x) => a + x).as("total"),
+          size(filter(v, _ > 0.0)).cast(LongType).as("n_pos")
+        )
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+        SELECT vec_id, len(v)::BIGINT AS dim,
+          list_aggregate(v, 'min') AS mn,
+          list_aggregate(v, 'max') AS mx,
+          list_reduce(list_prepend(0.0, v), (a, x) -> a + x) AS total,
+          len(list_filter(v, x -> x > 0.0))::BIGINT AS n_pos
+        FROM e""")
+    ),
+
+    // ── TPC-H Q3 shape (shipping priority): 3-way join, filtered both
+    //    sides, grouped revenue, top-10 by (revenue desc, date).
+    QueryDef(
+      "q54_tpch_q3",
+      (s, d) => {
+        val dec = DecimalType(18, 2)
+        val li = Tables.load(s, d, "lineitem")
+        val cust = Tables.load(s, d, "customer")
+        val o = ord(s, d)
+        li.where(col("l_shipdate") > lit("1995-03-15"))
+          .join(o.where(col("o_orderdate") < lit("1995-03-15")), col("l_orderkey") === col("o_orderkey"))
+          .join(cust.where(col("c_mktsegment") === "BUILDING"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(col("l_extendedprice").cast(dec) * (lit(BigDecimal(1)).cast(dec) - col("l_discount").cast(dec)))
+            .cast(DoubleType).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_shipdate > DATE '1995-03-15'
+          AND o_orderdate < DATE '1995-03-15'
+          AND c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10""")
+    ),
+
+    // ── TPC-H Q18 shape (large-volume customers): HAVING-style aggregate
+    //    subquery feeding a semi-join, then join back for detail rows.
+    QueryDef(
+      "q55_tpch_q18",
+      (s, d) => {
+        val dec = DecimalType(18, 2)
+        val li = Tables.load(s, d, "lineitem")
+        val o = ord(s, d)
+        val cust = Tables.load(s, d, "customer")
+        val big = li.groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast(dec)).as("qty"))
+          .where(col("qty") > 200)
+          .select(col("l_orderkey").as("bk"), col("qty"))
+        o.join(big, col("o_orderkey") === col("bk"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice"), col("qty").cast(DoubleType).as("total_qty"))
+      },
+      Some("""WITH big AS (
+          SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) qty
+          FROM lineitem GROUP BY l_orderkey HAVING qty > 200)
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+          CAST(qty AS DOUBLE) AS total_qty
+        FROM orders JOIN big ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey""")
+    ),
+
     // ── String-function surface: case mapping, substring, replace,
     //    concat, edit distance — deterministic integer/string outputs.
     QueryDef(
