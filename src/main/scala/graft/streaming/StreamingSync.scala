@@ -62,6 +62,31 @@ object StreamingSync {
         col("avg_value")
       )
 
+  /** Stream-stream interval join: two live streams joined on a key within
+    * a bounded event-time window. Both sides carry watermarks, so state
+    * for rows older than the interval is evicted — the join is exact AND
+    * bounded-memory, the combination the reference's batch loop can't
+    * express at all.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTime: String,
+      rightTime: String,
+      watermarkDelay: String,
+      intervalSeconds: Long
+  ): DataFrame = {
+    val l = left.withWatermark(leftTime, watermarkDelay)
+    val r = right.withWatermark(rightTime, watermarkDelay)
+    l.join(
+      r,
+      l(keyCol) === r(keyCol) &&
+        r(rightTime) >= l(leftTime) - expr(s"INTERVAL $intervalSeconds SECONDS") &&
+        r(rightTime) <= l(leftTime) + expr(s"INTERVAL $intervalSeconds SECONDS")
+    ).drop(r(keyCol))
+  }
+
   /** Run a signal stream into the batch sink: each micro-batch appends
     * through [[graft.sources.SignalSink.appendParquet]] — the streaming
     * `foreachBatch` + idempotent-append pattern that replaces the

@@ -101,6 +101,27 @@ class StreamingSyncSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches pairs within the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(Long, Timestamp, String)]
+    val rIn = MemoryStream[(Long, Timestamp, String)]
+    val l = lIn.toDS().toDF("uid", "lts", "lwhat")
+    val r = rIn.toDS().toDF("uid", "rts", "rwhat")
+    val joined = StreamingSync.intervalJoin(l, r, "uid", "lts", "rts", "10 minutes", intervalSeconds = 60)
+    val query = joined.writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    try {
+      lIn.addData((1L, Timestamp.valueOf("2024-01-01 00:10:00"), "purchase"))
+      rIn.addData(
+        (1L, Timestamp.valueOf("2024-01-01 00:09:30"), "click-in-window"),
+        (1L, Timestamp.valueOf("2024-01-01 00:05:00"), "click-too-early"),
+        (2L, Timestamp.valueOf("2024-01-01 00:09:45"), "wrong-user")
+      )
+      query.processAllAvailable()
+      val got = spark.table("ssjoin").select("rwhat").collect().map(_.getString(0))
+      assert(got.toSeq === Seq("click-in-window"))
+    } finally query.stop()
+  }
+
   test("windowed rollup compiles to a valid streaming plan") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
