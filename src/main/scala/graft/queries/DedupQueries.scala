@@ -151,6 +151,34 @@ object DedupQueries {
       }
     ),
 
+    // ── Cross-modal ensemble dedup: a pair is a duplicate only when BOTH
+    //    the text evidence (MinHash-verified Jaccard ≥ 0.5) AND the
+    //    embedding evidence (cosine > 0.2 on the id-joined vectors) agree —
+    //    the precision-over-recall fusion a production pipeline runs before
+    //    destructive deduplication.
+    QueryDef(
+      "q56_dedup_ensemble",
+      (s, d) => {
+        val textPairs = Dedup.minhashDedup(docs(s, d), "doc_id", "text", k = 3, threshold = 0.5)
+        val corpus = Similarity.prepare(emb(s, d), "vec_id", "embedding")
+        val a = corpus.select(col("vid").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+        val b = corpus.select(col("vid").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+        textPairs
+          .join(a, "id_a")
+          .join(b, "id_b")
+          .withColumn("cos", Similarity.cosine(col("va"), col("na"), col("vb"), col("nb")))
+          .where(col("cos") > 0.2)
+          .select(col("id_a"), col("id_b"), col("jaccard"), col("cos"))
+      },
+      Some(s"""WITH $minhashCtes,
+        e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        nn AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, v), (a,b) -> a + b*b)) nrm FROM e),
+        fused AS (SELECT p.id_a, p.id_b, p.jaccard,
+          list_reduce(list_prepend(0.0, list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i])), (a,b) -> a+b) / (x.nrm*y.nrm) cos
+          FROM verified p JOIN nn x ON x.vec_id = p.id_a JOIN nn y ON y.vec_id = p.id_b)
+        SELECT id_a, id_b, jaccard, cos FROM fused WHERE cos > 0.2""")
+    ),
+
     // ── Embedding-cosine near-dup pairs: exact all-pairs above 0.4 (the
     //    corpus-scale path buckets by IVF list first — see q51).
     QueryDef(
