@@ -112,10 +112,23 @@ object Dedup {
       .cache()
     // ceil(tNum*n/tDen) with integer arithmetic: (tNum*n + tDen - 1) div tDen
     val prefixLen = (size(col("sh")) - floor((size(col("sh")) * tNum + tDen - 1) / tDen) + 1).cast(IntegerType)
-    val prefixes = sets.select(col(idCol), explode(slice(col("sh"), lit(1), prefixLen)).as("h"))
-    val cands = prefixes.select(col(idCol).as("id_a"), col("h"))
-      .join(prefixes.select(col(idCol).as("id_b"), col("h")), Seq("h"))
+    // Prefix entries carry (position, set size) for POSITIONAL filtering:
+    // from a collision at positions (pa, pb), the overlap can't exceed
+    // 1 + min(n_a - pa, n_b - pb); pairs whose bound can't reach the
+    // Jaccard-equivalent minimum overlap ceil(τ(n_a+n_b)/(1+τ)) are pruned
+    // before the (expensive) exact verify. Lossless: the verified output
+    // is unchanged, only non-viable candidates disappear.
+    val prefixes = sets.select(
+      col(idCol),
+      size(col("sh")).as("n"),
+      posexplode(slice(col("sh"), lit(1), prefixLen)).as(Seq("pos", "h"))
+    )
+    val a = prefixes.select(col(idCol).as("id_a"), col("n").as("na"), col("pos").as("pa"), col("h"))
+    val b = prefixes.select(col(idCol).as("id_b"), col("n").as("nb"), col("pos").as("pb"), col("h"))
+    val minOverlap = floor(((col("na") + col("nb")) * tNum + tDen + tNum - 1) / (tDen + tNum))
+    val cands = a.join(b, Seq("h"))
       .where(col("id_a") < col("id_b"))
+      .where(lit(1) + least(col("na") - col("pa") - 1, col("nb") - col("pb") - 1) >= minOverlap)
       .select("id_a", "id_b").distinct()
     jaccardVerify(cands, sets, idCol, tNum.toDouble / tDen.toDouble)
   }
@@ -134,8 +147,13 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
+    // Seed with min(self, direct neighbors) — one aggregate that saves a
+    // full propagation round on shallow graphs (the common dup-cluster
+    // case).
+    var labels = edges
+      .groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("cluster"))
+      .withColumnRenamed("src", "id")
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
