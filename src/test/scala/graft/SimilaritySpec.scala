@@ -38,6 +38,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivfRows.forall(r => r.getDouble(3) <= best(r.getLong(0)) + 1e-12))
   }
 
+  test("TopKAggregate UDAF agrees with the window top-k") {
+    import graft.functions.TopKAggregate
+    val corpus = Similarity.prepare(emb, "vec_id", "embedding")
+    val queries = corpus.where(col("vid") < 4)
+    val expected = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toList).toMap
+    val scored = corpus
+      .join(broadcast(queries.select(col("vid").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))),
+        col("vid") =!= col("query_id"))
+      .select(col("query_id"),
+        col("vid").as("nid"),
+        (Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+    val agg = new TopKAggregate(5).toColumn
+    val got = scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, nid, cos) => (nid, cos) }
+      .agg(agg)
+      .collect().toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (q, topk) => assert(topk.toList === expected(q)) }
+  }
+
   test("bucketed near-dup is a subset of exact near-dup") {
     val corpus = Similarity.prepare(emb, "vec_id", "embedding")
     val exact = Similarity.embeddingNearDupPairs(corpus, 0.4)
