@@ -78,6 +78,17 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Window"), p)
   }
 
+  test("q54 TPC-H Q3 shape: filtered dims broadcast, top-10 is TakeOrdered") {
+    val p = plan("q54_tpch_q3")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q27 salted aggregate runs two aggregation phases per stage") {
+    val p = plan("q27_salted_agg")
+    assert(p.split("HashAggregate").length >= 4, "expected partial+final for both phases\n" + p)
+  }
+
   test("entry flagship query produces rows and a non-degenerate plan") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)

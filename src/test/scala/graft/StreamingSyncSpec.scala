@@ -101,6 +101,30 @@ class StreamingSyncSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("native session_window groups a gappy signal stream per token") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val docs = parseDocs(input.toDS())
+    val dim = DeviceDim.identityDim(spark, 1L to 4L)
+    val signals = StreamingSync.signalStream(docs, dim, watermarkDelay = "1 hour")
+    val sessions = signals
+      .groupBy(session_window(col("timestamp"), "5 minutes"), col("tokenId"))
+      .count()
+      .select(col("session_window.start").as("s"), col("tokenId"), col("count"))
+    val query = sessions.writeStream.format("memory").queryName("sessions").outputMode("complete").start()
+    try {
+      input.addData(
+        doc("1", "2024-01-01T00:00:00Z", 1.0), // session A
+        doc("1", "2024-01-01T00:02:00Z", 2.0), // still session A (gap < 5m)
+        doc("1", "2024-01-01T01:00:00Z", 3.0) // session B
+      )
+      query.processAllAvailable()
+      val rows = spark.table("sessions").where(col("tokenId") === 1).collect()
+      assert(rows.length === 2) // two sessions for token 1
+      assert(rows.map(r => r.getLong(2)).sorted.toSeq === Seq(1L, 2L)) // speed-only docs: 1 signal each
+    } finally query.stop()
+  }
+
   test("stream-stream interval join matches pairs within the window only") {
     implicit val sqlCtx = spark.sqlContext
     val lIn = MemoryStream[(Long, Timestamp, String)]
