@@ -94,7 +94,11 @@ class StatusScanBuilder(path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def pushLimit(l: Int): Boolean = { limit = l; true } // partial: per-partition
+  // Per-partition early stop only — Spark must keep its own global Limit
+  // above the scan (a false here would let the planner drop it and return
+  // up to limit×partitions rows).
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed: Boolean = true
 
   override def build(): Scan = new StatusScan(path, pushed, required, limit)
 }
