@@ -83,7 +83,7 @@ object TextFunctions {
       ).otherwise(gramHashes)
     )
 
-  /** Stopword profiles for the n-gram/stopword language-ID heuristic. */
+  /** Stopword profiles for the language-ID heuristic. */
   val LangProfiles: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
@@ -91,4 +91,25 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
     "zh" -> Seq("de", "shi", "le", "zai", "he", "you", "wo", "ta")
   )
+
+  /** Character-bigram profiles — the n-gram half of the language-ID
+    * heuristic (orthography-characteristic bigrams per language).
+    */
+  val LangBigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("ch", "ei", "en", "er", "sc", "ie", "un", "de"),
+    "en" -> Seq("th", "he", "in", "er", "an", "re", "on", "at"),
+    "es" -> Seq("es", "de", "la", "os", "ar", "en", "el", "ue"),
+    "fr" -> Seq("le", "es", "en", "de", "re", "nt", "ou", "ai"),
+    "zh" -> Seq("zh", "sh", "ng", "ia", "uo", "ao", "ei", "ou")
+  )
+
+  /** All character bigrams of a text (positions 1..len−1), multiplicity
+    * preserved. Pass an attribute-backed column; the lambda reads it per
+    * position.
+    */
+  def charBigrams(text: Column): Column =
+    when(
+      length(text) >= 2,
+      transform(sequence(lit(1), length(text) - 1), i => substring(text, i, lit(2)))
+    ).otherwise(array().cast(ArrayType(StringType)))
 }

@@ -74,38 +74,50 @@ object TextQueries {
         FROM m""")
     ),
 
-    // ── Language ID: stopword-profile scores per language, argmax with
+    // ── Language ID: combined n-gram heuristic — per-language score =
+    //    2 × stopword hits + characteristic char-bigram hits, argmax with
     //    deterministic first-wins tiebreak. (The corpus is synthetic, so
     //    the interesting property is determinism, not accuracy.)
     QueryDef(
       "q32_langid",
       (s, d) => {
-        val t = tokens(col("text"))
-        val scores = LangProfiles.map { case (lang, words) =>
-          lang -> size(filter(t, x => x.isin(words: _*))).cast(LongType)
+        val staged = docs(s, d).select(
+          col("doc_id"), col("lang"),
+          tokens(col("text")).as("t"),
+          charBigrams(col("text")).as("bg")
+        )
+        val scoreCols = LangProfiles.zip(LangBigramProfiles).map {
+          case ((lang, words), (_, bigrams)) =>
+            (size(filter(col("t"), x => x.isin(words: _*))).cast(LongType) * 2L +
+              size(filter(col("bg"), x => x.isin(bigrams: _*))).cast(LongType)).as(s"s_$lang")
         }
-        val scoreCols = scores.map { case (lang, c) => c.as(s"s_$lang") }
         val langs = LangProfiles.map(_._1)
         val pred = langs.foldRight(lit(langs.last): org.apache.spark.sql.Column) { (lang, rest) =>
           val mine = col(s"s_$lang")
           val beatsAll = langs.filter(_ != lang).map(o => mine >= col(s"s_$o")).reduce(_ && _)
           when(beatsAll, lit(lang)).otherwise(rest)
         }
-        docs(s, d)
+        staged
           .select((col("doc_id") +: col("lang") +: scoreCols): _*)
           .withColumn("pred_lang", pred)
           .withColumn("correct", col("pred_lang") === col("lang"))
       },
       Some {
-        val scoreSelects = LangProfiles.map { case (lang, words) =>
-          s"len(list_filter(t, x -> list_contains(${sqlList(words)}, x)))::BIGINT s_$lang"
+        val scoreSelects = LangProfiles.zip(LangBigramProfiles).map {
+          case ((lang, words), (_, bigrams)) =>
+            s"""(len(list_filter(t, x -> list_contains(${sqlList(words)}, x)))::BIGINT * 2 +
+               | len(list_filter(bg, x -> list_contains(${sqlList(bigrams)}, x)))::BIGINT) s_$lang""".stripMargin
         }.mkString(",\n          ")
         val langs = LangProfiles.map(_._1)
         val whenChain = langs.dropRight(1).map { lang =>
           val cond = langs.filter(_ != lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
           s"WHEN $cond THEN '$lang'"
         }.mkString(" ")
-        s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') t FROM documents),
+        s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') t,
+          CASE WHEN length(text) >= 2
+               THEN list_transform(range(1, length(text)), i -> substr(text, i, 2))
+               ELSE [] END bg
+         FROM documents),
         sc AS (SELECT doc_id, lang,
           $scoreSelects
          FROM d)
