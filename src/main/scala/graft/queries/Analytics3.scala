@@ -174,6 +174,50 @@ object Analytics3 {
         JOIN customer ON o_custkey = c_custkey""")
     ),
 
+    // ── Conditional aggregation (TPC-H Q12 shape): per return-flag counts
+    //    of high- vs low-priority orders — CASE expressions inside SUM.
+    QueryDef(
+      "q57_conditional_agg",
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+        li.join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(when(col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH", 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when(col("o_orderpriority") =!= "1-URGENT" && col("o_orderpriority") =!= "2-HIGH", 1L)
+              .otherwise(0L)).as("low_line_count")
+          )
+      },
+      Some("""SELECT l_returnflag,
+          sum(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high_line_count,
+          sum(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_returnflag""")
+    ),
+
+    // ── Ratio-of-aggregates (TPC-H Q14 shape): promo revenue share —
+    //    DECIMAL-exact numerator and denominator, one double division.
+    QueryDef(
+      "q58_promo_ratio",
+      (s, d) => {
+        val dec = DecimalType(18, 2)
+        val li = Tables.load(s, d, "lineitem")
+        val part = Tables.load(s, d, "part")
+        val rev = col("l_extendedprice").cast(dec) * (lit(BigDecimal(1)).cast(dec) - col("l_discount").cast(dec))
+        li.join(part, col("l_partkey") === col("p_partkey"))
+          .agg(
+            (lit(100.0) * sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(BigDecimal(0)).cast(dec)))
+              .cast(DoubleType) / sum(rev).cast(DoubleType)).as("promo_revenue_pct")
+          )
+      },
+      Some("""SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+            THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+          / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey""")
+    ),
+
     // ── String-function surface: case mapping, substring, replace,
     //    concat, edit distance — deterministic integer/string outputs.
     QueryDef(
