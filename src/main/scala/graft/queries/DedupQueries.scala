@@ -179,18 +179,34 @@ object DedupQueries {
         SELECT id_a, id_b, jaccard, cos FROM fused WHERE cos > 0.2""")
     ),
 
-    // ── Embedding-cosine near-dup pairs: exact all-pairs above 0.4 (the
-    //    corpus-scale path buckets by IVF list first — see q51).
+    // ── Embedding-cosine near-dup pairs, IVF-bucketed (the 100 TB path):
+    //    vectors multi-assigned (m=2) to their nearest coarse lists, pairs
+    //    scored only WITHIN a list — every join is an equi-join on the list
+    //    id, never an all-pairs non-equi join. The oracle replays the same
+    //    assignment, so recall semantics are pinned; the exact all-pairs
+    //    variant stays as the spec-side recall baseline (DedupSpec).
     QueryDef(
       "q44_dedup_embedding",
-      (s, d) => Similarity.embeddingNearDupPairs(
-        Similarity.prepare(emb(s, d), "vec_id", "embedding"), threshold = 0.4),
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      (s, d) => {
+        val corpus = Similarity.prepare(emb(s, d), "vec_id", "embedding")
+        Similarity.embeddingNearDupPairsBucketed(
+          corpus, centroids = corpus.where(col("vid") < 16), threshold = 0.4, m = 2)
+      },
+      Some {
+        def dotSql(a: String, b: String) =
+          s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])), (x,y) -> x+y)"
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
         n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, v), (a,b) -> a + b*b)) nrm FROM e),
+        c AS (SELECT vec_id cid, v cv, nrm cn FROM n WHERE vec_id < 16),
+        assigned AS (SELECT vec_id, v, nrm, cid FROM (
+          SELECT n.vec_id, n.v, n.nrm, c.cid,
+            row_number() OVER (PARTITION BY n.vec_id ORDER BY ${dotSql("cv", "v")} / (cn*nrm) DESC, c.cid ASC) crank
+          FROM n CROSS JOIN c) WHERE crank <= 2),
         p AS (SELECT a.vec_id id_a, b.vec_id id_b,
-          list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])), (x,y) -> x+y) / (a.nrm*b.nrm) cos
-          FROM n a JOIN n b ON a.vec_id < b.vec_id)
-        SELECT id_a, id_b, cos FROM p WHERE cos > 0.4""")
+          ${dotSql("a.v", "b.v")} / (a.nrm*b.nrm) cos
+          FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+        SELECT DISTINCT id_a, id_b, cos FROM p WHERE cos > 0.4"""
+      }
     )
   )
 }

@@ -165,10 +165,15 @@ object TextQueries {
         WHERE rn <= 3""")
     ),
 
-    // ── Sketches: HLL distinct-count and quantile approximations. No SQL
-    //    oracle (approx algorithms differ across engines by design) —
-    //    declared with the driver's weaker rows-only check; the ScalaTest
-    //    spec bounds the estimates against exact values instead.
+    // ── Sketches: HLL distinct-count. Approx estimates differ across
+    //    engines by design, so the estimate itself can't be hash-compared —
+    //    instead the query emits the EXACT companions (count distinct, row
+    //    count) for the oracle hash plus `hll_ok`, a Spark-side assertion
+    //    that the HLL estimate (rsd 0.02) lands within ±5% of the exact
+    //    count; the oracle pins that column to TRUE. The driver's gate
+    //    therefore checks both the exact aggregates and the sketch's
+    //    accuracy bound. The ScalaTest spec additionally bounds the raw
+    //    estimate.
     QueryDef(
       "q36_sketches",
       (s, d) =>
@@ -178,9 +183,19 @@ object TextQueries {
           .groupBy(col("source"))
           .agg(
             approx_count_distinct(col("term"), 0.02).as("approx_terms"),
+            countDistinct(col("term")).as("exact_terms"),
             count(lit(1)).as("n")
+          )
+          .select(
+            col("source"),
+            col("exact_terms"),
+            col("n"),
+            (abs(col("approx_terms") - col("exact_terms")).cast(DoubleType) <=
+              lit(0.05) * col("exact_terms").cast(DoubleType)).as("hll_ok")
           ),
-      None
+      Some("""WITH t AS (SELECT source, unnest(string_split(text, ' ')) term FROM documents)
+        SELECT source, count(DISTINCT term) AS exact_terms, count(*) AS n, TRUE AS hll_ok
+        FROM t GROUP BY source""")
     ),
 
     // ── Corpus n-gram statistics: top-100 bigrams with deterministic

@@ -72,6 +72,18 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q44 bucketed embedding near-dup: pair join is an equi-join, no cartesian") {
+    val p = plan("q44_dedup_embedding")
+    assert(!p.contains("CartesianProduct"), s"q44 went quadratic\n$p")
+    // The only nested-loop joins allowed are the broadcast centroid
+    // assignments (corpus × 16 centroids, the a and b subtrees of the
+    // self-join); the PAIR join itself must be an equi-join on the list id.
+    val bnlj = p.split("\n").count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"q44 has $bnlj nested-loop joins — pair join degenerated\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      s"q44 pair join is not an equi-join\n$p")
+  }
+
   test("as-of join is join-free: union + window only") {
     val p = plan("q20_asof_join")
     assert(!p.contains("Join"), "as-of must compose via union+window, not a join\n" + p)
