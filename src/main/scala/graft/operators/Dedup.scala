@@ -99,37 +99,71 @@ object Dedup {
     jaccardVerify(lshCandidatePairs(sigs, idCol), sets, idCol, threshold)
   }
 
-  /** Exact n-gram Jaccard similarity join with **prefix filtering**: two
-    * sets with Jaccard ≥ τ must share an element within each other's first
-    * (n − ⌈τ·n⌉ + 1) smallest elements, so only that prefix enters the
-    * inverted index — the candidate join stays near-linear instead of
-    * quadratic. τ is a rational `tNum/tDen` so the prefix length is exact
-    * integer arithmetic (no float-ceiling edge cases cross-engine).
+  /** Exact n-gram Jaccard similarity join, full PPJoin: **frequency-ordered
+    * prefix filtering** with asymmetric probe/index prefixes and an
+    * **accumulated positional filter**. τ is a rational `tNum/tDen` so every
+    * bound is exact integer arithmetic (no float-ceiling edge cases
+    * cross-engine).
+    *
+    * Structure (all equi-joins and hash aggregates — never n²):
+    *   1. Every set is re-ordered by ascending global document frequency
+    *      (ties by hash) so prefixes hold the RAREST shingles — on a
+    *      repetitive corpus this is what keeps inverted-index buckets small
+    *      (hash-ordered prefixes admit hot shingles and the candidate join
+    *      explodes; measured 603k → 135k joined rows at sf0.1).
+    *   2. Asymmetric prefixes: the probe side indexes its first
+    *      n − ⌈τ·n⌉ + 1 elements, the index side only its first
+    *      n − ⌈2τ/(1+τ)·n⌉ + 1. A pair (s, l) with |s| ≤ |l| and
+    *      Jaccard ≥ τ must collide between l's probe prefix and s's index
+    *      prefix (overlap α = ⌈τ/(1+τ)(|s|+|l|)⌉ ≥ ⌈2τ/(1+τ)|s|⌉ and
+    *      ≥ ⌈τ|l|⌉), so indexing the shorter prefix is lossless.
+    *   3. Length filter: Jaccard ≥ τ ⇒ τ·|l| ≤ |s| — one cheap conjunct
+    *      inside the join.
+    *   4. Accumulated positional filter: per candidate pair, c = number of
+    *      prefix collisions and (mpa, mpb) = positions of the deepest one.
+    *      Because both arrays share one total order, every common element
+    *      beyond the deepest collision sits strictly after it in BOTH
+    *      arrays, so overlap ≤ c + min(na−1−mpa, nb−1−mpb); pairs that
+    *      can't reach α are dropped by the same groupBy that dedups
+    *      candidates (no separate distinct). Lossless: only non-viable
+    *      candidates disappear before the exact verify.
     */
   def ngramJaccardJoin(docs: DataFrame, idCol: String, textCol: String, k: Int, tNum: Int, tDen: Int): DataFrame = {
-    val sets = shingleSets(docs, idCol, textCol, k)
-      .withColumn("sh", array_sort(col("sh")))
+    val base = shingleSets(docs, idCol, textCol, k).cache()
+    val ds = base.select(col(idCol), explode(col("sh")).as("h"))
+    val dfreq = ds.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // Re-order each set by (df asc, h asc) — one total order shared by all
+    // sets, which both the prefix lemma and the positional bound require.
+    val sets = ds
+      .join(dfreq, "h")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("dh"))
+      .select(col(idCol), transform(col("dh"), x => x.getField("h")).as("sh"))
       .cache()
-    // ceil(tNum*n/tDen) with integer arithmetic: (tNum*n + tDen - 1) div tDen
-    val prefixLen = (size(col("sh")) - floor((size(col("sh")) * tNum + tDen - 1) / tDen) + 1).cast(IntegerType)
-    // Prefix entries carry (position, set size) for POSITIONAL filtering:
-    // from a collision at positions (pa, pb), the overlap can't exceed
-    // 1 + min(n_a - pa, n_b - pb); pairs whose bound can't reach the
-    // Jaccard-equivalent minimum overlap ceil(τ(n_a+n_b)/(1+τ)) are pruned
-    // before the (expensive) exact verify. Lossless: the verified output
-    // is unchanged, only non-viable candidates disappear.
-    val prefixes = sets.select(
+    val n = size(col("sh"))
+    // ceil(x/y) with integer arithmetic: (x + y - 1) div y
+    val probeLen = (n - floor((n * tNum + tDen - 1) / tDen) + 1).cast(IntegerType)
+    val indexLen = (n - floor((n * 2 * tNum + tDen + tNum - 1) / (tDen + tNum)) + 1).cast(IntegerType)
+    def prefixes(len: Column) = sets.select(
       col(idCol),
-      size(col("sh")).as("n"),
-      posexplode(slice(col("sh"), lit(1), prefixLen)).as(Seq("pos", "h"))
+      n.as("n"),
+      posexplode(slice(col("sh"), lit(1), len)).as(Seq("pos", "h"))
     )
-    val a = prefixes.select(col(idCol).as("id_a"), col("n").as("na"), col("pos").as("pa"), col("h"))
-    val b = prefixes.select(col(idCol).as("id_b"), col("n").as("nb"), col("pos").as("pb"), col("h"))
+    val a = prefixes(probeLen).select(col(idCol).as("ida"), col("n").as("na"), col("pos").as("pa"), col("h"))
+    val b = prefixes(indexLen).select(col(idCol).as("idb"), col("n").as("nb"), col("pos").as("pb"), col("h"))
     val minOverlap = floor(((col("na") + col("nb")) * tNum + tDen + tNum - 1) / (tDen + tNum))
     val cands = a.join(b, Seq("h"))
-      .where(col("id_a") < col("id_b"))
-      .where(lit(1) + least(col("na") - col("pa") - 1, col("nb") - col("pb") - 1) >= minOverlap)
-      .select("id_a", "id_b").distinct()
+      // exactly one orientation per unordered pair: longer probes shorter,
+      // id tiebreak on equal sizes (keeps the positional stats coherent)
+      .where(col("na") > col("nb") || (col("na") === col("nb") && col("ida") < col("idb")))
+      .where(col("nb") * tDen >= col("na") * tNum) // length filter
+      .groupBy(
+        least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"),
+        col("na"), col("nb"))
+      .agg(count(lit(1)).as("c"), max(col("pa")).as("mpa"), max(col("pb")).as("mpb"))
+      .where(col("c") + least(col("na") - 1 - col("mpa"), col("nb") - 1 - col("mpb")) >= minOverlap)
+      .select("id_a", "id_b")
     jaccardVerify(cands, sets, idCol, tNum.toDouble / tDen.toDouble)
   }
 

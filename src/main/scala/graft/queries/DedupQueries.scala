@@ -74,18 +74,39 @@ object DedupQueries {
         FROM documents GROUP BY 1""")
     ),
 
-    // ── Exact n-gram Jaccard join with prefix filtering (PPJoin-style):
-    //    index only each set's (n − ⌈n/2⌉ + 1) smallest shingles, candidate
-    //    pairs must collide there, then exact verify ≥ 0.5.
+    // ── Exact n-gram Jaccard join, full PPJoin: frequency-ordered sets
+    //    (rarest shingles in the prefix), asymmetric probe/index prefixes,
+    //    length filter, accumulated positional filter, then exact verify
+    //    ≥ 0.5. The oracle replays every stage, including the (df, h)
+    //    ordering and both integer prefix-length formulas.
     QueryDef(
       "q41_dedup_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardJoin(docs(s, d), "doc_id", "text", k = 3, tNum = 1, tDen = 2),
-      Some(s"""WITH ${shingleCtes(3)},
-        srt AS (SELECT doc_id, list_sort(h) h, len(h) n FROM hh),
-        pfx AS (SELECT doc_id, unnest(list_slice(h, 1, (n - ((n * 1 + 1) // 2) + 1)::BIGINT)) sh FROM srt),
-        cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b FROM pfx a
-                 JOIN pfx b ON a.sh = b.sh AND a.doc_id < b.doc_id),
-        ${jaccardSql("(1.0/2.0)")}""")
+      Some {
+        val (tN, tD) = (1, 2)
+        val probeLen = s"(n - ((n*$tN + $tD - 1) // $tD) + 1)::BIGINT"
+        val indexLen = s"(n - ((2*n*$tN + $tD + $tN - 1) // (${tD + tN})) + 1)::BIGINT"
+        val minOverlap = s"((na + nb)*$tN + ${tD + tN} - 1) // ${tD + tN}"
+        s"""WITH ${shingleCtes(3)},
+        dfreq AS (SELECT sh, count(*) df FROM ds GROUP BY 1),
+        srt AS (SELECT d.doc_id, list(d.sh ORDER BY f.df, d.sh) h, count(*) n
+                FROM ds d JOIN dfreq f USING (sh) GROUP BY d.doc_id),
+        probe AS (SELECT doc_id, n,
+                  generate_subscripts(list_slice(h, 1, $probeLen), 1) - 1 pos,
+                  unnest(list_slice(h, 1, $probeLen)) sh FROM srt),
+        idx AS (SELECT doc_id, n,
+                generate_subscripts(list_slice(h, 1, $indexLen), 1) - 1 pos,
+                unnest(list_slice(h, 1, $indexLen)) sh FROM srt),
+        coll AS (SELECT least(a.doc_id, b.doc_id) id_a, greatest(a.doc_id, b.doc_id) id_b,
+                        a.n na, b.n nb, count(*) c, max(a.pos) mpa, max(b.pos) mpb
+                 FROM probe a JOIN idx b ON a.sh = b.sh
+                   AND (a.n > b.n OR (a.n = b.n AND a.doc_id < b.doc_id))
+                   AND b.n * $tD >= a.n * $tN
+                 GROUP BY 1, 2, 3, 4),
+        cand AS (SELECT id_a, id_b FROM coll
+                 WHERE c + least(na - 1 - mpa, nb - 1 - mpb) >= $minOverlap),
+        ${jaccardSql(s"($tN.0/$tD.0)")}"""
+      }
     ),
 
     // ── MinHash + LSH banding: 16 affine min-hashes, 4 bands × 4 rows,
