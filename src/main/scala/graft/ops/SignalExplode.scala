@@ -90,12 +90,65 @@ object SignalExplode {
       if (docs.schema("data").dataType == StringType)
         docs.withColumn("data", from_json(col("data"), payloadSchema(defs)))
       else docs
-    val payload = col("data")
+    finishExplode(staged, docs.columns.contains("tokenId"),
+      array(defs.map(d => signalStruct(col("data"), d)): _*))
+  }
 
-    val sigs = array(defs.map(d => signalStruct(payload, d)): _*)
+  /** Versioned-payload dispatch: each document is converted by the
+    * definition table its payload version selects — the reference's
+    * try-v2-then-fall-back-to-v1 logic (`internal/sync/sync.go:187-208`)
+    * as one declarative Column program instead of a per-row error path.
+    *
+    * `version` evaluates to a key of `byVersion` ("1"/"2"); documents
+    * whose version matches no table produce a NULL signal array, which
+    * `explode` drops — the skip-doc-keep-batch semantics of the
+    * reference's conversion-error branch. Each row parses its payload at
+    * most ONCE: the per-version `from_json` projections are guarded by
+    * `when(version === v)`, so codegen only executes the taken branch.
+    *
+    * Requires `data` as a raw JSON string (version dispatch over an
+    * already-typed struct would need one input schema per version).
+    */
+  def explodeSignalsVersioned(
+      docs: DataFrame,
+      byVersion: Map[String, Seq[SignalDefinition]] = SignalDefinitions.byVersion,
+      version: Option[Column] = None
+  ): DataFrame = {
+    require(byVersion.nonEmpty, "version dispatch table must not be empty")
+    require(docs.schema("data").dataType == StringType,
+      "versioned dispatch requires the raw JSON payload string")
+    val ver = version.getOrElse {
+      if (docs.columns.contains("dataschema")) SignalDefinitions.versionOf(col("dataschema"))
+      else lit("1")
+    }
+    val versions = byVersion.toSeq.sortBy(_._1)
+    val staged = versions.foldLeft(docs.withColumn("__ver", ver)) {
+      case (df, (v, defs)) =>
+        df.withColumn(
+          s"__data_$v",
+          when(col("__ver") === v, from_json(col("data"), payloadSchema(defs))))
+    }
+    val sigs = versions
+      .map { case (v, defs) =>
+        (v, array(defs.map(d => signalStruct(col(s"__data_$v"), d)): _*))
+      }
+      .foldLeft(lit(null).cast(
+        ArrayType(StructType(Seq(
+          StructField("name", StringType, nullable = false),
+          StructField("valueNumber", DoubleType),
+          StructField("valueString", StringType),
+          StructField("present", BooleanType)
+        )))): Column) { case (rest, (v, arr)) => when(col("__ver") === v, arr).otherwise(rest) }
+    finishExplode(staged, docs.columns.contains("tokenId"), sigs)
+  }
+
+  /** Shared tail: explode the per-doc signal array, drop absent signals,
+    * and project the sink row shape.
+    */
+  private def finishExplode(staged: DataFrame, hasTokenId: Boolean, sigs: Column): DataFrame = {
     // tokenId passes through when the dim join already ran upstream.
     val keyCols =
-      if (docs.columns.contains("tokenId")) Seq(col("tokenId"), col("subject"))
+      if (hasTokenId) Seq(col("tokenId"), col("subject"))
       else Seq(col("subject"))
     staged
       .select(

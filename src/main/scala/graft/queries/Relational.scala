@@ -219,6 +219,43 @@ object Relational {
         SELECT event_id, user_id, ts, 'Event.Type', 0.0, event_type FROM ev""")
     ),
 
+    // ── §2.6 versioned-payload dispatch (sync.go:187-208): each document
+    //    is converted by the definition table its version selects — here
+    //    the production operator runs over `events` with 'purchase' rows
+    //    dispatched to a v2 table (scaled percent) and everything else to
+    //    v1. One Column program, no per-row error path; the oracle replays
+    //    the dispatch as a CASE-guarded UNION ALL.
+    QueryDef(
+      "q59_versioned_dispatch",
+      (s, d) => {
+        import graft.schema.{SignalDefinition, ValueKind}
+        val docs = ev(s, d).select(
+          col("user_id").cast(StringType).as("subject"),
+          col("event_type").as("source"),
+          col("ts").as("time"),
+          col("props").as("data")
+        )
+        graft.ops.SignalExplode.explodeSignalsVersioned(
+          docs,
+          byVersion = Map(
+            "1" -> Seq(SignalDefinition("Event.K", "k", ValueKind.Number)),
+            "2" -> Seq(SignalDefinition("Event.K.Percent", "k", ValueKind.Number, 100.0))
+          ),
+          version = Some(when(col("source") === "purchase", lit("2")).otherwise(lit("1")))
+        )
+      },
+      Some("""WITH ev AS (SELECT CAST(user_id AS VARCHAR) subject, event_type source,
+          CAST(ts AS TIMESTAMP) ts, props FROM events)
+        SELECT subject, ts AS timestamp, 'Event.K' AS name,
+          CAST(json_extract_string(props, '$.k') AS DOUBLE) AS valueNumber,
+          '' AS valueString, source
+        FROM ev WHERE source <> 'purchase' AND json_extract_string(props, '$.k') IS NOT NULL
+        UNION ALL
+        SELECT subject, ts, 'Event.K.Percent',
+          CAST(json_extract_string(props, '$.k') AS DOUBLE) * 100.0, '', source
+        FROM ev WHERE source = 'purchase' AND json_extract_string(props, '$.k') IS NOT NULL""")
+    ),
+
     // ── §2.7 incremental resume: watermark join + bounded filter — new
     //    rows are those strictly before each key's sink watermark
     //    (sync.go:128-137), fresh keys keep the full range.

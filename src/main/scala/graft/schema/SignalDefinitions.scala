@@ -66,6 +66,35 @@ object SignalDefinitions {
   val byVssName: Map[String, SignalDefinition] =
     all.map(d => d.vssName -> d).toMap
 
+  /** The v2 conversion table: the payload evolution where raw telemetry
+    * moved under a `telemetry.*` envelope. Same canonical VSS names and
+    * scales — only the source paths differ — so a mixed v1/v2 batch
+    * converges to one signal schema. Which table applies is decided PER
+    * DOCUMENT by [[versionOf]], mirroring the reference's try-v2-then-
+    * fall-back-to-v1 dispatch (`internal/sync/sync.go:187-208`:
+    * `SignalsFromPayload` → `VersionError` → `SignalsFromV1Payload`).
+    */
+  val v2: Seq[SignalDefinition] =
+    all.map(d => d.copy(originalName = s"telemetry.${d.originalName}"))
+
+  /** Registry keyed by payload version — the dispatch table. */
+  val byVersion: Map[String, Seq[SignalDefinition]] = Map("1" -> all, "2" -> v2)
+
+  /** Payload-version sniff ("1", "2", or "?" = unknown) from the
+    * CloudEvents `dataschema` attribute: a schema URI naming v2 selects the
+    * v2 table; an absent/empty dataschema falls back to v1 (the reference's
+    * empty-`VersionError` fallback, `sync.go:190-204`); any OTHER version
+    * is unknown and the document is skipped, as the reference logs-and-
+    * continues on a non-empty version error.
+    */
+  def versionOf(dataschema: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(dataschema.isNull || dataschema === "", lit("1"))
+      .when(dataschema.contains("v1"), lit("1"))
+      .when(dataschema.contains("v2"), lit("2"))
+      .otherwise(lit("?"))
+  }
+
   /** Resolve a requested signal-name list (whitespace-tolerant, unknown
     * names dropped — reference `sync.go:236-256` trims at `sync.go:246`) to
     * definitions; empty input means "all signals".

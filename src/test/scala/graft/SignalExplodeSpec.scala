@@ -71,6 +71,40 @@ class SignalExplodeSpec extends SparkTestBase {
     assert(conv.sorted.zip(raw.map(_ * 100.0).sorted).forall { case (a, b) => math.abs(a - b) < 1e-9 })
   }
 
+  test("versioned dispatch: v1 and v2 docs in one batch each use their own table") {
+    import spark.implicits._
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val v1data = """{"speed":10.0,"make":"m1"}"""
+    val v2data = """{"telemetry":{"speed":20.0,"make":"m2","engineLoad":0.5}}"""
+    val docs = Seq(
+      ("1", "it", t, null.asInstanceOf[String], v1data), // absent dataschema → v1 fallback
+      ("2", "it", t, "", v1data), // empty dataschema → v1 fallback
+      ("3", "it", t, "https://schemas.example/status/v2.0", v2data),
+      ("4", "it", t, "status/v2", v2data),
+      ("5", "it", t, "status/v9", v2data) // unknown version → doc skipped
+    ).toDF("subject", "source", "time", "dataschema", "data")
+    val out = SignalExplode.explodeSignalsVersioned(docs).cache()
+    // per-doc dispatch count oracle: 2 v1 docs × 2 present fields +
+    // 2 v2 docs × 3 present fields; the unknown-version doc contributes 0.
+    assert(out.count() === 2L * 2 + 2L * 3)
+    assert(out.where(col("subject") === "5").count() === 0)
+    // v1 doc through the v1 paths
+    assert(out.where(col("subject") === "1" && col("name") === "Vehicle.Speed")
+      .head().getAs[Double]("valueNumber") === 10.0)
+    // v2 doc through the telemetry.* paths, scale applied
+    assert(out.where(col("subject") === "3" && col("name") === "Vehicle.OBD.EngineLoad")
+      .head().getAs[Double]("valueNumber") === 50.0)
+    assert(out.where(col("subject") === "4" && col("name") === "Vehicle.VehicleIdentification.Brand")
+      .head().getAs[String]("valueString") === "m2")
+    // Dispatch is what makes v2 convert: the plain v1 explode on the same
+    // v2 docs finds no v1-path fields and emits nothing.
+    val v2only = docs.where(col("subject").isin("3", "4")).drop("dataschema")
+    assert(SignalExplode.explodeSignals(
+      v2only.withColumn("data", from_json(col("data"),
+        SignalExplode.payloadSchema(SignalDefinitions.all)))).count() === 0)
+    out.unpersist()
+  }
+
   test("malformed doc converts to zero signals without failing the batch") {
     import spark.implicits._
     val bad = Seq(
