@@ -5,7 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -76,69 +76,11 @@ object HashSupport {
     }
     new GenericArrayData(out)
   }
-}
 
-/** array<string> → array<long>: per-token md5-derived 32-bit hash.
-  * `byteOffset` 0 = [[TextFunctions.hash32]], 4 = [[TextFunctions.hash32b]].
-  */
-case class TokenHash32(child: Expression, byteOffset: Int)
-    extends UnaryExpression
-    with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(s"TokenHash32 expects array<string>, got $other")
-  }
-
-  override protected def nullSafeEval(input: Any): Any =
-    HashSupport.tokenHashes(input.asInstanceOf[ArrayData], byteOffset)
-
-  override protected def withNewChildInternal(newChild: Expression): TokenHash32 =
-    copy(child = newChild)
-}
-
-/** array<string> tokens → array<long> of k-gram hashes mod `mod` — fused
-  * shingle construction + hashing (positions 0..n−k, space-joined).
-  */
-case class ShingleHash32(child: Expression, k: Int, mod: Long)
-    extends UnaryExpression
-    with CodegenFallback {
-
-  require(k >= 1, "shingle size must be >= 1")
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(s"ShingleHash32 expects array<string>, got $other")
-  }
-
-  override protected def nullSafeEval(input: Any): Any =
-    HashSupport.shingleHashes(input.asInstanceOf[ArrayData], k, mod)
-
-  override protected def withNewChildInternal(newChild: Expression): ShingleHash32 =
-    copy(child = newChild)
-}
-
-/** array<long> of 32-bit token hashes → one 32-bit SimHash word: bit j set
-  * when Σ over tokens of ±1 (per hash bit j) is positive. Fused loop —
-  * replaces 32 interpreted per-bit aggregate scans.
-  */
-case class SimHashWord(child: Expression)
-    extends UnaryExpression
-    with CodegenFallback {
-
-  override def dataType: DataType = LongType
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(s"SimHashWord expects array<long>, got $other")
-  }
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val hs = input.asInstanceOf[ArrayData]
+  /** One 32-bit SimHash word over a token-hash array: bit j set when the
+    * signed per-bit vote sum is positive.
+    */
+  def simhashWord(hs: ArrayData): Long = {
     val n = hs.numElements()
     val sums = new Array[Int](32)
     var i = 0
@@ -159,6 +101,80 @@ case class SimHashWord(child: Expression)
     }
     word
   }
+}
+
+/** array<string> → array<long>: per-token md5-derived 32-bit hash.
+  * `byteOffset` 0 = [[TextFunctions.hash32]], 4 = [[TextFunctions.hash32b]].
+  *
+  * Codegen-native: the generated code calls the same [[HashSupport]] loop
+  * (via its static forwarder), so the expression participates in
+  * whole-stage codegen without row boxing — eval and codegen share one
+  * implementation and can never drift.
+  */
+case class TokenHash32(child: Expression, byteOffset: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"TokenHash32 expects array<string>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashSupport.tokenHashes(input.asInstanceOf[ArrayData], byteOffset)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashSupport.tokenHashes($c, $byteOffset);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHash32 =
+    copy(child = newChild)
+}
+
+/** array<string> tokens → array<long> of k-gram hashes mod `mod` — fused
+  * shingle construction + hashing (positions 0..n−k, space-joined).
+  */
+case class ShingleHash32(child: Expression, k: Int, mod: Long) extends UnaryExpression {
+
+  require(k >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"ShingleHash32 expects array<string>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashSupport.shingleHashes(input.asInstanceOf[ArrayData], k, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashSupport.shingleHashes($c, $k, ${mod}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash32 =
+    copy(child = newChild)
+}
+
+/** array<long> of 32-bit token hashes → one 32-bit SimHash word: bit j set
+  * when Σ over tokens of ±1 (per hash bit j) is positive. Fused loop —
+  * replaces 32 interpreted per-bit aggregate scans.
+  */
+case class SimHashWord(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"SimHashWord expects array<long>, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashSupport.simhashWord(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashSupport.simhashWord($c);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHashWord =
     copy(child = newChild)
