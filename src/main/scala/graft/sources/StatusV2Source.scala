@@ -55,6 +55,9 @@ object StatusV2Source {
     StructField("dataschema", StringType),
     StructField("data", StringType)
   ))
+
+  /** Default split size, matching Spark's `files.maxPartitionBytes`. */
+  val DefaultSplitBytes: Long = 128L * 1024 * 1024
 }
 
 class StatusTable(path: String) extends Table with SupportsRead {
@@ -64,10 +67,11 @@ class StatusTable(path: String) extends Table with SupportsRead {
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new StatusScanBuilder(path)
+    new StatusScanBuilder(path,
+      options.getLong("splitBytes", StatusV2Source.DefaultSplitBytes))
 }
 
-class StatusScanBuilder(path: String)
+class StatusScanBuilder(path: String, splitBytes: Long)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -100,10 +104,10 @@ class StatusScanBuilder(path: String)
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   override def isPartiallyPushed: Boolean = true
 
-  override def build(): Scan = new StatusScan(path, pushed, required, limit)
+  override def build(): Scan = new StatusScan(path, pushed, required, limit, splitBytes)
 }
 
-class StatusScan(path: String, filters: Array[Filter], required: StructType, limit: Int)
+class StatusScan(path: String, filters: Array[Filter], required: StructType, limit: Int, splitBytes: Long)
     extends Scan
     with Batch {
 
@@ -113,13 +117,30 @@ class StatusScan(path: String, filters: Array[Filter], required: StructType, lim
   override def description(): String =
     s"graft-status path=$path pushed=[${filters.mkString(", ")}] limit=$limit"
 
+  /** One partition per BYTE RANGE, not per file: a single huge NDJSON file
+    * must not serialize into one task. Ranges are newline-aligned at read
+    * time (a line belongs to the range holding its first byte; a range
+    * starting mid-line skips forward to the next line start), so any split
+    * boundary yields identical results.
+    */
   override def planInputPartitions(): Array[InputPartition] = {
     val f = new java.io.File(path)
     val files =
       if (f.isDirectory)
         f.listFiles().filter(x => x.isFile && !x.getName.startsWith(".")).map(_.getPath).sorted
       else Array(path)
-    files.map(p => StatusFilePartition(p): InputPartition)
+    files.flatMap { p =>
+      val len = new java.io.File(p).length()
+      if (len <= splitBytes) Seq(StatusFilePartition(p, 0L, Long.MaxValue): InputPartition)
+      else {
+        val n = ((len + splitBytes - 1) / splitBytes).toInt
+        (0 until n).map { i =>
+          val start = i * splitBytes
+          val end = math.min(start + splitBytes, len)
+          StatusFilePartition(p, start, end): InputPartition
+        }
+      }
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -141,12 +162,67 @@ case class SkippedLinesTaskMetric(value: Long) extends CustomTaskMetric {
   override def name(): String = "skippedLines"
 }
 
-case class StatusFilePartition(path: String) extends InputPartition
+/** Byte range of one NDJSON file; owns the lines starting in `(start,
+  * end]`, plus the first line when `start = 0` (see [[ByteRangeLines]]).
+  * `end = Long.MaxValue` means "to EOF" (whole-file partition).
+  */
+case class StatusFilePartition(path: String, start: Long, end: Long) extends InputPartition
 
 class StatusReaderFactory(filters: Array[Filter], required: StructType, limit: Int)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new StatusPartitionReader(partition.asInstanceOf[StatusFilePartition].path, filters, required, limit)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[StatusFilePartition]
+    new StatusPartitionReader(p, filters, required, limit)
+  }
+}
+
+/** Byte-counting line iterator over a range of a file. Newline alignment
+  * (Hadoop line-reader convention): a non-zero-start range discards
+  * everything through its first newline — that prefix is owned by the
+  * previous range, which reads inclusively through any line starting
+  * exactly at its `end`. Byte-exact while counting (no char decoding);
+  * UTF-8 decode happens per returned line.
+  */
+private class ByteRangeLines(path: String, start: Long, end: Long) {
+  private val in = new java.io.BufferedInputStream(new java.io.FileInputStream(path), 1 << 16)
+  private var pos = 0L
+  private val buf = new java.io.ByteArrayOutputStream(8192)
+  locally {
+    var toSkip = start
+    while (toSkip > 0) {
+      val s = in.skip(toSkip)
+      if (s <= 0) toSkip = 0 else { toSkip -= s; pos += s }
+    }
+    if (start > 0) readLine() // partial line: owned by the previous range
+  }
+
+  /** Next raw line (without the newline), or null at EOF. */
+  private def readLine(): Array[Byte] = {
+    buf.reset()
+    var b = in.read()
+    if (b < 0) return null
+    while (b >= 0 && b != '\n') {
+      buf.write(b)
+      pos += 1
+      b = in.read()
+    }
+    if (b == '\n') pos += 1
+    val arr = buf.toByteArray
+    // tolerate \r\n line endings
+    if (arr.nonEmpty && arr(arr.length - 1) == '\r') java.util.Arrays.copyOf(arr, arr.length - 1)
+    else arr
+  }
+
+  /** Next owned line, else null. Ownership convention (Hadoop line-reader
+    * style): every range discards its first line (unless start = 0), so a
+    * range must read INCLUSIVELY through a line starting exactly at `end`
+    * — that line is the next range's discarded first line. Together: no
+    * line is lost or duplicated wherever the byte boundary lands.
+    */
+  def next(): Array[Byte] =
+    if (pos > end) null else readLine()
+
+  def close(): Unit = in.close()
 }
 
 /** Line-by-line NDJSON reader evaluating the pushed predicates natively
@@ -154,12 +230,11 @@ class StatusReaderFactory(filters: Array[Filter], required: StructType, limit: I
   * columns. Malformed lines are skipped — the reference's bad-document
   * tolerance (`sync.go:193-203`).
   */
-class StatusPartitionReader(path: String, filters: Array[Filter], required: StructType, limit: Int)
+class StatusPartitionReader(part: StatusFilePartition, filters: Array[Filter], required: StructType, limit: Int)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val lines = scala.io.Source.fromFile(path)(scala.io.Codec.UTF8)
-  private val it = lines.getLines()
+  private val lines = new ByteRangeLines(part.path, part.start, part.end)
   private var current: InternalRow = _
   private var emitted = 0
   private var skipped = 0L
@@ -178,8 +253,8 @@ class StatusPartitionReader(path: String, filters: Array[Filter], required: Stru
 
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
-    while (it.hasNext) {
-      val line = it.next()
+    var line = lines.next()
+    while (line != null) {
       if (line.nonEmpty) {
         try {
           val node = mapper.readTree(line)
@@ -214,6 +289,7 @@ class StatusPartitionReader(path: String, filters: Array[Filter], required: Stru
           }
         } catch { case _: Exception => skipped += 1 } // malformed line ⇒ skip + count
       }
+      line = lines.next()
     }
     false
   }

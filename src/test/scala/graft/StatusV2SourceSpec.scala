@@ -66,6 +66,28 @@ class StatusV2SourceSpec extends SparkTestBase {
     assert(m.get.value === 1L) // the one non-JSON line
   }
 
+  test("byte-range splits: one big file reads in many partitions, identically") {
+    val d = Files.createTempDirectory("graft-v2split")
+    val n = 5000
+    val lines = (0 until n).map { i =>
+      s"""{"id":"doc$i","subject":"${i % 7}","source":"s","specversion":"1.0","time":"2024-01-01T00:00:${"%02d".format(i % 60)}Z","data":{"speed":$i}}"""
+    }
+    Files.writeString(d.resolve("big.ndjson"), lines.mkString("\n"))
+    val whole = spark.read.format("graft-status").load(d.toString)
+    val split = spark.read.format("graft-status")
+      .option("splitBytes", 64 * 1024) // force ~10 ranges over the ~700 KB file
+      .load(d.toString)
+    assert(whole.rdd.getNumPartitions === 1)
+    assert(split.rdd.getNumPartitions > 4, s"got ${split.rdd.getNumPartitions} partitions")
+    assert(split.count() === n.toLong)
+    // Identical content regardless of where the byte boundaries landed.
+    assert(split.select("id").collect().map(_.getString(0)).sorted
+      === whole.select("id").collect().map(_.getString(0)).sorted)
+    // Pushdown still applies per range.
+    assert(split.where(col("subject") === "3").count() ===
+      whole.where(col("subject") === "3").count())
+  }
+
   test("V2 source composes with the signal-explosion operator") {
     val out = graft.ops.SignalExplode.explodeSignals(
       read.select(col("subject"), col("source"), col("time"), col("data")),
