@@ -43,6 +43,36 @@ object Skew {
       )
   }
 
+  /** Null-safe equi-join (`<=>` semantics) with a NULL-key skew guard.
+    *
+    * A plain `<=>` join hashes every null-keyed row to ONE reducer — and
+    * null is routinely the single hottest "value" of an extracted key
+    * (e.g. a JSON path most documents lack), so at scale the null bucket
+    * is a guaranteed straggler. Null matches only null, so the join splits
+    * losslessly:
+    *   - non-null keys: ordinary equi-join (hash-partitioned, skew-free
+    *     as far as real values allow);
+    *   - null keys: every null-keyed left row pairs with the right side's
+    *     null-keyed rows — a broadcast of that (by construction tiny,
+    *     usually 1-row-per-aggregate) slice, never a shuffle hotspot.
+    * Result ≡ `left.join(right, left(k) <=> right(k))` with the right key
+    * column dropped.
+    */
+  def nullSafeJoinSkewGuarded(
+      left: DataFrame,
+      right: DataFrame,
+      key: String
+  ): DataFrame = {
+    val rightRenamed = right.withColumnRenamed(key, "__rk")
+    val nonNull = left
+      .where(col(key).isNotNull)
+      .join(rightRenamed.where(col("__rk").isNotNull), col(key) === col("__rk"))
+    val nulls = left
+      .where(col(key).isNull)
+      .crossJoin(broadcast(rightRenamed.where(col("__rk").isNull)))
+    nonNull.union(nulls).drop("__rk")
+  }
+
   /** Salted equi-join for a skewed fact side: the fact takes a
     * deterministic salt, the (small-ish but above-broadcast-threshold) dim
     * side is replicated once per salt bucket, and the join key becomes

@@ -58,7 +58,10 @@ object Analytics3 {
 
     // ── Null-safe equality (<=>): group events by a NULLABLE extracted key
     //    and self-join on it null-safely — nulls match nulls, the semantics
-    //    plain equality silently drops.
+    //    plain equality silently drops. The key is null for most (here:
+    //    all) rows, so a plain <=> join would hash every row to one
+    //    reducer; the skew-guarded form routes the null slice through a
+    //    broadcast instead (Skew.nullSafeJoinSkewGuarded).
     QueryDef(
       "q39_null_safe_join",
       (s, d) => {
@@ -67,7 +70,7 @@ object Analytics3 {
           get_json_object(col("props"), "$.missing_key").as("nk")
         )
         val grp = e.groupBy(col("nk")).agg(count(lit(1)).as("n"))
-        e.join(grp, e("nk") <=> grp("nk"))
+        graft.operators.Skew.nullSafeJoinSkewGuarded(e, grp, "nk")
           .select(col("event_id"), col("n"))
       },
       Some("""WITH e AS (SELECT event_id, json_extract_string(props, '$.missing_key') nk FROM events),

@@ -64,6 +64,17 @@ class DedupSpec extends SparkTestBase {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("pointer jumping converges in ~log(diameter) rounds on a chain graph") {
+    // 0-1-2-…-63: plain one-hop min propagation needs ~63 rounds to pull
+    // label 0 to the far end; hop+jump must stay logarithmic.
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.duplicateClustersWithRounds(chain)
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length === 64)
+    assert(got.forall(_._2 == 0L), got.filter(_._2 != 0L).take(5).toSeq.toString)
+    assert(rounds <= 12, s"pointer jumping degraded: $rounds rounds for a 64-chain")
+  }
+
   test("greedy resolution keeps docs never marked as a pair's larger id") {
     val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
     val kept = Dedup.keepAfterDedup(corpus.select($"doc_id"), "doc_id", pairs)

@@ -74,4 +74,21 @@ class ExtensionsAndSkewSpec extends SparkTestBase {
     val salted = Skew.saltedJoin(fact, dim, "o_custkey", buckets = 4).count()
     assert(salted === plain)
   }
+
+  test("null-safe skew-guarded join equals the plain <=> join; null slice broadcasts") {
+    import spark.implicits._
+    // Mixed keys with a hot null: 100 null-keyed rows, a few real keys.
+    val left = (1 to 100).map(i => (i.toLong, Option.empty[String])) ++
+      Seq((101L, Some("a")), (102L, Some("a")), (103L, Some("b")))
+    val l = left.toDF("id", "k")
+    val grp = l.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val plain = l.join(grp, l("k") <=> grp("k"))
+      .select(col("id"), col("n")).collect().sortBy(_.getLong(0)).toSeq
+    val guarded = Skew.nullSafeJoinSkewGuarded(l, grp, "k")
+      .select(col("id"), col("n")).collect().sortBy(_.getLong(0)).toSeq
+    assert(guarded === plain)
+    // The null slice goes through a broadcast, not a shuffled hash join.
+    val p = Skew.nullSafeJoinSkewGuarded(l, grp, "k").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
 }
