@@ -21,7 +21,12 @@ object StatusSource {
 
   /** Envelope fields always fetched — the 6 fixed `_source.includes` of
     * `elastic.go:69-70` (id, subject, source, specversion, time,
-    * dataschema).
+    * dataschema) plus `location`, the index's `geo_point` field
+    * (`status_mapping.json:801-804`). Spark has no geo type, so the
+    * declared mapping (SURVEY §1.2) is a lat/lon double struct; the wire
+    * carries the coordinates as STRINGS, so the schema reads them as such
+    * and [[readJson]] casts — a failed cast nulls the coordinate, which is
+    * exactly ES `ignore_malformed: true`.
     */
   def envelopeFields: Seq[StructField] = Seq(
     StructField("id", StringType),
@@ -29,7 +34,10 @@ object StatusSource {
     StructField("source", StringType),
     StructField("specversion", StringType),
     StructField("time", TimestampType),
-    StructField("dataschema", StringType)
+    StructField("dataschema", StringType),
+    StructField("location", StructType(Seq(
+      StructField("lat", StringType),
+      StructField("lon", StringType))))
   )
 
   def docSchema(defs: Seq[SignalDefinition]): StructType =
@@ -38,16 +46,25 @@ object StatusSource {
   /** Read a JSON file/dir of status docs (objects or arrays of objects).
     * PERMISSIVE mode: malformed docs yield null fields and convert to zero
     * signals rather than failing the job (reference `sync.go:193-203`).
+    * `location` is exposed as `struct<lat double, lon double>` with
+    * malformed coordinates nulled (ES `ignore_malformed` semantics).
     */
   def readJson(
       spark: SparkSession,
       path: String,
       defs: Seq[SignalDefinition] = SignalDefinitions.all,
       multiLine: Boolean = true
-  ): DataFrame =
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
     spark.read
       .schema(docSchema(defs))
       .option("multiLine", multiLine)
       .option("mode", "PERMISSIVE")
       .json(path)
+      .withColumn("location",
+        when(col("location").isNotNull,
+          struct(
+            col("location.lat").cast(DoubleType).as("lat"),
+            col("location.lon").cast(DoubleType).as("lon"))))
+  }
 }

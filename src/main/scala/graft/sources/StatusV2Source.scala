@@ -53,6 +53,11 @@ object StatusV2Source {
     StructField("specversion", StringType),
     StructField("time", TimestampType),
     StructField("dataschema", StringType),
+    // the index's geo_point (status_mapping.json:801-804) as SURVEY §1.2's
+    // lat/lon struct; malformed coordinates null out (ignore_malformed)
+    StructField("location", StructType(Seq(
+      StructField("lat", DoubleType),
+      StructField("lon", DoubleType)))),
     StructField("data", StringType)
   ))
 
@@ -277,6 +282,15 @@ class StatusPartitionReader(part: StatusFilePartition, filters: Array[Filter], r
                   case "time" => timeUs.map(Long.box).orNull
                   case "data" =>
                     Option(node.get("data")).map(d => UTF8String.fromString(d.toString)).orNull
+                  case "location" =>
+                    Option(node.get("location")).filter(_.isObject).map { loc =>
+                      def coord(k: String): Any =
+                        Option(loc.get(k)).flatMap { v =>
+                          try Some(Double.box(v.asText().toDouble))
+                          catch { case _: Exception => None } // ignore_malformed
+                        }.orNull
+                      InternalRow(coord("lat"), coord("lon"))
+                    }.orNull
                   case other =>
                     Option(node.get(other)).filter(_.isTextual)
                       .map(v => UTF8String.fromString(v.asText())).orNull

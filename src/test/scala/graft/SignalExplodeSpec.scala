@@ -71,6 +71,14 @@ class SignalExplodeSpec extends SparkTestBase {
     assert(conv.sorted.zip(raw.map(_ * 100.0).sorted).forall { case (a, b) => math.abs(a - b) < 1e-9 })
   }
 
+  test("envelope geo_point location reads as lat/lon doubles from the fixture") {
+    val loc = docs.where(col("location").isNotNull)
+      .select("location.lat", "location.lon").collect()
+    assert(loc.length === 8) // every fixture doc carries a location
+    assert(loc.forall(r => !r.isNullAt(0) && !r.isNullAt(1)))
+    assert(loc.exists(r => math.abs(r.getDouble(0) - 41.90639) < 1e-9))
+  }
+
   test("versioned dispatch: v1 and v2 docs in one batch each use their own table") {
     import spark.implicits._
     val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

@@ -88,6 +88,24 @@ class StatusV2SourceSpec extends SparkTestBase {
       whole.where(col("subject") === "3").count())
   }
 
+  test("geo_point location parses to a lat/lon double struct, malformed nulls") {
+    val d = Files.createTempDirectory("graft-v2geo")
+    Files.writeString(d.resolve("geo.ndjson"), Seq(
+      """{"id":"g1","subject":"1","source":"s","specversion":"1.0","time":"2024-01-01T00:00:00Z","location":{"lat":"41.90639","lon":"-87.92368"},"data":{}}""",
+      """{"id":"g2","subject":"1","source":"s","specversion":"1.0","time":"2024-01-01T00:00:01Z","location":{"lat":"not-a-number","lon":"-87.9"},"data":{}}""",
+      """{"id":"g3","subject":"1","source":"s","specversion":"1.0","time":"2024-01-01T00:00:02Z","data":{}}"""
+    ).mkString("\n"))
+    val rows = spark.read.format("graft-status").load(d.toString)
+      .select("id", "location.lat", "location.lon")
+      .collect().map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).sortBy(_._1)
+    assert(rows(0) === (("g1", Some(41.90639), Some(-87.92368))))
+    assert(rows(1) === (("g2", None, Some(-87.9)))) // ignore_malformed: bad lat nulls
+    assert(rows(2)._1 === "g3" )
+    val g3loc = spark.read.format("graft-status").load(d.toString)
+      .where(col("id") === "g3").select("location").head()
+    assert(g3loc.isNullAt(0))
+  }
+
   test("V2 source composes with the signal-explosion operator") {
     val out = graft.ops.SignalExplode.explodeSignals(
       read.select(col("subject"), col("source"), col("time"), col("data")),

@@ -120,6 +120,24 @@ class SyncJobSpec extends SparkTestBase {
     assert(out.count() === 3L * 501 * 2)
   }
 
+  test("dim snapshot loader: NDJSON -> canonical dim, bad rows dropped, dups resolved") {
+    val p = Files.createTempFile("graft-dim-snapshot", ".ndjson")
+    Files.writeString(p, Seq(
+      """{"tokenId": 1, "subject": "1"}""",
+      """{"tokenId": 2, "subject": "2"}""",
+      """{"tokenId": 9, "subject": "2"}""", // duplicate subject: min tokenId wins
+      """{"subject": "orphan"}""", // missing tokenId: NotFound analog, dropped
+      """{"tokenId": 3}""" // missing subject: dropped
+    ).mkString("\n"))
+    val dimSnap = sources.DeviceDim.fromSnapshot(spark, p.toString)
+    assert(dimSnap.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      === Seq((1L, "1"), (2L, "2")))
+    // and it drives the full pipeline like any other dim
+    val out = SyncJob.run(docs, dimSnap, existingSink = None,
+      SyncOptions(tokens = Seq("1", "2"), start = Some(tAt(500))))
+    assert(out.count() === 2L * 501 * 18)
+  }
+
   test("bad token entries are skipped, not fatal") {
     val out = SyncJob.run(
       docs,
