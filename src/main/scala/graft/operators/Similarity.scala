@@ -85,16 +85,23 @@ object Similarity {
 
   /** Assign each corpus vector to its nearest centroid (max cosine,
     * centroid-id tiebreak). Centroids must be small (broadcast).
+    *
+    * The argmax is a hash AGGREGATE over a lexicographic struct max —
+    * (ccos, −cid) ranks exactly like the window's (ccos DESC, cid ASC)
+    * and cid uniqueness makes the comparison deterministic — instead of a
+    * row_number window: partial aggregation collapses the corpus×|C|
+    * scored rows map-side, so only |corpus| rows shuffle and nothing
+    * sorts. (The window form shuffles AND sorts the full scored set —
+    * the extra exchange the round-1 audit flagged.)
     */
   def assignLists(corpus: DataFrame, centroids: DataFrame): DataFrame = {
     val c = centroids.select(col("vid").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val w = Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid").asc)
     corpus
       .crossJoin(broadcast(c))
       .withColumn("ccos", cosine(col("cv"), col("cn"), col("v"), col("nrm")))
-      .withColumn("crank", row_number().over(w))
-      .where(col("crank") === 1)
-      .select(col("vid"), col("v"), col("nrm"), col("cid"))
+      .groupBy(col("vid"))
+      .agg(max(struct(col("ccos"), (-col("cid")).as("ncid"), col("v"), col("nrm"), col("cid"))).as("best"))
+      .select(col("vid"), col("best.v").as("v"), col("best.nrm").as("nrm"), col("best.cid").as("cid"))
   }
 
   /** Multi-assignment variant: each vector lands on its `m` nearest lists.
