@@ -101,6 +101,17 @@ class PlanSpec extends SparkTestBase {
     assert(p.split("HashAggregate").length >= 4, "expected partial+final for both phases\n" + p)
   }
 
+  test("q59 versioned dispatch is shuffle-free (narrow scan->project->generate)") {
+    val p = plan("q59_versioned_dispatch")
+    assert(!p.contains("Exchange"), "per-doc dispatch must not shuffle\n" + p)
+  }
+
+  test("q39 null-safe join routes the null slice through a broadcast") {
+    val p = plan("q39_null_safe_join")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "null slice must broadcast, not hash to one reducer\n" + p)
+  }
+
   test("entry flagship query produces rows and a non-degenerate plan") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
