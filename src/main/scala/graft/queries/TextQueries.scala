@@ -20,6 +20,34 @@ object TextQueries {
   private val Stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
+  /** Winnowed fingerprints per document (q33's pipeline, shared with the
+    * fingerprint-overlap dedup q61): (doc_id, doc_hash, fp) — 4-token
+    * grams, window 5, row-based window-min.
+    */
+  private def winnowedFingerprints(docsDf: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docsDf
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        rollingHash(col("text")).as("doc_hash"),
+        graft.functions.HashExpressions.shingleHash32(col("toks"), 4).as("gh")
+      )
+      .select(col("doc_id"), col("doc_hash"), size(col("gh")).as("n"),
+        posexplode(col("gh")).as(Seq("pos", "h")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, 4)
+    grams
+      .withColumn("wmin", min(col("h")).over(w))
+      .where(col("n") < 5 || col("pos") <= col("n") - 5)
+      .select(
+        col("doc_id"),
+        col("doc_hash"),
+        when(col("n") < 5, col("h")).otherwise(col("wmin")).as("fp")
+      )
+      .distinct()
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Token counting: whitespace tokens, BPE-ish subword segments,
@@ -227,29 +255,7 @@ object TextQueries {
     //    on doc_id.
     QueryDef(
       "q33_fingerprint",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val grams = docs(s, d)
-          .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
-          .select(
-            col("doc_id"),
-            rollingHash(col("text")).as("doc_hash"),
-            graft.functions.HashExpressions.shingleHash32(col("toks"), 4).as("gh")
-          )
-          .select(col("doc_id"), col("doc_hash"), size(col("gh")).as("n"),
-            posexplode(col("gh")).as(Seq("pos", "h")))
-        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-          .rowsBetween(Window.currentRow, 4)
-        grams
-          .withColumn("wmin", min(col("h")).over(w))
-          .where(col("n") < 5 || col("pos") <= col("n") - 5)
-          .select(
-            col("doc_id"),
-            col("doc_hash"),
-            when(col("n") < 5, col("h")).otherwise(col("wmin")).as("fp")
-          )
-          .distinct()
-      },
+      (s, d) => winnowedFingerprints(docs(s, d)),
       Some(s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') t FROM documents),
         g AS (SELECT doc_id, text,
           list_transform(list_transform(range(0, len(t)-3), j -> t[j+1]||' '||t[j+2]||' '||t[j+3]||' '||t[j+4]),
@@ -265,6 +271,44 @@ object TextQueries {
           list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text,''), c -> ord(c)::BIGINT)), (a,b) -> (a*31+b) % $P) AS doc_hash,
           fp
         FROM fp""")
+    ),
+
+    // ── Fingerprint-overlap near-dup pairs (MOSS-style): docs sharing ≥ 5
+    //    winnowed fingerprints. Candidate generation is an equi-join on
+    //    the fingerprint value; fingerprints appearing in > 50 documents
+    //    (boilerplate) are dropped FIRST — the stop-fingerprint guard that
+    //    bounds any single join bucket at corpus scale, exactly like
+    //    PPJoin's rare-prefix discipline. One join + one count aggregate.
+    QueryDef(
+      "q61_dedup_fingerprint",
+      (s, d) => {
+        val fps = winnowedFingerprints(docs(s, d)).select(col("doc_id"), col("fp"))
+        val dfreq = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        val rare = fps.join(dfreq.where(col("df") <= 50).select(col("fp")), "fp")
+        val a = rare.select(col("doc_id").as("id_a"), col("fp"))
+        val b = rare.select(col("doc_id").as("id_b"), col("fp"))
+        a.join(b, Seq("fp"))
+          .where(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("shared"))
+          .where(col("shared") >= 5)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        g AS (SELECT doc_id,
+          list_transform(list_transform(range(0, len(t)-3), j -> t[j+1]||' '||t[j+2]||' '||t[j+3]||' '||t[j+4]),
+                         x -> ('0x'||substr(md5(x),1,8))::BIGINT % $P) gh
+         FROM d WHERE len(t) >= 4),
+        wn AS (SELECT doc_id,
+          CASE WHEN len(gh) >= 5
+               THEN list_transform(range(0, len(gh)-4), j -> list_aggregate(list_slice(gh, j+1, j+5), 'min'))
+               ELSE gh END mins
+         FROM g),
+        fps AS (SELECT DISTINCT doc_id, unnest(mins) fp FROM wn),
+        rare AS (SELECT doc_id, fp FROM fps
+                 WHERE fp IN (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50))
+        SELECT a.doc_id id_a, b.doc_id id_b, count(*) AS shared
+        FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 5""")
     )
   )
 }

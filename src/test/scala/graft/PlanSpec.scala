@@ -65,7 +65,8 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("dedup family never degenerates to a cartesian product") {
-    for (q <- Seq("q41_dedup_ngram_jaccard", "q42_dedup_minhash_lsh", "q43_dedup_simhash", "q29_range_join")) {
+    for (q <- Seq("q41_dedup_ngram_jaccard", "q42_dedup_minhash_lsh", "q43_dedup_simhash",
+        "q61_dedup_fingerprint", "q29_range_join")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q went quadratic\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q uses a nested-loop join\n$p")
