@@ -165,6 +165,64 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
   }
 
+  /** Random-hyperplane LSH — the second scale path next to IVF. 16
+    * Rademacher (±1) hyperplanes derived deterministically from md5 of
+    * "lsh:p:i" (the same portable hash arithmetic as the text pipeline),
+    * so training-free, reproducible across runs/engines, and the DuckDB
+    * oracle inlines the identical weights from these constants.
+    */
+  val LshPlaneCount = 16
+  val LshEmbBands = 2 // 8 sign bits per band key
+
+  def lshPlaneWeights(dim: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until LshPlaneCount).map { p =>
+      (0 until dim).map { i =>
+        val h = graft.functions.HashSupport.hashBytes(
+          md, s"lsh:$p:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8), 0)
+        if ((h & 1L) == 0L) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Per-band bucket keys from the sign pattern of the plane dots: band b
+    * packs planes [8b, 8b+8) into one small integer key. Cosine-similar
+    * vectors agree on most signs, so near neighbors collide on at least
+    * one whole band with high probability (banding amplifies the
+    * per-plane collision probability exactly like MinHash LSH).
+    */
+  def lshBandKeys(v: Column, dim: Int): Seq[Column] = {
+    val bits = lshPlaneWeights(dim).map(w => when(dot(v, typedlit(w)) > 0.0, 1L).otherwise(0L))
+    (0 until LshEmbBands).map { b =>
+      bits.slice(b * 8, b * 8 + 8).zipWithIndex
+        .map { case (bit, j) => bit * (1L << j) }
+        .reduce(_ + _)
+    }
+  }
+
+  /** ANN via LSH banding: candidates = corpus vectors sharing at least one
+    * band key with the query (equi-join on (band, key) — never all-pairs),
+    * deduplicated on the narrow (query, vid) pair, then exact cosine
+    * rerank to top-k. Training-free alternative to [[ivfTopK]]: no
+    * centroids to fit, at the cost of less even bucket sizes.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int): DataFrame = {
+    def banded(df: DataFrame, idAs: String) = df.select(
+      col("vid").as(idAs),
+      posexplode(array(lshBandKeys(col("v"), dim): _*)).as(Seq("band", "key"))
+    )
+    val cands = banded(corpus, "vid")
+      .join(banded(queries, "query_id"), Seq("band", "key"))
+      .where(col("vid") =!= col("query_id"))
+      .select("query_id", "vid").distinct()
+    val scored = cands
+      .join(corpus.select(col("vid"), col("v"), col("nrm")), "vid")
+      .join(queries.select(col("vid").as("query_id"), col("v").as("qv"), col("nrm").as("qn")), "query_id")
+      .withColumn("cos", cosine(col("qv"), col("qn"), col("v"), col("nrm")))
+      .select(col("query_id"), col("vid"), col("cos"))
+    topKPerKey(scored, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold. Exact
     * all-pairs within LSH-free small corpora; at scale the same verify
     * runs after [[assignLists]] bucketing (pairs within a list).

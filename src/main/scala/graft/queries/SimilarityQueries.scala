@@ -114,6 +114,44 @@ object SimilarityQueries {
         WHERE rank <= 5""")
     ),
 
+    // ── LSH-bucketed ANN — the training-free scale path next to IVF:
+    //    16 deterministic Rademacher hyperplanes (md5-derived, inlined
+    //    into the oracle from the same Scala constants), sign bits packed
+    //    into 2×8-bit band keys, candidates by (band, key) equi-join,
+    //    exact cosine rerank to top-5.
+    QueryDef(
+      "q62_ann_lsh",
+      (s, d) => {
+        val corpus = Similarity.prepare(emb(s, d), "vec_id", "embedding")
+        Similarity.lshTopK(corpus, corpus.where(col("vid") < 8), k = 5, dim = 64)
+      },
+      Some {
+        val planes = Similarity.lshPlaneWeights(64)
+        def wLit(w: Seq[Double]) = w.map(x => if (x > 0) "1.0" else "-1.0").mkString("([", ", ", "])")
+        val sigCols = planes.zipWithIndex.map { case (w, p) =>
+          s"CASE WHEN ${dotSql("v", wLit(w))} > 0.0 THEN 1 ELSE 0 END s$p"
+        }.mkString(",\n          ")
+        def keyExpr(b: Int) =
+          (0 until 8).map(j => s"s${b * 8 + j} * ${1L << j}").mkString(" + ")
+        s"""WITH $NormCte,
+        sig AS (SELECT vec_id, $sigCols FROM n),
+        keys AS (SELECT vec_id, ${keyExpr(0)} k0, ${keyExpr(1)} k1 FROM sig),
+        banded AS (SELECT vec_id, 0 band, k0 bkey FROM keys
+                   UNION ALL SELECT vec_id, 1, k1 FROM keys),
+        cand AS (SELECT DISTINCT c.vec_id, qb.vec_id query_id
+                 FROM banded c JOIN banded qb
+                   ON c.band = qb.band AND c.bkey = qb.bkey
+                  AND qb.vec_id < 8 AND c.vec_id <> qb.vec_id),
+        q AS (SELECT vec_id query_id, v qv, nrm qn FROM n WHERE vec_id < 8),
+        s AS (SELECT cand.query_id, cand.vec_id neighbor_id, ${dotSql("qv", "v")} / (qn*nrm) cos
+              FROM cand JOIN n ON n.vec_id = cand.vec_id
+                        JOIN q ON q.query_id = cand.query_id)
+        SELECT query_id, neighbor_id, rank, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) rank FROM s)
+        WHERE rank <= 5"""
+      }
+    ),
+
     // ── k-NN classification on top of the exact search: majority label
     //    vote among the 5 nearest neighbors, min-label tiebreak — the
     //    similarity-search application shape (labeling by retrieval).

@@ -226,6 +226,39 @@ object TextQueries {
         FROM t GROUP BY source""")
     ),
 
+    // ── Quantile sketches: approx_percentile (positive-indexed KLL-style
+    //    summary) gated like q36 — exact aggregates hash-checked, the
+    //    estimates asserted within tolerance of Spark's own EXACT
+    //    percentile and pinned TRUE by the oracle. Cross-engine quantile
+    //    interpolation differs by design, so the bound is the checkable
+    //    contract.
+    QueryDef(
+      "q63_quantile_sketch",
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+        val tol = lit(0.05) * (col("mx") - col("mn")) + lit(1e-9)
+        li.groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("l_quantity")).as("mn"),
+            max(col("l_quantity")).as("mx"),
+            percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("ap50"),
+            percentile_approx(col("l_quantity"), lit(0.9), lit(1000)).as("ap90"),
+            expr("percentile(l_quantity, 0.5)").as("ep50"),
+            expr("percentile(l_quantity, 0.9)").as("ep90")
+          )
+          .select(
+            col("l_returnflag"), col("n"), col("mn"), col("mx"),
+            (abs(col("ap50") - col("ep50")) <= tol).as("p50_ok"),
+            (abs(col("ap90") - col("ep90")) <= tol).as("p90_ok")
+          )
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+          min(l_quantity) AS mn, max(l_quantity) AS mx,
+          TRUE AS p50_ok, TRUE AS p90_ok
+        FROM lineitem GROUP BY l_returnflag""")
+    ),
+
     // ── Corpus n-gram statistics: top-100 bigrams with deterministic
     //    tiebreak — TakeOrderedAndProject over a hash aggregate, the
     //    vocabulary-building pass of a tokenizer pipeline.
