@@ -306,6 +306,27 @@ object TextQueries {
         FROM fp""")
     ),
 
+    // ── Deterministic stratified sampling — the mixture-control pass of a
+    //    training-data pipeline. The sampling decision is a pure function
+    //    of the row key (md5-derived bucket), so samples are reproducible
+    //    across runs/engines/partitionings (no RNG, no seed plumbing),
+    //    refreshable (changing a rate re-uses prior decisions), and
+    //    oracle-checkable. Per-stratum rates: 20% of 'en', 60% of the
+    //    rest — the downsample-majority / keep-minority shape.
+    QueryDef(
+      "q64_stratified_sample",
+      (s, d) =>
+        docs(s, d)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .withColumn("bucket", pmod(hash32(col("doc_id").cast(StringType)), lit(5)))
+          .where(when(col("lang") === "en", col("bucket") < 1).otherwise(col("bucket") < 3))
+          .select("doc_id", "lang", "source"),
+      Some("""WITH b AS (SELECT doc_id, lang, source,
+          ('0x'||substr(md5(doc_id::VARCHAR),1,8))::BIGINT % 5 AS bucket FROM documents)
+        SELECT doc_id, lang, source FROM b
+        WHERE CASE WHEN lang = 'en' THEN bucket < 1 ELSE bucket < 3 END""")
+    ),
+
     // ── Fingerprint-overlap near-dup pairs (MOSS-style): docs sharing ≥ 5
     //    winnowed fingerprints. Candidate generation is an equi-join on
     //    the fingerprint value; fingerprints appearing in > 50 documents
