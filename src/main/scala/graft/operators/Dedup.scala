@@ -177,9 +177,10 @@ object Dedup {
     *     remaining path like in Shiloach–Vishkin / pointer-jumping CC.
     * Together the rounds needed drop from the graph diameter to
     * ~log(diameter) — the difference between 60+ and ~7 shuffles on a
-    * chain-shaped cluster. Each round is two joins + one aggregate; the
-    * driver loop only checks a converged COUNT, no data ever collects;
-    * `localCheckpoint` truncates lineage per round.
+    * chain-shaped cluster. Both hops run in ONE join + aggregate per
+    * round (the label edges v → label(v) are unioned into the edge set);
+    * the driver loop only checks a converged COUNT, no data ever
+    * collects; `localCheckpoint` truncates lineage per round.
     *
     * Output: (id, cluster) where cluster = min id reachable via pairs —
     * the same fixpoint as plain propagation, so oracles are unchanged.
@@ -206,22 +207,22 @@ object Dedup {
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
-      val nbrMin = edges
+      // Neighbor hop and pointer jump fused into ONE join: augmenting the
+      // edge set with the label edges (v → label(v)) makes the same
+      // min-over-destinations aggregate deliver min(neighbor labels,
+      // label(label(v))) — labels are always node ids, so label(v) has a
+      // labels row and the jump resolves in the join.
+      val augmented = edges.union(labels.select(col("id").as("src"), col("cluster").as("dst")))
+      val nbrMin = augmented
         .join(labels.select(col("id").as("dst"), col("cluster").as("nc")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nc")).as("min_nbr"))
-      // label(label(v)): every label is a node id, so it has a row in
-      // `labels`; a missing match can only mean label(v) = v already.
-      val jump = labels
-        .join(labels.select(col("id").as("cluster"), col("cluster").as("jc")), Seq("cluster"), "left_outer")
-        .select(col("id"), coalesce(col("jc"), col("cluster")).as("jump"))
       val updated = labels
         .join(nbrMin, Seq("id"), "left_outer")
-        .join(jump, Seq("id"))
         .select(
           col("id"),
           col("cluster"),
-          least(col("cluster"), coalesce(col("min_nbr"), col("cluster")), col("jump")).as("new_cluster")
+          least(col("cluster"), coalesce(col("min_nbr"), col("cluster"))).as("new_cluster")
         )
         .localCheckpoint()
       changed = updated.where(col("new_cluster") < col("cluster")).count()

@@ -46,6 +46,9 @@ object TextQueries {
         when(col("n") < 5, col("h")).otherwise(col("wmin")).as("fp")
       )
       .distinct()
+      // cached so q33 and q61 (and repeated sub-uses within q61) share one
+      // materialization of the winnowing window
+      .cache()
   }
 
   val defs: Seq[QueryDef] = Seq(
