@@ -55,6 +55,36 @@ class StreamingSyncSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("versioned dispatch composes with streaming: mixed v1/v2 micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    // keep `data` as the raw JSON string — the versioned explode parses
+    // per-row on the version the dataschema sniff selects
+    val docs = input.toDS().toDF("json")
+      .select(
+        get_json_object(col("json"), "$.subject").as("subject"),
+        get_json_object(col("json"), "$.source").as("source"),
+        to_timestamp(get_json_object(col("json"), "$.time")).as("time"),
+        get_json_object(col("json"), "$.dataschema").as("dataschema"),
+        get_json_object(col("json"), "$.data").as("data")
+      )
+    val out = graft.ops.SignalExplode.explodeSignalsVersioned(docs)
+    val query = out.writeStream.format("memory").queryName("versionedstream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        """{"subject":"1","source":"t","time":"2024-01-01T00:00:00Z","data":{"speed":10.0}}""",
+        """{"subject":"2","source":"t","time":"2024-01-01T00:00:01Z","dataschema":"s/v2.0","data":{"telemetry":{"speed":20.0}}}""",
+        """{"subject":"3","source":"t","time":"2024-01-01T00:00:02Z","dataschema":"s/v9","data":{"speed":30.0}}"""
+      )
+      query.processAllAvailable()
+      val rows = spark.table("versionedstream")
+        .where(col("name") === "Vehicle.Speed")
+        .select("subject", "valueNumber").as[(String, Double)].collect().toSet
+      assert(rows === Set(("1", 10.0), ("2", 20.0))) // v9 doc skipped
+    } finally query.stop()
+  }
+
   test("foreachBatch parquet sink: stream appends land in the partitioned layout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
