@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based checks for the two pieces of round-2 code whose
+  * correctness depends on boundary arithmetic rather than a fixed
+  * example: byte-range line ownership in the DSv2 source, and the PPJoin
+  * candidate filters (which must be LOSSLESS prunes of the brute-force
+  * Jaccard join for any corpus).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark = SparkSessionHolder.spark
+
+  private def checkProp(p: Prop, min: Int): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(min), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("byte-range splits partition a file's lines exactly, for any split size") {
+    val lineGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val fileGen = Gen.nonEmptyListOf(lineGen)
+    checkProp(Prop.forAll(fileGen, Gen.choose(1, 64)) { (lines, splitBytes) =>
+      val p = Files.createTempFile("graft-prop-lines", ".txt")
+      try {
+        val content = lines.mkString("\n")
+        Files.writeString(p, content)
+        val len = p.toFile.length()
+        val nSplits = math.max(1, ((len + splitBytes - 1) / splitBytes).toInt)
+        val collected = (0 until nSplits).flatMap { i =>
+          val start = i.toLong * splitBytes
+          val end = math.min(start + splitBytes, len)
+          val next = graft.sources.TestHooks.byteRangeLines(p.toString, start, end)
+          Iterator.continually(next()).takeWhile(_ != null)
+            .map(b => new String(b, java.nio.charset.StandardCharsets.UTF_8)).toList
+        }
+        collected == lines
+      } finally Files.delete(p)
+    }, min = 100)
+  }
+
+  test("PPJoin filters are lossless: ngramJaccardJoin == brute-force Jaccard") {
+    import spark.implicits._
+    // Small vocab so shared shingles (and near-dups) actually occur.
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val docGen = Gen.chooseNum(3, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpusGen = Gen.chooseNum(4, 14).flatMap(n => Gen.listOfN(n, docGen))
+    checkProp(Prop.forAllNoShrink(corpusGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val fast = Dedup.ngramJaccardJoin(docs, "doc_id", "text", k = 2, tNum = 1, tDen = 2)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // brute force: all pairs, exact Jaccard over the same shingle sets
+      val sets = Dedup.shingleSets(docs, "doc_id", "text", k = 2)
+        .as[(Long, Array[Long])].collect().toMap
+      val ids = sets.keys.toSeq.sorted
+      val brute = (for {
+        i <- ids; j <- ids if i < j
+        a = sets(i).toSet; b = sets(j).toSet
+        inter = (a & b).size
+      } yield ((i, j), inter.toDouble / (a.size + b.size - inter))).collect {
+        case (p, jac) if jac >= 0.5 => p
+      }.toSet
+      if (fast != brute) println(s"MISMATCH fast=$fast brute=$brute texts=$texts")
+      fast == brute
+    }, min = 15)
+  }
+}
