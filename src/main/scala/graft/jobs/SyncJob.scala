@@ -100,4 +100,30 @@ object SyncJob {
       .explodeSignals(scoped, defs)
       .select("tokenId", "timestamp", "name", "valueNumber", "valueString", "source")
   }
+
+  /** [[run]] plus an [[org.apache.spark.sql.Observation]] carrying the
+    * batch conversion stats the reference logs per page (`sync.go:97-107`:
+    * rows synced, tokens touched, time bounds): `signal_rows`,
+    * `distinct_tokens` (approx — observe() aggregates must be
+    * merge-friendly), `min_ts`/`max_ts`. The stats ride the SAME job as
+    * the data (one pass, zero extra actions) and become available after
+    * the caller's first action; pipe them into
+    * [[GraftMetricsListener.inc]] for the scrape-able surface.
+    */
+  def runObserved(
+      docs: DataFrame,
+      dim: DataFrame,
+      existingSink: Option[DataFrame],
+      opts: SyncOptions = SyncOptions()
+  ): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val out = run(docs, dim, existingSink, opts).observe(
+      obs,
+      count(lit(1)).as("signal_rows"),
+      approx_count_distinct(col("tokenId")).as("distinct_tokens"),
+      min(col("timestamp")).as("min_ts"),
+      max(col("timestamp")).as("max_ts")
+    )
+    (out, obs)
+  }
 }

@@ -138,6 +138,19 @@ class SyncJobSpec extends SparkTestBase {
     assert(out.count() === 2L * 501 * 18)
   }
 
+  test("observed run carries the batch stats on the same job") {
+    val (out, obs) = SyncJob.runObserved(
+      docs, dim, existingSink = None,
+      SyncOptions(tokens = (1 to 8).map(_.toString), start = Some(tAt(500))))
+    assert(out.count() === 72144L)
+    val m = obs.get
+    assert(m("signal_rows") === 72144L)
+    val approxTokens = m("distinct_tokens").asInstanceOf[Long]
+    assert(approxTokens >= 7L && approxTokens <= 9L) // 8 tokens, approx agg
+    assert(m("min_ts").asInstanceOf[Timestamp] === tAt(500)) // inclusive start bound
+    assert(m("max_ts").asInstanceOf[Timestamp] === tAt(1000))
+  }
+
   test("bad token entries are skipped, not fatal") {
     val out = SyncJob.run(
       docs,
