@@ -66,11 +66,26 @@ class PlanSpec extends SparkTestBase {
 
   test("dedup family never degenerates to a cartesian product") {
     for (q <- Seq("q41_dedup_ngram_jaccard", "q42_dedup_minhash_lsh", "q43_dedup_simhash",
-        "q61_dedup_fingerprint", "q29_range_join")) {
+        "q61_dedup_fingerprint", "q62_ann_lsh", "q29_range_join")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q went quadratic\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q uses a nested-loop join\n$p")
     }
+  }
+
+  test("custom hash expressions stay inside whole-stage codegen") {
+    // A fused span prints as `*(n) Project [...simhashword(...)...]`; a
+    // CodegenFallback expression would eject its projection from the span.
+    // AQE's initial plan hides the codegen collapse, so audit with AQE off.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("q43_dedup_simhash")
+      val fused = p.split("\n").exists(l => l.contains("*(") && l.toLowerCase.contains("simhashword"))
+      assert(fused, "SimHashWord fell out of whole-stage codegen\n" + p)
+      val p41 = plan("q41_dedup_ngram_jaccard")
+      val fused41 = p41.split("\n").exists(l => l.contains("*(") && l.toLowerCase.contains("shinglehash"))
+      assert(fused41, "ShingleHash32 fell out of whole-stage codegen\n" + p41)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("q44 bucketed embedding near-dup: pair join is an equi-join, no cartesian") {
