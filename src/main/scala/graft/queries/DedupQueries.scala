@@ -109,6 +109,44 @@ object DedupQueries {
       }
     ),
 
+    // ── The production dedup cascade: exact dedup first, PPJoin Jaccard
+    //    only on the per-content representatives — duplicate multiplicity
+    //    is the quadratic driver of any direct similarity join (clone
+    //    pairs are both candidates and output), so the similarity stage is
+    //    bounded by the DISTINCT corpus size.
+    QueryDef(
+      "q65_dedup_cascade",
+      (s, d) => Dedup.cascadeJaccard(docs(s, d), "doc_id", "text", k = 3, tNum = 1, tDen = 2),
+      Some {
+        val (tN, tD) = (1, 2)
+        val probeLen = s"(n - ((n*$tN + $tD - 1) // $tD) + 1)::BIGINT"
+        val indexLen = s"(n - ((2*n*$tN + $tD + $tN - 1) // (${tD + tN})) + 1)::BIGINT"
+        val minOverlap = s"((na + nb)*$tN + ${tD + tN} - 1) // ${tD + tN}"
+        val keeperCtes = shingleCtes(3).replace(
+          "FROM documents)",
+          "FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text)))")
+        s"""WITH $keeperCtes,
+        dfreq AS (SELECT sh, count(*) df FROM ds GROUP BY 1),
+        srt AS (SELECT d.doc_id, list(d.sh ORDER BY f.df, d.sh) h, count(*) n
+                FROM ds d JOIN dfreq f USING (sh) GROUP BY d.doc_id),
+        probe AS (SELECT doc_id, n,
+                  generate_subscripts(list_slice(h, 1, $probeLen), 1) - 1 pos,
+                  unnest(list_slice(h, 1, $probeLen)) sh FROM srt),
+        idx AS (SELECT doc_id, n,
+                generate_subscripts(list_slice(h, 1, $indexLen), 1) - 1 pos,
+                unnest(list_slice(h, 1, $indexLen)) sh FROM srt),
+        coll AS (SELECT least(a.doc_id, b.doc_id) id_a, greatest(a.doc_id, b.doc_id) id_b,
+                        a.n na, b.n nb, count(*) c, max(a.pos) mpa, max(b.pos) mpb
+                 FROM probe a JOIN idx b ON a.sh = b.sh
+                   AND (a.n > b.n OR (a.n = b.n AND a.doc_id < b.doc_id))
+                   AND b.n * $tD >= a.n * $tN
+                 GROUP BY 1, 2, 3, 4),
+        cand AS (SELECT id_a, id_b FROM coll
+                 WHERE c + least(na - 1 - mpa, nb - 1 - mpb) >= $minOverlap),
+        ${jaccardSql(s"($tN.0/$tD.0)")}"""
+      }
+    ),
+
     // ── MinHash + LSH banding: 16 affine min-hashes, 4 bands × 4 rows,
     //    bucket-join on whole-band collision, exact-Jaccard verify ≥ 0.5.
     QueryDef(

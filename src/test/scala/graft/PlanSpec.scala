@@ -66,7 +66,7 @@ class PlanSpec extends SparkTestBase {
 
   test("dedup family never degenerates to a cartesian product") {
     for (q <- Seq("q41_dedup_ngram_jaccard", "q42_dedup_minhash_lsh", "q43_dedup_simhash",
-        "q61_dedup_fingerprint", "q62_ann_lsh", "q29_range_join")) {
+        "q61_dedup_fingerprint", "q62_ann_lsh", "q65_dedup_cascade", "q29_range_join")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q went quadratic\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q uses a nested-loop join\n$p")
