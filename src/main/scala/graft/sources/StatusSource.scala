@@ -35,6 +35,7 @@ object StatusSource {
     StructField("specversion", StringType),
     StructField("time", TimestampType),
     StructField("dataschema", StringType),
+    StructField("type", StringType), // CloudEvents type, in `_source.includes` (elastic.go:70)
     StructField("location", StructType(Seq(
       StructField("lat", StringType),
       StructField("lon", StringType))))

@@ -53,6 +53,7 @@ object StatusV2Source {
     StructField("specversion", StringType),
     StructField("time", TimestampType),
     StructField("dataschema", StringType),
+    StructField("type", StringType), // CloudEvents type, in `_source.includes` (elastic.go:70)
     // the index's geo_point (status_mapping.json:801-804) as SURVEY §1.2's
     // lat/lon struct; malformed coordinates null out (ignore_malformed)
     StructField("location", StructType(Seq(
