@@ -56,6 +56,13 @@ object Dedup {
       array_min(transform(sh, h => pmod(h * a + b, lit(HashPrime))))
     }: _*)
 
+  /** Array of whole-band keys from a signature column: band b = rows
+    * [b·LshRows, (b+1)·LshRows) joined into one string key.
+    */
+  private def bandArray(sig: Column): Column =
+    array((0 until LshBands).map(b =>
+      concat_ws(",", (0 until LshRows).map(r => element_at(sig, b * LshRows + r + 1)): _*)): _*)
+
   /** LSH candidate pairs: signatures split into [[LshBands]] bands of
     * [[LshRows]] rows; docs colliding on an entire band become candidates.
     * The self-join shuffles on the (band, key) pair — uniform, narrow keys.
@@ -63,9 +70,7 @@ object Dedup {
   def lshCandidatePairs(sigs: DataFrame, idCol: String): DataFrame = {
     val banded = sigs.select(
       col(idCol),
-      posexplode(
-        array((0 until LshBands).map(b => concat_ws(",", (0 until LshRows).map(r => element_at(col("sig"), b * LshRows + r + 1)): _*)): _*)
-      ).as(Seq("band", "key"))
+      posexplode(bandArray(col("sig"))).as(Seq("band", "key"))
     )
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("key"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("key"))
@@ -165,6 +170,51 @@ object Dedup {
       .where(col("c") + least(col("na") - 1 - col("mpa"), col("nb") - 1 - col("mpb")) >= minOverlap)
       .select("id_a", "id_b")
     jaccardVerify(cands, sets, idCol, tNum.toDouble / tDen.toDouble)
+  }
+
+  /** Persistable MinHash index for INCREMENTAL dedup: the banded-signature
+    * table (id, band, key) and the shingle-set table (id, sh) — both plain
+    * DataFrames, written once per corpus snapshot (parquet, partitioned by
+    * band/key range at scale) and reused by every subsequent batch. The
+    * whole point at 100 TB: the existing corpus is NEVER re-tokenized,
+    * re-hashed, or re-signed when a new batch arrives.
+    */
+  def minhashIndexTables(docs: DataFrame, idCol: String, textCol: String, k: Int): (DataFrame, DataFrame) = {
+    val sets = shingleSets(docs, idCol, textCol, k)
+    val sigs = sets.select(col(idCol), minhashSignature(col("sh")).as("sig"))
+    val bands = sigs.select(
+      col(idCol),
+      posexplode(bandArray(col("sig"))).as(Seq("band", "key"))
+    )
+    (bands, sets)
+  }
+
+  /** Incremental MinHash near-dup: pairs involving at least one NEW
+    * document, against an existing index. Candidate generation joins the
+    * new batch's bands against (old ∪ new) bands — new×new and new×old
+    * pairs surface, old×old pairs are structurally impossible (the probe
+    * side is new-only), so work scales with |new batch| × collision rate,
+    * not with the corpus. Verification reads shingle sets by narrow id
+    * join from the union of the persisted old sets and the new ones.
+    */
+  def minhashDedupIncremental(
+      newDocs: DataFrame,
+      oldBands: DataFrame,
+      oldSets: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      threshold: Double
+  ): DataFrame = {
+    val (newBands, newSets) = minhashIndexTables(newDocs, idCol, textCol, k)
+    val allBands = oldBands.union(newBands)
+    val a = newBands.select(col(idCol).as("id_a"), col("band"), col("key"))
+    val b = allBands.select(col(idCol).as("id_b"), col("band"), col("key"))
+    val cands = a.join(b, Seq("band", "key"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"), greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    jaccardVerify(cands, oldSets.union(newSets), idCol, threshold)
   }
 
   /** The production dedup CASCADE: exact dedup first, n-gram Jaccard only

@@ -64,6 +64,42 @@ class DedupSpec extends SparkTestBase {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("incremental minhash: new batch dedups against a persisted index, old corpus untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh-index")
+    val (bands, sets) = Dedup.minhashIndexTables(corpus, "doc_id", "text", k = 3)
+    bands.write.parquet(s"$dir/bands")
+    sets.write.parquet(s"$dir/sets")
+
+    // New batch: a near-dup of old doc 1, an unrelated doc, and two
+    // exact dups WITHIN the batch.
+    val fresh = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),
+      (11L, "entirely novel content speaking of embeddings vector search and recall levels"),
+      (12L, "entirely novel content speaking of embeddings vector search and recall levels")
+    ).toDF("doc_id", "text")
+
+    val pairs = Dedup.minhashDedupIncremental(
+      fresh,
+      oldBands = spark.read.parquet(s"$dir/bands"),
+      oldSets = spark.read.parquet(s"$dir/sets"),
+      "doc_id", "text", k = 3, threshold = 0.5
+    ).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    assert(pairs.contains((1L, 10L)), pairs.toString) // new × old near-dup found
+    assert(pairs.contains((11L, 12L)), pairs.toString) // new × new exact dup found
+    // old × old pairs never re-emitted (the batch-scaling property)
+    assert(!pairs.exists(p => p._1 <= 5L && p._2 <= 5L), pairs.toString)
+    // and nothing links the unrelated new docs to the old corpus
+    assert(!pairs.exists(p => p._2 == 11L || p._2 == 12L && p._1 <= 5L), pairs.toString)
+
+    // Equivalence oracle: incremental pairs == full-corpus minhash pairs
+    // restricted to those touching a new id.
+    val full = Dedup.minhashDedup(corpus.union(fresh), "doc_id", "text", k = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      .filter(p => p._1 >= 10L || p._2 >= 10L)
+    assert(pairs === full)
+  }
+
   test("pointer jumping converges in ~log(diameter) rounds on a chain graph") {
     // 0-1-2-…-63: plain one-hop min propagation needs ~63 rounds to pull
     // label 0 to the far end; hop+jump must stay logarithmic.
