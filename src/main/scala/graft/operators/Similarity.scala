@@ -223,6 +223,83 @@ object Similarity {
     topKPerKey(scored, k)
   }
 
+  /** Product quantization (PQ) — the memory-compressed ANN tier next to
+    * IVF and LSH. Vectors split into `M` subvectors; each subvector is
+    * replaced by the id of its nearest codeword (L2), so a 64-dim float
+    * vector becomes `M` small codes. At 100 TB that's the difference
+    * between shuffling 8-byte code rows and 512-byte vectors; queries
+    * score candidates by ADC (asymmetric distance computation): a per-
+    * query distance TABLE to every codeword, then approximate distance =
+    * Σ over subspaces of table[code]. All arithmetic is sequential or
+    * DECIMAL-exact, so DuckDB oracles replay it bit-for-bit.
+    */
+  val PqSubspaces = 8
+
+  /** Sequential L2² between two equal-length double arrays. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  private def pqSub(v: Column, m: Int, d: Int): Column = slice(v, m * d + 1, d)
+
+  /** Encode the corpus against a (small, broadcast) codebook: one
+    * crossJoin + ONE hash aggregate carrying all `M` per-subspace argmins
+    * as lexicographic struct-mins (min distance, codeword-id tiebreak —
+    * deterministic). Output: (vid, v, codes: array<codeword id>).
+    */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, dim: Int): DataFrame = {
+    val d = dim / PqSubspaces
+    val cb = codebook.select(col("vid").as("cid"), col("v").as("cv"))
+    val scored = corpus
+      .crossJoin(broadcast(cb))
+      .select(
+        col("vid") +: col("v") +: col("cid") +:
+          (0 until PqSubspaces).map(m => l2sq(pqSub(col("v"), m, d), pqSub(col("cv"), m, d)).as(s"d$m")): _*)
+    scored
+      .groupBy(col("vid"))
+      .agg(
+        first(col("v")).as("v"),
+        (0 until PqSubspaces).map(m => min(struct(col(s"d$m"), col("cid"))).as(s"b$m")): _*
+      )
+      .select(col("vid"), col("v"),
+        array((0 until PqSubspaces).map(m => col(s"b$m.cid")): _*).as("codes"))
+  }
+
+  /** ADC top-k: per-query distance tables to the codebook (broadcast),
+    * joined to the exploded corpus codes on (subspace, code) — an
+    * equi-join over the COMPRESSED representation — then an order-free
+    * DECIMAL-exact sum per (query, vid) and a bounded top-k. Exact
+    * distances never touch the corpus vectors after encoding.
+    */
+  def pqTopK(corpus: DataFrame, codebook: DataFrame, queries: DataFrame, k: Int, dim: Int): DataFrame = {
+    val d = dim / PqSubspaces
+    val encoded = pqEncode(corpus, codebook, dim)
+      .select(col("vid"), posexplode(col("codes")).as(Seq("m", "code")))
+    val cb = codebook.select(col("vid").as("cid"), col("v").as("cv"))
+    val dtable = queries
+      .select(col("vid").as("query_id"), col("v").as("qv"))
+      .crossJoin(broadcast(cb))
+      .select(
+        col("query_id"), col("cid"),
+        posexplode(array((0 until PqSubspaces).map(m => l2sq(pqSub(col("qv"), m, d), pqSub(col("cv"), m, d))): _*))
+          .as(Seq("m", "dm")))
+    // Sum the M partial distances as a SEQUENTIAL fold in subspace order —
+    // not an unordered float SUM (engines would disagree at the last ulp)
+    // and not a decimal cast (DuckDB's double→decimal is itself a lossy
+    // double multiply). collect → sort by m → left fold is bit-identical
+    // everywhere.
+    val scored = encoded
+      .join(broadcast(dtable), encoded("m") === dtable("m") && encoded("code") === dtable("cid"))
+      .where(col("vid") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vid"))
+      .agg(array_sort(collect_list(struct(dtable("m"), col("dm")))).as("ds"))
+      .select(col("query_id"), col("vid"),
+        aggregate(transform(col("ds"), x => x.getField("dm")), lit(0.0), _ + _).as("adist"))
+    // reuse the bounded-heap top-k (ordering DESC): negate the distance —
+    // exact for floats — and negate back on the way out
+    topKPerKey(scored.select(col("query_id"), col("vid"), (-col("adist")).as("cos")), k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), (-col("cos")).as("adist"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold. Exact
     * all-pairs within LSH-free small corpora; at scale the same verify
     * runs after [[assignLists]] bucketing (pairs within a list).

@@ -152,6 +152,59 @@ object SimilarityQueries {
       }
     ),
 
+    // ── Product-quantization ANN — the memory-compressed tier: vectors
+    //    become 8 codeword ids (sub-L2 argmin vs a 16-entry codebook),
+    //    queries score candidates through per-query distance tables joined
+    //    on (subspace, code) — the search never touches corpus vectors
+    //    after encoding. DECIMAL-exact ADC sum keeps it oracle-checkable.
+    QueryDef(
+      "q66_ann_pq",
+      (s, d) => {
+        val corpus = Similarity.prepare(emb(s, d), "vec_id", "embedding")
+        Similarity.pqTopK(
+          corpus,
+          codebook = corpus.where(col("vid") < 16),
+          queries = corpus.where(col("vid") < 8),
+          k = 5, dim = 64)
+      },
+      Some {
+        val M = Similarity.PqSubspaces
+        def dSql(a: String, b: String, m: Int) = {
+          val (s0, e0) = (m * 8 + 1, m * 8 + 8)
+          s"""list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+             | i -> (list_slice($a, $s0, $e0)[i] - list_slice($b, $s0, $e0)[i])
+             |    * (list_slice($a, $s0, $e0)[i] - list_slice($b, $s0, $e0)[i]))), (x,y) -> x+y)""".stripMargin
+        }
+        val encCols = (0 until M).map(m => s"${dSql("e.v", "cb.cv", m)} d$m").mkString(",\n          ")
+        val cm = (0 until M).map { m =>
+          s"""c$m AS (SELECT vec_id, cid FROM (
+             |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d$m, cid) rn FROM enc) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n        ")
+        val ecodes = (0 until M).map(m => s"SELECT vec_id, $m m, c$m.cid code FROM c$m").mkString(" UNION ALL ")
+        val dtCols = (0 until M).map(m => s"${dSql("q.qv", "cb.cv", m)} qd$m").mkString(",\n          ")
+        val edt = (0 until M).map(m => s"SELECT query_id, cid, $m m, qd$m dm FROM dt").mkString(" UNION ALL ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        cb AS (SELECT vec_id cid, v cv FROM e WHERE vec_id < 16),
+        enc AS (SELECT e.vec_id, cb.cid,
+          $encCols
+          FROM e CROSS JOIN cb),
+        $cm,
+        ecodes AS ($ecodes),
+        q AS (SELECT vec_id query_id, v qv FROM e WHERE vec_id < 8),
+        dt AS (SELECT query_id, cid,
+          $dtCols
+          FROM q CROSS JOIN cb),
+        edt AS ($edt),
+        adc AS (SELECT d.query_id, c.vec_id,
+                  list_reduce(list_prepend(0.0, list(d.dm ORDER BY d.m)), (x,y) -> x+y) adist
+                FROM ecodes c JOIN edt d ON d.m = c.m AND d.cid = c.code
+                WHERE c.vec_id <> d.query_id GROUP BY 1, 2)
+        SELECT query_id, vec_id AS neighbor_id, rank, adist FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) rank FROM adc)
+        WHERE rank <= 5"""
+      }
+    ),
+
     // ── k-NN classification on top of the exact search: majority label
     //    vote among the 5 nearest neighbors, min-label tiebreak — the
     //    similarity-search application shape (labeling by retrieval).
