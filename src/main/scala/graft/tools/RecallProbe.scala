@@ -14,8 +14,9 @@ object RecallProbe {
       val exact = Similarity.bruteForceTopK(corpus, q, 5).select("query_id","neighbor_id")
       val pq = Similarity.pqTopK(corpus, corpus.where(col("vid") < 16), q, 5, 64).select("query_id","neighbor_id")
       val lsh = Similarity.lshTopK(corpus, q, 5, 64).select("query_id","neighbor_id")
+      val ivf = Similarity.ivfTopK(corpus, corpus.where(col("vid") < 16), q, 5, 2).select("query_id","neighbor_id")
       val nExact = exact.count()
-      println(s"[recall] sf$sf pq=${pq.intersect(exact).count()}/$nExact lsh=${lsh.intersect(exact).count()}/$nExact")
+      println(s"[recall] sf$sf pq=${pq.intersect(exact).count()}/$nExact lsh=${lsh.intersect(exact).count()}/$nExact ivf=${ivf.intersect(exact).count()}/$nExact")
     }
     spark.stop()
   }
