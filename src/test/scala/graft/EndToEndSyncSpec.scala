@@ -71,5 +71,14 @@ class EndToEndSyncSpec extends SparkTestBase {
       SyncOptions(tokens = Seq("1", "2"), start = Some(tAt(0)), stop = Some(tAt(1000)))
     )
     assert(round3.count() === 0)
+
+    // The layout's reason to exist: a (token_bucket, day) filter PRUNES
+    // partitions at the scan — the plan carries PartitionFilters and the
+    // filtered read touches fewer files than the full read.
+    val pruned = spark.read.parquet(sinkDir).where(col("token_bucket") === 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("token_bucket"), plan)
+    assert(pruned.select(input_file_name()).distinct().count() <
+      spark.read.parquet(sinkDir).select(input_file_name()).distinct().count())
   }
 }
