@@ -17,6 +17,35 @@ object Analytics2 {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // ── RANGE-frame windows: trailing 1-hour count/sum per user (a VALUE
+    //    range over event time, not a row count — peers at the same
+    //    timestamp all enter the frame) plus dense_rank / percent_rank —
+    //    the remaining window-frame and ranking surface.
+    QueryDef(
+      "q67_range_window",
+      (s, d) => {
+        val base = ev(s, d).select(
+          col("event_id"), col("user_id"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-3600L * 1000000L, 0L)
+        val wr = Window.partitionBy(col("user_id")).orderBy(col("value"))
+        base
+          .withColumn("trailing_n", count(lit(1)).over(w))
+          .withColumn("trailing_sum", sum(col("value").cast(dec)).over(w).cast(DoubleType))
+          .withColumn("vrank", dense_rank().over(wr).cast(LongType))
+          .withColumn("vpct", percent_rank().over(wr))
+          .select("event_id", "user_id", "us", "trailing_n", "trailing_sum", "vrank", "vpct")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) us FROM events)
+        SELECT event_id, user_id, us,
+          count(*) OVER (PARTITION BY user_id ORDER BY us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS trailing_n,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_sum,
+          dense_rank() OVER (PARTITION BY user_id ORDER BY value) AS vrank,
+          percent_rank() OVER (PARTITION BY user_id ORDER BY value) AS vpct
+        FROM e""")
+    ),
+
     // ── Sessionization: 30-minute-gap sessions per user via lag + running
     //    sum of session-break flags — the linear-scan formulation (one
     //    shuffle on user_id, no self-join), identical in any engine.
