@@ -221,6 +221,45 @@ object Analytics3 {
         FROM lineitem JOIN part ON l_partkey = p_partkey""")
     ),
 
+    // ── Recursive CTE (Spark 4 WITH RECURSIVE): per-customer CAPPED
+    //    running balance — a NON-LINEAR sequential fold
+    //    (s_i = least(cap, s_{i-1} + x_i)) that no window frame can
+    //    express. The walk follows the functional successor key
+    //    (custkey, rn → rn+1), so UNION ALL recursion is single-path and
+    //    terminates; DECIMAL arithmetic keeps it exact cross-engine.
+    QueryDef(
+      "q68_recursive_capped_balance",
+      (s, d) => {
+        ord(s, d).createOrReplaceTempView("q68_orders")
+        s.sql("""WITH RECURSIVE o AS (
+            SELECT o_custkey k,
+                   row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) rn,
+                   CAST(o_totalprice AS DECIMAL(18,2)) price
+            FROM q68_orders),
+          walk(k, rn, bal) AS (
+            SELECT k, rn, CAST(least(CAST(500000.00 AS DECIMAL(18,2)), price) AS DECIMAL(18,2))
+            FROM o WHERE rn = 1
+            UNION ALL
+            SELECT o.k, o.rn,
+                   CAST(least(CAST(500000.00 AS DECIMAL(18,2)), w.bal + o.price) AS DECIMAL(18,2))
+            FROM walk w JOIN o ON o.k = w.k AND o.rn = w.rn + 1)
+          SELECT k AS custkey, rn, CAST(bal AS DOUBLE) AS capped_balance FROM walk""")
+      },
+      Some("""WITH RECURSIVE o AS (
+          SELECT o_custkey k,
+                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) rn,
+                 CAST(o_totalprice AS DECIMAL(18,2)) price
+          FROM orders),
+        walk(k, rn, bal) AS (
+          SELECT k, rn, CAST(least(CAST(500000.00 AS DECIMAL(18,2)), price) AS DECIMAL(18,2))
+          FROM o WHERE rn = 1
+          UNION ALL
+          SELECT o.k, o.rn,
+                 CAST(least(CAST(500000.00 AS DECIMAL(18,2)), w.bal + o.price) AS DECIMAL(18,2))
+          FROM walk w JOIN o ON o.k = w.k AND o.rn = w.rn + 1)
+        SELECT k AS custkey, rn, CAST(bal AS DOUBLE) AS capped_balance FROM walk""")
+    ),
+
     // ── String-function surface: case mapping, substring, replace,
     //    concat, edit distance — deterministic integer/string outputs.
     QueryDef(
