@@ -260,6 +260,65 @@ object Analytics3 {
         SELECT k AS custkey, rn, CAST(bal AS DOUBLE) AS capped_balance FROM walk""")
     ),
 
+    // ── Explicit GROUPING SETS: a custom combination — (status, priority),
+    //    (status), () — that neither pure ROLLUP nor CUBE produces
+    //    (priority-only is deliberately absent).
+    QueryDef(
+      "q69_grouping_sets",
+      (s, d) => {
+        ord(s, d).createOrReplaceTempView("q69_orders")
+        s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+            CAST(grouping(o_orderstatus) AS INT) AS g_status,
+            CAST(grouping(o_orderpriority) AS INT) AS g_priority
+          FROM q69_orders
+          GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+          CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          CAST(grouping(o_orderpriority) AS INT) AS g_priority
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""")
+    ),
+
+    // ── UNPIVOT (the inverse of q24's pivot): wide per-order numeric
+    //    columns to long (measure, value) EAV rows via `stack`.
+    QueryDef(
+      "q70_unpivot",
+      (s, d) =>
+        ord(s, d).select(
+          col("o_orderkey"),
+          expr("stack(2, 'totalprice', o_totalprice, 'custkey', CAST(o_custkey AS DOUBLE))")
+            .as(Seq("measure", "value"))
+        ),
+      Some("""SELECT o_orderkey, measure, value FROM (
+          SELECT o_orderkey, o_totalprice AS totalprice, CAST(o_custkey AS DOUBLE) AS custkey
+          FROM orders)
+        UNPIVOT INCLUDE NULLS (value FOR measure IN (totalprice, custkey))""")
+    ),
+
+    // ── Value window functions: first/last/nth value over a running frame
+    //    per user — the remaining window-function family.
+    QueryDef(
+      "q71_value_windows",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+            first(col("value")).over(w).as("first_v"),
+            last(col("value")).over(w).as("last_v"),
+            nth_value(col("value"), 2).over(w).as("second_v"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) ts FROM events)
+        SELECT event_id, user_id, ts, value,
+          first_value(value) OVER w AS first_v,
+          last_value(value) OVER w AS last_v,
+          nth_value(value, 2) OVER w AS second_v
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")
+    ),
+
     // ── String-function surface: case mapping, substring, replace,
     //    concat, edit distance — deterministic integer/string outputs.
     QueryDef(
