@@ -235,7 +235,7 @@ object Analytics3 {
             SELECT o_custkey k,
                    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) rn,
                    CAST(o_totalprice AS DECIMAL(18,2)) price
-            FROM q68_orders),
+            FROM q68_orders WHERE o_custkey < 500),
           walk(k, rn, bal) AS (
             SELECT k, rn, CAST(least(CAST(500000.00 AS DECIMAL(18,2)), price) AS DECIMAL(18,2))
             FROM o WHERE rn = 1
@@ -249,7 +249,7 @@ object Analytics3 {
           SELECT o_custkey k,
                  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) rn,
                  CAST(o_totalprice AS DECIMAL(18,2)) price
-          FROM orders),
+          FROM orders WHERE o_custkey < 500),
         walk(k, rn, bal) AS (
           SELECT k, rn, CAST(least(CAST(500000.00 AS DECIMAL(18,2)), price) AS DECIMAL(18,2))
           FROM o WHERE rn = 1
