@@ -260,6 +260,36 @@ object Analytics3 {
         SELECT k AS custkey, rn, CAST(bal AS DOUBLE) AS capped_balance FROM walk""")
     ),
 
+    // ── FULL OUTER join: customer spend vs event activity keyed by id —
+    //    rows surviving from either side with coalesced keys, the
+    //    reconciliation shape (who ordered but never clicked, clicked but
+    //    never ordered).
+    QueryDef(
+      "q72_full_outer_join",
+      (s, d) => {
+        val dec = DecimalType(18, 2)
+        val spend = ord(s, d).groupBy(col("o_custkey").as("k"))
+          .agg(sum(col("o_totalprice").cast(dec)).cast(DoubleType).as("spend"))
+        val clicks = ev(s, d).groupBy(col("user_id").as("k"))
+          .agg(count(lit(1)).as("n_events"))
+        spend.join(clicks, Seq("k"), "full_outer")
+          .select(
+            col("k"),
+            coalesce(col("spend"), lit(0.0)).as("spend"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            (col("spend").isNotNull && col("n_events").isNotNull).as("both_sides")
+          )
+      },
+      Some("""WITH spend AS (SELECT o_custkey k, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) spend
+          FROM orders GROUP BY 1),
+        clicks AS (SELECT user_id k, count(*) n_events FROM events GROUP BY 1)
+        SELECT coalesce(s.k, c.k) AS k,
+          coalesce(s.spend, 0.0) AS spend,
+          coalesce(c.n_events, 0) AS n_events,
+          s.k IS NOT NULL AND c.k IS NOT NULL AS both_sides
+        FROM spend s FULL OUTER JOIN clicks c ON s.k = c.k""")
+    ),
+
     // ── Explicit GROUPING SETS: a custom combination — (status, priority),
     //    (status), () — that neither pure ROLLUP nor CUBE produces
     //    (priority-only is deliberately absent).
