@@ -40,8 +40,10 @@ class GraftMetricsListener extends SparkListener {
     Option(counters.get(name)).map(_.sum()).getOrElse(0L)
 
   override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit = {
-    inc("graft_tasks_completed_total")
-    if (taskEnd.reason != Success) inc("graft_tasks_failed_total")
+    // "completed" means SUCCEEDED (the conventional Prometheus reading);
+    // failures count separately, never in both.
+    if (taskEnd.reason == Success) inc("graft_tasks_completed_total")
+    else inc("graft_tasks_failed_total")
     val m = taskEnd.taskMetrics
     if (m != null) {
       inc("graft_records_read_total", m.inputMetrics.recordsRead)

@@ -15,6 +15,12 @@ import org.apache.spark.sql.types._
   * filtering (PPJoin-style) so the inverted index only contains each set's
   * rarest prefix. All hashing is engine-portable md5 arithmetic
   * ([[graft.functions.TextFunctions]]) so a DuckDB oracle can replay it.
+  *
+  * Cache lifecycle: operators that reuse an intermediate (shingle sets,
+  * frequency-ordered sets) `.cache()` it for the duration of the query;
+  * the CALLER owns cleanup (`spark.catalog.clearCache()` between jobs, as
+  * Verify does per query) — a long-lived session invoking these in a loop
+  * without clearing will accumulate cached tables.
   */
 object Dedup {
 
@@ -196,6 +202,11 @@ object Dedup {
     * side is new-only), so work scales with |new batch| × collision rate,
     * not with the corpus. Verification reads shingle sets by narrow id
     * join from the union of the persisted old sets and the new ones.
+    *
+    * Id reuse (a document re-synced with updated text) resolves NEW-WINS:
+    * the replaced id's old bands and old shingle set are dropped before
+    * the union, so candidates and Jaccard values reflect only the current
+    * text — without this, the verify join would fan out per stale row.
     */
   def minhashDedupIncremental(
       newDocs: DataFrame,
@@ -207,14 +218,17 @@ object Dedup {
       threshold: Double
   ): DataFrame = {
     val (newBands, newSets) = minhashIndexTables(newDocs, idCol, textCol, k)
-    val allBands = oldBands.union(newBands)
+    val newIds = newSets.select(col(idCol))
+    val keptOldBands = oldBands.join(newIds, Seq(idCol), "left_anti")
+    val keptOldSets = oldSets.join(newIds, Seq(idCol), "left_anti")
+    val allBands = keptOldBands.union(newBands)
     val a = newBands.select(col(idCol).as("id_a"), col("band"), col("key"))
     val b = allBands.select(col(idCol).as("id_b"), col("band"), col("key"))
     val cands = a.join(b, Seq("band", "key"))
       .where(col("id_a") =!= col("id_b"))
       .select(least(col("id_a"), col("id_b")).as("id_a"), greatest(col("id_a"), col("id_b")).as("id_b"))
       .distinct()
-    jaccardVerify(cands, oldSets.union(newSets), idCol, threshold)
+    jaccardVerify(cands, keptOldSets.union(newSets), idCol, threshold)
   }
 
   /** The production dedup CASCADE: exact dedup first, n-gram Jaccard only

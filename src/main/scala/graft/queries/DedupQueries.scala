@@ -19,16 +19,48 @@ object DedupQueries {
   private def emb(s: org.apache.spark.sql.SparkSession, d: String) = Tables.load(s, d, "embeddings")
 
   /** DuckDB CTEs: documents → distinct k-shingle hash sets `hh(doc_id, h)`
-    * plus exploded `ds(doc_id, sh)` and sizes `sz(doc_id, n)`.
+    * plus exploded `ds(doc_id, sh)` and sizes `sz(doc_id, n)`. `docsFrom`
+    * parameterizes the corpus source (q65 restricts it to exact-dedup
+    * representatives).
     */
-  private def shingleCtes(k: Int): String = {
+  private def shingleCtes(k: Int, docsFrom: String = "documents"): String = {
     val gram = (1 to k).map(i => s"t[j+$i]").mkString("||' '||")
-    s"""d AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+    s"""d AS (SELECT doc_id, string_split(text,' ') t FROM $docsFrom),
        |sh0 AS (SELECT doc_id, list_transform(range(0, len(t)-${k - 1}), j -> $gram) s FROM d),
        |hh AS (SELECT doc_id, list_distinct(list_transform(s, x -> ('0x'||substr(md5(x),1,8))::BIGINT % $P)) h
        |       FROM sh0 WHERE len(s) > 0),
        |ds AS (SELECT doc_id, unnest(h) sh FROM hh),
        |sz AS (SELECT doc_id, len(h) n FROM hh)""".stripMargin
+  }
+
+  /** The full-PPJoin candidate CTEs (frequency-ordered asymmetric
+    * prefixes, length + accumulated positional filters) over the
+    * `ds`-form shingle sets, ending in `cand(id_a, id_b)` — the single
+    * source both q41 and q65 replay (see
+    * [[graft.operators.Dedup.ngramJaccardJoin]] for the Spark side and
+    * the lemma documentation).
+    */
+  private def ppjoinCtes(tN: Int, tD: Int): String = {
+    val probeLen = s"(n - ((n*$tN + $tD - 1) // $tD) + 1)::BIGINT"
+    val indexLen = s"(n - ((2*n*$tN + $tD + $tN - 1) // (${tD + tN})) + 1)::BIGINT"
+    val minOverlap = s"((na + nb)*$tN + ${tD + tN} - 1) // ${tD + tN}"
+    s"""dfreq AS (SELECT sh, count(*) df FROM ds GROUP BY 1),
+       |srt AS (SELECT d.doc_id, list(d.sh ORDER BY f.df, d.sh) h, count(*) n
+       |        FROM ds d JOIN dfreq f USING (sh) GROUP BY d.doc_id),
+       |probe AS (SELECT doc_id, n,
+       |          generate_subscripts(list_slice(h, 1, $probeLen), 1) - 1 pos,
+       |          unnest(list_slice(h, 1, $probeLen)) sh FROM srt),
+       |idx AS (SELECT doc_id, n,
+       |        generate_subscripts(list_slice(h, 1, $indexLen), 1) - 1 pos,
+       |        unnest(list_slice(h, 1, $indexLen)) sh FROM srt),
+       |coll AS (SELECT least(a.doc_id, b.doc_id) id_a, greatest(a.doc_id, b.doc_id) id_b,
+       |                a.n na, b.n nb, count(*) c, max(a.pos) mpa, max(b.pos) mpb
+       |         FROM probe a JOIN idx b ON a.sh = b.sh
+       |           AND (a.n > b.n OR (a.n = b.n AND a.doc_id < b.doc_id))
+       |           AND b.n * $tD >= a.n * $tN
+       |         GROUP BY 1, 2, 3, 4),
+       |cand AS (SELECT id_a, id_b FROM coll
+       |         WHERE c + least(na - 1 - mpa, nb - 1 - mpb) >= $minOverlap)""".stripMargin
   }
 
   /** DuckDB jaccard-verify CTEs over candidate pairs CTE `cand(id_a,
@@ -82,31 +114,9 @@ object DedupQueries {
     QueryDef(
       "q41_dedup_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardJoin(docs(s, d), "doc_id", "text", k = 3, tNum = 1, tDen = 2),
-      Some {
-        val (tN, tD) = (1, 2)
-        val probeLen = s"(n - ((n*$tN + $tD - 1) // $tD) + 1)::BIGINT"
-        val indexLen = s"(n - ((2*n*$tN + $tD + $tN - 1) // (${tD + tN})) + 1)::BIGINT"
-        val minOverlap = s"((na + nb)*$tN + ${tD + tN} - 1) // ${tD + tN}"
-        s"""WITH ${shingleCtes(3)},
-        dfreq AS (SELECT sh, count(*) df FROM ds GROUP BY 1),
-        srt AS (SELECT d.doc_id, list(d.sh ORDER BY f.df, d.sh) h, count(*) n
-                FROM ds d JOIN dfreq f USING (sh) GROUP BY d.doc_id),
-        probe AS (SELECT doc_id, n,
-                  generate_subscripts(list_slice(h, 1, $probeLen), 1) - 1 pos,
-                  unnest(list_slice(h, 1, $probeLen)) sh FROM srt),
-        idx AS (SELECT doc_id, n,
-                generate_subscripts(list_slice(h, 1, $indexLen), 1) - 1 pos,
-                unnest(list_slice(h, 1, $indexLen)) sh FROM srt),
-        coll AS (SELECT least(a.doc_id, b.doc_id) id_a, greatest(a.doc_id, b.doc_id) id_b,
-                        a.n na, b.n nb, count(*) c, max(a.pos) mpa, max(b.pos) mpb
-                 FROM probe a JOIN idx b ON a.sh = b.sh
-                   AND (a.n > b.n OR (a.n = b.n AND a.doc_id < b.doc_id))
-                   AND b.n * $tD >= a.n * $tN
-                 GROUP BY 1, 2, 3, 4),
-        cand AS (SELECT id_a, id_b FROM coll
-                 WHERE c + least(na - 1 - mpa, nb - 1 - mpb) >= $minOverlap),
-        ${jaccardSql(s"($tN.0/$tD.0)")}"""
-      }
+      Some(s"""WITH ${shingleCtes(3)},
+        ${ppjoinCtes(1, 2)},
+        ${jaccardSql("(1.0/2.0)")}""")
     ),
 
     // ── The production dedup cascade: exact dedup first, PPJoin Jaccard
@@ -117,34 +127,10 @@ object DedupQueries {
     QueryDef(
       "q65_dedup_cascade",
       (s, d) => Dedup.cascadeJaccard(docs(s, d), "doc_id", "text", k = 3, tNum = 1, tDen = 2),
-      Some {
-        val (tN, tD) = (1, 2)
-        val probeLen = s"(n - ((n*$tN + $tD - 1) // $tD) + 1)::BIGINT"
-        val indexLen = s"(n - ((2*n*$tN + $tD + $tN - 1) // (${tD + tN})) + 1)::BIGINT"
-        val minOverlap = s"((na + nb)*$tN + ${tD + tN} - 1) // ${tD + tN}"
-        val keeperCtes = shingleCtes(3).replace(
-          "FROM documents)",
-          "FROM documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text)))")
-        s"""WITH $keeperCtes,
-        dfreq AS (SELECT sh, count(*) df FROM ds GROUP BY 1),
-        srt AS (SELECT d.doc_id, list(d.sh ORDER BY f.df, d.sh) h, count(*) n
-                FROM ds d JOIN dfreq f USING (sh) GROUP BY d.doc_id),
-        probe AS (SELECT doc_id, n,
-                  generate_subscripts(list_slice(h, 1, $probeLen), 1) - 1 pos,
-                  unnest(list_slice(h, 1, $probeLen)) sh FROM srt),
-        idx AS (SELECT doc_id, n,
-                generate_subscripts(list_slice(h, 1, $indexLen), 1) - 1 pos,
-                unnest(list_slice(h, 1, $indexLen)) sh FROM srt),
-        coll AS (SELECT least(a.doc_id, b.doc_id) id_a, greatest(a.doc_id, b.doc_id) id_b,
-                        a.n na, b.n nb, count(*) c, max(a.pos) mpa, max(b.pos) mpb
-                 FROM probe a JOIN idx b ON a.sh = b.sh
-                   AND (a.n > b.n OR (a.n = b.n AND a.doc_id < b.doc_id))
-                   AND b.n * $tD >= a.n * $tN
-                 GROUP BY 1, 2, 3, 4),
-        cand AS (SELECT id_a, id_b FROM coll
-                 WHERE c + least(na - 1 - mpa, nb - 1 - mpb) >= $minOverlap),
-        ${jaccardSql(s"($tN.0/$tD.0)")}"""
-      }
+      Some(s"""WITH ${shingleCtes(3,
+          "documents WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))")},
+        ${ppjoinCtes(1, 2)},
+        ${jaccardSql("(1.0/2.0)")}""")
     ),
 
     // ── MinHash + LSH banding: 16 affine min-hashes, 4 bands × 4 rows,

@@ -200,11 +200,12 @@ object TextQueries {
     //    engines by design, so the estimate itself can't be hash-compared —
     //    instead the query emits the EXACT companions (count distinct, row
     //    count) for the oracle hash plus `hll_ok`, a Spark-side assertion
-    //    that the HLL estimate (rsd 0.02) lands within ±5% of the exact
-    //    count; the oracle pins that column to TRUE. The driver's gate
-    //    therefore checks both the exact aggregates and the sketch's
-    //    accuracy bound. The ScalaTest spec additionally bounds the raw
-    //    estimate.
+    //    that the HLL estimate (rsd 0.02) lands within ±10% (5 sigma — a
+    //    tighter bound would make a correct sketch fail the gate on an
+    //    unlucky dataset) of the exact count; the oracle pins that column
+    //    to TRUE. The driver's gate therefore checks both the exact
+    //    aggregates and the sketch's accuracy bound. The ScalaTest spec
+    //    additionally bounds the raw estimate.
     QueryDef(
       "q36_sketches",
       (s, d) =>
@@ -222,7 +223,7 @@ object TextQueries {
             col("exact_terms"),
             col("n"),
             (abs(col("approx_terms") - col("exact_terms")).cast(DoubleType) <=
-              lit(0.05) * col("exact_terms").cast(DoubleType)).as("hll_ok")
+              lit(0.10) * col("exact_terms").cast(DoubleType)).as("hll_ok")
           ),
       Some("""WITH t AS (SELECT source, unnest(string_split(text, ' ')) term FROM documents)
         SELECT source, count(DISTINCT term) AS exact_terms, count(*) AS n, TRUE AS hll_ok

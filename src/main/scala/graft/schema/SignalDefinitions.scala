@@ -81,17 +81,20 @@ object SignalDefinitions {
   val byVersion: Map[String, Seq[SignalDefinition]] = Map("1" -> all, "2" -> v2)
 
   /** Payload-version sniff ("1", "2", or "?" = unknown) from the
-    * CloudEvents `dataschema` attribute: a schema URI naming v2 selects the
-    * v2 table; an absent/empty dataschema falls back to v1 (the reference's
-    * empty-`VersionError` fallback, `sync.go:190-204`); any OTHER version
-    * is unknown and the document is skipped, as the reference logs-and-
-    * continues on a non-empty version error.
+    * CloudEvents `dataschema` attribute: the WHOLE version number of the
+    * URI's `v<digits>` marker selects the table (a substring test would
+    * misroute future versions — "v12" contains "v1"); an absent/empty
+    * dataschema falls back to v1 (the reference's empty-`VersionError`
+    * fallback, `sync.go:190-204`); any other — or unparseable — version
+    * is unknown and the document is skipped, as the reference
+    * logs-and-continues on a non-empty version error.
     */
   def versionOf(dataschema: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
+    val ver = regexp_extract(dataschema, "v(\\d+)(?:\\.|/|$)", 1)
     when(dataschema.isNull || dataschema === "", lit("1"))
-      .when(dataschema.contains("v1"), lit("1"))
-      .when(dataschema.contains("v2"), lit("2"))
+      .when(ver === "1", lit("1"))
+      .when(ver === "2", lit("2"))
       .otherwise(lit("?"))
   }
 

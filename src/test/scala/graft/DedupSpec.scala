@@ -90,7 +90,7 @@ class DedupSpec extends SparkTestBase {
     // old × old pairs never re-emitted (the batch-scaling property)
     assert(!pairs.exists(p => p._1 <= 5L && p._2 <= 5L), pairs.toString)
     // and nothing links the unrelated new docs to the old corpus
-    assert(!pairs.exists(p => p._2 == 11L || p._2 == 12L && p._1 <= 5L), pairs.toString)
+    assert(!pairs.exists(p => (p._2 == 11L || p._2 == 12L) && p._1 <= 5L), pairs.toString)
 
     // Equivalence oracle: incremental pairs == full-corpus minhash pairs
     // restricted to those touching a new id.
@@ -98,6 +98,22 @@ class DedupSpec extends SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       .filter(p => p._1 >= 10L || p._2 >= 10L)
     assert(pairs === full)
+
+    // Id reuse resolves NEW-WINS: doc 4 re-synced with text that now
+    // duplicates doc 1 — the pair must reflect the NEW text (4 was
+    // unrelated to everything in the old corpus), with no fan-out from
+    // the stale rows.
+    val resync = Seq(
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank today")
+    ).toDF("doc_id", "text")
+    val re = Dedup.minhashDedupIncremental(
+      resync,
+      oldBands = spark.read.parquet(s"$dir/bands"),
+      oldSets = spark.read.parquet(s"$dir/sets"),
+      "doc_id", "text", k = 3, threshold = 0.5
+    ).select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(re.count(p => (p._1, p._2) == (1L, 4L)) === 1, re.toSeq.toString) // exactly once, no stale fan-out
+    assert(re.find(p => (p._1, p._2) == (1L, 4L)).get._3 === 1.0) // judged on the NEW text
   }
 
   test("pointer jumping converges in ~log(diameter) rounds on a chain graph") {
