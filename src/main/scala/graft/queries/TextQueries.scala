@@ -310,6 +310,66 @@ object TextQueries {
         FROM fp""")
     ),
 
+    // ── Benchmark DECONTAMINATION: training docs sharing any 5-gram with
+    //    the benchmark set (here: docs 0..19 stand in for an eval suite)
+    //    are flagged with their overlap count — the n-gram-collision
+    //    contamination check run before any training corpus ships. One
+    //    equi-join on the gram hash; the benchmark side is tiny and
+    //    broadcastable at any corpus scale.
+    QueryDef(
+      "q73_decontamination",
+      (s, d) => {
+        val grams = docs(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            explode(array_distinct(graft.functions.HashExpressions.shingleHash32(col("toks"), 5))).as("g"))
+        val bench = grams.where(col("doc_id") < 20).select(col("g")).distinct()
+        grams.where(col("doc_id") >= 20)
+          .join(bench, "g")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_contaminated_grams"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+        g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                list_transform(range(0, len(t)-4), j -> t[j+1]||' '||t[j+2]||' '||t[j+3]||' '||t[j+4]||' '||t[j+5]),
+                x -> ('0x'||substr(md5(x),1,8))::BIGINT % $P))) g
+             FROM d WHERE len(t) >= 5),
+        bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 20)
+        SELECT doc_id, count(*) AS n_contaminated_grams
+        FROM g JOIN bench USING (g)
+        WHERE doc_id >= 20 GROUP BY doc_id""")
+    ),
+
+    // ── C4-style rule filter: the cheap boolean gauntlet (terminal
+    //    punctuation, minimum length, sane word lengths, stopword
+    //    presence) every web-scale corpus passes through before the
+    //    expensive pipeline stages. Each rule is its own audited column.
+    QueryDef(
+      "q74_rule_filter",
+      (s, d) => {
+        val t = tokens(col("text"))
+        val rules = Seq(
+          ("r_terminal", col("text").rlike("[.!?]$")),
+          ("r_min_words", size(t) >= 10),
+          ("r_word_len", size(filter(t, x => length(x) > 20)) === 0),
+          ("r_stopword", size(filter(t, x => x.isin(Stop: _*))) > 0)
+        )
+        docs(s, d).select(
+          (col("doc_id") +: rules.map { case (n, c) => c.as(n) } :+
+            rules.map(_._2).reduce(_ && _).as("keep")): _*)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text, string_split(text,' ') t FROM documents),
+        r AS (SELECT doc_id,
+          regexp_matches(text, '[.!?]$$') AS r_terminal,
+          len(t) >= 10 AS r_min_words,
+          len(list_filter(t, x -> length(x) > 20)) = 0 AS r_word_len,
+          len(list_filter(t, x -> list_contains(${sqlList(Stop)}, x))) > 0 AS r_stopword
+         FROM d)
+        SELECT doc_id, r_terminal, r_min_words, r_word_len, r_stopword,
+          r_terminal AND r_min_words AND r_word_len AND r_stopword AS keep
+        FROM r""")
+    ),
+
     // ── Deterministic stratified sampling — the mixture-control pass of a
     //    training-data pipeline. The sampling decision is a pure function
     //    of the row key (md5-derived bucket), so samples are reproducible
