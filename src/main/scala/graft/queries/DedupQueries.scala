@@ -133,6 +133,25 @@ object DedupQueries {
         ${jaccardSql("(1.0/2.0)")}""")
     ),
 
+    // ── Normalization-aware exact dedup: case-folded, punctuation-
+    //    stripped, whitespace-collapsed canonical form hashed per doc —
+    //    catches trivially-reformatted duplicates that byte-exact q40
+    //    misses, still one hash-aggregate. The canonicalization is pure
+    //    string functions, replayed identically by the oracle.
+    QueryDef(
+      "q75_dedup_normalized",
+      (s, d) => {
+        val canon = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+        docs(s, d)
+          .groupBy(md5(canon).as("canon_hash"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      },
+      Some("""SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS canon_hash,
+          min(doc_id) AS keep_id, count(*) AS n_dups
+        FROM documents GROUP BY 1""")
+    ),
+
     // ── MinHash + LSH banding: 16 affine min-hashes, 4 bands × 4 rows,
     //    bucket-join on whole-band collision, exact-Jaccard verify ≥ 0.5.
     QueryDef(
