@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] with cached dedup stages needs real heap headroom: at 8g the
+  // bench GC-thrashes once the shingle/signature caches fill (measured 3-5x
+  // inflation on unrelated queries in the same JVM); 32g keeps every cached
+  // stage memory-resident with room for execution.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -14,9 +14,25 @@ object SparkEntry {
   /** All declared capabilities. Order: reference-surface relational ops
     * first, then the LLM-pipeline extensions.
     */
-  def allDefs: Seq[QueryDef] =
-    Relational.defs ++ Analytics.defs ++ Analytics2.defs ++ Analytics3.defs ++ TextQueries.defs ++
-      DedupQueries.defs ++ SimilarityQueries.defs ++ MultimodalQueries.defs
+  def allDefs: Seq[QueryDef] = moduleDefs.flatMap(_._2)
+
+  /** Capabilities grouped by module, in declaration order. The bench runs
+    * module-by-module (cheap relational analytics first, the cache-sharing
+    * dedup/similarity families last and contiguous) and releases each
+    * module's cached subtrees before the next — deterministic order,
+    * bounded cache footprint.
+    */
+  def moduleDefs: Seq[(String, Seq[QueryDef])] = Seq(
+    "relational" -> Relational.defs,
+    "analytics" -> Analytics.defs,
+    "analytics2" -> Analytics2.defs,
+    "analytics3" -> Analytics3.defs,
+    "text" -> TextQueries.defs,
+    "pipeline" -> PipelineQueries.defs,
+    "dedup" -> DedupQueries.defs,
+    "similarity" -> SimilarityQueries.defs,
+    "multimodal" -> MultimodalQueries.defs
+  )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The engine's core operator: document→EAV signal explosion.

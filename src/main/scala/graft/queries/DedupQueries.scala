@@ -141,8 +141,11 @@ object DedupQueries {
     QueryDef(
       "q75_dedup_normalized",
       (s, d) => {
-        val canon = trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+        // Fused single-pass canonicalization (CanonAlnum) — identical
+        // semantics to the trim/regexp_replace/lower chain the oracle
+        // replays, without two regex scans per document (CanonSpec pins
+        // the equivalence property-based).
+        val canon = graft.functions.CanonicalizeExpressions.canonAlnum(col("text"))
         docs(s, d)
           .groupBy(md5(canon).as("canon_hash"))
           .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))

@@ -1,0 +1,254 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-3 training-data-pipeline surface: corpus balancing, PII
+  * redaction, sequence packing, repetition metrics, count-min sketch,
+  * context-window chunking, and int8 embedding quantization.
+  *
+  * Same discipline as the rest of the query surface: pure Column programs
+  * (codegen-friendly), engine-portable md5-derived hashing so every
+  * stochastic-looking decision is a deterministic function of the row, and
+  * floats only where both engines compute bit-identical IEEE doubles
+  * (element-wise ops + order-independent MIN/MAX/COUNT, or integer-exact
+  * sums — never an unordered float sum).
+  */
+object PipelineQueries {
+
+  private val P = graft.functions.TextFunctions.HashPrime
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) = Tables.load(s, d, "documents")
+  private def emb(s: org.apache.spark.sql.SparkSession, d: String) = Tables.load(s, d, "embeddings")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Language-balanced quota sampling: at most N docs per language,
+    //    chosen by hashed order (not doc_id order, which would bias toward
+    //    old documents). The quota variant of q64's rate sampling — what a
+    //    mixture spec like "cap zh at 30k docs" compiles to. One window
+    //    rank per partition; at 100 TB the partition key (lang) gives the
+    //    window its parallelism.
+    QueryDef(
+      "q76_lang_quota",
+      (s, d) => {
+        val h = pmod(hash32(concat(lit("q76|"), col("doc_id").cast(StringType))), lit(P))
+        val w = Window.partitionBy(col("lang")).orderBy(h.asc, col("doc_id").asc)
+        docs(s, d)
+          .select(col("doc_id"), col("lang"))
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 30)
+      },
+      Some(s"""WITH r AS (SELECT doc_id, lang,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY ('0x'||substr(md5('q76|'||doc_id::VARCHAR),1,8))::BIGINT % $P, doc_id) rk
+        FROM documents)
+        SELECT doc_id, lang, rk FROM r WHERE rk <= 30""")
+    ),
+
+    // ── PII redaction: email + long-digit-run scrub with per-doc match
+    //    counts — the compliance pass every published corpus runs. RE2-safe
+    //    patterns (no backrefs/lookaround) so Spark's java.util.regex and
+    //    the oracle's RE2 agree; the redacted text is compared by hash.
+    QueryDef(
+      "q77_pii_redact",
+      (s, d) => {
+        val emailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+        val numPat = "[0-9]{7,}"
+        val redacted = regexp_replace(
+          regexp_replace(col("text"), emailPat, "<EMAIL>"), numPat, "<NUM>")
+        docs(s, d).select(
+          col("doc_id"),
+          md5(redacted).as("redacted_hash"),
+          size(regexp_extract_all(col("text"), lit(emailPat), lit(0))).cast(LongType).as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(numPat), lit(0))).cast(LongType).as("n_longnums")
+        )
+      },
+      Some("""SELECT doc_id,
+          md5(regexp_replace(regexp_replace(text,
+            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+            '[0-9]{7,}', '<NUM>', 'g')) AS redacted_hash,
+          len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT AS n_emails,
+          len(regexp_extract_all(text, '[0-9]{7,}'))::BIGINT AS n_longnums
+        FROM documents""")
+    ),
+
+    // ── Greedy sequence packing: documents packed in order into
+    //    fixed-token-budget training sequences (budget 256; a doc starts a
+    //    new sequence when the running total crosses the boundary — the
+    //    deterministic first-fit-in-order rule). Packed per language so the
+    //    window has partition parallelism; a 100 TB run packs per shard
+    //    key exactly like this.
+    QueryDef(
+      "q78_sequence_pack",
+      (s, d) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(tokens(col("text"))).cast(LongType).as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("seq_id", floor((col("cum") - col("n_tok")) / lit(256.0)).cast(LongType))
+          .groupBy(col("lang"), col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("seq_tokens"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, len(string_split(text,' '))::BIGINT n FROM documents),
+        c AS (SELECT doc_id, lang, n,
+          sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum FROM d)
+        SELECT lang, floor((cum - n) / 256.0)::BIGINT AS seq_id,
+          count(*)::BIGINT AS n_docs, CAST(sum(n) AS BIGINT) AS seq_tokens
+        FROM c GROUP BY 1, 2""")
+    ),
+
+    // ── Intra-document repetition metrics (the Gopher-style rep filters):
+    //    duplicate-word fraction, top-word fraction, duplicate-bigram
+    //    fraction. All ratios are int/int divisions in doubles — exact and
+    //    engine-identical. Narrow per-doc aggregation, no corpus-wide
+    //    state.
+    QueryDef(
+      "q79_repetition",
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+        val wordMetrics = base
+          .select(col("doc_id"), explode(col("toks")).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("uniq"), max(col("c")).as("topc"))
+        val bigramMetrics = base
+          .select(col("doc_id"),
+            graft.functions.HashExpressions.shingleHash32(col("toks"), 2).as("gh"))
+          .select(col("doc_id"), size(col("gh")).as("nb"),
+            size(array_distinct(col("gh"))).as("ub"))
+          .select(col("doc_id"),
+            when(col("nb") > 0,
+              lit(1.0) - col("ub").cast(DoubleType) / col("nb").cast(DoubleType))
+              .otherwise(lit(0.0)).as("dup_bigram_frac"))
+        wordMetrics
+          .select(col("doc_id"),
+            (lit(1.0) - col("uniq").cast(DoubleType) / col("n").cast(DoubleType)).as("dup_word_frac"),
+            (col("topc").cast(DoubleType) / col("n").cast(DoubleType)).as("top_word_frac"))
+          .join(bigramMetrics, "doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+        wc AS (SELECT doc_id, w, count(*) c FROM (SELECT doc_id, unnest(t) w FROM d) GROUP BY 1, 2),
+        wm AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n, count(*) uniq, max(c) topc FROM wc GROUP BY 1),
+        g AS (SELECT doc_id, CASE WHEN len(t) >= 2
+              THEN list_transform(list_transform(range(0, len(t)-1), j -> t[j+1]||' '||t[j+2]),
+                                  x -> ('0x'||substr(md5(x),1,8))::BIGINT % $P)
+              ELSE [] END gh FROM d),
+        gm AS (SELECT doc_id, CASE WHEN len(gh) > 0
+              THEN CAST(1 AS DOUBLE) - len(list_distinct(gh))::DOUBLE / len(gh)::DOUBLE
+              ELSE CAST(0 AS DOUBLE) END dup_bigram_frac FROM g)
+        SELECT doc_id,
+          CAST(1 AS DOUBLE) - uniq::DOUBLE / n::DOUBLE AS dup_word_frac,
+          topc::DOUBLE / n::DOUBLE AS top_word_frac,
+          dup_bigram_frac
+        FROM wm JOIN gm USING (doc_id)""")
+    ),
+
+    // ── Count-min sketch over corpus word frequencies: depth 2 (the two
+    //    independent md5-derived hashes), width 512, estimate = min over
+    //    rows — with the exact count as companion and the CMS guarantee
+    //    (estimate never undercounts) as a pinned-TRUE column, the q36
+    //    sketch-gating pattern. Sketch build is two width-bounded
+    //    aggregations; the estimate join touches only distinct words.
+    QueryDef(
+      "q80_countmin",
+      (s, d) => {
+        val words = docs(s, d)
+          .select(explode(tokens(col("text"))).as("w"))
+        val exact = words.groupBy(col("w")).agg(count(lit(1)).as("exact_n"))
+        val cells = exact.select(col("w"), col("exact_n"),
+          pmod(hash32(col("w")), lit(512)).as("c0"),
+          pmod(hash32b(col("w")), lit(512)).as("c1"))
+        val t0 = words.groupBy(pmod(hash32(col("w")), lit(512)).as("c0"))
+          .agg(count(lit(1)).as("n0"))
+        val t1 = words.groupBy(pmod(hash32b(col("w")), lit(512)).as("c1"))
+          .agg(count(lit(1)).as("n1"))
+        cells.join(t0, "c0").join(t1, "c1")
+          .select(col("w"), col("exact_n"),
+            least(col("n0"), col("n1")).as("cms_est"))
+          .withColumn("est_ge_exact", col("cms_est") >= col("exact_n"))
+          .orderBy(col("exact_n").desc, col("w"))
+          .limit(20)
+      },
+      Some("""WITH w AS (SELECT unnest(string_split(text,' ')) w FROM documents),
+        exact AS (SELECT w, count(*) exact_n FROM w GROUP BY 1),
+        t0 AS (SELECT ('0x'||substr(md5(w),1,8))::BIGINT % 512 c0, count(*) n0 FROM w GROUP BY 1),
+        t1 AS (SELECT ('0x'||substr(md5(w),9,8))::BIGINT % 512 c1, count(*) n1 FROM w GROUP BY 1)
+        SELECT w, exact_n, least(n0, n1) AS cms_est, least(n0, n1) >= exact_n AS est_ge_exact
+        FROM exact
+        JOIN t0 ON ('0x'||substr(md5(w),1,8))::BIGINT % 512 = c0
+        JOIN t1 ON ('0x'||substr(md5(w),9,8))::BIGINT % 512 = c1
+        ORDER BY exact_n DESC, w LIMIT 20""")
+    ),
+
+    // ── Context-window chunking: each document split into fixed 64-char
+    //    windows (the tail chunk short) — the standard pre-embedding
+    //    chunker. One generate per doc, no shuffle; chunk identity by
+    //    hash.
+    QueryDef(
+      "q82_chunking",
+      (s, d) =>
+        docs(s, d)
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(0),
+              ((length(col("text")) - lit(1)) / lit(64)).cast(IntegerType))).as("ix"))
+          .select(col("doc_id"), col("ix").cast(LongType).as("chunk_ix"),
+            expr("substring(text, ix * 64 + 1, 64)").as("chunk"))
+          .select(col("doc_id"), col("chunk_ix"),
+            md5(col("chunk")).as("chunk_hash"),
+            length(col("chunk")).cast(LongType).as("chunk_len")),
+      Some("""SELECT doc_id, ix AS chunk_ix,
+          md5(substr(text, (ix * 64 + 1)::INT, 64)) AS chunk_hash,
+          length(substr(text, (ix * 64 + 1)::INT, 64))::BIGINT AS chunk_len
+        FROM (SELECT doc_id, text, unnest(range(0, (length(text)-1)//64 + 1)) ix
+              FROM documents)""")
+    ),
+
+    // ── Int8 symmetric embedding quantization: per-vector scale =
+    //    max|x|/127, q_i = floor(x/scale + 0.5) (explicit half-up — both
+    //    engines compute the identical IEEE double), integer-exact
+    //    checksum over the quantized vector plus the max reconstruction
+    //    error (MAX is order-independent, so it is oracle-safe where a
+    //    float SUM would not be). The compression pass before ANN serving.
+    QueryDef(
+      "q83_embedding_quant",
+      (s, d) => {
+        val staged = emb(s, d).select(col("vec_id"), col("embedding").as("v"))
+          .select(col("vec_id"), col("v"),
+            array_max(transform(col("v"), x => abs(x.cast(DoubleType)))).as("maxabs"))
+          .select(col("vec_id"), col("v"), col("maxabs"),
+            (col("maxabs") / lit(127.0)).as("scale"))
+        staged.select(
+          col("vec_id"),
+          col("scale"),
+          when(col("maxabs") > 0,
+            aggregate(
+              transform(col("v"), x => floor(x.cast(DoubleType) / col("scale") + lit(0.5)).cast(LongType)),
+              lit(0L), _ + _))
+            .otherwise(lit(0L)).as("q_sum"),
+          when(col("maxabs") > 0,
+            array_max(transform(col("v"),
+              x => abs(x.cast(DoubleType) - floor(x.cast(DoubleType) / col("scale") + lit(0.5)) * col("scale")))))
+            .otherwise(lit(0.0)).as("max_q_err")
+        )
+      },
+      Some("""WITH m AS (SELECT vec_id, embedding v,
+          list_max(list_transform(embedding, x -> abs(x::DOUBLE))) maxabs
+        FROM embeddings),
+        s AS (SELECT vec_id, v, maxabs, maxabs / 127.0 scale FROM m)
+        SELECT vec_id, scale,
+          CASE WHEN maxabs > 0 THEN CAST(list_reduce(list_prepend(0::BIGINT,
+              list_transform(v, x -> floor(x::DOUBLE / scale + 0.5)::BIGINT)), (a,b) -> a+b) AS BIGINT)
+            ELSE 0 END AS q_sum,
+          CASE WHEN maxabs > 0 THEN list_max(
+              list_transform(v, x -> abs(x::DOUBLE - floor(x::DOUBLE / scale + 0.5) * scale)))
+            ELSE CAST(0 AS DOUBLE) END AS max_q_err
+        FROM s""")
+    )
+  )
+}

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-3 pipeline operators (q76-q83) on crafted
+  * corpora: each test writes a tiny documents/embeddings parquet dir and
+  * runs the DECLARED query fn against it, so the exact code the driver
+  * checks is the code under test.
+  */
+class PipelineQueriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)
+
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = Files.createTempDirectory("graft-pipeline").toString
+    rows.map { case (id, text, lang, source) => (id, text, lang, source, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q76: per-language quota is enforced and deterministic") {
+    val out = q("q76_lang_quota")(spark, "/root/testdata/sf0.01")
+    val perLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(perLang.values.forall(_ <= 30))
+    assert(perLang("en") === 30) // en has 218 docs, the cap must bite
+    val again = q("q76_lang_quota")(spark, "/root/testdata/sf0.01")
+    assert(out.collect().toSet === again.collect().toSet)
+  }
+
+  test("q77: emails and long digit runs are redacted, counts reported") {
+    val dir = docsDir(Seq(
+      (1L, "contact bob@example.com or 12345678 now", "en", "s"),
+      (2L, "no pii here", "en", "s"),
+      (3L, "a@b.io c@d.org 999", "en", "s")
+    ))
+    val got = q("q77_pii_redact")(spark, dir)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(got(0)._3 === 1 && got(0)._4 === 1)
+    assert(got(1)._3 === 0 && got(1)._4 === 0)
+    assert(got(2)._3 === 2 && got(2)._4 === 0) // 999 is too short to redact
+    // redaction really happened: hash equals md5 of the expected string
+    val expected = spark.sql(
+      "SELECT md5('contact <EMAIL> or <NUM> now')").as[String].head()
+    assert(got(0)._2 === expected)
+  }
+
+  test("q78: packing starts a new sequence when the budget is crossed") {
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // 100+100+100 tokens: docs 1,2,3 start at cum-before 0/100/200 -> seq 0;
+    // doc 4 starts at 300 -> seq 1.
+    val dir = docsDir(Seq(
+      (1L, words(100), "en", "s"), (2L, words(100), "en", "s"),
+      (3L, words(100), "en", "s"), (4L, words(100), "en", "s"),
+      (5L, words(10), "fr", "s")
+    ))
+    val got = q("q78_sequence_pack")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got === Set(("en", 0L, 3L, 300L), ("en", 1L, 1L, 100L), ("fr", 0L, 1L, 10L)))
+  }
+
+  test("q79: repetition fractions on a crafted doc") {
+    val dir = docsDir(Seq((1L, "a a b", "en", "s"), (2L, "x", "en", "s")))
+    val got = q("q79_repetition")(spark, dir)
+      .orderBy("doc_id").as[(Long, Double, Double, Double)].collect()
+    assert(math.abs(got(0)._2 - (1.0 - 2.0 / 3.0)) < 1e-15) // dup words
+    assert(math.abs(got(0)._3 - 2.0 / 3.0) < 1e-15) // top word 'a'
+    assert(got(0)._4 === 0.0) // bigrams "a a","a b" distinct
+    assert(got(1)._2 === 0.0 && got(1)._3 === 1.0 && got(1)._4 === 0.0)
+  }
+
+  test("q80: count-min estimate never undercounts and is exact-companioned") {
+    val rows = q("q80_countmin")(spark, "/root/testdata/sf0.01")
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(rows.length === 20)
+    rows.foreach { case (w, exact, est, ok) =>
+      assert(ok && est >= exact, s"$w est=$est exact=$exact")
+    }
+  }
+
+  test("q82: chunks tile each document exactly") {
+    val dir = docsDir(Seq((1L, "x" * 130, "en", "s"), (2L, "short", "en", "s")))
+    val got = q("q82_chunking")(spark, dir)
+      .orderBy("doc_id", "chunk_ix").as[(Long, Long, String, Long)].collect()
+    assert(got.filter(_._1 == 1L).map(_._4).toSeq === Seq(64L, 64L, 2L))
+    assert(got.filter(_._1 == 2L).map(_._4).toSeq === Seq(5L))
+    // corpus-level tiling invariant: chunk lengths sum back to n_chars
+    val sums = q("q82_chunking")(spark, "/root/testdata/sf0.01")
+      .groupBy("doc_id").agg(sum("chunk_len").as("s"))
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+    assert(sums.join(docs, "doc_id").where(col("s") =!= col("n")).count() === 0)
+  }
+
+  test("q83: int8 quantization checksum and error bound on a crafted vector") {
+    val dir = Files.createTempDirectory("graft-emb").toString
+    Seq((1L, Seq(1.0f, -0.5f, 0.25f), 0), (2L, Seq(0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = q("q83_embedding_quant")(spark, dir)
+      .orderBy("vec_id").as[(Long, Double, Long, Double)].collect()
+    // scale = 1/127; q = [127, floor(-63.5+0.5)=-63, floor(31.75+0.5)=32]
+    assert(got(0)._3 === 127L - 63L + 32L)
+    val scale = 1.0 / 127.0
+    // quantization error can never exceed one half-step
+    assert(got(0)._4 <= scale / 2 + 1e-12)
+    assert(got(1)._2 === 0.0 && got(1)._3 === 0L && got(1)._4 === 0.0)
+    // corpus-wide: error bounded by half a step for every vector
+    val all = q("q83_embedding_quant")(spark, "/root/testdata/sf0.01")
+    assert(all.where(col("max_q_err") > col("scale") / 2 + lit(1e-12)).count() === 0)
+  }
+}

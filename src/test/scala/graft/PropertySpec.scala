@@ -70,4 +70,35 @@ class PropertySpec extends AnyFunSuite {
       fast == brute
     }, min = 15)
   }
+
+  test("CanonAlnum equals the lower/regex/trim chain for any string") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val charGen = Gen.frequency(
+      5 -> Gen.alphaNumChar,
+      3 -> Gen.const(' '),
+      2 -> Gen.oneOf('!', '?', '.', ',', ';', 'É', 'ß', 'Ω', '中', '\t', '\n', 'İ'),
+      1 -> Gen.choose(32.toChar, 0x2fff.toChar)
+    )
+    checkProp(Prop.forAll(Gen.listOf(charGen).map(_.mkString)) { s =>
+      val u = UTF8String.fromString(s)
+      val got = graft.functions.CanonSupport.canonAlnum(u).toString
+      // Same chain q75's oracle replays: Spark's lower() (UTF8String
+      // case-folding), the two regexes, trim.
+      val ref = u.toLowerCase.toString
+        .replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim
+      got == ref
+    }, min = 300)
+  }
+
+  test("CanonAlnum column matches the regex-chain column on the documents corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val chain = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val mismatches = docs
+      .select(graft.functions.CanonicalizeExpressions.canonAlnum(col("text")).as("a"), chain.as("b"))
+      .where(not(col("a") <=> col("b")))
+      .count()
+    assert(mismatches == 0L)
+  }
 }
