@@ -186,6 +186,45 @@ object PipelineQueries {
         ORDER BY exact_n DESC, w LIMIT 20""")
     ),
 
+    // ── Boilerplate removal at chunk granularity (the C4 move, on 64-char
+    //    windows): a chunk appearing in >= 3 distinct documents is
+    //    boilerplate; each document is reassembled from its kept chunks in
+    //    order and compared by hash. Document-frequency is one equi-keyed
+    //    aggregation; the rewrite is a per-doc ordered fold — no
+    //    corpus-wide state beyond the chunk DF table.
+    QueryDef(
+      "q81_boilerplate",
+      (s, d) => {
+        val chunks = docs(s, d)
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(0),
+              ((length(col("text")) - lit(1)) / lit(64)).cast(IntegerType))).as("ix"))
+          .select(col("doc_id"), col("ix"),
+            expr("substring(text, ix * 64 + 1, 64)").as("chunk"))
+        val dfreq = chunks.groupBy(col("chunk"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        chunks.join(dfreq, "chunk")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_boiler"),
+            md5(array_join(
+              transform(
+                array_sort(collect_list(struct(col("ix"),
+                  when(col("df") < 3, col("chunk")).otherwise(lit("")).as("kept")))),
+                x => x.getField("kept")),
+              "")).as("clean_hash"))
+      },
+      Some("""WITH ch AS (SELECT doc_id, ix, substr(text, (ix*64+1)::INT, 64) chunk
+          FROM (SELECT doc_id, text, unnest(range(0, (length(text)-1)//64 + 1)) ix
+                FROM documents)),
+        dfreq AS (SELECT chunk, count(DISTINCT doc_id) df FROM ch GROUP BY 1)
+        SELECT doc_id, count(*)::BIGINT AS n_chunks,
+          CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+          md5(string_agg(CASE WHEN df < 3 THEN chunk ELSE '' END, '' ORDER BY ix)) AS clean_hash
+        FROM ch JOIN dfreq USING (chunk) GROUP BY doc_id""")
+    ),
+
     // ── Context-window chunking: each document split into fixed 64-char
     //    windows (the tail chunk short) — the standard pre-embedding
     //    chunker. One generate per doc, no shuffle; chunk identity by

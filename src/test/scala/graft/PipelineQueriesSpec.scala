@@ -81,6 +81,27 @@ class PipelineQueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q81: shared chunks are dropped, unique chunks survive reassembly") {
+    val boiler = "B" * 64
+    val dir = docsDir(Seq(
+      (1L, boiler + "alpha unique one", "en", "s"),
+      (2L, boiler + "beta unique two", "en", "s"),
+      (3L, boiler + "gamma unique three", "en", "s"),
+      (4L, "all original text here", "en", "s")
+    ))
+    val got = q("q81_boilerplate")(spark, dir)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    // docs 1-3 share the 64-char boilerplate chunk (df=3 >= 3): dropped
+    assert(got.take(3).forall { case (_, n, b, _) => n === 2L && b === 1L })
+    assert(got(3)._3 === 0L)
+    // doc 4's clean hash is the doc itself (single chunk, kept)
+    val expect = spark.sql("SELECT md5('all original text here')").as[String].head()
+    assert(got(3)._4 === expect)
+    // doc 1's clean hash drops the boilerplate prefix
+    val expect1 = spark.sql("SELECT md5('alpha unique one')").as[String].head()
+    assert(got(0)._4 === expect1)
+  }
+
   test("q82: chunks tile each document exactly") {
     val dir = docsDir(Seq((1L, "x" * 130, "en", "s"), (2L, "short", "en", "s")))
     val got = q("q82_chunking")(spark, dir)

@@ -128,6 +128,41 @@ class PlanSpec extends SparkTestBase {
       "null slice must broadcast, not hash to one reducer\n" + p)
   }
 
+  test("q77/q82/q83 per-row pipeline passes are shuffle-free") {
+    Seq("q77_pii_redact", "q82_chunking", "q83_embedding_quant").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name must be a narrow per-row pass\n$p")
+    }
+  }
+
+  test("q76/q78 windows are partitioned by lang (parallel, not global)") {
+    Seq("q76_lang_quota", "q78_sequence_pack").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("Window"), p)
+      assert(p.contains("hashpartitioning(lang"),
+        s"$name window must partition by lang, not run single-partition\n$p")
+      assert(!p.contains("SinglePartition") || name == "q76_lang_quota",
+        s"$name has a single-partition stage\n$p")
+    }
+  }
+
+  test("q79/q80 aggregate pipelines never go quadratic") {
+    Seq("q79_repetition", "q80_countmin").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name degenerated to a non-equi join\n$p")
+    }
+  }
+
+  test("CanonAlnum stays inside whole-stage codegen") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan("q75_dedup_normalized")
+      val fused = p.split("\n").exists(l => l.contains("*(") && l.toLowerCase.contains("canonalnum"))
+      assert(fused, "CanonAlnum fell out of whole-stage codegen\n" + p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("entry flagship query produces rows and a non-degenerate plan") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
