@@ -248,6 +248,27 @@ object PipelineQueries {
               FROM documents)""")
     ),
 
+    // ── Exact-K deterministic global sample: the K docs with the smallest
+    //    keyed hash, corpus-wide — "give me exactly 100k docs,
+    //    reproducibly" (rate sampling q64 gives a binomial count; quota
+    //    q76 is per-group). ORDER BY hash LIMIT K plans as
+    //    TakeOrderedAndProject: per-partition top-K then a driver merge of
+    //    K-sized heaps — no global sort at any scale (PlanSpec-pinned).
+    QueryDef(
+      "q84_exact_k_sample",
+      (s, d) =>
+        docs(s, d)
+          .select(col("doc_id"), col("lang"), col("source"))
+          .withColumn("h",
+            pmod(hash32(concat(lit("q84|"), col("doc_id").cast(StringType))), lit(P)))
+          .orderBy(col("h").asc, col("doc_id").asc)
+          .limit(100)
+          .select(col("doc_id"), col("lang"), col("source")),
+      Some(s"""SELECT doc_id, lang, source FROM documents
+        ORDER BY ('0x'||substr(md5('q84|'||doc_id::VARCHAR),1,8))::BIGINT % $P, doc_id
+        LIMIT 100""")
+    ),
+
     // ── Int8 symmetric embedding quantization: per-vector scale =
     //    max|x|/127, q_i = floor(x/scale + 0.5) (explicit half-up — both
     //    engines compute the identical IEEE double), integer-exact

@@ -102,6 +102,15 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(got(0)._4 === expect1)
   }
 
+  test("q84: exactly K docs, stable across runs, unbiased across langs") {
+    val a = q("q84_exact_k_sample")(spark, "/root/testdata/sf0.01")
+    assert(a.count() === 100)
+    val b = q("q84_exact_k_sample")(spark, "/root/testdata/sf0.01")
+    assert(a.collect().toSet === b.collect().toSet)
+    // hashed selection should touch every language in a 500-doc corpus
+    assert(a.select("lang").distinct().count() === 5)
+  }
+
   test("q82: chunks tile each document exactly") {
     val dir = docsDir(Seq((1L, "x" * 130, "en", "s"), (2L, "short", "en", "s")))
     val got = q("q82_chunking")(spark, dir)

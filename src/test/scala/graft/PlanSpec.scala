@@ -154,6 +154,12 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q84 exact-K sample plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q84_exact_k_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortExec"), p)
+  }
+
   test("CanonAlnum stays inside whole-stage codegen") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

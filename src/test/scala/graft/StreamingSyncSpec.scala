@@ -176,6 +176,38 @@ class StreamingSyncSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("pipeline gauntlet runs incrementally: rules + redaction + normalized dedup") {
+    // The corpus-hygiene passes (q74 rules, q77 redaction, q75 canonical
+    // dedup) are stateless Column programs plus one keyed dedup — so the
+    // SAME expressions run under Structured Streaming unchanged, custom
+    // CanonAlnum expression included. State dedups across micro-batches.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = input.toDS().toDF("doc_id", "text")
+      .where(size(split(col("text"), " ")) >= 3) // min-words rule
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "[0-9]{7,}", "<NUM>").as("redacted"),
+        md5(graft.functions.CanonicalizeExpressions.canonAlnum(col("text"))).as("canon_hash"))
+      .dropDuplicates("canon_hash")
+    val query = out.writeStream.format("memory").queryName("gauntlet")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "Hello,  World! Call 12345678"),
+        (2L, "hello world call 12345678"), // same canonical form as doc 1
+        (3L, "too short"), // fails the min-words rule
+        (4L, "a genuinely different document")
+      )
+      query.processAllAvailable()
+      input.addData((5L, "HELLO world call 12345678")) // dup across batches
+      query.processAllAvailable()
+      val got = spark.table("gauntlet").collect()
+      assert(got.map(_.getLong(0)).toSet === Set(1L, 4L))
+      val redacted = got.find(_.getLong(0) == 1L).get.getString(1)
+      assert(redacted === "Hello,  World! Call <NUM>")
+    } finally query.stop()
+  }
+
   test("windowed rollup compiles to a valid streaming plan") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
