@@ -19,6 +19,8 @@ import org.apache.spark.sql.types._
 object PipelineQueries {
 
   private val P = graft.functions.TextFunctions.HashPrime
+  private val Stop = TextQueries.Stop
+  private def sqlList(xs: Seq[String]) = TextQueries.sqlList(xs)
 
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) = Tables.load(s, d, "documents")
   private def emb(s: org.apache.spark.sql.SparkSession, d: String) = Tables.load(s, d, "embeddings")
@@ -267,6 +269,71 @@ object PipelineQueries {
       Some(s"""SELECT doc_id, lang, source FROM documents
         ORDER BY ('0x'||substr(md5('q84|'||doc_id::VARCHAR),1,8))::BIGINT % $P, doc_id
         LIMIT 100""")
+    ),
+
+    // ── The full curation pipeline as ONE declarative DAG — the composition
+    //    a C4-style corpus build runs: rule gauntlet (q74) → normalized
+    //    dedup keep-first (q75) → quality gate (q31's score) → hashed
+    //    rate-sample (q64's mechanism) → per-(lang, source) corpus stats.
+    //    Every stage is an already-oracle-proven building block; composing
+    //    them stays one Catalyst plan (the gauntlet pushes down past the
+    //    dedup join, the sample is a pure row predicate), so Spark
+    //    pipelines the whole thing without materialization barriers.
+    QueryDef(
+      "q85_curation_pipeline",
+      (s, d) => {
+        val base = docs(s, d)
+          .select(col("doc_id"), col("lang"), col("source"), col("text"),
+            tokens(col("text")).as("t"))
+        // q74's gauntlet minus the terminal-punctuation rule: the synthetic
+        // corpus has no sentence punctuation, so that rule would empty the
+        // pipeline (q74 still audits it as a column).
+        val ruled = base.where(
+          size(col("t")) >= 10 &&
+            size(filter(col("t"), x => length(x) > 20)) === 0 &&
+            size(filter(col("t"), x => x.isin(Stop: _*))) > 0)
+          .withColumn("canon_hash",
+            md5(graft.functions.CanonicalizeExpressions.canonAlnum(col("text"))))
+        val keepers = ruled.groupBy(col("canon_hash")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        val deduped = ruled.join(keepers, Seq("doc_id"), "left_semi")
+        val nTok = size(col("t")).cast(DoubleType)
+        val quality =
+          lit(0.5) * (size(array_distinct(col("t"))).cast(DoubleType) / nTok) +
+            lit(0.3) * least(
+              aggregate(transform(col("t"), x => length(x).cast(LongType)), lit(0L), _ + _)
+                .cast(DoubleType) / nTok / lit(8.0), lit(1.0)) +
+            lit(0.2) * (size(filter(col("t"), x => x.isin(Stop: _*))).cast(DoubleType) / nTok)
+        deduped
+          .where(quality >= 0.5)
+          .where(pmod(hash32(concat(lit("q85|"), col("doc_id").cast(StringType))), lit(5)) < 3)
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(col("t")).cast(LongType)).as("n_tokens"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, lang, source, text, string_split(text,' ') t FROM documents),
+        ruled AS (SELECT *,
+            md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) canon_hash
+          FROM d
+          WHERE len(t) >= 10
+            AND len(list_filter(t, x -> length(x) > 20)) = 0
+            AND len(list_filter(t, x -> list_contains(${sqlList(Stop)}, x))) > 0),
+        keepers AS (SELECT min(doc_id) doc_id FROM ruled GROUP BY canon_hash),
+        deduped AS (SELECT * FROM ruled WHERE doc_id IN (SELECT doc_id FROM keepers)),
+        scored AS (SELECT *,
+            0.5 * (len(list_distinct(t))::DOUBLE / len(t)::DOUBLE)
+          + 0.3 * least(CAST(list_reduce(list_prepend(0::BIGINT,
+                list_transform(t, x -> length(x)::BIGINT)), (a,b) -> a+b) AS DOUBLE)
+              / len(t)::DOUBLE / 8.0, 1.0)
+          + 0.2 * (len(list_filter(t, x -> list_contains(${sqlList(Stop)}, x)))::DOUBLE / len(t)::DOUBLE)
+            AS quality
+          FROM deduped)
+        SELECT lang, source, count(*)::BIGINT AS n_docs,
+          CAST(sum(len(t)) AS BIGINT) AS n_tokens
+        FROM scored
+        WHERE quality >= 0.5
+          AND ('0x'||substr(md5('q85|'||doc_id::VARCHAR),1,8))::BIGINT % 5 < 3
+        GROUP BY 1, 2""")
     ),
 
     // ── Int8 symmetric embedding quantization: per-vector scale =

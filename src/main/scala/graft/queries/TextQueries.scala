@@ -16,9 +16,11 @@ object TextQueries {
 
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) = Tables.load(s, d, "documents")
 
-  /** English-ish stopword list used by the quality score. */
-  private val Stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
-  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
+  /** English-ish stopword list used by the quality score (shared with the
+    * q85 curation composition).
+    */
+  private[queries] val Stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private[queries] def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
   /** Winnowed fingerprints per document (q33's pipeline, shared with the
     * fingerprint-overlap dedup q61): (doc_id, doc_hash, fp) — 4-token

@@ -102,6 +102,29 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(got(0)._4 === expect1)
   }
 
+  test("q85: each curation stage filters what it should") {
+    val good = "the quick brown fox jumps over one lazy sleeping dog" // 10 words, has stopword
+    val dir = docsDir(Seq(
+      (1L, good, "en", "s"),
+      (2L, "The quick brown fox, jumps over one lazy sleeping dog!", "en", "s"), // dup of 1 after canon
+      (3L, "too short", "en", "s"), // fails min-words
+      (4L, "w w w w w w w w w the", "en", "s"), // quality ~0.16 < 0.5
+      (5L, good.replace("dog", "cat"), "fr", "s")
+    ))
+    // expected: docs 1 and 5 survive rules+dedup+quality; the sample stage
+    // keeps those whose keyed hash bucket < 3 — replay the declared
+    // predicate to compute the expectation.
+    val sampled = Seq(1L, 5L).filter { id =>
+      spark.sql(s"SELECT pmod(cast(conv(substring(md5('q85|$id'), 1, 8), 16, 10) AS BIGINT), 5) < 3")
+        .as[Boolean].head()
+    }
+    val got = q("q85_curation_pipeline")(spark, dir)
+      .as[(String, String, Long, Long)].collect()
+    assert(got.map(_._3).sum === sampled.size.toLong)
+    if (sampled.contains(1L))
+      assert(got.find(_._1 == "en").get._4 === 10L)
+  }
+
   test("q84: exactly K docs, stable across runs, unbiased across langs") {
     val a = q("q84_exact_k_sample")(spark, "/root/testdata/sf0.01")
     assert(a.count() === 100)

@@ -154,6 +154,12 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q85 curation pipeline: dedup is a semi-join, nothing goes quadratic") {
+    val p = plan("q85_curation_pipeline")
+    assert(p.contains("LeftSemi"), s"dedup keep-first must be a semi-join\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q84 exact-K sample plans TakeOrderedAndProject, not a global sort") {
     val p = plan("q84_exact_k_sample")
     assert(p.contains("TakeOrderedAndProject"), p)
