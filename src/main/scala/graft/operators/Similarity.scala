@@ -63,6 +63,24 @@ object Similarity {
     * partitions×k rows per key. Ordering ties break on ascending vid, so
     * the result is identical to a global sort.
     */
+  /** Hard-negative mining for contrastive training: each query's top-k
+    * most-similar corpus vectors with a DIFFERENT label — the highest-loss
+    * negatives. Same broadcast + bounded-heap shape as [[bruteForceTopK]];
+    * the label-mismatch predicate rides the broadcast join, so the corpus
+    * still streams through unshuffled. `corpus`/`queries` carry
+    * (vid, v, nrm, label).
+    */
+  def hardNegativeTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = corpus
+      .join(
+        broadcast(queries.select(col("vid").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("label").as("qlabel"))),
+        col("vid") =!= col("query_id") && col("label") =!= col("qlabel"))
+      .withColumn("cos", cosine(col("qv"), col("qn"), col("v"), col("nrm")))
+      .select(col("query_id"), col("vid"), col("cos"))
+    topKPerKey(scored, k)
+  }
+
   private[operators] def topKPerKey(scored: DataFrame, k: Int): DataFrame = {
     import scored.sparkSession.implicits._
     val pre = scored.as[(Long, Long, Double)].mapPartitions { it =>

@@ -205,6 +205,28 @@ object SimilarityQueries {
       }
     ),
 
+    // ── Hard-negative mining: each probe's top-3 most-similar vectors
+    //    with a DIFFERENT label — the contrastive-training batch
+    //    construction pass. The label-mismatch predicate rides the
+    //    broadcast join; corpus still streams unshuffled through the
+    //    bounded-heap pre-reduce.
+    QueryDef(
+      "q86_hard_negatives",
+      (s, d) => {
+        val lab = emb(s, d).select(col("vec_id").as("vid"), col("label"))
+        val corpus = Similarity.prepare(emb(s, d), "vec_id", "embedding").join(lab, "vid")
+        Similarity.hardNegativeTopK(corpus, corpus.where(col("vid") < 8), k = 3)
+      },
+      Some(s"""WITH $NormCte,
+        nl AS (SELECT n.vec_id, v, nrm, label FROM n JOIN embeddings e2 ON e2.vec_id = n.vec_id),
+        q AS (SELECT vec_id query_id, v qv, nrm qn, label ql FROM nl WHERE vec_id < 8),
+        s AS (SELECT query_id, nl.vec_id neighbor_id, ${dotSql("qv", "v")} / (qn*nrm) cos
+              FROM q JOIN nl ON nl.vec_id <> query_id AND nl.label <> ql)
+        SELECT query_id, neighbor_id, rank, cos FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) rank FROM s)
+        WHERE rank <= 3""")
+    ),
+
     // ── k-NN classification on top of the exact search: majority label
     //    vote among the 5 nearest neighbors, min-label tiebreak — the
     //    similarity-search application shape (labeling by retrieval).

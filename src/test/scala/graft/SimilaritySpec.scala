@@ -25,6 +25,26 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("hard negatives: every neighbor has a different label than its query") {
+    val lab = emb.select(col("vec_id").as("vid"), col("label"))
+    val corpus = Similarity.prepare(emb, "vec_id", "embedding").join(lab, "vid")
+    val out = Similarity.hardNegativeTopK(corpus, corpus.where(col("vid") < 4), k = 3)
+    val rows = out.collect()
+    assert(rows.length === 4 * 3)
+    val labels = lab.as[(Long, Int)].collect().toMap
+    rows.foreach { r =>
+      assert(labels(r.getLong(0)) !== labels(r.getLong(1)),
+        s"neighbor ${r.getLong(1)} shares label with query ${r.getLong(0)}")
+    }
+    // hard negatives are a label-filtered subset: each must score <= the
+    // unfiltered best at the same rank
+    val brute = Similarity.bruteForceTopK(corpus, corpus.where(col("vid") < 4), k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getDouble(3)).toMap
+    rows.foreach { r =>
+      assert(r.getDouble(3) <= brute((r.getLong(0), r.getInt(2))) + 1e-12)
+    }
+  }
+
   test("IVF results are a subset-consistent approximation of brute force") {
     val corpus = Similarity.prepare(emb, "vec_id", "embedding")
     val queries = corpus.where(col("vid") < 4)
