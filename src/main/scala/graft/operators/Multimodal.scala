@@ -106,4 +106,46 @@ object Multimodal {
       }
     }
   }
+
+  /** REAL image decode using only the JDK (`javax.imageio` ships PNG/JPEG/
+    * GIF readers — no external codec dependency): pixels → a `dim`-bin
+    * normalized luma histogram, the standard cheap visual feature. Same
+    * batched partition-local plumbing and per-item isolation as
+    * [[decodeFeatures]]; non-image payloads yield zero features.
+    */
+  def decodeImageHistogram(items: Dataset[MediaItem], dim: Int = 16, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          val feats =
+            try {
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+              if (img == null) new Array[Float](dim)
+              else {
+                val hist = new Array[Float](dim)
+                val (w, h) = (img.getWidth, img.getHeight)
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val rgb = img.getRGB(x, y)
+                    // integer ITU-R 601 luma approximation
+                    val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                    hist(math.min(luma * dim / 256, dim - 1)) += 1f
+                    x += 1
+                  }
+                  y += 1
+                }
+                val n = (w.toLong * h).toFloat
+                var i = 0
+                while (i < dim) { hist(i) /= n; i += 1 }
+                hist
+              }
+            } catch { case _: Throwable => new Array[Float](dim) }
+          MediaFeatures(m.mediaId, m.modality, m.nBytes, feats)
+        }
+      }
+    }
+  }
 }

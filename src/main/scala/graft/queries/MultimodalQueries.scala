@@ -41,6 +41,43 @@ object MultimodalQueries {
         lower(hex(encode(substr(text, 1, 4)))) AS magic,
         ((octet_length(encode(text)) - 1) // 64 + 1)::BIGINT AS n_frames
         FROM documents""")
+    ),
+
+    // ── Container-header dimension sniffing, validated by construct-then-
+    //    parse: each doc gets a synthetic PNG/GIF/JPEG header whose
+    //    width/height are functions of doc_id; Spark PARSES the bytes back
+    //    with the codegen-native ImageDims expression (PNG IHDR, GIF
+    //    screen descriptor, JPEG marker walk) while the oracle computes
+    //    the expected dims directly — any parser defect breaks the hash.
+    //    Real image files round-trip in TextAndMultimodalSpec via JDK
+    //    ImageIO encoders.
+    QueryDef(
+      "q87_image_dims",
+      (s, d) => {
+        val w = lit(16L) + pmod(col("doc_id"), lit(1024L))
+        val h = lit(16L) + pmod(col("doc_id") * 7, lit(1024L))
+        val w8 = lpad(hex(w), 8, "0")
+        val h8 = lpad(hex(h), 8, "0")
+        val w4 = lpad(hex(w), 4, "0")
+        val h4 = lpad(hex(h), 4, "0")
+        val w4le = concat(substring(w4, 3, 2), substring(w4, 1, 2))
+        val h4le = concat(substring(h4, 3, 2), substring(h4, 1, 2))
+        val payloadHex = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("89504E470D0A1A0A0000000D49484452"), w8, h8, lit("08")))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            concat(lit("474946383961"), w4le, h4le))
+          .otherwise(concat(lit("FFD8FFE000040000FFC0001108"), h4, w4))
+        docs(s, d)
+          .select(col("doc_id"),
+            graft.functions.ImageDimsExpressions.imageDims(unhex(payloadHex)).as("dims"))
+          .select(col("doc_id"), col("dims.format").as("format"),
+            col("dims.width").as("width"), col("dims.height").as("height"))
+      },
+      Some("""SELECT doc_id,
+          CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format,
+          (16 + doc_id % 1024)::INT AS width,
+          (16 + (doc_id * 7) % 1024)::INT AS height
+        FROM documents""")
     )
   )
 }

@@ -166,6 +166,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortExec"), p)
   }
 
+  test("q87 image-dims sniffing is shuffle-free and codegen-fused") {
+    val p = plan("q87_image_dims")
+    assert(!p.contains("Exchange"), s"header sniffing must be a narrow pass\n$p")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p2 = plan("q87_image_dims")
+      val fused = p2.split("\n").exists(l => l.contains("*(") && l.toLowerCase.contains("imagedims"))
+      assert(fused, "ImageDims fell out of whole-stage codegen\n" + p2)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("CanonAlnum stays inside whole-stage codegen") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

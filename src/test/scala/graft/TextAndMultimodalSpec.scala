@@ -80,6 +80,41 @@ class TextAndMultimodalSpec extends SparkTestBase {
     assert(Multimodal.fakeResize(tiny, 100).toSeq === tiny.toSeq)
   }
 
+  private def encodeImage(format: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if ((x + y) % 2 == 0) 0xffffff else 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, bos), s"JDK has no $format writer")
+    bos.toByteArray
+  }
+
+  test("ImageDims parses real JDK-encoded PNG/JPEG/GIF headers") {
+    for ((fmt, w, h) <- Seq(("png", 37, 21), ("jpg", 64, 48), ("gif", 5, 9))) {
+      val bytes = encodeImage(fmt, w, h)
+      val got = graft.functions.ImageDimsSupport.parse(bytes)
+      assert(got != null, s"$fmt not recognized")
+      val wantFmt = if (fmt == "jpg") "jpeg" else fmt
+      assert(got === ((wantFmt, w, h)), s"$fmt: got $got")
+    }
+    assert(graft.functions.ImageDimsSupport.parse("not an image".getBytes) == null)
+    assert(graft.functions.ImageDimsSupport.parse(Array.empty[Byte]) == null)
+  }
+
+  test("real ImageIO decode: luma histogram is a distribution over real pixels") {
+    // checkerboard: half the pixels pure white, half pure black
+    val items = Seq(
+      MediaItem(1L, "image", encodeImage("png", 8, 8), 0L),
+      MediaItem(2L, "image", "not an image".getBytes, 12L)
+    ).toDS()
+    val feats = Multimodal.decodeImageHistogram(items, dim = 16, batchSize = 8).collect()
+    val h1 = feats.find(_.mediaId == 1L).get.features
+    assert(math.abs(h1.sum - 1.0f) < 1e-5) // normalized over all pixels
+    assert(math.abs(h1(0) - 0.5f) < 1e-6 && math.abs(h1(15) - 0.5f) < 1e-6,
+      s"checkerboard must split into the darkest and brightest bins: ${h1.toSeq}")
+    assert(feats.find(_.mediaId == 2L).get.features.forall(_ == 0.0f))
+  }
+
   test("batched fake decode: fixed dim, per-item isolation, deterministic") {
     val items = Seq(
       MediaItem(1L, "image", "hello world".getBytes, 11L),
