@@ -78,6 +78,46 @@ object MultimodalQueries {
           (16 + doc_id % 1024)::INT AS width,
           (16 + (doc_id * 7) % 1024)::INT AS height
         FROM documents""")
+    ),
+
+    // ── Audio counterpart of q87: WAV (RIFF/WAVE) header sniffing —
+    //    sample rate / channels / bit depth / sample count read by a
+    //    chunk walk over the fmt and data headers, no audio codec.
+    //    Construct-then-parse: the oracle computes expected values
+    //    directly; real JDK AudioSystem-encoded WAVs round-trip in spec.
+    QueryDef(
+      "q88_audio_meta",
+      (s, d) => {
+        def le16(v: org.apache.spark.sql.Column) = {
+          val h = lpad(hex(v), 4, "0")
+          concat(substring(h, 3, 2), substring(h, 1, 2))
+        }
+        def le32(v: org.apache.spark.sql.Column) = {
+          val h = lpad(hex(v), 8, "0")
+          concat(substring(h, 7, 2), substring(h, 5, 2), substring(h, 3, 2), substring(h, 1, 2))
+        }
+        val sr = lit(8000L) + pmod(col("doc_id"), lit(8L)) * 1000L
+        val ch = lit(1L) + pmod(col("doc_id"), lit(2L))
+        val nSamp = lit(100L) + pmod(col("doc_id"), lit(1000L))
+        val dataSize = nSamp * ch * 2L
+        val payloadHex = concat(
+          lit("52494646"), le32(lit(36L) + dataSize), lit("57415645"),
+          lit("666D7420"), lit("10000000"), lit("0100"),
+          le16(ch), le32(sr), le32(sr * ch * 2L), le16(ch * 2L), lit("1000"),
+          lit("64617461"), le32(dataSize))
+        docs(s, d)
+          .select(col("doc_id"),
+            graft.functions.WavInfoExpressions.wavInfo(unhex(payloadHex)).as("w"))
+          .select(col("doc_id"), col("w.sample_rate").as("sample_rate"),
+            col("w.channels").as("channels"), col("w.bits").as("bits"),
+            col("w.n_samples").as("n_samples"))
+      },
+      Some("""SELECT doc_id,
+          (8000 + (doc_id % 8) * 1000)::INT AS sample_rate,
+          (1 + doc_id % 2)::INT AS channels,
+          16::INT AS bits,
+          (100 + doc_id % 1000)::BIGINT AS n_samples
+        FROM documents""")
     )
   )
 }

@@ -101,6 +101,20 @@ class TextAndMultimodalSpec extends SparkTestBase {
     assert(graft.functions.ImageDimsSupport.parse(Array.empty[Byte]) == null)
   }
 
+  test("WavInfo parses a real JDK-encoded WAV header") {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(16000f, 16, 2, true, false)
+    val nFrames = 250L
+    val pcm = new Array[Byte](nFrames.toInt * fmt.getFrameSize)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val got = graft.functions.WavInfoSupport.parse(bos.toByteArray)
+    assert(got === ((16000, 2, 16, 250L)))
+    assert(graft.functions.WavInfoSupport.parse("RIFFjunk".getBytes) == null)
+    assert(graft.functions.WavInfoSupport.parse("not audio".getBytes) == null)
+  }
+
   test("real ImageIO decode: luma histogram is a distribution over real pixels") {
     // checkerboard: half the pixels pure white, half pure black
     val items = Seq(
