@@ -240,7 +240,7 @@ object Analytics3 {
             SELECT k, rn, CAST(least(CAST(500000.00 AS DECIMAL(18,2)), price) AS DECIMAL(18,2))
             FROM o WHERE rn = 1
             UNION ALL
-            SELECT o.k, o.rn,
+            SELECT /*+ BROADCAST(w) */ o.k, o.rn,
                    CAST(least(CAST(500000.00 AS DECIMAL(18,2)), w.bal + o.price) AS DECIMAL(18,2))
             FROM walk w JOIN o ON o.k = w.k AND o.rn = w.rn + 1)
           SELECT k AS custkey, rn, CAST(bal AS DOUBLE) AS capped_balance FROM walk""")
