@@ -41,8 +41,13 @@ object WavInfoSupport {
         dataSize = size
       }
       // chunks are word-aligned; a declared size may exceed the payload we
-      // were handed (header-only sniffing) — the loop ends naturally then
-      pos += 8 + (size + (size & 1L)).toInt
+      // were handed (header-only sniffing) — the loop ends naturally then.
+      // A corrupt size must not overflow Int (a negative advance would
+      // loop forever): bail once the next position can't fit in the
+      // payload anyway.
+      val advance = 8L + size + (size & 1L)
+      if (pos + advance > b.length) pos = b.length
+      else pos += advance.toInt
     }
     if (sr <= 0 || ch <= 0 || bits <= 0 || dataSize < 0) return null
     (sr, ch, bits, dataSize / (ch.toLong * (bits / 8)))

@@ -90,6 +90,24 @@ class PropertySpec extends AnyFunSuite {
     }, min = 300)
   }
 
+  test("media header parsers terminate and never throw on arbitrary bytes") {
+    val raw = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+    // bias toward valid magics so the deeper walk paths (marker/chunk
+    // loops over hostile sizes) actually execute
+    val seeded = Gen.oneOf(
+      raw,
+      raw.map(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++ _),
+      raw.map(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++ _),
+      raw.map("RIFF1234WAVE".getBytes ++ _),
+      raw.map("GIF89a".getBytes ++ _)
+    )
+    checkProp(Prop.forAll(seeded) { bytes =>
+      graft.functions.ImageDimsSupport.parse(bytes)
+      graft.functions.WavInfoSupport.parse(bytes)
+      true // reaching here = no throw, no hang
+    }, min = 500)
+  }
+
   test("CanonAlnum column matches the regex-chain column on the documents corpus") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
