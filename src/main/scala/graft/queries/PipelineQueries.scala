@@ -113,42 +113,39 @@ object PipelineQueries {
     QueryDef(
       "q79_repetition",
       (s, d) => {
+        // Pure per-row array program — the metrics are per-document, so no
+        // explode/groupBy/join is warranted: zero shuffles at any corpus
+        // size (PlanSpec-pinned). The top-word count is O(tokens×distinct)
+        // per row, bounded by document length, not corpus size.
         val base = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
-        val wordMetrics = base
-          .select(col("doc_id"), explode(col("toks")).as("w"))
-          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("c")).as("n"), count(lit(1)).as("uniq"), max(col("c")).as("topc"))
-        val bigramMetrics = base
-          .select(col("doc_id"),
-            graft.functions.HashExpressions.shingleHash32(col("toks"), 2).as("gh"))
-          .select(col("doc_id"), size(col("gh")).as("nb"),
-            size(array_distinct(col("gh"))).as("ub"))
-          .select(col("doc_id"),
-            when(col("nb") > 0,
-              lit(1.0) - col("ub").cast(DoubleType) / col("nb").cast(DoubleType))
-              .otherwise(lit(0.0)).as("dup_bigram_frac"))
-        wordMetrics
-          .select(col("doc_id"),
-            (lit(1.0) - col("uniq").cast(DoubleType) / col("n").cast(DoubleType)).as("dup_word_frac"),
-            (col("topc").cast(DoubleType) / col("n").cast(DoubleType)).as("top_word_frac"))
-          .join(bigramMetrics, "doc_id")
+        val staged = base.select(col("doc_id"), col("toks"),
+          size(col("toks")).as("n"),
+          array_distinct(col("toks")).as("uniq_toks"),
+          graft.functions.HashExpressions.shingleHash32(col("toks"), 2).as("gh"))
+        staged.select(
+          col("doc_id"),
+          (lit(1.0) - size(col("uniq_toks")).cast(DoubleType) / col("n").cast(DoubleType))
+            .as("dup_word_frac"),
+          (array_max(transform(col("uniq_toks"),
+            w => size(filter(col("toks"), x => x === w)))).cast(DoubleType) / col("n").cast(DoubleType))
+            .as("top_word_frac"),
+          when(size(col("gh")) > 0,
+            lit(1.0) - size(array_distinct(col("gh"))).cast(DoubleType) / size(col("gh")).cast(DoubleType))
+            .otherwise(lit(0.0)).as("dup_bigram_frac"))
       },
       Some(s"""WITH d AS (SELECT doc_id, string_split(text,' ') t FROM documents),
-        wc AS (SELECT doc_id, w, count(*) c FROM (SELECT doc_id, unnest(t) w FROM d) GROUP BY 1, 2),
-        wm AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n, count(*) uniq, max(c) topc FROM wc GROUP BY 1),
-        g AS (SELECT doc_id, CASE WHEN len(t) >= 2
+        g AS (SELECT doc_id, t, CASE WHEN len(t) >= 2
               THEN list_transform(list_transform(range(0, len(t)-1), j -> t[j+1]||' '||t[j+2]),
                                   x -> ('0x'||substr(md5(x),1,8))::BIGINT % $P)
-              ELSE [] END gh FROM d),
-        gm AS (SELECT doc_id, CASE WHEN len(gh) > 0
-              THEN CAST(1 AS DOUBLE) - len(list_distinct(gh))::DOUBLE / len(gh)::DOUBLE
-              ELSE CAST(0 AS DOUBLE) END dup_bigram_frac FROM g)
+              ELSE [] END gh FROM d)
         SELECT doc_id,
-          CAST(1 AS DOUBLE) - uniq::DOUBLE / n::DOUBLE AS dup_word_frac,
-          topc::DOUBLE / n::DOUBLE AS top_word_frac,
-          dup_bigram_frac
-        FROM wm JOIN gm USING (doc_id)""")
+          CAST(1 AS DOUBLE) - len(list_distinct(t))::DOUBLE / len(t)::DOUBLE AS dup_word_frac,
+          list_max(list_transform(list_distinct(t), w -> len(list_filter(t, x -> x = w))))::DOUBLE
+            / len(t)::DOUBLE AS top_word_frac,
+          CASE WHEN len(gh) > 0
+            THEN CAST(1 AS DOUBLE) - len(list_distinct(gh))::DOUBLE / len(gh)::DOUBLE
+            ELSE CAST(0 AS DOUBLE) END AS dup_bigram_frac
+        FROM g""")
     ),
 
     // ── Count-min sketch over corpus word frequencies: depth 2 (the two

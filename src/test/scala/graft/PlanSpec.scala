@@ -128,8 +128,8 @@ class PlanSpec extends SparkTestBase {
       "null slice must broadcast, not hash to one reducer\n" + p)
   }
 
-  test("q77/q82/q83 per-row pipeline passes are shuffle-free") {
-    Seq("q77_pii_redact", "q82_chunking", "q83_embedding_quant").foreach { name =>
+  test("q77/q79/q82/q83 per-row pipeline passes are shuffle-free") {
+    Seq("q77_pii_redact", "q79_repetition", "q82_chunking", "q83_embedding_quant").foreach { name =>
       val p = plan(name)
       assert(!p.contains("Exchange"), s"$name must be a narrow per-row pass\n$p")
     }
@@ -146,8 +146,8 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("q79/q80 aggregate pipelines never go quadratic") {
-    Seq("q79_repetition", "q80_countmin").foreach { name =>
+  test("q80 aggregate pipeline never goes quadratic") {
+    Seq("q80_countmin").foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$name degenerated to a non-equi join\n$p")
