@@ -47,6 +47,36 @@ object Dedup {
       .select(col(idCol), array_distinct(graft.functions.HashExpressions.shingleHash32(col("toks"), k)).as("sh"))
       .where(size(col("sh")) > 0)
 
+  /** Containment (near-superset) pairs: |A∩B| / |A| ≥ τ over k-shingle
+    * sets — the ASYMMETRIC relative of Jaccard, catching excerpts/quotes
+    * whose size ratio pushes symmetric similarity below any workable
+    * threshold. Candidates come from an equi-join on shared shingles with
+    * a document-frequency stop-guard (shingles in > `maxDf` docs are
+    * boilerplate and would explode any bucket — q61's discipline); the
+    * exact containment verify runs only on candidates, over the already
+    * distinct shingle sets. Output (id_a, id_b, containment) = a contained
+    * in b, both directions emitted independently.
+    */
+  def containmentJoin(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      threshold: Double, maxDf: Int = 50): DataFrame = {
+    val sets = shingleSets(docs, idCol, textCol, k).cache()
+    val ds = sets.select(col(idCol), explode(col("sh")).as("h"))
+    val rare = ds.join(
+      ds.groupBy(col("h")).agg(count(lit(1)).as("df")).where(col("df") <= maxDf).select(col("h")),
+      "h")
+    val cand = rare.select(col(idCol).as("id_a"), col("h"))
+      .join(rare.select(col(idCol).as("id_b"), col("h")), Seq("h"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sa")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(col("sa")).cast("double")).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   /** Exact duplicate groups by content hash: every row keyed by md5(text),
     * kept = the group's min id. A single hash-aggregate — the cheapest and
     * first dedup pass of any pipeline.

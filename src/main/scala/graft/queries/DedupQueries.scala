@@ -155,6 +155,29 @@ object DedupQueries {
         FROM documents GROUP BY 1""")
     ),
 
+    // ── Containment (near-superset) pairs: |A∩B|/|A| ≥ 0.9 — the
+    //    asymmetric relative of Jaccard that catches excerpts/quotes whose
+    //    size ratio pushes symmetric similarity below any workable
+    //    threshold. Candidates from shared rare shingles (df ≤ 50
+    //    stop-guard); exact verify on candidates only.
+    QueryDef(
+      "q89_dedup_containment",
+      (s, d) => Dedup.containmentJoin(docs(s, d), "doc_id", "text", k = 3,
+        threshold = 0.9, maxDf = 50),
+      Some(s"""WITH ${shingleCtes(3)},
+        rare AS (SELECT doc_id, sh FROM ds
+                 WHERE sh IN (SELECT sh FROM ds GROUP BY sh HAVING count(*) <= 50)),
+        cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+                 FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id <> b.doc_id),
+        inter AS (SELECT c.id_a, c.id_b, count(*) i FROM cand c
+                  JOIN ds x ON x.doc_id = c.id_a
+                  JOIN ds y ON y.doc_id = c.id_b AND y.sh = x.sh
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b, i::DOUBLE / sx.n::DOUBLE AS containment
+        FROM inter JOIN sz sx ON sx.doc_id = id_a
+        WHERE i::DOUBLE / sx.n::DOUBLE >= 0.9""")
+    ),
+
     // ── MinHash + LSH banding: 16 affine min-hashes, 4 bands × 4 rows,
     //    bucket-join on whole-band collision, exact-Jaccard verify ≥ 0.5.
     QueryDef(

@@ -50,6 +50,25 @@ class DedupSpec extends SparkTestBase {
     assert(got.contains((1L, 2L)) && got((1L, 2L)) === 1.0)
   }
 
+  test("containment finds the excerpt direction that jaccard misses") {
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    val excerptCorpus = Seq(
+      (1L, base), // excerpt
+      (2L, base + " bank today while many other unrelated words follow in this much longer document about rivers"), // superset of 1
+      (3L, "completely different words about spark shuffles and partitions and joins here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentJoin(excerptCorpus, "doc_id", "text", k = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    // 1 is fully contained in 2; 2 is NOT (>= 90%) contained in 1
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 === 1.0))
+    assert(!pairs.exists(p => p._1 == 2L && p._2 == 1L))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // and symmetric jaccard at the same τ would have missed the pair
+    val jac = Dedup.ngramJaccardJoin(excerptCorpus, "doc_id", "text", k = 3, tNum = 9, tDen = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(!jac.exists(p => Set(p._1, p._2) == Set(1L, 2L)))
+  }
+
   test("simhash: identical docs at hamming 0, near dups close, unrelated far") {
     val out = Dedup.simhashDedup(corpus, "doc_id", "text", maxDist = 8)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Number](2).longValue)).toMap
