@@ -64,17 +64,26 @@ object Dedup {
     val rare = ds.join(
       ds.groupBy(col("h")).agg(count(lit(1)).as("df")).where(col("df") <= maxDf).select(col("h")),
       "h")
+    // one UNORDERED candidate pair per shared rare shingle (a < b): one
+    // intersection then serves BOTH directions' containments — half the
+    // candidate join and verify of the naive a != b formulation.
     val cand = rare.select(col(idCol).as("id_a"), col("h"))
       .join(rare.select(col(idCol).as("id_b"), col("h")), Seq("h"))
-      .where(col("id_a") =!= col("id_b"))
+      .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    cand
+    val verified = cand
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sa")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("sh").as("sb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(col("sa")).cast("double")).as("containment"))
+        size(array_intersect(col("sa"), col("sb"))).cast("double").as("i"),
+        size(col("sa")).cast("double").as("na"),
+        size(col("sb")).cast("double").as("nb"))
+    verified
+      .select(col("id_a"), col("id_b"), (col("i") / col("na")).as("containment"))
       .where(col("containment") >= threshold)
+      .union(verified
+        .select(col("id_b").as("id_a"), col("id_a").as("id_b"), (col("i") / col("nb")).as("containment"))
+        .where(col("i") / col("nb") >= threshold))
   }
 
   /** Exact duplicate groups by content hash: every row keyed by md5(text),

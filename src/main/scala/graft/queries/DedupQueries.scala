@@ -168,14 +168,20 @@ object DedupQueries {
         rare AS (SELECT doc_id, sh FROM ds
                  WHERE sh IN (SELECT sh FROM ds GROUP BY sh HAVING count(*) <= 50)),
         cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
-                 FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id <> b.doc_id),
-        inter AS (SELECT c.id_a, c.id_b, count(*) i FROM cand c
+                 FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+        inter AS (SELECT c.id_a, c.id_b, count(*) i,
+                    any_value(sx.n) na, any_value(sy.n) nb
+                  FROM cand c
                   JOIN ds x ON x.doc_id = c.id_a
                   JOIN ds y ON y.doc_id = c.id_b AND y.sh = x.sh
+                  JOIN sz sx ON sx.doc_id = c.id_a
+                  JOIN sz sy ON sy.doc_id = c.id_b
                   GROUP BY 1, 2)
-        SELECT id_a, id_b, i::DOUBLE / sx.n::DOUBLE AS containment
-        FROM inter JOIN sz sx ON sx.doc_id = id_a
-        WHERE i::DOUBLE / sx.n::DOUBLE >= 0.9""")
+        SELECT id_a, id_b, i::DOUBLE / na::DOUBLE AS containment
+        FROM inter WHERE i::DOUBLE / na::DOUBLE >= 0.9
+        UNION ALL
+        SELECT id_b, id_a, i::DOUBLE / nb::DOUBLE
+        FROM inter WHERE i::DOUBLE / nb::DOUBLE >= 0.9""")
     ),
 
     // ── MinHash + LSH banding: 16 affine min-hashes, 4 bands × 4 rows,
