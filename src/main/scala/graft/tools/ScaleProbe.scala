@@ -32,6 +32,14 @@ object ScaleProbe {
     time("ppjoin_jaccard") { graft.operators.Dedup.ngramJaccardJoin(big, "doc_id", "text", 3, 1, 2).count() }
     time("cascade_jaccard") { graft.operators.Dedup.cascadeJaccard(big, "doc_id", "text", 3, 1, 2).count() }
     time("simhash") { graft.operators.Dedup.simhashDedup(big, "doc_id", "text", 8).count() }
+    time("containment") { graft.operators.Dedup.containmentJoin(big, "doc_id", "text", 3, 0.9).count() }
+    time("containment_cascade") {
+      // the q65 composition applied to containment: representatives only
+      val reps = graft.operators.Dedup.exactDuplicates(big, "doc_id", "text")
+        .select(org.apache.spark.sql.functions.col("keep_id").as("doc_id"))
+        .join(big, "doc_id")
+      graft.operators.Dedup.containmentJoin(reps, "doc_id", "text", 3, 0.9).count()
+    }
     spark.stop()
   }
 }
