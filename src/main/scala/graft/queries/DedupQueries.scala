@@ -78,8 +78,11 @@ object DedupQueries {
     s"""${jaccardCtes(threshold)}
        |SELECT id_a, id_b, jaccard FROM verified""".stripMargin
 
-  /** The full MinHash+LSH pipeline CTEs ending in `verified`. */
-  private def minhashCtes: String = {
+  /** MinHash signature + LSH banding CTEs ending in `banded(doc_id, band,
+    * bkey)` — shared by the full pipeline (q42) and the incremental
+    * variant (q90), which differ only in candidate generation.
+    */
+  private def minhashBandCtes: String = {
     val sigCols = Dedup.MinhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       s"list_aggregate(list_transform(h, v -> (v*$a+$b)%$P), 'min') s$i"
     }.mkString(", ")
@@ -89,11 +92,15 @@ object DedupQueries {
     }.mkString(" UNION ALL ")
     s"""${shingleCtes(3)},
        |sig AS (SELECT doc_id, $sigCols FROM hh),
-       |banded AS ($bandSelects),
+       |banded AS ($bandSelects)""".stripMargin
+  }
+
+  /** The full MinHash+LSH pipeline CTEs ending in `verified`. */
+  private def minhashCtes: String =
+    s"""$minhashBandCtes,
        |cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b FROM banded a
        |         JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |${jaccardCtes("0.5")}""".stripMargin
-  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -190,6 +197,32 @@ object DedupQueries {
       "q42_dedup_minhash_lsh",
       (s, d) => Dedup.minhashDedup(docs(s, d), "doc_id", "text", k = 3, threshold = 0.5),
       Some(s"""WITH $minhashCtes
+        SELECT id_a, id_b, jaccard FROM verified""")
+    ),
+
+    // ── Incremental MinHash dedup as a first-class declared query: the
+    //    20% of docs with doc_id % 5 = 0 arrive as the NEW batch and are
+    //    deduped against the persisted band/set index of the other 80% —
+    //    the probe side is new-only, so old×old pairs are structurally
+    //    impossible and work scales with the batch, not the corpus. The
+    //    oracle restricts candidate generation to new-doc probes over the
+    //    same banding.
+    QueryDef(
+      "q90_dedup_incremental",
+      (s, d) => {
+        val all = docs(s, d)
+        val oldDocs = all.where(pmod(col("doc_id"), lit(5)) =!= 0)
+        val newDocs = all.where(pmod(col("doc_id"), lit(5)) === 0)
+        val (oldBands, oldSets) = Dedup.minhashIndexTables(oldDocs, "doc_id", "text", 3)
+        Dedup.minhashDedupIncremental(newDocs, oldBands, oldSets,
+          "doc_id", "text", k = 3, threshold = 0.5)
+      },
+      Some(s"""WITH $minhashBandCtes,
+        cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) id_a, greatest(a.doc_id, b.doc_id) id_b
+                 FROM banded a JOIN banded b
+                   ON a.band = b.band AND a.bkey = b.bkey
+                   AND a.doc_id <> b.doc_id AND a.doc_id % 5 = 0),
+        ${jaccardCtes("0.5")}
         SELECT id_a, id_b, jaccard FROM verified""")
     ),
 
