@@ -30,18 +30,27 @@ object PipelineQueries {
     // ── Language-balanced quota sampling: at most N docs per language,
     //    chosen by hashed order (not doc_id order, which would bias toward
     //    old documents). The quota variant of q64's rate sampling — what a
-    //    mixture spec like "cap zh at 30k docs" compiles to. One window
-    //    rank per partition; at 100 TB the partition key (lang) gives the
-    //    window its parallelism.
+    //    mixture spec like "cap zh at 30k docs" compiles to. Two-phase
+    //    top-K: a global per-lang rank would shuffle every row of a
+    //    language into one task, so phase 1 keeps each (lang, shard)'s
+    //    local top-30 (fully parallel) and phase 2 ranks only the ≤
+    //    30×shards survivors per language — identical result (a doc in the
+    //    global top-30 is necessarily in its shard's top-30), bounded
+    //    final window.
     QueryDef(
       "q76_lang_quota",
       (s, d) => {
         val h = pmod(hash32(concat(lit("q76|"), col("doc_id").cast(StringType))), lit(P))
-        val w = Window.partitionBy(col("lang")).orderBy(h.asc, col("doc_id").asc)
+        val shard = floor(col("doc_id") / lit(100000.0)).cast(LongType)
+        val local = Window.partitionBy(col("lang"), col("shard")).orderBy(col("h").asc, col("doc_id").asc)
+        val global = Window.partitionBy(col("lang")).orderBy(col("h").asc, col("doc_id").asc)
         docs(s, d)
-          .select(col("doc_id"), col("lang"))
-          .withColumn("rk", row_number().over(w))
+          .select(col("doc_id"), col("lang"), h.as("h"), shard.as("shard"))
+          .withColumn("lrk", row_number().over(local))
+          .where(col("lrk") <= 30)
+          .withColumn("rk", row_number().over(global))
           .where(col("rk") <= 30)
+          .select(col("doc_id"), col("lang"), col("rk"))
       },
       Some(s"""WITH r AS (SELECT doc_id, lang,
           row_number() OVER (PARTITION BY lang

@@ -141,8 +141,7 @@ class PlanSpec extends SparkTestBase {
       assert(p.contains("Window"), p)
       assert(p.contains("hashpartitioning(lang"),
         s"$name window must partition by lang, not run single-partition\n$p")
-      assert(!p.contains("SinglePartition") || name == "q76_lang_quota",
-        s"$name has a single-partition stage\n$p")
+      assert(!p.contains("SinglePartition"), s"$name has a single-partition stage\n$p")
     }
   }
 
