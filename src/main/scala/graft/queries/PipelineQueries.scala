@@ -289,6 +289,55 @@ object PipelineQueries {
         LIMIT 100""")
     ),
 
+    // ── Collocation extraction: PMI-style association for adjacent word
+    //    pairs WITHOUT log (log is not bit-portable across engines, NOTES
+    //    discipline): score = (c_ab · N_tokens) / (c_a · c_b), the raw
+    //    probability ratio PMI exponentiates — same ranking, exact BIGINT
+    //    numerator/denominator, one deterministic double division at the
+    //    end. Bigrams seen < 5 times are noise-floored out; top-20 by
+    //    score with full tie-break.
+    QueryDef(
+      "q91_collocations",
+      (s, d) => {
+        val base = docs(s, d).select(tokens(col("text")).as("toks"))
+        val uni = base.select(explode(col("toks")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val nTok = uni.agg(sum(col("c")).as("n"))
+        val bi = base
+          .select(explode(shingles(col("toks"), 2)).as("b"))
+          .groupBy(col("b")).agg(count(lit(1)).as("c_ab"))
+          .where(col("c_ab") >= 5)
+          .select(col("b"), col("c_ab"),
+            substring_index(col("b"), " ", 1).as("w1"),
+            substring_index(col("b"), " ", -1).as("w2"))
+        bi.join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+          .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+          .crossJoin(broadcast(nTok))
+          .select(col("b").as("bigram"), col("c_ab"),
+            // per-operand double casts BEFORE multiplying: the integer
+            // product c_ab·N overflows BIGINT at web scale, while each
+            // count converts exactly to double (< 2^53) and the
+            // multiply/divide are bit-identical IEEE in both engines
+            (col("c_ab").cast(DoubleType) * col("n").cast(DoubleType) /
+              (col("c_a").cast(DoubleType) * col("c_b").cast(DoubleType))).as("assoc"))
+          .orderBy(col("assoc").desc, col("bigram").asc)
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT string_split(text,' ') t FROM documents),
+        uni AS (SELECT w, count(*) c FROM (SELECT unnest(t) w FROM t) GROUP BY 1),
+        n AS (SELECT CAST(sum(c) AS BIGINT) n FROM uni),
+        bi AS (SELECT b, count(*) c_ab FROM (
+                 SELECT unnest(list_transform(range(0, len(t)-1), j -> t[j+1]||' '||t[j+2])) b
+                 FROM t WHERE len(t) >= 2) GROUP BY 1 HAVING count(*) >= 5),
+        sp AS (SELECT b, c_ab, string_split(b, ' ')[1] w1, string_split(b, ' ')[2] w2 FROM bi)
+        SELECT b AS bigram, c_ab,
+          c_ab::DOUBLE * n::DOUBLE / (ua.c::DOUBLE * ub.c::DOUBLE) AS assoc
+        FROM sp JOIN uni ua ON ua.w = sp.w1
+        JOIN uni ub ON ub.w = sp.w2
+        CROSS JOIN n
+        ORDER BY assoc DESC, bigram ASC LIMIT 20""")
+    ),
+
     // ── The full curation pipeline as ONE declarative DAG — the composition
     //    a C4-style corpus build runs: rule gauntlet (q74) → normalized
     //    dedup keep-first (q75) → quality gate (q31's score) → hashed
