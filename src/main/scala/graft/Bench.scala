@@ -41,15 +41,19 @@ object Bench {
 
     // Deterministic module-ordered run (declaration order, cheap relational
     // analytics first, the cache-sharing dedup/similarity families last and
-    // contiguous). Cached subtrees (e.g. the shingle-set stage shared by
-    // the q41/q42/q45/q46/q56 minhash family) are deliberately REUSED
-    // across entries — Spark's CacheManager matches canonicalized subplans,
-    // so a family pays the shingle+signature cost once, exactly as a
-    // production pipeline sharing one cached corpus would. This needs the
-    // 32g default heap from build.sbt: at 8g the resident cache GC-thrashed
-    // the whole run (measured 3-5x inflation on unrelated queries).
-    spark.catalog.clearCache()
+    // contiguous). WITHIN a module, cached subtrees (e.g. the shingle-set
+    // stage shared by the q41/q42/q45/q46 minhash family) are deliberately
+    // REUSED across entries — Spark's CacheManager matches canonicalized
+    // subplans, so a family pays the shingle+signature cost once, exactly
+    // as a production pipeline sharing one cached corpus would. BETWEEN
+    // modules the cache is cleared: no module shares subtrees with another,
+    // so the resident set stays bounded by one module's working set instead
+    // of growing across the whole run (r3's unbounded accumulation is the
+    // prime suspect for the q42/q33 inflation seen only under the driver's
+    // contended environment). This still needs the 32g default heap from
+    // build.sbt: at 8g even one module's cache GC-thrashed the run.
     val results: Seq[(String, Double)] = SparkEntry.moduleDefs.flatMap { case (_, defs) =>
+      spark.catalog.clearCache()
       defs.map { q =>
         val t0 = System.nanoTime()
         try { q.spark(spark, sfDir).count() } catch { case _: Throwable => -1L }

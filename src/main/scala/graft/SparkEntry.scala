@@ -18,9 +18,9 @@ object SparkEntry {
 
   /** Capabilities grouped by module, in declaration order. The bench runs
     * module-by-module (cheap relational analytics first, the cache-sharing
-    * dedup/similarity families last and contiguous) and releases each
-    * module's cached subtrees before the next — deterministic order,
-    * bounded cache footprint.
+    * dedup/similarity families last and contiguous) and clears the Spark
+    * cache between modules (`Bench.scala`): within-module subtree sharing,
+    * bounded cross-module footprint.
     */
   def moduleDefs: Seq[(String, Seq[QueryDef])] = Seq(
     "relational" -> Relational.defs,

@@ -42,14 +42,22 @@ object ImageDimsSupport {
     // height at +5, width at +7 within the segment
     if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
       var pos = 2
-      while (pos + 4 <= b.length && (b(pos) & 0xff) == 0xff) {
+      while (pos + 2 <= b.length && (b(pos) & 0xff) == 0xff) {
+        // 0xFF fill/padding bytes may precede any marker — skip them
+        while (pos + 2 <= b.length && (b(pos + 1) & 0xff) == 0xff) pos += 1
+        if (pos + 2 > b.length) return null
         val marker = b(pos + 1) & 0xff
         if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
           if (pos + 9 <= b.length) return ("jpeg", be16(b, pos + 7), be16(b, pos + 5))
           return null
         }
         if (marker == 0xd9 || marker == 0xda) return null // EOS before SOF
-        pos += 2 + be16(b, pos + 2)
+        // standalone markers (TEM 0x01, RST0-7 0xD0-0xD7) carry no length field
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) pos += 2
+        else {
+          if (pos + 4 > b.length) return null
+          pos += 2 + be16(b, pos + 2)
+        }
       }
     }
     null

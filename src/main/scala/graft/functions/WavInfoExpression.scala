@@ -49,8 +49,11 @@ object WavInfoSupport {
       if (pos + advance > b.length) pos = b.length
       else pos += advance.toInt
     }
-    if (sr <= 0 || ch <= 0 || bits <= 0 || dataSize < 0) return null
-    (sr, ch, bits, dataSize / (ch.toLong * (bits / 8)))
+    // bits must be a positive multiple of 8: 4-bit ADPCM and other sub-byte
+    // depths would make the block size 0 and divide by zero below.
+    if (sr <= 0 || ch <= 0 || bits <= 0 || (bits & 7) != 0 || dataSize < 0) return null
+    val blockBytes = ch.toLong * (bits / 8)
+    (sr, ch, bits, dataSize / blockBytes)
   }
 
   def parseRow(b: Array[Byte]): InternalRow = {

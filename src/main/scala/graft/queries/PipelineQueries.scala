@@ -99,10 +99,11 @@ object PipelineQueries {
         // of distinct values, so a per-lang running sum would serialize
         // into that many tasks at corpus scale. Sequences never cross a
         // 100k-doc shard (the production contract: packing is shard-local),
-        // and seq_id embeds the shard so ids stay globally unique. At test
-        // scale every doc is in shard 0, so the shard key is exactly
-        // invisible to the oracle while bounding window partitions at 10^5
-        // docs forever.
+        // and seq_id embeds the shard via a 2^32 stride so per-shard
+        // sequence counters (≤ 100k docs · tokens/256 each, far below 2^32)
+        // can never overflow into the next shard's id range. At test scale
+        // every doc is in shard 0, so the shard key is exactly invisible to
+        // the oracle while bounding window partitions at 10^5 docs forever.
         val shard = floor(col("doc_id") / lit(100000.0)).cast(LongType)
         val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -111,7 +112,7 @@ object PipelineQueries {
             size(tokens(col("text"))).cast(LongType).as("n_tok"))
           .withColumn("cum", sum(col("n_tok")).over(w))
           .withColumn("seq_id",
-            (col("shard") * lit(1000000L) +
+            (col("shard") * lit(4294967296L) +
               floor((col("cum") - col("n_tok")) / lit(256.0)).cast(LongType)).as("seq_id"))
           .groupBy(col("lang"), col("seq_id"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("seq_tokens"))
@@ -121,7 +122,7 @@ object PipelineQueries {
         c AS (SELECT doc_id, lang, shard, n,
           sum(n) OVER (PARTITION BY lang, shard ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum FROM d)
-        SELECT lang, shard * 1000000 + floor((cum - n) / 256.0)::BIGINT AS seq_id,
+        SELECT lang, shard * 4294967296 + floor((cum - n) / 256.0)::BIGINT AS seq_id,
           count(*)::BIGINT AS n_docs, CAST(sum(n) AS BIGINT) AS seq_tokens
         FROM c GROUP BY 1, 2""")
     ),
@@ -173,22 +174,23 @@ object PipelineQueries {
     //    independent md5-derived hashes), width 512, estimate = min over
     //    rows — with the exact count as companion and the CMS guarantee
     //    (estimate never undercounts) as a pinned-TRUE column, the q36
-    //    sketch-gating pattern. Sketch build is two width-bounded
-    //    aggregations; the estimate join touches only distinct words.
+    //    sketch-gating pattern. The corpus is tokenized and shuffled ONCE
+    //    (the exact word-count aggregation); both sketch rows are then
+    //    derived from that distinct-word table — a cell count is just
+    //    sum(exact_n) grouped by the cell hash — as partition windows, so
+    //    the whole build is one linear plan with no self-join and no cache.
     QueryDef(
       "q80_countmin",
       (s, d) => {
         val words = docs(s, d)
           .select(explode(tokens(col("text"))).as("w"))
-        val exact = words.groupBy(col("w")).agg(count(lit(1)).as("exact_n"))
-        val cells = exact.select(col("w"), col("exact_n"),
-          pmod(hash32(col("w")), lit(512)).as("c0"),
-          pmod(hash32b(col("w")), lit(512)).as("c1"))
-        val t0 = words.groupBy(pmod(hash32(col("w")), lit(512)).as("c0"))
-          .agg(count(lit(1)).as("n0"))
-        val t1 = words.groupBy(pmod(hash32b(col("w")), lit(512)).as("c1"))
-          .agg(count(lit(1)).as("n1"))
-        cells.join(t0, "c0").join(t1, "c1")
+        val cells = words.groupBy(col("w")).agg(count(lit(1)).as("exact_n"))
+          .select(col("w"), col("exact_n"),
+            pmod(hash32(col("w")), lit(512)).as("c0"),
+            pmod(hash32b(col("w")), lit(512)).as("c1"))
+        cells
+          .withColumn("n0", sum(col("exact_n")).over(Window.partitionBy(col("c0"))))
+          .withColumn("n1", sum(col("exact_n")).over(Window.partitionBy(col("c1"))))
           .select(col("w"), col("exact_n"),
             least(col("n0"), col("n1")).as("cms_est"))
           .withColumn("est_ge_exact", col("cms_est") >= col("exact_n"))
@@ -215,7 +217,11 @@ object PipelineQueries {
     QueryDef(
       "q81_boilerplate",
       (s, d) => {
+        // empty docs emit no chunks: Spark's (len-1)/64 double division
+        // truncates toward zero (one empty chunk) while DuckDB's // floors
+        // to -1 (no rows) — the explicit filter makes both sides agree.
         val chunks = docs(s, d)
+          .where(length(col("text")) > 0)
           .select(col("doc_id"), col("text"),
             explode(sequence(lit(0),
               ((length(col("text")) - lit(1)) / lit(64)).cast(IntegerType))).as("ix"))
@@ -237,7 +243,7 @@ object PipelineQueries {
       },
       Some("""WITH ch AS (SELECT doc_id, ix, substr(text, (ix*64+1)::INT, 64) chunk
           FROM (SELECT doc_id, text, unnest(range(0, (length(text)-1)//64 + 1)) ix
-                FROM documents)),
+                FROM documents WHERE length(text) > 0)),
         dfreq AS (SELECT chunk, count(DISTINCT doc_id) df FROM ch GROUP BY 1)
         SELECT doc_id, count(*)::BIGINT AS n_chunks,
           CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
@@ -252,7 +258,9 @@ object PipelineQueries {
     QueryDef(
       "q82_chunking",
       (s, d) =>
+        // same empty-text guard as q81 (Spark truncation vs DuckDB floor)
         docs(s, d)
+          .where(length(col("text")) > 0)
           .select(col("doc_id"), col("text"),
             explode(sequence(lit(0),
               ((length(col("text")) - lit(1)) / lit(64)).cast(IntegerType))).as("ix"))
@@ -265,7 +273,7 @@ object PipelineQueries {
           md5(substr(text, (ix * 64 + 1)::INT, 64)) AS chunk_hash,
           length(substr(text, (ix * 64 + 1)::INT, 64))::BIGINT AS chunk_len
         FROM (SELECT doc_id, text, unnest(range(0, (length(text)-1)//64 + 1)) ix
-              FROM documents)""")
+              FROM documents WHERE length(text) > 0)""")
     ),
 
     // ── Exact-K deterministic global sample: the K docs with the smallest

@@ -24,33 +24,34 @@ object TextQueries {
 
   /** Winnowed fingerprints per document (q33's pipeline, shared with the
     * fingerprint-overlap dedup q61): (doc_id, doc_hash, fp) — 4-token
-    * grams, window 5, row-based window-min.
+    * grams, window 5, computed ENTIRELY per-row with array HOFs: the
+    * window-min over 5 consecutive gram hashes is `array_min(slice(gh,
+    * j+1, 5))` inside a transform, and the DISTINCT collapses inside the
+    * row as `array_distinct` — so the whole pipeline is a projection +
+    * generate with ZERO shuffles at any corpus size (the previous
+    * posexplode + row-window form shuffled every gram by doc_id; measured
+    * 3× slower). The one trap this avoids: `gh` is staged as its own
+    * attribute first — an inlined md5/shingle expression would be
+    * re-evaluated once per window by the interpreted lambda (the
+    * [[graft.operators.Dedup.simhashWord]] lesson).
     */
   private def winnowedFingerprints(docsDf: org.apache.spark.sql.DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = docsDf
+    val staged = docsDf
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
       .select(
         col("doc_id"),
         rollingHash(col("text")).as("doc_hash"),
         graft.functions.HashExpressions.shingleHash32(col("toks"), 4).as("gh")
       )
-      .select(col("doc_id"), col("doc_hash"), size(col("gh")).as("n"),
-        posexplode(col("gh")).as(Seq("pos", "h")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, 4)
-    grams
-      .withColumn("wmin", min(col("h")).over(w))
-      .where(col("n") < 5 || col("pos") <= col("n") - 5)
-      .select(
-        col("doc_id"),
-        col("doc_hash"),
-        when(col("n") < 5, col("h")).otherwise(col("wmin")).as("fp")
-      )
-      .distinct()
-      // cached so q33 and q61 (and repeated sub-uses within q61) share one
-      // materialization of the winnowing window
-      .cache()
+      .select(col("doc_id"), col("doc_hash"), col("gh"), size(col("gh")).as("n"))
+    staged
+      .select(col("doc_id"), col("doc_hash"),
+        explode(array_distinct(
+          when(col("n") < 5, col("gh"))
+            .otherwise(transform(sequence(lit(0), col("n") - 5),
+              j => array_min(slice(col("gh"), j + 1, lit(5))))))).as("fp"))
+    // no cache here: the pass is shuffle-free and cheap; q61, which reads
+    // the result four times in one plan, caches its own projection
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -286,12 +287,11 @@ object TextQueries {
 
     // ── Document fingerprinting: whole-document polynomial rolling hash +
     //    MOSS-style winnowing fingerprint set (4-token grams, window 5),
-    //    one row per retained fingerprint. The window-minimum runs as a
-    //    ROW-BASED window aggregate after posexplode — array-lambda
-    //    winnowing ([[TextFunctions.winnowMins]]) degrades to interpreted
-    //    per-window re-evaluation under a Generate (measured 60ms/doc);
-    //    the row form is whole-stage-codegen'd and scales with one shuffle
-    //    on doc_id.
+    //    one row per retained fingerprint. Winnowing is per-row array-HOF
+    //    work over a STAGED gram-hash attribute (see winnowedFingerprints):
+    //    zero shuffles at any corpus size. The earlier interpreted-lambda
+    //    pathology (winnowMins re-evaluating the inlined md5 chain per
+    //    window, 60ms/doc) is exactly what staging the array avoids.
     QueryDef(
       "q33_fingerprint",
       (s, d) => winnowedFingerprints(docs(s, d)),
@@ -402,7 +402,7 @@ object TextQueries {
     QueryDef(
       "q61_dedup_fingerprint",
       (s, d) => {
-        val fps = winnowedFingerprints(docs(s, d)).select(col("doc_id"), col("fp"))
+        val fps = winnowedFingerprints(docs(s, d)).select(col("doc_id"), col("fp")).cache()
         val dfreq = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
         val rare = fps.join(dfreq.where(col("df") <= 50).select(col("fp")), "fp")
         val a = rare.select(col("doc_id").as("id_a"), col("fp"))

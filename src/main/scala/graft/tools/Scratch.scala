@@ -1,7 +1,6 @@
 package graft.tools
 
 import graft.functions.TextFunctions._
-import graft.operators.Dedup
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -23,18 +22,42 @@ object Scratch {
     }
 
     time("warmup")(docs.count())
-    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
-    time("shingle sets")(sets.agg(sum(size(col("sh")))).count())
-    val setsC = sets.cache()
-    setsC.count()
-    val sigs = setsC.select(col("doc_id"), Dedup.minhashSignature(col("sh")).as("sig"))
-    time("minhash sigs")(sigs.agg(sum(element_at(col("sig"), 1))).count())
-    val cands = Dedup.lshCandidatePairs(sigs, "doc_id")
-    time("lsh candidates")(cands.count())
-    time("jaccard verify")(Dedup.jaccardVerify(cands, setsC, "doc_id", 0.5).count())
-    time("full minhash q42")(Dedup.minhashDedup(docs, "doc_id", "text", 3, 0.5).count())
-    time("full simhash q43")(Dedup.simhashDedup(docs, "doc_id", "text", 8).count())
-    time("full ngram q41")(Dedup.ngramJaccardJoin(docs, "doc_id", "text", 3, 1, 2).count())
+
+    // current q33: posexplode + row window
+    def current() = {
+      import org.apache.spark.sql.expressions.Window
+      val grams = docs
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), rollingHash(col("text")).as("doc_hash"),
+          graft.functions.HashExpressions.shingleHash32(col("toks"), 4).as("gh"))
+        .select(col("doc_id"), col("doc_hash"), size(col("gh")).as("n"),
+          posexplode(col("gh")).as(Seq("pos", "h")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.currentRow, 4)
+      grams.withColumn("wmin", min(col("h")).over(w))
+        .where(col("n") < 5 || col("pos") <= col("n") - 5)
+        .select(col("doc_id"), col("doc_hash"),
+          when(col("n") < 5, col("h")).otherwise(col("wmin")).as("fp"))
+        .distinct()
+    }
+    time("q33 window form 1")(current().count())
+    time("q33 window form 2")(current().count())
+
+    // candidate: per-row array-HOF winnowing, gh staged as attribute
+    def hof() = {
+      val staged = docs
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), rollingHash(col("text")).as("doc_hash"),
+          graft.functions.HashExpressions.shingleHash32(col("toks"), 4).as("gh"))
+        .select(col("doc_id"), col("doc_hash"), col("gh"), size(col("gh")).as("n"))
+      staged.select(col("doc_id"), col("doc_hash"),
+        explode(array_distinct(
+          when(col("n") < 5, col("gh"))
+            .otherwise(transform(sequence(lit(0), col("n") - 5),
+              j => array_min(slice(col("gh"), j + 1, lit(5))))))).as("fp"))
+    }
+    time("q33 hof form 1")(hof().count())
+    time("q33 hof form 2")(hof().count())
     spark.stop()
   }
 }
