@@ -227,6 +227,17 @@ object Analytics3 {
     //    express. The walk follows the functional successor key
     //    (custkey, rn → rn+1), so UNION ALL recursion is single-path and
     //    terminates; DECIMAL arithmetic keeps it exact cross-engine.
+    //
+    //    DEPTH CONTRACT: recursion rounds = max orders per customer inside
+    //    the o_custkey < 500 cap (the per-key SEQUENCE LENGTH, not the
+    //    corpus size) — each round is one broadcast-frontier join over only
+    //    the rows that advanced. At 100 TB this stays viable exactly when
+    //    per-key history is bounded (true for the sync workload's
+    //    per-vehicle pages); unbounded per-key history would need
+    //    rn-range pre-bucketing (fold each bucket, then stitch via one
+    //    pass over bucket boundaries). That trade is documented, not
+    //    hidden: this entry is the capability demo for iterative plans
+    //    (q45/q46's pointer-jumping CC is the log-rounds production shape).
     QueryDef(
       "q68_recursive_capped_balance",
       (s, d) => {

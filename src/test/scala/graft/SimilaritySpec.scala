@@ -104,4 +104,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(assigned.groupBy("vid").count().where(col("count") > 1).count() === 0)
     assert(assigned.select("cid").distinct().count() <= 16)
   }
+
+  test("ANN recall floors vs brute force are pinned (IVF, PQ, LSH)") {
+    // Everything here is deterministic (md5-derived hashing, fixed corpus,
+    // fixed parameters — the same ones the declared queries q51/q62/q66
+    // use), so recall is an exact number, not a distribution. These floors
+    // are the regression tripwire: a parameter or algorithm change that
+    // silently craters recall fails here, not in production. Measured by
+    // tools/RecallProbe on sf0.001: IVF 37/40, PQ 10/40, LSH 1/40 (LSH at
+    // 64 hyperplane bits is the training-free low-recall tier by design —
+    // the floor documents that honestly rather than hiding it).
+    val corpus = Similarity.prepare(emb, "vec_id", "embedding")
+    val q = corpus.where(col("vid") < 8)
+    val exact = Similarity.bruteForceTopK(corpus, q, 5).select("query_id", "neighbor_id")
+    val nExact = exact.count()
+    assert(nExact === 40L)
+    def recall(approx: org.apache.spark.sql.DataFrame): Long =
+      approx.select("query_id", "neighbor_id").intersect(exact).count()
+    val ivf = recall(Similarity.ivfTopK(corpus, corpus.where(col("vid") < 16), q, 5, 2))
+    val pq = recall(Similarity.pqTopK(corpus, corpus.where(col("vid") < 16), q, 5, 64))
+    val lsh = recall(Similarity.lshTopK(corpus, q, 5, 64))
+    assert(ivf >= 37L, s"IVF recall dropped: $ivf/40 (floor 37)")
+    assert(pq >= 10L, s"PQ recall dropped: $pq/40 (floor 10)")
+    assert(lsh >= 1L, s"LSH recall dropped: $lsh/40 (floor 1)")
+  }
 }

@@ -115,6 +115,40 @@ class TextAndMultimodalSpec extends SparkTestBase {
     assert(graft.functions.WavInfoSupport.parse("not audio".getBytes) == null)
   }
 
+  test("WavInfo returns null (never throws) on sub-byte bit depths") {
+    // hand-built RIFF/WAVE with a 4-bit (ADPCM-style) fmt chunk: bits/8 = 0
+    // would divide by zero without the positive-multiple-of-8 guard
+    def wavWithBits(bits: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def s(str: String) = bos.write(str.getBytes("US-ASCII"))
+      def le16(v: Int) = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+      def le32(v: Int) = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+      s("RIFF"); le32(36 + 100); s("WAVE")
+      s("fmt "); le32(16); le16(1); le16(1); le32(8000); le32(8000); le16(1); le16(bits)
+      s("data"); le32(100)
+      bos.toByteArray
+    }
+    assert(graft.functions.WavInfoSupport.parse(wavWithBits(4)) == null)
+    assert(graft.functions.WavInfoSupport.parse(wavWithBits(12)) == null)
+    // the same container with a legal byte-multiple depth still parses
+    assert(graft.functions.WavInfoSupport.parse(wavWithBits(8)) === ((8000, 1, 8, 100L)))
+  }
+
+  test("ImageDims survives JPEG fill bytes and standalone markers before SOF") {
+    // a real JDK JPEG, with 0xFF padding and a standalone RST0 marker
+    // spliced in right after SOI — the marker walk must skip both instead
+    // of reading a bogus length field
+    val real = encodeImage("jpg", 40, 30)
+    val spliced = Array[Byte](real(0), real(1), // SOI
+      0xff.toByte, 0xff.toByte, 0xff.toByte,    // fill bytes
+      0xff.toByte, 0xd0.toByte                  // standalone RST0 (no length)
+    ) ++ real.drop(2)
+    assert(graft.functions.ImageDimsSupport.parse(spliced) === (("jpeg", 40, 30)))
+    // truncated mid-fill-run must return null, not over-read
+    assert(graft.functions.ImageDimsSupport.parse(
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xff.toByte)) == null)
+  }
+
   test("real ImageIO decode: luma histogram is a distribution over real pixels") {
     // checkerboard: half the pixels pure white, half pure black
     val items = Seq(
