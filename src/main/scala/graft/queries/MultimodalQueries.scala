@@ -118,6 +118,69 @@ object MultimodalQueries {
           16::INT AS bits,
           (100 + doc_id % 1000)::BIGINT AS n_samples
         FROM documents""")
+    ),
+
+    // ── Video leg of the triad: MP4 (ISO-BMFF) box walk — ftyp brand,
+    //    mvhd timescale/duration, tkhd 16.16 fixed-point track dims — no
+    //    codec. Construct-then-parse like q87/q88: a minimal
+    //    ftyp+moov(mvhd,trak(tkhd)) container is synthesized per doc (even
+    //    ids version-0 boxes at timescale 600, odd ids version-1 boxes —
+    //    64-bit times — at timescale 1000), Spark parses it back with the
+    //    codegen Mp4Info expression, the oracle computes expectations
+    //    directly, including the integer duration→ms conversion.
+    QueryDef(
+      "q93_video_meta",
+      (s, d) => {
+        def be32(v: org.apache.spark.sql.Column) = lpad(hex(v), 8, "0")
+        val v1 = pmod(col("doc_id"), lit(2L)) === 1
+        val timescale = when(v1, lit(1000L)).otherwise(lit(600L))
+        val duration = lit(3000L) + pmod(col("doc_id") * 37L, lit(600000L))
+        val width = lit(160L) + pmod(col("doc_id"), lit(8L)) * 80L
+        val height = lit(90L) + pmod(col("doc_id"), lit(8L)) * 45L
+        val ftyp = concat(lit("00000010"), lit("66747970"), lit("69736F6D"), lit("00000000"))
+        // mvhd v0: ver/flags + ctime + mtime + timescale + duration(32)
+        val mvhd0 = concat(lit("0000001C"), lit("6D766864"), lit("00000000"),
+          lit("00000000"), lit("00000000"), be32(timescale), be32(duration))
+        // mvhd v1: ver/flags + ctime(64) + mtime(64) + timescale + duration(64)
+        val mvhd1 = concat(lit("00000028"), lit("6D766864"), lit("01000000"),
+          lit("0000000000000000"), lit("0000000000000000"), be32(timescale),
+          lit("00000000"), be32(duration))
+        // tkhd v0 payload: ver/flags,ctime,mtime,trackid,res,dur, res(8),
+        // layer/alt/vol/res (8), matrix(36) then width/height at 16.16
+        val tkhd0 = concat(lit("0000005C"), lit("746B6864"), lit("00000000"),
+          lit("00000000"), lit("00000000"), lit("00000001"), lit("00000000"), be32(duration),
+          lit("00000000".repeat(2)), lit("00000000".repeat(2)),
+          lit("00000000".repeat(9)),
+          be32(width * 65536L), be32(height * 65536L))
+        // tkhd v1: 64-bit ctime/mtime/duration → payload 12 bytes longer
+        // (96 bytes; box 0x68)
+        val tkhd1 = concat(lit("00000068"), lit("746B6864"), lit("01000000"),
+          lit("0000000000000000"), lit("0000000000000000"), lit("00000001"), lit("00000000"),
+          lit("00000000"), be32(duration),
+          lit("00000000".repeat(2)), lit("00000000".repeat(2)),
+          lit("00000000".repeat(9)),
+          be32(width * 65536L), be32(height * 65536L))
+        val mvhd = when(v1, mvhd1).otherwise(mvhd0)
+        val tkhd = when(v1, tkhd1).otherwise(tkhd0)
+        val trakSize = when(v1, lit(8L + 0x68L)).otherwise(lit(8L + 0x5cL))
+        val moovSize = lit(8L) + when(v1, lit(0x28L)).otherwise(lit(0x1cL)) + trakSize
+        val payloadHex = concat(ftyp,
+          be32(moovSize), lit("6D6F6F76"), mvhd,
+          be32(trakSize), lit("7472616B"), tkhd)
+        docs(s, d)
+          .select(col("doc_id"),
+            graft.functions.Mp4InfoExpressions.mp4Info(unhex(payloadHex)).as("m"))
+          .select(col("doc_id"), col("m.brand").as("brand"),
+            col("m.timescale").as("timescale"), col("m.duration_ms").as("duration_ms"),
+            col("m.width").as("width"), col("m.height").as("height"))
+      },
+      Some("""SELECT doc_id, 'isom' AS brand,
+          (CASE WHEN doc_id % 2 = 1 THEN 1000 ELSE 600 END)::INT AS timescale,
+          ((3000 + (doc_id * 37) % 600000) * 1000
+            // (CASE WHEN doc_id % 2 = 1 THEN 1000 ELSE 600 END))::BIGINT AS duration_ms,
+          (160 + (doc_id % 8) * 80)::INT AS width,
+          (90 + (doc_id % 8) * 45)::INT AS height
+        FROM documents""")
     )
   )
 }

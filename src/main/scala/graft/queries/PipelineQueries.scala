@@ -411,6 +411,46 @@ object PipelineQueries {
         GROUP BY 1, 2""")
     ),
 
+    // ── Temperature-based mixture rebalancing (α = 0.5): the data-mixing
+    //    pass that flattens a skewed language distribution before
+    //    training — kept docs per language become ∝ sqrt(n_lang), with
+    //    the SMALLEST language kept in full (normalizing by min(n) keeps
+    //    every per-group rate in (0, 1] and, unlike a sum of floats, min
+    //    is order-independent and exactly portable). keep decision =
+    //    deterministic keyed hash < rate, so the sample is reproducible
+    //    and refreshable (q64's discipline). Plan: two narrow corpus
+    //    scans with BROADCAST rate/count dims — deliberately NOT a
+    //    count-window over the corpus, which would shuffle every row on
+    //    the (skewed by construction) language key.
+    QueryDef(
+      "q94_mixture_rebalance",
+      (s, d) => {
+        val g = docs(s, d).groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        val nMin = g.agg(min(col("n_docs")).as("n_min"))
+        val rates = g.crossJoin(broadcast(nMin))
+          .select(col("lang"), col("n_docs"),
+            sqrt(col("n_min").cast(DoubleType) / col("n_docs").cast(DoubleType)).as("keep_frac"))
+        val kept = docs(s, d)
+          .join(broadcast(rates.select(col("lang"), col("keep_frac"))), "lang")
+          .where(pmod(hash32(concat(lit("q94|"), col("doc_id").cast(StringType))), lit(P))
+            .cast(DoubleType) < col("keep_frac") * lit(P.toDouble))
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+        rates.join(kept, Seq("lang"), "left_outer")
+          .select(col("lang"), col("n_docs"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("keep_frac"))
+      },
+      Some(s"""WITH g AS (SELECT lang, count(*) n FROM documents GROUP BY 1),
+        m AS (SELECT min(n) n_min FROM g),
+        r AS (SELECT lang, n, sqrt(n_min::DOUBLE / n::DOUBLE) frac FROM g CROSS JOIN m),
+        k AS (SELECT d.lang, count(*) n_kept FROM documents d JOIN r USING (lang)
+              WHERE (('0x'||substr(md5('q94|'||doc_id::VARCHAR),1,8))::BIGINT % $P)::DOUBLE
+                    < frac * $P.0
+              GROUP BY 1)
+        SELECT r.lang, r.n::BIGINT AS n_docs, coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+          r.frac AS keep_frac
+        FROM r LEFT JOIN k USING (lang)""")
+    ),
+
     // ── Int8 symmetric embedding quantization: per-vector scale =
     //    max|x|/127, q_i = floor(x/scale + 0.5) (explicit half-up — both
     //    engines compute the identical IEEE double), integer-exact

@@ -153,6 +153,29 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q80 sketch build is join-free: one linear aggregate + window plan") {
+    // the single-pass contract: the corpus is tokenized/shuffled once and
+    // both sketch rows derive from the distinct-word table as windows —
+    // any join in this plan means a second corpus pass crept back in
+    val p = plan("q80_countmin")
+    assert(!p.contains("Join"), s"q80 must not join\n$p")
+  }
+
+  test("q33 winnowing is shuffle-free (per-row array HOFs, no window)") {
+    val p = plan("q33_fingerprint")
+    assert(!p.contains("Exchange"), s"q33 winnowing must not shuffle\n$p")
+    assert(!p.contains("Window"), s"q33 must not use a window operator\n$p")
+  }
+
+  test("q92 substring dedup: no joins, gram scan feeds both windows once") {
+    val p = plan("q92_dedup_substring")
+    assert(!p.contains("Join"), s"q92 must be join-free (window-count form)\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one parquet scan: the gram subtree must not be recomputed
+    val scans = p.split("\n").count(l => l.contains("FileScan parquet"))
+    assert(scans == 1, s"expected one documents scan, got $scans\n$p")
+  }
+
   test("q85 curation pipeline: dedup is a semi-join, nothing goes quadratic") {
     val p = plan("q85_curation_pipeline")
     assert(p.contains("LeftSemi"), s"dedup keep-first must be a semi-join\n$p")

@@ -134,6 +134,48 @@ class TextAndMultimodalSpec extends SparkTestBase {
     assert(graft.functions.WavInfoSupport.parse(wavWithBits(8)) === ((8000, 1, 8, 100L)))
   }
 
+  test("Mp4Info parses v0 and v1 box layouts and never throws on hostile bytes") {
+    def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be64(v: Long) = be32(v >> 32) ++ be32(v & 0xffffffffL)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ tpe.getBytes("US-ASCII") ++ payload
+
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0))
+    // v0: 32-bit times, timescale 600, duration 1500 ticks -> 2500 ms
+    val mvhd0 = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(600) ++ be32(1500))
+    val tkhd0 = box("tkhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(1500) ++
+      Array.fill[Byte](8 + 8 + 36)(0) ++ be32(320L << 16) ++ be32(240L << 16))
+    val v0 = ftyp ++ box("moov", mvhd0 ++ box("trak", tkhd0))
+    assert(graft.functions.Mp4InfoSupport.parse(v0) === (("isom", 600, 2500L, 320, 240)))
+
+    // v1: 64-bit times, timescale 1000, duration 7250 -> 7250 ms
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++ be32(1000) ++ be64(7250))
+    val tkhd1 = box("tkhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++ be32(1) ++ be32(0) ++
+      be64(7250) ++ Array.fill[Byte](8 + 8 + 36)(0) ++ be32(1920L << 16) ++ be32(1080L << 16))
+    val v1 = ftyp ++ box("moov", mvhd1 ++ box("trak", tkhd1))
+    assert(graft.functions.Mp4InfoSupport.parse(v1) === (("isom", 1000, 7250L, 1920, 1080)))
+
+    // audio-only (no trak): dims come back as -1 -> struct nulls
+    val audioOnly = ftyp ++ box("moov", mvhd0)
+    assert(graft.functions.Mp4InfoSupport.parse(audioOnly) === (("isom", 600, 2500L, -1, -1)))
+
+    // hostile inputs: wrong magic, truncation mid-box, corrupt sizes
+    assert(graft.functions.Mp4InfoSupport.parse("not a video at all".getBytes) == null)
+    assert(graft.functions.Mp4InfoSupport.parse(v0.take(20)) == null)
+    val corrupt = v0.clone(); corrupt(16) = 0x7f.toByte // moov size bogus-huge
+    assert(graft.functions.Mp4InfoSupport.parse(corrupt) != null || true) // must not throw
+    for (cut <- Seq(17, 33, 57, 90)) // arbitrary truncations must not throw
+      graft.functions.Mp4InfoSupport.parse(v0.take(cut))
+    // fuzz: deterministic pseudo-random garbage, sizes 0..64
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 500) {
+      val arr = Array.fill[Byte](rnd.nextInt(65))(rnd.nextInt().toByte)
+      graft.functions.Mp4InfoSupport.parse(arr) // no throw is the assertion
+    }
+    val _ = be16(0) // silence unused warning
+  }
+
   test("ImageDims survives JPEG fill bytes and standalone markers before SOF") {
     // a real JDK JPEG, with 0xFF padding and a standalone RST0 marker
     // spliced in right after SOI — the marker walk must skip both instead
