@@ -392,13 +392,18 @@ object Dedup {
       .select(col(idCol), col("n_grams"),
         posexplode(graft.functions.HashExpressions.charGramHash32(col(textCol), gramLen))
           .as(Seq("pos", "g")))
-    // global gram count as a partition window, NOT groupBy+join-back: the
-    // window keeps the candidate filter in the same pass as the gram scan,
-    // so the corpus is hashed and exploded exactly once
+    // Global gram count as a TWO-PHASE hash aggregate + join-back, NOT a
+    // count window over g: a window gives a single-scan plan (measured
+    // ~1.4 s faster at sf0.1) but funnels every occurrence of a hot gram
+    // into one task — and hot 50-grams (boilerplate) are exactly what a
+    // web corpus contains, so at 100 TB the window form is a skew bomb.
+    // The aggregate's map-side partial combine absorbs hot keys; the cost
+    // is re-hashing the probe side (one extra narrow scan of cheap fused
+    // CharGramHash32 work).
+    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount).select(col("g"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    grams
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("g"))))
-      .where(col("cnt") >= minCount)
+    grams.join(dup, "g")
       .withColumn("nxt", lead(col("pos"), 1).over(w))
       .groupBy(col(idCol), col("n_grams"))
       .agg(

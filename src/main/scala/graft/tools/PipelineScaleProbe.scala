@@ -34,8 +34,15 @@ object PipelineScaleProbe {
       println(f"[scale] $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
       spark.catalog.clearCache()
     }
+    // q92 is the adversarial case by construction here: replicas share
+    // text, so EVERY gram is duplicated and the per-doc interval pass
+    // covers the whole corpus — yet growth stays linear because work is
+    // per-position, never per-pair (the structural edge of span-based
+    // substring dedup over pair-based similarity joins on clone-heavy
+    // corpora).
     Seq("q77_pii_redact", "q78_sequence_pack", "q79_repetition",
-      "q81_boilerplate", "q82_chunking", "q75_dedup_normalized").foreach(time)
+      "q81_boilerplate", "q82_chunking", "q75_dedup_normalized",
+      "q92_dedup_substring", "q94_mixture_rebalance").foreach(time)
     spark.stop()
   }
 }

@@ -167,13 +167,18 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), s"q33 must not use a window operator\n$p")
   }
 
-  test("q92 substring dedup: no joins, gram scan feeds both windows once") {
+  test("q92 substring dedup: skew-safe two-phase gram count, equi-join only") {
     val p = plan("q92_dedup_substring")
-    assert(!p.contains("Join"), s"q92 must be join-free (window-count form)\n$p")
-    assert(!p.contains("CartesianProduct"), p)
-    // exactly one parquet scan: the gram subtree must not be recomputed
-    val scans = p.split("\n").count(l => l.contains("FileScan parquet"))
-    assert(scans == 1, s"expected one documents scan, got $scans\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the global gram count MUST be a hash aggregate (map-side partial
+    // combine absorbs hot boilerplate grams) — a count-window over g would
+    // serialize every occurrence of a hot gram through one task at scale
+    assert(p.contains("HashAggregate"), s"q92 gram count must be a hash aggregate\n$p")
+    // every window operator must partition by doc_id (the sparse per-doc
+    // interval pass) — none by the gram hash
+    p.split("\n").filter(_.contains("Window ")).foreach { l =>
+      assert(l.contains("doc_id"), s"q92 window not partitioned by doc_id: $l\n$p")
+    }
   }
 
   test("q85 curation pipeline: dedup is a semi-join, nothing goes quadratic") {
