@@ -451,6 +451,38 @@ object PipelineQueries {
         FROM r LEFT JOIN k USING (lang)""")
     ),
 
+    // ── Distributed global row numbering WITHOUT a single-partition sort:
+    //    contiguous global ranks over (lang, doc_id) order, computed as
+    //    shard-local row_number (fully parallel — the window partitions by
+    //    (lang, 100k-doc shard), q78's discipline) plus a cumulative
+    //    offset from the tiny (lang, shard) count table. The only
+    //    single-partition stage is the offset cum-sum over #groups rows —
+    //    a dimension, not the corpus. This is THE pattern for assigning
+    //    stable example ids to a training corpus: a naive global
+    //    row_number() window funnels 100 TB through one task.
+    QueryDef(
+      "q96_global_rank",
+      (s, d) => {
+        val shard = floor(col("doc_id") / lit(100000.0)).cast(LongType)
+        val base = docs(s, d).select(col("doc_id"), col("lang"), shard.as("shard"))
+        val counts = base.groupBy(col("lang"), col("shard")).agg(count(lit(1)).as("n"))
+        val offW = Window.orderBy(col("lang"), col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = counts
+          .withColumn("off", coalesce(sum(col("n")).over(offW), lit(0L)))
+          .select(col("lang"), col("shard"), col("off"))
+        val localW = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+        base
+          .withColumn("lrn", row_number().over(localW))
+          .join(broadcast(offsets), Seq("lang", "shard"))
+          .select(col("doc_id"), col("lang"),
+            (col("off") + col("lrn")).as("global_rn"))
+      },
+      Some("""SELECT doc_id, lang,
+          row_number() OVER (ORDER BY lang, doc_id)::BIGINT AS global_rn
+        FROM documents""")
+    ),
+
     // ── Int8 symmetric embedding quantization: per-vector scale =
     //    max|x|/127, q_i = floor(x/scale + 0.5) (explicit half-up — both
     //    engines compute the identical IEEE double), integer-exact

@@ -393,6 +393,37 @@ object TextQueries {
         WHERE CASE WHEN lang = 'en' THEN bucket < 1 ELSE bucket < 3 END""")
     ),
 
+    // ── Vocabulary-coverage quality filter: fraction of a document's
+    //    tokens (with multiplicity) that fall in the corpus's top-1000
+    //    vocabulary — the cheap gibberish/OOV screen that runs before
+    //    model-based quality scoring. The vocabulary is a TakeOrdered
+    //    top-K (per-partition heaps, deterministic count-then-word
+    //    tie-break) and BROADCASTS to the coverage join, so the corpus
+    //    shuffles once (the per-doc count) at any scale. Coverage is an
+    //    int/int double — exact in both engines.
+    QueryDef(
+      "q95_vocab_coverage",
+      (s, d) => {
+        val words = docs(s, d).select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("w").asc).limit(1000)
+          .select(col("w"), lit(1L).as("inv"))
+        words.join(broadcast(vocab), Seq("w"), "left_outer")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"),
+            sum(coalesce(col("inv"), lit(0L))).as("n_vocab"))
+          .withColumn("coverage",
+            col("n_vocab").cast(DoubleType) / col("n_tok").cast(DoubleType))
+      },
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) w FROM documents),
+        v AS (SELECT w, 1 inv FROM (SELECT w, count(*) c FROM w GROUP BY 1
+              ORDER BY c DESC, w ASC LIMIT 1000))
+        SELECT doc_id, count(*)::BIGINT AS n_tok,
+          CAST(sum(coalesce(inv, 0)) AS BIGINT) AS n_vocab,
+          CAST(sum(coalesce(inv, 0)) AS DOUBLE) / count(*)::DOUBLE AS coverage
+        FROM w LEFT JOIN v USING (w) GROUP BY doc_id""")
+    ),
+
     // ── Fingerprint-overlap near-dup pairs (MOSS-style): docs sharing ≥ 5
     //    winnowed fingerprints. Candidate generation is an equi-join on
     //    the fingerprint value; fingerprints appearing in > 50 documents

@@ -181,6 +181,22 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q96 global rank: corpus window is sharded, offsets broadcast") {
+    val p = plan("q96_global_rank")
+    // the corpus-side row_number must partition by (lang, shard) — never a
+    // global single-partition sort of the corpus
+    assert(p.contains("hashpartitioning(lang"),
+      s"q96 corpus window must partition by lang/shard\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q96 offsets must broadcast\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q95 vocab coverage: top-K vocabulary is TakeOrdered and broadcasts") {
+    val p = plan("q95_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), s"vocab must be a top-K heap\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"vocab side must broadcast\n$p")
+  }
+
   test("q85 curation pipeline: dedup is a semi-join, nothing goes quadratic") {
     val p = plan("q85_curation_pipeline")
     assert(p.contains("LeftSemi"), s"dedup keep-first must be a semi-join\n$p")
