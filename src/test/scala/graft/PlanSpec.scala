@@ -85,6 +85,9 @@ class PlanSpec extends SparkTestBase {
       val p41 = plan("q41_dedup_ngram_jaccard")
       val fused41 = p41.split("\n").exists(l => l.contains("*(") && l.toLowerCase.contains("shinglehash"))
       assert(fused41, "ShingleHash32 fell out of whole-stage codegen\n" + p41)
+      val p92 = plan("q92_dedup_substring")
+      val fused92 = p92.split("\n").exists(l => l.contains("*(") && l.toLowerCase.contains("chargramhash"))
+      assert(fused92, "CharGramHash32 fell out of whole-stage codegen\n" + p92)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 

@@ -90,6 +90,31 @@ class PropertySpec extends AnyFunSuite {
     }, min = 300)
   }
 
+  test("CharGramHash32 equals the md5/substr reference for any string") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val pieceGen = Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.const(" "),
+      1 -> Gen.oneOf("É", "ß", "Ω", "中", "🚀") // multi-byte (incl. 4-byte) path
+    )
+    def refHash(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    checkProp(Prop.forAll(Gen.listOf(pieceGen).map(_.mkString), Gen.choose(1, 8)) { (s, k) =>
+      val got = graft.functions.HashSupport
+        .charGramHashes(UTF8String.fromString(s), k).toLongArray().toSeq
+      // reference: md5 of every k-char (code-point) window — what the
+      // DuckDB oracle computes with substr+md5
+      val cps = s.codePoints().toArray
+      val ref =
+        if (cps.length < k) Seq.empty[Long]
+        else (0 to cps.length - k).map(i => refHash(new String(cps, i, k)))
+      got == ref
+    }, min = 300)
+  }
+
   test("media header parsers terminate and never throw on arbitrary bytes") {
     val raw = Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
     // bias toward valid magics so the deeper walk paths (marker/chunk
