@@ -382,6 +382,40 @@ object Analytics3 {
           reverse(lang) AS rlang,
           lpad(lang, 5, '_') AS padded
         FROM documents""")
+    ),
+
+    // ── SCD2 (slowly-changing-dimension type 2) history build: each
+    //    customer's order-status timeline collapsed into validity
+    //    intervals — a row per status CHANGE with [valid_from, valid_to)
+    //    bounds, valid_to NULL on the open current interval. The
+    //    snapshot→history compaction every warehouse dimension pipeline
+    //    runs. Two per-customer windows (lag to detect change, lead over
+    //    the change rows to close intervals) — parallel across customers,
+    //    no corpus-wide state; pure date/string columns, hash-safe.
+    QueryDef(
+      "q98_scd2_history",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        val changes = ord(s, d)
+          .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"), col("o_orderkey"))
+          .withColumn("prev", lag(col("o_orderstatus"), 1).over(w))
+          .where(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+        changes
+          .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+          .select(col("o_custkey").as("custkey"), col("o_orderstatus").as("status"),
+            col("o_orderdate").as("valid_from"), col("valid_to"))
+      },
+      Some("""WITH c AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+            lag(o_orderstatus) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey) prev
+          FROM orders),
+        ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> o_orderstatus)
+        SELECT o_custkey AS custkey, o_orderstatus AS status,
+          o_orderdate AS valid_from,
+          lead(o_orderdate) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS valid_to
+        FROM ch""")
     )
   )
 }

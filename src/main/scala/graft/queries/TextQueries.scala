@@ -424,6 +424,69 @@ object TextQueries {
         FROM w LEFT JOIN v USING (w) GROUP BY doc_id""")
     ),
 
+    // ── BM25 retrieval (rational-IDF variant): top-10 documents for a
+    //    fixed conjunctive term set, scored with the BM25 tf saturation
+    //    (k1=1.2, b=0.75) but the RAW Robertson idf ratio
+    //    (N−df+0.5)/(df+0.5) instead of its log — log is not bit-portable
+    //    across engines (NOTES discipline), and the scoring contract is
+    //    declared as this deterministic variant. Every per-term factor is
+    //    an element-wise IEEE double and the 3-term sum is written in
+    //    literal fixed order, so both engines compute identical bits.
+    //    Plan shape: ONE stats aggregate (N, total tokens, per-term dfs)
+    //    broadcast into a per-row scoring pass — no explode, no join on
+    //    terms — then TakeOrdered top-10. At 100 TB: one corpus
+    //    aggregation + one narrow scan, score work O(terms) per doc.
+    QueryDef(
+      "q97_bm25",
+      (s, d) => {
+        val terms = Seq("vector", "merge", "filter")
+        val base = docs(s, d).select(col("doc_id"), tokens(col("text")).as("t"))
+        val aggCols = count(lit(1)).cast(LongType).as("n_docs") +:
+          sum(size(col("t")).cast(LongType)).as("n_toks") +:
+          terms.map(tm =>
+            sum(when(array_contains(col("t"), tm), 1L).otherwise(0L)).as(s"df_$tm"))
+        val stats = base.agg(aggCols.head, aggCols.tail: _*)
+        val scored = base.crossJoin(broadcast(stats))
+        val len = size(col("t")).cast(DoubleType)
+        val avglen = col("n_toks").cast(DoubleType) / col("n_docs").cast(DoubleType)
+        def termScore(tm: String) = {
+          val tf = size(filter(col("t"), x => x === tm)).cast(DoubleType)
+          val idf = (col("n_docs").cast(DoubleType) - col(s"df_$tm").cast(DoubleType) + lit(0.5)) /
+            (col(s"df_$tm").cast(DoubleType) + lit(0.5))
+          idf * (tf * lit(2.2)) / (tf + lit(1.2) * (lit(0.25) + lit(0.75) * len / avglen))
+        }
+        scored
+          .select(col("doc_id"),
+            terms.map(termScore).reduce(_ + _).as("score"))
+          .where(col("score") > 0)
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(10)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+        st AS (SELECT count(*)::BIGINT n_docs, CAST(sum(len(t)) AS BIGINT) n_toks,
+          CAST(sum(CASE WHEN list_contains(t,'vector') THEN 1 ELSE 0 END) AS BIGINT) df_vector,
+          CAST(sum(CASE WHEN list_contains(t,'merge') THEN 1 ELSE 0 END) AS BIGINT) df_merge,
+          CAST(sum(CASE WHEN list_contains(t,'filter') THEN 1 ELSE 0 END) AS BIGINT) df_filter
+         FROM d),
+        sc AS (SELECT doc_id,
+          ((n_docs::DOUBLE - df_vector::DOUBLE + 0.5)/(df_vector::DOUBLE + 0.5))
+            * (len(list_filter(t, x -> x = 'vector'))::DOUBLE * 2.2)
+            / (len(list_filter(t, x -> x = 'vector'))::DOUBLE
+               + 1.2*(0.25 + 0.75*len(t)::DOUBLE/(n_toks::DOUBLE/n_docs::DOUBLE)))
+          + ((n_docs::DOUBLE - df_merge::DOUBLE + 0.5)/(df_merge::DOUBLE + 0.5))
+            * (len(list_filter(t, x -> x = 'merge'))::DOUBLE * 2.2)
+            / (len(list_filter(t, x -> x = 'merge'))::DOUBLE
+               + 1.2*(0.25 + 0.75*len(t)::DOUBLE/(n_toks::DOUBLE/n_docs::DOUBLE)))
+          + ((n_docs::DOUBLE - df_filter::DOUBLE + 0.5)/(df_filter::DOUBLE + 0.5))
+            * (len(list_filter(t, x -> x = 'filter'))::DOUBLE * 2.2)
+            / (len(list_filter(t, x -> x = 'filter'))::DOUBLE
+               + 1.2*(0.25 + 0.75*len(t)::DOUBLE/(n_toks::DOUBLE/n_docs::DOUBLE)))
+          AS score
+         FROM d CROSS JOIN st)
+        SELECT doc_id, score FROM sc WHERE score > 0
+        ORDER BY score DESC, doc_id ASC LIMIT 10""")
+    ),
+
     // ── Fingerprint-overlap near-dup pairs (MOSS-style): docs sharing ≥ 5
     //    winnowed fingerprints. Candidate generation is an equi-join on
     //    the fingerprint value; fingerprints appearing in > 50 documents
