@@ -416,6 +416,70 @@ object Analytics3 {
           lead(o_orderdate) OVER (PARTITION BY o_custkey
             ORDER BY o_orderdate, o_orderkey) AS valid_to
         FROM ch""")
+    ),
+
+    // ── Ordered funnel analysis: per user, how far through the
+    //    view → click → purchase sequence IN TIMESTAMP ORDER — the
+    //    conversion query every event warehouse runs. Computed as ONE
+    //    per-user fold: events collected into a (ts, event_id)-sorted
+    //    step-code array and folded with an integer state machine
+    //    (stage advances only on the next expected step) — single
+    //    aggregate, no self-joins per step, per-user state bounded by
+    //    history length. Both engines fold the identical sorted int list.
+    QueryDef(
+      "q99_funnel",
+      (s, d) => {
+        val code = when(col("event_type") === "view", 1)
+          .when(col("event_type") === "click", 2)
+          .when(col("event_type") === "purchase", 3).otherwise(0)
+        ev(s, d)
+          .select(col("user_id"), struct(col("ts"), col("event_id"), code.as("c")).as("e"))
+          .groupBy(col("user_id"))
+          .agg(array_sort(collect_list(col("e"))).as("evs"))
+          .select(col("user_id"),
+            aggregate(transform(col("evs"), x => x.getField("c")), lit(0),
+              (st, c) =>
+                when(st === 0 && c === 1, 1)
+                  .when(st === 1 && c === 2, 2)
+                  .when(st === 2 && c === 3, 3)
+                  .otherwise(st)).cast(LongType).as("funnel_stage"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id,
+            CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              WHEN 'purchase' THEN 3 ELSE 0 END c,
+            CAST(ts AS TIMESTAMP) t FROM events),
+        l AS (SELECT user_id, list(c ORDER BY t, event_id) codes FROM e GROUP BY 1)
+        SELECT user_id, CAST(list_reduce(list_prepend(0, codes), (st, c) ->
+            CASE WHEN st = 0 AND c = 1 THEN 1
+                 WHEN st = 1 AND c = 2 THEN 2
+                 WHEN st = 2 AND c = 3 THEN 3
+                 ELSE st END) AS BIGINT) AS funnel_stage
+        FROM l""")
+    ),
+
+    // ── Retention cohort matrix: users bucketed by first-activity week
+    //    (the cohort), counted in every week they were active — the
+    //    engagement staple. One distinct (user, week) projection, a tiny
+    //    per-user cohort dim joined back by broadcast, integer counts
+    //    only. Weeks via date_trunc (ISO Monday in both engines).
+    QueryDef(
+      "q100_retention_cohorts",
+      (s, d) => {
+        val uw = ev(s, d)
+          .select(col("user_id"), date_trunc("week", col("ts")).cast(DateType).as("wk"))
+          .distinct()
+        val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+        uw.join(broadcast(cohort), "user_id")
+          .groupBy(col("cohort_week"), col("wk").as("active_week"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) wk
+            FROM events),
+        uw AS (SELECT DISTINCT user_id, wk FROM e),
+        c AS (SELECT user_id, min(wk) cohort_week FROM uw GROUP BY 1)
+        SELECT cohort_week, wk AS active_week, count(DISTINCT uw.user_id)::BIGINT AS n_users
+        FROM uw JOIN c USING (user_id)
+        GROUP BY 1, 2""")
     )
   )
 }
