@@ -353,4 +353,21 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
       .distinct() // multi-assignment can surface a pair in several lists
   }
+
+  /** SemDeDup-style semantic prune: one verdict row per DROPPED vector —
+    * any vector with a lower-id within-list neighbor above the cosine
+    * threshold, together with its smallest such keeper and the strongest
+    * similarity that condemned it. Keep-lowest-id is the deterministic
+    * stand-in for SemDeDup's keep-medoid rule (both pick exactly one
+    * survivor per near-dup relation; lowest-id needs no extra pass).
+    *
+    * Scale contract is the bucketed pair join's: verify work is
+    * Σ |list|², not n², and the per-drop aggregate is a hash aggregate
+    * over those pairs — nothing beyond the pair set ever materializes.
+    */
+  def semanticDedupDropped(corpus: DataFrame, centroids: DataFrame, threshold: Double): DataFrame =
+    embeddingNearDupPairsBucketed(corpus, centroids, threshold)
+      .groupBy(col("id_b"))
+      .agg(min(col("id_a")).as("keeper_id"), max(col("cos")).as("max_cos"))
+      .select(col("id_b").as("dropped_id"), col("keeper_id"), col("max_cos"))
 }

@@ -360,6 +360,37 @@ object DedupQueries {
         SELECT doc_id, n_grams, count(*)::BIGINT AS n_dup_grams,
           CAST(sum(CASE WHEN nxt IS NULL THEN 50 ELSE least(50, nxt - pos) END) AS BIGINT) AS dup_chars
         FROM dp GROUP BY 1, 2""")
+    ),
+
+    // ── Semantic dedup (SemDeDup shape): cluster the embedding space with
+    //    the IVF coarse lists, score pairs only within a list, and emit one
+    //    verdict row per PRUNED vector: its smallest lower-id keeper and
+    //    the strongest similarity that condemned it. Single assignment
+    //    (m=1) — SemDeDup prunes within ONE cluster per point; the per-drop
+    //    reduction is a hash aggregate over the within-list pairs.
+    QueryDef(
+      "q101_dedup_semantic",
+      (s, d) => {
+        val corpus = Similarity.prepare(emb(s, d), "vec_id", "embedding")
+        Similarity.semanticDedupDropped(
+          corpus, centroids = corpus.where(col("vid") < 16), threshold = 0.4)
+      },
+      Some {
+        def dotSql(a: String, b: String) =
+          s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])), (x,y) -> x+y)"
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, v), (a,b) -> a + b*b)) nrm FROM e),
+        c AS (SELECT vec_id cid, v cv, nrm cn FROM n WHERE vec_id < 16),
+        assigned AS (SELECT vec_id, v, nrm, cid FROM (
+          SELECT n.vec_id, n.v, n.nrm, c.cid,
+            row_number() OVER (PARTITION BY n.vec_id ORDER BY ${dotSql("cv", "v")} / (cn*nrm) DESC, c.cid ASC) crank
+          FROM n CROSS JOIN c) WHERE crank = 1),
+        p AS (SELECT a.vec_id id_a, b.vec_id id_b,
+          ${dotSql("a.v", "b.v")} / (a.nrm*b.nrm) cos
+          FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+        SELECT id_b AS dropped_id, min(id_a) AS keeper_id, max(cos) AS max_cos
+        FROM p WHERE cos > 0.4 GROUP BY id_b"""
+      }
     )
   )
 }

@@ -523,6 +523,121 @@ object PipelineQueries {
               list_transform(v, x -> abs(x::DOUBLE - floor(x::DOUBLE / scale + 0.5) * scale)))
             ELSE CAST(0 AS DOUBLE) END AS max_q_err
         FROM s""")
+    ),
+
+    // ── Content-defined chunking (Rabin-style CDC): a cut lands after any
+    //    16-char window whose rolling hash ≡ 0 (mod 64), so chunk
+    //    boundaries are a pure function of CONTENT — insert one byte and
+    //    only the chunk containing it changes, which is what makes CDC
+    //    chunks dedup-stable where fixed-stride chunks (q82) all shift.
+    //    One fused char-gram hash pass per doc (the q92 expression), cuts
+    //    and spans derived array-side, then a single posexplode — per-doc
+    //    work is linear in length, nothing shuffles until the output.
+    QueryDef(
+      "q102_cdc_chunking",
+      (s, d) => {
+        val k = 16
+        val staged = docs(s, d).select(col("doc_id"), col("text"),
+          graft.functions.HashExpressions.charGramHash32(col("text"), k).as("hs"))
+        val cuts = filter(
+          transform(col("hs"), (h, i) => when(pmod(h, lit(64)) === 0, i + lit(k)).otherwise(lit(-1))),
+          c => c >= 0)
+        // ascending by construction (index order); distinct only merges a
+        // cut falling exactly at end-of-text with the closing bound
+        val bounds = array_distinct(concat(array(lit(0)), cuts, array(length(col("text")))))
+        val spans = when(size(col("bounds")) >= 2,
+          transform(sequence(lit(0), size(col("bounds")) - 2),
+            j => struct(element_at(col("bounds"), j + 1).as("start"),
+              element_at(col("bounds"), j + 2).as("stop"))))
+          .otherwise(array().cast("array<struct<start:int,stop:int>>"))
+        staged
+          .select(col("doc_id"), col("text"), bounds.as("bounds"))
+          .select(col("doc_id"), col("text"), posexplode(spans))
+          .select(col("doc_id"), col("pos").as("chunk_ix"),
+            col("col.start").as("chunk_start"),
+            (col("col.stop") - col("col.start")).as("chunk_len"),
+            hash32(col("text").substr(col("col.start") + 1, col("col.stop") - col("col.start")))
+              .as("chunk_hash"))
+          .where(col("chunk_len") > 0)
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text) len FROM documents),
+        g AS (SELECT doc_id, i, ('0x'||substr(md5(substr(text, (i+1)::INT, 16)),1,8))::BIGINT h
+              FROM (SELECT doc_id, text, len, unnest(range(0, greatest(len - 15, 0))) i FROM d)),
+        cuts AS (SELECT doc_id, i + 16 cut FROM g WHERE h % 64 = 0),
+        b AS (SELECT DISTINCT doc_id, cut FROM (
+                SELECT doc_id, cut FROM cuts
+                UNION ALL SELECT doc_id, 0 FROM d
+                UNION ALL SELECT doc_id, len FROM d)),
+        sp AS (SELECT doc_id, cut AS start,
+                 lead(cut) OVER (PARTITION BY doc_id ORDER BY cut) stop
+               FROM b)
+        SELECT sp.doc_id, (row_number() OVER (PARTITION BY sp.doc_id ORDER BY start) - 1)::INT AS chunk_ix,
+          start::INT AS chunk_start, (stop - start)::INT AS chunk_len,
+          ('0x'||substr(md5(substr(d.text, (start+1)::INT, (stop-start)::INT)),1,8))::BIGINT AS chunk_hash
+        FROM sp JOIN d ON sp.doc_id = d.doc_id
+        WHERE stop IS NOT NULL AND stop > start""")
+    ),
+
+    // ── Deterministic train/val/test split: bucket = hash(salt|doc_id)
+    //    mod 100 → 90/5/5. The assignment is a pure per-row function — no
+    //    shuffle, no state, stable under corpus growth (a doc's split
+    //    never changes when other docs arrive), which is the property that
+    //    prevents silent train/test leakage across pipeline re-runs.
+    QueryDef(
+      "q103_hash_split",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"),
+          pmod(hash32(concat(lit("q103|"), col("doc_id").cast(StringType))), lit(100)).as("bucket"))
+        .select(col("doc_id"), col("bucket"),
+          when(col("bucket") < 90, "train").when(col("bucket") < 95, "val")
+            .otherwise("test").as("split")),
+      Some("""SELECT doc_id, b AS bucket,
+          CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                ('0x'||substr(md5('q103|'||doc_id::VARCHAR),1,8))::BIGINT % 100 AS b
+              FROM documents)""")
+    ),
+
+    // ── DSIR-style importance weighting: hashed unigram features, weight
+    //    w(f) = n_target(f)·10⁶ ÷ n_all(f) (integer — engine-exact), doc
+    //    score = Σ w(f(token)) over its tokens; top-50 docs most
+    //    target-like (target = English). ONE tokenize pass: the per-
+    //    (doc, feature) count table feeds both the global feature counts
+    //    (re-aggregate, carrying the per-doc lang) and the scoring join —
+    //    the ≤2¹⁶-row weight table broadcasts, the final sum is a hash
+    //    aggregate, and the top-50 is TakeOrdered (no global sort).
+    QueryDef(
+      "q104_importance_weights",
+      (s, d) => {
+        val toks = docs(s, d).select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+        val docFeat = toks
+          .select(col("doc_id"), col("lang"), explode(col("toks")).as("w"))
+          .select(col("doc_id"), col("lang"), pmod(hash32(col("w")), lit(65536)).as("f"))
+          .groupBy(col("doc_id"), col("lang"), col("f"))
+          .agg(count(lit(1)).as("n"))
+        val weights = docFeat
+          .groupBy(col("f"))
+          .agg(sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("n_target"),
+            sum(col("n")).as("n_all"))
+          // integer `div`, not `/`: double division + cast can be off-by-one
+          // on large quotients; DuckDB's `//` on positive BIGINTs matches div
+          .selectExpr("f", "(n_target * 1000000L) div n_all AS wt")
+        docFeat.join(broadcast(weights), "f")
+          .groupBy(col("doc_id"))
+          .agg(sum(col("n") * col("wt")).as("score"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(50)
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+            ('0x'||substr(md5(w),1,8))::BIGINT % 65536 AS f
+          FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) w FROM documents)),
+        df AS (SELECT doc_id, lang, f, count(*)::BIGINT n FROM t GROUP BY 1, 2, 3),
+        wt AS (SELECT f, (sum(CASE WHEN lang = 'en' THEN n ELSE 0 END) * 1000000) // sum(n) AS wt
+               FROM df GROUP BY f)
+        SELECT doc_id, sum(n * wt)::BIGINT AS score
+        FROM df JOIN wt USING (f)
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC LIMIT 50""")
     )
   )
 }

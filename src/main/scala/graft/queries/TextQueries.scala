@@ -523,6 +523,58 @@ object TextQueries {
         SELECT a.doc_id id_a, b.doc_id id_b, count(*) AS shared
         FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= 5""")
+    ),
+
+    // ── TextRank keyword extraction: PageRank over the word-adjacency
+    //    graph (undirected = symmetrized edges, self-loops dropped), five
+    //    power-iteration rounds in integer MICRO-UNITS — rank₀ = 10⁶,
+    //    rankₜ₊₁(v) = 150000 + 17·(Σᵤ→ᵥ rankₜ(u) div deg(u)) div 20 — so
+    //    every engine computes bit-identical values (damping 0.85 as the
+    //    rational 17/20, truncating division, exact long sums; no float
+    //    ever). Each round is one equi-join + hash aggregate on the edge
+    //    list — the canonical distributed-PageRank shape; the edge list and
+    //    degree join are cached once and reused by all rounds. Every node
+    //    has in-degree ≥ 1 by symmetry, so no dangling-mass term is needed.
+    QueryDef(
+      "q105_textrank",
+      (s, d) => {
+        val base = docs(s, d).select(tokens(col("text")).as("toks"))
+        val e0 = base.select(explode(shingles(col("toks"), 2)).as("b"))
+          .select(substring_index(col("b"), " ", 1).as("u"),
+            substring_index(col("b"), " ", -1).as("v"))
+          .where(col("u") =!= col("v"))
+        val e = e0.union(e0.select(col("v").as("u"), col("u").as("v"))).distinct()
+        val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        val ed = e.join(deg, "u").cache() // (u, v, deg u) — reused every round
+        var ranks = deg.select(col("u").as("w"), lit(1000000L).as("r"))
+        for (_ <- 1 to 5) {
+          ranks = ed.join(ranks, col("u") === col("w"))
+            .groupBy(col("v"))
+            .agg(sum(expr("r div d")).as("s"))
+            .selectExpr("v AS w", "150000L + (17L * s) div 20 AS r")
+        }
+        ranks
+          .orderBy(col("r").desc, col("w").asc)
+          .limit(20)
+          .select(col("w").as("word"), col("r").as("rank"))
+      },
+      Some {
+        val iters = (1 to 5).map { i =>
+          s"""r$i AS (SELECT e.v w, 150000 + (17 * sum(p.r // deg.d)) // 20 r
+          FROM e JOIN r${i - 1} p ON e.u = p.w JOIN deg ON deg.u = e.u GROUP BY e.v)"""
+        }.mkString(",\n        ")
+        s"""WITH t AS (SELECT string_split(text, ' ') t FROM documents),
+        adj AS (SELECT t[j+1] u, t[j+2] v
+                FROM (SELECT t, unnest(range(0, len(t)-1)) j FROM t WHERE len(t) >= 2)),
+        e0 AS (SELECT u, v FROM adj WHERE u <> v),
+        e AS (SELECT DISTINCT u, v FROM
+                (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0)),
+        deg AS (SELECT u, count(*)::BIGINT d FROM e GROUP BY 1),
+        r0 AS (SELECT u w, 1000000::BIGINT r FROM deg),
+        $iters
+        SELECT w AS word, CAST(r AS BIGINT) AS rank FROM r5
+        ORDER BY r DESC, w ASC LIMIT 20"""
+      }
     )
   )
 }
