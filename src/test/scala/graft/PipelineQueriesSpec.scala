@@ -165,4 +165,93 @@ class PipelineQueriesSpec extends SparkTestBase {
     val all = q("q83_embedding_quant")(spark, "/root/testdata/sf0.01")
     assert(all.where(col("max_q_err") > col("scale") / 2 + lit(1e-12)).count() === 0)
   }
+
+  test("q102: CDC chunks tile each document and survive a prefix edit") {
+    // tiling: contiguous spans summing to n_chars, corpus-wide
+    val out = q("q102_cdc_chunking")(spark, "/root/testdata/sf0.01")
+    val sums = out.groupBy("doc_id").agg(sum("chunk_len").as("s"))
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"))
+    assert(sums.join(docs, "doc_id").where(col("s") =!= col("n")).count() === 0)
+    // spans are contiguous: every chunk starts where the previous stopped
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("chunk_ix")
+    val gaps = out
+      .withColumn("prev_end", lag(col("chunk_start") + col("chunk_len"), 1, 0).over(w))
+      .where(col("chunk_start") =!= col("prev_end"))
+    assert(gaps.count() === 0)
+
+    // content-defined stability: prepend an edit to a real document and
+    // the chunking only changes near the edit — every chunk of the
+    // original except (at most) the first two reappears verbatim in the
+    // edited document's chunk set. Fixed-stride chunking (q82) shifts
+    // EVERY boundary under the same edit.
+    val text = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .orderBy("doc_id").select("text").as[String].head()
+    val a = docsDir(Seq((1L, text, "en", "s")))
+    val b = docsDir(Seq((1L, "PREFIX EDIT >> " + text, "en", "s")))
+    val ha = q("q102_cdc_chunking")(spark, a)
+      .orderBy("chunk_ix").select("chunk_hash").as[Long].collect()
+    val hb = q("q102_cdc_chunking")(spark, b)
+      .select("chunk_hash").as[Long].collect().toSet
+    assert(ha.length >= 3, s"document too short to have ${ha.length} chunks; pick a longer one")
+    val missing = ha.drop(2).filterNot(hb)
+    assert(missing.isEmpty, s"chunks beyond the edit region changed: $missing")
+  }
+
+  test("q103: split follows the bucket rule, covers every doc, is stable") {
+    val out = q("q103_hash_split")(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, String)].collect()
+    assert(out.length === 500)
+    assert(out.forall { case (_, b, _) => b >= 0 && b < 100 })
+    assert(out.forall { case (_, b, s) =>
+      s == (if (b < 90) "train" else if (b < 95) "val" else "test")
+    })
+    // all three splits non-empty and roughly proportioned on 500 docs
+    val n = out.groupBy(_._3).map { case (k, v) => k -> v.size }
+    assert(n("train") > 400 && n("val") > 5 && n("test") > 5)
+    val again = q("q103_hash_split")(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, String)].collect()
+    assert(out.toSet === again.toSet)
+  }
+
+  test("q101: identical vectors collapse to the lowest id, loners survive") {
+    val dir = Files.createTempDirectory("graft-semdedup").toString
+    val v = Seq(1.0f, 0.0f, 0.0f)
+    val far = Seq(0.0f, 1.0f, 0.0f)
+    Seq((0L, v, 0), (1L, v, 0), (2L, v, 0), (3L, far, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = q("q101_dedup_semantic")(spark, dir)
+      .orderBy("dropped_id").as[(Long, Long, Double)].collect()
+    // 0,1,2 share a list (identical → same nearest centroid, lowest-cid
+    // tiebreak); 3 is orthogonal and alone. Dropped: 1 and 2, keeper 0.
+    assert(got.map(r => (r._1, r._2)).toSeq === Seq((1L, 0L), (2L, 0L)))
+    assert(got.forall(_._3 > 0.99))
+  }
+
+  test("q104: target-language-exclusive tokens dominate the ranking") {
+    val dir = docsDir(
+      (1L to 6L).map(i => (i, "alpha alpha shared", "en", "s")) ++
+        (7L to 12L).map(i => (i, "beta beta shared", "de", "s")))
+    val got = q("q104_importance_weights")(spark, dir).as[(Long, Long)].collect()
+    val score = got.toMap
+    // en docs: alpha appears only in en → w=10^6 per occurrence;
+    // de docs: beta never appears in en → w=0; 'shared' splits 50/50.
+    assert((1L to 6L).forall(i => score(i) > score(7L)))
+    assert((7L to 12L).map(score).distinct.size === 1)
+    assert(score(1L) === 2L * 1000000L + 500000L)
+    assert(score(7L) === 500000L)
+  }
+
+  test("q105: hub word outranks leaves, leaves tie, ranks are stable") {
+    val dir = docsDir(Seq((1L, "hub x hub y hub z", "en", "s")))
+    val got = q("q105_textrank")(spark, dir).as[(String, Long)].collect()
+    val rank = got.toMap
+    assert(rank("hub") > rank("x"))
+    assert(rank("x") === rank("y") && rank("y") === rank("z"))
+    // deterministic integer arithmetic: identical ranks on a re-run
+    val again = q("q105_textrank")(spark, dir).as[(String, Long)].collect()
+    assert(got.toSet === again.toSet)
+  }
 }
