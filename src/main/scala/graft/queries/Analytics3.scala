@@ -480,6 +480,205 @@ object Analytics3 {
         SELECT cohort_week, wk AS active_week, count(DISTINCT uw.user_id)::BIGINT AS n_users
         FROM uw JOIN c USING (user_id)
         GROUP BY 1, 2""")
+    ),
+
+    // ── Time-series gap fill + forward fill: per user, a contiguous daily
+    //    grid over their active span, each day carrying the user's LAST
+    //    reading that day, gaps forward-filled from the previous day — the
+    //    regularization every telemetry consumer needs before resampling.
+    //    The last-per-day pick is an order-independent struct MAX (exact),
+    //    the grid is an explode of sequence() (no generator join), and the
+    //    fill is one per-user running window — state bounded by span days.
+    QueryDef(
+      "q106_gap_fill",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = ev(s, d).select(col("user_id"), to_date(col("ts")).as("day"),
+          col("ts"), col("event_id"), col("value"))
+        val daily = e
+          .groupBy(col("user_id"), col("day"))
+          .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("lastv"))
+          .select(col("user_id"), col("day"), col("lastv.value").as("v"))
+        val grid = daily
+          .groupBy(col("user_id"))
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"), col("v").isNull.as("gap_filled"),
+            last(col("v"), ignoreNulls = true).over(w).as("value"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) ts,
+            CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS dd FROM events),
+        daily AS (SELECT user_id, dd, value v FROM (
+            SELECT user_id, dd, value,
+              row_number() OVER (PARTITION BY user_id, dd ORDER BY ts DESC, event_id DESC) rn
+            FROM e) WHERE rn = 1),
+        span AS (SELECT user_id, min(dd) d0, max(dd) d1 FROM daily GROUP BY 1),
+        grid AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS dd FROM span),
+        j AS (SELECT g.user_id, g.dd, daily.v FROM grid g LEFT JOIN daily USING (user_id, dd))
+        SELECT user_id, dd AS "day", (v IS NULL) AS gap_filled,
+          last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY dd
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        FROM j""")
+    ),
+
+    // ── Robust outlier detection (median/MAD): per event type, the LOWER
+    //    median of value and of |value − median|, then count readings
+    //    beyond 3 MADs. Lower-median (rank ⌈n/2⌉ element, unique
+    //    (value, event_id) order) is an EXACT data value — no middle-pair
+    //    averaging, so no decimal rounding to disagree on; |v−med| and
+    //    3·mad are element-wise IEEE both engines compute identically.
+    QueryDef(
+      "q107_mad_outliers",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def lowerMedian(df: org.apache.spark.sql.DataFrame, valueCol: String, as: String) = {
+          val w = Window.partitionBy(col("event_type")).orderBy(col(valueCol), col("event_id"))
+          val cw = Window.partitionBy(col("event_type"))
+          df.withColumn("rn", row_number().over(w))
+            .withColumn("cnt", count(lit(1)).over(cw))
+            .where(col("rn") * 2 === col("cnt") || col("rn") * 2 === col("cnt") + 1)
+            .select(col("event_type"), col(valueCol).as(as))
+        }
+        val e = ev(s, d).select(col("event_type"), col("event_id"), col("value"))
+        val med = lowerMedian(e, "value", "med")
+        val dev = e.join(broadcast(med), "event_type")
+          .select(col("event_type"), col("event_id"), col("value"),
+            abs(col("value") - col("med")).as("dev"))
+        val mad = lowerMedian(dev, "dev", "mad")
+        dev.join(broadcast(mad), "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(when(col("dev") > col("mad") * 3.0, 1)).as("n_outliers"),
+            count(lit(1)).as("n"))
+          .join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+          .select(col("event_type"), col("n"), col("n_outliers"), col("med"), col("mad"))
+      },
+      Some("""WITH e AS (SELECT event_type, event_id, value FROM events),
+        m AS (SELECT event_type, value med FROM (
+            SELECT event_type, value,
+              row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) rn,
+              count(*) OVER (PARTITION BY event_type) cnt
+            FROM e) WHERE rn * 2 = cnt OR rn * 2 = cnt + 1),
+        dv AS (SELECT e.event_type, e.event_id, abs(e.value - m.med) dev
+               FROM e JOIN m USING (event_type)),
+        md AS (SELECT event_type, dev mad FROM (
+            SELECT event_type, dev, event_id,
+              row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) rn,
+              count(*) OVER (PARTITION BY event_type) cnt
+            FROM dv) WHERE rn * 2 = cnt OR rn * 2 = cnt + 1)
+        SELECT dv.event_type, count(*)::BIGINT n,
+          count(CASE WHEN dev > mad * 3.0 THEN 1 END)::BIGINT n_outliers,
+          any_value(med) med, any_value(mad) mad
+        FROM dv JOIN md USING (event_type) JOIN m USING (event_type)
+        GROUP BY dv.event_type""")
+    ),
+
+    // ── Interval overlap join: each user's view/click activity intervals
+    //    (per day: first..last event time) matched against the same user's
+    //    purchase/error intervals that OVERLAP them. Both sides expand to
+    //    the daily cells they cover and meet in an equi-join on
+    //    (user, cell) — candidate work is bounded by interval length in
+    //    cells, never |A|×|B| — then the exact overlap predicate verifies.
+    //    Generalizes q29 (point-in-window) to interval×interval.
+    QueryDef(
+      "q108_interval_join",
+      (s, d) => {
+        val e = ev(s, d)
+        def intervals(types: Seq[String], tag: String) = e
+          .where(col("event_type").isin(types: _*))
+          .groupBy(col("user_id"), to_date(col("ts")).as(s"${tag}_day"))
+          .agg(min(unix_micros(col("ts"))).as(s"${tag}_s"),
+            max(unix_micros(col("ts"))).as(s"${tag}_e"))
+        val a = intervals(Seq("view", "click"), "a")
+        val b = intervals(Seq("purchase", "error"), "b")
+        // daily cells each interval covers (intervals are within one day
+        // here, but the expansion handles arbitrary spans)
+        // integer div, not float floor: epoch-µs values near 2^51 make
+        // double division imprecise exactly at cell boundaries
+        def cells(df: org.apache.spark.sql.DataFrame, tag: String) = df
+          .withColumn("cell",
+            explode(sequence(expr(s"${tag}_s div 86400000000"),
+              expr(s"${tag}_e div 86400000000"))))
+        cells(a, "a").join(cells(b, "b"), Seq("user_id", "cell"))
+          .where(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+          .select(col("user_id"), col("a_day"), col("b_day"), col("a_s"), col("b_s"),
+            greatest(lit(0L),
+              least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s"))).as("overlap_us"))
+          .distinct()
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+            CAST(ts AS TIMESTAMP) ts, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS dd
+          FROM events),
+        a AS (SELECT user_id, dd a_day, epoch_us(min(ts)) a_s, epoch_us(max(ts)) a_e
+              FROM e WHERE event_type IN ('view','click') GROUP BY 1, 2),
+        b AS (SELECT user_id, dd b_day, epoch_us(min(ts)) b_s, epoch_us(max(ts)) b_e
+              FROM e WHERE event_type IN ('purchase','error') GROUP BY 1, 2)
+        SELECT DISTINCT user_id, a_day, b_day, a_s, b_s,
+          greatest(0, least(a_e, b_e) - greatest(a_s, b_s)) AS overlap_us
+        FROM a JOIN b USING (user_id)
+        WHERE a_s <= b_e AND b_s <= a_e""")
+    ),
+
+    // ── EWMA smoothing (α = 1/2): per user, fold the (ts, id)-sorted
+    //    value sequence through acc ← (acc + v)/2. Halving is EXACT in
+    //    IEEE doubles and the fold order is pinned by the sort, so both
+    //    engines produce bit-identical smoothed values — the trick that
+    //    makes an exponential average oracle-checkable at all. Per-user
+    //    state is one sorted array (bounded history, the q99 contract).
+    QueryDef(
+      "q109_ewma",
+      (s, d) => ev(s, d)
+        .select(col("user_id"), struct(col("ts"), col("event_id"), col("value")).as("e"))
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(col("e"))).as("evs"))
+        .select(col("user_id"), size(col("evs")).cast(LongType).as("n_events"),
+          aggregate(transform(col("evs"), x => x.getField("value")), lit(0.0),
+            (acc, v) => (acc + v) / lit(2.0)).as("ewma")),
+      Some("""WITH e AS (SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) t FROM events),
+        l AS (SELECT user_id, list(value ORDER BY t, event_id) vs FROM e GROUP BY 1)
+        SELECT user_id, len(vs)::BIGINT AS n_events,
+          list_reduce(list_prepend(0.0, vs), (acc, v) -> (acc + v) / 2.0) AS ewma
+        FROM l""")
+    ),
+
+    // ── Single-scan column profiler: null count, exact distinct count,
+    //    and min/max for every numeric lineitem column, emitted as one
+    //    tall (column, stats) table — the data-quality pass run before
+    //    any 100 TB ingest. One aggregate over one scan (multi-distinct
+    //    plans as a single Expand), then an in-row stack to tall form.
+    QueryDef(
+      "q110_profile",
+      (s, d) => {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax")
+        val li = Tables.load(s, d, "lineitem")
+        val agg = li.agg(
+          count(lit(1)).as("n"),
+          cols.flatMap(c => Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+            countDistinct(col(c)).as(s"${c}_distinct"),
+            min(col(c)).cast(DoubleType).as(s"${c}_min"),
+            max(col(c)).cast(DoubleType).as(s"${c}_max"))): _*)
+        val stackExpr = cols
+          .map(c => s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max")
+          .mkString(s"stack(${cols.length}, ", ", ", ")")
+        agg.select(col("n"), expr(s"$stackExpr as (col_name, n_null, n_distinct, min_v, max_v)"))
+          .select(col("col_name"), col("n"), col("n_null"), col("n_distinct"),
+            col("min_v"), col("max_v"))
+      },
+      Some {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax")
+        cols.map { c =>
+          s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n,
+            (count(*) - count($c))::BIGINT AS n_null,
+            count(DISTINCT $c)::BIGINT AS n_distinct,
+            min($c)::DOUBLE AS min_v, max($c)::DOUBLE AS max_v
+          FROM lineitem"""
+        }.mkString("\nUNION ALL\n")
+      }
     )
   )
 }

@@ -131,6 +131,59 @@ class PlanSpec extends SparkTestBase {
       "null slice must broadcast, not hash to one reducer\n" + p)
   }
 
+  test("q101 semantic dedup: pair join is an equi-join; only the centroid assignment broadcasts") {
+    val p = plan("q101_dedup_semantic")
+    assert(!p.contains("CartesianProduct"), s"q101 went quadratic\n$p")
+    // corpus × 16 centroids on each self-join side is the only allowed
+    // nested-loop; the within-list pair join must stay an equi-join
+    val bnlj = p.split("\n").count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"q101 has $bnlj nested-loop joins — pair join degenerated\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      s"q101 pair join is not an equi-join\n$p")
+  }
+
+  test("q102/q103 are shuffle-free per-row passes") {
+    Seq("q102_cdc_chunking", "q103_hash_split").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name must be a narrow per-row pass\n$p")
+    }
+  }
+
+  test("q104 importance weights: feature-weight table broadcasts, nothing quadratic") {
+    val p = plan("q104_importance_weights")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), s"q104 weight join must broadcast\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"q104 top-50 must not globally sort\n$p")
+  }
+
+  test("q105 textrank: every PageRank round is an equi-join, never a cartesian") {
+    val p = plan("q105_textrank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), s"q105 top-20 must not globally sort\n$p")
+  }
+
+  test("q106/q107/q108 time-series plans: broadcast dims, equi-joins, no cartesian") {
+    for (name <- Seq("q106_gap_fill", "q107_mad_outliers", "q108_interval_join")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name went quadratic\n$p")
+    }
+    // the 5-row median/MAD dims must broadcast, not shuffle the events
+    assert(plan("q107_mad_outliers").contains("BroadcastHashJoin"))
+  }
+
+  test("q109/q110 are single-aggregate plans: no joins at all") {
+    for (name <- Seq("q109_ewma", "q110_profile")) {
+      val p = plan(name)
+      assert(!p.contains("Join"), s"$name must not join\n$p")
+    }
+    // multi-distinct profiling runs as one scan + Expand, not 7 scans
+    val prof = plan("q110_profile")
+    assert(prof.contains("Expand"), s"q110 lost the single-scan multi-distinct shape\n$prof")
+    assert(prof.split("\n").count(_.contains("Scan parquet")) === 1,
+      s"q110 must scan lineitem exactly once\n$prof")
+  }
+
   test("q77/q79/q82/q83 per-row pipeline passes are shuffle-free") {
     Seq("q77_pii_redact", "q79_repetition", "q82_chunking", "q83_embedding_quant").foreach { name =>
       val p = plan(name)
