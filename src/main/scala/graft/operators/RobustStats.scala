@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.NumericBits
+
+/** Exact rank-selection statistics that scale.
+  *
+  * The obvious exact per-key median — `row_number()` over a per-key window —
+  * funnels every row of a key through ONE task (no map-side combine): the
+  * skew bomb this codebase bans everywhere else (see the q92 NOTES entry).
+  * This is the scalable form: two-level rank-select over a DATA-INDEPENDENT
+  * bucket grid (the top bits of [[NumericBits.doubleSortableBits]], a
+  * monotone double→long map), so no min/max pre-pass is needed:
+  *
+  *   1. one hash aggregate: per-(key, bucket) row counts     [map-side combine]
+  *   2. a cumulative-count window over the bounded grouped grid finds each
+  *      key's total n, the target rank k = ⌈n/2⌉, the bucket b* holding it,
+  *      and the residual rank r within that bucket
+  *   3. one more hash aggregate confined to b* (the values sharing one
+  *      2^shift bit-prefix) + the same bounded cumsum picks the exact
+  *      rank-r value
+  *
+  * Three barriers total; every corpus-sized step is a two-phase hash
+  * aggregate, and windows only ever see the grouped grid (≤ 2^(64-shift)
+  * rows per key — ~2.5k occupied cells for values spread over a few
+  * orders of magnitude at the default shift). Bucketing is monotone, so
+  * recomputing the identical expression in pass 3 re-finds exactly the
+  * candidate rows. The lower median is the value at sorted position ⌈n/2⌉;
+  * duplicates crossing that boundary are resolved by exact integer counts,
+  * and the picked VALUE is independent of any tie-break among equal values
+  * (which is why no id column is needed). Precondition: a null-free value
+  * column (callers filter; engines disagree on NULL ordering anyway).
+  *
+  * The per-key target table is provably one row per key — it is broadcast
+  * explicitly so the probe side can never be planned as a corpus shuffle.
+  */
+object RobustStats {
+
+  /** Per-key exact lower median of a double column → (key, `out`).
+    * `shift` trades the pass-2 window bound (2^(64-shift) grid cells) against
+    * pass-3 refine size (rows whose sortable bits share a 2^shift prefix).
+    */
+  def lowerMedianByKey(df: DataFrame, keyCol: String, valueCol: String,
+                       shift: Int = 44, out: String = "median"): DataFrame = {
+    val v = col(valueCol)
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      shiftright(NumericBits.doubleSortableBits(c), shift)
+
+    // pass 1: per-(key, bucket) counts — the only corpus-sized aggregate
+    val bucketCounts = df.groupBy(col(keyCol), bucketOf(v).as("_b"))
+      .agg(count(lit(1)).as("_c"))
+
+    // pass 2: bounded cumsum over the grid → per-key total n, rank k, the
+    // bucket b* holding it, and the residual rank r inside b*. The
+    // whole-partition sum shares the running window's sort — one shuffle.
+    val wb = Window.partitionBy(col(keyCol)).orderBy(col("_b"))
+    val wAll = Window.partitionBy(col(keyCol))
+    val target = bucketCounts
+      .withColumn("_cum", sum(col("_c")).over(wb))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+      .withColumn("_rk", expr("(_n + 1) div 2"))
+      .where(col("_cum") >= col("_rk") && col("_cum") - col("_c") < col("_rk"))
+      .select(col(keyCol), col("_b").as("_tb"),
+        (col("_rk") - (col("_cum") - col("_c"))).as("_r"))
+
+    // pass 3: refine inside the one target bucket — per-(key, value) counts
+    // + the same bounded cumsum picks the exact rank-r value
+    val wv = Window.partitionBy(col(keyCol)).orderBy(v)
+    df.join(broadcast(target), keyCol)
+      .where(bucketOf(v) === col("_tb"))
+      .groupBy(col(keyCol), v)
+      .agg(count(lit(1)).as("_c"), max(col("_r")).as("_r"))
+      .withColumn("_cum", sum(col("_c")).over(wv))
+      .where(col("_cum") >= col("_r") && col("_cum") - col("_c") < col("_r"))
+      .select(col(keyCol), v.as(out))
+  }
+}

@@ -194,6 +194,75 @@ object Analytics2 {
       Some("""SELECT o_custkey, o_orderkey, o_totalprice,
           ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS quartile
         FROM orders""")
+    ),
+
+    // ── Changelog merge (CDC apply / MERGE INTO): a base snapshot plus
+    //    two change waves (upserts, deletes, then re-upserts) collapse to
+    //    final state — highest-seq change wins per key, deletes drop the
+    //    row. The winner pick is a hash-aggregate struct MAX over
+    //    base ∪ changelog (map-side combine, no per-key sort, no window),
+    //    which is the shape that survives a billion-key changelog. The
+    //    waves are derived deterministically from the snapshot so the
+    //    oracle replays them exactly.
+    QueryDef(
+      "q111_merge_upsert",
+      (s, d) => {
+        val o = ord(s, d)
+        def slice(p: org.apache.spark.sql.Column) = o.where(p)
+        val base = o.select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+          col("o_orderstatus").as("status"), lit(0L).as("seq"), lit("U").as("op"))
+        val wave1u = slice(pmod(col("o_orderkey"), lit(10)) < 3)
+          .select(col("o_orderkey").as("k"), (col("o_totalprice") + 100.0).as("price"),
+            col("o_orderstatus").as("status"), lit(1L).as("seq"), lit("U").as("op"))
+        val wave1d = slice(pmod(col("o_orderkey"), lit(10)) === 3)
+          .select(col("o_orderkey").as("k"), lit(0.0).as("price"),
+            lit("X").as("status"), lit(1L).as("seq"), lit("D").as("op"))
+        val wave2u = slice(pmod(col("o_orderkey"), lit(20)) === 0)
+          .select(col("o_orderkey").as("k"), (col("o_totalprice") * 2.0).as("price"),
+            col("o_orderstatus").as("status"), lit(2L).as("seq"), lit("U").as("op"))
+        base.union(wave1u).union(wave1d).union(wave2u)
+          .groupBy(col("k"))
+          .agg(max(struct(col("seq"), col("op"), col("price"), col("status"))).as("w"))
+          .where(col("w.op") === "U")
+          .select(col("k"), col("w.price").as("price"), col("w.status").as("status"))
+      },
+      Some("""WITH base AS (SELECT o_orderkey k, o_totalprice price, o_orderstatus status,
+            0::BIGINT seq, 'U' op FROM orders),
+        w1u AS (SELECT o_orderkey, o_totalprice + 100.0, o_orderstatus, 1::BIGINT, 'U'
+                FROM orders WHERE o_orderkey % 10 < 3),
+        w1d AS (SELECT o_orderkey, 0.0, 'X', 1::BIGINT, 'D'
+                FROM orders WHERE o_orderkey % 10 = 3),
+        w2u AS (SELECT o_orderkey, o_totalprice * 2.0, o_orderstatus, 2::BIGINT, 'U'
+                FROM orders WHERE o_orderkey % 20 = 0),
+        all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM w1u
+                     UNION ALL SELECT * FROM w1d UNION ALL SELECT * FROM w2u),
+        ranked AS (SELECT k, price, status, op,
+            row_number() OVER (PARTITION BY k ORDER BY seq DESC) rn
+          FROM all_rows)
+        SELECT k, price, status FROM ranked WHERE rn = 1 AND op = 'U'""")
+    ),
+
+    // ── Hopping (sliding) time windows: 1-hour windows every 15 minutes —
+    //    each event lands in 4 overlapping windows. Spark's window()
+    //    generator expands events map-side; the aggregate stays two-phase.
+    //    The oracle replays the same epoch-aligned window arithmetic via a
+    //    4-offset expansion off the 15-minute bucket.
+    QueryDef(
+      "q112_hopping_window",
+      (s, d) => ev(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast(DoubleType).as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value")),
+      Some("""WITH e AS (SELECT event_type, value,
+            time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) b FROM events),
+        hops AS (SELECT event_type, value,
+            b - (k * INTERVAL 15 MINUTE) AS window_start
+          FROM e CROSS JOIN (SELECT unnest(range(0, 4)) k))
+        SELECT window_start, event_type, count(*)::BIGINT n,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) total_value
+        FROM hops GROUP BY 1, 2""")
     )
   )
 }

@@ -526,33 +526,37 @@ object Analytics3 {
 
     // ── Robust outlier detection (median/MAD): per event type, the LOWER
     //    median of value and of |value − median|, then count readings
-    //    beyond 3 MADs. Lower-median (rank ⌈n/2⌉ element, unique
-    //    (value, event_id) order) is an EXACT data value — no middle-pair
-    //    averaging, so no decimal rounding to disagree on; |v−med| and
-    //    3·mad are element-wise IEEE both engines compute identically.
+    //    beyond 3 MADs. Lower-median (the rank-⌈n/2⌉ element) is an EXACT
+    //    data value — no middle-pair averaging, so no decimal rounding to
+    //    disagree on; |v−med| and 3·mad are element-wise IEEE both engines
+    //    compute identically. Medians come from RobustStats' two-level
+    //    bucketed rank-select, not a per-type row_number window.
     QueryDef(
       "q107_mad_outliers",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        def lowerMedian(df: org.apache.spark.sql.DataFrame, valueCol: String, as: String) = {
-          val w = Window.partitionBy(col("event_type")).orderBy(col(valueCol), col("event_id"))
-          val cw = Window.partitionBy(col("event_type"))
-          df.withColumn("rn", row_number().over(w))
-            .withColumn("cnt", count(lit(1)).over(cw))
-            .where(col("rn") * 2 === col("cnt") || col("rn") * 2 === col("cnt") + 1)
-            .select(col("event_type"), col(valueCol).as(as))
-        }
-        val e = ev(s, d).select(col("event_type"), col("event_id"), col("value"))
-        val med = lowerMedian(e, "value", "med")
+        // Exact medians via RobustStats' bucketed rank-select: every
+        // corpus-sized step is a map-side-combining hash aggregate; no
+        // per-event-type window ever sees more than the bucket grid. The
+        // first cut (row_number over a per-type window) funneled the whole
+        // corpus through 5 tasks and recomputed the subtree per broadcast —
+        // 45 s cold at sf0.1 vs ~1 s for this form. The median VALUE is
+        // tie-break-independent, so no event_id column is needed.
+        // dev is recomputed (3-column pruned scan + tiny broadcast join)
+        // rather than cached: at 100 TB a cache is a corpus write.
+        val e = ev(s, d).select(col("event_type"), col("value"))
+        val med = graft.operators.RobustStats
+          .lowerMedianByKey(e, "event_type", "value", out = "med")
         val dev = e.join(broadcast(med), "event_type")
-          .select(col("event_type"), col("event_id"), col("value"),
+          .select(col("event_type"), col("med"),
             abs(col("value") - col("med")).as("dev"))
-        val mad = lowerMedian(dev, "dev", "mad")
+        val mad = graft.operators.RobustStats
+          .lowerMedianByKey(dev.select(col("event_type"), col("dev")),
+            "event_type", "dev", out = "mad")
         dev.join(broadcast(mad), "event_type")
           .groupBy(col("event_type"))
-          .agg(count(when(col("dev") > col("mad") * 3.0, 1)).as("n_outliers"),
-            count(lit(1)).as("n"))
-          .join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+          .agg(count(lit(1)).as("n"),
+            count(when(col("dev") > col("mad") * 3.0, 1)).as("n_outliers"),
+            max(col("med")).as("med"), max(col("mad")).as("mad"))
           .select(col("event_type"), col("n"), col("n_outliers"), col("med"), col("mad"))
       },
       Some("""WITH e AS (SELECT event_type, event_id, value FROM events),
@@ -679,6 +683,178 @@ object Analytics3 {
           FROM lineitem"""
         }.mkString("\nUNION ALL\n")
       }
+    ),
+
+    // ── Exact-integer Pearson correlation (value vs hour-of-day per event
+    //    type): values quantized to centi-units by floor(v*100) — an
+    //    element-wise IEEE step both engines compute identically — then
+    //    every sum (Σx, Σx², Σxy, Σy, Σy², n) is exact integer arithmetic:
+    //    DECIMAL(38,0) on the Spark side, HUGEINT in DuckDB. Instead of a
+    //    cross-engine sqrt, the contract is r² in ppm by integer division
+    //    (num²·10⁶ div (den_x·den_y)) plus sign(num) — fully
+    //    order-independent and rounding-free, and r is recoverable. ONE
+    //    map-side-combining aggregate per type; no window, no join.
+    QueryDef(
+      "q114_correlation",
+      (s, d) => {
+        val dec = DecimalType(38, 0)
+        val e = ev(s, d).select(col("event_type"),
+          floor(col("value") * 100).cast(dec).as("x"),
+          hour(col("ts")).cast(dec).as("y"))
+        e.groupBy(col("event_type"))
+          .agg(count(lit(1)).cast(dec).as("n"),
+            sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+            sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+          .select(col("event_type"), col("n").cast(LongType).as("n"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("den_x"),
+            (col("n") * col("syy") - col("sy") * col("sy")).as("den_y"))
+          .select(col("event_type"), col("n"),
+            signum(col("num")).cast(IntegerType).as("r_sign"),
+            when(col("den_x") === 0 || col("den_y") === 0, lit(null))
+              .otherwise(expr("(num * num * 1000000) div (den_x * den_y)"))
+              .cast(LongType).as("r2_ppm"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+            CAST(floor(value * 100) AS HUGEINT) x,
+            CAST(hour(CAST(ts AS TIMESTAMP)) AS HUGEINT) y
+          FROM events),
+        a AS (SELECT event_type, count(*)::HUGEINT n,
+            sum(x) sx, sum(x*x) sxx, sum(y) sy, sum(y*y) syy, sum(x*y) sxy
+          FROM e GROUP BY 1),
+        c AS (SELECT event_type, n, n*sxy - sx*sy AS num,
+            n*sxx - sx*sx AS den_x, n*syy - sy*sy AS den_y FROM a)
+        SELECT event_type, CAST(n AS BIGINT) n,
+          CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS INT) r_sign,
+          CASE WHEN den_x = 0 OR den_y = 0 THEN NULL
+               ELSE CAST((num * num * 1000000) // (den_x * den_y) AS BIGINT) END r2_ppm
+        FROM c""")
+    ),
+
+    // ── Triangle counting on the co-supplier graph: suppliers are linked
+    //    when they serve the same order (per-order pair fanout is bounded
+    //    by order size — an equi-join on l_orderkey, never a cross
+    //    product), edges are kept via a DETERMINISTIC top-20k by weight
+    //    (TakeOrdered — scale-stable where a fixed support threshold is
+    //    not), and triangles close with two equi-joins over the cached
+    //    20k-row edge list (broadcastable at any corpus size). Output:
+    //    the 10 most triangle-central suppliers.
+    QueryDef(
+      "q115_triangles",
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        val w = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+          .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+          .agg(count(lit(1)).as("n"))
+        val e = w.orderBy(col("n").desc, col("u").asc, col("v").asc).limit(20000)
+          .select(col("u"), col("v")).cache()
+        e.as("e1")
+          .join(e.as("e2"), col("e1.v") === col("e2.u"))
+          .join(e.as("e3"), col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+          .select(explode(array(col("e1.u"), col("e1.v"), col("e2.v"))).as("node"))
+          .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+          .orderBy(col("n_tri").desc, col("node").asc).limit(10)
+      },
+      Some("""WITH w AS (
+          SELECT a.l_suppkey u, b.l_suppkey v, count(*) n
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+          GROUP BY 1, 2),
+        e AS (SELECT u, v FROM w ORDER BY n DESC, u, v LIMIT 20000),
+        tri AS (SELECT e1.u a, e1.v b, e2.v c
+                FROM e e1 JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        nodes AS (SELECT unnest([a, b, c]) node FROM tri)
+        SELECT node, count(*)::BIGINT n_tri FROM nodes
+        GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10""")
+    ),
+
+    // ── Fixed-grid numeric histogram (the profiling companion to q110):
+    //    20 equal-width price buckets per return flag. The bucket map is
+    //    floor of an element-wise IEEE division both engines compute
+    //    identically; the whole query is ONE map-side-combining hash
+    //    aggregate — the histogram shape that works at any corpus size.
+    QueryDef(
+      "q116_histogram",
+      (s, d) => Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"),
+          least(floor(col("l_extendedprice") / 6000.0), lit(19L)).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"), col("bucket"), col("cnt")),
+      Some("""SELECT l_returnflag,
+          CAST(least(floor(l_extendedprice / 6000.0), 19) AS BIGINT) bucket,
+          count(*)::BIGINT cnt
+        FROM lineitem GROUP BY 1, 2""")
+    ),
+
+    // ── Market concentration (Herfindahl–Hirschman index) per nation:
+    //    supplier revenue shares squared, summed — computed ENTIRELY in
+    //    exact integer arithmetic (revenue in DECIMAL cents; HHI in ppm =
+    //    Σr²·10⁶ div (Σr)²), so there is no float summation order and no
+    //    sqrt for engines to disagree on. Supplier dim broadcasts; the
+    //    revenue aggregate is the only corpus-sized step.
+    QueryDef(
+      "q117_hhi",
+      (s, d) => {
+        val dec = DecimalType(38, 0)
+        val li = Tables.load(s, d, "lineitem")
+        val sup = Tables.load(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val rev = li
+          .select(col("l_suppkey"),
+            floor(col("l_extendedprice") * 100).cast(dec).as("cents"))
+          .groupBy(col("l_suppkey")).agg(sum(col("cents")).as("r"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        rev.groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_suppliers"),
+            sum(col("r")).as("tot"), sum(col("r") * col("r")).as("sq"))
+          .select(col("s_nationkey"), col("n_suppliers"),
+            expr("(sq * 1000000) div (tot * tot)").cast(LongType).as("hhi_ppm"))
+      },
+      Some("""WITH rev AS (
+          SELECT l_suppkey, sum(CAST(floor(l_extendedprice * 100) AS HUGEINT)) r
+          FROM lineitem GROUP BY 1),
+        j AS (SELECT s_nationkey, r FROM rev JOIN supplier ON l_suppkey = s_suppkey)
+        SELECT s_nationkey, count(*)::BIGINT n_suppliers,
+          CAST((sum(r*r) * 1000000) // (sum(r) * sum(r)) AS BIGINT) hhi_ppm
+        FROM j GROUP BY 1""")
+    ),
+
+    // ── Markov transition matrix over user event streams: lag-1 pairs per
+    //    user (window keyed by user_id — tens of thousands of partitions,
+    //    not a funnel), transition counts and probabilities in exact ppm
+    //    (n·10⁶ div row-total). The per-state totals join back as a
+    //    broadcast (≤ |event_type|² rows).
+    QueryDef(
+      "q118_markov",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val trans = ev(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("to_state"))
+          .withColumn("from_state", lag(col("to_state"), 1).over(w))
+          .where(col("from_state").isNotNull)
+          .groupBy(col("from_state"), col("to_state"))
+          .agg(count(lit(1)).as("n"))
+        val totals = trans.groupBy(col("from_state")).agg(sum(col("n")).as("tot"))
+        trans.join(broadcast(totals), "from_state")
+          .select(col("from_state"), col("to_state"), col("n"),
+            expr("(n * 1000000) div tot").as("p_ppm"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) t
+            FROM events),
+        p AS (SELECT user_id, event_type to_state,
+            lag(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) from_state
+          FROM e),
+        trans AS (SELECT from_state, to_state, count(*)::BIGINT n
+          FROM p WHERE from_state IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT from_state, sum(n)::BIGINT tot FROM trans GROUP BY 1)
+        SELECT t.from_state, t.to_state, t.n, (t.n * 1000000) // tot.tot AS p_ppm
+        FROM trans t JOIN tot USING (from_state)""")
     )
   )
 }

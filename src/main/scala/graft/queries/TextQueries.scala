@@ -575,6 +575,86 @@ object TextQueries {
         SELECT w AS word, CAST(r AS BIGINT) AS rank FROM r5
         ORDER BY r DESC, w ASC LIMIT 20"""
       }
+    ),
+
+    // ── BPE tokenizer training: 5 merge rounds over the corpus vocabulary.
+    //    The ONLY corpus-sized step is the word-count aggregate (map-side
+    //    combine); every round after that is vocab-sized — pair counting is
+    //    a hash aggregate over the (tiny, cached) vocab, the winning pair
+    //    is a deterministic TakeOrdered top-1 (count desc, then lexicographic
+    //    a, b), and the merge is applied per word by an `aggregate` HOF fold
+    //    implementing exact greedy left-to-right BPE (pending-symbol
+    //    accumulator: merge consumes both symbols, scanning resumes AFTER
+    //    the merged token — handles overlapping pair runs like "a b a b"
+    //    correctly). This is how BPE training scales to 100 TB: the corpus
+    //    collapses to (word, count) once, and the iterative part never
+    //    touches the corpus again. The DuckDB oracle replays each round's
+    //    fold bit-for-bit with a recursive CTE walking word positions.
+    QueryDef(
+      "q113_bpe_train",
+      (s, d) => {
+        var vocab = docs(s, d)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .where(length(col("word")) > 0)
+          .groupBy(col("word")).agg(count(lit(1)).as("wn"))
+          .withColumn("syms",
+            expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+          .cache()
+        var merges: org.apache.spark.sql.DataFrame = null
+        for (r <- 1 to 5) {
+          val pairs = vocab.where(size(col("syms")) > 1)
+            .select(col("wn"), explode(expr(
+              "transform(sequence(1, size(syms)-1), i -> named_struct('a', syms[i-1], 'b', syms[i]))")).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("wn")).as("pn"))
+          val top = pairs.orderBy(col("pn").desc, col("a").asc, col("b").asc).limit(1)
+            .select(lit(r).as("round"), col("a"), col("b"), col("pn"))
+          merges = if (merges == null) top else merges.union(top)
+          vocab = vocab
+            .crossJoin(broadcast(top.select(col("a").as("ma"), col("b").as("mb"))))
+            .withColumn("syms", expr(
+              """aggregate(syms,
+                   named_struct('acc', cast(array() as array<string>), 'p', ''),
+                   (st, x) -> CASE
+                     WHEN st.p = '' THEN named_struct('acc', st.acc, 'p', x)
+                     WHEN st.p = ma AND x = mb
+                       THEN named_struct('acc', concat(st.acc, array(concat(ma, mb))), 'p', '')
+                     ELSE named_struct('acc', concat(st.acc, array(st.p)), 'p', x) END,
+                   st -> CASE WHEN st.p = '' THEN st.acc
+                              ELSE concat(st.acc, array(st.p)) END)"""))
+            .select(col("word"), col("wn"), col("syms"))
+            .cache()
+        }
+        merges
+      },
+      Some {
+        val rounds = (1 to 5).map { r =>
+          val prev = s"vocab${r - 1}"
+          s"""pairs$r AS (SELECT syms[i] a, syms[i+1] b, sum(wn)::BIGINT pn
+          FROM $prev, unnest(generate_series(1, len(syms)-1)) t(i)
+          GROUP BY 1,2),
+        top$r AS (SELECT $r::INT round, a, b, pn FROM pairs$r ORDER BY pn DESC, a, b LIMIT 1),
+        m$r AS (
+          SELECT v.word, v.wn, v.syms, t.a, t.b, 1::BIGINT i, CAST([] AS VARCHAR[]) acc
+          FROM $prev v CROSS JOIN top$r t
+          UNION ALL
+          SELECT word, wn, syms, a, b,
+            CASE WHEN i < len(syms) AND syms[i]=a AND syms[i+1]=b THEN i+2 ELSE i+1 END,
+            CASE WHEN i < len(syms) AND syms[i]=a AND syms[i+1]=b THEN list_append(acc, a||b)
+                 ELSE list_append(acc, syms[i]) END
+          FROM m$r WHERE i <= len(syms)),
+        vocab$r AS (SELECT word, wn, acc syms FROM m$r WHERE i = len(syms)+1)"""
+        }.mkString(",\n        ")
+        s"""WITH RECURSIVE
+        vocab0 AS (
+          SELECT w AS word, count(*)::BIGINT wn, string_split(w, '') syms
+          FROM (SELECT unnest(string_split(text, ' ')) w FROM documents)
+          WHERE len(w) > 0 GROUP BY w),
+        $rounds
+        SELECT round, a, b, pn FROM top1 UNION ALL SELECT round, a, b, pn FROM top2
+        UNION ALL SELECT round, a, b, pn FROM top3 UNION ALL SELECT round, a, b, pn FROM top4
+        UNION ALL SELECT round, a, b, pn FROM top5"""
+      }
     )
   )
 }

@@ -184,6 +184,48 @@ class PlanSpec extends SparkTestBase {
       s"q110 must scan lineitem exactly once\n$prof")
   }
 
+  test("q107 medians never row_number the corpus: aggregates + grid windows only") {
+    val p = plan("q107_mad_outliers")
+    // the corpus-sized steps are hash aggregates (map-side combine); the
+    // only windows run over the bounded bucket grid
+    assert(!p.contains("row_number"), s"q107 regressed to the per-key funnel\n$p")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q113 BPE: corpus collapses to vocab once; merge rounds are vocab-sized") {
+    val p = plan("q113_bpe_train")
+    // the winning pair is a deterministic TakeOrdered top-1, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the 1-row merge rule attaches via broadcast (the scalar-attach shape,
+    // same as centroids/codebooks); a true cartesian would be a defect
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q114/q116/q117 are hash-aggregate shapes (no window, no funnel)") {
+    for (name <- Seq("q114_correlation", "q116_histogram", "q117_hhi")) {
+      val p = plan(name)
+      assert(p.contains("HashAggregate"), p)
+      assert(!p.contains("Window"), s"$name must not need a window\n$p")
+      assert(!p.contains("SinglePartition") || name == "q114_correlation",
+        s"$name has a single-partition stage\n$p")
+    }
+  }
+
+  test("q115 triangles: equi-joins only, TakeOrdered edge cap") {
+    val p = plan("q115_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle closure must stay equi-join\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"edge cap must be TakeOrdered\n$p")
+  }
+
+  test("q118 markov: user-partitioned lag window, transition table reused") {
+    val p = plan("q118_markov")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"q118 lag window must partition by user_id\n$p")
+    assert(!p.contains("SinglePartition"), s"q118 has a single-partition stage\n$p")
+  }
+
   test("q77/q79/q82/q83 per-row pipeline passes are shuffle-free") {
     Seq("q77_pii_redact", "q79_repetition", "q82_chunking", "q83_embedding_quant").foreach { name =>
       val p = plan(name)
