@@ -39,12 +39,37 @@ import graft.functions.NumericBits
   */
 object RobustStats {
 
-  /** Per-key exact lower median of a double column → (key, `out`).
-    * `shift` trades the pass-2 window bound (2^(64-shift) grid cells) against
-    * pass-3 refine size (rows whose sortable bits share a 2^shift prefix).
-    */
+  /** Per-key exact lower median of a double column → (key, `out`). */
   def lowerMedianByKey(df: DataFrame, keyCol: String, valueCol: String,
-                       shift: Int = 44, out: String = "median"): DataFrame = {
+                       shift: Int = 44, out: String = "median"): DataFrame =
+    rankSelectByKey(df, keyCol, valueCol, 1, 2, shift, out)
+
+  /** Per-key exact order statistic: the value at sorted position
+    * ⌈n·num/den⌉ (so (1,2) = lower median, (1,4)/(3,4) = lower quartiles).
+    */
+  def rankSelectByKey(df: DataFrame, keyCol: String, valueCol: String,
+                      num: Int, den: Int,
+                      shift: Int = 44, out: String = "q"): DataFrame =
+    rankSelectMultiByKey(df, keyCol, valueCol, Seq((num, den, out)), shift)
+      .groupBy(col(keyCol))
+      .agg(max(col("_value")).as(out))
+
+  /** Several per-key order statistics in ONE machinery pass: for each
+    * (num, den, name) fraction, the exact value at sorted position
+    * ⌈n·num/den⌉, returned long-form as (key, _q = name, _value). All
+    * fractions share the corpus bucket-count aggregate and the grid
+    * cumsum — asking for q1 and q3 costs the same two corpus passes as
+    * asking for one median. `shift` trades the pass-2 window bound
+    * (2^(64-shift) grid cells) against pass-3 refine size (rows whose
+    * sortable bits share a 2^shift prefix).
+    */
+  def rankSelectMultiByKey(df: DataFrame, keyCol: String, valueCol: String,
+                           fracs: Seq[(Int, Int, String)],
+                           shift: Int = 44): DataFrame = {
+    require(fracs.nonEmpty)
+    fracs.foreach { case (num, den, _) =>
+      require(num > 0 && den > 0 && num <= den, s"rank fraction $num/$den out of (0,1]")
+    }
     val v = col(valueCol)
     def bucketOf(c: org.apache.spark.sql.Column) =
       shiftright(NumericBits.doubleSortableBits(c), shift)
@@ -53,28 +78,35 @@ object RobustStats {
     val bucketCounts = df.groupBy(col(keyCol), bucketOf(v).as("_b"))
       .agg(count(lit(1)).as("_c"))
 
-    // pass 2: bounded cumsum over the grid → per-key total n, rank k, the
+    // pass 2: bounded cumsum over the grid → per-key total n; then for
+    // EACH fraction its rank k = ⌈n·num/den⌉ (integer ceil-div), the
     // bucket b* holding it, and the residual rank r inside b*. The
-    // whole-partition sum shares the running window's sort — one shuffle.
+    // whole-partition sum shares the running window's sort — one shuffle,
+    // and the grid exchange is shared by every fraction (tiny rows).
     val wb = Window.partitionBy(col(keyCol)).orderBy(col("_b"))
     val wAll = Window.partitionBy(col(keyCol))
-    val target = bucketCounts
+    val grid = bucketCounts
       .withColumn("_cum", sum(col("_c")).over(wb))
       .withColumn("_n", sum(col("_c")).over(wAll))
-      .withColumn("_rk", expr("(_n + 1) div 2"))
-      .where(col("_cum") >= col("_rk") && col("_cum") - col("_c") < col("_rk"))
-      .select(col(keyCol), col("_b").as("_tb"),
-        (col("_rk") - (col("_cum") - col("_c"))).as("_r"))
+    val targets = fracs.map { case (num, den, name) =>
+      grid
+        .withColumn("_rk", expr(s"(_n * $num + ${den - 1}) div $den"))
+        .where(col("_cum") >= col("_rk") && col("_cum") - col("_c") < col("_rk"))
+        .select(col(keyCol), lit(name).as("_q"), col("_b").as("_tb"),
+          (col("_rk") - (col("_cum") - col("_c"))).as("_r"))
+    }.reduce(_ union _)
 
-    // pass 3: refine inside the one target bucket — per-(key, value) counts
-    // + the same bounded cumsum picks the exact rank-r value
-    val wv = Window.partitionBy(col(keyCol)).orderBy(v)
-    df.join(broadcast(target), keyCol)
+    // pass 3: ONE refine over all target buckets — per-(key, fraction,
+    // value) counts + the same bounded cumsum picks each exact rank-r
+    // value. A corpus row matching two fractions' buckets contributes to
+    // both groups, which is exactly right.
+    val wv = Window.partitionBy(col(keyCol), col("_q")).orderBy(v)
+    df.join(broadcast(targets), keyCol)
       .where(bucketOf(v) === col("_tb"))
-      .groupBy(col(keyCol), v)
+      .groupBy(col(keyCol), col("_q"), v)
       .agg(count(lit(1)).as("_c"), max(col("_r")).as("_r"))
       .withColumn("_cum", sum(col("_c")).over(wv))
       .where(col("_cum") >= col("_r") && col("_cum") - col("_c") < col("_r"))
-      .select(col(keyCol), v.as(out))
+      .select(col(keyCol), col("_q"), v.as("_value"))
   }
 }

@@ -855,6 +855,86 @@ object Analytics3 {
         tot AS (SELECT from_state, sum(n)::BIGINT tot FROM trans GROUP BY 1)
         SELECT t.from_state, t.to_state, t.n, (t.n * 1000000) // tot.tot AS p_ppm
         FROM trans t JOIN tot USING (from_state)""")
+    ),
+
+    // ── IQR / Tukey-fence outliers (the quartile sibling of q107's MAD):
+    //    per event type, exact lower quartiles q1 = rank ⌈n/4⌉ and
+    //    q3 = rank ⌈3n/4⌉ via RobustStats' rank-select (same bucketed
+    //    hash-aggregate machinery, no per-key funnel), fences at
+    //    q1 − 1.5·IQR / q3 + 1.5·IQR (1.5· is element-wise IEEE), and
+    //    counts outside each fence.
+    QueryDef(
+      "q119_iqr_outliers",
+      (s, d) => {
+        val e = ev(s, d).select(col("event_type"), col("value"))
+        // ONE rank-select pass yields both quartiles (shared bucket grid)
+        val quarts = graft.operators.RobustStats
+          .rankSelectMultiByKey(e, "event_type", "value",
+            Seq((1, 4, "q1"), (3, 4, "q3")))
+          .groupBy(col("event_type"))
+          .agg(max(when(col("_q") === "q1", col("_value"))).as("q1"),
+            max(when(col("_q") === "q3", col("_value"))).as("q3"))
+        e.join(broadcast(quarts), "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            count(when(col("value") < col("q1") - (col("q3") - col("q1")) * 1.5, 1))
+              .as("n_low"),
+            count(when(col("value") > col("q3") + (col("q3") - col("q1")) * 1.5, 1))
+              .as("n_high"),
+            max(col("q1")).as("q1"), max(col("q3")).as("q3"))
+          .select(col("event_type"), col("n"), col("n_low"), col("n_high"),
+            col("q1"), col("q3"))
+      },
+      Some("""WITH e AS (SELECT event_type, event_id, value FROM events),
+        r AS (SELECT event_type, value,
+            row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) rn,
+            count(*) OVER (PARTITION BY event_type) cnt
+          FROM e),
+        quart AS (SELECT event_type,
+            max(CASE WHEN rn = (cnt + 3) // 4 THEN value END) q1,
+            max(CASE WHEN rn = (3 * cnt + 3) // 4 THEN value END) q3
+          FROM r GROUP BY 1)
+        SELECT e.event_type, count(*)::BIGINT n,
+          count(CASE WHEN value < q1 - (q3 - q1) * 1.5 THEN 1 END)::BIGINT n_low,
+          count(CASE WHEN value > q3 + (q3 - q1) * 1.5 THEN 1 END)::BIGINT n_high,
+          any_value(q1) q1, any_value(q3) q3
+        FROM e JOIN quart USING (event_type) GROUP BY 1""")
+    ),
+
+    // ── Engagement stickiness (DAU/WAU): exact distinct users per day and
+    //    per week (date_trunc('week') — Monday start in both engines),
+    //    stickiness = Σdau·10⁶ div (7·wau) in exact integer ppm. Two
+    //    hash aggregates over the (user, day) dedup — no windows.
+    QueryDef(
+      "q120_stickiness",
+      (s, d) => {
+        val days = ev(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val dau = days.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+          .groupBy(date_trunc("week", col("day")).cast(DateType).as("week_start"))
+          .agg(sum(col("dau")).as("sum_dau"))
+        val wau = days
+          .select(date_trunc("week", col("day")).cast(DateType).as("week_start"),
+            col("user_id"))
+          .distinct()
+          .groupBy(col("week_start")).agg(count(lit(1)).as("wau"))
+        dau.join(wau, "week_start")
+          .select(col("week_start"), col("wau"), col("sum_dau"),
+            expr("(sum_dau * 1000000) div (7 * wau)").as("stickiness_ppm"))
+      },
+      Some("""WITH days AS (SELECT DISTINCT user_id,
+            CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) dd
+          FROM events),
+        dau AS (SELECT CAST(date_trunc('week', dd) AS DATE) week_start,
+            sum(n)::BIGINT sum_dau
+          FROM (SELECT dd, count(*) n FROM days GROUP BY 1) GROUP BY 1),
+        wau AS (SELECT week_start, count(*)::BIGINT wau FROM
+            (SELECT DISTINCT CAST(date_trunc('week', dd) AS DATE) week_start, user_id
+             FROM days) GROUP BY 1)
+        SELECT week_start, wau, sum_dau,
+          (sum_dau * 1000000) // (7 * wau) AS stickiness_ppm
+        FROM dau JOIN wau USING (week_start)""")
     )
   )
 }

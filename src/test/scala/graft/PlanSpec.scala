@@ -226,6 +226,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SinglePartition"), s"q118 has a single-partition stage\n$p")
   }
 
+  test("q119 quartiles reuse the rank-select shape; q120 is aggregate-only") {
+    val p = plan("q119_iqr_outliers")
+    assert(!p.contains("row_number"), s"q119 regressed to the per-key funnel\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    val p2 = plan("q120_stickiness")
+    assert(!p2.contains("Window"), s"q120 must not need a window\n$p2")
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"), p2)
+  }
+
   test("q77/q79/q82/q83 per-row pipeline passes are shuffle-free") {
     Seq("q77_pii_redact", "q79_repetition", "q82_chunking", "q83_embedding_quant").foreach { name =>
       val p = plan(name)
