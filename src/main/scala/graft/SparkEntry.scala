@@ -29,6 +29,7 @@ object SparkEntry {
     "analytics3" -> Analytics3.defs,
     "text" -> TextQueries.defs,
     "pipeline" -> PipelineQueries.defs,
+    "pipeline2" -> Pipeline2Queries.defs,
     "dedup" -> DedupQueries.defs,
     "similarity" -> SimilarityQueries.defs,
     "multimodal" -> MultimodalQueries.defs
