@@ -42,7 +42,9 @@ object Pipeline2Queries {
         val base = docs(s, d).select(col("text"), bucket.as("bucket"))
         def vocab(pred: org.apache.spark.sql.Column) = base.where(pred)
           .select(explode(tokens(col("text"))).as("w")).distinct()
-        val train = vocab(col("bucket") < 90)
+        // consumed twice (bits aggregate + membership join) — cache the
+        // vocab, which is ≪ corpus, rather than re-tokenize the train split
+        val train = vocab(col("bucket") < 90).cache()
         val probe = vocab(col("bucket") >= 95)
         // the whole sketch: one 4096-element set-bits array, built by one
         // aggregation over the train vocabulary and broadcast to the probes
@@ -82,11 +84,14 @@ object Pipeline2Queries {
     //    20). The retrieval-side complement of BM25 (q97). Scale shape:
     //    document frequency is ONE map-side-combining aggregate; posting
     //    lists are materialized ONLY for the 20 queried terms (broadcast
-    //    semi-join), and each list is capped at the first 100 doc_ids by a
-    //    per-term window over the already-20-term-filtered slice — so the
-    //    collect is bounded at 20 × 100 ids no matter the corpus size.
-    //    Lists are compared by hash of the comma-joined ids (arrays
-    //    hash-compare poorly across engines; strings don't).
+    //    semi-join), and each list is capped at the first 100 doc_ids by
+    //    TWO-PHASE rank (the q76 pattern): a (term, 100k-doc shard)-local
+    //    first-100 runs fully parallel, then the global first-100 ranks
+    //    only the ≤ 100×shards survivors — a hot term's million-doc
+    //    posting set never funnels through one window task. The collect is
+    //    bounded at 20 × 100 ids no matter the corpus size. Lists are
+    //    compared by hash of the comma-joined ids (arrays hash-compare
+    //    poorly across engines; strings don't).
     QueryDef(
       "q122_inverted_index",
       (s, d) => {
@@ -96,9 +101,14 @@ object Pipeline2Queries {
           .distinct()
         val top = pairs.groupBy(col("w")).agg(count(lit(1)).as("df"))
           .orderBy(col("df").desc, col("w").asc).limit(20)
-        val wnd = Window.partitionBy(col("w")).orderBy(col("doc_id"))
+        val shard = floor(col("doc_id") / lit(100000.0)).cast(LongType)
+        val local = Window.partitionBy(col("w"), col("shard")).orderBy(col("doc_id"))
+        val global = Window.partitionBy(col("w")).orderBy(col("doc_id"))
         pairs.join(broadcast(top), "w")
-          .withColumn("rn", row_number().over(wnd))
+          .withColumn("shard", shard)
+          .withColumn("lrn", row_number().over(local))
+          .where(col("lrn") <= 100)
+          .withColumn("rn", row_number().over(global))
           .where(col("rn") <= 100)
           .groupBy(col("w"), col("df"))
           .agg(sort_array(collect_list(col("doc_id"))).as("p"))
