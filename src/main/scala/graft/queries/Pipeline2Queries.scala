@@ -7,7 +7,9 @@ import org.apache.spark.sql.types._
 
 /** Round-4 pipeline tranche two: Bloom-filter membership sketch, inverted
   * index posting lists, equi-depth quantile binning, smoothed bigram-LM
-  * fluency scoring, and the cross-source n-gram contamination matrix.
+  * fluency scoring, the cross-source n-gram contamination matrix, BPE
+  * encoding, z-order layout keys, segment-level dedup with document
+  * reconstruction, and duplicate-frequency capping.
   *
   * Same discipline as [[PipelineQueries]]: pure Column programs, engine-
   * portable md5-derived hashing, and integer-exact arithmetic (ppm by
@@ -387,6 +389,106 @@ object Pipeline2Queries {
           min(x) min_x, max(x) max_x, min(y) min_y, max(y) max_y,
           ((max(x) - min(x) + 1) * (max(y) - min(y) + 1) * 1000000) // 4294967296 AS span_ppm
         FROM z GROUP BY 1""")
+    ),
+
+    // ── Segment-level dedup WITH document reconstruction — the CCNet /
+    //    MassiveText pass that q40/q75 (whole-doc) and q92 (span detection)
+    //    don't cover: split every document into fixed 10-token segments,
+    //    keep each distinct segment's globally-FIRST occurrence (lowest
+    //    (doc_id, position)), and REWRITE each document from its surviving
+    //    segments in original order. Removes cross-document boilerplate and
+    //    intra-document repetition in one pass. Scale shape: one tokenize
+    //    pass; first-occurrence is ONE map-side-combining min-aggregate on
+    //    the segment's md5 (128-bit — no collision handling needed); the
+    //    keep decision rejoins by the same equi-key; reconstruction is a
+    //    per-doc aggregate bounded by document size. No windows, no
+    //    pair-joins — a hot boilerplate segment costs one combiner cell,
+    //    never a task-funnel. The (doc_id, ix) pair packs into one BIGINT
+    //    (stride 2^20 ≥ any real segment count: 10 M-token docs) so the
+    //    min-aggregate stays a primitive, not a struct.
+    QueryDef(
+      "q128_segment_dedup",
+      (s, d) => {
+        val segLen = 10
+        val segs = docs(s, d)
+          .where(length(col("text")) > 0)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            (expr("(size(toks) - 1) div 10") + 1).cast(LongType).as("n_segs"),
+            posexplode(expr(
+              s"transform(sequence(0, (size(toks)-1) div $segLen), " +
+                s"i -> array_join(slice(toks, i*$segLen+1, $segLen), ' '))")).as(Seq("ix", "seg")))
+          .withColumn("h", md5(col("seg")))
+          .withColumn("pk", col("doc_id") * lit(1048576L) + col("ix"))
+        val first = segs.groupBy(col("h")).agg(min(col("pk")).as("keep_pk"))
+        segs.join(first, "h")
+          .where(col("pk") === col("keep_pk"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("n_segs")).as("n_segs"),
+            count(lit(1)).as("n_kept"),
+            md5(array_join(
+              transform(array_sort(collect_list(struct(col("ix"), col("seg")))),
+                x => x.getField("seg")), " ")).as("new_hash"))
+          .select(col("doc_id"), col("n_segs"), col("n_kept"), col("new_hash"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') toks
+              FROM documents WHERE length(text) > 0),
+        segs AS (SELECT doc_id, i AS ix,
+            array_to_string(toks[i*10+1 : i*10+10], ' ') seg,
+            (len(toks) - 1) // 10 + 1 AS n_segs
+          FROM t, unnest(range(0, (len(toks)-1)//10 + 1)) u(i)),
+        h AS (SELECT doc_id, ix, seg, n_segs, md5(seg) h,
+            doc_id * 1048576 + ix AS pk FROM segs),
+        first AS (SELECT h, min(pk) keep_pk FROM h GROUP BY 1)
+        SELECT doc_id, max(n_segs)::BIGINT AS n_segs, count(*)::BIGINT AS n_kept,
+          md5(string_agg(seg, ' ' ORDER BY ix)) AS new_hash
+        FROM h JOIN first USING (h)
+        WHERE pk = keep_pk
+        GROUP BY doc_id""")
+    ),
+
+    // ── Duplicate-frequency capping: keep at most K = 2 copies of each
+    //    canonical text — the middle ground between keep-everything and
+    //    dedup-keep-first that corpus-mixing recipes use when limited
+    //    duplication is wanted (e.g. up-weighting high-quality sources but
+    //    capping the clone tail). Canonical key is the fused single-pass
+    //    CanonAlnum (q75); survivors are the K lowest doc_ids per key,
+    //    selected by TWO-PHASE rank (the q76/q122 pattern): a (key, 64-way
+    //    doc_id shard)-local first-K runs fully parallel, then the global
+    //    first-K ranks only the ≤ K·64 shard survivors — a million-clone
+    //    key never funnels its whole group through one window task. Group
+    //    sizes come from the separate map-side-combining count aggregate
+    //    (skew-safe), joined back on the key.
+    QueryDef(
+      "q129_dup_cap",
+      (s, d) => {
+        val k = 2
+        val keyed = docs(s, d)
+          .where(length(col("text")) > 0)
+          .select(col("doc_id"),
+            md5(graft.functions.CanonicalizeExpressions.canonAlnum(col("text"))).as("canon_hash"))
+        val counts = keyed.groupBy(col("canon_hash")).agg(count(lit(1)).as("n_dups"))
+        val local = Window
+          .partitionBy(col("canon_hash"), pmod(col("doc_id"), lit(64)))
+          .orderBy(col("doc_id"))
+        val global = Window.partitionBy(col("canon_hash")).orderBy(col("doc_id"))
+        keyed
+          .withColumn("lrn", row_number().over(local))
+          .where(col("lrn") <= k)
+          .withColumn("copy_rank", row_number().over(global))
+          .where(col("copy_rank") <= k)
+          .join(counts, "canon_hash")
+          .select(col("doc_id"), col("canon_hash"),
+            col("copy_rank").cast(LongType).as("copy_rank"), col("n_dups"))
+      },
+      Some("""WITH c AS (SELECT doc_id,
+            md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) canon_hash
+          FROM documents WHERE length(text) > 0),
+        n AS (SELECT canon_hash, count(*)::BIGINT n_dups FROM c GROUP BY 1),
+        r AS (SELECT doc_id, canon_hash,
+            row_number() OVER (PARTITION BY canon_hash ORDER BY doc_id) rk FROM c)
+        SELECT r.doc_id, r.canon_hash, rk::BIGINT AS copy_rank, n.n_dups
+        FROM r JOIN n USING (canon_hash) WHERE rk <= 2""")
     )
   )
 }

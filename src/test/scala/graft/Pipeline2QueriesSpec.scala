@@ -135,4 +135,41 @@ class Pipeline2QueriesSpec extends SparkTestBase {
       .as[(String, String, Long, Long, Long, Long)].collect()
     assert(got === Array(("s1", "s2", 2L, 1L, 1L, 500000L)))
   }
+
+  test("q128: duplicate segments keep only their first occurrence; docs rebuild in order") {
+    // doc 1: segments A B (12 tokens -> 10+2); doc 2 repeats segment A as its
+    // FIRST 10 tokens then fresh C; doc 3 is exactly segment A -> fully dupped.
+    val segA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val tailB = "b1 b2"
+    val segC = (1 to 10).map(i => s"c$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (1L, s"$segA $tailB", "en", "s"),
+      (2L, s"$segA $segC", "en", "s"),
+      (3L, segA, "en", "s")
+    ))
+    val got = q("q128_segment_dedup")(spark, dir)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, String)].collect()
+    // doc 3 vanishes (its only segment is owned by doc 1); doc 2 keeps just C
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq === Seq((1L, 2L, 2L), (2L, 2L, 1L)))
+    val md5of = (t: String) => spark.sql(s"SELECT md5('$t')").as[String].head()
+    assert(got(0)._4 === md5of(s"$segA $tailB"))
+    assert(got(1)._4 === md5of(segC))
+  }
+
+  test("q129: at most 2 copies survive per canonical text, lowest doc_ids win") {
+    // 'Hello World' in 4 trivially-reformatted variants + one unique doc
+    val dir = docsDir(Seq(
+      (10L, "hello world", "en", "s"),
+      (7L, "Hello, WORLD!", "en", "s"),
+      (9L, "hello   world", "en", "s"),
+      (8L, "hello world.", "en", "s"),
+      (1L, "something else", "en", "s")
+    ))
+    val got = q("q129_dup_cap")(spark, dir)
+      .orderBy(col("n_dups").desc, col("doc_id"))
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._3, r._4)).toSeq ===
+      Seq((7L, 1L, 4L), (8L, 2L, 4L), (1L, 1L, 1L)))
+  }
 }

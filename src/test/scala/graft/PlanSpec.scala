@@ -336,6 +336,22 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q128 first-occurrence is a combining hash aggregate, never a window or cartesian") {
+    val p = plan("q128_segment_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // min(pk) by segment hash must be partial+final (map-side combine eats
+    // hot boilerplate segments before the shuffle)
+    assert(p.split("HashAggregate").length >= 3, "expected partial+final HashAggregate\n" + p)
+    assert(!p.contains("RunningWindowFunction"), p)
+  }
+
+  test("q129 cap is two-phase: the shard-local rank precedes the global rank") {
+    val p = plan("q129_dup_cap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // two Window operators: (canon_hash, shard) local then canon_hash global
+    assert(p.split("\\bWindow\\b").length >= 3, "expected local+global rank windows\n" + p)
+  }
+
   test("entry flagship query produces rows and a non-degenerate plan") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
