@@ -12,15 +12,22 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's TimestampType
-      // (µs) cannot represent: read the raw int64 nanos and truncate to
-      // microseconds — same semantics as DuckDB's TIMESTAMP_NS→TIMESTAMP
-      // cast, so oracles stay comparable. Integer `div`, not `/`: ~1.7e18
-      // ns exceeds the 2^53 exact-double range.
+      // events.ts encoding has varied across driver testdata generations:
+      // TIMESTAMP(NANOS) (int64 ns — which Spark's µs TimestampType cannot
+      // represent directly) vs TIMESTAMP(MICROS) without timezone (read as
+      // TIMESTAMP_NTZ). Normalize both to TimestampType: the session
+      // timezone is pinned UTC everywhere (GraftSession/Verify/Bench), so
+      // NTZ→timestamp is instant-preserving and matches DuckDB's naive
+      // TIMESTAMP semantics. For nanos, integer `div`, not `/`: ~1.7e18 ns
+      // exceeds the 2^53 exact-double range.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read
-        .parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ =>
+          raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register every table as a temp view so queries can be written in SQL —
