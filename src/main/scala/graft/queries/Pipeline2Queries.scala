@@ -327,7 +327,7 @@ object Pipeline2Queries {
                  (SELECT source, unnest(string_split(text, ' ')) w FROM documents)
                WHERE len(w) > 0)
         SELECT source, count(*)::BIGINT AS ws_tokens, sum(n_tok)::BIGINT AS bpe_tokens,
-          (sum(n_tok) * 1000000) // count(*) AS fertility_ppm
+          CAST((sum(n_tok) * 1000000) // count(*) AS BIGINT) AS fertility_ppm
         FROM cw JOIN pw USING (word) GROUP BY source"""
       }
     ),

@@ -22,11 +22,19 @@ object Tables {
       // exceeds the 2^53 exact-double range.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
       raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
+        case LongType =>
           raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _ =>
-          raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case TimestampType => raw
+        case TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case other =>
+          // Fail fast on any new encoding: a silent cast (e.g. from string
+          // or double) would yield nulls and corrupt every events oracle.
+          throw new IllegalStateException(
+            s"events.ts has unexpected parquet type $other; " +
+              "extend Tables.load with an explicit instant-preserving conversion")
       }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
