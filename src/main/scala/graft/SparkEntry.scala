@@ -27,6 +27,7 @@ object SparkEntry {
     "analytics" -> Analytics.defs,
     "analytics2" -> Analytics2.defs,
     "analytics3" -> Analytics3.defs,
+    "stats" -> StatQueries.defs,
     "text" -> TextQueries.defs,
     "pipeline" -> PipelineQueries.defs,
     "pipeline2" -> Pipeline2Queries.defs,

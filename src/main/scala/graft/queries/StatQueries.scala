@@ -1,0 +1,379 @@
+package graft.queries
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-5 tranche: distribution-drift statistics and robust estimators —
+  * the monitoring layer a 100 TB training-data pipeline runs BETWEEN
+  * ingest and training. Two-sample KS drift, pairwise total-variation
+  * distance between source unigram mixtures, lexical-diversity profiling,
+  * a Benford first-digit audit, winsorized robust means, largest-remainder
+  * budget apportionment, cross-source n-gram novelty, and per-key rolling
+  * medians.
+  *
+  * House determinism discipline (NOTES.md): money/doubles collapse to
+  * integer cents once (`round(x*100)` — both engines IEEE-evaluate the
+  * same literal arithmetic), every ratio is integer ppm by floor division,
+  * any sum that could exceed 2^63 at corpus scale runs as DECIMAL(38,0),
+  * and no `log`/float-sum ever reaches a hashed column.
+  */
+object StatQueries {
+
+  private val P = graft.functions.TextFunctions.HashPrime
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) = Tables.load(s, d, "documents")
+  private def events(s: org.apache.spark.sql.SparkSession, d: String) = Tables.load(s, d, "events")
+
+  /** Exact 2-dp doubles → integer cents; the one float→int collapse. */
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * lit(100)).cast(LongType)
+
+  /** Per-(source, word) counts — the shared base of q131/q132. Cached so
+    * the module's two consumers pay the tokenize+shuffle once (CacheManager
+    * matches the canonicalized subplan across QueryDefs within the module).
+    */
+  private def unigrams(s: org.apache.spark.sql.SparkSession, d: String) =
+    docs(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+      .cache()
+
+  private val unigramsSql =
+    """u AS (SELECT source, w, count(*)::BIGINT n FROM
+         (SELECT source, unnest(string_split(text, ' ')) w FROM documents)
+       WHERE len(w) > 0 GROUP BY 1, 2)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── Two-sample Kolmogorov–Smirnov drift statistic between the `value`
+    //    distributions of two event populations (click vs purchase) — the
+    //    distribution-shift alarm a pipeline runs when a new ingest batch
+    //    lands. D = max_v |F_a(v) − F_b(v)| computed EXACTLY in integer
+    //    ppm: values collapse to cents, per-value counts are ONE hash
+    //    aggregate over the corpus (map-side combine), and the cumulative
+    //    sums run two-phase exactly like q96's global rank — shard-local
+    //    running sums within a 1000-cent bucket plus a cumulative offset
+    //    from the tiny per-bucket table. No corpus-sized single-partition
+    //    window anywhere: at 100 TB the only global stage is the
+    //    #buckets-row offset cum-sum. |cumA·nB − cumB·nA| stays in
+    //    DECIMAL(38,0) so count products can't overflow at corpus scale.
+    QueryDef(
+      "q130_ks_drift",
+      (s, d) => {
+        val pts = events(s, d)
+          .where(col("event_type").isin("click", "purchase"))
+          .select(cents(col("value")).as("c"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("ia"))
+        val perv = pts.groupBy(col("c"))
+          .agg(sum(col("ia")).as("an"), sum(lit(1L) - col("ia")).as("bn"))
+          .withColumn("bkt", expr("c div 1000"))
+        val offs = perv.groupBy(col("bkt"))
+          .agg(sum(col("an")).as("ba"), sum(col("bn")).as("bb"))
+          .select(col("bkt"),
+            coalesce(sum(col("ba")).over(
+              Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)).as("offa"),
+            coalesce(sum(col("bb")).over(
+              Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)).as("offb"))
+        val wb = Window.partitionBy(col("bkt")).orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val tot = perv.agg(sum(col("an")).as("na"), sum(col("bn")).as("nb"))
+        perv
+          .join(broadcast(offs), "bkt")
+          .select(col("c"),
+            (col("offa") + sum(col("an")).over(wb)).as("ca"),
+            (col("offb") + sum(col("bn")).over(wb)).as("cb"))
+          .crossJoin(broadcast(tot))
+          .groupBy(col("na"), col("nb"))
+          .agg(max(abs(col("ca").cast(DecimalType(38, 0)) * col("nb")
+            - col("cb").cast(DecimalType(38, 0)) * col("na"))).as("dmax"))
+          .select(col("na"), col("nb"),
+            expr("CAST((dmax * 1000000) div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)")
+              .as("d_ppm"))
+      },
+      Some("""WITH p AS (SELECT CAST(round(value*100) AS BIGINT) c,
+                 CASE WHEN event_type = 'click' THEN 1 ELSE 0 END ia
+               FROM events WHERE event_type IN ('click', 'purchase')),
+        v AS (SELECT c, sum(ia)::BIGINT an, sum(1-ia)::BIGINT bn FROM p GROUP BY 1),
+        t AS (SELECT sum(an)::BIGINT na, sum(bn)::BIGINT nb FROM v),
+        cm AS (SELECT sum(an) OVER (ORDER BY c)::BIGINT ca,
+                      sum(bn) OVER (ORDER BY c)::BIGINT cb FROM v)
+        SELECT t.na, t.nb,
+          CAST(max(abs(cm.ca*t.nb - cm.cb*t.na)) * 1000000 // (t.na*t.nb) AS BIGINT) AS d_ppm
+        FROM cm CROSS JOIN t GROUP BY t.na, t.nb""")
+    ),
+
+    // ── Pairwise total-variation distance between per-source unigram
+    //    distributions — the mixture-drift matrix (is src3's vocabulary
+    //    distribution diverging from src7's?). TV needs the FULL outer
+    //    vocabulary per pair, but the join only ever touches SHARED words:
+    //    TV = [Σ_shared |n1·N2 − n2·N1| + (N1−s1)·N2 + (N2−s2)·N1] / 2·N1·N2,
+    //    where s1/s2 are shared-mass sums — the one-sided tails fall out of
+    //    the totals algebraically. So the plan is one unigram aggregate,
+    //    one word equi-join (pair fan-out bounded by sources sharing the
+    //    word, the quantity being measured), broadcast totals. Count
+    //    products run as DECIMAL(38,0): at 100 TB, n·N ~ 1e9·1e13 > 2^63.
+    QueryDef(
+      "q131_tvd_drift",
+      (s, d) => {
+        val u = unigrams(s, d)
+        val totals = u.groupBy(col("source")).agg(sum(col("n")).as("nt"))
+        val pairs = u.toDF("s1", "w", "n1")
+          .join(u.toDF("s2", "w2", "n2"), col("w") === col("w2") && col("s1") < col("s2"))
+          .join(broadcast(totals.toDF("s1", "nt1")), "s1")
+          .join(broadcast(totals.toDF("s2", "nt2")), "s2")
+          .groupBy(col("s1"), col("s2"), col("nt1"), col("nt2"))
+          .agg(
+            sum(abs(col("n1").cast(DecimalType(38, 0)) * col("nt2")
+              - col("n2").cast(DecimalType(38, 0)) * col("nt1"))).as("diff"),
+            sum(col("n1").cast(DecimalType(38, 0))).as("sm1"),
+            sum(col("n2").cast(DecimalType(38, 0))).as("sm2"))
+        pairs.select(col("s1"), col("s2"),
+          expr("""CAST((diff + (CAST(nt1 AS DECIMAL(38,0)) - sm1) * nt2
+                             + (CAST(nt2 AS DECIMAL(38,0)) - sm2) * nt1) * 1000000
+                    div (2 * CAST(nt1 AS DECIMAL(38,0)) * nt2) AS BIGINT)""").as("tv_ppm"))
+      },
+      Some(s"""WITH $unigramsSql,
+        t AS (SELECT source, sum(n)::BIGINT nt FROM u GROUP BY 1),
+        pr AS (SELECT a.source s1, b.source s2, ta.nt nt1, tb.nt nt2,
+                 sum(abs(a.n*tb.nt - b.n*ta.nt)) diff,
+                 sum(a.n)::BIGINT sm1, sum(b.n)::BIGINT sm2
+               FROM u a JOIN u b ON a.w = b.w AND a.source < b.source
+               JOIN t ta ON ta.source = a.source
+               JOIN t tb ON tb.source = b.source
+               GROUP BY 1, 2, 3, 4)
+        SELECT s1, s2,
+          CAST((diff + (nt1 - sm1)*nt2 + (nt2 - sm2)*nt1) * 1000000
+               // (2*nt1*nt2) AS BIGINT) AS tv_ppm
+        FROM pr""")
+    ),
+
+    // ── Lexical-diversity profile per source: token count, type count,
+    //    type-token ratio, and hapax-legomena share — the cheap vocabulary-
+    //    health panel (a source whose TTR collapses is boilerplate; one
+    //    whose hapax share explodes is OCR noise). One narrow aggregate
+    //    over the cached unigram table q131 already built.
+    QueryDef(
+      "q132_lexical_diversity",
+      (s, d) => unigrams(s, d)
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          expr("(n_types * 1000000) div n_tokens").as("ttr_ppm"),
+          expr("(n_hapax * 1000000) div n_types").as("hapax_ppm")),
+      Some(s"""WITH $unigramsSql
+        SELECT source, sum(n)::BIGINT n_tokens, count(*)::BIGINT n_types,
+          sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT n_hapax,
+          CAST(count(*) * 1000000 // sum(n) AS BIGINT) AS ttr_ppm,
+          CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+            AS hapax_ppm
+        FROM u GROUP BY source""")
+    ),
+
+    // ── Benford first-digit audit over lineitem extended prices — the
+    //    data-forensics op that flags fabricated or truncated numeric
+    //    columns before they poison downstream stats. Digit extraction is
+    //    string-first (integer cents → decimal string → first char): both
+    //    engines render integers identically, where float log10/pow tricks
+    //    diverge. Expected Benford mass log10(1+1/d) ships as nine integer
+    //    ppm literals (precomputed constants — no runtime log). One narrow
+    //    scan + 9-row aggregate; deviation in ppm.
+    QueryDef(
+      "q133_benford",
+      (s, d) => {
+        val exp = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L, 51153L, 45757L)
+        val li = Tables.load(s, d, "lineitem")
+          .select(substring(cents(col("l_extendedprice")).cast(StringType), 1, 1)
+            .cast(IntegerType).as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        li.crossJoin(broadcast(li.agg(sum(col("n")).as("tot"))))
+          .select(col("digit"), col("n"),
+            expr("(n * 1000000) div tot").as("obs_ppm"),
+            element_at(array(exp.map(lit): _*), col("digit")).as("exp_ppm"))
+          .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+      },
+      Some("""WITH d AS (SELECT CAST(substr(CAST(CAST(round(l_extendedprice*100) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS INT) digit
+               FROM lineitem),
+        g AS (SELECT digit, count(*)::BIGINT n FROM d GROUP BY 1),
+        t AS (SELECT sum(n)::BIGINT tot FROM g),
+        e AS (SELECT unnest(generate_series(1, 9)) digit,
+                     unnest([301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]) exp_ppm)
+        SELECT g.digit, g.n, CAST(g.n * 1000000 // t.tot AS BIGINT) AS obs_ppm,
+          e.exp_ppm::BIGINT AS exp_ppm,
+          CAST(abs(g.n * 1000000 // t.tot - e.exp_ppm) AS BIGINT) AS dev_ppm
+        FROM g CROSS JOIN t JOIN e ON e.digit = g.digit""")
+    ),
+
+    // ── Winsorized robust mean per event type: clamp values to the exact
+    //    [p10, p90] order statistics, then average — the outlier-proof KPI.
+    //    The corpus is touched ONCE by a (type, cents) hash aggregate;
+    //    quantile thresholds come from a cumulative window over that
+    //    value-histogram table (dimension-sized — distinct cents, not
+    //    rows, exactly q107's bucketed rank-select discipline), broadcast
+    //    back, and the winsorized sum is Σ n·clamp(c) over the same
+    //    histogram — the raw corpus is never rescanned or sorted. Ranks
+    //    are ceil(q·N) order statistics: integer-exact, no interpolation.
+    QueryDef(
+      "q134_winsorized_mean",
+      (s, d) => {
+        val vc = events(s, d)
+          .select(col("event_type"), cents(col("value")).as("c"))
+          .groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("n"))
+          .cache()
+        val tot = vc.groupBy(col("event_type")).agg(sum(col("n")).as("nt"))
+        val wc = Window.partitionBy(col("event_type")).orderBy(col("c"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = vc.withColumn("cum", sum(col("n")).over(wc))
+          .join(broadcast(tot), "event_type")
+        val lo = cum.where(col("cum") >= expr("(nt + 9) div 10"))
+          .groupBy(col("event_type")).agg(min(col("c")).as("lo"))
+        val hi = cum.where(col("cum") >= expr("(9 * nt + 9) div 10"))
+          .groupBy(col("event_type")).agg(min(col("c")).as("hi"))
+        vc.join(broadcast(lo), "event_type").join(broadcast(hi), "event_type")
+          .select(col("event_type"), col("n"), col("lo"), col("hi"),
+            greatest(col("lo"), least(col("hi"), col("c"))).as("cc"))
+          .groupBy(col("event_type"), col("lo"), col("hi"))
+          .agg(sum(col("n")).as("n_events"), sum(col("cc") * col("n")).as("wsum"))
+          .select(col("event_type"), col("n_events"),
+            col("lo").as("lo_cents"), col("hi").as("hi_cents"),
+            expr("wsum div n_events").as("wmean_cents"))
+      },
+      Some("""WITH vc AS (SELECT event_type, CAST(round(value*100) AS BIGINT) c,
+                 count(*)::BIGINT n
+               FROM events GROUP BY 1, 2),
+        t AS (SELECT event_type, sum(n)::BIGINT nt FROM vc GROUP BY 1),
+        cm AS (SELECT vc.event_type, vc.c, vc.n, t.nt,
+                 sum(vc.n) OVER (PARTITION BY vc.event_type ORDER BY vc.c)::BIGINT cum
+               FROM vc JOIN t USING (event_type)),
+        lo AS (SELECT event_type, min(c) lo FROM cm WHERE cum >= (nt + 9) // 10 GROUP BY 1),
+        hi AS (SELECT event_type, min(c) hi FROM cm WHERE cum >= (9*nt + 9) // 10 GROUP BY 1)
+        SELECT vc.event_type, sum(vc.n)::BIGINT n_events,
+          lo.lo AS lo_cents, hi.hi AS hi_cents,
+          CAST(sum(greatest(lo.lo, least(hi.hi, vc.c)) * vc.n)
+               // sum(vc.n) AS BIGINT) AS wmean_cents
+        FROM vc JOIN lo USING (event_type) JOIN hi USING (event_type)
+        GROUP BY vc.event_type, lo.lo, hi.hi""")
+    ),
+
+    // ── Largest-remainder (Hamilton) apportionment of a fixed sampling
+    //    budget across sources — the EXACT-total companion to q94's
+    //    rate-based rebalance: Σ alloc = K by construction, ties broken
+    //    deterministically (remainder desc, source asc). All integer
+    //    arithmetic on the 20-row source dimension; the corpus contributes
+    //    one count aggregate. This is how a pipeline turns "sample 10k
+    //    docs proportionally" into per-source quotas that actually sum
+    //    to 10k.
+    QueryDef(
+      "q135_apportion",
+      (s, d) => {
+        val k = 10000L
+        val g = docs(s, d).groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        val tot = g.agg(sum(col("n_docs")).as("nt"), sum(lit(1)).as("ns"))
+        val base = g.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"),
+            expr(s"($k * n_docs) div nt").as("floor_alloc"),
+            expr(s"($k * n_docs) % nt").as("rem"))
+        val leftover = base.agg((lit(k) - sum(col("floor_alloc"))).as("lv"))
+        base.crossJoin(broadcast(leftover))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("rem").desc, col("source").asc)))
+          .select(col("source"), col("n_docs"),
+            (col("floor_alloc") + when(col("rk") <= col("lv"), 1L).otherwise(0L))
+              .as("alloc"))
+      },
+      Some("""WITH g AS (SELECT source, count(*)::BIGINT n_docs FROM documents GROUP BY 1),
+        t AS (SELECT sum(n_docs)::BIGINT nt FROM g),
+        b AS (SELECT source, n_docs,
+                CAST(10000 * n_docs // nt AS BIGINT) floor_alloc,
+                CAST(10000 * n_docs % nt AS BIGINT) rem
+              FROM g CROSS JOIN t),
+        l AS (SELECT CAST(10000 - sum(floor_alloc) AS BIGINT) lv FROM b),
+        r AS (SELECT b.*, l.lv,
+                row_number() OVER (ORDER BY rem DESC, source ASC) rk
+              FROM b CROSS JOIN l)
+        SELECT source, n_docs,
+          (floor_alloc + CASE WHEN rk <= lv THEN 1 ELSE 0 END)::BIGINT AS alloc
+        FROM r""")
+    ),
+
+    // ── Cross-source n-gram NOVELTY — the asymmetric complement of q125's
+    //    contamination matrix: what fraction of a source's distinct
+    //    3-grams appears in NO other source? (High novelty = genuinely new
+    //    data worth ingesting; low = the source is re-crawling the web.)
+    //    Plan: one fused tokenize→gram-hash pass, per-source DISTINCT,
+    //    then a gram-level source-count aggregate joined back — all equi,
+    //    candidate volume bounded by actual sharing. Never a source×source
+    //    product.
+    QueryDef(
+      "q136_ngram_novelty",
+      (s, d) => {
+        val g = docs(s, d)
+          .select(col("source"),
+            explode(graft.functions.HashExpressions.shingleHash32(
+              tokens(col("text")), 3)).as("g"))
+          .distinct()
+          .cache()
+        val spread = g.groupBy(col("g")).agg(count(lit(1)).as("nsrc"))
+        g.join(spread, "g")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("nsrc") === 1, 1L).otherwise(0L)).as("n_unique"))
+          .select(col("source"), col("n_grams"), col("n_unique"),
+            expr("(n_unique * 1000000) div n_grams").as("novelty_ppm"))
+      },
+      Some(s"""WITH t AS (SELECT source, string_split(text,' ') t FROM documents),
+        g AS (SELECT DISTINCT source, gh FROM (
+            SELECT source, unnest(list_transform(
+                list_transform(range(0, len(t)-2),
+                  j -> t[j+1]||' '||t[j+2]||' '||t[j+3]),
+                x -> ('0x'||substr(md5(x),1,8))::BIGINT % $P)) gh
+            FROM t WHERE len(t) >= 3)),
+        sp AS (SELECT gh, count(*)::BIGINT nsrc FROM g GROUP BY 1)
+        SELECT g.source, count(*)::BIGINT n_grams,
+          sum(CASE WHEN sp.nsrc = 1 THEN 1 ELSE 0 END)::BIGINT n_unique,
+          CAST(sum(CASE WHEN sp.nsrc = 1 THEN 1 ELSE 0 END) * 1000000
+               // count(*) AS BIGINT) AS novelty_ppm
+        FROM g JOIN sp USING (gh) GROUP BY 1""")
+    ),
+
+    // ── Rolling median smoother: per-user lower median of the last 5
+    //    event values in time order — the robust time-series denoiser
+    //    (EWMA q109's outlier-proof sibling). Bounded 5-row frame, window
+    //    partitioned by user (100 TB: millions of users, perfect
+    //    parallelism; frame size is a constant, not history length).
+    //    Lower median = element (k+1)/2 of the sorted frame: exact,
+    //    no even-count averaging, ties in ts broken by event_id so both
+    //    engines walk identical frames. Output capped to a 30-user panel.
+    QueryDef(
+      "q137_rolling_median",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+        events(s, d)
+          .where(col("user_id") < 30)
+          .select(col("event_id"), col("user_id"), col("ts"), cents(col("value")).as("c"))
+          .withColumn("arr", sort_array(collect_list(col("c")).over(w)))
+          .select(col("event_id"), col("user_id"), col("c").as("cents"),
+            element_at(col("arr"),
+              expr("CAST((size(arr) + 1) div 2 AS INT)")).as("med_cents"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, ts,
+                 CAST(round(value*100) AS BIGINT) c
+               FROM events WHERE user_id < 30),
+        f AS (SELECT event_id, user_id, c,
+                list_sort(list(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) arr
+              FROM e)
+        SELECT event_id, user_id, c AS cents,
+          arr[(len(arr) + 1) // 2] AS med_cents
+        FROM f""")
+    )
+  )
+}
