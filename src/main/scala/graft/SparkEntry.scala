@@ -28,6 +28,7 @@ object SparkEntry {
     "analytics2" -> Analytics2.defs,
     "analytics3" -> Analytics3.defs,
     "stats" -> StatQueries.defs,
+    "pipeline3" -> Pipeline3Queries.defs,
     "text" -> TextQueries.defs,
     "pipeline" -> PipelineQueries.defs,
     "pipeline2" -> Pipeline2Queries.defs,
