@@ -158,14 +158,20 @@ object Pipeline3Queries {
         val e = knnEdges(s, d)
         val und = e.select(col("u"), col("v"))
           .union(e.select(col("v").as("u"), col("u").as("v")))
+          .cache()
         var labels = und.select(col("u").as("w")).distinct()
           .withColumn("lbl", col("w"))
         for (_ <- 1 to 3) {
           val fromNbr = und.join(labels.withColumnRenamed("w", "v")
               .withColumnRenamed("lbl", "vl"), "v")
             .groupBy(col("u").as("w")).agg(min(col("vl")).as("nl"))
+          // cache per round (q113's iterative discipline): `labels` feeds
+          // BOTH the carry-forward and the neighbor aggregate, so without
+          // the cache each round doubles the replayed lineage (2^rounds
+          // copies of the kNN subtree by round 3)
           labels = labels.join(fromNbr, Seq("w"), "left_outer")
             .select(col("w"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+            .cache()
         }
         val mem = labels.join(
           emb(s, d).select(col("vec_id").as("w"), col("label")), "w")
