@@ -657,18 +657,32 @@ object Analytics3 {
       (s, d) => {
         val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
           "l_extendedprice", "l_discount", "l_tax")
-        val li = Tables.load(s, d, "lineitem")
-        val agg = li.agg(
+        val li = Tables.load(s, d, "lineitem").select(cols.map(col): _*)
+        // distinct counts via ONE tall two-phase aggregate instead of the
+        // 7-way countDistinct Expand: posexplode to (col_idx, value), hash
+        // aggregate to distinct (col_idx, value) pairs (map-side combine
+        // collapses the corpus to the per-column value dictionaries), then
+        // a dictionary-sized count. The Expand plan multiplied every row
+        // 8x into a single wide aggregate with 7 distinct buffers; this
+        // form shuffles only dictionary rows. All ids/doubles pass through
+        // an exact double cast (ids < 2^53).
+        val tall = li.select(posexplode(
+          array(cols.map(c => col(c).cast(DoubleType)): _*)).as(Seq("ci", "v")))
+        val dist = tall.where(col("v").isNotNull) // countDistinct semantics
+          .groupBy(col("ci"), col("v")).agg(count(lit(1)).as("nn"))
+          .groupBy(col("ci")).agg(count(lit(1)).as("n_distinct"))
+        val base = li.agg(
           count(lit(1)).as("n"),
           cols.flatMap(c => Seq(
             sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-            countDistinct(col(c)).as(s"${c}_distinct"),
             min(col(c)).cast(DoubleType).as(s"${c}_min"),
             max(col(c)).cast(DoubleType).as(s"${c}_max"))): _*)
-        val stackExpr = cols
-          .map(c => s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max")
+        val stackExpr = cols.zipWithIndex
+          .map { case (c, i) => s"$i, '$c', ${c}_nulls, ${c}_min, ${c}_max" }
           .mkString(s"stack(${cols.length}, ", ", ", ")")
-        agg.select(col("n"), expr(s"$stackExpr as (col_name, n_null, n_distinct, min_v, max_v)"))
+        base.select(col("n"),
+            expr(s"$stackExpr as (ci, col_name, n_null, min_v, max_v)"))
+          .join(dist, "ci")
           .select(col("col_name"), col("n"), col("n_null"), col("n_distinct"),
             col("min_v"), col("max_v"))
       },
