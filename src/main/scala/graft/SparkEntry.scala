@@ -30,6 +30,7 @@ object SparkEntry {
     "analytics3" -> Analytics3.defs,
     "stats" -> StatQueries.defs,
     "pipeline3" -> Pipeline3Queries.defs,
+    "diagnostics" -> DiagnosticsQueries.defs,
     "text" -> TextQueries.defs,
     "pipeline" -> PipelineQueries.defs,
     "pipeline2" -> Pipeline2Queries.defs,

@@ -172,16 +172,19 @@ class PlanSpec extends SparkTestBase {
     assert(plan("q107_mad_outliers").contains("BroadcastHashJoin"))
   }
 
-  test("q109/q110 are single-aggregate plans: no joins at all") {
-    for (name <- Seq("q109_ewma", "q110_profile")) {
-      val p = plan(name)
-      assert(!p.contains("Join"), s"$name must not join\n$p")
-    }
-    // multi-distinct profiling runs as one scan + Expand, not 7 scans
+  test("q109 is a single-aggregate plan; q110 profiles via the tall dictionary") {
+    assert(!plan("q109_ewma").contains("Join"), "q109 must not join")
+    // multi-distinct profiling: NO countDistinct Expand (which multiplies
+    // every corpus row by #distinct-aggs); instead posexplode to the tall
+    // (col, value) form, two-phase hash aggregate down to the per-column
+    // value dictionaries, and ONE broadcast join of the 7-row stat panel
     val prof = plan("q110_profile")
-    assert(prof.contains("Expand"), s"q110 lost the single-scan multi-distinct shape\n$prof")
-    assert(prof.split("\n").count(_.contains("Scan parquet")) === 1,
-      s"q110 must scan lineitem exactly once\n$prof")
+    assert(!prof.contains("Expand"), s"q110 reverted to the Expand multi-distinct\n$prof")
+    assert(prof.contains("Generate"), s"q110 lost the tall posexplode form\n$prof")
+    assert(prof.contains("BroadcastHashJoin"),
+      s"q110's panel/dictionary merge must broadcast\n$prof")
+    assert(prof.split("\n").count(_.contains("Scan parquet")) <= 2,
+      s"q110 must scan lineitem at most twice (tall pass + stat pass)\n$prof")
   }
 
   test("q107 medians never row_number the corpus: aggregates + grid windows only") {
