@@ -31,6 +31,7 @@ object SparkEntry {
     "stats" -> StatQueries.defs,
     "pipeline3" -> Pipeline3Queries.defs,
     "diagnostics" -> DiagnosticsQueries.defs,
+    "pipeline4" -> Pipeline4Queries.defs,
     "text" -> TextQueries.defs,
     "pipeline" -> PipelineQueries.defs,
     "pipeline2" -> Pipeline2Queries.defs,
