@@ -543,7 +543,9 @@ object TextQueries {
           .select(substring_index(col("b"), " ", 1).as("u"),
             substring_index(col("b"), " ", -1).as("v"))
           .where(col("u") =!= col("v"))
-        val e = e0.union(e0.select(col("v").as("u"), col("u").as("v"))).distinct()
+        // cache e: deg AND ed both consume it — uncached, the corpus
+        // tokenize+distinct runs twice (once under each)
+        val e = e0.union(e0.select(col("v").as("u"), col("u").as("v"))).distinct().cache()
         val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
         val ed = e.join(deg, "u").cache() // (u, v, deg u) — reused every round
         var ranks = deg.select(col("u").as("w"), lit(1000000L).as("r"))
