@@ -85,9 +85,9 @@ object Bench {
     // re-run and reports the min: a genuinely slow query stays slow on the
     // retry, a stalled one recovers. Bounded to 30 retries so a fully
     // pathological window can't double the run.
-    val retryThreshold = 3.0
+    val retryThreshold = 2.5
     val retried = scala.collection.mutable.Map[String, (Double, Double)]()
-    firstPass.filter(_._3 > retryThreshold).sortBy(-_._3).take(30).foreach { case (n, q, t1, c1) =>
+    firstPass.filter(_._3 > retryThreshold).sortBy(-_._3).take(40).foreach { case (n, q, t1, c1) =>
       spark.catalog.clearCache()
       val (t2, c2) = timeOne(q)
       System.err.println(f"[bench] retry ${n}%-26s first $t1%7.2f s -> $t2%7.2f s")
