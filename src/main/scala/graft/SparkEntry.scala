@@ -28,6 +28,7 @@ object SparkEntry {
     "analytics" -> Analytics.defs,
     "analytics2" -> Analytics2.defs,
     "analytics3" -> Analytics3.defs,
+    "analytics4" -> Analytics4.defs,
     "stats" -> StatQueries.defs,
     "pipeline3" -> Pipeline3Queries.defs,
     "diagnostics" -> DiagnosticsQueries.defs,
