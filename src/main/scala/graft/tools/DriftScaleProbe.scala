@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *  - q139/q143: the diff/IVM joins are the only corpus-sized stages and
   *    must grow linearly, never quadratically.
   */
-object StatScaleProbe {
+object DriftScaleProbe {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
