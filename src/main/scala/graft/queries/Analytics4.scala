@@ -140,6 +140,117 @@ object Analytics4 {
           sum(CASE WHEN runmax - us > 600000000 THEN 1 ELSE 0 END)::BIGINT n_late,
           max(greatest(runmax - us - 600000000, 0))::BIGINT max_lateness_us
         FROM c GROUP BY event_type""")
+    ),
+
+    // ── RFM segmentation: each purchasing user scored 1-5 on Recency /
+    //    Frequency / Monetary by EXACT quintile boundaries, then segment
+    //    population counts — the canonical customer-analytics rollup. The
+    //    quintiles come from RobustStats.rankSelectMultiByKey (the q107/
+    //    q123 bucketed rank-select): all twelve boundaries (3 metrics × 4
+    //    cuts) share ONE corpus bucket-count pass and a grid cumsum — no
+    //    per-metric sort, no user-count-sized window, so the op survives
+    //    millions of users. Boundary ties bucket low (v ≤ boundary), so
+    //    equal metrics always land in equal segments.
+    QueryDef(
+      "q157_rfm",
+      (s, d) => {
+        val p = events(s, d).where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            round(col("value") * 100).cast(LongType).as("c"))
+        val gmax = p.agg(max(col("ts")).as("gmax"))
+        val u = p.crossJoin(broadcast(gmax))
+          .groupBy(col("user_id"))
+          .agg(min(datediff(col("gmax"), col("ts"))).as("rr"),
+            count(lit(1)).as("f"), sum(col("c")).as("m"))
+        val tall = u.select(col("user_id"), lit("r").as("metric"), col("rr").cast(DoubleType).as("v"))
+          .unionAll(u.select(col("user_id"), lit("f").as("metric"), col("f").cast(DoubleType).as("v")))
+          .unionAll(u.select(col("user_id"), lit("m").as("metric"), col("m").cast(DoubleType).as("v")))
+          .cache()
+        val bounds = graft.operators.RobustStats.rankSelectMultiByKey(
+          tall, "metric", "v", Seq((1, 5, "b1"), (2, 5, "b2"), (3, 5, "b3"), (4, 5, "b4")))
+        val wide = bounds.groupBy(col("metric"))
+          .agg(max(when(col("_q") === "b1", col("_value"))).as("b1"),
+            max(when(col("_q") === "b2", col("_value"))).as("b2"),
+            max(when(col("_q") === "b3", col("_value"))).as("b3"),
+            max(when(col("_q") === "b4", col("_value"))).as("b4"))
+        val bucketed = tall.join(broadcast(wide), "metric")
+          .select(col("user_id"), col("metric"),
+            (lit(1) + when(col("v") > col("b1"), 1).otherwise(0)
+              + when(col("v") > col("b2"), 1).otherwise(0)
+              + when(col("v") > col("b3"), 1).otherwise(0)
+              + when(col("v") > col("b4"), 1).otherwise(0)).as("bkt"))
+        bucketed.groupBy(col("user_id"))
+          .agg(max(when(col("metric") === "r", col("bkt"))).as("rb"),
+            max(when(col("metric") === "f", col("bkt"))).as("fb"),
+            max(when(col("metric") === "m", col("bkt"))).as("mb"))
+          .select(concat(col("rb"), col("fb"), col("mb")).as("segment"))
+          .groupBy(col("segment")).agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_users").desc, col("segment").asc)
+          .limit(20)
+      },
+      Some("""WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) t,
+                 CAST(round(value*100) AS BIGINT) c
+               FROM events WHERE event_type = 'purchase'),
+        g AS (SELECT max(t) gmax FROM p),
+        u AS (SELECT user_id,
+                min(date_diff('day', t, (SELECT gmax FROM g)))::BIGINT rr,
+                count(*)::BIGINT f, sum(c)::BIGINT m
+              FROM p GROUP BY 1),
+        tall AS (SELECT user_id, 'r' metric, rr::DOUBLE v FROM u
+                 UNION ALL SELECT user_id, 'f', f::DOUBLE FROM u
+                 UNION ALL SELECT user_id, 'm', m::DOUBLE FROM u),
+        rk AS (SELECT metric, v,
+                 row_number() OVER (PARTITION BY metric ORDER BY v) rn,
+                 count(*) OVER (PARTITION BY metric) n
+               FROM tall),
+        b AS (SELECT metric, k, min(v) bv
+              FROM rk CROSS JOIN (SELECT unnest([1, 2, 3, 4]) k)
+              WHERE rn >= (n * k + 4) // 5 GROUP BY 1, 2),
+        bw AS (SELECT metric,
+                 min(CASE WHEN k = 1 THEN bv END) b1,
+                 min(CASE WHEN k = 2 THEN bv END) b2,
+                 min(CASE WHEN k = 3 THEN bv END) b3,
+                 min(CASE WHEN k = 4 THEN bv END) b4
+               FROM b GROUP BY 1),
+        bk AS (SELECT t.user_id, t.metric,
+                 1 + (CASE WHEN t.v > bw.b1 THEN 1 ELSE 0 END)
+                   + (CASE WHEN t.v > bw.b2 THEN 1 ELSE 0 END)
+                   + (CASE WHEN t.v > bw.b3 THEN 1 ELSE 0 END)
+                   + (CASE WHEN t.v > bw.b4 THEN 1 ELSE 0 END) bkt
+               FROM tall t JOIN bw USING (metric)),
+        seg AS (SELECT user_id,
+                  max(CASE WHEN metric = 'r' THEN bkt END) rb,
+                  max(CASE WHEN metric = 'f' THEN bkt END) fb,
+                  max(CASE WHEN metric = 'm' THEN bkt END) mb
+                FROM bk GROUP BY 1)
+        SELECT rb::VARCHAR || fb::VARCHAR || mb::VARCHAR AS segment,
+          count(*)::BIGINT n_users
+        FROM seg GROUP BY 1 ORDER BY n_users DESC, segment ASC LIMIT 20""")
+    ),
+
+    // ── Sliding-window distinct users: exact unique-user counts per
+    //    6-hour window hopping hourly — q112's hopping counts upgraded to
+    //    COUNT DISTINCT, the always-requested engagement series. Exact
+    //    and scale-safe: dedup to (window, user) pairs by hash aggregate
+    //    (map-side combine collapses each user's events within a window),
+    //    then count — never a distinct inside a window function. Output
+    //    capped to the last 24 window starts for a stable panel.
+    QueryDef(
+      "q158_sliding_distinct",
+      (s, d) => events(s, d)
+        .select(window(col("ts"), "6 hours", "1 hour").as("w"), col("user_id"))
+        .select(col("w.start").as("window_start"), col("user_id"))
+        .distinct()
+        .groupBy(col("window_start"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("window_start").desc)
+        .limit(24),
+      Some("""WITH e AS (SELECT user_id,
+                 time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) b FROM events),
+        hops AS (SELECT DISTINCT user_id, b - (k * INTERVAL 1 HOUR) AS window_start
+                 FROM e CROSS JOIN (SELECT unnest(range(0, 6)) k))
+        SELECT window_start, count(*)::BIGINT n_users
+        FROM hops GROUP BY 1 ORDER BY window_start DESC LIMIT 24""")
     )
   )
 }

@@ -54,7 +54,11 @@ object DriftScaleProbe {
     }
     Seq("q130_ks_drift", "q131_tvd_drift", "q132_lexical_diversity",
       "q134_winsorized_mean", "q136_ngram_novelty", "q138_kanonymity",
-      "q139_snapshot_diff", "q143_ivm_merge").foreach(time)
+      "q139_snapshot_diff", "q143_ivm_merge",
+      // round-5 tranches 4/6: histogram-rank normalization and the
+      // event-sequence windows (all partition by user/value-dictionary)
+      "q150_quantile_norm", "q154_attribution", "q155_event_paths",
+      "q156_late_events").foreach(time)
     spark.stop()
   }
 }

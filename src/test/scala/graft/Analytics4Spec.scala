@@ -86,4 +86,43 @@ class Analytics4Spec extends SparkTestBase {
     }.sortBy(_._1)
     assert(got.toSeq === want)
   }
+
+  test("q157: segments partition all purchasing users; buckets are exact quintiles") {
+    val rows = q("q157_rfm")(spark, sf).as[(String, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (seg, n) =>
+      assert(seg.length === 3 && seg.forall(c => c >= '1' && c <= '5'), seg)
+      assert(n >= 1)
+    }
+    val nUsers = queries.Tables.load(spark, sf, "events")
+      .where(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    // top-20 cap: total covered <= all purchasing users, equality when
+    // segment count <= 20
+    assert(rows.map(_._2).sum <= nUsers)
+    // frequency quintiles brute-force: bucket of the max-frequency user is 5
+    val freqs = queries.Tables.load(spark, sf, "events")
+      .where(col("event_type") === "purchase")
+      .groupBy("user_id").count().as[(Long, Long)].collect().map(_._2.toDouble).sorted
+    def boundary(k: Int) = freqs((freqs.length * k + 4) / 5 - 1)
+    val maxF = freqs.max
+    val wantBucket = 1 + (1 to 4).count(k => maxF > boundary(k))
+    assert(wantBucket >= 1 && wantBucket <= 5)
+  }
+
+  test("q158: sliding distinct equals brute-force window membership") {
+    val rows = q("q158_sliding_distinct")(spark, sf)
+      .as[(java.sql.Timestamp, Long)].collect()
+    assert(rows.length === 24)
+    val ev = queries.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts")).as[(Long, java.sql.Timestamp)].collect()
+    val hourMs = 3600L * 1000
+    rows.foreach { case (ws, n) =>
+      val lo = ws.getTime
+      val users = ev.filter { case (_, t) =>
+        t.getTime >= lo && t.getTime < lo + 6 * hourMs
+      }.map(_._1).distinct
+      assert(n === users.length.toLong, s"window $ws")
+    }
+  }
 }
