@@ -229,6 +229,79 @@ object DiagnosticsQueries {
           CAST(r.below * 1000000 // (t.nt - 1) AS BIGINT) pct_ppm
         FROM events e JOIN r ON r.c = CAST(round(e.value*100) AS BIGINT)
         CROSS JOIN t WHERE e.user_id < 10""")
+    ),
+
+    // ── One-pass correlation matrix: pairwise Pearson (q114's integer
+    //    contract — sign + r² ppm, exact DECIMAL moments, no cross-engine
+    //    sqrt) for all 21 pairs of the 7 lineitem numerics, from ONE
+    //    aggregate computing the full moment matrix (Σxᵢ, Σxᵢ², Σxᵢxⱼ) —
+    //    the feature-redundancy screen before model training, done the
+    //    way BLAS does a rank-k update: one scan, no per-pair passes.
+    //    Values collapse to integer cents/centi-units first, so every
+    //    moment is exact.
+    QueryDef(
+      "q159_corr_matrix",
+      (s, d) => {
+        val cols7 = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax")
+        val dec = DecimalType(38, 0)
+        val li = Tables.load(s, d, "lineitem").select(
+          cols7.map(c => round(col(c) * 100).cast(dec).as(c)): _*)
+        val pairs = for {
+          i <- cols7.indices; j <- cols7.indices if i < j
+        } yield (cols7(i), cols7(j))
+        val agg = li.agg(
+          count(lit(1)).cast(dec).as("n"),
+          (cols7.flatMap(c => Seq(sum(col(c)).as(s"s_$c"),
+            sum(col(c) * col(c)).as(s"ss_$c"))) ++
+            pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"sp_${a}__$b") }): _*)
+        val stackExpr = pairs.map { case (a, b) =>
+          s"'$a', '$b', s_$a, ss_$a, s_$b, ss_$b, sp_${a}__$b"
+        }.mkString(s"stack(${pairs.length}, ", ", ", ")")
+        agg.select(col("n"),
+            expr(s"$stackExpr as (col_a, col_b, sa, ssa, sb, ssb, sab)"))
+          .select(col("col_a"), col("col_b"),
+            (col("n") * col("sab") - col("sa") * col("sb")).as("num"),
+            (col("n") * col("ssa") - col("sa") * col("sa")).as("den_a"),
+            (col("n") * col("ssb") - col("sb") * col("sb")).as("den_b"))
+          .select(col("col_a"), col("col_b"),
+            signum(col("num")).cast(IntegerType).as("r_sign"),
+            // moments are exact DECIMAL; num² · 1e6 would blow past 38
+            // digits (prices × keys × 600k rows), and r² is scale-free —
+            // so the FINAL ratio is one element-wise double expression
+            // both engines evaluate identically from the same exact
+            // integers (the permitted determinism class, q66's template)
+            when(col("den_a") === 0 || col("den_b") === 0, lit(null))
+              .otherwise(expr(
+                """((CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) * 1000000.0)
+                   / (CAST(den_a AS DOUBLE) * CAST(den_b AS DOUBLE))"""))
+              .as("r2_ppm"))
+      },
+      Some {
+        val cols7 = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax")
+        val pairs = for {
+          i <- cols7.indices; j <- cols7.indices if i < j
+        } yield (cols7(i), cols7(j))
+        val arms = pairs.map { case (a, b) =>
+          val num = s"(n*sp_${a}__$b - s_$a*s_$b)"
+          val da = s"(n*ss_$a - s_$a*s_$a)"
+          val db = s"(n*ss_$b - s_$b*s_$b)"
+          s"""SELECT '$a' col_a, '$b' col_b,
+            CAST(sign($num) AS INT) r_sign,
+            CASE WHEN $da = 0 OR $db = 0 THEN NULL
+              ELSE ((CAST($num AS DOUBLE) * CAST($num AS DOUBLE)) * 1000000.0)
+                   / (CAST($da AS DOUBLE) * CAST($db AS DOUBLE)) END r2_ppm
+          FROM m"""
+        }.mkString("\nUNION ALL\n")
+        val moments = cols7.flatMap(c => Seq(
+          s"sum(q_$c)::HUGEINT s_$c", s"sum(q_$c*q_$c)::HUGEINT ss_$c")) ++
+          pairs.map { case (a, b) => s"sum(q_$a*q_$b)::HUGEINT sp_${a}__$b" }
+        s"""WITH q AS (SELECT ${cols7.map(c =>
+            s"CAST(round($c*100) AS HUGEINT) q_$c").mkString(", ")} FROM lineitem),
+        m AS (SELECT count(*)::HUGEINT n, ${moments.mkString(", ")} FROM q)
+        $arms"""
+      }
     )
   )
 }

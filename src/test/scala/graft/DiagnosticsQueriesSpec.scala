@@ -104,4 +104,17 @@ class DiagnosticsQueriesSpec extends SparkTestBase {
     if (sorted.head._3 == allCents.min) assert(sorted.head._4 === 0L)
     rows.foreach { case (_, _, _, p) => assert(p >= 0 && p <= 1000000) }
   }
+
+  test("q159: all 21 pairs present; r2 agrees with Spark's corr to 1e-6") {
+    val rows = q("q159_corr_matrix")(spark, sf)
+      .as[(String, String, Int, Option[Double])].collect()
+    assert(rows.length === 21)
+    val li = queries.Tables.load(spark, sf, "lineitem")
+    rows.foreach { case (a, b, sign, r2) =>
+      val r = li.select(corr(round(col(a) * 100), round(col(b) * 100))).as[Double].head()
+      assert(r2.isDefined)
+      assert(math.abs(r * r * 1e6 - r2.get) < 1.0, s"$a/$b: ${r * r * 1e6} vs ${r2.get}")
+      assert(sign === math.signum(r).toInt || r == 0.0)
+    }
+  }
 }
