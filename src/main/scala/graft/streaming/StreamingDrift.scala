@@ -63,6 +63,29 @@ object StreamingDrift {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateBucket)
   }
 
+  /** Restartable sink: append each trigger's emitted cells to parquet,
+    * stamped with the batch id, under a checkpoint — the durable form
+    * (the memory sink cannot recover from a checkpoint). The latest
+    * emission per (bucket, cents) is selected by max batch id downstream.
+    */
+  def startParquetSink(cells: Dataset[Cell], outDir: String, checkpoint: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    cells.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Cell], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .outputMode(OutputMode.Update)
+      .start()
+
+  /** Latest histogram state from the parquet emission log. */
+  def latestCells(spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+      .groupBy(col("bucket"), col("cents"))
+      .agg(max(struct(col("batch_id"), col("an"), col("bn"))).as("s"))
+      .select(col("bucket"), col("cents"), col("s.an").as("an"), col("s.bn").as("bn"))
+
   /** Exact KS D in ppm from a (bucket, cents, an, bn) histogram table —
     * shared by the streaming sink readout and the batch cross-check.
     * Integer arithmetic identical to q130's.
