@@ -129,6 +129,63 @@ object Pipeline4Queries {
         SELECT a.label l1, b.label l2, sum((a.c - b.c) * (a.c - b.c))::BIGINT dist_sq
         FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
         GROUP BY 1, 2""")
+    ),
+
+    // ── HLL register MERGEABILITY — the property that makes sketches a
+    //    distributed-systems tool at all: per-source register arrays
+    //    (64 registers; rank = position of the lowest set bit of the
+    //    hash suffix, an integer log2 via length(bin(x & -x)) — no float
+    //    log) merged by element-wise MAX must equal the registers built
+    //    directly over the union. Both sides computed, compared per
+    //    register, pinned TRUE — plus an integer register checksum the
+    //    hash check bites on. This is why a 1000-executor cardinality
+    //    estimate needs no global distinct: registers combine
+    //    associatively exactly like this query's merge aggregate.
+    //    (The final cardinality estimate is a driver-side scalar formula
+    //    over 64 small integers — deliberately out of scope; the
+    //    distributed property IS the register algebra.)
+    QueryDef(
+      "q160_hll_merge",
+      (s, d) => {
+        val m = 64
+        val terms = docs(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("term"))
+          .where(length(col("term")) > 0)
+          .withColumn("h", graft.functions.TextFunctions.hash32(col("term")))
+          .select(col("source"),
+            pmod(col("h"), lit(m)).as("reg"),
+            expr(s"h div $m").as("rest"))
+          .withColumn("rank",
+            when(col("rest") === 0, lit(27L))
+              .otherwise(expr("CAST(length(bin(rest & -rest)) AS BIGINT)")))
+          .cache()
+        val perSource = terms.groupBy(col("source"), col("reg"))
+          .agg(max(col("rank")).as("r"))
+        val merged = perSource.groupBy(col("reg")).agg(max(col("r")).as("r_merged"))
+        val direct = terms.groupBy(col("reg")).agg(max(col("rank")).as("r_direct"))
+        merged.join(direct, "reg")
+          .agg(count(lit(1)).as("n_registers"),
+            min(col("r_merged") === col("r_direct")).as("merge_equals_direct"),
+            sum((col("reg") + 1) * col("r_direct")).as("register_checksum"))
+      },
+      Some(s"""WITH t AS (SELECT source, w term FROM
+                 (SELECT source, unnest(string_split(text, ' ')) w FROM documents)
+               WHERE len(w) > 0),
+        h AS (SELECT source,
+                ('0x'||substr(md5(term),1,8))::BIGINT % 64 reg,
+                ('0x'||substr(md5(term),1,8))::BIGINT // 64 rest
+              FROM t),
+        r AS (SELECT source, reg,
+                CASE WHEN rest = 0 THEN 27
+                     ELSE len(bin(rest & -rest)) END::BIGINT rank
+              FROM h),
+        ps AS (SELECT source, reg, max(rank) r FROM r GROUP BY 1, 2),
+        mg AS (SELECT reg, max(r) r_merged FROM ps GROUP BY 1),
+        dr AS (SELECT reg, max(rank) r_direct FROM r GROUP BY 1)
+        SELECT count(*)::BIGINT n_registers,
+          min(mg.r_merged = dr.r_direct) AS merge_equals_direct,
+          sum((mg.reg + 1) * dr.r_direct)::BIGINT AS register_checksum
+        FROM mg JOIN dr USING (reg)""")
     )
   )
 }

@@ -78,4 +78,32 @@ class Pipeline4QueriesSpec extends SparkTestBase {
     val got = rows.find(r => r._1 == l1 && r._2 == l2).get._3
     assert(got === want)
   }
+
+  test("q160: merged registers equal direct registers on a wide crafted vocab") {
+    // 2000 distinct tokens spread over 4 sources fills most registers
+    val dir = docsDir((1L to 40L).map { i =>
+      val words = ((i - 1) * 50 until i * 50).map(j => s"tok$j").mkString(" ")
+      (i, words, "en", s"s${i % 4}")
+    })
+    val Seq((eq, nReg, checksum)) = q("q160_hll_merge")(spark, dir)
+      .select("merge_equals_direct", "n_registers", "register_checksum")
+      .as[(Boolean, Long, Long)].collect().toSeq
+    assert(eq, "per-source max-merge must equal direct registers")
+    assert(nReg >= 60, s"2000 distinct tokens should fill ~all 64 registers, got $nReg")
+    // brute force the direct registers
+    val regs = (0 until 2000).map { j =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"tok$j".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md5, 16)
+      val reg = h % 64
+      val rest = h / 64
+      val rank = if (rest == 0) 27L
+        else java.lang.Long.toBinaryString(rest & -rest).length.toLong
+      (reg, rank)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(checksum === regs.map { case (r, k) => (r + 1) * k }.sum)
+    assert(nReg === regs.size.toLong)
+    spark.catalog.clearCache()
+  }
 }
