@@ -158,10 +158,13 @@ object Analytics4 {
           .select(col("user_id"), col("ts"),
             round(col("value") * 100).cast(LongType).as("c"))
         val gmax = p.agg(max(col("ts")).as("gmax"))
+        // cached: the three metric arms of `tall` each consume u — uncached,
+        // the purchase scan + aggregate would run three times
         val u = p.crossJoin(broadcast(gmax))
           .groupBy(col("user_id"))
           .agg(min(datediff(col("gmax"), col("ts"))).as("rr"),
             count(lit(1)).as("f"), sum(col("c")).as("m"))
+          .cache()
         val tall = u.select(col("user_id"), lit("r").as("metric"), col("rr").cast(DoubleType).as("v"))
           .unionAll(u.select(col("user_id"), lit("f").as("metric"), col("f").cast(DoubleType).as("v")))
           .unionAll(u.select(col("user_id"), lit("m").as("metric"), col("m").cast(DoubleType).as("v")))
