@@ -186,6 +186,85 @@ object Pipeline4Queries {
           min(mg.r_merged = dr.r_direct) AS merge_equals_direct,
           sum((mg.reg + 1) * dr.r_direct)::BIGINT AS register_checksum
         FROM mg JOIN dr USING (reg)""")
+    ),
+
+    // ── Pipeline attrition funnel — the per-stage audit of the curation
+    //    gauntlet: for each sequential stage (q74's rules minus the
+    //    terminal-punct rule — the punctuation-free synthetic corpus
+    //    would zero the funnel at stage 1, q85's documented carve-out —
+    //    then normalized dedup keep-first), how many docs ENTERED, FAILED
+    //    there, and SURVIVED. The transparency report q85's end-to-end
+    //    pipeline doesn't show (q85 keeps survivors; this keeps the
+    //    drop accounting). ONE pass computes every stage flag + the
+    //    first-failure index; the funnel is a 6-row aggregate. Dedup
+    //    keep-first is the same min-id-per-canon-hash aggregate as q75,
+    //    joined back as a flag — no window over the corpus.
+    QueryDef(
+      "q161_attrition_funnel",
+      (s, d) => {
+        val t = graft.functions.TextFunctions.tokens(col("text"))
+        val canon = graft.functions.CanonicalizeExpressions.canonAlnum(col("text"))
+        val flagged = docs(s, d)
+          .withColumn("canon_hash", md5(canon))
+          .withColumn("s1", size(t) >= 10)
+          .withColumn("s2", size(filter(t, x => length(x) > 20)) === 0)
+          .withColumn("s3", size(filter(t, x => x.isin(TextQueries.Stop: _*))) > 0)
+        val keepers = flagged.groupBy(col("canon_hash"))
+          .agg(min(col("doc_id")).as("keep_id"))
+        val staged = flagged.join(keepers, "canon_hash")
+          .withColumn("s4", col("doc_id") === col("keep_id"))
+          .select(when(!col("s1"), 1).when(!col("s2"), 2).when(!col("s3"), 3)
+            .when(!col("s4"), 4).otherwise(5).as("first_fail"))
+          .groupBy(col("first_fail")).agg(count(lit(1)).as("n"))
+        val names = Seq("r_min_words", "r_word_len", "r_stopword",
+          "dedup_keep_first")
+        val stageDim = {
+          import s.implicits._
+          names.zipWithIndex.map { case (n, i) => (i + 1, n) }
+            .toDF("stage", "stage_name")
+        }
+        val wcum = org.apache.spark.sql.expressions.Window.orderBy(col("stage"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val tot = staged.agg(sum(col("n")).as("n_total"))
+        stageDim
+          .join(staged.withColumnRenamed("first_fail", "stage"), Seq("stage"), "left_outer")
+          .select(col("stage"), col("stage_name"),
+            coalesce(col("n"), lit(0L)).as("n_failed"))
+          .withColumn("failed_before", coalesce(sum(col("n_failed")).over(wcum), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .select(col("stage"), col("stage_name"),
+            (col("n_total") - col("failed_before")).as("n_entered"),
+            col("n_failed"),
+            (col("n_total") - col("failed_before") - col("n_failed")).as("n_survived"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') t,
+                 md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) canon_hash
+               FROM documents),
+        k AS (SELECT canon_hash, min(doc_id) keep_id FROM d GROUP BY 1),
+        f AS (SELECT d.doc_id,
+                len(d.t) >= 10 s1,
+                len(list_filter(d.t, x -> length(x) > 20)) = 0 s2,
+                len(list_filter(d.t, x -> list_contains(${TextQueries.sqlList(TextQueries.Stop)}, x))) > 0 s3,
+                d.doc_id = k.keep_id s4
+              FROM d JOIN k USING (canon_hash)),
+        ff AS (SELECT CASE WHEN NOT s1 THEN 1 WHEN NOT s2 THEN 2
+                 WHEN NOT s3 THEN 3 WHEN NOT s4 THEN 4
+                 ELSE 5 END first_fail
+               FROM f),
+        g AS (SELECT first_fail, count(*)::BIGINT n FROM ff GROUP BY 1),
+        t AS (SELECT sum(n)::BIGINT n_total FROM g),
+        sd AS (SELECT * FROM (VALUES (1, 'r_min_words'), (2, 'r_word_len'),
+                 (3, 'r_stopword'), (4, 'dedup_keep_first')) v(stage, stage_name)),
+        j AS (SELECT sd.stage, sd.stage_name, coalesce(g.n, 0)::BIGINT n_failed
+              FROM sd LEFT JOIN g ON g.first_fail = sd.stage),
+        c AS (SELECT *, coalesce(sum(n_failed) OVER (ORDER BY stage
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT fb
+              FROM j)
+        SELECT c.stage, c.stage_name,
+          (t.n_total - c.fb)::BIGINT n_entered, c.n_failed,
+          (t.n_total - c.fb - c.n_failed)::BIGINT n_survived
+        FROM c CROSS JOIN t""")
     )
   )
 }

@@ -106,4 +106,25 @@ class Pipeline4QueriesSpec extends SparkTestBase {
     assert(nReg === regs.size.toLong)
     spark.catalog.clearCache()
   }
+
+  test("q161: sequential attrition semantics on a crafted corpus") {
+    val many = (1 to 12).map(i => s"w$i").mkString(" ") + " the"
+    val dir = docsDir(Seq(
+      (1L, "short text", "en", "s"), // fails min_words (stage 1)
+      (2L, many + " " + ("x" * 25), "en", "s"), // fails word_len (stage 2)
+      (3L, (1 to 12).map(i => s"v$i").mkString(" "), "en", "s"), // no stopword (3)
+      (4L, many, "en", "s"), // survives
+      (5L, many, "en", "s"), // dup of 4 -> fails dedup (stage 4)
+      (6L, many + " extra", "en", "s") // survives
+    ))
+    val got = q("q161_attrition_funnel")(spark, dir)
+      .orderBy("stage").as[(Int, String, Long, Long, Long)].collect()
+    assert(got.map(r => (r._2, r._3, r._4, r._5)).toSeq === Seq(
+      ("r_min_words", 6L, 1L, 5L),
+      ("r_word_len", 5L, 1L, 4L),
+      ("r_stopword", 4L, 1L, 3L),
+      ("dedup_keep_first", 3L, 1L, 2L)))
+    // chain consistency: each stage enters what the previous survived
+    got.zip(got.tail).foreach { case (a, b) => assert(b._3 === a._5) }
+  }
 }
