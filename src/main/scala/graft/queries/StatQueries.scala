@@ -343,6 +343,49 @@ object StatQueries {
         FROM g JOIN sp USING (gh) GROUP BY 1""")
     ),
 
+    // ── Q-Q decile table between two event populations: WHERE do the
+    //    click and purchase value distributions diverge? (q130's KS gives
+    //    one number; this localizes the gap by decile.) All nine order
+    //    statistics for BOTH populations come from ONE
+    //    rankSelectMultiByKey pass keyed by event type — the shared
+    //    bucket-count aggregate + grid cumsum of q123 — then a 9-row
+    //    pivot. Exact ceil-rank values in cents; gap is integer.
+    QueryDef(
+      "q162_qq_table",
+      (s, d) => {
+        val pts = events(s, d)
+          .where(col("event_type").isin("click", "purchase"))
+          .select(col("event_type"), cents(col("value")).cast(DoubleType).as("v"))
+        val fracs = (1 to 9).map(i => (i, 10, s"d$i"))
+        val qs = graft.operators.RobustStats.rankSelectMultiByKey(
+          pts, "event_type", "v", fracs)
+        val dec = qs.select(col("event_type"), col("_q"),
+          col("_value").cast(LongType).as("c"))
+        dec.where(col("event_type") === "click")
+          .select(col("_q"), col("c").as("click_cents"))
+          .join(dec.where(col("event_type") === "purchase")
+            .select(col("_q"), col("c").as("purchase_cents")), "_q")
+          .select(expr("CAST(substring(_q, 2) AS INT)").as("decile"),
+            col("click_cents"), col("purchase_cents"),
+            (col("purchase_cents") - col("click_cents")).as("gap_cents"))
+          .orderBy(col("decile"))
+      },
+      Some("""WITH p AS (SELECT event_type, CAST(round(value*100) AS BIGINT) c
+               FROM events WHERE event_type IN ('click', 'purchase')),
+        rk AS (SELECT event_type, c,
+                 row_number() OVER (PARTITION BY event_type ORDER BY c) rn,
+                 count(*) OVER (PARTITION BY event_type) n
+               FROM p),
+        b AS (SELECT event_type, k, min(c) v
+              FROM rk CROSS JOIN (SELECT unnest(range(1, 10)) k)
+              WHERE rn >= (n * k + 9) // 10 GROUP BY 1, 2)
+        SELECT CAST(a.k AS INT) decile, a.v click_cents, b.v purchase_cents,
+          (b.v - a.v)::BIGINT gap_cents
+        FROM b a JOIN b b ON a.k = b.k
+          AND a.event_type = 'click' AND b.event_type = 'purchase'
+        ORDER BY decile""")
+    ),
+
     // ── Rolling median smoother: per-user lower median of the last 5
     //    event values in time order — the robust time-series denoiser
     //    (EWMA q109's outlier-proof sibling). Bounded 5-row frame, window

@@ -174,4 +174,24 @@ class StatQueriesSpec extends SparkTestBase {
     }
     spark.catalog.clearCache()
   }
+
+  test("q162: deciles are exact ceil-rank order statistics per population") {
+    val rows = q("q162_qq_table")(spark, sf)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1 to 9))
+    val ev = queries.Tables.load(spark, sf, "events")
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .as[(String, Long)].collect()
+    def decile(tpe: String, k: Int): Long = {
+      val vs = ev.filter(_._1 == tpe).map(_._2).sorted
+      vs((vs.length * k + 9) / 10 - 1)
+    }
+    rows.foreach { case (k, c, p, gap) =>
+      assert(c === decile("click", k))
+      assert(p === decile("purchase", k))
+      assert(gap === p - c)
+    }
+    spark.catalog.clearCache()
+  }
 }
