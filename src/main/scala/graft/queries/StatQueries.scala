@@ -386,6 +386,52 @@ object StatQueries {
         ORDER BY decile""")
     ),
 
+    // ── Exact Gini coefficient per event type — the inequality measure
+    //    that pairs with q117's HHI (concentration of revenue across
+    //    transactions rather than across holders). Sort-free: with the
+    //    (cents → count) histogram, the rank sum of a value group is
+    //    f·cumBefore + f(f+1)/2, so Σ rank·x comes from ONE cumulative
+    //    over the dimension-sized histogram (q134's shape) and
+    //    G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx), all integer until the
+    //    final ppm division. DECIMAL(38,0) products — rank·value·count
+    //    exceeds 2^63 at corpus scale.
+    QueryDef(
+      "q163_gini",
+      (s, d) => {
+        val dec = DecimalType(38, 0)
+        val h = events(s, d)
+          .select(col("event_type"), cents(col("value")).as("v"))
+          .groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("f"))
+        val wc = Window.partitionBy(col("event_type")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        // srx2 = 2·Σ rank·x = Σ v·(2·f·cumBefore + f·(f+1)) — the doubled
+        // form needs no halving, so everything stays in DECIMAL products
+        h.withColumn("cumb", coalesce(sum(col("f")).over(wc), lit(0L)))
+          .groupBy(col("event_type"))
+          .agg(sum(col("f")).as("n"),
+            sum(col("v").cast(dec) * col("f")).as("sx"),
+            sum(col("v").cast(dec) *
+              (col("f").cast(dec) * col("cumb") * 2
+                + col("f").cast(dec) * (col("f") + 1))).as("srx2"))
+          .select(col("event_type"), col("n").cast(LongType).as("n"),
+            expr("""CAST((srx2 - (CAST(n AS DECIMAL(38,0)) + 1) * sx) * 1000000
+                      div (CAST(n AS DECIMAL(38,0)) * sx) AS BIGINT)""").as("gini_ppm"))
+      },
+      Some("""WITH h AS (SELECT event_type, CAST(round(value*100) AS BIGINT) v,
+                 count(*)::BIGINT f
+               FROM events GROUP BY 1, 2),
+        c AS (SELECT event_type, v, f,
+                coalesce(sum(f) OVER (PARTITION BY event_type ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT cumb
+              FROM h),
+        g AS (SELECT event_type, sum(f)::HUGEINT n, sum(v::HUGEINT * f)::HUGEINT sx,
+                sum(v::HUGEINT * (f::HUGEINT * cumb * 2 + f::HUGEINT * (f + 1)))::HUGEINT srx2
+              FROM c GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) n,
+          CAST((srx2 - (n + 1)*sx) * 1000000 // (n*sx) AS BIGINT) gini_ppm
+        FROM g""")
+    ),
+
     // ── Rolling median smoother: per-user lower median of the last 5
     //    event values in time order — the robust time-series denoiser
     //    (EWMA q109's outlier-proof sibling). Bounded 5-row frame, window

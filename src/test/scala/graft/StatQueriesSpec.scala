@@ -194,4 +194,22 @@ class StatQueriesSpec extends SparkTestBase {
     }
     spark.catalog.clearCache()
   }
+
+  test("q163: Gini equals the brute-force sorted-rank formula; bounds hold") {
+    val rows = q("q163_gini")(spark, sf).as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val ev = queries.Tables.load(spark, sf, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .as[(String, Long)].collect()
+    rows.foreach { case (t, n, gini) =>
+      val xs = ev.filter(_._1 == t).map(_._2).sorted
+      assert(n === xs.length)
+      val sx = xs.map(BigInt(_)).sum
+      val srx = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      val want = ((srx * 2 - (BigInt(xs.length) + 1) * sx) * 1000000 /
+        (BigInt(xs.length) * sx)).toLong
+      assert(gini === want, s"type $t")
+      assert(gini >= 0 && gini < 1000000)
+    }
+  }
 }
