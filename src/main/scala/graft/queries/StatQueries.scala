@@ -432,6 +432,64 @@ object StatQueries {
         FROM g""")
     ),
 
+    // ── Top-percentile concentration: what share of total value do the
+    //    top 1% / 5% / 10% of transactions hold, per event type — the
+    //    Lorenz-curve points behind q163's Gini, read the way an analyst
+    //    asks for them. Sort-free: descending cumulative (count, value)
+    //    over the dimension-sized histogram; the boundary rank
+    //    k = ceil(n·p/100) lands in exactly one cell, and the partial
+    //    cell contributes (k − cumBefore)·v exactly. Integer throughout,
+    //    DECIMAL value products.
+    QueryDef(
+      "q164_top_share",
+      (s, d) => {
+        val dec = DecimalType(38, 0)
+        val h = events(s, d)
+          .select(col("event_type"), cents(col("value")).as("v"))
+          .groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("f"))
+          .cache()
+        val wd = Window.partitionBy(col("event_type")).orderBy(col("v").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = h
+          .withColumn("cumf", sum(col("f")).over(wd))
+          .withColumn("cumvx", sum(col("v").cast(dec) * col("f")).over(wd))
+        val tot = h.groupBy(col("event_type"))
+          .agg(sum(col("f")).as("n"), sum(col("v").cast(dec) * col("f")).as("sx"))
+        val pdim = {
+          import s.implicits._
+          Seq(1, 5, 10).toDF("pct")
+        }
+        cum.join(broadcast(tot), "event_type")
+          .crossJoin(broadcast(pdim))
+          .withColumn("k", expr("(n * pct + 99) div 100"))
+          .where(col("cumf") >= col("k")
+            && col("cumf") - col("f") < col("k"))
+          .select(col("event_type"), col("pct"), col("n"), col("k").as("n_top"),
+            expr("""CAST((cumvx - (CAST(cumf AS DECIMAL(38,0)) - k) * v) * 1000000
+                      div sx AS BIGINT)""").as("share_ppm"))
+          .orderBy(col("event_type"), col("pct"))
+      },
+      Some("""WITH h AS (SELECT event_type, CAST(round(value*100) AS BIGINT) v,
+                 count(*)::BIGINT f
+               FROM events GROUP BY 1, 2),
+        c AS (SELECT event_type, v, f,
+                sum(f) OVER (PARTITION BY event_type ORDER BY v DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT cumf,
+                sum(v::HUGEINT * f) OVER (PARTITION BY event_type ORDER BY v DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cumvx
+              FROM h),
+        t AS (SELECT event_type, sum(f)::BIGINT n, sum(v::HUGEINT * f) sx
+              FROM h GROUP BY 1),
+        p AS (SELECT unnest([1, 5, 10]) pct),
+        j AS (SELECT c.event_type, p.pct, t.n,
+                (t.n * p.pct + 99) // 100 k, c.v, c.f, c.cumf, c.cumvx, t.sx
+              FROM c JOIN t USING (event_type) CROSS JOIN p)
+        SELECT event_type, CAST(pct AS INT) pct, n, CAST(k AS BIGINT) n_top,
+          CAST((cumvx - (cumf - k)::HUGEINT * v) * 1000000 // sx AS BIGINT) share_ppm
+        FROM j WHERE cumf >= k AND cumf - f < k
+        ORDER BY event_type, pct""")
+    ),
+
     // ── Rolling median smoother: per-user lower median of the last 5
     //    event values in time order — the robust time-series denoiser
     //    (EWMA q109's outlier-proof sibling). Bounded 5-row frame, window

@@ -212,4 +212,28 @@ class StatQueriesSpec extends SparkTestBase {
       assert(gini >= 0 && gini < 1000000)
     }
   }
+
+  test("q164: top-percentile shares equal the brute-force sorted cut") {
+    val rows = q("q164_top_share")(spark, sf)
+      .as[(String, Int, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val ev = queries.Tables.load(spark, sf, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .as[(String, Long)].collect()
+    rows.foreach { case (t, pct, n, nTop, share) =>
+      val xs = ev.filter(_._1 == t).map(_._2).sortBy(-_)
+      assert(n === xs.length)
+      val k = (xs.length.toLong * pct + 99) / 100
+      assert(nTop === k)
+      val num = xs.take(k.toInt).map(BigInt(_)).sum
+      val want = (num * 1000000 / xs.map(BigInt(_)).sum).toLong
+      assert(share === want, s"$t p$pct")
+    }
+    // monotone: bigger slice, bigger share
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val byPct = rs.sortBy(_._2).map(_._5)
+      byPct.zip(byPct.tail).foreach { case (a, b) => assert(a <= b) }
+    }
+    spark.catalog.clearCache()
+  }
 }
