@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((ident, info, builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.PushSignalNameFilter)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
 
@@ -53,5 +54,8 @@ object GraftExtensions {
     if (!classic.experimental.extraOptimizations.contains(graft.plans.PushSignalNameFilter))
       classic.experimental.extraOptimizations =
         classic.experimental.extraOptimizations :+ graft.plans.PushSignalNameFilter
+    if (!classic.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+      classic.experimental.extraStrategies =
+        classic.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
   }
 }

@@ -29,6 +29,7 @@ object SparkEntry {
     "analytics2" -> Analytics2.defs,
     "analytics3" -> Analytics3.defs,
     "analytics4" -> Analytics4.defs,
+    "analytics5" -> Analytics5.defs,
     "stats" -> StatQueries.defs,
     "pipeline3" -> Pipeline3Queries.defs,
     "diagnostics" -> DiagnosticsQueries.defs,

@@ -13,3 +13,14 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Same access trick for `Dataset.ofRows`, so custom logical nodes (e.g.
+  * [[graft.plans.AsofJoinPlan]]) can surface as ordinary DataFrames.
+  */
+object DatasetBridge {
+  def ofRows(
+      spark: org.apache.spark.sql.classic.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  ): org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row] =
+    org.apache.spark.sql.classic.Dataset.ofRows(spark, plan)
+}

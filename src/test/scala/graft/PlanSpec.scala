@@ -355,6 +355,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.split("\\bWindow\\b").length >= 3, "expected local+global rank windows\n" + p)
   }
 
+  test("q165 native as-of: merge exec planned, aggregate reuses its partitioning") {
+    val p = plan("q165_asof_merge")
+    assert(p.contains("AsofMergeJoin"), p)
+    assert(!p.contains("Window"), "native as-of must not fall back to a window\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // outputPartitioning propagation: nothing between the final per-user
+    // aggregate and the merge join — the exec's left clustering feeds it
+    val agg = p.split("AsofMergeJoin").head
+    assert(!agg.contains("Exchange"),
+      "per-user aggregate must reuse the merge join's clustering\n" + p)
+  }
+
   test("entry flagship query produces rows and a non-degenerate plan") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
