@@ -10,6 +10,8 @@ import org.apache.spark.sql.types._
 object Analytics5 {
 
   private def events(s: org.apache.spark.sql.SparkSession, d: String) = Tables.load(s, d, "events")
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) = Tables.load(s, d, "documents")
+  private def emb(s: org.apache.spark.sql.SparkSession, d: String) = Tables.load(s, d, "embeddings")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -54,6 +56,182 @@ object Analytics5 {
           coalesce(sum(c.ccents), 0)::BIGINT carried_cents
         FROM p ASOF LEFT JOIN c ON p.user_id = c.uid AND p.t >= c.ct
         GROUP BY 1""")
+    ),
+
+    // ── Johnson–Lindenstrauss random-projection audit: project the
+    //    64-dim embeddings to 16 dims with a deterministic ±1 sign
+    //    matrix (parity of md5("jl|i|j") — both engines derive the SAME
+    //    matrix, no RNG), then measure how well pairwise squared
+    //    distances survive. Everything is exact integer arithmetic: dims
+    //    quantize once (floor(v·1024 + 0.5)), the projection is a sum of
+    //    signed integers, and the per-pair ratio dproj²·10⁶ div (k·dorig²)
+    //    is integer ppm. Pair differences come from a (pair, dim) GROUP
+    //    BY with a signed sum — vec 2m minus vec 2m+1 — so NO self-join
+    //    touches the corpus. Scale shape: one 16× widening equi-join
+    //    against a BROADCAST 1024-row sign table, then hash aggregates
+    //    all the way down; this is the sketch that makes billion-vector
+    //    similarity work downstream (project once, search in 1/4 of the
+    //    bytes).
+    QueryDef(
+      "q166_jl_projection",
+      (s, d) => {
+        import org.apache.spark.sql.SparkSession
+        val k = 16
+        val q = emb(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("vec_id"), col("dim").cast(LongType).as("dim"),
+            expr("CAST(floor(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT)").as("q"))
+        val signs = s.range(64).toDF("dim").crossJoin(s.range(k).toDF("j"))
+          .select(col("dim"), col("j"),
+            (lit(1L) - lit(2L) * pmod(graft.functions.TextFunctions.hash32(
+              concat(lit("jl|"), col("dim").cast(StringType), lit("|"),
+                col("j").cast(StringType))), lit(2L))).as("sgn"))
+        val proj = q.join(broadcast(signs), "dim")
+          .groupBy(col("vec_id"), col("j"))
+          .agg(sum(col("q") * col("sgn")).as("p"))
+        val dproj = proj
+          .select(expr("vec_id div 2").as("pair"), pmod(col("vec_id"), lit(2L)).as("side"),
+            col("j"), col("p"))
+          .groupBy(col("pair"), col("j"))
+          .agg(sum(when(col("side") === 0, col("p")).otherwise(-col("p"))).as("dj"),
+            count(lit(1)).as("ns"))
+          .where(col("ns") === 2)
+          .groupBy(col("pair")).agg(sum(col("dj") * col("dj")).as("dp2"))
+        val dorig = q
+          .select(expr("vec_id div 2").as("pair"), pmod(col("vec_id"), lit(2L)).as("side"),
+            col("dim"), col("q"))
+          .groupBy(col("pair"), col("dim"))
+          .agg(sum(when(col("side") === 0, col("q")).otherwise(-col("q"))).as("dd"),
+            count(lit(1)).as("ns"))
+          .where(col("ns") === 2)
+          .groupBy(col("pair")).agg(sum(col("dd") * col("dd")).as("do2"))
+        dproj.join(dorig, "pair").where(col("do2") > 0)
+          .select(expr(s"(dp2 * 1000000) div ($k * do2)").as("ppm"))
+          .agg(count(lit(1)).as("n_pairs"),
+            min(col("ppm")).as("min_ppm"), max(col("ppm")).as("max_ppm"),
+            sum(col("ppm")).as("sum_ppm"),
+            sum(when(abs(col("ppm") - 1000000) <= 500000, 1L).otherwise(0L))
+              .as("n_within_50pct"))
+      },
+      Some("""WITH q AS (SELECT vec_id, j dim,
+                 CAST(floor(CAST(embedding[j+1] AS DOUBLE) * 1024 + 0.5) AS BIGINT) q
+               FROM embeddings, unnest(range(0, len(embedding))) t(j)),
+        signs AS (SELECT d.dim, jj.j,
+                1 - 2 * ((('0x'||substr(md5('jl|'||d.dim::VARCHAR||'|'||jj.j::VARCHAR),1,8))::BIGINT) % 2) sgn
+              FROM (SELECT unnest(range(0, 64)) dim) d
+              CROSS JOIN (SELECT unnest(range(0, 16)) j) jj),
+        proj AS (SELECT vec_id, j, sum(q * sgn)::BIGINT p
+                 FROM q JOIN signs ON q.dim = signs.dim GROUP BY 1, 2),
+        dp AS (SELECT vec_id // 2 pair, j,
+                 sum(CASE WHEN vec_id % 2 = 0 THEN p ELSE -p END)::BIGINT dj,
+                 count(*) ns
+               FROM proj GROUP BY 1, 2),
+        dp2 AS (SELECT pair, sum(dj * dj)::BIGINT dp2 FROM dp WHERE ns = 2 GROUP BY 1),
+        dd AS (SELECT vec_id // 2 pair, dim,
+                 sum(CASE WHEN vec_id % 2 = 0 THEN q ELSE -q END)::BIGINT dd,
+                 count(*) ns
+               FROM q GROUP BY 1, 2),
+        do2 AS (SELECT pair, sum(dd * dd)::BIGINT do2 FROM dd WHERE ns = 2 GROUP BY 1),
+        r AS (SELECT CAST((dp2 * 1000000) // (16 * do2) AS BIGINT) ppm
+              FROM dp2 JOIN do2 USING (pair) WHERE do2 > 0)
+        SELECT count(*)::BIGINT n_pairs, min(ppm)::BIGINT min_ppm,
+          max(ppm)::BIGINT max_ppm, sum(ppm)::BIGINT sum_ppm,
+          sum(CASE WHEN abs(ppm - 1000000) <= 500000 THEN 1 ELSE 0 END)::BIGINT n_within_50pct
+        FROM r""")
+    ),
+
+    // ── Per-dimension variance screen (the PCA precursor): exact
+    //    variance numerator n·Σq² − (Σq)² per embedding dimension over
+    //    the 1024-quantized values, top-10 dims by variance with each
+    //    dim's share of total variance in ppm. ONE posexplode + hash
+    //    aggregate is the only corpus-sized stage (64 cells per vector,
+    //    map-side combine); the 64-row dim table then broadcasts against
+    //    its own total. At 100 TB the counts×squares products leave
+    //    BIGINT — production keeps the aggregate in DECIMAL(38,0); at
+    //    driver SFs the values are BIGINT-exact, which is what the
+    //    oracle pins.
+    QueryDef(
+      "q167_dim_variance",
+      (s, d) => {
+        val per = emb(s, d)
+          .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("dim").cast(LongType).as("dim"),
+            expr("CAST(floor(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT)").as("q"))
+          .groupBy(col("dim"))
+          .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+            sum(col("q") * col("q")).as("s2"))
+          .select(col("dim"), (col("n") * col("s2") - col("s1") * col("s1")).as("var_num"))
+        per.crossJoin(broadcast(per.agg(sum(col("var_num")).as("vt"))))
+          .select(col("dim"), col("var_num"),
+            expr("(var_num * 1000000) div vt").as("share_ppm"))
+          .orderBy(col("var_num").desc, col("dim").asc)
+          .limit(10)
+      },
+      Some("""WITH q AS (SELECT j dim,
+                 CAST(floor(CAST(embedding[j+1] AS DOUBLE) * 1024 + 0.5) AS BIGINT) q
+               FROM embeddings, unnest(range(0, len(embedding))) t(j)),
+        per AS (SELECT dim,
+                  (count(*) * sum(q * q) - sum(q) * sum(q))::BIGINT var_num
+                FROM q GROUP BY 1),
+        t AS (SELECT sum(var_num)::BIGINT vt FROM per)
+        SELECT dim, var_num, CAST((var_num * 1000000) // t.vt AS BIGINT) share_ppm
+        FROM per CROSS JOIN t
+        ORDER BY var_num DESC, dim ASC LIMIT 10""")
+    ),
+
+    // ── Posting-list compression economics: for the 50 highest-df terms,
+    //    the byte cost of the doc-id list as raw int64 vs delta+varint —
+    //    the arithmetic that decides whether an inverted index (q122)
+    //    fits in memory at corpus scale. Gaps come from a PER-TERM lag
+    //    window (bounded: only the 50 broadcast-selected terms ever
+    //    enter the window), varint width is a pure integer CASE ladder,
+    //    both engines walk identical sorted lists. Ratio in ppm is
+    //    integer-exact.
+    QueryDef(
+      "q168_postings_size",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val posting = docs(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .where(length(col("term")) > 0)
+          .distinct()
+        val top = posting.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("term").asc).limit(50)
+        posting.join(broadcast(top), "term")
+          .withColumn("prev",
+            lag(col("doc_id"), 1).over(Window.partitionBy(col("term")).orderBy(col("doc_id"))))
+          .withColumn("g", coalesce(col("doc_id") - col("prev"), col("doc_id")))
+          .withColumn("vb",
+            lit(1L) + when(col("g") >= 128L, 1L).otherwise(0L)
+              + when(col("g") >= 16384L, 1L).otherwise(0L)
+              + when(col("g") >= 2097152L, 1L).otherwise(0L)
+              + when(col("g") >= 268435456L, 1L).otherwise(0L))
+          .groupBy(col("term"))
+          .agg(max(col("df")).as("df"), sum(col("vb")).as("varint_bytes"))
+          .select(col("term"), col("df"), (col("df") * 8).as("raw_bytes"),
+            col("varint_bytes"),
+            expr("(varint_bytes * 1000000) div (df * 8)").as("ratio_ppm"))
+          .orderBy(col("df").desc, col("term").asc)
+      },
+      Some("""WITH posting AS (SELECT DISTINCT doc_id, t.term
+               FROM documents, unnest(string_split(text, ' ')) t(term)
+               WHERE len(t.term) > 0),
+        top AS (SELECT term, count(*)::BIGINT df FROM posting GROUP BY 1
+                ORDER BY df DESC, term ASC LIMIT 50),
+        g AS (SELECT p.term, p.doc_id,
+                coalesce(p.doc_id - lag(p.doc_id) OVER
+                  (PARTITION BY p.term ORDER BY p.doc_id), p.doc_id) g
+              FROM posting p JOIN top USING (term)),
+        v AS (SELECT term,
+                sum(1 + CASE WHEN g >= 128 THEN 1 ELSE 0 END
+                      + CASE WHEN g >= 16384 THEN 1 ELSE 0 END
+                      + CASE WHEN g >= 2097152 THEN 1 ELSE 0 END
+                      + CASE WHEN g >= 268435456 THEN 1 ELSE 0 END)::BIGINT varint_bytes
+              FROM g GROUP BY 1)
+        SELECT top.term, df, (df * 8)::BIGINT raw_bytes, varint_bytes,
+          CAST((varint_bytes * 1000000) // (df * 8) AS BIGINT) ratio_ppm
+        FROM top JOIN v USING (term)
+        ORDER BY df DESC, term ASC""")
     )
   )
 }
