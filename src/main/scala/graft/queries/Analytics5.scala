@@ -232,6 +232,42 @@ object Analytics5 {
           CAST((varint_bytes * 1000000) // (df * 8) AS BIGINT) ratio_ppm
         FROM top JOIN v USING (term)
         ORDER BY df DESC, term ASC""")
+    ),
+
+    // ── Native bounded-RANGE merge join: every (purchase, view|click)
+    //    pair of the same user within ±1 hour, via the engine's second
+    //    custom physical operator (plans/RangeMergeJoin.scala). Unlike
+    //    the cell-replication form (operators/RangeJoin.within, 3× left
+    //    replication through the shuffle), the merge exec shuffles each
+    //    side once unreplicated and streams a sliding buffer whose
+    //    retained state is exactly one key's rows inside one 2w span —
+    //    O(|L|+|R|+matches). The oracle is the plain SQL range predicate
+    //    (DuckDB plans its own IEJoin): two engines, two algorithms, one
+    //    pair set.
+    QueryDef(
+      "q169_range_merge_join",
+      (s, d) => {
+        val e = events(s, d)
+        val p = e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_event"),
+            unix_micros(col("ts")).as("p_us"))
+        val v = e.where(col("event_type").isin("view", "click"))
+          .select(col("user_id").as("uid"), col("event_id").as("r_event"),
+            unix_micros(col("ts")).as("r_us"))
+        graft.plans.RangeMergeJoin(p, v, "user_id", "uid", "p_us", "r_us",
+            3600000000L, Seq("r_event" -> "r_event", "r_us" -> "r_us"))
+          .select(col("user_id"), col("p_event"), col("r_event"),
+            (col("r_us") - col("p_us")).as("delta_us"))
+      },
+      Some("""WITH p AS (SELECT user_id, event_id p_event,
+                 epoch_us(CAST(ts AS TIMESTAMP)) p_us
+               FROM events WHERE event_type = 'purchase'),
+        v AS (SELECT user_id, event_id r_event,
+                epoch_us(CAST(ts AS TIMESTAMP)) r_us
+              FROM events WHERE event_type IN ('view', 'click'))
+        SELECT p.user_id, p_event, r_event, r_us - p_us AS delta_us
+        FROM p JOIN v USING (user_id)
+        WHERE abs(r_us - p_us) <= 3600000000""")
     )
   )
 }
