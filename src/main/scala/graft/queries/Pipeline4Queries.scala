@@ -265,6 +265,66 @@ object Pipeline4Queries {
           (t.n_total - c.fb)::BIGINT n_entered, c.n_failed,
           (t.n_total - c.fb - c.n_failed)::BIGINT n_survived
         FROM c CROSS JOIN t""")
+    ),
+
+    // ── Probability-proportional-to-size systematic sample: pick ~1/50 of
+    //    the corpus with inclusion probability ∝ document length, in ONE
+    //    pass and EXACT integer arithmetic (the oracle-safe alternative to
+    //    u^(1/w) weighted reservoirs, whose float pow no two engines agree
+    //    on). Docs are laid on a line in doc_id order, each owning a
+    //    [cum−w, cum) span; sampling points sit at offset + m·step; a doc
+    //    is selected iff a point lands in its span — long docs can catch
+    //    several points (n_points is the multiplicity, exactly what PPS
+    //    estimators weight by). The cumulative sum is the distributed
+    //    two-phase shape (1000-doc shards → per-shard totals → tiny
+    //    shard-offset window → within-shard window), so no single task
+    //    ever sees the whole corpus; selection itself is a map-side
+    //    integer comparison. At 100 TB: one scan, one narrow aggregate,
+    //    zero candidate blowup — THE way to draw a length-weighted
+    //    pretraining subsample.
+    QueryDef(
+      "q170_pps_sample",
+      (s, d) => {
+        val w = docs(s, d)
+          .select(col("doc_id"), (length(col("text")) + 1).cast(LongType).as("w"),
+            expr("doc_id div 1000").as("shard"))
+        val shardTotals = w.groupBy(col("shard")).agg(sum(col("w")).as("sw"))
+          .withColumn("prev",
+            coalesce(sum(col("sw")).over(
+              Window.orderBy(col("shard")).rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+        val tot = w.agg(sum(col("w")).as("total"))
+        w.join(broadcast(shardTotals.select(col("shard"), col("prev"))), "shard")
+          .withColumn("cum", col("prev") + sum(col("w")).over(
+            Window.partitionBy(col("shard")).orderBy(col("doc_id"))))
+          .crossJoin(broadcast(tot))
+          .withColumn("step", expr("total div 50"))
+          .withColumn("offs", expr("step div 2"))
+          // integer div throughout — float division drifts exactly at the
+          // span boundaries the whole scheme is defined by
+          .withColumn("hi",
+            expr("CASE WHEN cum >= offs THEN (cum - offs) div step + 1 ELSE 0 END"))
+          .withColumn("lo",
+            expr("CASE WHEN cum - w >= offs THEN (cum - w - offs) div step + 1 ELSE 0 END"))
+          .withColumn("n_points", col("hi") - col("lo"))
+          .where(col("n_points") > 0)
+          .select(col("doc_id"), col("w"), col("cum"), col("n_points"))
+      },
+      Some("""WITH w AS (SELECT doc_id, (length(text) + 1)::BIGINT w FROM documents),
+        t AS (SELECT sum(w)::BIGINT total FROM w),
+        c AS (SELECT doc_id, w,
+                sum(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)::BIGINT cum
+              FROM w),
+        p AS (SELECT doc_id, w, cum,
+                (total // 50) step, (total // 50) // 2 offs
+              FROM c CROSS JOIN t)
+        SELECT doc_id, w, cum,
+          ((CASE WHEN cum >= offs THEN (cum - offs) // step + 1 ELSE 0 END)
+           - (CASE WHEN cum - w >= offs THEN (cum - w - offs) // step + 1 ELSE 0 END))::BIGINT
+            AS n_points
+        FROM p
+        WHERE (CASE WHEN cum >= offs THEN (cum - offs) // step + 1 ELSE 0 END)
+            > (CASE WHEN cum - w >= offs THEN (cum - w - offs) // step + 1 ELSE 0 END)""")
     )
   )
 }
