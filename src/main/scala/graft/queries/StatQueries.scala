@@ -521,6 +521,95 @@ object StatQueries {
         SELECT event_id, user_id, c AS cents,
           arr[(len(arr) + 1) // 2] AS med_cents
         FROM f""")
+    ),
+
+    // ── Per-population OLS trend: the least-squares slope of value-cents
+    //    over time for each event type — "is spend drifting up?" as ONE
+    //    hash aggregate. Exactness the house way: x collapses to whole
+    //    seconds since 2024-01-01, y to cents, the five sufficient
+    //    statistics (n, Σx, Σy, Σxy, Σx²) accumulate in DECIMAL(38,0)
+    //    (count products pass 2^63 at corpus scale), and the closed-form
+    //    slope (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) lands as integer nano-cents/sec
+    //    via the shift-then-floor-divide trick (q153's rule: Spark `div`
+    //    truncates, DuckDB `//` floors; they agree only on non-negative
+    //    numerators, so shift by 10¹²·den first). 100 TB: a 5-number
+    //    map-side-combined aggregate per group — the cheapest possible
+    //    shape; no window, no join, no second pass.
+    QueryDef(
+      "q171_trend_lines",
+      (s, d) => events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 1000000 - 1704067200").as("x"),
+          cents(col("value")).as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+          sum(col("x").cast(DecimalType(38, 0))).as("sx"),
+          sum(col("y").cast(DecimalType(38, 0))).as("sy"),
+          sum(expr("CAST(x * y AS DECIMAL(38,0))")).as("sxy"),
+          sum(expr("CAST(x * x AS DECIMAL(38,0))")).as("sxx"))
+        .where(expr("n >= 2 AND n * sxx - sx * sx <> 0"))
+        .select(col("event_type"), col("n").cast(LongType).as("n"),
+          expr("""CAST(((n*sxy - sx*sy) * 1000000000
+                   + 1000000000000 * (n*sxx - sx*sx)) div (n*sxx - sx*sx)
+                  - 1000000000000 AS BIGINT)""").as("slope_nano")),
+      Some("""WITH e AS (SELECT event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 - 1704067200 x,
+                 CAST(round(value*100) AS BIGINT) y
+               FROM events),
+        a AS (SELECT event_type, count(*)::HUGEINT n,
+                sum(x)::HUGEINT sx, sum(y)::HUGEINT sy,
+                sum(x*y)::HUGEINT sxy, sum(x*x)::HUGEINT sxx
+              FROM e GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) n,
+          CAST(((n*sxy - sx*sy) * 1000000000
+                + 1000000000000 * (n*sxx - sx*sx)) // (n*sxx - sx*sx)
+               - 1000000000000 AS BIGINT) slope_nano
+        FROM a WHERE n >= 2 AND n*sxx - sx*sx <> 0""")
+    ),
+
+    // ── CUSUM changepoint scan: per user, the classic one-sided CUSUM
+    //    s_i = max(0, s_{i−1} + (c_i − k)) over the (ts, id)-sorted cents
+    //    stream, k = 5000 allowance — did any user's spend level SHIFT?
+    //    The fold is re-expressed as pure prefix algebra so it runs in
+    //    parallel windows instead of a sequential reduce: with
+    //    P_i = Σ_{j≤i}(c_j − k) and P_0 = 0,
+    //    s_i = P_i − min_{j≤i} P_j — a running sum plus a running min,
+    //    both per-user windows, all integer cents. max s_i and the alarm
+    //    count fall out of one aggregate. 100 TB: windows partition by
+    //    user (bounded per-key history, the q99 contract), aggregates
+    //    map-side; nothing sequential anywhere.
+    QueryDef(
+      "q172_cusum",
+      (s, d) => {
+        val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            (cents(col("value")) - 5000L).as("x"))
+          .withColumn("p", sum(col("x")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+          // s_i = P_i − min(P_0..P_i), P_0 = 0 — the min INCLUDES the
+          // current prefix, which is what clamps the statistic at 0
+          .withColumn("minrun",
+            least(lit(0L), min(col("p")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0))))
+          .withColumn("cusum", col("p") - col("minrun"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"), max(col("cusum")).as("max_cusum"),
+            sum(when(col("cusum") > 20000L, 1L).otherwise(0L)).as("n_alarms"))
+          .where(col("max_cusum") > 0)
+      },
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) t, event_id,
+                 CAST(round(value*100) AS BIGINT) - 5000 x
+               FROM events),
+        p0 AS (SELECT user_id, t, event_id,
+                 sum(x) OVER (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS UNBOUNDED PRECEDING)::BIGINT p
+               FROM e),
+        c AS (SELECT user_id,
+                p - least(0, min(p) OVER (PARTITION BY user_id ORDER BY t, event_id
+                  ROWS UNBOUNDED PRECEDING)) cusum
+              FROM p0)
+        SELECT user_id, count(*)::BIGINT n_events, max(cusum)::BIGINT max_cusum,
+          sum(CASE WHEN cusum > 20000 THEN 1 ELSE 0 END)::BIGINT n_alarms
+        FROM c GROUP BY 1 HAVING max(cusum) > 0""")
     )
   )
 }

@@ -1,0 +1,79 @@
+package graft.sources
+
+import java.time.Instant
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, LessThan}
+
+/** Elasticsearch search-request generator: the READ-side twin of
+  * [[ClickHouseDdl]]. [[StatusV2Source]] proves the pushdown seam
+  * (equality + half-open time range + projection + limit reach the scan);
+  * this object emits the EXACT request body the reference engine sends
+  * for that same pushdown state — bool.filter = [match(subject),
+  * range(time, gte/lt in epoch-millis strings)], size, sort time desc,
+  * and, when specific signal fields are required, a `_source.includes`
+  * projection plus `should: exists` clauses with `minimum_should_match: 1`
+  * (reference: internal/service/elastic/elastic.go:46-108 — the
+  * `GetRecordsSince` request construction). The day a live ES client is
+  * permitted, the DSv2 scan's pushed filters translate through here
+  * unmodified; until then the generator is the executable contract.
+  */
+object EsQueryDsl {
+
+  /** Root document fields the reference always includes in `_source`
+    * (elastic.go:70-71). */
+  val RootFields: Seq[String] = Seq("subject", "dataschema", "id", "source", "time", "type")
+
+  private val mapper = new ObjectMapper()
+
+  private def toMillis(v: Any): Long = v match {
+    case t: java.sql.Timestamp => t.getTime
+    case i: Instant => i.toEpochMilli
+    case l: Long => l
+    case other => throw new IllegalArgumentException(s"unsupported time literal: $other")
+  }
+
+  /** Build the search request JSON for one page of the sync scan.
+    *
+    * @param filters the DSv2-pushed filters (subject equality and/or the
+    *                half-open [gte, lt) time range — exactly what
+    *                [[StatusScanBuilder.pushFilters]] accepts)
+    * @param requiredFields signal fields the explode stage needs; empty ⇒
+    *                       full `_source` (reference behavior)
+    * @param batchSize page size (`Size` in the reference request)
+    */
+  def searchRequest(filters: Seq[Filter], requiredFields: Seq[String], batchSize: Int): String = {
+    val root = mapper.createObjectNode()
+    val bool = root.putObject("query").putObject("bool")
+    val filterArr = bool.putArray("filter")
+
+    filters.collectFirst { case EqualTo("subject", v: String) => v }.foreach { subject =>
+      filterArr.addObject().putObject("match").putObject("subject").put("query", subject)
+    }
+    val gte = filters.collectFirst { case GreaterThanOrEqual("time", v) => toMillis(v) }
+    val lt = filters.collectFirst { case LessThan("time", v) => toMillis(v) }
+    if (gte.isDefined || lt.isDefined) {
+      val range: ObjectNode = filterArr.addObject().putObject("range").putObject("time")
+      // the reference serializes epoch-millis as STRINGS (strconv.Itoa of
+      // UnixMilli, elastic.go:48-49)
+      gte.foreach(g => range.put("gte", g.toString))
+      lt.foreach(l => range.put("lt", l.toString))
+    }
+
+    if (requiredFields.nonEmpty) {
+      val should = bool.putArray("should")
+      requiredFields.foreach { f =>
+        should.addObject().putObject("exists").put("field", f)
+      }
+      bool.put("minimum_should_match", 1)
+      val includes = root.putObject("_source").putArray("includes")
+      (RootFields ++ requiredFields).foreach(includes.add)
+    }
+
+    root.put("size", batchSize)
+    root.putArray("sort").addObject().putObject("time").put("order", "desc")
+    mapper.writeValueAsString(root)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThan}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.EsQueryDsl
+
+/** The generated search request must be byte-equivalent (as JSON trees) to
+  * the reference's `GetRecordsSince` construction
+  * (internal/service/elastic/elastic.go:46-108): match + string-millis
+  * range in bool.filter, desc time sort, size, and the exists/_source
+  * projection block only when fields are required.
+  */
+class EsQueryDslSpec extends AnyFunSuite {
+  private val mapper = new ObjectMapper()
+
+  private val start = Timestamp.valueOf("2024-01-01 00:00:00")
+  private val end = Timestamp.valueOf("2024-01-02 00:00:00")
+  private val filters = Seq(
+    EqualTo("subject", "veh-1"),
+    GreaterThanOrEqual("time", start),
+    LessThan("time", end))
+
+  test("full request with required fields matches the reference shape") {
+    val got = mapper.readTree(EsQueryDsl.searchRequest(filters, Seq("speed", "soc"), 500))
+    val want = mapper.readTree(
+      s"""{
+        "query": {"bool": {
+          "filter": [
+            {"match": {"subject": {"query": "veh-1"}}},
+            {"range": {"time": {"gte": "${start.getTime}", "lt": "${end.getTime}"}}}
+          ],
+          "should": [
+            {"exists": {"field": "speed"}},
+            {"exists": {"field": "soc"}}
+          ],
+          "minimum_should_match": 1
+        }},
+        "_source": {"includes":
+          ["subject", "dataschema", "id", "source", "time", "type", "speed", "soc"]},
+        "size": 500,
+        "sort": [{"time": {"order": "desc"}}]
+      }""")
+    assert(got === want)
+  }
+
+  test("no required fields ⇒ no should/_source block (full _source, reference default)") {
+    val got = mapper.readTree(EsQueryDsl.searchRequest(filters, Nil, 1000))
+    assert(!got.has("_source"))
+    assert(!got.path("query").path("bool").has("should"))
+    assert(!got.path("query").path("bool").has("minimum_should_match"))
+    assert(got.path("size").asInt() === 1000)
+    assert(got.path("sort").get(0).path("time").path("order").asText() === "desc")
+  }
+
+  test("range is half-open and millis are strings, exactly as the client sends") {
+    val got = mapper.readTree(EsQueryDsl.searchRequest(filters, Nil, 10))
+    val range = got.path("query").path("bool").path("filter").get(1).path("range").path("time")
+    assert(range.path("gte").isTextual && range.path("lt").isTextual)
+    assert(range.path("gte").asText() === start.getTime.toString)
+    assert(range.path("lt").asText() === end.getTime.toString)
+    assert(!range.has("gt") && !range.has("lte"))
+  }
+
+  test("pushdown-state round trip: the DSv2 scan's accepted filters translate") {
+    // the same filter classes StatusScanBuilder accepts are the inputs here;
+    // a subject-only scan emits just the match clause
+    val got = mapper.readTree(
+      EsQueryDsl.searchRequest(Seq(EqualTo("subject", "veh-9")), Nil, 100))
+    val filterArr = got.path("query").path("bool").path("filter")
+    assert(filterArr.size() === 1)
+    assert(filterArr.get(0).path("match").path("subject").path("query").asText() === "veh-9")
+  }
+}
