@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through RAW (no sbt [info]/[error] prefixes):
+// the driver machine-parses Bench's one-line JSON from stdout, and a
+// logger-prefixed line is what kept BENCH_r0{2,3,4}.json's `parsed` null.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

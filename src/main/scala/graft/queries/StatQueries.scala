@@ -610,6 +610,116 @@ object StatQueries {
         SELECT user_id, count(*)::BIGINT n_events, max(cusum)::BIGINT max_cusum,
           sum(CASE WHEN cusum > 20000 THEN 1 ELSE 0 END)::BIGINT n_alarms
         FROM c GROUP BY 1 HAVING max(cusum) > 0""")
+    ),
+
+    // ── Kaplan–Meier conversion curve: time-to-first-purchase in days,
+    //    users without a purchase right-censored at their last activity —
+    //    the estimator that handles "hasn't converted YET" correctly
+    //    where a naive conversion rate can't. Per event-day t:
+    //    n_risk (users still unconverted and observed), d_t (conversions),
+    //    and Ŝ(t) = Π_{u≤t} (n_u − d_u)/n_u. The product is folded in
+    //    EXACT integers (parts-per-trillion, truncating div each step —
+    //    deterministic in both engines); DuckDB 1.0's list_reduce takes no
+    //    initial accumulator, so each (n, d) step packs into ONE BIGINT
+    //    (n·10⁵ + d) and the scale seed 10¹² is list_prepend'ed as the
+    //    first element. 100 TB: the only corpus-sized stage is the per-user
+    //    min/max aggregate; the curve machinery runs on ≤ #distinct-days
+    //    rows (the tiny-table single-partition window, q151's contract).
+    QueryDef(
+      "q173_kaplan_meier",
+      (s, d) => {
+        val u = events(s, d).groupBy(col("user_id"))
+          .agg(min(col("ts")).as("first_t"), max(col("ts")).as("last_t"),
+            min(when(col("event_type") === "purchase", col("ts"))).as("conv_t"))
+        val dd = u.select(
+          datediff(coalesce(col("conv_t"), col("last_t")), col("first_t"))
+            .cast(LongType).as("dur"),
+          when(col("conv_t").isNotNull, 1L).otherwise(0L).as("ev"))
+        val tot = dd.agg(count(lit(1)).as("total"))
+        val g = dd.groupBy(col("dur"))
+          .agg(count(lit(1)).as("ending"), sum(col("ev")).as("d_t"))
+        g.crossJoin(broadcast(tot))
+          .withColumn("n_risk", col("total") - coalesce(sum(col("ending")).over(
+            Window.orderBy(col("dur")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .where(col("d_t") > 0)
+          .withColumn("pre", collect_list(col("n_risk") * 100000 + col("d_t")).over(
+            Window.orderBy(col("dur")).rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col("dur"), col("n_risk"), col("d_t"),
+            expr("""aggregate(pre, CAST(1000000000000 AS BIGINT),
+              (acc, e) -> (acc * ((e div 100000) - (e % 100000))) div (e div 100000))""")
+              .as("surv_ppt"))
+          .orderBy(col("dur"))
+      },
+      Some("""WITH u AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) first_t,
+                 max(CAST(ts AS TIMESTAMP)) last_t,
+                 min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) conv_t
+               FROM events GROUP BY 1),
+        d AS (SELECT date_diff('day', first_t, coalesce(conv_t, last_t))::BIGINT dur,
+                (conv_t IS NOT NULL)::INT ev
+              FROM u),
+        t AS (SELECT count(*)::BIGINT total FROM d),
+        g AS (SELECT dur, count(*)::BIGINT ending, sum(ev)::BIGINT d_t
+              FROM d GROUP BY 1),
+        r AS (SELECT dur, d_t,
+                (SELECT total FROM t) - coalesce(sum(ending) OVER (ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) n_risk
+              FROM g),
+        s AS (SELECT dur, d_t, n_risk,
+                list(n_risk * 100000 + d_t) OVER (ORDER BY dur
+                  ROWS UNBOUNDED PRECEDING) pre
+              FROM r WHERE d_t > 0)
+        SELECT dur, n_risk, d_t,
+          CAST(list_reduce(list_prepend(1000000000000::BIGINT, pre),
+            (acc, e) -> (acc * ((e // 100000) - (e % 100000))) // (e // 100000))
+            AS BIGINT) surv_ppt
+        FROM s ORDER BY dur""")
+    ),
+
+    // ── Pairwise cross-source contamination MATRIX: q136 scores each
+    //    source's novelty against everyone; this localizes it — for every
+    //    source PAIR, the shared trigram count and Jaccard overlap in ppm
+    //    (mirror detection, license-leak attribution, "which feed copies
+    //    which"). The per-source distinct-gram set is the SAME cached
+    //    subtree q136 builds (CacheManager matches the canonicalized
+    //    plan, so within the module the corpus tokenize+shuffle runs
+    //    once). The pair join explodes per-gram SOURCE pairs, never doc
+    //    pairs — candidate volume is ≤ sources²/2 per gram, independent
+    //    of corpus size; union sizes come arithmetically from the
+    //    per-source counts (|A∪B| = |A|+|B|−|A∩B|), no second corpus
+    //    pass.
+    QueryDef(
+      "q174_source_overlap",
+      (s, d) => {
+        val g = docs(s, d)
+          .select(col("source"),
+            explode(graft.functions.HashExpressions.shingleHash32(
+              tokens(col("text")), 3)).as("g"))
+          .distinct()
+          .cache()
+        val sizes = g.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+        val common = g.toDF("src_a", "g")
+          .join(g.toDF("src_b", "g2"), col("g") === col("g2") && col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_common"))
+        common
+          .join(broadcast(sizes.toDF("src_a", "sza")), "src_a")
+          .join(broadcast(sizes.toDF("src_b", "szb")), "src_b")
+          .select(col("src_a"), col("src_b"), col("n_common"),
+            expr("(n_common * 1000000) div (sza + szb - n_common)").as("jaccard_ppm"))
+      },
+      Some(s"""WITH t AS (SELECT source, string_split(text,' ') t FROM documents),
+        g AS (SELECT DISTINCT source, gh FROM (
+            SELECT source, unnest(list_transform(
+                list_transform(range(0, len(t)-2),
+                  j -> t[j+1]||' '||t[j+2]||' '||t[j+3]),
+                x -> ('0x'||substr(md5(x),1,8))::BIGINT % $P)) gh
+            FROM t WHERE len(t) >= 3)),
+        sz AS (SELECT source, count(*)::BIGINT sz FROM g GROUP BY 1),
+        c AS (SELECT a.source src_a, b.source src_b, count(*)::BIGINT n_common
+              FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source
+              GROUP BY 1, 2)
+        SELECT src_a, src_b, n_common,
+          CAST(n_common * 1000000 // (x.sz + y.sz - n_common) AS BIGINT) jaccard_ppm
+        FROM c JOIN sz x ON c.src_a = x.source JOIN sz y ON c.src_b = y.source""")
     )
   )
 }
