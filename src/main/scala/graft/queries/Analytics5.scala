@@ -268,6 +268,92 @@ object Analytics5 {
         SELECT p.user_id, p_event, r_event, r_us - p_us AS delta_us
         FROM p JOIN v USING (user_id)
         WHERE abs(r_us - p_us) <= 3600000000""")
+    ),
+
+    // ── Association lift (market-basket over event types): for every
+    //    type pair, how much more often do users do BOTH than
+    //    independence predicts — lift = P(a∧b)/(P(a)·P(b)) as exact
+    //    integer ppm: (n_ab·N·10⁶) div (n_a·n_b). Baskets dedupe to
+    //    (user, type) first, so the pair join fans out ≤ types²/2 rows
+    //    per user — linear in users, never |events|². The type-count dim
+    //    broadcasts. This is the co-occurrence layer under
+    //    recommendation/affinity rules; q118's Markov chain is its
+    //    SEQUENTIAL cousin, this is the set-wise one.
+    QueryDef(
+      "q175_assoc_lift",
+      (s, d) => {
+        val basket = events(s, d).select(col("user_id"), col("event_type")).distinct()
+        val nTot = basket.select(col("user_id")).distinct().agg(count(lit(1)).as("nu"))
+        val per = basket.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        basket.toDF("user_id", "ta")
+          .join(basket.toDF("uid2", "tb"),
+            col("user_id") === col("uid2") && col("ta") < col("tb"))
+          .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_ab"))
+          .join(broadcast(per.toDF("ta", "na")), "ta")
+          .join(broadcast(per.toDF("tb", "nb")), "tb")
+          .crossJoin(broadcast(nTot))
+          .select(col("ta"), col("tb"), col("n_ab"),
+            expr("(n_ab * 1000000) div nu").as("support_ppm"),
+            expr("(n_ab * nu * 1000000) div (na * nb)").as("lift_ppm"))
+      },
+      Some("""WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+        t AS (SELECT count(DISTINCT user_id)::BIGINT nu FROM b),
+        per AS (SELECT event_type, count(*)::BIGINT n FROM b GROUP BY 1),
+        ab AS (SELECT x.event_type ta, y.event_type tb, count(*)::BIGINT n_ab
+               FROM b x JOIN b y ON x.user_id = y.user_id
+                 AND x.event_type < y.event_type
+               GROUP BY 1, 2)
+        SELECT ta, tb, n_ab,
+          CAST(n_ab * 1000000 // t.nu AS BIGINT) support_ppm,
+          CAST(n_ab * t.nu * 1000000 // (pa.n * pb.n) AS BIGINT) lift_ppm
+        FROM ab JOIN per pa ON ab.ta = pa.event_type
+          JOIN per pb ON ab.tb = pb.event_type
+          CROSS JOIN t""")
+    ),
+
+    // ── Burstiness profile: per user, the squared coefficient of
+    //    variation of inter-event gaps — CV² = 1 is a memoryless Poisson
+    //    stream, CV² ≫ 1 is bursty (sessions), CV² ≪ 1 is a metronome
+    //    (bots). Gaps collapse to whole SECONDS once (the float→int
+    //    collapse), then CV² is the closed form
+    //    (n·Σd² − (Σd)²)·10⁶ div (Σd)² — numerator ≥ 0 by
+    //    Cauchy–Schwarz, big products in DECIMAL(38,0). One lead window
+    //    per user + one aggregate; the q99 bounded-history contract.
+    QueryDef(
+      "q176_burstiness",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("nxt", lead(col("us"), 1).over(w))
+          .where(col("nxt").isNotNull)
+          .select(col("user_id"), expr("(nxt - us) div 1000000").as("d"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_gaps"),
+            sum(expr("CAST(d AS DECIMAL(38,0))")).as("sd"),
+            sum(expr("CAST(d*d AS DECIMAL(38,0))")).as("sd2"))
+          .where(col("n_gaps") >= 2 && col("sd") > 0)
+          .select(col("user_id"), col("n_gaps"),
+            expr("CAST(sd div n_gaps AS BIGINT)").as("mean_gap_s"),
+            expr("CAST(((n_gaps*sd2 - sd*sd) * 1000000) div (sd*sd) AS BIGINT)")
+              .as("cv2_ppm"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) t,
+                 epoch_us(CAST(ts AS TIMESTAMP)) us
+               FROM events),
+        g AS (SELECT user_id,
+                (lead(us) OVER (PARTITION BY user_id ORDER BY t, event_id) - us)
+                  // 1000000 d
+              FROM e),
+        a AS (SELECT user_id, count(*)::HUGEINT n_gaps,
+                sum(d)::HUGEINT sd, sum(d*d)::HUGEINT sd2
+              FROM g WHERE d IS NOT NULL GROUP BY 1)
+        SELECT user_id, CAST(n_gaps AS BIGINT) n_gaps,
+          CAST(sd // n_gaps AS BIGINT) mean_gap_s,
+          CAST(((n_gaps*sd2 - sd*sd) * 1000000) // (sd*sd) AS BIGINT) cv2_ppm
+        FROM a WHERE n_gaps >= 2 AND sd > 0""")
     )
   )
 }

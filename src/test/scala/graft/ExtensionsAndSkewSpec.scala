@@ -14,6 +14,47 @@ class ExtensionsAndSkewSpec extends SparkTestBase {
     assert(got === 32.0)
   }
 
+  test("whole custom-expression surface is callable from pure SQL") {
+    GraftExtensions.register(spark)
+    // canon_alnum ≡ the regex pipeline it replaces
+    val canon = spark.sql("SELECT canon_alnum('  Héllo,  WORLD 42!  ')").head().getString(0)
+    assert(canon === "hllo world 42")
+    // shingle_hash32 / chargram_hash32 / token_hash32 / simhash_word return
+    // the same values as the Column API wrappers
+    val viaSql = spark.sql(
+      """SELECT shingle_hash32(array('a','b','c','d'), 3, 2147483647) sh,
+                chargram_hash32('abcd', 3) cg,
+                token_hash32(array('ab','cd'), 0) th,
+                simhash_word(token_hash32(array('ab','cd'), 0)) sw""").head()
+    val toks = array(lit("ab"), lit("cd"))
+    val viaCol = spark.range(1).select(
+      graft.functions.HashExpressions.shingleHash32(
+        array(lit("a"), lit("b"), lit("c"), lit("d")), 3).as("sh"),
+      graft.functions.HashExpressions.charGramHash32(lit("abcd"), 3).as("cg"),
+      graft.functions.HashExpressions.tokenHash32(toks).as("th"),
+      graft.functions.HashExpressions.simhashWord(
+        graft.functions.HashExpressions.tokenHash32(toks)).as("sw")).head()
+    assert(viaSql.getSeq[Long](0) === viaCol.getSeq[Long](0))
+    assert(viaSql.getSeq[Long](1) === viaCol.getSeq[Long](1))
+    assert(viaSql.getSeq[Long](2) === viaCol.getSeq[Long](2))
+    assert(viaSql.getLong(3) === viaCol.getLong(3))
+    // image_dims parses a real JDK-encoded PNG through SQL
+    val img = new java.awt.image.BufferedImage(7, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val dims = Seq(Tuple1(bos.toByteArray)).toDF("b").createOrReplaceTempView("imgs")
+    val r = spark.sql("SELECT image_dims(b).format f, image_dims(b).width w, image_dims(b).height h FROM imgs").head()
+    assert(r.getString(0) === "png" && r.getInt(1) === 7 && r.getInt(2) === 5)
+  }
+
+  test("range-join strategy registers through the extensions path too") {
+    GraftExtensions.register(spark)
+    val strategies = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental.extraStrategies
+    assert(strategies.contains(graft.plans.RangeJoinStrategy))
+    assert(strategies.contains(graft.plans.AsofJoinStrategy))
+  }
+
   test("explode_signals UDTF: LATERAL VIEW over raw payload JSON") {
     GraftExtensions.register(spark)
     Seq(
