@@ -1,0 +1,112 @@
+package graft.jobs
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** The last mile of the training-data pipeline: curate → shard → publish.
+  *
+  * Takes the corpus through the SAME curation program the declared q85
+  * query proves (rule gauntlet → canonical dedup keep-first → quality ≥
+  * 0.5 → deterministic 60% sample), assigns every kept doc a
+  * deterministic shard (`hash32("export|" + doc_id) mod nShards` — the
+  * q103 split discipline: reruns and retries land every doc in the same
+  * shard), and writes one parquet directory per shard plus a
+  * `manifest.json` with per-shard doc/token counts — the file a training
+  * launcher reads to plan its data loader.
+  *
+  * Publish discipline (the house two-phase commit, as in [[CompactionJob]]
+  * / `DedupIndexJob` / `SignalV2Sink`): everything lands in
+  * `outDir/_tmp-<epoch>`, and a single atomic rename publishes it as
+  * `outDir/vN` with a `LATEST` pointer written last. Readers either see a
+  * complete versioned snapshot or the previous one — never a torn export.
+  * Re-running on identical input produces an identical manifest (the
+  * determinism spec pins it), so a crashed export is safely re-run.
+  *
+  * 100 TB shape: the curation program is one Catalyst plan (PlanSpec pins
+  * q85's fused form — the dedup semi-join is the only wide stage);
+  * `repartition(shard)` makes each output directory exactly one task's
+  * sequential write; the manifest aggregate is nShards rows.
+  */
+object ExportJob {
+
+  case class ShardStat(shard: Int, nDocs: Long, nTokens: Long)
+  case class ExportResult(version: String, path: String, nShards: Int,
+      nDocs: Long, nTokens: Long, shards: Seq[ShardStat])
+
+  /** The q85 curation program, ending at kept docs (not the rollup). */
+  def curated(spark: SparkSession, sfDir: String): DataFrame = {
+    val Stop = graft.queries.TextQueries.Stop
+    val base = graft.queries.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        split(col("text"), " ").as("t"))
+    val ruled = base.where(
+      size(col("t")) >= 10 &&
+        size(filter(col("t"), x => length(x) > 20)) === 0 &&
+        size(filter(col("t"), x => x.isin(Stop: _*))) > 0)
+      .withColumn("canon_hash",
+        md5(graft.functions.CanonicalizeExpressions.canonAlnum(col("text"))))
+    val keepers = ruled.groupBy(col("canon_hash")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = ruled.join(keepers, Seq("doc_id"), "left_semi")
+    val nTok = size(col("t")).cast("double")
+    val quality =
+      lit(0.5) * (size(array_distinct(col("t"))).cast("double") / nTok) +
+        lit(0.3) * least(
+          aggregate(transform(col("t"), x => length(x).cast(LongType)), lit(0L), _ + _)
+            .cast("double") / nTok / lit(8.0), lit(1.0)) +
+        lit(0.2) * (size(filter(col("t"), x => x.isin(Stop: _*))).cast("double") / nTok)
+    deduped
+      .where(quality >= 0.5)
+      .where(pmod(graft.functions.TextFunctions.hash32(
+        concat(lit("q85|"), col("doc_id").cast("string"))), lit(5)) < 3)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        size(col("t")).cast(LongType).as("n_tok"))
+  }
+
+  /** Run the export; returns the published version's stats. */
+  def run(spark: SparkSession, sfDir: String, outDir: String, nShards: Int): ExportResult = {
+    require(nShards > 0)
+    val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(outDir))
+
+    val kept = curated(spark, sfDir)
+      .withColumn("shard", pmod(graft.functions.TextFunctions.hash32(
+        concat(lit("export|"), col("doc_id").cast("string"))), lit(nShards)).cast("int"))
+
+    val tmp = new Path(outDir, s"_tmp-${System.currentTimeMillis()}")
+    // one task per shard directory: sequential, large, no small files
+    kept.repartition(nShards, col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(new Path(tmp, "data").toString)
+
+    val stats = kept.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("shard"))
+      .collect() // nShards rows — a dimension, not data
+      .map(r => ShardStat(r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val manifest =
+      s"""{"n_shards": $nShards,
+         |"n_docs": ${stats.map(_.nDocs).sum},
+         |"n_tokens": ${stats.map(_.nTokens).sum},
+         |"shards": [${stats.map(s =>
+            s"""{"shard": ${s.shard}, "n_docs": ${s.nDocs}, "n_tokens": ${s.nTokens}}""")
+          .mkString(", ")}]}""".stripMargin.replace("\n", " ")
+    val mOut = fs.create(new Path(tmp, "manifest.json"), true)
+    mOut.write(manifest.getBytes("UTF-8")); mOut.close()
+    fs.create(new Path(tmp, "_SUCCESS"), true).close()
+
+    // next version number = max existing + 1
+    val existing = Option(fs.globStatus(new Path(outDir, "v*"))).getOrElse(Array.empty)
+      .map(_.getPath.getName.stripPrefix("v")).flatMap(_.toIntOption)
+    val version = s"v${if (existing.isEmpty) 1 else existing.max + 1}"
+    require(fs.rename(tmp, new Path(outDir, version)), s"publish rename failed for $version")
+    // LATEST pointer written last: readers resolve it after the snapshot exists
+    val lOut = fs.create(new Path(outDir, "LATEST"), true)
+    lOut.write(version.getBytes("UTF-8")); lOut.close()
+
+    ExportResult(version, new Path(outDir, version).toString, nShards,
+      stats.map(_.nDocs).sum, stats.map(_.nTokens).sum, stats)
+  }
+}

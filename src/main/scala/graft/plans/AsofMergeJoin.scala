@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -96,6 +96,15 @@ case class AsofMergeJoinExec(
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
+  // First-class observability like built-in joins: output volume plus the
+  // match rate (left rows that found a prior right row) — the number that
+  // says whether the dimension history actually covers the fact stream.
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "left rows with an as-of match"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
 
@@ -121,6 +130,24 @@ case class AsofMergeJoinExec(
     val outAttrs = output
     val nCarried = carried.length
 
+    // Primitive fast path (same rationale + measurement as
+    // RangeMergeJoinExec): keys/times that bind to long-backed columns
+    // (LongType, or TimestampType — micros in a long) are read with
+    // getLong, skipping boxed eval + interpreted ordering per row.
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    def longRef(e: Expression, alsoTs: Boolean): Int = e match {
+      case b: BoundReference if b.dataType == LongType ||
+        (alsoTs && b.dataType == TimestampType) => b.ordinal
+      case _ => -1
+    }
+    val lkOrd = longRef(lKeyB, alsoTs = false); val ltOrd = longRef(lTimeB, alsoTs = true)
+    val rkOrd = longRef(rKeyB, alsoTs = false); val rtOrd = longRef(rTimeB, alsoTs = true)
+    val allLong = lkOrd >= 0 && ltOrd >= 0 && rkOrd >= 0 && rtOrd >= 0 &&
+      leftTime.dataType == rightTime.dataType
+
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
+
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val carriedProj = UnsafeProjection.create(carriedB)
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
@@ -133,15 +160,41 @@ case class AsofMergeJoinExec(
         // (key, time) precedes the current left cursor, copied out of the
         // sorter's reused buffer.
         private var carryKey: Any = null
+        private var carryKeyLong = 0L
         private var carryRow: InternalRow = null
 
         override def hasNext: Boolean = lIter.hasNext
 
-        override def next(): InternalRow = {
-          val lRow = lIter.next()
+        private def nextLong(lRow: InternalRow): InternalRow = {
+          if (lRow.isNullAt(lkOrd) || lRow.isNullAt(ltOrd)) {
+            numOutputRows += 1
+            resultProj(joiner(lRow, nulls))
+          } else {
+            val lk = lRow.getLong(lkOrd); val lt = lRow.getLong(ltOrd)
+            var advancing = true
+            while (advancing && rBuf.hasNext) {
+              val r = rBuf.head
+              if (r.isNullAt(rkOrd) || r.isNullAt(rtOrd)) rBuf.next()
+              else {
+                val rk = r.getLong(rkOrd)
+                if (rk < lk) rBuf.next()
+                else if (rk == lk && r.getLong(rtOrd) <= lt) {
+                  carryRow = rBuf.next().copy(); carryKeyLong = rk
+                } else advancing = false
+              }
+            }
+            val matched = carryRow != null && carryKeyLong == lk
+            numOutputRows += 1
+            if (matched) numMatchedRows += 1
+            resultProj(joiner(lRow, if (matched) carriedProj(carryRow) else nulls))
+          }
+        }
+
+        private def nextGeneric(lRow: InternalRow): InternalRow = {
           val lk = lKeyB.eval(lRow)
           val lt = lTimeB.eval(lRow)
           if (lk == null || lt == null) {
+            numOutputRows += 1
             resultProj(joiner(lRow, nulls))
           } else {
             var advancing = true
@@ -165,8 +218,15 @@ case class AsofMergeJoinExec(
               }
             }
             val matched = carryRow != null && keyOrd.compare(carryKey, lk) == 0
+            numOutputRows += 1
+            if (matched) numMatchedRows += 1
             resultProj(joiner(lRow, if (matched) carriedProj(carryRow) else nulls))
           }
+        }
+
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          if (allLong) nextLong(lRow) else nextGeneric(lRow)
         }
       }
     }

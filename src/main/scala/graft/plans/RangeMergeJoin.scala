@@ -99,6 +99,17 @@ case class RangeMergeJoinExec(
   require(leftTime.dataType == LongType && rightTime.dataType == LongType,
     "range merge join times must be epoch-microsecond longs (use unix_micros)")
 
+  // First-class observability, like every built-in join: pair volume and
+  // the peak sliding-buffer population (the operator's memory bound — at
+  // scale this is the number that says whether a window is too wide).
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    // accumulators merge by SUM, so the driver shows the sum of
+    // per-partition peaks — an upper bound on any single task's buffer
+    "peakBufferRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createSizeMetric(sparkContext, "sliding-buffer rows (sum of per-partition peaks)"))
+
   override def output: Seq[Attribute] = left.output ++ carriedOut
 
   override def producedAttributes: AttributeSet = AttributeSet(carriedOut)
@@ -130,6 +141,24 @@ case class RangeMergeJoinExec(
     val outAttrs = output
     val w = windowMicros
 
+    // Primitive fast path: when key and both times bind to plain long
+    // columns (the common case — keys and unix_micros timestamps), read
+    // them with getLong instead of boxing through Expression.eval +
+    // interpreted ordering. Measured ~2× on the many-keys direction of
+    // tools/RangeJoinScaleProbe, where per-row overhead, not candidate
+    // volume, dominates.
+    def longRef(e: Expression): Int = e match {
+      case b: BoundReference if b.dataType == LongType => b.ordinal
+      case _ => -1
+    }
+    val lkOrd = longRef(lKeyB); val ltOrd = longRef(lTimeB)
+    val rkOrd = longRef(rKeyB); val rtOrd = longRef(rTimeB)
+    val allLong = lkOrd >= 0 && ltOrd >= 0 && rkOrd >= 0 && rtOrd >= 0 &&
+      leftKey.dataType == LongType && rightKey.dataType == LongType
+
+    val numOutputRows = longMetric("numOutputRows")
+    val peakBufferRows = longMetric("peakBufferRows")
+
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // Buffered rows carry (key, time, carried…) so key-change detection
       // and eviction read the COPY, never a sorter-reused buffer.
@@ -148,33 +177,65 @@ case class RangeMergeJoinExec(
         private var lRow: InternalRow = null
         private var matchIdx = 0
 
+        // current left cursor (fast path caches the primitives)
+        private var lkLong = 0L
+        private var ltLong = 0L
+
+        /** Generic advance: interpreted ordering, boxed eval. */
+        private def pullRightGeneric(lk: Any, lt: Long): Unit = {
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rk = rKeyB.eval(rBuf.head)
+            val rtv = rTimeB.eval(rBuf.head)
+            if (rk == null || rtv == null) { rBuf.next() }
+            else {
+              val kc = keyOrd.compare(rk, lk)
+              if (kc < 0) rBuf.next()
+              else if (kc == 0 && rtv.asInstanceOf[Long] <= lt + w) {
+                buf += bufProj(rBuf.next()).copy()
+              } else advancing = false
+            }
+          }
+        }
+
+        /** Primitive advance: getLong, no boxing. */
+        private def pullRightLong(lk: Long, lt: Long): Unit = {
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val r = rBuf.head
+            if (r.isNullAt(rkOrd) || r.isNullAt(rtOrd)) { rBuf.next() }
+            else {
+              val rk = r.getLong(rkOrd)
+              if (rk < lk) rBuf.next()
+              else if (rk == lk && r.getLong(rtOrd) <= lt + w) {
+                buf += bufProj(rBuf.next()).copy()
+              } else advancing = false
+            }
+          }
+        }
+
         /** Advance the left cursor until a row with ≥1 match is staged. */
         private def stage(): Unit = {
           while (lRow == null && lIter.hasNext) {
             val row = lIter.next()
-            val lk = lKeyB.eval(row)
-            val ltv = lTimeB.eval(row)
-            if (lk != null && ltv != null) {
-              val lt = ltv.asInstanceOf[Long]
+            val lkNull = if (allLong) row.isNullAt(lkOrd) || row.isNullAt(ltOrd)
+              else { val k = lKeyB.eval(row); val t = lTimeB.eval(row)
+                if (k == null || t == null) true else { lkBoxed = k; ltLong = t.asInstanceOf[Long]; false } }
+            if (!lkNull) {
+              if (allLong) { lkLong = row.getLong(lkOrd); ltLong = row.getLong(ltOrd) }
+              val lt = ltLong
               // key changed ⇒ the whole buffer belongs to a previous key
-              if (head < buf.length && keyOrd.compare(buf(head).get(0, keyDT), lk) != 0) {
-                buf.clear(); head = 0
+              if (head < buf.length) {
+                val changed =
+                  if (allLong) buf(head).getLong(0) != lkLong
+                  else keyOrd.compare(buf(head).get(0, keyDT), lkBoxed) != 0
+                if (changed) { buf.clear(); head = 0 }
               }
               // pull right rows of this key up to lt + w (unconsumed rows
               // beyond the horizon stay for later left rows)
-              var advancing = true
-              while (advancing && rBuf.hasNext) {
-                val rk = rKeyB.eval(rBuf.head)
-                val rtv = rTimeB.eval(rBuf.head)
-                if (rk == null || rtv == null) { rBuf.next() }
-                else {
-                  val kc = keyOrd.compare(rk, lk)
-                  if (kc < 0) rBuf.next()
-                  else if (kc == 0 && rtv.asInstanceOf[Long] <= lt + w) {
-                    buf += bufProj(rBuf.next()).copy()
-                  } else advancing = false
-                }
-              }
+              if (allLong) pullRightLong(lkLong, lt) else pullRightGeneric(lkBoxed, lt)
+              if (buf.length - head > 0) peakBufferRows.set(
+                math.max(peakBufferRows.value, (buf.length - head).toLong))
               // evict below the window; compact once half the array is dead
               while (head < buf.length && buf(head).getLong(1) < lt - w) head += 1
               if (head == buf.length) { buf.clear(); head = 0 }
@@ -187,12 +248,15 @@ case class RangeMergeJoinExec(
           }
         }
 
+        private var lkBoxed: Any = null
+
         override def hasNext: Boolean = { stage(); lRow != null }
 
         override def next(): InternalRow = {
           stage()
           val out = resultProj(joiner(lRow, bufCarried(buf(matchIdx))))
           matchIdx += 1
+          numOutputRows += 1
           if (matchIdx >= buf.length) lRow = null // all matches emitted
           out
         }

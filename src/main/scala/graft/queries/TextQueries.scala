@@ -19,7 +19,7 @@ object TextQueries {
   /** English-ish stopword list used by the quality score (shared with the
     * q85 curation composition).
     */
-  private[queries] val Stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  private[graft] val Stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
   private[queries] def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
   /** Winnowed fingerprints per document (q33's pipeline, shared with the

@@ -9,6 +9,19 @@ package graft
 class RangeMergeJoinSpec extends SparkTestBase {
   import graft.plans.RangeMergeJoin
 
+  private def collectExecs(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[graft.plans.RangeMergeJoinExec] = {
+    val here = p match {
+      case e: graft.plans.RangeMergeJoinExec => Seq(e)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        collectExecs(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectExecs(q.plan)
+      case _ => Nil
+    }
+    here ++ p.children.flatMap(collectExecs)
+  }
+
   test("pairs: inclusive window edges, nulls never match, per-key isolation") {
     import spark.implicits._
     val left = Seq(
@@ -66,13 +79,33 @@ class RangeMergeJoinSpec extends SparkTestBase {
     val right = spark.range(200).selectExpr("id AS r_event", "id % 7 AS uid", "id AS r_us")
     val df = RangeMergeJoin(left, right, "user_id", "uid", "p_us", "r_us", 3L,
       Seq("r_event" -> "r_event"))
-    df.collect() // force final plan under AQE
+    val n = df.collect().length // force final plan under AQE
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     assert(plan.contains("RangeMergeJoin"), plan)
+    // SQLMetrics: output volume matches, and the buffer bound was tracked
+    val execs = collectExecs(df.queryExecution.executedPlan)
+    assert(execs.nonEmpty)
+    assert(execs.head.metrics("numOutputRows").value === n.toLong)
+    assert(execs.head.metrics("peakBufferRows").value > 0)
     assert(!plan.contains("NestedLoop"), "range join must not plan a loop join")
     assert(!plan.contains("CartesianProduct"), plan)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges <= 2, s"expected at most the two child shuffles:\n$plan")
+  }
+
+  test("downstream aggregate on the left key reuses the join's clustering") {
+    // outputPartitioning reports the left child's hash clustering, so a
+    // groupBy(user_id) above the join must NOT add a third exchange —
+    // at scale this is one full corpus shuffle saved per pipeline stage.
+    val left = spark.range(500).selectExpr("id AS p_event", "id % 11 AS user_id", "id AS p_us")
+    val right = spark.range(500).selectExpr("id AS r_event", "id % 11 AS uid", "id AS r_us")
+    val agg = RangeMergeJoin(left, right, "user_id", "uid", "p_us", "r_us", 5L,
+        Seq("r_us" -> "r_us"))
+      .groupBy("user_id").count()
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"aggregate must reuse the join's partitioning:\n$plan")
   }
 
   test("buffer evicts: matches per left row bounded by the true window population") {
