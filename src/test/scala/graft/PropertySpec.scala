@@ -144,4 +144,40 @@ class PropertySpec extends AnyFunSuite {
       .count()
     assert(mismatches == 0L)
   }
+
+  test("merge joins equal their composition oracles on random histories (nulls, ties, dupes)") {
+    import spark.implicits._
+    // random (key, time) rows over a SMALL domain so collisions, exact
+    // ties, null keys/times, and duplicate (key, time) pairs all occur
+    val rowGen = for {
+      key <- Gen.frequency(9 -> Gen.choose(0L, 5L).map(Option(_)), 1 -> Gen.const(None))
+      t <- Gen.frequency(9 -> Gen.choose(0L, 40L).map(Option(_)), 1 -> Gen.const(None))
+    } yield (key, t)
+    val dsGen = Gen.listOfN(60, rowGen)
+    checkProp(Prop.forAll(dsGen, dsGen, Gen.choose(0L, 10L)) { (ls, rs, w) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("p_event", "user_id", "p_us")
+      val right = rs.zipWithIndex.map { case ((k, t), i) => (10000L + i, k, t) }
+        .toDF("r_event", "uid", "r_us")
+
+      val merge = graft.plans.RangeMergeJoin(left, right,
+          "user_id", "uid", "p_us", "r_us", w, Seq("r_event" -> "r_event"))
+        .select("p_event", "r_event").as[(Long, Long)].collect().sorted.toSeq
+      val naive = left.join(right,
+          left("user_id") === right("uid") && abs(left("p_us") - right("r_us")) <= w)
+        .select("p_event", "r_event").as[(Long, Long)].collect().sorted.toSeq
+
+      val asof = graft.plans.AsofMergeJoin(left, right,
+          "user_id", "uid", "p_us", "r_us", Seq("r_us" -> "m_rus"))
+        .select(col("p_event"), col("m_rus")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      // as-of oracle: max right time ≤ left time per key, via plain SQL
+      val asofOracle = left.join(right,
+          left("user_id") === right("uid") && right("r_us") <= left("p_us"), "left")
+        .groupBy(col("p_event")).agg(max(col("r_us")).as("m"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+
+      merge == naive && asof == asofOracle
+    }, min = 8)
+  }
 }
