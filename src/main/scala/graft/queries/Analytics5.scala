@@ -354,6 +354,77 @@ object Analytics5 {
           CAST(sd // n_gaps AS BIGINT) mean_gap_s,
           CAST(((n_gaps*sd2 - sd*sd) * 1000000) // (sd*sd) AS BIGINT) cv2_ppm
         FROM a WHERE n_gaps >= 2 AND sd > 0""")
+    ),
+
+    // ── Grouped top-K through the CUSTOM TYPED AGGREGATE (functions/
+    //    TopKAggregate): per event type, the 5 highest-value events via
+    //    the bounded-buffer Aggregator — the aggregation-shaped top-k
+    //    whose partial buffers ship at most K pairs per group per task
+    //    (map-side combine does the pruning; a window form shuffles the
+    //    whole corpus then discards all but K·groups rows). Ordering
+    //    (cents desc, id asc) makes ties engine-free; the kryo-encoded
+    //    buffer flattens back to relational rows via a typed flatMap.
+    QueryDef(
+      "q177_grouped_topk",
+      (s, d) => {
+        import s.implicits._
+        val ds = events(s, d)
+          .select(col("event_type"),
+            col("event_id"),
+            expr("CAST(round(value * 100) AS DOUBLE)").as("score"))
+          .as[(String, Long, Double)]
+        ds.groupByKey(_._1)
+          .mapValues(t => (t._2, t._3))
+          .agg(new graft.functions.TopKAggregate(5).toColumn)
+          .flatMap { case (tpe, top) =>
+            top.zipWithIndex.map { case ((id, score), i) =>
+              (tpe, (i + 1).toLong, id, score.toLong)
+            }
+          }
+          .toDF("event_type", "rank", "event_id", "cents")
+      },
+      Some("""SELECT event_type, rn AS rank, event_id, c AS cents FROM (
+          SELECT event_type, event_id, CAST(round(value*100) AS BIGINT) c,
+            row_number() OVER (PARTITION BY event_type
+              ORDER BY CAST(round(value*100) AS BIGINT) DESC, event_id ASC) rn
+          FROM events)
+        WHERE rn <= 5"""
+    )
+    ),
+
+    // ── Daily latency-band dashboard: P50/P95/P99 of value-cents per
+    //    event DAY — the SLO table every ops team keeps, as ONE
+    //    rankSelectMultiByKey pass keyed by day (the q123/q162 bucketed
+    //    rank-select: a corpus bucket-count aggregate + a grid cumsum —
+    //    never a per-day sort, never a corpus-sized window partition).
+    //    Exact ceil-rank order statistics; 30 output rows.
+    QueryDef(
+      "q178_daily_bands",
+      (s, d) => {
+        val pts = events(s, d)
+          .select(to_date(col("ts")).cast(StringType).as("day"),
+            expr("CAST(round(value * 100) AS DOUBLE)").as("v"))
+        val qs = graft.operators.RobustStats.rankSelectMultiByKey(
+          pts, "day", "v", Seq((1, 2, "p50"), (19, 20, "p95"), (99, 100, "p99")))
+        qs.groupBy(col("day"))
+          .agg(max(when(col("_q") === "p50", col("_value"))).cast(LongType).as("p50_cents"),
+            max(when(col("_q") === "p95", col("_value"))).cast(LongType).as("p95_cents"),
+            max(when(col("_q") === "p99", col("_value"))).cast(LongType).as("p99_cents"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH p AS (SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS VARCHAR) dd,
+                 CAST(round(value*100) AS BIGINT) c
+               FROM events),
+        rk AS (SELECT dd, c,
+                 row_number() OVER (PARTITION BY dd ORDER BY c) rn,
+                 count(*) OVER (PARTITION BY dd) n
+               FROM p),
+        b AS (SELECT dd,
+                min(CASE WHEN rn >= (n * 1 + 1) // 2 THEN c END) p50_cents,
+                min(CASE WHEN rn >= (n * 19 + 19) // 20 THEN c END) p95_cents,
+                min(CASE WHEN rn >= (n * 99 + 99) // 100 THEN c END) p99_cents
+              FROM rk GROUP BY 1)
+        SELECT dd AS day, p50_cents, p95_cents, p99_cents FROM b ORDER BY dd""")
     )
   )
 }
