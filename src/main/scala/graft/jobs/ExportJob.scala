@@ -81,7 +81,11 @@ object ExportJob {
     kept.repartition(nShards, col("shard"))
       .write.partitionBy("shard").mode("overwrite").parquet(new Path(tmp, "data").toString)
 
-    val stats = kept.groupBy(col("shard"))
+    // Manifest from the WRITTEN files, not a recompute: one narrow
+    // (shard, n_tok) columnar scan of the snapshot — half the corpus
+    // passes, and the manifest describes exactly what readers will see.
+    val stats = spark.read.parquet(new Path(tmp, "data").toString)
+      .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .orderBy(col("shard"))
       .collect() // nShards rows — a dimension, not data
