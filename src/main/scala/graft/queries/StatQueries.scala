@@ -720,6 +720,115 @@ object StatQueries {
         SELECT src_a, src_b, n_common,
           CAST(n_common * 1000000 // (x.sz + y.sz - n_common) AS BIGINT) jaccard_ppm
         FROM c JOIN sz x ON c.src_a = x.source JOIN sz y ON c.src_b = y.source""")
+    ),
+
+    // ── Two-proportion A/B test, EXACT: users hash-split 50/50 (the
+    //    deterministic q103 discipline — the assignment IS the experiment
+    //    arm), conversion = ≥1 purchase, and the pooled two-proportion
+    //    z² statistic as an exact rational in counts:
+    //    z² = (c₁n₂ − c₂n₁)²·n / (n₁·n₂·c·(n−c)), c = c₁+c₂, n = n₁+n₂ —
+    //    no sqrt, no float variance, ppm by DECIMAL floor-div. The
+    //    significance verdict (z² > 3.84, χ²₁ at α=0.05) is a pinned
+    //    boolean both engines derive from the same integers. One
+    //    per-user aggregate + a 2-row reduction: the cheapest possible
+    //    experiment readout at any corpus size.
+    QueryDef(
+      "q179_ab_test",
+      (s, d) => {
+        val arms = events(s, d)
+          .groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase"
+              && round(col("value") * 100).cast(LongType) > 20000L, 1L)
+            .otherwise(0L)).as("conv"))
+          .select(pmod(graft.functions.TextFunctions.hash32(
+            concat(lit("ab|"), col("user_id").cast(StringType))), lit(2)).as("arm"),
+            col("conv"))
+          .groupBy(col("arm"))
+          .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+        arms.agg(
+            max(when(col("arm") === 0, col("n"))).as("n_a"),
+            max(when(col("arm") === 0, col("c"))).as("conv_a"),
+            max(when(col("arm") === 1, col("n"))).as("n_b"),
+            max(when(col("arm") === 1, col("c"))).as("conv_b"))
+          .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+            expr("""CAST((CAST(conv_a*n_b - conv_b*n_a AS DECIMAL(38,0))
+                     * (conv_a*n_b - conv_b*n_a) * (n_a + n_b) * 1000000)
+                    div (CAST(n_a AS DECIMAL(38,0)) * n_b * (conv_a + conv_b)
+                     * (n_a + n_b - conv_a - conv_b)) AS BIGINT)""").as("z2_ppm"))
+          .withColumn("significant_95", col("z2_ppm") > 3841459L)
+      },
+      Some("""WITH u AS (SELECT user_id,
+                 max(CASE WHEN event_type = 'purchase'
+                   AND CAST(round(value*100) AS BIGINT) > 20000
+                   THEN 1 ELSE 0 END)::BIGINT conv
+               FROM events GROUP BY 1),
+        a AS (SELECT ('0x'||substr(md5('ab|'||user_id::VARCHAR),1,8))::BIGINT % 2 arm,
+                count(*)::BIGINT n, sum(conv)::BIGINT c
+              FROM u GROUP BY 1),
+        w AS (SELECT
+                max(CASE WHEN arm = 0 THEN n END) n_a,
+                max(CASE WHEN arm = 0 THEN c END) conv_a,
+                max(CASE WHEN arm = 1 THEN n END) n_b,
+                max(CASE WHEN arm = 1 THEN c END) conv_b
+              FROM a)
+        SELECT n_a, conv_a, n_b, conv_b,
+          CAST(((conv_a*n_b - conv_b*n_a)::HUGEINT * (conv_a*n_b - conv_b*n_a)
+                * (n_a + n_b) * 1000000)
+               // (n_a::HUGEINT * n_b * (conv_a + conv_b)
+                * (n_a + n_b - conv_a - conv_b)) AS BIGINT) z2_ppm,
+          CAST(((conv_a*n_b - conv_b*n_a)::HUGEINT * (conv_a*n_b - conv_b*n_a)
+                * (n_a + n_b) * 1000000)
+               // (n_a::HUGEINT * n_b * (conv_a + conv_b)
+                * (n_a + n_b - conv_a - conv_b)) AS BIGINT) > 3841459 AS significant_95
+        FROM w""")
+    ),
+
+    // ── Mann–Whitney U between the click and purchase value
+    //    distributions — the nonparametric "are these the same
+    //    distribution" test beside q130's KS (U is power against location
+    //    shift, KS against any shape change). EXACT via the doubled-rank
+    //    trick (q163's discipline): per distinct cent value with tie
+    //    group size f = f₁+f₂ starting after cumBefore elements, every
+    //    member's DOUBLED midrank is 2·cumBefore + f + 1 — integers, no
+    //    half-rank floats. R1d = Σ f₁·(2·cum + f + 1),
+    //    Ud = R1d − 2·(n₁(n₁+1)/2); effect size (common-language
+    //    P(X>Y) + ½P(X=Y)) in ppm = Ud·10⁶ div (2·n₁·n₂). The histogram
+    //    (cents → f₁, f₂) is dimension-sized; the cumulative runs over
+    //    it, never the corpus (q134's shape).
+    QueryDef(
+      "q180_mannwhitney",
+      (s, d) => {
+        val h = events(s, d)
+          .where(col("event_type").isin("click", "purchase"))
+          .select(cents(col("value")).as("v"),
+            when(col("event_type") === "click", 1L).otherwise(0L).as("is1"))
+          .groupBy(col("v"))
+          .agg(sum(col("is1")).as("f1"), sum(lit(1L) - col("is1")).as("f2"))
+        val wcum = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+        h.withColumn("cum", coalesce(sum(col("f1") + col("f2")).over(wcum), lit(0L)))
+          .agg(sum(col("f1")).as("n1"), sum(col("f2")).as("n2"),
+            sum(expr("CAST(f1 AS DECIMAL(38,0)) * (2*cum + f1 + f2 + 1)")).as("r1d"))
+          .select(col("n1"), col("n2"),
+            expr("CAST(r1d - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS BIGINT)").as("u_doubled"),
+            expr("""CAST((r1d - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)) * 1000000
+                    div (CAST(2 AS DECIMAL(38,0)) * n1 * n2) AS BIGINT)""").as("effect_ppm"))
+      },
+      Some("""WITH p AS (SELECT CAST(round(value*100) AS BIGINT) v,
+                 CASE WHEN event_type = 'click' THEN 1 ELSE 0 END is1
+               FROM events WHERE event_type IN ('click', 'purchase')),
+        h AS (SELECT v, sum(is1)::BIGINT f1, sum(1 - is1)::BIGINT f2
+              FROM p GROUP BY 1),
+        c AS (SELECT v, f1, f2,
+                coalesce(sum(f1 + f2) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum
+              FROM h),
+        a AS (SELECT sum(f1)::HUGEINT n1, sum(f2)::HUGEINT n2,
+                sum(f1::HUGEINT * (2*cum + f1 + f2 + 1))::HUGEINT r1d
+              FROM c)
+        SELECT CAST(n1 AS BIGINT) n1, CAST(n2 AS BIGINT) n2,
+          CAST(r1d - n1 * (n1 + 1) AS BIGINT) u_doubled,
+          CAST((r1d - n1 * (n1 + 1)) * 1000000 // (2 * n1 * n2) AS BIGINT) effect_ppm
+        FROM a""")
     )
   )
 }
