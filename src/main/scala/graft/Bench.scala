@@ -19,11 +19,14 @@ object Bench {
     // Reference-workload ingestion benchmark: the e2e corpus of the
     // reference's CI suite (8,000 docs -> 144,000 signal rows;
     // BASELINE.md "CI e2e workload") through the full sync pipeline.
-    val syncBench: (String, Double) =
+    val syncOsBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val syncBench: (String, Double, Double) =
       try {
         val corpus = BenchCorpus.write8000DocCorpus()
         val docs = graft.sources.StatusSource.readJson(spark, corpus, multiLine = false)
         val dim = graft.sources.DeviceDim.identityDim(spark, 1L to 8L)
+        val sc0 = syncOsBean.getProcessCpuTime
         val t0 = System.nanoTime()
         val n = graft.jobs.SyncJob.run(
           docs, dim, existingSink = None,
@@ -33,11 +36,13 @@ object Bench {
             stop = Some(java.sql.Timestamp.valueOf("2020-01-02 00:00:00"))
           )
         ).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = (syncOsBean.getProcessCpuTime - sc0) / 1e9
         // 144,000-row oracle (BASELINE.md CI e2e workload); a mismatch marks
         // the metric invalid without killing the whole bench run.
-        if (n == 144000L) "sync_e2e_8000docs" -> (System.nanoTime() - t0) / 1e9
-        else "sync_e2e_8000docs" -> -1.0
-      } catch { case _: Throwable => "sync_e2e_8000docs" -> -1.0 }
+        if (n == 144000L) ("sync_e2e_8000docs", wall, cpu)
+        else ("sync_e2e_8000docs", -1.0, -1.0)
+      } catch { case _: Throwable => ("sync_e2e_8000docs", -1.0, -1.0) }
 
     // Deterministic module-ordered run (declaration order, cheap relational
     // analytics first, the cache-sharing dedup/similarity families last and
@@ -81,22 +86,31 @@ object Bench {
     // GC, no JIT activity, periodic 1 s safepoint cleanups arriving 10 s
     // apart — diagnosed via jstack + -Xlog:safepoint; NOTES.md "bench
     // environment noise"). A stall is a one-off property of the moment,
-    // not of the query, so anything slower than the threshold gets ONE
-    // re-run and reports the min: a genuinely slow query stays slow on the
-    // retry, a stalled one recovers. Bounded to 30 retries so a fully
-    // pathological window can't double the run.
+    // not of the query, so anything slower than the threshold gets up to
+    // TWO re-runs and reports the min-of-3: a genuinely slow query stays
+    // slow on every retry, a stalled one recovers on the first clean
+    // window. The second retry only fires when the first retry STILL reads
+    // above the threshold (a persistent-stall window, the r5 driver-vs-
+    // builder 3x tail), so the common case costs one extra run. Bounded to
+    // the 40 slowest so a fully pathological window can't double the run.
     val retryThreshold = 2.5
     val retried = scala.collection.mutable.Map[String, (Double, Double)]()
     firstPass.filter(_._3 > retryThreshold).sortBy(-_._3).take(40).foreach { case (n, q, t1, c1) =>
       spark.catalog.clearCache()
       val (t2, c2) = timeOne(q)
-      System.err.println(f"[bench] retry ${n}%-26s first $t1%7.2f s -> $t2%7.2f s")
-      retried(n) = if (t2 < t1) (t2, c2) else (t1, c1)
+      var best = if (t2 < t1) (t2, c2) else (t1, c1)
+      if (math.min(t1, t2) > retryThreshold) {
+        spark.catalog.clearCache()
+        val (t3, c3) = timeOne(q)
+        if (t3 < best._1) best = (t3, c3)
+      }
+      System.err.println(f"[bench] retry ${n}%-26s first $t1%7.2f s -> ${best._1}%7.2f s")
+      retried(n) = best
     }
     val resultsCpu: Seq[(String, Double, Double)] =
       firstPass.map { case (n, _, t, c) =>
         val (tf, cf) = retried.getOrElse(n, (t, c)); (n, tf, cf)
-      } :+ ((syncBench._1, syncBench._2, -1.0))
+      } :+ ((syncBench._1, syncBench._2, syncBench._3))
     val results: Seq[(String, Double)] = resultsCpu.map { case (n, t, _) => n -> t }
 
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)

@@ -101,11 +101,33 @@ object ExportJob {
     mOut.write(manifest.getBytes("UTF-8")); mOut.close()
     fs.create(new Path(tmp, "_SUCCESS"), true).close()
 
-    // next version number = max existing + 1
-    val existing = Option(fs.globStatus(new Path(outDir, "v*"))).getOrElse(Array.empty)
-      .map(_.getPath.getName.stripPrefix("v")).flatMap(_.toIntOption)
-    val version = s"v${if (existing.isEmpty) 1 else existing.max + 1}"
-    require(fs.rename(tmp, new Path(outDir, version)), s"publish rename failed for $version")
+    // next version number = max existing + 1, safe under CONCURRENT
+    // exporters (ADVICE r5): two racing publishers can allocate the same
+    // vN, and HDFS rename(tmp, existingDir) silently moves tmp INSIDE the
+    // winner's directory instead of failing. So after every rename we
+    // verify the destination is OUR snapshot (its _SUCCESS is top-level,
+    // not nested under tmp's name); on collision the nested tmp is pulled
+    // back out and version allocation retries.
+    var version: String = null
+    var published = false
+    var attempt = 0
+    while (!published) {
+      attempt += 1
+      require(attempt <= 10, s"publish version allocation collided $attempt times in $outDir")
+      val existing = Option(fs.globStatus(new Path(outDir, "v*"))).getOrElse(Array.empty)
+        .map(_.getPath.getName.stripPrefix("v")).flatMap(_.toIntOption)
+      version = s"v${if (existing.isEmpty) 1 else existing.max + 1}"
+      val dest = new Path(outDir, version)
+      if (!fs.exists(dest) && fs.rename(tmp, dest)) {
+        if (fs.exists(new Path(dest, "_SUCCESS"))) published = true
+        else {
+          // rename nested us inside a concurrently-created dest: recover tmp
+          val nested = new Path(dest, tmp.getName)
+          require(fs.exists(nested) && fs.rename(nested, tmp),
+            s"publish collided on $version and recovery rename failed")
+        }
+      }
+    }
     // LATEST pointer written last: readers resolve it after the snapshot exists
     val lOut = fs.create(new Path(outDir, "LATEST"), true)
     lOut.write(version.getBytes("UTF-8")); lOut.close()

@@ -260,6 +260,19 @@ object AsofMergeJoin {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    // Key/time dtypes must match exactly (ADVICE r5, same contract as
+    // RangeMergeJoin): a mismatched pair passes analysis but fails deep in
+    // the merge at runtime — fail at construction instead.
+    val lk0 = attr(lPlan, leftKeyCol)
+    val rk0 = attr(rPlan, rightKeyCol)
+    require(lk0.dataType == rk0.dataType,
+      s"as-of join key types must match: $leftKeyCol is ${lk0.dataType}, " +
+        s"$rightKeyCol is ${rk0.dataType}")
+    val lt0 = attr(lPlan, leftTimeCol)
+    val rt0 = attr(rPlan, rightTimeCol)
+    require(lt0.dataType == rt0.dataType,
+      s"as-of join time types must match: $leftTimeCol is ${lt0.dataType}, " +
+        s"$rightTimeCol is ${rt0.dataType}")
     val carriedAttrs = carried.map { case (src, _) => attr(rPlan, src) }
     val carriedOut = carried.map { case (src, out) =>
       AttributeReference(out, attr(rPlan, src).dataType, nullable = true)()

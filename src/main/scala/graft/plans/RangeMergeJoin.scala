@@ -291,6 +291,15 @@ object RangeMergeJoin {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    // Key dtypes must match exactly (ADVICE r5): a mismatched pair (int vs
+    // long) passes analysis but mis-reads the unsafe buffer / CCEs in the
+    // interpreted ordering at runtime — fail at construction with a clear
+    // message instead.
+    val lk = attr(lPlan, leftKeyCol)
+    val rk = attr(rPlan, rightKeyCol)
+    require(lk.dataType == rk.dataType,
+      s"range-join key types must match: $leftKeyCol is ${lk.dataType}, " +
+        s"$rightKeyCol is ${rk.dataType}")
     val carriedAttrs = carried.map { case (src, _) => attr(rPlan, src) }
     val carriedOut = carried.map { case (src, out) =>
       AttributeReference(out, attr(rPlan, src).dataType, nullable = true)()

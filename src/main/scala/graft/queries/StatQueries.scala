@@ -535,6 +535,13 @@ object StatQueries {
     //    numerators, so shift by 10¹²·den first). 100 TB: a 5-number
     //    map-side-combined aggregate per group — the cheapest possible
     //    shape; no window, no join, no second pass.
+    //    Headroom contract (ADVICE r5): the slope numerator n·Σxy·10⁹ sits
+    //    in DECIMAL(38,0) ≈ 10³⁸; with |x| ≤ 10⁸ s and |y| ≤ 10⁷ cents
+    //    that is exact while a group holds < ~10⁷ rows (n·Σxy ≤
+    //    10⁷·10⁷·10¹⁵ = 10²⁹, shifted 10⁹ → 10³⁸ boundary). Past that,
+    //    Spark (ANSI off) nulls the overflow while DuckDB HUGEINT errors —
+    //    so per-group cardinality above ~1e7 requires dropping the nano
+    //    shift to micro (10⁶), which this query does NOT do by default.
     QueryDef(
       "q171_trend_lines",
       (s, d) => events(s, d)
@@ -619,10 +626,15 @@ object StatQueries {
     //    n_risk (users still unconverted and observed), d_t (conversions),
     //    and Ŝ(t) = Π_{u≤t} (n_u − d_u)/n_u. The product is folded in
     //    EXACT integers (parts-per-trillion, truncating div each step —
-    //    deterministic in both engines); DuckDB 1.0's list_reduce takes no
-    //    initial accumulator, so each (n, d) step packs into ONE BIGINT
-    //    (n·10⁵ + d) and the scale seed 10¹² is list_prepend'ed as the
-    //    first element. 100 TB: the only corpus-sized stage is the per-user
+    //    deterministic in both engines). Spark folds with a higher-order
+    //    `aggregate` over the running prefix list; the oracle replays the
+    //    IDENTICAL BIGINT recurrence with a recursive CTE (one row per
+    //    event-day), which is portable across DuckDB builds — the previous
+    //    list_reduce/list_prepend form was the most version-sensitive
+    //    construct in the oracle corpus. Headroom contract: the BIGINT
+    //    accumulator is 10¹²·n_risk per step, exact while n_risk < 9.2·10⁶
+    //    unconverted users on a single event-day; beyond that reduce the
+    //    ppt seed (ADVICE r5). 100 TB: the only corpus-sized stage is the per-user
     //    min/max aggregate; the curve machinery runs on ≤ #distinct-days
     //    rows (the tiny-table single-partition window, q151's contract).
     QueryDef(
@@ -650,7 +662,7 @@ object StatQueries {
               .as("surv_ppt"))
           .orderBy(col("dur"))
       },
-      Some("""WITH u AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) first_t,
+      Some("""WITH RECURSIVE u AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) first_t,
                  max(CAST(ts AS TIMESTAMP)) last_t,
                  min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) conv_t
                FROM events GROUP BY 1),
@@ -661,18 +673,21 @@ object StatQueries {
         g AS (SELECT dur, count(*)::BIGINT ending, sum(ev)::BIGINT d_t
               FROM d GROUP BY 1),
         r AS (SELECT dur, d_t,
-                (SELECT total FROM t) - coalesce(sum(ending) OVER (ORDER BY dur
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) n_risk
+                CAST((SELECT total FROM t) - coalesce(sum(ending) OVER (ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) n_risk
               FROM g),
         s AS (SELECT dur, d_t, n_risk,
-                list(n_risk * 100000 + d_t) OVER (ORDER BY dur
-                  ROWS UNBOUNDED PRECEDING) pre
-              FROM r WHERE d_t > 0)
-        SELECT dur, n_risk, d_t,
-          CAST(list_reduce(list_prepend(1000000000000::BIGINT, pre),
-            (acc, e) -> (acc * ((e // 100000) - (e % 100000))) // (e // 100000))
-            AS BIGINT) surv_ppt
-        FROM s ORDER BY dur""")
+                row_number() OVER (ORDER BY dur)::BIGINT rn
+              FROM r WHERE d_t > 0),
+        f AS (SELECT rn, dur, n_risk, d_t,
+                (1000000000000::BIGINT * (n_risk - d_t)) // n_risk surv
+              FROM s WHERE rn = 1
+              UNION ALL
+              SELECT s.rn, s.dur, s.n_risk, s.d_t,
+                (f.surv * (s.n_risk - s.d_t)) // s.n_risk
+              FROM f JOIN s ON s.rn = f.rn + 1)
+        SELECT dur, n_risk, d_t, CAST(surv AS BIGINT) surv_ppt
+        FROM f ORDER BY dur""")
     ),
 
     // ── Pairwise cross-source contamination MATRIX: q136 scores each
@@ -686,7 +701,12 @@ object StatQueries {
     //    pairs — candidate volume is ≤ sources²/2 per gram, independent
     //    of corpus size; union sizes come arithmetically from the
     //    per-source counts (|A∪B| = |A|+|B|−|A∩B|), no second corpus
-    //    pass.
+    //    pass. Cache lifetime (ADVICE r5): the cache() below is reused 3×
+    //    within THIS plan (sizes + both self-join sides) and dedups with
+    //    q136's identical canonicalized subtree; it is released by the
+    //    harness contract — Verify clearCache()s after every query, Bench
+    //    after every module — so it never outlives its sharing window.
+    //    Library callers embedding this query own the same contract.
     QueryDef(
       "q174_source_overlap",
       (s, d) => {
@@ -732,6 +752,12 @@ object StatQueries {
     //    boolean both engines derive from the same integers. One
     //    per-user aggregate + a 2-row reduction: the cheapest possible
     //    experiment readout at any corpus size.
+    //    Headroom contract (ADVICE r5): the z² numerator is
+    //    (c₁n₂−c₂n₁)²·n·10⁶ in DECIMAL(38,0) — exact while each arm holds
+    //    < ~10⁷ users ((10⁷·10⁷)²·2·10⁷·10⁶ ≈ 10³⁵ < 10³⁸); past ~10⁸
+    //    Spark (ANSI off) nulls the overflow where DuckDB HUGEINT errors.
+    //    Above that, drop the ppm factor to per-mille — NOT done by
+    //    default; the bound is a documented contract, same as q171.
     QueryDef(
       "q179_ab_test",
       (s, d) => {

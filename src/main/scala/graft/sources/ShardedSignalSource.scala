@@ -112,29 +112,50 @@ class ShardedReaderFactory(required: StructType) extends PartitionReaderFactory 
   }
 }
 
-/** Reads one shard file; projects only the pruned columns. */
+/** Reads one shard file; projects only the pruned columns.
+  *
+  * Error contract (ADVICE r5): a structurally malformed row (wrong field
+  * count, non-numeric token/ts/v) fails the task with the FILE and LINE
+  * CONTENT in the message — silent drops hide corrupt shards and a raw
+  * NumberFormatException gives no locus at 100 TB. An EMPTY numeric field
+  * maps to null, honoring the nullable schema (the "signal present but
+  * value missing" row a real store produces).
+  */
 class ShardedPartitionReader(file: String, shard: Int, required: StructType)
     extends PartitionReader[InternalRow] {
   private val in = new BufferedReader(new FileReader(file))
   private var current: InternalRow = _
+  private var lineNo: Long = 0L
+
+  private def bad(line: String, why: String): Nothing =
+    throw new IllegalArgumentException(
+      s"malformed sharded-signal row ($why) at $file:$lineNo: '$line'")
 
   override def next(): Boolean = {
     var line = in.readLine()
     while (line != null) {
+      lineNo += 1
       if (line.nonEmpty) {
         val parts = line.split(",", -1)
-        if (parts.length == 4) {
-          current = InternalRow.fromSeq(required.fields.toIndexedSeq.map { f =>
-            f.name match {
-              case "shard" => shard
-              case "token_id" => parts(0).toLong
-              case "ts_us" => parts(1).toLong
-              case "name" => UTF8String.fromString(parts(2))
-              case "v" => parts(3).toDouble
-            }
-          })
-          return true
-        }
+        if (parts.length != 4) bad(line, s"expected 4 fields, got ${parts.length}")
+        def longOrNull(s: String, field: String): Any =
+          if (s.isEmpty) null
+          else try java.lang.Long.valueOf(s.toLong)
+          catch { case _: NumberFormatException => bad(line, s"non-numeric $field") }
+        def doubleOrNull(s: String, field: String): Any =
+          if (s.isEmpty) null
+          else try java.lang.Double.valueOf(s.toDouble)
+          catch { case _: NumberFormatException => bad(line, s"non-numeric $field") }
+        current = InternalRow.fromSeq(required.fields.toIndexedSeq.map { f =>
+          f.name match {
+            case "shard" => shard
+            case "token_id" => longOrNull(parts(0), "token_id")
+            case "ts_us" => longOrNull(parts(1), "ts_us")
+            case "name" => UTF8String.fromString(parts(2))
+            case "v" => doubleOrNull(parts(3), "v")
+          }
+        })
+        return true
       }
       line = in.readLine()
     }
