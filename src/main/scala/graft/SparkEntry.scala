@@ -25,6 +25,7 @@ object SparkEntry {
   def moduleDefs: Seq[(String, Seq[QueryDef])] = Seq(
     "relational" -> Relational.defs,
     "relational2" -> Relational2Queries.defs,
+    "sharded" -> ShardedQueries.defs,
     "analytics" -> Analytics.defs,
     "analytics2" -> Analytics2.defs,
     "analytics3" -> Analytics3.defs,

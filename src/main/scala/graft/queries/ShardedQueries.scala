@@ -1,0 +1,136 @@
+package graft.queries
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Declared queries through the key-grouped `graft-sharded` DSv2 source —
+  * the 100 TB shuffle-elision seam promoted to oracle-checked capabilities
+  * (round-5 verdict Next #3). The reference's ClickHouse table is MergeTree
+  * `ORDER BY (token_id, timestamp)` (sync_test.go:352 [ext]): data lives
+  * pre-clustered by device, and the store answers DISTINCT-token /
+  * min-timestamp fragments internally (clickhouse.go:65-110 [ext]). These
+  * queries reproduce both halves of that contract on the Spark side:
+  *
+  *   - q181: the per-token watermark fragment, with COUNT/MIN pushed INTO
+  *     the scan (`SupportsPushDownAggregates`) so each shard ships only
+  *     per-token partials — the pushed-into-CH fragment parity.
+  *   - q182: two same-layout datasets joined per (shard, token_id) with
+  *     ZERO exchange — the storage-partitioned join MergeTree clustering
+  *     makes possible.
+  *
+  * The layout itself is materialized from the `events` table by a normal
+  * distributed `write.partitionBy("shard")` job (shard = token % NShards),
+  * once per (sf, row-count) fingerprint — the write path a production
+  * pipeline would run continuously; re-runs reuse the published layout.
+  */
+object ShardedQueries {
+
+  private val NShards = 8
+
+  private def ev(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "events")
+
+  /** Session settings the key-grouped read path needs. Both are safe
+    * engine-wide (they only change behavior for DSv2 sources reporting
+    * `KeyGroupedPartitioning`), so they are set, not set-and-restored: the
+    * graft-sharded contract is that a session reading it runs with them.
+    */
+  private def enableStoragePartitioning(s: SparkSession): Unit = {
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+  }
+
+  /** Materialize events → sharded CSV layout, once per (sf dir, count).
+    * Columns: token_id (= user_id), ts_us, name (= event_type), v (= whole
+    * cents as double — exact under the CSV round trip, < 2^53). The row
+    * count in the directory fingerprint guards against a regenerated
+    * testdata dir reusing a stale layout.
+    */
+  private def shardedDir(s: SparkSession, d: String): String = synchronized {
+    val n = ev(s, d).count()
+    val dir = new File(s"/tmp/graft_sharded_q/${new File(d).getName}_$n")
+    if (!new File(dir, "_SUCCESS").exists()) {
+      ev(s, d)
+        .select(
+          col("user_id").as("token_id"),
+          expr("unix_micros(ts)").as("ts_us"),
+          col("event_type").as("name"),
+          round(col("value") * 100).cast(LongType).cast("double").as("v"),
+          pmod(col("user_id"), lit(NShards.toLong)).cast("int").as("shard"))
+        // one task per shard: each shard directory is a few large
+        // sequential part files, the unit the key-grouped reader chains
+        .repartition(NShards, col("shard"))
+        .write.mode("overwrite").partitionBy("shard").csv(dir.getAbsolutePath)
+    }
+    dir.getAbsolutePath
+  }
+
+  private def sharded(s: SparkSession, d: String): DataFrame = {
+    enableStoragePartitioning(s)
+    s.read.format("graft-sharded").load(shardedDir(s, d))
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // ── Per-token sync watermark through the sharded store: COUNT +
+    //    MIN(ts) per token, the exact fragment the reference pushes into
+    //    ClickHouse before each sync (clickhouse.go:65-110 [ext]). The
+    //    grouping excludes the clustering column, so the scan accepts the
+    //    aggregate pushdown: each shard partition computes its per-token
+    //    partials in one pass (state = that shard's token count) and only
+    //    those partials enter the exchange — at 100 TB the shuffle carries
+    //    tokens, not signals. Plan-pinned in PlanSpec.
+    QueryDef(
+      "q181_sharded_watermark",
+      (s, d) => sharded(s, d)
+        .groupBy(col("token_id"))
+        .agg(count(lit(1)).as("n_signals"), min(col("ts_us")).as("watermark_us")),
+      Some("""SELECT user_id AS token_id, count(*)::BIGINT n_signals,
+               CAST(min(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) watermark_us
+             FROM events GROUP BY 1""")
+    ),
+
+    // ── Storage-partitioned join: purchase activity ⋈ click activity per
+    //    (shard, token_id), both sides aggregated from the SAME clustered
+    //    layout — neither the aggregations nor the join shuffle (PlanSpec
+    //    zero-exchange pin). This is the MergeTree-clustering dividend:
+    //    two 100 TB datasets in the same layout combine with no corpus
+    //    network pass at all. Cent sums are exact BIGINT (the CSV double
+    //    round trip is integral and < 2^53).
+    QueryDef(
+      "q182_sharded_spj",
+      (s, d) => {
+        def side(nm: String, outN: String, outC: String): DataFrame =
+          sharded(s, d)
+            .where(col("name") === nm)
+            .groupBy(col("shard"), col("token_id"))
+            .agg(count(lit(1)).as(outN), sum(col("v").cast(LongType)).as(outC))
+        val purchases = side("purchase", "n_purchase", "cents_purchase")
+        val clicks = side("click", "n_click", "cents_click")
+        purchases.hint("merge").join(clicks, Seq("shard", "token_id"))
+          .select(col("token_id"), col("n_purchase"), col("cents_purchase"),
+            col("n_click"), col("cents_click"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+                 CAST(round(value*100) AS BIGINT) c FROM events),
+        p AS (SELECT user_id, count(*)::BIGINT n_purchase, sum(c)::BIGINT cents_purchase
+              FROM e WHERE event_type = 'purchase' GROUP BY 1),
+        k AS (SELECT user_id, count(*)::BIGINT n_click, sum(c)::BIGINT cents_click
+              FROM e WHERE event_type = 'click' GROUP BY 1)
+        SELECT p.user_id AS token_id, n_purchase, cents_purchase, n_click, cents_click
+        FROM p JOIN k ON p.user_id = k.user_id""")
+    ),
+
+    // ── DISTINCT token inventory through the sharded store — the other
+    //    pushed-into-CH fragment (`SELECT DISTINCT token_id`,
+    //    clickhouse.go:65 [ext]): a pushed GROUP BY with no aggregates,
+    //    each shard shipping only its distinct tokens.
+    QueryDef(
+      "q183_sharded_tokens",
+      (s, d) => sharded(s, d).select(col("token_id")).distinct(),
+      Some("SELECT DISTINCT user_id AS token_id FROM events")
+    )
+  )
+}

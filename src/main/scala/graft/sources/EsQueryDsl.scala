@@ -43,8 +43,13 @@ object EsQueryDsl {
     * @param requiredFields signal fields the explode stage needs; empty ⇒
     *                       full `_source` (reference behavior)
     * @param batchSize page size (`Size` in the reference request)
+    * @param sortDesc  sort direction on `time` — the DSv2 seam's pushed
+    *                  TopN state ([[StatusScanBuilder.pushTopN]]); the
+    *                  reference always pages newest-first (elastic.go:65),
+    *                  so `true` is the default
     */
-  def searchRequest(filters: Seq[Filter], requiredFields: Seq[String], batchSize: Int): String = {
+  def searchRequest(filters: Seq[Filter], requiredFields: Seq[String], batchSize: Int,
+      sortDesc: Boolean = true): String = {
     val root = mapper.createObjectNode()
     val bool = root.putObject("query").putObject("bool")
     val filterArr = bool.putArray("filter")
@@ -73,7 +78,8 @@ object EsQueryDsl {
     }
 
     root.put("size", batchSize)
-    root.putArray("sort").addObject().putObject("time").put("order", "desc")
+    root.putArray("sort").addObject().putObject("time")
+      .put("order", if (sortDesc) "desc" else "asc")
     mapper.writeValueAsString(root)
   }
 }

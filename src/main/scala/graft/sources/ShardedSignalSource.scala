@@ -5,9 +5,10 @@ import java.util.{Map => JMap}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
-import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -52,6 +53,7 @@ object ShardedSignalSource {
     StructField("v", DoubleType, nullable = true)))
 
   private[sources] val ShardFile = """shard=(\d+)\.csv""".r
+  private[sources] val ShardDir = """shard=(\d+)""".r
 }
 
 class ShardedTable(path: String) extends Table with SupportsRead {
@@ -63,53 +65,242 @@ class ShardedTable(path: String) extends Table with SupportsRead {
     new ShardedScanBuilder(path)
 }
 
-class ShardedScanBuilder(path: String) extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = ShardedSignalSource.Schema
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = StructType(ShardedSignalSource.Schema.fields.filter(f =>
-      requiredSchema.fieldNames.contains(f.name)))
-  override def build(): Scan = new ShardedScan(path, required)
+/** One pushed aggregate: `min`/`max` over a source column, or `count_star`. */
+case class ShardAggSpec(op: String, column: String)
+
+/** Pushed GROUP BY + aggregate list. PARTIAL pushdown contract
+  * (`supportCompletePushDown` stays false): each shard partition returns
+  * one row per group with its shard-local min/max/count, and Spark's
+  * retained final aggregate merges them (min→min, max→max, count→sum) —
+  * the same split the reference gets from ClickHouse, which computes
+  * `SELECT DISTINCT token_id` / `min(timestamp)` inside the store and
+  * ships only the per-part results (clickhouse.go:65-110 [ext]).
+  */
+case class ShardPushedAgg(groupCols: Seq[String], aggs: Seq[ShardAggSpec]) {
+  /** Scan output when pushed: group columns first, then agg columns, the
+    * order `V2ScanRelationPushDown` zips its rewritten plan against.
+    */
+  def outputSchema: StructType = {
+    val base = ShardedSignalSource.Schema
+    def f(n: String) = base.fields.find(_.name == n).get
+    StructType(
+      groupCols.map(f) ++
+        aggs.zipWithIndex.map {
+          case (ShardAggSpec("count_star", _), i) =>
+            StructField(s"agg_$i", LongType, nullable = false)
+          case (ShardAggSpec(op, c), i) => StructField(s"agg_$i", f(c).dataType, nullable = true)
+        })
+  }
 }
 
-class ShardedScan(path: String, required: StructType)
+class ShardedScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+  private var required: StructType = ShardedSignalSource.Schema
+  private var pushedAgg: Option[ShardPushedAgg] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    if (pushedAgg.isEmpty)
+      required = StructType(ShardedSignalSource.Schema.fields.filter(f =>
+        requiredSchema.fieldNames.contains(f.name)))
+
+  private def refName(e: V2Expression): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames().length == 1 =>
+      Some(nr.fieldNames()(0)).filter(n => ShardedSignalSource.Schema.fieldNames.contains(n))
+    case _ => None
+  }
+
+  private def numeric(n: String): Boolean =
+    ShardedSignalSource.Schema.fields.find(_.name == n).exists(f =>
+      f.dataType == IntegerType || f.dataType == LongType || f.dataType == DoubleType)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val groups = aggregation.groupByExpressions().toSeq.map(refName)
+    if (groups.exists(_.isEmpty)) return false
+    // When the grouping includes the clustering column, DECLINE: the
+    // key-grouped layout already gives a zero-exchange COMPLETE
+    // aggregation (ShardedSourceSpec), and Spark's pushed-agg rewrite
+    // aliases the group columns (`shard AS group_col_0`), which breaks
+    // KeyGroupedPartitioning propagation and re-introduces the shuffle —
+    // pushed-partial + exchange loses to complete-without-exchange at any
+    // scale.
+    if (groups.flatten.contains("shard")) return false
+    val aggs = aggregation.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(ShardAggSpec("count_star", ""))
+      case m: Min => refName(m.column).filter(numeric).map(ShardAggSpec("min", _))
+      case m: Max => refName(m.column).filter(numeric).map(ShardAggSpec("max", _))
+      case _: AggregateFunc => None
+    }
+    if (aggs.exists(_.isEmpty)) return false
+    pushedAgg = Some(ShardPushedAgg(groups.map(_.get), aggs.map(_.get)))
+    true
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(pa) => new ShardedScan(path, pa.outputSchema, Some(pa))
+    case None     => new ShardedScan(path, required, None)
+  }
+}
+
+class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPushedAgg] = None)
     extends Scan with Batch with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"graft-sharded $path key-grouped by shard"
+  override def description(): String =
+    s"graft-sharded $path key-grouped by shard" + pushedAgg.map(pa =>
+      s" pushedAgg=[groups=${pa.groupCols.mkString(",")} " +
+        s"aggs=${pa.aggs.map(a => s"${a.op}(${a.column})").mkString(",")}]").getOrElse("")
 
-  private lazy val shardFiles: Array[(Int, File)] = {
-    val files = Option(new File(path).listFiles()).getOrElse(Array.empty)
-    files.flatMap { f =>
+  /** Two accepted layouts, one partition per SHARD in both:
+    *   - flat `shard=K.csv` files (the hand-written fixture form)
+    *   - `shard=K/` directories of part files — exactly what a Spark
+    *     `write.partitionBy("shard")` job produces, so a pipeline can
+    *     materialize the layout with a normal distributed write and read
+    *     it back key-grouped. A shard's part files are read sequentially
+    *     inside its one partition: the 1:1 partition↔key mapping is the
+    *     invariant `KeyGroupedPartitioning` declares, the same unit a
+    *     MergeTree shard is (clickhouse.go:67-70 [ext]).
+    */
+  private lazy val shardFiles: Array[(Int, Seq[File])] = {
+    val entries = Option(new File(path).listFiles()).getOrElse(Array.empty)
+    entries.flatMap { f =>
       f.getName match {
-        case ShardedSignalSource.ShardFile(k) => Some(k.toInt -> f)
+        case ShardedSignalSource.ShardFile(k) if f.isFile => Some(k.toInt -> Seq(f))
+        case ShardedSignalSource.ShardDir(k) if f.isDirectory =>
+          val parts = Option(f.listFiles()).getOrElse(Array.empty)
+            .filter(p => p.isFile && !p.getName.startsWith(".") && !p.getName.startsWith("_"))
+            .sortBy(_.getName).toSeq
+          Some(k.toInt -> parts)
         case _ => None
       }
     }.sortBy(_._1)
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    shardFiles.map { case (shard, f) => ShardPartition(f.getAbsolutePath, shard) }
+    shardFiles.map { case (shard, fs) =>
+      ShardPartition(fs.map(_.getAbsolutePath), shard): InputPartition
+    }
 
   /** The contract that elides the shuffle: rows are clustered by the
     * identity of `shard`, in exactly `shardFiles.length` groups whose
-    * values each [[ShardPartition.partitionKey]] announces.
+    * values each [[ShardPartition.partitionKey]] announces. When a pushed
+    * aggregation does NOT group by `shard`, the output no longer carries
+    * the clustering column — report unknown partitioning rather than a
+    * dangling reference.
     */
   override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(Array(Expressions.identity("shard")), shardFiles.length)
+    if (readSchema().fieldNames.contains("shard"))
+      new KeyGroupedPartitioning(Array(Expressions.identity("shard")), shardFiles.length)
+    else new UnknownPartitioning(shardFiles.length)
 
-  override def createReaderFactory(): PartitionReaderFactory = new ShardedReaderFactory(required)
+  override def createReaderFactory(): PartitionReaderFactory = pushedAgg match {
+    case Some(pa) => new ShardedAggReaderFactory(pa)
+    case None     => new ShardedReaderFactory(required)
+  }
 }
 
-case class ShardPartition(file: String, shard: Int) extends InputPartition with HasPartitionKey {
+case class ShardPartition(files: Seq[String], shard: Int) extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(shard)
 }
 
 class ShardedReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ShardPartition]
-    new ShardedPartitionReader(p.file, p.shard, required)
+    new ShardedShardReader(p.files, p.shard, required)
   }
+}
+
+/** Chains one shard's part files through [[ShardedPartitionReader]]s. */
+class ShardedShardReader(files: Seq[String], shard: Int, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val it = files.iterator
+  private var cur: ShardedPartitionReader = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (!it.hasNext) return false
+        cur = new ShardedPartitionReader(it.next(), shard, required)
+      }
+      if (cur.next()) return true
+      cur.close(); cur = null
+    }
+    false
+  }
+
+  override def get(): InternalRow = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
+}
+
+class ShardedAggReaderFactory(pa: ShardPushedAgg) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ShardPartition]
+    new ShardedAggReader(p.files, p.shard, pa)
+  }
+}
+
+/** Shard-local hash aggregation for the pushed GROUP BY: one pass over the
+  * shard's rows through the full-schema reader, one output row per group
+  * holding (groupCols..., partial agg values...). State is bounded by the
+  * shard's distinct group keys — for the reference's fragments (DISTINCT
+  * token_id, per-token min ts) that is the per-shard token count, the same
+  * bound the store's own aggregation carries.
+  */
+class ShardedAggReader(files: Seq[String], shard: Int, pa: ShardPushedAgg)
+    extends PartitionReader[InternalRow] {
+
+  private val base = ShardedSignalSource.Schema
+  private val groupIdx = pa.groupCols.map(c => base.fieldIndex(c))
+  private val aggIdx = pa.aggs.map(a => if (a.op == "count_star") -1 else base.fieldIndex(a.column))
+
+  private lazy val resultIter: Iterator[InternalRow] = {
+    val rows = new ShardedShardReader(files, shard, base)
+    // group key → accumulator array (boxed; null = no value seen yet)
+    val groups = new java.util.LinkedHashMap[Seq[Any], Array[Any]]()
+    try {
+      while (rows.next()) {
+        val r = rows.get()
+        val key = groupIdx.map(i => if (r.isNullAt(i)) null else r.get(i, base.fields(i).dataType))
+        var acc = groups.get(key)
+        if (acc == null) {
+          acc = Array.fill[Any](pa.aggs.length)(null)
+          pa.aggs.zipWithIndex.foreach { case (a, i) => if (a.op == "count_star") acc(i) = 0L }
+          groups.put(key, acc)
+        }
+        pa.aggs.zipWithIndex.foreach { case (a, i) =>
+          a.op match {
+            case "count_star" => acc(i) = acc(i).asInstanceOf[Long] + 1L
+            case "min" | "max" =>
+              val ci = aggIdx(i)
+              if (!r.isNullAt(ci)) {
+                val v = r.get(ci, base.fields(ci).dataType)
+                acc(i) =
+                  if (acc(i) == null) v
+                  else {
+                    val cmp = (v, acc(i)) match {
+                      case (a1: Int, b1: Int)       => java.lang.Integer.compare(a1, b1)
+                      case (a1: Long, b1: Long)     => java.lang.Long.compare(a1, b1)
+                      case (a1: Double, b1: Double) => java.lang.Double.compare(a1, b1)
+                      case _ => 0
+                    }
+                    if ((a.op == "min") == (cmp < 0)) v else acc(i)
+                  }
+              }
+          }
+        }
+      }
+    } finally rows.close()
+    import scala.jdk.CollectionConverters._
+    groups.entrySet().iterator().asScala.map { e =>
+      InternalRow.fromSeq((e.getKey ++ e.getValue).toIndexedSeq)
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (resultIter.hasNext) { current = resultIter.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 /** Reads one shard file; projects only the pruned columns.

@@ -6,7 +6,7 @@ import java.util.{Map => JMap}
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, Transform, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThanOrEqual, IsNotNull, LessThan}
@@ -28,6 +28,9 @@ import scala.jdk.CollectionConverters._
   *     in particular the (large) `data` payload string is never built
   *     unless asked for (`_source.includes` analog, elastic.go:67-77)
   *   - limit → per-partition early termination (`size`, elastic.go:58)
+  *   - top-K on `time` (either direction) → K-bounded per-split heap
+  *     (`sort time desc + size`, elastic.go:58-65); Spark keeps the global
+  *     merge, each split ships only its own top-K
   *
   * `spark.read.format("graft-status").load(dir)`; `.explain` shows the
   * accepted filters under `PushedFilters`. One InputPartition per file —
@@ -81,11 +84,14 @@ class StatusScanBuilder(path: String, splitBytes: Long)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = StatusV2Source.Schema
   private var limit: Int = -1
+  private var topN: Int = -1
+  private var topNDesc: Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -110,10 +116,34 @@ class StatusScanBuilder(path: String, splitBytes: Long)
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   override def isPartiallyPushed: Boolean = true
 
-  override def build(): Scan = new StatusScan(path, pushed, required, limit, splitBytes)
+  /** TopN pushdown — the reference's core page query is `sort time desc +
+    * size` pushed INTO Elasticsearch (elastic.go:58-65). Accepted for a
+    * single sort key on `time` (either direction): each split then returns
+    * only its own top-K instead of every matching row, and Spark's global
+    * `TakeOrderedAndProject` (kept, because `isPartiallyPushed` is true)
+    * merges K rows per split rather than the full scan. Null ordering
+    * needs no case split: the reader keeps up to K null-time rows
+    * alongside the K-bounded heap, a superset of the global top-K under
+    * either NULLS FIRST or LAST — the merge above discards the rest.
+    */
+  override def pushTopN(orders: Array[V2SortOrder], l: Int): Boolean = {
+    val onTime = orders.length == 1 && (orders(0).expression() match {
+      case nr: NamedReference => nr.fieldNames().length == 1 && nr.fieldNames()(0) == "time"
+      case _                  => false
+    })
+    if (onTime) {
+      topN = l
+      topNDesc = orders(0).direction() == SortDirection.DESCENDING
+      true
+    } else false
+  }
+
+  override def build(): Scan =
+    new StatusScan(path, pushed, required, limit, topN, topNDesc, splitBytes)
 }
 
-class StatusScan(path: String, filters: Array[Filter], required: StructType, limit: Int, splitBytes: Long)
+class StatusScan(path: String, filters: Array[Filter], required: StructType, limit: Int,
+    topN: Int, topNDesc: Boolean, splitBytes: Long)
     extends Scan
     with Batch {
 
@@ -121,7 +151,8 @@ class StatusScan(path: String, filters: Array[Filter], required: StructType, lim
   override def toBatch: Batch = this
 
   override def description(): String =
-    s"graft-status path=$path pushed=[${filters.mkString(", ")}] limit=$limit"
+    s"graft-status path=$path pushed=[${filters.mkString(", ")}] limit=$limit" +
+      (if (topN >= 0) s" topN=$topN time ${if (topNDesc) "DESC" else "ASC"}" else "")
 
   /** One partition per BYTE RANGE, not per file: a single huge NDJSON file
     * must not serialize into one task. Ranges are newline-aligned at read
@@ -150,7 +181,7 @@ class StatusScan(path: String, filters: Array[Filter], required: StructType, lim
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new StatusReaderFactory(filters, required, limit)
+    new StatusReaderFactory(filters, required, limit, topN, topNDesc)
 
   // Observability: malformed-line skips are a first-class metric (the
   // reference only logs them, sync.go:193-203), surfaced per-scan in the
@@ -174,11 +205,12 @@ case class SkippedLinesTaskMetric(value: Long) extends CustomTaskMetric {
   */
 case class StatusFilePartition(path: String, start: Long, end: Long) extends InputPartition
 
-class StatusReaderFactory(filters: Array[Filter], required: StructType, limit: Int)
+class StatusReaderFactory(filters: Array[Filter], required: StructType, limit: Int,
+    topN: Int, topNDesc: Boolean)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[StatusFilePartition]
-    new StatusPartitionReader(p, filters, required, limit)
+    new StatusPartitionReader(p, filters, required, limit, topN, topNDesc)
   }
 }
 
@@ -236,7 +268,8 @@ private class ByteRangeLines(path: String, start: Long, end: Long) {
   * columns. Malformed lines are skipped — the reference's bad-document
   * tolerance (`sync.go:193-203`).
   */
-class StatusPartitionReader(part: StatusFilePartition, filters: Array[Filter], required: StructType, limit: Int)
+class StatusPartitionReader(part: StatusFilePartition, filters: Array[Filter], required: StructType,
+    limit: Int, topN: Int, topNDesc: Boolean)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
@@ -244,6 +277,8 @@ class StatusPartitionReader(part: StatusFilePartition, filters: Array[Filter], r
   private var current: InternalRow = _
   private var emitted = 0
   private var skipped = 0L
+  // time (micros) of the row `advance()` just produced; null ⇒ no/bad time
+  private var currentTimeUs: java.lang.Long = _
 
   override def currentMetricsValues(): Array[CustomTaskMetric] =
     Array(SkippedLinesTaskMetric(skipped))
@@ -257,7 +292,10 @@ class StatusPartitionReader(part: StatusFilePartition, filters: Array[Filter], r
   private val timeGte: Option[Long] = filters.collectFirst { case GreaterThanOrEqual("time", v) => tsMicros(v) }
   private val timeLt: Option[Long] = filters.collectFirst { case LessThan("time", v) => tsMicros(v) }
 
-  override def next(): Boolean = {
+  /** Advance to the next line passing the pushed predicates; sets
+    * `current` (+ `currentTimeUs`). The raw streaming path.
+    */
+  private def advance(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
     var line = lines.next()
     while (line != null) {
@@ -298,6 +336,7 @@ class StatusPartitionReader(part: StatusFilePartition, filters: Array[Filter], r
                 }
               }
               current = InternalRow.fromSeq(values.toIndexedSeq)
+              currentTimeUs = timeUs.map(Long.box).orNull
               emitted += 1
               return true
             }
@@ -308,6 +347,42 @@ class StatusPartitionReader(part: StatusFilePartition, filters: Array[Filter], r
     }
     false
   }
+
+  // ── TopN mode (pushTopN accepted): ONE pass over the split keeping a
+  // K-bounded binary heap on time — desc keeps the K largest via a
+  // min-heap, asc the K smallest via a max-heap — plus up to K null-time
+  // rows (correct superset under either null ordering; Spark's retained
+  // global TakeOrdered discards extras). Memory is O(K), the rows it
+  // emits per split are ≤ 2K, and emission order is irrelevant — the
+  // merge above re-sorts. Rows are per-line fresh InternalRows, safe to
+  // retain without copy.
+  private var topNFilled = false
+  private var topNOut: java.util.ArrayDeque[InternalRow] = _
+
+  private def fillTopN(): Unit = {
+    val cmp: java.util.Comparator[(Long, InternalRow)] =
+      if (topNDesc) java.util.Comparator.comparingLong((p: (Long, InternalRow)) => p._1)
+      else java.util.Comparator.comparingLong((p: (Long, InternalRow)) => p._1).reversed()
+    val heap = new java.util.PriorityQueue[(Long, InternalRow)](math.max(topN, 1), cmp)
+    topNOut = new java.util.ArrayDeque[InternalRow]()
+    var nNulls = 0
+    while (advance()) {
+      if (currentTimeUs == null) {
+        if (nNulls < topN) { topNOut.add(current); nNulls += 1 }
+      } else {
+        heap.add((currentTimeUs.longValue(), current))
+        if (heap.size() > topN) heap.poll() // evict the worst-ranked row
+      }
+    }
+    while (!heap.isEmpty) topNOut.add(heap.poll()._2)
+  }
+
+  override def next(): Boolean =
+    if (topN >= 0) {
+      if (!topNFilled) { fillTopN(); topNFilled = true }
+      if (topNOut.isEmpty) false
+      else { current = topNOut.poll(); true }
+    } else advance()
 
   override def get(): InternalRow = current
 

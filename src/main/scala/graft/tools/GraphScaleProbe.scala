@@ -1,0 +1,140 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-6 probe (r5 verdict Next #5): measure the q140/q141 graph tier's
+  * declared scale path instead of asserting it. The brute-force 3-NN graph
+  * is exact but quadratic; the claim to verify is that swapping the
+  * neighbor stage for [[graft.operators.Similarity.lshTopK]] candidates
+  * (equi-join on band keys, never all-pairs) preserves the graph the
+  * downstream community/assortativity algebra needs.
+  *
+  * For vector tiers 1× / 4× / 10× (500 / 2000 / 5000 — the 2000 are
+  * sf0.1's real embeddings; the 5000 tier adds deterministic rotated
+  * clones, labels carried), build the undirected 3-NN edge set both ways
+  * and report: wall time each, edge recall (|LSH ∩ brute| / |brute|), and
+  * the label-purity delta of 3-round min-label LPA communities (q140's
+  * exact algebra, corpus-wide size-weighted purity). Results land in
+  * NOTES.md's scaling tables.
+  */
+object GraphScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label")).cache()
+    val base = emb.count().toInt // 2000 at sf0.1
+
+    /** Tier of n vectors: the real corpus, then rotated clones above it —
+      * rotation keeps norms and label structure but yields distinct
+      * directions, so the kNN graph stays non-degenerate.
+      */
+    def tier(n: Int): DataFrame =
+      if (n <= base) emb.where(col("vec_id") < n)
+      else {
+        val copies = (1 to ((n - 1) / base)).map { i =>
+          emb.select((col("vec_id") + lit(base.toLong * i)).as("vec_id"),
+            expr(s"concat(slice(embedding, ${i + 1}, ${64 - i}), slice(embedding, 1, $i))")
+              .as("embedding"),
+            col("label"))
+        }
+        (emb +: copies).reduce(_ union _).where(col("vec_id") < n)
+      }
+
+    def undirected(knn: DataFrame): DataFrame =
+      knn.select(least(col("query_id"), col("neighbor_id")).as("u"),
+          greatest(col("query_id"), col("neighbor_id")).as("v"))
+        .distinct().cache()
+
+    /** q140's 3-round min-label LPA → (n communities, size-weighted purity). */
+    def lpaPurity(e: DataFrame, members: DataFrame): (Long, Double) = {
+      val und = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v"))).cache()
+      var labels = und.select(col("u").as("w")).distinct().withColumn("lbl", col("w"))
+      for (_ <- 1 to 3) {
+        val fromNbr = und.join(labels.withColumnRenamed("w", "v").withColumnRenamed("lbl", "vl"), "v")
+          .groupBy(col("u").as("w")).agg(min(col("vl")).as("nl"))
+        labels = labels.join(fromNbr, Seq("w"), "left_outer")
+          .select(col("w"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+          .cache()
+      }
+      val counts = labels.join(members.select(col("vec_id").as("w"), col("label")), "w")
+        .groupBy(col("lbl"), col("label")).agg(count(lit(1)).as("n"))
+      val r = counts.groupBy(col("lbl"))
+        .agg(max(struct(col("n"), col("label"))).as("b"), sum(col("n")).as("sz"))
+        .agg(sum(col("b.n")), sum(col("sz")), count(lit(1))).head()
+      und.unpersist()
+      (r.getLong(2), r.getLong(0).toDouble / r.getLong(1))
+    }
+
+    println("[graph-scale] tier  brute_s  lsh_s  edges_bf  edges_lsh  recall  purity_bf  purity_lsh  cand_frac")
+    Seq(base / 4, base, base * 5 / 2, base * 5).foreach { n =>
+      val vecs = tier(n).cache(); vecs.count()
+      val corpus = graft.operators.Similarity.prepare(vecs, "vec_id", "embedding").cache()
+      corpus.count()
+      val t0 = System.nanoTime()
+      val bf = undirected(graft.operators.Similarity.bruteForceTopK(corpus, corpus, 3))
+      val nBf = bf.count()
+      val tBf = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val lsh = undirected(graft.operators.Similarity.lshTopK(corpus, corpus, 3, 64))
+      val nLsh = lsh.count()
+      val tLsh = (System.nanoTime() - t1) / 1e9
+      val hit = bf.join(lsh, Seq("u", "v")).count()
+      val (_, pBf) = lpaPurity(bf, vecs)
+      val (_, pLsh) = lpaPurity(lsh, vecs)
+      // candidate volume the LSH band join actually generated, as a
+      // fraction of the n^2 all-pairs the brute tier scores
+      val banded = corpus.select(col("vid"),
+        posexplode(array(graft.operators.Similarity.lshBandKeys(col("v"), 64): _*))
+          .as(Seq("band", "key")))
+      val cands = banded.join(banded.select(col("vid").as("q"), col("band"), col("key")), Seq("band", "key"))
+        .where(col("vid") =!= col("q")).select(col("vid"), col("q")).distinct().count()
+      println(f"[graph-scale] $n%5d ${tBf}%7.2f ${tLsh}%6.2f $nBf%9d $nLsh%9d " +
+        f"${hit.toDouble / nBf}%6.3f ${pBf}%9.4f ${pLsh}%10.4f ${cands.toDouble / (n.toDouble * n)}%9.4f")
+      vecs.unpersist(); corpus.unpersist(); bf.unpersist(); lsh.unpersist()
+    }
+
+    // ── Planted-cluster companion: the driver's synthetic embeddings are
+    // ISOTROPIC (within-label mean cosine ≈ 0.0008 vs cross ≈ 0.0000 —
+    // measured), the known hard case where any sublinear ANN's recall
+    // collapses to its candidate fraction. Real embedding corpora are
+    // clustered; to measure the operator's recall where structure exists,
+    // plant 10 deterministic cluster directions + noise at three
+    // signal-to-noise levels and repeat the comparison.
+    println("[graph-planted] sigma  n  brute_s  lsh_s  recall  purity_bf  purity_lsh")
+    Seq(0.5, 1.0, 2.0).foreach { sigma =>
+      val n = 5000
+      val rnd = new scala.util.Random(4242)
+      val centroids = Array.fill(10, 64)(rnd.nextGaussian())
+      val rows = (0 until n).map { i =>
+        val c = i % 10
+        val v = Array.tabulate(64)(j => centroids(c)(j) + sigma * rnd.nextGaussian())
+        (i.toLong, v.toSeq, c.toLong)
+      }
+      val vecs = spark.createDataFrame(rows).toDF("vec_id", "embedding", "label").cache()
+      val corpus = graft.operators.Similarity.prepare(vecs, "vec_id", "embedding").cache()
+      corpus.count()
+      val t0 = System.nanoTime()
+      val bf = undirected(graft.operators.Similarity.bruteForceTopK(corpus, corpus, 3))
+      val nBf = bf.count()
+      val tBf = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val lsh = undirected(graft.operators.Similarity.lshTopK(corpus, corpus, 3, 64))
+      lsh.count()
+      val tLsh = (System.nanoTime() - t1) / 1e9
+      val hit = bf.join(lsh, Seq("u", "v")).count()
+      val (_, pBf) = lpaPurity(bf, vecs)
+      val (_, pLsh) = lpaPurity(lsh, vecs)
+      println(f"[graph-planted] $sigma%5.1f $n%5d ${tBf}%7.2f ${tLsh}%6.2f " +
+        f"${hit.toDouble / nBf}%6.3f ${pBf}%9.4f ${pLsh}%10.4f")
+      vecs.unpersist(); corpus.unpersist(); bf.unpersist(); lsh.unpersist()
+    }
+    spark.stop()
+  }
+}

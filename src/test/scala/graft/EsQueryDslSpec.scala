@@ -66,6 +66,14 @@ class EsQueryDslSpec extends AnyFunSuite {
     assert(!range.has("gt") && !range.has("lte"))
   }
 
+  test("pushed TopN direction surfaces in the sort clause") {
+    val desc = mapper.readTree(EsQueryDsl.searchRequest(filters, Nil, 10, sortDesc = true))
+    assert(desc.path("sort").get(0).path("time").path("order").asText() === "desc")
+    val asc = mapper.readTree(EsQueryDsl.searchRequest(filters, Nil, 10, sortDesc = false))
+    assert(asc.path("sort").get(0).path("time").path("order").asText() === "asc")
+    assert(asc.path("size").asInt() === 10)
+  }
+
   test("pushdown-state round trip: the DSv2 scan's accepted filters translate") {
     // the same filter classes StatusScanBuilder accepts are the inputs here;
     // a subject-only scan emits just the match clause

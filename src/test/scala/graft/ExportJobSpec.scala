@@ -64,4 +64,24 @@ class ExportJobSpec extends SparkTestBase {
       java.nio.file.Paths.get(s"$out/LATEST")), "UTF-8")
     assert(latest === "v2")
   }
+
+  test("publish skips a version directory created by a concurrent exporter") {
+    // ADVICE r5: a racing exporter can allocate the same vN. Simulate the
+    // simplest collision — the destination already exists when allocation
+    // picks it (an empty v-dir, as a racer mid-rename would leave) — and
+    // require the publish to land intact in the NEXT version, with the
+    // squatter directory untouched (no nested tmp inside it).
+    val out = Files.createTempDirectory("graft-export3").toString
+    ExportJob.run(spark, sf, out, nShards = 2) // v1
+    val squatter = new java.io.File(s"$out/v2"); squatter.mkdirs()
+    val r = ExportJob.run(spark, sf, out, nShards = 2)
+    assert(r.version === "v3", s"collided version must be skipped, got ${r.version}")
+    assert(new java.io.File(s"${r.path}/_SUCCESS").exists())
+    assert(spark.read.parquet(s"${r.path}/data").count() === r.nDocs)
+    assert(Option(squatter.listFiles()).getOrElse(Array.empty).isEmpty,
+      "the squatter's directory must not receive a nested snapshot")
+    val latest = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/LATEST")), "UTF-8")
+    assert(latest === "v3")
+  }
 }

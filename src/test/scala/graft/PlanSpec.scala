@@ -367,6 +367,28 @@ class PlanSpec extends SparkTestBase {
       "per-user aggregate must reuse the merge join's clustering\n" + p)
   }
 
+  test("q181 sharded watermark: COUNT/MIN pushed into the key-grouped scan") {
+    val p = plan("q181_sharded_watermark")
+    assert(p.contains("pushedAgg=[groups=token_id aggs=count_star(),min(ts_us)]"),
+      s"the watermark fragment must compute inside the scan\n$p")
+  }
+
+  test("q182 sharded SPJ: aggregations and join all zero-exchange") {
+    val df = SparkEntry.queries("q182_sharded_spj")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("Exchange"),
+      s"same-layout storage-partitioned join must not shuffle either side\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"the SPJ path, not a broadcast, is the declared 100 TB plan\n$p")
+  }
+
+  test("q183 sharded DISTINCT tokens is a pushed group-by") {
+    val p = plan("q183_sharded_tokens")
+    assert(p.contains("pushedAgg=[groups=token_id aggs=]"),
+      s"DISTINCT token_id must reach the scan\n$p")
+  }
+
   test("entry flagship query produces rows and a non-degenerate plan") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)

@@ -66,6 +66,116 @@ class ShardedSourceSpec extends SparkTestBase {
     }
   }
 
+  test("shard=K directory layout (partitionBy output) reads key-grouped") {
+    val dir = Files.createTempDirectory("graft-sharded-dirs").toFile
+    (0 until 4).foreach { s =>
+      val sub = new java.io.File(dir, s"shard=$s"); sub.mkdirs()
+      (0 until 2).foreach { part =>
+        val w = new java.io.PrintWriter(new java.io.File(sub, f"part-$part%05d.csv"))
+        (0 until 10).foreach { i => w.println(s"${s + (i % 3) * 4},${1000L * i},sig,${i * 1.0}") }
+        w.close()
+      }
+      // hidden/metadata files must be ignored
+      new java.io.File(sub, "_committed").createNewFile()
+    }
+    val df = spark.read.format("graft-sharded").load(dir.getAbsolutePath)
+    assert(df.count() === 80)
+    assert(df.rdd.getNumPartitions === 4) // one partition per shard, parts chained
+    withBucketing {
+      val agg = spark.read.format("graft-sharded").load(dir.getAbsolutePath)
+        .groupBy("shard", "token_id")
+        .agg(org.apache.spark.sql.functions.count("*").as("n"))
+      agg.collect()
+      val plan = agg.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!plan.contains("Exchange"), s"dir layout must keep the key grouping:\n$plan")
+    }
+  }
+
+  test("aggregate pushdown: per-token count/min/max computed inside the scan") {
+    val dir = writeShards(4, 50)
+    val df = spark.read.format("graft-sharded").load(dir)
+    val q = df.groupBy("token_id")
+      .agg(org.apache.spark.sql.functions.count("*").as("n"),
+        org.apache.spark.sql.functions.min("ts_us").as("min_ts"),
+        org.apache.spark.sql.functions.max("v").as("max_v"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAgg=[groups=token_id aggs=count_star(),min(ts_us),max(v)]"),
+      s"aggregation must reach the scan:\n$plan")
+    // values must equal the unpushed computation (distinct plan shapes)
+    val pushed = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    val plain = df.selectExpr("token_id", "ts_us", "v").collect()
+      .groupBy(_.getLong(0)).map { case (t, rows) =>
+        (t, rows.length.toLong, rows.map(_.getLong(1)).min, rows.map(_.getDouble(2)).max)
+      }.toArray.sortBy(_._1)
+    assert(pushed.toSeq === plain.toSeq)
+  }
+
+  test("aggregate pushdown: DISTINCT token_id is a pushed group-by") {
+    val dir = writeShards(4, 50)
+    val df = spark.read.format("graft-sharded").load(dir)
+    val q = df.select("token_id").distinct()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAgg=[groups=token_id aggs=]"),
+      s"DISTINCT must reach the scan:\n$plan")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq ===
+      df.collect().map(_.getLong(1)).distinct.sorted.toSeq)
+  }
+
+  test("grouping on the clustering column declines pushdown, keeps zero-exchange") {
+    // pushed-partial + exchange loses to complete-without-exchange: the
+    // builder must NOT push when `shard` is in the grouping (the rewrite's
+    // group-col aliasing would break KeyGroupedPartitioning propagation)
+    val dir = writeShards(4, 50)
+    withBucketing {
+      val q = spark.read.format("graft-sharded").load(dir)
+        .groupBy("shard", "token_id")
+        .agg(org.apache.spark.sql.functions.count("*").as("n"))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!plan.contains("pushedAgg"), plan)
+      assert(!plan.contains("Exchange"),
+        s"key grouping must still elide the shuffle:\n$plan")
+      assert(q.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0) === 200)
+    }
+  }
+
+  test("non-pushable aggregates leave the scan untouched (sum stays Spark-side)") {
+    val dir = writeShards(4, 30)
+    val q = spark.read.format("graft-sharded").load(dir)
+      .groupBy("token_id").agg(org.apache.spark.sql.functions.sum("v").as("sv"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("pushedAgg"), plan)
+    assert(q.count() > 0)
+  }
+
+  test("malformed rows fail with file/line context; empty numerics map to null") {
+    val dir = Files.createTempDirectory("graft-sharded-bad").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "shard=0.csv"))
+    w.println("1,1000,sig_a,2.5")
+    w.println(",,sig_b,") // empty numerics → null row values, not a crash
+    w.println("7,2000,sig_c,oops") // non-numeric v → task failure with context
+    w.close()
+    val df = spark.read.format("graft-sharded").load(dir.getAbsolutePath)
+    val e = intercept[Throwable] { df.collect() }
+    val msg = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msg.contains("shard=0.csv") && msg.contains("non-numeric v")
+      && msg.contains("oops"), s"error must carry file+line context, got: $msg")
+
+    // without the poisoned line, the empty-numeric row honors the nullable schema
+    val dir2 = Files.createTempDirectory("graft-sharded-null").toFile
+    val w2 = new java.io.PrintWriter(new java.io.File(dir2, "shard=0.csv"))
+    w2.println("1,1000,sig_a,2.5")
+    w2.println(",,sig_b,")
+    w2.close()
+    val rows = spark.read.format("graft-sharded").load(dir2.getAbsolutePath)
+      .orderBy("name").collect()
+    assert(rows.length === 2)
+    assert(!rows(0).isNullAt(1) && rows(0).getLong(1) === 1L)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2) && rows(1).isNullAt(4))
+    assert(rows(1).getString(3) === "sig_b")
+  }
+
   test("storage-partitioned join: neither side shuffles") {
     val dirA = writeShards(4, 40)
     val dirB = writeShards(4, 20)

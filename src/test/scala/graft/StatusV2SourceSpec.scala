@@ -56,6 +56,46 @@ class StatusV2SourceSpec extends SparkTestBase {
     assert(q.collect().length === 2)
   }
 
+  test("topN on time pushes into the scan, both directions") {
+    val q = read.orderBy(col("time").desc).limit(2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("topN=2 time DESC"), plan)
+    assert(q.select("id").collect().map(_.getString(0)).toSeq === Seq("d", "c"))
+    val qa = read.orderBy(col("time").asc).limit(2)
+    assert(qa.queryExecution.executedPlan.toString.contains("topN=2 time ASC"))
+    assert(qa.select("id").collect().map(_.getString(0)).toSeq === Seq("a", "b"))
+  }
+
+  test("topN on a non-time column is NOT pushed (scan stays correct)") {
+    val q = read.orderBy(col("subject").desc, col("time").desc).limit(2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("topN="), plan)
+    assert(q.select("id").collect().map(_.getString(0)).toSeq === Seq("d", "c"))
+  }
+
+  test("topN bounds per-split output: K rows per range, not the full scan") {
+    val d = Files.createTempDirectory("graft-v2topn")
+    val n = 5000
+    val lines = (0 until n).map { i =>
+      s"""{"id":"doc$i","subject":"${i % 7}","source":"s","specversion":"1.0","time":"2024-01-01T${"%02d".format(i / 3600)}:${"%02d".format((i / 60) % 60)}:${"%02d".format(i % 60)}Z","data":{"speed":$i}}"""
+    }
+    Files.writeString(d.resolve("big.ndjson"), lines.mkString("\n"))
+    val split = spark.read.format("graft-status")
+      .option("splitBytes", 64 * 1024)
+      .load(d.toString)
+    val k = 3
+    val q = split.orderBy(col("time").desc).limit(k)
+    assert(q.select("id").collect().map(_.getString(0)).toSeq
+      === Seq(s"doc${n - 1}", s"doc${n - 2}", s"doc${n - 3}"))
+    // the scan shipped ≤ K rows per byte range — not the 5000-row corpus
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .find(_.getClass.getSimpleName == "BatchScanExec").get
+    val parts = split.rdd.getNumPartitions
+    val out = scan.metrics("numOutputRows").value
+    assert(out <= parts.toLong * k, s"scan emitted $out rows over $parts ranges")
+    assert(out < n.toLong / 2, s"scan emitted $out — looks like a full scan")
+  }
+
   test("skipped malformed lines surface as a scan metric") {
     val df = read
     assert(df.collect().length === 4) // executes THIS plan, populating its metrics
