@@ -66,6 +66,27 @@ class StatusV2SourceSpec extends SparkTestBase {
     assert(qa.select("id").collect().map(_.getString(0)).toSeq === Seq("a", "b"))
   }
 
+  test("topN keeps null-time rows available for the global merge") {
+    val d = Files.createTempDirectory("graft-v2topn-null")
+    Files.writeString(d.resolve("n.ndjson"), Seq(
+      """{"id":"t1","subject":"1","source":"s","specversion":"1.0","time":"2024-01-01T00:00:01Z","data":{}}""",
+      """{"id":"t2","subject":"1","source":"s","specversion":"1.0","time":"2024-01-01T00:00:02Z","data":{}}""",
+      """{"id":"x1","subject":"1","source":"s","specversion":"1.0","data":{}}""",
+      """{"id":"x2","subject":"1","source":"s","specversion":"1.0","time":"not-a-time","data":{}}"""
+    ).mkString("\n"))
+    val read = spark.read.format("graft-status").load(d.toString)
+    // NULLS LAST (default desc): k=3 must surface one null-time row
+    val got = read.orderBy(col("time").desc_nulls_last).limit(3)
+      .select("id").collect().map(_.getString(0))
+    assert(got.take(2).toSeq === Seq("t2", "t1"))
+    assert(Set("x1", "x2").contains(got(2)), got.mkString(","))
+    // NULLS FIRST: the null-time rows win
+    val first = read.orderBy(col("time").desc_nulls_first).limit(3)
+      .select("id").collect().map(_.getString(0))
+    assert(first.take(2).toSet === Set("x1", "x2"))
+    assert(first(2) === "t2")
+  }
+
   test("topN on a non-time column is NOT pushed (scan stays correct)") {
     val q = read.orderBy(col("subject").desc, col("time").desc).limit(2)
     val plan = q.queryExecution.executedPlan.toString

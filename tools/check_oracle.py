@@ -9,14 +9,68 @@ Usage: python3 tools/check_oracle.py [sfdir] [outdir]
 """
 import json
 import math
+import shutil
 import subprocess
 import sys
+import tempfile
 
 import duckdb
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# JVM flags mirroring build.sbt's forked-run options (Spark 4 on JDK 17).
+ADD_OPENS_PKGS = [
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+]
+
+
+def run_verify_from_snapshot():
+    """Compile via sbt, then run graft.Verify from a SNAPSHOT of the
+    compiled classes with plain `java`. The snapshot is what kills the
+    classfile race (r5 verdict "What's wrong" #1): the Verify JVM
+    lazy-loads query classes over its whole run, and a CONCURRENT sbt
+    compile swapping target/'s classfiles under it corrupts the run —
+    seen as a spurious hash mismatch in the r5 driver gate. With the
+    copy, a compile during the gate touches target/, not the classpath
+    the running JVM reads.
+    """
+    print(f"running Verify on {SF} -> {OUT}", flush=True)
+    c = subprocess.run(["sbt", "-batch", "compile"], capture_output=True,
+                       text=True, cwd="/root/repo")
+    if c.returncode != 0:
+        print(c.stdout[-4000:])
+        print(c.stderr[-4000:])
+        sys.exit(1)
+    snap = tempfile.mkdtemp(prefix="graft-gate-classes-")
+    shutil.copytree("/root/repo/target/scala-2.13/classes", snap,
+                    dirs_exist_ok=True)
+    cmd = ["java"]
+    for p in ADD_OPENS_PKGS:
+        cmd += ["--add-opens", f"{p}=ALL-UNNAMED"]
+    cmd += [
+        "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC",
+        "-Xmx32g",
+        "-cp", f"{snap}:/opt/spark/jars/*",
+        "graft.Verify", SF, OUT,
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+    shutil.rmtree(snap, ignore_errors=True)
+    if r.returncode != 0:
+        print(r.stdout[-4000:])
+        print(r.stderr[-4000:])
+        sys.exit(1)
+    for line in r.stderr.splitlines():
+        if "[verify]" in line:
+            print(line)
 
 
 def norm(v):
@@ -38,17 +92,7 @@ def canon(rows, cols):
 
 
 def main():
-    print(f"running Verify on {SF} -> {OUT}", flush=True)
-    r = subprocess.run(
-        ["sbt", f'runMain graft.Verify {SF} {OUT}'],
-        capture_output=True, text=True, cwd="/root/repo")
-    if r.returncode != 0:
-        print(r.stdout[-4000:])
-        print(r.stderr[-4000:])
-        sys.exit(1)
-    for line in r.stderr.splitlines():
-        if "[verify]" in line:
-            print(line)
+    run_verify_from_snapshot()
 
     con = duckdb.connect()
     for t in TABLES:
