@@ -7,9 +7,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -142,7 +142,26 @@ class ShardedScanBuilder(path: String) extends ScanBuilder
 }
 
 class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPushedAgg] = None)
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning with SupportsRuntimeFiltering {
+
+  /** Runtime (DPP-style) filtering on the clustering column: when a join's
+    * build side finishes, Spark hands the scan an IN-set of shard values
+    * and re-plans input partitions — whole shard FILES are skipped before
+    * a byte is read. At 100 TB this is partition pruning against the
+    * MergeTree-style layout: a join against this month's active tokens
+    * reads only the shards those tokens hash to.
+    */
+  @volatile private var runtimeShards: Option[Set[Int]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("shard"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("shard", vs) =>
+      runtimeShards = Some(vs.collect { case n: Number => n.intValue() }.toSet)
+    case EqualTo("shard", v: Number) => runtimeShards = Some(Set(v.intValue()))
+    case _ => () // unsupported runtime filter: ignore (filters are advisory)
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -177,9 +196,11 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    shardFiles.map { case (shard, fs) =>
-      ShardPartition(fs.map(_.getAbsolutePath), shard): InputPartition
-    }
+    shardFiles
+      .filter { case (shard, _) => runtimeShards.forall(_.contains(shard)) }
+      .map { case (shard, fs) =>
+        ShardPartition(fs.map(_.getAbsolutePath), shard): InputPartition
+      }
 
   /** The contract that elides the shuffle: rows are clustered by the
     * identity of `shard`, in exactly `shardFiles.length` groups whose

@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, Transform, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThanOrEqual, IsNotNull, LessThan}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThanOrEqual, In, IsNotNull, LessThan}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -145,7 +145,28 @@ class StatusScanBuilder(path: String, splitBytes: Long)
 class StatusScan(path: String, filters: Array[Filter], required: StructType, limit: Int,
     topN: Int, topNDesc: Boolean, splitBytes: Long)
     extends Scan
-    with Batch {
+    with Batch
+    with SupportsRuntimeFiltering {
+
+  /** Runtime (DPP-style) filtering on `subject` — the ES `terms` query
+    * analog: when a join's build side completes, Spark hands the scan the
+    * actual subject set and partitions are RE-planned carrying it, so
+    * every reader drops non-matching documents at parse time instead of
+    * shipping them into the join. The set rides inside the re-planned
+    * [[StatusFilePartition]]s (not scan state) so it serializes to
+    * executors regardless of when the reader factory was created.
+    */
+  @volatile private var runtimeSubjects: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("subject"))
+
+  override def filter(runtimeFilters: Array[Filter]): Unit = runtimeFilters.foreach {
+    case In("subject", vs) =>
+      runtimeSubjects = Some(vs.collect { case s: String => s }.toSet)
+    case EqualTo("subject", v: String) => runtimeSubjects = Some(Set(v))
+    case _ => () // unsupported runtime filter: ignore (advisory)
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -168,13 +189,13 @@ class StatusScan(path: String, filters: Array[Filter], required: StructType, lim
       else Array(path)
     files.flatMap { p =>
       val len = new java.io.File(p).length()
-      if (len <= splitBytes) Seq(StatusFilePartition(p, 0L, Long.MaxValue): InputPartition)
+      if (len <= splitBytes) Seq(StatusFilePartition(p, 0L, Long.MaxValue, runtimeSubjects): InputPartition)
       else {
         val n = ((len + splitBytes - 1) / splitBytes).toInt
         (0 until n).map { i =>
           val start = i * splitBytes
           val end = math.min(start + splitBytes, len)
-          StatusFilePartition(p, start, end): InputPartition
+          StatusFilePartition(p, start, end, runtimeSubjects): InputPartition
         }
       }
     }
@@ -202,8 +223,10 @@ case class SkippedLinesTaskMetric(value: Long) extends CustomTaskMetric {
 /** Byte range of one NDJSON file; owns the lines starting in `(start,
   * end]`, plus the first line when `start = 0` (see [[ByteRangeLines]]).
   * `end = Long.MaxValue` means "to EOF" (whole-file partition).
+  * `subjectIn`: runtime-filter subject set (None = no runtime filter).
   */
-case class StatusFilePartition(path: String, start: Long, end: Long) extends InputPartition
+case class StatusFilePartition(path: String, start: Long, end: Long,
+    subjectIn: Option[Set[String]] = None) extends InputPartition
 
 class StatusReaderFactory(filters: Array[Filter], required: StructType, limit: Int,
     topN: Int, topNDesc: Boolean)
@@ -313,6 +336,7 @@ class StatusPartitionReader(part: StatusFilePartition, filters: Array[Filter], r
             }
             val pass =
               subjectEq.forall(s => subject.contains(s)) &&
+                part.subjectIn.forall(set => subject.exists(set.contains)) &&
                 timeGte.forall(g => timeUs.exists(_ >= g)) &&
                 timeLt.forall(l => timeUs.exists(_ < l))
             if (pass) {

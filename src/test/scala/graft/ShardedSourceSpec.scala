@@ -148,6 +148,30 @@ class ShardedSourceSpec extends SparkTestBase {
     assert(q.count() > 0)
   }
 
+  test("runtime filtering prunes entire shards on a selective dim join") {
+    val dir = writeShards(8, 50)
+    withConfs(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "10.0") {
+      import org.apache.spark.sql.functions.col
+      val fact = spark.read.format("graft-sharded").load(dir)
+      val dim = spark.range(0, 8).select(col("id").cast("int").as("shard"))
+        .where(col("shard") < 2)
+      val j = fact.join(dim, Seq("shard"))
+      assert(j.collect().length === 100) // shards 0,1 × 50 rows
+      val planStr = j.queryExecution.executedPlan.toString
+      assert(planStr.contains("RuntimeFilters: [dynamicpruning"),
+        s"the dim join must inject a runtime filter into the scan:\n$planStr")
+      val scan = findScan(j, "graft_sharded")
+      // numOutputRows = 100 PROVES file-level pruning: the reader has no
+      // row-level shard predicate, so the only way the scan emits exactly
+      // the two surviving shards' rows is that the other six shard files
+      // were never planned as partitions at all.
+      assert(scan.metrics("numOutputRows").value === 100,
+        s"scan emitted ${scan.metrics("numOutputRows").value} rows — shards not pruned")
+    }
+  }
+
   test("malformed rows fail with file/line context; empty numerics map to null") {
     val dir = Files.createTempDirectory("graft-sharded-bad").toFile
     val w = new java.io.PrintWriter(new java.io.File(dir, "shard=0.csv"))

@@ -117,6 +117,33 @@ class StatusV2SourceSpec extends SparkTestBase {
     assert(out < n.toLong / 2, s"scan emitted $out — looks like a full scan")
   }
 
+  test("runtime subject filter reaches the readers via re-planned partitions") {
+    val conf = spark.conf
+    val prev = Seq("spark.sql.optimizer.dynamicPartitionPruning.useStats",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+      .map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10.0")
+    try {
+      // the dim must keep a real Filter node (a pre-folded LocalRelation
+      // fails DPP's selective-predicate check)
+      val dim = spark.range(0, 3).select(col("id").cast("string").as("subject"))
+        .where(col("subject") === "1")
+      val j = read.join(dim, Seq("subject"))
+      assert(j.collect().length === 2) // docs a, b
+      val planStr = j.queryExecution.executedPlan.toString
+      assert(planStr.contains("RuntimeFilters: [dynamicpruning"),
+        s"the dim join must inject a runtime subject filter:\n$planStr")
+      val scan = findScan(j, "graft_status")
+      // subject-2 documents were dropped at parse time, not in the join
+      assert(scan.metrics("numOutputRows").value === 2,
+        s"scan emitted ${scan.metrics("numOutputRows").value} rows — runtime filter not applied")
+    } finally prev.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("skipped malformed lines surface as a scan metric") {
     val df = read
     assert(df.collect().length === 4) // executes THIS plan, populating its metrics
