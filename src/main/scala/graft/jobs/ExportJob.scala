@@ -104,10 +104,14 @@ object ExportJob {
     // next version number = max existing + 1, safe under CONCURRENT
     // exporters (ADVICE r5): two racing publishers can allocate the same
     // vN, and HDFS rename(tmp, existingDir) silently moves tmp INSIDE the
-    // winner's directory instead of failing. So after every rename we
-    // verify the destination is OUR snapshot (its _SUCCESS is top-level,
-    // not nested under tmp's name); on collision the nested tmp is pulled
-    // back out and version allocation retries.
+    // winner's directory instead of failing. The collision probe is the
+    // NESTED-TMP check, not _SUCCESS: a racing winner's snapshot also has
+    // a top-level _SUCCESS, so the only reliable signal that dest is OUR
+    // renamed tmp is that no child named after tmp exists inside it (our
+    // snapshot contains exactly data/, manifest.json, _SUCCESS). On
+    // collision the nested tmp is pulled back out and version allocation
+    // retries; a rename that fails while dest is still absent is NOT a
+    // race and fails fast with its own diagnostic.
     var version: String = null
     var published = false
     var attempt = 0
@@ -118,13 +122,20 @@ object ExportJob {
         .map(_.getPath.getName.stripPrefix("v")).flatMap(_.toIntOption)
       version = s"v${if (existing.isEmpty) 1 else existing.max + 1}"
       val dest = new Path(outDir, version)
-      if (!fs.exists(dest) && fs.rename(tmp, dest)) {
-        if (fs.exists(new Path(dest, "_SUCCESS"))) published = true
-        else {
-          // rename nested us inside a concurrently-created dest: recover tmp
+      if (!fs.exists(dest)) {
+        if (fs.rename(tmp, dest)) {
           val nested = new Path(dest, tmp.getName)
-          require(fs.exists(nested) && fs.rename(nested, tmp),
-            s"publish collided on $version and recovery rename failed")
+          if (!fs.exists(nested)) published = true // dest IS our renamed tmp
+          else {
+            // a racer created dest between our exists-check and rename,
+            // and the rename nested us inside the winner: recover and retry
+            require(fs.rename(nested, tmp),
+              s"publish collided on $version and recovery rename failed")
+          }
+        } else {
+          // rename refused while dest absent: permissions / missing tmp /
+          // cross-fs — not a race, do not spin the allocation loop
+          require(fs.exists(dest), s"publish rename failed for $version (non-collision)")
         }
       }
     }

@@ -43,6 +43,73 @@ object Pipeline3Queries {
       .cache()
   }
 
+  /** 3-round min-label LPA over an undirected edge set `e(u, v)` plus the
+    * size-weighted majority-label purity readout — the community machinery
+    * shared by q140 (exact 3-NN graph) and q184 (LSH-candidate graph). One
+    * definition so the rounds, tie-breaks, and purity arithmetic cannot
+    * drift between the two declared variants.
+    */
+  private def lpaCommunities(s: org.apache.spark.sql.SparkSession, d: String,
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val und = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+      .cache()
+    var labels = und.select(col("u").as("w")).distinct()
+      .withColumn("lbl", col("w"))
+    for (_ <- 1 to 3) {
+      val fromNbr = und.join(labels.withColumnRenamed("w", "v")
+          .withColumnRenamed("lbl", "vl"), "v")
+        .groupBy(col("u").as("w")).agg(min(col("vl")).as("nl"))
+      // cache per round (q113's iterative discipline): `labels` feeds
+      // BOTH the carry-forward and the neighbor aggregate, so without
+      // the cache each round doubles the replayed lineage (2^rounds
+      // copies of the edge subtree by round 3)
+      labels = labels.join(fromNbr, Seq("w"), "left_outer")
+        .select(col("w"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        .cache()
+    }
+    val mem = labels.join(
+      emb(s, d).select(col("vec_id").as("w"), col("label")), "w")
+    val counts = mem.groupBy(col("lbl"), col("label")).agg(count(lit(1)).as("n"))
+    val best = counts.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lbl"))
+          .orderBy(col("n").desc, col("label").asc)))
+      .where(col("rk") === 1)
+      .select(col("lbl"), col("label").as("majority_label"), col("n").as("n_majority"))
+    counts.groupBy(col("lbl")).agg(sum(col("n")).as("sz"))
+      .join(best, "lbl")
+      .select(col("lbl").as("community"), col("sz"), col("majority_label"),
+        expr("(n_majority * 1000000) div sz").as("purity_ppm"))
+      .orderBy(col("sz").desc, col("community").asc).limit(10)
+  }
+
+  /** Oracle tail replaying [[lpaCommunities]], appended after a WITH list
+    * that defines `e(u, v)` (and the `embeddings` base table).
+    */
+  private val LpaOracleTail: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""n$i AS (SELECT und.u w, min(l${i - 1}.lbl) nl
+         FROM und JOIN l${i - 1} ON l${i - 1}.w = und.v GROUP BY 1),
+       l$i AS (SELECT l.w, least(l.lbl, coalesce(n.nl, l.lbl)) lbl
+               FROM l${i - 1} l LEFT JOIN n$i n USING (w))"""
+    }.mkString(",\n        ")
+    s"""und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        l0 AS (SELECT DISTINCT u w, u lbl FROM und),
+        $rounds,
+        mem AS (SELECT l3.w, l3.lbl, emb2.label
+                FROM l3 JOIN (SELECT vec_id, label FROM embeddings) emb2
+                  ON emb2.vec_id = l3.w),
+        cnts AS (SELECT lbl, label, count(*)::BIGINT n FROM mem GROUP BY 1, 2),
+        best AS (SELECT lbl, label majority_label, n n_majority FROM (
+                   SELECT *, row_number() OVER (PARTITION BY lbl
+                     ORDER BY n DESC, label ASC) rk FROM cnts) WHERE rk = 1),
+        sz AS (SELECT lbl, sum(n)::BIGINT sz FROM cnts GROUP BY 1)
+        SELECT sz.lbl community, sz.sz, best.majority_label,
+          CAST(best.n_majority * 1000000 // sz.sz AS BIGINT) purity_ppm
+        FROM sz JOIN best USING (lbl)
+        ORDER BY sz DESC, community ASC LIMIT 10"""
+  }
+
   /** Oracle CTEs replaying the 3-NN graph: q50's sequential-fold cosine,
     * row_number ranks with (cos DESC, id ASC) ties, undirected dedup.
     */
@@ -159,63 +226,9 @@ object Pipeline3Queries {
     //    label ASC) so ties never diverge.
     QueryDef(
       "q140_communities",
-      (s, d) => {
-        val e = knnEdges(s, d)
-        val und = e.select(col("u"), col("v"))
-          .union(e.select(col("v").as("u"), col("u").as("v")))
-          .cache()
-        var labels = und.select(col("u").as("w")).distinct()
-          .withColumn("lbl", col("w"))
-        for (_ <- 1 to 3) {
-          val fromNbr = und.join(labels.withColumnRenamed("w", "v")
-              .withColumnRenamed("lbl", "vl"), "v")
-            .groupBy(col("u").as("w")).agg(min(col("vl")).as("nl"))
-          // cache per round (q113's iterative discipline): `labels` feeds
-          // BOTH the carry-forward and the neighbor aggregate, so without
-          // the cache each round doubles the replayed lineage (2^rounds
-          // copies of the kNN subtree by round 3)
-          labels = labels.join(fromNbr, Seq("w"), "left_outer")
-            .select(col("w"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-            .cache()
-        }
-        val mem = labels.join(
-          emb(s, d).select(col("vec_id").as("w"), col("label")), "w")
-        val counts = mem.groupBy(col("lbl"), col("label")).agg(count(lit(1)).as("n"))
-        val best = counts.withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("lbl"))
-              .orderBy(col("n").desc, col("label").asc)))
-          .where(col("rk") === 1)
-          .select(col("lbl"), col("label").as("majority_label"), col("n").as("n_majority"))
-        counts.groupBy(col("lbl")).agg(sum(col("n")).as("sz"))
-          .join(best, "lbl")
-          .select(col("lbl").as("community"), col("sz"), col("majority_label"),
-            expr("(n_majority * 1000000) div sz").as("purity_ppm"))
-          .orderBy(col("sz").desc, col("community").asc).limit(10)
-      },
-      Some {
-        val rounds = (1 to 3).map { i =>
-          s"""n$i AS (SELECT und.u w, min(l${i - 1}.lbl) nl
-             FROM und JOIN l${i - 1} ON l${i - 1}.w = und.v GROUP BY 1),
-           l$i AS (SELECT l.w, least(l.lbl, coalesce(n.nl, l.lbl)) lbl
-                   FROM l${i - 1} l LEFT JOIN n$i n USING (w))"""
-        }.mkString(",\n        ")
-        s"""WITH $KnnCte,
-        und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
-        l0 AS (SELECT DISTINCT u w, u lbl FROM und),
-        $rounds,
-        mem AS (SELECT l3.w, l3.lbl, emb2.label
-                FROM l3 JOIN (SELECT vec_id, label FROM embeddings) emb2
-                  ON emb2.vec_id = l3.w),
-        cnts AS (SELECT lbl, label, count(*)::BIGINT n FROM mem GROUP BY 1, 2),
-        best AS (SELECT lbl, label majority_label, n n_majority FROM (
-                   SELECT *, row_number() OVER (PARTITION BY lbl
-                     ORDER BY n DESC, label ASC) rk FROM cnts) WHERE rk = 1),
-        sz AS (SELECT lbl, sum(n)::BIGINT sz FROM cnts GROUP BY 1)
-        SELECT sz.lbl community, sz.sz, best.majority_label,
-          CAST(best.n_majority * 1000000 // sz.sz AS BIGINT) purity_ppm
-        FROM sz JOIN best USING (lbl)
-        ORDER BY sz DESC, community ASC LIMIT 10"""
-      }
+      (s, d) => lpaCommunities(s, d, knnEdges(s, d)),
+      Some(s"""WITH $KnnCte,
+        $LpaOracleTail""")
     ),
 
     // ── Degree assortativity of the 3-NN graph: do hub vectors neighbor
@@ -321,32 +334,7 @@ object Pipeline3Queries {
         val e = knn.select(least(col("query_id"), col("neighbor_id")).as("u"),
             greatest(col("query_id"), col("neighbor_id")).as("v"))
           .distinct()
-        val und = e.select(col("u"), col("v"))
-          .union(e.select(col("v").as("u"), col("u").as("v")))
-          .cache()
-        var labels = und.select(col("u").as("w")).distinct()
-          .withColumn("lbl", col("w"))
-        for (_ <- 1 to 3) {
-          val fromNbr = und.join(labels.withColumnRenamed("w", "v")
-              .withColumnRenamed("lbl", "vl"), "v")
-            .groupBy(col("u").as("w")).agg(min(col("vl")).as("nl"))
-          labels = labels.join(fromNbr, Seq("w"), "left_outer")
-            .select(col("w"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-            .cache()
-        }
-        val mem = labels.join(
-          emb(s, d).select(col("vec_id").as("w"), col("label")), "w")
-        val counts = mem.groupBy(col("lbl"), col("label")).agg(count(lit(1)).as("n"))
-        val best = counts.withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("lbl"))
-              .orderBy(col("n").desc, col("label").asc)))
-          .where(col("rk") === 1)
-          .select(col("lbl"), col("label").as("majority_label"), col("n").as("n_majority"))
-        counts.groupBy(col("lbl")).agg(sum(col("n")).as("sz"))
-          .join(best, "lbl")
-          .select(col("lbl").as("community"), col("sz"), col("majority_label"),
-            expr("(n_majority * 1000000) div sz").as("purity_ppm"))
-          .orderBy(col("sz").desc, col("community").asc).limit(10)
+        lpaCommunities(s, d, e)
       },
       Some {
         def dot(a: String, b: String) =
@@ -358,12 +346,6 @@ object Pipeline3Queries {
         }.mkString(",\n          ")
         def keyExpr(b: Int) =
           (0 until 8).map(j => s"s${b * 8 + j} * ${1L << j}").mkString(" + ")
-        val rounds = (1 to 3).map { i =>
-          s"""n$i AS (SELECT und.u w, min(l${i - 1}.lbl) nl
-             FROM und JOIN l${i - 1} ON l${i - 1}.w = und.v GROUP BY 1),
-           l$i AS (SELECT l.w, least(l.lbl, coalesce(n.nl, l.lbl)) lbl
-                   FROM l${i - 1} l LEFT JOIN n$i n USING (w))"""
-        }.mkString(",\n        ")
         s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings WHERE vec_id < 500),
         n AS (SELECT vec_id, v,
                 sqrt(list_reduce(list_prepend(0.0, v), (a,b) -> a + b*b)) nrm FROM emb),
@@ -385,21 +367,7 @@ object Pipeline3Queries {
                 WHERE rank <= 3),
         e AS (SELECT DISTINCT least(query_id, neighbor_id) u,
                      greatest(query_id, neighbor_id) v FROM knn),
-        und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
-        l0 AS (SELECT DISTINCT u w, u lbl FROM und),
-        $rounds,
-        mem AS (SELECT l3.w, l3.lbl, emb2.label
-                FROM l3 JOIN (SELECT vec_id, label FROM embeddings) emb2
-                  ON emb2.vec_id = l3.w),
-        cnts AS (SELECT lbl, label, count(*)::BIGINT n FROM mem GROUP BY 1, 2),
-        best AS (SELECT lbl, label majority_label, n n_majority FROM (
-                   SELECT *, row_number() OVER (PARTITION BY lbl
-                     ORDER BY n DESC, label ASC) rk FROM cnts) WHERE rk = 1),
-        sz AS (SELECT lbl, sum(n)::BIGINT sz FROM cnts GROUP BY 1)
-        SELECT sz.lbl community, sz.sz, best.majority_label,
-          CAST(best.n_majority * 1000000 // sz.sz AS BIGINT) purity_ppm
-        FROM sz JOIN best USING (lbl)
-        ORDER BY sz DESC, community ASC LIMIT 10"""
+        $LpaOracleTail"""
       }
     )
   )

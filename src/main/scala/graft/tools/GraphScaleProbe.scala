@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions._
   * (equi-join on band keys, never all-pairs) preserves the graph the
   * downstream community/assortativity algebra needs.
   *
-  * For vector tiers 1× / 4× / 10× (500 / 2000 / 5000 — the 2000 are
-  * sf0.1's real embeddings; the 5000 tier adds deterministic rotated
-  * clones, labels carried), build the undirected 3-NN edge set both ways
+  * For vector tiers 500 / 2000 / 5000 / 10000 (the 2000 are sf0.1's real
+  * embeddings; tiers above that add deterministic rotated clones, labels
+  * carried), build the undirected 3-NN edge set both ways
   * and report: wall time each, edge recall (|LSH ∩ brute| / |brute|), and
   * the label-purity delta of 3-round min-label LPA communities (q140's
   * exact algebra, corpus-wide size-weighted purity). Results land in

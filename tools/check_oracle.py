@@ -9,6 +9,7 @@ Usage: python3 tools/check_oracle.py [sfdir] [outdir]
 """
 import json
 import math
+import os
 import shutil
 import subprocess
 import sys
@@ -58,7 +59,8 @@ def run_verify_from_snapshot():
     cmd += [
         "-Dspark.ui.enabled=false",
         "-Dspark.sql.session.timeZone=UTC",
-        "-Xmx32g",
+        # same env override build.sbt's javaOptions honors
+        f"-Xmx{os.environ.get('SPARK_DRIVER_MEM', '32g')}",
         "-cp", f"{snap}:/opt/spark/jars/*",
         "graft.Verify", SF, OUT,
     ]
