@@ -638,6 +638,108 @@ object PipelineQueries {
         FROM df JOIN wt USING (f)
         GROUP BY doc_id
         ORDER BY score DESC, doc_id ASC LIMIT 50""")
+    ),
+
+    // ── Leakage-aware train/val/test split: assignment keyed on the
+    //    CONTENT hash (md5 of text), not the document id, so exact
+    //    duplicates always land in the same split — the eval-contamination
+    //    guard a naive id-keyed split silently violates. The readout
+    //    computes BOTH regimes and their leakage (duplicate-text groups
+    //    spanning >1 split): content-keyed is 0 by construction (the
+    //    pinned invariant); id-keyed leaks whenever clones exist (visible
+    //    at sf0.1, which carries 8 duplicate texts). One per-content-group
+    //    aggregate → one summary row: two hash aggregates over narrow
+    //    columns, the split itself never shuffles text. Buckets 0-7 train,
+    //    8 val, 9 test (80/10/10).
+    QueryDef(
+      "q186_leakage_split",
+      (s, d) => {
+        val withSplits = docs(s, d).select(
+          md5(col("text")).as("h"),
+          pmod(graft.functions.TextFunctions.hash32(
+            concat(lit("split|"), md5(col("text")))), lit(10)).as("cs"),
+          pmod(graft.functions.TextFunctions.hash32(
+            concat(lit("split|"), col("doc_id").cast(StringType))), lit(10)).as("ns"))
+        val g = withSplits.groupBy(col("h")).agg(
+          count(lit(1)).as("n"),
+          min(col("cs")).as("gcs"),
+          countDistinct(col("cs")).as("ncs"),
+          countDistinct(col("ns")).as("nns"))
+        g.agg(
+          sum(col("n")).as("n_docs"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup_groups"),
+          sum(when(col("ncs") > 1, 1L).otherwise(0L)).as("leaky_groups_content"),
+          sum(when(col("nns") > 1, 1L).otherwise(0L)).as("leaky_groups_naive"),
+          sum(when(col("gcs") < 8, col("n")).otherwise(0L)).as("n_train"),
+          sum(when(col("gcs") === 8, col("n")).otherwise(0L)).as("n_val"),
+          sum(when(col("gcs") === 9, col("n")).otherwise(0L)).as("n_test"))
+      },
+      Some("""WITH w AS (SELECT md5(text) h,
+                 ('0x'||substr(md5('split|'||md5(text)),1,8))::BIGINT % 10 cs,
+                 ('0x'||substr(md5('split|'||doc_id::VARCHAR),1,8))::BIGINT % 10 ns
+               FROM documents),
+        g AS (SELECT h, count(*)::BIGINT n, min(cs)::BIGINT gcs,
+                count(DISTINCT cs)::BIGINT ncs, count(DISTINCT ns)::BIGINT nns
+              FROM w GROUP BY 1)
+        SELECT sum(n)::BIGINT n_docs,
+          sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT dup_groups,
+          sum(CASE WHEN ncs > 1 THEN 1 ELSE 0 END)::BIGINT leaky_groups_content,
+          sum(CASE WHEN nns > 1 THEN 1 ELSE 0 END)::BIGINT leaky_groups_naive,
+          sum(CASE WHEN gcs < 8 THEN n ELSE 0 END)::BIGINT n_train,
+          sum(CASE WHEN gcs = 8 THEN n ELSE 0 END)::BIGINT n_val,
+          sum(CASE WHEN gcs = 9 THEN n ELSE 0 END)::BIGINT n_test
+        FROM g""")
+    ),
+
+    // ── Training-mixture token budget by largest-remainder apportionment
+    //    (Hamilton's method): allocate a 1M-token sampling budget across
+    //    sources proportionally to their available whitespace tokens, in
+    //    EXACT integers — floor shares first, then the leftover seats go
+    //    to the largest remainders (ties by source asc). The mixture
+    //    schedule every multi-source training run needs, with none of the
+    //    float-rounding drift that makes proportional splits sum to
+    //    budget±k. Corpus stage is ONE narrow per-source aggregate; the
+    //    apportionment runs on #sources rows (the tiny-table
+    //    single-partition window, q151's contract). Σalloc = budget is the
+    //    pinned invariant.
+    QueryDef(
+      "q187_token_budget",
+      (s, d) => {
+        val budget = 1000000L
+        val avail = docs(s, d)
+          .select(col("source"), size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast(LongType).as("tok"))
+          .groupBy(col("source")).agg(sum(col("tok")).as("w"))
+        val tot = avail.agg(sum(col("w")).as("wt"))
+        val staged = avail.crossJoin(broadcast(tot))
+          .select(col("source"), col("w"),
+            expr(s"($budget * w) div wt").as("fl"),
+            expr(s"($budget * w) % wt").as("rem"))
+        val w1 = org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col("source").asc)
+        val w2 = org.apache.spark.sql.expressions.Window
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        staged
+          .withColumn("rk", row_number().over(w1))
+          .withColumn("deficit", lit(budget) - sum(col("fl")).over(w2))
+          .select(col("source"), col("w").as("tokens_avail"), col("fl").as("floor_alloc"),
+            when(col("rk") <= col("deficit"), 1L).otherwise(0L).as("extra"),
+            (col("fl") + when(col("rk") <= col("deficit"), 1L).otherwise(0L)).as("alloc"))
+      },
+      Some("""WITH a AS (SELECT source, sum(len(string_split(text, ' ')))::BIGINT w
+               FROM documents GROUP BY 1),
+        t AS (SELECT sum(w)::BIGINT wt FROM a),
+        st AS (SELECT source, w,
+                 CAST((1000000 * w) // (SELECT wt FROM t) AS BIGINT) fl,
+                 CAST((1000000 * w) % (SELECT wt FROM t) AS BIGINT) rem
+               FROM a),
+        r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) rk,
+                1000000 - (SELECT sum(fl) FROM st) deficit
+              FROM st)
+        SELECT source, w AS tokens_avail, fl AS floor_alloc,
+          CAST(CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) extra,
+          CAST(fl + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT) alloc
+        FROM r""")
     )
   )
 }

@@ -657,6 +657,57 @@ object TextQueries {
         UNION ALL SELECT round, a, b, pn FROM top3 UNION ALL SELECT round, a, b, pn FROM top4
         UNION ALL SELECT round, a, b, pn FROM top5"""
       }
+    ),
+
+    // ── Intra-document repetition gate (Gopher-style quality rules,
+    //    Rae et al. 2021 §A1.1, adapted to word level): per document the
+    //    duplicate-word fraction (1 − distinct/total) and the share of
+    //    bigram slots taken by the single most frequent bigram — the two
+    //    signals that catch boilerplate and degenerate repetition that
+    //    plain length/stopword scores (q31) miss. Per-source readout:
+    //    failure counts at the ppm thresholds + integer mean ppms.
+    //    Plan discipline: the whole computation is per-ROW array HOFs over
+    //    staged attributes (`t`, `bg` projected first — the winnowing
+    //    inlining lesson), so the query is a narrow projection chain into
+    //    ONE hash aggregate: zero shuffles before the final per-source
+    //    combine, per-row work bounded by document length — exactly the
+    //    100 TB shape.
+    QueryDef(
+      "q185_repetition_quality",
+      (s, d) => {
+        val t = docs(s, d)
+          .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+          .where(size(col("t")) >= 2)
+        val staged = t.select(col("source"),
+          size(col("t")).cast(LongType).as("nw"),
+          size(array_distinct(col("t"))).cast(LongType).as("nd"),
+          expr("zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1), (a, b) -> concat(a, ' ', b))")
+            .as("bg"))
+        val m = staged.select(col("source"), col("nw"), col("nd"),
+          expr("array_max(transform(array_distinct(bg), x -> size(filter(bg, y -> y = x))))")
+            .cast(LongType).as("top_bg"))
+        m.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(expr("(nw - nd) * 1000000 div nw") > 500000L, 1L).otherwise(0L)).as("n_fail_dup"),
+          sum(when(expr("top_bg * 1000000 div (nw - 1)") > 100000L, 1L).otherwise(0L)).as("n_fail_bigram"),
+          expr("sum((nw - nd) * 1000000 div nw) div count(1)").as("mean_dup_ppm"),
+          expr("sum(top_bg * 1000000 div (nw - 1)) div count(1)").as("mean_topbg_ppm"))
+      },
+      Some("""WITH t AS (SELECT doc_id, source, string_split(text, ' ') t FROM documents),
+        b0 AS (SELECT doc_id, source, len(t)::BIGINT nw,
+                 len(list_distinct(t))::BIGINT nd,
+                 list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) bg
+               FROM t WHERE len(t) >= 2),
+        m AS (SELECT source, nw, nd,
+                list_max(list_transform(list_distinct(bg),
+                  x -> len(list_filter(bg, y -> y = x))))::BIGINT top_bg
+              FROM b0)
+        SELECT source, count(*)::BIGINT n_docs,
+          sum(CASE WHEN (nw - nd) * 1000000 // nw > 500000 THEN 1 ELSE 0 END)::BIGINT n_fail_dup,
+          sum(CASE WHEN top_bg * 1000000 // (nw - 1) > 100000 THEN 1 ELSE 0 END)::BIGINT n_fail_bigram,
+          CAST(sum((nw - nd) * 1000000 // nw) // count(*) AS BIGINT) mean_dup_ppm,
+          CAST(sum(top_bg * 1000000 // (nw - 1)) // count(*) AS BIGINT) mean_topbg_ppm
+        FROM m GROUP BY source""")
     )
   )
 }
