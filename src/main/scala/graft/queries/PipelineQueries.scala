@@ -710,15 +710,20 @@ object PipelineQueries {
           .select(col("source"), size(graft.functions.TextFunctions.tokens(col("text")))
             .cast(LongType).as("tok"))
           .groupBy(col("source")).agg(sum(col("tok")).as("w"))
-        val tot = avail.agg(sum(col("w")).as("wt"))
-        val staged = avail.crossJoin(broadcast(tot))
+        // the grand total comes from a window over the PER-SOURCE table
+        // (#sources rows — the tiny-tier contract), NOT a second
+        // aggregate of the corpus: a separate `avail.agg(sum)` subtree
+        // would re-scan the documents table end to end (PlanSpec pins the
+        // single corpus scan)
+        val w2 = org.apache.spark.sql.expressions.Window
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val staged = avail
+          .withColumn("wt", sum(col("w")).over(w2))
           .select(col("source"), col("w"),
             expr(s"($budget * w) div wt").as("fl"),
             expr(s"($budget * w) % wt").as("rem"))
         val w1 = org.apache.spark.sql.expressions.Window
           .orderBy(col("rem").desc, col("source").asc)
-        val w2 = org.apache.spark.sql.expressions.Window
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         staged
           .withColumn("rk", row_number().over(w1))
           .withColumn("deficit", lit(budget) - sum(col("fl")).over(w2))

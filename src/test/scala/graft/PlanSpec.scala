@@ -389,6 +389,29 @@ class PlanSpec extends SparkTestBase {
       s"DISTINCT token_id must reach the scan\n$p")
   }
 
+  test("q185 repetition gate: zero shuffles before the per-source aggregate") {
+    val p = plan("q185_repetition_quality")
+    // one exchange total — the final per-source combine; all repetition
+    // arithmetic is per-row array HOFs
+    assert(p.split("Exchange").length - 1 <= 1, s"extra shuffles crept in\n$p")
+    assert(!p.contains("Window"), s"per-row HOFs must not become windows\n$p")
+  }
+
+  test("q186 leakage split: two hash aggregates, no window, no sort") {
+    val p = plan("q186_leakage_split")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window") && !p.contains("SortExec"), p)
+  }
+
+  test("q187 token budget: one corpus scan; apportionment on the tiny tier") {
+    val p = plan("q187_token_budget")
+    // the documents table is scanned exactly once (the per-source token
+    // aggregate); the grand total comes from the tiny-table window, so no
+    // second corpus subtree and no broadcast join exist at all
+    assert(p.split("FileScan").length - 1 === 1, s"corpus must be scanned once\n$p")
+    assert(!p.contains("Join"), s"no join needed on the tiny tier\n$p")
+  }
+
   test("entry flagship query produces rows and a non-degenerate plan") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
