@@ -172,6 +172,34 @@ class ShardedSourceSpec extends SparkTestBase {
     }
   }
 
+  test("runtime filtering composes with the key-grouped (bucketing) path") {
+    // DPP pruning re-plans partitions AFTER the KeyGroupedPartitioning is
+    // declared — the combination must stay correct (Spark regroups the
+    // filtered partitions; a mismatch here would corrupt per-shard aggs)
+    val dir = writeShards(8, 50)
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "10.0") {
+      import org.apache.spark.sql.functions.{col, sum => fsum}
+      val fact = spark.read.format("graft-sharded").load(dir)
+        .groupBy("shard", "token_id").agg(fsum("v").as("sv"))
+      val dim = spark.range(0, 8).select(col("id").cast("int").as("shard"))
+        .where(col("shard") < 3)
+      val j = fact.join(dim, Seq("shard"))
+      val rows = j.collect()
+      // shards 0,1,2 × 7 tokens each
+      assert(rows.length === 21, s"got ${rows.length} rows")
+      assert(rows.forall(_.getInt(0) < 3))
+      // values still correct under pruning + zero-exchange aggregation
+      val full = spark.read.format("graft-sharded").load(dir)
+        .where(col("shard") < 3)
+        .groupBy("shard", "token_id").agg(fsum("v").as("sv"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet === full)
+    }
+  }
+
   test("malformed rows fail with file/line context; empty numerics map to null") {
     val dir = Files.createTempDirectory("graft-sharded-bad").toFile
     val w = new java.io.PrintWriter(new java.io.File(dir, "shard=0.csv"))
