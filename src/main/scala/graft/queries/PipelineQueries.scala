@@ -717,11 +717,15 @@ object PipelineQueries {
         // single corpus scan)
         val w2 = org.apache.spark.sql.expressions.Window
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        // the quota product runs in DECIMAL(38,0) (the q171 discipline):
+        // budget·w in int64 wraps once a source holds > ~9.2e12 tokens —
+        // reachable at the 100 TB shape — while DECIMAL keeps it exact to
+        // 10^32 tokens per source (r6 review finding)
         val staged = avail
           .withColumn("wt", sum(col("w")).over(w2))
           .select(col("source"), col("w"),
-            expr(s"($budget * w) div wt").as("fl"),
-            expr(s"($budget * w) % wt").as("rem"))
+            expr(s"CAST((CAST(w AS DECIMAL(38,0)) * $budget) div wt AS BIGINT)").as("fl"),
+            expr(s"CAST((CAST(w AS DECIMAL(38,0)) * $budget) % wt AS BIGINT)").as("rem"))
         val w1 = org.apache.spark.sql.expressions.Window
           .orderBy(col("rem").desc, col("source").asc)
         staged
@@ -735,8 +739,8 @@ object PipelineQueries {
                FROM documents GROUP BY 1),
         t AS (SELECT sum(w)::BIGINT wt FROM a),
         st AS (SELECT source, w,
-                 CAST((1000000 * w) // (SELECT wt FROM t) AS BIGINT) fl,
-                 CAST((1000000 * w) % (SELECT wt FROM t) AS BIGINT) rem
+                 CAST((w::HUGEINT * 1000000) // (SELECT wt FROM t) AS BIGINT) fl,
+                 CAST((w::HUGEINT * 1000000) % (SELECT wt FROM t) AS BIGINT) rem
                FROM a),
         r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) rk,
                 1000000 - (SELECT sum(fl) FROM st) deficit

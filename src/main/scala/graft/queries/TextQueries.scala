@@ -667,11 +667,13 @@ object TextQueries {
     //    plain length/stopword scores (q31) miss. Per-source readout:
     //    failure counts at the ppm thresholds + integer mean ppms.
     //    Plan discipline: the whole computation is per-ROW array HOFs over
-    //    staged attributes (`t`, `bg` projected first — the winnowing
+    //    staged attributes (`t`, `sbg` projected first — the winnowing
     //    inlining lesson), so the query is a narrow projection chain into
     //    ONE hash aggregate: zero shuffles before the final per-source
-    //    combine, per-row work bounded by document length — exactly the
-    //    100 TB shape.
+    //    combine. The top-bigram multiplicity is the longest RUN in the
+    //    SORTED bigram array — one O(n log n) sort + one linear fold per
+    //    row (the distinct×filter form is O(n²) per doc and would stall a
+    //    task on one long unique-bigram document; r6 review finding).
     QueryDef(
       "q185_repetition_quality",
       (s, d) => {
@@ -681,10 +683,15 @@ object TextQueries {
         val staged = t.select(col("source"),
           size(col("t")).cast(LongType).as("nw"),
           size(array_distinct(col("t"))).cast(LongType).as("nd"),
-          expr("zip_with(slice(t, 1, size(t)-1), slice(t, 2, size(t)-1), (a, b) -> concat(a, ' ', b))")
-            .as("bg"))
+          array_sort(graft.functions.TextFunctions.shingles(col("t"), 2)).as("sbg"))
         val m = staged.select(col("source"), col("nw"), col("nd"),
-          expr("array_max(transform(array_distinct(bg), x -> size(filter(bg, y -> y = x))))")
+          expr("""aggregate(sbg,
+              named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+              (acc, x) -> named_struct(
+                'prev', x,
+                'run', IF(acc.prev <=> x, acc.run + 1L, 1L),
+                'best', GREATEST(acc.best, IF(acc.prev <=> x, acc.run + 1L, 1L))),
+              acc -> acc.best)""")
             .cast(LongType).as("top_bg"))
         m.groupBy(col("source")).agg(
           count(lit(1)).as("n_docs"),
@@ -698,10 +705,11 @@ object TextQueries {
                  len(list_distinct(t))::BIGINT nd,
                  list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) bg
                FROM t WHERE len(t) >= 2),
-        m AS (SELECT source, nw, nd,
-                list_max(list_transform(list_distinct(bg),
-                  x -> len(list_filter(bg, y -> y = x))))::BIGINT top_bg
-              FROM b0)
+        u AS (SELECT doc_id, source, nw, nd, unnest(bg) x FROM b0),
+        c AS (SELECT doc_id, source, nw, nd, x, count(*)::BIGINT cnt
+              FROM u GROUP BY doc_id, source, nw, nd, x),
+        m AS (SELECT source, nw, nd, max(cnt)::BIGINT top_bg
+              FROM c GROUP BY doc_id, source, nw, nd)
         SELECT source, count(*)::BIGINT n_docs,
           sum(CASE WHEN (nw - nd) * 1000000 // nw > 500000 THEN 1 ELSE 0 END)::BIGINT n_fail_dup,
           sum(CASE WHEN top_bg * 1000000 // (nw - 1) > 100000 THEN 1 ELSE 0 END)::BIGINT n_fail_bigram,

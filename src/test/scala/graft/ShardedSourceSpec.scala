@@ -175,23 +175,34 @@ class ShardedSourceSpec extends SparkTestBase {
   test("runtime filtering composes with the key-grouped (bucketing) path") {
     // DPP pruning re-plans partitions AFTER the KeyGroupedPartitioning is
     // declared — the combination must stay correct (Spark regroups the
-    // filtered partitions; a mismatch here would corrupt per-shard aggs)
+    // filtered partitions). The join sits DIRECTLY over the scan (an
+    // Aggregate in between would block PartitionPruning's
+    // PhysicalOperation match and make this test vacuous); the per-shard
+    // aggregation runs above the pruned join.
     val dir = writeShards(8, 50)
     withConfs(
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
       "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "10.0") {
       import org.apache.spark.sql.functions.{col, sum => fsum}
-      val fact = spark.read.format("graft-sharded").load(dir)
-        .groupBy("shard", "token_id").agg(fsum("v").as("sv"))
       val dim = spark.range(0, 8).select(col("id").cast("int").as("shard"))
         .where(col("shard") < 3)
-      val j = fact.join(dim, Seq("shard"))
+      val j = spark.read.format("graft-sharded").load(dir)
+        .join(dim, Seq("shard"))
+        .groupBy("shard", "token_id").agg(fsum("v").as("sv"))
       val rows = j.collect()
-      // shards 0,1,2 × 7 tokens each
+      // the runtime filter actually fired...
+      val planStr = j.queryExecution.executedPlan.toString
+      assert(planStr.contains("RuntimeFilters: [dynamicpruning"),
+        s"DPP must inject into the key-grouped scan:\n$planStr")
+      // ...and pruned at file level (150 = 3 surviving shards x 50 rows;
+      // the reader has no row-level shard predicate)
+      val scan = findScan(j, "graft_sharded")
+      assert(scan.metrics("numOutputRows").value === 150,
+        s"scan emitted ${scan.metrics("numOutputRows").value} rows — shards not pruned")
+      // shards 0,1,2 x 7 tokens each, values identical to the unpruned path
       assert(rows.length === 21, s"got ${rows.length} rows")
       assert(rows.forall(_.getInt(0) < 3))
-      // values still correct under pruning + zero-exchange aggregation
       val full = spark.read.format("graft-sharded").load(dir)
         .where(col("shard") < 3)
         .groupBy("shard", "token_id").agg(fsum("v").as("sv"))
