@@ -5,9 +5,9 @@ import java.util.{Map => JMap}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, NamedReference, SortDirection, Transform, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
@@ -94,9 +94,12 @@ case class ShardPushedAgg(groupCols: Seq[String], aggs: Seq[ShardAggSpec]) {
 }
 
 class ShardedScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownTopN {
   private var required: StructType = ShardedSignalSource.Schema
   private var pushedAgg: Option[ShardPushedAgg] = None
+  private var topN: Int = -1
+  private var topNDesc: Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (pushedAgg.isEmpty)
@@ -135,13 +138,35 @@ class ShardedScanBuilder(path: String) extends ScanBuilder
     true
   }
 
+  /** TopN on `ts_us` (either direction), the reference's per-token
+    * `ORDER BY timestamp LIMIT k` pushed into ClickHouse
+    * (clickhouse.go:70-71 [ext]): each shard partition keeps a K-bounded
+    * heap plus up to K null-ts rows (the null-ordering-safe superset —
+    * StatusV2Source's contract), and Spark's retained global TakeOrdered
+    * merges K rows per shard. Partial push only; never combined with a
+    * pushed aggregation (Spark plans the sort above the final agg then).
+    */
+  override def pushTopN(orders: Array[V2SortOrder], l: Int): Boolean = {
+    val onTs = pushedAgg.isEmpty && orders.length == 1 && (orders(0).expression() match {
+      case nr: NamedReference => nr.fieldNames().length == 1 && nr.fieldNames()(0) == "ts_us"
+      case _                  => false
+    })
+    if (onTs) {
+      topN = l
+      topNDesc = orders(0).direction() == SortDirection.DESCENDING
+      true
+    } else false
+  }
+  override def isPartiallyPushed: Boolean = true
+
   override def build(): Scan = pushedAgg match {
     case Some(pa) => new ShardedScan(path, pa.outputSchema, Some(pa))
-    case None     => new ShardedScan(path, required, None)
+    case None     => new ShardedScan(path, required, None, topN, topNDesc)
   }
 }
 
-class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPushedAgg] = None)
+class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPushedAgg] = None,
+    topN: Int = -1, topNDesc: Boolean = true)
     extends Scan with Batch with SupportsReportPartitioning with SupportsRuntimeFiltering {
 
   /** Runtime (DPP-style) filtering on the clustering column: when a join's
@@ -168,7 +193,8 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
   override def description(): String =
     s"graft-sharded $path key-grouped by shard" + pushedAgg.map(pa =>
       s" pushedAgg=[groups=${pa.groupCols.mkString(",")} " +
-        s"aggs=${pa.aggs.map(a => s"${a.op}(${a.column})").mkString(",")}]").getOrElse("")
+        s"aggs=${pa.aggs.map(a => s"${a.op}(${a.column})").mkString(",")}]").getOrElse("") +
+      (if (topN >= 0) s" topN=$topN ts_us ${if (topNDesc) "DESC" else "ASC"}" else "")
 
   /** Two accepted layouts, one partition per SHARD in both:
     *   - flat `shard=K.csv` files (the hand-written fixture form)
@@ -216,7 +242,8 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
 
   override def createReaderFactory(): PartitionReaderFactory = pushedAgg match {
     case Some(pa) => new ShardedAggReaderFactory(pa)
-    case None     => new ShardedReaderFactory(required)
+    case None if topN >= 0 => new ShardedTopNReaderFactory(required, topN, topNDesc)
+    case None => new ShardedReaderFactory(required)
   }
 }
 
@@ -251,6 +278,56 @@ class ShardedShardReader(files: Seq[String], shard: Int, required: StructType)
 
   override def get(): InternalRow = cur.get()
   override def close(): Unit = if (cur != null) cur.close()
+}
+
+class ShardedTopNReaderFactory(required: StructType, topN: Int, topNDesc: Boolean)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ShardPartition]
+    new ShardedTopNReader(p.files, p.shard, required, topN, topNDesc)
+  }
+}
+
+/** Per-shard pushed top-K on `ts_us`: ONE pass through the shard keeping a
+  * K-bounded binary heap (desc keeps the K largest via a min-heap, asc the
+  * K smallest via a max-heap) plus up to K null-ts rows — a correct
+  * superset under either null ordering; the retained global TakeOrdered
+  * above discards extras. Memory O(K), emitted rows ≤ 2K per shard.
+  */
+class ShardedTopNReader(files: Seq[String], shard: Int, required: StructType,
+    topN: Int, topNDesc: Boolean)
+    extends PartitionReader[InternalRow] {
+
+  private val tsIdx = required.fieldIndex("ts_us")
+
+  private lazy val out: java.util.ArrayDeque[InternalRow] = {
+    val cmp: java.util.Comparator[(Long, InternalRow)] =
+      if (topNDesc) java.util.Comparator.comparingLong((p: (Long, InternalRow)) => p._1)
+      else java.util.Comparator.comparingLong((p: (Long, InternalRow)) => p._1).reversed()
+    val heap = new java.util.PriorityQueue[(Long, InternalRow)](math.max(topN, 1), cmp)
+    val res = new java.util.ArrayDeque[InternalRow]()
+    var nNulls = 0
+    val rows = new ShardedShardReader(files, shard, required)
+    try {
+      while (rows.next()) {
+        val r = rows.get()
+        if (r.isNullAt(tsIdx)) {
+          if (nNulls < topN) { res.add(r); nNulls += 1 }
+        } else {
+          heap.add((r.getLong(tsIdx), r))
+          if (heap.size() > topN) heap.poll()
+        }
+      }
+    } finally rows.close()
+    while (!heap.isEmpty) res.add(heap.poll()._2)
+    res
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (out.isEmpty) false else { current = out.poll(); true }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 class ShardedAggReaderFactory(pa: ShardPushedAgg) extends PartitionReaderFactory {

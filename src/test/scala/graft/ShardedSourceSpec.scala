@@ -148,6 +148,30 @@ class ShardedSourceSpec extends SparkTestBase {
     assert(q.count() > 0)
   }
 
+  test("topN on ts_us pushes into the scan: K-bounded per-shard output") {
+    import org.apache.spark.sql.functions.col
+    val dir = writeShards(4, 50)
+    val df = spark.read.format("graft-sharded").load(dir)
+    val k = 3
+    val q = df.orderBy(col("ts_us").desc).limit(k)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains(s"topN=$k ts_us DESC"), s"TopN must reach the scan:\n$plan")
+    // highest timestamps: i=49 across all 4 shards -> ts 49,000,000 x4; top-3
+    val got = q.select("ts_us").collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(49000000L, 49000000L, 49000000L))
+    // each shard shipped <= K rows, not its 50
+    val scan = findScan(q, "graft_sharded")
+    assert(scan.metrics("numOutputRows").value <= 4L * k,
+      s"scan emitted ${scan.metrics("numOutputRows").value} rows")
+    // ascending works too and a non-ts sort is NOT pushed
+    val qa = df.orderBy(col("ts_us").asc).limit(2)
+    assert(qa.queryExecution.executedPlan.toString.contains("topN=2 ts_us ASC"))
+    assert(qa.select("ts_us").collect().map(_.getLong(0)).toSeq === Seq(0L, 0L))
+    val qn = df.orderBy(col("v").desc).limit(2)
+    assert(!qn.queryExecution.executedPlan.toString.contains("topN="), "v-sort must not push")
+    assert(qn.collect().length === 2)
+  }
+
   test("runtime filtering prunes entire shards on a selective dim join") {
     val dir = writeShards(8, 50)
     withConfs(

@@ -144,6 +144,28 @@ class StatusV2SourceSpec extends SparkTestBase {
     }
   }
 
+  test("reader composes topN with a runtime subject set (heap over survivors only)") {
+    // Plan-level co-occurrence is impossible (TopN pushes only when
+    // Sort+Limit sit directly over the scan; runtime filters require a
+    // join above it), but the READER must still honor both together —
+    // pin it at the unit level: subject-2 docs are c (00:20) and d
+    // (00:30); top-1 desc over the surviving set is d.
+    val file = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".ndjson"))
+      .map(_.getAbsolutePath).sorted
+    val rows = file.flatMap { f =>
+      val part = graft.sources.StatusFilePartition(f, 0, Long.MaxValue, Some(Set("2")))
+      val r = new graft.sources.StatusPartitionReader(
+        part, Array.empty, graft.sources.StatusV2Source.Schema, -1, 1, true)
+      val buf = scala.collection.mutable.Buffer[String]()
+      while (r.next()) buf += r.get().getUTF8String(0).toString // id
+      r.close()
+      buf
+    }
+    // per-split top-1 over subject-2 survivors: part-0 contributes c,
+    // part-1 contributes d — the global merge (TakeOrdered) picks d
+    assert(rows.sorted.toSeq === Seq("c", "d"))
+  }
+
   test("skipped malformed lines surface as a scan metric") {
     val df = read
     assert(df.collect().length === 4) // executes THIS plan, populating its metrics
