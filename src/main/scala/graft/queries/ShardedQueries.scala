@@ -137,6 +137,25 @@ object ShardedQueries {
       "q183_sharded_tokens",
       (s, d) => sharded(s, d).select(col("token_id")).distinct(),
       Some("SELECT DISTINCT user_id AS token_id FROM events")
+    ),
+
+    // ── Newest-K timestamps through the sharded store — the pushed TopN
+    //    seam (the reference's `ORDER BY timestamp DESC LIMIT k` page
+    //    query against the store, elastic.go:58-65 / clickhouse.go:70-71
+    //    [ext]) as a declared oracle row: each shard ships only its own
+    //    top-10 (`SupportsPushDownTopN`, K-bounded heap), the global
+    //    TakeOrdered merges 10×shards rows. Tie-safety: only `ts_us` is
+    //    projected, so whichever rows Spark picks among equal boundary
+    //    timestamps, the output MULTISET is identical — the determinism
+    //    contract the driver's sorted-hash compare needs.
+    QueryDef(
+      "q188_sharded_latest",
+      (s, d) => sharded(s, d)
+        .select(col("ts_us"))
+        .orderBy(col("ts_us").desc)
+        .limit(10),
+      Some("""SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+             FROM events ORDER BY 1 DESC LIMIT 10""")
     )
   )
 }

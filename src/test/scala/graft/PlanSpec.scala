@@ -412,6 +412,13 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"no join needed on the tiny tier\n$p")
   }
 
+  test("q188 sharded latest-K: TopN pushed into the key-grouped scan") {
+    val p = plan("q188_sharded_latest")
+    assert(p.contains("topN=10 ts_us DESC"),
+      s"the newest-K page query must push its TopN into the store\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("entry flagship query produces rows and a non-degenerate plan") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
