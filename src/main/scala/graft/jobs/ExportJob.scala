@@ -72,6 +72,25 @@ object ExportJob {
     val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(outDir))
 
+    // Residue sweep (ADVICE r6): a racer that crashed in the collision
+    // window can leave (a) an abandoned top-level _tmp-<epoch> and (b) a
+    // foreign _tmp-<epoch> nested INSIDE a published vN (crashed between
+    // being renamed in and recovering out). Both are unpublished data by
+    // construction — a complete snapshot holds exactly data/,
+    // manifest.json, _SUCCESS — so the next publish deletes them, but only
+    // after a 1 h grace so a LIVE exporter's in-flight tmp is never pulled
+    // out from under it.
+    val sweepBefore = System.currentTimeMillis() - 60L * 60 * 1000
+    def tmpEpoch(name: String): Option[Long] =
+      if (name.startsWith("_tmp-")) name.stripPrefix("_tmp-").toLongOption else None
+    val candidates =
+      Option(fs.globStatus(new Path(outDir, "_tmp-*"))).getOrElse(Array.empty) ++
+        Option(fs.globStatus(new Path(outDir, "v*/_tmp-*"))).getOrElse(Array.empty)
+    candidates.foreach { st =>
+      if (tmpEpoch(st.getPath.getName).exists(_ < sweepBefore))
+        fs.delete(st.getPath, true)
+    }
+
     val kept = curated(spark, sfDir)
       .withColumn("shard", pmod(graft.functions.TextFunctions.hash32(
         concat(lit("export|"), col("doc_id").cast("string"))), lit(nShards)).cast("int"))
@@ -139,11 +158,33 @@ object ExportJob {
         }
       }
     }
-    // LATEST pointer written last: readers resolve it after the snapshot exists
-    val lOut = fs.create(new Path(outDir, "LATEST"), true)
-    lOut.write(version.getBytes("UTF-8")); lOut.close()
+    // LATEST pointer written last: readers resolve it after the snapshot
+    // exists (monotonicity contract in [[writeLatestIfNewest]]).
+    writeLatestIfNewest(fs, outDir, version)
 
     ExportResult(version, new Path(outDir, version).toString, nShards,
       stats.map(_.nDocs).sum, stats.map(_.nTokens).sum, stats)
+  }
+
+  /** Write `LATEST` = `version` only while it is still the newest published
+    * snapshot — monotonic under concurrent exporters (ADVICE r6): a paused
+    * exporter resuming after a racer published a newer vN must not regress
+    * the pointer to its own older (valid but stale) snapshot. The remaining
+    * check-to-write window is one metadata op wide and can only pick
+    * between two COMPLETE snapshots published in that instant — readers
+    * never see a torn or missing target either way. Returns whether the
+    * pointer was written.
+    */
+  private[graft] def writeLatestIfNewest(fs: org.apache.hadoop.fs.FileSystem,
+      outDir: String, version: String): Boolean = {
+    val ourN = version.stripPrefix("v").toInt
+    val newestN = Option(fs.globStatus(new Path(outDir, "v*"))).getOrElse(Array.empty)
+      .map(_.getPath.getName.stripPrefix("v")).flatMap(_.toIntOption)
+      .foldLeft(ourN)(math.max)
+    if (newestN == ourN) {
+      val lOut = fs.create(new Path(outDir, "LATEST"), true)
+      lOut.write(version.getBytes("UTF-8")); lOut.close()
+      true
+    } else false
   }
 }

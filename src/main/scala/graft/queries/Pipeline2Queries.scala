@@ -23,6 +23,32 @@ object Pipeline2Queries {
 
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) = Tables.load(s, d, "documents")
 
+  /** Per-document add-one-smoothed bigram-LM fluency in exact integer ppm
+    * — the shared core of q124 (top-20 readout) and q192 (tercile gate).
+    * Counts are two hash aggregates over one tokenize pass; scoring is two
+    * equi-joins (bigram → c_ab, first word → c_a) plus a per-doc
+    * aggregate; V broadcasts as a scalar. Docs with < 2 tokens have no
+    * bigrams and are (deliberately) unscored.
+    */
+  private def docFluency(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val base = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val uni = base.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_a"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val docBi = base
+      .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("b"))
+    val bi = docBi.groupBy(col("b")).agg(count(lit(1)).as("c_ab"))
+    docBi
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+      .join(bi, "b")
+      .join(uni.withColumnRenamed("w", "w1"), "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), expr("((c_ab + 1) * 1000000) div (c_a + v)").as("p_ppm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_ppm")).as("sp"))
+      .select(col("doc_id"), col("n_bigrams"), expr("sp div n_bigrams").as("fluency_ppm"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Bloom filter over the train-split vocabulary (m = 4096 bits,
@@ -169,26 +195,9 @@ object Pipeline2Queries {
     //    broadcasts as a scalar. Top-20 most-fluent docs via TakeOrdered.
     QueryDef(
       "q124_bigram_lm",
-      (s, d) => {
-        val base = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
-        val uni = base.select(explode(col("toks")).as("w"))
-          .groupBy(col("w")).agg(count(lit(1)).as("c_a"))
-        val vocab = uni.agg(count(lit(1)).as("v"))
-        val docBi = base
-          .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("b"))
-        val bi = docBi.groupBy(col("b")).agg(count(lit(1)).as("c_ab"))
-        docBi
-          .withColumn("w1", substring_index(col("b"), " ", 1))
-          .join(bi, "b")
-          .join(uni.withColumnRenamed("w", "w1"), "w1")
-          .crossJoin(broadcast(vocab))
-          .select(col("doc_id"), expr("((c_ab + 1) * 1000000) div (c_a + v)").as("p_ppm"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_bigrams"), sum(col("p_ppm")).as("sp"))
-          .select(col("doc_id"), col("n_bigrams"), expr("sp div n_bigrams").as("fluency_ppm"))
-          .orderBy(col("fluency_ppm").desc, col("doc_id").asc)
-          .limit(20)
-      },
+      (s, d) => docFluency(s, d)
+        .orderBy(col("fluency_ppm").desc, col("doc_id").asc)
+        .limit(20),
       Some("""WITH t AS (SELECT doc_id, string_split(text,' ') t FROM documents),
         uni AS (SELECT w, count(*)::BIGINT c_a FROM (SELECT unnest(t) w FROM t) GROUP BY 1),
         v AS (SELECT count(*)::BIGINT v FROM uni),
@@ -203,6 +212,60 @@ object Pipeline2Queries {
           CAST(sum(p_ppm) // count(*) AS BIGINT) AS fluency_ppm
         FROM sc GROUP BY doc_id
         ORDER BY fluency_ppm DESC, doc_id ASC LIMIT 20""")
+    ),
+
+    // ── Per-document perplexity gate (CCNet's head/middle/tail bucketing,
+    //    Wenzek et al. 2020 §3.3; r6 verdict Next #5): every scored doc is
+    //    assigned its fluency TERCILE under the corpus bigram LM — 'tail'
+    //    (least corpus-like: the candidates a curation pipeline drops or
+    //    down-samples), 'middle', 'head'. Exact and scale-safe: the two
+    //    boundaries are order statistics at ranks ⌈n/3⌉ and ⌈2n/3⌉ from
+    //    [[graft.operators.RobustStats.rankSelectMultiByKey]] (grid-bounded
+    //    rank-select — no global sort, no single-partition window), and
+    //    tiering compares VALUES, so tie order can never change the output.
+    //    The per-doc score table (one narrow row per doc) is cached: the
+    //    boundary machinery reads it twice and the final projection once.
+    QueryDef(
+      "q192_perplexity_gate",
+      (s, d) => {
+        val scored = docFluency(s, d)
+          .select(col("doc_id"), col("fluency_ppm"))
+          .withColumn("k", lit(1))
+          .withColumn("f_d", col("fluency_ppm").cast("double"))
+          .cache()
+        val bounds = graft.operators.RobustStats.rankSelectMultiByKey(
+            scored, "k", "f_d", Seq((1, 3, "b1"), (2, 3, "b2")))
+          .groupBy(col("k"))
+          .agg(max(when(col("_q") === "b1", col("_value"))).as("bd1"),
+            max(when(col("_q") === "b2", col("_value"))).as("bd2"))
+          .select(col("bd1").cast(LongType).as("bd1"), col("bd2").cast(LongType).as("bd2"))
+        scored.crossJoin(broadcast(bounds))
+          .select(col("doc_id"), col("fluency_ppm"),
+            when(col("fluency_ppm") <= col("bd1"), "tail")
+              .when(col("fluency_ppm") > col("bd2"), "head")
+              .otherwise("middle").as("tier"))
+      },
+      Some("""WITH t0 AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+        uni AS (SELECT w, count(*)::BIGINT c_a FROM (SELECT unnest(t) w FROM t0) GROUP BY 1),
+        v AS (SELECT count(*)::BIGINT v FROM uni),
+        db AS (SELECT doc_id, unnest(list_transform(range(0, len(t)-1), j -> t[j+1]||' '||t[j+2])) b
+               FROM t0 WHERE len(t) >= 2),
+        bi AS (SELECT b, count(*)::BIGINT c_ab FROM db GROUP BY 1),
+        sc AS (SELECT doc_id, ((c_ab + 1) * 1000000) // (c_a + v) AS p_ppm
+               FROM db JOIN bi USING (b)
+               JOIN uni ON uni.w = string_split(db.b, ' ')[1]
+               CROSS JOIN v),
+        f AS (SELECT doc_id, CAST(sum(p_ppm) // count(*) AS BIGINT) fluency_ppm
+              FROM sc GROUP BY 1),
+        r AS (SELECT fluency_ppm, row_number() OVER (ORDER BY fluency_ppm) rn,
+                     (SELECT count(*) FROM f) c FROM f),
+        b AS (SELECT max(CASE WHEN rn = (c*1+2)//3 THEN fluency_ppm END) bd1,
+                     max(CASE WHEN rn = (c*2+2)//3 THEN fluency_ppm END) bd2 FROM r)
+        SELECT doc_id, fluency_ppm,
+          CASE WHEN fluency_ppm <= (SELECT bd1 FROM b) THEN 'tail'
+               WHEN fluency_ppm >  (SELECT bd2 FROM b) THEN 'head'
+               ELSE 'middle' END AS tier
+        FROM f""")
     ),
 
     // ── Cross-source contamination matrix: pairwise 5-gram Jaccard overlap

@@ -716,6 +716,56 @@ object TextQueries {
           CAST(sum((nw - nd) * 1000000 // nw) // count(*) AS BIGINT) mean_dup_ppm,
           CAST(sum(top_bg * 1000000 // (nw - 1)) // count(*) AS BIGINT) mean_topbg_ppm
         FROM m GROUP BY source""")
+    ),
+
+    // ── Model-based quality classifier (the CCNet/fastText-style scorer —
+    //    the one standard curation stage q31's hand rules don't cover, r6
+    //    verdict Next #4): a self-trained multinomial Naive-Bayes-style
+    //    token vote. The WEAK LABEL is the deterministic q85 rule gauntlet
+    //    (length ≥ 10, no 20+-char token, has a stopword); training is one
+    //    hash aggregate over exploded tokens giving each token its
+    //    smoothed positive-class rate in exact integer ppm, w_ppm =
+    //    (c_pos+1)·10⁶ div (c_all+2) (logs are not bit-portable across
+    //    engines — NOTES discipline — so the vote averages rates, not
+    //    log-odds); scoring is one equi-join token→w_ppm + a per-doc
+    //    aggregate, score = mean w_ppm by integer division. At 100 TB:
+    //    train = one shuffle of (token, counts) pairs, score = one
+    //    shuffle-on-token join — never a per-doc loop, no UDFs, no model
+    //    object to ship. The classifier gate (score ≥ 0.5) is exactly the
+    //    shape q85's curation pipeline composes as an extra `.where`.
+    QueryDef(
+      "q191_quality_classifier",
+      (s, d) => {
+        val base = docs(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .withColumn("lb",
+            (size(col("t")) >= 10 &&
+              size(filter(col("t"), x => length(x) > 20)) === 0 &&
+              size(filter(col("t"), x => x.isin(Stop: _*))) > 0).cast("long"))
+        val tok = base.select(col("doc_id"), col("lb"), explode(col("t")).as("w"))
+        val weights = tok.groupBy(col("w"))
+          .agg(sum(col("lb")).as("c_pos"), count(lit(1)).as("c_all"))
+          .select(col("w"), expr("((c_pos + 1) * 1000000) div (c_all + 2)").as("w_ppm"))
+        tok.join(weights, "w")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            expr("sum(w_ppm) div count(1)").as("score_ppm"))
+          .select(col("doc_id"), col("n_tokens"), col("score_ppm"),
+            (col("score_ppm") >= 500000L).as("keep"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+        lab AS (SELECT doc_id, t,
+          CASE WHEN len(t) >= 10
+                AND len(list_filter(t, x -> length(x) > 20)) = 0
+                AND len(list_filter(t, x -> list_contains(${sqlList(Stop)}, x))) > 0
+               THEN 1 ELSE 0 END lb FROM d),
+        tok AS (SELECT doc_id, lb, unnest(t) w FROM lab),
+        wt AS (SELECT w, CAST(((sum(lb) + 1) * 1000000) // (count(*) + 2) AS BIGINT) w_ppm
+               FROM tok GROUP BY 1)
+        SELECT doc_id, count(*)::BIGINT n_tokens,
+          CAST(sum(w_ppm) // count(*) AS BIGINT) score_ppm,
+          (sum(w_ppm) // count(*)) >= 500000 AS keep
+        FROM tok JOIN wt USING (w) GROUP BY doc_id""")
     )
   )
 }

@@ -146,7 +146,8 @@ class StatusScan(path: String, filters: Array[Filter], required: StructType, lim
     topN: Int, topNDesc: Boolean, splitBytes: Long)
     extends Scan
     with Batch
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
 
   /** Runtime (DPP-style) filtering on `subject` — the ES `terms` query
     * analog: when a join's build side completes, Spark hands the scan the
@@ -158,8 +159,13 @@ class StatusScan(path: String, filters: Array[Filter], required: StructType, lim
     */
   @volatile private var runtimeSubjects: Option[Set[String]] = None
 
+  // advertised only while `subject` survives column pruning: Spark's
+  // PartitionPruning resolves these refs against the pruned scan output
+  // and THROWS on a miss (ShardedSourceSpec's broadcast test caught this)
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("subject"))
+    if (required.fieldNames.contains("subject"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("subject"))
+    else Array.empty
 
   override def filter(runtimeFilters: Array[Filter]): Unit = runtimeFilters.foreach {
     case In("subject", vs) =>
@@ -181,12 +187,40 @@ class StatusScan(path: String, filters: Array[Filter], required: StructType, lim
     * starting mid-line skips forward to the next line start), so any split
     * boundary yields identical results.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
+  private def dataFiles: Array[String] = {
     val f = new java.io.File(path)
-    val files =
-      if (f.isDirectory)
-        f.listFiles().filter(x => x.isFile && !x.getName.startsWith(".")).map(_.getPath).sorted
-      else Array(path)
+    if (f.isDirectory)
+      f.listFiles().filter(x => x.isFile && !x.getName.startsWith(".")).map(_.getPath).sorted
+    else Array(path)
+  }
+
+  /** Source statistics for the planner's join-side decisions
+    * (`SupportsReportStatistics`): real on-disk bytes instead of the
+    * session default (Long.MaxValue → never broadcast), so a small status
+    * snapshot joined against a big fact broadcasts on DATA, not luck.
+    * NDJSON is uncompressed and the envelope dominates, so file bytes ≈
+    * in-memory size; row-level pushed filters don't shrink the estimate
+    * (upper bound — the planner errs toward the safe non-broadcast side).
+    * A pushed limit/TopN bounds the row count at ≤ (2·)K per split.
+    */
+  override def estimateStatistics(): Statistics = {
+    val bytes = dataFiles.map(new java.io.File(_).length()).sum
+    val nSplits = dataFiles.map { p =>
+      val len = new java.io.File(p).length()
+      math.max(1L, (len + splitBytes - 1) / splitBytes)
+    }.sum
+    val rowBound: java.util.OptionalLong =
+      if (topN >= 0) java.util.OptionalLong.of(2L * topN * nSplits)
+      else if (limit >= 0) java.util.OptionalLong.of(limit.toLong * nSplits)
+      else java.util.OptionalLong.empty()
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = rowBound
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = dataFiles
     files.flatMap { p =>
       val len = new java.io.File(p).length()
       if (len <= splitBytes) Seq(StatusFilePartition(p, 0L, Long.MaxValue, runtimeSubjects): InputPartition)

@@ -84,4 +84,42 @@ class ExportJobSpec extends SparkTestBase {
       java.nio.file.Paths.get(s"$out/LATEST")), "UTF-8")
     assert(latest === "v3")
   }
+
+  test("LATEST never regresses; stale tmp residue is swept after the grace period") {
+    // ADVICE r6 scenario: exporter A pauses between its snapshot rename
+    // and its pointer write; meanwhile B publishes a newer version. When A
+    // resumes, its pointer write must SKIP (B's snapshot is newer). We
+    // simulate the resume by pre-creating a newer v-dir before a run.
+    val out = Files.createTempDirectory("graft-export4").toString
+    ExportJob.run(spark, sf, out, nShards = 2) // v1, LATEST=v1
+    // old abandoned tmp (top-level) + foreign residue inside v1 — both
+    // older than the 1 h grace via a back-dated epoch suffix
+    val oldEpoch = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+    val staleTop = new java.io.File(s"$out/_tmp-$oldEpoch"); staleTop.mkdirs()
+    val staleNested = new java.io.File(s"$out/v1/_tmp-${oldEpoch + 1}"); staleNested.mkdirs()
+    // a FRESH tmp (live exporter) must survive the sweep
+    val freshTop = new java.io.File(s"$out/_tmp-${System.currentTimeMillis()}"); freshTop.mkdirs()
+
+    val r2 = ExportJob.run(spark, sf, out, nShards = 2) // v2, LATEST=v2
+    assert(!staleTop.exists() && !staleNested.exists(), "stale residue must be swept")
+    assert(freshTop.exists(), "a live exporter's tmp must survive the sweep")
+
+    // the skip branch directly: a paused exporter resuming with v2 while
+    // v9 exists must NOT move the pointer back
+    new java.io.File(s"$out/v9").mkdirs()
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!ExportJob.writeLatestIfNewest(fs, out, r2.version),
+      "an older exporter must skip the pointer write")
+    val latestAfterSkip = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/LATEST")), "UTF-8")
+    assert(latestAfterSkip === "v2", "LATEST must not regress")
+
+    // ...and the newest exporter still advances it
+    val r3 = ExportJob.run(spark, sf, out, nShards = 2)
+    assert(r3.version === "v10")
+    val latest = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/LATEST")), "UTF-8")
+    assert(latest === "v10")
+  }
 }

@@ -419,6 +419,61 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q189 sharded point lookup: static filters pushed, 7 of 8 shard files pruned") {
+    val df = SparkEntry.queries("q189_sharded_point")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("pushedFilters=") && p.contains("EqualTo(token_id,7)")
+      && p.contains("EqualTo(name,purchase)"),
+      s"the point predicates must reach the scan\n$p")
+    // residual-free: the scan consumed every conjunct exactly
+    assert(df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.isEmpty, s"no Spark-side re-filter may remain\n${df.queryExecution.optimizedPlan}")
+    // file-level prune: the scan plans ONE shard partition, not 8
+    val scan = findScan(df, "graft_sharded")
+    assert(scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputRDD.getNumPartitions === 1,
+      s"shard=7 must plan exactly one input partition\n$p")
+    // and emits only the matching rows (parse-time skip, no residual)
+    assert(scan.metrics("numOutputRows").value === df.count())
+  }
+
+  test("q190 sharded DPP: the VIP build side prunes shard files at runtime") {
+    val df = SparkEntry.queries("q190_sharded_dpp")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("RuntimeFilters: [dynamicpruning"),
+      s"the VIP join must inject a runtime filter into the sharded scan\n$p")
+    // at sf0.001 exactly one token exceeds the threshold → its shard's
+    // rows are the ONLY rows the scan emits (file-level pruning; the
+    // reader has no row-level shard predicate on this path)
+    val scan = findScan(df, "graft_sharded")
+    val emitted = scan.metrics("numOutputRows").value
+    val shardRows = SparkEntry.queries("q181_sharded_watermark")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._1 % 8 == rows.head.getLong(0) % 8).map(_._2).sum
+    assert(emitted === shardRows,
+      s"scan emitted $emitted rows, expected the one VIP shard's $shardRows")
+  }
+
+  test("q191 classifier: train + score are hash aggregates and an equi-join, no cartesian") {
+    val p = plan("q191_quality_classifier")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"token scoring must be an equi-join\n$p")
+    assert(!p.contains("Window"), s"no window machinery belongs in the classifier\n$p")
+  }
+
+  test("q192 perplexity gate: boundaries from grid rank-select, not a corpus row_number funnel") {
+    val p = plan("q192_perplexity_gate")
+    assert(!p.contains("row_number"),
+      s"terciles must come from the grid rank-select, not a global row_number\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastQueryStage"),
+      s"the two boundaries must broadcast to the per-doc projection\n$p")
+  }
+
   test("entry flagship query produces rows and a non-degenerate plan") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)

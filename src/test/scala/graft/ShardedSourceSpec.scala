@@ -148,6 +148,65 @@ class ShardedSourceSpec extends SparkTestBase {
     assert(q.count() > 0)
   }
 
+  test("pushed aggregation: long-key fast path and generic path agree, nulls intact") {
+    import org.apache.spark.sql.functions.{col, count => fcount, max => fmax, min => fmin}
+    // fixture with NULL token_ids and NULL values mixed in
+    val dir = Files.createTempDirectory("graft-sharded-nulls").toFile
+    (0 until 2).foreach { s =>
+      val w = new java.io.PrintWriter(new java.io.File(dir, s"shard=$s.csv"))
+      (0 until 40).foreach { i =>
+        val tok = if (i % 5 == 0) "" else s"${s + (i % 3) * 2}"
+        val v = if (i % 7 == 0) "" else s"${i * 0.25}"
+        w.println(s"$tok,${1000L * i},sig_${i % 2},$v")
+      }
+      w.close()
+    }
+    val df = spark.read.format("graft-sharded").load(dir.getAbsolutePath)
+    val raw = df.collect()
+
+    // long group key → the primitive fast path
+    val byTok = df.groupBy("token_id")
+      .agg(fcount("*").as("n"), fmin("ts_us").as("mn"), fmax("v").as("mx"))
+    assert(byTok.queryExecution.executedPlan.toString.contains("pushedAgg=[groups=token_id"))
+    val gotTok = byTok.collect().map(r => (
+      if (r.isNullAt(0)) None else Some(r.getLong(0)),
+      r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)))).sortBy(_._1.map(_.toString))
+    val expTok = raw.groupBy(r => if (r.isNullAt(1)) None else Some(r.getLong(1)))
+      .map { case (k, rs) => (k, rs.length.toLong, rs.map(_.getLong(2)).min,
+        rs.filter(!_.isNullAt(4)).map(_.getDouble(4)) match {
+          case e if e.isEmpty => None; case vs => Some(vs.max) })
+      }.toArray.sortBy(_._1.map(_.toString))
+    assert(gotTok.toSeq === expTok.toSeq)
+
+    // string group key → the generic path, same contract
+    val byName = df.groupBy("name").agg(fcount("*").as("n"), fmin("v").as("mn"))
+    assert(byName.queryExecution.executedPlan.toString.contains("pushedAgg=[groups=name"))
+    val gotName = byName.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val expName = raw.groupBy(_.getString(3)).map { case (k, rs) =>
+      (k, rs.length.toLong, rs.filter(!_.isNullAt(4)).map(_.getDouble(4)).min)
+    }.toArray.sortBy(_._1)
+    assert(gotName.toSeq === expName.toSeq)
+  }
+
+  test("long-key fast path survives growth past the initial table capacity") {
+    import org.apache.spark.sql.functions.{col, count => fcount, min => fmin}
+    // > 4096 distinct tokens in one shard forces at least one rehash
+    val dir = Files.createTempDirectory("graft-sharded-many").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "shard=0.csv"))
+    (0 until 20000).foreach { i => w.println(s"${i % 7000},${100L * i},sig,${i * 1.0}") }
+    w.close()
+    val q = spark.read.format("graft-sharded").load(dir.getAbsolutePath)
+      .groupBy("token_id").agg(fcount("*").as("n"), fmin("ts_us").as("mn"))
+    assert(q.queryExecution.executedPlan.toString.contains("pushedAgg="))
+    val got = q.collect()
+    assert(got.length === 7000)
+    assert(got.map(_.getLong(1)).sum === 20000L)
+    // spot-check one group: token 0 appears at i = 0, 7000, 14000
+    val t0 = got.find(_.getLong(0) == 0L).get
+    assert(t0.getLong(1) === 3L && t0.getLong(2) === 0L)
+  }
+
   test("topN on ts_us pushes into the scan: K-bounded per-shard output") {
     import org.apache.spark.sql.functions.col
     val dir = writeShards(4, 50)
@@ -232,6 +291,104 @@ class ShardedSourceSpec extends SparkTestBase {
         .groupBy("shard", "token_id").agg(fsum("v").as("sv"))
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
       assert(rows.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet === full)
+    }
+  }
+
+  test("static filter pushdown: shard equality prunes files; token/name/ts drop rows at parse time") {
+    import org.apache.spark.sql.functions.col
+    val dir = writeShards(8, 50)
+    val df = spark.read.format("graft-sharded").load(dir)
+
+    // shard = 3 → file-level prune: scan emits EXACTLY that shard's rows
+    // (no Spark-side residual filter exists to hide over-reads)
+    val qs = df.where(col("shard") === 3)
+    val rows = qs.collect()
+    assert(rows.length === 50 && rows.forall(_.getInt(0) === 3))
+    val scan = findScan(qs, "graft_sharded")
+    assert(scan.metrics("numOutputRows").value === 50,
+      s"scan emitted ${scan.metrics("numOutputRows").value} — shard files not pruned")
+    assert(scan.toString.contains("pushedFilters="), s"description must show the pushed filters:\n$scan")
+    // residual-free: the conjuncts were consumed exactly, no Filter node remains
+    assert(qs.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.isEmpty, s"pushed filters must leave no residual:\n${qs.queryExecution.optimizedPlan}")
+
+    // token_id = 3: parse-time row skip, values identical to Spark-side eval
+    val qt = df.where(col("token_id") === 3L)
+    val gotT = qt.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val expT = df.collect().filter(r => !r.isNullAt(1) && r.getLong(1) == 3L)
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(gotT === expT && gotT.nonEmpty)
+    assert(findScan(qt, "graft_sharded").metrics("numOutputRows").value === gotT.length.toLong)
+
+    // name IN + half-open ts range compose (conjuncts intersect)
+    val qn = df.where(col("name").isin("sig_0", "sig_2") &&
+      col("ts_us") >= 10000000L && col("ts_us") < 30000000L)
+    val gotN = qn.collect().map(r => (r.getInt(0), r.getLong(2), r.getString(3))).sorted.toSeq
+    val expN = df.collect()
+      .filter(r => Set("sig_0", "sig_2")(r.getString(3)) && !r.isNullAt(2)
+        && r.getLong(2) >= 10000000L && r.getLong(2) < 30000000L)
+      .map(r => (r.getInt(0), r.getLong(2), r.getString(3))).sorted.toSeq
+    assert(gotN === expN && gotN.nonEmpty)
+    assert(findScan(qn, "graft_sharded").metrics("numOutputRows").value === gotN.length.toLong)
+
+    // unsupported shapes stay Spark-side residuals (and stay correct)
+    val qu = df.where(col("v") > 10.0)
+    assert(qu.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.nonEmpty, "a v-predicate must remain a residual Filter")
+    assert(qu.count() === df.collect().count(r => !r.isNullAt(4) && r.getDouble(4) > 10.0))
+  }
+
+  test("static filters compose with aggregate pushdown (filtered per-token fragment)") {
+    import org.apache.spark.sql.functions.{col, count => fcount, min => fmin}
+    val dir = writeShards(4, 50)
+    val df = spark.read.format("graft-sharded").load(dir)
+    val q = df.where(col("name") === "sig_1")
+      .groupBy("token_id")
+      .agg(fcount("*").as("n"), fmin("ts_us").as("min_ts"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAgg=[groups=token_id aggs=count_star(),min(ts_us)]"),
+      s"filtered aggregate must still push:\n$plan")
+    assert(plan.contains("pushedFilters=") && plan.contains("sig_1"),
+      s"the filter must ride into the same scan:\n$plan")
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val exp = df.collect().filter(_.getString(3) == "sig_1")
+      .groupBy(_.getLong(1)).map { case (t, rs) =>
+        (t, rs.length.toLong, rs.map(_.getLong(2)).min)
+      }.toSeq.sorted
+    assert(got === exp && got.nonEmpty)
+  }
+
+  test("reported statistics: post-prune bytes drive the broadcast decision") {
+    import org.apache.spark.sql.functions.col
+    val dir = writeShards(8, 50)
+    val df = spark.read.format("graft-sharded").load(dir)
+    // the logical relation reports REAL bytes (not the never-broadcast
+    // session default), and static shard pruning shrinks them
+    val full = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val oneShard = df.where(col("shard") === 3).queryExecution.optimizedPlan.stats.sizeInBytes
+    val onDisk = new java.io.File(dir).listFiles().map(_.length()).sum
+    assert(full === BigInt(onDisk), s"stats must report file bytes: $full vs $onDisk")
+    assert(oneShard * 4 < full, s"static prune must shrink stats: $oneShard vs $full")
+
+    // a big synthetic fact joined to the small sharded dim: the planner
+    // broadcasts the dim BECAUSE the scan reported its true (small) size
+    val fact = spark.range(0, 5000).selectExpr("id % 56 as token_id", "id as x")
+    val j = fact.join(df.select("token_id", "v"), Seq("token_id"))
+    j.collect()
+    val nodes = allExecNodes(j.queryExecution.executedPlan).map(_.getClass.getSimpleName)
+    assert(nodes.exists(_.contains("BroadcastHashJoin")),
+      s"small reported stats must yield BHJ, got:\n${nodes.mkString(", ")}")
+
+    // negative control: with a floor threshold the same join must NOT BHJ
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "64",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "64") {
+      val j2 = fact.join(df.select("token_id", "v"), Seq("token_id"))
+      j2.collect()
+      val n2 = allExecNodes(j2.queryExecution.executedPlan).map(_.getClass.getSimpleName)
+      assert(!n2.exists(_.contains("BroadcastHashJoin")),
+        s"tiny threshold must forbid BHJ, got:\n${n2.mkString(", ")}")
     }
   }
 

@@ -30,6 +30,29 @@ class StatusV2SourceSpec extends SparkTestBase {
     assert(read.select("data").where(col("data").contains("40")).count() === 1)
   }
 
+  test("reported statistics are the real file bytes, so small snapshots broadcast") {
+    val onDisk = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".")).map(_.length()).sum
+    assert(read.queryExecution.optimizedPlan.stats.sizeInBytes === BigInt(onDisk),
+      "the scan must report its on-disk size, not the never-broadcast default")
+    // join a big synthetic fact against this 5-line snapshot: BHJ on data
+    val fact = spark.range(0, 5000).selectExpr("CAST(id % 3 AS STRING) as subject", "id as x")
+    val j = fact.join(read.select("subject", "id"), Seq("subject"))
+    j.collect()
+    val nodes = allExecNodes(j.queryExecution.executedPlan).map(_.getClass.getSimpleName)
+    assert(nodes.exists(_.contains("BroadcastHashJoin")),
+      s"true (tiny) reported stats must yield BHJ, got:\n${nodes.mkString(", ")}")
+  }
+
+  test("runtime filtering is not advertised once pruning drops subject from the output") {
+    // PartitionPruning resolves filterAttributes against the PRUNED output
+    // and throws on a miss — a projection without `subject` must simply
+    // plan without runtime filtering (the r7 filterAttributes guard)
+    val fact = spark.range(0, 100).selectExpr("CAST(id AS STRING) as id2", "id as x")
+    val j = fact.join(read.select("id", "time"), fact("id2") === col("id"))
+    assert(j.count() === 0 || j.count() > 0) // planning must not throw
+  }
+
   test("subject + half-open time range are pushed and applied") {
     val q = read.where(
       col("subject") === "1" &&

@@ -44,8 +44,13 @@ def run_verify_from_snapshot():
     the running JVM reads.
     """
     print(f"running Verify on {SF} -> {OUT}", flush=True)
-    c = subprocess.run(["sbt", "-batch", "compile"], capture_output=True,
-                       text=True, cwd="/root/repo")
+    # Compile/copyResources too (ADVICE r6): `compile` alone does not copy
+    # src/main/resources into target/classes, and the DataSourceRegister
+    # service file lives there — on a clean target the snapshot would lack
+    # it and every graft-status/graft-sharded query dies with
+    # DATA_SOURCE_NOT_FOUND.
+    c = subprocess.run(["sbt", "-batch", "Compile/copyResources", "compile"],
+                       capture_output=True, text=True, cwd="/root/repo")
     if c.returncode != 0:
         print(c.stdout[-4000:])
         print(c.stderr[-4000:])
@@ -53,6 +58,11 @@ def run_verify_from_snapshot():
     snap = tempfile.mkdtemp(prefix="graft-gate-classes-")
     shutil.copytree("/root/repo/target/scala-2.13/classes", snap,
                     dirs_exist_ok=True)
+    # belt-and-braces: resources straight from src, in case a future sbt
+    # stops materializing them under target/classes
+    res = "/root/repo/src/main/resources"
+    if os.path.isdir(res):
+        shutil.copytree(res, snap, dirs_exist_ok=True)
     cmd = ["java"]
     for p in ADD_OPENS_PKGS:
         cmd += ["--add-opens", f"{p}=ALL-UNNAMED"]
