@@ -500,22 +500,30 @@ class ShardedAggReaderFactory(pa: ShardPushedAgg, pred: ShardRowPredicate = Shar
 }
 
 /** Shard-local hash aggregation for the pushed GROUP BY: one pass over the
-  * shard's rows through the full-schema reader, one output row per group
-  * holding (groupCols..., partial agg values...). State is bounded by the
-  * shard's distinct group keys — for the reference's fragments (DISTINCT
-  * token_id, per-token min ts) that is the per-shard token count, the same
+  * shard's rows through a reader PRUNED to exactly the referenced columns
+  * (an unused `name` would otherwise allocate a UTF8String per row), one
+  * output row per group holding (groupCols..., partial agg values...).
+  * State is bounded by the shard's distinct group keys — for the
+  * reference's fragments (DISTINCT token_id, per-token min ts) that is the
+  * per-shard token count, the same
   * bound the store's own aggregation carries.
   */
 class ShardedAggReader(files: Seq[String], shard: Int, pa: ShardPushedAgg,
     pred: ShardRowPredicate = ShardRowPredicate.Trivial)
     extends PartitionReader[InternalRow] {
 
-  private val base = ShardedSignalSource.Schema
+  private val neededNames =
+    (pa.groupCols ++ pa.aggs.filter(_.op != "count_star").map(_.column)).distinct
+  private val base = StructType(
+    ShardedSignalSource.Schema.fields.filter(f => neededNames.contains(f.name)))
   private val groupIdx = pa.groupCols.map(c => base.fieldIndex(c))
   private val aggIdx = pa.aggs.map(a => if (a.op == "count_star") -1 else base.fieldIndex(a.column))
 
+  // measurement-only escape hatch for tools/AggPathProbe (compares the two
+  // paths head-to-head); production always takes the fast path when eligible
   private lazy val resultIter: Iterator[InternalRow] =
-    if (groupIdx.length == 1 && base.fields(groupIdx.head).dataType == LongType)
+    if (groupIdx.length == 1 && base.fields(groupIdx.head).dataType == LongType
+        && java.lang.Boolean.parseBoolean(System.getProperty("graft.sharded.aggFastPath", "true")))
       longKeyPath(groupIdx.head)
     else genericPath()
 
