@@ -66,8 +66,14 @@ object ExportJob {
         size(col("t")).cast(LongType).as("n_tok"))
   }
 
+  /** Residue-sweep grace. Overridable because "1 h" is a policy, not a
+    * law: an export that can take longer must raise it (ADVICE r7).
+    */
+  val DefaultSweepGraceMs: Long = 60L * 60 * 1000
+
   /** Run the export; returns the published version's stats. */
-  def run(spark: SparkSession, sfDir: String, outDir: String, nShards: Int): ExportResult = {
+  def run(spark: SparkSession, sfDir: String, outDir: String, nShards: Int,
+      sweepGraceMs: Long = DefaultSweepGraceMs): ExportResult = {
     require(nShards > 0)
     val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(outDir))
@@ -78,16 +84,27 @@ object ExportJob {
     // being renamed in and recovering out). Both are unpublished data by
     // construction — a complete snapshot holds exactly data/,
     // manifest.json, _SUCCESS — so the next publish deletes them, but only
-    // after a 1 h grace so a LIVE exporter's in-flight tmp is never pulled
-    // out from under it.
-    val sweepBefore = System.currentTimeMillis() - 60L * 60 * 1000
+    // after a grace so a LIVE exporter's in-flight tmp is never pulled out
+    // from under it. The grace is judged against BOTH the name-embedded
+    // epoch AND the newest mtime inside the dir (ADVICE r7): an export
+    // legitimately running longer than the grace keeps touching its tmp,
+    // so its activity — not its start time — keeps it alive, and clock
+    // skew in the embedded epoch alone can't doom a live exporter either.
+    val sweepBefore = System.currentTimeMillis() - sweepGraceMs
     def tmpEpoch(name: String): Option[Long] =
       if (name.startsWith("_tmp-")) name.stripPrefix("_tmp-").toLongOption else None
+    def newestMtime(p: Path): Long = {
+      var mx = fs.getFileStatus(p).getModificationTime
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) mx = math.max(mx, it.next().getModificationTime)
+      mx
+    }
     val candidates =
       Option(fs.globStatus(new Path(outDir, "_tmp-*"))).getOrElse(Array.empty) ++
         Option(fs.globStatus(new Path(outDir, "v*/_tmp-*"))).getOrElse(Array.empty)
     candidates.foreach { st =>
-      if (tmpEpoch(st.getPath.getName).exists(_ < sweepBefore))
+      if (tmpEpoch(st.getPath.getName).exists(_ < sweepBefore) &&
+          newestMtime(st.getPath) < sweepBefore)
         fs.delete(st.getPath, true)
     }
 

@@ -1,12 +1,12 @@
 package graft.sources
 
-import java.io.{BufferedReader, File, FileReader}
+import java.io.File
 import java.util.{Map => JMap}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, NamedReference, SortDirection, Transform, SortOrder => V2SortOrder}
-import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
@@ -54,6 +54,9 @@ object ShardedSignalSource {
 
   private[sources] val ShardFile = """shard=(\d+)\.csv""".r
   private[sources] val ShardDir = """shard=(\d+)""".r
+
+  /** Within-shard byte-range split width (r7 verdict Next #1). */
+  val DefaultSplitBytes: Long = 128L * 1024 * 1024
 }
 
 class ShardedTable(path: String) extends Table with SupportsRead {
@@ -62,7 +65,9 @@ class ShardedTable(path: String) extends Table with SupportsRead {
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ShardedScanBuilder(path)
+    new ShardedScanBuilder(path,
+      options.getOrDefault("split", "auto").toLowerCase,
+      options.getLong("splitBytes", ShardedSignalSource.DefaultSplitBytes))
 }
 
 /** One pushed aggregate: `min`/`max` over a source column, or `count_star`. */
@@ -88,6 +93,11 @@ case class ShardPushedAgg(groupCols: Seq[String], aggs: Seq[ShardAggSpec]) {
         aggs.zipWithIndex.map {
           case (ShardAggSpec("count_star", _), i) =>
             StructField(s"agg_$i", LongType, nullable = false)
+          case (ShardAggSpec("sum", c), i) =>
+            // partial-sum column carries the FINAL sum's type (sum(int) is
+            // LongType in Spark), the type the retained final agg reads
+            val dt = f(c).dataType match { case IntegerType => LongType; case other => other }
+            StructField(s"agg_$i", dt, nullable = true)
           case (ShardAggSpec(op, c), i) => StructField(s"agg_$i", f(c).dataType, nullable = true)
         })
   }
@@ -117,16 +127,19 @@ case class ShardRowPredicate(
     nameIn: Option[Set[String]],
     tsMin: Option[(Long, Boolean)], // (bound, inclusive)
     tsMax: Option[(Long, Boolean)],
-    notNull: Set[String]) {
+    notNull: Set[String],
+    vMin: Option[(Double, Boolean)] = None,
+    vMax: Option[(Double, Boolean)] = None) {
 
   def isTrivial: Boolean =
-    tokenIn.isEmpty && nameIn.isEmpty && tsMin.isEmpty && tsMax.isEmpty && notNull.isEmpty
+    tokenIn.isEmpty && nameIn.isEmpty && tsMin.isEmpty && tsMax.isEmpty &&
+      vMin.isEmpty && vMax.isEmpty && notNull.isEmpty
 
   // which raw fields the row loop must parse even when pruned away
   def needsToken: Boolean = tokenIn.isDefined || notNull("token_id")
   def needsTs: Boolean = tsMin.isDefined || tsMax.isDefined || notNull("ts_us")
   def needsName: Boolean = nameIn.isDefined
-  def needsV: Boolean = notNull("v")
+  def needsV: Boolean = vMin.isDefined || vMax.isDefined || notNull("v")
 
   def accept(token: java.lang.Long, ts: java.lang.Long, name: String, v: java.lang.Double): Boolean = {
     if (tokenIn.isDefined) {
@@ -139,7 +152,17 @@ case class ShardRowPredicate(
       tsMax foreach { case (b, inc) => if (if (inc) t > b else t >= b) return false }
     } else if (notNull("ts_us") && ts == null) return false
     if (nameIn.isDefined && !nameIn.get.contains(name)) return false
-    if (notNull("v") && v == null) return false
+    if (vMin.isDefined || vMax.isDefined) {
+      if (v == null) return false
+      val d = v.doubleValue()
+      // Spark's comparison total order (NaN largest, -0.0 == 0.0): the
+      // exact (residual-free) contract means matching Spark's own
+      // evaluation bit-for-bit, not IEEE </>
+      vMin foreach { case (b, inc) =>
+        val c = ShardRowPredicate.cmpD(d, b); if (if (inc) c < 0 else c <= 0) return false }
+      vMax foreach { case (b, inc) =>
+        val c = ShardRowPredicate.cmpD(d, b); if (if (inc) c > 0 else c >= 0) return false }
+    } else if (notNull("v") && v == null) return false
     true
   }
 }
@@ -147,16 +170,56 @@ case class ShardRowPredicate(
 object ShardRowPredicate {
   val Trivial: ShardRowPredicate = ShardRowPredicate(None, None, None, None, Set.empty)
 
+  /** Spark SQL's double comparison: NaN greater than everything and equal
+    * to itself; -0.0 equal to 0.0 (java.lang.Double.compare alone gets the
+    * signed-zero case wrong for SQL).
+    */
+  private[sources] def cmpD(a: Double, b: Double): Int =
+    java.lang.Double.compare(if (a == 0.0) 0.0 else a, if (b == 0.0) 0.0 else b)
+
+  /** Literal round-trip guards (ADVICE r7): `compile` narrows with
+    * `intValue`/`longValue`, so a wider or fractional literal that does
+    * not round-trip through the column's type must stay a Spark-side
+    * residual instead of silently truncating to the wrong key. (Catalyst
+    * normally casts literals to the column type before pushdown, so these
+    * reject only the hostile path.)
+    */
+  private def fitsInt(n: Any): Boolean = n match {
+    case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer => true
+    case l: java.lang.Long => l.longValue() == l.intValue().toLong
+    case _ => false // fractional / decimal literals: leave as residual
+  }
+  private def fitsLong(n: Any): Boolean = n match {
+    case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer | _: java.lang.Long => true
+    case _ => false
+  }
+  private def fitsDouble(n: Any): Boolean = n match {
+    case _: java.lang.Double | _: java.lang.Float => true
+    case l: java.lang.Long => l.longValue().toDouble.toLong == l.longValue() // exact under 2^53
+    case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer => true
+    case _ => false
+  }
+
   /** The statically-pushable conjunct shapes. Anything else stays a
     * Spark-side residual (pushFilters returns it).
     */
   def supported(f: Filter): Boolean = f match {
-    case EqualTo("shard" | "token_id" | "ts_us", _: Number) => true
-    case In("shard" | "token_id", vs) => vs.nonEmpty && vs.forall(_.isInstanceOf[Number])
+    case EqualTo("shard", n) => fitsInt(n)
+    case EqualTo("token_id", n) => fitsLong(n)
+    case EqualTo("ts_us", n) => fitsLong(n)
+    case In("shard", vs) => vs.nonEmpty && vs.forall(fitsInt)
+    case In("token_id", vs) => vs.nonEmpty && vs.forall(fitsLong)
     case EqualTo("name", _: String) => true
     case In("name", vs) => vs.nonEmpty && vs.forall(_.isInstanceOf[String])
-    case GreaterThan("ts_us", _: Number) | GreaterThanOrEqual("ts_us", _: Number)
-        | LessThan("ts_us", _: Number) | LessThanOrEqual("ts_us", _: Number) => true
+    case GreaterThan("ts_us", n) => fitsLong(n)
+    case GreaterThanOrEqual("ts_us", n) => fitsLong(n)
+    case LessThan("ts_us", n) => fitsLong(n)
+    case LessThanOrEqual("ts_us", n) => fitsLong(n)
+    case EqualTo("v", n) => fitsDouble(n)
+    case GreaterThan("v", n) => fitsDouble(n)
+    case GreaterThanOrEqual("v", n) => fitsDouble(n)
+    case LessThan("v", n) => fitsDouble(n)
+    case LessThanOrEqual("v", n) => fitsDouble(n)
     case IsNotNull(c) => ShardedSignalSource.Schema.fieldNames.contains(c)
     case _ => false
   }
@@ -171,6 +234,8 @@ object ShardRowPredicate {
     var nameIn: Option[Set[String]] = None
     var tsMin: Option[(Long, Boolean)] = None
     var tsMax: Option[(Long, Boolean)] = None
+    var vMin: Option[(Double, Boolean)] = None
+    var vMax: Option[(Double, Boolean)] = None
     var notNull = Set.empty[String]
     def inter[A](cur: Option[Set[A]], s: Set[A]): Option[Set[A]] =
       Some(cur.map(_ intersect s).getOrElse(s))
@@ -180,6 +245,16 @@ object ShardRowPredicate {
     })
     def hi(b: Long, inc: Boolean): Unit = tsMax = Some(tsMax match {
       case Some((b0, i0)) => if (b < b0 || (b == b0 && !inc)) (b, inc) else (b0, i0)
+      case None => (b, inc)
+    })
+    def vLo(b: Double, inc: Boolean): Unit = vMin = Some(vMin match {
+      case Some((b0, i0)) =>
+        val c = cmpD(b, b0); if (c > 0 || (c == 0 && !inc)) (b, inc) else (b0, i0)
+      case None => (b, inc)
+    })
+    def vHi(b: Double, inc: Boolean): Unit = vMax = Some(vMax match {
+      case Some((b0, i0)) =>
+        val c = cmpD(b, b0); if (c < 0 || (c == 0 && !inc)) (b, inc) else (b0, i0)
       case None => (b, inc)
     })
     filters.foreach {
@@ -194,15 +269,21 @@ object ShardRowPredicate {
       case GreaterThanOrEqual("ts_us", v: Number) => lo(v.longValue(), inc = true)
       case LessThan("ts_us", v: Number) => hi(v.longValue(), inc = false)
       case LessThanOrEqual("ts_us", v: Number) => hi(v.longValue(), inc = true)
+      case EqualTo("v", n: Number) => vLo(n.doubleValue(), inc = true); vHi(n.doubleValue(), inc = true)
+      case GreaterThan("v", n: Number) => vLo(n.doubleValue(), inc = false)
+      case GreaterThanOrEqual("v", n: Number) => vLo(n.doubleValue(), inc = true)
+      case LessThan("v", n: Number) => vHi(n.doubleValue(), inc = false)
+      case LessThanOrEqual("v", n: Number) => vHi(n.doubleValue(), inc = true)
       case IsNotNull(c) => notNull += c
       case _ => () // unreachable: pushFilters only accepts `supported` shapes
     }
     // shard is never null (derived from the file name) — drop the no-op
-    (shards, ShardRowPredicate(tokenIn, nameIn, tsMin, tsMax, notNull - "shard"))
+    (shards, ShardRowPredicate(tokenIn, nameIn, tsMin, tsMax, notNull - "shard", vMin, vMax))
   }
 }
 
-class ShardedScanBuilder(path: String) extends ScanBuilder
+class ShardedScanBuilder(path: String, splitMode: String = "auto",
+    splitBytes: Long = ShardedSignalSource.DefaultSplitBytes) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownTopN with SupportsPushDownFilters {
   private var required: StructType = ShardedSignalSource.Schema
@@ -248,6 +329,10 @@ class ShardedScanBuilder(path: String) extends ScanBuilder
       case _: CountStar => Some(ShardAggSpec("count_star", ""))
       case m: Min => refName(m.column).filter(numeric).map(ShardAggSpec("min", _))
       case m: Max => refName(m.column).filter(numeric).map(ShardAggSpec("max", _))
+      // pushed partial SUM (r7 verdict Next #4): each shard ships one
+      // per-group partial sum, the retained final agg sums the partials —
+      // the fragment a MergeTree store answers internally
+      case s: Sum if !s.isDistinct => refName(s.column).filter(numeric).map(ShardAggSpec("sum", _))
       case _: AggregateFunc => None
     }
     if (aggs.exists(_.isEmpty)) return false
@@ -277,15 +362,45 @@ class ShardedScanBuilder(path: String) extends ScanBuilder
   override def isPartiallyPushed: Boolean = true
 
   override def build(): Scan = pushedAgg match {
-    case Some(pa) => new ShardedScan(path, pa.outputSchema, Some(pa), pushedFilters = pushedStatic)
-    case None     => new ShardedScan(path, required, None, topN, topNDesc, pushedStatic)
+    case Some(pa) => new ShardedScan(path, pa.outputSchema, Some(pa), pushedFilters = pushedStatic,
+      splitMode = splitMode, splitBytes = splitBytes)
+    case None     => new ShardedScan(path, required, None, topN, topNDesc, pushedStatic,
+      splitMode, splitBytes)
   }
 }
 
 class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPushedAgg] = None,
-    topN: Int = -1, topNDesc: Boolean = true, pushedFilters: Array[Filter] = Array.empty)
+    topN: Int = -1, topNDesc: Boolean = true, pushedFilters: Array[Filter] = Array.empty,
+    splitMode: String = "auto", splitBytes: Long = ShardedSignalSource.DefaultSplitBytes)
     extends Scan with Batch with SupportsReportPartitioning with SupportsRuntimeFiltering
     with SupportsReportStatistics {
+
+  /** Within-shard byte-range splitting (r7 verdict Next #1): one partition
+    * per SHARD is the contract `KeyGroupedPartitioning` needs — but a scan
+    * that never consumes the clustering would have its parallelism capped
+    * at NShards, and a hot/oversized shard serializes into one task. So:
+    *
+    *   - `split=auto` (default): split part files into byte ranges exactly
+    *     when the scan already reports `UnknownPartitioning` (the `shard`
+    *     column pruned from the output — no consumer can use the
+    *     clustering). Key-grouped consumption keeps the 1:1 mapping and
+    *     its zero-exchange plans, untouched.
+    *   - `split=always`: force splitting (the scan then reports
+    *     `UnknownPartitioning` even with `shard` in the output) — for
+    *     plain filter/projection reads that keep `shard` but don't join on
+    *     it.
+    *   - `split=never`: the pre-r8 behavior.
+    *
+    * Every reader path is split-safe: raw rows partition trivially, the
+    * pushed TopN keeps a per-SPLIT K-heap (still a correct superset), and
+    * the pushed aggregate is PARTIAL by contract — per-split partials
+    * merge in Spark's retained final agg exactly like per-shard partials.
+    */
+  private lazy val doSplit: Boolean = splitMode match {
+    case "always" => true
+    case "never"  => false
+    case _        => !required.fieldNames.contains("shard")
+  }
 
   /** Static pushdown, split into its two tiers (see [[ShardRowPredicate]]). */
   private val (staticShards, rowPred) = ShardRowPredicate.compile(pushedFilters.toIndexedSeq)
@@ -318,7 +433,9 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-sharded $path key-grouped by shard" + pushedAgg.map(pa =>
+    s"graft-sharded $path " +
+      (if (doSplit) s"byte-range-split($splitBytes)" else "key-grouped by shard") +
+      pushedAgg.map(pa =>
       s" pushedAgg=[groups=${pa.groupCols.mkString(",")} " +
         s"aggs=${pa.aggs.map(a => s"${a.op}(${a.column})").mkString(",")}]").getOrElse("") +
       (if (topN >= 0) s" topN=$topN ts_us ${if (topNDesc) "DESC" else "ASC"}" else "") +
@@ -337,11 +454,11 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
   override def estimateStatistics(): Statistics = {
     val bytes = shardFiles.map(_._2.map(_.length()).sum).sum
     val rowBound: java.util.OptionalLong =
-      if (topN >= 0) java.util.OptionalLong.of(2L * topN * shardFiles.length)
+      if (topN >= 0) java.util.OptionalLong.of(2L * topN * plannedCount) // ≤2K per PLANNED split
       else if (pushedAgg.isEmpty && rowPred.isTrivial)
-        // raw scan: ~bytes/avg-line — cheap upper estimate from a fixed
-        // conservative 16-byte minimum line width
-        java.util.OptionalLong.of(bytes / 16 + 1)
+        // raw scan: true upper bound from the minimum valid line width —
+        // '1,1,a,1\n' is 8 bytes (ADVICE r7: /16 could UNDERcount by 2x)
+        java.util.OptionalLong.of(bytes / 8 + 1)
       else java.util.OptionalLong.empty()
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
@@ -379,12 +496,40 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
       .sortBy(_._1)
   }
 
+  /** Shards surviving BOTH static and runtime pruning. */
+  private def liveShards: Array[(Int, Seq[File])] =
+    shardFiles.filter { case (shard, _) => runtimeShards.forall(_.contains(shard)) }
+
   override def planInputPartitions(): Array[InputPartition] =
-    shardFiles
-      .filter { case (shard, _) => runtimeShards.forall(_.contains(shard)) }
-      .map { case (shard, fs) =>
+    if (doSplit)
+      liveShards.flatMap { case (shard, fs) =>
+        fs.flatMap { f =>
+          val len = f.length()
+          if (len <= splitBytes)
+            Seq(ShardSplitPartition(f.getAbsolutePath, shard, 0L, Long.MaxValue): InputPartition)
+          else {
+            val n = ((len + splitBytes - 1) / splitBytes).toInt
+            (0 until n).map { i =>
+              val start = i * splitBytes
+              ShardSplitPartition(f.getAbsolutePath, shard, start,
+                math.min(start + splitBytes, len)): InputPartition
+            }
+          }
+        }
+      }
+    else
+      liveShards.map { case (shard, fs) =>
         ShardPartition(fs.map(_.getAbsolutePath), shard): InputPartition
       }
+
+  /** Planned partition count (post static prune, pre runtime prune) — the
+    * figure stats row bounds and `UnknownPartitioning` report.
+    */
+  private def plannedCount: Int =
+    if (!doSplit) shardFiles.length
+    else shardFiles.map { case (_, fs) =>
+      fs.map(f => math.max(1L, (f.length() + splitBytes - 1) / splitBytes)).sum
+    }.sum.toInt
 
   /** The contract that elides the shuffle: rows are clustered by the
     * identity of `shard`, in exactly `shardFiles.length` groups whose
@@ -394,9 +539,9 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
     * dangling reference.
     */
   override def outputPartitioning(): Partitioning =
-    if (readSchema().fieldNames.contains("shard"))
+    if (readSchema().fieldNames.contains("shard") && !doSplit)
       new KeyGroupedPartitioning(Array(Expressions.identity("shard")), shardFiles.length)
-    else new UnknownPartitioning(shardFiles.length)
+    else new UnknownPartitioning(plannedCount)
 
   override def createReaderFactory(): PartitionReaderFactory = pushedAgg match {
     case Some(pa) => new ShardedAggReaderFactory(pa, rowPred)
@@ -409,12 +554,27 @@ case class ShardPartition(files: Seq[String], shard: Int) extends InputPartition
   override def partitionKey(): InternalRow = InternalRow(shard)
 }
 
+/** One byte range of one part file (split mode) — deliberately NOT
+  * `HasPartitionKey`: split partitions break the 1-partition-per-key
+  * contract, and the scan reports `UnknownPartitioning` for them.
+  */
+case class ShardSplitPartition(file: String, shard: Int, start: Long, end: Long)
+    extends InputPartition
+
+/** Row source for either partition shape, at the caller's schema. */
+private[sources] object ShardRows {
+  def apply(partition: InputPartition, schema: StructType,
+      pred: ShardRowPredicate): PartitionReader[InternalRow] = partition match {
+    case p: ShardPartition => new ShardedShardReader(p.files, p.shard, schema, pred)
+    case p: ShardSplitPartition =>
+      new ShardedPartitionReader(p.file, p.shard, schema, pred, p.start, p.end)
+  }
+}
+
 class ShardedReaderFactory(required: StructType, pred: ShardRowPredicate = ShardRowPredicate.Trivial)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[ShardPartition]
-    new ShardedShardReader(p.files, p.shard, required, pred)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    ShardRows(partition, required, pred)
 }
 
 /** Chains one shard's part files through [[ShardedPartitionReader]]s. */
@@ -443,10 +603,8 @@ class ShardedShardReader(files: Seq[String], shard: Int, required: StructType,
 class ShardedTopNReaderFactory(required: StructType, topN: Int, topNDesc: Boolean,
     pred: ShardRowPredicate = ShardRowPredicate.Trivial)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[ShardPartition]
-    new ShardedTopNReader(p.files, p.shard, required, topN, topNDesc, pred)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ShardedTopNReader(partition, required, topN, topNDesc, pred)
 }
 
 /** Per-shard pushed top-K on `ts_us`: ONE pass through the shard keeping a
@@ -455,7 +613,7 @@ class ShardedTopNReaderFactory(required: StructType, topN: Int, topNDesc: Boolea
   * superset under either null ordering; the retained global TakeOrdered
   * above discards extras. Memory O(K), emitted rows ≤ 2K per shard.
   */
-class ShardedTopNReader(files: Seq[String], shard: Int, required: StructType,
+class ShardedTopNReader(partition: InputPartition, required: StructType,
     topN: Int, topNDesc: Boolean, pred: ShardRowPredicate = ShardRowPredicate.Trivial)
     extends PartitionReader[InternalRow] {
 
@@ -468,7 +626,7 @@ class ShardedTopNReader(files: Seq[String], shard: Int, required: StructType,
     val heap = new java.util.PriorityQueue[(Long, InternalRow)](math.max(topN, 1), cmp)
     val res = new java.util.ArrayDeque[InternalRow]()
     var nNulls = 0
-    val rows = new ShardedShardReader(files, shard, required, pred)
+    val rows = ShardRows(partition, required, pred)
     try {
       while (rows.next()) {
         val r = rows.get()
@@ -493,10 +651,8 @@ class ShardedTopNReader(files: Seq[String], shard: Int, required: StructType,
 
 class ShardedAggReaderFactory(pa: ShardPushedAgg, pred: ShardRowPredicate = ShardRowPredicate.Trivial)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[ShardPartition]
-    new ShardedAggReader(p.files, p.shard, pa, pred)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ShardedAggReader(partition, pa, pred)
 }
 
 /** Shard-local hash aggregation for the pushed GROUP BY: one pass over the
@@ -508,7 +664,7 @@ class ShardedAggReaderFactory(pa: ShardPushedAgg, pred: ShardRowPredicate = Shar
   * per-shard token count, the same
   * bound the store's own aggregation carries.
   */
-class ShardedAggReader(files: Seq[String], shard: Int, pa: ShardPushedAgg,
+class ShardedAggReader(partition: InputPartition, pa: ShardPushedAgg,
     pred: ShardRowPredicate = ShardRowPredicate.Trivial)
     extends PartitionReader[InternalRow] {
 
@@ -538,11 +694,12 @@ class ShardedAggReader(files: Seq[String], shard: Int, pa: ShardPushedAgg,
     */
   private def longKeyPath(keyIdx: Int): Iterator[InternalRow] = {
     val nA = pa.aggs.length
-    val opCode = new Array[Int](nA) // 0=count_star, 1=min, 2=max
+    val opCode = new Array[Int](nA) // 0=count_star, 1=min, 2=max, 3=sum
     val dtCode = new Array[Int](nA) // 1=int, 2=long, 3=double
     var a0 = 0
     while (a0 < nA) {
-      opCode(a0) = pa.aggs(a0).op match { case "count_star" => 0; case "min" => 1; case _ => 2 }
+      opCode(a0) = pa.aggs(a0).op match {
+        case "count_star" => 0; case "min" => 1; case "max" => 2; case _ => 3 }
       dtCode(a0) = if (opCode(a0) == 0) 0 else base.fields(aggIdx(a0)).dataType match {
         case IntegerType => 1
         case LongType => 2
@@ -598,7 +755,7 @@ class ShardedAggReader(files: Seq[String], shard: Int, pa: ShardPushedAgg,
     val nullAccD = new Array[Double](nA)
     val nullSeen = new Array[Boolean](nA)
 
-    val rows = new ShardedShardReader(files, shard, base, pred)
+    val rows = ShardRows(partition, base, pred)
     try {
       while (rows.next()) {
         val r = rows.get()
@@ -608,6 +765,22 @@ class ShardedAggReader(files: Seq[String], shard: Int, pa: ShardPushedAgg,
         while (a < nA) {
           if (opCode(a) == 0) {
             if (isNull) nullAccL(a) += 1L else accL(a)(gi) += 1L
+          } else if (opCode(a) == 3) {
+            val ci = aggIdx(a)
+            if (!r.isNullAt(ci)) {
+              val sArr = if (isNull) nullSeen else seen(a)
+              val ix = if (isNull) a else gi
+              if (dtCode(a) == 3) {
+                val dArr = if (isNull) nullAccD else accD(a)
+                if (!sArr(ix)) { sArr(ix) = true; dArr(ix) = r.getDouble(ci) }
+                else dArr(ix) += r.getDouble(ci)
+              } else {
+                val v = if (dtCode(a) == 1) r.getInt(ci).toLong else r.getLong(ci)
+                val lArr = if (isNull) nullAccL else accL(a)
+                if (!sArr(ix)) { sArr(ix) = true; lArr(ix) = v }
+                else lArr(ix) += v
+              }
+            }
           } else {
             val ci = aggIdx(a)
             if (!r.isNullAt(ci)) {
@@ -617,8 +790,14 @@ class ShardedAggReader(files: Seq[String], shard: Int, pa: ShardPushedAgg,
                 val sArr = if (isNull) nullSeen else seen(a)
                 val dArr = if (isNull) nullAccD else accD(a)
                 val ix = if (isNull) a else gi
+                // Double.compare, not raw </> (ADVICE r7): shares the
+                // generic path's / Spark's total order (NaN largest,
+                // -0.0 < 0.0) so both paths agree on NaN-bearing shards
                 if (!sArr(ix)) { sArr(ix) = true; dArr(ix) = v }
-                else if (if (isMin) v < dArr(ix) else v > dArr(ix)) dArr(ix) = v
+                else {
+                  val c = java.lang.Double.compare(v, dArr(ix))
+                  if (if (isMin) c < 0 else c > 0) dArr(ix) = v
+                }
               } else {
                 val v = if (dtCode(a) == 1) r.getInt(ci).toLong else r.getLong(ci)
                 val sArr = if (isNull) nullSeen else seen(a)
@@ -643,7 +822,9 @@ class ShardedAggReader(files: Seq[String], shard: Int, pa: ShardPushedAgg,
           if (opCode(a) == 0) java.lang.Long.valueOf(getL(a))
           else if (!getSeen(a)) null
           else dtCode(a) match {
-            case 1 => java.lang.Integer.valueOf(getL(a).toInt)
+            // sum(int) emits the widened LONG the output schema declares
+            case 1 => if (opCode(a) == 3) java.lang.Long.valueOf(getL(a))
+                      else java.lang.Integer.valueOf(getL(a).toInt)
             case 2 => java.lang.Long.valueOf(getL(a))
             case _ => java.lang.Double.valueOf(getD(a))
           }
@@ -662,7 +843,7 @@ class ShardedAggReader(files: Seq[String], shard: Int, pa: ShardPushedAgg,
   }
 
   private def genericPath(): Iterator[InternalRow] = {
-    val rows = new ShardedShardReader(files, shard, base, pred)
+    val rows = ShardRows(partition, base, pred)
     // group key → accumulator array (boxed; null = no value seen yet)
     val groups = new java.util.LinkedHashMap[Seq[Any], Array[Any]]()
     try {
@@ -678,6 +859,19 @@ class ShardedAggReader(files: Seq[String], shard: Int, pa: ShardPushedAgg,
         pa.aggs.zipWithIndex.foreach { case (a, i) =>
           a.op match {
             case "count_star" => acc(i) = acc(i).asInstanceOf[Long] + 1L
+            case "sum" =>
+              val ci = aggIdx(i)
+              if (!r.isNullAt(ci)) {
+                val v = r.get(ci, base.fields(ci).dataType)
+                acc(i) = (acc(i), v) match {
+                  case (null, x: Int)         => x.toLong // sum(int) widens
+                  case (null, x)              => x
+                  case (s: Long, x: Int)      => s + x.toLong
+                  case (s: Long, x: Long)     => s + x
+                  case (s: Double, x: Double) => s + x
+                  case (s, _)                 => s
+                }
+              }
             case "min" | "max" =>
               val ci = aggIdx(i)
               if (!r.isNullAt(ci)) {
@@ -721,9 +915,13 @@ class ShardedAggReader(files: Seq[String], shard: Int, pa: ShardPushedAgg,
   * value missing" row a real store produces).
   */
 class ShardedPartitionReader(file: String, shard: Int, required: StructType,
-    pred: ShardRowPredicate = ShardRowPredicate.Trivial)
+    pred: ShardRowPredicate = ShardRowPredicate.Trivial,
+    start: Long = 0L, end: Long = Long.MaxValue)
     extends PartitionReader[InternalRow] {
-  private val in = new BufferedReader(new FileReader(file))
+  // whole-file read is just the (0, MaxValue) byte range; split mode hands
+  // in real ranges, newline-aligned by the shared ownership convention
+  // (ByteRangeLines: a line belongs to the range holding its first byte)
+  private val in = new ByteRangeLines(file, start, end)
   private var current: InternalRow = _
   private var lineNo: Long = 0L
 
@@ -737,12 +935,14 @@ class ShardedPartitionReader(file: String, shard: Int, required: StructType,
 
   private def bad(line: String, why: String): Nothing =
     throw new IllegalArgumentException(
-      s"malformed sharded-signal row ($why) at $file:$lineNo: '$line'")
+      s"malformed sharded-signal row ($why) at $file" +
+        (if (start > 0) s"[range +$start]" else "") + s":$lineNo: '$line'")
 
   override def next(): Boolean = {
-    var line = in.readLine()
-    while (line != null) {
+    var raw = in.next()
+    while (raw != null) {
       lineNo += 1
+      val line = new String(raw, java.nio.charset.StandardCharsets.UTF_8)
       if (line.nonEmpty) {
         val parts = line.split(",", -1)
         if (parts.length != 4) bad(line, s"expected 4 fields, got ${parts.length}")
@@ -770,7 +970,7 @@ class ShardedPartitionReader(file: String, shard: Int, required: StructType,
           return true
         }
       }
-      line = in.readLine()
+      raw = in.next()
     }
     false
   }

@@ -95,14 +95,26 @@ class ExportJobSpec extends SparkTestBase {
     // old abandoned tmp (top-level) + foreign residue inside v1 — both
     // older than the 1 h grace via a back-dated epoch suffix
     val oldEpoch = System.currentTimeMillis() - 2L * 60 * 60 * 1000
-    val staleTop = new java.io.File(s"$out/_tmp-$oldEpoch"); staleTop.mkdirs()
-    val staleNested = new java.io.File(s"$out/v1/_tmp-${oldEpoch + 1}"); staleNested.mkdirs()
+    val staleTop = new java.io.File(s"$out/_tmp-$oldEpoch")
+    staleTop.mkdirs(); staleTop.setLastModified(oldEpoch)
+    val staleNested = new java.io.File(s"$out/v1/_tmp-${oldEpoch + 1}")
+    staleNested.mkdirs(); staleNested.setLastModified(oldEpoch)
     // a FRESH tmp (live exporter) must survive the sweep
     val freshTop = new java.io.File(s"$out/_tmp-${System.currentTimeMillis()}"); freshTop.mkdirs()
+    // ADVICE r7: a tmp whose NAME epoch is past the grace but that is
+    // still being written (fresh mtimes inside) is a LIVE slow exporter —
+    // activity, not start time, keeps it alive
+    val slowLive = new java.io.File(s"$out/_tmp-${oldEpoch + 2}")
+    slowLive.mkdirs(); slowLive.setLastModified(oldEpoch)
+    val slowLiveFile = new java.io.File(slowLive, "part-0")
+    slowLiveFile.createNewFile() // mtime = now
 
     val r2 = ExportJob.run(spark, sf, out, nShards = 2) // v2, LATEST=v2
     assert(!staleTop.exists() && !staleNested.exists(), "stale residue must be swept")
     assert(freshTop.exists(), "a live exporter's tmp must survive the sweep")
+    assert(slowLive.exists() && slowLiveFile.exists(),
+      "a >grace-old but still-active exporter's tmp must survive the sweep")
+    slowLiveFile.delete(); slowLive.delete()
 
     // the skip branch directly: a paused exporter resuming with v2 while
     // v9 exists must NOT move the pointer back

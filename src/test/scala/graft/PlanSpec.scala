@@ -458,6 +458,35 @@ class PlanSpec extends SparkTestBase {
       s"scan emitted $emitted rows, expected the one VIP shard's $shardRows")
   }
 
+  test("q193 stats-driven broadcast: the pruned sharded dim BHJs with no hint") {
+    val df = SparkEntry.queries("q193_sharded_bhj")(spark, sf)
+    df.collect()
+    // no ResolvedHint anywhere in the analyzed plan — the broadcast must
+    // come from the scan's REPORTED post-prune statistics, not a human
+    assert(df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }.isEmpty, "q193 must not carry a broadcast hint")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"reported post-prune stats must make the dim broadcast:\n$p")
+    assert(p.contains("EqualTo(shard,3)") || p.contains("pushedFilters=[EqualTo(shard,3)"),
+      s"the static shard prune must reach the scan:\n$p")
+  }
+
+  test("q194 pushed sum: per-token spend partials computed inside the scan") {
+    val df = SparkEntry.queries("q194_sharded_spend")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("pushedAgg=[groups=token_id aggs=sum(v)]"),
+      s"the sum must reach the scan:\n$p")
+    // the scan ships one partial row per (shard, token), bounded by the
+    // per-shard token count — not the corpus
+    val scan = findScan(df, "graft_sharded")
+    val tokens = SparkEntry.queries("q183_sharded_tokens")(spark, sf).count()
+    assert(scan.metrics("numOutputRows").value <= 8L * tokens,
+      s"scan must emit per-shard partials, got ${scan.metrics("numOutputRows").value}")
+  }
+
   test("q191 classifier: train + score are hash aggregates and an equi-join, no cartesian") {
     val p = plan("q191_quality_classifier")
     assert(p.contains("HashAggregate"), p)

@@ -139,13 +139,133 @@ class ShardedSourceSpec extends SparkTestBase {
     }
   }
 
-  test("non-pushable aggregates leave the scan untouched (sum stays Spark-side)") {
+  test("non-pushable aggregates leave the scan untouched (avg stays Spark-side)") {
     val dir = writeShards(4, 30)
     val q = spark.read.format("graft-sharded").load(dir)
-      .groupBy("token_id").agg(org.apache.spark.sql.functions.sum("v").as("sv"))
+      .groupBy("token_id").agg(org.apache.spark.sql.functions.avg("v").as("av"))
     val plan = q.queryExecution.executedPlan.toString
     assert(!plan.contains("pushedAgg"), plan)
     assert(q.count() > 0)
+  }
+
+  test("aggregate pushdown: sum ships per-shard partials; int widens; all-null sums stay null") {
+    import org.apache.spark.sql.functions.{count => fcount, sum => fsum}
+    // fixture with NULL values: token 12 gets ONLY empty v fields
+    val dir = Files.createTempDirectory("graft-sharded-sum").toFile
+    (0 until 2).foreach { s =>
+      val w = new java.io.PrintWriter(new java.io.File(dir, s"shard=$s.csv"))
+      (0 until 30).foreach { i =>
+        val tok = s + (i % 3) * 2
+        val v = if (tok == 4) "" else s"${i * 0.25}"
+        w.println(s"$tok,${1000L * i},sig_${i % 2},$v")
+      }
+      // token 12: appears once per shard, v always null
+      w.println(s"12,999,sig_x,")
+      w.close()
+    }
+    val df = spark.read.format("graft-sharded").load(dir.getAbsolutePath)
+    val raw = df.collect()
+    val q = df.groupBy("token_id")
+      .agg(fsum("v").as("sv"), fsum("ts_us").as("st"), fcount("*").as("n"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("aggs=sum(v),sum(ts_us)"), s"sum must reach the scan:\n$plan")
+    val got = q.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val exp = raw.groupBy(_.getLong(1)).map { case (t, rs) =>
+      val vs = rs.filter(!_.isNullAt(4)).map(_.getDouble(4))
+      (t, if (vs.isEmpty) None else Some(vs.sum), rs.map(_.getLong(2)).sum, rs.length.toLong)
+    }.toArray.sortBy(_._1)
+    assert(got.toSeq === exp.toSeq)
+    // the all-null-v token's sum is null, not 0
+    assert(got.find(_._1 == 12L).get._2 === None)
+    // generic (string-key) path sums too
+    val byName = df.groupBy("name").agg(fsum("v").as("sv"))
+    assert(byName.queryExecution.executedPlan.toString.contains("aggs=sum(v)"))
+    val gotN = byName.collect().map(r =>
+      (r.getString(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))).sortBy(_._1)
+    val expN = raw.groupBy(_.getString(3)).map { case (k, rs) =>
+      val vs = rs.filter(!_.isNullAt(4)).map(_.getDouble(4))
+      (k, if (vs.isEmpty) None else Some(vs.sum)) }.toArray.sortBy(_._1)
+    assert(gotN.toSeq === expN.toSeq) // sig_x (the all-null-v name) stays None
+  }
+
+  test("double min/max/sum pushdown follows Spark's NaN total order on both paths") {
+    // ADVICE r7: the fast path compared doubles with raw </>, returning a
+    // non-NaN max where Spark (and the generic path) return NaN
+    val dir = Files.createTempDirectory("graft-sharded-nan").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "shard=0.csv"))
+    w.println("0,1000,sig,1.5")
+    w.println("0,2000,sig,NaN")
+    w.println("0,3000,sig,2.5")
+    w.println("1,4000,sig,-0.0")
+    w.println("1,5000,sig,0.0")
+    w.close()
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    // compare by raw BITS: tuple == treats NaN != NaN and -0.0 == 0.0,
+    // hiding exactly the disagreements this test exists to catch
+    def run(): Seq[(Long, Long, Long)] = {
+      val q = spark.read.format("graft-sharded").load(dir.getAbsolutePath)
+        .groupBy("token_id").agg(fmin("v").as("mn"), fmax("v").as("mx"))
+      assert(q.queryExecution.executedPlan.toString.contains("pushedAgg="))
+      q.collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).sortBy(_._1).toSeq
+    }
+    val fast = run()
+    val generic =
+      try { System.setProperty("graft.sharded.aggFastPath", "false"); run() }
+      finally System.setProperty("graft.sharded.aggFastPath", "true")
+    assert(fast === generic, "fast and generic paths must share one double ordering")
+    val t0 = fast.find(_._1 == 0L).get
+    assert(t0._2 === java.lang.Double.doubleToLongBits(1.5) &&
+      java.lang.Double.longBitsToDouble(t0._3).isNaN,
+      s"NaN is the max under Spark's order: $t0")
+    // signed zero: Double.compare order keeps -0.0 as the min, 0.0 the max
+    val t1 = fast.find(_._1 == 1L).get
+    assert(t1._2 === java.lang.Double.doubleToLongBits(-0.0) &&
+      t1._3 === java.lang.Double.doubleToLongBits(0.0), s"signed-zero order: $t1")
+  }
+
+  test("static-pushdown literals that do not round-trip stay Spark-side (no silent narrowing)") {
+    // ADVICE r7: a Long shard literal beyond Int range must NOT push (it
+    // would truncate to the wrong shard); an in-range Long still pushes
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    import graft.sources.ShardRowPredicate
+    assert(!ShardRowPredicate.supported(EqualTo("shard", java.lang.Long.valueOf(1L << 40))))
+    assert(!ShardRowPredicate.supported(EqualTo("shard", java.lang.Double.valueOf(3.5))))
+    assert(ShardRowPredicate.supported(EqualTo("shard", java.lang.Long.valueOf(3L))))
+    assert(ShardRowPredicate.supported(EqualTo("token_id", java.lang.Integer.valueOf(7))))
+    assert(!ShardRowPredicate.supported(EqualTo("token_id", java.lang.Double.valueOf(7.5))))
+    assert(ShardRowPredicate.supported(GreaterThan("v", java.lang.Double.valueOf(1.25))))
+    assert(ShardRowPredicate.supported(GreaterThan("v", java.lang.Integer.valueOf(2))))
+  }
+
+  test("v-range static pushdown is exact (residual-free) incl. NaN and signed zero") {
+    val dir = Files.createTempDirectory("graft-sharded-vrange").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "shard=0.csv"))
+    w.println("0,1000,sig,1.5")
+    w.println("1,2000,sig,NaN")
+    w.println("2,3000,sig,-0.0")
+    w.println("3,4000,sig,0.0")
+    w.println("4,5000,sig,")      // null v
+    w.println("5,6000,sig,2.5")
+    w.close()
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("graft-sharded").load(dir.getAbsolutePath)
+    def toks(q: org.apache.spark.sql.DataFrame): Seq[Long] = {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("pushedFilters=["), s"v predicate must push:\n$plan")
+      assert(q.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+      }.isEmpty, s"must be residual-free:\n${q.queryExecution.optimizedPlan}")
+      q.select("token_id").collect().map(_.getLong(0)).sorted.toSeq
+    }
+    // NaN is greater than everything (Spark's order): v > 2.0 keeps NaN
+    assert(toks(df.where(col("v") > 2.0)) === Seq(1L, 5L))
+    // -0.0 == 0.0 for SQL comparison: v = 0.0 keeps both zero rows
+    assert(toks(df.where(col("v") === 0.0)) === Seq(2L, 3L))
+    // range keeps the finite band (both zeros and 1.5), drops null and NaN
+    assert(toks(df.where(col("v") >= 0.0 && col("v") <= 2.0)) === Seq(0L, 2L, 3L))
   }
 
   test("pushed aggregation: long-key fast path and generic path agree, nulls intact") {
@@ -332,12 +452,13 @@ class ShardedSourceSpec extends SparkTestBase {
     assert(gotN === expN && gotN.nonEmpty)
     assert(findScan(qn, "graft_sharded").metrics("numOutputRows").value === gotN.length.toLong)
 
-    // unsupported shapes stay Spark-side residuals (and stay correct)
-    val qu = df.where(col("v") > 10.0)
+    // unsupported shapes stay Spark-side residuals (and stay correct) —
+    // v ranges push since r8, so the residual example is a string prefix
+    val qu = df.where(col("name").startsWith("sig"))
     assert(qu.queryExecution.optimizedPlan.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
-    }.nonEmpty, "a v-predicate must remain a residual Filter")
-    assert(qu.count() === df.collect().count(r => !r.isNullAt(4) && r.getDouble(4) > 10.0))
+    }.nonEmpty, "an unsupported predicate must remain a residual Filter")
+    assert(qu.count() === df.collect().count(r => r.getString(3).startsWith("sig")))
   }
 
   test("static filters compose with aggregate pushdown (filtered per-token fragment)") {
@@ -441,5 +562,82 @@ class ShardedSourceSpec extends SparkTestBase {
       assert(!plan.contains("Exchange"),
         s"same-layout datasets must storage-partition-join shuffle-free:\n$plan")
     }
+  }
+
+  test("within-shard split: non-key scans plan byte-range splits; key-grouped paths keep 1:1") {
+    import org.apache.spark.sql.functions.col
+    // 8 shards × 400 rows ≈ 10 KB per file; splitBytes=1 KB → ~10 splits/shard
+    val dir = writeShards(8, 400)
+    val df = spark.read.format("graft-sharded").option("splitBytes", "1024").load(dir)
+
+    // shard pruned from the output → auto split: parallelism beyond NShards
+    val raw = df.select("token_id", "v")
+    val nRaw = raw.rdd.getNumPartitions
+    assert(nRaw > 8, s"a non-key raw scan must split past the shard count, planned $nRaw")
+    // identical results vs the unsplit read, wherever the byte boundaries land
+    val never = spark.read.format("graft-sharded").option("split", "never").load(dir)
+      .select("token_id", "v")
+    assert(never.rdd.getNumPartitions === 8)
+    def canon(q: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      q.collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(x => (x._1, x._2)).toSeq
+    assert(canon(raw) === canon(never))
+
+    // shard in the output → auto keeps the key-grouped 1:1 contract
+    assert(df.select("shard", "token_id").rdd.getNumPartitions === 8)
+    // ...and the zero-exchange aggregation still holds under the option
+    withBucketing {
+      val agg = df.groupBy("shard", "token_id")
+        .agg(org.apache.spark.sql.functions.count("*").as("n"))
+      agg.collect()
+      val plan = agg.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!plan.contains("Exchange"),
+        s"split=auto must not break the key-grouped zero-exchange plan:\n$plan")
+    }
+
+    // split=always forces splitting even with shard in the output
+    val always = spark.read.format("graft-sharded")
+      .option("split", "always").option("splitBytes", "1024").load(dir)
+    assert(always.rdd.getNumPartitions > 8)
+    assert(always.count() === 8L * 400)
+
+    // pushed aggregate over splits: per-SPLIT partials merge exactly like
+    // per-shard partials (partial-pushdown contract)
+    val aggSplit = df.groupBy("token_id")
+      .agg(org.apache.spark.sql.functions.count("*").as("n"),
+        org.apache.spark.sql.functions.min("ts_us").as("mn"),
+        org.apache.spark.sql.functions.sum("v").as("sv"))
+    assert(aggSplit.queryExecution.executedPlan.toString.contains("pushedAgg="))
+    val gotAgg = aggSplit.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    val expAgg = never.collect().groupBy(_.getLong(0)).map { case (t, rs) =>
+      (t, rs.length.toLong, 0L, rs.map(_.getDouble(1)).sum) }.toArray.sortBy(_._1)
+    assert(gotAgg.map(x => (x._1, x._2, x._4)).toSeq === expAgg.map(x => (x._1, x._2, x._4)).toSeq)
+
+    // pushed TopN over splits: per-split K-heaps still yield the global top-K
+    val top = df.select("ts_us").orderBy(col("ts_us").desc).limit(3)
+    assert(top.queryExecution.executedPlan.toString.contains("topN=3"))
+    // i=399 appears once per shard → the global top-3 is ts=399000000 ×3
+    assert(top.collect().map(_.getLong(0)).toSeq ===
+      Seq(399000000L, 399000000L, 399000000L))
+  }
+
+  test("layout fingerprint is file-metadata-based and invalidates on rewrite") {
+    // r7 verdict Next #3: fingerprint by (path, size, mtime) of the events
+    // parquet parts — no corpus aggregate on the query path — while a
+    // regenerated dataset (same basename, same row count) still changes it
+    val d = Files.createTempDirectory("graft-fp").toFile
+    val ev = new java.io.File(d, "events.parquet"); ev.mkdirs()
+    val part = new java.io.File(ev, "part-00000.parquet")
+    val w = new java.io.FileOutputStream(part); w.write("AAAA".getBytes); w.close()
+    val fp1 = graft.queries.ShardedQueries.eventsFingerprint(d.getAbsolutePath)
+    // same content, same size, same mtime → same fingerprint
+    assert(graft.queries.ShardedQueries.eventsFingerprint(d.getAbsolutePath) === fp1)
+    // size change → new fingerprint
+    val w2 = new java.io.FileOutputStream(part); w2.write("BBBBBB".getBytes); w2.close()
+    val fp2 = graft.queries.ShardedQueries.eventsFingerprint(d.getAbsolutePath)
+    assert(fp2 !== fp1, "a rewritten part (different size) must invalidate")
+    // same size, different mtime → new fingerprint (regeneration signature)
+    part.setLastModified(part.lastModified() + 97000)
+    val fp3 = graft.queries.ShardedQueries.eventsFingerprint(d.getAbsolutePath)
+    assert(fp3 !== fp2, "a same-size rewrite (new mtime) must invalidate")
   }
 }
