@@ -49,6 +49,30 @@ object Pipeline2Queries {
       .select(col("doc_id"), col("n_bigrams"), expr("sp div n_bigrams").as("fluency_ppm"))
   }
 
+  /** q192's tier assignment (doc_id, fluency_ppm, tier) — shared with the
+    * q196 stratified subsample. Boundaries are order statistics from the
+    * grid rank-select (no global sort); tiering compares VALUES, so tie
+    * order can never change the output.
+    */
+  private def perplexityTiers(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val scored = docFluency(s, d)
+      .select(col("doc_id"), col("fluency_ppm"))
+      .withColumn("k", lit(1))
+      .withColumn("f_d", col("fluency_ppm").cast("double"))
+      .cache()
+    val bounds = graft.operators.RobustStats.rankSelectMultiByKey(
+        scored, "k", "f_d", Seq((1, 3, "b1"), (2, 3, "b2")))
+      .groupBy(col("k"))
+      .agg(max(when(col("_q") === "b1", col("_value"))).as("bd1"),
+        max(when(col("_q") === "b2", col("_value"))).as("bd2"))
+      .select(col("bd1").cast(LongType).as("bd1"), col("bd2").cast(LongType).as("bd2"))
+    scored.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("fluency_ppm"),
+        when(col("fluency_ppm") <= col("bd1"), "tail")
+          .when(col("fluency_ppm") > col("bd2"), "head")
+          .otherwise("middle").as("tier"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── Bloom filter over the train-split vocabulary (m = 4096 bits,
@@ -227,24 +251,7 @@ object Pipeline2Queries {
     //    boundary machinery reads it twice and the final projection once.
     QueryDef(
       "q192_perplexity_gate",
-      (s, d) => {
-        val scored = docFluency(s, d)
-          .select(col("doc_id"), col("fluency_ppm"))
-          .withColumn("k", lit(1))
-          .withColumn("f_d", col("fluency_ppm").cast("double"))
-          .cache()
-        val bounds = graft.operators.RobustStats.rankSelectMultiByKey(
-            scored, "k", "f_d", Seq((1, 3, "b1"), (2, 3, "b2")))
-          .groupBy(col("k"))
-          .agg(max(when(col("_q") === "b1", col("_value"))).as("bd1"),
-            max(when(col("_q") === "b2", col("_value"))).as("bd2"))
-          .select(col("bd1").cast(LongType).as("bd1"), col("bd2").cast(LongType).as("bd2"))
-        scored.crossJoin(broadcast(bounds))
-          .select(col("doc_id"), col("fluency_ppm"),
-            when(col("fluency_ppm") <= col("bd1"), "tail")
-              .when(col("fluency_ppm") > col("bd2"), "head")
-              .otherwise("middle").as("tier"))
-      },
+      (s, d) => perplexityTiers(s, d),
       Some("""WITH t0 AS (SELECT doc_id, string_split(text,' ') t FROM documents),
         uni AS (SELECT w, count(*)::BIGINT c_a FROM (SELECT unnest(t) w FROM t0) GROUP BY 1),
         v AS (SELECT count(*)::BIGINT v FROM uni),
@@ -266,6 +273,47 @@ object Pipeline2Queries {
                WHEN fluency_ppm >  (SELECT bd2 FROM b) THEN 'head'
                ELSE 'middle' END AS tier
         FROM f""")
+    ),
+
+    // ── CCNet's actual last step (Wenzek et al. 2020 §3.3): the tercile
+    //    gate FEEDS a stratified subsample — head and middle pass whole,
+    //    the tail (least corpus-like third) is down-sampled, here to a
+    //    deterministic 20% by the house salted-hash rule (q103/q85's
+    //    discipline: reruns and retries keep exactly the same docs, no
+    //    RNG). Composes q192's tier table (shared `perplexityTiers` core)
+    //    with one `.where` — the same compositional shape the classifier
+    //    gate (q191 → q85) declares. At 100 TB nothing new shuffles: the
+    //    filter is per-row on the already-cached narrow score table.
+    QueryDef(
+      "q196_ccnet_sample",
+      (s, d) => perplexityTiers(s, d)
+        .where(col("tier") =!= "tail" ||
+          pmod(graft.functions.TextFunctions.hash32(
+            concat(lit("q196|"), col("doc_id").cast("string"))), lit(5)) === 0),
+      Some("""WITH t0 AS (SELECT doc_id, string_split(text,' ') t FROM documents),
+        uni AS (SELECT w, count(*)::BIGINT c_a FROM (SELECT unnest(t) w FROM t0) GROUP BY 1),
+        v AS (SELECT count(*)::BIGINT v FROM uni),
+        db AS (SELECT doc_id, unnest(list_transform(range(0, len(t)-1), j -> t[j+1]||' '||t[j+2])) b
+               FROM t0 WHERE len(t) >= 2),
+        bi AS (SELECT b, count(*)::BIGINT c_ab FROM db GROUP BY 1),
+        sc AS (SELECT doc_id, ((c_ab + 1) * 1000000) // (c_a + v) AS p_ppm
+               FROM db JOIN bi USING (b)
+               JOIN uni ON uni.w = string_split(db.b, ' ')[1]
+               CROSS JOIN v),
+        f AS (SELECT doc_id, CAST(sum(p_ppm) // count(*) AS BIGINT) fluency_ppm
+              FROM sc GROUP BY 1),
+        r AS (SELECT fluency_ppm, row_number() OVER (ORDER BY fluency_ppm) rn,
+                     (SELECT count(*) FROM f) c FROM f),
+        b AS (SELECT max(CASE WHEN rn = (c*1+2)//3 THEN fluency_ppm END) bd1,
+                     max(CASE WHEN rn = (c*2+2)//3 THEN fluency_ppm END) bd2 FROM r),
+        g AS (SELECT doc_id, fluency_ppm,
+                CASE WHEN fluency_ppm <= (SELECT bd1 FROM b) THEN 'tail'
+                     WHEN fluency_ppm >  (SELECT bd2 FROM b) THEN 'head'
+                     ELSE 'middle' END AS tier
+              FROM f)
+        SELECT doc_id, fluency_ppm, tier FROM g
+        WHERE tier <> 'tail'
+           OR ('0x'||substr(md5('q196|'||doc_id::VARCHAR),1,8))::BIGINT % 5 = 0""")
     ),
 
     // ── Cross-source contamination matrix: pairwise 5-gram Jaccard overlap

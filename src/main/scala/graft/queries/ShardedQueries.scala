@@ -297,6 +297,47 @@ object ShardedQueries {
       Some("""SELECT user_id AS token_id,
                CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) AS cents_total
              FROM events GROUP BY 1""")
+    ),
+
+    // ── Big-ticket spend: the r8 pushdown algebra COMPOSED — a static `v`
+    //    range predicate (exact, residual-free) under a pushed per-token
+    //    COUNT + SUM. Because filter evaluation is exact the scan consumes
+    //    every conjunct, which is precisely what keeps aggregate pushdown
+    //    available on the filtered query (Spark only pushes aggregates
+    //    when no filter remains Spark-side). Each shard ships one
+    //    (token, n, sum) partial over only the rows ≥ the threshold — the
+    //    `WHERE value >= ? GROUP BY token_id` fragment a MergeTree store
+    //    executes in its parts.
+    QueryDef(
+      "q195_sharded_bigticket",
+      (s, d) => sharded(s, d)
+        .where(col("v") >= 20000.0)
+        .groupBy(col("token_id"))
+        .agg(count(lit(1)).as("n_big"), sum(col("v")).as("cents_big")),
+      Some("""SELECT user_id AS token_id, count(*)::BIGINT n_big,
+               CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) AS cents_big
+             FROM events WHERE CAST(round(value*100) AS BIGINT) >= 20000 GROUP BY 1""")
+    ),
+
+    // ── Raw extraction through the store — the scan shape the r8 split
+    //    mode exists for: a filter + projection that never consumes the
+    //    clustering (`shard` pruned from the output), so the scan reports
+    //    UnknownPartitioning and byte-range-splits its part files instead
+    //    of serializing one task per shard. The name + time-range
+    //    predicates are consumed at parse time (residual-free); rows ship
+    //    into the plan already filtered. At 100 TB this is the firehose
+    //    re-extraction job: parallelism follows bytes, not shard count.
+    QueryDef(
+      "q197_sharded_extract",
+      (s, d) => sharded(s, d)
+        .where(col("name") === "click" && col("ts_us") >= 1705276800000000L)
+        .select(col("token_id"), col("ts_us"), col("v")),
+      Some("""SELECT user_id AS token_id,
+               CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+               CAST(CAST(round(value*100) AS BIGINT) AS DOUBLE) AS v
+             FROM events
+             WHERE event_type = 'click'
+               AND epoch_us(CAST(ts AS TIMESTAMP)) >= 1705276800000000""")
     )
   )
 }

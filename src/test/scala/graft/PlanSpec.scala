@@ -503,6 +503,44 @@ class PlanSpec extends SparkTestBase {
       s"the two boundaries must broadcast to the per-doc projection\n$p")
   }
 
+  test("q195 big-ticket: pushed v-range filter COMPOSES with pushed count/sum") {
+    val df = SparkEntry.queries("q195_sharded_bigticket")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("pushedAgg=[groups=token_id aggs=count_star(),sum(v)]"),
+      s"the filtered aggregate must still push:\n$p")
+    assert(p.contains("GreaterThanOrEqual(v,20000.0)"),
+      s"the v threshold must reach the scan:\n$p")
+    // residual-free is what KEEPS the aggregate pushdown available
+    assert(df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.isEmpty, s"no Spark-side re-filter may remain\n${df.queryExecution.optimizedPlan}")
+  }
+
+  test("q196 stratified subsample keeps q192's no-row_number contract") {
+    val p = plan("q196_ccnet_sample")
+    assert(!p.contains("row_number"),
+      s"the tier boundaries must come from the grid rank-select\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastQueryStage"), p)
+  }
+
+  test("q197 raw extraction: residual-free pushed filters on the byte-range-split path") {
+    val df = SparkEntry.queries("q197_sharded_extract")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // shard is pruned from the output → the scan takes the split path
+    assert(p.contains("byte-range-split"),
+      s"a non-key raw scan must plan byte-range splits:\n$p")
+    assert(p.contains("EqualTo(name,click)") && p.contains("GreaterThanOrEqual(ts_us,"),
+      s"the extraction predicates must reach the scan:\n$p")
+    assert(df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.isEmpty, s"no Spark-side re-filter may remain\n${df.queryExecution.optimizedPlan}")
+    // parse-time skip: the scan emits exactly the matching rows
+    val scan = findScan(df, "graft_sharded")
+    assert(scan.metrics("numOutputRows").value === df.count())
+  }
+
   test("entry flagship query produces rows and a non-degenerate plan") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
