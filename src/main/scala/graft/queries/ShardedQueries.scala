@@ -338,6 +338,30 @@ object ShardedQueries {
              FROM events
              WHERE event_type = 'click'
                AND epoch_us(CAST(ts AS TIMESTAMP)) >= 1705276800000000""")
+    ),
+
+    // ── The reference's page query, composed end to end: `WHERE token_id
+    //    = ? ORDER BY timestamp DESC LIMIT k` (elastic.go:58-65,
+    //    clickhouse.go:70-71 [ext]) — static filters (shard file prune +
+    //    parse-time token skip) UNDER a pushed TopN (per-partition
+    //    K-heap). q189 declared the filters, q188 the TopN; this row
+    //    declares their composition, which is the fragment the reference
+    //    actually sends. Deterministic as full rows: the token's
+    //    timestamps are unique at every SF (no boundary ties), so the
+    //    top-K row multiset is well-defined. At 100 TB: one shard file
+    //    opened, K rows shipped.
+    QueryDef(
+      "q198_sharded_page",
+      (s, d) => sharded(s, d)
+        .where(col("shard") === lit(7 % NShards) && col("token_id") === 7L)
+        .orderBy(col("ts_us").desc)
+        .limit(5)
+        .select(col("ts_us"), col("name"), col("v")),
+      Some("""SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+               event_type AS name,
+               CAST(CAST(round(value*100) AS BIGINT) AS DOUBLE) AS v
+             FROM events WHERE user_id = 7
+             ORDER BY 1 DESC LIMIT 5""")
     )
   )
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, NamedReference, SortDirection, Transform, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -285,12 +285,22 @@ object ShardRowPredicate {
 class ShardedScanBuilder(path: String, splitMode: String = "auto",
     splitBytes: Long = ShardedSignalSource.DefaultSplitBytes) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
-    with SupportsPushDownTopN with SupportsPushDownFilters {
+    with SupportsPushDownTopN with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = ShardedSignalSource.Schema
   private var pushedAgg: Option[ShardPushedAgg] = None
   private var topN: Int = -1
   private var topNDesc: Boolean = true
+  private var limit: Int = -1
   private var pushedStatic: Array[Filter] = Array.empty
+
+  /** Bare LIMIT (no sort): each partition stops after emitting K accepted
+    * rows — a `LIMIT k` probe against a 100 TB store reads a handful of
+    * lines per split instead of the corpus. Partial push: Spark's retained
+    * GlobalLimit takes the final K. Never combined with a pushed agg
+    * (limit-then-agg has different semantics; Spark won't offer it).
+    */
+  override def pushLimit(l: Int): Boolean =
+    if (pushedAgg.isEmpty && topN < 0) { limit = l; true } else false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (sup, unsup) = filters.partition(ShardRowPredicate.supported)
@@ -365,13 +375,14 @@ class ShardedScanBuilder(path: String, splitMode: String = "auto",
     case Some(pa) => new ShardedScan(path, pa.outputSchema, Some(pa), pushedFilters = pushedStatic,
       splitMode = splitMode, splitBytes = splitBytes)
     case None     => new ShardedScan(path, required, None, topN, topNDesc, pushedStatic,
-      splitMode, splitBytes)
+      splitMode, splitBytes, limit)
   }
 }
 
 class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPushedAgg] = None,
     topN: Int = -1, topNDesc: Boolean = true, pushedFilters: Array[Filter] = Array.empty,
-    splitMode: String = "auto", splitBytes: Long = ShardedSignalSource.DefaultSplitBytes)
+    splitMode: String = "auto", splitBytes: Long = ShardedSignalSource.DefaultSplitBytes,
+    limit: Int = -1)
     extends Scan with Batch with SupportsReportPartitioning with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -414,19 +425,33 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
     */
   @volatile private var runtimeShards: Option[Set[Int]] = None
 
-  /** Advertised only while `shard` survives in the output: Spark's
+  /** Runtime ROW-level filtering on `token_id` (r8) — the ES terms-query
+    * analog the StatusV2 source already runs on `subject`: when the join
+    * key is the token rather than the shard, the build side's IN-set drops
+    * non-matching rows at PARSE time inside every reader. The set rides
+    * inside the re-planned partitions (not reader-factory state): the
+    * factory may have been created and serialized before `filter` fired.
+    */
+  @volatile private var runtimeTokens: Option[Set[Long]] = None
+
+  /** Advertised only while the column survives in the output: Spark's
     * `PartitionPruning.getFilterableTableScan` resolves these refs against
     * the PRUNED scan output and throws (not skips) on a miss — a join over
-    * a projection that dropped `shard` must simply forgo runtime pruning.
+    * a projection that dropped the column must simply forgo runtime
+    * pruning on it.
     */
   override def filterAttributes(): Array[NamedReference] =
-    if (readSchema().fieldNames.contains("shard")) Array(Expressions.column("shard"))
-    else Array.empty
+    Array("shard", "token_id")
+      .filter(readSchema().fieldNames.contains(_))
+      .map(Expressions.column)
 
   override def filter(filters: Array[Filter]): Unit = filters.foreach {
     case In("shard", vs) =>
       runtimeShards = Some(vs.collect { case n: Number => n.intValue() }.toSet)
     case EqualTo("shard", v: Number) => runtimeShards = Some(Set(v.intValue()))
+    case In("token_id", vs) =>
+      runtimeTokens = Some(vs.collect { case n: Number => n.longValue() }.toSet)
+    case EqualTo("token_id", v: Number) => runtimeTokens = Some(Set(v.longValue()))
     case _ => () // unsupported runtime filter: ignore (filters are advisory)
   }
 
@@ -439,6 +464,7 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
       s" pushedAgg=[groups=${pa.groupCols.mkString(",")} " +
         s"aggs=${pa.aggs.map(a => s"${a.op}(${a.column})").mkString(",")}]").getOrElse("") +
       (if (topN >= 0) s" topN=$topN ts_us ${if (topNDesc) "DESC" else "ASC"}" else "") +
+      (if (limit >= 0) s" limit=$limit" else "") +
       (if (pushedFilters.nonEmpty) s" pushedFilters=[${pushedFilters.mkString(", ")}]" else "")
 
   /** Post-pushdown size estimate for the planner's join-side decisions
@@ -455,6 +481,7 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
     val bytes = shardFiles.map(_._2.map(_.length()).sum).sum
     val rowBound: java.util.OptionalLong =
       if (topN >= 0) java.util.OptionalLong.of(2L * topN * plannedCount) // ≤2K per PLANNED split
+      else if (limit >= 0) java.util.OptionalLong.of(limit.toLong * plannedCount)
       else if (pushedAgg.isEmpty && rowPred.isTrivial)
         // raw scan: true upper bound from the minimum valid line width —
         // '1,1,a,1\n' is 8 bytes (ADVICE r7: /16 could UNDERcount by 2x)
@@ -506,20 +533,21 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
         fs.flatMap { f =>
           val len = f.length()
           if (len <= splitBytes)
-            Seq(ShardSplitPartition(f.getAbsolutePath, shard, 0L, Long.MaxValue): InputPartition)
+            Seq(ShardSplitPartition(f.getAbsolutePath, shard, 0L, Long.MaxValue,
+              runtimeTokens): InputPartition)
           else {
             val n = ((len + splitBytes - 1) / splitBytes).toInt
             (0 until n).map { i =>
               val start = i * splitBytes
               ShardSplitPartition(f.getAbsolutePath, shard, start,
-                math.min(start + splitBytes, len)): InputPartition
+                math.min(start + splitBytes, len), runtimeTokens): InputPartition
             }
           }
         }
       }
     else
       liveShards.map { case (shard, fs) =>
-        ShardPartition(fs.map(_.getAbsolutePath), shard): InputPartition
+        ShardPartition(fs.map(_.getAbsolutePath), shard, runtimeTokens): InputPartition
       }
 
   /** Planned partition count (post static prune, pre runtime prune) — the
@@ -546,11 +574,13 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
   override def createReaderFactory(): PartitionReaderFactory = pushedAgg match {
     case Some(pa) => new ShardedAggReaderFactory(pa, rowPred)
     case None if topN >= 0 => new ShardedTopNReaderFactory(required, topN, topNDesc, rowPred)
+    case None if limit >= 0 => new ShardedLimitReaderFactory(required, limit, rowPred)
     case None => new ShardedReaderFactory(required, rowPred)
   }
 }
 
-case class ShardPartition(files: Seq[String], shard: Int) extends InputPartition with HasPartitionKey {
+case class ShardPartition(files: Seq[String], shard: Int,
+    tokenIn: Option[Set[Long]] = None) extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(shard)
 }
 
@@ -558,17 +588,30 @@ case class ShardPartition(files: Seq[String], shard: Int) extends InputPartition
   * `HasPartitionKey`: split partitions break the 1-partition-per-key
   * contract, and the scan reports `UnknownPartitioning` for them.
   */
-case class ShardSplitPartition(file: String, shard: Int, start: Long, end: Long)
+case class ShardSplitPartition(file: String, shard: Int, start: Long, end: Long,
+    tokenIn: Option[Set[Long]] = None)
     extends InputPartition
 
-/** Row source for either partition shape, at the caller's schema. */
+/** Row source for either partition shape, at the caller's schema. A
+  * runtime token IN-set riding in the partition intersects the static
+  * predicate's (conjunct semantics — both filters were true).
+  */
 private[sources] object ShardRows {
   def apply(partition: InputPartition, schema: StructType,
       pred: ShardRowPredicate): PartitionReader[InternalRow] = partition match {
-    case p: ShardPartition => new ShardedShardReader(p.files, p.shard, schema, pred)
+    case p: ShardPartition =>
+      new ShardedShardReader(p.files, p.shard, schema, withTokens(pred, p.tokenIn))
     case p: ShardSplitPartition =>
-      new ShardedPartitionReader(p.file, p.shard, schema, pred, p.start, p.end)
+      new ShardedPartitionReader(p.file, p.shard, schema, withTokens(pred, p.tokenIn),
+        p.start, p.end)
   }
+
+  private def withTokens(pred: ShardRowPredicate, rt: Option[Set[Long]]): ShardRowPredicate =
+    rt match {
+      case None => pred
+      case Some(s) =>
+        pred.copy(tokenIn = Some(pred.tokenIn.map(_ intersect s).getOrElse(s)))
+    }
 }
 
 class ShardedReaderFactory(required: StructType, pred: ShardRowPredicate = ShardRowPredicate.Trivial)
@@ -598,6 +641,21 @@ class ShardedShardReader(files: Seq[String], shard: Int, required: StructType,
 
   override def get(): InternalRow = cur.get()
   override def close(): Unit = if (cur != null) cur.close()
+}
+
+class ShardedLimitReaderFactory(required: StructType, limit: Int,
+    pred: ShardRowPredicate = ShardRowPredicate.Trivial)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val inner = ShardRows(partition, required, pred)
+    new PartitionReader[InternalRow] {
+      private var remaining = limit // per-partition early stop
+      override def next(): Boolean =
+        remaining > 0 && inner.next() && { remaining -= 1; true }
+      override def get(): InternalRow = inner.get()
+      override def close(): Unit = inner.close()
+    }
+  }
 }
 
 class ShardedTopNReaderFactory(required: StructType, topN: Int, topNDesc: Boolean,

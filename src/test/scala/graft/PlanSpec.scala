@@ -446,16 +446,18 @@ class PlanSpec extends SparkTestBase {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("RuntimeFilters: [dynamicpruning"),
       s"the VIP join must inject a runtime filter into the sharded scan\n$p")
-    // at sf0.001 exactly one token exceeds the threshold → its shard's
-    // rows are the ONLY rows the scan emits (file-level pruning; the
-    // reader has no row-level shard predicate on this path)
+    // at sf0.001 exactly one token exceeds the threshold. The join key
+    // carries BOTH filterable attributes, so two runtime filters compose:
+    // shard FILES prune before bytes, and (r8) the token IN-set drops the
+    // shard's other tokens at parse time — the scan emits exactly the VIP
+    // token's own rows, not its whole shard's.
     val scan = findScan(df, "graft_sharded")
     val emitted = scan.metrics("numOutputRows").value
-    val shardRows = SparkEntry.queries("q181_sharded_watermark")(spark, sf)
+    val vipRows = SparkEntry.queries("q181_sharded_watermark")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .filter(_._1 % 8 == rows.head.getLong(0) % 8).map(_._2).sum
-    assert(emitted === shardRows,
-      s"scan emitted $emitted rows, expected the one VIP shard's $shardRows")
+      .filter(_._1 == rows.head.getLong(0)).map(_._2).sum
+    assert(emitted === vipRows,
+      s"scan emitted $emitted rows, expected the VIP token's own $vipRows")
   }
 
   test("q193 stats-driven broadcast: the pruned sharded dim BHJs with no hint") {
@@ -539,6 +541,21 @@ class PlanSpec extends SparkTestBase {
     // parse-time skip: the scan emits exactly the matching rows
     val scan = findScan(df, "graft_sharded")
     assert(scan.metrics("numOutputRows").value === df.count())
+  }
+
+  test("q198 page query: static filters AND TopN pushed into one scan, one shard planned") {
+    val df = SparkEntry.queries("q198_sharded_page")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("topN=5 ts_us DESC") && p.contains("EqualTo(token_id,7)")
+      && p.contains("EqualTo(shard,7)"),
+      s"the reference's page fragment must push whole:\n$p")
+    val scan = findScan(df, "graft_sharded")
+    assert(scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputRDD.getNumPartitions === 1, s"shard=7 must plan one partition\n$p")
+    // per-partition heap: the scan ships exactly the K result rows (the
+    // token's rows are the only heap entrants and it has ≥ K of them)
+    assert(scan.metrics("numOutputRows").value === 5L)
   }
 
   test("entry flagship query produces rows and a non-degenerate plan") {

@@ -620,6 +620,77 @@ class ShardedSourceSpec extends SparkTestBase {
       Seq(399000000L, 399000000L, 399000000L))
   }
 
+  test("runtime token filter drops non-matching rows at parse time") {
+    import org.apache.spark.sql.functions.col
+    val dir = writeShards(8, 50)
+    withConfs(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "10.0") {
+      // the dim must keep a real Filter node (a pre-folded LocalRelation
+      // fails DPP's selective-predicate check) and joins on token_id ONLY
+      // — no shard to prune, so the win must come from row-level skipping
+      val dim = spark.range(0, 60).select(col("id").as("token_id"))
+        .where(col("token_id") === 9L)
+      val fact = spark.read.format("graft-sharded").load(dir)
+        .select("token_id", "ts_us", "v")
+      val j = fact.join(dim, Seq("token_id"))
+      val got = j.collect()
+      // token 9 lives in shard 1 (9 % 8) and appears rowsPerShard/7-ish times
+      assert(got.nonEmpty && got.forall(_.getLong(0) == 9L))
+      val planStr = j.queryExecution.executedPlan.toString
+      assert(planStr.contains("RuntimeFilters: [dynamicpruning"),
+        s"the token join must inject a runtime filter into the scan:\n$planStr")
+      val scan = findScan(j, "graft_sharded")
+      assert(scan.metrics("numOutputRows").value === got.length.toLong,
+        s"scan emitted ${scan.metrics("numOutputRows").value} rows — token rows only")
+    }
+  }
+
+  test("bare LIMIT pushes: each partition early-stops after K accepted rows") {
+    import org.apache.spark.sql.functions.col
+    val dir = writeShards(4, 50)
+    val df = spark.read.format("graft-sharded").load(dir)
+    val q = df.limit(3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("limit=3"), s"bare limit must reach the scan:\n$plan")
+    assert(q.collect().length === 3)
+    // the scan ships at most K per planned partition, not the corpus
+    val scan = findScan(q, "graft_sharded")
+    assert(scan.metrics("numOutputRows").value <= 3L * 4,
+      s"scan emitted ${scan.metrics("numOutputRows").value} rows")
+    // limit composes with a pushed filter: the K accepted rows all match
+    val qf = df.where(col("name") === "sig_1").limit(2)
+    assert(qf.queryExecution.executedPlan.toString.contains("limit=2"))
+    val rows = qf.collect()
+    assert(rows.length === 2 && rows.forall(_.getString(3) == "sig_1"))
+    // ...but never under a pushed aggregate (declined, stays correct)
+    val qa = df.groupBy("token_id").agg(org.apache.spark.sql.functions.count("*").as("n")).limit(2)
+    assert(qa.collect().length === 2)
+  }
+
+  test("split results are boundary-invariant across split widths") {
+    // property-style sweep: any splitBytes must yield the identical row
+    // multiset (the ByteRangeLines ownership convention leaves no line
+    // lost or duplicated wherever the boundary lands)
+    val dir = writeShards(3, 120)
+    def canon(bytes: Long): Seq[(Long, Long, String, Double)] =
+      spark.read.format("graft-sharded")
+        .option("split", "always").option("splitBytes", bytes.toString).load(dir)
+        .select("token_id", "ts_us", "name", "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+        .sortBy(x => (x._1, x._2, x._3)).toSeq
+    val reference = spark.read.format("graft-sharded")
+      .option("split", "never").load(dir)
+      .select("token_id", "ts_us", "name", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .sortBy(x => (x._1, x._2, x._3)).toSeq
+    // widths straddling every interesting boundary: mid-line, line-aligned,
+    // sub-line, larger than the file
+    for (b <- Seq(1L, 7L, 64L, 100L, 1021L, 4096L, 1L << 20)) {
+      assert(canon(b) === reference, s"splitBytes=$b must not change results")
+    }
+  }
+
   test("layout fingerprint is file-metadata-based and invalidates on rewrite") {
     // r7 verdict Next #3: fingerprint by (path, size, mtime) of the events
     // parquet parts — no corpus aggregate on the query path — while a
