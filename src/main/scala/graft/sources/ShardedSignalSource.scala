@@ -141,7 +141,13 @@ case class ShardRowPredicate(
   def needsName: Boolean = nameIn.isDefined
   def needsV: Boolean = vMin.isDefined || vMax.isDefined || notNull("v")
 
-  def accept(token: java.lang.Long, ts: java.lang.Long, name: String, v: java.lang.Double): Boolean = {
+  /** Precompiled UTF8 forms of the name IN-set: the reader compares the
+    * raw name bytes without materializing a java String per row.
+    */
+  @transient private lazy val nameInU: Option[Set[UTF8String]] =
+    nameIn.map(_.map(UTF8String.fromString))
+
+  def accept(token: java.lang.Long, ts: java.lang.Long, name: UTF8String, v: java.lang.Double): Boolean = {
     if (tokenIn.isDefined) {
       if (token == null || !tokenIn.get.contains(token.longValue())) return false
     } else if (notNull("token_id") && token == null) return false
@@ -151,7 +157,7 @@ case class ShardRowPredicate(
       tsMin foreach { case (b, inc) => if (if (inc) t < b else t <= b) return false }
       tsMax foreach { case (b, inc) => if (if (inc) t > b else t >= b) return false }
     } else if (notNull("ts_us") && ts == null) return false
-    if (nameIn.isDefined && !nameIn.get.contains(name)) return false
+    if (nameInU.isDefined && !nameInU.get.contains(name)) return false
     if (vMin.isDefined || vMax.isDefined) {
       if (v == null) return false
       val d = v.doubleValue()
@@ -990,41 +996,123 @@ class ShardedPartitionReader(file: String, shard: Int, required: StructType,
   private val needTok = required.fieldNames.contains("token_id") || pred.needsToken
   private val needTs = required.fieldNames.contains("ts_us") || pred.needsTs
   private val needV = required.fieldNames.contains("v") || pred.needsV
+  private val needName = required.fieldNames.contains("name") || pred.needsName
+
+  // per-row loop discipline (the merge joins' / fast agg path's): parse
+  // straight from the line BYTES — no line String, no split(), no per-field
+  // substrings. Digit runs accumulate in primitives; only the projected
+  // name materializes (as the UTF8String the row carries anyway), and only
+  // exotic numerics (signs, exponents, >15 digits, NaN) take the String
+  // fallback whose result is BIT-IDENTICAL to the previous
+  // toLong/toDouble behavior. Field→ordinal codes are precomputed so row
+  // assembly is one while-loop over an Array[Any].
+  private val fieldCode: Array[Int] = required.fields.map(_.name match {
+    case "shard" => 0
+    case "token_id" => 1
+    case "ts_us" => 2
+    case "name" => 3
+    case "v" => 4
+  })
+  private val shardBoxed: java.lang.Integer = java.lang.Integer.valueOf(shard)
+
+  private def lineStr(b: Array[Byte]): String =
+    new String(b, java.nio.charset.StandardCharsets.UTF_8)
 
   private def bad(line: String, why: String): Nothing =
     throw new IllegalArgumentException(
       s"malformed sharded-signal row ($why) at $file" +
         (if (start > 0) s"[range +$start]" else "") + s":$lineNo: '$line'")
 
+  /** Long field from a byte slice; empty → null; anything not a plain
+    * digit run (sign, huge, junk) → String fallback, exact old semantics.
+    */
+  private def longField(b: Array[Byte], from: Int, to: Int, field: String): java.lang.Long = {
+    if (from == to) return null
+    var acc = 0L
+    var i = from
+    while (i < to) {
+      val ch = b(i)
+      if (ch >= '0' && ch <= '9' && i - from < 18) { acc = acc * 10 + (ch - '0'); i += 1 }
+      else {
+        val s = new String(b, from, to - from, java.nio.charset.StandardCharsets.UTF_8)
+        try return java.lang.Long.valueOf(s.toLong)
+        catch { case _: NumberFormatException => bad(lineStr(b), s"non-numeric $field") }
+      }
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  private val Pow10: Array[Double] = (0 to 15).map(k => math.pow(10, k)).toArray
+
+  /** Double field from a byte slice; empty → null. Fast path covers
+    * `[-]digits[.digits]` with ≤ 15 significant digits — there n/10^k is
+    * an exact-operand IEEE division, whose correctly-rounded result equals
+    * `Double.parseDouble` by definition. Everything else (exponents, NaN,
+    * Infinity, long mantissas) falls back to the String parse.
+    */
+  private def doubleField(b: Array[Byte], from: Int, to: Int, field: String): java.lang.Double = {
+    if (from == to) return null
+    var i = from
+    var neg = false
+    if (b(i) == '-' && to - i > 1) { neg = true; i += 1 }
+    var mant = 0L
+    var nDig = 0
+    var frac = 0
+    var seenDot = false
+    var fast = true
+    while (fast && i < to) {
+      val ch = b(i)
+      if (ch >= '0' && ch <= '9') {
+        if (nDig >= 15) fast = false
+        else { mant = mant * 10 + (ch - '0'); nDig += 1; if (seenDot) frac += 1 }
+      } else if (ch == '.' && !seenDot) seenDot = true
+      else fast = false
+      i += 1
+    }
+    if (fast && nDig > 0) {
+      val d = mant.toDouble / Pow10(frac)
+      java.lang.Double.valueOf(if (neg) -d else d)
+    } else {
+      val s = new String(b, from, to - from, java.nio.charset.StandardCharsets.UTF_8)
+      try java.lang.Double.valueOf(s.toDouble)
+      catch { case _: NumberFormatException => bad(lineStr(b), s"non-numeric $field") }
+    }
+  }
+
   override def next(): Boolean = {
     var raw = in.next()
     while (raw != null) {
       lineNo += 1
-      val line = new String(raw, java.nio.charset.StandardCharsets.UTF_8)
-      if (line.nonEmpty) {
-        val parts = line.split(",", -1)
-        if (parts.length != 4) bad(line, s"expected 4 fields, got ${parts.length}")
-        def longOrNull(s: String, field: String): java.lang.Long =
-          if (s.isEmpty) null
-          else try java.lang.Long.valueOf(s.toLong)
-          catch { case _: NumberFormatException => bad(line, s"non-numeric $field") }
-        def doubleOrNull(s: String, field: String): java.lang.Double =
-          if (s.isEmpty) null
-          else try java.lang.Double.valueOf(s.toDouble)
-          catch { case _: NumberFormatException => bad(line, s"non-numeric $field") }
-        val tokenV = if (needTok) longOrNull(parts(0), "token_id") else null
-        val tsV = if (needTs) longOrNull(parts(1), "ts_us") else null
-        val vV = if (needV) doubleOrNull(parts(3), "v") else null
-        if (!hasPred || pred.accept(tokenV, tsV, parts(2), vV)) {
-          current = InternalRow.fromSeq(required.fields.toIndexedSeq.map { f =>
-            f.name match {
-              case "shard" => shard
-              case "token_id" => tokenV
-              case "ts_us" => tsV
-              case "name" => UTF8String.fromString(parts(2))
-              case "v" => vV
+      if (raw.length > 0) {
+        // locate the three field separators in one pass
+        var c1 = -1; var c2 = -1; var c3 = -1; var nCommas = 0
+        var i = 0
+        while (i < raw.length) {
+          if (raw(i) == ',') {
+            nCommas += 1
+            if (c1 < 0) c1 = i else if (c2 < 0) c2 = i else if (c3 < 0) c3 = i
+          }
+          i += 1
+        }
+        if (nCommas != 3) bad(lineStr(raw), s"expected 4 fields, got ${nCommas + 1}")
+        val tokenV = if (needTok) longField(raw, 0, c1, "token_id") else null
+        val tsV = if (needTs) longField(raw, c1 + 1, c2, "ts_us") else null
+        val vV = if (needV) doubleField(raw, c3 + 1, raw.length, "v") else null
+        val nameU = if (needName) UTF8String.fromBytes(raw, c2 + 1, c3 - c2 - 1) else null
+        if (!hasPred || pred.accept(tokenV, tsV, nameU, vV)) {
+          val vals = new Array[Any](fieldCode.length)
+          var f = 0
+          while (f < fieldCode.length) {
+            vals(f) = fieldCode(f) match {
+              case 0 => shardBoxed
+              case 1 => tokenV
+              case 2 => tsV
+              case 3 => nameU
+              case 4 => vV
             }
-          })
+            f += 1
+          }
+          current = InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
           return true
         }
       }

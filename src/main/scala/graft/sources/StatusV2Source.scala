@@ -279,34 +279,60 @@ class StatusReaderFactory(filters: Array[Filter], required: StructType, limit: I
   * UTF-8 decode happens per returned line.
   */
 private class ByteRangeLines(path: String, start: Long, end: Long) {
-  private val in = new java.io.BufferedInputStream(new java.io.FileInputStream(path), 1 << 16)
+  // Chunk-buffered scan, not byte-at-a-time read(): one virtual call per
+  // 64 KB block instead of one per BYTE (the r8 SplitScanProbe profile
+  // showed the per-byte BufferedInputStream.read() dominating the whole
+  // raw-scan path). The common case — a line entirely inside the current
+  // block — is a single memchr-style scan plus one copyOfRange.
+  private val in = new java.io.FileInputStream(path)
   private var pos = 0L
-  private val buf = new java.io.ByteArrayOutputStream(8192)
+  private val block = new Array[Byte](1 << 16)
+  private var blockLen = 0
+  private var blockPos = 0
   locally {
-    var toSkip = start
-    while (toSkip > 0) {
-      val s = in.skip(toSkip)
-      if (s <= 0) toSkip = 0 else { toSkip -= s; pos += s }
+    if (start > 0) {
+      in.getChannel.position(start)
+      pos = start
+      readLine() // partial line: owned by the previous range
     }
-    if (start > 0) readLine() // partial line: owned by the previous range
+  }
+
+  private def fill(): Boolean = {
+    blockLen = in.read(block)
+    blockPos = 0
+    blockLen > 0
   }
 
   /** Next raw line (without the newline), or null at EOF. */
   private def readLine(): Array[Byte] = {
-    buf.reset()
-    var b = in.read()
-    if (b < 0) return null
-    while (b >= 0 && b != '\n') {
-      buf.write(b)
-      pos += 1
-      b = in.read()
+    if (blockPos >= blockLen && !fill()) return null
+    var spill: java.io.ByteArrayOutputStream = null
+    var lineStart = blockPos
+    while (true) {
+      var i = blockPos
+      while (i < blockLen && block(i) != '\n') i += 1
+      if (i < blockLen) { // newline inside the block
+        pos += (i - blockPos) + 1
+        blockPos = i + 1
+        val arr =
+          if (spill == null) java.util.Arrays.copyOfRange(block, lineStart, i)
+          else { spill.write(block, lineStart, i - lineStart); spill.toByteArray }
+        return stripCr(arr)
+      }
+      // line continues past the block: spill and refill
+      pos += blockLen - blockPos
+      if (spill == null) spill = new java.io.ByteArrayOutputStream(8192)
+      spill.write(block, lineStart, blockLen - lineStart)
+      if (!fill()) return stripCr(spill.toByteArray) // EOF without newline
+      lineStart = 0
     }
-    if (b == '\n') pos += 1
-    val arr = buf.toByteArray
-    // tolerate \r\n line endings
+    null // unreachable
+  }
+
+  // tolerate \r\n line endings
+  private def stripCr(arr: Array[Byte]): Array[Byte] =
     if (arr.nonEmpty && arr(arr.length - 1) == '\r') java.util.Arrays.copyOf(arr, arr.length - 1)
     else arr
-  }
 
   /** Next owned line, else null. Ownership convention (Hadoop line-reader
     * style): every range discards its first line (unless start = 0), so a
