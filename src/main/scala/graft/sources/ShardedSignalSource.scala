@@ -57,6 +57,14 @@ object ShardedSignalSource {
 
   /** Within-shard byte-range split width (r7 verdict Next #1). */
   val DefaultSplitBytes: Long = 128L * 1024 * 1024
+
+  /** Runtime-filter IN-set cap: `SupportsRuntimeFiltering` filters are
+    * ADVISORY, and the token set rides inside every serialized input
+    * partition — a pathological build side (millions of tokens) must not
+    * bloat task launch. Beyond the cap the scan stays unfiltered and the
+    * join above still applies the predicate exactly.
+    */
+  val MaxRuntimeInSet: Int = 1 << 20
 }
 
 class ShardedTable(path: String) extends Table with SupportsRead {
@@ -455,7 +463,7 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
     case In("shard", vs) =>
       runtimeShards = Some(vs.collect { case n: Number => n.intValue() }.toSet)
     case EqualTo("shard", v: Number) => runtimeShards = Some(Set(v.intValue()))
-    case In("token_id", vs) =>
+    case In("token_id", vs) if vs.length <= ShardedSignalSource.MaxRuntimeInSet =>
       runtimeTokens = Some(vs.collect { case n: Number => n.longValue() }.toSet)
     case EqualTo("token_id", v: Number) => runtimeTokens = Some(Set(v.longValue()))
     case _ => () // unsupported runtime filter: ignore (filters are advisory)

@@ -168,10 +168,12 @@ class StatusScan(path: String, filters: Array[Filter], required: StructType, lim
     else Array.empty
 
   override def filter(runtimeFilters: Array[Filter]): Unit = runtimeFilters.foreach {
-    case In("subject", vs) =>
+    // capped like the sharded source's token set: runtime filters are
+    // advisory, and this set rides inside every serialized partition
+    case In("subject", vs) if vs.length <= ShardedSignalSource.MaxRuntimeInSet =>
       runtimeSubjects = Some(vs.collect { case s: String => s }.toSet)
     case EqualTo("subject", v: String) => runtimeSubjects = Some(Set(v))
-    case _ => () // unsupported runtime filter: ignore (advisory)
+    case _ => () // unsupported/oversized runtime filter: ignore (advisory)
   }
 
   override def readSchema(): StructType = required

@@ -646,6 +646,25 @@ class ShardedSourceSpec extends SparkTestBase {
     }
   }
 
+  test("oversized runtime IN-sets are ignored (advisory contract, bounded task payloads)") {
+    import graft.sources.{ShardedScan, ShardedScanBuilder, ShardPartition, ShardedSignalSource}
+    import org.apache.spark.sql.sources.In
+    val dir = writeShards(2, 10)
+    def partitions(filterVals: Array[Any]) = {
+      val scan = new ShardedScanBuilder(dir).build().asInstanceOf[ShardedScan]
+      scan.filter(Array[org.apache.spark.sql.sources.Filter](In("token_id", filterVals)))
+      scan.planInputPartitions().map(_.asInstanceOf[ShardPartition])
+    }
+    // a small set rides into every partition
+    val small = partitions(Array[Any](java.lang.Long.valueOf(3L)))
+    assert(small.forall(_.tokenIn === Some(Set(3L))))
+    // beyond the cap the scan stays unfiltered — the join above still
+    // applies the predicate; task launch stays bounded
+    val big = partitions(
+      Array.tabulate[Any](ShardedSignalSource.MaxRuntimeInSet + 1)(i => java.lang.Long.valueOf(i.toLong)))
+    assert(big.forall(_.tokenIn.isEmpty))
+  }
+
   test("bare LIMIT pushes: each partition early-stops after K accepted rows") {
     import org.apache.spark.sql.functions.col
     val dir = writeShards(4, 50)
