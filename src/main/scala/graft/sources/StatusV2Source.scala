@@ -209,7 +209,7 @@ class StatusScan(path: String, filters: Array[Filter], required: StructType, lim
     val bytes = dataFiles.map(new java.io.File(_).length()).sum
     val nSplits = dataFiles.map { p =>
       val len = new java.io.File(p).length()
-      math.max(1L, (len + splitBytes - 1) / splitBytes)
+      if (p.endsWith(".gz")) 1L else math.max(1L, (len + splitBytes - 1) / splitBytes)
     }.sum
     val rowBound: java.util.OptionalLong =
       if (topN >= 0) java.util.OptionalLong.of(2L * topN * nSplits)
@@ -225,7 +225,9 @@ class StatusScan(path: String, filters: Array[Filter], required: StructType, lim
     val files = dataFiles
     files.flatMap { p =>
       val len = new java.io.File(p).length()
-      if (len <= splitBytes) Seq(StatusFilePartition(p, 0L, Long.MaxValue, runtimeSubjects): InputPartition)
+      // gzip parts are non-splittable (Hadoop's rule): whole-file range
+      if (len <= splitBytes || p.endsWith(".gz"))
+        Seq(StatusFilePartition(p, 0L, Long.MaxValue, runtimeSubjects): InputPartition)
       else {
         val n = ((len + splitBytes - 1) / splitBytes).toInt
         (0 until n).map { i =>
@@ -286,14 +288,24 @@ private class ByteRangeLines(path: String, start: Long, end: Long) {
   // showed the per-byte BufferedInputStream.read() dominating the whole
   // raw-scan path). The common case — a line entirely inside the current
   // block — is a single memchr-style scan plus one copyOfRange.
-  private val in = new java.io.FileInputStream(path)
+  //
+  // `.gz` paths decode transparently — gzip is a NON-SPLITTABLE codec
+  // (Hadoop's rule), so callers must hand a compressed file the whole
+  // (0, MaxValue) range; the planner enforces it by never byte-range
+  // splitting such files.
+  private val gzipped = path.endsWith(".gz")
+  require(!gzipped || start == 0L,
+    s"gzip is not splittable: $path must be read as one whole-file range")
+  private val fileIn = new java.io.FileInputStream(path)
+  private val in: java.io.InputStream =
+    if (gzipped) new java.util.zip.GZIPInputStream(fileIn, 1 << 16) else fileIn
   private var pos = 0L
   private val block = new Array[Byte](1 << 16)
   private var blockLen = 0
   private var blockPos = 0
   locally {
     if (start > 0) {
-      in.getChannel.position(start)
+      fileIn.getChannel.position(start)
       pos = start
       readLine() // partial line: owned by the previous range
     }

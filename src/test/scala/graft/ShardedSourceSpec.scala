@@ -738,6 +738,49 @@ class ShardedSourceSpec extends SparkTestBase {
     assert(rows(9).getLong(1) === 1234567890123456789L, "19-digit longs parse")
   }
 
+  test("gzip part files decode transparently and are never byte-range split") {
+    import org.apache.spark.sql.functions.col
+    def gzWrite(f: java.io.File, lines: Seq[String]): Unit = {
+      val out = new java.io.PrintWriter(new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(f)))
+      lines.foreach(out.println)
+      out.close()
+    }
+    def mkLines(shard: Int, n: Int): Seq[String] =
+      (0 until n).map(i => s"${shard + (i % 5) * 4},${1000L * i},sig_${i % 3},${i * 0.5}")
+
+    // flat .csv.gz fixtures next to a plain twin: identical reads
+    val dir = Files.createTempDirectory("graft-sharded-gz").toFile
+    gzWrite(new java.io.File(dir, "shard=0.csv.gz"), mkLines(0, 300))
+    // shard 1: a DIRECTORY with one plain and one gz part (mixed codecs)
+    val sub = new java.io.File(dir, "shard=1"); sub.mkdirs()
+    // plain part kept under the 1 KB split width used below, so the ONLY
+    // multi-partition question is whether gz files stay whole
+    val wp = new java.io.PrintWriter(new java.io.File(sub, "part-0.csv"))
+    mkLines(1, 30).foreach(wp.println); wp.close()
+    gzWrite(new java.io.File(sub, "part-1.csv.gz"), mkLines(1, 200).map(_ + "1")) // distinct v
+    val df = spark.read.format("graft-sharded").load(dir.getAbsolutePath)
+    assert(df.count() === 530)
+    assert(df.where(col("shard") === 0).count() === 300)
+
+    // key-grouped aggregation still zero-exchange over gz parts
+    withBucketing {
+      val agg = df.groupBy("shard", "token_id")
+        .agg(org.apache.spark.sql.functions.count("*").as("n"))
+      agg.collect()
+      val plan = agg.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!plan.contains("Exchange"), plan)
+    }
+
+    // split=always must NOT split the gz files (non-splittable codec):
+    // 3 part files -> exactly 3 partitions even at a 1 KB split width
+    val always = spark.read.format("graft-sharded")
+      .option("split", "always").option("splitBytes", "1024").load(dir.getAbsolutePath)
+    assert(always.rdd.getNumPartitions === 3,
+      s"gz parts must stay whole, planned ${always.rdd.getNumPartitions}")
+    assert(always.count() === 530)
+  }
+
   test("layout fingerprint is file-metadata-based and invalidates on rewrite") {
     // r7 verdict Next #3: fingerprint by (path, size, mtime) of the events
     // parquet parts — no corpus aggregate on the query path — while a
