@@ -209,7 +209,7 @@ class StatusScan(path: String, filters: Array[Filter], required: StructType, lim
     val bytes = dataFiles.map(new java.io.File(_).length()).sum
     val nSplits = dataFiles.map { p =>
       val len = new java.io.File(p).length()
-      if (p.endsWith(".gz")) 1L else math.max(1L, (len + splitBytes - 1) / splitBytes)
+      if (ByteRangeLines.isCompressed(p)) 1L else math.max(1L, (len + splitBytes - 1) / splitBytes)
     }.sum
     val rowBound: java.util.OptionalLong =
       if (topN >= 0) java.util.OptionalLong.of(2L * topN * nSplits)
@@ -226,7 +226,7 @@ class StatusScan(path: String, filters: Array[Filter], required: StructType, lim
     files.flatMap { p =>
       val len = new java.io.File(p).length()
       // gzip parts are non-splittable (Hadoop's rule): whole-file range
-      if (len <= splitBytes || p.endsWith(".gz"))
+      if (len <= splitBytes || ByteRangeLines.isCompressed(p))
         Seq(StatusFilePartition(p, 0L, Long.MaxValue, runtimeSubjects): InputPartition)
       else {
         val n = ((len + splitBytes - 1) / splitBytes).toInt
@@ -282,6 +282,12 @@ class StatusReaderFactory(filters: Array[Filter], required: StructType, limit: I
   * exactly at its `end`. Byte-exact while counting (no char decoding);
   * UTF-8 decode happens per returned line.
   */
+private[sources] object ByteRangeLines {
+  /** Non-splittable compressed part files both planners must keep whole. */
+  def isCompressed(path: String): Boolean =
+    path.endsWith(".gz") || path.endsWith(".zst")
+}
+
 private class ByteRangeLines(path: String, start: Long, end: Long) {
   // Chunk-buffered scan, not byte-at-a-time read(): one virtual call per
   // 64 KB block instead of one per BYTE (the r8 SplitScanProbe profile
@@ -289,16 +295,19 @@ private class ByteRangeLines(path: String, start: Long, end: Long) {
   // raw-scan path). The common case — a line entirely inside the current
   // block — is a single memchr-style scan plus one copyOfRange.
   //
-  // `.gz` paths decode transparently — gzip is a NON-SPLITTABLE codec
-  // (Hadoop's rule), so callers must hand a compressed file the whole
-  // (0, MaxValue) range; the planner enforces it by never byte-range
-  // splitting such files.
-  private val gzipped = path.endsWith(".gz")
-  require(!gzipped || start == 0L,
-    s"gzip is not splittable: $path must be read as one whole-file range")
+  // `.gz` / `.zst` paths decode transparently — standard gzip and zstd
+  // frames are NON-SPLITTABLE codecs (Hadoop's rule), so callers must
+  // hand a compressed file the whole (0, MaxValue) range; the planners
+  // enforce it by never byte-range splitting such files.
+  private val compressed = ByteRangeLines.isCompressed(path)
+  require(!compressed || start == 0L,
+    s"compressed files are not splittable: $path must be read as one whole-file range")
   private val fileIn = new java.io.FileInputStream(path)
   private val in: java.io.InputStream =
-    if (gzipped) new java.util.zip.GZIPInputStream(fileIn, 1 << 16) else fileIn
+    if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(fileIn, 1 << 16)
+    else if (path.endsWith(".zst"))
+      new com.github.luben.zstd.ZstdInputStream(new java.io.BufferedInputStream(fileIn, 1 << 16))
+    else fileIn
   private var pos = 0L
   private val block = new Array[Byte](1 << 16)
   private var blockLen = 0

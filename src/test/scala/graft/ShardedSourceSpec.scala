@@ -646,6 +646,26 @@ class ShardedSourceSpec extends SparkTestBase {
     }
   }
 
+  test("predicateSkippedRows metric accounts for parse-time drops") {
+    import org.apache.spark.sql.functions.col
+    val dir = writeShards(2, 50) // 100 rows total
+    // raw filtered scan: residual-free, so the ONLY place rows can drop is
+    // the reader's parse-time skip — the metric must equal total - emitted
+    val q = spark.read.format("graft-sharded").load(dir)
+      .where(col("name") === "sig_1")
+    val got = q.collect().length
+    val scan = findScan(q, "graft_sharded")
+    assert(scan.metrics("predicateSkippedRows").value === 100L - got,
+      s"skip metric ${scan.metrics("predicateSkippedRows").value} vs ${100 - got}")
+    // the pushed-aggregate path reports it too
+    val qa = spark.read.format("graft-sharded").load(dir)
+      .where(col("name") === "sig_1")
+      .groupBy("token_id").agg(org.apache.spark.sql.functions.count("*").as("n"))
+    qa.collect()
+    val scanA = findScan(qa, "graft_sharded")
+    assert(scanA.metrics("predicateSkippedRows").value === 100L - got)
+  }
+
   test("oversized runtime IN-sets are ignored (advisory contract, bounded task payloads)") {
     import graft.sources.{ShardedScan, ShardedScanBuilder, ShardPartition, ShardedSignalSource}
     import org.apache.spark.sql.sources.In
@@ -738,7 +758,7 @@ class ShardedSourceSpec extends SparkTestBase {
     assert(rows(9).getLong(1) === 1234567890123456789L, "19-digit longs parse")
   }
 
-  test("gzip part files decode transparently and are never byte-range split") {
+  test("gzip and zstd part files decode transparently and are never byte-range split") {
     import org.apache.spark.sql.functions.col
     def gzWrite(f: java.io.File, lines: Seq[String]): Unit = {
       val out = new java.io.PrintWriter(new java.util.zip.GZIPOutputStream(
@@ -759,9 +779,14 @@ class ShardedSourceSpec extends SparkTestBase {
     val wp = new java.io.PrintWriter(new java.io.File(sub, "part-0.csv"))
     mkLines(1, 30).foreach(wp.println); wp.close()
     gzWrite(new java.io.File(sub, "part-1.csv.gz"), mkLines(1, 200).map(_ + "1")) // distinct v
+    // shard 2: a flat zstd fixture (Spark's modern default codec)
+    val zOut = new java.io.PrintWriter(new com.github.luben.zstd.ZstdOutputStream(
+      new java.io.FileOutputStream(new java.io.File(dir, "shard=2.csv.zst"))))
+    mkLines(2, 150).foreach(zOut.println); zOut.close()
     val df = spark.read.format("graft-sharded").load(dir.getAbsolutePath)
-    assert(df.count() === 530)
+    assert(df.count() === 680)
     assert(df.where(col("shard") === 0).count() === 300)
+    assert(df.where(col("shard") === 2).count() === 150)
 
     // key-grouped aggregation still zero-exchange over gz parts
     withBucketing {
@@ -772,13 +797,13 @@ class ShardedSourceSpec extends SparkTestBase {
       assert(!plan.contains("Exchange"), plan)
     }
 
-    // split=always must NOT split the gz files (non-splittable codec):
-    // 3 part files -> exactly 3 partitions even at a 1 KB split width
+    // split=always must NOT split the compressed files (non-splittable
+    // codecs): 4 part files -> exactly 4 partitions even at a 1 KB width
     val always = spark.read.format("graft-sharded")
       .option("split", "always").option("splitBytes", "1024").load(dir.getAbsolutePath)
-    assert(always.rdd.getNumPartitions === 3,
-      s"gz parts must stay whole, planned ${always.rdd.getNumPartitions}")
-    assert(always.count() === 530)
+    assert(always.rdd.getNumPartitions === 4,
+      s"compressed parts must stay whole, planned ${always.rdd.getNumPartitions}")
+    assert(always.count() === 680)
   }
 
   test("layout fingerprint is file-metadata-based and invalidates on rewrite") {
