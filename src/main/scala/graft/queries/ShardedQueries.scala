@@ -113,6 +113,36 @@ object ShardedQueries {
     s.read.format("graft-sharded").load(shardedDir(s, d))
   }
 
+  /** Same events → store materialization, but through the store's OWN DSv2
+    * write path (r8): no caller-side `repartition`/`partitionBy` — the
+    * writer's `RequiresDistributionAndOrdering` plans the cluster-by-shard
+    * exchange and the (shard, token_id, ts_us) sort, and the parts come
+    * out zstd-compressed in MergeTree key order. The `coalesce(…, 0)` is a
+    * nullability erasure only (user_id is never null in the dataset; the
+    * store's shard column is non-null by contract and write resolution
+    * enforces it at analysis time).
+    */
+  private val writtenDirs = scala.collection.mutable.Map.empty[String, String]
+
+  private def writtenDir(s: SparkSession, d: String): String = synchronized {
+    writtenDirs.getOrElseUpdate(d, {
+      val key = eventsFingerprint(d)
+      val dir = new File(s"/tmp/graft_sharded_w/${new File(d).getName}_$key")
+      if (!new File(dir, "_SUCCESS").exists()) {
+        ev(s, d)
+          .select(
+            coalesce(pmod(col("user_id"), lit(NShards.toLong)).cast("int"), lit(0)).as("shard"),
+            col("user_id").as("token_id"),
+            expr("unix_micros(ts)").as("ts_us"),
+            col("event_type").as("name"),
+            round(col("value") * 100).cast(LongType).cast("double").as("v"))
+          .write.format("graft-sharded").option("codec", "zstd")
+          .mode("overwrite").save(dir.getAbsolutePath)
+      }
+      dir.getAbsolutePath
+    })
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // ── Per-token sync watermark through the sharded store: COUNT +
@@ -362,6 +392,86 @@ object ShardedQueries {
                CAST(CAST(round(value*100) AS BIGINT) AS DOUBLE) AS v
              FROM events WHERE user_id = 7
              ORDER BY 1 DESC LIMIT 5""")
+    ),
+
+    // ── Write → read round trip through the store's own DSv2 write path
+    //    (r8): events flow through `RequiresDistributionAndOrdering`
+    //    (Spark plans the cluster-by-shard exchange + MergeTree-key sort;
+    //    zstd parts; task-file commit protocol) and the per-shard manifest
+    //    is aggregated back THROUGH the store — against the parquet truth
+    //    in the oracle. This is the reference's ingest half (ClickHouse
+    //    batch insert, clickhouse.go:113-130 [ext]) composed with its read
+    //    half as one declared row: if the writer dropped, duplicated, or
+    //    corrupted anything (ordering, codec, nulls, commit), counts,
+    //    distinct tokens, exact cent sums, or the ts range would diverge.
+    //    Cent sums are exact BIGINT; shard = user_id % 8 replayed by the
+    //    oracle.
+    QueryDef(
+      "q199_written_manifest",
+      (s, d) => s.read.format("graft-sharded").load(writtenDir(s, d))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_signals"),
+          countDistinct(col("token_id")).as("n_tokens"),
+          sum(col("v").cast(LongType)).as("cents"),
+          min(col("ts_us")).as("oldest_us"),
+          max(col("ts_us")).as("newest_us")),
+      Some("""SELECT CAST(user_id % 8 AS INT) AS shard,
+               count(*)::BIGINT AS n_signals,
+               count(DISTINCT user_id)::BIGINT AS n_tokens,
+               sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents,
+               CAST(min(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS oldest_us,
+               CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS newest_us
+             FROM events GROUP BY 1""")
+    ),
+
+    // ── The store's cheapest and most common fragment, `SELECT count()`,
+    //    declared over the r8 newline-count seam: a pushed global
+    //    CountStar with no row predicates needs no FIELDS, so each
+    //    partition counts non-empty lines straight off 64 KB blocks (no
+    //    parse, no InternalRow per row — CountPathProbe: 2.6× over the
+    //    parsed path at 483 MB, identical counts) and ships exactly one
+    //    row into the retained final sum. ClickHouse answers count() from
+    //    part metadata; a text store's floor is one newline scan, and
+    //    this is that floor.
+    QueryDef(
+      "q200_store_count",
+      (s, d) => sharded(s, d).agg(count(lit(1)).as("n_signals")),
+      Some("SELECT count(*)::BIGINT AS n_signals FROM events")
+    ),
+
+    // ── The ordered-scan dividend, declared (r8): purchase×click pair
+    //    stats per token through TWO sorted reads of the V2-written
+    //    layout. `sorted=true` asserts the writer's (token_id, ts_us)
+    //    part-file order (MergeTree's ORDER BY), the scan REPORTS it
+    //    (`SupportsReportOrdering`), and the storage-partitioned merge
+    //    join on (shard, token_id) plans with ZERO exchange and ZERO
+    //    sort — the co-located join path with its last per-partition
+    //    O(n log n) removed (PlanSpec pins an Exchange-free, Sort-free
+    //    SMJ subtree). Pairs are bounded per token (events/token is flat
+    //    across SF, ~100); only per-token partials reach the final agg's
+    //    shuffle. min |Δt| over pairs is exact integer arithmetic.
+    QueryDef(
+      "q201_sorted_pairs",
+      (s, d) => {
+        enableStoragePartitioning(s)
+        val dir = writtenDir(s, d)
+        def side(nm: String): DataFrame = s.read.format("graft-sharded")
+          .option("sorted", "true").load(dir)
+          .where(col("name") === nm)
+        side("purchase").as("p")
+          .hint("merge")
+          .join(side("click").as("c"), Seq("shard", "token_id"))
+          .groupBy(col("token_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            min(abs(col("p.ts_us") - col("c.ts_us"))).as("min_gap_us"))
+      },
+      Some("""WITH e AS (SELECT user_id,  event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events)
+             SELECT p.user_id AS token_id, count(*)::BIGINT AS n_pairs,
+               min(abs(p.tsu - c.tsu))::BIGINT AS min_gap_us
+             FROM e p JOIN e c ON p.user_id = c.user_id
+             WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+             GROUP BY 1""")
     )
   )
 }

@@ -4,10 +4,10 @@ import java.io.File
 import java.util.{Map => JMap}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, NamedReference, SortDirection, Transform, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, NamedReference, NullOrdering, SortDirection, Transform, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportOrdering, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
@@ -68,15 +68,19 @@ object ShardedSignalSource {
   val MaxRuntimeInSet: Int = 1 << 20
 }
 
-class ShardedTable(path: String) extends Table with SupportsRead {
+class ShardedTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_sharded($path)"
   override def schema(): StructType = ShardedSignalSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    new ShardedWriteBuilder(path, info)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ShardedScanBuilder(path,
       options.getOrDefault("split", "auto").toLowerCase,
-      options.getLong("splitBytes", ShardedSignalSource.DefaultSplitBytes))
+      options.getLong("splitBytes", ShardedSignalSource.DefaultSplitBytes),
+      options.getBoolean("sorted", false))
 }
 
 /** One pushed aggregate: `min`/`max` over a source column, or `count_star`. */
@@ -298,7 +302,8 @@ object ShardRowPredicate {
 }
 
 class ShardedScanBuilder(path: String, splitMode: String = "auto",
-    splitBytes: Long = ShardedSignalSource.DefaultSplitBytes) extends ScanBuilder
+    splitBytes: Long = ShardedSignalSource.DefaultSplitBytes,
+    sorted: Boolean = false) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownTopN with SupportsPushDownFilters with SupportsPushDownLimit {
   private var required: StructType = ShardedSignalSource.Schema
@@ -388,18 +393,54 @@ class ShardedScanBuilder(path: String, splitMode: String = "auto",
 
   override def build(): Scan = pushedAgg match {
     case Some(pa) => new ShardedScan(path, pa.outputSchema, Some(pa), pushedFilters = pushedStatic,
-      splitMode = splitMode, splitBytes = splitBytes)
+      splitMode = splitMode, splitBytes = splitBytes, sorted = sorted)
     case None     => new ShardedScan(path, required, None, topN, topNDesc, pushedStatic,
-      splitMode, splitBytes, limit)
+      splitMode, splitBytes, limit, sorted)
   }
 }
 
 class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPushedAgg] = None,
     topN: Int = -1, topNDesc: Boolean = true, pushedFilters: Array[Filter] = Array.empty,
     splitMode: String = "auto", splitBytes: Long = ShardedSignalSource.DefaultSplitBytes,
-    limit: Int = -1)
+    limit: Int = -1, sorted: Boolean = false)
     extends Scan with Batch with SupportsReportPartitioning with SupportsRuntimeFiltering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsReportOrdering {
+
+  /** Ordered-scan mode (`sorted=true`, r8): the caller asserts the layout
+    * invariant the store's OWN writer guarantees — every part file sorted
+    * by (token_id, ts_us) — which is exactly MergeTree's `ORDER BY
+    * (token_id, timestamp)` on-disk contract (sync_test.go:352 [ext]).
+    * The scan then:
+    *
+    *   - reads each shard as a K-WAY MERGE of its sorted part files (a
+    *     MergeTree read), so partition output is globally sorted, and
+    *   - REPORTS that ordering (`SupportsReportOrdering`): `shard` is
+    *     constant within any partition (key-grouped or byte-range split),
+    *     so (shard, token_id, ts_us) ASC NULLS FIRST holds — and a
+    *     storage-partitioned merge join on (shard, token_id) plans with
+    *     ZERO exchange and ZERO sort. At 100 TB that removes the last
+    *     per-partition O(n log n) from the co-located join path.
+    *
+    * Only the raw-row path reports ordering: a pushed agg emits hash
+    * order, a pushed TopN heap order. A byte range of a sorted file is
+    * itself sorted, so split mode composes. Ordering is reported only for
+    * the key prefix present in the output schema (a pruned `token_id`
+    * can't be referenced — and without it the files merely chain, which
+    * is exactly the weaker no-promise the report omits).
+    */
+  override def outputOrdering(): Array[V2SortOrder] = {
+    if (pushedAgg.nonEmpty || topN >= 0 || !sorted) return Array.empty
+    val out = readSchema().fieldNames
+    val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (out.contains("shard")) cols += "shard" // constant per partition
+    if (out.contains("token_id")) {
+      cols += "token_id"
+      if (out.contains("ts_us")) cols += "ts_us"
+    }
+    if (!cols.contains("token_id")) return Array.empty
+    cols.map(c => Expressions.sort(Expressions.column(c), SortDirection.ASCENDING,
+      NullOrdering.NULLS_FIRST)).toArray
+  }
 
   /** Within-shard byte-range splitting (r7 verdict Next #1): one partition
     * per SHARD is the contract `KeyGroupedPartitioning` needs — but a scan
@@ -480,6 +521,7 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
         s"aggs=${pa.aggs.map(a => s"${a.op}(${a.column})").mkString(",")}]").getOrElse("") +
       (if (topN >= 0) s" topN=$topN ts_us ${if (topNDesc) "DESC" else "ASC"}" else "") +
       (if (limit >= 0) s" limit=$limit" else "") +
+      (if (sorted) " sorted-merge" else "") +
       (if (pushedFilters.nonEmpty) s" pushedFilters=[${pushedFilters.mkString(", ")}]" else "")
 
   /** Post-pushdown size estimate for the planner's join-side decisions
@@ -590,10 +632,10 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
     else new UnknownPartitioning(plannedCount)
 
   override def createReaderFactory(): PartitionReaderFactory = pushedAgg match {
-    case Some(pa) => new ShardedAggReaderFactory(pa, rowPred)
+    case Some(pa) => new ShardedAggReaderFactory(pa, rowPred, sorted)
     case None if topN >= 0 => new ShardedTopNReaderFactory(required, topN, topNDesc, rowPred)
-    case None if limit >= 0 => new ShardedLimitReaderFactory(required, limit, rowPred)
-    case None => new ShardedReaderFactory(required, rowPred)
+    case None if limit >= 0 => new ShardedLimitReaderFactory(required, limit, rowPred, sorted)
+    case None => new ShardedReaderFactory(required, rowPred, sorted)
   }
 
   // Observability: pushdown effectiveness as a first-class per-scan SQL
@@ -638,7 +680,29 @@ case class PredicateSkippedRowsTaskMetric(value: Long) extends CustomTaskMetric 
   */
 private[sources] object ShardRows {
   def apply(partition: InputPartition, schema: StructType,
-      pred: ShardRowPredicate): PartitionReader[InternalRow] with CountsSkips = partition match {
+      pred: ShardRowPredicate, mergeSorted: Boolean = false): PartitionReader[InternalRow] with CountsSkips = {
+    val base = build(partition, schema, pred, mergeSorted)
+    // `sorted=true` is an assertion the scan VERIFIES as it reads: the
+    // reported ordering feeds sort-elision in joins above, so a layout
+    // that breaks it must fail the task loudly, never return wrong rows
+    if (mergeSorted && schema.fieldNames.contains("token_id"))
+      new OrderAssertReader(base, schema, partition match {
+        case p: ShardPartition => s"shard=${p.shard} (${p.files.length} part files)"
+        case p: ShardSplitPartition => s"${p.file}[+${p.start}]"
+        case other => other.toString
+      })
+    else base
+  }
+
+  private def build(partition: InputPartition, schema: StructType,
+      pred: ShardRowPredicate, mergeSorted: Boolean): PartitionReader[InternalRow] with CountsSkips = partition match {
+    case p: ShardPartition
+        if mergeSorted && p.files.length > 1 && schema.fieldNames.contains("token_id") =>
+      // ordered-scan mode: K-way merge of the shard's sorted part files
+      // (the MergeTree read) — required whenever the scan REPORTS an
+      // ordering on token_id, which it only does with token_id in the
+      // output schema
+      new ShardedMergeReader(p.files, p.shard, schema, withTokens(pred, p.tokenIn))
     case p: ShardPartition =>
       new ShardedShardReader(p.files, p.shard, schema, withTokens(pred, p.tokenIn))
     case p: ShardSplitPartition =>
@@ -654,10 +718,11 @@ private[sources] object ShardRows {
     }
 }
 
-class ShardedReaderFactory(required: StructType, pred: ShardRowPredicate = ShardRowPredicate.Trivial)
+class ShardedReaderFactory(required: StructType, pred: ShardRowPredicate = ShardRowPredicate.Trivial,
+    mergeSorted: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val inner = ShardRows(partition, required, pred)
+    val inner = ShardRows(partition, required, pred, mergeSorted)
     new PartitionReader[InternalRow] {
       override def next(): Boolean = inner.next()
       override def get(): InternalRow = inner.get()
@@ -695,11 +760,131 @@ class ShardedShardReader(files: Seq[String], shard: Int, required: StructType,
   override def currentMetricsValues(): Array[CustomTaskMetric] = skipMetric
 }
 
-class ShardedLimitReaderFactory(required: StructType, limit: Int,
+/** Verifies the `sorted=true` assertion row by row (O(1)/row, two longs of
+  * state): (token_id, ts_us) ASC NULLS FIRST must never go backwards. The
+  * reported ordering feeds sort-elision in merge joins above — a layout
+  * that silently broke it would produce silently wrong join output, so a
+  * violation fails the TASK with the offending partition named instead.
+  */
+private[sources] class OrderAssertReader(
+    inner: PartitionReader[InternalRow] with CountsSkips,
+    schema: StructType, context: String)
+    extends PartitionReader[InternalRow] with CountsSkips {
+
+  private val tokIdx = schema.fieldIndex("token_id")
+  private val tsIdx = if (schema.fieldNames.contains("ts_us")) schema.fieldIndex("ts_us") else -1
+  private var has = false
+  private var pTokNull = false; private var pTok = 0L
+  private var pTsNull = false; private var pTs = 0L
+
+  override def next(): Boolean = {
+    if (!inner.next()) return false
+    val r = inner.get()
+    val tn = r.isNullAt(tokIdx); val t = if (tn) 0L else r.getLong(tokIdx)
+    val sn = tsIdx >= 0 && r.isNullAt(tsIdx)
+    val sv = if (tsIdx < 0 || sn) 0L else r.getLong(tsIdx)
+    if (has) {
+      var c =
+        if (pTokNull && tn) 0 else if (pTokNull) -1 else if (tn) 1
+        else java.lang.Long.compare(pTok, t)
+      if (c == 0 && tsIdx >= 0)
+        c = if (pTsNull && sn) 0 else if (pTsNull) -1 else if (sn) 1
+          else java.lang.Long.compare(pTs, sv)
+      if (c > 0) throw new IllegalStateException(
+        s"sorted=true violated in $context: (token_id, ts_us) went backwards — " +
+          "this layout is not sorted; only layouts in the store's write order " +
+          "(graft-sharded writer or equivalent) may be read with sorted=true")
+    }
+    has = true; pTokNull = tn; pTok = t; pTsNull = sn; pTs = sv
+    true
+  }
+
+  override def get(): InternalRow = inner.get()
+  override def close(): Unit = inner.close()
+  override def skippedRows: Long = inner.skippedRows
+  override def currentMetricsValues(): Array[CustomTaskMetric] = inner.skipMetric
+}
+
+/** K-way merge of one shard's part files, each sorted by (token_id,
+  * ts_us) NULLS FIRST — the layout the store's own writer produces and
+  * MergeTree's on-disk contract. Output order is the merge of the inputs,
+  * i.e. globally (token_id, ts_us) within the partition, which is what
+  * [[ShardedScan.outputOrdering]] reports. A bounded heap of one head row
+  * per file; rows stream, nothing buffers beyond the K heads. Pushed
+  * predicates still evaluate at parse time inside each file's reader
+  * (filtering a sorted stream keeps it sorted).
+  */
+class ShardedMergeReader(files: Seq[String], shard: Int, required: StructType,
     pred: ShardRowPredicate = ShardRowPredicate.Trivial)
+    extends PartitionReader[InternalRow] with CountsSkips {
+
+  private val tokIdx = required.fieldIndex("token_id")
+  private val tsIdx = if (required.fieldNames.contains("ts_us")) required.fieldIndex("ts_us") else -1
+  private var skippedClosed = 0L
+  private var current: InternalRow = _
+
+  private final class Head(val r: ShardedPartitionReader, val seq: Int) {
+    var row: InternalRow = _
+    def advance(): Boolean = r.next() && { row = r.get(); true }
+  }
+
+  // ASC NULLS FIRST on each key, matching the reported ordering; file
+  // sequence breaks exact ties deterministically
+  private def cmpNullableLong(x: InternalRow, y: InternalRow, i: Int): Int = {
+    val xn = x.isNullAt(i); val yn = y.isNullAt(i)
+    if (xn && yn) 0
+    else if (xn) -1
+    else if (yn) 1
+    else java.lang.Long.compare(x.getLong(i), y.getLong(i))
+  }
+
+  private val heap = new java.util.PriorityQueue[Head](math.max(1, files.length),
+    new java.util.Comparator[Head] {
+      override def compare(a: Head, b: Head): Int = {
+        var c = cmpNullableLong(a.row, b.row, tokIdx)
+        if (c == 0 && tsIdx >= 0) c = cmpNullableLong(a.row, b.row, tsIdx)
+        if (c == 0) c = Integer.compare(a.seq, b.seq)
+        c
+      }
+    })
+
+  locally {
+    files.zipWithIndex.foreach { case (f, i) =>
+      val h = new Head(new ShardedPartitionReader(f, shard, required, pred), i)
+      if (h.advance()) heap.add(h)
+      else { skippedClosed += h.r.skippedRows; h.r.close() }
+    }
+  }
+
+  override def next(): Boolean = {
+    val h = heap.poll()
+    if (h == null) return false
+    current = h.row
+    if (h.advance()) heap.add(h)
+    else { skippedClosed += h.r.skippedRows; h.r.close() }
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def skippedRows: Long = {
+    var s = skippedClosed
+    val it = heap.iterator()
+    while (it.hasNext) s += it.next().r.skippedRows
+    s
+  }
+  override def currentMetricsValues(): Array[CustomTaskMetric] = skipMetric
+  override def close(): Unit = {
+    val it = heap.iterator()
+    while (it.hasNext) it.next().r.close()
+    heap.clear()
+  }
+}
+
+class ShardedLimitReaderFactory(required: StructType, limit: Int,
+    pred: ShardRowPredicate = ShardRowPredicate.Trivial, mergeSorted: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val inner = ShardRows(partition, required, pred)
+    val inner = ShardRows(partition, required, pred, mergeSorted)
     new PartitionReader[InternalRow] {
       private var remaining = limit // per-partition early stop
       override def next(): Boolean =
@@ -763,10 +948,11 @@ class ShardedTopNReader(partition: InputPartition, required: StructType,
     Array(PredicateSkippedRowsTaskMetric(skippedFinal))
 }
 
-class ShardedAggReaderFactory(pa: ShardPushedAgg, pred: ShardRowPredicate = ShardRowPredicate.Trivial)
+class ShardedAggReaderFactory(pa: ShardPushedAgg, pred: ShardRowPredicate = ShardRowPredicate.Trivial,
+    sorted: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ShardedAggReader(partition, pa, pred)
+    new ShardedAggReader(partition, pa, pred, sorted)
 }
 
 /** Shard-local hash aggregation for the pushed GROUP BY: one pass over the
@@ -779,7 +965,7 @@ class ShardedAggReaderFactory(pa: ShardPushedAgg, pred: ShardRowPredicate = Shar
   * bound the store's own aggregation carries.
   */
 class ShardedAggReader(partition: InputPartition, pa: ShardPushedAgg,
-    pred: ShardRowPredicate = ShardRowPredicate.Trivial)
+    pred: ShardRowPredicate = ShardRowPredicate.Trivial, sorted: Boolean = false)
     extends PartitionReader[InternalRow] {
 
   private val neededNames =
@@ -790,13 +976,191 @@ class ShardedAggReader(partition: InputPartition, pa: ShardPushedAgg,
   private val aggIdx = pa.aggs.map(a => if (a.op == "count_star") -1 else base.fieldIndex(a.column))
   private var skippedFinal = 0L
 
-  // measurement-only escape hatch for tools/AggPathProbe (compares the two
-  // paths head-to-head); production always takes the fast path when eligible
+  // measurement-only escape hatches for tools/AggPathProbe + CountPathProbe
+  // (compare paths head-to-head); production always takes the fastest
+  // eligible path
   private lazy val resultIter: Iterator[InternalRow] =
-    if (groupIdx.length == 1 && base.fields(groupIdx.head).dataType == LongType
+    if (countOnlyEligible
+        && java.lang.Boolean.parseBoolean(System.getProperty("graft.sharded.countFastPath", "true")))
+      countPath()
+    else if (sorted && pa.groupCols == Seq("token_id")
+        && java.lang.Boolean.parseBoolean(System.getProperty("graft.sharded.sortedAggPath", "true")))
+      sortedGroupPath()
+    else if (groupIdx.length == 1 && base.fields(groupIdx.head).dataType == LongType
         && java.lang.Boolean.parseBoolean(System.getProperty("graft.sharded.aggFastPath", "true")))
       longKeyPath(groupIdx.head)
     else genericPath()
+
+  /** Group-SEQUENTIAL aggregation over the sorted layout (r8): with
+    * `sorted=true` the merged row stream arrives in token_id order, so a
+    * per-token pushed aggregate needs no hash table at all — one
+    * accumulator set, emit on key change. State is O(1) regardless of the
+    * shard's token count (the hash paths are O(distinct tokens)): this is
+    * how a MergeTree store aggregates along its primary key, and at 100 TB
+    * it is the difference between a scan-sized and a cardinality-sized
+    * memory footprint inside the source. The OrderAssertReader guard runs
+    * under this path (token_id is in `base`), so a layout that lies about
+    * its order fails loudly rather than emitting split groups — and even
+    * unasserted, split groups would only yield EXTRA partials, which the
+    * retained final aggregate merges identically (the partial contract);
+    * the guard keeps the stronger invariant anyway.
+    */
+  private def sortedGroupPath(): Iterator[InternalRow] = {
+    val keyIdx = groupIdx.head
+    val nA = pa.aggs.length
+    val opCode = new Array[Int](nA) // 0=count_star, 1=min, 2=max, 3=sum
+    val dtCode = new Array[Int](nA) // 0=n/a, 1=int, 2=long, 3=double
+    var a0 = 0
+    while (a0 < nA) {
+      opCode(a0) = pa.aggs(a0).op match {
+        case "count_star" => 0; case "min" => 1; case "max" => 2; case _ => 3 }
+      dtCode(a0) = if (opCode(a0) == 0) 0 else base.fields(aggIdx(a0)).dataType match {
+        case IntegerType => 1
+        case LongType => 2
+        case _ => 3
+      }
+      a0 += 1
+    }
+
+    val accL = new Array[Long](nA)
+    val accD = new Array[Double](nA)
+    val seen = new Array[Boolean](nA)
+    var keyNull = false
+    var key = 0L
+    var open = false
+
+    def emit(): InternalRow = {
+      val vals = new Array[Any](1 + nA)
+      vals(0) = if (keyNull) null else java.lang.Long.valueOf(key)
+      var a = 0
+      while (a < nA) {
+        vals(1 + a) = opCode(a) match {
+          case 0 => java.lang.Long.valueOf(accL(a))
+          case _ if !seen(a) => null
+          case 3 if dtCode(a) == 1 => java.lang.Long.valueOf(accL(a)) // sum(int) -> long
+          case _ => dtCode(a) match {
+            case 1 => java.lang.Integer.valueOf(accL(a).toInt)
+            case 2 => java.lang.Long.valueOf(accL(a))
+            case _ => java.lang.Double.valueOf(accD(a))
+          }
+        }
+        a += 1
+      }
+      InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+    }
+
+    def accumulate(r: InternalRow): Unit = {
+      var a = 0
+      while (a < nA) {
+        if (opCode(a) == 0) accL(a) += 1L
+        else if (!r.isNullAt(aggIdx(a))) {
+          dtCode(a) match {
+            case 3 =>
+              val v = r.getDouble(aggIdx(a))
+              if (!seen(a)) { accD(a) = v; seen(a) = true }
+              else opCode(a) match {
+                case 1 => if (java.lang.Double.compare(v, accD(a)) < 0) accD(a) = v
+                case 2 => if (java.lang.Double.compare(v, accD(a)) > 0) accD(a) = v
+                case _ => accD(a) += v
+              }
+            case dt =>
+              val v = if (dt == 1) r.getInt(aggIdx(a)).toLong else r.getLong(aggIdx(a))
+              if (!seen(a)) { accL(a) = v; seen(a) = true }
+              else opCode(a) match {
+                case 1 => if (v < accL(a)) accL(a) = v
+                case 2 => if (v > accL(a)) accL(a) = v
+                case _ => accL(a) += v
+              }
+          }
+        }
+        a += 1
+      }
+    }
+
+    // truly streaming: one group's accumulators + one lookahead row is ALL
+    // the state; each pull on the iterator reads one group's rows and
+    // emits its partial
+    val rows = ShardRows(partition, base, pred, mergeSorted = true)
+    openRows = rows
+    new Iterator[InternalRow] {
+      private var lookahead: InternalRow = _
+      private var exhausted = false
+      private var pulled = false // lookahead/exhausted valid?
+
+      private def pull(): Unit = {
+        if (rows.next()) lookahead = rows.get() // readers build fresh rows
+        else {
+          lookahead = null; exhausted = true
+          skippedFinal = rows.skippedRows
+          rows.close(); openRows = null
+        }
+        pulled = true
+      }
+
+      override def hasNext: Boolean = {
+        if (!pulled) pull()
+        lookahead != null
+      }
+
+      override def next(): InternalRow = {
+        if (!hasNext) throw new NoSuchElementException
+        // open the group at the lookahead row
+        keyNull = lookahead.isNullAt(keyIdx)
+        key = if (keyNull) 0L else lookahead.getLong(keyIdx)
+        open = true
+        java.util.Arrays.fill(accL, 0L); java.util.Arrays.fill(accD, 0.0)
+        java.util.Arrays.fill(seen, false)
+        accumulate(lookahead)
+        // drain the group
+        var same = true
+        while (same) {
+          pull()
+          if (lookahead == null) same = false
+          else {
+            val kn = lookahead.isNullAt(keyIdx)
+            val k = if (kn) 0L else lookahead.getLong(keyIdx)
+            if (kn != keyNull || (!kn && k != key)) same = false
+            else accumulate(lookahead)
+          }
+        }
+        emit()
+      }
+    }
+  }
+
+  /** A global `count(*)` with nothing to evaluate per row — no pushed row
+    * predicates, no runtime token set, no group columns (shard groups are
+    * declined upstream) — never needs a FIELD, so it never parses one:
+    * count non-empty lines straight off the 64 KB blocks (the `SELECT
+    * count() FROM store` fragment, which ClickHouse answers from part
+    * metadata; a text store's equivalent is a newline scan). Shard file
+    * pruning still applies upstream, so `WHERE shard = k` counts ride
+    * this path too.
+    */
+  private def countOnlyEligible: Boolean =
+    pred.isTrivial && pa.groupCols.isEmpty &&
+      pa.aggs.nonEmpty && pa.aggs.forall(_.op == "count_star") && (partition match {
+        case p: ShardPartition => p.tokenIn.isEmpty
+        case p: ShardSplitPartition => p.tokenIn.isEmpty
+        case _ => false
+      })
+
+  private def countPath(): Iterator[InternalRow] = {
+    var n = 0L
+    def countRange(file: String, s: Long, e: Long): Unit = {
+      val br = new ByteRangeLines(file, s, e)
+      try n += br.countNonEmpty() finally br.close()
+    }
+    partition match {
+      case p: ShardPartition => p.files.foreach(countRange(_, 0L, Long.MaxValue))
+      case p: ShardSplitPartition => countRange(p.file, p.start, p.end)
+      case other => sys.error(s"unexpected partition $other")
+    }
+    val row = new Array[Any](pa.aggs.length)
+    java.util.Arrays.fill(row.asInstanceOf[Array[AnyRef]], java.lang.Long.valueOf(n))
+    Iterator.single(InternalRow.fromSeq(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(row)))
+  }
 
   /** Primitive fast path for the hot pushed shape — a single LONG group
     * key (the reference's per-token fragments all group by `token_id`):
@@ -1013,11 +1377,18 @@ class ShardedAggReader(partition: InputPartition, pa: ShardPushedAgg,
     }
   }
 
+  // the streaming sorted-group path holds its row source open across
+  // pulls; anything it leaves open at (possibly early) close is closed here
+  private var openRows: PartitionReader[InternalRow] with CountsSkips = _
+
   private var current: InternalRow = _
   override def next(): Boolean =
     if (resultIter.hasNext) { current = resultIter.next(); true } else false
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = if (openRows != null) {
+    skippedFinal = openRows.skippedRows
+    openRows.close(); openRows = null
+  }
   override def currentMetricsValues(): Array[CustomTaskMetric] =
     Array(PredicateSkippedRowsTaskMetric(skippedFinal))
 }

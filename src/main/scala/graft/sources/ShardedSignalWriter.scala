@@ -1,0 +1,311 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types._
+
+/** DSv2 WRITE path for the sharded signal store — the Spark-side twin of
+  * the reference's ClickHouse batch insert (clickhouse.go:113-130 [ext])
+  * at the STORAGE-LAYOUT level: the reference's table is MergeTree
+  * `ORDER BY (token_id, timestamp)` (sync_test.go:352 [ext]), i.e. data
+  * lands clustered by device and time-ordered within it. This writer
+  * declares that contract to Catalyst instead of hand-building it:
+  *
+  *   - `RequiresDistributionAndOrdering.requiredDistribution` =
+  *     clustered(shard): Spark plans the shuffle that co-locates each
+  *     shard's rows in one task — the caller does NOT pre-repartition,
+  *     and AQE is free to size/coalesce the exchange.
+  *   - `requiredOrdering` = (shard, token_id, ts_us) ASC: Spark plans the
+  *     within-task sort, so every part file comes out in MergeTree key
+  *     order — the layout the key-grouped READ side and future ordered
+  *     scans rely on.
+  *
+  * Commit protocol: tasks stream to `_tmp-write-<queryId>/shard=K/…`,
+  * each task's commit message lists exactly the files IT wrote (so a
+  * lost speculative attempt leaves nothing behind — its files are never
+  * named in a message and the staging sweep removes them), and the
+  * driver-side commit moves only message-named files into place, then
+  * stamps `_SUCCESS`. Overwrite (`SupportsTruncate`) clears previous
+  * `shard=*` entries inside commit, after the new files are fully
+  * staged — readers of the old layout are never exposed to a half
+  * layout. `codec` option (`none`/`gzip`/`zstd`) picks the part-file
+  * compression; the read side decodes all three transparently.
+  *
+  * Line format is the store's 4-field CSV (`token_id,ts_us,name,v`).
+  * Numerics print via `Long.toString`/`Double.toString` — the shortest
+  * form that round-trips, and the reader's parse (fast path or String
+  * fallback) is bit-identical to `parseDouble` by contract, so a
+  * write→read round trip is exact. Nulls print as empty fields (the
+  * reader's null encoding); a null `name` therefore reads back as the
+  * empty string — the minimal format has no null/empty distinction for
+  * strings, and `name` may not contain `,`/newlines (rejected at write).
+  */
+class ShardedWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = {
+    val schema = info.schema()
+    val base = ShardedSignalSource.Schema
+    base.fields.foreach { f =>
+      val got = schema.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-sharded write needs column '${f.name}'; got ${schema.fieldNames.mkString(", ")}"))
+      require(got.dataType == f.dataType,
+        s"graft-sharded write: column '${f.name}' must be ${f.dataType.simpleString}, got ${got.dataType.simpleString}")
+    }
+    val codec = info.options().getOrDefault("codec", "none").toLowerCase match {
+      case c @ ("none" | "gzip" | "zstd") => c
+      case other => throw new IllegalArgumentException(
+        s"graft-sharded write: unknown codec '$other' (none|gzip|zstd)")
+    }
+    new ShardedWrite(path, schema, doTruncate, codec, info.queryId())
+  }
+}
+
+class ShardedWrite(path: String, schema: StructType, truncate: Boolean,
+    codec: String, queryId: String)
+    extends Write with RequiresDistributionAndOrdering {
+
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(Expressions.column("shard")))
+
+  override def requiredOrdering(): Array[SortOrder] =
+    Array("shard", "token_id", "ts_us").map(c =>
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+
+  override def toBatch: BatchWrite =
+    new ShardedBatchWrite(path, schema, truncate, codec, queryId)
+
+  override def toStreaming: StreamingWrite = {
+    require(!truncate, "graft-sharded streaming write supports append output mode only")
+    new ShardedStreamingWrite(path, schema, codec, queryId)
+  }
+
+  override def description(): String = s"graft-sharded write $path (codec=$codec)"
+}
+
+private[sources] object WriterFiles {
+  def deleteRec(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+    f.delete()
+  }
+}
+
+/** STREAMING ingest into the store — the reference's continuous sync loop
+  * as a Structured Streaming sink, exactly-once:
+  *
+  *   - tasks stage each epoch under `_tmp-stream-<queryId>/epoch-<N>`
+  *     with DETERMINISTIC published names (`part-e<N>-<partition>-<seq>`):
+  *     a replayed epoch (micro-batch re-run after a crash) re-produces the
+  *     same names, so re-publishing OVERWRITES instead of duplicating —
+  *     even when the crash hit between file publish and the epoch marker;
+  *   - concurrent task attempts (speculation/retry) write to
+  *     attempt-suffixed temp names and atomically rename to the canonical
+  *     name at task commit (last winner's rename is the file);
+  *   - the driver-side epoch commit is idempotent: an existing
+  *     `_stream_commits/<queryId>/epoch-<N>` marker short-circuits the
+  *     replay (Spark replays the last unacknowledged batch on restart —
+  *     this is the at-least-once → exactly-once bridge, same discipline
+  *     as `StreamingIvm`'s applied-batch-id dedup).
+  *
+  * The declared distribution + ordering apply per micro-batch, so every
+  * epoch's files land clustered and MergeTree-key sorted like batch parts.
+  */
+class ShardedStreamingWrite(path: String, schema: StructType, codec: String,
+    queryId: String) extends StreamingWrite {
+
+  private def stagingRoot = new File(path, s"_tmp-stream-$queryId")
+  private def epochStaging(epochId: Long) = new File(stagingRoot, s"epoch-$epochId")
+  private def marker(epochId: Long) =
+    new File(path, s"_stream_commits/$queryId/epoch-$epochId")
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    ShardedStreamingWriterFactory(stagingRoot.getAbsolutePath, schema, codec)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val root = new File(path)
+    val m = marker(epochId)
+    if (m.exists()) { WriterFiles.deleteRec(epochStaging(epochId)); return }
+    messages.foreach { case ShardedTaskCommit(files) =>
+      files.foreach { rel =>
+        val src = new File(epochStaging(epochId), rel)
+        val dst = new File(root, rel)
+        dst.getParentFile.mkdirs()
+        // deterministic names make republish an overwrite; a src already
+        // consumed by a pre-crash publish of this same epoch is fine
+        if (!src.renameTo(dst) && !(dst.exists() && !src.exists()))
+          throw new IllegalStateException(
+            s"graft-sharded stream commit: cannot publish $src -> $dst")
+      }
+    }
+    m.getParentFile.mkdirs()
+    new java.io.FileOutputStream(m).close()
+    WriterFiles.deleteRec(epochStaging(epochId))
+    new java.io.FileOutputStream(new File(root, "_SUCCESS")).close()
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    WriterFiles.deleteRec(epochStaging(epochId))
+}
+
+case class ShardedStreamingWriterFactory(stagingRoot: String, schema: StructType,
+    codec: String) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new ShardedDataWriter(s"$stagingRoot/epoch-$epochId", schema, codec, partitionId, taskId,
+      namePrefix = s"part-e$epochId", deterministicNames = true)
+}
+
+/** Files one task committed, relative to the staging dir. */
+case class ShardedTaskCommit(files: Seq[String]) extends WriterCommitMessage
+
+class ShardedBatchWrite(path: String, schema: StructType, truncate: Boolean,
+    codec: String, queryId: String) extends BatchWrite {
+
+  private def staging = new File(path, s"_tmp-write-$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    staging.mkdirs()
+    ShardedDataWriterFactory(staging.getAbsolutePath, schema, codec)
+  }
+
+  private def deleteRec(f: File): Unit = WriterFiles.deleteRec(f)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new File(path)
+    if (truncate) {
+      Option(root.listFiles()).getOrElse(Array.empty[File]).foreach { f =>
+        val isShard = f.getName match {
+          case ShardedSignalSource.ShardFile(_) => f.isFile
+          case ShardedSignalSource.ShardDir(_) => f.isDirectory
+          case _ => false
+        }
+        if (isShard) deleteRec(f)
+      }
+    }
+    // move exactly the message-named files (a dead speculative attempt's
+    // residue stays in staging and is swept below, never published)
+    messages.foreach { case ShardedTaskCommit(files) =>
+      files.foreach { rel =>
+        val src = new File(staging, rel)
+        val dst = new File(root, rel)
+        dst.getParentFile.mkdirs()
+        if (!src.renameTo(dst))
+          throw new IllegalStateException(s"graft-sharded commit: cannot publish $src -> $dst")
+      }
+    }
+    deleteRec(staging)
+    new java.io.FileOutputStream(new File(root, "_SUCCESS")).close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = deleteRec(staging)
+}
+
+case class ShardedDataWriterFactory(stagingDir: String, schema: StructType,
+    codec: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ShardedDataWriter(stagingDir, schema, codec, partitionId, taskId)
+}
+
+class ShardedDataWriter(stagingDir: String, schema: StructType, codec: String,
+    partitionId: Int, taskId: Long,
+    namePrefix: String = "part", deterministicNames: Boolean = false)
+    extends DataWriter[InternalRow] {
+
+  private val shardIdx = schema.fieldIndex("shard")
+  private val tokIdx = schema.fieldIndex("token_id")
+  private val tsIdx = schema.fieldIndex("ts_us")
+  private val nameIdx = schema.fieldIndex("name")
+  private val vIdx = schema.fieldIndex("v")
+
+  private var curShard = -1
+  private var out: java.io.OutputStream = _
+  private var partSeq = 0
+  private val files = mutable.ArrayBuffer.empty[String]
+  private val sb = new java.lang.StringBuilder(64)
+
+  private def ext: String = codec match {
+    case "gzip" => ".csv.gz"
+    case "zstd" => ".csv.zst"
+    case _ => ".csv"
+  }
+
+  private def closeStream(): Unit = if (out != null) { out.close(); out = null }
+
+  private def open(shard: Int): Unit = {
+    closeStream()
+    // required ordering makes shards contiguous, so this rolls over once
+    // per shard; a (misplanned) revisit still lands in a fresh part file.
+    // Deterministic mode (streaming epochs) keys the published name by
+    // (prefix, partition, seq) only — a replayed epoch overwrites rather
+    // than duplicates — and concurrent attempts write attempt-suffixed
+    // temps that the task commit atomically renames (last winner's file).
+    val rel =
+      if (deterministicNames) s"shard=$shard/$namePrefix-$partitionId-$partSeq$ext"
+      else s"shard=$shard/$namePrefix-$partitionId-$taskId-$partSeq$ext"
+    partSeq += 1
+    val f = new File(stagingDir, rel + attemptSuffix)
+    f.getParentFile.mkdirs()
+    val raw = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f), 1 << 16)
+    out = codec match {
+      case "gzip" => new java.util.zip.GZIPOutputStream(raw, 1 << 16)
+      case "zstd" => new com.github.luben.zstd.ZstdOutputStream(raw)
+      case _ => raw
+    }
+    files += rel
+    curShard = shard
+  }
+
+  private def attemptSuffix: String = if (deterministicNames) s".t$taskId" else ""
+
+  override def write(row: InternalRow): Unit = {
+    if (row.isNullAt(shardIdx))
+      throw new IllegalArgumentException("graft-sharded write: shard must not be null")
+    val shard = row.getInt(shardIdx)
+    if (shard < 0)
+      throw new IllegalArgumentException(s"graft-sharded write: negative shard $shard")
+    if (out == null || shard != curShard) open(shard)
+    sb.setLength(0)
+    if (!row.isNullAt(tokIdx)) sb.append(row.getLong(tokIdx))
+    sb.append(',')
+    if (!row.isNullAt(tsIdx)) sb.append(row.getLong(tsIdx))
+    sb.append(',')
+    if (!row.isNullAt(nameIdx)) {
+      val name = row.getUTF8String(nameIdx).toString
+      if (name.indexOf(',') >= 0 || name.indexOf('\n') >= 0 || name.indexOf('\r') >= 0)
+        throw new IllegalArgumentException(
+          s"graft-sharded write: name may not contain ','/newline: '$name'")
+      sb.append(name)
+    }
+    sb.append(',')
+    if (!row.isNullAt(vIdx)) sb.append(java.lang.Double.toString(row.getDouble(vIdx)))
+    sb.append('\n')
+    out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    closeStream()
+    if (deterministicNames) files.foreach { rel =>
+      val tmp = new File(stagingDir, rel + attemptSuffix)
+      val dst = new File(stagingDir, rel)
+      if (!tmp.renameTo(dst) && !dst.exists())
+        throw new IllegalStateException(s"graft-sharded task commit: cannot finalize $tmp")
+    }
+    ShardedTaskCommit(files.toSeq)
+  }
+  override def abort(): Unit = {
+    closeStream()
+    files.foreach(rel => new File(stagingDir, rel + attemptSuffix).delete())
+  }
+  override def close(): Unit = closeStream()
+}

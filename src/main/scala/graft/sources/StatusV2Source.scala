@@ -366,6 +366,44 @@ private class ByteRangeLines(path: String, start: Long, end: Long) {
   def next(): Array[Byte] =
     if (pos > end) null else readLine()
 
+  /** Counts the remaining owned NON-EMPTY lines (the parse loops' empty-
+    * line skip rule) without materializing any of them — no copyOfRange,
+    * no spill buffer, just block scans. Ownership semantics identical to
+    * `next()`. This is the `SELECT count()` fragment at store speed: a
+    * count never needs fields, so it never needs lines.
+    */
+  def countNonEmpty(): Long = {
+    var n = 0L
+    while (pos <= end) {
+      val len = readLineLen()
+      if (len < 0) return n
+      if (len > 0) n += 1
+    }
+    n
+  }
+
+  /** `readLine()` without the bytes: stripped line length, or -1 at EOF. */
+  private def readLineLen(): Long = {
+    if (blockPos >= blockLen && !fill()) return -1L
+    var len = 0L
+    var last: Byte = 0
+    while (true) {
+      var i = blockPos
+      while (i < blockLen && block(i) != '\n') i += 1
+      if (i > blockPos) last = block(i - 1)
+      len += i - blockPos
+      if (i < blockLen) { // newline inside the block
+        pos += (i - blockPos) + 1
+        blockPos = i + 1
+        return if (len > 0 && last == '\r') len - 1 else len
+      }
+      pos += blockLen - blockPos
+      if (!fill()) // EOF without newline: entry guard ensures len >= 1 here
+        return if (last == '\r') len - 1 else len
+    }
+    -1L // unreachable
+  }
+
   def close(): Unit = in.close()
 }
 

@@ -558,6 +558,49 @@ class PlanSpec extends SparkTestBase {
     assert(scan.metrics("numOutputRows").value === 5L)
   }
 
+  test("q199 written-layout manifest: the V2-written store serves the key-grouped path") {
+    val df = SparkEntry.queries("q199_written_manifest")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // grouping on the clustering column: the scan declines agg pushdown by
+    // design and the key-grouped layout aggregates instead; the layout the
+    // WRITER produced must carry the partitioning metadata end-to-end
+    val scan = findScan(df, "graft_sharded")
+    assert(scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputRDD.getNumPartitions === 8, s"one partition per written shard\n$p")
+  }
+
+  test("q200 store count: pushed global CountStar ships one row per partition") {
+    val df = SparkEntry.queries("q200_store_count")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("pushedAgg=[groups= aggs=count_star()]"),
+      s"the count must reach the scan:\n$p")
+    val scan = findScan(df, "graft_sharded")
+    val nParts = scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputRDD.getNumPartitions
+    assert(scan.metrics("numOutputRows").value === nParts.toLong,
+      s"count path must emit exactly one row per partition ($nParts), " +
+        s"got ${scan.metrics("numOutputRows").value}")
+  }
+
+  test("q201 sorted pairs: the SMJ subtree is exchange-free AND sort-free") {
+    val df = SparkEntry.queries("q201_sorted_pairs")(spark, sf)
+    df.collect()
+    val nodes = allExecNodes(df.queryExecution.executedPlan)
+    val smj = nodes.find(_.getClass.getSimpleName == "SortMergeJoinExec")
+      .getOrElse(sys.error("q201 must plan a SortMergeJoin:\n" +
+        df.queryExecution.executedPlan.toString))
+    val below = allExecNodes(smj)
+    // the co-located join runs on the scans' reported partitioning AND
+    // reported ordering: no shuffle, no sort anywhere beneath it (the
+    // only exchange in the query carries per-token partials ABOVE it)
+    assert(!below.exists(_.getClass.getSimpleName.contains("Exchange")),
+      s"SMJ subtree must not shuffle:\n$smj")
+    assert(!below.exists(_.getClass.getSimpleName == "SortExec"),
+      s"SMJ subtree must not sort:\n$smj")
+  }
+
   test("entry flagship query produces rows and a non-degenerate plan") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)

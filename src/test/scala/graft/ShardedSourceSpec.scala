@@ -666,6 +666,52 @@ class ShardedSourceSpec extends SparkTestBase {
     assert(scanA.metrics("predicateSkippedRows").value === 100L - got)
   }
 
+  test("global count(*) takes the newline-count path and agrees with the parsed path") {
+    import org.apache.spark.sql.functions.{count, lit}
+    // adversarial fixture: empty lines, CRLF endings, no trailing newline,
+    // plus gz and zst parts — the count path must reproduce the parse
+    // loop's skip-empty-lines rule byte-for-byte on all of them
+    val dir = java.nio.file.Files.createTempDirectory("graft-cnt").toFile
+    val w0 = new java.io.FileWriter(new java.io.File(dir, "shard=0.csv"))
+    w0.write("1,1,a,1.0\n\n2,2,b,2.0\r\n\r\n3,3,c,3.0") // 3 rows, 2 empty, no trailing \n
+    w0.close()
+    val sub = new java.io.File(dir, "shard=1"); sub.mkdirs()
+    val gz = new java.io.PrintWriter(new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(new java.io.File(sub, "part-0.csv.gz"))))
+    (0 until 40).foreach(i => gz.println(s"${1 + 2 * i},${i}000,e,$i.5")) // shard 1: odd tokens
+    gz.close()
+    val zs = new java.io.PrintWriter(new com.github.luben.zstd.ZstdOutputStream(
+      new java.io.FileOutputStream(new java.io.File(sub, "part-1.csv.zst"))))
+    (0 until 25).foreach(i => zs.println(s"${1 + 2 * i},${i}000,z,$i.5"))
+    zs.close()
+
+    def run(): Long = spark.read.format("graft-sharded").load(dir.getAbsolutePath)
+      .agg(count(lit(1)).as("n")).collect()(0).getLong(0)
+    def runSplit(): Long = spark.read.format("graft-sharded")
+      .option("split", "always").option("splitBytes", "16").load(dir.getAbsolutePath)
+      .agg(count(lit(1)).as("n")).collect()(0).getLong(0)
+
+    assert(run() === 68L)
+    assert(runSplit() === 68L)
+    // bit-identical to the parsed path
+    System.setProperty("graft.sharded.countFastPath", "false")
+    try {
+      assert(run() === 68L)
+      assert(runSplit() === 68L)
+    } finally System.setProperty("graft.sharded.countFastPath", "true")
+    // a static shard predicate prunes files, count path still eligible
+    val one = spark.read.format("graft-sharded").load(dir.getAbsolutePath)
+      .where(org.apache.spark.sql.functions.col("shard") === 1)
+      .agg(count(lit(1)).as("n")).collect()(0).getLong(0)
+    assert(one === 65L)
+    // a ROW-level predicate disqualifies it (fields must be parsed) and
+    // results still agree
+    val filtered = spark.read.format("graft-sharded").load(dir.getAbsolutePath)
+      .where(org.apache.spark.sql.functions.col("name") === "e")
+      .agg(count(lit(1)).as("n")).collect()(0).getLong(0)
+    assert(filtered === 40L)
+  }
+
   test("oversized runtime IN-sets are ignored (advisory contract, bounded task payloads)") {
     import graft.sources.{ShardedScan, ShardedScanBuilder, ShardPartition, ShardedSignalSource}
     import org.apache.spark.sql.sources.In

@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming ingest into the sharded store (`writeStream.format
+  * ("graft-sharded")`): exactly-once across stop/restart, per-epoch
+  * clustered + sorted parts, epoch-replay idempotence via deterministic
+  * names + commit markers.
+  */
+class ShardedStreamWriteSpec extends SparkTestBase {
+
+  private val inSchema = StructType(Seq(
+    StructField("shard", IntegerType, nullable = false),
+    StructField("token_id", LongType, nullable = true),
+    StructField("ts_us", LongType, nullable = true),
+    StructField("name", StringType, nullable = true),
+    StructField("v", DoubleType, nullable = true)))
+
+  private def csvLine(shard: Int, tok: Long, ts: Long): String =
+    s"$shard,$tok,$ts,click,1.5"
+
+  private def writeInput(dir: Path, name: String, lines: Seq[String]): Unit =
+    Files.write(dir.resolve(name), lines.mkString("\n").getBytes("UTF-8"))
+
+  private def streamIn(inDir: Path): DataFrame =
+    spark.readStream.schema(inSchema)
+      .option("maxFilesPerTrigger", "1") // one micro-batch per arriving file
+      .csv(inDir.toString)
+      // nullability erasure for the store's non-null shard contract
+      .withColumn("shard", coalesce(col("shard"), lit(0)))
+
+  test("streaming append: exactly-once across restart, parts clustered and sorted per epoch") {
+    val root = Files.createTempDirectory("graft-streamwrite")
+    val inDir = Files.createDirectory(root.resolve("in"))
+    val store = root.resolve("store").toString
+    val ckpt = root.resolve("ckpt").toString
+
+    def start() = streamIn(inDir).writeStream
+      .format("graft-sharded")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start(store)
+
+    // phase 1: two micro-batches, then stop
+    writeInput(inDir, "f1.csv", (0 until 40).map(i => csvLine(i % 4, (i % 4) + 4L * i, 1000L * i)))
+    writeInput(inDir, "f2.csv", (0 until 30).map(i => csvLine(i % 4, (i % 4) + 4L * i, 900000L + 1000L * i)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    val afterPhase1 = spark.read.format("graft-sharded").load(store).count()
+    assert(afterPhase1 === 70)
+
+    // phase 2: another file arrives while the query is down; restart drains it
+    writeInput(inDir, "f3.csv", (0 until 25).map(i => csvLine(i % 4, (i % 4) + 4L * i, 1800000L + 1000L * i)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val df = spark.read.format("graft-sharded").load(store)
+    assert(df.count() === 95, "no duplicates, no losses across the restart")
+    assert(df.where("CAST(token_id % 4 AS INT) <> shard").count() === 0)
+
+    // every published part is clustered (one shard per file by location)
+    // and sorted by (token_id, ts_us) — the declared requirements applied
+    // per micro-batch — so the store remains sorted=true-readable
+    val viaSorted = spark.read.format("graft-sharded").option("sorted", "true")
+      .load(store).groupBy("token_id").agg(count(lit(1)).as("n"))
+    val viaPlain = spark.read.format("graft-sharded")
+      .load(store).groupBy("token_id").agg(count(lit(1)).as("n"))
+    assert(viaSorted.exceptAll(viaPlain).count() === 0)
+    assert(viaPlain.exceptAll(viaSorted).count() === 0)
+
+    // no staging residue; epoch markers exist
+    val rootFiles = new java.io.File(store).listFiles().map(_.getName)
+    assert(!rootFiles.exists(_.startsWith("_tmp-stream-")) ||
+      new java.io.File(store).listFiles().filter(_.getName.startsWith("_tmp-stream-"))
+        .forall(f => Option(f.listFiles()).forall(_.isEmpty)),
+      s"staging residue: ${rootFiles.mkString(", ")}")
+    assert(rootFiles.contains("_stream_commits"))
+  }
+
+  test("a replayed epoch publishes identical deterministic names (idempotent re-commit)") {
+    import graft.sources.{ShardedStreamingWrite, ShardedTaskCommit}
+    val store = Files.createTempDirectory("graft-replay").toFile.getAbsolutePath
+    val w = new ShardedStreamingWrite(store, inSchema, "none", "qid-1")
+    val fac = w.createStreamingWriterFactory(null)
+
+    def runEpoch(epochId: Long): graft.sources.ShardedTaskCommit = {
+      val dw = fac.createWriter(0, 7L, epochId)
+      val row = org.apache.spark.sql.catalyst.InternalRow(
+        3, 3L, 100L, org.apache.spark.unsafe.types.UTF8String.fromString("click"), 1.0)
+      dw.write(row)
+      dw.commit().asInstanceOf[graft.sources.ShardedTaskCommit]
+    }
+
+    val m1 = runEpoch(5L)
+    w.commit(5L, Array(m1))
+    val firstCount = spark.read.format("graft-sharded").load(store).count()
+    assert(firstCount === 1)
+
+    // Spark replays epoch 5 after a crash-before-ack: same names, marker
+    // short-circuits — still exactly one row
+    val m2 = runEpoch(5L)
+    assert(m2.files === m1.files, "replayed epoch must produce identical names")
+    w.commit(5L, Array(m2))
+    assert(spark.read.format("graft-sharded").load(store).count() === 1)
+  }
+}
