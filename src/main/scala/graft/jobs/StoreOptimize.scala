@@ -1,0 +1,226 @@
+package graft.jobs
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+
+import graft.sources.{LatestCollapseReader, PartStats, ShardRowPredicate, ShardedMergeReader, ShardedSignalSource}
+
+/** `OPTIMIZE TABLE` for the sharded signal store — the maintenance half of
+  * a MergeTree lifecycle (ClickHouse runs the same operation as background
+  * merges; the reference's table accumulates one part per insert batch,
+  * clickhouse.go:113-130 [ext], and relies on the server to merge them).
+  * Streaming ingest leaves one part per (epoch × shard): thousands of tiny
+  * sorted parts per shard after a week. Each read then pays a part-count
+  * K-way heap and per-file open/seek cost. This job K-way-MERGES every
+  * shard's sorted parts into ONE sorted part — no shuffle, no sort, no
+  * Spark exchange: the merge is the per-shard imperative unit MergeTree
+  * itself uses, parallelized one task per shard.
+  *
+  * Publish protocol (MVCC-lite, atomic under concurrent readers):
+  *
+  *   1. if the shard has no `_parts` manifest yet, write one listing the
+  *      current parts (atomic temp+rename) — readers flip from
+  *      listing-semantics to manifest-semantics with the SAME view;
+  *   2. write the merged part + its minmax sidecar as dot-files
+  *      (invisible), then rename to canonical names (visible to a plain
+  *      listing but NOT in the manifest — still invisible to readers);
+  *   3. FLIP: atomically rewrite the manifest to exactly the merged part;
+  *   4. GC: delete retired parts, their sidecars, and any unlisted
+  *      residue (e.g. from a previously crashed optimize).
+  *
+  * A crash between any two steps leaves readers on a consistent view (old
+  * parts before the flip, merged part after); re-running the job completes
+  * the GC. Batch and streaming writes committed AFTER an optimize register
+  * their new parts in the manifest (`WriterFiles.registerInManifests`), so
+  * ingest and maintenance interleave.
+  *
+  * `finalDedup = true` is `OPTIMIZE … FINAL` under the store's replacing
+  * semantics: the merge collapses each (token_id, name) to its newest
+  * `ts_us` row ([[LatestCollapseReader]] — winners re-emitted in ts order,
+  * so the merged part keeps the sort contract). After a FINAL optimize, a
+  * plain read of the store IS the `dedup=latest` snapshot.
+  *
+  * Flat `shard=K.csv` fixture files are left untouched (they are already
+  * one part and carry no manifest).
+  */
+object StoreOptimize {
+
+  /** One shard's outcome (rows = rows in the merged part). */
+  case class ShardResult(shard: Int, partsBefore: Int, rows: Long, mergedPart: String)
+
+  private case class OptTask(shard: Int, dir: String, parts: Seq[String],
+      codec: String, finalDedup: Boolean, gcOnly: Boolean)
+
+  /** Optimize every shard directory under `path`. Shards already at one
+    * part are skipped (unless `finalDedup` or `force`); shards with
+    * crashed-optimize residue get a GC pass either way. Returns one
+    * [[ShardResult]] per rewritten shard.
+    */
+  def optimize(spark: SparkSession, path: String, codec: String = "zstd",
+      finalDedup: Boolean = false, force: Boolean = false): Seq[ShardResult] = {
+    val root = new File(path)
+    val shardDirs = Option(root.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+      f.getName match {
+        case ShardedSignalSource.ShardDir(k) if f.isDirectory => Some(k.toInt -> f)
+        case _ => None
+      }
+    }.sortBy(_._1)
+
+    val tasks = shardDirs.flatMap { case (k, dir) =>
+      val parts = ShardedSignalSource.activeParts(dir)
+      if (parts.isEmpty) None
+      else if (parts.size > 1 || finalDedup || force)
+        Some(OptTask(k, dir.getAbsolutePath, parts.map(_.getName),
+          codec, finalDedup, gcOnly = false))
+      else if (unlistedResidue(dir, parts).nonEmpty)
+        Some(OptTask(k, dir.getAbsolutePath, parts.map(_.getName),
+          codec, finalDedup, gcOnly = true))
+      else None
+    }
+    if (tasks.isEmpty) return Seq.empty
+
+    // one task per shard: the same parallel unit the scan reads by — an
+    // executor merges its shard locally, nothing crosses the network
+    val results = spark.sparkContext
+      .parallelize(tasks, tasks.size)
+      .map(runTask)
+      .collect().toSeq
+    results.filter(_.rows >= 0).sortBy(_.shard)
+  }
+
+  /** Visible part files a reader following the manifest would NOT see. */
+  private def unlistedResidue(dir: File, active: Seq[File]): Seq[File] = {
+    if (!new File(dir, "_parts").isFile) return Seq.empty
+    val keep = active.map(_.getName).toSet
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(p => p.isFile && !p.getName.startsWith(".") && !p.getName.startsWith("_") &&
+        !keep.contains(p.getName))
+  }
+
+  private def atomicWrite(target: File, lines: Seq[String]): Unit = {
+    val tmp = new File(target.getParentFile,
+      s".${target.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val w = new java.io.FileOutputStream(tmp)
+    try w.write(lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    finally w.close()
+    if (!tmp.renameTo(target))
+      throw new IllegalStateException(s"store-optimize: cannot publish $target")
+  }
+
+  private def ext(codec: String): String = codec match {
+    case "gzip" => ".csv.gz"
+    case "zstd" => ".csv.zst"
+    case "none" => ".csv"
+    case other => throw new IllegalArgumentException(
+      s"store-optimize: unknown codec '$other' (none|gzip|zstd)")
+  }
+
+  private def runTask(t: OptTask): ShardResult = {
+    val dir = new File(t.dir)
+    val manifest = new File(dir, "_parts")
+
+    // step 1: flip to manifest semantics FIRST (same view), so every later
+    // step is invisible until the final atomic manifest rewrite
+    if (!manifest.isFile) atomicWrite(manifest, t.parts)
+
+    if (t.gcOnly) {
+      gcUnlisted(dir, t.parts.toSet)
+      return ShardResult(t.shard, t.parts.size, -1L, "")
+    }
+
+    val mergedName = s"part-opt-${java.util.UUID.randomUUID().toString.take(12)}${ext(t.codec)}"
+    val sidecarName = PartStats.sidecarName(mergedName)
+    val stagedPart = new File(dir, s".$mergedName.tmp")
+    val stagedSidecar = new File(dir, s".$sidecarName.tmp")
+
+    // step 2: merge-read the sorted parts (the MergeTree read) and stream
+    // the merged — still sorted — rows straight back out as one part,
+    // collecting its minmax sidecar on the way through
+    val schema = ShardedSignalSource.Schema
+    val merge = new ShardedMergeReader(
+      t.parts.map(n => new File(dir, n).getAbsolutePath),
+      t.shard, schema, ShardRowPredicate.Trivial)
+    val reader: org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+      if (t.finalDedup) new LatestCollapseReader(merge, schema, schema) else merge
+
+    val raw = new java.io.BufferedOutputStream(new java.io.FileOutputStream(stagedPart), 1 << 16)
+    val out: java.io.OutputStream = t.codec match {
+      case "gzip" => new java.util.zip.GZIPOutputStream(raw, 1 << 16)
+      case "zstd" => new com.github.luben.zstd.ZstdOutputStream(raw)
+      case _ => raw
+    }
+    var rows = 0L
+    var tokSeen = false; var tokMin = 0L; var tokMax = 0L
+    var tsSeen = false; var tsMin = 0L; var tsMax = 0L
+    var vSeen = false; var vMin = 0.0; var vMax = 0.0
+    val sb = new java.lang.StringBuilder(64)
+    try {
+      while (reader.next()) {
+        val r = reader.get()
+        sb.setLength(0)
+        if (!r.isNullAt(1)) { // token_id
+          val v = r.getLong(1); sb.append(v)
+          if (!tokSeen) { tokSeen = true; tokMin = v; tokMax = v }
+          else { if (v < tokMin) tokMin = v; if (v > tokMax) tokMax = v }
+        }
+        sb.append(',')
+        if (!r.isNullAt(2)) { // ts_us
+          val v = r.getLong(2); sb.append(v)
+          if (!tsSeen) { tsSeen = true; tsMin = v; tsMax = v }
+          else { if (v < tsMin) tsMin = v; if (v > tsMax) tsMax = v }
+        }
+        sb.append(',')
+        if (!r.isNullAt(3)) sb.append(r.getUTF8String(3).toString) // name: came from a part, already valid
+        sb.append(',')
+        if (!r.isNullAt(4)) { // v
+          val v = r.getDouble(4); sb.append(java.lang.Double.toString(v))
+          if (!vSeen) { vSeen = true; vMin = v; vMax = v }
+          else {
+            if (ShardRowPredicate.cmpD(v, vMin) < 0) vMin = v
+            if (ShardRowPredicate.cmpD(v, vMax) > 0) vMax = v
+          }
+        }
+        sb.append('\n')
+        out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+        rows += 1
+      }
+    } finally {
+      out.close()
+      reader.close()
+    }
+    PartStats.write(stagedSidecar, PartStats(rows,
+      if (tokSeen) Some(tokMin) else None, if (tokSeen) Some(tokMax) else None,
+      if (tsSeen) Some(tsMin) else None, if (tsSeen) Some(tsMax) else None,
+      if (vSeen) Some(vMin) else None, if (vSeen) Some(vMax) else None))
+
+    // rename staged → canonical (visible to a listing, absent from the
+    // manifest — manifest readers still see the old parts)
+    if (!stagedPart.renameTo(new File(dir, mergedName)) ||
+      !stagedSidecar.renameTo(new File(dir, sidecarName)))
+      throw new IllegalStateException(s"store-optimize: cannot finalize $mergedName in $dir")
+
+    // step 3: FLIP — one atomic rename swaps the shard's active set
+    atomicWrite(manifest, Seq(mergedName))
+
+    // step 4: GC the retired parts + any residue
+    gcUnlisted(dir, Set(mergedName))
+
+    ShardResult(t.shard, t.parts.size, rows, mergedName)
+  }
+
+  private def gcUnlisted(dir: File, keep: Set[String]): Unit =
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach { p =>
+      val n = p.getName
+      val isPart = p.isFile && !n.startsWith(".") && !n.startsWith("_")
+      val isSidecar = p.isFile && n.startsWith(".") && n.endsWith(".minmax")
+      if (isPart && !keep.contains(n)) p.delete()
+      else if (isSidecar) {
+        // `.X.minmax` belongs to part X
+        val owner = n.substring(1, n.length - ".minmax".length)
+        if (!keep.contains(owner)) p.delete()
+      }
+    }
+}

@@ -53,8 +53,33 @@ object ShardedSignalSource {
     StructField("name", StringType, nullable = true),
     StructField("v", DoubleType, nullable = true)))
 
-  private[sources] val ShardFile = """shard=(\d+)\.csv(?:\.gz|\.zst)?""".r
-  private[sources] val ShardDir = """shard=(\d+)""".r
+  private[graft] val ShardFile = """shard=(\d+)\.csv(?:\.gz|\.zst)?""".r
+  private[graft] val ShardDir = """shard=(\d+)""".r
+
+  /** The ACTIVE part files of one `shard=K/` directory, name-sorted: the
+    * `_parts` manifest's entries when one exists (StoreOptimize's
+    * MVCC-lite active set — unlisted files are retired or in-flight),
+    * else the plain listing (minus `.`/`_` entries). Shared by the scan
+    * and the maintenance job so both always agree on what the shard IS.
+    */
+  private[graft] def activeParts(dir: File): Seq[File] = {
+    val manifest = new File(dir, "_parts")
+    val parts: Seq[File] =
+      if (manifest.isFile) {
+        val src = scala.io.Source.fromFile(manifest, "UTF-8")
+        val names = try src.getLines().map(_.trim).filter(_.nonEmpty).toList finally src.close()
+        names.map { n =>
+          val pf = new File(dir, n)
+          if (!pf.isFile) throw new IllegalStateException(
+            s"graft-sharded: $manifest lists missing part '$n'")
+          pf
+        }
+      } else
+        Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(p => p.isFile && !p.getName.startsWith(".") && !p.getName.startsWith("_"))
+          .toSeq
+    parts.sortBy(_.getName)
+  }
 
   /** Within-shard byte-range split width (r7 verdict Next #1). */
   val DefaultSplitBytes: Long = 128L * 1024 * 1024
@@ -80,7 +105,8 @@ class ShardedTable(path: String) extends Table with SupportsRead with SupportsWr
     new ShardedScanBuilder(path,
       options.getOrDefault("split", "auto").toLowerCase,
       options.getLong("splitBytes", ShardedSignalSource.DefaultSplitBytes),
-      options.getBoolean("sorted", false))
+      options.getBoolean("sorted", false),
+      options.getOrDefault("dedup", "none").toLowerCase)
 }
 
 /** One pushed aggregate: `min`/`max` over a source column, or `count_star`. */
@@ -193,7 +219,7 @@ object ShardRowPredicate {
     * to itself; -0.0 equal to 0.0 (java.lang.Double.compare alone gets the
     * signed-zero case wrong for SQL).
     */
-  private[sources] def cmpD(a: Double, b: Double): Int =
+  private[graft] def cmpD(a: Double, b: Double): Int =
     java.lang.Double.compare(if (a == 0.0) 0.0 else a, if (b == 0.0) 0.0 else b)
 
   /** Literal round-trip guards (ADVICE r7): `compile` narrows with
@@ -301,11 +327,124 @@ object ShardRowPredicate {
   }
 }
 
+/** Per-part MIN/MAX statistics — the text store's form of MergeTree's
+  * minmax skip index. The store's own writer emits one sidecar per part
+  * file (`.<part>.minmax`, one CSV line `rows,tokMin,tokMax,tsMin,tsMax,
+  * vMin,vMax`, empty = no non-null values in the part), and the scan uses
+  * them to prune whole PART FILES against the pushed `token_id`/`ts_us`/
+  * `v` predicates and runtime token IN-sets before a byte is read — at
+  * 100 TB an incremental time-window query reads this week's parts, not
+  * the store. Parts without a sidecar (foreign layouts, hand-written
+  * fixtures) are never pruned; an unparsable sidecar likewise reads as
+  * "no stats" (conservative in the only safe direction).
+  *
+  * `v` extrema are recorded under Spark SQL's total order (NaN largest,
+  * -0.0 == 0.0, [[ShardRowPredicate.cmpD]]) — the same order the pushed
+  * `v` predicates evaluate under, so pruning and row filtering can never
+  * disagree. `Double.toString`/`toDouble` round-trip NaN and ±Infinity.
+  */
+case class PartStats(rows: Long,
+    tokMin: Option[Long], tokMax: Option[Long],
+    tsMin: Option[Long], tsMax: Option[Long],
+    vMin: Option[Double], vMax: Option[Double]) {
+
+  /** Could any row of a part with these stats satisfy `pred`? Exact w.r.t.
+    * the recorded dimensions, conservative elsewhere (name predicates are
+    * not covered by stats). `tokenBounds` carries the pre-computed
+    * (min, max, small-set) view of the effective token IN-set so callers
+    * don't rescan a large runtime set per file.
+    */
+  def mayMatch(pred: ShardRowPredicate, tokenBounds: Option[PartStats.TokenBounds]): Boolean = {
+    tokenBounds match {
+      case Some(tb) =>
+        if (tokMin.isEmpty) return false // IN rejects null
+        if (!tb.overlaps(tokMin.get, tokMax.get)) return false
+      case None =>
+        if (pred.notNull("token_id") && tokMin.isEmpty) return false
+    }
+    if (pred.tsMin.isDefined || pred.tsMax.isDefined) {
+      if (tsMin.isEmpty) return false // range preds reject null
+      pred.tsMin.foreach { case (b, inc) => if (if (inc) tsMax.get < b else tsMax.get <= b) return false }
+      pred.tsMax.foreach { case (b, inc) => if (if (inc) tsMin.get > b else tsMin.get >= b) return false }
+    } else if (pred.notNull("ts_us") && tsMin.isEmpty) return false
+    if (pred.vMin.isDefined || pred.vMax.isDefined) {
+      if (vMin.isEmpty) return false
+      pred.vMin.foreach { case (b, inc) =>
+        val c = ShardRowPredicate.cmpD(vMax.get, b); if (if (inc) c < 0 else c <= 0) return false }
+      pred.vMax.foreach { case (b, inc) =>
+        val c = ShardRowPredicate.cmpD(vMin.get, b); if (if (inc) c > 0 else c >= 0) return false }
+    } else if (pred.notNull("v") && vMin.isEmpty) return false
+    true
+  }
+}
+
+object PartStats {
+  /** Sidecar file name for a part file name (dot prefix keeps it invisible
+    * to part listings, which skip `.`/`_` entries).
+    */
+  def sidecarName(partName: String): String = s".$partName.minmax"
+
+  def sidecarFor(part: File): File = new File(part.getParentFile, sidecarName(part.getName))
+
+  /** Token IN-set view for file pruning: small sets check membership
+    * against each part's [min,max] exactly; large (runtime) sets fall back
+    * to a range-overlap test on the set's own extrema — conservative, and
+    * O(1) per file after one O(n) pass here.
+    */
+  final class TokenBounds(set: Set[Long]) {
+    private val small: Option[Set[Long]] = if (set.size <= 64) Some(set) else None
+    private val lo: Long = if (set.isEmpty) Long.MaxValue else set.min
+    private val hi: Long = if (set.isEmpty) Long.MinValue else set.max
+    def isEmpty: Boolean = set.isEmpty
+    def overlaps(pMin: Long, pMax: Long): Boolean = small match {
+      case Some(s) => s.exists(k => k >= pMin && k <= pMax)
+      case None => hi >= pMin && lo <= pMax
+    }
+  }
+
+  def serialize(s: PartStats): String = {
+    def l(o: Option[Long]) = o.map(_.toString).getOrElse("")
+    def d(o: Option[Double]) = o.map(java.lang.Double.toString).getOrElse("")
+    s"${s.rows},${l(s.tokMin)},${l(s.tokMax)},${l(s.tsMin)},${l(s.tsMax)},${d(s.vMin)},${d(s.vMax)}"
+  }
+
+  def deserialize(line: String): Option[PartStats] = try {
+    val p = line.trim.split(",", -1)
+    if (p.length != 7) return None
+    def l(i: Int) = if (p(i).isEmpty) None else Some(p(i).toLong)
+    def d(i: Int) = if (p(i).isEmpty) None else Some(p(i).toDouble)
+    Some(PartStats(p(0).toLong, l(1), l(2), l(3), l(4), d(5), d(6)))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Stats of a part file, if a parsable sidecar exists next to it. */
+  def read(part: File): Option[PartStats] = {
+    val sc = sidecarFor(part)
+    if (!sc.isFile) return None
+    try {
+      val src = scala.io.Source.fromFile(sc, "UTF-8")
+      try src.getLines().nextOption().flatMap(deserialize)
+      finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  def write(target: File, s: PartStats): Unit = {
+    val w = new java.io.FileOutputStream(target)
+    try w.write((serialize(s) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally w.close()
+  }
+}
+
 class ShardedScanBuilder(path: String, splitMode: String = "auto",
     splitBytes: Long = ShardedSignalSource.DefaultSplitBytes,
-    sorted: Boolean = false) extends ScanBuilder
+    sorted: Boolean = false, dedup: String = "none") extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownTopN with SupportsPushDownFilters with SupportsPushDownLimit {
+  require(dedup == "none" || dedup == "latest",
+    s"graft-sharded: unknown dedup mode '$dedup' (none|latest)")
+  require(dedup == "none" || sorted,
+    "graft-sharded: dedup=latest requires sorted=true (the collapse runs over the merged key order)")
+  private val dedupLatest = dedup == "latest"
+
   private var required: StructType = ShardedSignalSource.Schema
   private var pushedAgg: Option[ShardPushedAgg] = None
   private var topN: Int = -1
@@ -320,10 +459,25 @@ class ShardedScanBuilder(path: String, splitMode: String = "auto",
     * (limit-then-agg has different semantics; Spark won't offer it).
     */
   override def pushLimit(l: Int): Boolean =
-    if (pushedAgg.isEmpty && topN < 0) { limit = l; true } else false
+    if (pushedAgg.isEmpty && topN < 0 && !dedupLatest) { limit = l; true } else false
+
+  /** Under `dedup=latest` only predicates on the REPLACING KEY columns
+    * (shard, token_id, name) may push: they drop whole key groups, so
+    * filtering before or after the collapse is identical. A `ts_us` or `v`
+    * predicate filters VERSIONS — pushed it would resurrect older rows —
+    * so it stays a Spark-side residual over the collapsed snapshot, which
+    * is the relation the query addresses.
+    */
+  private def dedupSafe(f: Filter): Boolean = f match {
+    case EqualTo(c, _) => c == "shard" || c == "token_id" || c == "name"
+    case In(c, _) => c == "shard" || c == "token_id" || c == "name"
+    case IsNotNull(c) => c == "shard" || c == "token_id" || c == "name"
+    case _ => false
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (sup, unsup) = filters.partition(ShardRowPredicate.supported)
+    val (sup, unsup) = filters.partition(f =>
+      ShardRowPredicate.supported(f) && (!dedupLatest || dedupSafe(f)))
     pushedStatic = sup
     unsup // residual: Spark re-evaluates only what the scan did NOT consume
   }
@@ -345,6 +499,7 @@ class ShardedScanBuilder(path: String, splitMode: String = "auto",
       f.dataType == IntegerType || f.dataType == LongType || f.dataType == DoubleType)
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (dedupLatest) return false // agg over the snapshot runs Spark-side
     val groups = aggregation.groupByExpressions().toSeq.map(refName)
     if (groups.exists(_.isEmpty)) return false
     // When the grouping includes the clustering column, DECLINE: the
@@ -379,6 +534,7 @@ class ShardedScanBuilder(path: String, splitMode: String = "auto",
     * pushed aggregation (Spark plans the sort above the final agg then).
     */
   override def pushTopN(orders: Array[V2SortOrder], l: Int): Boolean = {
+    if (dedupLatest) return false // TopN over the snapshot runs Spark-side
     val onTs = pushedAgg.isEmpty && orders.length == 1 && (orders(0).expression() match {
       case nr: NamedReference => nr.fieldNames().length == 1 && nr.fieldNames()(0) == "ts_us"
       case _                  => false
@@ -395,14 +551,14 @@ class ShardedScanBuilder(path: String, splitMode: String = "auto",
     case Some(pa) => new ShardedScan(path, pa.outputSchema, Some(pa), pushedFilters = pushedStatic,
       splitMode = splitMode, splitBytes = splitBytes, sorted = sorted)
     case None     => new ShardedScan(path, required, None, topN, topNDesc, pushedStatic,
-      splitMode, splitBytes, limit, sorted)
+      splitMode, splitBytes, limit, sorted, dedupLatest)
   }
 }
 
 class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPushedAgg] = None,
     topN: Int = -1, topNDesc: Boolean = true, pushedFilters: Array[Filter] = Array.empty,
     splitMode: String = "auto", splitBytes: Long = ShardedSignalSource.DefaultSplitBytes,
-    limit: Int = -1, sorted: Boolean = false)
+    limit: Int = -1, sorted: Boolean = false, dedupLatest: Boolean = false)
     extends Scan with Batch with SupportsReportPartitioning with SupportsRuntimeFiltering
     with SupportsReportStatistics with SupportsReportOrdering {
 
@@ -429,6 +585,10 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
     * is exactly the weaker no-promise the report omits).
     */
   override def outputOrdering(): Array[V2SortOrder] = {
+    // dedup=latest keeps the report: the collapse emits each token's
+    // winners in ts order, so the snapshot stream is still (shard,
+    // token_id, ts_us) ASC NULLS FIRST — snapshot-to-snapshot merge joins
+    // plan with zero exchange and zero sort like raw sorted reads do
     if (pushedAgg.nonEmpty || topN >= 0 || !sorted) return Array.empty
     val out = readSchema().fieldNames
     val cols = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -463,11 +623,14 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
     * the pushed aggregate is PARTIAL by contract — per-split partials
     * merge in Spark's retained final agg exactly like per-shard partials.
     */
-  private lazy val doSplit: Boolean = splitMode match {
+  private lazy val doSplit: Boolean = (splitMode match {
     case "always" => true
     case "never"  => false
     case _        => !required.fieldNames.contains("shard")
-  }
+  }) && !dedupLatest
+  // dedup=latest overrides split: the collapse is only correct when ALL of
+  // a shard's parts merge in one partition (a key group split across byte
+  // ranges would emit two "latest" rows for one key)
 
   /** Static pushdown, split into its two tiers (see [[ShardRowPredicate]]). */
   private val (staticShards, rowPred) = ShardRowPredicate.compile(pushedFilters.toIndexedSeq)
@@ -522,7 +685,10 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
       (if (topN >= 0) s" topN=$topN ts_us ${if (topNDesc) "DESC" else "ASC"}" else "") +
       (if (limit >= 0) s" limit=$limit" else "") +
       (if (sorted) " sorted-merge" else "") +
-      (if (pushedFilters.nonEmpty) s" pushedFilters=[${pushedFilters.mkString(", ")}]" else "")
+      (if (dedupLatest) " dedup=latest" else "") +
+      (if (pushedFilters.nonEmpty) s" pushedFilters=[${pushedFilters.mkString(", ")}]" else "") +
+      { val _ = shardFiles // force planning-side pruning so the count is real
+        if (statsPrunedParts > 0) s" statsPrunedParts=$statsPrunedParts" else "" }
 
   /** Post-pushdown size estimate for the planner's join-side decisions
     * (`SupportsReportStatistics`): the BYTES OF THE FILES THE SCAN WILL
@@ -539,10 +705,18 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
     val rowBound: java.util.OptionalLong =
       if (topN >= 0) java.util.OptionalLong.of(2L * topN * plannedCount) // ≤2K per PLANNED split
       else if (limit >= 0) java.util.OptionalLong.of(limit.toLong * plannedCount)
-      else if (pushedAgg.isEmpty && rowPred.isTrivial)
-        // raw scan: true upper bound from the minimum valid line width —
-        // '1,1,a,1\n' is 8 bytes (ADVICE r7: /16 could UNDERcount by 2x)
-        java.util.OptionalLong.of(bytes / 8 + 1)
+      else if (pushedAgg.isEmpty && rowPred.isTrivial) {
+        // raw scan: parts with writer sidecars contribute their EXACT row
+        // count; parts without fall back to the minimum-valid-line-width
+        // upper bound ('1,1,a,1\n' is 8 bytes — ADVICE r7: /16 could
+        // UNDERcount by 2x). Fully-sidecarred stores report exact rows,
+        // the figure ClickHouse reads from part metadata.
+        var n = 0L
+        shardFiles.foreach(_._2.foreach { f =>
+          n += statsOf(f).map(_.rows).getOrElse(f.length() / 8 + 1)
+        })
+        java.util.OptionalLong.of(n)
+      }
       else java.util.OptionalLong.empty()
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
@@ -560,16 +734,33 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
     *     invariant `KeyGroupedPartitioning` declares, the same unit a
     *     MergeTree shard is (clickhouse.go:67-70 [ext]).
     */
+  /** Per-part sidecar stats, parsed at most once per scan (driver side). */
+  private val statsCache = scala.collection.mutable.HashMap.empty[String, Option[PartStats]]
+  private def statsOf(f: File): Option[PartStats] =
+    statsCache.getOrElseUpdate(f.getAbsolutePath, PartStats.read(f))
+
+  /** Do the pushed predicates constrain any stats-covered dimension? */
+  private def statsRelevant: Boolean =
+    rowPred.tokenIn.isDefined || rowPred.tsMin.isDefined || rowPred.tsMax.isDefined ||
+      rowPred.vMin.isDefined || rowPred.vMax.isDefined ||
+      rowPred.notNull.exists(c => c == "token_id" || c == "ts_us" || c == "v")
+
+  /** Parts dropped by minmax-sidecar pruning (observability: `description`). */
+  private var statsPrunedParts: Int = 0
+
   private lazy val shardFiles: Array[(Int, Seq[File])] = {
     val entries = Option(new File(path).listFiles()).getOrElse(Array.empty)
+    val tb = rowPred.tokenIn.map(new PartStats.TokenBounds(_))
     entries.flatMap { f =>
       f.getName match {
-        case ShardedSignalSource.ShardFile(k) if f.isFile => Some(k.toInt -> Seq(f))
+        case ShardedSignalSource.ShardFile(k) if f.isFile => Some(k.toInt -> (Seq(f): Seq[File]))
         case ShardedSignalSource.ShardDir(k) if f.isDirectory =>
-          val parts = Option(f.listFiles()).getOrElse(Array.empty)
-            .filter(p => p.isFile && !p.getName.startsWith(".") && !p.getName.startsWith("_"))
-            .sortBy(_.getName).toSeq
-          Some(k.toInt -> parts)
+          // `activeParts` honors the `_parts` manifest when present
+          // (StoreOptimize's MVCC-lite active set, kept current by the
+          // writer's commit): a merged part awaiting its manifest flip, or
+          // a retired part awaiting GC, is invisible — which is what makes
+          // OPTIMIZE atomic under concurrent reads
+          Some(k.toInt -> ShardedSignalSource.activeParts(f))
         case _ => None
       }
     }
@@ -577,7 +768,35 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
       // planned — the same file-level cut the runtime (DPP) path makes,
       // so stats, partitioning, and partition planning all see it
       .filter { case (k, _) => staticShards.forall(_.contains(k)) }
+      // …and one level down, part-level minmax sidecars prune individual
+      // PART FILES against the pushed token/ts/v predicates (MergeTree's
+      // minmax skip index): an incremental time-window query plans this
+      // week's parts, not the store. Parts without a (parsable) sidecar
+      // are never pruned — conservative in the only safe direction.
+      .map { case (k, fs) =>
+        if (statsRelevant) {
+          val kept = fs.filter(p => statsOf(p).forall(_.mayMatch(rowPred, tb)))
+          statsPrunedParts += fs.length - kept.length
+          k -> kept
+        } else k -> fs
+      }
+      .filter(_._2.nonEmpty)
       .sortBy(_._1)
+  }
+
+  /** Runtime-token file pruning (the static minmax cut, re-run when a
+    * join's build side hands the scan its token IN-set): parts whose
+    * recorded token range misses every runtime token are dropped from the
+    * re-planned partitions. Composes with file-level shard DPP.
+    */
+  private def runtimePruneFiles(fs: Seq[File]): Seq[File] = runtimeTokens match {
+    case None => fs
+    case Some(rt) =>
+      val eff = rowPred.tokenIn.map(_ intersect rt).getOrElse(rt)
+      val tb = new PartStats.TokenBounds(eff)
+      if (tb.isEmpty) Seq.empty // empty IN-set: no row can match
+      else fs.filter(p => statsOf(p).forall(s =>
+        s.tokMin.isDefined && tb.overlaps(s.tokMin.get, s.tokMax.get)))
   }
 
   /** Shards surviving BOTH static and runtime pruning. */
@@ -586,8 +805,8 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
 
   override def planInputPartitions(): Array[InputPartition] =
     if (doSplit)
-      liveShards.flatMap { case (shard, fs) =>
-        fs.flatMap { f =>
+      liveShards.flatMap { case (shard, fs0) =>
+        runtimePruneFiles(fs0).flatMap { f =>
           val len = f.length()
           // gzip parts are non-splittable (Hadoop's rule): whole-file range
           if (len <= splitBytes || ByteRangeLines.isCompressed(f.getName))
@@ -604,8 +823,10 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
         }
       }
     else
-      liveShards.map { case (shard, fs) =>
-        ShardPartition(fs.map(_.getAbsolutePath), shard, runtimeTokens): InputPartition
+      liveShards.flatMap { case (shard, fs0) =>
+        val fs = runtimePruneFiles(fs0)
+        if (fs.isEmpty) None // every part misses the runtime tokens
+        else Some(ShardPartition(fs.map(_.getAbsolutePath), shard, runtimeTokens): InputPartition)
       }
 
   /** Planned partition count (post static prune, pre runtime prune) — the
@@ -633,6 +854,7 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
 
   override def createReaderFactory(): PartitionReaderFactory = pushedAgg match {
     case Some(pa) => new ShardedAggReaderFactory(pa, rowPred, sorted)
+    case None if dedupLatest => new ShardedLatestReaderFactory(required, rowPred)
     case None if topN >= 0 => new ShardedTopNReaderFactory(required, topN, topNDesc, rowPred)
     case None if limit >= 0 => new ShardedLimitReaderFactory(required, limit, rowPred, sorted)
     case None => new ShardedReaderFactory(required, rowPred, sorted)
@@ -659,7 +881,7 @@ case class ShardSplitPartition(file: String, shard: Int, start: Long, end: Long,
     extends InputPartition
 
 /** Readers that can report how many rows pushed predicates dropped. */
-private[sources] trait CountsSkips {
+private[graft] trait CountsSkips {
   def skippedRows: Long
   def skipMetric: Array[CustomTaskMetric] =
     Array(PredicateSkippedRowsTaskMetric(skippedRows))
@@ -877,6 +1099,133 @@ class ShardedMergeReader(files: Seq[String], shard: Int, required: StructType,
     val it = heap.iterator()
     while (it.hasNext) it.next().r.close()
     heap.clear()
+  }
+}
+
+/** `dedup=latest` read: the current-state SNAPSHOT of the store — for
+  * every (token_id, name), the row with the newest `ts_us` — which is the
+  * ReplacingMergeTree pattern (replacing key = (key, name), version =
+  * timestamp) and the "latest signal value" read the reference serves per
+  * device. Runs over the sorted K-way merge: a token's rows arrive
+  * contiguously in ts ASC NULLS FIRST order (ties across parts resolve to
+  * the later part — newest ingest wins, deterministically), so the
+  * collapse is one streaming pass whose state is ONE token's name→row map
+  * (bounded by the signal-name vocabulary, never by history length). At
+  * 100 TB the snapshot read costs one ordered scan — no window function,
+  * no shuffle, no per-token history in memory.
+  */
+private[graft] object LatestCollapseReader {
+  /** The collapse needs the replacing key + version parsed even when the
+    * query projects them away: required ∪ {token_id, ts_us, name}, in
+    * store-schema field order.
+    */
+  def innerSchemaFor(required: StructType): StructType = {
+    val need = required.fieldNames.toSet ++ Set("token_id", "ts_us", "name")
+    StructType(ShardedSignalSource.Schema.fields.filter(f => need.contains(f.name)))
+  }
+}
+
+private[graft] class LatestCollapseReader(
+    inner: PartitionReader[InternalRow] with CountsSkips,
+    innerSchema: StructType, out: StructType)
+    extends PartitionReader[InternalRow] with CountsSkips {
+
+  private val tokIdx = innerSchema.fieldIndex("token_id")
+  private val nameIdx = innerSchema.fieldIndex("name")
+  private val tsIdx = innerSchema.fieldIndex("ts_us")
+  private val outIdx: Array[Int] = out.fieldNames.map(innerSchema.fieldIndex)
+  private val identityProj =
+    outIdx.length == innerSchema.length && outIdx.zipWithIndex.forall { case (a, b) => a == b }
+
+  private var curTokNull = false
+  private var curTok = 0L
+  // one token's latest row per name — the ONLY cross-row state
+  private val group = new java.util.LinkedHashMap[UTF8String, InternalRow]()
+  private var emit: java.util.Iterator[InternalRow] = java.util.Collections.emptyIterator()
+  private var exhausted = false
+  private var pendingRow: InternalRow = _ // first row of the NEXT token
+  private var current: InternalRow = _
+
+  private def project(r: InternalRow): InternalRow =
+    if (identityProj) r
+    else {
+      val vals = new Array[Any](outIdx.length)
+      var i = 0
+      while (i < outIdx.length) {
+        val src = outIdx(i)
+        vals(i) = if (r.isNullAt(src)) null else r.get(src, innerSchema.fields(src).dataType)
+        i += 1
+      }
+      InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+    }
+
+  private def put(r: InternalRow): Unit =
+    // ts ASC arrival order means a plain overwrite keeps the max-ts row;
+    // exact-ts ties fall to the later merge position (newer part)
+    group.put(if (r.isNullAt(nameIdx)) null else r.getUTF8String(nameIdx), r)
+
+  /** Read one token's rows, leave its winners in `emit`. */
+  private def fill(): Boolean = {
+    if (exhausted && pendingRow == null) return false
+    val first =
+      if (pendingRow != null) { val r = pendingRow; pendingRow = null; r }
+      else if (inner.next()) inner.get()
+      else { exhausted = true; return false }
+    curTokNull = first.isNullAt(tokIdx)
+    curTok = if (curTokNull) 0L else first.getLong(tokIdx)
+    group.clear()
+    put(first)
+    var done = false
+    while (!done) {
+      if (!inner.next()) { exhausted = true; done = true }
+      else {
+        val r = inner.get()
+        val tn = r.isNullAt(tokIdx)
+        val t = if (tn) 0L else r.getLong(tokIdx)
+        if (tn == curTokNull && (tn || t == curTok)) put(r)
+        else { pendingRow = r; done = true }
+      }
+    }
+    // emit winners in (ts_us ASC NULLS FIRST) order: the collapsed stream
+    // then keeps the store's (token_id, ts_us) sort contract — so the scan
+    // may still REPORT its ordering, and StoreOptimize's FINAL merge can
+    // write the collapsed stream straight back as a valid sorted part.
+    // ≤ |name vocabulary| rows per token — the sort is on the tiny side.
+    val winners = new java.util.ArrayList[InternalRow](group.values())
+    winners.sort(new java.util.Comparator[InternalRow] {
+      override def compare(a: InternalRow, b: InternalRow): Int = {
+        val an = a.isNullAt(tsIdx); val bn = b.isNullAt(tsIdx)
+        if (an && bn) 0
+        else if (an) -1
+        else if (bn) 1
+        else java.lang.Long.compare(a.getLong(tsIdx), b.getLong(tsIdx))
+      }
+    })
+    emit = winners.iterator()
+    true
+  }
+
+  override def next(): Boolean = {
+    while (!emit.hasNext) if (!fill()) return false
+    current = project(emit.next())
+    true
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = inner.close()
+  override def skippedRows: Long = inner.skippedRows
+  override def currentMetricsValues(): Array[CustomTaskMetric] = skipMetric
+}
+
+private[graft] class ShardedLatestReaderFactory(required: StructType,
+    pred: ShardRowPredicate = ShardRowPredicate.Trivial)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val innerSchema = LatestCollapseReader.innerSchemaFor(required)
+    // mergeSorted: the collapse REQUIRES the token-contiguous merged order,
+    // and the OrderAssertReader guard underneath fails loudly on layouts
+    // that lie about it
+    new LatestCollapseReader(ShardRows(partition, innerSchema, pred, mergeSorted = true),
+      innerSchema, required)
   }
 }
 
@@ -1148,6 +1497,16 @@ class ShardedAggReader(partition: InputPartition, pa: ShardPushedAgg,
   private def countPath(): Iterator[InternalRow] = {
     var n = 0L
     def countRange(file: String, s: Long, e: Long): Unit = {
+      // whole-file range with a writer sidecar: the count comes from part
+      // METADATA — zero data bytes read, exactly how ClickHouse answers
+      // `SELECT count()`. Sidecar rows == non-empty lines by the writer's
+      // contract (it never writes empty lines).
+      if (s == 0L && e == Long.MaxValue) {
+        PartStats.read(new File(file)) match {
+          case Some(st) => n += st.rows; return
+          case None => ()
+        }
+      }
       val br = new ByteRangeLines(file, s, e)
       try n += br.countNonEmpty() finally br.close()
     }

@@ -69,12 +69,14 @@ class ShardedWriteBuilder(path: String, info: LogicalWriteInfo)
       case other => throw new IllegalArgumentException(
         s"graft-sharded write: unknown codec '$other' (none|gzip|zstd)")
     }
-    new ShardedWrite(path, schema, doTruncate, codec, info.queryId())
+    val maxPartBytes = info.options().getLong("maxPartBytes", Long.MaxValue)
+    require(maxPartBytes > 0, s"graft-sharded write: maxPartBytes must be positive")
+    new ShardedWrite(path, schema, doTruncate, codec, info.queryId(), maxPartBytes)
   }
 }
 
 class ShardedWrite(path: String, schema: StructType, truncate: Boolean,
-    codec: String, queryId: String)
+    codec: String, queryId: String, maxPartBytes: Long = Long.MaxValue)
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -85,11 +87,11 @@ class ShardedWrite(path: String, schema: StructType, truncate: Boolean,
       Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
 
   override def toBatch: BatchWrite =
-    new ShardedBatchWrite(path, schema, truncate, codec, queryId)
+    new ShardedBatchWrite(path, schema, truncate, codec, queryId, maxPartBytes)
 
   override def toStreaming: StreamingWrite = {
     require(!truncate, "graft-sharded streaming write supports append output mode only")
-    new ShardedStreamingWrite(path, schema, codec, queryId)
+    new ShardedStreamingWrite(path, schema, codec, queryId, maxPartBytes)
   }
 
   override def description(): String = s"graft-sharded write $path (codec=$codec)"
@@ -99,6 +101,44 @@ private[sources] object WriterFiles {
   def deleteRec(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
     f.delete()
+  }
+
+  /** When a target shard dir keeps an active-parts manifest (`_parts`,
+    * created by StoreOptimize's MVCC-lite publish), a committing write must
+    * REGISTER its new parts there or they stay invisible to manifest-aware
+    * readers. Atomic rewrite (temp + rename); commits run single-threaded
+    * on the driver and the store's write contract is a single concurrent
+    * publisher (the LATEST-pointer discipline), so read-modify-rename is
+    * race-free. Idempotent for streaming epoch replays: already-listed
+    * names are not re-added. Sidecar (`.`-prefixed) entries never enter
+    * the manifest — they ride along with their part by name.
+    */
+  def registerInManifests(root: File, published: Seq[String]): Unit = {
+    val parts = published.filter { rel =>
+      val cut = rel.lastIndexOf('/')
+      cut >= 0 && {
+        val base = rel.substring(cut + 1)
+        !base.startsWith(".") && !base.startsWith("_")
+      }
+    }
+    parts.groupBy(rel => rel.substring(0, rel.lastIndexOf('/'))).foreach { case (dirRel, rels) =>
+      val dir = new File(root, dirRel)
+      val manifest = new File(dir, "_parts")
+      if (manifest.isFile) {
+        val src = scala.io.Source.fromFile(manifest, "UTF-8")
+        val existing = try src.getLines().map(_.trim).filter(_.nonEmpty).toVector finally src.close()
+        val add = rels.map(r => r.substring(r.lastIndexOf('/') + 1)).distinct
+          .filterNot(existing.contains)
+        if (add.nonEmpty) {
+          val tmp = new File(dir, s"._parts.tmp-${java.util.UUID.randomUUID()}")
+          val w = new java.io.FileOutputStream(tmp)
+          try w.write((existing ++ add).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+          finally w.close()
+          if (!tmp.renameTo(manifest))
+            throw new IllegalStateException(s"graft-sharded commit: cannot update $manifest")
+        }
+      }
+    }
   }
 }
 
@@ -123,7 +163,7 @@ private[sources] object WriterFiles {
   * epoch's files land clustered and MergeTree-key sorted like batch parts.
   */
 class ShardedStreamingWrite(path: String, schema: StructType, codec: String,
-    queryId: String) extends StreamingWrite {
+    queryId: String, maxPartBytes: Long = Long.MaxValue) extends StreamingWrite {
 
   private def stagingRoot = new File(path, s"_tmp-stream-$queryId")
   private def epochStaging(epochId: Long) = new File(stagingRoot, s"epoch-$epochId")
@@ -131,7 +171,7 @@ class ShardedStreamingWrite(path: String, schema: StructType, codec: String,
     new File(path, s"_stream_commits/$queryId/epoch-$epochId")
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    ShardedStreamingWriterFactory(stagingRoot.getAbsolutePath, schema, codec)
+    ShardedStreamingWriterFactory(stagingRoot.getAbsolutePath, schema, codec, maxPartBytes)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val root = new File(path)
@@ -149,6 +189,8 @@ class ShardedStreamingWrite(path: String, schema: StructType, codec: String,
             s"graft-sharded stream commit: cannot publish $src -> $dst")
       }
     }
+    WriterFiles.registerInManifests(root,
+      messages.toSeq.flatMap { case ShardedTaskCommit(files) => files })
     m.getParentFile.mkdirs()
     new java.io.FileOutputStream(m).close()
     WriterFiles.deleteRec(epochStaging(epochId))
@@ -160,23 +202,23 @@ class ShardedStreamingWrite(path: String, schema: StructType, codec: String,
 }
 
 case class ShardedStreamingWriterFactory(stagingRoot: String, schema: StructType,
-    codec: String) extends StreamingDataWriterFactory {
+    codec: String, maxPartBytes: Long = Long.MaxValue) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new ShardedDataWriter(s"$stagingRoot/epoch-$epochId", schema, codec, partitionId, taskId,
-      namePrefix = s"part-e$epochId", deterministicNames = true)
+      namePrefix = s"part-e$epochId", deterministicNames = true, maxPartBytes = maxPartBytes)
 }
 
 /** Files one task committed, relative to the staging dir. */
 case class ShardedTaskCommit(files: Seq[String]) extends WriterCommitMessage
 
 class ShardedBatchWrite(path: String, schema: StructType, truncate: Boolean,
-    codec: String, queryId: String) extends BatchWrite {
+    codec: String, queryId: String, maxPartBytes: Long = Long.MaxValue) extends BatchWrite {
 
   private def staging = new File(path, s"_tmp-write-$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     staging.mkdirs()
-    ShardedDataWriterFactory(staging.getAbsolutePath, schema, codec)
+    ShardedDataWriterFactory(staging.getAbsolutePath, schema, codec, maxPartBytes)
   }
 
   private def deleteRec(f: File): Unit = WriterFiles.deleteRec(f)
@@ -204,6 +246,8 @@ class ShardedBatchWrite(path: String, schema: StructType, truncate: Boolean,
           throw new IllegalStateException(s"graft-sharded commit: cannot publish $src -> $dst")
       }
     }
+    WriterFiles.registerInManifests(root,
+      messages.toSeq.flatMap { case ShardedTaskCommit(files) => files })
     deleteRec(staging)
     new java.io.FileOutputStream(new File(root, "_SUCCESS")).close()
   }
@@ -212,14 +256,16 @@ class ShardedBatchWrite(path: String, schema: StructType, truncate: Boolean,
 }
 
 case class ShardedDataWriterFactory(stagingDir: String, schema: StructType,
-    codec: String) extends DataWriterFactory {
+    codec: String, maxPartBytes: Long = Long.MaxValue) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ShardedDataWriter(stagingDir, schema, codec, partitionId, taskId)
+    new ShardedDataWriter(stagingDir, schema, codec, partitionId, taskId,
+      maxPartBytes = maxPartBytes)
 }
 
 class ShardedDataWriter(stagingDir: String, schema: StructType, codec: String,
     partitionId: Int, taskId: Long,
-    namePrefix: String = "part", deterministicNames: Boolean = false)
+    namePrefix: String = "part", deterministicNames: Boolean = false,
+    maxPartBytes: Long = Long.MaxValue)
     extends DataWriter[InternalRow] {
 
   private val shardIdx = schema.fieldIndex("shard")
@@ -234,6 +280,21 @@ class ShardedDataWriter(stagingDir: String, schema: StructType, codec: String,
   private val files = mutable.ArrayBuffer.empty[String]
   private val sb = new java.lang.StringBuilder(64)
 
+  // per-part MINMAX statistics (MergeTree's minmax index): collected as
+  // rows stream through, written as a `.<part>.minmax` sidecar when the
+  // part closes — the metadata the read side prunes part files with.
+  // `curRel` names the open part; `partBytes` (uncompressed line bytes)
+  // drives the size-based part roll (`maxPartBytes`), which is what makes
+  // a big shard a SET of key-range parts instead of one monolith — the
+  // token-range pruning dividend comes from rolling inside the sorted
+  // stream.
+  private var curRel: String = _
+  private var partRows = 0L
+  private var partBytes = 0L
+  private var tokSeen = false; private var tokMin = 0L; private var tokMax = 0L
+  private var tsSeen = false; private var tsMin = 0L; private var tsMax = 0L
+  private var vSeen = false; private var vMin = 0.0; private var vMax = 0.0
+
   private def ext: String = codec match {
     case "gzip" => ".csv.gz"
     case "zstd" => ".csv.zst"
@@ -242,8 +303,25 @@ class ShardedDataWriter(stagingDir: String, schema: StructType, codec: String,
 
   private def closeStream(): Unit = if (out != null) { out.close(); out = null }
 
-  private def open(shard: Int): Unit = {
+  /** Close the open part AND publish its minmax sidecar (registered in
+    * `files`, so the commit protocol moves/renames/aborts it exactly like
+    * its part).
+    */
+  private def finishPart(): Unit = if (out != null) {
     closeStream()
+    val cut = curRel.lastIndexOf('/')
+    val sidecarRel = curRel.substring(0, cut + 1) +
+      PartStats.sidecarName(curRel.substring(cut + 1))
+    val stats = PartStats(partRows,
+      if (tokSeen) Some(tokMin) else None, if (tokSeen) Some(tokMax) else None,
+      if (tsSeen) Some(tsMin) else None, if (tsSeen) Some(tsMax) else None,
+      if (vSeen) Some(vMin) else None, if (vSeen) Some(vMax) else None)
+    PartStats.write(new File(stagingDir, sidecarRel + attemptSuffix), stats)
+    files += sidecarRel
+  }
+
+  private def open(shard: Int): Unit = {
+    finishPart()
     // required ordering makes shards contiguous, so this rolls over once
     // per shard; a (misplanned) revisit still lands in a fresh part file.
     // Deterministic mode (streaming epochs) keys the published name by
@@ -264,6 +342,9 @@ class ShardedDataWriter(stagingDir: String, schema: StructType, codec: String,
     }
     files += rel
     curShard = shard
+    curRel = rel
+    partRows = 0L; partBytes = 0L
+    tokSeen = false; tsSeen = false; vSeen = false
   }
 
   private def attemptSuffix: String = if (deterministicNames) s".t$taskId" else ""
@@ -290,11 +371,36 @@ class ShardedDataWriter(stagingDir: String, schema: StructType, codec: String,
     sb.append(',')
     if (!row.isNullAt(vIdx)) sb.append(java.lang.Double.toString(row.getDouble(vIdx)))
     sb.append('\n')
-    out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+    val lineBytes = sb.toString.getBytes(StandardCharsets.UTF_8)
+    out.write(lineBytes)
+    // minmax bookkeeping + size-based roll
+    partRows += 1
+    partBytes += lineBytes.length
+    if (!row.isNullAt(tokIdx)) {
+      val t = row.getLong(tokIdx)
+      if (!tokSeen) { tokSeen = true; tokMin = t; tokMax = t }
+      else { if (t < tokMin) tokMin = t; if (t > tokMax) tokMax = t }
+    }
+    if (!row.isNullAt(tsIdx)) {
+      val t = row.getLong(tsIdx)
+      if (!tsSeen) { tsSeen = true; tsMin = t; tsMax = t }
+      else { if (t < tsMin) tsMin = t; if (t > tsMax) tsMax = t }
+    }
+    if (!row.isNullAt(vIdx)) {
+      val v = row.getDouble(vIdx)
+      // recorded under Spark SQL's total order (ShardRowPredicate.cmpD) so
+      // pruning can never disagree with pushed-predicate evaluation
+      if (!vSeen) { vSeen = true; vMin = v; vMax = v }
+      else {
+        if (ShardRowPredicate.cmpD(v, vMin) < 0) vMin = v
+        if (ShardRowPredicate.cmpD(v, vMax) > 0) vMax = v
+      }
+    }
+    if (partBytes >= maxPartBytes) finishPart() // next row opens a new part
   }
 
   override def commit(): WriterCommitMessage = {
-    closeStream()
+    finishPart()
     if (deterministicNames) files.foreach { rel =>
       val tmp = new File(stagingDir, rel + attemptSuffix)
       val dst = new File(stagingDir, rel)

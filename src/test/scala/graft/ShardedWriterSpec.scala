@@ -62,8 +62,12 @@ class ShardedWriterSpec extends SparkTestBase {
     // (token_id, ts_us); and the required distribution: each shard's
     // files all come from ONE task (one partitionId prefix per shard dir)
     (0 until 4).foreach { k =>
-      val parts = new java.io.File(root, s"shard=$k").listFiles().filter(_.isFile)
+      val all = new java.io.File(root, s"shard=$k").listFiles().filter(_.isFile)
+      val parts = all.filterNot(_.getName.startsWith("."))
       assert(parts.nonEmpty)
+      // every part carries its minmax sidecar (r8 stats)
+      parts.foreach(p => assert(all.exists(_.getName == s".${p.getName}.minmax"),
+        s"missing sidecar for ${p.getName}"))
       val pids = parts.map(_.getName.split("-")(1)).toSet
       assert(pids.size === 1, s"shard $k written by tasks $pids — not clustered")
       parts.foreach { f =>
@@ -118,7 +122,7 @@ class ShardedWriterSpec extends SparkTestBase {
       in.write.format("graft-sharded").option("codec", codec).mode("append").save(dir)
       val ext = if (codec == "gzip") ".csv.gz" else ".csv.zst"
       val parts = new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard="))
-        .flatMap(_.listFiles()).filter(_.isFile)
+        .flatMap(_.listFiles()).filter(f => f.isFile && !f.getName.startsWith("."))
       assert(parts.nonEmpty && parts.forall(_.getName.endsWith(ext)),
         parts.map(_.getName).mkString(", "))
       val got = readBack(dir)
