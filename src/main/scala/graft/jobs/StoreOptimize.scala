@@ -22,20 +22,35 @@ import graft.sources.{LatestCollapseReader, PartStats, ShardRowPredicate, Sharde
   * Publish protocol (MVCC-lite, atomic under concurrent readers):
   *
   *   1. if the shard has no `_parts` manifest yet, write one listing the
-  *      current parts (atomic temp+rename) — readers flip from
+  *      parts visible NOW (atomic temp+rename) — readers flip from
   *      listing-semantics to manifest-semantics with the SAME view;
   *   2. write the merged part + its minmax sidecar as dot-files
   *      (invisible), then rename to canonical names (visible to a plain
   *      listing but NOT in the manifest — still invisible to readers);
-  *   3. FLIP: atomically rewrite the manifest to exactly the merged part;
-  *   4. GC: delete retired parts, their sidecars, and any unlisted
-  *      residue (e.g. from a previously crashed optimize).
+  *   3. FLIP: read-modify-rename the manifest to
+  *      `merged part + (current entries − merged INPUT parts)` — a write
+  *      that committed while the merge ran keeps its registered parts
+  *      (ADVICE r8: a flip to exactly [merged] dropped them). The merged
+  *      part is PREPENDED: manifest order is ingest order (the
+  *      `dedup=latest` tie-break), and its content predates everything
+  *      registered mid-merge;
+  *   4. GC: delete exactly the merged input parts + their sidecars, plus
+  *      residue only a crashed optimize can have produced (`part-opt-*`
+  *      parts absent from the manifest, staged dot-tmp files). Foreign
+  *      unlisted parts are left alone — a batch/streaming commit publishes
+  *      files BEFORE registering them, so an unlisted part may be a commit
+  *      in flight.
   *
   * A crash between any two steps leaves readers on a consistent view (old
   * parts before the flip, merged part after); re-running the job completes
-  * the GC. Batch and streaming writes committed AFTER an optimize register
-  * their new parts in the manifest (`WriterFiles.registerInManifests`), so
-  * ingest and maintenance interleave.
+  * the GC. Batch and streaming writes committed at ANY point register
+  * their new parts in the manifest (`WriterFiles.registerInManifests`)
+  * and survive a concurrent optimize, so ingest and maintenance
+  * interleave. The remaining single-writer assumptions are (a) one
+  * OPTIMIZE at a time per store, and (b) the manifest read-modify-rename
+  * itself is not fenced against a register landing in the same instant —
+  * the store's documented single-concurrent-publisher discipline (the
+  * LATEST-pointer contract) covers both.
   *
   * `finalDedup = true` is `OPTIMIZE … FINAL` under the store's replacing
   * semantics: the merge collapses each (token_id, name) to its newest
@@ -91,13 +106,25 @@ object StoreOptimize {
     results.filter(_.rows >= 0).sortBy(_.shard)
   }
 
-  /** Visible part files a reader following the manifest would NOT see. */
+  /** Residue only a crashed OPTIMIZE can have produced: canonical
+    * `part-opt-*` files a manifest-following reader would not see (merged
+    * part renamed but never flipped in), their sidecars, and staged
+    * dot-tmp files. Foreign unlisted parts are NOT residue — they may be a
+    * concurrent commit between its publish and its manifest registration.
+    */
   private def unlistedResidue(dir: File, active: Seq[File]): Seq[File] = {
     if (!new File(dir, "_parts").isFile) return Seq.empty
     val keep = active.map(_.getName).toSet
-    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
-      .filter(p => p.isFile && !p.getName.startsWith(".") && !p.getName.startsWith("_") &&
-        !keep.contains(p.getName))
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq.filter { p =>
+      p.isFile && {
+        val n = p.getName
+        (n.startsWith("part-opt-") && !keep.contains(n)) ||
+          (n.startsWith(".") && n.endsWith(".minmax") &&
+            n.substring(1, n.length - ".minmax".length).startsWith("part-opt-") &&
+            !keep.contains(n.substring(1, n.length - ".minmax".length))) ||
+          (n.startsWith(".") && (n.endsWith(".tmp") || n.contains(".tmp-")))
+      }
+    }
   }
 
   private def atomicWrite(target: File, lines: Seq[String]): Unit = {
@@ -106,8 +133,7 @@ object StoreOptimize {
     val w = new java.io.FileOutputStream(tmp)
     try w.write(lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally w.close()
-    if (!tmp.renameTo(target))
-      throw new IllegalStateException(s"store-optimize: cannot publish $target")
+    graft.sources.WriterFiles.moveReplace(tmp, target)
   }
 
   private def ext(codec: String): String = codec match {
@@ -123,11 +149,15 @@ object StoreOptimize {
     val manifest = new File(dir, "_parts")
 
     // step 1: flip to manifest semantics FIRST (same view), so every later
-    // step is invisible until the final atomic manifest rewrite
-    if (!manifest.isFile) atomicWrite(manifest, t.parts)
+    // step is invisible until the final atomic manifest rewrite. The
+    // initial manifest lists the parts visible NOW (not the planning-time
+    // snapshot): a write committed between planning and this task must not
+    // be hidden by the flip to manifest semantics.
+    if (!manifest.isFile) atomicWrite(manifest,
+      graft.sources.ShardedSignalSource.activeParts(dir).map(_.getName))
 
     if (t.gcOnly) {
-      gcUnlisted(dir, t.parts.toSet)
+      gcResidue(dir, retired = Set.empty)
       return ShardResult(t.shard, t.parts.size, -1L, "")
     }
 
@@ -202,25 +232,51 @@ object StoreOptimize {
       !stagedSidecar.renameTo(new File(dir, sidecarName)))
       throw new IllegalStateException(s"store-optimize: cannot finalize $mergedName in $dir")
 
-    // step 3: FLIP — one atomic rename swaps the shard's active set
-    atomicWrite(manifest, Seq(mergedName))
-
-    // step 4: GC the retired parts + any residue
-    gcUnlisted(dir, Set(mergedName))
+    publishMerged(dir, t.parts, mergedName)
 
     ShardResult(t.shard, t.parts.size, rows, mergedName)
   }
 
-  private def gcUnlisted(dir: File, keep: Set[String]): Unit =
+  /** Steps 3–4 of the publish protocol (package-visible: the race with a
+    * concurrent commit is pinned by spec).
+    *
+    * FLIP — read-modify-rename: drop exactly the merged INPUT parts, keep
+    * anything a concurrent commit registered while the merge ran, prepend
+    * the merged part (ingest order — its content predates every mid-merge
+    * registration). Then GC the retired inputs + optimize-owned residue.
+    */
+  private[graft] def publishMerged(dir: File, inputParts: Seq[String], mergedName: String): Unit = {
+    val inputSet = inputParts.toSet
+    val current = graft.sources.WriterFiles.readManifest(dir).getOrElse(Seq.empty)
+    atomicWrite(new File(dir, "_parts"), mergedName +: current.filterNot(inputSet))
+    gcResidue(dir, retired = inputSet)
+  }
+
+  /** Delete exactly `retired` (the merged input parts) and their sidecars,
+    * plus residue only THIS job can have produced: `part-opt-*` parts
+    * absent from the manifest (a crashed optimize renamed its merged part
+    * to canonical but never flipped), their sidecars, and staged dot-tmps.
+    * Never touches foreign unlisted parts — they may be a concurrent
+    * batch/streaming commit between its file publish and its manifest
+    * registration (ADVICE r8: the old keep-set sweep deleted them).
+    */
+  private def gcResidue(dir: File, retired: Set[String]): Unit = {
+    val listed: Set[String] =
+      graft.sources.WriterFiles.readManifest(dir).map(_.toSet).getOrElse(Set.empty)
+    def dead(part: String): Boolean =
+      retired.contains(part) || (part.startsWith("part-opt-") && !listed.contains(part))
     Option(dir.listFiles()).getOrElse(Array.empty).foreach { p =>
       val n = p.getName
-      val isPart = p.isFile && !n.startsWith(".") && !n.startsWith("_")
-      val isSidecar = p.isFile && n.startsWith(".") && n.endsWith(".minmax")
-      if (isPart && !keep.contains(n)) p.delete()
-      else if (isSidecar) {
-        // `.X.minmax` belongs to part X
-        val owner = n.substring(1, n.length - ".minmax".length)
-        if (!keep.contains(owner)) p.delete()
+      if (p.isFile) {
+        if (!n.startsWith(".") && !n.startsWith("_")) {
+          if (dead(n)) p.delete()
+        } else if (n.startsWith(".") && n.endsWith(".minmax")) {
+          // `.X.minmax` belongs to part X
+          if (dead(n.substring(1, n.length - ".minmax".length))) p.delete()
+        } else if (n.startsWith(".") && (n.endsWith(".tmp") || n.contains(".tmp-"))) {
+          p.delete() // staged residue of a crashed optimize/manifest write
+        }
       }
     }
+  }
 }

@@ -143,6 +143,37 @@ object ShardedQueries {
     })
   }
 
+  /** events → V2-written store (small parts forced) → `OPTIMIZE … FINAL`
+    * (StoreOptimize: per-shard K-way merge + replacing collapse, MVCC-lite
+    * manifest publish) — materialized once per source fingerprint; the
+    * `_OPTIMIZED` stamp gates re-runs like `_SUCCESS` gates the writes.
+    */
+  private val optimizedDirs = scala.collection.mutable.Map.empty[String, String]
+
+  private def optimizedDir(s: SparkSession, d: String): String = synchronized {
+    optimizedDirs.getOrElseUpdate(d, {
+      val key = eventsFingerprint(d)
+      val dir = new File(s"/tmp/graft_sharded_opt/${new File(d).getName}_$key")
+      if (!new File(dir, "_OPTIMIZED").exists()) {
+        ev(s, d)
+          .select(
+            coalesce(pmod(col("user_id"), lit(NShards.toLong)).cast("int"), lit(0)).as("shard"),
+            col("user_id").as("token_id"),
+            expr("unix_micros(ts)").as("ts_us"),
+            col("event_type").as("name"),
+            round(col("value") * 100).cast(LongType).cast("double").as("v"))
+          .write.format("graft-sharded").option("codec", "zstd")
+          // force several parts per shard so the merge is real
+          .option("maxPartBytes", (1L << 20).toString)
+          .mode("overwrite").save(dir.getAbsolutePath)
+        graft.jobs.StoreOptimize.optimize(s, dir.getAbsolutePath,
+          codec = "zstd", finalDedup = true)
+        new java.io.FileOutputStream(new File(dir, "_OPTIMIZED")).close()
+      }
+      dir.getAbsolutePath
+    })
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // ── Per-token sync watermark through the sharded store: COUNT +
@@ -472,6 +503,29 @@ object ShardedQueries {
              FROM e p JOIN e c ON p.user_id = c.user_id
              WHERE p.event_type = 'purchase' AND c.event_type = 'click'
              GROUP BY 1""")
+    ),
+
+    // ── `OPTIMIZE TABLE … FINAL` as a declared row (r9): the maintenance
+    //    half of the MergeTree lifecycle the reference leans on (its table
+    //    accumulates one part per insert batch, clickhouse.go:113-130
+    //    [ext], and the SERVER merges them; ReplacingMergeTree's FINAL is
+    //    the "current state per device" read). The store is written
+    //    through the V2 writer with small parts forced, compacted by
+    //    StoreOptimize (per-shard K-way merge — no shuffle, no Spark sort —
+    //    with the replacing collapse inline), then a PLAIN read of the
+    //    compacted store must BE the latest-per-(token, signal) snapshot.
+    //    `v` is deliberately not emitted: an exact-(token, name, ts) tie
+    //    keeps newest-ingest's v — deterministic in the store but not
+    //    expressible to an engine that never saw ingest order. At 100 TB
+    //    the snapshot read after FINAL costs one sequential pass of one
+    //    part per shard; no query-time dedup at all.
+    QueryDef(
+      "q202_optimize_final",
+      (s, d) => s.read.format("graft-sharded").load(optimizedDir(s, d))
+        .select(col("token_id"), col("name"), col("ts_us").as("last_us")),
+      Some("""SELECT user_id AS token_id, event_type AS name,
+               CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us
+             FROM events GROUP BY 1, 2""")
     )
   )
 }

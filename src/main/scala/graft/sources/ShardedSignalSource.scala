@@ -3,6 +3,7 @@ package graft.sources
 import java.io.File
 import java.util.{Map => JMap}
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Expressions, NamedReference, NullOrdering, SortDirection, Transform, SortOrder => V2SortOrder}
@@ -56,41 +57,109 @@ object ShardedSignalSource {
   private[graft] val ShardFile = """shard=(\d+)\.csv(?:\.gz|\.zst)?""".r
   private[graft] val ShardDir = """shard=(\d+)""".r
 
-  /** The ACTIVE part files of one `shard=K/` directory, name-sorted: the
-    * `_parts` manifest's entries when one exists (StoreOptimize's
-    * MVCC-lite active set — unlisted files are retired or in-flight),
-    * else the plain listing (minus `.`/`_` entries). Shared by the scan
-    * and the maintenance job so both always agree on what the shard IS.
+  /** The ACTIVE part files of one `shard=K/` directory, in INGEST order —
+    * the order `dedup=latest`'s exact-tie break ("later part wins") reads
+    * as newest-ingest-wins:
+    *
+    *   - with a `_parts` manifest (StoreOptimize's MVCC-lite active set —
+    *     unlisted files are retired or in-flight), MANIFEST ORDER is the
+    *     part order: commits append their parts in commit order, and
+    *     StoreOptimize PREPENDS its merged part (whose content predates
+    *     everything registered while the merge ran);
+    *   - without one, the plain listing (minus `.`/`_` entries) in NATURAL
+    *     name order — digit runs compare numerically, so `part-e9-…`
+    *     precedes `part-e10-…` (ADVICE r8: lexicographic order inverted
+    *     epoch order at e9→e10, baking the OLDER epoch's row into exact-ts
+    *     ties and FINAL optimizes).
+    *
+    * Shared by the scan and the maintenance job so both always agree on
+    * what the shard IS.
     */
   private[graft] def activeParts(dir: File): Seq[File] = {
     val manifest = new File(dir, "_parts")
-    val parts: Seq[File] =
-      if (manifest.isFile) {
-        val src = scala.io.Source.fromFile(manifest, "UTF-8")
-        val names = try src.getLines().map(_.trim).filter(_.nonEmpty).toList finally src.close()
-        names.map { n =>
-          val pf = new File(dir, n)
-          if (!pf.isFile) throw new IllegalStateException(
-            s"graft-sharded: $manifest lists missing part '$n'")
-          pf
+    if (manifest.isFile) {
+      val src = scala.io.Source.fromFile(manifest, "UTF-8")
+      val names = try src.getLines().map(_.trim).filter(_.nonEmpty).toList finally src.close()
+      names.map { n =>
+        val pf = new File(dir, n)
+        if (!pf.isFile) throw new IllegalStateException(
+          s"graft-sharded: $manifest lists missing part '$n'")
+        pf
+      }
+    } else
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(p => p.isFile && !p.getName.startsWith(".") && !p.getName.startsWith("_"))
+        .toSeq
+        .sortBy(_.getName)(naturalNameOrder)
+  }
+
+  /** Numeric-aware (natural) total order on part names: maximal digit runs
+    * compare as integers (ignoring leading zeros), everything else as
+    * characters; fully-equal-up-to-zero-padding names fall back to plain
+    * string order so the relation stays antisymmetric.
+    */
+  private[graft] val naturalNameOrder: Ordering[String] = new Ordering[String] {
+    override def compare(a: String, b: String): Int = {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.charAt(i); val cb = b.charAt(j)
+        if (ca >= '0' && ca <= '9' && cb >= '0' && cb <= '9') {
+          var i2 = i; while (i2 < a.length && a.charAt(i2) >= '0' && a.charAt(i2) <= '9') i2 += 1
+          var j2 = j; while (j2 < b.length && b.charAt(j2) >= '0' && b.charAt(j2) <= '9') j2 += 1
+          var i0 = i; while (i0 < i2 - 1 && a.charAt(i0) == '0') i0 += 1
+          var j0 = j; while (j0 < j2 - 1 && b.charAt(j0) == '0') j0 += 1
+          if ((i2 - i0) != (j2 - j0)) return (i2 - i0) - (j2 - j0)
+          var k = 0
+          while (k < i2 - i0) {
+            val c = a.charAt(i0 + k) - b.charAt(j0 + k)
+            if (c != 0) return c
+            k += 1
+          }
+          i = i2; j = j2
+        } else {
+          if (ca != cb) return ca - cb
+          i += 1; j += 1
         }
-      } else
-        Option(dir.listFiles()).getOrElse(Array.empty)
-          .filter(p => p.isFile && !p.getName.startsWith(".") && !p.getName.startsWith("_"))
-          .toSeq
-    parts.sortBy(_.getName)
+      }
+      if ((a.length - i) != (b.length - j)) (a.length - i) - (b.length - j)
+      else a.compareTo(b)
+    }
   }
 
   /** Within-shard byte-range split width (r7 verdict Next #1). */
   val DefaultSplitBytes: Long = 128L * 1024 * 1024
 
   /** Runtime-filter IN-set cap: `SupportsRuntimeFiltering` filters are
-    * ADVISORY, and the token set rides inside every serialized input
-    * partition — a pathological build side (millions of tokens) must not
-    * bloat task launch. Beyond the cap the scan stays unfiltered and the
-    * join above still applies the predicate exactly.
+    * ADVISORY — beyond the cap the scan stays unfiltered and the join
+    * above still applies the predicate exactly. The cap bounds the
+    * DRIVER-side set (planning-time file pruning) and the one broadcast
+    * payload; per-partition task-launch cost is bounded separately by
+    * [[InlineRuntimeTokens]] (ADVICE r8: the set used to embed in every
+    * planned partition, multiplying by the split count).
     */
   val MaxRuntimeInSet: Int = 1 << 20
+
+  /** Largest runtime IN-set a planned partition EMBEDS (sorted Array[Long],
+    * ≤32 KB serialized). Larger sets ship once per scan as a broadcast
+    * variable and partitions carry only the handle — with byte-range
+    * splitting a 100 TB store plans thousands of partitions, and
+    * set-size × partition-count must not be the task-launch payload.
+    */
+  val InlineRuntimeTokens: Int = 4096
+}
+
+/** Serialization-bounded carrier of a runtime token IN-set inside planned
+  * input partitions: inline for small sets, broadcast handle for large.
+  * `sorted` is ascending and duplicate-free; readers membership-test via
+  * binary search ([[ShardRowPredicate.tokenSorted]]).
+  */
+private[graft] sealed trait RuntimeTokens extends Serializable {
+  def sorted: Array[Long]
+}
+private[graft] case class InlineTokens(sorted: Array[Long]) extends RuntimeTokens
+private[graft] case class BroadcastTokens(
+    bc: org.apache.spark.broadcast.Broadcast[Array[Long]]) extends RuntimeTokens {
+  override def sorted: Array[Long] = bc.value
 }
 
 class ShardedTable(path: String) extends Table with SupportsRead with SupportsWrite {
@@ -168,14 +237,18 @@ case class ShardRowPredicate(
     tsMax: Option[(Long, Boolean)],
     notNull: Set[String],
     vMin: Option[(Double, Boolean)] = None,
-    vMax: Option[(Double, Boolean)] = None) {
+    vMax: Option[(Double, Boolean)] = None,
+    // large RUNTIME token IN-set, sorted for binary search — arrives via a
+    // partition's [[RuntimeTokens]] carrier (broadcast-backed, shared
+    // per-executor), never from static pushdown
+    tokenSorted: Option[Array[Long]] = None) {
 
   def isTrivial: Boolean =
     tokenIn.isEmpty && nameIn.isEmpty && tsMin.isEmpty && tsMax.isEmpty &&
-      vMin.isEmpty && vMax.isEmpty && notNull.isEmpty
+      vMin.isEmpty && vMax.isEmpty && notNull.isEmpty && tokenSorted.isEmpty
 
   // which raw fields the row loop must parse even when pruned away
-  def needsToken: Boolean = tokenIn.isDefined || notNull("token_id")
+  def needsToken: Boolean = tokenIn.isDefined || tokenSorted.isDefined || notNull("token_id")
   def needsTs: Boolean = tsMin.isDefined || tsMax.isDefined || notNull("ts_us")
   def needsName: Boolean = nameIn.isDefined
   def needsV: Boolean = vMin.isDefined || vMax.isDefined || notNull("v")
@@ -189,6 +262,9 @@ case class ShardRowPredicate(
   def accept(token: java.lang.Long, ts: java.lang.Long, name: UTF8String, v: java.lang.Double): Boolean = {
     if (tokenIn.isDefined) {
       if (token == null || !tokenIn.get.contains(token.longValue())) return false
+    } else if (tokenSorted.isDefined) {
+      if (token == null ||
+        java.util.Arrays.binarySearch(tokenSorted.get, token.longValue()) < 0) return false
     } else if (notNull("token_id") && token == null) return false
     if (tsMin.isDefined || tsMax.isDefined) {
       if (ts == null) return false
@@ -803,7 +879,23 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
   private def liveShards: Array[(Int, Seq[File])] =
     shardFiles.filter { case (shard, _) => runtimeShards.forall(_.contains(shard)) }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  /** The serialization-bounded form of the runtime token set partitions
+    * carry (ADVICE r8): small sets inline as a sorted array; larger sets
+    * broadcast ONCE and every partition ships only the handle — never
+    * set-size × partition-count. Built once per plan call.
+    */
+  private def runtimeCarrier(): Option[RuntimeTokens] = runtimeTokens.map { s =>
+    val arr = s.toArray
+    java.util.Arrays.sort(arr)
+    if (arr.length <= ShardedSignalSource.InlineRuntimeTokens) InlineTokens(arr)
+    else SparkSession.getActiveSession match {
+      case Some(ss) => BroadcastTokens(ss.sparkContext.broadcast(arr))
+      case None => InlineTokens(arr) // no session (bare tests): inline
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val carrier = runtimeCarrier()
     if (doSplit)
       liveShards.flatMap { case (shard, fs0) =>
         runtimePruneFiles(fs0).flatMap { f =>
@@ -811,13 +903,13 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
           // gzip parts are non-splittable (Hadoop's rule): whole-file range
           if (len <= splitBytes || ByteRangeLines.isCompressed(f.getName))
             Seq(ShardSplitPartition(f.getAbsolutePath, shard, 0L, Long.MaxValue,
-              runtimeTokens): InputPartition)
+              carrier): InputPartition)
           else {
             val n = ((len + splitBytes - 1) / splitBytes).toInt
             (0 until n).map { i =>
               val start = i * splitBytes
               ShardSplitPartition(f.getAbsolutePath, shard, start,
-                math.min(start + splitBytes, len), runtimeTokens): InputPartition
+                math.min(start + splitBytes, len), carrier): InputPartition
             }
           }
         }
@@ -826,8 +918,9 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
       liveShards.flatMap { case (shard, fs0) =>
         val fs = runtimePruneFiles(fs0)
         if (fs.isEmpty) None // every part misses the runtime tokens
-        else Some(ShardPartition(fs.map(_.getAbsolutePath), shard, runtimeTokens): InputPartition)
+        else Some(ShardPartition(fs.map(_.getAbsolutePath), shard, carrier): InputPartition)
       }
+  }
 
   /** Planned partition count (post static prune, pre runtime prune) — the
     * figure stats row bounds and `UnknownPartitioning` report.
@@ -868,7 +961,7 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
 }
 
 case class ShardPartition(files: Seq[String], shard: Int,
-    tokenIn: Option[Set[Long]] = None) extends InputPartition with HasPartitionKey {
+    tokens: Option[RuntimeTokens] = None) extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(shard)
 }
 
@@ -877,7 +970,7 @@ case class ShardPartition(files: Seq[String], shard: Int,
   * contract, and the scan reports `UnknownPartitioning` for them.
   */
 case class ShardSplitPartition(file: String, shard: Int, start: Long, end: Long,
-    tokenIn: Option[Set[Long]] = None)
+    tokens: Option[RuntimeTokens] = None)
     extends InputPartition
 
 /** Readers that can report how many rows pushed predicates dropped. */
@@ -924,19 +1017,25 @@ private[sources] object ShardRows {
       // (the MergeTree read) — required whenever the scan REPORTS an
       // ordering on token_id, which it only does with token_id in the
       // output schema
-      new ShardedMergeReader(p.files, p.shard, schema, withTokens(pred, p.tokenIn))
+      new ShardedMergeReader(p.files, p.shard, schema, withTokens(pred, p.tokens))
     case p: ShardPartition =>
-      new ShardedShardReader(p.files, p.shard, schema, withTokens(pred, p.tokenIn))
+      new ShardedShardReader(p.files, p.shard, schema, withTokens(pred, p.tokens))
     case p: ShardSplitPartition =>
-      new ShardedPartitionReader(p.file, p.shard, schema, withTokens(pred, p.tokenIn),
+      new ShardedPartitionReader(p.file, p.shard, schema, withTokens(pred, p.tokens),
         p.start, p.end)
   }
 
-  private def withTokens(pred: ShardRowPredicate, rt: Option[Set[Long]]): ShardRowPredicate =
+  private def withTokens(pred: ShardRowPredicate, rt: Option[RuntimeTokens]): ShardRowPredicate =
     rt match {
       case None => pred
-      case Some(s) =>
-        pred.copy(tokenIn = Some(pred.tokenIn.map(_ intersect s).getOrElse(s)))
+      case Some(c) =>
+        val arr = c.sorted // broadcast-backed: one array per executor, zero copy here
+        pred.tokenIn match {
+          case Some(st) => // static set is small: intersect down, stay on the Set path
+            pred.copy(tokenIn =
+              Some(st.filter(t => java.util.Arrays.binarySearch(arr, t) >= 0)))
+          case None => pred.copy(tokenSorted = Some(arr))
+        }
     }
 }
 
@@ -1489,8 +1588,8 @@ class ShardedAggReader(partition: InputPartition, pa: ShardPushedAgg,
   private def countOnlyEligible: Boolean =
     pred.isTrivial && pa.groupCols.isEmpty &&
       pa.aggs.nonEmpty && pa.aggs.forall(_.op == "count_star") && (partition match {
-        case p: ShardPartition => p.tokenIn.isEmpty
-        case p: ShardSplitPartition => p.tokenIn.isEmpty
+        case p: ShardPartition => p.tokens.isEmpty
+        case p: ShardSplitPartition => p.tokens.isEmpty
         case _ => false
       })
 

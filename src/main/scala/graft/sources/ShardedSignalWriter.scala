@@ -97,10 +97,27 @@ class ShardedWrite(path: String, schema: StructType, truncate: Boolean,
   override def description(): String = s"graft-sharded write $path (codec=$codec)"
 }
 
-private[sources] object WriterFiles {
+private[graft] object WriterFiles {
   def deleteRec(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
     f.delete()
+  }
+
+  /** Publish rename: an atomic move that OVERWRITES an existing
+    * destination. POSIX rename() already does, but `File.renameTo` returns
+    * false on rename-to-existing on some filesystems (ADVICE r8), which
+    * would turn an idempotent streaming republish into a spurious failure —
+    * `Files.move(REPLACE_EXISTING)` makes the overwrite contract explicit
+    * and portable. Throws on genuine failure (missing source, permissions).
+    */
+  def moveReplace(src: File, dst: File): Unit = {
+    import java.nio.file.{Files => NioFiles, StandardCopyOption}
+    try NioFiles.move(src.toPath, dst.toPath,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        NioFiles.move(src.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** When a target shard dir keeps an active-parts manifest (`_parts`,
@@ -129,17 +146,38 @@ private[sources] object WriterFiles {
         val existing = try src.getLines().map(_.trim).filter(_.nonEmpty).toVector finally src.close()
         val add = rels.map(r => r.substring(r.lastIndexOf('/') + 1)).distinct
           .filterNot(existing.contains)
-        if (add.nonEmpty) {
-          val tmp = new File(dir, s"._parts.tmp-${java.util.UUID.randomUUID()}")
-          val w = new java.io.FileOutputStream(tmp)
-          try w.write((existing ++ add).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-          finally w.close()
-          if (!tmp.renameTo(manifest))
-            throw new IllegalStateException(s"graft-sharded commit: cannot update $manifest")
-        }
+        if (add.nonEmpty) writeManifest(dir, existing ++ add)
       }
     }
   }
+
+  /** Atomic (temp + rename) rewrite of a shard dir's `_parts` manifest. */
+  def writeManifest(dir: File, names: Seq[String]): Unit = {
+    val tmp = new File(dir, s"._parts.tmp-${java.util.UUID.randomUUID()}")
+    val w = new java.io.FileOutputStream(tmp)
+    try w.write(names.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    finally w.close()
+    moveReplace(tmp, new File(dir, "_parts"))
+  }
+
+  def readManifest(dir: File): Option[Seq[String]] = {
+    val manifest = new File(dir, "_parts")
+    if (!manifest.isFile) None
+    else {
+      val src = scala.io.Source.fromFile(manifest, "UTF-8")
+      Some(try src.getLines().map(_.trim).filter(_.nonEmpty).toVector finally src.close())
+    }
+  }
+
+  /** Drop `names` from a shard dir's manifest, if one exists (replay
+    * reconciliation: a swept orphan may have been registered by the
+    * crashed first attempt of its epoch).
+    */
+  def unregisterFromManifest(dir: File, names: Set[String]): Unit =
+    readManifest(dir).foreach { existing =>
+      val kept = existing.filterNot(names)
+      if (kept.length != existing.length) writeManifest(dir, kept)
+    }
 }
 
 /** STREAMING ingest into the store — the reference's continuous sync loop
@@ -177,6 +215,15 @@ class ShardedStreamingWrite(path: String, schema: StructType, codec: String,
     val root = new File(path)
     val m = marker(epochId)
     if (m.exists()) { WriterFiles.deleteRec(epochStaging(epochId)); return }
+    val named = messages.toSeq.flatMap { case ShardedTaskCommit(files) => files }
+    // replay reconciliation FIRST (ADVICE r8): a crash between file publish
+    // and the marker, replayed under a DIFFERENT partitioning (AQE sizing /
+    // cluster resize changes partition ids), republishes this epoch under
+    // names the first attempt never used — sweep the first attempt's
+    // already-published epoch files that this commit does not name, and
+    // unregister them from any `_parts` manifests the crashed attempt
+    // reached. Same-name files are simply overwritten below.
+    sweepEpochOrphans(root, epochId, named.toSet)
     messages.foreach { case ShardedTaskCommit(files) =>
       files.foreach { rel =>
         val src = new File(epochStaging(epochId), rel)
@@ -184,17 +231,46 @@ class ShardedStreamingWrite(path: String, schema: StructType, codec: String,
         dst.getParentFile.mkdirs()
         // deterministic names make republish an overwrite; a src already
         // consumed by a pre-crash publish of this same epoch is fine
-        if (!src.renameTo(dst) && !(dst.exists() && !src.exists()))
+        if (src.exists()) WriterFiles.moveReplace(src, dst)
+        else if (!dst.exists())
           throw new IllegalStateException(
             s"graft-sharded stream commit: cannot publish $src -> $dst")
       }
     }
-    WriterFiles.registerInManifests(root,
-      messages.toSeq.flatMap { case ShardedTaskCommit(files) => files })
+    WriterFiles.registerInManifests(root, named)
     m.getParentFile.mkdirs()
     new java.io.FileOutputStream(m).close()
     WriterFiles.deleteRec(epochStaging(epochId))
     new java.io.FileOutputStream(new File(root, "_SUCCESS")).close()
+  }
+
+  /** Delete every published part/sidecar of `epochId` (name prefix
+    * `part-e<N>-`) that `keep` does not name, per shard directory.
+    */
+  private def sweepEpochOrphans(root: File, epochId: Long, keep: Set[String]): Unit = {
+    val prefix = s"part-e$epochId-"
+    Option(root.listFiles()).getOrElse(Array.empty).foreach { d =>
+      d.getName match {
+        case ShardedSignalSource.ShardDir(_) if d.isDirectory =>
+          val keepHere: Set[String] = keep.collect {
+            case rel if rel.startsWith(d.getName + "/") =>
+              rel.substring(d.getName.length + 1)
+          }
+          val dropped = Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+            val n = f.getName
+            // `.X.minmax` sidecars follow their owner part X
+            val owner =
+              if (n.startsWith(".") && n.endsWith(".minmax"))
+                n.substring(1, n.length - ".minmax".length)
+              else n
+            if (f.isFile && owner.startsWith(prefix) && !keepHere.contains(owner)) {
+              f.delete(); Some(owner)
+            } else None
+          }.toSet
+          if (dropped.nonEmpty) WriterFiles.unregisterFromManifest(d, dropped)
+        case _ => ()
+      }
+    }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -242,8 +318,7 @@ class ShardedBatchWrite(path: String, schema: StructType, truncate: Boolean,
         val src = new File(staging, rel)
         val dst = new File(root, rel)
         dst.getParentFile.mkdirs()
-        if (!src.renameTo(dst))
-          throw new IllegalStateException(s"graft-sharded commit: cannot publish $src -> $dst")
+        WriterFiles.moveReplace(src, dst)
       }
     }
     WriterFiles.registerInManifests(root,
@@ -404,7 +479,10 @@ class ShardedDataWriter(stagingDir: String, schema: StructType, codec: String,
     if (deterministicNames) files.foreach { rel =>
       val tmp = new File(stagingDir, rel + attemptSuffix)
       val dst = new File(stagingDir, rel)
-      if (!tmp.renameTo(dst) && !dst.exists())
+      // concurrent attempts: last finalizer's file wins (overwrite); a tmp
+      // already consumed means another attempt of this task finalized
+      if (tmp.exists()) WriterFiles.moveReplace(tmp, dst)
+      else if (!dst.exists())
         throw new IllegalStateException(s"graft-sharded task commit: cannot finalize $tmp")
     }
     ShardedTaskCommit(files.toSeq)

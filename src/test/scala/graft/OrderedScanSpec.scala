@@ -196,4 +196,35 @@ class OrderedScanSpec extends SparkTestBase {
       .groupBy("token_id").agg(count(lit(1)).as("n"), min("ts_us").as("m"))
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
+
+  test("part order is natural (e9 < e10) / manifest order — exact-ts ties resolve to newest ingest") {
+    import graft.sources.{ShardedSignalSource, WriterFiles}
+    // ADVICE r8: lexicographic name order put part-e10 BEFORE part-e9, so a
+    // dedup=latest exact-(token,name,ts) tie picked the OLDER epoch's row —
+    // and a FINAL optimize baked the wrong winner into the compacted part.
+    val ord = ShardedSignalSource.naturalNameOrder
+    assert(ord.compare("part-e9-0-0.csv", "part-e10-0-0.csv") < 0)
+    assert(ord.compare("part-e2-11-0.csv", "part-e10-2-0.csv") < 0)
+    assert(ord.compare("part-e10-0-0.csv", "part-e10-0-1.csv") < 0)
+    assert(ord.compare("part-009.csv", "part-9.csv") != 0, "total order under zero-padding")
+
+    val root = Files.createTempDirectory("graft-tiebreak").toFile
+    val d = new java.io.File(root, "shard=0"); d.mkdirs()
+    def part(name: String, v: Double): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(d, name))
+      w.println(s"5,1000,temp,$v"); w.close() // same (token, ts, name) in every epoch
+    }
+    (1 to 10).foreach(e => part(s"part-e$e-0-0.csv", e * 1.0))
+
+    def winner(): Double = spark.read.format("graft-sharded")
+      .option("sorted", "true").option("dedup", "latest").load(root.getAbsolutePath)
+      .collect().map(_.getDouble(4)).head
+
+    assert(winner() === 10.0, "newest epoch (e10) must win the exact-ts tie")
+
+    // manifest order overrides name order: it IS the ingest order (commits
+    // append; StoreOptimize prepends its merged part)
+    WriterFiles.writeManifest(d, (1 to 10).map(e => s"part-e$e-0-0.csv").reverse)
+    assert(winner() === 1.0, "manifest order must rule when a manifest exists")
+  }
 }

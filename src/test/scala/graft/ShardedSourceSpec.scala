@@ -713,7 +713,7 @@ class ShardedSourceSpec extends SparkTestBase {
   }
 
   test("oversized runtime IN-sets are ignored (advisory contract, bounded task payloads)") {
-    import graft.sources.{ShardedScan, ShardedScanBuilder, ShardPartition, ShardedSignalSource}
+    import graft.sources.{BroadcastTokens, InlineTokens, ShardedScan, ShardedScanBuilder, ShardPartition, ShardedSignalSource}
     import org.apache.spark.sql.sources.In
     val dir = writeShards(2, 10)
     def partitions(filterVals: Array[Any]) = {
@@ -721,14 +721,55 @@ class ShardedSourceSpec extends SparkTestBase {
       scan.filter(Array[org.apache.spark.sql.sources.Filter](In("token_id", filterVals)))
       scan.planInputPartitions().map(_.asInstanceOf[ShardPartition])
     }
-    // a small set rides into every partition
+    // a small set rides into every partition, inline and sorted
     val small = partitions(Array[Any](java.lang.Long.valueOf(3L)))
-    assert(small.forall(_.tokenIn === Some(Set(3L))))
+    assert(small.forall(_.tokens.exists {
+      case InlineTokens(arr) => arr.toSeq == Seq(3L)
+      case _ => false
+    }))
     // beyond the cap the scan stays unfiltered — the join above still
     // applies the predicate; task launch stays bounded
     val big = partitions(
       Array.tabulate[Any](ShardedSignalSource.MaxRuntimeInSet + 1)(i => java.lang.Long.valueOf(i.toLong)))
-    assert(big.forall(_.tokenIn.isEmpty))
+    assert(big.forall(_.tokens.isEmpty))
+  }
+
+  test("large runtime IN-sets broadcast once: partition payload is a handle, not the set") {
+    // ADVICE r8: a ~1M-token Set[Long] used to EMBED in every planned
+    // partition — with byte-range splits, set-size × partition-count task
+    // launch payload. Above the inline threshold the scan broadcasts the
+    // sorted array once; each partition serializes to a few hundred bytes.
+    import graft.sources.{BroadcastTokens, ShardedScan, ShardedScanBuilder, ShardPartition, ShardedSignalSource}
+    import org.apache.spark.sql.sources.In
+    val dir = writeShards(2, 10)
+    val n = ShardedSignalSource.InlineRuntimeTokens * 4
+    // evens only: the carrier must actually DROP the odd tokens
+    val scan = new ShardedScanBuilder(dir).build().asInstanceOf[ShardedScan]
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("token_id", Array.tabulate[Any](n)(i => java.lang.Long.valueOf(2L * i)))))
+    val parts = scan.planInputPartitions().map(_.asInstanceOf[ShardPartition])
+    assert(parts.nonEmpty)
+    assert(parts.forall(_.tokens.exists(_.isInstanceOf[BroadcastTokens])))
+    parts.foreach { p =>
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(p); oos.close()
+      assert(bos.size() < 16 * 1024,
+        s"partition payload ${bos.size()} B must not embed the $n-token set")
+    }
+    // and the filtered read through the carrier is still exact
+    val expect = spark.read.format("graft-sharded").load(dir)
+      .where(org.apache.spark.sql.functions.expr(s"token_id % 2 = 0 AND token_id < ${2L * n}"))
+      .count()
+    val rows = parts.flatMap { p =>
+      val r = new graft.sources.ShardedReaderFactory(
+        graft.sources.ShardedSignalSource.Schema).createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (r.next()) buf += r.get().getLong(1)
+      r.close(); buf
+    }
+    assert(rows.length.toLong === expect && expect > 0)
+    assert(rows.forall(t => t % 2 == 0))
   }
 
   test("bare LIMIT pushes: each partition early-stops after K accepted rows") {

@@ -108,4 +108,54 @@ class ShardedStreamWriteSpec extends SparkTestBase {
     w.commit(5L, Array(m2))
     assert(spark.read.format("graft-sharded").load(store).count() === 1)
   }
+
+  test("a differently-partitioned replay sweeps the crashed attempt's published files (ADVICE r8)") {
+    import graft.sources.{ShardedStreamingWrite, ShardedTaskCommit, WriterFiles}
+    val store = Files.createTempDirectory("graft-resweep").toFile
+    val w = new ShardedStreamingWrite(store.getAbsolutePath, inSchema, "none", "qid-2")
+    val fac = w.createStreamingWriterFactory(null)
+
+    def writeRow(partitionId: Int, epochId: Long, tok: Long): ShardedTaskCommit = {
+      val dw = fac.createWriter(partitionId, 100L + partitionId, epochId)
+      dw.write(org.apache.spark.sql.catalyst.InternalRow(
+        3, tok, 100L, org.apache.spark.unsafe.types.UTF8String.fromString("click"), 1.0))
+      dw.commit().asInstanceOf[ShardedTaskCommit]
+    }
+
+    // first attempt of epoch 7: TWO partitions publish their files and even
+    // reach manifest registration, then crash BEFORE the epoch marker
+    val a0 = writeRow(0, 7L, 30L)
+    val a1 = writeRow(1, 7L, 31L)
+    val shardD = new java.io.File(store, "shard=3")
+    shardD.mkdirs()
+    WriterFiles.writeManifest(shardD, Seq.empty) // store is manifest-governed
+    (a0.files ++ a1.files).foreach { rel =>
+      val src = new java.io.File(store, s"_tmp-stream-qid-2/epoch-7/$rel")
+      val dst = new java.io.File(store, rel)
+      dst.getParentFile.mkdirs()
+      WriterFiles.moveReplace(src, dst)
+    }
+    WriterFiles.registerInManifests(store, a0.files ++ a1.files)
+    assert(spark.read.format("graft-sharded").load(store.getAbsolutePath).count() === 2)
+
+    // restart replays epoch 7 under a DIFFERENT partitioning: ONE task,
+    // partitionId 5 — names the first attempt never used
+    val dwB = fac.createWriter(5, 200L, 7L)
+    Seq(30L, 31L).foreach { tok =>
+      dwB.write(org.apache.spark.sql.catalyst.InternalRow(
+        3, tok, 100L, org.apache.spark.unsafe.types.UTF8String.fromString("click"), 1.0))
+    }
+    val b2 = dwB.commit().asInstanceOf[ShardedTaskCommit]
+    w.commit(7L, Array(b2))
+
+    // the first attempt's orphans are swept from disk AND the manifest;
+    // the store holds exactly the replay's rows — no silent duplicates
+    val got = spark.read.format("graft-sharded").load(store.getAbsolutePath)
+    assert(got.count() === 2, "replay must not duplicate the crashed attempt's rows")
+    assert(got.select("token_id").collect().map(_.getLong(0)).sorted === Array(30L, 31L))
+    val manifest = WriterFiles.readManifest(shardD).get
+    assert(manifest.forall(n => new java.io.File(shardD, n).isFile))
+    assert(!manifest.exists(n => n.contains("-0-") || n.contains("-1-")),
+      s"crashed attempt's names must be unregistered: $manifest")
+  }
 }
