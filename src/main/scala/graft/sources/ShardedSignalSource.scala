@@ -167,7 +167,8 @@ class ShardedTable(path: String) extends Table with SupportsRead with SupportsWr
   override def schema(): StructType = ShardedSignalSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ)
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
     new ShardedWriteBuilder(path, info)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -175,7 +176,9 @@ class ShardedTable(path: String) extends Table with SupportsRead with SupportsWr
       options.getOrDefault("split", "auto").toLowerCase,
       options.getLong("splitBytes", ShardedSignalSource.DefaultSplitBytes),
       options.getBoolean("sorted", false),
-      options.getOrDefault("dedup", "none").toLowerCase)
+      options.getOrDefault("dedup", "none").toLowerCase,
+      options.getOrDefault("startingOffsets", "earliest").toLowerCase,
+      options.getInt("maxPartsPerTrigger", -1))
 }
 
 /** One pushed aggregate: `min`/`max` over a source column, or `count_star`. */
@@ -512,7 +515,8 @@ object PartStats {
 
 class ShardedScanBuilder(path: String, splitMode: String = "auto",
     splitBytes: Long = ShardedSignalSource.DefaultSplitBytes,
-    sorted: Boolean = false, dedup: String = "none") extends ScanBuilder
+    sorted: Boolean = false, dedup: String = "none",
+    startingOffsets: String = "earliest", maxPartsPerTrigger: Int = -1) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownTopN with SupportsPushDownFilters with SupportsPushDownLimit {
   require(dedup == "none" || dedup == "latest",
@@ -627,14 +631,16 @@ class ShardedScanBuilder(path: String, splitMode: String = "auto",
     case Some(pa) => new ShardedScan(path, pa.outputSchema, Some(pa), pushedFilters = pushedStatic,
       splitMode = splitMode, splitBytes = splitBytes, sorted = sorted)
     case None     => new ShardedScan(path, required, None, topN, topNDesc, pushedStatic,
-      splitMode, splitBytes, limit, sorted, dedupLatest)
+      splitMode, splitBytes, limit, sorted, dedupLatest,
+      startingOffsets, maxPartsPerTrigger)
   }
 }
 
 class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPushedAgg] = None,
     topN: Int = -1, topNDesc: Boolean = true, pushedFilters: Array[Filter] = Array.empty,
     splitMode: String = "auto", splitBytes: Long = ShardedSignalSource.DefaultSplitBytes,
-    limit: Int = -1, sorted: Boolean = false, dedupLatest: Boolean = false)
+    limit: Int = -1, sorted: Boolean = false, dedupLatest: Boolean = false,
+    startingOffsets: String = "earliest", maxPartsPerTrigger: Int = -1)
     extends Scan with Batch with SupportsReportPartitioning with SupportsRuntimeFiltering
     with SupportsReportStatistics with SupportsReportOrdering {
 
@@ -752,6 +758,18 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming tail of the store (see [[ShardedMicroBatchStream]]): raw
+    * rows only — pushed columns, static shard pruning, and parse-time row
+    * predicates compose; aggregates/TopN/limit/dedup are batch concepts
+    * (streaming aggregation is the ENGINE's stateful operator above).
+    */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(pushedAgg.isEmpty && topN < 0 && limit < 0 && !dedupLatest,
+      "graft-sharded streaming read serves raw rows (filters/columns push; agg/TopN/limit/dedup do not)")
+    new ShardedMicroBatchStream(path, required, rowPred, staticShards,
+      startingOffsets, maxPartsPerTrigger)
+  }
   override def description(): String =
     s"graft-sharded $path " +
       (if (doSplit) s"byte-range-split($splitBytes)" else "key-grouped by shard") +

@@ -1,0 +1,160 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types.StructType
+
+/** STREAMING READ of the sharded store — the Spark-first form of the
+  * reference's continuous sync loop on its CONSUMING side: the reference
+  * polls the store for new rows per device on an interval (sync.go's
+  * run-loop re-queries ClickHouse from each token's watermark); a
+  * Structured Streaming source expresses the same "process what arrived
+  * since last time" contract once, with offsets, exactly-once recovery,
+  * and backpressure handled by the engine.
+  *
+  * Offsets are PART-FILE SETS, not byte positions: the store's commit unit
+  * is a part file (batch task commit, streaming epoch publish, both
+  * atomic renames), so "new data" is exactly "parts not in the previous
+  * offset". An offset serializes as `{shard -> [part names in ingest
+  * order]}`; a micro-batch plans one [[ShardPartition]] per shard over the
+  * diff and reuses the batch readers — pushed column pruning and
+  * parse-time row predicates compose unchanged, and per-part minmax
+  * sidecars still skip whole new parts against the predicates.
+  *
+  * Options: `startingOffsets` = `earliest` (default: first batch reads the
+  * whole store) | `latest` (tail only parts published after the query
+  * starts); `maxPartsPerTrigger` bounds a micro-batch (admission control —
+  * a restart after downtime catches up in bounded steps instead of one
+  * giant batch). `Trigger.AvailableNow` is supported (frozen target
+  * snapshot, drained in capped batches).
+  *
+  * Contract: the store must be APPEND-ONLY while a stream tails it —
+  * `StoreOptimize` REWRITES history (retires parts into a merged part), so
+  * a tail would re-read merged rows as "new". Run maintenance between
+  * streams, exactly like the reference schedules merges off-hours. A
+  * replayed micro-batch (restart before the sink ack) re-plans the same
+  * part diff from its checkpointed offsets — exactly-once end to end with
+  * an idempotent sink.
+  */
+class ShardedMicroBatchStream(path: String, required: StructType,
+    pred: ShardRowPredicate, staticShards: Option[Set[Int]],
+    startingOffsets: String, maxPartsPerTrigger: Int)
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  require(startingOffsets == "earliest" || startingOffsets == "latest",
+    s"graft-sharded stream: unknown startingOffsets '$startingOffsets' (earliest|latest)")
+
+  @volatile private var availableNowTarget: Option[Map[String, Seq[String]]] = None
+
+  /** shard-number string -> active part names, ingest order (the manifest
+    * / natural-name order [[ShardedSignalSource.activeParts]] defines).
+    * Static shard predicates prune whole shards from the stream here.
+    */
+  private def listing(): Map[String, Seq[String]] = {
+    val entries = Option(new File(path).listFiles()).getOrElse(Array.empty)
+    entries.flatMap { f =>
+      f.getName match {
+        case ShardedSignalSource.ShardFile(k) if f.isFile =>
+          Some(k -> Seq(f.getName))
+        case ShardedSignalSource.ShardDir(k) if f.isDirectory =>
+          Some(k -> ShardedSignalSource.activeParts(f).map(_.getName))
+        case _ => None
+      }
+    }.filter { case (k, _) => staticShards.forall(_.contains(k.toInt)) }
+      .toMap
+  }
+
+  private def target(): Map[String, Seq[String]] =
+    availableNowTarget.getOrElse(listing())
+
+  private def resolve(shard: String, part: String): String = {
+    val d = new File(path, s"shard=$shard")
+    (if (d.isDirectory) new File(d, part) else new File(path, part)).getAbsolutePath
+  }
+
+  override def initialOffset(): Offset =
+    if (startingOffsets == "latest") ShardedStreamOffset(listing())
+    else ShardedStreamOffset(Map.empty)
+
+  override def latestOffset(): Offset = ShardedStreamOffset(target())
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxPartsPerTrigger > 0) ReadLimit.maxFiles(maxPartsPerTrigger)
+    else ReadLimit.allAvailable()
+
+  /** Admission control: advance from `start` toward the target by at most
+    * `maxFiles` NEW parts (shards drained in shard order, each shard's
+    * parts in ingest order — deterministic, so a replayed planning call
+    * reproduces the batch).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startMap = start.asInstanceOf[ShardedStreamOffset].parts
+    val tgt = target()
+    var budget = limit match {
+      case f: ReadMaxFiles => f.maxFiles()
+      case _ => Int.MaxValue
+    }
+    val advanced = tgt.toSeq.sortBy(_._1.toInt).map { case (k, names) =>
+      val seen = startMap.getOrElse(k, Seq.empty)
+      val seenSet = seen.toSet
+      val fresh = names.filterNot(seenSet)
+      val take = fresh.take(math.max(budget, 0))
+      budget -= take.length
+      k -> (seen ++ take)
+    }.toMap
+    // shards present in start but vanished from the target stay committed
+    // (offsets are monotonic); target shards take their advanced lists
+    ShardedStreamOffset(startMap ++ advanced)
+  }
+
+  override def reportLatestOffset(): Offset = ShardedStreamOffset(target())
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(listing())
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ShardedStreamOffset].parts
+    val e = end.asInstanceOf[ShardedStreamOffset].parts
+    val tb = pred.tokenIn.map(new PartStats.TokenBounds(_))
+    e.toSeq.sortBy(_._1.toInt).flatMap { case (k, names) =>
+      val seen = s.getOrElse(k, Seq.empty).toSet
+      val fresh = names.filterNot(seen)
+        .map(n => new File(resolve(k, n)))
+        // minmax sidecars skip whole NEW parts against the pushed
+        // predicates, exactly like the batch scan's planning-time prune
+        .filter(f => PartStats.read(f).forall(_.mayMatch(pred, tb)))
+      if (fresh.isEmpty) None
+      else Some(ShardPartition(fresh.map(_.getAbsolutePath), k.toInt): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ShardedReaderFactory(required, pred)
+
+  override def commit(end: Offset): Unit = () // progress lives in the checkpoint log
+  override def deserializeOffset(json: String): Offset = ShardedStreamOffset.fromJson(json)
+  override def stop(): Unit = ()
+}
+
+/** `{shard -> [part names]}` — the parts already processed (or, as an end
+  * offset, to be processed). Shard keys sort numerically in the JSON for
+  * deterministic checkpoint bytes.
+  */
+case class ShardedStreamOffset(parts: Map[String, Seq[String]]) extends Offset {
+  override def json(): String = {
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    org.json4s.jackson.Serialization.write(
+      scala.collection.immutable.SortedMap(parts.toSeq: _*)(
+        Ordering.by((k: String) => (k.length, k))))
+  }
+}
+
+object ShardedStreamOffset {
+  def fromJson(s: String): ShardedStreamOffset = {
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    ShardedStreamOffset(org.json4s.jackson.JsonMethods.parse(s)
+      .extract[Map[String, Seq[String]]])
+  }
+}

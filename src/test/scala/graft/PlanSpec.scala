@@ -601,6 +601,30 @@ class PlanSpec extends SparkTestBase {
       s"SMJ subtree must not sort:\n$smj")
   }
 
+  test("q202 optimize-FINAL: one compacted part per shard, plain scan, no dedup machinery") {
+    val df = SparkEntry.queries("q202_optimize_final")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the snapshot was baked by maintenance: the read is a RAW scan — no
+    // dedup mode, no window, no pre-aggregation exchange below the project
+    assert(!p.contains("dedup=latest") && !p.contains("Window"), p)
+    val scan = findScan(df, "graft_sharded")
+    assert(scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputRDD.getNumPartitions === 8, s"one partition per compacted shard\n$p")
+  }
+
+  test("q203 latest snapshot: the collapse runs INSIDE the scan — no window, no exchange") {
+    val df = SparkEntry.queries("q203_latest_snapshot")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dedup=latest") && p.contains("sorted-merge"),
+      s"the snapshot must come from the merged-collapse read:\n$p")
+    val nodes = allExecNodes(df.queryExecution.executedPlan)
+    assert(!nodes.exists(n => n.getClass.getSimpleName.contains("Exchange") ||
+      n.getClass.getSimpleName == "WindowExec" || n.getClass.getSimpleName == "SortExec"),
+      s"query-time FINAL must not shuffle, window, or sort:\n$p")
+  }
+
   test("entry flagship query produces rows and a non-degenerate plan") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)

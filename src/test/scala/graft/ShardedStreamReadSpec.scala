@@ -1,0 +1,175 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Streaming READ of the sharded store (`readStream.format("graft-sharded")`):
+  * part-file-set offsets, exactly-once across restarts, startingOffsets,
+  * admission control (`maxPartsPerTrigger`), Trigger.AvailableNow, and
+  * pushed predicates composing into the tail.
+  */
+class ShardedStreamReadSpec extends SparkTestBase {
+
+  private val schema = StructType(Seq(
+    StructField("shard", IntegerType, nullable = false),
+    StructField("token_id", LongType, nullable = true),
+    StructField("ts_us", LongType, nullable = true),
+    StructField("name", StringType, nullable = true),
+    StructField("v", DoubleType, nullable = true)))
+
+  private def batchDf(tokens: Seq[Long], name: String = "click"): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        tokens.map(t => Row((t % 2).toInt, t, t * 100, name, 1.0)), 2), schema)
+
+  private def append(dir: String, tokens: Seq[Long], name: String = "click"): Unit =
+    batchDf(tokens, name).write.format("graft-sharded").mode("append").save(dir)
+
+  test("tails new parts exactly-once across stop/restart (part-set offsets in the checkpoint)") {
+    val root = Files.createTempDirectory("graft-streamread")
+    val store = root.resolve("store").toString
+    val ckpt = root.resolve("ckpt").toString
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start() = spark.readStream.format("graft-sharded").load(store)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.select("token_id").collect().foreach(r => seen.add(r.getLong(0))); ()
+      }
+      .option("checkpointLocation", ckpt).start()
+
+    append(store, 0L until 10L)
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(seen.size === 10, "earliest: first batch is the whole store")
+      append(store, 10L until 16L)
+      q1.processAllAvailable()
+      assert(seen.size === 16, "tail picks up the appended parts")
+    } finally q1.stop()
+
+    // a batch lands while the query is DOWN; the restart resumes from the
+    // checkpointed part-set and processes only the gap — nothing twice
+    append(store, 16L until 20L)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = seen.asScala.toSeq.sorted
+      assert(got === (0L until 20L).toSeq,
+        s"restart must process exactly the gap, got ${got.mkString(",")}")
+    } finally q2.stop()
+  }
+
+  test("startingOffsets=latest skips the existing store and tails only new parts") {
+    val root = Files.createTempDirectory("graft-streamlatest")
+    val store = root.resolve("store").toString
+    append(store, 0L until 50L)
+
+    val q = spark.readStream.format("graft-sharded")
+      .option("startingOffsets", "latest").load(store)
+      .writeStream.format("memory").queryName("latest_tail")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("latest_tail").count() === 0, "latest: history is skipped")
+      append(store, 100L until 104L)
+      q.processAllAvailable()
+      assert(spark.table("latest_tail").select("token_id").collect()
+        .map(_.getLong(0)).sorted === (100L until 104L).toArray)
+    } finally q.stop()
+  }
+
+  test("maxPartsPerTrigger bounds each micro-batch; AvailableNow drains a frozen target and stops") {
+    val root = Files.createTempDirectory("graft-streamcap")
+    val store = root.resolve("store").toString
+    // 4 separate appends -> >= 4 parts
+    (0 until 4).foreach(i => append(store, (10L * i) until (10L * i + 10L)))
+    val nParts = new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("shard=")).flatMap(_.listFiles())
+      .count(f => f.isFile && !f.getName.startsWith("."))
+    assert(nParts >= 4)
+
+    var batches = 0
+    val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-sharded")
+      .option("maxPartsPerTrigger", "1").load(store)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches += 1; counts += df.count(); ()
+      }
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000), "AvailableNow must drain and terminate")
+    finally q.stop()
+    assert(counts.sum === 40, s"all rows exactly once, got $counts")
+    assert(batches >= nParts, s"1 part per trigger -> >= $nParts batches, got $batches")
+  }
+
+  test("pushed predicates compose into the tail (parse-time row skip on new parts)") {
+    val root = Files.createTempDirectory("graft-streampred")
+    val store = root.resolve("store").toString
+    append(store, 0L until 10L, name = "click")
+    append(store, 10L until 20L, name = "purchase")
+
+    val q = spark.readStream.format("graft-sharded").load(store)
+      .where(col("name") === "purchase" && col("token_id") >= 12L)
+      .writeStream.format("memory").queryName("pred_tail")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("pred_tail").select("token_id").collect().map(_.getLong(0)).sorted
+      assert(got === (12L until 20L).toArray)
+    } finally q.stop()
+  }
+
+  test("closes the loop: streaming-ingested epochs tail back out exactly-once") {
+    val root = Files.createTempDirectory("graft-streamloop")
+    val inDir = Files.createDirectory(root.resolve("in"))
+    val store = root.resolve("store").toString
+
+    // ingest: 3 files → 3 micro-batch epochs through the r8 streaming SINK
+    (0 until 3).foreach(i => Files.write(inDir.resolve(s"f$i.csv"),
+      (0 until 20).map(j => s"${j % 4},${(j % 4) + 4L * j},${1000L * (20 * i + j)},click,1.0")
+        .mkString("\n").getBytes("UTF-8")))
+    val ingest = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").csv(inDir.toString)
+      .withColumn("shard", coalesce(col("shard"), lit(0)))
+      .writeStream.format("graft-sharded")
+      .option("checkpointLocation", root.resolve("ckpt_w").toString)
+      .outputMode("append").start(store)
+    try ingest.processAllAvailable() finally ingest.stop()
+    assert(spark.read.format("graft-sharded").load(store).count() === 60)
+
+    // tail: AvailableNow drains the epoch-published parts exactly once —
+    // the store is a streaming TABLE in both directions
+    var rows = 0L
+    val tail = spark.readStream.format("graft-sharded").load(store)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        rows += df.count(); ()
+      }
+      .option("checkpointLocation", root.resolve("ckpt_r").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try assert(tail.awaitTermination(120000)) finally tail.stop()
+    assert(rows === 60, "every epoch-published part tails out exactly once")
+  }
+
+  test("offsets serialize deterministically and round-trip") {
+    import graft.sources.ShardedStreamOffset
+    val o = ShardedStreamOffset(Map(
+      "10" -> Seq("part-b.csv", "part-a.csv"), "2" -> Seq("x.csv"), "0" -> Seq.empty))
+    val j = o.json()
+    assert(j.indexOf("\"2\"") < j.indexOf("\"10\""), s"numeric key order: $j")
+    assert(ShardedStreamOffset.fromJson(j) === o)
+    // part order inside a shard is preserved (ingest order is meaningful)
+    assert(ShardedStreamOffset.fromJson(j).parts("10") === Seq("part-b.csv", "part-a.csv"))
+  }
+}
