@@ -526,6 +526,26 @@ object ShardedQueries {
       Some("""SELECT user_id AS token_id, event_type AS name,
                CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us
              FROM events GROUP BY 1, 2""")
+    ),
+
+    // ── The same snapshot at QUERY time (r9): `dedup=latest` over the raw
+    //    multi-part store — ReplacingMergeTree's `FINAL` read, the
+    //    "current signal values per device" query the reference serves.
+    //    One streaming pass over the K-way merged key order, state = one
+    //    token's name→row map (bounded by the signal vocabulary) — no
+    //    window function, no shuffle, no per-token history in memory.
+    //    q202 is the compacted form (maintenance already ran); this is the
+    //    read a live store answers between merges. Same oracle, different
+    //    engine path — both must hold.
+    QueryDef(
+      "q203_latest_snapshot",
+      (s, d) => s.read.format("graft-sharded")
+        .option("sorted", "true").option("dedup", "latest")
+        .load(writtenDir(s, d))
+        .select(col("token_id"), col("name"), col("ts_us").as("last_us")),
+      Some("""SELECT user_id AS token_id, event_type AS name,
+               CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us
+             FROM events GROUP BY 1, 2""")
     )
   )
 }
