@@ -186,6 +186,7 @@ object StoreOptimize {
     var tokSeen = false; var tokMin = 0L; var tokMax = 0L
     var tsSeen = false; var tsMin = 0L; var tsMax = 0L
     var vSeen = false; var vMin = 0.0; var vMax = 0.0
+    val bloom = graft.sources.TokenBloom.empty()
     val sb = new java.lang.StringBuilder(64)
     try {
       while (reader.next()) {
@@ -195,6 +196,7 @@ object StoreOptimize {
           val v = r.getLong(1); sb.append(v)
           if (!tokSeen) { tokSeen = true; tokMin = v; tokMax = v }
           else { if (v < tokMin) tokMin = v; if (v > tokMax) tokMax = v }
+          graft.sources.TokenBloom.add(bloom, v)
         }
         sb.append(',')
         if (!r.isNullAt(2)) { // ts_us
@@ -224,7 +226,8 @@ object StoreOptimize {
     PartStats.write(stagedSidecar, PartStats(rows,
       if (tokSeen) Some(tokMin) else None, if (tokSeen) Some(tokMax) else None,
       if (tsSeen) Some(tsMin) else None, if (tsSeen) Some(tsMax) else None,
-      if (vSeen) Some(vMin) else None, if (vSeen) Some(vMax) else None))
+      if (vSeen) Some(vMin) else None, if (vSeen) Some(vMax) else None,
+      if (tokSeen) Some(bloom) else None))
 
     // rename staged → canonical (visible to a listing, absent from the
     // manifest — manifest readers still see the old parts)

@@ -409,7 +409,9 @@ object ShardRowPredicate {
 /** Per-part MIN/MAX statistics — the text store's form of MergeTree's
   * minmax skip index. The store's own writer emits one sidecar per part
   * file (`.<part>.minmax`, one CSV line `rows,tokMin,tokMax,tsMin,tsMax,
-  * vMin,vMax`, empty = no non-null values in the part), and the scan uses
+  * vMin,vMax[,tokenBloom]` — the optional 8th field is a base64 token
+  * bloom, [[TokenBloom]]; empty = no non-null values in the part), and
+  * the scan uses
   * them to prune whole PART FILES against the pushed `token_id`/`ts_us`/
   * `v` predicates and runtime token IN-sets before a byte is read — at
   * 100 TB an incremental time-window query reads this week's parts, not
@@ -425,7 +427,8 @@ object ShardRowPredicate {
 case class PartStats(rows: Long,
     tokMin: Option[Long], tokMax: Option[Long],
     tsMin: Option[Long], tsMax: Option[Long],
-    vMin: Option[Double], vMax: Option[Double]) {
+    vMin: Option[Double], vMax: Option[Double],
+    tokenBloom: Option[Array[Long]] = None) {
 
   /** Could any row of a part with these stats satisfy `pred`? Exact w.r.t.
     * the recorded dimensions, conservative elsewhere (name predicates are
@@ -438,6 +441,12 @@ case class PartStats(rows: Long,
       case Some(tb) =>
         if (tokMin.isEmpty) return false // IN rejects null
         if (!tb.overlaps(tokMin.get, tokMax.get)) return false
+        // bloom skip index (r9): a small IN-set whose every token the
+        // part's bloom rejects cannot match — prunes the interleaved-token
+        // case [min,max] ranges cannot (a saturated bloom answers "maybe"
+        // for everything: degrades to no-prune, never to a wrong prune)
+        for (bloom <- tokenBloom; s <- tb.smallSet)
+          if (!s.exists(t => TokenBloom.mightContain(bloom, t))) return false
       case None =>
         if (pred.notNull("token_id") && tokMin.isEmpty) return false
     }
@@ -475,6 +484,8 @@ object PartStats {
     private val lo: Long = if (set.isEmpty) Long.MaxValue else set.min
     private val hi: Long = if (set.isEmpty) Long.MinValue else set.max
     def isEmpty: Boolean = set.isEmpty
+    /** Exposed for the bloom skip index: only small sets probe blooms. */
+    private[sources] def smallSet: Option[Set[Long]] = small
     def overlaps(pMin: Long, pMax: Long): Boolean = small match {
       case Some(s) => s.exists(k => k >= pMin && k <= pMax)
       case None => hi >= pMin && lo <= pMax
@@ -484,15 +495,22 @@ object PartStats {
   def serialize(s: PartStats): String = {
     def l(o: Option[Long]) = o.map(_.toString).getOrElse("")
     def d(o: Option[Double]) = o.map(java.lang.Double.toString).getOrElse("")
-    s"${s.rows},${l(s.tokMin)},${l(s.tokMax)},${l(s.tsMin)},${l(s.tsMax)},${d(s.vMin)},${d(s.vMax)}"
+    val base =
+      s"${s.rows},${l(s.tokMin)},${l(s.tokMax)},${l(s.tsMin)},${l(s.tsMax)},${d(s.vMin)},${d(s.vMax)}"
+    s.tokenBloom match {
+      case Some(b) => s"$base,${TokenBloom.toBase64(b)}"
+      case None => base
+    }
   }
 
   def deserialize(line: String): Option[PartStats] = try {
     val p = line.trim.split(",", -1)
-    if (p.length != 7) return None
+    // 7 fields = pre-r9 sidecars (no bloom); 8th field = base64 token bloom
+    if (p.length != 7 && p.length != 8) return None
     def l(i: Int) = if (p(i).isEmpty) None else Some(p(i).toLong)
     def d(i: Int) = if (p(i).isEmpty) None else Some(p(i).toDouble)
-    Some(PartStats(p(0).toLong, l(1), l(2), l(3), l(4), d(5), d(6)))
+    val bloom = if (p.length == 8 && p(7).nonEmpty) TokenBloom.fromBase64(p(7)) else None
+    Some(PartStats(p(0).toLong, l(1), l(2), l(3), l(4), d(5), d(6), bloom))
   } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Stats of a part file, if a parsable sidecar exists next to it. */
@@ -511,6 +529,71 @@ object PartStats {
     try w.write((serialize(s) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally w.close()
   }
+}
+
+/** Fixed-size Bloom filter over a part's `token_id` values — the text
+  * store's form of MergeTree's `bloom_filter` SKIP INDEX, riding in the
+  * minmax sidecar (8th field, base64). Why it exists: min/max ranges
+  * cannot prune INTERLEAVED keys (two parts covering [0, 10⁶] with
+  * disjoint token sets both survive a range check); the bloom answers
+  * "does this part possibly CONTAIN token t" — a point lookup reads the
+  * one part that has the key, not every part whose range straddles it.
+  *
+  * 2 KB / 16384 bits, k = 7: ~1% false positives up to ~1.1k distinct
+  * tokens per part, degrading smoothly — a saturated bloom answers
+  * "maybe" for everything (no prune, never a wrong prune). Double
+  * hashing off a splitmix64 finalizer; all arithmetic deterministic
+  * across JVMs (no seeds, no Random).
+  */
+object TokenBloom {
+  val Bits = 16384
+  val Words: Int = Bits / 64
+  val K = 7
+
+  def empty(): Array[Long] = new Array[Long](Words)
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def add(words: Array[Long], token: Long): Unit = {
+    val h1 = mix(token)
+    val h2 = mix(token ^ 0x5851f42d4c957f2dL) | 1L
+    var i = 0
+    while (i < K) {
+      val bit = ((h1 + i * h2) & Long.MaxValue) % Bits
+      words((bit >>> 6).toInt) |= (1L << (bit & 63))
+      i += 1
+    }
+  }
+
+  def mightContain(words: Array[Long], token: Long): Boolean = {
+    val h1 = mix(token)
+    val h2 = mix(token ^ 0x5851f42d4c957f2dL) | 1L
+    var i = 0
+    while (i < K) {
+      val bit = ((h1 + i * h2) & Long.MaxValue) % Bits
+      if ((words((bit >>> 6).toInt) & (1L << (bit & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  def toBase64(words: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+    words.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  def fromBase64(s: String): Option[Array[Long]] = try {
+    val bytes = java.util.Base64.getDecoder.decode(s)
+    if (bytes.length != Words * 8) return None // foreign size: ignore, stats remain valid
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Some(Array.fill(Words)(bb.getLong()))
+  } catch { case scala.util.control.NonFatal(_) => None }
 }
 
 class ShardedScanBuilder(path: String, splitMode: String = "auto",
@@ -890,7 +973,10 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
       val tb = new PartStats.TokenBounds(eff)
       if (tb.isEmpty) Seq.empty // empty IN-set: no row can match
       else fs.filter(p => statsOf(p).forall(s =>
-        s.tokMin.isDefined && tb.overlaps(s.tokMin.get, s.tokMax.get)))
+        s.tokMin.isDefined && tb.overlaps(s.tokMin.get, s.tokMax.get) &&
+          // bloom skip index composes with the runtime cut (small sets only)
+          tb.smallSet.forall(small => s.tokenBloom.forall(bloom =>
+            small.exists(t => TokenBloom.mightContain(bloom, t))))))
   }
 
   /** Shards surviving BOTH static and runtime pruning. */

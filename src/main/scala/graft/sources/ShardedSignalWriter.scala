@@ -369,6 +369,8 @@ class ShardedDataWriter(stagingDir: String, schema: StructType, codec: String,
   private var tokSeen = false; private var tokMin = 0L; private var tokMax = 0L
   private var tsSeen = false; private var tsMin = 0L; private var tsMax = 0L
   private var vSeen = false; private var vMin = 0.0; private var vMax = 0.0
+  // per-part token bloom (the sidecar's skip index; 2 KB, see TokenBloom)
+  private var bloom: Array[Long] = TokenBloom.empty()
 
   private def ext: String = codec match {
     case "gzip" => ".csv.gz"
@@ -390,7 +392,8 @@ class ShardedDataWriter(stagingDir: String, schema: StructType, codec: String,
     val stats = PartStats(partRows,
       if (tokSeen) Some(tokMin) else None, if (tokSeen) Some(tokMax) else None,
       if (tsSeen) Some(tsMin) else None, if (tsSeen) Some(tsMax) else None,
-      if (vSeen) Some(vMin) else None, if (vSeen) Some(vMax) else None)
+      if (vSeen) Some(vMin) else None, if (vSeen) Some(vMax) else None,
+      if (tokSeen) Some(bloom) else None)
     PartStats.write(new File(stagingDir, sidecarRel + attemptSuffix), stats)
     files += sidecarRel
   }
@@ -420,6 +423,7 @@ class ShardedDataWriter(stagingDir: String, schema: StructType, codec: String,
     curRel = rel
     partRows = 0L; partBytes = 0L
     tokSeen = false; tsSeen = false; vSeen = false
+    bloom = TokenBloom.empty()
   }
 
   private def attemptSuffix: String = if (deterministicNames) s".t$taskId" else ""
@@ -455,6 +459,7 @@ class ShardedDataWriter(stagingDir: String, schema: StructType, codec: String,
       val t = row.getLong(tokIdx)
       if (!tokSeen) { tokSeen = true; tokMin = t; tokMax = t }
       else { if (t < tokMin) tokMin = t; if (t > tokMax) tokMax = t }
+      TokenBloom.add(bloom, t)
     }
     if (!row.isNullAt(tsIdx)) {
       val t = row.getLong(tsIdx)
