@@ -187,6 +187,8 @@ object StoreOptimize {
     var tsSeen = false; var tsMin = 0L; var tsMax = 0L
     var vSeen = false; var vMin = 0.0; var vMax = 0.0
     val bloom = graft.sources.TokenBloom.empty()
+    val names = scala.collection.mutable.HashSet.empty[String]
+    var namesOverflow = false
     val sb = new java.lang.StringBuilder(64)
     try {
       while (reader.next()) {
@@ -205,7 +207,13 @@ object StoreOptimize {
           else { if (v < tsMin) tsMin = v; if (v > tsMax) tsMax = v }
         }
         sb.append(',')
-        if (!r.isNullAt(3)) sb.append(r.getUTF8String(3).toString) // name: came from a part, already valid
+        if (!r.isNullAt(3)) { // name: came from a part, already valid
+          val n = r.getUTF8String(3).toString
+          sb.append(n)
+          if (!namesOverflow && names.add(n) && names.size > PartStats.MaxNameSet) {
+            namesOverflow = true; names.clear()
+          }
+        }
         sb.append(',')
         if (!r.isNullAt(4)) { // v
           val v = r.getDouble(4); sb.append(java.lang.Double.toString(v))
@@ -227,7 +235,8 @@ object StoreOptimize {
       if (tokSeen) Some(tokMin) else None, if (tokSeen) Some(tokMax) else None,
       if (tsSeen) Some(tsMin) else None, if (tsSeen) Some(tsMax) else None,
       if (vSeen) Some(vMin) else None, if (vSeen) Some(vMax) else None,
-      if (tokSeen) Some(bloom) else None))
+      if (tokSeen) Some(bloom) else None,
+      if (namesOverflow) None else Some(names.toSet)))
 
     // rename staged → canonical (visible to a listing, absent from the
     // manifest — manifest readers still see the old parts)

@@ -428,7 +428,8 @@ case class PartStats(rows: Long,
     tokMin: Option[Long], tokMax: Option[Long],
     tsMin: Option[Long], tsMax: Option[Long],
     vMin: Option[Double], vMax: Option[Double],
-    tokenBloom: Option[Array[Long]] = None) {
+    tokenBloom: Option[Array[Long]] = None,
+    nameSet: Option[Set[String]] = None) {
 
   /** Could any row of a part with these stats satisfy `pred`? Exact w.r.t.
     * the recorded dimensions, conservative elsewhere (name predicates are
@@ -450,6 +451,11 @@ case class PartStats(rows: Long,
       case None =>
         if (pred.notNull("token_id") && tokMin.isEmpty) return false
     }
+    // set skip index on `name` (r9): a part whose recorded distinct-name
+    // set misses the whole IN-set cannot match (IN rejects null, and the
+    // set records every non-null name; overflowed/absent sets never prune)
+    for (want <- pred.nameIn; have <- nameSet)
+      if (!want.exists(have.contains)) return false
     if (pred.tsMin.isDefined || pred.tsMax.isDefined) {
       if (tsMin.isEmpty) return false // range preds reject null
       pred.tsMin.foreach { case (b, inc) => if (if (inc) tsMax.get < b else tsMax.get <= b) return false }
@@ -492,25 +498,48 @@ object PartStats {
     }
   }
 
+  /** Max distinct names the set index records; beyond it the field is
+    * omitted (a high-cardinality part gets no name pruning — the same
+    * bounded-metadata rule MergeTree's `set(N)` index uses).
+    */
+  val MaxNameSet = 32
+
   def serialize(s: PartStats): String = {
     def l(o: Option[Long]) = o.map(_.toString).getOrElse("")
     def d(o: Option[Double]) = o.map(java.lang.Double.toString).getOrElse("")
     val base =
       s"${s.rows},${l(s.tokMin)},${l(s.tokMax)},${l(s.tsMin)},${l(s.tsMax)},${d(s.vMin)},${d(s.vMax)}"
-    s.tokenBloom match {
-      case Some(b) => s"$base,${TokenBloom.toBase64(b)}"
-      case None => base
-    }
+    val bloomF = s.tokenBloom.map(TokenBloom.toBase64).getOrElse("")
+    val nameF = s.nameSet.map(encodeNames).getOrElse("")
+    if (nameF.nonEmpty) s"$base,$bloomF,$nameF"
+    else if (bloomF.nonEmpty) s"$base,$bloomF"
+    else base
   }
+
+  /** Names may not contain `\n` (the writer rejects separators), so a
+    * newline-joined base64 block encodes the set losslessly; a leading
+    * `=` marks the (legal) empty-set case apart from an absent field.
+    */
+  private def encodeNames(names: Set[String]): String =
+    "=" + java.util.Base64.getEncoder.encodeToString(
+      names.toSeq.sorted.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def decodeNames(s: String): Option[Set[String]] = try {
+    if (!s.startsWith("=")) return None
+    val raw = new String(java.util.Base64.getDecoder.decode(s.substring(1)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    Some(if (raw.isEmpty) Set.empty else raw.split("\n", -1).toSet)
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   def deserialize(line: String): Option[PartStats] = try {
     val p = line.trim.split(",", -1)
-    // 7 fields = pre-r9 sidecars (no bloom); 8th field = base64 token bloom
-    if (p.length != 7 && p.length != 8) return None
+    // 7 fields = pre-r9; 8th = base64 token bloom; 9th = distinct-name set
+    if (p.length < 7 || p.length > 9) return None
     def l(i: Int) = if (p(i).isEmpty) None else Some(p(i).toLong)
     def d(i: Int) = if (p(i).isEmpty) None else Some(p(i).toDouble)
-    val bloom = if (p.length == 8 && p(7).nonEmpty) TokenBloom.fromBase64(p(7)) else None
-    Some(PartStats(p(0).toLong, l(1), l(2), l(3), l(4), d(5), d(6), bloom))
+    val bloom = if (p.length >= 8 && p(7).nonEmpty) TokenBloom.fromBase64(p(7)) else None
+    val names = if (p.length == 9 && p(8).nonEmpty) decodeNames(p(8)) else None
+    Some(PartStats(p(0).toLong, l(1), l(2), l(3), l(4), d(5), d(6), bloom, names))
   } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Stats of a part file, if a parsable sidecar exists next to it. */
@@ -851,7 +880,7 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
     require(pushedAgg.isEmpty && topN < 0 && limit < 0 && !dedupLatest,
       "graft-sharded streaming read serves raw rows (filters/columns push; agg/TopN/limit/dedup do not)")
     new ShardedMicroBatchStream(path, required, rowPred, staticShards,
-      startingOffsets, maxPartsPerTrigger)
+      startingOffsets, maxPartsPerTrigger, splitBytes)
   }
   override def description(): String =
     s"graft-sharded $path " +
@@ -919,7 +948,7 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
   /** Do the pushed predicates constrain any stats-covered dimension? */
   private def statsRelevant: Boolean =
     rowPred.tokenIn.isDefined || rowPred.tsMin.isDefined || rowPred.tsMax.isDefined ||
-      rowPred.vMin.isDefined || rowPred.vMax.isDefined ||
+      rowPred.vMin.isDefined || rowPred.vMax.isDefined || rowPred.nameIn.isDefined ||
       rowPred.notNull.exists(c => c == "token_id" || c == "ts_us" || c == "v")
 
   /** Parts dropped by minmax-sidecar pruning (observability: `description`). */

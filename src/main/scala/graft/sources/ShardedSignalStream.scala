@@ -37,10 +37,21 @@ import org.apache.spark.sql.types.StructType
   * replayed micro-batch (restart before the sink ack) re-plans the same
   * part diff from its checkpointed offsets — exactly-once end to end with
   * an idempotent sink.
+  *
+  * Offset size: an offset names every processed part (~40 B each), so a
+  * long tail over many epochs grows the checkpoint entry linearly —
+  * ~400 KB at 10k parts, checkpoint-log-sized, not data-sized. The
+  * maintenance cycle bounds it structurally: optimize between streams
+  * collapses a shard to one part, and the next stream (startingOffsets=
+  * earliest over the compacted store, or latest to tail on) restarts
+  * from a one-entry-per-shard offset. Oversized epoch parts byte-range
+  * split WITHIN a micro-batch (`splitBytes`), so one hot publish cannot
+  * serialize the batch.
   */
 class ShardedMicroBatchStream(path: String, required: StructType,
     pred: ShardRowPredicate, staticShards: Option[Set[Int]],
-    startingOffsets: String, maxPartsPerTrigger: Int)
+    startingOffsets: String, maxPartsPerTrigger: Int,
+    splitBytes: Long = ShardedSignalSource.DefaultSplitBytes)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   require(startingOffsets == "earliest" || startingOffsets == "latest",
@@ -122,11 +133,27 @@ class ShardedMicroBatchStream(path: String, required: StructType,
       val seen = s.getOrElse(k, Seq.empty).toSet
       val fresh = names.filterNot(seen)
         .map(n => new File(resolve(k, n)))
-        // minmax sidecars skip whole NEW parts against the pushed
-        // predicates, exactly like the batch scan's planning-time prune
+        // minmax/bloom/name-set sidecars skip whole NEW parts against the
+        // pushed predicates, exactly like the batch scan's planning prune
         .filter(f => PartStats.read(f).forall(_.mayMatch(pred, tb)))
-      if (fresh.isEmpty) None
-      else Some(ShardPartition(fresh.map(_.getAbsolutePath), k.toInt): InputPartition)
+      val (big, small) = fresh.partition(f =>
+        f.length() > splitBytes && !ByteRangeLines.isCompressed(f.getName))
+      // an oversized epoch part must not serialize its micro-batch: fan it
+      // out into byte ranges (the batch scan's split path, same readers);
+      // streaming reports no key-grouping, so splitting is always safe
+      val splits = big.flatMap { f =>
+        val len = f.length()
+        val n = ((len + splitBytes - 1) / splitBytes).toInt
+        (0 until n).map { i =>
+          val st = i * splitBytes
+          ShardSplitPartition(f.getAbsolutePath, k.toInt, st,
+            math.min(st + splitBytes, len)): InputPartition
+        }
+      }
+      val whole =
+        if (small.isEmpty) None
+        else Some(ShardPartition(small.map(_.getAbsolutePath), k.toInt): InputPartition)
+      splits ++ whole
     }.toArray
   }
 

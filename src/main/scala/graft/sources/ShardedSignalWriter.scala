@@ -371,6 +371,9 @@ class ShardedDataWriter(stagingDir: String, schema: StructType, codec: String,
   private var vSeen = false; private var vMin = 0.0; private var vMax = 0.0
   // per-part token bloom (the sidecar's skip index; 2 KB, see TokenBloom)
   private var bloom: Array[Long] = TokenBloom.empty()
+  // per-part distinct-name set (the `set(N)` skip index; overflow → None)
+  private var names = scala.collection.mutable.HashSet.empty[String]
+  private var namesOverflow = false
 
   private def ext: String = codec match {
     case "gzip" => ".csv.gz"
@@ -393,7 +396,8 @@ class ShardedDataWriter(stagingDir: String, schema: StructType, codec: String,
       if (tokSeen) Some(tokMin) else None, if (tokSeen) Some(tokMax) else None,
       if (tsSeen) Some(tsMin) else None, if (tsSeen) Some(tsMax) else None,
       if (vSeen) Some(vMin) else None, if (vSeen) Some(vMax) else None,
-      if (tokSeen) Some(bloom) else None)
+      if (tokSeen) Some(bloom) else None,
+      if (namesOverflow) None else Some(names.toSet))
     PartStats.write(new File(stagingDir, sidecarRel + attemptSuffix), stats)
     files += sidecarRel
   }
@@ -424,6 +428,8 @@ class ShardedDataWriter(stagingDir: String, schema: StructType, codec: String,
     partRows = 0L; partBytes = 0L
     tokSeen = false; tsSeen = false; vSeen = false
     bloom = TokenBloom.empty()
+    names = scala.collection.mutable.HashSet.empty[String]
+    namesOverflow = false
   }
 
   private def attemptSuffix: String = if (deterministicNames) s".t$taskId" else ""
@@ -446,6 +452,10 @@ class ShardedDataWriter(stagingDir: String, schema: StructType, codec: String,
         throw new IllegalArgumentException(
           s"graft-sharded write: name may not contain ','/newline: '$name'")
       sb.append(name)
+      if (!namesOverflow && names.add(name) && names.size > PartStats.MaxNameSet) {
+        namesOverflow = true
+        names.clear() // bounded metadata: high-cardinality parts get no set index
+      }
     }
     sb.append(',')
     if (!row.isNullAt(vIdx)) sb.append(java.lang.Double.toString(row.getDouble(vIdx)))

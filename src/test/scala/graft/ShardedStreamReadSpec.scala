@@ -21,13 +21,14 @@ class ShardedStreamReadSpec extends SparkTestBase {
     StructField("name", StringType, nullable = true),
     StructField("v", DoubleType, nullable = true)))
 
-  private def batchDf(tokens: Seq[Long], name: String = "click"): DataFrame =
+  private def batchDf(tokens: Seq[Long], name: String = "click", tsOff: Long = 0L): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.parallelize(
-        tokens.map(t => Row((t % 2).toInt, t, t * 100, name, 1.0)), 2), schema)
+        tokens.map(t => Row((t % 2).toInt, t, tsOff + t * 100, name, 1.0)), 2), schema)
 
-  private def append(dir: String, tokens: Seq[Long], name: String = "click"): Unit =
-    batchDf(tokens, name).write.format("graft-sharded").mode("append").save(dir)
+  private def append(dir: String, tokens: Seq[Long], name: String = "click",
+      tsOff: Long = 0L): Unit =
+    batchDf(tokens, name, tsOff).write.format("graft-sharded").mode("append").save(dir)
 
   test("tails new parts exactly-once across stop/restart (part-set offsets in the checkpoint)") {
     val root = Files.createTempDirectory("graft-streamread")
@@ -130,6 +131,40 @@ class ShardedStreamReadSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("tail + stateful latest aggregation ≡ the batch snapshot (the consuming sync loop)") {
+    val root = Files.createTempDirectory("graft-streamstate")
+    val store = root.resolve("store").toString
+    append(store, 0L until 8L, "speed")
+    append(store, 0L until 8L, "speed", tsOff = 1000000L)
+
+    // the reference's consuming loop: maintain latest-per-(token, signal)
+    // incrementally from the tail — Spark's stateful aggregation over the
+    // part-diff stream
+    val q = spark.readStream.format("graft-sharded").load(store)
+      .groupBy("token_id", "name").agg(max("ts_us").as("last_us"))
+      .writeStream.format("memory").queryName("latest_state")
+      .outputMode("complete")
+      .option("checkpointLocation", root.resolve("ckpt").toString).start()
+    try {
+      q.processAllAvailable()
+      def batchSnap() = spark.read.format("graft-sharded").load(store)
+        .groupBy("token_id", "name").agg(max("ts_us").as("last_us"))
+      def agree(): Unit = {
+        val s = spark.table("latest_state")
+        assert(s.exceptAll(batchSnap()).count() === 0 &&
+          batchSnap().exceptAll(s).count() === 0)
+      }
+      agree()
+      // new epochs move the state forward incrementally — only the diff is read
+      append(store, 0L until 8L, "speed", tsOff = 2000000L)
+      append(store, 0L until 4L, "soc")
+      q.processAllAvailable()
+      agree()
+      assert(spark.table("latest_state").where("name = 'speed' AND last_us < 2000000")
+        .count() === 0, "stale versions must not survive in the state")
+    } finally q.stop()
+  }
+
   test("closes the loop: streaming-ingested epochs tail back out exactly-once") {
     val root = Files.createTempDirectory("graft-streamloop")
     val inDir = Files.createDirectory(root.resolve("in"))
@@ -160,6 +195,25 @@ class ShardedStreamReadSpec extends SparkTestBase {
       .trigger(Trigger.AvailableNow()).start()
     try assert(tail.awaitTermination(120000)) finally tail.stop()
     assert(rows === 60, "every epoch-published part tails out exactly once")
+  }
+
+  test("an oversized epoch part byte-range splits within its micro-batch") {
+    val root = Files.createTempDirectory("graft-streamsplit")
+    val store = root.resolve("store").toString
+    append(store, 0L until 2000L) // one append → one sizable part per shard
+    var parts = 0
+    var rows = 0L
+    val q = spark.readStream.format("graft-sharded")
+      .option("splitBytes", "4096").load(store)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        parts = df.rdd.getNumPartitions; rows += df.count(); ()
+      }
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    assert(rows === 2000, "split ranges must cover every row exactly once")
+    assert(parts > 2, s"a 2-shard batch must fan out beyond 2 tasks, got $parts")
   }
 
   test("offsets serialize deterministically and round-trip") {

@@ -102,6 +102,53 @@ class TokenBloomSpec extends SparkTestBase {
     assert(big.map(_.files.size).sum === 2, "large sets fall back to the range cut")
   }
 
+  test("distinct-name SET sidecar prunes parts by pushed name predicates; overflow disables it") {
+    val dir = Files.createTempDirectory("graft-nameset").toFile.getAbsolutePath
+    def batch(names: Seq[String]): DataFrame =
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        names.zipWithIndex.flatMap { case (n, i) =>
+          (0L until 10L).map(t => Row(0, t, 100L * i + t, n, 1.0)) }, 2), schema)
+    batch(Seq("click")).write.format("graft-sharded").mode("append").save(dir)
+    batch(Seq("purchase")).write.format("graft-sharded").mode("append").save(dir)
+    // a third part with > MaxNameSet distinct names: set index omitted
+    batch((0 until PartStats.MaxNameSet + 5).map(i => s"n$i"))
+      .write.format("graft-sharded").mode("append").save(dir)
+
+    val q = spark.read.format("graft-sharded").load(dir)
+      .where(col("name") === "purchase")
+    assert(q.count() === 10)
+    val plan = q.queryExecution.executedPlan.toString
+    // the click-only part pruned by its name set; the overflow part kept
+    // (no set recorded) and filtered at parse time instead
+    assert(plan.contains("statsPrunedParts=1"), s"name-set must prune:\n$plan")
+
+    // a name no part has: set-indexed parts prune, overflow part read
+    val none = spark.read.format("graft-sharded").load(dir)
+      .where(col("name") === "nope")
+    assert(none.count() === 0)
+    assert(none.queryExecution.executedPlan.toString.contains("statsPrunedParts=2"))
+
+    // IN over both real names keeps both set-indexed parts
+    val both = spark.read.format("graft-sharded").load(dir)
+      .where(col("name").isin("click", "purchase"))
+    assert(both.count() === 20)
+    assert(both.queryExecution.executedPlan.toString.contains("statsPrunedParts=0") ||
+      !both.queryExecution.executedPlan.toString.contains("statsPrunedParts="))
+  }
+
+  test("name-set codec: empty set distinct from absent; legacy 8-field sidecars parse") {
+    val s = PartStats(3L, Some(1L), Some(2L), None, None, None, None,
+      None, Some(Set("a b", "c")))
+    val back = PartStats.deserialize(PartStats.serialize(s)).get
+    assert(back.nameSet === Some(Set("a b", "c")))
+    val empty = PartStats(3L, None, None, None, None, None, None, None, Some(Set.empty))
+    assert(PartStats.deserialize(PartStats.serialize(empty)).get.nameSet === Some(Set.empty))
+    val legacy8 = PartStats.deserialize(
+      PartStats.serialize(PartStats(1L, Some(1L), Some(1L), None, None, None, None,
+        Some(TokenBloom.empty()), None))).get
+    assert(legacy8.nameSet.isEmpty && legacy8.tokenBloom.isDefined)
+  }
+
   test("StoreOptimize's merged part carries a fresh bloom") {
     val dir = interleavedStore()
     graft.jobs.StoreOptimize.optimize(spark, dir)
