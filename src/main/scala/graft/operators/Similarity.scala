@@ -370,4 +370,35 @@ object Similarity {
       .groupBy(col("id_b"))
       .agg(min(col("id_a")).as("keeper_id"), max(col("cos")).as("max_cos"))
       .select(col("id_b").as("dropped_id"), col("keeper_id"), col("max_cos"))
+
+  /** SEMANTIC decontamination (r9): flag TRAIN vectors whose embedding is
+    * close to any TEST/benchmark vector — the embedding-level form of the
+    * n-gram decontamination pass (q73/q125 catch verbatim leakage; a
+    * paraphrased eval item only shows up in embedding space). Cross-set
+    * variant of the bucketed near-dup join: both sides assign to their
+    * `m` nearest centroids, candidates are co-bucketed (train, test)
+    * pairs — Σ |train bucket|·|test bucket| work, never |train|·|test| —
+    * and one hash aggregate per condemned train vector emits the
+    * evidence (hit count + strongest condemning similarity). At 100 TB
+    * the test side is tiny (an eval suite) and broadcasts; the train
+    * side streams through its buckets once.
+    */
+  def semanticContamination(corpus: DataFrame, centroids: DataFrame,
+      isTest: Column, threshold: Double, m: Int = 1): DataFrame = {
+    val listed =
+      (if (m <= 1) assignLists(corpus, centroids) else assignListsMulti(corpus, centroids, m))
+        .withColumn("is_test", isTest)
+    val train = listed.where(!col("is_test"))
+      .select(col("cid"), col("vid").as("train_id"), col("v").as("va"), col("nrm").as("na"))
+    val test = listed.where(col("is_test"))
+      .select(col("cid"), col("vid").as("test_id"), col("v").as("vb"), col("nrm").as("nb"))
+    train.join(test, Seq("cid"))
+      .withColumn("cos", cosine(col("va"), col("na"), col("vb"), col("nb")))
+      .where(col("cos") > threshold)
+      .groupBy(col("train_id"))
+      // multi-assignment can surface a (train, test) pair in several
+      // buckets: count DISTINCT condemning test vectors; max is
+      // duplicate-insensitive
+      .agg(countDistinct(col("test_id")).as("n_hits"), max(col("cos")).as("max_cos"))
+  }
 }

@@ -338,6 +338,43 @@ object DedupQueries {
       }
     ),
 
+    // ── SEMANTIC decontamination (r9): train vectors condemned by any
+    //    co-bucketed TEST vector above cosine 0.4 — the embedding-level
+    //    decontamination pass (q73/q125 catch verbatim n-gram leakage;
+    //    paraphrased eval items only show up here). Test set = the
+    //    deterministic vec_id % 10 == 0 slice; same IVF bucketing as q44
+    //    (m=2 nearest of 16 anchor centroids), so candidate work is
+    //    per-bucket cross products, never |train|x|test|. Evidence per
+    //    condemned train doc: distinct condemning test docs + strongest
+    //    similarity (order-independent aggregates of per-pair IEEE
+    //    doubles — the cross-engine-deterministic form q44 established).
+    QueryDef(
+      "q204_semantic_decontam",
+      (s, d) => {
+        val corpus = Similarity.prepare(emb(s, d), "vec_id", "embedding")
+        Similarity.semanticContamination(
+          corpus, centroids = corpus.where(col("vid") < 16),
+          isTest = col("vid") % 10 === 0, threshold = 0.4, m = 2)
+      },
+      Some {
+        def dotSql(a: String, b: String) =
+          s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])), (x,y) -> x+y)"
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(0.0, v), (a,b) -> a + b*b)) nrm FROM e),
+        c AS (SELECT vec_id cid, v cv, nrm cn FROM n WHERE vec_id < 16),
+        assigned AS (SELECT vec_id, v, nrm, cid FROM (
+          SELECT n.vec_id, n.v, n.nrm, c.cid,
+            row_number() OVER (PARTITION BY n.vec_id ORDER BY ${dotSql("cv", "v")} / (cn*nrm) DESC, c.cid ASC) crank
+          FROM n CROSS JOIN c) WHERE crank <= 2),
+        p AS (SELECT tr.vec_id train_id, te.vec_id test_id,
+          ${dotSql("tr.v", "te.v")} / (tr.nrm*te.nrm) cos
+          FROM assigned tr JOIN assigned te ON tr.cid = te.cid
+          WHERE tr.vec_id % 10 <> 0 AND te.vec_id % 10 = 0)
+        SELECT train_id, count(DISTINCT test_id)::BIGINT n_hits, max(cos) max_cos
+        FROM p WHERE cos > 0.4 GROUP BY 1"""
+      }
+    ),
+
     // ── Exact-substring duplicate spans: any 50-char window occurring ≥ 2
     //    times in the corpus marks the characters it covers; per doc,
     //    dup_chars = exact union length of the duplicated intervals (what

@@ -103,6 +103,18 @@ class PlanSpec extends SparkTestBase {
       s"q44 pair join is not an equi-join\n$p")
   }
 
+  test("q204 semantic decontamination: train x test candidates are co-bucketed, no cartesian") {
+    val p = plan("q204_semantic_decontam")
+    assert(!p.contains("CartesianProduct"), s"q204 went quadratic\n$p")
+    // same shape contract as q44: nested loops only for the broadcast
+    // centroid assignment; the cross-set candidate join is an equi-join
+    // on the bucket id, never |train| x |test|
+    val bnlj = p.split("\n").count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"q204 has $bnlj nested-loop joins — candidate join degenerated\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      s"q204 candidate join is not an equi-join\n$p")
+  }
+
   test("as-of join is join-free: union + window only") {
     val p = plan("q20_asof_join")
     assert(!p.contains("Join"), "as-of must compose via union+window, not a join\n" + p)

@@ -180,4 +180,40 @@ class PropertySpec extends AnyFunSuite {
       merge == naive && asof == asofOracle
     }, min = 8)
   }
+
+  test("naturalNameOrder is a total order with numeric-run semantics (r9 part ordering)") {
+    val ord = graft.sources.ShardedSignalSource.naturalNameOrder
+    val nameGen = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString),
+      Gen.choose(0L, 999999L).map(_.toString),
+      Gen.const("0"), Gen.const("00"), Gen.const("007")))
+      .map(_.mkString("-"))
+    checkProp(Prop.forAll(nameGen, nameGen, nameGen) { (a, b, c) =>
+      def sg(x: String, y: String) = math.signum(ord.compare(x, y))
+      val antisym = sg(a, b) == -sg(b, a)
+      val refl = ord.compare(a, a) == 0
+      def le(x: String, y: String) = ord.compare(x, y) <= 0
+      val trans = !(le(a, b) && le(b, c)) || le(a, c)
+      // distinct names must never compare equal (activeParts determinism):
+      // numerically-equal digit runs fall through to the raw-string order
+      val strict = ord.compare(a, b) != 0 || a == b
+      antisym && refl && trans && strict
+    }, min = 500)
+    // numeric epoch semantics: e<N> ordering is Long ordering
+    checkProp(Prop.forAll(Gen.choose(0L, 1000000L), Gen.choose(0L, 1000000L)) { (x, y) =>
+      math.signum(ord.compare(s"part-e$x-0-0.csv", s"part-e$y-0-0.csv")) ==
+        math.signum(java.lang.Long.compare(x, y))
+    }, min = 300)
+  }
+
+  test("TokenBloom never false-negatives, for any token set (r9 skip index)") {
+    checkProp(Prop.forAll(Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue))) { toks =>
+      val b = graft.sources.TokenBloom.empty()
+      toks.foreach(graft.sources.TokenBloom.add(b, _))
+      toks.forall(graft.sources.TokenBloom.mightContain(b, _)) &&
+        // codec round trip preserves every bit
+        graft.sources.TokenBloom.fromBase64(
+          graft.sources.TokenBloom.toBase64(b)).get.sameElements(b)
+    }, min = 100)
+  }
 }
