@@ -118,16 +118,22 @@ object StoreOptimize {
     Option(dir.listFiles()).getOrElse(Array.empty).toSeq.filter { p =>
       p.isFile && {
         val n = p.getName
-        (n.startsWith("part-opt-") && !keep.contains(n)) ||
+        (maintenancePart(n) && !keep.contains(n)) ||
           (n.startsWith(".") && n.endsWith(".minmax") &&
-            n.substring(1, n.length - ".minmax".length).startsWith("part-opt-") &&
+            maintenancePart(n.substring(1, n.length - ".minmax".length)) &&
             !keep.contains(n.substring(1, n.length - ".minmax".length))) ||
           (n.startsWith(".") && (n.endsWith(".tmp") || n.contains(".tmp-")))
       }
     }
   }
 
-  private def atomicWrite(target: File, lines: Seq[String]): Unit = {
+  /** Part names only the maintenance jobs produce (crashed-run residue is
+    * identifiable by prefix; writer parts never collide with these).
+    */
+  private[graft] def maintenancePart(n: String): Boolean =
+    n.startsWith("part-opt-") || n.startsWith("part-ret-")
+
+  private[graft] def atomicWrite(target: File, lines: Seq[String]): Unit = {
     val tmp = new File(target.getParentFile,
       s".${target.getName}.tmp-${java.util.UUID.randomUUID()}")
     val w = new java.io.FileOutputStream(tmp)
@@ -136,7 +142,7 @@ object StoreOptimize {
     graft.sources.WriterFiles.moveReplace(tmp, target)
   }
 
-  private def ext(codec: String): String = codec match {
+  private[graft] def ext(codec: String): String = codec match {
     case "gzip" => ".csv.gz"
     case "zstd" => ".csv.zst"
     case "none" => ".csv"
@@ -162,13 +168,10 @@ object StoreOptimize {
     }
 
     val mergedName = s"part-opt-${java.util.UUID.randomUUID().toString.take(12)}${ext(t.codec)}"
-    val sidecarName = PartStats.sidecarName(mergedName)
-    val stagedPart = new File(dir, s".$mergedName.tmp")
-    val stagedSidecar = new File(dir, s".$sidecarName.tmp")
 
     // step 2: merge-read the sorted parts (the MergeTree read) and stream
     // the merged — still sorted — rows straight back out as one part,
-    // collecting its minmax sidecar on the way through
+    // collecting its minmax/bloom/name-set sidecar on the way through
     val schema = ShardedSignalSource.Schema
     val merge = new ShardedMergeReader(
       t.parts.map(n => new File(dir, n).getAbsolutePath),
@@ -176,77 +179,20 @@ object StoreOptimize {
     val reader: org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
       if (t.finalDedup) new LatestCollapseReader(merge, schema, schema) else merge
 
-    val raw = new java.io.BufferedOutputStream(new java.io.FileOutputStream(stagedPart), 1 << 16)
-    val out: java.io.OutputStream = t.codec match {
-      case "gzip" => new java.util.zip.GZIPOutputStream(raw, 1 << 16)
-      case "zstd" => new com.github.luben.zstd.ZstdOutputStream(raw)
-      case _ => raw
-    }
-    var rows = 0L
-    var tokSeen = false; var tokMin = 0L; var tokMax = 0L
-    var tsSeen = false; var tsMin = 0L; var tsMax = 0L
-    var vSeen = false; var vMin = 0.0; var vMax = 0.0
-    val bloom = graft.sources.TokenBloom.empty()
-    val names = scala.collection.mutable.HashSet.empty[String]
-    var namesOverflow = false
-    val sb = new java.lang.StringBuilder(64)
+    val pw = new graft.sources.PartStreamWriter(dir, mergedName, t.codec)
     try {
-      while (reader.next()) {
-        val r = reader.get()
-        sb.setLength(0)
-        if (!r.isNullAt(1)) { // token_id
-          val v = r.getLong(1); sb.append(v)
-          if (!tokSeen) { tokSeen = true; tokMin = v; tokMax = v }
-          else { if (v < tokMin) tokMin = v; if (v > tokMax) tokMax = v }
-          graft.sources.TokenBloom.add(bloom, v)
-        }
-        sb.append(',')
-        if (!r.isNullAt(2)) { // ts_us
-          val v = r.getLong(2); sb.append(v)
-          if (!tsSeen) { tsSeen = true; tsMin = v; tsMax = v }
-          else { if (v < tsMin) tsMin = v; if (v > tsMax) tsMax = v }
-        }
-        sb.append(',')
-        if (!r.isNullAt(3)) { // name: came from a part, already valid
-          val n = r.getUTF8String(3).toString
-          sb.append(n)
-          if (!namesOverflow && names.add(n) && names.size > PartStats.MaxNameSet) {
-            namesOverflow = true; names.clear()
-          }
-        }
-        sb.append(',')
-        if (!r.isNullAt(4)) { // v
-          val v = r.getDouble(4); sb.append(java.lang.Double.toString(v))
-          if (!vSeen) { vSeen = true; vMin = v; vMax = v }
-          else {
-            if (ShardRowPredicate.cmpD(v, vMin) < 0) vMin = v
-            if (ShardRowPredicate.cmpD(v, vMax) > 0) vMax = v
-          }
-        }
-        sb.append('\n')
-        out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
-        rows += 1
-      }
+      while (reader.next()) pw.write(reader.get())
     } finally {
-      out.close()
+      pw.finishStaged()
       reader.close()
     }
-    PartStats.write(stagedSidecar, PartStats(rows,
-      if (tokSeen) Some(tokMin) else None, if (tokSeen) Some(tokMax) else None,
-      if (tsSeen) Some(tsMin) else None, if (tsSeen) Some(tsMax) else None,
-      if (vSeen) Some(vMin) else None, if (vSeen) Some(vMax) else None,
-      if (tokSeen) Some(bloom) else None,
-      if (namesOverflow) None else Some(names.toSet)))
-
-    // rename staged → canonical (visible to a listing, absent from the
-    // manifest — manifest readers still see the old parts)
-    if (!stagedPart.renameTo(new File(dir, mergedName)) ||
-      !stagedSidecar.renameTo(new File(dir, sidecarName)))
-      throw new IllegalStateException(s"store-optimize: cannot finalize $mergedName in $dir")
+    // staged → canonical (visible to a listing, absent from the manifest —
+    // manifest readers still see the old parts)
+    pw.publish()
 
     publishMerged(dir, t.parts, mergedName)
 
-    ShardResult(t.shard, t.parts.size, rows, mergedName)
+    ShardResult(t.shard, t.parts.size, pw.rows, mergedName)
   }
 
   /** Steps 3–4 of the publish protocol (package-visible: the race with a
@@ -272,11 +218,11 @@ object StoreOptimize {
     * batch/streaming commit between its file publish and its manifest
     * registration (ADVICE r8: the old keep-set sweep deleted them).
     */
-  private def gcResidue(dir: File, retired: Set[String]): Unit = {
+  private[graft] def gcResidue(dir: File, retired: Set[String]): Unit = {
     val listed: Set[String] =
       graft.sources.WriterFiles.readManifest(dir).map(_.toSet).getOrElse(Set.empty)
     def dead(part: String): Boolean =
-      retired.contains(part) || (part.startsWith("part-opt-") && !listed.contains(part))
+      retired.contains(part) || (maintenancePart(part) && !listed.contains(part))
     Option(dir.listFiles()).getOrElse(Array.empty).foreach { p =>
       val n = p.getName
       if (p.isFile) {

@@ -1,0 +1,154 @@
+package graft.jobs
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.{PartStats, PartStreamWriter, ShardRowPredicate, ShardedPartitionReader, ShardedSignalSource, WriterFiles}
+
+/** `TTL … DELETE` for the sharded signal store — the third MergeTree
+  * lifecycle piece after ingest (the V2 writer) and merges
+  * ([[StoreOptimize]]): ClickHouse tables like the reference's carry a
+  * retention TTL and the server drops expired rows part-by-part. This job
+  * expires every row with `ts_us < cutoff`, at PART granularity wherever
+  * the sidecars prove it:
+  *
+  *   - a part whose `tsMax < cutoff` AND with zero null-ts rows (the 10th
+  *     sidecar field) drops WHOLE — no bytes read, exactly how a TTL
+  *     merge drops an expired part;
+  *   - a part whose `tsMin >= cutoff` survives WHOLE — untouched bytes,
+  *     untouched name (its position in the manifest, and therefore the
+  *     `dedup=latest` ingest-order tie-break, is preserved);
+  *   - only STRADDLING parts (and parts without a provable sidecar) are
+  *     rewritten, streaming their surviving rows into a `part-ret-*`
+  *     part that takes the original's manifest position.
+  *
+  * NULL `ts_us` rows never expire (ClickHouse's TTL-on-NULL rule): a
+  * whole-part drop therefore requires the null-count proof; sidecars
+  * written before the count existed force a (lossless) rewrite instead.
+  *
+  * Publish protocol = StoreOptimize's MVCC-lite: adopt manifest → stage
+  * rewrites as dot-files → publish canonical (invisible to manifest
+  * readers) → one read-modify-rename FLIP per shard (drop expired names,
+  * substitute rewritten names IN PLACE) → GC exactly the retired parts +
+  * maintenance residue. Readers see the old snapshot or the new one,
+  * never a mix; concurrent commits' registrations survive the flip; a
+  * crashed run's `part-ret-*` residue is collected by the next
+  * maintenance pass. Same single-maintenance-job-per-store discipline.
+  */
+object StoreRetention {
+
+  /** One shard's outcome. `rowsExpired` counts rows removed by rewrites
+    * only (whole-dropped parts are never read — their row counts come
+    * from sidecars into `rowsDroppedWhole`).
+    */
+  case class ShardResult(shard: Int, droppedParts: Int, rewrittenParts: Int,
+      keptParts: Int, rowsDroppedWhole: Long, rowsExpired: Long, rowsKept: Long)
+
+  private case class RetTask(shard: Int, dir: String, parts: Seq[String],
+      cutoff: Long, codec: String)
+
+  def expire(spark: SparkSession, path: String, cutoffTsUs: Long,
+      codec: String = "zstd"): Seq[ShardResult] = {
+    val root = new File(path)
+    val shardDirs = Option(root.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+      f.getName match {
+        case ShardedSignalSource.ShardDir(k) if f.isDirectory => Some(k.toInt -> f)
+        case _ => None
+      }
+    }.sortBy(_._1)
+
+    val tasks = shardDirs.flatMap { case (k, dir) =>
+      val parts = ShardedSignalSource.activeParts(dir)
+      // skip shards that provably keep every part whole
+      val allKeep = parts.nonEmpty && parts.forall(p =>
+        PartStats.read(p).exists(s => s.tsMin.forall(_ >= cutoffTsUs)))
+      if (parts.isEmpty || allKeep) None
+      else Some(RetTask(k, dir.getAbsolutePath, parts.map(_.getName), cutoffTsUs, codec))
+    }
+    if (tasks.isEmpty) return Seq.empty
+
+    val results = spark.sparkContext
+      .parallelize(tasks, tasks.size)
+      .map(runTask)
+      .collect().toSeq
+    results.sortBy(_.shard)
+  }
+
+  private sealed trait Disposition
+  private case object KeepWhole extends Disposition
+  private case object DropWhole extends Disposition
+  private case object Rewrite extends Disposition
+
+  private def classify(stats: Option[PartStats], cutoff: Long): Disposition = stats match {
+    case Some(s) if s.tsMin.forall(_ >= cutoff) => KeepWhole // all-null ts: never expires
+    case Some(s) if s.rows == 0 => DropWhole
+    case Some(s) if s.tsMax.exists(_ < cutoff) && s.nullTsRows.contains(0L) => DropWhole
+    case _ => Rewrite // straddling, or no (provable) sidecar
+  }
+
+  private def runTask(t: RetTask): ShardResult = {
+    val dir = new File(t.dir)
+    val manifest = new File(dir, "_parts")
+    if (!manifest.isFile) StoreOptimize.atomicWrite(manifest,
+      ShardedSignalSource.activeParts(dir).map(_.getName))
+
+    var rowsDroppedWhole = 0L
+    var rowsExpired = 0L
+    var rowsKept = 0L
+    var dropped = 0
+    var rewritten = 0
+    var kept = 0
+    // old name -> None (drop) | Some(newName) (substitute in place)
+    val replace = scala.collection.mutable.Map.empty[String, Option[String]]
+
+    t.parts.foreach { name =>
+      val part = new File(dir, name)
+      classify(PartStats.read(part), t.cutoff) match {
+        case KeepWhole => kept += 1
+        case DropWhole =>
+          rowsDroppedWhole += PartStats.read(part).map(_.rows).getOrElse(0L)
+          replace(name) = None
+          dropped += 1
+        case Rewrite =>
+          val newName = s"part-ret-${java.util.UUID.randomUUID().toString.take(12)}${StoreOptimize.ext(t.codec)}"
+          val pw = new PartStreamWriter(dir, newName, t.codec)
+          val reader = new ShardedPartitionReader(part.getAbsolutePath, t.shard,
+            ShardedSignalSource.Schema, ShardRowPredicate.Trivial)
+          try {
+            while (reader.next()) {
+              val r = reader.get()
+              // survive = null ts (never expires) or ts >= cutoff
+              if (r.isNullAt(2) || r.getLong(2) >= t.cutoff) pw.write(r)
+              else rowsExpired += 1
+            }
+          } finally {
+            pw.finishStaged()
+            reader.close()
+          }
+          if (pw.rows == 0L) {
+            pw.abandon() // nothing survived: the part just drops
+            replace(name) = None
+            dropped += 1
+          } else {
+            pw.publish() // canonical but unlisted — invisible until the flip
+            rowsKept += pw.rows
+            replace(name) = Some(newName)
+            rewritten += 1
+          }
+      }
+    }
+
+    if (replace.nonEmpty) {
+      // FLIP: substitute in place / drop, preserving manifest (ingest)
+      // order and any entries a concurrent commit registered meanwhile
+      val current = WriterFiles.readManifest(dir).getOrElse(Seq.empty)
+      val next = current.flatMap(n => replace.getOrElse(n, Some(n)))
+      StoreOptimize.atomicWrite(manifest, next)
+      // GC exactly the retired originals (+ maintenance residue)
+      StoreOptimize.gcResidue(dir, retired = replace.keySet.toSet)
+    }
+
+    ShardResult(t.shard, dropped, rewritten, kept, rowsDroppedWhole, rowsExpired, rowsKept)
+  }
+}

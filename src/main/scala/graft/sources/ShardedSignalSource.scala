@@ -429,7 +429,10 @@ case class PartStats(rows: Long,
     tsMin: Option[Long], tsMax: Option[Long],
     vMin: Option[Double], vMax: Option[Double],
     tokenBloom: Option[Array[Long]] = None,
-    nameSet: Option[Set[String]] = None) {
+    nameSet: Option[Set[String]] = None,
+    // rows with NULL ts_us (10th field): retention needs it — null-ts rows
+    // never expire, so a whole-part drop must prove there are none
+    nullTsRows: Option[Long] = None) {
 
   /** Could any row of a part with these stats satisfy `pred`? Exact w.r.t.
     * the recorded dimensions, conservative elsewhere (name predicates are
@@ -511,7 +514,9 @@ object PartStats {
       s"${s.rows},${l(s.tokMin)},${l(s.tokMax)},${l(s.tsMin)},${l(s.tsMax)},${d(s.vMin)},${d(s.vMax)}"
     val bloomF = s.tokenBloom.map(TokenBloom.toBase64).getOrElse("")
     val nameF = s.nameSet.map(encodeNames).getOrElse("")
-    if (nameF.nonEmpty) s"$base,$bloomF,$nameF"
+    val nullF = s.nullTsRows.map(_.toString).getOrElse("")
+    if (nullF.nonEmpty) s"$base,$bloomF,$nameF,$nullF"
+    else if (nameF.nonEmpty) s"$base,$bloomF,$nameF"
     else if (bloomF.nonEmpty) s"$base,$bloomF"
     else base
   }
@@ -533,13 +538,15 @@ object PartStats {
 
   def deserialize(line: String): Option[PartStats] = try {
     val p = line.trim.split(",", -1)
-    // 7 fields = pre-r9; 8th = base64 token bloom; 9th = distinct-name set
-    if (p.length < 7 || p.length > 9) return None
+    // 7 fields = pre-r9; optional: 8th = base64 token bloom, 9th =
+    // distinct-name set, 10th = null-ts row count
+    if (p.length < 7 || p.length > 10) return None
     def l(i: Int) = if (p(i).isEmpty) None else Some(p(i).toLong)
     def d(i: Int) = if (p(i).isEmpty) None else Some(p(i).toDouble)
     val bloom = if (p.length >= 8 && p(7).nonEmpty) TokenBloom.fromBase64(p(7)) else None
-    val names = if (p.length == 9 && p(8).nonEmpty) decodeNames(p(8)) else None
-    Some(PartStats(p(0).toLong, l(1), l(2), l(3), l(4), d(5), d(6), bloom, names))
+    val names = if (p.length >= 9 && p(8).nonEmpty) decodeNames(p(8)) else None
+    val nullTs = if (p.length == 10) l(9) else None
+    Some(PartStats(p(0).toLong, l(1), l(2), l(3), l(4), d(5), d(6), bloom, names, nullTs))
   } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Stats of a part file, if a parsable sidecar exists next to it. */

@@ -374,6 +374,8 @@ class ShardedDataWriter(stagingDir: String, schema: StructType, codec: String,
   // per-part distinct-name set (the `set(N)` skip index; overflow → None)
   private var names = scala.collection.mutable.HashSet.empty[String]
   private var namesOverflow = false
+  // rows with null ts (retention's whole-drop proof — nulls never expire)
+  private var nullTs = 0L
 
   private def ext: String = codec match {
     case "gzip" => ".csv.gz"
@@ -397,7 +399,8 @@ class ShardedDataWriter(stagingDir: String, schema: StructType, codec: String,
       if (tsSeen) Some(tsMin) else None, if (tsSeen) Some(tsMax) else None,
       if (vSeen) Some(vMin) else None, if (vSeen) Some(vMax) else None,
       if (tokSeen) Some(bloom) else None,
-      if (namesOverflow) None else Some(names.toSet))
+      if (namesOverflow) None else Some(names.toSet),
+      Some(nullTs))
     PartStats.write(new File(stagingDir, sidecarRel + attemptSuffix), stats)
     files += sidecarRel
   }
@@ -430,6 +433,7 @@ class ShardedDataWriter(stagingDir: String, schema: StructType, codec: String,
     bloom = TokenBloom.empty()
     names = scala.collection.mutable.HashSet.empty[String]
     namesOverflow = false
+    nullTs = 0L
   }
 
   private def attemptSuffix: String = if (deterministicNames) s".t$taskId" else ""
@@ -475,7 +479,7 @@ class ShardedDataWriter(stagingDir: String, schema: StructType, codec: String,
       val t = row.getLong(tsIdx)
       if (!tsSeen) { tsSeen = true; tsMin = t; tsMax = t }
       else { if (t < tsMin) tsMin = t; if (t > tsMax) tsMax = t }
-    }
+    } else nullTs += 1
     if (!row.isNullAt(vIdx)) {
       val v = row.getDouble(vIdx)
       // recorded under Spark SQL's total order (ShardRowPredicate.cmpD) so
