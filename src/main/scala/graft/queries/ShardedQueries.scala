@@ -174,6 +174,47 @@ object ShardedQueries {
     })
   }
 
+  /** events → V2-written store (small parts) → `TTL DELETE` at the
+    * midpoint timestamp (StoreRetention: whole-part drops with sidecar
+    * proofs, straddler rewrites) — materialized once per fingerprint.
+    */
+  private val retainedDirs = scala.collection.mutable.Map.empty[String, String]
+
+  private def retainedDir(s: SparkSession, d: String): String = synchronized {
+    retainedDirs.getOrElseUpdate(d, {
+      val key = eventsFingerprint(d)
+      val dir = new File(s"/tmp/graft_sharded_ret/${new File(d).getName}_$key")
+      if (!new File(dir, "_RETAINED").exists()) {
+        val rows = ev(s, d)
+          .select(
+            coalesce(pmod(col("user_id"), lit(NShards.toLong)).cast("int"), lit(0)).as("shard"),
+            col("user_id").as("token_id"),
+            expr("unix_micros(ts)").as("ts_us"),
+            col("event_type").as("name"),
+            round(col("value") * 100).cast(LongType).cast("double").as("v"))
+        val mm = rows.agg(min(col("ts_us")), max(col("ts_us"))).collect()(0)
+        val cutoff = (mm.getLong(0) + mm.getLong(1)) / 2 // positive: div == floor
+        // three time-banded appends (the daily-ingest shape — batch parts
+        // roll by TOKEN inside one append, so time-sliced parts only come
+        // from time-sliced ingest): band A wholly-old → whole-drop on the
+        // sidecar proof, band B straddles the cutoff → lossless rewrite,
+        // band C wholly-new → untouched
+        val c1 = (mm.getLong(0) + cutoff) / 2
+        val c2 = (cutoff + mm.getLong(1)) / 2
+        Seq(col("ts_us") < c1,
+          col("ts_us") >= c1 && col("ts_us") < c2,
+          col("ts_us") >= c2 || col("ts_us").isNull).foreach { band =>
+          rows.where(band)
+            .write.format("graft-sharded").option("codec", "zstd")
+            .mode("append").save(dir.getAbsolutePath)
+        }
+        graft.jobs.StoreRetention.expire(s, dir.getAbsolutePath, cutoff, codec = "zstd")
+        new java.io.FileOutputStream(new File(dir, "_RETAINED")).close()
+      }
+      dir.getAbsolutePath
+    })
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // ── Per-token sync watermark through the sharded store: COUNT +
@@ -546,6 +587,34 @@ object ShardedQueries {
       Some("""SELECT user_id AS token_id, event_type AS name,
                CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us
              FROM events GROUP BY 1, 2""")
+    ),
+
+    // ── `TTL DELETE` declared end-to-end (r9): the store is written with
+    //    small parts (so BOTH retention dispositions occur: wholly-old
+    //    parts drop on their sidecar proof without a byte read,
+    //    straddlers rewrite losslessly), expired at the midpoint
+    //    timestamp, and the surviving store must equal the row-level
+    //    filter — per-signal counts, exact cent sums, and the ts range
+    //    whose minimum now sits at/after the cutoff. The cutoff is
+    //    integer midpoint arithmetic both engines floor identically
+    //    (non-negative epochs). At 100 TB a month-boundary expiry is
+    //    file-metadata work for every non-boundary part.
+    QueryDef(
+      "q205_retention",
+      (s, d) => s.read.format("graft-sharded").load(retainedDir(s, d))
+        .groupBy(col("name"))
+        .agg(count(lit(1)).as("n_signals"),
+          min(col("ts_us")).as("oldest_us"),
+          max(col("ts_us")).as("newest_us"),
+          sum(col("v").cast(LongType)).as("cents")),
+      Some("""WITH b AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) tsu, event_type,
+                 CAST(round(value*100) AS BIGINT) c FROM events),
+             cut AS (SELECT (min(tsu) + max(tsu)) // 2 AS cutoff FROM b)
+             SELECT event_type AS name, count(*)::BIGINT AS n_signals,
+               CAST(min(tsu) AS BIGINT) AS oldest_us,
+               CAST(max(tsu) AS BIGINT) AS newest_us,
+               sum(c)::BIGINT AS cents
+             FROM b, cut WHERE tsu IS NULL OR tsu >= cutoff GROUP BY 1""")
     )
   )
 }
