@@ -46,33 +46,38 @@ object StoreRetention {
       keptParts: Int, rowsDroppedWhole: Long, rowsExpired: Long, rowsKept: Long)
 
   private case class RetTask(shard: Int, dir: String, parts: Seq[String],
-      cutoff: Long, codec: String)
+      cutoff: Long, codec: String, granuleRows: Int)
 
   def expire(spark: SparkSession, path: String, cutoffTsUs: Long,
-      codec: String = "zstd"): Seq[ShardResult] = {
+      codec: String = "zstd",
+      granuleRows: Int = PartStreamWriter.DefaultGranuleRows): Seq[ShardResult] = {
     val root = new File(path)
-    val shardDirs = Option(root.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
-      f.getName match {
-        case ShardedSignalSource.ShardDir(k) if f.isDirectory => Some(k.toInt -> f)
-        case _ => None
+    MaintenanceLock.withLock(root, "retention") {
+      val shardDirs = Option(root.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+        f.getName match {
+          case ShardedSignalSource.ShardDir(k) if f.isDirectory => Some(k.toInt -> f)
+          case _ => None
+        }
+      }.sortBy(_._1)
+
+      val tasks = shardDirs.flatMap { case (k, dir) =>
+        val parts = ShardedSignalSource.activeParts(dir)
+        // skip shards that provably keep every part whole (a rows==0 part is
+        // NOT a keep — the task runs so the empty part drops)
+        val allKeep = parts.nonEmpty && parts.forall(p =>
+          PartStats.read(p).exists(s => s.rows > 0 && s.tsMin.forall(_ >= cutoffTsUs)))
+        if (parts.isEmpty || allKeep) None
+        else Some(RetTask(k, dir.getAbsolutePath, parts.map(_.getName), cutoffTsUs, codec,
+          granuleRows))
       }
-    }.sortBy(_._1)
+      if (tasks.isEmpty) return Seq.empty
 
-    val tasks = shardDirs.flatMap { case (k, dir) =>
-      val parts = ShardedSignalSource.activeParts(dir)
-      // skip shards that provably keep every part whole
-      val allKeep = parts.nonEmpty && parts.forall(p =>
-        PartStats.read(p).exists(s => s.tsMin.forall(_ >= cutoffTsUs)))
-      if (parts.isEmpty || allKeep) None
-      else Some(RetTask(k, dir.getAbsolutePath, parts.map(_.getName), cutoffTsUs, codec))
+      val results = spark.sparkContext
+        .parallelize(tasks, tasks.size)
+        .map(runTask)
+        .collect().toSeq
+      results.sortBy(_.shard)
     }
-    if (tasks.isEmpty) return Seq.empty
-
-    val results = spark.sparkContext
-      .parallelize(tasks, tasks.size)
-      .map(runTask)
-      .collect().toSeq
-    results.sortBy(_.shard)
   }
 
   private sealed trait Disposition
@@ -81,8 +86,10 @@ object StoreRetention {
   private case object Rewrite extends Disposition
 
   private def classify(stats: Option[PartStats], cutoff: Long): Disposition = stats match {
-    case Some(s) if s.tsMin.forall(_ >= cutoff) => KeepWhole // all-null ts: never expires
+    // rows == 0 FIRST (ADVICE r9): an empty part has tsMin = None, which the
+    // KeepWhole guard's `forall` would vacuously accept — empty parts drop
     case Some(s) if s.rows == 0 => DropWhole
+    case Some(s) if s.tsMin.forall(_ >= cutoff) => KeepWhole // all-null ts: never expires
     case Some(s) if s.tsMax.exists(_ < cutoff) && s.nullTsRows.contains(0L) => DropWhole
     case _ => Rewrite // straddling, or no (provable) sidecar
   }
@@ -112,7 +119,7 @@ object StoreRetention {
           dropped += 1
         case Rewrite =>
           val newName = s"part-ret-${java.util.UUID.randomUUID().toString.take(12)}${StoreOptimize.ext(t.codec)}"
-          val pw = new PartStreamWriter(dir, newName, t.codec)
+          val pw = PartStreamWriter.staged(dir, newName, t.codec, t.granuleRows)
           val reader = new ShardedPartitionReader(part.getAbsolutePath, t.shard,
             ShardedSignalSource.Schema, ShardRowPredicate.Trivial)
           try {
@@ -132,6 +139,9 @@ object StoreRetention {
             dropped += 1
           } else {
             pw.publish() // canonical but unlisted — invisible until the flip
+            // lineage: the rewrite's rows are a SUBSET of the original's, so
+            // a stream that consumed the original may skip the rewrite
+            StoreOptimize.writeLineage(dir, Seq(name), Seq(newName))
             rowsKept += pw.rows
             replace(name) = Some(newName)
             rewritten += 1

@@ -1,0 +1,175 @@
+package graft.sources
+
+import java.io.File
+
+/** The sparse GRANULE (mark) index of one sorted part file — the text
+  * store's form of MergeTree's primary-key mark index, which is how the
+  * reference's ClickHouse table serves point/range reads off `ORDER BY
+  * (token_id, timestamp)` WITHOUT scanning parts (clickhouse.go:65-87
+  * [ext]). One entry per `granuleRows` rows:
+  *
+  *   `<byte offset>,<first token_id|''>,<first ts_us|''>`
+  *
+  * written by [[PartStreamWriter]] (`.<part>.granules`, header line `g1`).
+  * Because parts are sorted by (token_id NULLS FIRST, ts_us NULLS FIRST),
+  * the entries' first-keys are ascending, so a pushed token (or token+ts)
+  * predicate BINARY-SEARCHES to a granule range instead of parsing the
+  * part — the intra-part skip that keeps point lookups cheap on a
+  * FINAL-compacted store whose part-level minmax/bloom indexes are
+  * saturated by construction (r9 verdict Next #1).
+  *
+  * Offsets are positions in the part file AS STORED: for `gzip`/`zstd`
+  * parts every granule is its own compression frame, so an offset is a
+  * legal decompression start — which is also what makes compressed parts
+  * byte-range SPLITTABLE at granule boundaries.
+  *
+  * A missing or unparsable index reads as "no index" (no pruning, never a
+  * wrong prune) — same conservative rule as the minmax sidecars.
+  */
+private[graft] final class GranuleIndex(
+    // column-major: ascending offsets; first (token, ts) of each granule,
+    // null encoded as (nullFlag=true, 0)
+    val offsets: Array[Long],
+    tokNull: Array[Boolean], tok: Array[Long],
+    tsNull: Array[Boolean], ts: Array[Long]) {
+
+  def size: Int = offsets.length
+
+  /** first-key(g) vs the query point (t, q): negative when the granule's
+    * first key sorts strictly below. NULLS FIRST on both components; the
+    * query point never has null components (null-rejecting predicates).
+    */
+  private def cmpKey(g: Int, t: Long, q: Long): Int = {
+    if (tokNull(g)) return -1
+    val c = java.lang.Long.compare(tok(g), t)
+    if (c != 0) return c
+    if (tsNull(g)) -1 else java.lang.Long.compare(ts(g), q)
+  }
+
+  /** Largest g with cmpKey(g) `< 0` (strict=true) / `<= 0` (strict=false),
+    * or -1.
+    */
+  private def lastBelow(t: Long, q: Long, strict: Boolean): Int = {
+    var lo = 0; var hi = size - 1; var res = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = cmpKey(mid, t, q)
+      if (c < 0 || (!strict && c == 0)) { res = mid; lo = mid + 1 } else hi = mid - 1
+    }
+    res
+  }
+
+  /** Granule index range [a, b] that can contain rows with token `t` and
+    * ts in [lo, hi] (inclusive, conservative), or None when provably empty.
+    *
+    * Upper: granules after the last one whose first key ≤ (t, hi) start
+    * strictly above the query box. Lower: granules before the last one
+    * whose first key < (t, lo) end at a first-key strictly below the box
+    * (a boundary row EQUAL to the next granule's first key stays covered
+    * because the bound is strict).
+    */
+  def granuleRangeFor(t: Long, lo: Long, hi: Long): Option[(Int, Int)] = {
+    val b = lastBelow(t, hi, strict = false)
+    if (b < 0) return None // the whole file starts above (t, hi)
+    val a = math.max(lastBelow(t, lo, strict = true), 0)
+    Some((a, b))
+  }
+}
+
+private[graft] object GranuleIndex {
+  val Header = "g1"
+
+  def granuleName(partName: String): String = s".$partName.granules"
+  def granuleFor(part: File): File = new File(part.getParentFile, granuleName(part.getName))
+
+  /** Per-scan cap on the token IN-set size granule selection will walk —
+    * beyond it the selection degrades to "whole file" (a set that large
+    * touches most granules anyway, and per-token binary searches stop
+    * being free).
+    */
+  val MaxSelectTokens: Int = 4096
+
+  def read(part: File): Option[GranuleIndex] = {
+    val f = granuleFor(part)
+    if (!f.isFile) return None
+    try {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      val lines = try src.getLines().toArray finally src.close()
+      if (lines.length < 3 || lines(0).trim != Header) return None // <2 granules: no index
+      val n = lines.length - 1
+      val offsets = new Array[Long](n)
+      val tokNull = new Array[Boolean](n); val tok = new Array[Long](n)
+      val tsNull = new Array[Boolean](n); val ts = new Array[Long](n)
+      var prev = -1L
+      var i = 0
+      while (i < n) {
+        val p = lines(i + 1).split(",", -1)
+        if (p.length != 3) return None
+        offsets(i) = p(0).toLong
+        if (offsets(i) <= prev) return None // offsets must strictly ascend
+        prev = offsets(i)
+        if (p(1).isEmpty) tokNull(i) = true else tok(i) = p(1).toLong
+        if (p(2).isEmpty) tsNull(i) = true else ts(i) = p(2).toLong
+        i += 1
+      }
+      if (offsets(0) != 0L) return None // first granule starts at the file head
+      Some(new GranuleIndex(offsets, tokNull, tok, tsNull, ts))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** BYTE ranges of `part` a reader must parse to evaluate `pred`, or None
+    * for "read the whole file" (no index, or the predicate has no token
+    * component — ts alone cannot prune: within a part only (token, ts) is
+    * ordered). Ranges are ascending, disjoint, granule-aligned; the final
+    * range's end is `Long.MaxValue` when it reaches the file tail (the
+    * reader treats it as to-EOF, so the part's on-disk length is never
+    * needed here).
+    */
+  def selectRanges(part: File, pred: ShardRowPredicate): Option[Seq[(Long, Long)]] = {
+    val tokens: Array[Long] = pred.tokenIn match {
+      case Some(s) if s.size <= MaxSelectTokens => val a = s.toArray; java.util.Arrays.sort(a); a
+      case Some(_) => return None
+      case None => pred.tokenSorted match {
+        case Some(arr) if arr.length <= MaxSelectTokens => arr
+        case _ => return None
+      }
+    }
+    if (tokens.isEmpty) return Some(Seq.empty)
+    val idx = read(part).getOrElse(return None)
+    val lo = pred.tsMin.map(_._1).getOrElse(Long.MinValue)
+    val hi = pred.tsMax.map(_._1).getOrElse(Long.MaxValue)
+    // per-token granule ranges (tokens ascending → ranges ascending), then
+    // coalesce touching/overlapping ones
+    val ranges = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    while (i < tokens.length) {
+      idx.granuleRangeFor(tokens(i), lo, hi).foreach { case (a, b) =>
+        if (ranges.nonEmpty && a <= ranges.last._2 + 1) {
+          val (pa, pb) = ranges.last
+          if (b > pb) ranges(ranges.length - 1) = (pa, b)
+        } else ranges += ((a, b))
+      }
+      i += 1
+    }
+    Some(ranges.toSeq.map { case (a, b) =>
+      (idx.offsets(a), if (b + 1 < idx.size) idx.offsets(b + 1) else Long.MaxValue)
+    })
+  }
+
+  /** Granule-boundary CUT offsets for byte-range splitting a part whose
+    * stored form is compressed (frames align with granules): walk the
+    * offsets and cut roughly every `splitBytes` COMPRESSED bytes. Returns
+    * None when the part has no index (non-splittable, as before) and
+    * Nil-of-one when it is smaller than one split.
+    */
+  def splitOffsets(part: File, splitBytes: Long): Option[Seq[Long]] =
+    read(part).map { idx =>
+      val cuts = scala.collection.mutable.ArrayBuffer(0L)
+      var i = 1
+      while (i < idx.size) {
+        if (idx.offsets(i) - cuts.last >= splitBytes) cuts += idx.offsets(i)
+        i += 1
+      }
+      cuts.toSeq
+    }
+}

@@ -5,32 +5,85 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.catalyst.InternalRow
 
-/** Streams full-schema store rows into ONE staged part file + its
-  * minmax/bloom/name-set/null-count sidecar — the per-part imperative
-  * unit the maintenance jobs share (StoreOptimize's merge output,
-  * StoreRetention's rewrite output). The caller owns the ordering
-  * contract (rows must arrive in the part's intended (token_id, ts_us)
-  * order) and the publish protocol: the staged dot-files become plainly
-  * visible only via `publish()`, and making them ACTIVE (the manifest
-  * flip) stays the caller's step.
+/** Streams store rows into ONE part file + its sidecars — the per-part
+  * imperative unit every write path shares: the DSv2 ingest writer
+  * ([[ShardedDataWriter]], one instance per rolled part), StoreOptimize's
+  * merge output, StoreRetention's rewrite output. Emits, next to the part:
+  *
+  *   - `.<part>.minmax` — per-part min/max/bloom/name-set/null-count stats
+  *     ([[PartStats]], the part-level skip index);
+  *   - `.<part>.granules` — the sparse GRANULE (mark) index
+  *     ([[GranuleIndex]]): every `granuleRows` rows, one entry
+  *     `(byte offset, first token_id, first ts_us)`. This is MergeTree's
+  *     mark file (the reference's point reads ride ClickHouse's primary-key
+  *     marks over `ORDER BY (token_id, timestamp)`, clickhouse.go:65-87
+  *     [ext]): because the part is sorted by (token_id, ts_us), a pushed
+  *     token/ts predicate binary-searches the marks to a granule range and
+  *     the reader parses only those bytes — the intra-part skip a
+  *     FINAL-compacted one-part shard otherwise lacks entirely (r9 verdict
+  *     Next #1). For `gzip`/`zstd`, every granule is its OWN compression
+  *     frame (members/frames concatenate transparently on read), so granule
+  *     offsets are seekable positions in the COMPRESSED file — which also
+  *     makes compressed parts byte-range SPLITTABLE at granule boundaries,
+  *     killing the one-task-per-compacted-shard read. Parts under two
+  *     granules get no index file (nothing to skip).
+  *
+  * The caller owns the ordering contract (rows must arrive in the part's
+  * intended (token_id, ts_us) order) and the publish protocol. Two modes:
+  *
+  *   - [[PartStreamWriter.staged]] (maintenance jobs): writes staged
+  *     dot-files in the shard dir; `publish()` renames to canonical,
+  *     `abandon()` discards — making them ACTIVE (the manifest flip) stays
+  *     the caller's step.
+  *   - [[PartStreamWriter.direct]] (the ingest writer): writes straight to
+  *     the given target files — the DSv2 commit protocol owns staging,
+  *     attempt suffixes, and publication.
   */
-private[graft] final class PartStreamWriter(dir: File, val partName: String, codec: String) {
+private[graft] final class PartStreamWriter private (
+    partFile: File, sidecarFile: File, granuleFile: File,
+    codec: String, granuleRows: Int,
+    publishAs: Option[(File, File, File)]) {
+  require(granuleRows > 0, "granuleRows must be positive")
 
-  private val sidecarName = PartStats.sidecarName(partName)
-  private val stagedPart = new File(dir, s".$partName.tmp")
-  private val stagedSidecar = new File(dir, s".$sidecarName.tmp")
+  /** Counts bytes handed DOWN toward the file — i.e. COMPRESSED positions,
+    * exact at frame boundaries (each granule's codec stream is closed
+    * before the next offset is read). Buffering sits BELOW the counter, so
+    * the count is the logical file position regardless of flush state.
+    */
+  private final class CountingOut(inner: java.io.OutputStream) extends java.io.OutputStream {
+    var count: Long = 0L
+    override def write(b: Int): Unit = { inner.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      inner.write(b, off, len); count += len
+    }
+    override def flush(): Unit = inner.flush()
+    override def close(): Unit = inner.close()
+  }
 
-  private val raw =
-    new java.io.BufferedOutputStream(new java.io.FileOutputStream(stagedPart), 1 << 16)
-  private val out: java.io.OutputStream = codec match {
-    case "gzip" => new java.util.zip.GZIPOutputStream(raw, 1 << 16)
-    case "zstd" => new com.github.luben.zstd.ZstdOutputStream(raw)
-    case "none" => raw
+  /** Lets a per-granule codec stream be close()d (flushing its frame
+    * trailer) without closing the underlying file.
+    */
+  private final class CloseShield(inner: java.io.OutputStream) extends java.io.FilterOutputStream(inner) {
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = inner.write(b, off, len)
+    override def close(): Unit = inner.flush()
+  }
+
+  private val counting = new CountingOut(
+    new java.io.BufferedOutputStream(new java.io.FileOutputStream(partFile), 1 << 16))
+  private def openCodec(): java.io.OutputStream = codec match {
+    case "gzip" => new java.util.zip.GZIPOutputStream(new CloseShield(counting), 1 << 16)
+    case "zstd" => new com.github.luben.zstd.ZstdOutputStream(new CloseShield(counting))
+    case "none" => counting
     case other => throw new IllegalArgumentException(
       s"graft-sharded part writer: unknown codec '$other' (none|gzip|zstd)")
   }
 
+  private var out: java.io.OutputStream = _ // open granule's stream (null between granules)
+  private var granuleLeft = 0 // rows remaining in the open granule
+  private val marks = new scala.collection.mutable.ArrayBuffer[String]()
+
   private var nRows = 0L
+  private var uBytes = 0L // uncompressed line bytes (the maxPartBytes roll unit)
   private var nullTs = 0L
   private var tokSeen = false; private var tokMin = 0L; private var tokMax = 0L
   private var tsSeen = false; private var tsMin = 0L; private var tsMax = 0L
@@ -41,52 +94,88 @@ private[graft] final class PartStreamWriter(dir: File, val partName: String, cod
   private val sb = new java.lang.StringBuilder(64)
 
   def rows: Long = nRows
+  /** Uncompressed bytes written so far — the `maxPartBytes` roll unit. */
+  def uncompressedBytes: Long = uBytes
+  /** Did `finish`/`finishStaged` emit a granule index file? */
+  def granuleWritten: Boolean = granuleFileWritten
+  private var granuleFileWritten = false
 
-  /** Append one row at the store's full 5-column schema
-    * (shard, token_id, ts_us, name, v) — the schema both maintenance
-    * readers produce.
+  /** End the open granule: the codec stream's close flushes its frame, so
+    * `counting.count` is again an exact (seekable) file position.
     */
-  def write(r: InternalRow): Unit = {
+  private def endGranule(): Unit = if (out != null) {
+    if (codec != "none") out.close() else out.flush()
+    out = null
+  }
+
+  /** Append one row by raw field values (null = SQL null). `name` must be
+    * separator-free — the DSv2 ingest writer validates before calling; the
+    * maintenance readers hand back values that already round-tripped.
+    */
+  def writeFields(token: java.lang.Long, ts: java.lang.Long,
+      name: String, v: java.lang.Double): Unit = {
+    if (granuleLeft == 0) {
+      endGranule()
+      marks += s"${counting.count},${if (token == null) "" else token.toString}," +
+        s"${if (ts == null) "" else ts.toString}"
+      out = openCodec()
+      granuleLeft = granuleRows
+    }
     sb.setLength(0)
-    if (!r.isNullAt(1)) { // token_id
-      val v = r.getLong(1); sb.append(v)
-      if (!tokSeen) { tokSeen = true; tokMin = v; tokMax = v }
-      else { if (v < tokMin) tokMin = v; if (v > tokMax) tokMax = v }
-      TokenBloom.add(bloom, v)
+    if (token != null) {
+      val t = token.longValue()
+      sb.append(t)
+      if (!tokSeen) { tokSeen = true; tokMin = t; tokMax = t }
+      else { if (t < tokMin) tokMin = t; if (t > tokMax) tokMax = t }
+      TokenBloom.add(bloom, t)
     }
     sb.append(',')
-    if (!r.isNullAt(2)) { // ts_us
-      val v = r.getLong(2); sb.append(v)
-      if (!tsSeen) { tsSeen = true; tsMin = v; tsMax = v }
-      else { if (v < tsMin) tsMin = v; if (v > tsMax) tsMax = v }
+    if (ts != null) {
+      val t = ts.longValue()
+      sb.append(t)
+      if (!tsSeen) { tsSeen = true; tsMin = t; tsMax = t }
+      else { if (t < tsMin) tsMin = t; if (t > tsMax) tsMax = t }
     } else nullTs += 1
     sb.append(',')
-    if (!r.isNullAt(3)) { // name: came from a part, already separator-free
-      val n = r.getUTF8String(3).toString
-      sb.append(n)
-      if (!namesOverflow && names.add(n) && names.size > PartStats.MaxNameSet) {
-        namesOverflow = true; names.clear()
+    if (name != null) {
+      sb.append(name)
+      if (!namesOverflow && names.add(name) && names.size > PartStats.MaxNameSet) {
+        namesOverflow = true; names.clear() // bounded metadata, MergeTree's set(N) rule
       }
     }
     sb.append(',')
-    if (!r.isNullAt(4)) { // v
-      val v = r.getDouble(4); sb.append(java.lang.Double.toString(v))
-      if (!vSeen) { vSeen = true; vMin = v; vMax = v }
+    if (v != null) {
+      val d = v.doubleValue()
+      sb.append(java.lang.Double.toString(d))
+      if (!vSeen) { vSeen = true; vMin = d; vMax = d }
       else {
-        if (ShardRowPredicate.cmpD(v, vMin) < 0) vMin = v
-        if (ShardRowPredicate.cmpD(v, vMax) > 0) vMax = v
+        if (ShardRowPredicate.cmpD(d, vMin) < 0) vMin = d
+        if (ShardRowPredicate.cmpD(d, vMax) > 0) vMax = d
       }
     }
     sb.append('\n')
-    out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+    val bytes = sb.toString.getBytes(StandardCharsets.UTF_8)
+    out.write(bytes)
+    uBytes += bytes.length
     nRows += 1
+    granuleLeft -= 1
   }
 
-  /** Close the stream and write the staged sidecar. Call exactly once,
-    * before `publish()` or `abandon()`.
+  /** Append one row at the store's full 5-column schema
+    * (shard, token_id, ts_us, name, v) — what the maintenance readers emit.
+    */
+  def write(r: InternalRow): Unit = writeFields(
+    if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)),
+    if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2)),
+    if (r.isNullAt(3)) null else r.getUTF8String(3).toString,
+    if (r.isNullAt(4)) null else java.lang.Double.valueOf(r.getDouble(4)))
+
+  /** Close the part and write the sidecar(s). Call exactly once, before
+    * `publish()` or `abandon()` (staged mode). Returns the part's stats.
     */
   def finishStaged(): PartStats = {
-    out.close()
+    endGranule()
+    counting.close()
     val stats = PartStats(nRows,
       if (tokSeen) Some(tokMin) else None, if (tokSeen) Some(tokMax) else None,
       if (tsSeen) Some(tsMin) else None, if (tsSeen) Some(tsMax) else None,
@@ -94,21 +183,70 @@ private[graft] final class PartStreamWriter(dir: File, val partName: String, cod
       if (tokSeen) Some(bloom) else None,
       if (namesOverflow) None else Some(names.toSet),
       Some(nullTs))
-    PartStats.write(stagedSidecar, stats)
+    PartStats.write(sidecarFile, stats)
+    if (marks.length >= 2) { // one granule = nothing to skip
+      val w = new java.io.FileOutputStream(granuleFile)
+      try w.write((GranuleIndex.Header +: marks).mkString("", "\n", "\n")
+        .getBytes(StandardCharsets.UTF_8))
+      finally w.close()
+      granuleFileWritten = true
+    }
     stats
   }
 
   /** Staged → canonical names (plainly visible, still NOT in the manifest
     * — manifest readers can't see them until the caller's flip).
     */
-  def publish(): Unit = {
-    WriterFiles.moveReplace(stagedPart, new File(dir, partName))
-    WriterFiles.moveReplace(stagedSidecar, new File(dir, sidecarName))
+  def publish(): Unit = publishAs match {
+    case Some((p, s, g)) =>
+      WriterFiles.moveReplace(partFile, p)
+      WriterFiles.moveReplace(sidecarFile, s)
+      if (granuleFileWritten) WriterFiles.moveReplace(granuleFile, g)
+    case None => throw new IllegalStateException(
+      "publish() is a staged-mode operation; direct mode is published by the DSv2 commit")
   }
 
   /** Discard the staged files (e.g. a rewrite that kept zero rows). */
   def abandon(): Unit = {
-    stagedPart.delete()
-    stagedSidecar.delete()
+    partFile.delete()
+    sidecarFile.delete()
+    granuleFile.delete()
   }
+
+  /** Close the underlying streams WITHOUT writing sidecars — the task
+    * close/abort path (the commit protocol or a later sweep owns deletion).
+    */
+  def closeQuietly(): Unit = {
+    try endGranule() catch { case scala.util.control.NonFatal(_) => () }
+    try counting.close() catch { case scala.util.control.NonFatal(_) => () }
+  }
+}
+
+private[graft] object PartStreamWriter {
+  /** ClickHouse's index_granularity default — the sweet spot between mark
+    * count (index size, ~30 B/granule) and skip resolution.
+    */
+  val DefaultGranuleRows: Int = 8192
+
+  /** Maintenance-mode writer: staged dot-files in `dir`, flipped to
+    * canonical names by `publish()`.
+    */
+  def staged(dir: File, partName: String, codec: String,
+      granuleRows: Int = DefaultGranuleRows): PartStreamWriter = {
+    val sidecarName = PartStats.sidecarName(partName)
+    val granuleName = GranuleIndex.granuleName(partName)
+    new PartStreamWriter(
+      new File(dir, s".$partName.tmp"),
+      new File(dir, s".$sidecarName.tmp"),
+      new File(dir, s".$granuleName.tmp"),
+      codec, granuleRows,
+      Some((new File(dir, partName), new File(dir, sidecarName), new File(dir, granuleName))))
+  }
+
+  /** Ingest-mode writer: writes straight to the given targets; the DSv2
+    * commit protocol owns staging and publication.
+    */
+  def direct(partFile: File, sidecarFile: File, granuleFile: File,
+      codec: String, granuleRows: Int = DefaultGranuleRows): PartStreamWriter =
+    new PartStreamWriter(partFile, sidecarFile, granuleFile, codec, granuleRows, None)
 }

@@ -70,7 +70,16 @@ object ShardedSignalSource {
     *     name order — digit runs compare numerically, so `part-e9-…`
     *     precedes `part-e10-…` (ADVICE r8: lexicographic order inverted
     *     epoch order at e9→e10, baking the OLDER epoch's row into exact-ts
-    *     ties and FINAL optimizes).
+    *     ties and FINAL optimizes). SCOPE of the ingest-order claim
+    *     (ADVICE r9): natural order IS ingest order for one streaming
+    *     query's epoch parts and for job-tagged batch parts
+    *     (`part-<millis>-…`, millis first so whole jobs sort by append
+    *     time); a manifest-less store mixing batch with epoch parts, or
+    *     holding legacy untagged `part-<partition>-…` names from multiple
+    *     appends, has job-interleaved order — exact-key `dedup=latest`
+    *     ties there resolve deterministically but not necessarily to the
+    *     newest ingest. Stores that need the exact guarantee carry a
+    *     `_parts` manifest (commit order, kept by every commit path).
     *
     * Shared by the scan and the maintenance job so both always agree on
     * what the shard IS.
@@ -483,6 +492,20 @@ object PartStats {
 
   def sidecarFor(part: File): File = new File(part.getParentFile, sidecarName(part.getName))
 
+  /** Every sidecar kind that rides with a part as `.<part>.<suffix>`:
+    * minmax stats, the granule (mark) index, merged-part lineage.
+    */
+  val SidecarSuffixes: Seq[String] = Seq(".minmax", ".granules", ".lineage")
+
+  /** The part a dot-sidecar belongs to (`.X.minmax` → `X`), or None for
+    * non-sidecar names.
+    */
+  def sidecarOwner(n: String): Option[String] =
+    if (!n.startsWith(".")) None
+    else SidecarSuffixes.collectFirst {
+      case suf if n.endsWith(suf) => n.substring(1, n.length - suf.length)
+    }
+
   /** Token IN-set view for file pruning: small sets check membership
     * against each part's [min,max] exactly; large (runtime) sets fall back
     * to a range-overlap test on the set's own extrema — conservative, and
@@ -886,6 +909,12 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(pushedAgg.isEmpty && topN < 0 && limit < 0 && !dedupLatest,
       "graft-sharded streaming read serves raw rows (filters/columns push; agg/TopN/limit/dedup do not)")
+    // sorted=true is a BATCH option (K-way merge + reported ordering): a
+    // micro-batch tail reads part DIFFS, whose concatenation is not globally
+    // key-ordered — reject loudly rather than silently hand back unsorted
+    // batches (ADVICE r9: the asymmetry vs the dedup/agg rejections)
+    require(!sorted,
+      "graft-sharded streaming read does not support sorted=true (micro-batches are part diffs, not a merged key order)")
     new ShardedMicroBatchStream(path, required, rowPred, staticShards,
       startingOffsets, maxPartsPerTrigger, splitBytes)
   }
@@ -1034,23 +1063,47 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
     }
   }
 
+  /** Granule-boundary cut offsets for splitting a COMPRESSED part (frames
+    * align with granules, so each cut is a legal decompression start) —
+    * parsed at most once per scan, like the minmax sidecars. None = no
+    * usable index = whole-file, the pre-granule behavior.
+    */
+  private val granuleCutCache = scala.collection.mutable.HashMap.empty[String, Option[Seq[Long]]]
+  private def granuleCutsOf(f: File): Option[Seq[Long]] =
+    granuleCutCache.getOrElseUpdate(f.getAbsolutePath,
+      GranuleIndex.splitOffsets(f, splitBytes).filter(_.length > 1))
+
+  /** The byte ranges one part file splits into: `(start, end, exact)`. */
+  private def fileSplitRanges(f: File): Seq[(Long, Long, Boolean)] = {
+    val len = f.length()
+    if (ByteRangeLines.isCompressed(f.getName)) {
+      // compressed parts split ONLY at granule-index frame boundaries —
+      // with the index, a FINAL-compacted multi-GB zstd part fans out
+      // instead of serializing one task over all its bytes (r9 verdict)
+      granuleCutsOf(f) match {
+        case Some(cuts) =>
+          cuts.zipWithIndex.map { case (s, i) =>
+            (s, if (i + 1 < cuts.length) cuts(i + 1) else Long.MaxValue, true)
+          }
+        case None => Seq((0L, Long.MaxValue, false))
+      }
+    } else if (len <= splitBytes) Seq((0L, Long.MaxValue, false))
+    else {
+      val n = ((len + splitBytes - 1) / splitBytes).toInt
+      (0 until n).map { i =>
+        val start = i * splitBytes
+        (start, math.min(start + splitBytes, len), false)
+      }
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val carrier = runtimeCarrier()
     if (doSplit)
       liveShards.flatMap { case (shard, fs0) =>
         runtimePruneFiles(fs0).flatMap { f =>
-          val len = f.length()
-          // gzip parts are non-splittable (Hadoop's rule): whole-file range
-          if (len <= splitBytes || ByteRangeLines.isCompressed(f.getName))
-            Seq(ShardSplitPartition(f.getAbsolutePath, shard, 0L, Long.MaxValue,
-              carrier): InputPartition)
-          else {
-            val n = ((len + splitBytes - 1) / splitBytes).toInt
-            (0 until n).map { i =>
-              val start = i * splitBytes
-              ShardSplitPartition(f.getAbsolutePath, shard, start,
-                math.min(start + splitBytes, len), carrier): InputPartition
-            }
+          fileSplitRanges(f).map { case (s, e, exact) =>
+            ShardSplitPartition(f.getAbsolutePath, shard, s, e, carrier, exact): InputPartition
           }
         }
       }
@@ -1067,11 +1120,8 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
     */
   private def plannedCount: Int =
     if (!doSplit) shardFiles.length
-    else shardFiles.map { case (_, fs) =>
-      fs.map(f =>
-        if (ByteRangeLines.isCompressed(f.getName)) 1L
-        else math.max(1L, (f.length() + splitBytes - 1) / splitBytes)).sum
-    }.sum.toInt
+    else shardFiles.map { case (_, fs) => fs.map(fileSplitRanges(_).length.toLong).sum }
+      .sum.toInt
 
   /** The contract that elides the shuffle: rows are clustered by the
     * identity of `shard`, in exactly `shardFiles.length` groups whose
@@ -1108,9 +1158,12 @@ case class ShardPartition(files: Seq[String], shard: Int,
 /** One byte range of one part file (split mode) — deliberately NOT
   * `HasPartitionKey`: split partitions break the 1-partition-per-key
   * contract, and the scan reports `UnknownPartitioning` for them.
+  * `exact = true` marks a granule-aligned range (start is a line start
+  * and, for compressed parts, a compression-frame boundary) — how
+  * compressed parts become splittable at all.
   */
 case class ShardSplitPartition(file: String, shard: Int, start: Long, end: Long,
-    tokens: Option[RuntimeTokens] = None)
+    tokens: Option[RuntimeTokens] = None, exact: Boolean = false)
     extends InputPartition
 
 /** Readers that can report how many rows pushed predicates dropped. */
@@ -1162,7 +1215,7 @@ private[sources] object ShardRows {
       new ShardedShardReader(p.files, p.shard, schema, withTokens(pred, p.tokens))
     case p: ShardSplitPartition =>
       new ShardedPartitionReader(p.file, p.shard, schema, withTokens(pred, p.tokens),
-        p.start, p.end)
+        p.start, p.end, p.exact)
   }
 
   private def withTokens(pred: ShardRowPredicate, rt: Option[RuntimeTokens]): ShardRowPredicate =
@@ -1177,6 +1230,56 @@ private[sources] object ShardRows {
           case None => pred.copy(tokenSorted = Some(arr))
         }
     }
+}
+
+/** Row source for ONE part file, honoring its granule (mark) index: a
+  * pushed token (or token+ts) predicate binary-searches the index to a set
+  * of granule-aligned byte ranges and only those bytes are opened and
+  * parsed — the ClickHouse mark-index read (clickhouse.go:65-87 [ext])
+  * inside a part, which is what keeps point lookups cheap on a
+  * FINAL-compacted one-part shard whose part-level minmax/bloom indexes
+  * are saturated by construction. No index, an unparsable index, or a
+  * predicate without a token component (ts alone is unordered within a
+  * part) → the whole file, exactly as before. A granule-selected stream is
+  * a SUBSEQUENCE of the file's sorted row order, so merge readers and
+  * order assertions above compose unchanged.
+  */
+private[sources] object PartFileRows {
+  def apply(file: String, shard: Int, schema: StructType,
+      pred: ShardRowPredicate): PartitionReader[InternalRow] with CountsSkips =
+    GranuleIndex.selectRanges(new File(file), pred) match {
+      case None => new ShardedPartitionReader(file, shard, schema, pred)
+      case Some(ranges) => new GranuleRangeReader(file, shard, schema, pred, ranges)
+    }
+}
+
+/** Chains exact granule-aligned byte ranges of one part file. */
+private[sources] class GranuleRangeReader(file: String, shard: Int, required: StructType,
+    pred: ShardRowPredicate, ranges: Seq[(Long, Long)])
+    extends PartitionReader[InternalRow] with CountsSkips {
+  private val it = ranges.iterator
+  private var cur: ShardedPartitionReader = _
+  private var skippedClosed = 0L
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (!it.hasNext) return false
+        val (s, e) = it.next()
+        cur = new ShardedPartitionReader(file, shard, required, pred, s, e, exact = true)
+      }
+      if (cur.next()) return true
+      skippedClosed += cur.skippedRows
+      cur.close(); cur = null
+    }
+    false
+  }
+
+  override def skippedRows: Long =
+    skippedClosed + (if (cur != null) cur.skippedRows else 0L)
+  override def get(): InternalRow = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
+  override def currentMetricsValues(): Array[CustomTaskMetric] = skipMetric
 }
 
 class ShardedReaderFactory(required: StructType, pred: ShardRowPredicate = ShardRowPredicate.Trivial,
@@ -1198,14 +1301,16 @@ class ShardedShardReader(files: Seq[String], shard: Int, required: StructType,
     pred: ShardRowPredicate = ShardRowPredicate.Trivial)
     extends PartitionReader[InternalRow] with CountsSkips {
   private val it = files.iterator
-  private var cur: ShardedPartitionReader = _
+  private var cur: PartitionReader[InternalRow] with CountsSkips = _
   private var skippedClosed = 0L
 
   override def next(): Boolean = {
     while (true) {
       if (cur == null) {
         if (!it.hasNext) return false
-        cur = new ShardedPartitionReader(it.next(), shard, required, pred)
+        // per-file granule selection: pushed token/ts predicates read only
+        // the matching granule ranges of each part
+        cur = PartFileRows(it.next(), shard, required, pred)
       }
       if (cur.next()) return true
       skippedClosed += cur.skippedRows
@@ -1284,7 +1389,7 @@ class ShardedMergeReader(files: Seq[String], shard: Int, required: StructType,
   private var skippedClosed = 0L
   private var current: InternalRow = _
 
-  private final class Head(val r: ShardedPartitionReader, val seq: Int) {
+  private final class Head(val r: PartitionReader[InternalRow] with CountsSkips, val seq: Int) {
     var row: InternalRow = _
     def advance(): Boolean = r.next() && { row = r.get(); true }
   }
@@ -1311,7 +1416,9 @@ class ShardedMergeReader(files: Seq[String], shard: Int, required: StructType,
 
   locally {
     files.zipWithIndex.foreach { case (f, i) =>
-      val h = new Head(new ShardedPartitionReader(f, shard, required, pred), i)
+      // granule-selected subsequences of sorted files stay sorted, so the
+      // per-file mark-index skip composes with the K-way merge
+      val h = new Head(PartFileRows(f, shard, required, pred), i)
       if (h.advance()) heap.add(h)
       else { skippedClosed += h.r.skippedRows; h.r.close() }
     }
@@ -1735,7 +1842,7 @@ class ShardedAggReader(partition: InputPartition, pa: ShardPushedAgg,
 
   private def countPath(): Iterator[InternalRow] = {
     var n = 0L
-    def countRange(file: String, s: Long, e: Long): Unit = {
+    def countRange(file: String, s: Long, e: Long, exact: Boolean): Unit = {
       // whole-file range with a writer sidecar: the count comes from part
       // METADATA — zero data bytes read, exactly how ClickHouse answers
       // `SELECT count()`. Sidecar rows == non-empty lines by the writer's
@@ -1746,12 +1853,12 @@ class ShardedAggReader(partition: InputPartition, pa: ShardPushedAgg,
           case None => ()
         }
       }
-      val br = new ByteRangeLines(file, s, e)
+      val br = new ByteRangeLines(file, s, e, exact)
       try n += br.countNonEmpty() finally br.close()
     }
     partition match {
-      case p: ShardPartition => p.files.foreach(countRange(_, 0L, Long.MaxValue))
-      case p: ShardSplitPartition => countRange(p.file, p.start, p.end)
+      case p: ShardPartition => p.files.foreach(countRange(_, 0L, Long.MaxValue, exact = false))
+      case p: ShardSplitPartition => countRange(p.file, p.start, p.end, p.exact)
       case other => sys.error(s"unexpected partition $other")
     }
     val row = new Array[Any](pa.aggs.length)
@@ -2002,15 +2109,21 @@ class ShardedAggReader(partition: InputPartition, pa: ShardPushedAgg,
   */
 class ShardedPartitionReader(file: String, shard: Int, required: StructType,
     pred: ShardRowPredicate = ShardRowPredicate.Trivial,
-    start: Long = 0L, end: Long = Long.MaxValue)
+    start: Long = 0L, end: Long = Long.MaxValue, exact: Boolean = false)
     extends PartitionReader[InternalRow] with CountsSkips {
   private var skippedCnt = 0L
+  private var linesCnt = 0L
   override def skippedRows: Long = skippedCnt
+  /** Lines this reader actually read+parsed — the granule-skip evidence
+    * (rows the mark index pruned never appear here).
+    */
+  private[graft] def linesRead: Long = linesCnt
   override def currentMetricsValues(): Array[CustomTaskMetric] = skipMetric
   // whole-file read is just the (0, MaxValue) byte range; split mode hands
   // in real ranges, newline-aligned by the shared ownership convention
-  // (ByteRangeLines: a line belongs to the range holding its first byte)
-  private val in = new ByteRangeLines(file, start, end)
+  // (ByteRangeLines: a line belongs to the range holding its first byte);
+  // exact mode reads granule-aligned ranges (seek + bounded decode)
+  private val in = new ByteRangeLines(file, start, end, exact)
   private var current: InternalRow = _
   private var lineNo: Long = 0L
 
@@ -2108,6 +2221,7 @@ class ShardedPartitionReader(file: String, shard: Int, required: StructType,
     var raw = in.next()
     while (raw != null) {
       lineNo += 1
+      linesCnt += 1
       if (raw.length > 0) {
         // locate the three field separators in one pass
         var c1 = -1; var c2 = -1; var c3 = -1; var nCommas = 0

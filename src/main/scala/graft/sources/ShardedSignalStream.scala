@@ -30,13 +30,20 @@ import org.apache.spark.sql.types.StructType
   * giant batch). `Trigger.AvailableNow` is supported (frozen target
   * snapshot, drained in capped batches).
   *
-  * Contract: the store must be APPEND-ONLY while a stream tails it —
-  * `StoreOptimize` REWRITES history (retires parts into a merged part), so
-  * a tail would re-read merged rows as "new". Run maintenance between
-  * streams, exactly like the reference schedules merges off-hours. A
-  * replayed micro-batch (restart before the sink ack) re-plans the same
-  * part diff from its checkpointed offsets — exactly-once end to end with
-  * an idempotent sink.
+  * Maintenance tolerance (r9 verdict Next #2): `StoreOptimize` /
+  * `StoreRetention` REWRITE history (retire parts into merged/rewritten
+  * parts) — but they record LINEAGE (`.<part>.lineage` = the leaf input
+  * names), and this stream treats a fresh part whose lineage is entirely
+  * inside its offset as ALREADY CONSUMED: it enters the offset without
+  * being read, so an optimize between micro-batches re-feeds nothing.
+  * A merged part with PARTIALLY consumed lineage (maintenance overtook a
+  * lagging tail) is read whole — at-least-once for that slice, the
+  * documented degradation. One genuine caveat remains: a replayed
+  * UNCOMMITTED batch re-plans its checkpointed part names, so maintenance
+  * must not retire parts between a crash and its replay (the replay
+  * window, seconds) — between acknowledged batches it is free to run. A
+  * replayed micro-batch otherwise re-plans the same part diff from its
+  * checkpointed offsets — exactly-once end to end with an idempotent sink.
   *
   * Offset size: an offset names every processed part (~40 B each), so a
   * long tail over many epochs grows the checkpoint entry linearly —
@@ -85,6 +92,24 @@ class ShardedMicroBatchStream(path: String, required: StructType,
     (if (d.isDirectory) new File(d, part) else new File(path, part)).getAbsolutePath
   }
 
+  /** A fresh part is ALREADY CONSUMED when its recorded lineage (the leaf
+    * part names maintenance merged/rewrote into it) sits entirely inside
+    * the offset's seen set: its rows are (a subset of) rows the stream
+    * already emitted. No lineage file / partially-seen lineage → genuinely
+    * new (read it).
+    */
+  private def consumedByLineage(shard: String, name: String, seen: Set[String]): Boolean = {
+    if (seen.isEmpty) return false
+    val d = new File(path, s"shard=$shard")
+    val lf = new File(d, s".$name.lineage")
+    if (!lf.isFile) return false
+    try {
+      val src = scala.io.Source.fromFile(lf, "UTF-8")
+      val leaves = try src.getLines().map(_.trim).filter(_.nonEmpty).toVector finally src.close()
+      leaves.nonEmpty && leaves.forall(seen)
+    } catch { case scala.util.control.NonFatal(_) => false }
+  }
+
   override def initialOffset(): Offset =
     if (startingOffsets == "latest") ShardedStreamOffset(listing())
     else ShardedStreamOffset(Map.empty)
@@ -111,9 +136,12 @@ class ShardedMicroBatchStream(path: String, required: StructType,
       val seen = startMap.getOrElse(k, Seq.empty)
       val seenSet = seen.toSet
       val fresh = names.filterNot(seenSet)
-      val take = fresh.take(math.max(budget, 0))
+      // lineage-consumed merged parts enter the offset for FREE (they are
+      // never read, so they must not eat the admission budget)
+      val (done, todo) = fresh.partition(n => consumedByLineage(k, n, seenSet))
+      val take = todo.take(math.max(budget, 0))
       budget -= take.length
-      k -> (seen ++ take)
+      k -> (seen ++ done ++ take)
     }.toMap
     // shards present in start but vanished from the target stay committed
     // (offsets are monotonic); target shards take their advanced lists
@@ -132,6 +160,8 @@ class ShardedMicroBatchStream(path: String, required: StructType,
     e.toSeq.sortBy(_._1.toInt).flatMap { case (k, names) =>
       val seen = s.getOrElse(k, Seq.empty).toSet
       val fresh = names.filterNot(seen)
+        // a merged part whose whole lineage was consumed holds no new rows
+        .filterNot(n => consumedByLineage(k, n, seen))
         .map(n => new File(resolve(k, n)))
         // minmax/bloom/name-set sidecars skip whole NEW parts against the
         // pushed predicates, exactly like the batch scan's planning prune

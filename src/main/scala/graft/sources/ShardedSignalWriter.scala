@@ -71,12 +71,15 @@ class ShardedWriteBuilder(path: String, info: LogicalWriteInfo)
     }
     val maxPartBytes = info.options().getLong("maxPartBytes", Long.MaxValue)
     require(maxPartBytes > 0, s"graft-sharded write: maxPartBytes must be positive")
-    new ShardedWrite(path, schema, doTruncate, codec, info.queryId(), maxPartBytes)
+    val granuleRows = info.options().getInt("granuleRows", PartStreamWriter.DefaultGranuleRows)
+    require(granuleRows > 0, s"graft-sharded write: granuleRows must be positive")
+    new ShardedWrite(path, schema, doTruncate, codec, info.queryId(), maxPartBytes, granuleRows)
   }
 }
 
 class ShardedWrite(path: String, schema: StructType, truncate: Boolean,
-    codec: String, queryId: String, maxPartBytes: Long = Long.MaxValue)
+    codec: String, queryId: String, maxPartBytes: Long = Long.MaxValue,
+    granuleRows: Int = PartStreamWriter.DefaultGranuleRows)
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -87,11 +90,11 @@ class ShardedWrite(path: String, schema: StructType, truncate: Boolean,
       Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
 
   override def toBatch: BatchWrite =
-    new ShardedBatchWrite(path, schema, truncate, codec, queryId, maxPartBytes)
+    new ShardedBatchWrite(path, schema, truncate, codec, queryId, maxPartBytes, granuleRows)
 
   override def toStreaming: StreamingWrite = {
     require(!truncate, "graft-sharded streaming write supports append output mode only")
-    new ShardedStreamingWrite(path, schema, codec, queryId, maxPartBytes)
+    new ShardedStreamingWrite(path, schema, codec, queryId, maxPartBytes, granuleRows)
   }
 
   override def description(): String = s"graft-sharded write $path (codec=$codec)"
@@ -201,15 +204,32 @@ private[graft] object WriterFiles {
   * epoch's files land clustered and MergeTree-key sorted like batch parts.
   */
 class ShardedStreamingWrite(path: String, schema: StructType, codec: String,
-    queryId: String, maxPartBytes: Long = Long.MaxValue) extends StreamingWrite {
+    queryId: String, maxPartBytes: Long = Long.MaxValue,
+    granuleRows: Int = PartStreamWriter.DefaultGranuleRows) extends StreamingWrite {
 
   private def stagingRoot = new File(path, s"_tmp-stream-$queryId")
   private def epochStaging(epochId: Long) = new File(stagingRoot, s"epoch-$epochId")
   private def marker(epochId: Long) =
     new File(path, s"_stream_commits/$queryId/epoch-$epochId")
 
+  /** Epoch part names carry the QUERY's id (`part-e<qid8>-<N>-…`), not just
+    * the epoch number (ADVICE r9): epoch numbers restart at 0 for every
+    * fresh checkpoint, so an un-namespaced replay sweep
+    * ([[sweepEpochOrphans]]) pointed at a store holding a PREVIOUS query's
+    * epoch parts would progressively delete that run's durably-committed
+    * data as its own epochs advanced. The id is Spark's streaming query id
+    * — persisted in the checkpoint's metadata file, hence STABLE across
+    * restarts of the same checkpoint (a replayed epoch still republishes
+    * the same names and overwrites; exactly-once is preserved) and fresh
+    * per new checkpoint (two lineages can never claim each other's files).
+    * 8 sanitized chars keep names short; a collision costs nothing beyond
+    * falling back to the pre-namespace same-name-overwrite semantics.
+    */
+  private val qid8: String = ShardedStreamingWrite.lineageTag(queryId)
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    ShardedStreamingWriterFactory(stagingRoot.getAbsolutePath, schema, codec, maxPartBytes)
+    ShardedStreamingWriterFactory(stagingRoot.getAbsolutePath, schema, codec, maxPartBytes, qid8,
+      granuleRows)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val root = new File(path)
@@ -244,11 +264,12 @@ class ShardedStreamingWrite(path: String, schema: StructType, codec: String,
     new java.io.FileOutputStream(new File(root, "_SUCCESS")).close()
   }
 
-  /** Delete every published part/sidecar of `epochId` (name prefix
-    * `part-e<N>-`) that `keep` does not name, per shard directory.
+  /** Delete every published part/sidecar of THIS query's `epochId` (name
+    * prefix `part-e<qid8>-<N>-` — never another lineage's files, ADVICE r9)
+    * that `keep` does not name, per shard directory.
     */
   private def sweepEpochOrphans(root: File, epochId: Long, keep: Set[String]): Unit = {
-    val prefix = s"part-e$epochId-"
+    val prefix = s"part-e$qid8-$epochId-"
     Option(root.listFiles()).getOrElse(Array.empty).foreach { d =>
       d.getName match {
         case ShardedSignalSource.ShardDir(_) if d.isDirectory =>
@@ -258,11 +279,8 @@ class ShardedStreamingWrite(path: String, schema: StructType, codec: String,
           }
           val dropped = Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
             val n = f.getName
-            // `.X.minmax` sidecars follow their owner part X
-            val owner =
-              if (n.startsWith(".") && n.endsWith(".minmax"))
-                n.substring(1, n.length - ".minmax".length)
-              else n
+            // `.X.minmax`-style sidecars follow their owner part X
+            val owner = PartStats.sidecarOwner(n).getOrElse(n)
             if (f.isFile && owner.startsWith(prefix) && !keepHere.contains(owner)) {
               f.delete(); Some(owner)
             } else None
@@ -277,24 +295,48 @@ class ShardedStreamingWrite(path: String, schema: StructType, codec: String,
     WriterFiles.deleteRec(epochStaging(epochId))
 }
 
+object ShardedStreamingWrite {
+  /** 8 sanitized chars of a streaming query id — the lineage namespace in
+    * epoch part names.
+    */
+  private[graft] def lineageTag(queryId: String): String =
+    queryId.filter(_.isLetterOrDigit).take(8)
+}
+
 case class ShardedStreamingWriterFactory(stagingRoot: String, schema: StructType,
-    codec: String, maxPartBytes: Long = Long.MaxValue) extends StreamingDataWriterFactory {
+    codec: String, maxPartBytes: Long = Long.MaxValue,
+    qid8: String = "",
+    granuleRows: Int = PartStreamWriter.DefaultGranuleRows) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new ShardedDataWriter(s"$stagingRoot/epoch-$epochId", schema, codec, partitionId, taskId,
-      namePrefix = s"part-e$epochId", deterministicNames = true, maxPartBytes = maxPartBytes)
+      namePrefix = s"part-e$qid8-$epochId", deterministicNames = true, maxPartBytes = maxPartBytes,
+      granuleRows = granuleRows)
 }
 
 /** Files one task committed, relative to the staging dir. */
 case class ShardedTaskCommit(files: Seq[String]) extends WriterCommitMessage
 
 class ShardedBatchWrite(path: String, schema: StructType, truncate: Boolean,
-    codec: String, queryId: String, maxPartBytes: Long = Long.MaxValue) extends BatchWrite {
+    codec: String, queryId: String, maxPartBytes: Long = Long.MaxValue,
+    granuleRows: Int = PartStreamWriter.DefaultGranuleRows) extends BatchWrite {
 
   private def staging = new File(path, s"_tmp-write-$queryId")
 
+  /** Monotonic job component, FIRST in every published batch part name
+    * (`part-<millis>-<partition>-<task>-<seq>`), so natural name order on a
+    * manifest-less multi-append store sorts whole JOBS in ingest order
+    * (ADVICE r9: `part-<partition>-…` interleaved jobs by partition id,
+    * resolving exact-key ties to the wrong append). Wall-clock millis at
+    * job build — ties within one millisecond and clock skew across drivers
+    * are the documented residual; the `_parts` manifest (commit order) is
+    * the authoritative mechanism where exactness matters.
+    */
+  private val jobTag: Long = System.currentTimeMillis()
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     staging.mkdirs()
-    ShardedDataWriterFactory(staging.getAbsolutePath, schema, codec, maxPartBytes)
+    ShardedDataWriterFactory(staging.getAbsolutePath, schema, codec, maxPartBytes,
+      namePrefix = s"part-$jobTag", granuleRows = granuleRows)
   }
 
   private def deleteRec(f: File): Unit = WriterFiles.deleteRec(f)
@@ -331,16 +373,29 @@ class ShardedBatchWrite(path: String, schema: StructType, truncate: Boolean,
 }
 
 case class ShardedDataWriterFactory(stagingDir: String, schema: StructType,
-    codec: String, maxPartBytes: Long = Long.MaxValue) extends DataWriterFactory {
+    codec: String, maxPartBytes: Long = Long.MaxValue,
+    namePrefix: String = "part",
+    granuleRows: Int = PartStreamWriter.DefaultGranuleRows) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new ShardedDataWriter(stagingDir, schema, codec, partitionId, taskId,
-      maxPartBytes = maxPartBytes)
+      namePrefix = namePrefix, maxPartBytes = maxPartBytes, granuleRows = granuleRows)
 }
 
+/** One task's part writer: routes rows into per-(shard, roll) parts via the
+  * shared [[PartStreamWriter]] core — every part therefore carries the SAME
+  * sidecar set the maintenance jobs produce: `.minmax` stats (minmax/bloom/
+  * name-set/null-count skip indexes) and, past one granule, the
+  * `.granules` mark index that makes pushed point reads parse only
+  * matching granules and compressed parts byte-range splittable.
+  * `maxPartBytes` (uncompressed line bytes) rolls parts inside the sorted
+  * stream, so a big shard lands as a SET of key-range parts, not a
+  * monolith.
+  */
 class ShardedDataWriter(stagingDir: String, schema: StructType, codec: String,
     partitionId: Int, taskId: Long,
     namePrefix: String = "part", deterministicNames: Boolean = false,
-    maxPartBytes: Long = Long.MaxValue)
+    maxPartBytes: Long = Long.MaxValue,
+    granuleRows: Int = PartStreamWriter.DefaultGranuleRows)
     extends DataWriter[InternalRow] {
 
   private val shardIdx = schema.fieldIndex("shard")
@@ -350,32 +405,11 @@ class ShardedDataWriter(stagingDir: String, schema: StructType, codec: String,
   private val vIdx = schema.fieldIndex("v")
 
   private var curShard = -1
-  private var out: java.io.OutputStream = _
+  private var pw: PartStreamWriter = _
   private var partSeq = 0
   private val files = mutable.ArrayBuffer.empty[String]
-  private val sb = new java.lang.StringBuilder(64)
-
-  // per-part MINMAX statistics (MergeTree's minmax index): collected as
-  // rows stream through, written as a `.<part>.minmax` sidecar when the
-  // part closes — the metadata the read side prunes part files with.
-  // `curRel` names the open part; `partBytes` (uncompressed line bytes)
-  // drives the size-based part roll (`maxPartBytes`), which is what makes
-  // a big shard a SET of key-range parts instead of one monolith — the
-  // token-range pruning dividend comes from rolling inside the sorted
-  // stream.
-  private var curRel: String = _
-  private var partRows = 0L
-  private var partBytes = 0L
-  private var tokSeen = false; private var tokMin = 0L; private var tokMax = 0L
-  private var tsSeen = false; private var tsMin = 0L; private var tsMax = 0L
-  private var vSeen = false; private var vMin = 0.0; private var vMax = 0.0
-  // per-part token bloom (the sidecar's skip index; 2 KB, see TokenBloom)
-  private var bloom: Array[Long] = TokenBloom.empty()
-  // per-part distinct-name set (the `set(N)` skip index; overflow → None)
-  private var names = scala.collection.mutable.HashSet.empty[String]
-  private var namesOverflow = false
-  // rows with null ts (retention's whole-drop proof — nulls never expire)
-  private var nullTs = 0L
+  private var curSidecarRel: String = _
+  private var curGranuleRel: String = _
 
   private def ext: String = codec match {
     case "gzip" => ".csv.gz"
@@ -383,26 +417,14 @@ class ShardedDataWriter(stagingDir: String, schema: StructType, codec: String,
     case _ => ".csv"
   }
 
-  private def closeStream(): Unit = if (out != null) { out.close(); out = null }
-
-  /** Close the open part AND publish its minmax sidecar (registered in
-    * `files`, so the commit protocol moves/renames/aborts it exactly like
-    * its part).
+  /** Close the open part: the core writes its sidecars; register them so
+    * the commit protocol moves/renames/aborts them exactly like the part.
     */
-  private def finishPart(): Unit = if (out != null) {
-    closeStream()
-    val cut = curRel.lastIndexOf('/')
-    val sidecarRel = curRel.substring(0, cut + 1) +
-      PartStats.sidecarName(curRel.substring(cut + 1))
-    val stats = PartStats(partRows,
-      if (tokSeen) Some(tokMin) else None, if (tokSeen) Some(tokMax) else None,
-      if (tsSeen) Some(tsMin) else None, if (tsSeen) Some(tsMax) else None,
-      if (vSeen) Some(vMin) else None, if (vSeen) Some(vMax) else None,
-      if (tokSeen) Some(bloom) else None,
-      if (namesOverflow) None else Some(names.toSet),
-      Some(nullTs))
-    PartStats.write(new File(stagingDir, sidecarRel + attemptSuffix), stats)
-    files += sidecarRel
+  private def finishPart(): Unit = if (pw != null) {
+    pw.finishStaged()
+    files += curSidecarRel
+    if (pw.granuleWritten) files += curGranuleRel
+    pw = null
   }
 
   private def open(shard: Int): Unit = {
@@ -417,23 +439,19 @@ class ShardedDataWriter(stagingDir: String, schema: StructType, codec: String,
       if (deterministicNames) s"shard=$shard/$namePrefix-$partitionId-$partSeq$ext"
       else s"shard=$shard/$namePrefix-$partitionId-$taskId-$partSeq$ext"
     partSeq += 1
+    val cut = rel.lastIndexOf('/')
+    val dirRel = rel.substring(0, cut + 1)
+    val base = rel.substring(cut + 1)
+    curSidecarRel = dirRel + PartStats.sidecarName(base)
+    curGranuleRel = dirRel + GranuleIndex.granuleName(base)
     val f = new File(stagingDir, rel + attemptSuffix)
     f.getParentFile.mkdirs()
-    val raw = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f), 1 << 16)
-    out = codec match {
-      case "gzip" => new java.util.zip.GZIPOutputStream(raw, 1 << 16)
-      case "zstd" => new com.github.luben.zstd.ZstdOutputStream(raw)
-      case _ => raw
-    }
+    pw = PartStreamWriter.direct(f,
+      new File(stagingDir, curSidecarRel + attemptSuffix),
+      new File(stagingDir, curGranuleRel + attemptSuffix),
+      codec, granuleRows)
     files += rel
     curShard = shard
-    curRel = rel
-    partRows = 0L; partBytes = 0L
-    tokSeen = false; tsSeen = false; vSeen = false
-    bloom = TokenBloom.empty()
-    names = scala.collection.mutable.HashSet.empty[String]
-    namesOverflow = false
-    nullTs = 0L
   }
 
   private def attemptSuffix: String = if (deterministicNames) s".t$taskId" else ""
@@ -444,53 +462,22 @@ class ShardedDataWriter(stagingDir: String, schema: StructType, codec: String,
     val shard = row.getInt(shardIdx)
     if (shard < 0)
       throw new IllegalArgumentException(s"graft-sharded write: negative shard $shard")
-    if (out == null || shard != curShard) open(shard)
-    sb.setLength(0)
-    if (!row.isNullAt(tokIdx)) sb.append(row.getLong(tokIdx))
-    sb.append(',')
-    if (!row.isNullAt(tsIdx)) sb.append(row.getLong(tsIdx))
-    sb.append(',')
-    if (!row.isNullAt(nameIdx)) {
-      val name = row.getUTF8String(nameIdx).toString
-      if (name.indexOf(',') >= 0 || name.indexOf('\n') >= 0 || name.indexOf('\r') >= 0)
-        throw new IllegalArgumentException(
-          s"graft-sharded write: name may not contain ','/newline: '$name'")
-      sb.append(name)
-      if (!namesOverflow && names.add(name) && names.size > PartStats.MaxNameSet) {
-        namesOverflow = true
-        names.clear() // bounded metadata: high-cardinality parts get no set index
-      }
-    }
-    sb.append(',')
-    if (!row.isNullAt(vIdx)) sb.append(java.lang.Double.toString(row.getDouble(vIdx)))
-    sb.append('\n')
-    val lineBytes = sb.toString.getBytes(StandardCharsets.UTF_8)
-    out.write(lineBytes)
-    // minmax bookkeeping + size-based roll
-    partRows += 1
-    partBytes += lineBytes.length
-    if (!row.isNullAt(tokIdx)) {
-      val t = row.getLong(tokIdx)
-      if (!tokSeen) { tokSeen = true; tokMin = t; tokMax = t }
-      else { if (t < tokMin) tokMin = t; if (t > tokMax) tokMax = t }
-      TokenBloom.add(bloom, t)
-    }
-    if (!row.isNullAt(tsIdx)) {
-      val t = row.getLong(tsIdx)
-      if (!tsSeen) { tsSeen = true; tsMin = t; tsMax = t }
-      else { if (t < tsMin) tsMin = t; if (t > tsMax) tsMax = t }
-    } else nullTs += 1
-    if (!row.isNullAt(vIdx)) {
-      val v = row.getDouble(vIdx)
-      // recorded under Spark SQL's total order (ShardRowPredicate.cmpD) so
-      // pruning can never disagree with pushed-predicate evaluation
-      if (!vSeen) { vSeen = true; vMin = v; vMax = v }
+    if (pw == null || shard != curShard) open(shard)
+    val name: String =
+      if (row.isNullAt(nameIdx)) null
       else {
-        if (ShardRowPredicate.cmpD(v, vMin) < 0) vMin = v
-        if (ShardRowPredicate.cmpD(v, vMax) > 0) vMax = v
+        val n = row.getUTF8String(nameIdx).toString
+        if (n.indexOf(',') >= 0 || n.indexOf('\n') >= 0 || n.indexOf('\r') >= 0)
+          throw new IllegalArgumentException(
+            s"graft-sharded write: name may not contain ','/newline: '$n'")
+        n
       }
-    }
-    if (partBytes >= maxPartBytes) finishPart() // next row opens a new part
+    pw.writeFields(
+      if (row.isNullAt(tokIdx)) null else java.lang.Long.valueOf(row.getLong(tokIdx)),
+      if (row.isNullAt(tsIdx)) null else java.lang.Long.valueOf(row.getLong(tsIdx)),
+      name,
+      if (row.isNullAt(vIdx)) null else java.lang.Double.valueOf(row.getDouble(vIdx)))
+    if (pw.uncompressedBytes >= maxPartBytes) finishPart() // next row opens a new part
   }
 
   override def commit(): WriterCommitMessage = {
@@ -499,7 +486,9 @@ class ShardedDataWriter(stagingDir: String, schema: StructType, codec: String,
       val tmp = new File(stagingDir, rel + attemptSuffix)
       val dst = new File(stagingDir, rel)
       // concurrent attempts: last finalizer's file wins (overwrite); a tmp
-      // already consumed means another attempt of this task finalized
+      // already consumed means another attempt of this task finalized.
+      // Granule sidecars are conditional (only multi-granule parts have
+      // one), so an absent tmp+dst pair is an error only for parts/minmax.
       if (tmp.exists()) WriterFiles.moveReplace(tmp, dst)
       else if (!dst.exists())
         throw new IllegalStateException(s"graft-sharded task commit: cannot finalize $tmp")
@@ -507,8 +496,8 @@ class ShardedDataWriter(stagingDir: String, schema: StructType, codec: String,
     ShardedTaskCommit(files.toSeq)
   }
   override def abort(): Unit = {
-    closeStream()
+    if (pw != null) pw.closeQuietly()
     files.foreach(rel => new File(stagingDir, rel + attemptSuffix).delete())
   }
-  override def close(): Unit = closeStream()
+  override def close(): Unit = if (pw != null) pw.closeQuietly()
 }

@@ -283,12 +283,45 @@ class StatusReaderFactory(filters: Array[Filter], required: StructType, limit: I
   * UTF-8 decode happens per returned line.
   */
 private[sources] object ByteRangeLines {
-  /** Non-splittable compressed part files both planners must keep whole. */
+  /** Non-splittable compressed part files both planners must keep whole —
+    * UNLESS a granule index provides frame-aligned offsets (`exact` mode).
+    */
   def isCompressed(path: String): Boolean =
     path.endsWith(".gz") || path.endsWith(".zst")
+
+  /** EOFs after `limit` bytes of the inner stream — the compressed-range
+    * bound for exact (granule-aligned) reads.
+    */
+  private[sources] final class BoundedIn(inner: java.io.InputStream, limit: Long)
+      extends java.io.InputStream {
+    private var remaining = limit
+    override def read(): Int =
+      if (remaining <= 0) -1
+      else { val b = inner.read(); if (b >= 0) remaining -= 1; b }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (remaining <= 0) return -1
+      val n = inner.read(b, off, math.min(len.toLong, remaining).toInt)
+      if (n > 0) remaining -= n
+      n
+    }
+    // honest available(): GZIPInputStream consults it to decide whether a
+    // further concatenated member may follow — past the bound it must be 0
+    override def available(): Int =
+      math.min(inner.available().toLong, math.max(remaining, 0L)).toInt
+    override def close(): Unit = inner.close()
+  }
 }
 
-private class ByteRangeLines(path: String, start: Long, end: Long) {
+/** `exact = false` (default): the Hadoop split convention — `start`/`end`
+  * are arbitrary byte positions, ownership by first-newline discipline,
+  * compressed files whole-file only. `exact = true`: `start` is a known
+  * LINE START and, for compressed files, a compression-frame boundary
+  * (granule offsets from [[GranuleIndex]]); the range reads as seek +
+  * bounded decode to EOF — no line is skipped or shared. `end =
+  * Long.MaxValue` means to-EOF in both modes.
+  */
+private class ByteRangeLines(path: String, start: Long, end: Long,
+    exact: Boolean = false) {
   // Chunk-buffered scan, not byte-at-a-time read(): one virtual call per
   // 64 KB block instead of one per BYTE (the r8 SplitScanProbe profile
   // showed the per-byte BufferedInputStream.read() dominating the whole
@@ -300,20 +333,31 @@ private class ByteRangeLines(path: String, start: Long, end: Long) {
   // hand a compressed file the whole (0, MaxValue) range; the planners
   // enforce it by never byte-range splitting such files.
   private val compressed = ByteRangeLines.isCompressed(path)
-  require(!compressed || start == 0L,
-    s"compressed files are not splittable: $path must be read as one whole-file range")
+  require(!compressed || start == 0L || exact,
+    s"compressed files are not splittable: $path must be read as one whole-file range " +
+      "(or at granule-aligned exact offsets)")
   private val fileIn = new java.io.FileInputStream(path)
-  private val in: java.io.InputStream =
-    if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(fileIn, 1 << 16)
-    else if (path.endsWith(".zst"))
-      new com.github.luben.zstd.ZstdInputStream(new java.io.BufferedInputStream(fileIn, 1 << 16))
+  // exact mode: seek to the (line-start / frame-start) offset and bound the
+  // RAW bytes to the range — the codec then decodes whole frames to EOF
+  private val base: java.io.InputStream = {
+    if (exact && start > 0) fileIn.getChannel.position(start)
+    if (exact && end != Long.MaxValue) new ByteRangeLines.BoundedIn(fileIn, end - start)
     else fileIn
+  }
+  private val in: java.io.InputStream =
+    if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(base, 1 << 16)
+    else if (path.endsWith(".zst"))
+      new com.github.luben.zstd.ZstdInputStream(new java.io.BufferedInputStream(base, 1 << 16))
+    else base
+  // ownership cutoff position (split mode); exact mode is bounded by BYTES
+  // above, so its line loop runs to (bounded) EOF
+  private val posLimit: Long = if (exact) Long.MaxValue else end
   private var pos = 0L
   private val block = new Array[Byte](1 << 16)
   private var blockLen = 0
   private var blockPos = 0
   locally {
-    if (start > 0) {
+    if (!exact && start > 0) {
       fileIn.getChannel.position(start)
       pos = start
       readLine() // partial line: owned by the previous range
@@ -364,7 +408,7 @@ private class ByteRangeLines(path: String, start: Long, end: Long) {
     * line is lost or duplicated wherever the byte boundary lands.
     */
   def next(): Array[Byte] =
-    if (pos > end) null else readLine()
+    if (pos > posLimit) null else readLine()
 
   /** Counts the remaining owned NON-EMPTY lines (the parse loops' empty-
     * line skip rule) without materializing any of them — no copyOfRange,
@@ -374,7 +418,7 @@ private class ByteRangeLines(path: String, start: Long, end: Long) {
     */
   def countNonEmpty(): Long = {
     var n = 0L
-    while (pos <= end) {
+    while (pos <= posLimit) {
       val len = readLineLen()
       if (len < 0) return n
       if (len > 0) n += 1

@@ -207,6 +207,14 @@ class OrderedScanSpec extends SparkTestBase {
     assert(ord.compare("part-e2-11-0.csv", "part-e10-2-0.csv") < 0)
     assert(ord.compare("part-e10-0-0.csv", "part-e10-0-1.csv") < 0)
     assert(ord.compare("part-009.csv", "part-9.csv") != 0, "total order under zero-padding")
+    // epoch names carry the query lineage tag (ADVICE r9); epoch order is
+    // still numeric WITHIN a lineage, even when the tag ends in digits
+    assert(ord.compare("part-ea1b2c3d4-9-0-0.csv", "part-ea1b2c3d4-10-0-0.csv") < 0)
+    // batch names lead with a monotonic job tag (ADVICE r9): a later job's
+    // partition-0 part sorts AFTER an earlier job's partition-1 part, and
+    // legacy untagged parts (small leading numbers) sort before tagged ones
+    assert(ord.compare("part-1755000000001-1-7-0.csv", "part-1755000000002-0-9-0.csv") < 0)
+    assert(ord.compare("part-0-42-0.csv", "part-1755000000001-0-7-0.csv") < 0)
 
     val root = Files.createTempDirectory("graft-tiebreak").toFile
     val d = new java.io.File(root, "shard=0"); d.mkdirs()

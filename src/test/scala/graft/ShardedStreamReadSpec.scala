@@ -66,6 +66,71 @@ class ShardedStreamReadSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("a tail survives OPTIMIZE between micro-batches with zero duplicates (merged-part lineage)") {
+    val root = Files.createTempDirectory("graft-streamopt")
+    val store = root.resolve("store").toString
+    val ckpt = root.resolve("ckpt").toString
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def start() = spark.readStream.format("graft-sharded").load(store)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        df.select("token_id", "ts_us").collect()
+          .foreach(r => seen.add((r.getLong(0), r.getLong(1)))); ()
+      }
+      .option("checkpointLocation", ckpt).start()
+
+    append(store, 0L until 10L)
+    append(store, 10L until 16L)
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(seen.size === 16)
+
+      // maintenance runs MID-STREAM (between micro-batches): every consumed
+      // part merges into part-opt-* parts carrying lineage
+      val res = graft.jobs.StoreOptimize.optimize(spark, store, codec = "none")
+      assert(res.nonEmpty)
+
+      // the next batches must re-read NOTHING from the merged parts, and
+      // still pick up genuinely new appends
+      append(store, 16L until 20L)
+      q1.processAllAvailable()
+      assert(seen.size === 20,
+        s"optimize mid-stream must not re-feed merged rows (got ${seen.size})")
+    } finally q1.stop()
+
+    // and across a restart: another optimize while the query is down, plus
+    // a new append — the restarted tail sees only the append
+    graft.jobs.StoreOptimize.optimize(spark, store, codec = "none")
+    append(store, 20L until 23L)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val toks = seen.asScala.toSeq.map(_._1).sorted
+      assert(toks === (0L until 23L).toSeq,
+        s"restart after maintenance must process exactly the gap, got ${toks.mkString(",")}")
+    } finally q2.stop()
+  }
+
+  test("sorted=true is rejected on the streaming read (batch-only option, ADVICE r9)") {
+    val root = Files.createTempDirectory("graft-streamsorted")
+    val store = root.resolve("store").toString
+    append(store, 0L until 4L)
+    val q = spark.readStream.format("graft-sharded")
+      .option("sorted", "true").load(store)
+      .writeStream.format("noop")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(ex.getMessage.contains("sorted") ||
+      Option(ex.getCause).exists(_.getMessage.contains("sorted")),
+      s"must reject sorted=true loudly, got: ${ex.getMessage}")
+  }
+
   test("startingOffsets=latest skips the existing store and tails only new parts") {
     val root = Files.createTempDirectory("graft-streamlatest")
     val store = root.resolve("store").toString

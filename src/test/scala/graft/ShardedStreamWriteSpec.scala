@@ -109,6 +109,33 @@ class ShardedStreamWriteSpec extends SparkTestBase {
     assert(spark.read.format("graft-sharded").load(store).count() === 1)
   }
 
+  test("a fresh-checkpoint query never sweeps a previous lineage's epoch parts (ADVICE r9)") {
+    import graft.sources.{ShardedStreamingWrite, ShardedTaskCommit}
+    val store = Files.createTempDirectory("graft-lineage").toFile.getAbsolutePath
+
+    def runQuery(qid: String, tok: Long): Unit = {
+      val w = new ShardedStreamingWrite(store, inSchema, "none", qid)
+      val fac = w.createStreamingWriterFactory(null)
+      // a fresh checkpoint restarts epochs at 0 — the collision the
+      // namespace exists for
+      val dw = fac.createWriter(0, 1L, 0L)
+      dw.write(org.apache.spark.sql.catalyst.InternalRow(
+        3, tok, 100L, org.apache.spark.unsafe.types.UTF8String.fromString("click"), 1.0))
+      val m = dw.commit().asInstanceOf[ShardedTaskCommit]
+      w.commit(0L, Array(m))
+    }
+
+    runQuery("11111111-aaaa", 30L)
+    assert(spark.read.format("graft-sharded").load(store).count() === 1)
+    // second query, NEW checkpoint, same store, same epoch number: its
+    // commit sweep must only match its own lineage's names
+    runQuery("22222222-bbbb", 31L)
+    val got = spark.read.format("graft-sharded").load(store)
+    assert(got.count() === 2,
+      "a new lineage's epoch-0 commit must not delete the previous lineage's epoch-0 parts")
+    assert(got.select("token_id").collect().map(_.getLong(0)).sorted === Array(30L, 31L))
+  }
+
   test("a differently-partitioned replay sweeps the crashed attempt's published files (ADVICE r8)") {
     import graft.sources.{ShardedStreamingWrite, ShardedTaskCommit, WriterFiles}
     val store = Files.createTempDirectory("graft-resweep").toFile

@@ -117,7 +117,7 @@ class StoreOptimizeSpec extends SparkTestBase {
     val m = new java.io.PrintWriter(new java.io.File(d, mergedName))
     (0L until 20L).foreach(t => m.println(s"$t,${t * 10},a,1.0")); m.close()
 
-    StoreOptimize.publishMerged(d, inputs, mergedName)
+    StoreOptimize.publishMerged(d, inputs, Seq(mergedName))
 
     // flip kept C, dropped exactly the inputs, merged part PREPENDED
     // (ingest order: merged content predates the concurrent part)
@@ -147,6 +147,10 @@ class StoreOptimizeSpec extends SparkTestBase {
     touch(".part-opt-deadbeef0000.csv.minmax", "1,1,1,1,1,1.0,1.0")
     touch(".part-opt-aaaa.csv.tmp")
     touch("part-3-55-0.csv") // foreign: a batch commit between publish and register
+    // a FRESH manifest staging tmp: a concurrent commit's registerInManifests
+    // between its staging write and its rename (ADVICE r9 — the old
+    // unconditional tmp sweep deleted it and broke the commit's moveReplace)
+    touch("._parts.tmp-concurrent-commit")
 
     val res = StoreOptimize.optimize(spark, dir)
     // single listed part + residue → gc-only pass (rows = -1 sentinel filtered out)
@@ -156,6 +160,8 @@ class StoreOptimizeSpec extends SparkTestBase {
     assert(!new java.io.File(d, ".part-opt-aaaa.csv.tmp").exists())
     assert(new java.io.File(d, "part-3-55-0.csv").isFile,
       "foreign unlisted part must survive — it may be a commit in flight")
+    assert(new java.io.File(d, "._parts.tmp-concurrent-commit").isFile,
+      "a fresh manifest staging tmp must survive — a concurrent register owns it")
     assert(WriterFiles.readManifest(d) === Some(keep))
     assert(readBack(dir).count() === 10) // manifest view unchanged
   }

@@ -126,6 +126,26 @@ class StoreRetentionSpec extends SparkTestBase {
       "the null-ts row must survive a retention pass it cannot be proven absent from")
   }
 
+  test("a provably-empty part (rows=0 sidecar) drops instead of vacuously keeping (ADVICE r9)") {
+    val dir = tmpDir()
+    // one real part so the shard plans a task, plus a hand-made EMPTY part
+    // whose sidecar proves rows=0 — tsMin is None there, which the old
+    // KeepWhole guard (`tsMin.forall(_ >= cutoff)`) accepted vacuously
+    df(Seq(Row(0, 1L, 9000L, "new", 1.0)))
+      .write.format("graft-sharded").mode("append").save(dir)
+    val d = new java.io.File(dir, "shard=0")
+    val empty = new java.io.File(d, "part-empty-0.csv")
+    new java.io.FileOutputStream(empty).close()
+    PartStats.write(new java.io.File(d, s".${empty.getName}.minmax"),
+      PartStats(0L, None, None, None, None, None, None, None, Some(Set.empty), Some(0L)))
+
+    val res = StoreRetention.expire(spark, dir, 5000L)
+    assert(res.nonEmpty, "the empty part must force a retention task")
+    assert(res.head.droppedParts === 1 && res.head.rowsDroppedWhole === 0L)
+    assert(!empty.exists(), "rows=0 part must be dropped, not retained forever")
+    assert(readBack(dir).count() === 1)
+  }
+
   test("concurrent-commit registrations survive the retention flip") {
     val dir = tmpDir()
     writeStore(dir)
