@@ -942,8 +942,22 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
     * When a TopN is pushed, the row count is additionally bounded by the
     * per-shard emission cap (≤ 2K rows per shard — K heap + K null-ts).
     */
+  /** Post-pushdown per-file byte estimate: with a small pushed token
+    * IN-set and a granule index, count only the granule ranges the
+    * predicate selects — a one-token probe of a compacted 100 GB store
+    * then reports kilobytes and becomes broadcast-eligible, which is the
+    * join-side decision the mark index exists to inform.
+    */
+  private def effectiveBytes(f: File): Long =
+    if (rowPred.tokenIn.isEmpty) f.length()
+    else GranuleIndex.selectRanges(f, rowPred) match {
+      case Some(rs) =>
+        rs.map { case (s, e) => (if (e == Long.MaxValue) f.length() else e) - s }.sum
+      case None => f.length()
+    }
+
   override def estimateStatistics(): Statistics = {
-    val bytes = shardFiles.map(_._2.map(_.length()).sum).sum
+    val bytes = shardFiles.map(_._2.map(effectiveBytes).sum).sum
     val rowBound: java.util.OptionalLong =
       if (topN >= 0) java.util.OptionalLong.of(2L * topN * plannedCount) // ≤2K per PLANNED split
       else if (limit >= 0) java.util.OptionalLong.of(limit.toLong * plannedCount)

@@ -143,6 +143,25 @@ class GranuleIndexSpec extends SparkTestBase {
     assert(viaScan.map(_.getDouble(2)).sorted === (22 to 29).map(_.toDouble).toArray)
   }
 
+  test("reported statistics shrink to the granule-selected bytes for point scans") {
+    val dir = tmp().getAbsolutePath
+    val rows = (0L until 40000L).map(t => Row(0, t % 1000, 1000L * t, "sig", t * 1.0))
+    df(rows).write.format("graft-sharded").option("granuleRows", "256")
+      .mode("append").save(dir)
+    import org.apache.spark.sql.sources.EqualTo
+    def bytesFor(filters: Array[org.apache.spark.sql.sources.Filter]): Long = {
+      val b = new graft.sources.ShardedScanBuilder(dir)
+      b.pushFilters(filters)
+      b.build().asInstanceOf[graft.sources.ShardedScan].estimateStatistics()
+        .sizeInBytes().getAsLong
+    }
+    val full = bytesFor(Array.empty)
+    val point = bytesFor(Array(EqualTo("token_id", 7L)))
+    assert(point > 0 && point < full / 10,
+      s"a point scan must report granule-selected bytes ($point of $full) — " +
+        "the broadcast-eligibility signal")
+  }
+
   test("compressed parts byte-range split at granule boundaries (split=always)") {
     val dir = tmp().getAbsolutePath
     val rows = (0L until 20000L).map(t => Row(0, t % 500, 1000L * t, "sig", t * 1.0))

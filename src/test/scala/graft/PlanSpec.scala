@@ -451,6 +451,25 @@ class PlanSpec extends SparkTestBase {
     assert(scan.metrics("numOutputRows").value === df.count())
   }
 
+  test("q206 compacted point lookup: pushed residual-free onto the post-FINAL store, one shard planned") {
+    val df = SparkEntry.queries("q206_compacted_point")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("pushedFilters=") && p.contains("EqualTo(token_id,7)"),
+      s"the point predicate must reach the compacted-store scan\n$p")
+    assert(df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.isEmpty, s"no Spark-side re-filter may remain\n${df.queryExecution.optimizedPlan}")
+    // shard=7: the scan plans exactly one input partition of the compacted
+    // store and emits only the token's rows (parse-time skip; the granule
+    // index bounds the parse itself — GranuleIndexSpec pins <10% of rows)
+    val scan = findScan(df, "graft_sharded")
+    assert(scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputRDD.getNumPartitions === 1,
+      s"shard=7 must plan exactly one input partition\n$p")
+    assert(scan.metrics("numOutputRows").value === df.count())
+  }
+
   test("q190 sharded DPP: the VIP build side prunes shard files at runtime") {
     val df = SparkEntry.queries("q190_sharded_dpp")(spark, sf)
     val rows = df.collect()
