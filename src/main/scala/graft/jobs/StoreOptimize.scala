@@ -314,13 +314,27 @@ object StoreOptimize {
     */
   private[graft] val MaxLineage = 100000
 
-  /** `.<out>.lineage` = the LEAF-expanded input names (an input that is
-    * itself a merged part splices its own lineage, still on disk at this
-    * point): a stream that consumed every leaf may skip the merged part
-    * even across multi-generation merges between its micro-batches. Every
-    * output of one merge carries the full input set — rows are distributed
-    * across the rolled outputs, so only all-inputs-consumed makes any of
-    * them skippable.
+  /** `.<out>.lineage` records TWO views of what a merged/rewritten part
+    * replaced, separated by a `=direct` marker line:
+    *
+    *   - the LEAF expansion (an input that is itself a merged part splices
+    *     its own leaf list, still on disk at this point) — matches a
+    *     stream whose offset holds the original ingest part names, even
+    *     across multi-generation merges between its micro-batches;
+    *   - the DIRECT inputs — matches a stream whose offset was COMPACTED
+    *     (retired leaves replaced by their covering merged part): after
+    *     compaction the offset names the previous generation, not the
+    *     leaves, and the leaf list alone could never be re-proven once
+    *     the intermediates' own lineage files are GC'd.
+    *
+    * A part is skippable when EITHER view is fully inside the offset
+    * (graft.sources.ShardedMicroBatchStream.consumedByLineage); both
+    * views are conservative — a partially-consumed part matches neither
+    * and is read whole.
+    *
+    * Every output of one merge carries the full input set — rows are
+    * distributed across the rolled outputs, so only all-inputs-consumed
+    * makes any of them skippable.
     */
   private[graft] def writeLineage(dir: File, inputParts: Seq[String],
       outNames: Seq[String]): Unit = {
@@ -330,7 +344,8 @@ object StoreOptimize {
       if (lf.isFile) {
         val src = scala.io.Source.fromFile(lf, "UTF-8")
         try {
-          val ls = src.getLines().map(_.trim).filter(_.nonEmpty).toVector
+          val ls = src.getLines().map(_.trim).filter(_.nonEmpty)
+            .takeWhile(_ != LineageDirectMarker).toVector
           if (ls.nonEmpty) ls else Vector(in)
         } finally src.close()
       } else Vector(in)
@@ -339,9 +354,15 @@ object StoreOptimize {
     outNames.foreach { out =>
       // atomicWrite's tmp name contains "part-opt-"/"part-ret-", so a
       // crashed write's residue is swept by the scoped tmp GC
-      atomicWrite(new File(dir, s".$out.lineage"), leaves)
+      atomicWrite(new File(dir, s".$out.lineage"),
+        leaves ++ (LineageDirectMarker +: inputParts))
     }
   }
+
+  /** Separator between the leaf section and the direct-input section of a
+    * lineage file (part names never start with `=`).
+    */
+  private[graft] val LineageDirectMarker = "=direct"
 
   /** Delete exactly `retired` (the merged input parts) and their sidecars,
     * plus residue only THIS job can have produced: `part-opt-*`/`part-ret-*`

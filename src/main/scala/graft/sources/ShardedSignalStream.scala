@@ -92,22 +92,33 @@ class ShardedMicroBatchStream(path: String, required: StructType,
     (if (d.isDirectory) new File(d, part) else new File(path, part)).getAbsolutePath
   }
 
-  /** A fresh part is ALREADY CONSUMED when its recorded lineage (the leaf
-    * part names maintenance merged/rewrote into it) sits entirely inside
-    * the offset's seen set: its rows are (a subset of) rows the stream
-    * already emitted. No lineage file / partially-seen lineage → genuinely
-    * new (read it).
+  /** Both sections of a part's lineage sidecar: (leaf expansion, direct
+    * inputs) — see `StoreOptimize.writeLineage`. (Nil, Nil) when absent.
+    */
+  private def lineageSections(shard: String, name: String): (Seq[String], Seq[String]) = {
+    val lf = new File(new File(path, s"shard=$shard"), s".$name.lineage")
+    if (!lf.isFile) return (Nil, Nil)
+    try {
+      val src = scala.io.Source.fromFile(lf, "UTF-8")
+      val lines = try src.getLines().map(_.trim).filter(_.nonEmpty).toVector finally src.close()
+      val cut = lines.indexOf(graft.jobs.StoreOptimize.LineageDirectMarker)
+      if (cut < 0) (lines, Nil) else (lines.take(cut), lines.drop(cut + 1))
+    } catch { case scala.util.control.NonFatal(_) => (Nil, Nil) }
+  }
+
+  /** A fresh part is ALREADY CONSUMED when EITHER lineage view sits
+    * entirely inside the offset's seen set: the LEAF list matches offsets
+    * that still hold the original ingest names; the DIRECT-input list
+    * matches COMPACTED offsets, where retired leaves were replaced by
+    * their covering previous-generation part. Its rows are then (a subset
+    * of) rows the stream already emitted. No lineage file /
+    * partially-seen lineage → genuinely new (read it whole).
     */
   private def consumedByLineage(shard: String, name: String, seen: Set[String]): Boolean = {
     if (seen.isEmpty) return false
-    val d = new File(path, s"shard=$shard")
-    val lf = new File(d, s".$name.lineage")
-    if (!lf.isFile) return false
-    try {
-      val src = scala.io.Source.fromFile(lf, "UTF-8")
-      val leaves = try src.getLines().map(_.trim).filter(_.nonEmpty).toVector finally src.close()
-      leaves.nonEmpty && leaves.forall(seen)
-    } catch { case scala.util.control.NonFatal(_) => false }
+    val (leaves, directs) = lineageSections(shard, name)
+    (leaves.nonEmpty && leaves.forall(seen)) ||
+      (directs.nonEmpty && directs.forall(seen))
   }
 
   override def initialOffset(): Offset =
@@ -120,10 +131,35 @@ class ShardedMicroBatchStream(path: String, required: StructType,
     if (maxPartsPerTrigger > 0) ReadLimit.maxFiles(maxPartsPerTrigger)
     else ReadLimit.allAvailable()
 
+  /** Offset COMPACTION: with maintenance running mid-tail, a naive offset
+    * accumulates every part name ever published PLUS every merged part —
+    * superlinear checkpoint growth on a long tail. A seen name that is
+    * (a) no longer in the live listing and (b) provably merged into a
+    * live part the offset also tracks (it appears in that part's lineage,
+    * either section) can never be planned again — the listing will never
+    * re-surface it — so it drops from new offsets; the covering part
+    * remains and DENOTES it (the direct-input lineage view is what keeps
+    * later generations provable against the compacted set). Names retired
+    * WITHOUT a live covering part (TTL whole-drops) are kept: cheap, and
+    * no proof object exists. The offset therefore tracks ~the live part
+    * census, not history.
+    */
+  private def compactSeen(shard: String, seen: Seq[String], live: Set[String],
+      covering: Seq[String]): Seq[String] = {
+    if (seen.forall(live)) return seen
+    val covered = covering.iterator.filter(live).flatMap { n =>
+      val (leaves, directs) = lineageSections(shard, n)
+      leaves.iterator ++ directs.iterator
+    }.toSet
+    if (covered.isEmpty) seen
+    else seen.filter(n => live(n) || !covered(n))
+  }
+
   /** Admission control: advance from `start` toward the target by at most
     * `maxFiles` NEW parts (shards drained in shard order, each shard's
     * parts in ingest order — deterministic, so a replayed planning call
-    * reproduces the batch).
+    * reproduces the batch; a replay reuses the CHECKPOINTED offsets, so
+    * compaction never changes a batch after the fact).
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startMap = start.asInstanceOf[ShardedStreamOffset].parts
@@ -141,7 +177,10 @@ class ShardedMicroBatchStream(path: String, required: StructType,
       val (done, todo) = fresh.partition(n => consumedByLineage(k, n, seenSet))
       val take = todo.take(math.max(budget, 0))
       budget -= take.length
-      k -> (seen ++ done ++ take)
+      // covering candidates: live seen parts AND this batch's lineage-
+      // consumed parts (so compaction lands in the same offset that
+      // admits the covering part)
+      k -> (compactSeen(k, seen, names.toSet, seen ++ done) ++ done ++ take)
     }.toMap
     // shards present in start but vanished from the target stay committed
     // (offsets are monotonic); target shards take their advanced lists

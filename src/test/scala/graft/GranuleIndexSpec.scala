@@ -214,8 +214,11 @@ class GranuleIndexSpec extends SparkTestBase {
       assert(graft.sources.PartStats.read(p).isDefined)
       val lf = new java.io.File(d, s".${p.getName}.lineage")
       assert(lf.isFile, s"merged part ${p.getName} must record lineage")
-      val leaves = scala.io.Source.fromFile(lf, "UTF-8").getLines().toVector
+      val lines = scala.io.Source.fromFile(lf, "UTF-8").getLines().toVector
+      val leaves = lines.takeWhile(_ != "=direct")
       assert(leaves.length === 64, s"leaf-expanded lineage, got ${leaves.length}")
+      assert(lines.contains("=direct") && lines.drop(leaves.length + 1).nonEmpty,
+        "lineage must also record the direct inputs (compacted-offset proof)")
     }
   }
 

@@ -114,6 +114,44 @@ class ShardedStreamReadSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("offsets compact to ~the live part census once maintenance covers consumed names") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.sources.{ShardedMicroBatchStream, ShardedStreamOffset, ShardRowPredicate}
+    val root = Files.createTempDirectory("graft-streamcompact")
+    val store = root.resolve("store").toString
+    (0 until 6).foreach(i => append(store, (10L * i) until (10L * i + 10L), tsOff = 1000000L * i))
+
+    val stream = new ShardedMicroBatchStream(store, schema, ShardRowPredicate.Trivial,
+      None, "earliest", -1)
+    val o0 = stream.initialOffset().asInstanceOf[ShardedStreamOffset]
+    val o1 = stream.latestOffset(o0, ReadLimit.allAvailable()).asInstanceOf[ShardedStreamOffset]
+    val namesBefore = o1.parts.values.map(_.size).sum
+    assert(namesBefore >= 6, s"six appends must be tracked, got $namesBefore")
+
+    // maintenance merges everything; the next offset must (a) mark the
+    // merged parts consumed via lineage and (b) DROP the retired leaves —
+    // a month-long tail's checkpoint entry tracks the live census, not
+    // every part ever published
+    graft.jobs.StoreOptimize.optimize(spark, store, codec = "none")
+    val o2 = stream.latestOffset(o1, ReadLimit.allAvailable()).asInstanceOf[ShardedStreamOffset]
+    assert(stream.planInputPartitions(o1, o2).isEmpty,
+      "merged parts with fully-consumed lineage must never be read")
+    val namesAfter = o2.parts.values.map(_.size).sum
+    val liveNow = o2.parts.keys.toSeq.map(k =>
+      graft.sources.ShardedSignalSource.activeParts(
+        new java.io.File(store, s"shard=$k")).size).sum
+    assert(namesAfter === liveNow,
+      s"offset must compact to the live census ($namesAfter vs live $liveNow, was $namesBefore)")
+    assert(o2.parts.values.flatten.forall(_.startsWith("part-opt-")),
+      s"only the merged parts remain tracked: ${o2.parts}")
+
+    // new appends still tail exactly-once on top of the compacted offset
+    append(store, 100L until 105L)
+    val o3 = stream.latestOffset(o2, ReadLimit.allAvailable()).asInstanceOf[ShardedStreamOffset]
+    val planned = stream.planInputPartitions(o2, o3)
+    assert(planned.nonEmpty, "the fresh append must plan")
+  }
+
   test("sorted=true is rejected on the streaming read (batch-only option, ADVICE r9)") {
     val root = Files.createTempDirectory("graft-streamsorted")
     val store = root.resolve("store").toString
