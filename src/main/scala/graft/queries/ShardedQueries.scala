@@ -153,9 +153,9 @@ object ShardedQueries {
   private def optimizedDir(s: SparkSession, d: String): String = synchronized {
     optimizedDirs.getOrElseUpdate(d, {
       val key = eventsFingerprint(d)
-      // `_g256` layout version: r10 compaction writes granule indexes — a
+      // `_g64` layout version: r10 compaction writes granule indexes — a
       // pre-r10 cached store (no marks) must not satisfy the fingerprint
-      val dir = new File(s"/tmp/graft_sharded_opt/${new File(d).getName}_${key}_g256")
+      val dir = new File(s"/tmp/graft_sharded_opt/${new File(d).getName}_${key}_g64")
       if (!new File(dir, "_OPTIMIZED").exists()) {
         ev(s, d)
           .select(
@@ -168,11 +168,14 @@ object ShardedQueries {
           // force several parts per shard so the merge is real
           .option("maxPartBytes", (1L << 20).toString)
           .mode("overwrite").save(dir.getAbsolutePath)
-        // granuleRows 256 keeps the mark index real at sf0.01 shard sizes
-        // (a few thousand collapsed rows per shard; production default 8192
-        // assumes millions) — q206's <10%-parsed contract needs >10 marks
+        // granuleRows 64: the testdata's collapsed store is ~100 rows per
+        // shard at sf0.01 / ~1k at sf0.1 (750/7.5k distinct (token, name)
+        // pairs over 8 shards), so gate-scale marks need a toy granularity
+        // to exist at all; production default 8192 assumes millions of
+        // rows per part. The <10%-parsed bound is pinned at realistic
+        // density by GranuleIndexSpec + tools/GranuleProbe.
         graft.jobs.StoreOptimize.optimize(s, dir.getAbsolutePath,
-          codec = "zstd", finalDedup = true, granuleRows = 256)
+          codec = "zstd", finalDedup = true, granuleRows = 64)
         new java.io.FileOutputStream(new File(dir, "_OPTIMIZED")).close()
       }
       dir.getAbsolutePath
@@ -698,6 +701,28 @@ object ShardedQueries {
                CAST(min(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS oldest_us,
                CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS newest_us
              FROM events GROUP BY 1""")
+    ),
+
+    // ── Post-compaction EXTRACT through granule-aligned compressed splits
+    //    (r10): the other half of the r9 `weak` — a FINAL-compacted shard
+    //    used to be ONE task over ALL its zstd bytes for every full read.
+    //    Each granule is its own zstd frame, so `split=always` fans the
+    //    compacted parts into frame-aligned byte ranges (2 KB here — the
+    //    testdata's compacted parts are KB-sized; 128 MB default at
+    //    scale) and the
+    //    firehose re-extraction parallelizes by bytes again. The pushed
+    //    name predicate drops rows at parse time inside each range;
+    //    after FINAL the result is the latest click per token.
+    QueryDef(
+      "q208_compacted_extract",
+      (s, d) => s.read.format("graft-sharded")
+        .option("split", "always").option("splitBytes", (2L * 1024).toString)
+        .load(optimizedDir(s, d))
+        .where(col("name") === "click")
+        .select(col("token_id"), col("ts_us").as("last_us")),
+      Some("""SELECT user_id AS token_id,
+               CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us
+             FROM events WHERE event_type = 'click' GROUP BY 1""")
     )
   )
 }

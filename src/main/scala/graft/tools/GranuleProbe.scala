@@ -164,6 +164,26 @@ object GranuleProbe {
     println(f"[granuleprobe] full agg split=always(4MB): with-marks $pWith partitions " +
       f"$sWith%.2f s, no-marks $pWithout partitions $sWithout%.2f s (${sWithout / sWith}%.1fx)")
 
+    // 4. compression-ratio cost of frame-per-granule: rewrite shard=0's
+    //    content as ONE zstd frame (granuleRows = MaxValue) and compare
+    //    bytes — the honest price of seekable offsets
+    val d0 = new File(withIdx, "shard=0")
+    val p0 = ShardedSignalSource.activeParts(d0)
+    val framedBytes = p0.map(_.length()).sum
+    val mono = graft.sources.PartStreamWriter.staged(d0, "part-probe-mono.csv.zst", "zstd",
+      granuleRows = Int.MaxValue)
+    p0.foreach { p =>
+      val r = new ShardedPartitionReader(p.getAbsolutePath, 0, schema, ShardRowPredicate.Trivial)
+      while (r.next()) mono.write(r.get())
+      r.close()
+    }
+    mono.finishStaged()
+    val monoFile = new File(d0, ".part-probe-mono.csv.zst.tmp")
+    println(f"[granuleprobe] zstd ratio cost: frame-per-granule ${framedBytes / 1e6}%.2f MB vs " +
+      f"single-frame ${monoFile.length() / 1e6}%.2f MB " +
+      f"(+${(framedBytes - monoFile.length()) * 100.0 / monoFile.length()}%.1f%%)")
+    mono.abandon()
+
     spark.stop()
   }
 }
