@@ -42,10 +42,12 @@ import graft.sources.{LatestCollapseReader, PartStats, PartStreamWriter, ShardRo
   *   2. write the merged part(s) + sidecars as dot-files (invisible), then
   *      rename to canonical names (visible to a plain listing but NOT in
   *      the manifest — still invisible to readers);
-  *   3. record merged-part LINEAGE (`.<out>.lineage` = the leaf-expanded
-  *      input part names): a tailing stream treats a merged part as
-  *      already-consumed when ALL its inputs are in its offset, so
-  *      maintenance no longer re-feeds merged history into a live tail;
+  *   3. record merged-part LINEAGE (`.<out>.lineage`, two views: the
+  *      leaf-expanded input names + the `=direct` inputs — see
+  *      [[writeLineage]]): a tailing stream treats a merged part as
+  *      already-consumed when either view is fully in its offset, so
+  *      maintenance no longer re-feeds merged history into a live tail,
+  *      and offsets COMPACT to the live part census;
   *   4. FLIP: read-modify-rename the manifest to substitute the group's
   *      input parts IN PLACE with the merged part(s) — position preserved,
   *      so manifest order remains ingest order (the `dedup=latest`
@@ -98,7 +100,8 @@ object StoreOptimize {
 
   private case class OptTask(shard: Int, dir: String, parts: Seq[String],
       codec: String, finalDedup: Boolean, gcOnly: Boolean,
-      maxPartBytes: Long, mergeGroupSize: Int, granuleRows: Int)
+      maxPartBytes: Long, mergeGroupSize: Int, granuleRows: Int,
+      force: Boolean = false)
 
   /** Optimize every shard directory under `path`. Shards already at one
     * part are skipped (unless `finalDedup` or `force`); shards with
@@ -126,7 +129,8 @@ object StoreOptimize {
         if (parts.isEmpty) None
         else if (parts.size > 1 || finalDedup || force)
           Some(OptTask(k, dir.getAbsolutePath, parts.map(_.getName),
-            codec, finalDedup, gcOnly = false, maxPartBytes, mergeGroupSize, granuleRows))
+            codec, finalDedup, gcOnly = false, maxPartBytes, mergeGroupSize, granuleRows,
+            force))
         else if (unlistedResidue(dir, parts).nonEmpty)
           Some(OptTask(k, dir.getAbsolutePath, parts.map(_.getName),
             codec, finalDedup, gcOnly = true, maxPartBytes, mergeGroupSize, granuleRows))
@@ -237,8 +241,13 @@ object StoreOptimize {
 
     // FINAL pass: one merge (with the replacing collapse iff FINAL) over
     // the surviving parts; output rolls at maxPartBytes like every level.
-    // A planned non-GC task always rewrites (multi-part, FINAL, or force).
-    val (outs, rows) = mergeGroup(dir, t, active, dedup = t.finalDedup)
+    // A planned non-GC task always rewrites — EXCEPT when leveling already
+    // collapsed the shard to one part and no FINAL/force semantics are
+    // pending: re-rewriting that part would be pure write amplification.
+    val (outs, rows) =
+      if (active.size == 1 && active != t.parts && !t.finalDedup && !t.force)
+        (active, PartStats.read(new File(dir, active.head)).map(_.rows).getOrElse(0L))
+      else mergeGroup(dir, t, active, dedup = t.finalDedup)
 
     ShardResult(t.shard, t.parts.size, rows, outs)
   }
