@@ -1093,8 +1093,13 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
     if (ByteRangeLines.isCompressed(f.getName)) {
       // compressed parts split ONLY at granule-index frame boundaries —
       // with the index, a FINAL-compacted multi-GB zstd part fans out
-      // instead of serializing one task over all its bytes (r9 verdict)
-      granuleCutsOf(f) match {
+      // instead of serializing one task over all its bytes (r9 verdict).
+      // Size guard FIRST: a part at/under one split never splits, so the
+      // driver must not pay its mark-file read — planning IO stays
+      // proportional to the parts that can actually fan out (~24 KB of
+      // marks per GiB part, 0.002% of data).
+      if (len <= splitBytes) Seq((0L, Long.MaxValue, false))
+      else granuleCutsOf(f) match {
         case Some(cuts) =>
           cuts.zipWithIndex.map { case (s, i) =>
             (s, if (i + 1 < cuts.length) cuts(i + 1) else Long.MaxValue, true)
