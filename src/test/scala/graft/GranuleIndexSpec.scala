@@ -49,11 +49,14 @@ class GranuleIndexSpec extends SparkTestBase {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     while (r.next()) {
       val row = r.get()
-      out += ((row.getLong(1), row.getLong(2)))
+      // NullTs sentinel: pred-surviving null-ts rows must stay comparable
+      out += ((row.getLong(1), if (row.isNullAt(2)) NullTs else row.getLong(2)))
     }
     r.close()
     (out.toSeq, r.skippedRows)
   }
+
+  private val NullTs = Long.MinValue + 7
 
   for (codec <- Seq("none", "gzip", "zstd")) {
     test(s"[$codec] granule-rolled part round-trips whole and per-granule (multi-frame decode)") {
@@ -141,6 +144,50 @@ class GranuleIndexSpec extends SparkTestBase {
       .select("token_id", "ts_us", "v").collect()
     assert(viaScan.length === 8)
     assert(viaScan.map(_.getDouble(2)).sorted === (22 to 29).map(_.toDouble).toArray)
+  }
+
+  test("granule selection ≡ full scan under randomized keys, nulls, duplicates and ts bounds") {
+    // the property that keeps a mark index honest: for ANY sorted part
+    // (boundary-straddling duplicate keys, null tokens first, null ts
+    // first within a token) and ANY token/ts predicate, reading the
+    // selected granule ranges equals filtering a full scan
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 0 until 8; codec <- Seq("none", "zstd")) {
+      val dir = tmp()
+      val granuleRows = 1 + rnd.nextInt(16)
+      val nRows = 50 + rnd.nextInt(400)
+      // small key space forces duplicates ACROSS granule boundaries
+      val keys = Seq.fill(nRows)((
+        if (rnd.nextInt(10) == 0) null else java.lang.Long.valueOf(rnd.nextInt(12).toLong),
+        if (rnd.nextInt(10) == 0) null else java.lang.Long.valueOf(rnd.nextInt(5).toLong * 1000)))
+        .sortBy { case (t, s) =>
+          (t != null, Option(t).map(_.longValue()).getOrElse(0L),
+            s != null, Option(s).map(_.longValue()).getOrElse(0L))
+        }
+      val name = s"part-prop$trial${StoreOptimize.ext(codec)}"
+      val pw = PartStreamWriter.staged(dir, name, codec, granuleRows)
+      keys.foreach { case (t, s) => pw.writeFields(t, s, "n", 1.0) }
+      pw.finishStaged(); pw.publish()
+      val part = new java.io.File(dir, name)
+
+      for (_ <- 0 until 6) {
+        val toks = Set.fill(1 + rnd.nextInt(3))(rnd.nextInt(14).toLong)
+        val lo = if (rnd.nextBoolean()) Some((rnd.nextInt(5).toLong * 1000 - 500, rnd.nextBoolean())) else None
+        val hi = if (rnd.nextBoolean()) Some((rnd.nextInt(5).toLong * 1000 + 500, rnd.nextBoolean())) else None
+        val pred = ShardRowPredicate.Trivial.copy(tokenIn = Some(toks), tsMin = lo, tsMax = hi)
+        val (got, _) = readAll(part, pred)
+        val want = keys.filter { case (t, s) =>
+          t != null && toks.contains(t.longValue()) &&
+            // SQL null semantics: a ts bound rejects null; no bound keeps it
+            ((lo.isEmpty && hi.isEmpty) || (s != null &&
+              lo.forall { case (b, inc) => if (inc) s >= b else s > b } &&
+              hi.forall { case (b, inc) => if (inc) s <= b else s < b }))
+        }.map(kv => (kv._1.longValue(),
+          if (kv._2 == null) NullTs else kv._2.longValue()))
+        assert(got === want,
+          s"trial=$trial codec=$codec granuleRows=$granuleRows toks=$toks lo=$lo hi=$hi")
+      }
+    }
   }
 
   test("reported statistics shrink to the granule-selected bytes for point scans") {
