@@ -223,6 +223,45 @@ object ShardedQueries {
     })
   }
 
+  /** events → store where every `click` row has NULL ts_us → compacted
+    * with TINY granules (8 rows) so null-ts runs straddle granule
+    * boundaries in many tokens — the exact shape of the r10 granule
+    * dropped-row bug (GranuleIndex.cmpKey treated a null-ts first key as
+    * strictly below every query floor, so token-IN reads with no ts lower
+    * bound lost (token, null) rows at the tail of the preceding granule).
+    * NULLS-FIRST ordering puts each token's null run at its head, and
+    * granuleRows=8 lands boundaries INSIDE those runs. Materialized once
+    * per fingerprint.
+    */
+  private val nullTsDirs = scala.collection.mutable.Map.empty[String, String]
+
+  private def nullTsDir(s: SparkSession, d: String): String = synchronized {
+    nullTsDirs.getOrElseUpdate(d, {
+      val key = eventsFingerprint(d)
+      val dir = new File(s"/tmp/graft_sharded_null/${new File(d).getName}_${key}_n8b")
+      if (!new File(dir, "_OPTIMIZED").exists()) {
+        ev(s, d)
+          .select(
+            coalesce(pmod(col("user_id"), lit(NShards.toLong)).cast("int"), lit(0)).as("shard"),
+            col("user_id").as("token_id"),
+            when(col("event_type") === "click", lit(null).cast(LongType))
+              .otherwise(expr("unix_micros(ts)")).as("ts_us"),
+            col("event_type").as("name"),
+            round(col("value") * 100).cast(LongType).cast("double").as("v"))
+          .write.format("graft-sharded").option("codec", "zstd")
+          // small parts force a REAL merge (a single-part shard skips
+          // compaction and would never get the granule index under test)
+          .option("maxPartBytes", (16L << 10).toString)
+          .mode("overwrite").save(dir.getAbsolutePath)
+        // plain (non-FINAL) compaction: content-identical, granule-indexed
+        graft.jobs.StoreOptimize.optimize(s, dir.getAbsolutePath,
+          codec = "zstd", granuleRows = 8)
+        new java.io.FileOutputStream(new File(dir, "_OPTIMIZED")).close()
+      }
+      dir.getAbsolutePath
+    })
+  }
+
   /** events → V2-written store → streaming READ (`AvailableNow`, admission
     * control at 4 parts/trigger) drained through a parquet sink —
     * materialized once per fingerprint. The tail's offsets live in the
@@ -723,6 +762,48 @@ object ShardedQueries {
       Some("""SELECT user_id AS token_id,
                CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_us
              FROM events WHERE event_type = 'click' GROUP BY 1""")
+    ),
+
+    // ── NULL-ts rows at granule boundaries (r10 verdict What's-wrong #1,
+    //    declared): the store's sort is (token_id, ts_us) NULLS FIRST, so
+    //    a token's null-ts rows sit at its head — and with realistic
+    //    granularity a granule boundary lands INSIDE such a run, making
+    //    the next granule's first key (token, NULL). r10's lower-bound
+    //    search treated that key as strictly below every query floor and
+    //    silently DROPPED the (token, null) rows at the tail of the
+    //    preceding granule from token-IN reads with no ts bound — wrong
+    //    results on exactly the nullable-timestamp data the reference's
+    //    point reads must see in full (clickhouse.go:65-87 [ext]). This
+    //    row pins the SQL semantics in the gate: every `click` row has
+    //    NULL ts here (granuleRows=8 forces many boundary straddles), the
+    //    token-IN probe pushes to the granule-selected read path, and
+    //    counts/cents must equal DuckDB's — n_rows counts the null-ts
+    //    rows a dropped-granule bug would lose. The IN-set is SPARSE
+    //    (stride 7, coprime with the 8-way shard split): with a dense set
+    //    the preceding token's selected range re-covers the dropped
+    //    granule and masks the bug — verified against the reverted r10
+    //    code, which FAILS this row only under a sparse probe.
+    QueryDef(
+      "q209_null_ts_granules",
+      (s, d) => s.read.format("graft-sharded").load(nullTsDir(s, d))
+        .where(col("token_id").isin((0 until 22).map(i => 7L * i + 2): _*))
+        .groupBy(col("token_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("ts_us")).as("n_with_ts"),
+          min(col("ts_us")).as("oldest_us"),
+          max(col("ts_us")).as("newest_us"),
+          sum(col("v").cast(LongType)).as("cents")),
+      Some("""WITH b AS (SELECT user_id,
+               CASE WHEN event_type = 'click' THEN NULL
+                    ELSE epoch_us(CAST(ts AS TIMESTAMP)) END AS tsu,
+               CAST(round(value*100) AS BIGINT) AS c
+             FROM events WHERE user_id % 7 = 2 AND user_id <= 149)
+             SELECT user_id AS token_id, count(*)::BIGINT AS n_rows,
+               count(tsu)::BIGINT AS n_with_ts,
+               CAST(min(tsu) AS BIGINT) AS oldest_us,
+               CAST(max(tsu) AS BIGINT) AS newest_us,
+               sum(c)::BIGINT AS cents
+             FROM b GROUP BY 1""")
     )
   )
 }

@@ -1232,6 +1232,14 @@ private[sources] object ShardRows {
       new ShardedMergeReader(p.files, p.shard, schema, withTokens(pred, p.tokens))
     case p: ShardPartition =>
       new ShardedShardReader(p.files, p.shard, schema, withTokens(pred, p.tokens))
+    case p: ShardSplitPartition if p.start == 0L && p.end == Long.MaxValue =>
+      // a WHOLE-file "split" (the part was at/under one split, so the
+      // planner never cut it): route through the granule-aware per-file
+      // path — a pushed token probe in split mode (shard pruned from the
+      // output, `split=auto`) must skip granules exactly like the
+      // key-grouped path does, not fall back to a full parse (r11: this
+      // was the one reader shape that bypassed the mark index)
+      PartFileRows(p.file, p.shard, schema, withTokens(pred, p.tokens))
     case p: ShardSplitPartition =>
       new ShardedPartitionReader(p.file, p.shard, schema, withTokens(pred, p.tokens),
         p.start, p.end, p.exact)
