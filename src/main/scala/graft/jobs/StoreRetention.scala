@@ -4,7 +4,7 @@ import java.io.File
 
 import org.apache.spark.sql.SparkSession
 
-import graft.sources.{PartStats, PartStreamWriter, ShardRowPredicate, ShardedPartitionReader, ShardedSignalSource, WriterFiles}
+import graft.sources.{PartStats, PartStreamWriter, PartTrash, ShardRowPredicate, ShardedPartitionReader, ShardedSignalSource, WriterFiles}
 
 /** `TTL … DELETE` for the sharded signal store — the third MergeTree
   * lifecycle piece after ingest (the V2 writer) and merges
@@ -46,11 +46,13 @@ object StoreRetention {
       keptParts: Int, rowsDroppedWhole: Long, rowsExpired: Long, rowsKept: Long)
 
   private case class RetTask(shard: Int, dir: String, parts: Seq[String],
-      cutoff: Long, codec: String, granuleRows: Int)
+      cutoff: Long, codec: String, granuleRows: Int,
+      oldPartsLifetimeMs: Long = PartTrash.DefaultLifetimeMs)
 
   def expire(spark: SparkSession, path: String, cutoffTsUs: Long,
       codec: String = "zstd",
-      granuleRows: Int = PartStreamWriter.DefaultGranuleRows): Seq[ShardResult] = {
+      granuleRows: Int = PartStreamWriter.DefaultGranuleRows,
+      oldPartsLifetimeMs: Long = PartTrash.DefaultLifetimeMs): Seq[ShardResult] = {
     val root = new File(path)
     MaintenanceLock.withLock(root, "retention") {
       val shardDirs = Option(root.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
@@ -68,7 +70,7 @@ object StoreRetention {
           PartStats.read(p).exists(s => s.rows > 0 && s.tsMin.forall(_ >= cutoffTsUs)))
         if (parts.isEmpty || allKeep) None
         else Some(RetTask(k, dir.getAbsolutePath, parts.map(_.getName), cutoffTsUs, codec,
-          granuleRows))
+          granuleRows, oldPartsLifetimeMs))
       }
       if (tasks.isEmpty) return Seq.empty
 
@@ -150,15 +152,47 @@ object StoreRetention {
     }
 
     if (replace.nonEmpty) {
+      // TOMBSTONES for whole-drops (r10 verdict "What's missing" #3): a
+      // part retired WITHOUT a covering live part has no lineage proof a
+      // tailing stream could compact against — record its name in the
+      // shard's `_dropped` set so offsets shed it anyway. Written BEFORE
+      // the flip: a stream must never observe the name gone from the
+      // listing without the tombstone being visible.
+      val wholeDrops = replace.collect { case (n, None) => n }.toSeq
+      if (wholeDrops.nonEmpty) appendDropped(dir, wholeDrops)
       // FLIP: substitute in place / drop, preserving manifest (ingest)
       // order and any entries a concurrent commit registered meanwhile
       val current = WriterFiles.readManifest(dir).getOrElse(Seq.empty)
       val next = current.flatMap(n => replace.getOrElse(n, Some(n)))
       StoreOptimize.atomicWrite(manifest, next)
       // GC exactly the retired originals (+ maintenance residue)
-      StoreOptimize.gcResidue(dir, retired = replace.keySet.toSet)
+      StoreOptimize.gcResidue(dir, retired = replace.keySet.toSet, t.oldPartsLifetimeMs)
     }
 
     ShardResult(t.shard, dropped, rewritten, kept, rowsDroppedWhole, rowsExpired, rowsKept)
+  }
+
+  /** Per-shard tombstone set (`_dropped`): names of parts TTL removed
+    * whole, one per line, newest appended last. Bounded at [[MaxDropped]]
+    * names FIFO — an evicted tombstone only means a (pathologically slow)
+    * tail keeps that one name in its offset, today's behavior.
+    */
+  private[graft] val DroppedName = "_dropped"
+  private[graft] val MaxDropped = 100000
+
+  private def appendDropped(dir: File, names: Seq[String]): Unit = {
+    val f = new File(dir, DroppedName)
+    val existing = readDropped(dir)
+    val all = (existing ++ names).distinct.takeRight(MaxDropped)
+    StoreOptimize.atomicWrite(f, all)
+  }
+
+  private[graft] def readDropped(dir: File): Seq[String] = {
+    val f = new File(dir, DroppedName)
+    if (!f.isFile) return Seq.empty
+    try {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().map(_.trim).filter(_.nonEmpty).toVector finally src.close()
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
   }
 }

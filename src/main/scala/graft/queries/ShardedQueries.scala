@@ -153,9 +153,10 @@ object ShardedQueries {
   private def optimizedDir(s: SparkSession, d: String): String = synchronized {
     optimizedDirs.getOrElseUpdate(d, {
       val key = eventsFingerprint(d)
-      // `_g64` layout version: r10 compaction writes granule indexes — a
-      // pre-r10 cached store (no marks) must not satisfy the fingerprint
-      val dir = new File(s"/tmp/graft_sharded_opt/${new File(d).getName}_${key}_g64")
+      // `_g64b` layout version: r11 compaction writes g2 marks (per-granule
+      // ts bands) — a pre-r11 cached store (g1) must not satisfy the
+      // fingerprint, q210's time-window pruning needs the bands
+      val dir = new File(s"/tmp/graft_sharded_opt/${new File(d).getName}_${key}_g64b")
       if (!new File(dir, "_OPTIMIZED").exists()) {
         ev(s, d)
           .select(
@@ -804,6 +805,45 @@ object ShardedQueries {
                CAST(max(tsu) AS BIGINT) AS newest_us,
                sum(c)::BIGINT AS cents
              FROM b GROUP BY 1""")
+    ),
+
+    // ── Time-window scan of the FINAL-compacted store through the granule
+    //    ts BANDS (r11, r10 verdict "What's missing" #2): after FINAL a
+    //    part spans the shard's whole ts range, so part-level minmax can
+    //    prune nothing and a pure time predicate used to parse every
+    //    granule of every compacted part. The g2 mark entries now carry
+    //    each granule's non-null ts min/max — MergeTree's granule-level
+    //    minmax skip index on the time column — so this "current state
+    //    that changed in the last quarter of history" query (the incremental
+    //    shape of the reference's sync loop against its snapshot,
+    //    clickhouse.go:65-87 [ext]) selects only band-overlapping granules
+    //    inside each part (GranuleIndexSpec pins the parsed-row bound; the
+    //    pushed ts range also shrinks reported statistics). The window
+    //    bounds are integer arithmetic both engines evaluate identically.
+    QueryDef(
+      "q210_time_window_granules",
+      (s, d) => {
+        val mm = ev(s, d).agg(
+          min(expr("unix_micros(ts)")), max(expr("unix_micros(ts)"))).collect()(0)
+        val (w1, w2) = ((mm.getLong(0) + 3 * mm.getLong(1)) / 4, mm.getLong(1))
+        s.read.format("graft-sharded").load(optimizedDir(s, d))
+          .where(col("ts_us") >= w1 && col("ts_us") < w2)
+          .groupBy(col("name"))
+          .agg(count(lit(1)).as("n_current"),
+            countDistinct(col("token_id")).as("n_tokens"),
+            min(col("ts_us")).as("oldest_us"),
+            max(col("ts_us")).as("newest_us"))
+      },
+      Some("""WITH b AS (SELECT user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events),
+             mm AS (SELECT (min(tsu) + 3*max(tsu)) // 4 AS w1, max(tsu) AS w2 FROM b),
+             snap AS (SELECT user_id, event_type, max(tsu) AS last_us
+                      FROM b GROUP BY 1, 2)
+             SELECT event_type AS name, count(*)::BIGINT AS n_current,
+               count(DISTINCT user_id)::BIGINT AS n_tokens,
+               CAST(min(last_us) AS BIGINT) AS oldest_us,
+               CAST(max(last_us) AS BIGINT) AS newest_us
+             FROM snap, mm WHERE last_us >= w1 AND last_us < w2 GROUP BY 1""")
     )
   )
 }

@@ -13,8 +13,10 @@ import org.apache.spark.sql.catalyst.InternalRow
   *   - `.<part>.minmax` — per-part min/max/bloom/name-set/null-count stats
   *     ([[PartStats]], the part-level skip index);
   *   - `.<part>.granules` — the sparse GRANULE (mark) index
-  *     ([[GranuleIndex]]): every `granuleRows` rows, one entry
-  *     `(byte offset, first token_id, first ts_us)`. This is MergeTree's
+  *     ([[GranuleIndex]], `g2`): every `granuleRows` rows, one entry
+  *     `(byte offset, first token_id, first ts_us, granule ts min,
+  *     granule ts max)` — the band being MergeTree's granule-level minmax
+  *     skip index on the time column. This is MergeTree's
   *     mark file (the reference's point reads ride ClickHouse's primary-key
   *     marks over `ORDER BY (token_id, timestamp)`, clickhouse.go:65-87
   *     [ext]): because the part is sorted by (token_id, ts_us), a pushed
@@ -80,7 +82,11 @@ private[graft] final class PartStreamWriter private (
 
   private var out: java.io.OutputStream = _ // open granule's stream (null between granules)
   private var granuleLeft = 0 // rows remaining in the open granule
+  // one entry per granule: the `g2` prefix (offset, first token, first ts)
+  // known at granule START, and the ts minmax band finalized at granule END
   private val marks = new scala.collection.mutable.ArrayBuffer[String]()
+  private val bandsOf = new scala.collection.mutable.ArrayBuffer[String]()
+  private var gTsSeen = false; private var gTsMin = 0L; private var gTsMax = 0L
 
   private var nRows = 0L
   private var uBytes = 0L // uncompressed line bytes (the maxPartBytes roll unit)
@@ -106,6 +112,8 @@ private[graft] final class PartStreamWriter private (
   private def endGranule(): Unit = if (out != null) {
     if (codec != "none") out.close() else out.flush()
     out = null
+    bandsOf += (if (gTsSeen) s"$gTsMin,$gTsMax" else ",")
+    gTsSeen = false
   }
 
   /** Append one row by raw field values (null = SQL null). `name` must be
@@ -135,6 +143,8 @@ private[graft] final class PartStreamWriter private (
       sb.append(t)
       if (!tsSeen) { tsSeen = true; tsMin = t; tsMax = t }
       else { if (t < tsMin) tsMin = t; if (t > tsMax) tsMax = t }
+      if (!gTsSeen) { gTsSeen = true; gTsMin = t; gTsMax = t }
+      else { if (t < gTsMin) gTsMin = t; if (t > gTsMax) gTsMax = t }
     } else nullTs += 1
     sb.append(',')
     if (name != null) {
@@ -185,8 +195,9 @@ private[graft] final class PartStreamWriter private (
       Some(nullTs))
     PartStats.write(sidecarFile, stats)
     if (marks.length >= 2) { // one granule = nothing to skip
+      val entries = marks.zip(bandsOf).map { case (m, b) => s"$m,$b" }
       val w = new java.io.FileOutputStream(granuleFile)
-      try w.write((GranuleIndex.Header +: marks).mkString("", "\n", "\n")
+      try w.write((GranuleIndex.Header2 +: entries).mkString("", "\n", "\n")
         .getBytes(StandardCharsets.UTF_8))
       finally w.close()
       granuleFileWritten = true

@@ -949,12 +949,30 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
     * join-side decision the mark index exists to inform.
     */
   private def effectiveBytes(f: File): Long =
-    if (rowPred.tokenIn.isEmpty) f.length()
-    else GranuleIndex.selectRanges(f, rowPred) match {
-      case Some(rs) =>
-        rs.map { case (s, e) => (if (e == Long.MaxValue) f.length() else e) - s }.sum
-      case None => f.length()
-    }
+    if (rowPred.tokenIn.isEmpty && rowPred.tsMin.isEmpty && rowPred.tsMax.isEmpty) f.length()
+    else effectiveBytesCache.getOrElseUpdate(f.getAbsolutePath,
+      GranuleIndex.selectRangesWith(granuleIndexOf(f), rowPred) match {
+        case Some(rs) =>
+          rs.map { case (s, e) => (if (e == Long.MaxValue) f.length() else e) - s }.sum
+        case None => f.length()
+      })
+
+  /** Per-scan memo of each part's granule-selected byte size: Spark may
+    * invoke `estimateStatistics` repeatedly during planning, and the
+    * selected-byte figure is a pure function of (part, pushed predicate)
+    * within one scan (ADVICE r10 — this was O(parts) driver mark-file IO
+    * per invocation).
+    */
+  private val effectiveBytesCache = scala.collection.mutable.HashMap.empty[String, Long]
+
+  /** Per-scan parse of each part's granule (mark) index — shared by the
+    * statistics estimate and split planning, one mark-file read per part
+    * per scan, exactly like `statsCache` for the minmax sidecars.
+    */
+  private val granuleIndexCache =
+    scala.collection.mutable.HashMap.empty[String, Option[GranuleIndex]]
+  private def granuleIndexOf(f: File): Option[GranuleIndex] =
+    granuleIndexCache.getOrElseUpdate(f.getAbsolutePath, GranuleIndex.read(f))
 
   override def estimateStatistics(): Statistics = {
     val bytes = shardFiles.map(_._2.map(effectiveBytes).sum).sum
@@ -1085,7 +1103,7 @@ class ShardedScan(path: String, required: StructType, pushedAgg: Option[ShardPus
   private val granuleCutCache = scala.collection.mutable.HashMap.empty[String, Option[Seq[Long]]]
   private def granuleCutsOf(f: File): Option[Seq[Long]] =
     granuleCutCache.getOrElseUpdate(f.getAbsolutePath,
-      GranuleIndex.splitOffsets(f, splitBytes).filter(_.length > 1))
+      GranuleIndex.splitOffsetsWith(granuleIndexOf(f), splitBytes).filter(_.length > 1))
 
   /** The byte ranges one part file splits into: `(start, end, exact)`. */
   private def fileSplitRanges(f: File): Seq[(Long, Long, Boolean)] = {

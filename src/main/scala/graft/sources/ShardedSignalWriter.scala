@@ -266,10 +266,34 @@ class ShardedStreamingWrite(path: String, schema: StructType, codec: String,
 
   /** Delete every published part/sidecar of THIS query's `epochId` (name
     * prefix `part-e<qid8>-<N>-` — never another lineage's files, ADVICE r9)
-    * that `keep` does not name, per shard directory.
+    * that `keep` does not name, per shard directory. The legacy
+    * UN-NAMESPACED prefix `part-e<N>-` is swept too (ADVICE r10): a
+    * checkpointed stream resumed across the qid8-namespacing change
+    * replays its uncommitted epoch under the new names, and the pre-change
+    * attempt's published-but-uncommitted orphans would otherwise stay
+    * visible as duplicate rows forever. Two guards keep this from
+    * re-opening the r9 cross-lineage deletion bug:
+    *
+    *   - legacy names are swept only when NO query's commit marker
+    *     (`_stream_commits/<anyQueryId>/epoch-<N>`, never deleted) exists
+    *     for this epoch number — a marker means some pre-change query
+    *     durably committed an epoch N here, and its legacy-named data
+    *     must not be claimed as our orphan;
+    *   - a namespaced name has exactly 8 alphanumerics between `part-e`
+    *     and its first dash, so a <8-digit epoch id can never collide
+    *     with another query's qid8; an 8+-digit epoch (10M micro-batches)
+    *     skips the legacy sweep rather than risk matching an all-digit
+    *     qid8.
     */
   private def sweepEpochOrphans(root: File, epochId: Long, keep: Set[String]): Unit = {
     val prefix = s"part-e$qid8-$epochId-"
+    val epochCommittedByAnyQuery =
+      Option(new File(root, "_stream_commits").listFiles()).getOrElse(Array.empty)
+        .exists(q => q.isDirectory && new File(q, s"epoch-$epochId").exists())
+    val legacyPrefix =
+      if (epochId.toString.length < 8 && !epochCommittedByAnyQuery)
+        Some(s"part-e$epochId-")
+      else None
     Option(root.listFiles()).getOrElse(Array.empty).foreach { d =>
       d.getName match {
         case ShardedSignalSource.ShardDir(_) if d.isDirectory =>
@@ -281,7 +305,8 @@ class ShardedStreamingWrite(path: String, schema: StructType, codec: String,
             val n = f.getName
             // `.X.minmax`-style sidecars follow their owner part X
             val owner = PartStats.sidecarOwner(n).getOrElse(n)
-            if (f.isFile && owner.startsWith(prefix) && !keepHere.contains(owner)) {
+            val ours = owner.startsWith(prefix) || legacyPrefix.exists(owner.startsWith)
+            if (f.isFile && ours && !keepHere.contains(owner)) {
               f.delete(); Some(owner)
             } else None
           }.toSet

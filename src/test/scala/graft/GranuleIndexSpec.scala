@@ -57,6 +57,7 @@ class GranuleIndexSpec extends SparkTestBase {
   }
 
   private val NullTs = Long.MinValue + 7
+  private val NullTok = Long.MinValue + 9
 
   for (codec <- Seq("none", "gzip", "zstd")) {
     test(s"[$codec] granule-rolled part round-trips whole and per-granule (multi-frame decode)") {
@@ -176,18 +177,92 @@ class GranuleIndexSpec extends SparkTestBase {
         val hi = if (rnd.nextBoolean()) Some((rnd.nextInt(5).toLong * 1000 + 500, rnd.nextBoolean())) else None
         val pred = ShardRowPredicate.Trivial.copy(tokenIn = Some(toks), tsMin = lo, tsMax = hi)
         val (got, _) = readAll(part, pred)
+        def tsOk(s: java.lang.Long): Boolean =
+          // SQL null semantics: a ts bound rejects null; no bound keeps it
+          (lo.isEmpty && hi.isEmpty) || (s != null &&
+            lo.forall { case (b, inc) => if (inc) s >= b else s > b } &&
+            hi.forall { case (b, inc) => if (inc) s <= b else s < b })
         val want = keys.filter { case (t, s) =>
-          t != null && toks.contains(t.longValue()) &&
-            // SQL null semantics: a ts bound rejects null; no bound keeps it
-            ((lo.isEmpty && hi.isEmpty) || (s != null &&
-              lo.forall { case (b, inc) => if (inc) s >= b else s > b } &&
-              hi.forall { case (b, inc) => if (inc) s <= b else s < b }))
+          t != null && toks.contains(t.longValue()) && tsOk(s)
         }.map(kv => (kv._1.longValue(),
           if (kv._2 == null) NullTs else kv._2.longValue()))
         assert(got === want,
           s"trial=$trial codec=$codec granuleRows=$granuleRows toks=$toks lo=$lo hi=$hi")
+
+        // TIME-ONLY predicate (r11): no token component — selection rides
+        // the g2 per-granule ts bands and must still equal the full scan
+        // (null tokens included, null ts rejected by any bound)
+        if (lo.isDefined || hi.isDefined) {
+          val predT = ShardRowPredicate.Trivial.copy(tsMin = lo, tsMax = hi)
+          val r = new graft.sources.ShardedShardReader(
+            Seq(part.getAbsolutePath), 0, schema, predT)
+          val gotT = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          while (r.next()) {
+            val row = r.get()
+            gotT += ((if (row.isNullAt(1)) NullTok else row.getLong(1),
+              if (row.isNullAt(2)) NullTs else row.getLong(2)))
+          }
+          r.close()
+          val wantT = keys.filter { case (_, s) => tsOk(s) }.map(kv => (
+            if (kv._1 == null) NullTok else kv._1.longValue(),
+            if (kv._2 == null) NullTs else kv._2.longValue()))
+          assert(gotT.toSeq === wantT,
+            s"time-only trial=$trial codec=$codec granuleRows=$granuleRows lo=$lo hi=$hi")
+        }
       }
     }
+  }
+
+  test("a time-window scan of a FINAL-compacted part parses only band-overlapping granules (r11)") {
+    val dir = tmp().getAbsolutePath
+    // 200 tokens × 40 generations, ts spread over [0, 40s): after FINAL
+    // each part spans nearly the whole ts range (part-level minmax prunes
+    // nothing) — only the per-granule g2 bands can cut a time window
+    val rows = for (t <- 0L until 200L; g <- 0 until 40)
+      yield Row(0, t, 1000000L * g + t, "sig", g * 1.0)
+    df(rows).write.format("graft-sharded").option("maxPartBytes", "65536")
+      .mode("append").save(dir)
+    StoreOptimize.optimize(spark, dir, codec = "zstd", finalDedup = true, granuleRows = 32)
+
+    val d = new java.io.File(dir, "shard=0")
+    val parts = graft.sources.ShardedSignalSource.activeParts(d)
+    assert(parts.nonEmpty)
+    // FINAL kept generation 39 only: every surviving ts ≈ 39s. A window
+    // over the FIRST quarter of history must parse almost nothing; one
+    // over the last bucket must find all 200 rows.
+    val early = ShardRowPredicate.Trivial.copy(
+      tsMin = Some((0L, true)), tsMax = Some((10000000L, false)))
+    val late = ShardRowPredicate.Trivial.copy(tsMin = Some((39000000L, true)))
+    def run(pred: ShardRowPredicate): (Long, Long) = {
+      var parsed = 0L; var hits = 0L
+      parts.foreach { p =>
+        GranuleIndex.selectRanges(p, pred) match {
+          case Some(ranges) => ranges.foreach { case (s, e) =>
+            val r = new ShardedPartitionReader(p.getAbsolutePath, 0, schema, pred, s, e,
+              exact = true)
+            while (r.next()) hits += 1
+            parsed += r.linesRead
+            r.close()
+          }
+          case None => fail(s"compacted part ${p.getName} must be band-selectable: $pred")
+        }
+      }
+      (hits, parsed)
+    }
+    val (hitsE, parsedE) = run(early)
+    assert(hitsE === 0, "nothing current is that old after FINAL")
+    val total = parts.flatMap(graft.sources.PartStats.read).map(_.rows).sum
+    assert(total === 200L)
+    assert(parsedE < total / 4,
+      s"an out-of-window scan must skip by bands ($parsedE of $total parsed)")
+    val (hitsL, parsedL) = run(late)
+    assert(hitsL === 200L, s"the live window holds every current row, got $hitsL")
+    assert(parsedL <= total, "sanity")
+
+    // and the DSv2 read agrees with a plain filter
+    val viaScan = spark.read.format("graft-sharded").load(dir)
+      .where(col("ts_us") >= 39000000L).count()
+    assert(viaScan === 200L)
   }
 
   test("reported statistics shrink to the granule-selected bytes for point scans") {
@@ -207,6 +282,32 @@ class GranuleIndexSpec extends SparkTestBase {
     assert(point > 0 && point < full / 10,
       s"a point scan must report granule-selected bytes ($point of $full) — " +
         "the broadcast-eligibility signal")
+  }
+
+  test("driver-side planning reads each part's mark file at most once per scan (ADVICE r10)") {
+    val dir = tmp().getAbsolutePath
+    // several granule-indexed parts per shard
+    (0 until 4).foreach { i =>
+      df((0L until 4000L).map(t => Row(0, t % 200, 1000L * t + i, "sig", t * 1.0)), parts = 1)
+        .write.format("graft-sharded").option("granuleRows", "128")
+        .mode("append").save(dir)
+    }
+    val nParts = graft.sources.ShardedSignalSource
+      .activeParts(new java.io.File(dir, "shard=0")).size
+    assert(nParts >= 4)
+
+    import org.apache.spark.sql.sources.EqualTo
+    val b = new graft.sources.ShardedScanBuilder(dir)
+    b.pushFilters(Array(EqualTo("token_id", 7L)))
+    val scan = b.build().asInstanceOf[graft.sources.ShardedScan]
+    val before = graft.sources.GranuleIndex.readCount.get()
+    // Spark invokes statistics repeatedly during planning; split planning
+    // consults granule cuts on top — all of it must share ONE parse per part
+    (0 until 5).foreach(_ => scan.estimateStatistics())
+    (0 until 2).foreach(_ => scan.planInputPartitions())
+    val reads = graft.sources.GranuleIndex.readCount.get() - before
+    assert(reads <= nParts,
+      s"repeated planning must not repeat mark-file IO ($reads reads for $nParts parts)")
   }
 
   test("compressed parts byte-range split at granule boundaries (split=always)") {

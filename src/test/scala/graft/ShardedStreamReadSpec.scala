@@ -319,6 +319,143 @@ class ShardedStreamReadSpec extends SparkTestBase {
     assert(parts > 2, s"a 2-shard batch must fan out beyond 2 tasks, got $parts")
   }
 
+  test("a crash-replay straddling OPTIMIZE resolves retired parts from the trash (replay window)") {
+    val root = Files.createTempDirectory("graft-streamreplay")
+    val store = root.resolve("store").toString
+    val ckpt = root.resolve("ckpt").toString
+    (0 until 4).foreach(i => append(store, (10L * i) until (10L * i + 10L)))
+    val shardDirs = new java.io.File(store).listFiles().filter(_.getName.startsWith("shard="))
+    val nParts = shardDirs.flatMap(_.listFiles())
+      .count(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    val cap = (nParts + 1) / 2 // batch 0 = first half, batch 1 = the rest
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    @volatile var failOnce = true
+    def start() = spark.readStream.format("graft-sharded")
+      .option("maxPartsPerTrigger", cap.toString).load(store)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // batch 1's offset is already in the WAL when this runs: throwing
+        // here is exactly "killed between planInputPartitions and commit"
+        if (id == 1L && failOnce) { failOnce = false; sys.error("simulated crash") }
+        df.select("token_id").collect().foreach(r => seen.add(r.getLong(0))); ()
+      }
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q1.processAllAvailable() finally q1.stop()
+    }
+    assert(seen.size < 40, "the crash must leave batch 1 uncommitted")
+
+    // maintenance runs while the query is down — it retires every part the
+    // uncommitted batch has already PLANNED (by name, in the checkpoint)
+    val res = graft.jobs.StoreOptimize.optimize(spark, store, codec = "none")
+    assert(res.nonEmpty)
+    shardDirs.foreach { d =>
+      assert(Option(d.listFiles()).getOrElse(Array.empty)
+        .exists(_.getName.startsWith(graft.sources.PartTrash.Prefix)),
+        s"retired parts must be in the trash, not unlinked: ${d.getName}")
+    }
+
+    // the restart REPLAYS batch 1 from its checkpointed part names — the
+    // trash fallback makes them resolvable; then the merged part is skipped
+    // via lineage (its leaves are all consumed). Zero loss, zero dups.
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    import scala.jdk.CollectionConverters._
+    val got = seen.asScala.toSeq.sorted
+    assert(got === (0L until 40L).toSeq,
+      s"replay must complete exactly-once through the trash, got ${got.size} rows")
+  }
+
+  test("TTL whole-drop tombstones compact retired names out of a long tail's offset") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.sources.{ShardedMicroBatchStream, ShardedStreamOffset, ShardRowPredicate}
+    val root = Files.createTempDirectory("graft-streamttl")
+    val store = root.resolve("store").toString
+    // three time bands: band 0 drops WHOLE under the cutoff (no covering
+    // part -> tombstone is the only proof object), band 1 straddles
+    // (rewrite carries lineage), band 2 survives untouched
+    append(store, 0L until 10L, tsOff = 0L)
+    append(store, 10L until 20L, tsOff = 1000000L)
+    append(store, 20L until 30L, tsOff = 2000000L)
+
+    val stream = new ShardedMicroBatchStream(store, schema, ShardRowPredicate.Trivial,
+      None, "earliest", -1)
+    val o0 = stream.initialOffset().asInstanceOf[ShardedStreamOffset]
+    val o1 = stream.latestOffset(o0, ReadLimit.allAvailable()).asInstanceOf[ShardedStreamOffset]
+    assert(stream.planInputPartitions(o0, o1).nonEmpty)
+
+    // cutoff inside band 1: band 0's parts drop whole (tsMax < cutoff)
+    graft.jobs.StoreRetention.expire(spark, store, cutoffTsUs = 1001000L, codec = "none")
+    val dropped = new java.io.File(store).listFiles().filter(_.getName.startsWith("shard="))
+      .flatMap(d => graft.jobs.StoreRetention.readDropped(d))
+    assert(dropped.nonEmpty, "whole-drops must leave tombstones")
+
+    val o2 = stream.latestOffset(o1, ReadLimit.allAvailable()).asInstanceOf[ShardedStreamOffset]
+    assert(stream.planInputPartitions(o1, o2).isEmpty,
+      "rewrites are lineage-covered and drops hold no new rows — nothing re-feeds")
+    val namesAfter = o2.parts.values.map(_.size).sum
+    val liveNow = o2.parts.keys.toSeq.map(k =>
+      graft.sources.ShardedSignalSource.activeParts(
+        new java.io.File(store, s"shard=$k")).size).sum
+    assert(namesAfter === liveNow,
+      s"tombstoned whole-drops must compact out of the offset " +
+        s"($namesAfter tracked vs $liveNow live)")
+    // steady state: the next trigger re-proves nothing and stays compact
+    val o3 = stream.latestOffset(o2, ReadLimit.allAvailable()).asInstanceOf[ShardedStreamOffset]
+    assert(o3.parts.values.map(_.size).sum === liveNow)
+  }
+
+  test("a resumed pre-namespacing stream sweeps its legacy epoch orphans — but never a committed lineage's data") {
+    def ingest(store: String, root: java.nio.file.Path, n: Int): Unit = {
+      val inDir = Files.createDirectories(root.resolve("in"))
+      (0 until n).foreach(i => Files.write(inDir.resolve(s"f$i.csv"),
+        (0 until 4).map(j => s"0,${i * 10 + j},${1000L * j},click,1.0")
+          .mkString("\n").getBytes("UTF-8")))
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").csv(inDir.toString)
+        .writeStream.format("graft-sharded")
+        .option("checkpointLocation", root.resolve("ckpt_w").toString)
+        .outputMode("append").start(store)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def plantLegacy(store: String): java.io.File = {
+      val d = new java.io.File(store, "shard=0"); d.mkdirs()
+      val f = new java.io.File(d, "part-e1-0-0.csv")
+      Files.write(f.toPath, "999,123,orphan,1.0\n".getBytes("UTF-8"))
+      f
+    }
+
+    // store A: an un-namespaced part-e1-* with NO commit marker anywhere is
+    // a pre-change attempt's published-but-uncommitted orphan — epoch 1's
+    // replay commit sweeps it (ADVICE r10), so its duplicate rows do not
+    // stay visible forever
+    val rootA = Files.createTempDirectory("graft-legacyA")
+    val storeA = rootA.resolve("store").toString
+    val orphan = plantLegacy(storeA)
+    ingest(storeA, rootA, n = 3) // epochs 0,1,2
+    assert(!orphan.isFile, "the legacy uncommitted orphan must be swept at epoch 1's commit")
+    assert(spark.read.format("graft-sharded").load(storeA)
+      .where("name = 'orphan'").count() === 0)
+    assert(spark.read.format("graft-sharded").load(storeA).count() === 12)
+
+    // store B: the same legacy name but with ANOTHER query's commit marker
+    // for epoch 1 — that lineage durably committed it pre-change, and the
+    // sweep must not claim it (the r9 cross-lineage deletion bug stays
+    // closed)
+    val rootB = Files.createTempDirectory("graft-legacyB")
+    val storeB = rootB.resolve("store").toString
+    val committed = plantLegacy(storeB)
+    val mk = new java.io.File(storeB, "_stream_commits/oldquery")
+    mk.mkdirs()
+    new java.io.FileOutputStream(new java.io.File(mk, "epoch-1")).close()
+    ingest(storeB, rootB, n = 3)
+    assert(committed.isFile, "a marker-committed legacy part is another lineage's data")
+    assert(spark.read.format("graft-sharded").load(storeB).count() === 13)
+  }
+
   test("offsets serialize deterministically and round-trip") {
     import graft.sources.ShardedStreamOffset
     val o = ShardedStreamOffset(Map(

@@ -48,6 +48,41 @@ class StoreOptimizeSpec extends SparkTestBase {
       .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
       .map(_.getName).toSeq.sorted
 
+  test("plain optimize stops at ≤ mergeGroupSize rolled parts instead of re-merging them") {
+    val dir = tmpDir()
+    // 8 tiny single-shard appends → 8 ingest parts; mergeGroupSize=4 levels
+    // them as [4,4] → 2 rolled parts, which is already ≤ the group size
+    (0 until 8).foreach { e =>
+      df((0L until 20L).map(t => Row(0, t, 1000L * e, "sig", e * 1.0)), parts = 1)
+        .write.format("graft-sharded").mode("append").save(dir)
+    }
+    val before = readBack(dir).collect().map(_.toSeq).toSet
+    val res = StoreOptimize.optimize(spark, dir, codec = "none", mergeGroupSize = 4)
+    assert(res.size === 1 && res.head.partsBefore === 8 && res.head.rows === 160L)
+    val d = shardDir(dir, 0)
+    val outs = partsOf(d)
+    assert(outs.size === 2, s"leveling leaves the two group outputs, got $outs")
+    assert(res.head.mergedParts.toSet === outs.toSet)
+    // the skip is observable in lineage: each output's DIRECT inputs are
+    // the original ingest parts (a final re-merge would have produced one
+    // part whose direct inputs are the level-1 outputs)
+    outs.foreach { n =>
+      val lf = new java.io.File(d, s".$n.lineage")
+      assert(lf.isFile)
+      val lines = scala.io.Source.fromFile(lf, "UTF-8").getLines().toVector
+      val directs = lines.drop(lines.indexOf("=direct") + 1)
+      assert(directs.size === 4 && directs.forall(!_.startsWith("part-opt-")),
+        s"skip must keep the leveled outputs un-rewritten; $n directs: $directs")
+    }
+    assert(readBack(dir).collect().map(_.toSeq).toSet === before)
+
+    // FINAL still rewrites through to the collapse, skip or no skip
+    val res2 = StoreOptimize.optimize(spark, dir, codec = "none",
+      mergeGroupSize = 4, finalDedup = true)
+    assert(res2.nonEmpty && partsOf(d).size === 1)
+    assert(readBack(dir).count() === 20, "FINAL collapses to latest per (token, name)")
+  }
+
   test("merges each shard's parts into one, content-identical, manifest + sidecar published") {
     val dir = tmpDir()
     val in = input(3, 40)
