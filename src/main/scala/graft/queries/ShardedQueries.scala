@@ -844,6 +844,35 @@ object ShardedQueries {
                CAST(min(last_us) AS BIGINT) AS oldest_us,
                CAST(max(last_us) AS BIGINT) AS newest_us
              FROM snap, mm WHERE last_us >= w1 AND last_us < w2 GROUP BY 1""")
+    ),
+
+    // ── Token + time-range point read against the compacted store (r11):
+    //    the reference's core fetch is exactly this — one device's signals
+    //    within a window (`timestamp > from AND token_id = k`,
+    //    clickhouse.go:70-87 / elastic.go:58-65 [ext]). The pushed token
+    //    binary-searches the mark index to the token's granule range and
+    //    the g2 ts bands REFINE it (granules of the token provably outside
+    //    the window drop before a byte is read) — composition of both
+    //    r10/r11 intra-part skips in one declared row. The upper-half
+    //    window is midpoint integer arithmetic (q205's rule).
+    QueryDef(
+      "q211_token_window_point",
+      (s, d) => {
+        val mm = ev(s, d).agg(
+          min(expr("unix_micros(ts)")), max(expr("unix_micros(ts)"))).collect()(0)
+        val w1 = (mm.getLong(0) + mm.getLong(1)) / 2
+        s.read.format("graft-sharded").load(optimizedDir(s, d))
+          .where(col("shard") === lit(7 % NShards) && col("token_id") === 7L &&
+            col("ts_us") >= w1)
+          .select(col("name"), col("ts_us").as("last_us"))
+      },
+      Some("""WITH b AS (SELECT user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events),
+             mm AS (SELECT (min(tsu) + max(tsu)) // 2 AS w1 FROM b),
+             snap AS (SELECT event_type, max(tsu) AS last_us
+                      FROM b WHERE user_id = 7 GROUP BY 1)
+             SELECT event_type AS name, CAST(last_us AS BIGINT) AS last_us
+             FROM snap, mm WHERE last_us >= w1""")
     )
   )
 }

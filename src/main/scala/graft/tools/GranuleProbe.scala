@@ -184,6 +184,67 @@ object GranuleProbe {
       f"(+${(framedBytes - monoFile.length()) * 100.0 / monoFile.length()}%.1f%%)")
     mono.abandon()
 
+    // 5. granule ts BANDS (r11): time-window pruning inside compacted
+    //    parts. Band efficacy depends on time-locality WITHIN a token's
+    //    run (ORDER BY (token, ts) gives each entity a contiguous,
+    //    ts-sorted slice): long-history entities → granules inside a run
+    //    carry narrow ts bands → a time window parses ~its fraction of
+    //    rows. Separate store shape: few tokens × many generations (the
+    //    telemetry store's real geometry — devices emit for months).
+    // geometry matters: a granule must sit INSIDE one token's run for its
+    // band to be narrow (band width ≈ granuleRows / rows-per-token of the
+    // ts span). 8000 gens × 256-row granules → ~3% bands; at production
+    // granularity (8192) the same ratio needs ~256k rows/entity — i.e.
+    // bands pay off exactly on the long-history telemetry the store is for
+    val bandDir = new File(root, "bands").getAbsolutePath
+    val bTokens = 1000L; val bGens = 8000L
+    println(s"[granuleprobe] band store: $bTokens tokens x $bGens gens")
+    val bg = (col("id") / bTokens).cast(LongType)
+    spark.range(0L, bTokens * bGens).select(
+      pmod(col("id") % bTokens, lit(8L)).cast(IntegerType).as("shard"),
+      (col("id") % bTokens).cast(LongType).as("token_id"),
+      (lit(1000000L) * bg + pmod(col("id") * 48271L, lit(999983L))).as("ts_us"),
+      concat(lit("sig_"), (bg % 4).cast(StringType)).as("name"),
+      (pmod(col("id") * 2654435761L, lit(1000000007L)).cast(DoubleType) / 1000.0).as("v"))
+      .write.format("graft-sharded").option("codec", "zstd")
+      .option("maxPartBytes", (16L << 20).toString)
+      .mode("overwrite").save(bandDir)
+    graft.jobs.StoreOptimize.optimize(spark, bandDir, codec = "zstd", granuleRows = 256)
+    val bParts = (0 until 8).flatMap { k =>
+      ShardedSignalSource.activeParts(new File(bandDir, s"shard=$k"))
+    }
+    val bRows = bParts.flatMap(PartStats.read).map(_.rows).sum
+    // a 5%-of-history window, mid-range: [47.5%, 52.5%) of the ts span
+    val span = 1000000L * bGens
+    val predWin = ShardRowPredicate.Trivial.copy(
+      tsMin = Some((span * 95 / 200, true)), tsMax = Some((span * 105 / 200, false)))
+    def windowPass(useBands: Boolean): (Long, Long, Double) = {
+      var parsed = 0L; var hits = 0L
+      val t = System.nanoTime()
+      bParts.foreach { p =>
+        val shard = 0
+        (if (useBands) GranuleIndex.selectRanges(p, predWin) else None) match {
+          case Some(rs) => rs.foreach { case (s, e) =>
+            val r = new ShardedPartitionReader(p.getAbsolutePath, shard, schema, predWin, s, e, exact = true)
+            while (r.next()) hits += 1
+            parsed += r.linesRead; r.close()
+          }
+          case None =>
+            val r = new ShardedPartitionReader(p.getAbsolutePath, shard, schema, predWin)
+            while (r.next()) hits += 1
+            parsed += r.linesRead; r.close()
+        }
+      }
+      (hits, parsed, (System.nanoTime() - t) / 1e9)
+    }
+    windowPass(useBands = true); windowPass(useBands = false) // warm
+    val (hB, pB, wB) = windowPass(useBands = true)
+    val (hN, pN, wN) = windowPass(useBands = false)
+    require(hB == hN, s"band selection changed results: $hB vs $hN")
+    println(f"[granuleprobe] 5%%-window scan over $bRows compacted rows: " +
+      f"bands parsed=$pB (${pB * 100.0 / bRows}%.2f%%) $wB%.3f s; " +
+      f"no-bands parsed=$pN $wN%.2f s (${wN / wB}%.1fx wall)")
+
     spark.stop()
   }
 }

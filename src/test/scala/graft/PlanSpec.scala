@@ -470,6 +470,37 @@ class PlanSpec extends SparkTestBase {
     assert(scan.metrics("numOutputRows").value === df.count())
   }
 
+  test("q210/q211 time-window reads: ts range pushed residual-free; q211 plans one shard") {
+    // q210: pure time window over the compacted store — the ts bounds must
+    // be consumed by the scan (the g2 granule bands then prune inside the
+    // parts; GranuleIndexSpec pins the parsed-row bound)
+    val df210 = SparkEntry.queries("q210_time_window_granules")(spark, sf)
+    df210.collect()
+    val p210 = df210.queryExecution.executedPlan.toString
+    assert(p210.contains("pushedFilters=") && p210.contains("GreaterThanOrEqual(ts_us,")
+      && p210.contains("LessThan(ts_us,"),
+      s"the window bounds must reach the compacted-store scan\n$p210")
+    assert(df210.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.isEmpty, s"no Spark-side re-filter may remain\n${df210.queryExecution.optimizedPlan}")
+
+    // q211: token + window — the reference's per-device fetch; one shard
+    // partition planned, every emitted row inside the pushed box
+    val df211 = SparkEntry.queries("q211_token_window_point")(spark, sf)
+    df211.collect()
+    val p211 = df211.queryExecution.executedPlan.toString
+    assert(p211.contains("EqualTo(token_id,7)") && p211.contains("GreaterThanOrEqual(ts_us,"),
+      s"token AND window must reach the scan\n$p211")
+    assert(df211.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.isEmpty, s"no Spark-side re-filter may remain\n${df211.queryExecution.optimizedPlan}")
+    val scan = findScan(df211, "graft_sharded")
+    assert(scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputRDD.getNumPartitions === 1,
+      s"shard=7 must plan exactly one input partition\n$p211")
+    assert(scan.metrics("numOutputRows").value === df211.count())
+  }
+
   test("q190 sharded DPP: the VIP build side prunes shard files at runtime") {
     val df = SparkEntry.queries("q190_sharded_dpp")(spark, sf)
     val rows = df.collect()
