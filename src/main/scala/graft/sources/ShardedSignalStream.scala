@@ -235,18 +235,32 @@ class ShardedMicroBatchStream(path: String, required: StructType,
         // minmax/bloom/name-set sidecars skip whole NEW parts against the
         // pushed predicates, exactly like the batch scan's planning prune
         .filter(f => PartStats.read(f).forall(_.mayMatch(pred, tb)))
-      val (big, small) = fresh.partition(f =>
-        f.length() > splitBytes && !ByteRangeLines.isCompressed(f.getName))
-      // an oversized epoch part must not serialize its micro-batch: fan it
-      // out into byte ranges (the batch scan's split path, same readers);
-      // streaming reports no key-grouping, so splitting is always safe
+      val (big, small) = fresh.partition(_.length() > splitBytes)
+      // an oversized part must not serialize its micro-batch: fan it out
+      // into byte ranges (the batch scan's split path, same readers);
+      // streaming reports no key-grouping, so splitting is always safe.
+      // Compressed parts split at granule-frame cuts exactly like the
+      // batch scan (r11 — previously a big zstd part, e.g. batch-ingested
+      // then tailed, ran as one task); no usable mark index → whole part.
       val splits = big.flatMap { f =>
         val len = f.length()
-        val n = ((len + splitBytes - 1) / splitBytes).toInt
-        (0 until n).map { i =>
-          val st = i * splitBytes
-          ShardSplitPartition(f.getAbsolutePath, k.toInt, st,
-            math.min(st + splitBytes, len)): InputPartition
+        if (ByteRangeLines.isCompressed(f.getName))
+          GranuleIndex.splitOffsets(f, splitBytes).filter(_.length > 1) match {
+            case Some(cuts) => cuts.zipWithIndex.map { case (st, i) =>
+              ShardSplitPartition(f.getAbsolutePath, k.toInt, st,
+                if (i + 1 < cuts.length) cuts(i + 1) else Long.MaxValue,
+                exact = true): InputPartition
+            }
+            case None => Seq(ShardSplitPartition(f.getAbsolutePath, k.toInt,
+              0L, Long.MaxValue): InputPartition)
+          }
+        else {
+          val n = ((len + splitBytes - 1) / splitBytes).toInt
+          (0 until n).map { i =>
+            val st = i * splitBytes
+            ShardSplitPartition(f.getAbsolutePath, k.toInt, st,
+              math.min(st + splitBytes, len)): InputPartition
+          }
         }
       }
       val whole =

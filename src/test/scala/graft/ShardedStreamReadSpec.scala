@@ -319,6 +319,30 @@ class ShardedStreamReadSpec extends SparkTestBase {
     assert(parts > 2, s"a 2-shard batch must fan out beyond 2 tasks, got $parts")
   }
 
+  test("an oversized COMPRESSED part splits at granule frames within its micro-batch (r11)") {
+    val root = Files.createTempDirectory("graft-streamzsplit")
+    val store = root.resolve("store").toString
+    // one batch ingest → sizable zstd parts carrying granule indexes —
+    // the batch-then-tail shape where a compressed part used to serialize
+    // its whole micro-batch into one task
+    batchDf(0L until 4000L).write.format("graft-sharded")
+      .option("codec", "zstd").option("granuleRows", "128")
+      .mode("append").save(store)
+    var parts = 0
+    var rows = 0L
+    val q = spark.readStream.format("graft-sharded")
+      .option("splitBytes", "4096").load(store)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        parts = df.rdd.getNumPartitions; rows += df.count(); ()
+      }
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    assert(rows === 4000, "granule-frame splits must cover every row exactly once")
+    assert(parts > 2, s"a 2-shard zstd batch must fan out beyond 2 tasks, got $parts")
+  }
+
   test("a crash-replay straddling OPTIMIZE resolves retired parts from the trash (replay window)") {
     val root = Files.createTempDirectory("graft-streamreplay")
     val store = root.resolve("store").toString
