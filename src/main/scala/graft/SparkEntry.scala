@@ -26,6 +26,7 @@ object SparkEntry {
     "relational" -> Relational.defs,
     "relational2" -> Relational2Queries.defs,
     "sharded" -> ShardedQueries.defs,
+    "live" -> LiveQueries.defs,
     "analytics" -> Analytics.defs,
     "analytics2" -> Analytics2.defs,
     "analytics3" -> Analytics3.defs,

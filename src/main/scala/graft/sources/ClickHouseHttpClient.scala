@@ -1,0 +1,125 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.Duration
+
+import org.apache.spark.sql.DataFrame
+
+/** LIVE ClickHouse client over CH's public HTTP interface — the wire half
+  * of the write seam whose statement/DDL halves already exist
+  * ([[ClickHouseDdl]], [[SignalSink.appendJdbc]]). The reference's client
+  * speaks the native TCP protocol via clickhouse-go (clickhouse.go:36-53
+  * [ext]); the HTTP interface is ClickHouse's other first-class protocol
+  * for exactly these operations, and it needs nothing beyond the JDK:
+  *
+  *   - `insertCsv`: `POST /?query=INSERT INTO t (cols) FORMAT CSV` with
+  *     the rows as the body — the reference's batched
+  *     `InsertIntoClickhouse` (clickhouse.go:113-130 [ext]);
+  *   - `query`: `POST /` with the SQL (+ ` FORMAT TabSeparated`), rows
+  *     parsed from TSV — `QueryOldestSignal` / `QueryTokenIDs`
+  *     (clickhouse.go:65-110 [ext]), whose exact statements
+  *     [[oldestSignalSql]] / [[tokenIdsSql]] reproduce from the
+  *     reference's sqlboiler builders.
+  *
+  * [[insertSignals]] is the DISTRIBUTED form: each Spark partition posts
+  * its own CSV batch from the executor — at 100 TB the insert fan-out is
+  * the cluster's, with ClickHouse's per-insert part creation (one part per
+  * batch, merged by the server) as the commit unit. Spec-tested against a
+  * loopback stub server; the zero-egress environment never opens a remote
+  * socket.
+  */
+private[graft] final class ClickHouseHttpClient(baseUrl: String, timeoutMs: Long = 30000) {
+
+  @transient private lazy val http = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofMillis(timeoutMs)).build()
+
+  private def post(queryParam: Option[String], body: Array[Byte]): String = {
+    val uri = queryParam match {
+      case Some(q) => s"$baseUrl/?query=${java.net.URLEncoder.encode(q, "UTF-8")}"
+      case None => s"$baseUrl/"
+    }
+    val req = HttpRequest.newBuilder(URI.create(uri))
+      .timeout(Duration.ofMillis(timeoutMs))
+      .POST(HttpRequest.BodyPublishers.ofByteArray(body))
+      .build()
+    val res = http.send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+    if (res.statusCode() != 200)
+      throw new java.io.IOException(
+        s"ClickHouse HTTP ${res.statusCode()}: ${res.body()}")
+    res.body()
+  }
+
+  /** Run a statement with no result (DDL, etc.). */
+  def execute(sql: String): Unit = { post(None, sql.getBytes(StandardCharsets.UTF_8)); () }
+
+  /** One CSV insert batch — the reference's PrepareBatch/Append/Send unit. */
+  def insertCsv(table: String, columns: Seq[String], csvBody: Array[Byte]): Unit = {
+    val cols = columns.map(c => s"`$c`").mkString(", ")
+    post(Some(s"INSERT INTO `$table` ($cols) FORMAT CSV"), csvBody)
+    ()
+  }
+
+  /** Run a query, rows as TSV fields. */
+  def query(sql: String): Seq[Array[String]] =
+    post(None, s"$sql FORMAT TabSeparated".getBytes(StandardCharsets.UTF_8))
+      .split("\n").toSeq.filter(_.nonEmpty).map(_.split("\t", -1))
+
+  /** Distributed batch insert: every partition posts its own CSV body.
+    * CSV quoting: strings quote-doubled, null = empty unquoted field
+    * (ClickHouse CSV NULL for Nullable columns), timestamps as epoch
+    * micros are the caller's concern — this ships the DataFrame verbatim
+    * in column order.
+    */
+  def insertSignals(df: DataFrame, table: String): Unit = {
+    val columns = df.schema.fieldNames.toSeq
+    val url = baseUrl; val tmo = timeoutMs
+    df.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+      if (it.hasNext) {
+        val sb = new java.lang.StringBuilder(1 << 16)
+        val client = new ClickHouseHttpClient(url, tmo)
+        var n = 0
+        def flush(): Unit = if (sb.length() > 0) {
+          client.insertCsv(table, columns, sb.toString.getBytes(StandardCharsets.UTF_8))
+          sb.setLength(0); n = 0
+        }
+        it.foreach { row =>
+          var i = 0
+          while (i < columns.length) {
+            if (i > 0) sb.append(',')
+            if (!row.isNullAt(i)) row.get(i) match {
+              case s: String => sb.append('"').append(s.replace("\"", "\"\"")).append('"')
+              case t: java.sql.Timestamp => sb.append('"').append(t.toString).append('"')
+              case other => sb.append(other.toString)
+            }
+            i += 1
+          }
+          sb.append('\n')
+          n += 1
+          if (n >= 65536) flush() // ClickHouse-sized insert batches
+        }
+        flush()
+      }
+    }
+  }
+}
+
+private[graft] object ClickHouseHttpClient {
+  /** The reference's `QueryOldestSignal` statement (clickhouse.go:65-87
+    * [ext]): sqlboiler with the backtick dialect, placeholders inlined.
+    */
+  def oldestSignalSql(tokenId: Long, signalNames: Seq[String],
+      table: String = "signal"): String = {
+    val in =
+      if (signalNames.isEmpty) ""
+      else signalNames.map(n => s"'${n.replace("'", "''")}'")
+        .mkString(" AND `name` IN (", ",", ")")
+    s"SELECT `timestamp` FROM `$table` WHERE `token_id` = $tokenId$in " +
+      "ORDER BY `timestamp` ASC LIMIT 1"
+  }
+
+  /** The reference's `QueryTokenIDs` statement (clickhouse.go:90-95 [ext]). */
+  def tokenIdsSql(table: String = "signal"): String =
+    s"SELECT DISTINCT `token_id` FROM `$table`"
+}

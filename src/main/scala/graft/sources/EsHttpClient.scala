@@ -1,0 +1,199 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.{Duration, Instant}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** LIVE Elasticsearch client over the JDK HTTP stack — the wire half of
+  * the read seam [[EsQueryDsl]] is the request-body half of. Speaks the
+  * exact protocol the reference speaks (elastic.go:46-108 [ext]):
+  * `POST {base}/{index}/_search` with the query-DSL body, `hits.hits[].
+  * _source` extracted per hit, non-200 and in-body `error` surfaced, and
+  * the sync loop's two recovery behaviors reproduced:
+  *
+  *   - backward TIME paging (sync.go:108-124 [ext]): pages sort `time`
+  *     DESC within [start, stop); after each page the NEXT stop is the
+  *     last record's own timestamp — the loop walks history newest-first
+  *     until a page comes back empty;
+  *   - "Data too large" halving (sync.go:163-178 [ext]): a failed page
+  *     retries at half the batch size down to 1 before giving up.
+  *
+  * No external dependency: `java.net.http.HttpClient` ships in the JDK,
+  * so the client compiles and is spec-tested against a loopback stub
+  * server — the zero-egress environment never opens a remote socket.
+  */
+private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000) {
+
+  private val http = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofMillis(timeoutMs)).build()
+  private val mapper = new ObjectMapper()
+
+  /** Transport-level retry: a search POST is idempotent and a dropped
+    * connection under load (reset, empty response) is retryable — up to 4
+    * attempts with exponential backoff. HTTP error STATUSES are not
+    * retried here (the semantic layer above decides, e.g. the
+    * Data-too-large halving).
+    */
+  private def sendWithRetry(req: HttpRequest): HttpResponse[String] = {
+    var attempt = 0
+    while (true) {
+      try return http.send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+      catch {
+        case e: java.io.IOException =>
+          if (attempt >= 4) throw e
+          attempt += 1
+          Thread.sleep(25L << attempt)
+        case e: InterruptedException => throw e
+      }
+    }
+    null // unreachable
+  }
+
+  /** One `_search` round trip: returns the raw response body. Non-200 and
+    * body-level `error` (ES reports shard failures at 200 sometimes)
+    * raise with the body included — the reference's failure contract.
+    */
+  def search(index: String, body: String): String = {
+    val req = HttpRequest.newBuilder(URI.create(s"$baseUrl/$index/_search"))
+      .timeout(Duration.ofMillis(timeoutMs))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+      .build()
+    val res = sendWithRetry(req)
+    if (res.statusCode() != 200)
+      throw new java.io.IOException(
+        s"failure status code ${res.statusCode()} from Elastic with body: ${res.body()}")
+    val root = mapper.readTree(res.body())
+    val err = root.get("error")
+    if (err != null && !err.isNull)
+      throw new java.io.IOException(
+        s"failed to get records from elasticsearch: ${err.toString}")
+    res.body()
+  }
+
+  /** `hits.hits[]._source` of one response, each rendered back to bytes —
+    * the NDJSON-document form the decode path parses.
+    */
+  def sourcesOf(responseBody: String): Vector[Array[Byte]] = {
+    val hits = mapper.readTree(responseBody).path("hits").path("hits")
+    if (!hits.isArray) return Vector.empty
+    val out = Vector.newBuilder[Array[Byte]]
+    hits.forEach { h =>
+      val src = h.get("_source")
+      if (src != null && src.isObject)
+        out += src.toString.getBytes(StandardCharsets.UTF_8)
+    }
+    out.result()
+  }
+
+  /** One page of the sync scan: the [[EsQueryDsl]] body for
+    * [startMs, stopMs) (newest-first), with the reference's
+    * Data-too-large halving. Returns the page's `_source` docs.
+    */
+  def recordsSince(index: String, batchSize: Int, startMs: Long, stopMs: Long,
+      subject: Option[String], requiredFields: Seq[String]): Vector[Array[Byte]] = {
+    import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, LessThan}
+    val filters: Seq[Filter] =
+      subject.map(s => EqualTo("subject", s): Filter).toSeq ++
+        Seq(GreaterThanOrEqual("time", startMs): Filter, LessThan("time", stopMs): Filter)
+    var size = batchSize
+    while (true) {
+      try {
+        return sourcesOf(search(index,
+          EsQueryDsl.searchRequest(filters, requiredFields, size)))
+      } catch {
+        case e: java.io.IOException if size > 1 && e.getMessage.contains("Data too large") =>
+          size /= 2 // the reference halves and retries (sync.go:168-173)
+      }
+    }
+    Vector.empty // unreachable
+  }
+
+  /** The full backward-paging record stream for one subject — the
+    * reference's per-token sync loop as a lazy [[LineSource]], WITHOUT its
+    * page-boundary skip: the reference sets the next window's exclusive
+    * `lt` to the last record's timestamp, silently dropping any further
+    * records sharing that exact timestamp (sync.go:151-155 [ext] — the
+    * same structural bug the batch source's q12/q198 pagination already
+    * fixed). Here the next window re-INCLUDES the boundary timestamp
+    * (`lt = lastTs + 1`) and the ids already emitted at that timestamp
+    * dedup the overlap; a tie run longer than a whole page doubles the
+    * page size until it fits. Exactly-once, no loss, reference-shaped
+    * requests.
+    */
+  def pagedLines(index: String, batchSize: Int, startMs: Long, stopMs: Long,
+      subject: Option[String], requiredFields: Seq[String]): LineSource = new LineSource {
+    private var stop = stopMs
+    private var size = batchSize
+    private var boundaryTs = Long.MinValue
+    private var boundaryIds = Set.empty[String]
+    private var page: Iterator[Array[Byte]] = Iterator.empty
+    private var done = false
+
+    private def field(doc: Array[Byte], name: String): Option[String] =
+      try {
+        val n = mapper.readTree(doc).get(name)
+        if (n != null && n.isTextual) Some(n.asText()) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    private def timeMs(doc: Array[Byte]): Option[Long] =
+      field(doc, "time").flatMap(t =>
+        try Some(Instant.parse(t).toEpochMilli)
+        catch { case scala.util.control.NonFatal(_) => None })
+
+    // one page at the CURRENT size, with the reference's Data-too-large
+    // halving applied to this loop's own `size` — the exhaustion check
+    // below must compare against the size actually requested
+    private def fetchPage(): Vector[Array[Byte]] = {
+      while (true) {
+        try return sourcesOf(search(index, {
+          import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, LessThan}
+          val filters: Seq[Filter] =
+            subject.map(s => EqualTo("subject", s): Filter).toSeq ++
+              Seq(GreaterThanOrEqual("time", startMs): Filter, LessThan("time", stop): Filter)
+          EsQueryDsl.searchRequest(filters, requiredFields, size)
+        }))
+        catch {
+          case e: java.io.IOException if size > 1 && e.getMessage.contains("Data too large") =>
+            size /= 2 // the reference halves and retries (sync.go:168-173)
+        }
+      }
+      Vector.empty // unreachable
+    }
+
+    override def next(): Array[Byte] = {
+      while (!page.hasNext && !done) {
+        val docs = fetchPage()
+        if (docs.isEmpty) { done = true; return null }
+        // a SHORT page is the window's entire remainder: whatever survives
+        // dedup is the final batch — no further round trip can find more
+        // (without this, an exhausted window whose last page is all
+        // boundary duplicates would double `size` forever)
+        val exhausted = docs.length < size
+        val fresh = docs.filterNot(d => timeMs(d).contains(boundaryTs) &&
+          field(d, "id").exists(boundaryIds))
+        if (fresh.isEmpty) {
+          if (exhausted) { done = true; return null }
+          size *= 2 // a FULL page of already-seen ties: widen until it fits
+        } else {
+          if (exhausted) done = true
+          else timeMs(fresh.last) match {
+            case Some(lastT) =>
+              val idsAtLast = fresh.iterator
+                .filter(d => timeMs(d).contains(lastT))
+                .flatMap(d => field(d, "id")).toSet
+              if (lastT == boundaryTs) boundaryIds ++= idsAtLast
+              else { boundaryTs = lastT; boundaryIds = idsAtLast }
+              stop = lastT + 1 // re-include the boundary ts next page
+            case None => done = true // cannot advance past an untimed tail
+          }
+          page = fresh.iterator
+        }
+      }
+      if (page.hasNext) page.next() else null
+    }
+    override def close(): Unit = ()
+  }
+}

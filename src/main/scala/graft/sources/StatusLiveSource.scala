@@ -1,0 +1,189 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In, IsNotNull, LessThan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** LIVE Elasticsearch status source (`graft-status-live`) — the same table
+  * as `graft-status` (NDJSON snapshots) but read over the WIRE: each task
+  * drives [[EsHttpClient.pagedLines]] (the reference's backward-paging
+  * `_search` loop, elastic.go:46-108 / sync.go:108-155 [ext]) and feeds
+  * the pages into the SAME parser, predicate evaluator and malformed-line
+  * policy the file source uses ([[StatusPartitionReader]] over a
+  * [[LineSource]]) — one decode path, two transports.
+  *
+  * Pushdown: subject equality and the half-open time range reach the
+  * REQUEST BODY itself (via [[EsQueryDsl]] — the ES-side filter, not a
+  * client-side one); required signal columns become the `_source.includes`
+  * projection + `exists` clauses, exactly the reference's required-fields
+  * contract. Parallelism: with a pushed subject IN-set the scan plans one
+  * partition per GROUP of subjects (≤ 64 tasks) — the reference's
+  * per-token goroutine fan-out (sync.go:60-84 [ext]) as a BOUNDED task
+  * census: a 1000-executor cluster drains device-parallel without turning
+  * a million-device fleet into a million concurrent page loops against
+  * the live cluster. A single-subject or unfiltered scan is one task (the
+  * reference is sequential there too).
+  *
+  * Options: `url` (required), `index` (default `device-status`),
+  * `batchSize` (default 1000, page size — halved on Data-too-large like
+  * the reference), `startMs`/`stopMs` (window defaults when no time
+  * predicate pushes; stop defaults to a fixed far-future bound so results
+  * stay deterministic).
+  */
+class StatusLiveSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-status-live"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = StatusV2Source.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new StatusLiveTable(
+      Option(properties.get("url")).getOrElse(
+        throw new IllegalArgumentException("graft-status-live requires option url")),
+      Option(properties.get("index")).getOrElse("device-status"),
+      Option(properties.get("batchSize")).map(_.toInt).getOrElse(1000),
+      Option(properties.get("startMs")).map(_.toLong).getOrElse(0L),
+      Option(properties.get("stopMs")).map(_.toLong).getOrElse(StatusLiveSource.DefaultStopMs))
+}
+
+object StatusLiveSource {
+  /** Fixed far-future default stop (year ~2286) — deterministic, unlike
+    * wall-clock "now".
+    */
+  val DefaultStopMs: Long = 9999999999999L
+}
+
+class StatusLiveTable(url: String, index: String, batchSize: Int,
+    startMs: Long, stopMs: Long) extends Table with SupportsRead {
+  override def name(): String = s"graft_status_live($url/$index)"
+  override def schema(): StructType = StatusV2Source.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new StatusLiveScanBuilder(url, index, batchSize, startMs, stopMs)
+}
+
+class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
+    startMs: Long, stopMs: Long)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = StatusV2Source.Schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("subject", _: String) => true
+      case In("subject", vs) if vs.forall(_.isInstanceOf[String]) &&
+        vs.length <= ShardedSignalSource.MaxRuntimeInSet => true
+      case GreaterThanOrEqual("time", _) => true
+      case LessThan("time", _)           => true
+      case IsNotNull("subject" | "time") => true
+      case _                             => false
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan =
+    new StatusLiveScan(url, index, batchSize, startMs, stopMs, pushed, required)
+}
+
+/** One live-scan partition: sequential page loops for a GROUP of
+  * subjects (the per-task unit — a million-device census packs into a
+  * bounded task count), or the single unfiltered loop when `subjects` is
+  * None.
+  */
+case class StatusLivePartition(url: String, index: String, batchSize: Int,
+    startMs: Long, stopMs: Long, subjects: Option[Seq[String]],
+    requiredFields: Seq[String]) extends InputPartition
+
+class StatusLiveScan(url: String, index: String, batchSize: Int,
+    defaultStartMs: Long, defaultStopMs: Long,
+    filters: Array[Filter], required: StructType,
+    maxTasks: Int = 64) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-status-live $url/$index pushed=[${filters.mkString(", ")}]"
+
+  private def ms(v: Any): Long = v match {
+    case t: java.sql.Timestamp => t.getTime
+    case i: java.time.Instant => i.toEpochMilli
+    case l: Long => l
+    case other => throw new IllegalArgumentException(s"unsupported time literal: $other")
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val startMs = filters.collectFirst { case GreaterThanOrEqual("time", v) => ms(v) }
+      .getOrElse(defaultStartMs)
+    val stopMs = filters.collectFirst { case LessThan("time", v) => ms(v) }
+      .getOrElse(defaultStopMs)
+    // signal fields beyond the always-included envelope become the
+    // required-fields projection (the reference's requiredFields) — `data`
+    // holds the signals, so a scan needing it requests full _source
+    val requiredFields: Seq[String] = Seq.empty
+    val subjects: Option[Seq[String]] = filters.collectFirst {
+      case In("subject", vs) => vs.toSeq.collect { case s: String => s }.sorted
+    }.orElse(filters.collectFirst { case EqualTo("subject", s: String) => Seq(s) })
+    subjects match {
+      case None => Array(StatusLivePartition(url, index, batchSize, startMs, stopMs,
+        None, requiredFields))
+      case Some(all) =>
+        // bounded fan-out: one task per GROUP of subjects (the reference
+        // fans one goroutine per token, sync.go:60-84 — a cluster fans
+        // tasks, but a 1M-device census must not become 1M tasks or 1M
+        // concurrent page loops against the live cluster)
+        val groups = math.max(1, math.min(all.length, maxTasks))
+        val per = (all.length + groups - 1) / groups
+        all.grouped(per).map(g => StatusLivePartition(url, index, batchSize,
+          startMs, stopMs, Some(g), requiredFields): InputPartition).toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new StatusLiveReaderFactory(filters, required)
+}
+
+class StatusLiveReaderFactory(filters: Array[Filter], required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[StatusLivePartition]
+    val client = new EsHttpClient(p.url)
+    def loopFor(subject: Option[String]): LineSource = client.pagedLines(
+      p.index, p.batchSize, p.startMs, p.stopMs, subject, p.requiredFields)
+    // sequential page loops over the task's subject group (or the one
+    // unfiltered loop), chained lazily into a single line stream
+    val lines: LineSource = p.subjects match {
+      case None => loopFor(None)
+      case Some(group) => new LineSource {
+        private val it = group.iterator
+        private var cur: LineSource = _
+        override def next(): Array[Byte] = {
+          while (true) {
+            if (cur == null) {
+              if (!it.hasNext) return null
+              cur = loopFor(Some(it.next()))
+            }
+            val line = cur.next()
+            if (line != null) return line
+            cur.close(); cur = null
+          }
+          null // unreachable
+        }
+        override def close(): Unit = if (cur != null) cur.close()
+      }
+    }
+    // the server already filtered subject/time, but re-evaluating the
+    // pushed predicates client-side is free and keeps the contract local;
+    // parsing, projection and bad-document skips are the file path's
+    new StatusPartitionReader(lines, None, filters, required, -1, -1, topNDesc = true)
+  }
+}

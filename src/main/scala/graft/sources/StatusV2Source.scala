@@ -271,8 +271,21 @@ class StatusReaderFactory(filters: Array[Filter], required: StructType, limit: I
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[StatusFilePartition]
-    new StatusPartitionReader(p, filters, required, limit, topN, topNDesc)
+    new StatusPartitionReader(new ByteRangeLines(p.path, p.start, p.end), p.subjectIn,
+      filters, required, limit, topN, topNDesc)
   }
+}
+
+/** A stream of raw NDJSON document lines — the decode path's input seam.
+  * [[ByteRangeLines]] feeds it from file byte ranges; the LIVE
+  * Elasticsearch source ([[StatusLiveSource]]) feeds it from paged
+  * `_search` responses — one parser, one predicate evaluator, one
+  * malformed-line policy for both.
+  */
+private[sources] trait LineSource {
+  /** Next raw line, or null when exhausted. */
+  def next(): Array[Byte]
+  def close(): Unit
 }
 
 /** Byte-counting line iterator over a range of a file. Newline alignment
@@ -320,8 +333,8 @@ private[sources] object ByteRangeLines {
   * bounded decode to EOF — no line is skipped or shared. `end =
   * Long.MaxValue` means to-EOF in both modes.
   */
-private class ByteRangeLines(path: String, start: Long, end: Long,
-    exact: Boolean = false) {
+private[graft] class ByteRangeLines(path: String, start: Long, end: Long,
+    exact: Boolean = false) extends LineSource {
   // Chunk-buffered scan, not byte-at-a-time read(): one virtual call per
   // 64 KB block instead of one per BYTE (the r8 SplitScanProbe profile
   // showed the per-byte BufferedInputStream.read() dominating the whole
@@ -456,12 +469,12 @@ private class ByteRangeLines(path: String, start: Long, end: Long,
   * columns. Malformed lines are skipped — the reference's bad-document
   * tolerance (`sync.go:193-203`).
   */
-class StatusPartitionReader(part: StatusFilePartition, filters: Array[Filter], required: StructType,
+class StatusPartitionReader private[graft] (lines: LineSource,
+    subjectIn: Option[Set[String]], filters: Array[Filter], required: StructType,
     limit: Int, topN: Int, topNDesc: Boolean)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val lines = new ByteRangeLines(part.path, part.start, part.end)
   private var current: InternalRow = _
   private var emitted = 0
   private var skipped = 0L
@@ -501,7 +514,7 @@ class StatusPartitionReader(part: StatusFilePartition, filters: Array[Filter], r
             }
             val pass =
               subjectEq.forall(s => subject.contains(s)) &&
-                part.subjectIn.forall(set => subject.exists(set.contains)) &&
+                subjectIn.forall(set => subject.exists(set.contains)) &&
                 timeGte.forall(g => timeUs.exists(_ >= g)) &&
                 timeLt.forall(l => timeUs.exists(_ < l))
             if (pass) {

@@ -1,0 +1,126 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.sources.{ClickHouseDdl, ClickHouseHttpClient}
+
+/** The LIVE ClickHouse write/read path over CH's HTTP interface
+  * ([[ClickHouseHttpClient]]) against a loopback stub: DDL execution,
+  * reference-parity statements (QueryOldestSignal / QueryTokenIDs,
+  * clickhouse.go:65-110), distributed per-partition CSV batch inserts
+  * (InsertIntoClickhouse, clickhouse.go:113-130), and TSV query decode.
+  */
+class ClickHouseHttpSpec extends SparkTestBase {
+
+  /** Captures (query-param, body) of every POST; answers queries from a
+    * canned TSV map.
+    */
+  private def startStub(captured: ConcurrentLinkedQueue[(String, String)],
+      answers: Map[String, String] = Map.empty): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val q = Option(ex.getRequestURI.getRawQuery).map { raw =>
+          raw.split("&").collectFirst {
+            case kv if kv.startsWith("query=") =>
+              java.net.URLDecoder.decode(kv.substring(6), "UTF-8")
+          }.getOrElse("")
+        }.getOrElse("")
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        captured.add((q, body))
+        val res = answers.collectFirst {
+          case (prefix, tsv) if q.startsWith(prefix) || body.startsWith(prefix) => tsv
+        }.getOrElse("")
+        val bytes = res.getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, if (bytes.isEmpty) -1 else bytes.length)
+        if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    server
+  }
+
+  private def url(s: HttpServer) = s"http://127.0.0.1:${s.getAddress.getPort}"
+
+  test("reference statements: oldest-signal and token-ids SQL round-trip over HTTP") {
+    // the exact statements the reference's sqlboiler dialect builds
+    assert(ClickHouseHttpClient.oldestSignalSql(42L, Seq.empty) ===
+      "SELECT `timestamp` FROM `signal` WHERE `token_id` = 42 ORDER BY `timestamp` ASC LIMIT 1")
+    assert(ClickHouseHttpClient.oldestSignalSql(7L, Seq("speed", "soc")) ===
+      "SELECT `timestamp` FROM `signal` WHERE `token_id` = 7 AND `name` IN ('speed','soc') " +
+        "ORDER BY `timestamp` ASC LIMIT 1")
+    assert(ClickHouseHttpClient.tokenIdsSql() === "SELECT DISTINCT `token_id` FROM `signal`")
+
+    val captured = new ConcurrentLinkedQueue[(String, String)]()
+    val server = startStub(captured, Map(
+      "SELECT DISTINCT `token_id`" -> "3\n1\n2\n"))
+    try {
+      val c = new graft.sources.ClickHouseHttpClient(url(server))
+      val ids = c.query(ClickHouseHttpClient.tokenIdsSql()).map(_(0).toLong)
+      assert(ids === Seq(3L, 1L, 2L), "TSV rows decode in server order")
+      import scala.jdk.CollectionConverters._
+      assert(captured.asScala.exists(_._2.startsWith("SELECT DISTINCT `token_id` FROM `signal` FORMAT TabSeparated")))
+    } finally server.stop(0)
+  }
+
+  test("MergeTree DDL executes over the wire") {
+    val captured = new ConcurrentLinkedQueue[(String, String)]()
+    val server = startStub(captured)
+    try {
+      val schema = StructType(Seq(
+        StructField("token_id", LongType, nullable = false),
+        StructField("timestamp", TimestampType, nullable = false),
+        StructField("name", StringType, nullable = false),
+        StructField("value_number", DoubleType, nullable = true)))
+      val ddl = ClickHouseDdl.signalTableDdl(schema)
+      new graft.sources.ClickHouseHttpClient(url(server)).execute(ddl)
+      import scala.jdk.CollectionConverters._
+      val sent = captured.asScala.map(_._2).mkString
+      assert(sent.contains("CREATE TABLE") && sent.contains("MergeTree"),
+        s"the DDL must travel as the POST body: $sent")
+    } finally server.stop(0)
+  }
+
+  test("distributed batch insert: every partition posts its own CSV batch; union = the DataFrame") {
+    val captured = new ConcurrentLinkedQueue[(String, String)]()
+    val server = startStub(captured)
+    try {
+      val schema = StructType(Seq(
+        StructField("token_id", LongType, nullable = false),
+        StructField("name", StringType, nullable = true),
+        StructField("value_number", DoubleType, nullable = true)))
+      val rows = (0 until 100).map(i =>
+        Row(i.toLong, if (i % 10 == 0) null else s"sig,\"$i\"", if (i % 7 == 0) null else i * 0.5))
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+      new graft.sources.ClickHouseHttpClient(url(server)).insertSignals(df, "signal")
+
+      import scala.jdk.CollectionConverters._
+      val inserts = captured.asScala.toSeq
+      assert(inserts.size === 4, s"one CSV POST per non-empty partition, got ${inserts.size}")
+      inserts.foreach { case (q, _) =>
+        assert(q === "INSERT INTO `signal` (`token_id`, `name`, `value_number`) FORMAT CSV")
+      }
+      // decode the union back (quote-doubled strings, empty = NULL)
+      val got = inserts.flatMap(_._2.split("\n")).filter(_.nonEmpty).map { line =>
+        // token,(quoted name|empty),(double|empty) — split CSV respecting quotes
+        val m = java.util.regex.Pattern
+          .compile("^(\\d+),(\"((?:[^\"]|\"\")*)\"|),(.*)$").matcher(line)
+        assert(m.matches(), s"unparsable CSV line: $line")
+        val name = Option(m.group(3)).map(_.replace("\"\"", "\""))
+        val v = if (m.group(4).isEmpty) None else Some(m.group(4).toDouble)
+        (m.group(1).toLong, name, v)
+      }.toSet
+      val want = rows.map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(got === want, "the CSV batches must reproduce the DataFrame exactly")
+    } finally server.stop(0)
+  }
+}

@@ -1,0 +1,167 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+import org.apache.spark.sql.functions._
+
+/** The LIVE Elasticsearch read path (`graft-status-live` +
+  * [[graft.sources.EsHttpClient]]) against a loopback stub implementing
+  * enough of the `_search` API to honor the reference's request shape:
+  * bool.filter match/range, size, sort time desc. Asserts wire-level
+  * request parity with EsQueryDsl, pagination without the reference's
+  * page-boundary tie skip, Data-too-large halving, per-subject task
+  * fan-out, and end-to-end equality with the FILE source over the same
+  * documents (one decode path, two transports).
+  */
+class EsLiveSourceSpec extends SparkTestBase {
+
+  private val mapper = new ObjectMapper()
+
+  /** All documents the stub serves, newest-first per request. */
+  private case class Doc(id: String, subject: String, timeMs: Long, vss: Double) {
+    def json: String =
+      s"""{"id":"$id","subject":"$subject","source":"dimo/integration/live",""" +
+        s""""specversion":"1.0","time":"${java.time.Instant.ofEpochMilli(timeMs)}",""" +
+        s""""dataschema":"dimo.zone.status/v2.0","type":"com.dimo.device.status",""" +
+        s""""data":{"vehicle":{"speed":$vss}}}"""
+  }
+
+  /** Minimal ES `_search` stub: parses the pushed bool.filter, sorts time
+    * desc, applies size; optionally fails big pages with Data-too-large.
+    */
+  private def startStub(docs: Seq[Doc], requests: ConcurrentLinkedQueue[String],
+      tooLargeOver: Int = Int.MaxValue): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        requests.add(ex.getRequestURI.getPath + "\n" + body)
+        val req = mapper.readTree(body)
+        val size = req.path("size").asInt(10)
+        if (size > tooLargeOver) {
+          val err = """{"error":"circuit_breaking_exception: Data too large"}"""
+          ex.sendResponseHeaders(500, err.length)
+          ex.getResponseBody.write(err.getBytes(StandardCharsets.UTF_8))
+          ex.close(); return
+        }
+        var subject: Option[String] = None
+        var gte: Option[Long] = None
+        var lt: Option[Long] = None
+        req.path("query").path("bool").path("filter").forEach { f =>
+          val m = f.path("match").path("subject").path("query")
+          if (m.isTextual) subject = Some(m.asText())
+          val r = f.path("range").path("time")
+          if (!r.isMissingNode) {
+            if (r.has("gte")) gte = Some(r.get("gte").asText().toLong)
+            if (r.has("lt")) lt = Some(r.get("lt").asText().toLong)
+          }
+        }
+        val hits = docs
+          .filter(d => subject.forall(_ == d.subject) &&
+            gte.forall(d.timeMs >= _) && lt.forall(d.timeMs < _))
+          .sortBy(-_.timeMs)
+          .take(size)
+          .map(d => s"""{"_index":"device-status","_id":"${d.id}","_source":${d.json}}""")
+        val res = s"""{"hits":{"total":{"value":${hits.length}},"hits":[${hits.mkString(",")}]}}"""
+        val bytes = res.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    server
+  }
+
+  private def liveDf(server: HttpServer, batchSize: Int = 7) =
+    spark.read.format("graft-status-live")
+      .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+      .option("batchSize", batchSize.toString)
+      .load()
+
+  test("live read ≡ file read over the same documents; requests are EsQueryDsl bodies") {
+    val docs = (0 until 25).map(i =>
+      Doc(s"d$i", s"s${i % 2}", 1704000000000L + i * 1000L, i * 1.5))
+    val requests = new ConcurrentLinkedQueue[String]()
+    val server = startStub(docs, requests)
+    try {
+      // file twin: the same documents as NDJSON
+      val f = java.nio.file.Files.createTempFile("graft-es-live", ".ndjson")
+      java.nio.file.Files.writeString(f, docs.map(_.json).mkString("\n"))
+      val live = liveDf(server).where(col("subject") === "s1")
+        .select("id", "subject", "time", "data")
+      val file = spark.read.format("graft-status").load(f.toString)
+        .where(col("subject") === "s1")
+        .select("id", "subject", "time", "data")
+      val a = live.collect().map(_.toSeq).toSet
+      val b = file.collect().map(_.toSeq).toSet
+      assert(a === b, "one decode path, two transports")
+      assert(a.size === 12, "subject s1 has 12 of the 25 docs")
+      // wire parity: every request is exactly the generator's body for the
+      // pushed state (match subject + range window + size + sort desc)
+      import scala.jdk.CollectionConverters._
+      val bodies = requests.asScala.toSeq.map(_.split("\n", 2)(1))
+      assert(requests.asScala.forall(_.startsWith("/device-status/_search")))
+      bodies.foreach { b2 =>
+        val n = mapper.readTree(b2)
+        assert(n.path("sort").get(0).path("time").path("order").asText() === "desc")
+        assert(n.path("query").path("bool").path("filter").get(0)
+          .path("match").path("subject").path("query").asText() === "s1")
+      }
+      // pagination: batchSize 7 over 12 docs → a full page then the short
+      // final page (a short page proves exhaustion — no terminator needed)
+      assert(bodies.length >= 2, s"expected a paged read, got ${bodies.length} request(s)")
+    } finally server.stop(0)
+  }
+
+  test("pagination loses nothing on timestamp ties wider than a page (the reference's skip, fixed)") {
+    // 30 docs, ALL the same timestamp, page size 6: the reference's
+    // next-stop-equals-last-timestamp loop would return one page and skip
+    // 24 docs; boundary-overlap + id dedup (+ size doubling) reads all 30
+    val docs = (0 until 30).map(i => Doc(s"t$i", "s0", 1704000000000L, i * 1.0))
+    val requests = new ConcurrentLinkedQueue[String]()
+    val server = startStub(docs, requests)
+    try {
+      val got = liveDf(server, batchSize = 6).where(col("subject") === "s0")
+        .select("id").collect().map(_.getString(0)).toSet
+      assert(got === docs.map(_.id).toSet,
+        s"tie run must survive pagination (got ${got.size} of 30)")
+    } finally server.stop(0)
+  }
+
+  test("Data-too-large responses halve the page size and the read still completes") {
+    val docs = (0 until 20).map(i =>
+      Doc(s"g$i", "s0", 1704000000000L + i * 1000L, i * 1.0))
+    val requests = new ConcurrentLinkedQueue[String]()
+    val server = startStub(docs, requests, tooLargeOver = 4)
+    try {
+      val got = liveDf(server, batchSize = 32).where(col("subject") === "s0")
+        .select("id").collect().map(_.getString(0)).toSet
+      assert(got === docs.map(_.id).toSet)
+      import scala.jdk.CollectionConverters._
+      val sizes = requests.asScala.toSeq.map(r =>
+        mapper.readTree(r.split("\n", 2)(1)).path("size").asInt())
+      assert(sizes.contains(32) && sizes.contains(4),
+        s"halving 32→16→8→4 must be visible on the wire: $sizes")
+    } finally server.stop(0)
+  }
+
+  test("a pushed subject IN-set fans out one task per subject (the per-token goroutine, as tasks)") {
+    val docs = (0 until 12).map(i =>
+      Doc(s"p$i", s"s${i % 3}", 1704000000000L + i * 1000L, i * 1.0))
+    val server = startStub(docs, new ConcurrentLinkedQueue[String]())
+    try {
+      val df = liveDf(server).where(col("subject").isin("s0", "s1", "s2"))
+        .select("id", "subject")
+      assert(df.rdd.getNumPartitions === 3,
+        "one live page loop per subject, in parallel")
+      assert(df.collect().length === 12)
+    } finally server.stop(0)
+  }
+}

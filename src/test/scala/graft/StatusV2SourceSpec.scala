@@ -176,9 +176,9 @@ class StatusV2SourceSpec extends SparkTestBase {
     val file = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".ndjson"))
       .map(_.getAbsolutePath).sorted
     val rows = file.flatMap { f =>
-      val part = graft.sources.StatusFilePartition(f, 0, Long.MaxValue, Some(Set("2")))
       val r = new graft.sources.StatusPartitionReader(
-        part, Array.empty, graft.sources.StatusV2Source.Schema, -1, 1, true)
+        new graft.sources.ByteRangeLines(f, 0, Long.MaxValue), Some(Set("2")),
+        Array.empty, graft.sources.StatusV2Source.Schema, -1, 1, true)
       val buf = scala.collection.mutable.Buffer[String]()
       while (r.next()) buf += r.get().getUTF8String(0).toString // id
       r.close()
