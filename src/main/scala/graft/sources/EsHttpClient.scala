@@ -77,14 +77,22 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
   /** `hits.hits[]._source` of one response, each rendered back to bytes —
     * the NDJSON-document form the decode path parses.
     */
-  def sourcesOf(responseBody: String): Vector[Array[Byte]] = {
+  def sourcesOf(responseBody: String): Vector[Array[Byte]] =
+    hitsOf(responseBody).map(_._2)
+
+  /** `(_id, _source bytes)` per hit — `_id` is the INDEX-unique identity
+    * (the pagination dedup key; a payload-level `id` field carries no
+    * uniqueness contract).
+    */
+  def hitsOf(responseBody: String): Vector[(String, Array[Byte])] = {
     val hits = mapper.readTree(responseBody).path("hits").path("hits")
     if (!hits.isArray) return Vector.empty
-    val out = Vector.newBuilder[Array[Byte]]
+    val out = Vector.newBuilder[(String, Array[Byte])]
     hits.forEach { h =>
       val src = h.get("_source")
+      val id = h.path("_id").asText("")
       if (src != null && src.isObject)
-        out += src.toString.getBytes(StandardCharsets.UTF_8)
+        out += ((id, src.toString.getBytes(StandardCharsets.UTF_8)))
     }
     out.result()
   }
@@ -133,22 +141,21 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     private var page: Iterator[Array[Byte]] = Iterator.empty
     private var done = false
 
-    private def field(doc: Array[Byte], name: String): Option[String] =
-      try {
-        val n = mapper.readTree(doc).get(name)
-        if (n != null && n.isTextual) Some(n.asText()) else None
-      } catch { case scala.util.control.NonFatal(_) => None }
     private def timeMs(doc: Array[Byte]): Option[Long] =
-      field(doc, "time").flatMap(t =>
-        try Some(Instant.parse(t).toEpochMilli)
-        catch { case scala.util.control.NonFatal(_) => None })
+      (try {
+        val n = mapper.readTree(doc).get("time")
+        if (n != null && n.isTextual) Some(n.asText()) else None
+      } catch { case scala.util.control.NonFatal(_) => None })
+        .flatMap(t =>
+          try Some(Instant.parse(t).toEpochMilli)
+          catch { case scala.util.control.NonFatal(_) => None })
 
     // one page at the CURRENT size, with the reference's Data-too-large
     // halving applied to this loop's own `size` — the exhaustion check
     // below must compare against the size actually requested
-    private def fetchPage(): Vector[Array[Byte]] = {
+    private def fetchPage(): Vector[(String, Array[Byte])] = {
       while (true) {
-        try return sourcesOf(search(index, {
+        try return hitsOf(search(index, {
           import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, LessThan}
           val filters: Seq[Filter] =
             subject.map(s => EqualTo("subject", s): Filter).toSeq ++
@@ -172,24 +179,24 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
         // (without this, an exhausted window whose last page is all
         // boundary duplicates would double `size` forever)
         val exhausted = docs.length < size
-        val fresh = docs.filterNot(d => timeMs(d).contains(boundaryTs) &&
-          field(d, "id").exists(boundaryIds))
+        val fresh = docs.filterNot { case (id, d) =>
+          timeMs(d).contains(boundaryTs) && boundaryIds(id) }
         if (fresh.isEmpty) {
           if (exhausted) { done = true; return null }
           size *= 2 // a FULL page of already-seen ties: widen until it fits
         } else {
           if (exhausted) done = true
-          else timeMs(fresh.last) match {
+          else timeMs(fresh.last._2) match {
             case Some(lastT) =>
               val idsAtLast = fresh.iterator
-                .filter(d => timeMs(d).contains(lastT))
-                .flatMap(d => field(d, "id")).toSet
+                .filter { case (_, d) => timeMs(d).contains(lastT) }
+                .map(_._1).toSet
               if (lastT == boundaryTs) boundaryIds ++= idsAtLast
               else { boundaryTs = lastT; boundaryIds = idsAtLast }
               stop = lastT + 1 // re-include the boundary ts next page
             case None => done = true // cannot advance past an untimed tail
           }
-          page = fresh.iterator
+          page = fresh.iterator.map(_._2)
         }
       }
       if (page.hasNext) page.next() else null

@@ -81,4 +81,71 @@ class EndToEndSyncSpec extends SparkTestBase {
     assert(pruned.select(input_file_name()).distinct().count() <
       spark.read.parquet(sinkDir).select(input_file_name()).distinct().count())
   }
+
+  test("the same two-round sync OVER THE WIRE: live ES reads resume below the watermark (r11)") {
+    // identical pipeline, live transport: a loopback `_search` stub serves
+    // the corpus; SyncJob's per-token windows and subject set push into
+    // the REQUEST BODIES (EsHttpClient's paged loop), and round 2's
+    // backfill must fetch only below each token's watermark — the
+    // reference's actual ES→CH loop, end to end, over HTTP
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val corpus = new java.util.concurrent.CopyOnWriteArrayList[(String, String, Long, String)]()
+    def add(subject: String, ms: Long, speed: Double): Unit =
+      corpus.add((s"e$ms-$subject", subject, t0.toEpochMilli + ms, doc(subject, ms, speed)))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 64)
+    server.createContext("/", new com.sun.net.httpserver.HttpHandler {
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        val req = mapper.readTree(ex.getRequestBody.readAllBytes())
+        val size = req.path("size").asInt(10)
+        var subject: Option[String] = None
+        var gte: Option[Long] = None
+        var lt: Option[Long] = None
+        req.path("query").path("bool").path("filter").forEach { f =>
+          val m = f.path("match").path("subject").path("query")
+          if (m.isTextual) subject = Some(m.asText())
+          val r = f.path("range").path("time")
+          if (r.has("gte")) gte = Some(r.get("gte").asText().toLong)
+          if (r.has("lt")) lt = Some(r.get("lt").asText().toLong)
+        }
+        import scala.jdk.CollectionConverters._
+        val hits = corpus.asScala
+          .filter { case (_, s, tMs, _) => subject.forall(_ == s) &&
+            gte.forall(tMs >= _) && lt.forall(tMs < _) }
+          .sortBy { case (id, _, tMs, _) => (-tMs, id) }
+          .take(size)
+          .map { case (id, _, _, j) => s"""{"_id":"$id","_source":$j}""" }
+        val res = s"""{"hits":{"hits":[${hits.mkString(",")}]}}"""
+        val bytes = res.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val sinkDir = Files.createTempDirectory("graft-e2e-live").resolve("signals").toString
+      def liveDocs() = spark.read.format("graft-status-live")
+        .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+        .option("batchSize", "3") // tiny pages: the paged loop is real
+        .load()
+        .select(col("subject"), col("source"), col("time"), col("data"))
+      for (s <- Seq("1", "2"); ms <- 100L to 500L by 100L) add(s, ms, ms.toDouble)
+      val dim = DeviceDim.identityDim(spark, 1L to 2L)
+
+      val round1 = SyncJob.run(liveDocs(), dim, existingSink = None,
+        SyncOptions(tokens = Seq("1", "2"), start = Some(tAt(0)), stop = Some(tAt(1000))))
+      SignalSink.appendParquet(round1, sinkDir, buckets = 4)
+      val sink1 = SignalSink.readParquet(spark, sinkDir)
+      assert(sink1.count() === 2L * 5 * 2, "live round 1 = the full corpus")
+
+      // backfill docs appear in the LIVE cluster; resume fetches only
+      // below each token's oldest-synced timestamp
+      for (s <- Seq("1", "2"); ms <- 0L until 100L by 50L) add(s, ms, ms.toDouble)
+      val round2 = SyncJob.run(liveDocs(), dim, existingSink = Some(sink1),
+        SyncOptions(tokens = Seq("1", "2"), start = Some(tAt(0)), stop = Some(tAt(1000))))
+      assert(round2.count() === 2L * 2 * 2, "live resume = only the backfill window")
+      assert(round2.agg(max(col("timestamp"))).head().getTimestamp(0) === tAt(50))
+    } finally server.stop(0)
+  }
 }
