@@ -32,12 +32,22 @@ private[graft] object PartTrash {
 
   def trashName(part: String, retiredAt: Long): String = s"$Prefix$retiredAt-$part"
 
-  /** Retire `part` into the trash (rename; falls back to delete if the
-    * rename fails — the canonical name must never survive retirement).
+  /** Retire `part` into the trash (rename; falls back to delete if no
+    * rename lands — the canonical name must never survive retirement).
+    * A same-millisecond name collision (the same part name retired twice,
+    * e.g. a replayed epoch re-published then re-retired) bumps the
+    * timestamp instead of falling through to delete: `resolve` picks the
+    * NEWEST generation, so the stale one must never be the only survivor.
     */
   def retire(part: File, now: Long = System.currentTimeMillis()): Unit = {
-    val t = new File(part.getParentFile, trashName(part.getName, now))
-    if (!part.renameTo(t)) { part.delete(); () }
+    var i = 0L
+    while (i < 4) {
+      val t = new File(part.getParentFile, trashName(part.getName, now + i))
+      if (!t.exists() && part.renameTo(t)) return
+      i += 1
+    }
+    part.delete()
+    ()
   }
 
   /** Resolve a (possibly retired) part name: the canonical file when live,
