@@ -27,7 +27,7 @@ object LiveQueries {
     * json) docs. Single purpose: honor the pushed filters + size + desc
     * sort. Daemon-pooled executor; the caller stops it.
     */
-  private def startStub(docs: IndexedSeq[(String, String, Long, String)]): HttpServer = {
+  private[graft] def startStub(docs: IndexedSeq[(String, String, Long, String)]): HttpServer = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 1024)
     val tf = new java.util.concurrent.ThreadFactory {
@@ -93,6 +93,9 @@ object LiveQueries {
     QueryDef(
       "q212_live_es_read",
       (s, d) => {
+        // this collect() seeds the TEST DOUBLE (the stub cluster's corpus),
+        // not the query path — the measured read runs through the DSv2
+        // live source and the HTTP client below
         val evs = Tables.load(s, d, "events")
           .where(col("ts").isNotNull && col("user_id").isNotNull)
           .select(col("user_id").cast("string").as("subject"),
