@@ -23,11 +23,27 @@ import org.apache.spark.sql.types.LongType
   */
 object LiveQueries {
 
-  /** Minimal `_search` stub over a fixed corpus of (id, subject, timeUs,
-    * json) docs. Single purpose: honor the pushed filters + size + desc
-    * sort. Daemon-pooled executor; the caller stops it.
+  /** One stub-corpus document. `signalJson` — the `_source` a real ES
+    * would return under the reference's signal projection
+    * (`_source.includes`), or None when the doc carries NONE of the
+    * requested signals (the `exists` + `minimum_should_match: 1` clauses
+    * drop it server-side). Both precomputed at seed time so the stub
+    * stays a lookup, not a per-request JSON walk.
     */
-  private[graft] def startStub(docs: IndexedSeq[(String, String, Long, String)]): HttpServer = {
+  private[graft] final case class StubDoc(id: String, subject: String, timeUs: Long,
+      json: String, signalJson: Option[String] = None)
+
+  /** Minimal `_search` stub over a fixed corpus. Honors the pushed
+    * filters + size + desc sort, and — when the request carries the
+    * reference's signal-filter clauses — the `exists`/`minimum_should_
+    * match` row filter and the `_source.includes` projection.
+    * `requireSignalClauses` makes the stub REJECT (400) any search
+    * missing them: the gate row then fails loudly if the projection
+    * pushdown ever regresses to full `_source`. Daemon-pooled executor;
+    * the caller stops it.
+    */
+  private[graft] def startStub(docs: IndexedSeq[StubDoc],
+      requireSignalClauses: Boolean = false): HttpServer = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 1024)
     val tf = new java.util.concurrent.ThreadFactory {
@@ -39,10 +55,10 @@ object LiveQueries {
     // the stub's own inverted index: docs pre-bucketed by subject and
     // pre-sorted newest-first, so a per-subject page request costs its
     // bucket, not a corpus scan (a real ES does at least this well)
-    val bySubject: Map[String, IndexedSeq[(String, String, Long, String)]] =
-      docs.groupBy(_._2).view.mapValues(
-        _.sortBy { case (id, _, tUs, _) => (-tUs, id) }).toMap
-    val allSorted = docs.sortBy { case (id, _, tUs, _) => (-tUs, id) }
+    val bySubject: Map[String, IndexedSeq[StubDoc]] =
+      docs.groupBy(_.subject).view.mapValues(
+        _.sortBy(d => (-d.timeUs, d.id))).toMap
+    val allSorted = docs.sortBy(d => (-d.timeUs, d.id))
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         val req = mapper.readTree(ex.getRequestBody.readAllBytes())
@@ -57,14 +73,30 @@ object LiveQueries {
           if (r.has("gte")) gteMs = Some(r.get("gte").asText().toLong)
           if (r.has("lt")) ltMs = Some(r.get("lt").asText().toLong)
         }
+        val hasExists = req.path("query").path("bool").path("should").size() > 0 &&
+          req.path("query").path("bool").path("minimum_should_match").asInt(0) >= 1
+        val hasIncludes = req.path("_source").path("includes").size() > 0
+        if (requireSignalClauses && !(hasExists && hasIncludes)) {
+          // the assertion the gate row rides on: a request without the
+          // reference's projection contract is refused outright
+          val err = """{"error":"stub requires _source.includes + exists + minimum_should_match"}"""
+          val bytes = err.getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(400, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+          return
+        }
+        val signalMode = hasExists && hasIncludes
         val hits = subject.map(s => bySubject.getOrElse(s, IndexedSeq.empty))
           .getOrElse(allSorted).iterator
-          .filter { case (_, _, tUs, _) =>
-            gteMs.forall(tUs / 1000 >= _) && ltMs.forall(tUs / 1000 < _)
+          .filter { d =>
+            gteMs.forall(d.timeUs / 1000 >= _) && ltMs.forall(d.timeUs / 1000 < _) &&
+              (!signalMode || d.signalJson.isDefined)
           }
           .take(size).toSeq
-          .map { case (id, _, _, json) =>
-            s"""{"_index":"device-status","_id":"$id","_source":$json}"""
+          .map { d =>
+            val src = if (signalMode) d.signalJson.get else d.json
+            s"""{"_index":"device-status","_id":"${d.id}","_source":$src}"""
           }
         val res = s"""{"hits":{"hits":[${hits.mkString(",")}]}}"""
         val bytes = res.getBytes(StandardCharsets.UTF_8)
@@ -102,7 +134,7 @@ object LiveQueries {
             expr("unix_micros(ts)").as("tsu"),
             round(col("value") * 100).cast(LongType).as("cents"))
           .collect()
-        val docs: IndexedSeq[(String, String, Long, String)] =
+        val docs: IndexedSeq[StubDoc] =
           evs.toIndexedSeq.zipWithIndex.map { case (r, i) =>
             val (subj, tsu, cents) = (r.getString(0), r.getLong(1), r.getLong(2))
             val iso = java.time.Instant.ofEpochSecond(tsu / 1000000L, (tsu % 1000000L) * 1000L)
@@ -110,9 +142,9 @@ object LiveQueries {
               s"""{"id":"e$i","subject":"$subj","source":"dimo/integration/live",""" +
                 s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v2.0",""" +
                 s""""type":"com.dimo.device.status","data":{"vehicle":{"cents":$cents}}}"""
-            (s"e$i", subj, tsu, json)
+            StubDoc(s"e$i", subj, tsu, json)
           }
-        val subjects = docs.map(_._2).distinct.sorted
+        val subjects = docs.map(_.subject).distinct.sorted
         val server = startStub(docs)
         try {
           val live = s.read.format("graft-status-live")
@@ -136,6 +168,74 @@ object LiveQueries {
                CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS newest_us,
                sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents
              FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             GROUP BY 1"""),
+    ),
+
+    // ── LIVE read under the reference's SIGNAL FILTER (r12): the
+    //    `signals` option maps the configured VSS names to
+    //    `data.<originalName>` fields (sync.go:236-256) and the request
+    //    body carries `_source.includes` + `exists` should-clauses +
+    //    `minimum_should_match: 1` (elastic.go:67-78). The stub REFUSES
+    //    (400) any search missing those clauses — if the projection
+    //    pushdown regresses to full `_source`, this row errors rather than
+    //    silently matching — and serves the PROJECTED `_source` for docs
+    //    carrying the signal, dropping the rest server-side. Docs with
+    //    `value < 50` carry no `speed` field (the exists filter's prey);
+    //    docs with it also carry a `make` field the projection must strip,
+    //    pinned by `n_make = 0` in the oracle.
+    QueryDef(
+      "q213_live_es_projection",
+      (s, d) => {
+        // collect() seeds the TEST DOUBLE; the measured read is the DSv2
+        // live source with signals=Vehicle.Speed below
+        val evs = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id").cast("string").as("subject"),
+            expr("unix_micros(ts)").as("tsu"),
+            round(col("value") * 100).cast(LongType).as("cents"),
+            (col("value") >= 50.0).as("has_speed"))
+          .collect()
+        val docs: IndexedSeq[StubDoc] =
+          evs.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+            val (subj, tsu, cents, hasSpeed) =
+              (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
+            val iso = java.time.Instant.ofEpochSecond(tsu / 1000000L, (tsu % 1000000L) * 1000L)
+            val envelope =
+              s""""id":"e$i","subject":"$subj","source":"dimo/integration/live",""" +
+                s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v1.0",""" +
+                s""""type":"com.dimo.device.status""""
+            val data = if (hasSpeed) s"""{"speed":$cents,"make":"Ford"}""" else """{"make":"Audi"}"""
+            StubDoc(s"e$i", subj, tsu, s"""{$envelope,"data":$data}""",
+              signalJson =
+                if (hasSpeed) Some(s"""{$envelope,"data":{"speed":$cents}}""") else None)
+          }
+        val subjects = docs.map(_.subject).distinct.sorted
+        val server = startStub(docs, requireSignalClauses = true)
+        try {
+          val live = s.read.format("graft-status-live")
+            .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+            .option("batchSize", "500")
+            .option("signals", "Vehicle.Speed")
+            .load()
+            .where(col("subject").isin(subjects: _*))
+            .select(col("subject"), expr("unix_micros(time)").as("tsu"),
+              get_json_object(col("data"), "$.speed").cast(LongType).as("speed"),
+              get_json_object(col("data"), "$.make").as("make"))
+            .groupBy(col("subject"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("speed")).as("speed_sum"),
+              max(col("tsu")).as("newest_us"),
+              count(col("make")).as("n_make")) // projection strips make ⇒ 0
+          live.localCheckpoint(true) // materialize THROUGH the live stack
+        } finally server.stop(0)
+      },
+      Some("""SELECT CAST(user_id AS VARCHAR) AS subject,
+               count(*)::BIGINT AS n_docs,
+               sum(CAST(round(value*100) AS BIGINT))::BIGINT AS speed_sum,
+               CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS newest_us,
+               (count(*) * 0)::BIGINT AS n_make
+             FROM events
+             WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value >= 50
              GROUP BY 1""")
     )
   )

@@ -84,15 +84,31 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     * (the pagination dedup key; a payload-level `id` field carries no
     * uniqueness contract).
     */
-  def hitsOf(responseBody: String): Vector[(String, Array[Byte])] = {
+  def hitsOf(responseBody: String): Vector[(String, Array[Byte])] =
+    timedHitsOf(responseBody).map(h => (h._1, h._3))
+
+  /** `(_id, epoch-millis of _source.time, _source bytes)` per hit — the
+    * document time is extracted HERE, while the hit is already a parsed
+    * tree, so the page loop's boundary bookkeeping never re-parses a doc
+    * (it needs the time up to three times per page). Absent/malformed
+    * `time` ⇒ None, matching the decode path's null-time rule.
+    */
+  def timedHitsOf(responseBody: String): Vector[(String, Option[Long], Array[Byte])] = {
     val hits = mapper.readTree(responseBody).path("hits").path("hits")
     if (!hits.isArray) return Vector.empty
-    val out = Vector.newBuilder[(String, Array[Byte])]
+    val out = Vector.newBuilder[(String, Option[Long], Array[Byte])]
     hits.forEach { h =>
       val src = h.get("_source")
       val id = h.path("_id").asText("")
-      if (src != null && src.isObject)
-        out += ((id, src.toString.getBytes(StandardCharsets.UTF_8)))
+      if (src != null && src.isObject) {
+        val t = src.get("time")
+        val timeMs =
+          if (t != null && t.isTextual)
+            try Some(Instant.parse(t.asText()).toEpochMilli)
+            catch { case scala.util.control.NonFatal(_) => None }
+          else None
+        out += ((id, timeMs, src.toString.getBytes(StandardCharsets.UTF_8)))
+      }
     }
     out.result()
   }
@@ -102,7 +118,8 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     * Data-too-large halving. Returns the page's `_source` docs.
     */
   def recordsSince(index: String, batchSize: Int, startMs: Long, stopMs: Long,
-      subject: Option[String], requiredFields: Seq[String]): Vector[Array[Byte]] = {
+      subject: Option[String], requiredFields: Seq[String],
+      envelopeIncludes: Seq[String] = Seq.empty): Vector[Array[Byte]] = {
     import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, LessThan}
     val filters: Seq[Filter] =
       subject.map(s => EqualTo("subject", s): Filter).toSeq ++
@@ -111,7 +128,8 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     while (true) {
       try {
         return sourcesOf(search(index,
-          EsQueryDsl.searchRequest(filters, requiredFields, size)))
+          EsQueryDsl.searchRequest(filters, requiredFields, size,
+            envelopeIncludes = envelopeIncludes)))
       } catch {
         case e: java.io.IOException if size > 1 && e.getMessage.contains("Data too large") =>
           size /= 2 // the reference halves and retries (sync.go:168-173)
@@ -133,7 +151,8 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     * requests.
     */
   def pagedLines(index: String, batchSize: Int, startMs: Long, stopMs: Long,
-      subject: Option[String], requiredFields: Seq[String]): LineSource = new LineSource {
+      subject: Option[String], requiredFields: Seq[String],
+      envelopeIncludes: Seq[String] = Seq.empty): LineSource = new LineSource {
     private var stop = stopMs
     private var size = batchSize
     private var boundaryTs = Long.MinValue
@@ -141,26 +160,20 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     private var page: Iterator[Array[Byte]] = Iterator.empty
     private var done = false
 
-    private def timeMs(doc: Array[Byte]): Option[Long] =
-      (try {
-        val n = mapper.readTree(doc).get("time")
-        if (n != null && n.isTextual) Some(n.asText()) else None
-      } catch { case scala.util.control.NonFatal(_) => None })
-        .flatMap(t =>
-          try Some(Instant.parse(t).toEpochMilli)
-          catch { case scala.util.control.NonFatal(_) => None })
-
     // one page at the CURRENT size, with the reference's Data-too-large
     // halving applied to this loop's own `size` — the exhaustion check
-    // below must compare against the size actually requested
-    private def fetchPage(): Vector[(String, Array[Byte])] = {
+    // below must compare against the size actually requested. Each hit's
+    // time is parsed ONCE here (timedHitsOf) and carried — the boundary
+    // bookkeeping below consults it up to three times per doc.
+    private def fetchPage(): Vector[(String, Option[Long], Array[Byte])] = {
       while (true) {
-        try return hitsOf(search(index, {
+        try return timedHitsOf(search(index, {
           import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, LessThan}
           val filters: Seq[Filter] =
             subject.map(s => EqualTo("subject", s): Filter).toSeq ++
               Seq(GreaterThanOrEqual("time", startMs): Filter, LessThan("time", stop): Filter)
-          EsQueryDsl.searchRequest(filters, requiredFields, size)
+          EsQueryDsl.searchRequest(filters, requiredFields, size,
+            envelopeIncludes = envelopeIncludes)
         }))
         catch {
           case e: java.io.IOException if size > 1 && e.getMessage.contains("Data too large") =>
@@ -179,24 +192,24 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
         // (without this, an exhausted window whose last page is all
         // boundary duplicates would double `size` forever)
         val exhausted = docs.length < size
-        val fresh = docs.filterNot { case (id, d) =>
-          timeMs(d).contains(boundaryTs) && boundaryIds(id) }
+        val fresh = docs.filterNot { case (id, t, _) =>
+          t.contains(boundaryTs) && boundaryIds(id) }
         if (fresh.isEmpty) {
           if (exhausted) { done = true; return null }
           size *= 2 // a FULL page of already-seen ties: widen until it fits
         } else {
           if (exhausted) done = true
-          else timeMs(fresh.last._2) match {
+          else fresh.last._2 match {
             case Some(lastT) =>
               val idsAtLast = fresh.iterator
-                .filter { case (_, d) => timeMs(d).contains(lastT) }
+                .filter { case (_, t, _) => t.contains(lastT) }
                 .map(_._1).toSet
               if (lastT == boundaryTs) boundaryIds ++= idsAtLast
               else { boundaryTs = lastT; boundaryIds = idsAtLast }
               stop = lastT + 1 // re-include the boundary ts next page
             case None => done = true // cannot advance past an untimed tail
           }
-          page = fresh.iterator.map(_._2)
+          page = fresh.iterator.map(_._3)
         }
       }
       if (page.hasNext) page.next() else null

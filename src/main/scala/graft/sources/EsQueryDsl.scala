@@ -39,7 +39,10 @@ object EsQueryDsl {
     *
     * @param filters the DSv2-pushed filters (subject equality and/or the
     *                half-open [gte, lt) time range — exactly what
-    *                [[StatusScanBuilder.pushFilters]] accepts)
+    *                [[StatusScanBuilder.pushFilters]] accepts). Duplicate
+    *                range conjuncts tighten (max of gte's, min of lt's) —
+    *                Spark is free to push `time >= a AND time >= b`
+    *                unsimplified, and dropping one bound widens the window.
     * @param requiredFields signal fields the explode stage needs; empty ⇒
     *                       full `_source` (reference behavior)
     * @param batchSize page size (`Size` in the reference request)
@@ -47,9 +50,16 @@ object EsQueryDsl {
     *                  TopN state ([[StatusScanBuilder.pushTopN]]); the
     *                  reference always pages newest-first (elastic.go:65),
     *                  so `true` is the default
+    * @param envelopeIncludes when `requiredFields` is empty, a PURE
+    *                  projection (`_source.includes` WITHOUT the `exists`
+    *                  should-clauses): the scan needs only these envelope
+    *                  fields and must not change the row set. Empty ⇒ full
+    *                  `_source`. Ignored when `requiredFields` is set —
+    *                  the reference couples includes+exists there
+    *                  (elastic.go:67-78).
     */
   def searchRequest(filters: Seq[Filter], requiredFields: Seq[String], batchSize: Int,
-      sortDesc: Boolean = true): String = {
+      sortDesc: Boolean = true, envelopeIncludes: Seq[String] = Seq.empty): String = {
     val root = mapper.createObjectNode()
     val bool = root.putObject("query").putObject("bool")
     val filterArr = bool.putArray("filter")
@@ -57,8 +67,10 @@ object EsQueryDsl {
     filters.collectFirst { case EqualTo("subject", v: String) => v }.foreach { subject =>
       filterArr.addObject().putObject("match").putObject("subject").put("query", subject)
     }
-    val gte = filters.collectFirst { case GreaterThanOrEqual("time", v) => toMillis(v) }
-    val lt = filters.collectFirst { case LessThan("time", v) => toMillis(v) }
+    val gte = filters.collect { case GreaterThanOrEqual("time", v) => toMillis(v) }
+      .reduceOption(_ max _)
+    val lt = filters.collect { case LessThan("time", v) => toMillis(v) }
+      .reduceOption(_ min _)
     if (gte.isDefined || lt.isDefined) {
       val range: ObjectNode = filterArr.addObject().putObject("range").putObject("time")
       // the reference serializes epoch-millis as STRINGS (strconv.Itoa of
@@ -75,6 +87,9 @@ object EsQueryDsl {
       bool.put("minimum_should_match", 1)
       val includes = root.putObject("_source").putArray("includes")
       (RootFields ++ requiredFields).foreach(includes.add)
+    } else if (envelopeIncludes.nonEmpty) {
+      val includes = root.putObject("_source").putArray("includes")
+      envelopeIncludes.foreach(includes.add)
     }
 
     root.put("size", batchSize)

@@ -20,10 +20,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Pushdown: subject equality and the half-open time range reach the
   * REQUEST BODY itself (via [[EsQueryDsl]] — the ES-side filter, not a
-  * client-side one); required signal columns become the `_source.includes`
-  * projection + `exists` clauses, exactly the reference's required-fields
-  * contract. Parallelism: with a pushed subject IN-set the scan plans one
-  * partition per GROUP of subjects (≤ 64 tasks) — the reference's
+  * client-side one); duplicate range conjuncts tighten (max of `>=`, min
+  * of `<`) and multiple subject constraints INTERSECT before planning.
+  * Every accepted filter — including `IS NOT NULL` — is additionally
+  * re-evaluated client-side by the shared [[StatusPartitionReader]], so
+  * acceptance never exceeds enforcement. Projection: with the `signals`
+  * option set, the required signal columns become the `_source.includes`
+  * projection + `exists` should-clauses + `minimum_should_match: 1` —
+  * the reference's required-fields contract (sync.go:236-256 [ext] →
+  * elastic.go:67-78 [ext]; note this also drops documents carrying NONE
+  * of the requested signals, exactly as the reference's sync does);
+  * without it, a scan whose pruned schema excludes `data` requests only
+  * the envelope fields (`_source.includes` WITHOUT `exists` — a pure
+  * projection that cannot change the row set), and a scan needing `data`
+  * requests full `_source` (reference behavior when no signal filter is
+  * configured). Parallelism: with a pushed subject IN-set the scan plans
+  * one partition per GROUP of subjects (≤ 64 tasks) — the reference's
   * per-token goroutine fan-out (sync.go:60-84 [ext]) as a BOUNDED task
   * census: a 1000-executor cluster drains device-parallel without turning
   * a million-device fleet into a million concurrent page loops against
@@ -34,7 +46,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `batchSize` (default 1000, page size — halved on Data-too-large like
   * the reference), `startMs`/`stopMs` (window defaults when no time
   * predicate pushes; stop defaults to a fixed far-future bound so results
-  * stay deterministic).
+  * stay deterministic), `signals` (comma-separated VSS names — the
+  * reference's configured signal filter; unknown names drop, whitespace
+  * trims, sync.go:246).
   */
 class StatusLiveSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -48,7 +62,8 @@ class StatusLiveSource extends TableProvider
       Option(properties.get("index")).getOrElse("device-status"),
       Option(properties.get("batchSize")).map(_.toInt).getOrElse(1000),
       Option(properties.get("startMs")).map(_.toLong).getOrElse(0L),
-      Option(properties.get("stopMs")).map(_.toLong).getOrElse(StatusLiveSource.DefaultStopMs))
+      Option(properties.get("stopMs")).map(_.toLong).getOrElse(StatusLiveSource.DefaultStopMs),
+      Option(properties.get("signals")).map(_.split(",").toSeq))
 }
 
 object StatusLiveSource {
@@ -59,17 +74,17 @@ object StatusLiveSource {
 }
 
 class StatusLiveTable(url: String, index: String, batchSize: Int,
-    startMs: Long, stopMs: Long) extends Table with SupportsRead {
+    startMs: Long, stopMs: Long, signals: Option[Seq[String]]) extends Table with SupportsRead {
   override def name(): String = s"graft_status_live($url/$index)"
   override def schema(): StructType = StatusV2Source.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new StatusLiveScanBuilder(url, index, batchSize, startMs, stopMs)
+    new StatusLiveScanBuilder(url, index, batchSize, startMs, stopMs, signals)
 }
 
 class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
-    startMs: Long, stopMs: Long)
+    startMs: Long, stopMs: Long, signals: Option[Seq[String]])
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -92,27 +107,31 @@ class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   override def build(): Scan =
-    new StatusLiveScan(url, index, batchSize, startMs, stopMs, pushed, required)
+    new StatusLiveScan(url, index, batchSize, startMs, stopMs, signals, pushed, required)
 }
 
 /** One live-scan partition: sequential page loops for a GROUP of
   * subjects (the per-task unit — a million-device census packs into a
   * bounded task count), or the single unfiltered loop when `subjects` is
-  * None.
+  * None. `requiredFields` nonempty ⇒ the reference's includes+exists
+  * signal projection; else `envelopeIncludes` nonempty ⇒ pure envelope
+  * projection; else full `_source`.
   */
 case class StatusLivePartition(url: String, index: String, batchSize: Int,
     startMs: Long, stopMs: Long, subjects: Option[Seq[String]],
-    requiredFields: Seq[String]) extends InputPartition
+    requiredFields: Seq[String],
+    envelopeIncludes: Seq[String] = Seq.empty) extends InputPartition
 
 class StatusLiveScan(url: String, index: String, batchSize: Int,
-    defaultStartMs: Long, defaultStopMs: Long,
+    defaultStartMs: Long, defaultStopMs: Long, signals: Option[Seq[String]],
     filters: Array[Filter], required: StructType,
     maxTasks: Int = 64) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-status-live $url/$index pushed=[${filters.mkString(", ")}]"
+    s"graft-status-live $url/$index pushed=[${filters.mkString(", ")}]" +
+      signals.map(s => s" signals=[${s.mkString(",")}]").getOrElse("")
 
   private def ms(v: Any): Long = v match {
     case t: java.sql.Timestamp => t.getTime
@@ -122,20 +141,39 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val startMs = filters.collectFirst { case GreaterThanOrEqual("time", v) => ms(v) }
-      .getOrElse(defaultStartMs)
-    val stopMs = filters.collectFirst { case LessThan("time", v) => ms(v) }
-      .getOrElse(defaultStopMs)
-    // signal fields beyond the always-included envelope become the
-    // required-fields projection (the reference's requiredFields) — `data`
-    // holds the signals, so a scan needing it requests full _source
-    val requiredFields: Seq[String] = Seq.empty
-    val subjects: Option[Seq[String]] = filters.collectFirst {
-      case In("subject", vs) => vs.toSeq.collect { case s: String => s }.sorted
-    }.orElse(filters.collectFirst { case EqualTo("subject", s: String) => Seq(s) })
+    // duplicate pushed bounds tighten: the REQUEST window is the
+    // intersection (max of >=, min of <) — anything looser ships rows the
+    // plan no longer re-filters
+    val startMs = filters.collect { case GreaterThanOrEqual("time", v) => ms(v) }
+      .reduceOption(_ max _).getOrElse(defaultStartMs)
+    val stopMs = filters.collect { case LessThan("time", v) => ms(v) }
+      .reduceOption(_ min _).getOrElse(defaultStopMs)
+    // the reference's required-fields contract: the CONFIGURED signal
+    // filter (sync.go:236-256) maps to `data.<originalName>` includes +
+    // exists clauses. Without one, a scan whose pruned schema excludes
+    // `data` still projects the envelope (pure `_source.includes`, no
+    // exists — row set unchanged); a scan needing `data` requests full
+    // _source.
+    val requiredFields: Seq[String] = signals
+      .map(names => graft.schema.SignalDefinitions.requiredSourceFields(
+        graft.schema.SignalDefinitions.resolve(names)))
+      .getOrElse(Seq.empty)
+    val envelopeIncludes: Seq[String] =
+      if (requiredFields.nonEmpty || required.fieldNames.contains("data")) Seq.empty
+      else EsQueryDsl.RootFields ++
+        (if (required.fieldNames.contains("location")) Seq("location") else Nil)
+    // multiple subject constraints (IN-sets and/or equalities) INTERSECT —
+    // fetching the first set and dropping the rest returns rows the other
+    // conjuncts exclude
+    val constraints: Seq[Set[String]] =
+      filters.collect { case In("subject", vs) => vs.collect { case s: String => s }.toSet } ++
+        filters.collect { case EqualTo("subject", s: String) => Set(s) }
+    val subjects: Option[Seq[String]] =
+      constraints.reduceOption(_ intersect _).map(_.toSeq.sorted)
     subjects match {
+      case Some(all) if all.isEmpty => Array.empty // contradictory conjuncts: no rows
       case None => Array(StatusLivePartition(url, index, batchSize, startMs, stopMs,
-        None, requiredFields))
+        None, requiredFields, envelopeIncludes))
       case Some(all) =>
         // bounded fan-out: one task per GROUP of subjects (the reference
         // fans one goroutine per token, sync.go:60-84 — a cluster fans
@@ -144,7 +182,7 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
         val groups = math.max(1, math.min(all.length, maxTasks))
         val per = (all.length + groups - 1) / groups
         all.grouped(per).map(g => StatusLivePartition(url, index, batchSize,
-          startMs, stopMs, Some(g), requiredFields): InputPartition).toArray
+          startMs, stopMs, Some(g), requiredFields, envelopeIncludes): InputPartition).toArray
     }
   }
 
@@ -158,7 +196,8 @@ class StatusLiveReaderFactory(filters: Array[Filter], required: StructType)
     val p = partition.asInstanceOf[StatusLivePartition]
     val client = new EsHttpClient(p.url)
     def loopFor(subject: Option[String]): LineSource = client.pagedLines(
-      p.index, p.batchSize, p.startMs, p.stopMs, subject, p.requiredFields)
+      p.index, p.batchSize, p.startMs, p.stopMs, subject, p.requiredFields,
+      p.envelopeIncludes)
     // sequential page loops over the task's subject group (or the one
     // unfiltered loop), chained lazily into a single line stream
     val lines: LineSource = p.subjects match {

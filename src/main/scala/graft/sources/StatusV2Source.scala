@@ -484,14 +484,32 @@ class StatusPartitionReader private[graft] (lines: LineSource,
   override def currentMetricsValues(): Array[CustomTaskMetric] =
     Array(SkippedLinesTaskMetric(skipped))
 
-  private val subjectEq: Option[String] = filters.collectFirst { case EqualTo("subject", v: String) => v }
+  // EVERY pushed conjunct is enforced here, even ones the transport layer
+  // already applied (free, and it keeps the pushFilters contract local):
+  // all subject equalities (not just the first — `subject = a AND subject
+  // = b` must yield nothing), pushed IN-sets, the TIGHTEST of duplicate
+  // range bounds (max of >=, min of <), and IsNotNull — Spark removes an
+  // accepted filter from the post-scan plan, so a bare `time IS NOT NULL`
+  // must drop null-time rows HERE or nowhere.
+  private val subjectEqs: Seq[String] = filters.collect { case EqualTo("subject", v: String) => v }
+  private val subjectInSets: Seq[Set[String]] = filters.collect {
+    case In("subject", vs) => vs.collect { case s: String => s }.toSet
+  }
+  private val notNullSubject: Boolean = filters.exists {
+    case IsNotNull("subject") => true; case _ => false
+  }
+  private val notNullTime: Boolean = filters.exists {
+    case IsNotNull("time") => true; case _ => false
+  }
   private def tsMicros(v: Any): Long = v match {
     case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
     case i: Instant            => i.getEpochSecond * 1000000L + i.getNano / 1000
     case other                 => throw new IllegalArgumentException(s"unsupported time literal: $other")
   }
-  private val timeGte: Option[Long] = filters.collectFirst { case GreaterThanOrEqual("time", v) => tsMicros(v) }
-  private val timeLt: Option[Long] = filters.collectFirst { case LessThan("time", v) => tsMicros(v) }
+  private val timeGte: Option[Long] = filters.collect { case GreaterThanOrEqual("time", v) => tsMicros(v) }
+    .reduceOption(_ max _)
+  private val timeLt: Option[Long] = filters.collect { case LessThan("time", v) => tsMicros(v) }
+    .reduceOption(_ min _)
 
   /** Advance to the next line passing the pushed predicates; sets
     * `current` (+ `currentTimeUs`). The raw streaming path.
@@ -513,8 +531,11 @@ class StatusPartitionReader private[graft] (lines: LineSource,
               } catch { case _: Exception => None }
             }
             val pass =
-              subjectEq.forall(s => subject.contains(s)) &&
+              subjectEqs.forall(s => subject.contains(s)) &&
+                subjectInSets.forall(set => subject.exists(set.contains)) &&
                 subjectIn.forall(set => subject.exists(set.contains)) &&
+                (!notNullSubject || subject.isDefined) &&
+                (!notNullTime || timeUs.isDefined) &&
                 timeGte.forall(g => timeUs.exists(_ >= g)) &&
                 timeLt.forall(l => timeUs.exists(_ < l))
             if (pass) {

@@ -25,7 +25,7 @@ object LiveProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     println(s"[liveprobe] corpus: $nDocs docs x $nSubjects subjects, page=$batch")
-    val docs: IndexedSeq[(String, String, Long, String)] =
+    val docs: IndexedSeq[graft.queries.LiveQueries.StubDoc] =
       (0 until nDocs).map { i =>
         val subj = (i % nSubjects).toString
         val tsu = 1704000000000000L + i.toLong * 1000
@@ -34,7 +34,7 @@ object LiveProbe {
           s"""{"id":"e$i","subject":"$subj","source":"dimo/integration/live",""" +
             s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v2.0",""" +
             s""""type":"com.dimo.device.status","data":{"vehicle":{"cents":$i}}}"""
-        (s"e$i", subj, tsu, json)
+        graft.queries.LiveQueries.StubDoc(s"e$i", subj, tsu, json)
       }
     val server = graft.queries.LiveQueries.startStub(docs)
     try {

@@ -23,12 +23,36 @@ class EsLiveSourceSpec extends SparkTestBase {
   private val mapper = new ObjectMapper()
 
   /** All documents the stub serves, newest-first per request. */
-  private case class Doc(id: String, subject: String, timeMs: Long, vss: Double) {
-    def json: String =
+  private case class Doc(id: String, subject: String, timeMs: Long, vss: Double,
+      rawJson: Option[String] = None) {
+    def json: String = rawJson.getOrElse(
       s"""{"id":"$id","subject":"$subject","source":"dimo/integration/live",""" +
         s""""specversion":"1.0","time":"${java.time.Instant.ofEpochMilli(timeMs)}",""" +
         s""""dataschema":"dimo.zone.status/v2.0","type":"com.dimo.device.status",""" +
-        s""""data":{"vehicle":{"speed":$vss}}}"""
+        s""""data":{"vehicle":{"speed":$vss}}}""")
+  }
+
+  /** ES-style `_source` projection: keep only the dotted `includes` paths
+    * (what a real ES does with `_source.includes`).
+    */
+  private def projectSource(json: String, includes: Seq[String]): String = {
+    val src = mapper.readTree(json)
+    val out = mapper.createObjectNode()
+    includes.foreach { path =>
+      val parts = path.split('.')
+      var node = src
+      var ok = true
+      parts.foreach { p => if (ok) { node = node.path(p); ok = !node.isMissingNode } }
+      if (ok) {
+        var tgt = out
+        parts.dropRight(1).foreach { p =>
+          tgt = if (tgt.has(p)) tgt.get(p).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          else tgt.putObject(p)
+        }
+        tgt.set[com.fasterxml.jackson.databind.JsonNode](parts.last, node)
+      }
+    }
+    mapper.writeValueAsString(out)
   }
 
   /** Minimal ES `_search` stub: parses the pushed bool.filter, sorts time
@@ -38,7 +62,10 @@ class EsLiveSourceSpec extends SparkTestBase {
       tooLargeOver: Int = Int.MaxValue): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", new HttpHandler {
-      override def handle(ex: HttpExchange): Unit = {
+      override def handle(ex: HttpExchange): Unit = try handle0(ex) catch {
+        case e: Throwable => System.err.println(s"STUB HANDLER THREW: $e"); throw e
+      }
+      private def handle0(ex: HttpExchange): Unit = {
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         requests.add(ex.getRequestURI.getPath + "\n" + body)
         val req = mapper.readTree(body)
@@ -61,12 +88,34 @@ class EsLiveSourceSpec extends SparkTestBase {
             if (r.has("lt")) lt = Some(r.get("lt").asText().toLong)
           }
         }
+        // `should: exists` + minimum_should_match (the reference's signal
+        // filter) and `_source.includes` (the projection) — a real ES
+        // honors both, so the stub must too or the pushdown is untested
+        val existsFields = Seq.newBuilder[String]
+        req.path("query").path("bool").path("should").forEach { s =>
+          val f = s.path("exists").path("field")
+          if (f.isTextual) existsFields += f.asText()
+        }
+        val exists = existsFields.result()
+        val msm = req.path("query").path("bool").path("minimum_should_match").asInt(0)
+        val includes = Seq.newBuilder[String]
+        req.path("_source").path("includes").forEach(i => includes += i.asText())
+        val incl = includes.result()
+        def hasPath(json: String, path: String): Boolean = {
+          var node = mapper.readTree(json)
+          path.split('.').foreach(p => node = node.path(p))
+          !node.isMissingNode
+        }
         val hits = docs
           .filter(d => subject.forall(_ == d.subject) &&
-            gte.forall(d.timeMs >= _) && lt.forall(d.timeMs < _))
+            gte.forall(d.timeMs >= _) && lt.forall(d.timeMs < _) &&
+            (msm == 0 || exists.count(hasPath(d.json, _)) >= msm))
           .sortBy(-_.timeMs)
           .take(size)
-          .map(d => s"""{"_index":"device-status","_id":"${d.id}","_source":${d.json}}""")
+          .map { d =>
+            val src = if (incl.isEmpty) d.json else projectSource(d.json, incl)
+            s"""{"_index":"device-status","_id":"${d.id}","_source":$src}"""
+          }
         val res = s"""{"hits":{"total":{"value":${hits.length}},"hits":[${hits.mkString(",")}]}}"""
         val bytes = res.getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.add("Content-Type", "application/json")
@@ -149,6 +198,109 @@ class EsLiveSourceSpec extends SparkTestBase {
         mapper.readTree(r.split("\n", 2)(1)).path("size").asInt())
       assert(sizes.contains(32) && sizes.contains(4),
         s"halving 32→16→8→4 must be visible on the wire: $sizes")
+    } finally server.stop(0)
+  }
+
+  test("the signals option pushes _source.includes + exists + minimum_should_match (the reference's required-fields contract)") {
+    // d0/d2/d4… carry speed (+ a make field the projection must strip);
+    // d1/d3/… carry only make — the exists filter must drop them server-side
+    val docs = (0 until 10).map { i =>
+      val data = if (i % 2 == 0) s"""{"speed":${i * 1.5},"make":"Ford"}""" else """{"make":"Audi"}"""
+      Doc(s"d$i", "s0", 1704000000000L + i * 1000L, 0.0, Some(
+        s"""{"id":"d$i","subject":"s0","source":"dimo/integration/live",""" +
+          s""""specversion":"1.0","time":"${java.time.Instant.ofEpochMilli(1704000000000L + i * 1000L)}",""" +
+          s""""dataschema":"dimo.zone.status/v1.0","type":"com.dimo.device.status",""" +
+          s""""data":$data}"""))
+    }
+    val requests = new ConcurrentLinkedQueue[String]()
+    val server = startStub(docs, requests)
+    try {
+      val rows = liveDf(server).where(col("subject") === "s0")
+        .select(col("id"),
+          get_json_object(col("data"), "$.speed").cast("double").as("speed"),
+          get_json_object(col("data"), "$.make").as("make"))
+      val withSignals = spark.read.format("graft-status-live")
+        .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+        .option("batchSize", "7")
+        .option("signals", "Vehicle.Speed")
+        .load()
+        .where(col("subject") === "s0")
+        .select(col("id"),
+          get_json_object(col("data"), "$.speed").cast("double").as("speed"),
+          get_json_object(col("data"), "$.make").as("make"))
+        .collect()
+      // exists+msm dropped the speed-less docs server-side
+      assert(withSignals.map(_.getString(0)).toSet === Set("d0", "d2", "d4", "d6", "d8"))
+      // includes stripped make from _source — the projection REALLY arrived
+      assert(withSignals.forall(_.isNullAt(2)), "make must be projected away")
+      assert(withSignals.forall(r => !r.isNullAt(1)), "speed must survive the projection")
+      // and the request body is the reference's literal contract
+      import scala.jdk.CollectionConverters._
+      val body = mapper.readTree(requests.asScala.last.split("\n", 2)(1))
+      val incl = body.path("_source").path("includes").elements().asScala.map(_.asText()).toSeq
+      assert(incl === graft.sources.EsQueryDsl.RootFields ++ Seq("data.speed"))
+      assert(body.path("query").path("bool").path("should").get(0)
+        .path("exists").path("field").asText() === "data.speed")
+      assert(body.path("query").path("bool").path("minimum_should_match").asInt() === 1)
+      // sanity: WITHOUT the option, full _source flows (make visible)
+      val without = rows.collect()
+      assert(without.length === 10 && without.count(!_.isNullAt(2)) === 10)
+    } finally server.stop(0)
+  }
+
+  test("a scan not needing `data` projects the envelope (pure includes, no exists — row set unchanged)") {
+    val docs = (0 until 8).map(i => Doc(s"e$i", s"s${i % 2}", 1704000000000L + i * 1000L, i * 1.0))
+    val requests = new ConcurrentLinkedQueue[String]()
+    val server = startStub(docs, requests)
+    try {
+      val got = liveDf(server).where(col("subject") === "s1")
+        .select("id", "subject", "time").collect()
+      assert(got.length === 4)
+      import scala.jdk.CollectionConverters._
+      val body = mapper.readTree(requests.asScala.last.split("\n", 2)(1))
+      val incl = body.path("_source").path("includes").elements().asScala.map(_.asText()).toSeq
+      assert(incl === graft.sources.EsQueryDsl.RootFields,
+        "envelope-only scans must ship _source.includes instead of the whole document")
+      assert(body.path("query").path("bool").path("should").isMissingNode,
+        "pure projection must NOT add exists clauses (that would change the row set)")
+    } finally server.stop(0)
+  }
+
+  test("accepted filters are enforced: IsNotNull drops null-subject docs; duplicate range bounds tighten") {
+    // NOTE: docs without a `time` field can never arrive over the wire —
+    // every request carries a [start, stop) range filter a real ES
+    // evaluates server-side — so the live IsNotNull case that matters is
+    // `subject`: an UNFILTERED scan fetches subject-less docs and only the
+    // client-side re-evaluation can honor `subject IS NOT NULL`
+    val timed = (0 until 3).map(i => Doc(s"t$i", "s0", 1704000000000L + i * 60000L, i * 1.0))
+    val noSubject = (0 until 2).map { i =>
+      val t = 1704000300000L + i * 1000L
+      Doc(s"n$i", s"__none$i", t, 0.0, Some(
+        s"""{"id":"n$i","source":"x","specversion":"1.0",""" +
+          s""""time":"${java.time.Instant.ofEpochMilli(t)}",""" +
+          s""""dataschema":"dimo.zone.status/v2.0","type":"c","data":{}}"""))
+    }
+    val server = startStub(timed ++ noSubject, new ConcurrentLinkedQueue[String]())
+    try {
+      val df = liveDf(server)
+      assert(df.select("id", "time").collect().length === 5)
+      val notNull = df.where(col("subject").isNotNull).select("id").collect()
+      assert(notNull.length === 3, "a pushed IsNotNull(subject) must drop subject-less docs")
+      // duplicate conjuncts: time >= a AND time >= b (b tighter) — both
+      // pushed; the tighter bound must win
+      val a = new java.sql.Timestamp(1704000000000L)
+      val b = new java.sql.Timestamp(1704000060000L)
+      val dup = df.where(col("subject") === "s0" && col("time") >= a && col("time") >= b)
+        .select("id").collect().map(_.getString(0)).toSet
+      assert(dup === Set("t1", "t2"), s"the TIGHTER of duplicate >= bounds must apply: $dup")
+      val dupLt = df.where(col("subject") === "s0" &&
+          col("time") < new java.sql.Timestamp(1704000120000L) &&
+          col("time") < new java.sql.Timestamp(1704000060000L))
+        .select("id").collect().map(_.getString(0)).toSet
+      assert(dupLt === Set("t0"), s"the TIGHTER of duplicate < bounds must apply: $dupLt")
+      // contradictory subject conjuncts: intersection is empty ⇒ no rows,
+      // no requests needed
+      assert(df.where(col("subject") === "s0" && col("subject") === "s1").collect().isEmpty)
     } finally server.stop(0)
   }
 

@@ -66,6 +66,34 @@ class StatusV2SourceSpec extends SparkTestBase {
     assert(rows.toSeq === Seq("b"))
   }
 
+  test("accepted IsNotNull and duplicate range bounds are enforced in the reader") {
+    val d = Files.createTempDirectory("graft-v2nn")
+    Files.writeString(d.resolve("part-0.ndjson"), Seq(
+      """{"id":"a","subject":"1","source":"s","specversion":"1.0","time":"2024-01-01T00:00:00Z","data":{}}""",
+      """{"id":"b","subject":"1","source":"s","specversion":"1.0","time":"2024-01-01T00:10:00Z","data":{}}""",
+      """{"id":"c","subject":"1","source":"s","specversion":"1.0","time":"2024-01-01T00:20:00Z","data":{}}""",
+      """{"id":"u1","subject":"1","source":"s","specversion":"1.0","data":{}}""",
+      """{"id":"u2","source":"s","specversion":"1.0","time":"2024-01-01T00:20:00Z","data":{}}"""
+    ).mkString("\n"))
+    val df = spark.read.format("graft-status").load(d.toString)
+    assert(df.count() === 5)
+    // a pushed (and therefore plan-removed) IsNotNull must drop rows HERE
+    assert(df.where(col("time").isNotNull).count() === 4)
+    assert(df.where(col("subject").isNotNull).count() === 4)
+    assert(df.where(col("time").isNotNull && col("subject").isNotNull).count() === 3)
+    // duplicate range conjuncts: the TIGHTER bound applies (max of >=, min of <)
+    val dup = df.where(col("time") >= lit("2024-01-01 00:00:00") &&
+        col("time") >= lit("2024-01-01 00:05:00"))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(dup === Set("b", "c", "u2"))
+    val dupLt = df.where(col("time") < lit("2024-01-01 00:30:00") &&
+        col("time") < lit("2024-01-01 00:10:00"))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(dupLt === Set("a"))
+    // contradictory subject equalities yield nothing
+    assert(df.where(col("subject") === "1" && col("subject") === "2").count() === 0)
+  }
+
   test("column pruning: data payload not read unless required") {
     val q = read.select("id", "subject")
     val scanLine = q.queryExecution.executedPlan.toString.split("\n").find(_.contains("BatchScan")).get
