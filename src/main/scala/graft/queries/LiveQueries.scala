@@ -110,6 +110,75 @@ object LiveQueries {
     server
   }
 
+  /** Minimal stateful ClickHouse-HTTP stub: enforces DDL-before-INSERT,
+    * stores every CSV insert batch, and answers exactly three statement
+    * shapes — the reference's two literal reads (`tokenIdsSql`,
+    * `oldestSignalSql`) plus one integrity aggregate. Rows live in a
+    * concurrent queue (executor partitions POST in parallel).
+    */
+  private[graft] def startChStub(): (HttpServer, java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String, Long)]) = {
+    // (token_id, timestamp-as-sent, name, value_cents)
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String, Long)]()
+    val created = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 1024)
+    val tf = new java.util.concurrent.ThreadFactory {
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, "live-ch-stub"); t.setDaemon(true); t
+      }
+    }
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(32, tf))
+    val oldestRe = java.util.regex.Pattern.compile(
+      "SELECT `timestamp` FROM `signal` WHERE `token_id` = (\\d+) " +
+        "ORDER BY `timestamp` ASC LIMIT 1 FORMAT TabSeparated\\s*")
+    def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val q = Option(ex.getRequestURI.getRawQuery).flatMap(_.split("&").collectFirst {
+          case kv if kv.startsWith("query=") =>
+            java.net.URLDecoder.decode(kv.substring(6), "UTF-8")
+        }).getOrElse("")
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        import scala.jdk.CollectionConverters._
+        if (q.startsWith("INSERT INTO `signal`")) {
+          if (!created.get()) { respond(ex, 400, "Table signal does not exist"); return }
+          // CSV: token,(epoch decimal),("quoted name"|empty),cents
+          body.split("\n").iterator.filter(_.nonEmpty).foreach { line =>
+            val m = java.util.regex.Pattern
+              .compile("^(\\d+),([0-9.]+),(?:\"((?:[^\"]|\"\")*)\")?,(-?\\d+)$").matcher(line)
+            require(m.matches(), s"stub cannot parse CSV line: $line")
+            rows.add((m.group(1).toLong, m.group(2),
+              Option(m.group(3)).map(_.replace("\"\"", "\"")).getOrElse(""),
+              m.group(4).toLong))
+          }
+          respond(ex, 200, "")
+        } else if (body.startsWith("CREATE TABLE")) {
+          created.set(true); respond(ex, 200, "")
+        } else if (body.startsWith("SELECT DISTINCT `token_id` FROM `signal`")) {
+          val ids = rows.asScala.map(_._1).toSeq.distinct.sorted
+          respond(ex, 200, ids.mkString("", "\n", if (ids.isEmpty) "" else "\n"))
+        } else if (body.startsWith("SELECT `timestamp` FROM `signal` WHERE")) {
+          val m = oldestRe.matcher(body)
+          if (!m.matches()) { respond(ex, 400, s"unsupported statement: $body"); return }
+          val tok = m.group(1).toLong
+          val oldest = rows.asScala.filter(_._1 == tok).map(_._2)
+            .minByOption(BigDecimal(_))
+          respond(ex, 200, oldest.map(_ + "\n").getOrElse(""))
+        } else if (body.startsWith("SELECT `token_id`, count(), sum(`value_cents`)")) {
+          val agg = rows.asScala.toSeq.groupBy(_._1).toSeq.sortBy(_._1)
+            .map { case (tok, rs) => s"$tok\t${rs.size}\t${rs.map(_._4).sum}" }
+          respond(ex, 200, agg.mkString("", "\n", if (agg.isEmpty) "" else "\n"))
+        } else respond(ex, 400, s"unsupported statement: $q$body")
+      }
+    })
+    server.start()
+    (server, rows)
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // ── LIVE per-device sync read, gate-declared (r11): seed the stub
@@ -236,6 +305,70 @@ object LiveQueries {
                (count(*) * 0)::BIGINT AS n_make
              FROM events
              WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value >= 50
+             GROUP BY 1""")
+    ),
+
+    // ── LIVE ClickHouse WRITE, gate-declared (r12) — the write twin of
+    //    q212 (clickhouse.go:113-130): DDL over the wire, then the
+    //    DISTRIBUTED insert (each of 8 partitions POSTs its own CSV batch
+    //    from the executor, timestamps as zone-independent epoch
+    //    decimals), then read-back through the reference's LITERAL
+    //    statements — `tokenIdsSql` once, `oldestSignalSql` per token (the
+    //    sync loop's own per-token cadence, clickhouse.go:65-87) — plus
+    //    one integrity aggregate so a lost or duplicated CSV row anywhere
+    //    in the fan-out breaks the DuckDB match. The stub enforces
+    //    DDL-before-INSERT like a real server.
+    QueryDef(
+      "q214_live_ch_write",
+      (s, d) => {
+        import graft.sources.{ClickHouseDdl, ClickHouseHttpClient}
+        import org.apache.spark.sql.types._
+        val signals = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id").cast(LongType).as("token_id"),
+            col("ts").cast(TimestampType).as("timestamp"),
+            col("event_type").cast(StringType).as("name"),
+            round(col("value") * 100).cast(LongType).as("value_cents"))
+          .repartition(8) // the distributed insert fan-out under test
+        val (server, _) = startChStub()
+        try {
+          val clientUrl = s"http://127.0.0.1:${server.getAddress.getPort}"
+          val client = new ClickHouseHttpClient(clientUrl)
+          client.execute(ClickHouseDdl.signalTableDdl(StructType(Seq(
+            StructField("token_id", LongType, nullable = false),
+            StructField("timestamp", TimestampType, nullable = false),
+            StructField("name", StringType, nullable = false),
+            StructField("value_cents", LongType, nullable = false)))))
+          client.insertSignals(signals, "signal") // executors POST CSV batches
+          // read-back: the reference's literal statements, driver-side —
+          // exactly the sync loop's shape (one DISTINCT scan, then one
+          // oldest-signal probe per token)
+          val tokens = client.query(ClickHouseHttpClient.tokenIdsSql()).map(_(0).toLong)
+          val oldestUs: Map[Long, Long] = tokens.map { tok =>
+            val ts = client.query(ClickHouseHttpClient.oldestSignalSql(tok, Seq.empty)).head(0)
+            tok -> (BigDecimal(ts) * 1000000).toLongExact
+          }.toMap
+          val agg: Map[Long, (Long, Long)] = client.query(
+            "SELECT `token_id`, count(), sum(`value_cents`) FROM `signal` GROUP BY `token_id`")
+            .map(r => r(0).toLong -> (r(1).toLong, r(2).toLong)).toMap
+          val rows = tokens.sorted.map { tok =>
+            org.apache.spark.sql.Row(tok, oldestUs(tok), agg(tok)._1, agg(tok)._2)
+          }
+          s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](
+              scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+            StructType(Seq(
+              StructField("token_id", LongType, nullable = false),
+              StructField("oldest_us", LongType, nullable = false),
+              StructField("n_rows", LongType, nullable = false),
+              StructField("cents", LongType, nullable = false))))
+        } finally server.stop(0)
+      },
+      Some("""SELECT CAST(user_id AS BIGINT) AS token_id,
+               CAST(min(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS oldest_us,
+               count(*)::BIGINT AS n_rows,
+               sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents
+             FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
              GROUP BY 1""")
     )
   )

@@ -68,9 +68,12 @@ private[graft] final class ClickHouseHttpClient(baseUrl: String, timeoutMs: Long
 
   /** Distributed batch insert: every partition posts its own CSV body.
     * CSV quoting: strings quote-doubled, null = empty unquoted field
-    * (ClickHouse CSV NULL for Nullable columns), timestamps as epoch
-    * micros are the caller's concern — this ships the DataFrame verbatim
-    * in column order.
+    * (ClickHouse CSV NULL for Nullable columns). Timestamps ship as
+    * EPOCH-SECONDS decimals with a 6-digit (microsecond) fraction — a
+    * zone-independent encoding ClickHouse parses into DateTime64(p)
+    * regardless of executor or server timezone (a local-time string would
+    * silently shift whenever the two differ). Everything else ships
+    * verbatim in column order.
     */
   def insertSignals(df: DataFrame, table: String): Unit = {
     val columns = df.schema.fieldNames.toSeq
@@ -90,7 +93,12 @@ private[graft] final class ClickHouseHttpClient(baseUrl: String, timeoutMs: Long
             if (i > 0) sb.append(',')
             if (!row.isNullAt(i)) row.get(i) match {
               case s: String => sb.append('"').append(s.replace("\"", "\"\"")).append('"')
-              case t: java.sql.Timestamp => sb.append('"').append(t.toString).append('"')
+              case t: java.sql.Timestamp =>
+                // epoch seconds + micro fraction (getEpochSecond floors, so
+                // the always-positive nanos compose correctly pre-1970 too)
+                val inst = t.toInstant
+                sb.append(inst.getEpochSecond).append('.')
+                  .append(f"${inst.getNano / 1000}%06d")
               case other => sb.append(other.toString)
             }
             i += 1

@@ -123,4 +123,24 @@ class ClickHouseHttpSpec extends SparkTestBase {
       assert(got === want, "the CSV batches must reproduce the DataFrame exactly")
     } finally server.stop(0)
   }
+
+  test("timestamps ship as zone-independent epoch decimals (micros), never local-time strings") {
+    val captured = new ConcurrentLinkedQueue[(String, String)]()
+    val server = startStub(captured)
+    try {
+      val schema = StructType(Seq(
+        StructField("token_id", LongType, nullable = false),
+        StructField("timestamp", TimestampType, nullable = true)))
+      val t = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00.123456Z"))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(1L, t), Row(2L, null)), 1), schema)
+      new graft.sources.ClickHouseHttpClient(url(server)).insertSignals(df, "signal")
+      import scala.jdk.CollectionConverters._
+      val body = captured.asScala.map(_._2).mkString
+      assert(body.contains("1,1704067200.123456"),
+        s"epoch-decimal encoding expected (executor-TZ independent), got: $body")
+      assert(body.contains("2,"), "null timestamp = empty CSV field")
+      assert(!body.contains("2024-"), "no local-time string form may leak onto the wire")
+    } finally server.stop(0)
+  }
 }
