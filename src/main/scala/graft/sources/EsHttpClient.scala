@@ -149,12 +149,23 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     * dedup the overlap; a tie run longer than a whole page doubles the
     * page size until it fits. Exactly-once, no loss, reference-shaped
     * requests.
+    *
+    * Doubling and Data-too-large halving interact through a WIDEN FLOOR:
+    * once a full page of size s came back all-seen, any retry must use
+    * size > s (halving clamps to that floor instead of undershooting it,
+    * which would livelock: halve → all-seen page → double → halve …).
+    * If the server cannot serve even the floor, the Data-too-large error
+    * PROPAGATES: a timestamp tie run wider than the largest servable
+    * page is undrainable under this protocol (no search_after), and
+    * failing loudly beats the reference's behavior (it silently skips
+    * the whole run, sync.go:151-155 [ext]).
     */
   def pagedLines(index: String, batchSize: Int, startMs: Long, stopMs: Long,
       subject: Option[String], requiredFields: Seq[String],
       envelopeIncludes: Seq[String] = Seq.empty): LineSource = new LineSource {
     private var stop = stopMs
     private var size = batchSize
+    private var floorSize = 1 // halving may not go below this (widen floor)
     private var boundaryTs = Long.MinValue
     private var boundaryIds = Set.empty[String]
     private var page: Iterator[Array[Byte]] = Iterator.empty
@@ -176,8 +187,12 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
             envelopeIncludes = envelopeIncludes)
         }))
         catch {
-          case e: java.io.IOException if size > 1 && e.getMessage.contains("Data too large") =>
-            size /= 2 // the reference halves and retries (sync.go:168-173)
+          case e: java.io.IOException if size > floorSize && e.getMessage.contains("Data too large") =>
+            // the reference halves and retries (sync.go:168-173); the widen
+            // floor keeps a retry from undershooting a size already proven
+            // all-seen. At size == floorSize the error propagates (loudly
+            // undrainable — see the method scaladoc).
+            size = math.max(floorSize, size / 2)
         }
       }
       Vector.empty // unreachable
@@ -196,8 +211,12 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
           t.contains(boundaryTs) && boundaryIds(id) }
         if (fresh.isEmpty) {
           if (exhausted) { done = true; return null }
-          size *= 2 // a FULL page of already-seen ties: widen until it fits
+          // a FULL page of already-seen ties: widen until it fits. Any
+          // page ≤ the current size is now proven useless — floor above it.
+          floorSize = size + 1
+          size *= 2
         } else {
+          floorSize = 1 // progress: halving is unrestricted again
           if (exhausted) done = true
           else fresh.last._2 match {
             case Some(lastT) =>
