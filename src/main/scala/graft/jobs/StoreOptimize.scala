@@ -128,12 +128,16 @@ object StoreOptimize {
 
       val tasks = shardDirs.flatMap { case (k, dir) =>
         val parts = ShardedSignalSource.activeParts(dir)
-        if (parts.isEmpty) None
-        else if (parts.size > 1 || finalDedup || force)
+        // expired trash counts as GC-able residue: a store that is already
+        // fully compacted (or even empty) must still reclaim retired-part
+        // bytes once the grace period passes, or an idle store leaks them
+        // forever (r11 ADVICE)
+        def expiredTrash = PartTrash.expired(dir, oldPartsLifetimeMs).nonEmpty
+        if (parts.nonEmpty && (parts.size > 1 || finalDedup || force))
           Some(OptTask(k, dir.getAbsolutePath, parts.map(_.getName),
             codec, finalDedup, gcOnly = false, maxPartBytes, mergeGroupSize, granuleRows,
             force, oldPartsLifetimeMs))
-        else if (unlistedResidue(dir, parts).nonEmpty)
+        else if ((parts.nonEmpty && unlistedResidue(dir, parts).nonEmpty) || expiredTrash)
           Some(OptTask(k, dir.getAbsolutePath, parts.map(_.getName),
             codec, finalDedup, gcOnly = true, maxPartBytes, mergeGroupSize, granuleRows,
             force = false, oldPartsLifetimeMs))
@@ -427,5 +431,25 @@ object StoreOptimize {
     }
     PartTrash.sweep(dir, oldPartsLifetimeMs, now)
     ()
+  }
+
+  /** Standalone trash drain — no Spark job, no maintenance lock: unlinks
+    * expired `.trash-*` entries in every shard of `path` and returns the
+    * count. For stores that run no periodic OPTIMIZE/TTL (whose
+    * maintenance GC would otherwise be the only sweeper). Safe
+    * concurrently with everything else: only entries PAST the grace
+    * period are touched (a replaying tail's resolve window is bounded by
+    * the crash-to-restart gap, which the lifetime upper-bounds by
+    * contract), and retirement never reuses an existing trash name.
+    */
+  def emptyTrash(path: String,
+      oldPartsLifetimeMs: Long = PartTrash.DefaultLifetimeMs,
+      now: Long = System.currentTimeMillis()): Int = {
+    val root = new File(path)
+    Option(root.listFiles()).getOrElse(Array.empty).toSeq.collect {
+      case d if d.isDirectory &&
+        ShardedSignalSource.ShardDir.unapplySeq(d.getName).isDefined =>
+        PartTrash.sweep(d, oldPartsLifetimeMs, now)
+    }.sum
   }
 }

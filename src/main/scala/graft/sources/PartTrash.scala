@@ -32,23 +32,43 @@ private[graft] object PartTrash {
 
   def trashName(part: String, retiredAt: Long): String = s"$Prefix$retiredAt-$part"
 
-  /** Retire `part` into the trash (rename; falls back to delete if no
-    * rename lands — the canonical name must never survive retirement).
-    * A same-millisecond name collision (the same part name retired twice,
-    * e.g. a replayed epoch re-published then re-retired) bumps the
-    * timestamp instead of falling through to delete: `resolve` picks the
-    * NEWEST generation, so the stale one must never be the only survivor.
+  /** Retire `part` into the trash (rename only — NEVER a delete: a
+    * streaming checkpoint may name this part, and an outright unlink
+    * inside the grace period is exactly the wedge the trash exists to
+    * prevent). A same-millisecond name collision (the same part name
+    * retired twice, e.g. a replayed epoch re-published then re-retired)
+    * bumps the timestamp: `resolve` picks the NEWEST generation, so the
+    * stale one must never be the only survivor. If no rename lands after
+    * generous retries the failure RAISES — the maintenance flip has
+    * already hidden the part from the manifest, so the next GC pass will
+    * retire it; losing the bytes silently is the one unacceptable
+    * outcome.
     */
   def retire(part: File, now: Long = System.currentTimeMillis()): Unit = {
     var i = 0L
-    while (i < 4) {
+    while (i < 64) {
       val t = new File(part.getParentFile, trashName(part.getName, now + i))
       if (!t.exists() && part.renameTo(t)) return
+      if (!part.exists()) return // a concurrent pass already retired it
       i += 1
     }
-    part.delete()
-    ()
+    throw new java.io.IOException(
+      s"cannot retire $part into the trash after 64 rename attempts " +
+        "(refusing to delete: a replaying tail may still need these bytes)")
   }
+
+  /** Trash entries whose grace period has passed (the sweep's candidates,
+    * without deleting) — lets maintenance planning trigger a GC pass on an
+    * otherwise fully-compacted shard that would never sweep.
+    */
+  def expired(dir: File, lifetimeMs: Long,
+      now: Long = System.currentTimeMillis()): Seq[File] =
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq.filter { f =>
+      f.getName match {
+        case TrashName(ts, _) => f.isFile && now - ts.toLong > lifetimeMs
+        case _ => false
+      }
+    }
 
   /** Resolve a (possibly retired) part name: the canonical file when live,
     * else the newest trash generation, else None.

@@ -35,6 +35,29 @@ class PartTrashSpec extends AnyFunSuite {
     assert(PartTrash.resolve(d, "part-y.csv").isEmpty)
   }
 
+  test("retire NEVER deletes: exhausted rename attempts raise with the part intact") {
+    val d = tmp()
+    val p = new File(d, "part-x.csv")
+    Files.writeString(p.toPath, "1,1,a,1\n")
+    // occupy every candidate trash name the retry loop may try
+    (0L until 64L).foreach { i =>
+      Files.writeString(new File(d, s".trash-${1000 + i}-part-x.csv").toPath, "old")
+    }
+    val e = intercept[java.io.IOException](PartTrash.retire(p, now = 1000L))
+    assert(e.getMessage.contains("refusing to delete"))
+    assert(p.isFile && Files.readString(p.toPath) == "1,1,a,1\n",
+      "the bytes a replaying tail may need must survive the failure")
+  }
+
+  test("expired lists sweep candidates without deleting") {
+    val d = tmp()
+    Files.writeString(new File(d, ".trash-1000-a.csv").toPath, "x")
+    Files.writeString(new File(d, ".trash-5000-b.csv").toPath, "y")
+    val got = PartTrash.expired(d, lifetimeMs = 2000, now = 6000L)
+    assert(got.map(_.getName) === Seq(".trash-1000-a.csv"))
+    assert(new File(d, ".trash-1000-a.csv").isFile, "expired() must not delete")
+  }
+
   test("sweep unlinks only entries past the grace period") {
     val d = tmp()
     Files.writeString(new File(d, ".trash-1000-a.csv").toPath, "x")

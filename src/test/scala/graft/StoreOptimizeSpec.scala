@@ -212,6 +212,48 @@ class StoreOptimizeSpec extends SparkTestBase {
     assert(readBack(dir).count() === 60)
   }
 
+  test("an idle fully-compacted store still reclaims expired trash (gcOnly trigger + emptyTrash)") {
+    val dir = tmpDir()
+    input(2, 30).write.format("graft-sharded").option("maxPartBytes", "150")
+      .mode("append").save(dir)
+    StoreOptimize.optimize(spark, dir) // compacts; retires inputs into the trash
+    val trashed = (0 until 2).flatMap { k =>
+      Option(shardDir(dir, k).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(".trash-")).toSeq
+    }
+    assert(trashed.nonEmpty, "optimize must have retired the merged-away inputs")
+    // inside the grace period a re-optimize stays a no-op (r11 behavior)
+    assert(StoreOptimize.optimize(spark, dir).isEmpty)
+    assert(trashed.forall(_.isFile), "nothing swept inside the grace period")
+    // age the entries past the grace period by renaming to an old stamp
+    trashed.foreach { f =>
+      val aged = f.getName.replaceFirst("""\.trash-\d+-""", ".trash-1000-")
+      assert(f.renameTo(new java.io.File(f.getParentFile, aged)))
+    }
+    // the r11 leak: one part per shard, no residue ⇒ optimize never swept.
+    // Now expired trash alone triggers a gcOnly pass.
+    val res = StoreOptimize.optimize(spark, dir)
+    assert(res.isEmpty, "gcOnly results carry rows = -1 and are filtered out")
+    (0 until 2).foreach { k =>
+      val left = Option(shardDir(dir, k).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(".trash-"))
+      assert(left.isEmpty, s"expired trash must drain on an idle store, left: ${left.toSeq}")
+    }
+    assert(readBack(dir).count() === 60)
+
+    // and the standalone drain needs no Spark job at all
+    val dir2 = tmpDir()
+    input(1, 10).write.format("graft-sharded").mode("append").save(dir2)
+    StoreOptimize.optimize(spark, dir2, force = true)
+    val t2 = Option(shardDir(dir2, 0).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(".trash-")).toSeq
+    assert(t2.nonEmpty)
+    assert(StoreOptimize.emptyTrash(dir2) === 0, "grace period still running: keep")
+    assert(StoreOptimize.emptyTrash(dir2,
+      now = System.currentTimeMillis() + 481000L) === t2.size)
+    assert(readBack(dir2).count() === 10)
+  }
+
   test("post-optimize appends register in the manifest and stay visible") {
     val dir = tmpDir()
     input(2, 20).write.format("graft-sharded").option("maxPartBytes", "100")
