@@ -173,26 +173,55 @@ object StoreRetention {
   }
 
   /** Per-shard tombstone set (`_dropped`): names of parts TTL removed
-    * whole, one per line, newest appended last. Bounded at [[MaxDropped]]
-    * names FIFO — an evicted tombstone only means a (pathologically slow)
-    * tail keeps that one name in its offset, today's behavior.
+    * whole, one `name\tdropMillis` line each, newest appended last (a
+    * bare-name line is the pre-r12 format and reads as timestamp 0 — it
+    * ages out on the next append). Eviction is by AGE, not count: a
+    * tombstone is kept for [[DroppedTtlMs]] (far beyond any sane tail
+    * lag), then shed. The [[MaxDropped]] cap no longer evicts — a
+    * TTL-churn burst that overruns it keeps every still-young name and
+    * LOGS the overrun instead, so a slow tail can never lose a tombstone
+    * it still needs silently (an aged-out tombstone only means a
+    * pathologically slow tail keeps that one name in its offset — the
+    * pre-tombstone behavior, never corruption).
     */
   private[graft] val DroppedName = "_dropped"
   private[graft] val MaxDropped = 100000
+  /** 7 days — an upper bound on how long a live tail may lag a TTL drop
+    * before its offsets stop compacting that name.
+    */
+  private[graft] val DroppedTtlMs: Long = 7L * 24 * 3600 * 1000
 
-  private def appendDropped(dir: File, names: Seq[String]): Unit = {
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private[graft] def appendDropped(dir: File, names: Seq[String],
+      now: Long = System.currentTimeMillis()): Unit = {
     val f = new File(dir, DroppedName)
-    val existing = readDropped(dir)
-    val all = (existing ++ names).distinct.takeRight(MaxDropped)
-    StoreOptimize.atomicWrite(f, all)
+    // newest stamp wins per name; then age out, oldest first
+    val merged = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    readDroppedEntries(dir).foreach { case (n, ts) => merged.update(n, ts) }
+    names.foreach(n => merged.update(n, now))
+    val kept = merged.toSeq.filter { case (_, ts) => now - ts <= DroppedTtlMs }
+    if (kept.size > MaxDropped)
+      log.warn(s"$f holds ${kept.size} tombstones (> $MaxDropped): a TTL-churn " +
+        "burst outran the cap; keeping every still-young name (age-based eviction only)")
+    StoreOptimize.atomicWrite(f, kept.map { case (n, ts) => s"$n\t$ts" })
   }
 
-  private[graft] def readDropped(dir: File): Seq[String] = {
+  /** Tombstoned names (age already applied at write time). */
+  private[graft] def readDropped(dir: File): Seq[String] =
+    readDroppedEntries(dir).map(_._1)
+
+  private[graft] def readDroppedEntries(dir: File): Seq[(String, Long)] = {
     val f = new File(dir, DroppedName)
     if (!f.isFile) return Seq.empty
     try {
       val src = scala.io.Source.fromFile(f, "UTF-8")
-      try src.getLines().map(_.trim).filter(_.nonEmpty).toVector finally src.close()
+      try src.getLines().map(_.trim).filter(_.nonEmpty).map { line =>
+        line.split('\t') match {
+          case Array(n, ts) => (n, try ts.toLong catch { case _: NumberFormatException => 0L })
+          case _ => (line, 0L) // pre-r12 bare-name line
+        }
+      }.toVector finally src.close()
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
   }
 }

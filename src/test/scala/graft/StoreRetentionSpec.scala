@@ -171,4 +171,28 @@ class StoreRetentionSpec extends SparkTestBase {
     assert(readBack(dir).where("name = 'late'").count() === 2,
       "a concurrently registered commit's rows must survive retention")
   }
+
+  test("_dropped tombstones evict by AGE, keep every young name past the cap, read legacy lines") {
+    val d = Files.createTempDirectory("graft-dropped").toFile
+    val t0 = 1700000000000L
+    // pre-r12 bare-name file: reads as names, ages out on the next append
+    Files.writeString(new java.io.File(d, "_dropped").toPath, "legacy-a.csv\nlegacy-b.csv\n")
+    assert(StoreRetention.readDropped(d) === Seq("legacy-a.csv", "legacy-b.csv"))
+    StoreRetention.appendDropped(d, Seq("new-1.csv"), now = t0)
+    assert(StoreRetention.readDroppedEntries(d) === Seq(("new-1.csv", t0)),
+      "legacy (unstamped) entries age out on the first stamped append")
+    StoreRetention.appendDropped(d, Seq("new-2.csv"), now = t0 + 10000)
+    assert(StoreRetention.readDropped(d) === Seq("new-1.csv", "new-2.csv"))
+    // past the TTL relative to new-1 but not new-2: only new-1 sheds
+    StoreRetention.appendDropped(d, Seq("new-3.csv"),
+      now = t0 + StoreRetention.DroppedTtlMs + 5000)
+    assert(StoreRetention.readDropped(d) === Seq("new-2.csv", "new-3.csv"),
+      "eviction is by age, oldest stamp first")
+    // a churn burst past the cap keeps EVERY still-young name (the cap
+    // logs, it does not evict — silent tombstone loss is the one
+    // unacceptable outcome for a lagging tail)
+    val burst = (0 until StoreRetention.MaxDropped + 7).map(i => s"burst-$i.csv")
+    StoreRetention.appendDropped(d, burst, now = t0 + StoreRetention.DroppedTtlMs + 6000)
+    assert(StoreRetention.readDropped(d).size === StoreRetention.MaxDropped + 7 + 2)
+  }
 }
