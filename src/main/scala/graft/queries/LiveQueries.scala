@@ -370,6 +370,84 @@ object LiveQueries {
                sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents
              FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
              GROUP BY 1""")
+    ),
+
+    // ── The FULL reference pipeline OVER THE WIRE, gate-declared (r12):
+    //    two sync rounds through `graft-status-live` → SyncJob watermarks
+    //    → signal explosion → partitioned parquet sink (sync.go:92-125).
+    //    Round 1's live cluster holds only the NEWER half of history
+    //    (split at the events midpoint); the backfill then appears and
+    //    round 2 must fetch ONLY strictly below each token's
+    //    oldest-synced watermark — any re-fetch duplicates rows, any
+    //    watermark overshoot loses them, and either breaks the DuckDB
+    //    match on the final sink (which must equal one explosion of the
+    //    whole events table: 2 signals per doc, exactly once).
+    QueryDef(
+      "q215_live_sync_e2e",
+      (s, d) => {
+        import graft.jobs.{SyncJob, SyncOptions}
+        import graft.sources.{DeviceDim, SignalSink}
+        val evs = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id").cast("string").as("subject"),
+            expr("unix_micros(ts)").as("tsu"),
+            round(col("value") * 100).cast(LongType).as("cents"))
+          .collect() // seeds the TEST DOUBLE; the measured path is below
+        val mid = {
+          val ts = evs.map(_.getLong(1))
+          (ts.min + ts.max) / 2
+        }
+        def mkDocs(rows: Seq[org.apache.spark.sql.Row]): IndexedSeq[StubDoc] =
+          rows.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+            val (subj, tsu, cents) = (r.getString(0), r.getLong(1), r.getLong(2))
+            val iso = java.time.Instant.ofEpochSecond(tsu / 1000000L, (tsu % 1000000L) * 1000L)
+            StubDoc(s"e$subj-$tsu-$i", subj, tsu,
+              s"""{"id":"e$i","subject":"$subj","source":"dimo/integration/live",""" +
+                s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v1.0",""" +
+                s""""type":"com.dimo.device.status","data":{"speed":$cents,"make":"m"}}""")
+          }
+        val (newer, older) = evs.toIndexedSeq.partition(_.getLong(1) >= mid)
+        val tokens = evs.map(_.getString(0)).distinct.sorted
+        val dim = DeviceDim.identityDim(s, tokens.map(_.toLong).toSeq.sorted)
+        val opts = SyncOptions(tokens = tokens.toSeq,
+          start = Some(new java.sql.Timestamp(0L)),
+          stop = Some(new java.sql.Timestamp(9999999999999L)))
+        val sinkDir = java.nio.file.Files
+          .createTempDirectory("graft-q215-sink").resolve("signals").toString
+        def liveDocs(server: HttpServer) = s.read.format("graft-status-live")
+          .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+          .option("batchSize", "2000")
+          .load()
+          .select(col("subject"), col("source"), col("time"), col("data"))
+        // round 1: the live cluster knows only the newer half
+        val server1 = startStub(mkDocs(newer))
+        try {
+          val round1 = SyncJob.run(liveDocs(server1), dim, existingSink = None, opts)
+          SignalSink.appendParquet(round1, sinkDir, buckets = 8)
+        } finally server1.stop(0)
+        // round 2: the backfill appeared; resume strictly below watermarks
+        val server2 = startStub(mkDocs(newer ++ older))
+        try {
+          val sink1 = SignalSink.readParquet(s, sinkDir)
+          val round2 = SyncJob.run(liveDocs(server2), dim, existingSink = Some(sink1), opts)
+          SignalSink.appendParquet(round2, sinkDir, buckets = 8)
+        } finally server2.stop(0)
+        // the final sink: aggregate reads parquet, no live dependency left
+        SignalSink.readParquet(s, sinkDir)
+          .groupBy(col("tokenId").as("token_id"))
+          .agg(count(lit(1)).as("n_signals"),
+            sum(when(col("name") === "Vehicle.Speed", col("valueNumber"))
+              .otherwise(lit(0.0))).cast(LongType).as("speed_sum"),
+            expr("min(unix_micros(timestamp))").as("oldest_us"),
+            expr("max(unix_micros(timestamp))").as("newest_us"))
+      },
+      Some("""SELECT CAST(user_id AS BIGINT) AS token_id,
+               (count(*) * 2)::BIGINT AS n_signals,
+               sum(CAST(round(value*100) AS BIGINT))::BIGINT AS speed_sum,
+               CAST(min(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS oldest_us,
+               CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS newest_us
+             FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             GROUP BY 1""")
     )
   )
 }
