@@ -283,9 +283,21 @@ class ShardedStreamingWrite(path: String, schema: StructType, codec: String,
     *     and its first dash, so a <8-digit epoch id can never collide
     *     with another query's qid8; an 8+-digit epoch (10M micro-batches)
     *     skips the legacy sweep rather than risk matching an all-digit
-    *     qid8.
+    *     qid8;
+    *   - legacy names are claimed only when OLDER than
+    *     [[ShardedStreamingWrite.LegacyOrphanGraceMs]] (ADVICE r11): the
+    *     marker check is point-in-time, so a STILL-RUNNING pre-change
+    *     query that has published its epoch-N parts but not yet written
+    *     its marker must not lose them to a post-change query committing
+    *     the same epoch number — our own pre-crash attempt's orphans are
+    *     at least a restart-gap old, a live writer's files are fresh.
+    *     Residual corner (documented, accepted): a restart FASTER than
+    *     the grace leaves the legacy orphans visible as duplicate rows;
+    *     they are not lost state — the next `OPTIMIZE FINAL` collapse
+    *     removes them with the rest of the superseded generations.
     */
   private def sweepEpochOrphans(root: File, epochId: Long, keep: Set[String]): Unit = {
+    val now = System.currentTimeMillis()
     val prefix = s"part-e$qid8-$epochId-"
     val epochCommittedByAnyQuery =
       Option(new File(root, "_stream_commits").listFiles()).getOrElse(Array.empty)
@@ -305,7 +317,9 @@ class ShardedStreamingWrite(path: String, schema: StructType, codec: String,
             val n = f.getName
             // `.X.minmax`-style sidecars follow their owner part X
             val owner = PartStats.sidecarOwner(n).getOrElse(n)
-            val ours = owner.startsWith(prefix) || legacyPrefix.exists(owner.startsWith)
+            val ours = owner.startsWith(prefix) ||
+              (legacyPrefix.exists(owner.startsWith) &&
+                now - f.lastModified() > ShardedStreamingWrite.LegacyOrphanGraceMs)
             if (f.isFile && ours && !keepHere.contains(owner)) {
               f.delete(); Some(owner)
             } else None
@@ -326,6 +340,14 @@ object ShardedStreamingWrite {
     */
   private[graft] def lineageTag(queryId: String): String =
     queryId.filter(_.isLetterOrDigit).take(8)
+
+  /** Minimum age before a pre-namespacing (`part-e<N>-`) file may be
+    * claimed as this query's orphan — see `sweepEpochOrphans`. A live
+    * mixed-version writer's publish-to-marker window is milliseconds;
+    * a crash-to-restart gap is (much) longer. One minute separates them
+    * by orders of magnitude on both sides.
+    */
+  private[graft] val LegacyOrphanGraceMs: Long = 60000L
 }
 
 case class ShardedStreamingWriterFactory(stagingRoot: String, schema: StructType,

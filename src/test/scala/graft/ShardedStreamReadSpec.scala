@@ -445,25 +445,34 @@ class ShardedStreamReadSpec extends SparkTestBase {
         .outputMode("append").start(store)
       try q.processAllAvailable() finally q.stop()
     }
-    def plantLegacy(store: String): java.io.File = {
+    def plantLegacy(store: String, name: String = "part-e1-0-0.csv",
+        aged: Boolean = true): java.io.File = {
       val d = new java.io.File(store, "shard=0"); d.mkdirs()
-      val f = new java.io.File(d, "part-e1-0-0.csv")
+      val f = new java.io.File(d, name)
       Files.write(f.toPath, "999,123,orphan,1.0\n".getBytes("UTF-8"))
+      // a pre-crash attempt's orphan is at least a restart-gap old; only
+      // aged files may be claimed (ADVICE r11: the mtime grace protects a
+      // still-running mixed-version writer's unmarked publishes)
+      if (aged) assert(f.setLastModified(System.currentTimeMillis() - 120000L))
       f
     }
 
     // store A: an un-namespaced part-e1-* with NO commit marker anywhere is
     // a pre-change attempt's published-but-uncommitted orphan — epoch 1's
     // replay commit sweeps it (ADVICE r10), so its duplicate rows do not
-    // stay visible forever
+    // stay visible forever. A FRESH legacy file, by contrast, may be a
+    // still-running pre-change query's publish-in-flight: the grace keeps
+    // the sweep's hands off it.
     val rootA = Files.createTempDirectory("graft-legacyA")
     val storeA = rootA.resolve("store").toString
     val orphan = plantLegacy(storeA)
+    val inFlight = plantLegacy(storeA, name = "part-e1-0-1.csv", aged = false)
     ingest(storeA, rootA, n = 3) // epochs 0,1,2
-    assert(!orphan.isFile, "the legacy uncommitted orphan must be swept at epoch 1's commit")
+    assert(!orphan.isFile, "the AGED legacy uncommitted orphan must be swept at epoch 1's commit")
+    assert(inFlight.isFile, "a FRESH legacy file is inside the grace period: never claimed")
     assert(spark.read.format("graft-sharded").load(storeA)
-      .where("name = 'orphan'").count() === 0)
-    assert(spark.read.format("graft-sharded").load(storeA).count() === 12)
+      .where("name = 'orphan'").count() === 1, "only the in-flight file's row remains")
+    assert(spark.read.format("graft-sharded").load(storeA).count() === 13)
 
     // store B: the same legacy name but with ANOTHER query's commit marker
     // for epoch 1 — that lineage durably committed it pre-change, and the
