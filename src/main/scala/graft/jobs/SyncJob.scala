@@ -110,6 +110,70 @@ object SyncJob {
     * the caller's first action; pipe them into
     * [[GraftMetricsListener.inc]] for the scrape-able surface.
     */
+  /** [[run]] with the documents read LIVE, so the incremental resume
+    * pushes INTO the `_search` request bodies: the token census becomes
+    * the pushed subject IN-set (one page loop per subject, grouped into
+    * bounded tasks) and each token's watermark becomes its request
+    * window's EXCLUSIVE stop — the reference's per-token EndTime
+    * (sync.go:96-100 [ext]). Round 2 of a sync then ships only each
+    * token's UNSYNCED PREFIX over the wire instead of re-downloading the
+    * full window and filtering in the plan; with `signalNames` set, the
+    * request also carries the `_source.includes`/`exists` projection.
+    *
+    * The two driver-side gathers (subjects, watermarks) are one row per
+    * token — exactly the state the reference's loop holds in memory
+    * (sync.go:61-100); tasks receive only their own group's stop slice.
+    * [[run]]'s watermark JOIN filter still applies afterwards (free),
+    * which also absorbs the precision gap: the wire window stops at
+    * ceil(watermark) in millis (a superset — ES ranges are epoch-millis),
+    * the exact `< watermark` comparison stays micro-precise in the plan.
+    */
+  def runLive(
+      spark: org.apache.spark.sql.SparkSession,
+      url: String,
+      dim: DataFrame,
+      existingSink: Option[DataFrame],
+      opts: SyncOptions = SyncOptions(),
+      index: String = "device-status",
+      batchSize: Int = 1000
+  ): DataFrame = {
+    val explicitTokens = SyncOps.parseTokenList(opts.tokens)
+    val scopedDim =
+      if (explicitTokens.nonEmpty) dim.where(col("tokenId").isin(explicitTokens: _*))
+      else
+        existingSink match {
+          case Some(sink) => dim.join(SyncOps.tokensFromSink(sink), Seq("tokenId"), "left_semi")
+          case None       => dim.limit(0)
+        }
+    val subjects: Seq[String] = scopedDim.select("subject").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val wmNames =
+      if (opts.signalNames.isEmpty) Nil
+      else SignalDefinitions.resolve(opts.signalNames).map(_.vssName)
+    def ceilMs(t: Timestamp): Long = {
+      val us = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+      (us + 999) / 1000
+    }
+    val stops: Map[String, Long] = existingSink match {
+      case Some(sink) =>
+        SyncOps.watermarks(sink, wmNames)
+          .join(scopedDim.select("tokenId", "subject"), Seq("tokenId"))
+          .select("subject", "watermark").collect()
+          .map(r => r.getString(0) -> ceilMs(r.getTimestamp(1))).toMap
+      case None => Map.empty
+    }
+    var reader = spark.read.format("graft-status-live")
+      .option("url", url).option("index", index).option("batchSize", batchSize.toString)
+    if (opts.signalNames.nonEmpty)
+      reader = reader.option("signals", opts.signalNames.mkString(","))
+    if (stops.nonEmpty)
+      reader = reader.option("stopBySubject", graft.sources.StatusLiveSource.stopsJson(stops))
+    val docs = reader.load()
+      .where(col("subject").isin(subjects: _*))
+      .select(col("subject"), col("source"), col("time"), col("data"))
+    run(docs, dim, existingSink, opts)
+  }
+
   def runObserved(
       docs: DataFrame,
       dim: DataFrame,

@@ -414,22 +414,23 @@ object LiveQueries {
           stop = Some(new java.sql.Timestamp(9999999999999L)))
         val sinkDir = java.nio.file.Files
           .createTempDirectory("graft-q215-sink").resolve("signals").toString
-        def liveDocs(server: HttpServer) = s.read.format("graft-status-live")
-          .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
-          .option("batchSize", "2000")
-          .load()
-          .select(col("subject"), col("source"), col("time"), col("data"))
+        def url(server: HttpServer) = s"http://127.0.0.1:${server.getAddress.getPort}"
         // round 1: the live cluster knows only the newer half
         val server1 = startStub(mkDocs(newer))
         try {
-          val round1 = SyncJob.run(liveDocs(server1), dim, existingSink = None, opts)
+          val round1 = SyncJob.runLive(s, url(server1), dim, existingSink = None,
+            opts, batchSize = 2000)
           SignalSink.appendParquet(round1, sinkDir, buckets = 8)
         } finally server1.stop(0)
-        // round 2: the backfill appeared; resume strictly below watermarks
+        // round 2: the backfill appeared; resume strictly below watermarks —
+        // runLive pushes each token's watermark as its request window's
+        // exclusive stop (sync.go:96-100), so only the unsynced prefix
+        // crosses the wire
         val server2 = startStub(mkDocs(newer ++ older))
         try {
           val sink1 = SignalSink.readParquet(s, sinkDir)
-          val round2 = SyncJob.run(liveDocs(server2), dim, existingSink = Some(sink1), opts)
+          val round2 = SyncJob.runLive(s, url(server2), dim, existingSink = Some(sink1),
+            opts, batchSize = 2000)
           SignalSink.appendParquet(round2, sinkDir, buckets = 8)
         } finally server2.stop(0)
         // the final sink: aggregate reads parquet, no live dependency left

@@ -63,7 +63,9 @@ class StatusLiveSource extends TableProvider
       Option(properties.get("batchSize")).map(_.toInt).getOrElse(1000),
       Option(properties.get("startMs")).map(_.toLong).getOrElse(0L),
       Option(properties.get("stopMs")).map(_.toLong).getOrElse(StatusLiveSource.DefaultStopMs),
-      Option(properties.get("signals")).map(_.split(",").toSeq))
+      Option(properties.get("signals")).map(_.split(",").toSeq),
+      Option(properties.get("stopBySubject")).map(StatusLiveSource.parseStops)
+        .getOrElse(Map.empty))
 }
 
 object StatusLiveSource {
@@ -71,20 +73,48 @@ object StatusLiveSource {
     * wall-clock "now".
     */
   val DefaultStopMs: Long = 9999999999999L
+
+  /** Parse the `stopBySubject` option: a JSON object of per-subject
+    * EXCLUSIVE stop millis, e.g. `{"42":1700000000000}` — the reference's
+    * per-token EndTime (the oldest-synced watermark, sync.go:96-100
+    * [ext]). Applied as `min(stopMs, stopBySubject(subject))` per subject
+    * PAGE LOOP, so an incremental sync ships only each token's unsynced
+    * prefix over the wire instead of re-downloading the full window and
+    * filtering in the plan. Requires a pushed subject set (per-subject
+    * windows need per-subject requests); ignored — never wrong — on an
+    * unfiltered scan.
+    */
+  private[graft] def parseStops(json: String): Map[String, Long] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    require(node.isObject, s"stopBySubject must be a JSON object, got: $json")
+    val b = Map.newBuilder[String, Long]
+    node.fields().forEachRemaining(e => b += (e.getKey -> e.getValue.asLong()))
+    b.result()
+  }
+
+  /** Render the `stopBySubject` option value. */
+  def stopsJson(stops: Map[String, Long]): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    stops.toSeq.sortBy(_._1).foreach { case (s, v) => node.put(s, v) }
+    mapper.writeValueAsString(node)
+  }
 }
 
 class StatusLiveTable(url: String, index: String, batchSize: Int,
-    startMs: Long, stopMs: Long, signals: Option[Seq[String]]) extends Table with SupportsRead {
+    startMs: Long, stopMs: Long, signals: Option[Seq[String]],
+    stopBySubject: Map[String, Long]) extends Table with SupportsRead {
   override def name(): String = s"graft_status_live($url/$index)"
   override def schema(): StructType = StatusV2Source.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new StatusLiveScanBuilder(url, index, batchSize, startMs, stopMs, signals)
+    new StatusLiveScanBuilder(url, index, batchSize, startMs, stopMs, signals, stopBySubject)
 }
 
 class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
-    startMs: Long, stopMs: Long, signals: Option[Seq[String]])
+    startMs: Long, stopMs: Long, signals: Option[Seq[String]],
+    stopBySubject: Map[String, Long])
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -107,7 +137,8 @@ class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   override def build(): Scan =
-    new StatusLiveScan(url, index, batchSize, startMs, stopMs, signals, pushed, required)
+    new StatusLiveScan(url, index, batchSize, startMs, stopMs, signals, stopBySubject,
+      pushed, required)
 }
 
 /** One live-scan partition: sequential page loops for a GROUP of
@@ -120,10 +151,12 @@ class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
 case class StatusLivePartition(url: String, index: String, batchSize: Int,
     startMs: Long, stopMs: Long, subjects: Option[Seq[String]],
     requiredFields: Seq[String],
-    envelopeIncludes: Seq[String] = Seq.empty) extends InputPartition
+    envelopeIncludes: Seq[String] = Seq.empty,
+    stopBySubject: Map[String, Long] = Map.empty) extends InputPartition
 
 class StatusLiveScan(url: String, index: String, batchSize: Int,
     defaultStartMs: Long, defaultStopMs: Long, signals: Option[Seq[String]],
+    stopBySubject: Map[String, Long],
     filters: Array[Filter], required: StructType,
     maxTasks: Int = 64) extends Scan with Batch {
 
@@ -182,7 +215,10 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
         val groups = math.max(1, math.min(all.length, maxTasks))
         val per = (all.length + groups - 1) / groups
         all.grouped(per).map(g => StatusLivePartition(url, index, batchSize,
-          startMs, stopMs, Some(g), requiredFields, envelopeIncludes): InputPartition).toArray
+          startMs, stopMs, Some(g), requiredFields, envelopeIncludes,
+          // each task ships only ITS subjects' stop overrides — a
+          // million-token watermark map never rides whole inside a task
+          stopBySubject.view.filterKeys(g.toSet).toMap): InputPartition).toArray
     }
   }
 
@@ -195,9 +231,15 @@ class StatusLiveReaderFactory(filters: Array[Filter], required: StructType)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[StatusLivePartition]
     val client = new EsHttpClient(p.url)
-    def loopFor(subject: Option[String]): LineSource = client.pagedLines(
-      p.index, p.batchSize, p.startMs, p.stopMs, subject, p.requiredFields,
-      p.envelopeIncludes)
+    def loopFor(subject: Option[String]): LineSource = {
+      // per-token EndTime (sync.go:96-100): an incremental sync's request
+      // window stops at the token's oldest-synced watermark
+      val stop = subject.flatMap(p.stopBySubject.get)
+        .map(math.min(_, p.stopMs)).getOrElse(p.stopMs)
+      client.pagedLines(
+        p.index, p.batchSize, p.startMs, stop, subject, p.requiredFields,
+        p.envelopeIncludes)
+    }
     // sequential page loops over the task's subject group (or the one
     // unfiltered loop), chained lazily into a single line stream
     val lines: LineSource = p.subjects match {

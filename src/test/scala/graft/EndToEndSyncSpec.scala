@@ -82,6 +82,86 @@ class EndToEndSyncSpec extends SparkTestBase {
       spark.read.parquet(sinkDir).select(input_file_name()).distinct().count())
   }
 
+  test("runLive pushes per-token watermark stops INTO the request bodies (sync.go:96-100)") {
+    // the r12 wire-bandwidth fix: round 2 must not re-download the full
+    // window and filter in the plan — each subject's request window stops
+    // at its oldest-synced watermark (the reference's per-token EndTime)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val corpus = new java.util.concurrent.CopyOnWriteArrayList[(String, String, Long, String)]()
+    val requests = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def add(subject: String, ms: Long, speed: Double): Unit =
+      corpus.add((s"e$ms-$subject", subject, t0.toEpochMilli + ms, doc(subject, ms, speed)))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 64)
+    server.createContext("/", new com.sun.net.httpserver.HttpHandler {
+      override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        requests.add(body)
+        val req = mapper.readTree(body)
+        val size = req.path("size").asInt(10)
+        var subject: Option[String] = None
+        var gte: Option[Long] = None
+        var lt: Option[Long] = None
+        req.path("query").path("bool").path("filter").forEach { f =>
+          val m = f.path("match").path("subject").path("query")
+          if (m.isTextual) subject = Some(m.asText())
+          val r = f.path("range").path("time")
+          if (r.has("gte")) gte = Some(r.get("gte").asText().toLong)
+          if (r.has("lt")) lt = Some(r.get("lt").asText().toLong)
+        }
+        import scala.jdk.CollectionConverters._
+        val hits = corpus.asScala
+          .filter { case (_, s, tMs, _) => subject.forall(_ == s) &&
+            gte.forall(tMs >= _) && lt.forall(tMs < _) }
+          .sortBy { case (id, _, tMs, _) => (-tMs, id) }
+          .take(size)
+          .map { case (id, _, _, j) => s"""{"_id":"$id","_source":$j}""" }
+        val res = s"""{"hits":{"hits":[${hits.mkString(",")}]}}"""
+        val bytes = res.getBytes("UTF-8")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val sinkDir = Files.createTempDirectory("graft-e2e-runlive").resolve("signals").toString
+      for (s <- Seq("1", "2"); ms <- 100L to 500L by 100L) add(s, ms, ms.toDouble)
+      val dim = DeviceDim.identityDim(spark, 1L to 2L)
+      val opts = SyncOptions(tokens = Seq("1", "2"),
+        start = Some(tAt(0)), stop = Some(tAt(1000)))
+
+      val round1 = SyncJob.runLive(spark, url, dim, existingSink = None, opts, batchSize = 3)
+      SignalSink.appendParquet(round1, sinkDir, buckets = 4)
+      val sink1 = SignalSink.readParquet(spark, sinkDir)
+      assert(sink1.count() === 2L * 5 * 2)
+      // the pushed subject census fans out per-subject requests
+      import scala.jdk.CollectionConverters._
+      assert(requests.asScala.forall(b =>
+        mapper.readTree(b).path("query").path("bool").path("filter").get(0)
+          .path("match").path("subject").isObject),
+        "every round-1 request is a per-subject loop (the pushed IN-set)")
+
+      requests.clear()
+      for (s <- Seq("1", "2"); ms <- 0L until 100L by 50L) add(s, ms, ms.toDouble)
+      val round2 = SyncJob.runLive(spark, url, dim, existingSink = Some(sink1), opts, batchSize = 3)
+      val n2 = round2.count()
+      assert(n2 === 2L * 2 * 2, "resume = only the backfill window")
+      // THE point: every round-2 request's exclusive stop is the token's
+      // watermark (t0+100ms for both), never the global stop (t0+1000ms)
+      val round2Bodies = requests.asScala.toSeq.map(mapper.readTree)
+      assert(round2Bodies.nonEmpty)
+      round2Bodies.foreach { b =>
+        val lt = b.path("query").path("bool").path("filter").get(1)
+          .path("range").path("time").path("lt").asText().toLong
+        assert(lt === t0.toEpochMilli + 100,
+          s"request window must stop at the watermark, got lt=$lt " +
+            s"(global stop would be ${t0.toEpochMilli + 1000})")
+      }
+    } finally server.stop(0)
+  }
+
   test("the same two-round sync OVER THE WIRE: live ES reads resume below the watermark (r11)") {
     // identical pipeline, live transport: a loopback `_search` stub serves
     // the corpus; SyncJob's per-token windows and subject set push into
