@@ -43,7 +43,9 @@ object LiveQueries {
     * the caller stops it.
     */
   private[graft] def startStub(docs: IndexedSeq[StubDoc],
-      requireSignalClauses: Boolean = false): HttpServer = {
+      requireSignalClauses: Boolean = false,
+      served: java.util.concurrent.atomic.AtomicLong =
+        new java.util.concurrent.atomic.AtomicLong): HttpServer = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 1024)
     val tf = new java.util.concurrent.ThreadFactory {
@@ -98,6 +100,7 @@ object LiveQueries {
             val src = if (signalMode) d.signalJson.get else d.json
             s"""{"_index":"device-status","_id":"${d.id}","_source":$src}"""
           }
+        served.addAndGet(hits.size.toLong)
         val res = s"""{"hits":{"hits":[${hits.mkString(",")}]}}"""
         val bytes = res.getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.add("Content-Type", "application/json")

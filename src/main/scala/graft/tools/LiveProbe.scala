@@ -53,6 +53,77 @@ object LiveProbe {
       println(f"[liveprobe] full census read: $n docs in $wall%.2f s " +
         f"(${n / wall}%.0f docs/s through the wire stack, 64-task fan-out)")
     } finally server.stop(0)
+
+    // ── section 2: incremental-resume wire traffic — the r12 watermark
+    // pushdown (runLive ships per-token stop windows in the request
+    // bodies) vs the plan-side filter (full window re-downloaded, rows
+    // dropped in the watermark join). Same output either way; the wire
+    // ships N vs N/2 docs.
+    {
+      import graft.jobs.{SyncJob, SyncOptions}
+      import graft.sources.DeviceDim
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val syncedDocs: IndexedSeq[graft.queries.LiveQueries.StubDoc] =
+        (0 until nDocs).map { i =>
+          val subj = (i % nSubjects).toString
+          val tsu = 1704000000000000L + i.toLong * 1000
+          val iso = java.time.Instant.ofEpochSecond(tsu / 1000000L, (tsu % 1000000L) * 1000L)
+          val json =
+            s"""{"id":"e$i","subject":"$subj","source":"dimo/integration/live",""" +
+              s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v1.0",""" +
+              s""""type":"com.dimo.device.status","data":{"speed":$i}}"""
+          graft.queries.LiveQueries.StubDoc(s"e$i", subj, tsu, json)
+        }
+      // the NEWER half is already synced: the sink's per-token watermark is
+      // each subject's oldest synced timestamp
+      val half = nDocs / 2
+      val wmBySubject: Map[String, Long] = (half until half + nSubjects)
+        .map(i => (i % nSubjects).toString -> (1704000000000000L + i.toLong * 1000)).toMap
+      val sinkSchema = StructType(Seq(
+        StructField("tokenId", LongType), StructField("timestamp", TimestampType),
+        StructField("name", StringType), StructField("valueNumber", DoubleType),
+        StructField("valueString", StringType), StructField("source", StringType)))
+      val sink = spark.createDataFrame(
+        spark.sparkContext.parallelize(wmBySubject.toSeq.map { case (s, us) =>
+          Row(s.toLong, java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L)),
+            "Vehicle.Speed", 1.0, null, "probe")
+        }, 4), sinkSchema)
+      val subjects = (0 until nSubjects).map(_.toString)
+      val dim = DeviceDim.identityDim(spark, 0L until nSubjects.toLong)
+      val opts = SyncOptions(tokens = subjects,
+        start = Some(new java.sql.Timestamp(0L)),
+        stop = Some(new java.sql.Timestamp(9999999999999L)))
+      val served = new java.util.concurrent.atomic.AtomicLong
+      val server2 = graft.queries.LiveQueries.startStub(syncedDocs, served = served)
+      try {
+        val url = s"http://127.0.0.1:${server2.getAddress.getPort}"
+        def naive() = {
+          val docs = spark.read.format("graft-status-live")
+            .option("url", url).option("batchSize", batch.toString).load()
+            .where(col("subject").isin(subjects: _*))
+            .select(col("subject"), col("source"), col("time"), col("data"))
+          SyncJob.run(docs, dim, Some(sink), opts)
+        }
+        naive().count() // warm
+        served.set(0)
+        val tN = System.nanoTime()
+        val nN = naive().count()
+        val wallN = (System.nanoTime() - tN) / 1e9
+        val shippedN = served.get()
+        served.set(0)
+        val tL = System.nanoTime()
+        val nL = SyncJob.runLive(spark, url, dim, Some(sink), opts, batchSize = batch).count()
+        val wallL = (System.nanoTime() - tL) / 1e9
+        val shippedL = served.get()
+        require(nN == nL, s"both resume paths must produce identical output: $nN vs $nL")
+        println(f"[liveprobe] resume (half synced): plan-side filter shipped $shippedN docs " +
+          f"in $wallN%.2f s; runLive watermark pushdown shipped $shippedL docs in $wallL%.2f s " +
+          f"(${shippedN.toDouble / math.max(shippedL, 1)}%.1fx less wire traffic, " +
+          f"output $nL rows both)")
+      } finally server2.stop(0)
+    }
     spark.stop()
   }
 }
