@@ -23,6 +23,21 @@ import org.apache.spark.sql.types.LongType
   */
 object LiveQueries {
 
+  /** Loopback HttpServer factory for every stub (gate rows, specs,
+    * probes). Sets `sun.net.httpserver.nodelay` BEFORE the server class
+    * loads: without it the JDK HttpServer leaves Nagle on, and every
+    * small response with a body pays the classic 40 ms
+    * Nagle×delayed-ACK stall — a test-double artifact (a real
+    * Elasticsearch/ClickHouse sets TCP_NODELAY) that was inflating every
+    * driver-side round trip ~17× (45 ms → 2.7 ms measured). The property
+    * is read once at the server class's static init, so it must be set
+    * by the FIRST creator — which is why all stubs go through here.
+    */
+  private[graft] def loopbackServer(backlog: Int = 0): HttpServer = {
+    System.setProperty("sun.net.httpserver.nodelay", "true")
+    HttpServer.create(new InetSocketAddress("127.0.0.1", 0), backlog)
+  }
+
   /** One stub-corpus document. `signalJson` — the `_source` a real ES
     * would return under the reference's signal projection
     * (`_source.includes`), or None when the doc carries NONE of the
@@ -47,7 +62,7 @@ object LiveQueries {
       served: java.util.concurrent.atomic.AtomicLong =
         new java.util.concurrent.atomic.AtomicLong): HttpServer = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 1024)
+    val server = loopbackServer(1024)
     val tf = new java.util.concurrent.ThreadFactory {
       override def newThread(r: Runnable): Thread = {
         val t = new Thread(r, "live-es-stub"); t.setDaemon(true); t
@@ -123,7 +138,20 @@ object LiveQueries {
     // (token_id, timestamp-as-sent, name, value_cents)
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String, Long)]()
     val created = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 1024)
+    // a real ClickHouse serves point reads from its primary-key index, not
+    // a full scan per query — the stub memoizes a per-token index, rebuilt
+    // lazily after inserts (1500 oldest-signal probes × 100k rows would
+    // otherwise be 150M queue traversals and dominate the gate's wall)
+    val dirty = new java.util.concurrent.atomic.AtomicBoolean(true)
+    @volatile var byToken: Map[Long, IndexedSeq[(Long, String, String, Long)]] = Map.empty
+    def index(): Map[Long, IndexedSeq[(Long, String, String, Long)]] = {
+      if (dirty.getAndSet(false)) {
+        import scala.jdk.CollectionConverters._
+        byToken = rows.asScala.toIndexedSeq.groupBy(_._1)
+      }
+      byToken
+    }
+    val server = loopbackServer(1024)
     val tf = new java.util.concurrent.ThreadFactory {
       override def newThread(r: Runnable): Thread = {
         val t = new Thread(r, "live-ch-stub"); t.setDaemon(true); t
@@ -158,21 +186,21 @@ object LiveQueries {
               Option(m.group(3)).map(_.replace("\"\"", "\"")).getOrElse(""),
               m.group(4).toLong))
           }
+          dirty.set(true)
           respond(ex, 200, "")
         } else if (body.startsWith("CREATE TABLE")) {
           created.set(true); respond(ex, 200, "")
         } else if (body.startsWith("SELECT DISTINCT `token_id` FROM `signal`")) {
-          val ids = rows.asScala.map(_._1).toSeq.distinct.sorted
+          val ids = index().keys.toSeq.sorted
           respond(ex, 200, ids.mkString("", "\n", if (ids.isEmpty) "" else "\n"))
         } else if (body.startsWith("SELECT `timestamp` FROM `signal` WHERE")) {
           val m = oldestRe.matcher(body)
           if (!m.matches()) { respond(ex, 400, s"unsupported statement: $body"); return }
           val tok = m.group(1).toLong
-          val oldest = rows.asScala.filter(_._1 == tok).map(_._2)
-            .minByOption(BigDecimal(_))
+          val oldest = index().get(tok).flatMap(_.map(_._2).minByOption(BigDecimal(_)))
           respond(ex, 200, oldest.map(_ + "\n").getOrElse(""))
         } else if (body.startsWith("SELECT `token_id`, count(), sum(`value_cents`)")) {
-          val agg = rows.asScala.toSeq.groupBy(_._1).toSeq.sortBy(_._1)
+          val agg = index().toSeq.sortBy(_._1)
             .map { case (tok, rs) => s"$tok\t${rs.size}\t${rs.map(_._4).sum}" }
           respond(ex, 200, agg.mkString("", "\n", if (agg.isEmpty) "" else "\n"))
         } else respond(ex, 400, s"unsupported statement: $q$body")

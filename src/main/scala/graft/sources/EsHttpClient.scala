@@ -162,7 +162,8 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     */
   def pagedLines(index: String, batchSize: Int, startMs: Long, stopMs: Long,
       subject: Option[String], requiredFields: Seq[String],
-      envelopeIncludes: Seq[String] = Seq.empty): LineSource = new LineSource {
+      envelopeIncludes: Seq[String] = Seq.empty): LineSource = new LineSource
+      with WireCounters {
     private var stop = stopMs
     private var size = batchSize
     private var floorSize = 1 // halving may not go below this (widen floor)
@@ -170,6 +171,10 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     private var boundaryIds = Set.empty[String]
     private var page: Iterator[Array[Byte]] = Iterator.empty
     private var done = false
+    private var pages = 0L
+    private var docsShipped = 0L
+    override def pagesFetched: Long = pages
+    override def docsFetched: Long = docsShipped
 
     // one page at the CURRENT size, with the reference's Data-too-large
     // halving applied to this loop's own `size` — the exhaustion check
@@ -178,14 +183,19 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     // bookkeeping below consults it up to three times per doc.
     private def fetchPage(): Vector[(String, Option[Long], Array[Byte])] = {
       while (true) {
-        try return timedHitsOf(search(index, {
+        try {
+          val got = timedHitsOf(search(index, {
           import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, LessThan}
           val filters: Seq[Filter] =
             subject.map(s => EqualTo("subject", s): Filter).toSeq ++
               Seq(GreaterThanOrEqual("time", startMs): Filter, LessThan("time", stop): Filter)
           EsQueryDsl.searchRequest(filters, requiredFields, size,
             envelopeIncludes = envelopeIncludes)
-        }))
+          }))
+          pages += 1
+          docsShipped += got.length
+          return got
+        }
         catch {
           case e: java.io.IOException if size > floorSize && e.getMessage.contains("Data too large") =>
             // the reference halves and retries (sync.go:168-173); the widen

@@ -5,6 +5,7 @@ import java.util.{Map => JMap}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In, IsNotNull, LessThan}
 import org.apache.spark.sql.types.StructType
@@ -224,6 +225,32 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new StatusLiveReaderFactory(filters, required)
+
+  // Wire observability: malformed-doc skips (shared with the file scan)
+  // plus the live tier's own shape — `_search` pages fetched and documents
+  // shipped in responses (boundary-overlap duplicates included, so
+  // `liveDocs - output rows` IS the pagination overhead, visible per scan
+  // in the SQL UI).
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new SkippedLinesMetric, new LivePagesMetric, new LiveDocsMetric)
+}
+
+class LivePagesMetric extends CustomSumMetric {
+  override def name(): String = "livePages"
+  override def description(): String = "_search pages fetched over the wire"
+}
+
+class LiveDocsMetric extends CustomSumMetric {
+  override def name(): String = "liveDocs"
+  override def description(): String = "documents shipped in _search responses"
+}
+
+case class LivePagesTaskMetric(value: Long) extends CustomTaskMetric {
+  override def name(): String = "livePages"
+}
+
+case class LiveDocsTaskMetric(value: Long) extends CustomTaskMetric {
+  override def name(): String = "liveDocs"
 }
 
 class StatusLiveReaderFactory(filters: Array[Filter], required: StructType)
@@ -231,22 +258,28 @@ class StatusLiveReaderFactory(filters: Array[Filter], required: StructType)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[StatusLivePartition]
     val client = new EsHttpClient(p.url)
-    def loopFor(subject: Option[String]): LineSource = {
+    def loopFor(subject: Option[String]): LineSource with WireCounters = {
       // per-token EndTime (sync.go:96-100): an incremental sync's request
       // window stops at the token's oldest-synced watermark
       val stop = subject.flatMap(p.stopBySubject.get)
         .map(math.min(_, p.stopMs)).getOrElse(p.stopMs)
       client.pagedLines(
         p.index, p.batchSize, p.startMs, stop, subject, p.requiredFields,
-        p.envelopeIncludes)
+        p.envelopeIncludes).asInstanceOf[LineSource with WireCounters]
     }
     // sequential page loops over the task's subject group (or the one
     // unfiltered loop), chained lazily into a single line stream
-    val lines: LineSource = p.subjects match {
+    val lines: LineSource with WireCounters = p.subjects match {
       case None => loopFor(None)
-      case Some(group) => new LineSource {
+      case Some(group) => new LineSource with WireCounters {
         private val it = group.iterator
-        private var cur: LineSource = _
+        private var cur: LineSource with WireCounters = _
+        private var closedPages = 0L
+        private var closedDocs = 0L
+        override def pagesFetched: Long =
+          closedPages + (if (cur != null) cur.pagesFetched else 0L)
+        override def docsFetched: Long =
+          closedDocs + (if (cur != null) cur.docsFetched else 0L)
         override def next(): Array[Byte] = {
           while (true) {
             if (cur == null) {
@@ -255,6 +288,8 @@ class StatusLiveReaderFactory(filters: Array[Filter], required: StructType)
             }
             val line = cur.next()
             if (line != null) return line
+            closedPages += cur.pagesFetched
+            closedDocs += cur.docsFetched
             cur.close(); cur = null
           }
           null // unreachable
@@ -265,6 +300,10 @@ class StatusLiveReaderFactory(filters: Array[Filter], required: StructType)
     // the server already filtered subject/time, but re-evaluating the
     // pushed predicates client-side is free and keeps the contract local;
     // parsing, projection and bad-document skips are the file path's
-    new StatusPartitionReader(lines, None, filters, required, -1, -1, topNDesc = true)
+    new StatusPartitionReader(lines, None, filters, required, -1, -1, topNDesc = true) {
+      override def currentMetricsValues(): Array[CustomTaskMetric] =
+        super.currentMetricsValues() ++ Array[CustomTaskMetric](
+          LivePagesTaskMetric(lines.pagesFetched), LiveDocsTaskMetric(lines.docsFetched))
+    }
   }
 }

@@ -288,6 +288,14 @@ private[sources] trait LineSource {
   def close(): Unit
 }
 
+/** Wire-level counters a live [[LineSource]] can expose — surfaced as the
+  * live scan's custom SQL metrics (pages fetched, documents shipped).
+  */
+private[sources] trait WireCounters {
+  def pagesFetched: Long
+  def docsFetched: Long
+}
+
 /** Byte-counting line iterator over a range of a file. Newline alignment
   * (Hadoop line-reader convention): a non-zero-start range discards
   * everything through its first newline — that prefix is owned by the

@@ -24,7 +24,7 @@ class ClickHouseHttpSpec extends SparkTestBase {
     */
   private def startStub(captured: ConcurrentLinkedQueue[(String, String)],
       answers: Map[String, String] = Map.empty): HttpServer = {
-    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val server = graft.queries.LiveQueries.loopbackServer()
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         val q = Option(ex.getRequestURI.getRawQuery).map { raw =>

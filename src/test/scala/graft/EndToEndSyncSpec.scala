@@ -91,8 +91,7 @@ class EndToEndSyncSpec extends SparkTestBase {
     val requests = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     def add(subject: String, ms: Long, speed: Double): Unit =
       corpus.add((s"e$ms-$subject", subject, t0.toEpochMilli + ms, doc(subject, ms, speed)))
-    val server = com.sun.net.httpserver.HttpServer.create(
-      new java.net.InetSocketAddress("127.0.0.1", 0), 64)
+    val server = graft.queries.LiveQueries.loopbackServer(64)
     server.createContext("/", new com.sun.net.httpserver.HttpHandler {
       override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
         val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
@@ -172,8 +171,7 @@ class EndToEndSyncSpec extends SparkTestBase {
     val corpus = new java.util.concurrent.CopyOnWriteArrayList[(String, String, Long, String)]()
     def add(subject: String, ms: Long, speed: Double): Unit =
       corpus.add((s"e$ms-$subject", subject, t0.toEpochMilli + ms, doc(subject, ms, speed)))
-    val server = com.sun.net.httpserver.HttpServer.create(
-      new java.net.InetSocketAddress("127.0.0.1", 0), 64)
+    val server = graft.queries.LiveQueries.loopbackServer(64)
     server.createContext("/", new com.sun.net.httpserver.HttpHandler {
       override def handle(ex: com.sun.net.httpserver.HttpExchange): Unit = {
         val req = mapper.readTree(ex.getRequestBody.readAllBytes())

@@ -60,7 +60,7 @@ class EsLiveSourceSpec extends SparkTestBase {
     */
   private def startStub(docs: Seq[Doc], requests: ConcurrentLinkedQueue[String],
       tooLargeOver: Int = Int.MaxValue): HttpServer = {
-    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val server = graft.queries.LiveQueries.loopbackServer()
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = try handle0(ex) catch {
         case e: Throwable => System.err.println(s"STUB HANDLER THREW: $e"); throw e
@@ -301,6 +301,24 @@ class EsLiveSourceSpec extends SparkTestBase {
       // contradictory subject conjuncts: intersection is empty ⇒ no rows,
       // no requests needed
       assert(df.where(col("subject") === "s0" && col("subject") === "s1").collect().isEmpty)
+    } finally server.stop(0)
+  }
+
+  test("wire shape surfaces as scan metrics: pages fetched, docs shipped") {
+    val good = (0 until 20).map(i => Doc(s"m$i", "s0", 1704000000000L + i * 1000L, i * 1.0))
+    val server = startStub(good, new ConcurrentLinkedQueue[String]())
+    try {
+      val df = liveDf(server, batchSize = 6).where(col("subject") === "s0").select("id")
+      assert(df.collect().length === 20)
+      val scan = df.queryExecution.executedPlan.collectLeaves()
+        .find(_.getClass.getSimpleName == "BatchScanExec").get
+      assert(scan.metrics.contains("skippedLines"), s"metrics: ${scan.metrics.keys}")
+      val pages = scan.metrics("livePages").value
+      val docs = scan.metrics("liveDocs").value
+      assert(pages >= 4, s"20 docs at page size 6 must take several round trips, got $pages")
+      assert(docs >= 20, s"every served doc counts (boundary overlap may add more): $docs")
+      assert(docs - 20 >= 0 && docs - 20 <= pages,
+        s"the overlap overhead is at most one re-served boundary doc per page: $docs docs / $pages pages")
     } finally server.stop(0)
   }
 

@@ -47,7 +47,7 @@ class EsPaginationFuzzSpec extends AnyFunSuite {
     */
   private def serve(docs: Seq[FDoc], cap: Int): HttpServer = {
     val sorted = docs.sortBy(d => (-d.indexMs, d.id))
-    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val server = graft.queries.LiveQueries.loopbackServer()
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         val req = mapper.readTree(ex.getRequestBody.readAllBytes())
