@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In, IsNotNull, LessThan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -116,10 +117,39 @@ class StatusLiveTable(url: String, index: String, batchSize: Int,
 class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
     startMs: Long, stopMs: Long, signals: Option[Seq[String]],
     stopBySubject: Map[String, Long])
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = StatusV2Source.Schema
+  private var limit: Int = -1
+  private var topN: Int = -1
+  private var topNDesc: Boolean = true
+
+  // Per-partition early stop only — Spark keeps its global Limit above
+  // the scan (same contract as the file source).
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed: Boolean = true
+
+  /** The reference's core page query IS `sort time desc + size` pushed
+    * into Elasticsearch (elastic.go:58-65): with a DESC top-K, each
+    * per-subject page loop requests pages of (at most) K and stops after
+    * its first K lines — the loop emits newest-first, so those ARE its
+    * top-K. An ASC top-K is accepted too (the reader's K-bounded heap
+    * handles either direction); it just cannot stop the backward-paging
+    * loop early.
+    */
+  override def pushTopN(orders: Array[V2SortOrder], l: Int): Boolean = {
+    val onTime = orders.length == 1 && (orders(0).expression() match {
+      case nr: NamedReference => nr.fieldNames().length == 1 && nr.fieldNames()(0) == "time"
+      case _                  => false
+    })
+    if (onTime) {
+      topN = l
+      topNDesc = orders(0).direction() == SortDirection.DESCENDING
+      true
+    } else false
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -139,7 +169,7 @@ class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
 
   override def build(): Scan =
     new StatusLiveScan(url, index, batchSize, startMs, stopMs, signals, stopBySubject,
-      pushed, required)
+      pushed, required, limit, topN, topNDesc)
 }
 
 /** One live-scan partition: sequential page loops for a GROUP of
@@ -153,19 +183,23 @@ case class StatusLivePartition(url: String, index: String, batchSize: Int,
     startMs: Long, stopMs: Long, subjects: Option[Seq[String]],
     requiredFields: Seq[String],
     envelopeIncludes: Seq[String] = Seq.empty,
-    stopBySubject: Map[String, Long] = Map.empty) extends InputPartition
+    stopBySubject: Map[String, Long] = Map.empty,
+    perLoopCap: Int = -1) extends InputPartition
 
 class StatusLiveScan(url: String, index: String, batchSize: Int,
     defaultStartMs: Long, defaultStopMs: Long, signals: Option[Seq[String]],
     stopBySubject: Map[String, Long],
     filters: Array[Filter], required: StructType,
+    limit: Int = -1, topN: Int = -1, topNDesc: Boolean = true,
     maxTasks: Int = 64) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-status-live $url/$index pushed=[${filters.mkString(", ")}]" +
-      signals.map(s => s" signals=[${s.mkString(",")}]").getOrElse("")
+      signals.map(s => s" signals=[${s.mkString(",")}]").getOrElse("") +
+      (if (limit >= 0) s" limit=$limit" else "") +
+      (if (topN >= 0) s" topN=$topN time ${if (topNDesc) "DESC" else "ASC"}" else "")
 
   private def ms(v: Any): Long = v match {
     case t: java.sql.Timestamp => t.getTime
@@ -204,10 +238,21 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
         filters.collect { case EqualTo("subject", s: String) => Set(s) }
     val subjects: Option[Seq[String]] =
       constraints.reduceOption(_ intersect _).map(_.toSeq.sorted)
+    // a pushed limit (or DESC top-K) bounds what any one loop can
+    // usefully request: the reference sends size = its page limit
+    // (elastic.go:58). An ASC top-K still reads its whole window (the
+    // heap bounds output, not input), so it must keep full-size pages.
+    val bound = (Seq(limit) ++ (if (topN >= 0 && topNDesc) Seq(topN) else Nil))
+      .filter(_ >= 0).reduceOption(_ min _)
+    val pageSize = bound.map(b => math.min(batchSize, math.max(1, b))).getOrElse(batchSize)
+    // DESC top-K: the loop emits newest-first, so its first K lines ARE
+    // its top-K — stop each subject loop there (ASC cannot stop early;
+    // the reader's heap still bounds its output)
+    val perLoopCap = if (topN >= 0 && topNDesc) topN else -1
     subjects match {
       case Some(all) if all.isEmpty => Array.empty // contradictory conjuncts: no rows
-      case None => Array(StatusLivePartition(url, index, batchSize, startMs, stopMs,
-        None, requiredFields, envelopeIncludes))
+      case None => Array(StatusLivePartition(url, index, pageSize, startMs, stopMs,
+        None, requiredFields, envelopeIncludes, Map.empty, perLoopCap))
       case Some(all) =>
         // bounded fan-out: one task per GROUP of subjects (the reference
         // fans one goroutine per token, sync.go:60-84 — a cluster fans
@@ -215,16 +260,16 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
         // concurrent page loops against the live cluster)
         val groups = math.max(1, math.min(all.length, maxTasks))
         val per = (all.length + groups - 1) / groups
-        all.grouped(per).map(g => StatusLivePartition(url, index, batchSize,
+        all.grouped(per).map(g => StatusLivePartition(url, index, pageSize,
           startMs, stopMs, Some(g), requiredFields, envelopeIncludes,
           // each task ships only ITS subjects' stop overrides — a
           // million-token watermark map never rides whole inside a task
-          stopBySubject.view.filterKeys(g.toSet).toMap): InputPartition).toArray
+          stopBySubject.view.filterKeys(g.toSet).toMap, perLoopCap): InputPartition).toArray
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new StatusLiveReaderFactory(filters, required)
+    new StatusLiveReaderFactory(filters, required, limit, topN, topNDesc)
 
   // Wire observability: malformed-doc skips (shared with the file scan)
   // plus the live tier's own shape — `_search` pages fetched and documents
@@ -253,7 +298,8 @@ case class LiveDocsTaskMetric(value: Long) extends CustomTaskMetric {
   override def name(): String = "liveDocs"
 }
 
-class StatusLiveReaderFactory(filters: Array[Filter], required: StructType)
+class StatusLiveReaderFactory(filters: Array[Filter], required: StructType,
+    limit: Int = -1, topN: Int = -1, topNDesc: Boolean = true)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[StatusLivePartition]
@@ -270,7 +316,7 @@ class StatusLiveReaderFactory(filters: Array[Filter], required: StructType)
     // sequential page loops over the task's subject group (or the one
     // unfiltered loop), chained lazily into a single line stream
     val lines: LineSource with WireCounters = p.subjects match {
-      case None => loopFor(None)
+      case None => capped(loopFor(None), p.perLoopCap)
       case Some(group) => new LineSource with WireCounters {
         private val it = group.iterator
         private var cur: LineSource with WireCounters = _
@@ -284,7 +330,7 @@ class StatusLiveReaderFactory(filters: Array[Filter], required: StructType)
           while (true) {
             if (cur == null) {
               if (!it.hasNext) return null
-              cur = loopFor(Some(it.next()))
+              cur = capped(loopFor(Some(it.next())), p.perLoopCap)
             }
             val line = cur.next()
             if (line != null) return line
@@ -300,10 +346,27 @@ class StatusLiveReaderFactory(filters: Array[Filter], required: StructType)
     // the server already filtered subject/time, but re-evaluating the
     // pushed predicates client-side is free and keeps the contract local;
     // parsing, projection and bad-document skips are the file path's
-    new StatusPartitionReader(lines, None, filters, required, -1, -1, topNDesc = true) {
+    new StatusPartitionReader(lines, None, filters, required, limit, topN, topNDesc) {
       override def currentMetricsValues(): Array[CustomTaskMetric] =
         super.currentMetricsValues() ++ Array[CustomTaskMetric](
           LivePagesTaskMetric(lines.pagesFetched), LiveDocsTaskMetric(lines.docsFetched))
     }
   }
+
+  /** First-`cap`-lines view of one subject loop (DESC top-K: the loop
+    * emits newest-first, so its first K lines are its top-K) — stops
+    * PULLING, which stops the lazy page loop from issuing further
+    * requests. `cap < 0` ⇒ unbounded.
+    */
+  private def capped(inner: LineSource with WireCounters, cap: Int): LineSource with WireCounters =
+    if (cap < 0) inner
+    else new LineSource with WireCounters {
+      private var n = 0
+      override def pagesFetched: Long = inner.pagesFetched
+      override def docsFetched: Long = inner.docsFetched
+      override def next(): Array[Byte] =
+        if (n >= cap) null
+        else { val l = inner.next(); if (l != null) n += 1; l }
+      override def close(): Unit = inner.close()
+    }
 }

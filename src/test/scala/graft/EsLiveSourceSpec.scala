@@ -322,6 +322,49 @@ class EsLiveSourceSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("pushed limit and top-K bound the wire: size = K, DESC loops stop at their first K lines") {
+    val docs = (0 until 40).map(i =>
+      Doc(s"k$i", s"s${i % 2}", 1704000000000L + i * 1000L, i * 1.0))
+    val requests = new ConcurrentLinkedQueue[String]()
+    val server = startStub(docs, requests)
+    try {
+      val df = liveDf(server, batchSize = 100)
+        .where(col("subject").isin("s0", "s1"))
+        .select("id", "subject", "time")
+      // DESC top-3 across both subjects: the global TakeOrdered merges the
+      // per-loop top-3s; each loop requested ONE page of size 3
+      val top = df.orderBy(col("time").desc).limit(3).collect().map(_.getString(0))
+      assert(top.toSeq === Seq("k39", "k38", "k37"))
+      import scala.jdk.CollectionConverters._
+      val sizes = requests.asScala.toSeq.map(r =>
+        mapper.readTree(r.split("\n", 2)(1)).path("size").asInt())
+      assert(sizes === Seq(3, 3),
+        s"one size-3 request per subject loop (the reference's sort desc + size): $sizes")
+      // file-source twin agrees
+      val f = java.nio.file.Files.createTempFile("graft-es-topn", ".ndjson")
+      java.nio.file.Files.writeString(f, docs.map(_.json).mkString("\n"))
+      val fileTop = spark.read.format("graft-status").load(f.toString)
+        .where(col("subject").isin("s0", "s1")).select("id", "subject", "time")
+        .orderBy(col("time").desc).limit(3).collect().map(_.getString(0))
+      assert(fileTop.toSeq === top.toSeq)
+
+      // plain limit: per-partition early stop, pages of (at most) limit
+      requests.clear()
+      val lim = df.limit(5).collect()
+      assert(lim.length === 5)
+      assert(requests.asScala.forall(r =>
+        mapper.readTree(r.split("\n", 2)(1)).path("size").asInt() <= 5))
+
+      // ASC top-K stays correct (heap path; no early loop stop, full pages)
+      requests.clear()
+      val asc = df.orderBy(col("time").asc).limit(2).collect().map(_.getString(0))
+      assert(asc.toSeq === Seq("k0", "k1"))
+      assert(requests.asScala.forall(r =>
+        mapper.readTree(r.split("\n", 2)(1)).path("size").asInt() === 100),
+        "an ASC top-K must keep full-size pages (it reads its whole window)")
+    } finally server.stop(0)
+  }
+
   test("a pushed subject IN-set fans out one task per subject (the per-token goroutine, as tasks)") {
     val docs = (0 until 12).map(i =>
       Doc(s"p$i", s"s${i % 3}", 1704000000000L + i * 1000L, i * 1.0))
