@@ -1,0 +1,194 @@
+package graft.queries
+
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+/** Loopback ClickHouse stub for the `graft-signal-live` READ source: a
+  * 5-column `signal` table (token_id, timestamp, name, value_number,
+  * value_string) behind CH's HTTP interface, evaluating exactly the SQL
+  * grammar [[graft.sources.SignalLiveSource]] emits — the planning
+  * envelope (`min/max(token_id), count()`), row SELECTs with translated
+  * WHERE atoms and LIMIT, and partial-aggregate SELECTs with GROUP BY.
+  * Anything outside the grammar is a 400: if the source ever emits SQL it
+  * does not declare, the gate fails loudly instead of silently matching.
+  * Inserts arrive as the writer's CSV batches (epoch-decimal timestamps).
+  */
+object ChSignalStub {
+
+  final case class SRow(token: Long, us: Long, name: String,
+      num: Option[Double], str: Option[String])
+
+  private val CsvLine = java.util.regex.Pattern.compile(
+    "^(\\d+),([0-9.]+),\"((?:[^\"]|\"\")*)\",([-0-9.eE+]*),(?:\"((?:[^\"]|\"\")*)\")?$")
+
+  /** An aggregate SELECT item (vs a per-row expression — note the per-row
+    * `toUnixTimestamp64Micro(\`timestamp\`)` also contains parens).
+    */
+  private def isAggItem(it: String): Boolean =
+    it.startsWith("count(") || it.startsWith("min(") || it.startsWith("max(") ||
+      it.startsWith("sum(") || it.startsWith("toUnixTimestamp64Micro(min(") ||
+      it.startsWith("toUnixTimestamp64Micro(max(")
+
+  /** Parse one WHERE atom into a row predicate; None = outside grammar. */
+  private def atom(a: String): Option[SRow => Boolean] = {
+    val TokEq = """`token_id` = (\d+)""".r
+    val TokIn = """`token_id` IN \(([\d,]+)\)""".r
+    val TokGte = """`token_id` >= (-?\d+)""".r
+    val TokLt = """`token_id` < (-?\d+)""".r
+    val NameEq = """`name` = '((?:[^'\\]|\\.)*)'""".r
+    val NameIn = """`name` IN \((.*)\)""".r
+    val TsGte = """`timestamp` >= fromUnixTimestamp64Micro\((-?\d+)\)""".r
+    val TsLt = """`timestamp` < fromUnixTimestamp64Micro\((-?\d+)\)""".r
+    val NotNull = """`(\w+)` IS NOT NULL""".r
+    def unesc(s: String) = s.replace("\\'", "'").replace("\\\\", "\\")
+    a match {
+      case TokEq(v)  => Some(r => r.token == v.toLong)
+      case TokIn(vs) => val set = vs.split(',').map(_.toLong).toSet; Some(r => set(r.token))
+      case TokGte(v) => Some(r => r.token >= v.toLong)
+      case TokLt(v)  => Some(r => r.token < v.toLong)
+      case NameEq(s) => val want = unesc(s); Some(r => r.name == want)
+      case NameIn(vs) =>
+        val set = vs.split(',').map(_.trim.stripPrefix("'").stripSuffix("'")).map(unesc).toSet
+        Some(r => set(r.name))
+      case TsGte(v)  => Some(r => r.us >= v.toLong)
+      case TsLt(v)   => Some(r => r.us < v.toLong)
+      case NotNull(c) => c match {
+        case "token_id" | "timestamp" | "name" => Some(_ => true)
+        case "value_number" => Some(_.num.isDefined)
+        case "value_string" => Some(_.str.isDefined)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+
+  /** Render one double the way both sides of the loopback agree on. */
+  private def num(d: Double): String =
+    if (d == d.longValue.toDouble) d.toString else d.toString
+
+  /** Evaluate one SELECT item over a filtered group/row set. */
+  private def item(expr: String, rows: Seq[SRow], one: Option[SRow]): Option[String] = {
+    def agg[T](f: Seq[SRow] => T): Option[String] = Some(f(rows).toString)
+    expr match {
+      case "`token_id`" => one.map(_.token.toString)
+      case "toUnixTimestamp64Micro(`timestamp`)" => one.map(_.us.toString)
+      case "`name`" => one.map(r => esc(r.name))
+      case "`value_number`" => one.map(_.num.map(num).getOrElse("\\N"))
+      case "`value_string`" => one.map(_.str.map(esc).getOrElse("\\N"))
+      case "1" => one.map(_ => "1")
+      case "count()" => agg(_.size)
+      case "count(`value_number`)" => agg(_.count(_.num.isDefined))
+      case "count(`value_string`)" => agg(_.count(_.str.isDefined))
+      case "count(`token_id`)" | "count(`name`)" | "count(`timestamp`)" => agg(_.size)
+      case "min(`token_id`)" => agg(_.map(_.token).minOption.getOrElse(0L))
+      case "max(`token_id`)" => agg(_.map(_.token).maxOption.getOrElse(0L))
+      case "toUnixTimestamp64Micro(min(`timestamp`))" => agg(_.map(_.us).minOption.getOrElse(0L))
+      case "toUnixTimestamp64Micro(max(`timestamp`))" => agg(_.map(_.us).maxOption.getOrElse(0L))
+      case "min(`value_number`)" =>
+        Some(rows.flatMap(_.num).minOption.map(num).getOrElse("\\N"))
+      case "max(`value_number`)" =>
+        Some(rows.flatMap(_.num).maxOption.map(num).getOrElse("\\N"))
+      case "sum(`value_number`)" =>
+        Some(if (rows.forall(_.num.isEmpty)) "\\N" else num(rows.flatMap(_.num).sum))
+      case "sum(`token_id`)" => agg(_.map(_.token).sum)
+      case "min(`name`)" => Some(rows.map(_.name).minOption.map(esc).getOrElse("\\N"))
+      case "max(`name`)" => Some(rows.map(_.name).maxOption.map(esc).getOrElse("\\N"))
+      case "min(`value_string`)" =>
+        Some(rows.flatMap(_.str).minOption.map(esc).getOrElse("\\N"))
+      case "max(`value_string`)" =>
+        Some(rows.flatMap(_.str).maxOption.map(esc).getOrElse("\\N"))
+      case _ => None
+    }
+  }
+
+  /** Start the stub; returns the server. The caller stops it. */
+  def start(): HttpServer = {
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[SRow]()
+    val created = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val dirty = new java.util.concurrent.atomic.AtomicBoolean(true)
+    @volatile var snapshot: IndexedSeq[SRow] = IndexedSeq.empty
+    def all(): IndexedSeq[SRow] = {
+      if (dirty.getAndSet(false)) {
+        import scala.jdk.CollectionConverters._
+        snapshot = rows.asScala.toIndexedSeq
+      }
+      snapshot
+    }
+    val Select = java.util.regex.Pattern.compile(
+      "SELECT (.+) FROM `signal`(?: WHERE (.+?))?(?: GROUP BY (.+?))?(?: LIMIT (\\d+))? " +
+        "FORMAT TabSeparated\\s*", java.util.regex.Pattern.DOTALL)
+    val server = LiveQueries.loopbackServer(1024)
+    def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val q = Option(ex.getRequestURI.getRawQuery).flatMap(_.split("&").collectFirst {
+          case kv if kv.startsWith("query=") =>
+            java.net.URLDecoder.decode(kv.substring(6), "UTF-8")
+        }).getOrElse("")
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        if (q.startsWith("INSERT INTO `signal`")) {
+          if (!created.get()) { respond(ex, 400, "Table signal does not exist"); return }
+          body.split("\n").iterator.filter(_.nonEmpty).foreach { line =>
+            val m = CsvLine.matcher(line)
+            if (!m.matches()) { respond(ex, 400, s"stub cannot parse CSV line: $line"); return }
+            val usDec = BigDecimal(m.group(2))
+            rows.add(SRow(m.group(1).toLong, (usDec * 1000000).toLongExact,
+              m.group(3).replace("\"\"", "\""),
+              Option(m.group(4)).filter(_.nonEmpty).map(_.toDouble),
+              Option(m.group(5)).map(_.replace("\"\"", "\""))))
+          }
+          dirty.set(true)
+          respond(ex, 200, "")
+        } else if (body.startsWith("CREATE TABLE")) {
+          created.set(true); respond(ex, 200, "")
+        } else if (body.startsWith("SELECT ")) {
+          val m = Select.matcher(body)
+          if (!m.matches()) { respond(ex, 400, s"outside the declared grammar: $body"); return }
+          val items = m.group(1).split(", ").toSeq
+          val preds = Option(m.group(2)).toSeq.flatMap(_.split(" AND ").toSeq).map { a =>
+            atom(a).getOrElse { respond(ex, 400, s"unsupported WHERE atom: $a"); return }
+          }
+          val limit = Option(m.group(4)).map(_.toInt)
+          val matched = all().filter(r => preds.forall(_(r)))
+          val out: Seq[String] = Option(m.group(3)) match {
+            case Some(g) => // aggregate with GROUP BY
+              val groupExprs = g.split(", ").toSeq
+              matched.groupBy(r => groupExprs.map(ge =>
+                item(ge, Seq(r), Some(r)).getOrElse {
+                  respond(ex, 400, s"unsupported group expr: $ge"); return
+                })).toSeq.sortBy(_._1.mkString("\t"))
+                .map { case (_, rs) =>
+                  items.map(it => item(it, rs, rs.headOption).getOrElse {
+                    respond(ex, 400, s"unsupported select item: $it"); return
+                  }).mkString("\t")
+                }
+            case None if items.forall(isAggItem) =>
+              // global aggregate (no GROUP BY): one row
+              Seq(items.map(it => item(it, matched, matched.headOption).getOrElse {
+                respond(ex, 400, s"unsupported select item: $it"); return
+              }).mkString("\t"))
+            case None => // row select
+              val sel = matched.map { r =>
+                items.map(it => item(it, Seq(r), Some(r)).getOrElse {
+                  respond(ex, 400, s"unsupported select item: $it"); return
+                }).mkString("\t")
+              }
+              limit.map(sel.take).getOrElse(sel)
+          }
+          respond(ex, 200, out.mkString("", "\n", if (out.isEmpty) "" else "\n"))
+        } else respond(ex, 400, s"unsupported statement: $q$body")
+      }
+    })
+    server.start()
+    server
+  }
+}

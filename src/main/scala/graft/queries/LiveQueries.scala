@@ -480,6 +480,65 @@ object LiveQueries {
                CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS newest_us
              FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
              GROUP BY 1""")
+    ),
+
+    // ── LIVE ClickHouse READ source (r12): `graft-signal-live` compiles
+    //    its pushdowns to CH SQL over HTTP — name filter + column pruning
+    //    into the WHERE/SELECT, the grouped COUNT/SUM/MIN as PARTIAL
+    //    aggregates the server answers per token range (Spark's retained
+    //    final agg merges) — against a stub that 400s anything outside
+    //    the declared grammar, so a regression to unpushed scans fails
+    //    loudly. The store is seeded by the DISTRIBUTED CSV write
+    //    (clickhouse.go:113-130), making this the full write→read wire
+    //    round trip; value_number carries integral cents so the pushed
+    //    SUM is order-independent.
+    QueryDef(
+      "q216_live_ch_scan",
+      (s, d) => {
+        import graft.sources.{ClickHouseDdl, ClickHouseHttpClient}
+        import org.apache.spark.sql.types._
+        val signals = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id").cast(LongType).as("token_id"),
+            col("ts").cast(TimestampType).as("timestamp"),
+            col("event_type").cast(StringType).as("name"),
+            round(col("value") * 100).cast(DoubleType).as("value_number"),
+            col("event_id").cast(StringType).as("value_string"))
+          .repartition(8)
+        val server = ChSignalStub.start()
+        try {
+          val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+          val client = new ClickHouseHttpClient(url)
+          client.execute(ClickHouseDdl.signalTableDdl(StructType(Seq(
+            StructField("token_id", LongType, nullable = false),
+            StructField("timestamp", TimestampType, nullable = false),
+            StructField("name", StringType, nullable = false),
+            StructField("value_number", DoubleType, nullable = true),
+            StructField("value_string", StringType, nullable = true)))))
+          client.insertSignals(signals, "signal")
+          // plain-COLUMN aggregates so the pushdown fires (min over an
+          // expression would block it); the micros conversion is a
+          // post-aggregation projection
+          val agg = s.read.format("graft-signal-live")
+            .option("url", url).option("partitions", "8").load()
+            .where(col("name").isin("click", "purchase", "view"))
+            .groupBy(col("token_id"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("value_number")).cast(LongType).as("cents"),
+              min(col("timestamp")).as("t0"))
+            .select(col("token_id"), col("n_rows"), col("cents"),
+              expr("unix_micros(t0)").as("oldest_us"))
+          agg.localCheckpoint(true) // materialize THROUGH the live stack
+        } finally server.stop(0)
+      },
+      Some("""SELECT CAST(user_id AS BIGINT) AS token_id,
+               count(*)::BIGINT AS n_rows,
+               sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents,
+               CAST(min(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS oldest_us
+             FROM events
+             WHERE ts IS NOT NULL AND user_id IS NOT NULL
+               AND event_type IN ('click','purchase','view')
+             GROUP BY 1""")
     )
   )
 }

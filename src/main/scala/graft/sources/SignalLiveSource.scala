@@ -1,0 +1,335 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In, IsNotNull, LessThan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** LIVE ClickHouse signal-table source (`graft-signal-live`) — the READ
+  * half of the wire tier whose write half is
+  * [[ClickHouseHttpClient.insertSignals]]: a DSv2 batch source whose
+  * pushdowns COMPILE TO ClickHouse SQL over the public HTTP interface, so
+  * the store executes them against its own primary key
+  * (`ORDER BY (token_id, timestamp)` — [[ClickHouseDdl]], the reference's
+  * table, migrations/0002_signal.sql [ext]) instead of shipping rows for
+  * Spark to discard:
+  *
+  *   - column pruning → the SELECT list (timestamps travel as
+  *     `toUnixTimestamp64Micro(...)` — zone-independent, the read twin of
+  *     the writer's epoch-decimal CSV convention);
+  *   - filters (token_id =/IN/range, name =/IN, timestamp range,
+  *     IS NOT NULL) → the WHERE clause, every conjunct translated, so
+  *     acceptance IS enforcement (the server applies them all);
+  *   - LIMIT → `LIMIT n` per partition (partial — Spark keeps the global);
+  *   - COUNT/COUNT(c)/MIN/MAX/SUM with GROUP BY ⊂ {token_id, name} →
+  *     one aggregate statement per partition, PARTIAL pushdown
+  *     ([[ShardedScanBuilder]]'s contract): each token range returns its
+  *     per-group partials and Spark's retained final aggregate merges —
+  *     at 100 TB the store answers `GROUP BY` from its own index and the
+  *     wire carries groups, not rows.
+  *
+  * Parallelism: planning asks the server for `min/max(token_id), count()`
+  * once, then fans the token space into `partitions` (default 8)
+  * contiguous ranges — each task's WHERE lands inside the table's primary
+  * key, the same split a distributed CH cluster serves index-locally.
+  *
+  * Options: `url` (required), `table` (default `signal`), `partitions`.
+  * Zero dependencies beyond the JDK HTTP stack; loopback-stub-tested.
+  */
+class SignalLiveSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-signal-live"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = SignalLiveSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new SignalLiveTable(
+      Option(properties.get("url")).getOrElse(
+        throw new IllegalArgumentException("graft-signal-live requires option url")),
+      Option(properties.get("table")).getOrElse("signal"),
+      Option(properties.get("partitions")).map(_.toInt).getOrElse(8))
+}
+
+object SignalLiveSource {
+  /** The reference's signal-table shape (vss.signal). */
+  val Schema: StructType = StructType(Seq(
+    StructField("token_id", LongType, nullable = false),
+    StructField("timestamp", TimestampType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("value_number", DoubleType, nullable = true),
+    StructField("value_string", StringType, nullable = true)))
+
+  private def escapeStr(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
+
+  /** One SELECT-list item; `timestamp` reads as epoch micros (TZ-safe). */
+  def selectExpr(col: String): String =
+    if (col == "timestamp") "toUnixTimestamp64Micro(`timestamp`)" else s"`$col`"
+
+  private def usOf(v: Any): Long = v match {
+    case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    case i: java.time.Instant  => i.getEpochSecond * 1000000L + i.getNano / 1000
+    case other => throw new IllegalArgumentException(s"unsupported time literal: $other")
+  }
+
+  private def longOf(v: Any): Long = v match {
+    case l: Long => l; case i: Int => i.toLong
+    case other => throw new IllegalArgumentException(s"unsupported long literal: $other")
+  }
+
+  /** Translate one accepted filter to a CH WHERE atom. Must stay in
+    * lockstep with [[supportedFilter]] — acceptance is enforcement only
+    * because everything accepted lands here.
+    */
+  def whereAtom(f: Filter): String = f match {
+    case EqualTo("token_id", v)            => s"`token_id` = ${longOf(v)}"
+    case In("token_id", vs)                => vs.map(longOf).mkString("`token_id` IN (", ",", ")")
+    case GreaterThanOrEqual("token_id", v) => s"`token_id` >= ${longOf(v)}"
+    case LessThan("token_id", v)           => s"`token_id` < ${longOf(v)}"
+    case EqualTo("name", s: String)        => s"`name` = '${escapeStr(s)}'"
+    case In("name", vs)                    =>
+      vs.collect { case s: String => s"'${escapeStr(s)}'" }.mkString("`name` IN (", ",", ")")
+    case GreaterThanOrEqual("timestamp", v) =>
+      s"`timestamp` >= fromUnixTimestamp64Micro(${usOf(v)})"
+    case LessThan("timestamp", v)          =>
+      s"`timestamp` < fromUnixTimestamp64Micro(${usOf(v)})"
+    case IsNotNull(c) if Schema.fieldNames.contains(c) => s"`$c` IS NOT NULL"
+    case other => throw new IllegalArgumentException(s"untranslatable filter: $other")
+  }
+
+  def supportedFilter(f: Filter): Boolean = f match {
+    case EqualTo("token_id", (_: Long | _: Int))            => true
+    case In("token_id", vs) if vs.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Int]) => true
+    case GreaterThanOrEqual("token_id", (_: Long | _: Int)) => true
+    case LessThan("token_id", (_: Long | _: Int))           => true
+    case EqualTo("name", _: String)                         => true
+    case In("name", vs) if vs.forall(_.isInstanceOf[String]) => true
+    case GreaterThanOrEqual("timestamp", _)                 => true
+    case LessThan("timestamp", _)                           => true
+    case IsNotNull(c)                                       => Schema.fieldNames.contains(c)
+    case _                                                  => false
+  }
+
+  def whereClause(filters: Seq[Filter], extra: Seq[String] = Nil): String = {
+    val atoms = filters.map(whereAtom) ++ extra
+    if (atoms.isEmpty) "" else atoms.mkString(" WHERE ", " AND ", "")
+  }
+
+  /** CH TabSeparated unescape (\t, \n, \\; `\N` is the NULL marker and is
+    * handled by the caller).
+    */
+  def unescapeTsv(s: String): String = {
+    if (!s.contains('\\')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't'   => sb.append('\t'); i += 2
+          case 'n'   => sb.append('\n'); i += 2
+          case '\\'  => sb.append('\\'); i += 2
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}
+
+class SignalLiveTable(url: String, table: String, partitions: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_signal_live($url/$table)"
+  override def schema(): StructType = SignalLiveSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SignalLiveScanBuilder(url, table, partitions)
+}
+
+/** Pushed-aggregation state: group cols ++ `agg_i` columns, the order
+  * `V2ScanRelationPushDown` zips against ([[ShardPushedAgg]]'s contract).
+  */
+case class ChPushedAgg(groupCols: Seq[String], aggs: Seq[(String, String)]) {
+  def outputSchema: StructType = {
+    def f(n: String) = SignalLiveSource.Schema.fields.find(_.name == n).get
+    StructType(groupCols.map(f) ++ aggs.zipWithIndex.map {
+      case (("count_star", _), i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (("count", _), i)      => StructField(s"agg_$i", LongType, nullable = false)
+      case ((_, c), i)            => StructField(s"agg_$i", f(c).dataType, nullable = true)
+    })
+  }
+  def selectList: String =
+    (groupCols.map(SignalLiveSource.selectExpr) ++ aggs.map {
+      case ("count_star", _)     => "count()"
+      case ("count", c)          => s"count(`$c`)"
+      case (op, "timestamp")     => s"toUnixTimestamp64Micro($op(`timestamp`))"
+      case (op, c)               => s"$op(`$c`)"
+    }).mkString(", ")
+  def groupBy: String =
+    if (groupCols.isEmpty) "" else groupCols.map(c => s"`$c`").mkString(" GROUP BY ", ", ", "")
+}
+
+class SignalLiveScanBuilder(url: String, table: String, partitions: Int)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = SignalLiveSource.Schema
+  private var limit: Int = -1
+  private var pushedAgg: Option[ChPushedAgg] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = filters.partition(SignalLiveSource.supportedFilter)
+    pushed = sup
+    unsup
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    if (pushedAgg.isEmpty)
+      required = StructType(SignalLiveSource.Schema.fields.filter(f =>
+        requiredSchema.fieldNames.contains(f.name)))
+
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed: Boolean = true
+
+  private def refName(e: V2Expression): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames().length == 1 =>
+      Some(nr.fieldNames()(0)).filter(SignalLiveSource.Schema.fieldNames.contains)
+    case _ => None
+  }
+
+  /** PARTIAL aggregate pushdown (the [[ShardedScanBuilder]] contract,
+    * `supportCompletePushDown` stays false): each token-range partition
+    * answers `SELECT groups, aggs … GROUP BY groups` server-side and
+    * Spark's retained final aggregate merges the partials — correct under
+    * any partitioning, and the wire carries groups instead of rows.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val groups = aggregation.groupByExpressions().toSeq.map(refName)
+    if (groups.exists(g => g.isEmpty || !Seq("token_id", "name").contains(g.get))) return false
+    val summable: String => Boolean = c =>
+      SignalLiveSource.Schema.fields.find(_.name == c).exists(f =>
+        f.dataType == LongType || f.dataType == DoubleType)
+    val aggs = aggregation.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(("count_star", ""))
+      case c: Count if !c.isDistinct => refName(c.column).map(("count", _))
+      // min/max work on every column type CH stores (strings ordered
+      // lexicographically, DateTime64 chronologically)
+      case m: Min => refName(m.column).map(("min", _))
+      case m: Max => refName(m.column).map(("max", _))
+      case s: Sum if !s.isDistinct => refName(s.column).filter(summable).map(("sum", _))
+      case _: AggregateFunc => None
+    }
+    if (aggs.exists(_.isEmpty)) return false
+    pushedAgg = Some(ChPushedAgg(groups.map(_.get), aggs.map(_.get)))
+    true
+  }
+
+  override def build(): Scan =
+    new SignalLiveScan(url, table, partitions, pushed, required, limit, pushedAgg)
+}
+
+case class SignalLivePartition(url: String, table: String, sql: String,
+    schema: StructType) extends InputPartition
+
+class SignalLiveScan(url: String, table: String, partitions: Int,
+    filters: Array[Filter], required: StructType, limit: Int,
+    pushedAgg: Option[ChPushedAgg]) extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = pushedAgg.map(_.outputSchema).getOrElse(required)
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-signal-live $url/$table pushed=[${filters.mkString(", ")}]" +
+      (if (limit >= 0) s" limit=$limit" else "") +
+      pushedAgg.map(pa => s" agg=[${pa.selectList}]").getOrElse("")
+
+  /** One planning round trip: the pushed-filter token envelope + row
+    * count, cached (estimateStatistics and planInputPartitions share it).
+    */
+  private lazy val envelope: Option[(Long, Long, Long)] = {
+    val client = new ClickHouseHttpClient(url)
+    val sql = s"SELECT min(`token_id`), max(`token_id`), count() FROM `$table`" +
+      SignalLiveSource.whereClause(filters.toSeq)
+    client.query(sql).headOption.flatMap { r =>
+      val n = r(2).toLong
+      if (n == 0) None else Some((r(0).toLong, r(1).toLong, n))
+    }
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(envelope.map(_._3 * 64L).getOrElse(0L))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(envelope.map(_._3).getOrElse(0L))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = envelope match {
+    case None => Array.empty // no matching rows: no tasks, no round trips
+    case Some((minTok, maxTok, n)) =>
+      // contiguous token ranges: each task's WHERE lands inside the
+      // table's (token_id, timestamp) primary key. Bounded by the row
+      // count so a tiny result never fans into idle round trips.
+      val span = maxTok - minTok + 1
+      val m = math.max(1L, math.min(math.min(partitions.toLong, span), n / 1000 + 1)).toInt
+      val per = (span + m - 1) / m
+      val schema = readSchema()
+      (0 until m).map { i =>
+        val lo = minTok + i * per
+        val hi = math.min(minTok + (i + 1) * per, maxTok + 1)
+        val range = Seq(s"`token_id` >= $lo", s"`token_id` < $hi")
+        val sql = pushedAgg match {
+          case Some(pa) =>
+            s"SELECT ${pa.selectList} FROM `$table`" +
+              SignalLiveSource.whereClause(filters.toSeq, range) + pa.groupBy
+          case None =>
+            val cols = required.fields.map(f => SignalLiveSource.selectExpr(f.name))
+              .mkString(", ")
+            // a zero-column scan (e.g. count(*) without pushed agg) still
+            // needs one expression per row
+            val sel = if (cols.isEmpty) "1" else cols
+            s"SELECT $sel FROM `$table`" +
+              SignalLiveSource.whereClause(filters.toSeq, range) +
+              (if (limit >= 0) s" LIMIT $limit" else "")
+        }
+        SignalLivePartition(url, table, sql, schema): InputPartition
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new SignalLiveReaderFactory
+}
+
+class SignalLiveReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SignalLivePartition]
+    new PartitionReader[InternalRow] {
+      private lazy val rows: Iterator[Array[String]] =
+        new ClickHouseHttpClient(p.url).query(p.sql).iterator
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        if (!rows.hasNext) return false
+        val r = rows.next()
+        current = InternalRow.fromSeq(p.schema.fields.toIndexedSeq.zipWithIndex.map {
+          case (f, i) =>
+            val raw = r(i)
+            if (raw == "\\N") null
+            else f.dataType match {
+              case LongType      => Long.box(raw.toLong)
+              case DoubleType    => Double.box(raw.toDouble)
+              case TimestampType => Long.box(raw.toLong) // epoch micros on the wire
+              case StringType    => UTF8String.fromString(SignalLiveSource.unescapeTsv(raw))
+              case other => throw new IllegalArgumentException(s"unsupported type: $other")
+            }
+        })
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The LIVE ClickHouse READ source (`graft-signal-live`): pushdowns
+  * compile to CH SQL over HTTP and the loopback stub evaluates exactly
+  * that grammar (anything else is a 400 — silent fallback to full scans
+  * cannot pass). Covers write→read round trip, WHERE translation, column
+  * pruning with TZ-safe timestamps, LIMIT, token-range parallelism, and
+  * PARTIAL aggregate pushdown merged by Spark's retained final agg.
+  */
+class ChLiveSourceSpec extends SparkTestBase {
+
+  private val schema = StructType(Seq(
+    StructField("token_id", LongType, nullable = false),
+    StructField("timestamp", TimestampType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("value_number", DoubleType, nullable = true),
+    StructField("value_string", StringType, nullable = true)))
+
+  private def ts(us: Long) = java.sql.Timestamp.from(
+    java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
+
+  private def seed(nTokens: Int, perToken: Int): Seq[Row] =
+    for { t <- 0 until nTokens; i <- 0 until perToken } yield Row(
+      t.toLong, ts(1704000000000000L + (t * perToken + i) * 1000000L),
+      if (i % 2 == 0) "speed" else "soc",
+      if (i % 7 == 0) null else (t * 100 + i).toDouble,
+      if (i % 3 == 0) null else s"s$t-$i")
+
+  private def withStore(rows: Seq[Row])(body: String => Unit): Unit = {
+    val server = graft.queries.ChSignalStub.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val client = new graft.sources.ClickHouseHttpClient(url)
+      client.execute(graft.sources.ClickHouseDdl.signalTableDdl(schema))
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+      client.insertSignals(df, "signal")
+      body(url)
+    } finally server.stop(0)
+  }
+
+  private def live(url: String, partitions: Int = 4) =
+    spark.read.format("graft-signal-live")
+      .option("url", url).option("partitions", partitions.toString).load()
+
+  test("write→read round trip: the live scan returns exactly the inserted rows") {
+    val rows = seed(10, 12)
+    withStore(rows) { url =>
+      val got = live(url).collect().map(_.toSeq).toSet
+      assert(got.size === rows.size)
+      assert(got === rows.map(_.toSeq).toSet,
+        "CSV epoch-decimals out, toUnixTimestamp64Micro back — bit-exact round trip")
+      // tiny results deliberately plan ONE task (the envelope bounds the
+      // fan-out at ~1000 rows/partition — idle round trips are wasted RTTs)
+      assert(live(url).rdd.getNumPartitions === 1)
+    }
+    // a result big enough fans into disjoint token ranges
+    withStore(seed(40, 110)) { url =>
+      val df = live(url)
+      assert(df.rdd.getNumPartitions >= 2, "4400 rows must fan out")
+      assert(df.count() === 4400)
+      assert(df.select("token_id").distinct().count() === 40)
+    }
+  }
+
+  test("filters translate to the WHERE clause; acceptance is enforcement (server-side)") {
+    withStore(seed(10, 12)) { url =>
+      val q = live(url).where(col("token_id") === 3L && col("name") === "speed" &&
+        col("value_number").isNotNull)
+      val got = q.collect()
+      assert(got.length === 5, "token 3 has 6 speed rows, one with null value_number")
+      assert(got.forall(r => r.getLong(0) == 3L && r.getString(2) == "speed" && !r.isNullAt(3)))
+      // the plan shows the pushed filters (and the stub would 400 any
+      // untranslated SQL)
+      val desc = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+      assert(desc.contains("token_id") && desc.contains("IsNotNull"), desc)
+      // a timestamp window: half-open, micro-precise
+      val win = live(url).where(col("token_id") === 2L &&
+        col("timestamp") >= ts(1704000024000000L) && col("timestamp") < ts(1704000030000000L))
+      assert(win.count() === 6)
+    }
+  }
+
+  test("pruned columns shrink the SELECT list; a LIMIT pushes per partition") {
+    withStore(seed(6, 10)) { url =>
+      val two = live(url).select("token_id", "name")
+      assert(two.collect().length === 60)
+      assert(live(url, partitions = 2).limit(7).collect().length === 7)
+    }
+  }
+
+  test("aggregates push as partials: COUNT/SUM/MIN/MAX with GROUP BY run in ClickHouse") {
+    val rows = seed(8, 10)
+    withStore(rows) { url =>
+      val agg = live(url)
+        .groupBy("token_id")
+        .agg(count(lit(1)).as("n"),
+          sum("value_number").as("s"),
+          min("timestamp").as("t0"),
+          max("name").as("nm"))
+      val got = agg.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getTimestamp(3), r.getString(4))).toSet
+      // expected from the seeded rows
+      val want = rows.groupBy(_.getLong(0)).map { case (t, rs) =>
+        (t, rs.size.toLong,
+          rs.flatMap(r => Option(r.get(3)).map(_.asInstanceOf[Double])).sum,
+          rs.map(_.getTimestamp(1)).min((a: java.sql.Timestamp, b: java.sql.Timestamp) =>
+            a.compareTo(b)),
+          rs.map(_.getString(2)).max)
+      }.toSet
+      assert(got === want)
+      // the scan itself output agg PARTIALS, not rows: the pushed-agg
+      // rewrite renames scan output to group_col_/agg_func_ and the final
+      // HashAggregate merges them
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("agg_func_0") && plan.contains("group_col_0"),
+        s"aggregate must be pushed into the scan: $plan")
+      // global aggregate too (no grouping)
+      val g = live(url).agg(count(lit(1)).as("n"), max("token_id").as("mx")).head()
+      assert(g.getLong(0) === 80L && g.getLong(1) === 7L)
+    }
+  }
+
+  test("an empty result plans zero tasks (the planning envelope short-circuits)") {
+    withStore(seed(3, 4)) { url =>
+      val none = live(url).where(col("token_id") === 999L)
+      assert(none.rdd.getNumPartitions === 0)
+      assert(none.collect().isEmpty)
+    }
+  }
+}
