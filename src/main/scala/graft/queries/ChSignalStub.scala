@@ -119,7 +119,8 @@ object ChSignalStub {
       snapshot
     }
     val Select = java.util.regex.Pattern.compile(
-      "SELECT (.+) FROM `signal`(?: WHERE (.+?))?(?: GROUP BY (.+?))?(?: LIMIT (\\d+))? " +
+      "SELECT (.+) FROM `signal`(?: WHERE (.+?))?(?: GROUP BY (.+?))?" +
+        "(?: ORDER BY `timestamp`( DESC| ASC)?)?(?: LIMIT (\\d+))? " +
         "FORMAT TabSeparated\\s*", java.util.regex.Pattern.DOTALL)
     val server = LiveQueries.loopbackServer(1024)
     def respond(ex: HttpExchange, code: Int, body: String): Unit = {
@@ -157,8 +158,12 @@ object ChSignalStub {
           val preds = Option(m.group(2)).toSeq.flatMap(_.split(" AND ").toSeq).map { a =>
             atom(a).getOrElse { respond(ex, 400, s"unsupported WHERE atom: $a"); return }
           }
-          val limit = Option(m.group(4)).map(_.toInt)
-          val matched = all().filter(r => preds.forall(_(r)))
+          val order = Option(m.group(4)).map(_.trim)
+          val limit = Option(m.group(5)).map(_.toInt)
+          val matched0 = all().filter(r => preds.forall(_(r)))
+          val matched = Option(m.group(4)).map(_ => // ORDER BY `timestamp`
+            if (order.contains("DESC")) matched0.sortBy(-_.us) else matched0.sortBy(_.us)
+          ).getOrElse(matched0)
           val out: Seq[String] = Option(m.group(3)) match {
             case Some(g) => // aggregate with GROUP BY
               val groupExprs = g.split(", ").toSeq

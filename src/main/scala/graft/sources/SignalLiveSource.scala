@@ -4,9 +4,9 @@ import java.util.{Map => JMap}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, Transform, Expression => V2Expression, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In, IsNotNull, LessThan}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -177,12 +177,33 @@ case class ChPushedAgg(groupCols: Seq[String], aggs: Seq[(String, String)]) {
 
 class SignalLiveScanBuilder(url: String, table: String, partitions: Int)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownAggregates {
+    with SupportsPushDownLimit with SupportsPushDownAggregates with SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SignalLiveSource.Schema
   private var limit: Int = -1
+  private var topN: Int = -1
+  private var topNDesc: Boolean = true
   private var pushedAgg: Option[ChPushedAgg] = None
+
+  /** `ORDER BY timestamp [DESC] LIMIT k` pushed into ClickHouse — the
+    * reference's oldest-signal statement IS this pushdown at k = 1
+    * (`QueryOldestSignal`, clickhouse.go:65-87 [ext]: ORDER BY
+    * `timestamp` ASC LIMIT 1): each token-range partition ships its own
+    * top-k straight off the (token_id, timestamp) primary key and
+    * Spark's retained global TakeOrdered merges.
+    */
+  override def pushTopN(orders: Array[V2SortOrder], l: Int): Boolean = {
+    val onTs = pushedAgg.isEmpty && orders.length == 1 && (orders(0).expression() match {
+      case nr: NamedReference => nr.fieldNames().length == 1 && nr.fieldNames()(0) == "timestamp"
+      case _                  => false
+    })
+    if (onTs) {
+      topN = l
+      topNDesc = orders(0).direction() == SortDirection.DESCENDING
+      true
+    } else false
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (sup, unsup) = filters.partition(SignalLiveSource.supportedFilter)
@@ -232,7 +253,8 @@ class SignalLiveScanBuilder(url: String, table: String, partitions: Int)
   }
 
   override def build(): Scan =
-    new SignalLiveScan(url, table, partitions, pushed, required, limit, pushedAgg)
+    new SignalLiveScan(url, table, partitions, pushed, required, limit, pushedAgg,
+      topN, topNDesc)
 }
 
 case class SignalLivePartition(url: String, table: String, sql: String,
@@ -240,13 +262,16 @@ case class SignalLivePartition(url: String, table: String, sql: String,
 
 class SignalLiveScan(url: String, table: String, partitions: Int,
     filters: Array[Filter], required: StructType, limit: Int,
-    pushedAgg: Option[ChPushedAgg]) extends Scan with Batch with SupportsReportStatistics {
+    pushedAgg: Option[ChPushedAgg],
+    topN: Int = -1, topNDesc: Boolean = true)
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = pushedAgg.map(_.outputSchema).getOrElse(required)
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-signal-live $url/$table pushed=[${filters.mkString(", ")}]" +
       (if (limit >= 0) s" limit=$limit" else "") +
+      (if (topN >= 0) s" topN=$topN timestamp ${if (topNDesc) "DESC" else "ASC"}" else "") +
       pushedAgg.map(pa => s" agg=[${pa.selectList}]").getOrElse("")
 
   /** One planning round trip: the pushed-filter token envelope + row
@@ -293,9 +318,16 @@ class SignalLiveScan(url: String, table: String, partitions: Int,
             // a zero-column scan (e.g. count(*) without pushed agg) still
             // needs one expression per row
             val sel = if (cols.isEmpty) "1" else cols
+            // topN compiles to the reference's own statement shape:
+            // ORDER BY `timestamp` [DESC] LIMIT k (QueryOldestSignal is
+            // exactly the ASC k=1 instance)
+            val orderLimit =
+              if (topN >= 0)
+                s" ORDER BY `timestamp`${if (topNDesc) " DESC" else " ASC"} LIMIT $topN"
+              else if (limit >= 0) s" LIMIT $limit"
+              else ""
             s"SELECT $sel FROM `$table`" +
-              SignalLiveSource.whereClause(filters.toSeq, range) +
-              (if (limit >= 0) s" LIMIT $limit" else "")
+              SignalLiveSource.whereClause(filters.toSeq, range) + orderLimit
         }
         SignalLivePartition(url, table, sql, schema): InputPartition
       }.toArray

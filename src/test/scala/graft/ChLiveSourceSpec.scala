@@ -124,6 +124,25 @@ class ChLiveSourceSpec extends SparkTestBase {
     }
   }
 
+  test("topN on timestamp compiles to ORDER BY … LIMIT — QueryOldestSignal is the ASC k=1 instance") {
+    withStore(seed(6, 10)) { url =>
+      // the reference's oldest-signal probe, written as a Catalyst query:
+      // per-token ORDER BY timestamp ASC LIMIT 1 (clickhouse.go:65-87)
+      val oldest = live(url).where(col("token_id") === 4L)
+        .orderBy(col("timestamp").asc).limit(1)
+      val r = oldest.select("token_id", "timestamp").head()
+      assert(r.getLong(0) === 4L && r.getTimestamp(1) === ts(1704000040000000L))
+      // the scan description carries the pushed topN (the SQL the stub
+      // accepted had to be inside the declared grammar, ORDER BY included)
+      val d = oldest.queryExecution.executedPlan.toString
+      assert(d.contains("topN=1 timestamp ASC"), d)
+      // newest-first too, across tokens (global TakeOrdered merges ranges)
+      val newest = live(url).orderBy(col("timestamp").desc).limit(3)
+        .select("token_id").collect().map(_.getLong(0))
+      assert(newest.toSeq === Seq(5L, 5L, 5L), "the 3 newest rows are token 5's tail")
+    }
+  }
+
   test("an empty result plans zero tasks (the planning envelope short-circuits)") {
     withStore(seed(3, 4)) { url =>
       val none = live(url).where(col("token_id") === 999L)
