@@ -35,7 +35,8 @@ private[graft] final class ClickHouseHttpClient(baseUrl: String, timeoutMs: Long
   @transient private lazy val http = HttpClient.newBuilder()
     .connectTimeout(Duration.ofMillis(timeoutMs)).build()
 
-  private def post(queryParam: Option[String], body: Array[Byte]): String = {
+  private def post(queryParam: Option[String], body: Array[Byte],
+      retryTransport: Boolean = false): String = {
     val uri = queryParam match {
       case Some(q) => s"$baseUrl/?query=${java.net.URLEncoder.encode(q, "UTF-8")}"
       case None => s"$baseUrl/"
@@ -44,11 +45,26 @@ private[graft] final class ClickHouseHttpClient(baseUrl: String, timeoutMs: Long
       .timeout(Duration.ofMillis(timeoutMs))
       .POST(HttpRequest.BodyPublishers.ofByteArray(body))
       .build()
-    val res = http.send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
-    if (res.statusCode() != 200)
-      throw new java.io.IOException(
-        s"ClickHouse HTTP ${res.statusCode()}: ${res.body()}")
-    res.body()
+    // transport retry for IDEMPOTENT statements only (SELECTs): a dropped
+    // connection around an INSERT must surface — blind re-send would
+    // duplicate rows (CH INSERTs are visible on acceptance), and DDL can
+    // legitimately fail the second time
+    var attempt = 0
+    while (true) {
+      try {
+        val res = http.send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+        if (res.statusCode() != 200)
+          throw new java.io.IOException(
+            s"ClickHouse HTTP ${res.statusCode()}: ${res.body()}")
+        return res.body()
+      } catch {
+        case e: java.io.IOException
+          if retryTransport && attempt < 4 && !e.getMessage.startsWith("ClickHouse HTTP") =>
+          attempt += 1
+          Thread.sleep(25L << attempt)
+      }
+    }
+    null // unreachable
   }
 
   /** Run a statement with no result (DDL, etc.). */
@@ -61,9 +77,10 @@ private[graft] final class ClickHouseHttpClient(baseUrl: String, timeoutMs: Long
     ()
   }
 
-  /** Run a query, rows as TSV fields. */
+  /** Run a query, rows as TSV fields (idempotent ⇒ transport-retried). */
   def query(sql: String): Seq[Array[String]] =
-    post(None, s"$sql FORMAT TabSeparated".getBytes(StandardCharsets.UTF_8))
+    post(None, s"$sql FORMAT TabSeparated".getBytes(StandardCharsets.UTF_8),
+      retryTransport = true)
       .split("\n").toSeq.filter(_.nonEmpty).map(_.split("\t", -1))
 
   /** Distributed batch insert: every partition posts its own CSV body.

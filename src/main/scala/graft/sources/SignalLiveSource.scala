@@ -143,13 +143,98 @@ object SignalLiveSource {
 }
 
 class SignalLiveTable(url: String, table: String, partitions: Int)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_signal_live($url/$table)"
   override def schema(): StructType = SignalLiveSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SignalLiveScanBuilder(url, table, partitions)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new SignalLiveWriteBuilder(url, table, info.schema())
+}
+
+/** DSv2 append into ClickHouse over HTTP: `df.write.format
+  * ("graft-signal-live")` — the idiomatic form of
+  * [[ClickHouseHttpClient.insertSignals]]. Every task POSTs its own CSV
+  * batches from the executor (the distributed InsertIntoClickhouse,
+  * clickhouse.go:113-130 [ext]); timestamps ship as epoch-seconds
+  * decimals (zone-independent).
+  *
+  * Commit semantics are ClickHouse's: an INSERT is visible as soon as the
+  * server accepts it (one part per batch, no staging), so a retried task
+  * is AT-LEAST-ONCE here — exactly the reference client's behavior. On a
+  * Replicated*MergeTree the server's insert-block dedup absorbs the
+  * identical retried batch (this writer emits deterministic batch
+  * contents per task attempt for that reason); on a plain MergeTree the
+  * caller dedups downstream (the engine's FINAL collapse) or accepts the
+  * duplicate, as the reference deployment does.
+  */
+class SignalLiveWriteBuilder(url: String, table: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder {
+  import org.apache.spark.sql.connector.write._
+  locally {
+    val ok = Set[DataType](LongType, IntegerType, DoubleType, StringType, TimestampType)
+    val bad = schema.fields.filterNot(f => ok.contains(f.dataType))
+    require(bad.isEmpty, s"graft-signal-live cannot serialize columns: ${bad.mkString(", ")}")
+  }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+        new SignalLiveWriterFactory(url, table, schema)
+      override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    }
+  }
+}
+
+class SignalLiveWriterFactory(url: String, table: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      private val client = new ClickHouseHttpClient(url)
+      private val columns = schema.fieldNames.toSeq
+      private val sb = new java.lang.StringBuilder(1 << 16)
+      private var n = 0
+      private def flush(): Unit = if (sb.length() > 0) {
+        client.insertCsv(table, columns,
+          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        sb.setLength(0); n = 0
+      }
+      override def write(row: InternalRow): Unit = {
+        var i = 0
+        while (i < columns.length) {
+          if (i > 0) sb.append(',')
+          if (!row.isNullAt(i)) schema.fields(i).dataType match {
+            case StringType =>
+              sb.append('"')
+                .append(row.getUTF8String(i).toString.replace("\"", "\"\"")).append('"')
+            case TimestampType =>
+              val us = row.getLong(i) // micros since epoch (floorDiv composes pre-1970)
+              sb.append(Math.floorDiv(us, 1000000L)).append('.')
+                .append(f"${Math.floorMod(us, 1000000L)}%06d")
+            case LongType    => sb.append(row.getLong(i))
+            case IntegerType => sb.append(row.getInt(i))
+            case DoubleType  => sb.append(row.getDouble(i))
+            case other => throw new IllegalArgumentException(s"unsupported type: $other")
+          }
+          i += 1
+        }
+        sb.append('\n')
+        n += 1
+        if (n >= 65536) flush() // ClickHouse-sized insert batches
+      }
+      override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        flush()
+        new org.apache.spark.sql.connector.write.WriterCommitMessage {}
+      }
+      override def abort(): Unit = () // accepted batches are already visible (see scaladoc)
+      override def close(): Unit = ()
+    }
 }
 
 /** Pushed-aggregation state: group cols ++ `agg_i` columns, the order

@@ -143,6 +143,21 @@ class ChLiveSourceSpec extends SparkTestBase {
     }
   }
 
+  test("DSv2 write: df.write.format(graft-signal-live) appends via executor CSV batches") {
+    val server = graft.queries.ChSignalStub.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val client = new graft.sources.ClickHouseHttpClient(url)
+      client.execute(graft.sources.ClickHouseDdl.signalTableDdl(schema))
+      val rows = seed(5, 8)
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+      df.write.format("graft-signal-live").option("url", url).mode("append").save()
+      val got = live(url).collect().map(_.toSeq).toSet
+      assert(got === rows.map(_.toSeq).toSet,
+        "the DSv2 write and the live read must round-trip exactly (nulls, micros, strings)")
+    } finally server.stop(0)
+  }
+
   test("an empty result plans zero tasks (the planning envelope short-circuits)") {
     withStore(seed(3, 4)) { url =>
       val none = live(url).where(col("token_id") === 999L)
