@@ -515,7 +515,10 @@ object LiveQueries {
             StructField("name", StringType, nullable = false),
             StructField("value_number", DoubleType, nullable = true),
             StructField("value_string", StringType, nullable = true)))))
-          client.insertSignals(signals, "signal")
+          // the DSv2 writer (q214 gates the function-form insertSignals,
+          // this row gates the idiomatic df.write form)
+          signals.write.format("graft-signal-live").option("url", url)
+            .mode("append").save()
           // plain-COLUMN aggregates so the pushdown fires (min over an
           // expression would block it); the micros conversion is a
           // post-aggregation projection
