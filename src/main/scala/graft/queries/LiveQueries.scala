@@ -79,6 +79,16 @@ object LiveQueries {
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         val req = mapper.readTree(ex.getRequestBody.readAllBytes())
+        if (req.path("aggs").has("max_time")) {
+          // the streaming tail's offset probe: size-0 max aggregation
+          val v = if (docs.isEmpty) "null" else (docs.map(_.timeUs).max / 1000).toString
+          val res = s"""{"aggregations":{"max_time":{"value":$v}},"hits":{"hits":[]}}"""
+          val bytes = res.getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+          return
+        }
         val size = req.path("size").asInt(10)
         var subject: Option[String] = None
         var gteMs: Option[Long] = None
@@ -541,6 +551,75 @@ object LiveQueries {
              FROM events
              WHERE ts IS NOT NULL AND user_id IS NOT NULL
                AND event_type IN ('click','purchase','view')
+             GROUP BY 1""")
+    ),
+
+    // ── LIVE streaming tail, gate-declared (r12): `readStream` over
+    //    `graft-status-live` — the CONTINUOUS form of the reference's
+    //    cron sync. Offsets are the server's own max event time; phase 1
+    //    tails a cluster holding only the OLDER half of history into a
+    //    parquet sink, then the stream restarts from its checkpoint
+    //    against a cluster holding everything and must read ONLY the
+    //    newer half (a re-read duplicates, an offset overshoot loses —
+    //    either breaks the oracle on the final sink, which must be
+    //    exactly one pass over the whole events table). The forward tail
+    //    pairs with q215's watermark BACKFILL: together they are the
+    //    reference deployment's two sync directions.
+    QueryDef(
+      "q217_live_stream_tail",
+      (s, d) => {
+        val evs = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id").cast("string").as("subject"),
+            expr("unix_micros(ts)").as("tsu"),
+            round(col("value") * 100).cast(LongType).as("cents"))
+          .collect() // seeds the TEST DOUBLE; the measured path is the stream
+        val mid = { val ts = evs.map(_.getLong(1)); (ts.min + ts.max) / 2 }
+        def mkDocs(rows: Seq[org.apache.spark.sql.Row]): IndexedSeq[StubDoc] =
+          rows.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+            val (subj, tsu, cents) = (r.getString(0), r.getLong(1), r.getLong(2))
+            val iso = java.time.Instant.ofEpochSecond(tsu / 1000000L, (tsu % 1000000L) * 1000L)
+            StubDoc(s"t$subj-$tsu-$i", subj, tsu,
+              s"""{"id":"t$i","subject":"$subj","source":"dimo/integration/live",""" +
+                s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v2.0",""" +
+                s""""type":"com.dimo.device.status","data":{"cents":$cents}}""")
+          }
+        // split on a MILLISECOND boundary: offsets are ms-granular, so the
+        // two halves must not share a millisecond (the phase-2 floor is
+        // olderMaxMs + 1)
+        val (newer, older) = evs.toIndexedSeq.partition(_.getLong(1) / 1000 >= mid / 1000)
+        val outDir = java.nio.file.Files
+          .createTempDirectory("graft-q217-out").toString + "/tail"
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-q217-ck").toString
+        def tailOnce(docs: IndexedSeq[StubDoc]): Unit = {
+          val server = startStub(docs)
+          try {
+            val q = s.readStream.format("graft-status-live")
+              .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+              .option("batchSize", "2000").load()
+              .select(col("subject"), expr("unix_micros(time)").as("tsu"),
+                get_json_object(col("data"), "$.cents").cast(LongType).as("cents"))
+              .writeStream.format("parquet")
+              .option("path", outDir).option("checkpointLocation", ckpt)
+              .start()
+            try q.processAllAvailable() finally q.stop()
+          } finally server.stop(0)
+        }
+        tailOnce(mkDocs(older))          // phase 1: the older half
+        tailOnce(mkDocs(older ++ newer)) // phase 2: restart; only the newer half arrives
+        s.read.parquet(outDir)
+          .groupBy(col("subject"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("cents")).as("cents"),
+            min(col("tsu")).as("oldest_us"),
+            max(col("tsu")).as("newest_us"))
+      },
+      Some("""SELECT CAST(user_id AS VARCHAR) AS subject,
+               count(*)::BIGINT AS n_docs,
+               sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents,
+               CAST(min(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS oldest_us,
+               CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS newest_us
+             FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
              GROUP BY 1""")
     )
   )

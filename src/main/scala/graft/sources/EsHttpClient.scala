@@ -138,6 +138,16 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     Vector.empty // unreachable
   }
 
+  /** The index's newest event time in epoch millis (None when empty) —
+    * [[EsQueryDsl.maxTimeRequest]] round trip; the streaming source's
+    * latestOffset probe.
+    */
+  def maxTimeMs(index: String): Option[Long] = {
+    val v = mapper.readTree(search(index, EsQueryDsl.maxTimeRequest))
+      .path("aggregations").path("max_time").path("value")
+    if (v.isNumber) Some(v.asDouble().toLong) else None
+  }
+
   /** The full backward-paging record stream for one subject — the
     * reference's per-token sync loop as a lazy [[LineSource]], WITHOUT its
     * page-boundary skip: the reference sets the next window's exclusive

@@ -97,4 +97,12 @@ object EsQueryDsl {
       .put("order", if (sortDesc) "desc" else "asc")
     mapper.writeValueAsString(root)
   }
+
+  /** `size: 0` max-time aggregation — the streaming tail's offset probe:
+    * the server's own newest event time bounds the next micro-batch's
+    * half-open window (no client clock involved, so batches are
+    * deterministic against any corpus).
+    */
+  def maxTimeRequest: String =
+    """{"size":0,"aggs":{"max_time":{"max":{"field":"time"}}}}"""
 }

@@ -109,7 +109,7 @@ class StatusLiveTable(url: String, index: String, batchSize: Int,
   override def name(): String = s"graft_status_live($url/$index)"
   override def schema(): StructType = StatusV2Source.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StatusLiveScanBuilder(url, index, batchSize, startMs, stopMs, signals, stopBySubject)
 }
@@ -193,6 +193,8 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     limit: Int = -1, topN: Int = -1, topNDesc: Boolean = true,
     maxTasks: Int = 64) extends Scan with Batch {
 
+  private[sources] def index0: String = index
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -208,14 +210,24 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     case other => throw new IllegalArgumentException(s"unsupported time literal: $other")
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    // duplicate pushed bounds tighten: the REQUEST window is the
-    // intersection (max of >=, min of <) — anything looser ships rows the
-    // plan no longer re-filters
-    val startMs = filters.collect { case GreaterThanOrEqual("time", v) => ms(v) }
+  // duplicate pushed bounds tighten: the REQUEST window is the
+  // intersection (max of >=, min of <) — anything looser ships rows the
+  // plan no longer re-filters
+  private[sources] def windowStartMs: Long =
+    filters.collect { case GreaterThanOrEqual("time", v) => ms(v) }
       .reduceOption(_ max _).getOrElse(defaultStartMs)
-    val stopMs = filters.collect { case LessThan("time", v) => ms(v) }
+  private[sources] def windowStopMs: Long =
+    filters.collect { case LessThan("time", v) => ms(v) }
       .reduceOption(_ min _).getOrElse(defaultStopMs)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    partitionsFor(windowStartMs, windowStopMs)
+
+  /** Partitions for one half-open [startMs, stopMs) window — the batch
+    * scan uses the pushed/default window; the micro-batch stream calls
+    * this per offset range.
+    */
+  private[sources] def partitionsFor(startMs: Long, stopMs: Long): Array[InputPartition] = {
     // the reference's required-fields contract: the CONFIGURED signal
     // filter (sync.go:236-256) maps to `data.<originalName>` includes +
     // exists clauses. Without one, a scan whose pruned schema excludes
@@ -271,6 +283,25 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
   override def createReaderFactory(): PartitionReaderFactory =
     new StatusLiveReaderFactory(filters, required, limit, topN, topNDesc)
 
+  /** Continuous sync: `readStream.format("graft-status-live")` tails the
+    * index as micro-batches of half-open EVENT-TIME windows. Offsets are
+    * the server's own newest event time ([[EsHttpClient.maxTimeMs]], a
+    * `size: 0` max aggregation) — no client clock, so batch boundaries
+    * are deterministic against any corpus. Each batch reads
+    * [lastOffset, serverMax + 1) through the same per-subject page loops
+    * as the batch scan (pushed subject/signals/projection all apply).
+    *
+    * Semantics: a forward tail in event time. A document whose timestamp
+    * lands BELOW an already-committed offset (a late backfill) is not
+    * re-read by the tail — backfills are the BATCH path's job
+    * ([[graft.jobs.SyncJob.runLive]] resumes below per-token watermarks,
+    * the reference's own backfill mechanism); the pairing mirrors the
+    * reference deployment (periodic forward sync + watermark backfill).
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new StatusLiveMicroBatchStream(this, url)
+
   // Wire observability: malformed-doc skips (shared with the file scan)
   // plus the live tier's own shape — `_search` pages fetched and documents
   // shipped in responses (boundary-overlap duplicates included, so
@@ -278,6 +309,54 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
   // in the SQL UI).
   override def supportedCustomMetrics(): Array[CustomMetric] =
     Array(new SkippedLinesMetric, new LivePagesMetric, new LiveDocsMetric)
+}
+
+/** Event-time offset of the live tail: everything below `stopMs` is
+  * committed.
+  */
+case class StatusLiveOffset(stopMs: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = "{\"stopMs\":" + stopMs + "}"
+}
+
+object StatusLiveOffset {
+  private val Re = "\\{\"stopMs\":(-?\\d+)\\}".r
+  def fromJson(json: String): StatusLiveOffset = json.trim match {
+    case Re(v) => StatusLiveOffset(v.toLong)
+    case other => throw new IllegalArgumentException(s"bad StatusLiveOffset: $other")
+  }
+}
+
+class StatusLiveMicroBatchStream(scan: StatusLiveScan, url: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val client = new EsHttpClient(url)
+
+  override def initialOffset(): Offset = StatusLiveOffset(scan.windowStartMs)
+
+  /** Next batch's exclusive stop: the server's newest event time + 1,
+    * clamped to the pushed window's stop (a bounded stream drains and
+    * idles), never regressing below the current floor.
+    */
+  override def latestOffset(): Offset = {
+    val floor = scan.windowStartMs
+    val cap = scan.windowStopMs
+    val next = client.maxTimeMs(scan.index0)
+      .map(t => math.min(t + 1, cap)).getOrElse(floor)
+    StatusLiveOffset(math.max(floor, next))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[StatusLiveOffset].stopMs
+    val b = end.asInstanceOf[StatusLiveOffset].stopMs
+    if (b <= a) Array.empty else scan.partitionsFor(a, b)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = scan.createReaderFactory()
+  override def deserializeOffset(json: String): Offset = StatusLiveOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class LivePagesMetric extends CustomSumMetric {
