@@ -66,6 +66,31 @@ class EsQueryDslSpec extends AnyFunSuite {
     assert(!range.has("gt") && !range.has("lte"))
   }
 
+  test("the streaming offset probe is a size-0 max-time aggregation") {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(EsQueryDsl.maxTimeRequest)
+    assert(m.path("size").asInt(-1) === 0, "no hits may ship with the probe")
+    assert(m.path("aggs").path("max_time").path("max").path("field").asText() === "time")
+  }
+
+  test("envelope-only projection: pure _source.includes, never exists clauses") {
+    val body = EsQueryDsl.searchRequest(Seq.empty, Seq.empty, 10,
+      envelopeIncludes = EsQueryDsl.RootFields)
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    assert(n.path("_source").path("includes").size() === EsQueryDsl.RootFields.size)
+    assert(n.path("query").path("bool").path("should").isMissingNode,
+      "a projection must not change the row set")
+  }
+
+  test("duplicate range conjuncts tighten: max of gte, min of lt") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    val body = EsQueryDsl.searchRequest(Seq(
+      GreaterThanOrEqual("time", 100L), GreaterThanOrEqual("time", 250L),
+      LessThan("time", 900L), LessThan("time", 700L)), Seq.empty, 10)
+    val r = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      .path("query").path("bool").path("filter").get(0).path("range").path("time")
+    assert(r.path("gte").asText() === "250" && r.path("lt").asText() === "700")
+  }
+
   test("pushed TopN direction surfaces in the sort clause") {
     val desc = mapper.readTree(EsQueryDsl.searchRequest(filters, Nil, 10, sortDesc = true))
     assert(desc.path("sort").get(0).path("time").path("order").asText() === "desc")
