@@ -109,6 +109,9 @@ object ChSignalStub {
   def start(): HttpServer = {
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[SRow]()
     val created = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // insert_deduplication_token semantics (a real CH's insert-block
+    // dedup): a re-sent tokened block is acknowledged but not re-stored
+    val seenTokens = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val dirty = new java.util.concurrent.atomic.AtomicBoolean(true)
     @volatile var snapshot: IndexedSeq[SRow] = IndexedSeq.empty
     def all(): IndexedSeq[SRow] = {
@@ -138,6 +141,11 @@ object ChSignalStub {
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         if (q.startsWith("INSERT INTO `signal`")) {
           if (!created.get()) { respond(ex, 400, "Table signal does not exist"); return }
+          val token = Option(ex.getRequestURI.getRawQuery).flatMap(_.split("&").collectFirst {
+            case kv if kv.startsWith("insert_deduplication_token=") =>
+              java.net.URLDecoder.decode(kv.substring(27), "UTF-8")
+          })
+          if (token.exists(!seenTokens.add(_))) { respond(ex, 200, ""); return }
           body.split("\n").iterator.filter(_.nonEmpty).foreach { line =>
             val m = CsvLine.matcher(line)
             if (!m.matches()) { respond(ex, 400, s"stub cannot parse CSV line: $line"); return }

@@ -36,9 +36,9 @@ private[graft] final class ClickHouseHttpClient(baseUrl: String, timeoutMs: Long
     .connectTimeout(Duration.ofMillis(timeoutMs)).build()
 
   private def post(queryParam: Option[String], body: Array[Byte],
-      retryTransport: Boolean = false): String = {
+      retryTransport: Boolean = false, extraParams: String = ""): String = {
     val uri = queryParam match {
-      case Some(q) => s"$baseUrl/?query=${java.net.URLEncoder.encode(q, "UTF-8")}"
+      case Some(q) => s"$baseUrl/?query=${java.net.URLEncoder.encode(q, "UTF-8")}$extraParams"
       case None => s"$baseUrl/"
     }
     val req = HttpRequest.newBuilder(URI.create(uri))
@@ -70,10 +70,24 @@ private[graft] final class ClickHouseHttpClient(baseUrl: String, timeoutMs: Long
   /** Run a statement with no result (DDL, etc.). */
   def execute(sql: String): Unit = { post(None, sql.getBytes(StandardCharsets.UTF_8)); () }
 
-  /** One CSV insert batch — the reference's PrepareBatch/Append/Send unit. */
-  def insertCsv(table: String, columns: Seq[String], csvBody: Array[Byte]): Unit = {
+  /** One CSV insert batch — the reference's PrepareBatch/Append/Send unit.
+    *
+    * @param dedupToken ClickHouse `insert_deduplication_token`: a
+    *        DETERMINISTIC token makes the server drop an identical
+    *        re-sent block (Replicated*MergeTree always; plain MergeTree
+    *        with `non_replicated_deduplication_window`), which is what
+    *        turns a retried Spark task's re-insert into exactly-once.
+    *        None = the reference client's behavior (no token).
+    */
+  def insertCsv(table: String, columns: Seq[String], csvBody: Array[Byte],
+      dedupToken: Option[String] = None): Unit = {
     val cols = columns.map(c => s"`$c`").mkString(", ")
-    post(Some(s"INSERT INTO `$table` ($cols) FORMAT CSV"), csvBody)
+    val tok = dedupToken.map(t =>
+      s"&insert_deduplication_token=${java.net.URLEncoder.encode(t, "UTF-8")}").getOrElse("")
+    // a TOKENED insert is idempotent (the server dedups the re-sent
+    // block), so transport errors may retry; an untokened one must not
+    post(Some(s"INSERT INTO `$table` ($cols) FORMAT CSV"), csvBody,
+      retryTransport = dedupToken.isDefined, extraParams = tok)
     ()
   }
 

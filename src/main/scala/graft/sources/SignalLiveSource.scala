@@ -154,7 +154,7 @@ class SignalLiveTable(url: String, table: String, partitions: Int)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new SignalLiveWriteBuilder(url, table, info.schema())
+    new SignalLiveWriteBuilder(url, table, info.schema(), info.queryId())
 }
 
 /** DSv2 append into ClickHouse over HTTP: `df.write.format
@@ -164,16 +164,21 @@ class SignalLiveTable(url: String, table: String, partitions: Int)
   * clickhouse.go:113-130 [ext]); timestamps ship as epoch-seconds
   * decimals (zone-independent).
   *
-  * Commit semantics are ClickHouse's: an INSERT is visible as soon as the
-  * server accepts it (one part per batch, no staging), so a retried task
-  * is AT-LEAST-ONCE here — exactly the reference client's behavior. On a
-  * Replicated*MergeTree the server's insert-block dedup absorbs the
-  * identical retried batch (this writer emits deterministic batch
-  * contents per task attempt for that reason); on a plain MergeTree the
-  * caller dedups downstream (the engine's FINAL collapse) or accepts the
-  * duplicate, as the reference deployment does.
+  * Commit semantics: an INSERT is visible as soon as the server accepts
+  * it (one part per batch, no staging), but every batch carries a
+  * DETERMINISTIC `insert_deduplication_token`
+  * (`graft-<queryId>-p<partition>-b<ordinal>` — identical across task
+  * ATTEMPTS), so the server drops a retried task's re-sent blocks and
+  * the write is EXACTLY-ONCE on a Replicated*MergeTree (and on a plain
+  * MergeTree with `non_replicated_deduplication_window` set); tokened
+  * inserts are also transport-retry-safe. The standard ClickHouse caveat
+  * applies — the token, not the content, is the identity, so a
+  * NONDETERMINISTIC upstream (rare for a sync pipeline) could have a
+  * retry drop a block whose recomputed content differs; the reference
+  * deployment (no tokens at all) simply duplicates there instead.
   */
-class SignalLiveWriteBuilder(url: String, table: String, schema: StructType)
+class SignalLiveWriteBuilder(url: String, table: String, schema: StructType,
+    queryId: String)
     extends org.apache.spark.sql.connector.write.WriteBuilder {
   import org.apache.spark.sql.connector.write._
   locally {
@@ -184,14 +189,15 @@ class SignalLiveWriteBuilder(url: String, table: String, schema: StructType)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-        new SignalLiveWriterFactory(url, table, schema)
+        new SignalLiveWriterFactory(url, table, schema, queryId)
       override def commit(messages: Array[WriterCommitMessage]): Unit = ()
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
     }
   }
 }
 
-class SignalLiveWriterFactory(url: String, table: String, schema: StructType)
+class SignalLiveWriterFactory(url: String, table: String, schema: StructType,
+    queryId: String)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
@@ -200,9 +206,14 @@ class SignalLiveWriterFactory(url: String, table: String, schema: StructType)
       private val columns = schema.fieldNames.toSeq
       private val sb = new java.lang.StringBuilder(1 << 16)
       private var n = 0
+      private var batchOrdinal = 0
       private def flush(): Unit = if (sb.length() > 0) {
+        // deterministic per (query, partition, batch ordinal): identical
+        // across task ATTEMPTS, so a retry's re-send dedups server-side
         client.insertCsv(table, columns,
-          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          dedupToken = Some(s"graft-$queryId-p$partitionId-b$batchOrdinal"))
+        batchOrdinal += 1
         sb.setLength(0); n = 0
       }
       override def write(row: InternalRow): Unit = {

@@ -158,6 +158,40 @@ class ChLiveSourceSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("a retried write task dedups server-side (deterministic insert_deduplication_token)") {
+    val server = graft.queries.ChSignalStub.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val client = new graft.sources.ClickHouseHttpClient(url)
+      client.execute(graft.sources.ClickHouseDdl.signalTableDdl(schema))
+      // client level: an identical re-sent tokened block stores once
+      val csv = "1,1704000000.000000,\"speed\",2.0,\"x\"\n".getBytes("UTF-8")
+      val cols = Seq("token_id", "timestamp", "name", "value_number", "value_string")
+      client.insertCsv("signal", cols, csv, dedupToken = Some("tok-a"))
+      client.insertCsv("signal", cols, csv, dedupToken = Some("tok-a")) // the retry
+      client.insertCsv("signal", cols, csv, dedupToken = Some("tok-b")) // a real new block
+      assert(live(url).count() === 2, "same token once, new token appends")
+
+      // writer level: attempt 2 of the SAME (query, partition) re-sends
+      // identical batches under identical tokens — exactly-once
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.unsafe.types.UTF8String
+      val factory = new graft.sources.SignalLiveWriterFactory(url, "signal", schema, "q-retry")
+      def attempt(taskId: Long): Unit = {
+        val w = factory.createWriter(0, taskId)
+        (0 until 5).foreach { i =>
+          w.write(InternalRow(10L + i, 1704000000000000L + i * 1000000L,
+            UTF8String.fromString("soc"), 1.5 * i, UTF8String.fromString(s"v$i")))
+        }
+        w.commit()
+      }
+      attempt(taskId = 1)
+      attempt(taskId = 2) // the speculative/retried attempt
+      assert(live(url).where(col("name") === "soc").count() === 5,
+        "the retry's re-sent blocks must dedup on their tokens")
+    } finally server.stop(0)
+  }
+
   test("an empty result plans zero tasks (the planning envelope short-circuits)") {
     withStore(seed(3, 4)) { url =>
       val none = live(url).where(col("token_id") === 999L)
