@@ -124,6 +124,55 @@ object LiveProbe {
           f"output $nL rows both)")
       } finally server2.stop(0)
     }
+
+    // ── section 3: the CH read source's aggregate pushdown — the wire
+    // carries GROUPS, not rows. Same grouped aggregate computed (a) with
+    // the pushdown (partial per token range, Spark merges) and (b) from
+    // the full row scan with the aggregation in Spark.
+    {
+      import org.apache.spark.sql.types._
+      val nRows = nDocs // reuse the probe's scale knob
+      val server3 = graft.queries.ChSignalStub.start()
+      try {
+        val url = s"http://127.0.0.1:${server3.getAddress.getPort}"
+        val client = new graft.sources.ClickHouseHttpClient(url)
+        client.execute(graft.sources.ClickHouseDdl.signalTableDdl(StructType(Seq(
+          StructField("token_id", LongType, nullable = false),
+          StructField("timestamp", TimestampType, nullable = false),
+          StructField("name", StringType, nullable = false),
+          StructField("value_number", DoubleType, nullable = true),
+          StructField("value_string", StringType, nullable = true)))))
+        val df = spark.range(0, nRows, 1, 8).selectExpr(
+          s"id % $nSubjects as token_id",
+          "timestamp_micros(1704000000000000 + id * 1000) as timestamp",
+          "CASE WHEN id % 2 = 0 THEN 'speed' ELSE 'soc' END as name",
+          "CAST(id % 1000 AS DOUBLE) as value_number",
+          "CAST(NULL AS STRING) as value_string")
+        df.write.format("graft-signal-live").option("url", url).mode("append").save()
+        def read() = spark.read.format("graft-signal-live")
+          .option("url", url).option("partitions", "8").load()
+        def pushed() = read().groupBy("token_id")
+          .agg(count(lit(1)).as("n"), sum("value_number").as("s")).count()
+        // defeat the pushdown with an expression aggregate: rows ship
+        def rowShip() = read().groupBy("token_id")
+          .agg(count(lit(1)).as("n"), sum(col("value_number") + 0.0).as("s")).count()
+        pushed(); rowShip() // warm
+        var t0 = System.nanoTime()
+        val g1 = pushed()
+        val wallP = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val g2 = rowShip()
+        val wallR = (System.nanoTime() - t0) / 1e9
+        require(g1 == g2)
+        // loopback wall cannot price bandwidth (the wire is free here, and
+        // the stub computes the same group-by either way); the SCALE
+        // number is rows-on-the-wire: ≤ groups×partitions partials vs
+        // every row
+        println(f"[liveprobe] CH read ($nRows rows, $g1 groups): pushed agg ships " +
+          f"≤ ${g1 * 8} partial rows (wall $wallP%.2f s), row-ship ships $nRows rows " +
+          f"(wall $wallR%.2f s) — ${nRows.toDouble / (g1 * 8)}%.0fx fewer wire rows")
+      } finally server3.stop(0)
+    }
     spark.stop()
   }
 }
