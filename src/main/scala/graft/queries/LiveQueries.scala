@@ -114,12 +114,22 @@ object LiveQueries {
           return
         }
         val signalMode = hasExists && hasIncludes
-        val hits = subject.map(s => bySubject.getOrElse(s, IndexedSeq.empty))
+        val matched = subject.map(s => bySubject.getOrElse(s, IndexedSeq.empty))
           .getOrElse(allSorted).iterator
           .filter { d =>
             gteMs.forall(d.timeUs / 1000 >= _) && ltMs.forall(d.timeUs / 1000 < _) &&
               (!signalMode || d.signalJson.isDefined)
           }
+        if (size == 0) {
+          // the stats probe: hits.total for the pushed-filter state
+          val res = s"""{"hits":{"total":{"value":${matched.size},"relation":"eq"},"hits":[]}}"""
+          val bytes = res.getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+          return
+        }
+        val hits = matched
           .take(size).toSeq
           .map { d =>
             val src = if (signalMode) d.signalJson.get else d.json

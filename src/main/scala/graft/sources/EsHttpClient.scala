@@ -138,6 +138,18 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     Vector.empty // unreachable
   }
 
+  /** Matching-document count for a pushed-filter state: a `size: 0`
+    * search whose `hits.total.value` is the answer (the planning probe
+    * behind the live scan's reported statistics). `relation: "gte"`
+    * (ES caps exact totals at 10k by default) still serves — a LOWER
+    * bound only ever under-reports, which errs toward the safe
+    * non-broadcast side.
+    */
+  def countFor(index: String, filters: Seq[org.apache.spark.sql.sources.Filter]): Long = {
+    val body = EsQueryDsl.searchRequest(filters, Seq.empty, 0)
+    mapper.readTree(search(index, body)).path("hits").path("total").path("value").asLong(0L)
+  }
+
   /** The index's newest event time in epoch millis (None when empty) —
     * [[EsQueryDsl.maxTimeRequest]] round trip; the streaming source's
     * latestOffset probe.

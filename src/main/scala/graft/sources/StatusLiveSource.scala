@@ -191,9 +191,32 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     stopBySubject: Map[String, Long],
     filters: Array[Filter], required: StructType,
     limit: Int = -1, topN: Int = -1, topNDesc: Boolean = true,
-    maxTasks: Int = 64) extends Scan with Batch {
+    maxTasks: Int = 64) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   private[sources] def index0: String = index
+
+  /** Reported statistics: one size-0 planning probe for the pushed-filter
+    * match count ([[EsHttpClient.countFor]]), so a small live snapshot
+    * joined against a big fact BROADCASTS on data instead of defaulting
+    * to never-broadcast. Bytes estimate ~512/doc (a CloudEvents status
+    * envelope + small payload); ES's 10k total cap under-reports, which
+    * errs toward the safe non-broadcast side. Memoized — statistics and
+    * planning share one probe per scan.
+    */
+  private lazy val matchCount: Long =
+    try new EsHttpClient(url).countFor(index, filters.toSeq)
+    catch { case scala.util.control.NonFatal(_) => -1L } // unknown: report nothing
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (matchCount < 0) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(matchCount * 512L)
+      override def numRows(): java.util.OptionalLong =
+        if (matchCount < 0) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(matchCount)
+    }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this

@@ -137,8 +137,11 @@ class EndToEndSyncSpec extends SparkTestBase {
       assert(sink1.count() === 2L * 5 * 2)
       // the pushed subject census fans out per-subject requests
       import scala.jdk.CollectionConverters._
-      assert(requests.asScala.forall(b =>
-        mapper.readTree(b).path("query").path("bool").path("filter").get(0)
+      def dataBodies(): Seq[com.fasterxml.jackson.databind.JsonNode] =
+        requests.asScala.toSeq.map(mapper.readTree)
+          .filter(_.path("size").asInt(-1) != 0) // drop the stats probes
+      assert(dataBodies().forall(b =>
+        b.path("query").path("bool").path("filter").get(0)
           .path("match").path("subject").isObject),
         "every round-1 request is a per-subject loop (the pushed IN-set)")
 
@@ -149,7 +152,7 @@ class EndToEndSyncSpec extends SparkTestBase {
       assert(n2 === 2L * 2 * 2, "resume = only the backfill window")
       // THE point: every round-2 request's exclusive stop is the token's
       // watermark (t0+100ms for both), never the global stop (t0+1000ms)
-      val round2Bodies = requests.asScala.toSeq.map(mapper.readTree)
+      val round2Bodies = dataBodies()
       assert(round2Bodies.nonEmpty)
       round2Bodies.foreach { b =>
         val lt = b.path("query").path("bool").path("filter").get(1)

@@ -106,17 +106,18 @@ class EsLiveSourceSpec extends SparkTestBase {
           path.split('.').foreach(p => node = node.path(p))
           !node.isMissingNode
         }
-        val hits = docs
+        val matched = docs
           .filter(d => subject.forall(_ == d.subject) &&
             gte.forall(d.timeMs >= _) && lt.forall(d.timeMs < _) &&
             (msm == 0 || exists.count(hasPath(d.json, _)) >= msm))
+        val hits = matched
           .sortBy(-_.timeMs)
           .take(size)
           .map { d =>
             val src = if (incl.isEmpty) d.json else projectSource(d.json, incl)
             s"""{"_index":"device-status","_id":"${d.id}","_source":$src}"""
           }
-        val res = s"""{"hits":{"total":{"value":${hits.length}},"hits":[${hits.mkString(",")}]}}"""
+        val res = s"""{"hits":{"total":{"value":${matched.length}},"hits":[${hits.mkString(",")}]}}"""
         val bytes = res.getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.add("Content-Type", "application/json")
         ex.sendResponseHeaders(200, bytes.length)
@@ -304,6 +305,23 @@ class EsLiveSourceSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("reported statistics (hits.total probe) let a small live snapshot broadcast") {
+    val docs = (0 until 30).map(i =>
+      Doc(s"st$i", s"s${i % 3}", 1704000000000L + i * 1000L, i * 1.0))
+    val server = startStub(docs, new ConcurrentLinkedQueue[String]())
+    try {
+      val live = liveDf(server).select("id", "subject")
+      assert(live.queryExecution.optimizedPlan.stats.sizeInBytes === BigInt(30 * 512L),
+        "the size-0 probe's hits.total must reach the planner")
+      val fact = spark.range(0, 5000).selectExpr("CAST(id % 3 AS STRING) as subject", "id as x")
+      val j = fact.join(live, Seq("subject"))
+      j.collect()
+      val nodes = allExecNodes(j.queryExecution.executedPlan).map(_.getClass.getSimpleName)
+      assert(nodes.exists(_.contains("BroadcastHashJoin")),
+        s"true (tiny) reported stats must yield BHJ, got:\n${nodes.mkString(", ")}")
+    } finally server.stop(0)
+  }
+
   test("wire shape surfaces as scan metrics: pages fetched, docs shipped") {
     val good = (0 until 20).map(i => Doc(s"m$i", "s0", 1704000000000L + i * 1000L, i * 1.0))
     val server = startStub(good, new ConcurrentLinkedQueue[String]())
@@ -336,8 +354,9 @@ class EsLiveSourceSpec extends SparkTestBase {
       val top = df.orderBy(col("time").desc).limit(3).collect().map(_.getString(0))
       assert(top.toSeq === Seq("k39", "k38", "k37"))
       import scala.jdk.CollectionConverters._
+      // size-0 entries are the scan's statistics probe (hits.total)
       val sizes = requests.asScala.toSeq.map(r =>
-        mapper.readTree(r.split("\n", 2)(1)).path("size").asInt())
+        mapper.readTree(r.split("\n", 2)(1)).path("size").asInt()).filter(_ != 0)
       assert(sizes === Seq(3, 3),
         s"one size-3 request per subject loop (the reference's sort desc + size): $sizes")
       // file-source twin agrees
@@ -359,8 +378,9 @@ class EsLiveSourceSpec extends SparkTestBase {
       requests.clear()
       val asc = df.orderBy(col("time").asc).limit(2).collect().map(_.getString(0))
       assert(asc.toSeq === Seq("k0", "k1"))
-      assert(requests.asScala.forall(r =>
-        mapper.readTree(r.split("\n", 2)(1)).path("size").asInt() === 100),
+      assert(requests.asScala.map(r =>
+        mapper.readTree(r.split("\n", 2)(1)).path("size").asInt()).filter(_ != 0)
+        .forall(_ === 100),
         "an ASC top-K must keep full-size pages (it reads its whole window)")
     } finally server.stop(0)
   }
