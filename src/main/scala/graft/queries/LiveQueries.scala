@@ -631,6 +631,76 @@ object LiveQueries {
                CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS newest_us
              FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
              GROUP BY 1""")
+    ),
+
+    // ── The reference's FULL configuration over the wire (r12):
+    //    SIGNAL_NAMES set (sync.go:236-256) + two-round watermark resume —
+    //    every request carries BOTH the signal projection
+    //    (`_source.includes` + `exists` + msm, which the stub REQUIRES)
+    //    AND the per-token windows; the sink's watermarks are computed
+    //    over the configured signal only (SyncOps.watermarks wmNames),
+    //    and the explode extracts exactly that signal (1 row/doc — the
+    //    projection stripped everything else, so even a wrong-field
+    //    extraction has nothing to find). Oracle: one pass over events,
+    //    one signal per doc.
+    QueryDef(
+      "q218_live_sync_signals",
+      (s, d) => {
+        import graft.jobs.{SyncJob, SyncOptions}
+        import graft.sources.{DeviceDim, SignalSink}
+        val evs = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id").cast("string").as("subject"),
+            expr("unix_micros(ts)").as("tsu"),
+            round(col("value") * 100).cast(LongType).as("cents"))
+          .collect() // seeds the TEST DOUBLE; the measured path is below
+        val mid = { val ts = evs.map(_.getLong(1)); (ts.min + ts.max) / 2 }
+        def mkDocs(rows: Seq[org.apache.spark.sql.Row]): IndexedSeq[StubDoc] =
+          rows.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+            val (subj, tsu, cents) = (r.getString(0), r.getLong(1), r.getLong(2))
+            val iso = java.time.Instant.ofEpochSecond(tsu / 1000000L, (tsu % 1000000L) * 1000L)
+            val envelope =
+              s""""id":"g$i","subject":"$subj","source":"dimo/integration/live",""" +
+                s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v1.0",""" +
+                s""""type":"com.dimo.device.status""""
+            StubDoc(s"g$subj-$tsu-$i", subj, tsu,
+              s"""{$envelope,"data":{"speed":$cents,"make":"m"}}""",
+              signalJson = Some(s"""{$envelope,"data":{"speed":$cents}}"""))
+          }
+        val (newer, older) = evs.toIndexedSeq.partition(_.getLong(1) / 1000 >= mid / 1000)
+        val tokens = evs.map(_.getString(0)).distinct.sorted
+        val dim = DeviceDim.identityDim(s, tokens.map(_.toLong).toSeq.sorted)
+        val opts = SyncOptions(tokens = tokens.toSeq,
+          signalNames = Seq("Vehicle.Speed"),
+          start = Some(new java.sql.Timestamp(0L)),
+          stop = Some(new java.sql.Timestamp(9999999999999L)))
+        val sinkDir = java.nio.file.Files
+          .createTempDirectory("graft-q218-sink").resolve("signals").toString
+        def syncRound(docs: IndexedSeq[StubDoc],
+            sink: Option[org.apache.spark.sql.DataFrame]): Unit = {
+          // requireSignalClauses: a request WITHOUT the projection is 400
+          val server = startStub(docs, requireSignalClauses = true)
+          try {
+            val out = SyncJob.runLive(s,
+              s"http://127.0.0.1:${server.getAddress.getPort}", dim, sink, opts,
+              batchSize = 2000)
+            SignalSink.appendParquet(out, sinkDir, buckets = 8)
+          } finally server.stop(0)
+        }
+        syncRound(mkDocs(newer), None)
+        syncRound(mkDocs(newer ++ older), Some(SignalSink.readParquet(s, sinkDir)))
+        SignalSink.readParquet(s, sinkDir)
+          .groupBy(col("tokenId").as("token_id"))
+          .agg(count(lit(1)).as("n_signals"),
+            sum(col("valueNumber")).cast(LongType).as("speed_sum"),
+            expr("min(unix_micros(timestamp))").as("oldest_us"))
+      },
+      Some("""SELECT CAST(user_id AS BIGINT) AS token_id,
+               count(*)::BIGINT AS n_signals,
+               sum(CAST(round(value*100) AS BIGINT))::BIGINT AS speed_sum,
+               CAST(min(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS oldest_us
+             FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             GROUP BY 1""")
     )
   )
 }
