@@ -44,6 +44,26 @@ object Bench {
         else ("sync_e2e_8000docs", -1.0, -1.0)
       } catch { case _: Throwable => ("sync_e2e_8000docs", -1.0, -1.0) }
 
+    // Pinned-seed fuzz rounds as ledger entries: a regression in the wire
+    // pagination state machine or the storage lifecycle fails the DRIVER'S
+    // bench run (value -1), not just CI — the harnesses raise on the first
+    // model divergence. Seeds match the spec campaigns (shorter runs).
+    val fuzzBench: Seq[(String, Double, Double)] =
+      Seq[(String, () => Unit)](
+        ("fuzz_pagination_seeded", () => graft.sources.PaginationFuzz.run(20260815L, 12)),
+        ("fuzz_lifecycle_seeded", () => graft.jobs.LifecycleFuzz.run(spark, 20260815L, 1))
+      ).map { case (name, f) =>
+        try {
+          val c0 = syncOsBean.getProcessCpuTime
+          val t0 = System.nanoTime()
+          f()
+          (name, (System.nanoTime() - t0) / 1e9, (syncOsBean.getProcessCpuTime - c0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          (name, -1.0, -1.0)
+        }
+      }
+
     // Deterministic module-ordered run (declaration order, cheap relational
     // analytics first, the cache-sharing dedup/similarity families last and
     // contiguous). WITHIN a module, cached subtrees (e.g. the shingle-set
@@ -110,7 +130,7 @@ object Bench {
     val resultsCpu: Seq[(String, Double, Double)] =
       firstPass.map { case (n, _, t, c) =>
         val (tf, cf) = retried.getOrElse(n, (t, c)); (n, tf, cf)
-      } :+ ((syncBench._1, syncBench._2, syncBench._3))
+      } :+ ((syncBench._1, syncBench._2, syncBench._3)) :++ fuzzBench
     val results: Seq[(String, Double)] = resultsCpu.map { case (n, t, _) => n -> t }
 
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)

@@ -123,6 +123,13 @@ object SyncJob {
     * The two driver-side gathers (subjects, watermarks) are one row per
     * token — exactly the state the reference's loop holds in memory
     * (sync.go:61-100); tasks receive only their own group's stop slice.
+    * Fleet-scale transport: past [[PathModeThreshold]] tokens the census
+    * and the watermark map are STAGED TO FILES the planner reads once
+    * (`subjectsPath` / `stopBySubjectPath`) instead of riding as an
+    * IN-set expression and a JSON option string — a million-token fleet
+    * would otherwise push ~30 MB of catalog-property JSON through every
+    * plan copy. Below the threshold the inline options keep the plan
+    * self-contained (no file dependency for ad-hoc use).
     * [[run]]'s watermark JOIN filter still applies afterwards (free),
     * which also absorbs the precision gap: the wire window stops at
     * ceil(watermark) in millis (a superset — ES ranges are epoch-millis),
@@ -135,7 +142,8 @@ object SyncJob {
       existingSink: Option[DataFrame],
       opts: SyncOptions = SyncOptions(),
       index: String = "device-status",
-      batchSize: Int = 1000
+      batchSize: Int = 1000,
+      pathModeThreshold: Int = PathModeThreshold
   ): DataFrame = {
     val explicitTokens = SyncOps.parseTokenList(opts.tokens)
     val scopedDim =
@@ -166,13 +174,34 @@ object SyncJob {
       .option("url", url).option("index", index).option("batchSize", batchSize.toString)
     if (opts.signalNames.nonEmpty)
       reader = reader.option("signals", opts.signalNames.mkString(","))
-    if (stops.nonEmpty)
-      reader = reader.option("stopBySubject", graft.sources.StatusLiveSource.stopsJson(stops))
-    val docs = reader.load()
-      .where(col("subject").isin(subjects: _*))
-      .select(col("subject"), col("source"), col("time"), col("data"))
+    val pathMode = subjects.length > pathModeThreshold
+    if (stops.nonEmpty) {
+      if (pathMode) {
+        val f = java.nio.file.Files.createTempFile("graft-stops", ".json")
+        f.toFile.deleteOnExit()
+        graft.sources.StatusLiveSource.writeStops(stops, f.toString)
+        reader = reader.option("stopBySubjectPath", f.toString)
+      } else
+        reader = reader.option("stopBySubject", graft.sources.StatusLiveSource.stopsJson(stops))
+    }
+    val base =
+      if (pathMode) {
+        // census via the staged file: per-subject fan-out without an
+        // O(fleet) IN expression; run()'s dim join still enforces scope
+        val f = java.nio.file.Files.createTempFile("graft-subjects", ".txt")
+        f.toFile.deleteOnExit()
+        graft.sources.StatusLiveSource.writeSubjects(subjects, f.toString)
+        reader.option("subjectsPath", f.toString).load()
+      } else
+        reader.load().where(col("subject").isin(subjects: _*))
+    val docs = base.select(col("subject"), col("source"), col("time"), col("data"))
     run(docs, dim, existingSink, opts)
   }
+
+  /** Token count above which [[runLive]] stages the census and watermark
+    * map to planner-read files instead of inline options/expressions.
+    */
+  val PathModeThreshold: Int = 1000
 
   def runObserved(
       docs: DataFrame,

@@ -60,7 +60,8 @@ object LiveQueries {
   private[graft] def startStub(docs: IndexedSeq[StubDoc],
       requireSignalClauses: Boolean = false,
       served: java.util.concurrent.atomic.AtomicLong =
-        new java.util.concurrent.atomic.AtomicLong): HttpServer = {
+        new java.util.concurrent.atomic.AtomicLong,
+      sizeCap: Int = Int.MaxValue): HttpServer = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val server = loopbackServer(1024)
     val tf = new java.util.concurrent.ThreadFactory {
@@ -76,6 +77,10 @@ object LiveQueries {
       docs.groupBy(_.subject).view.mapValues(
         _.sortBy(d => (-d.timeUs, d.id))).toMap
     val allSorted = docs.sortBy(d => (-d.timeUs, d.id))
+    // the search_after drain grammar reads `_id` ascending
+    lazy val bySubjectId: Map[String, IndexedSeq[StubDoc]] =
+      docs.groupBy(_.subject).view.mapValues(_.sortBy(_.id)).toMap
+    lazy val allById = docs.sortBy(_.id)
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         val req = mapper.readTree(ex.getRequestBody.readAllBytes())
@@ -90,6 +95,16 @@ object LiveQueries {
           return
         }
         val size = req.path("size").asInt(10)
+        if (size > sizeCap) {
+          // a capped cluster: an over-sized page trips the circuit breaker
+          // (the reference's halving trigger, sync.go:163-178)
+          val err = """{"error":"circuit_breaking_exception: Data too large"}"""
+          val bytes = err.getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(500, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+          return
+        }
         var subject: Option[String] = None
         var gteMs: Option[Long] = None
         var ltMs: Option[Long] = None
@@ -100,6 +115,7 @@ object LiveQueries {
           if (r.has("gte")) gteMs = Some(r.get("gte").asText().toLong)
           if (r.has("lt")) ltMs = Some(r.get("lt").asText().toLong)
         }
+        val idSort = req.path("sort").size() > 0 && req.path("sort").get(0).has("_id")
         val hasExists = req.path("query").path("bool").path("should").size() > 0 &&
           req.path("query").path("bool").path("minimum_should_match").asInt(0) >= 1
         val hasIncludes = req.path("_source").path("includes").size() > 0
@@ -114,8 +130,18 @@ object LiveQueries {
           return
         }
         val signalMode = hasExists && hasIncludes
-        val matched = subject.map(s => bySubject.getOrElse(s, IndexedSeq.empty))
-          .getOrElse(allSorted).iterator
+        val base =
+          if (idSort) {
+            // the search_after drain grammar: `_id` ascending within the
+            // window, cursor-exclusive
+            val after = Option(req.get("search_after")).filter(_.isArray)
+              .map(_.get(0).asText())
+            subject.map(s => bySubjectId.getOrElse(s, IndexedSeq.empty))
+              .getOrElse(allById).iterator
+              .filter(d => after.forall(d.id > _))
+          } else subject.map(s => bySubject.getOrElse(s, IndexedSeq.empty))
+            .getOrElse(allSorted).iterator
+        val matched = base
           .filter { d =>
             gteMs.forall(d.timeUs / 1000 >= _) && ltMs.forall(d.timeUs / 1000 < _) &&
               (!signalMode || d.signalJson.isDefined)
@@ -699,6 +725,112 @@ object LiveQueries {
                count(*)::BIGINT AS n_signals,
                sum(CAST(round(value*100) AS BIGINT))::BIGINT AS speed_sum,
                CAST(min(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS oldest_us
+             FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             GROUP BY 1"""),
+    ),
+
+    // ── LIVE ClickHouse ROW SCAN, streamed (r13): the unaggregated read
+    //    path — name-IN filter and column pruning compile into the CH
+    //    SELECT (grammar-policed by the stub), and every matching ROW
+    //    crosses the wire into Spark through `queryStream`
+    //    (BodyHandlers.ofLines): the response is consumed incrementally
+    //    off the socket, never materialized per partition — the
+    //    reference's `rows.Next()` posture (clickhouse.go:79-84), and the
+    //    r12 verdict's one scale hazard, closed. Row-level result (one
+    //    output row per signal row) so any lost/duplicated/corrupted wire
+    //    row breaks the DuckDB hash directly.
+    QueryDef(
+      "q219_live_ch_row_scan",
+      (s, d) => {
+        import graft.sources.{ClickHouseDdl, ClickHouseHttpClient}
+        import org.apache.spark.sql.types._
+        val signals = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id").cast(LongType).as("token_id"),
+            col("ts").cast(TimestampType).as("timestamp"),
+            col("event_type").cast(StringType).as("name"),
+            round(col("value") * 100).cast(DoubleType).as("value_number"),
+            col("event_id").cast(StringType).as("value_string"))
+          .repartition(8)
+        val server = ChSignalStub.start()
+        try {
+          val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+          val client = new ClickHouseHttpClient(url)
+          client.execute(ClickHouseDdl.signalTableDdl(StructType(Seq(
+            StructField("token_id", LongType, nullable = false),
+            StructField("timestamp", TimestampType, nullable = false),
+            StructField("name", StringType, nullable = false),
+            StructField("value_number", DoubleType, nullable = true),
+            StructField("value_string", StringType, nullable = true)))))
+          signals.write.format("graft-signal-live").option("url", url)
+            .mode("append").save()
+          val rows = s.read.format("graft-signal-live")
+            .option("url", url).option("partitions", "8").load()
+            .where(col("name").isin("click", "view"))
+            .select(col("token_id"),
+              expr("unix_micros(timestamp)").as("ts_us"),
+              col("name"),
+              col("value_number").cast(LongType).as("cents"))
+          rows.localCheckpoint(true) // materialize THROUGH the streamed live read
+        } finally server.stop(0)
+      },
+      Some("""SELECT CAST(user_id AS BIGINT) AS token_id,
+               CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us,
+               event_type AS name,
+               CAST(round(value*100) AS BIGINT) AS cents
+             FROM events
+             WHERE ts IS NOT NULL AND user_id IS NOT NULL
+               AND event_type IN ('click','view')"""),
+    ),
+
+    // ── LIVE ES read across tie runs WIDER than the servable page (r13):
+    //    every document lands on one of three tied milliseconds (bucket =
+    //    cents mod 3), thousands of ties each, against a stub whose
+    //    circuit breaker caps pages at 600 docs — the backward-paging
+    //    protocol alone CANNOT drain such a run (the reference silently
+    //    skips it, sync.go:151-155), so the read must widen to the cap,
+    //    fall back to the `search_after` drain
+    //    ([[graft.sources.EsQueryDsl.searchAfterRequest]]), drain each
+    //    tied millisecond by `_id` cursor, and resume below it. Any doc
+    //    lost to the cap (the reference's behavior) or duplicated by the
+    //    cursor breaks the count/sum oracle.
+    QueryDef(
+      "q220_live_es_tie_drain",
+      (s, d) => {
+        val Base = 1704000000000L
+        val evs = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(round(col("value") * 100).cast(LongType).as("cents"))
+          .collect() // seeds the TEST DOUBLE; the measured read is below
+        val docs: IndexedSeq[StubDoc] =
+          evs.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+            val cents = r.getLong(0)
+            val bucket = ((cents % 3) + 3) % 3 // deterministic tie bucket
+            val ms = Base + bucket * 60000L
+            val iso = java.time.Instant.ofEpochMilli(ms)
+            val json =
+              s"""{"id":"t$i","subject":"s0","source":"dimo/integration/live",""" +
+                s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v2.0",""" +
+                s""""type":"com.dimo.device.status","data":{"cents":$cents}}"""
+            StubDoc(f"t$i%07d", "s0", ms * 1000L, json)
+          }
+        val server = startStub(docs, sizeCap = 600)
+        try {
+          val live = s.read.format("graft-status-live")
+            .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+            .option("batchSize", "500")
+            .load()
+            .select(expr("unix_micros(time)").as("tie_us"),
+              get_json_object(col("data"), "$.cents").cast("long").as("cents"))
+            .groupBy(col("tie_us"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("cents")).as("cents"))
+          live.localCheckpoint(true) // materialize THROUGH the live stack
+        } finally server.stop(0)
+      },
+      Some("""SELECT (1704000000000000 +
+                      ((CAST(round(value*100) AS BIGINT) % 3 + 3) % 3) * 60000000)::BIGINT AS tie_us,
+               count(*)::BIGINT AS n_docs,
+               sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents
              FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
              GROUP BY 1""")
     )

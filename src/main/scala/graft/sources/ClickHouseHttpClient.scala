@@ -1,11 +1,20 @@
 package graft.sources
 
 import java.net.URI
-import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.http.{HttpRequest, HttpResponse}
 import java.nio.charset.StandardCharsets
 import java.time.Duration
 
 import org.apache.spark.sql.DataFrame
+
+/** The server answered with a non-200 status — a SEMANTIC failure (bad
+  * SQL, missing table, rejected insert), distinct by TYPE from transport
+  * IOExceptions so retry guards never have to sniff `getMessage` (which
+  * can legitimately be null on socket resets — an NPE there would replace
+  * the original error AND defeat the retry).
+  */
+private[graft] final class ChHttpStatusException(val statusCode: Int, body: String)
+    extends java.io.IOException(s"ClickHouse HTTP $statusCode: $body")
 
 /** LIVE ClickHouse client over CH's public HTTP interface — the wire half
   * of the write seam whose statement/DDL halves already exist
@@ -21,45 +30,56 @@ import org.apache.spark.sql.DataFrame
   *     parsed from TSV — `QueryOldestSignal` / `QueryTokenIDs`
   *     (clickhouse.go:65-110 [ext]), whose exact statements
   *     [[oldestSignalSql]] / [[tokenIdsSql]] reproduce from the
-  *     reference's sqlboiler builders.
+  *     reference's sqlboiler builders;
+  *   - `queryStream`: the same statement shape but the response consumed
+  *     INCREMENTALLY (`BodyHandlers.ofLines`) — the reference streams
+  *     result rows (`rows.Next()`, clickhouse.go:79-84 [ext]) and so must
+  *     a partition reader: an unbounded row SELECT per token range must
+  *     never buffer its whole result in executor memory.
   *
   * [[insertSignals]] is the DISTRIBUTED form: each Spark partition posts
   * its own CSV batch from the executor — at 100 TB the insert fan-out is
   * the cluster's, with ClickHouse's per-insert part creation (one part per
   * batch, merged by the server) as the commit unit. Spec-tested against a
   * loopback stub server; the zero-egress environment never opens a remote
-  * socket.
+  * socket. HTTPS endpoints get the TLS ≥ 1.2 floor via [[LiveHttp]] —
+  * the reference's own connection posture (clickhouse.go:41-47 [ext]).
   */
 private[graft] final class ClickHouseHttpClient(baseUrl: String, timeoutMs: Long = 30000) {
 
-  @transient private lazy val http = HttpClient.newBuilder()
-    .connectTimeout(Duration.ofMillis(timeoutMs)).build()
+  @transient private lazy val http = LiveHttp.newClient(timeoutMs)
 
-  private def post(queryParam: Option[String], body: Array[Byte],
-      retryTransport: Boolean = false, extraParams: String = ""): String = {
+  private def request(queryParam: Option[String], body: Array[Byte],
+      extraParams: String = ""): HttpRequest = {
     val uri = queryParam match {
       case Some(q) => s"$baseUrl/?query=${java.net.URLEncoder.encode(q, "UTF-8")}$extraParams"
       case None => s"$baseUrl/"
     }
-    val req = HttpRequest.newBuilder(URI.create(uri))
+    HttpRequest.newBuilder(URI.create(uri))
       .timeout(Duration.ofMillis(timeoutMs))
       .POST(HttpRequest.BodyPublishers.ofByteArray(body))
       .build()
-    // transport retry for IDEMPOTENT statements only (SELECTs): a dropped
-    // connection around an INSERT must surface — blind re-send would
-    // duplicate rows (CH INSERTs are visible on acceptance), and DDL can
-    // legitimately fail the second time
+  }
+
+  private def post(queryParam: Option[String], body: Array[Byte],
+      retryTransport: Boolean = false, extraParams: String = ""): String = {
+    val req = request(queryParam, body, extraParams)
+    // transport retry for IDEMPOTENT statements only (SELECTs and tokened
+    // inserts): a dropped connection around an untokened INSERT must
+    // surface — blind re-send would duplicate rows (CH INSERTs are visible
+    // on acceptance), and DDL can legitimately fail the second time.
+    // Status failures are a distinct TYPE (never message-sniffed): they
+    // pass through untouched.
     var attempt = 0
     while (true) {
       try {
         val res = http.send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
         if (res.statusCode() != 200)
-          throw new java.io.IOException(
-            s"ClickHouse HTTP ${res.statusCode()}: ${res.body()}")
+          throw new ChHttpStatusException(res.statusCode(), res.body())
         return res.body()
       } catch {
-        case e: java.io.IOException
-          if retryTransport && attempt < 4 && !e.getMessage.startsWith("ClickHouse HTTP") =>
+        case e: ChHttpStatusException => throw e
+        case _: java.io.IOException if retryTransport && attempt < 4 =>
           attempt += 1
           Thread.sleep(25L << attempt)
       }
@@ -91,11 +111,81 @@ private[graft] final class ClickHouseHttpClient(baseUrl: String, timeoutMs: Long
     ()
   }
 
-  /** Run a query, rows as TSV fields (idempotent ⇒ transport-retried). */
+  /** Run a query, rows as TSV fields, result fully materialized
+    * (idempotent ⇒ transport-retried). For the SMALL literal statements —
+    * planning envelopes, DISTINCT token ids, oldest-signal probes; a row
+    * scan of unknown size belongs on [[queryStream]].
+    */
   def query(sql: String): Seq[Array[String]] =
     post(None, s"$sql FORMAT TabSeparated".getBytes(StandardCharsets.UTF_8),
       retryTransport = true)
       .split("\n").toSeq.filter(_.nonEmpty).map(_.split("\t", -1))
+
+  /** Run a query, rows consumed INCREMENTALLY off the socket
+    * (`BodyHandlers.ofLines`): the response never materializes in client
+    * memory — the reference's `rows.Next()` loop (clickhouse.go:79-84
+    * [ext]) over HTTP. Transport retry applies only UP TO the response
+    * header (idempotent re-send); a failure MID-STREAM propagates — rows
+    * were already handed out, so the caller's task-level retry (Spark's)
+    * is the correct recovery, not a silent client-side re-read.
+    *
+    * The returned iterator is also `AutoCloseable`: close it to release
+    * the connection if abandoned before exhaustion.
+    */
+  def queryStream(sql: String): Iterator[Array[String]] with AutoCloseable = {
+    val req = request(None, s"$sql FORMAT TabSeparated".getBytes(StandardCharsets.UTF_8))
+    var res: HttpResponse[java.util.stream.Stream[String]] = null
+    var attempt = 0
+    while (res == null) {
+      try {
+        val r = http.send(req, HttpResponse.BodyHandlers.ofLines())
+        if (r.statusCode() != 200) {
+          // error bodies are small: drain them for the message
+          val body = {
+            val sb = new java.lang.StringBuilder
+            try r.body().forEach(l => { sb.append(l); sb.append('\n') })
+            finally r.body().close()
+            sb.toString.trim
+          }
+          throw new ChHttpStatusException(r.statusCode(), body)
+        }
+        res = r
+      } catch {
+        case e: ChHttpStatusException => throw e
+        case _: java.io.IOException if attempt < 4 =>
+          attempt += 1
+          Thread.sleep(25L << attempt)
+      }
+    }
+    val stream = res.body()
+    val lines = stream.iterator()
+    new scala.collection.AbstractIterator[Array[String]] with AutoCloseable {
+      // LAZY advance: a row is handed out as soon as IT arrives — never
+      // held hostage to the next row's bytes (prefetching in next() would
+      // block each row on its successor)
+      private var nextLine: String = null
+      private var finished = false
+      private def advance(): Unit =
+        while (nextLine == null && !finished) {
+          if (lines.hasNext) {
+            val l = lines.next()
+            if (l.nonEmpty) nextLine = l
+          } else {
+            finished = true
+            stream.close() // exhausted: release the connection eagerly
+          }
+        }
+      override def hasNext: Boolean = { advance(); nextLine != null }
+      override def next(): Array[String] = {
+        advance()
+        if (nextLine == null) throw new NoSuchElementException("queryStream exhausted")
+        val l = nextLine
+        nextLine = null
+        l.split("\t", -1)
+      }
+      override def close(): Unit = stream.close()
+    }
+  }
 
   /** Distributed batch insert: every partition posts its own CSV body.
     * CSV quoting: strings quote-doubled, null = empty unquoted field

@@ -5,7 +5,7 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.charset.StandardCharsets
 import java.time.{Duration, Instant}
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
 /** LIVE Elasticsearch client over the JDK HTTP stack — the wire half of
   * the read seam [[EsQueryDsl]] is the request-body half of. Speaks the
@@ -21,15 +21,27 @@ import com.fasterxml.jackson.databind.ObjectMapper
   *   - "Data too large" halving (sync.go:163-178 [ext]): a failed page
   *     retries at half the batch size down to 1 before giving up.
   *
+  * Every response body is Jackson-parsed ONCE ([[searchTree]]); the
+  * in-body error check and the hit extraction share the tree — per-page
+  * executor CPU matters when a fleet of tasks drives page loops.
+  *
   * No external dependency: `java.net.http.HttpClient` ships in the JDK,
   * so the client compiles and is spec-tested against a loopback stub
   * server — the zero-egress environment never opens a remote socket.
+  * HTTPS endpoints get the TLS ≥ 1.2 floor via [[LiveHttp]] (the
+  * reference's ClickHouse connection enforces the same floor,
+  * clickhouse.go:41-47 [ext]).
   */
 private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000) {
 
-  private val http = HttpClient.newBuilder()
-    .connectTimeout(Duration.ofMillis(timeoutMs)).build()
+  private val http = LiveHttp.newClient(timeoutMs)
   private val mapper = new ObjectMapper()
+
+  /** IOException messages can be null (socket resets commonly are) — a
+    * message probe must never NPE over the original transport error.
+    */
+  private def isDataTooLarge(e: java.io.IOException): Boolean =
+    e.getMessage != null && e.getMessage.contains("Data too large")
 
   /** Transport-level retry: a search POST is idempotent and a dropped
     * connection under load (reset, empty response) is retryable — up to 4
@@ -52,11 +64,11 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     null // unreachable
   }
 
-  /** One `_search` round trip: returns the raw response body. Non-200 and
+  /** One `_search` round trip, response parsed ONCE. Non-200 and
     * body-level `error` (ES reports shard failures at 200 sometimes)
     * raise with the body included — the reference's failure contract.
     */
-  def search(index: String, body: String): String = {
+  def searchTree(index: String, body: String): JsonNode = {
     val req = HttpRequest.newBuilder(URI.create(s"$baseUrl/$index/_search"))
       .timeout(Duration.ofMillis(timeoutMs))
       .header("Content-Type", "application/json")
@@ -71,21 +83,8 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     if (err != null && !err.isNull)
       throw new java.io.IOException(
         s"failed to get records from elasticsearch: ${err.toString}")
-    res.body()
+    root
   }
-
-  /** `hits.hits[]._source` of one response, each rendered back to bytes —
-    * the NDJSON-document form the decode path parses.
-    */
-  def sourcesOf(responseBody: String): Vector[Array[Byte]] =
-    hitsOf(responseBody).map(_._2)
-
-  /** `(_id, _source bytes)` per hit — `_id` is the INDEX-unique identity
-    * (the pagination dedup key; a payload-level `id` field carries no
-    * uniqueness contract).
-    */
-  def hitsOf(responseBody: String): Vector[(String, Array[Byte])] =
-    timedHitsOf(responseBody).map(h => (h._1, h._3))
 
   /** `(_id, epoch-millis of _source.time, _source bytes)` per hit — the
     * document time is extracted HERE, while the hit is already a parsed
@@ -93,8 +92,8 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     * (it needs the time up to three times per page). Absent/malformed
     * `time` ⇒ None, matching the decode path's null-time rule.
     */
-  def timedHitsOf(responseBody: String): Vector[(String, Option[Long], Array[Byte])] = {
-    val hits = mapper.readTree(responseBody).path("hits").path("hits")
+  def timedHitsOf(root: JsonNode): Vector[(String, Option[Long], Array[Byte])] = {
+    val hits = root.path("hits").path("hits")
     if (!hits.isArray) return Vector.empty
     val out = Vector.newBuilder[(String, Option[Long], Array[Byte])]
     hits.forEach { h =>
@@ -127,11 +126,11 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     var size = batchSize
     while (true) {
       try {
-        return sourcesOf(search(index,
+        return timedHitsOf(searchTree(index,
           EsQueryDsl.searchRequest(filters, requiredFields, size,
-            envelopeIncludes = envelopeIncludes)))
+            envelopeIncludes = envelopeIncludes))).map(_._3)
       } catch {
-        case e: java.io.IOException if size > 1 && e.getMessage.contains("Data too large") =>
+        case e: java.io.IOException if size > 1 && isDataTooLarge(e) =>
           size /= 2 // the reference halves and retries (sync.go:168-173)
       }
     }
@@ -139,15 +138,25 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
   }
 
   /** Matching-document count for a pushed-filter state: a `size: 0`
-    * search whose `hits.total.value` is the answer (the planning probe
-    * behind the live scan's reported statistics). `relation: "gte"`
-    * (ES caps exact totals at 10k by default) still serves — a LOWER
-    * bound only ever under-reports, which errs toward the safe
-    * non-broadcast side.
+    * search with `track_total_hits: true` whose `hits.total.value` is the
+    * answer (the planning probe behind the live scan's reported
+    * statistics). Anything short of an EXACT total — `relation` other
+    * than `"eq"`, or a missing total — returns -1 (unknown): ES caps
+    * totals at 10,000 by default, and an under-reported row count would
+    * make the planner BROADCAST an arbitrarily large live scan (a wrong
+    * small estimate causes the OOM it looks like it prevents).
     */
   def countFor(index: String, filters: Seq[org.apache.spark.sql.sources.Filter]): Long = {
-    val body = EsQueryDsl.searchRequest(filters, Seq.empty, 0)
-    mapper.readTree(search(index, body)).path("hits").path("total").path("value").asLong(0L)
+    val body = EsQueryDsl.searchRequest(filters, Seq.empty, 0, trackTotalHits = true)
+    val total = searchTree(index, body).path("hits").path("total")
+    val exact = {
+      val rel = total.path("relation")
+      // pre-7.0 responses carry a bare numeric total (no relation) — that
+      // form IS exact; 7+ must say "eq"
+      total.isNumber || (rel.isTextual && rel.asText() == "eq")
+    }
+    val v = if (total.isNumber) total else total.path("value")
+    if (exact && v.isNumber) v.asLong() else -1L
   }
 
   /** The index's newest event time in epoch millis (None when empty) —
@@ -155,7 +164,7 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     * latestOffset probe.
     */
   def maxTimeMs(index: String): Option[Long] = {
-    val v = mapper.readTree(search(index, EsQueryDsl.maxTimeRequest))
+    val v = searchTree(index, EsQueryDsl.maxTimeRequest)
       .path("aggregations").path("max_time").path("value")
     if (v.isNumber) Some(v.asDouble().toLong) else None
   }
@@ -176,16 +185,20 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     * once a full page of size s came back all-seen, any retry must use
     * size > s (halving clamps to that floor instead of undershooting it,
     * which would livelock: halve → all-seen page → double → halve …).
-    * If the server cannot serve even the floor, the Data-too-large error
-    * PROPAGATES: a timestamp tie run wider than the largest servable
-    * page is undrainable under this protocol (no search_after), and
-    * failing loudly beats the reference's behavior (it silently skips
-    * the whole run, sync.go:151-155 [ext]).
+    * If the server cannot serve even the floor, the loop switches to the
+    * `search_after` TIE DRAIN ([[EsQueryDsl.searchAfterRequest]]): pages
+    * of the tied millisecond ordered by `_id` ascending, cursor = the
+    * last hit's id, already-emitted ids skipped client-side — a tie run
+    * wider than the largest servable page drains at any page size ≥ 1,
+    * completing the protocol the reference silently breaks
+    * (sync.go:151-155 [ext]). After the drain the backward loop resumes
+    * strictly below the tied millisecond.
     */
   def pagedLines(index: String, batchSize: Int, startMs: Long, stopMs: Long,
       subject: Option[String], requiredFields: Seq[String],
       envelopeIncludes: Seq[String] = Seq.empty): LineSource = new LineSource
       with WireCounters {
+    import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, LessThan}
     private var stop = stopMs
     private var size = batchSize
     private var floorSize = 1 // halving may not go below this (widen floor)
@@ -193,75 +206,134 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     private var boundaryIds = Set.empty[String]
     private var page: Iterator[Array[Byte]] = Iterator.empty
     private var done = false
+    private var draining = false
+    private var drainCursor: Option[String] = None
+    private var drainSize = 1
     private var pages = 0L
     private var docsShipped = 0L
     override def pagesFetched: Long = pages
     override def docsFetched: Long = docsShipped
 
+    private def windowFilters(lo: Long, hi: Long): Seq[Filter] =
+      subject.map(s => EqualTo("subject", s): Filter).toSeq ++
+        Seq(GreaterThanOrEqual("time", lo): Filter, LessThan("time", hi): Filter)
+
     // one page at the CURRENT size, with the reference's Data-too-large
     // halving applied to this loop's own `size` — the exhaustion check
     // below must compare against the size actually requested. Each hit's
-    // time is parsed ONCE here (timedHitsOf) and carried — the boundary
-    // bookkeeping below consults it up to three times per doc.
+    // time is parsed ONCE (timedHitsOf over the single parsed tree) and
+    // carried — the boundary bookkeeping consults it up to three times
+    // per doc.
     private def fetchPage(): Vector[(String, Option[Long], Array[Byte])] = {
       while (true) {
         try {
-          val got = timedHitsOf(search(index, {
-          import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, LessThan}
-          val filters: Seq[Filter] =
-            subject.map(s => EqualTo("subject", s): Filter).toSeq ++
-              Seq(GreaterThanOrEqual("time", startMs): Filter, LessThan("time", stop): Filter)
-          EsQueryDsl.searchRequest(filters, requiredFields, size,
-            envelopeIncludes = envelopeIncludes)
-          }))
+          val got = timedHitsOf(searchTree(index,
+            EsQueryDsl.searchRequest(windowFilters(startMs, stop), requiredFields, size,
+              envelopeIncludes = envelopeIncludes)))
           pages += 1
           docsShipped += got.length
           return got
         }
         catch {
-          case e: java.io.IOException if size > floorSize && e.getMessage.contains("Data too large") =>
+          case e: java.io.IOException if size > floorSize && isDataTooLarge(e) =>
             // the reference halves and retries (sync.go:168-173); the widen
             // floor keeps a retry from undershooting a size already proven
-            // all-seen. At size == floorSize the error propagates (loudly
-            // undrainable — see the method scaladoc).
+            // all-seen. At size == floorSize with a tie run established,
+            // the caller falls back to the search_after drain.
             size = math.max(floorSize, size / 2)
         }
       }
       Vector.empty // unreachable
     }
 
+    /** One `search_after` page of the tied millisecond; emits unseen ids
+      * and ends the drain (resuming the backward loop below the tie) when
+      * the cursor runs off the end. Its own Data-too-large halving can go
+      * all the way to 1 — the cursor, not the page size, guarantees
+      * progress here.
+      */
+    private def fetchDrainPage(): Unit = {
+      val got =
+        try {
+          val t = timedHitsOf(searchTree(index,
+            EsQueryDsl.searchAfterRequest(windowFilters(boundaryTs, boundaryTs + 1),
+              requiredFields, drainSize, drainCursor, envelopeIncludes)))
+          pages += 1
+          docsShipped += t.length
+          t
+        } catch {
+          case e: java.io.IOException if drainSize > 1 && isDataTooLarge(e) =>
+            drainSize = math.max(1, drainSize / 2)
+            return
+        }
+      if (got.nonEmpty) {
+        drainCursor = Some(got.last._1)
+        val fresh = got.filterNot { case (id, _, _) => boundaryIds(id) }
+        boundaryIds ++= fresh.iterator.map(_._1)
+        page = fresh.iterator.map(_._3)
+      }
+      if (got.length < drainSize) {
+        // cursor ran off the tie: resume the backward loop strictly below
+        // the tied millisecond, bookkeeping reset (nothing older can share
+        // the drained timestamp)
+        draining = false
+        stop = boundaryTs
+        boundaryTs = Long.MinValue
+        boundaryIds = Set.empty
+        floorSize = 1
+        size = batchSize
+        if (stop <= startMs) done = true
+      }
+    }
+
+    private def fetchNormalPage(): Unit = {
+      val docs =
+        try fetchPage()
+        catch {
+          case e: java.io.IOException if boundaryTs != Long.MinValue && isDataTooLarge(e) =>
+            // over-cap tie run: no servable page can widen past it — drain
+            // the tied millisecond via the search_after cursor instead.
+            // The largest size PROVEN servable is floorSize - 1 (that page
+            // came back full); start the drain there.
+            draining = true
+            drainCursor = None
+            drainSize = math.max(1, floorSize - 1)
+            return
+        }
+      if (docs.isEmpty) { done = true; return }
+      // a SHORT page is the window's entire remainder: whatever survives
+      // dedup is the final batch — no further round trip can find more
+      // (without this, an exhausted window whose last page is all
+      // boundary duplicates would double `size` forever)
+      val exhausted = docs.length < size
+      val fresh = docs.filterNot { case (id, t, _) =>
+        t.contains(boundaryTs) && boundaryIds(id) }
+      if (fresh.isEmpty) {
+        if (exhausted) { done = true; return }
+        // a FULL page of already-seen ties: widen until it fits. Any
+        // page ≤ the current size is now proven useless — floor above it.
+        floorSize = size + 1
+        size *= 2
+      } else {
+        floorSize = 1 // progress: halving is unrestricted again
+        if (exhausted) done = true
+        else fresh.last._2 match {
+          case Some(lastT) =>
+            val idsAtLast = fresh.iterator
+              .filter { case (_, t, _) => t.contains(lastT) }
+              .map(_._1).toSet
+            if (lastT == boundaryTs) boundaryIds ++= idsAtLast
+            else { boundaryTs = lastT; boundaryIds = idsAtLast }
+            stop = lastT + 1 // re-include the boundary ts next page
+          case None => done = true // cannot advance past an untimed tail
+        }
+        page = fresh.iterator.map(_._3)
+      }
+    }
+
     override def next(): Array[Byte] = {
       while (!page.hasNext && !done) {
-        val docs = fetchPage()
-        if (docs.isEmpty) { done = true; return null }
-        // a SHORT page is the window's entire remainder: whatever survives
-        // dedup is the final batch — no further round trip can find more
-        // (without this, an exhausted window whose last page is all
-        // boundary duplicates would double `size` forever)
-        val exhausted = docs.length < size
-        val fresh = docs.filterNot { case (id, t, _) =>
-          t.contains(boundaryTs) && boundaryIds(id) }
-        if (fresh.isEmpty) {
-          if (exhausted) { done = true; return null }
-          // a FULL page of already-seen ties: widen until it fits. Any
-          // page ≤ the current size is now proven useless — floor above it.
-          floorSize = size + 1
-          size *= 2
-        } else {
-          floorSize = 1 // progress: halving is unrestricted again
-          if (exhausted) done = true
-          else fresh.last._2 match {
-            case Some(lastT) =>
-              val idsAtLast = fresh.iterator
-                .filter { case (_, t, _) => t.contains(lastT) }
-                .map(_._1).toSet
-              if (lastT == boundaryTs) boundaryIds ++= idsAtLast
-              else { boundaryTs = lastT; boundaryIds = idsAtLast }
-              stop = lastT + 1 // re-include the boundary ts next page
-            case None => done = true // cannot advance past an untimed tail
-          }
-          page = fresh.iterator.map(_._3)
-        }
+        if (draining) fetchDrainPage() else fetchNormalPage()
       }
       if (page.hasNext) page.next() else null
     }

@@ -59,7 +59,44 @@ object EsQueryDsl {
     *                  (elastic.go:67-78).
     */
   def searchRequest(filters: Seq[Filter], requiredFields: Seq[String], batchSize: Int,
-      sortDesc: Boolean = true, envelopeIncludes: Seq[String] = Seq.empty): String = {
+      sortDesc: Boolean = true, envelopeIncludes: Seq[String] = Seq.empty,
+      trackTotalHits: Boolean = false): String = {
+    val root = queryBody(filters, requiredFields, envelopeIncludes)
+    if (trackTotalHits)
+      // exact totals: without it ES caps hits.total at 10,000 and reports
+      // relation "gte" — unusable for planner statistics (an under-reported
+      // row count CAUSES a wrong broadcast, it does not prevent one)
+      root.put("track_total_hits", true)
+    root.put("size", batchSize)
+    root.putArray("sort").addObject().putObject("time")
+      .put("order", if (sortDesc) "desc" else "asc")
+    mapper.writeValueAsString(root)
+  }
+
+  /** The tie-drain request: `search_after` pages ordered by `_id`
+    * ascending within one tied timestamp — the fallback protocol for a
+    * timestamp tie run WIDER than the largest servable page, which the
+    * plain backward-paging loop cannot drain (and which the reference
+    * silently skips, sync.go:151-155 [ext]). The window is the caller's
+    * (one millisecond: [tieMs, tieMs + 1)); the cursor is the last hit's
+    * `_id`; the projection clauses ride along unchanged so a configured
+    * signal filter applies to drained pages too. A production ES 8 would
+    * open a point-in-time and sort on `_shard_doc` for the same contract;
+    * the `_id`-ascending cursor is the dependency-free form this client
+    * speaks and the stubs model.
+    */
+  def searchAfterRequest(filters: Seq[Filter], requiredFields: Seq[String], size: Int,
+      after: Option[String], envelopeIncludes: Seq[String] = Seq.empty): String = {
+    val root = queryBody(filters, requiredFields, envelopeIncludes)
+    root.put("size", size)
+    root.putArray("sort").addObject().put("_id", "asc")
+    after.foreach(a => root.putArray("search_after").add(a))
+    mapper.writeValueAsString(root)
+  }
+
+  /** The shared `query.bool` + `_source` skeleton of every request. */
+  private def queryBody(filters: Seq[Filter], requiredFields: Seq[String],
+      envelopeIncludes: Seq[String]): ObjectNode = {
     val root = mapper.createObjectNode()
     val bool = root.putObject("query").putObject("bool")
     val filterArr = bool.putArray("filter")
@@ -91,11 +128,7 @@ object EsQueryDsl {
       val includes = root.putObject("_source").putArray("includes")
       envelopeIncludes.foreach(includes.add)
     }
-
-    root.put("size", batchSize)
-    root.putArray("sort").addObject().putObject("time")
-      .put("order", if (sortDesc) "desc" else "asc")
-    mapper.writeValueAsString(root)
+    root
   }
 
   /** `size: 0` max-time aggregation — the streaming tail's offset probe:

@@ -167,15 +167,22 @@ class SignalLiveTable(url: String, table: String, partitions: Int)
   * Commit semantics: an INSERT is visible as soon as the server accepts
   * it (one part per batch, no staging), but every batch carries a
   * DETERMINISTIC `insert_deduplication_token`
-  * (`graft-<queryId>-p<partition>-b<ordinal>` — identical across task
-  * ATTEMPTS), so the server drops a retried task's re-sent blocks and
-  * the write is EXACTLY-ONCE on a Replicated*MergeTree (and on a plain
-  * MergeTree with `non_replicated_deduplication_window` set); tokened
-  * inserts are also transport-retry-safe. The standard ClickHouse caveat
-  * applies — the token, not the content, is the identity, so a
-  * NONDETERMINISTIC upstream (rare for a sync pipeline) could have a
-  * retry drop a block whose recomputed content differs; the reference
-  * deployment (no tokens at all) simply duplicates there instead.
+  * (`graft-<queryId>-p<partition>-b<ordinal>-<sha256 of the batch's CSV
+  * bytes>`), so the token is the identity of the CONTENT, not just the
+  * position: a retried task whose upstream re-produces the same rows in
+  * the same order re-sends byte-identical batches under identical tokens
+  * and the server drops them — EXACTLY-ONCE on a Replicated*MergeTree
+  * (and on a plain MergeTree with `non_replicated_deduplication_window`
+  * set); tokened inserts are also transport-retry-safe. When the upstream
+  * is NONDETERMINISTIC across attempts — the COMMON Spark case for a
+  * shuffled input (round-robin repartition and shuffle-fetch order are
+  * not stable), exactly what `repartition(n).write` feeds this writer —
+  * a retry's re-batched rows hash to DIFFERENT tokens and every block
+  * lands: at-least-once with possible duplicates, never silent loss. (A
+  * position-only token would be worse than none there: the server would
+  * drop the retry's first batches BY TOKEN even though their recomputed
+  * content differs, silently losing whichever rows moved into them.) The
+  * reference deployment (no tokens at all) duplicates on every retry.
   */
 class SignalLiveWriteBuilder(url: String, table: String, schema: StructType,
     queryId: String)
@@ -208,11 +215,16 @@ class SignalLiveWriterFactory(url: String, table: String, schema: StructType,
       private var n = 0
       private var batchOrdinal = 0
       private def flush(): Unit = if (sb.length() > 0) {
-        // deterministic per (query, partition, batch ordinal): identical
-        // across task ATTEMPTS, so a retry's re-send dedups server-side
-        client.insertCsv(table, columns,
-          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-          dedupToken = Some(s"graft-$queryId-p$partitionId-b$batchOrdinal"))
+        val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        // the token binds (query, partition, ordinal) AND the batch's
+        // content hash: a deterministic retry re-sends identical bytes ⇒
+        // identical token ⇒ server-side dedup (exactly-once); a reordered
+        // retry hashes differently ⇒ the block lands (at-least-once, never
+        // the silent loss a position-only token causes — see class doc)
+        val digest = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+        val hash = digest.take(12).map(b => f"$b%02x").mkString
+        client.insertCsv(table, columns, bytes,
+          dedupToken = Some(s"graft-$queryId-p$partitionId-b$batchOrdinal-$hash"))
         batchOrdinal += 1
         sb.setLength(0); n = 0
       }
@@ -396,14 +408,21 @@ class SignalLiveScan(url: String, table: String, partitions: Int,
       // contiguous token ranges: each task's WHERE lands inside the
       // table's (token_id, timestamp) primary key. Bounded by the row
       // count so a tiny result never fans into idle round trips.
-      val span = maxTok - minTok + 1
-      val m = math.max(1L, math.min(math.min(partitions.toLong, span), n / 1000 + 1)).toInt
+      // BigInt arithmetic throughout: token ids are arbitrary Longs, so
+      // `maxTok - minTok + 1` and `maxTok + 1` both overflow near the
+      // signed extremes (a wrapped bound would emit `token_id <
+      // Long.MinValue` and silently exclude every row).
+      val span = BigInt(maxTok) - BigInt(minTok) + 1
+      val m = Seq(BigInt(partitions), span, BigInt(n / 1000 + 1)).min.max(BigInt(1)).toInt
       val per = (span + m - 1) / m
       val schema = readSchema()
       (0 until m).map { i =>
-        val lo = minTok + i * per
-        val hi = math.min(minTok + (i + 1) * per, maxTok + 1)
-        val range = Seq(s"`token_id` >= $lo", s"`token_id` < $hi")
+        val lo = (BigInt(minTok) + i * per).toLong
+        val hiBig = (BigInt(minTok) + (i + 1) * per).min(BigInt(maxTok) + 1)
+        // the last range's upper bound may be Long.MaxValue + 1 — not
+        // representable, and not needed: emit only the lower bound there
+        val range = Seq(s"`token_id` >= $lo") ++
+          (if (hiBig <= BigInt(Long.MaxValue)) Seq(s"`token_id` < ${hiBig.toLong}") else Nil)
         val sql = pushedAgg match {
           case Some(pa) =>
             s"SELECT ${pa.selectList} FROM `$table`" +
@@ -436,10 +455,16 @@ class SignalLiveReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SignalLivePartition]
     new PartitionReader[InternalRow] {
-      private lazy val rows: Iterator[Array[String]] =
-        new ClickHouseHttpClient(p.url).query(p.sql).iterator
+      // rows stream off the socket as consumed (BodyHandlers.ofLines) —
+      // a token range's result NEVER materializes in executor memory,
+      // whatever its size (the reference's rows.Next() posture,
+      // clickhouse.go:79-84 [ext])
+      private lazy val rows: Iterator[Array[String]] with AutoCloseable =
+        new ClickHouseHttpClient(p.url).queryStream(p.sql)
+      private var opened = false
       private var current: InternalRow = _
       override def next(): Boolean = {
+        opened = true
         if (!rows.hasNext) return false
         val r = rows.next()
         current = InternalRow.fromSeq(p.schema.fields.toIndexedSeq.zipWithIndex.map {
@@ -457,7 +482,7 @@ class SignalLiveReaderFactory extends PartitionReaderFactory {
         true
       }
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      override def close(): Unit = if (opened) rows.close() // abandoned mid-stream: release the connection
     }
   }
 }

@@ -50,7 +50,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * predicate pushes; stop defaults to a fixed far-future bound so results
   * stay deterministic), `signals` (comma-separated VSS names — the
   * reference's configured signal filter; unknown names drop, whitespace
-  * trims, sync.go:246).
+  * trims, sync.go:246), `stopBySubject` (inline JSON per-subject stops),
+  * and the FLEET-SCALE side-channel pair `stopBySubjectPath` /
+  * `subjectsPath`: files the PLANNER reads once (the watermark map and
+  * the subject census, [[StatusLiveSource.writeStops]] /
+  * [[StatusLiveSource.writeSubjects]]), so a million-token sync never
+  * rides a ~30 MB JSON string through catalog properties — each task
+  * still receives only its own group's slice.
   */
 class StatusLiveSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -67,7 +73,9 @@ class StatusLiveSource extends TableProvider
       Option(properties.get("stopMs")).map(_.toLong).getOrElse(StatusLiveSource.DefaultStopMs),
       Option(properties.get("signals")).map(_.split(",").toSeq),
       Option(properties.get("stopBySubject")).map(StatusLiveSource.parseStops)
-        .getOrElse(Map.empty))
+        .getOrElse(Map.empty),
+      Option(properties.get("stopBySubjectPath")),
+      Option(properties.get("subjectsPath")))
 }
 
 object StatusLiveSource {
@@ -101,22 +109,75 @@ object StatusLiveSource {
     stops.toSeq.sortBy(_._1).foreach { case (s, v) => node.put(s, v) }
     mapper.writeValueAsString(node)
   }
+
+  /** Stage a watermark map for the `stopBySubjectPath` option — STREAMED
+    * through a JsonGenerator so a million-token map never materializes as
+    * one driver-side string (the fleet-scale form of [[stopsJson]]).
+    */
+  def writeStops(stops: Map[String, Long], path: String): Unit = {
+    val gen = new com.fasterxml.jackson.core.JsonFactory()
+      .createGenerator(new java.io.File(path), com.fasterxml.jackson.core.JsonEncoding.UTF8)
+    try {
+      gen.writeStartObject()
+      stops.toSeq.sortBy(_._1).foreach { case (s, v) => gen.writeNumberField(s, v) }
+      gen.writeEndObject()
+    } finally gen.close()
+  }
+
+  /** Read a staged watermark map (planner-side, once per scan). */
+  private[graft] def readStops(path: String): Map[String, Long] = {
+    val p = new com.fasterxml.jackson.core.JsonFactory().createParser(new java.io.File(path))
+    try {
+      val b = Map.newBuilder[String, Long]
+      require(p.nextToken() == com.fasterxml.jackson.core.JsonToken.START_OBJECT,
+        s"stopBySubjectPath must hold a JSON object: $path")
+      while (p.nextToken() == com.fasterxml.jackson.core.JsonToken.FIELD_NAME) {
+        val k = p.currentName()
+        p.nextToken()
+        b += (k -> p.getLongValue)
+      }
+      b.result()
+    } finally p.close()
+  }
+
+  /** Stage a subject census for the `subjectsPath` option: one subject
+    * per line, the planner's input for per-subject page-loop fan-out when
+    * the census is too large to ride as a pushed IN-set expression.
+    */
+  def writeSubjects(subjects: Seq[String], path: String): Unit = {
+    val w = java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get(path),
+      java.nio.charset.StandardCharsets.UTF_8)
+    try subjects.foreach { s => w.write(s); w.write('\n') }
+    finally w.close()
+  }
+
+  /** Read a staged subject census (planner-side, once per scan). */
+  private[graft] def readSubjects(path: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path),
+      java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq.filter(_.nonEmpty)
+  }
 }
 
 class StatusLiveTable(url: String, index: String, batchSize: Int,
     startMs: Long, stopMs: Long, signals: Option[Seq[String]],
-    stopBySubject: Map[String, Long]) extends Table with SupportsRead {
+    stopBySubject: Map[String, Long],
+    stopBySubjectPath: Option[String] = None,
+    subjectsPath: Option[String] = None) extends Table with SupportsRead {
   override def name(): String = s"graft_status_live($url/$index)"
   override def schema(): StructType = StatusV2Source.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new StatusLiveScanBuilder(url, index, batchSize, startMs, stopMs, signals, stopBySubject)
+    new StatusLiveScanBuilder(url, index, batchSize, startMs, stopMs, signals, stopBySubject,
+      stopBySubjectPath, subjectsPath)
 }
 
 class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
     startMs: Long, stopMs: Long, signals: Option[Seq[String]],
-    stopBySubject: Map[String, Long])
+    stopBySubject: Map[String, Long],
+    stopBySubjectPath: Option[String] = None,
+    subjectsPath: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN {
 
@@ -169,7 +230,8 @@ class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
 
   override def build(): Scan =
     new StatusLiveScan(url, index, batchSize, startMs, stopMs, signals, stopBySubject,
-      pushed, required, limit, topN, topNDesc)
+      pushed, required, limit, topN, topNDesc,
+      stopBySubjectPath = stopBySubjectPath, subjectsPath = subjectsPath)
 }
 
 /** One live-scan partition: sequential page loops for a GROUP of
@@ -191,18 +253,22 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     stopBySubject: Map[String, Long],
     filters: Array[Filter], required: StructType,
     limit: Int = -1, topN: Int = -1, topNDesc: Boolean = true,
-    maxTasks: Int = 64) extends Scan with Batch
+    maxTasks: Int = 64,
+    stopBySubjectPath: Option[String] = None,
+    subjectsPath: Option[String] = None) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   private[sources] def index0: String = index
 
   /** Reported statistics: one size-0 planning probe for the pushed-filter
-    * match count ([[EsHttpClient.countFor]]), so a small live snapshot
-    * joined against a big fact BROADCASTS on data instead of defaulting
-    * to never-broadcast. Bytes estimate ~512/doc (a CloudEvents status
-    * envelope + small payload); ES's 10k total cap under-reports, which
-    * errs toward the safe non-broadcast side. Memoized — statistics and
-    * planning share one probe per scan.
+    * match count ([[EsHttpClient.countFor]]) with `track_total_hits:
+    * true`, so a small live snapshot joined against a big fact BROADCASTS
+    * on data instead of defaulting to never-broadcast. Bytes estimate
+    * ~512/doc (a CloudEvents status envelope + small payload). countFor
+    * returns -1 — and this scan reports NOTHING — unless the total is
+    * EXACT (`relation: "eq"`): an under-reported count (ES's default 10k
+    * cap) would make the planner broadcast an arbitrarily large live
+    * scan, the opposite of safe. Memoized — one probe per scan.
     */
   private lazy val matchCount: Long =
     try new EsHttpClient(url).countFor(index, filters.toSeq)
@@ -243,6 +309,13 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     filters.collect { case LessThan("time", v) => ms(v) }
       .reduceOption(_ min _).getOrElse(defaultStopMs)
 
+  // the two staged side-channels, read once per scan at PLANNING (lazy:
+  // the stream's per-batch partitionsFor calls share them)
+  private lazy val stagedCensus: Option[Seq[String]] =
+    subjectsPath.map(StatusLiveSource.readSubjects)
+  private lazy val allStops: Map[String, Long] =
+    stopBySubject ++ stopBySubjectPath.map(StatusLiveSource.readStops).getOrElse(Map.empty)
+
   override def planInputPartitions(): Array[InputPartition] =
     partitionsFor(windowStartMs, windowStopMs)
 
@@ -267,10 +340,14 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
         (if (required.fieldNames.contains("location")) Seq("location") else Nil)
     // multiple subject constraints (IN-sets and/or equalities) INTERSECT —
     // fetching the first set and dropping the rest returns rows the other
-    // conjuncts exclude
+    // conjuncts exclude. A staged census (`subjectsPath` — the fleet-scale
+    // side-channel the planner reads ONCE) intersects like any other
+    // constraint: a million-token fleet fans into per-subject page loops
+    // without a million-literal IN expression or option string anywhere.
     val constraints: Seq[Set[String]] =
       filters.collect { case In("subject", vs) => vs.collect { case s: String => s }.toSet } ++
-        filters.collect { case EqualTo("subject", s: String) => Set(s) }
+        filters.collect { case EqualTo("subject", s: String) => Set(s) } ++
+        stagedCensus.map(_.toSet).toSeq
     val subjects: Option[Seq[String]] =
       constraints.reduceOption(_ intersect _).map(_.toSeq.sorted)
     // a pushed limit (or DESC top-K) bounds what any one loop can
@@ -299,7 +376,7 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
           startMs, stopMs, Some(g), requiredFields, envelopeIncludes,
           // each task ships only ITS subjects' stop overrides — a
           // million-token watermark map never rides whole inside a task
-          stopBySubject.view.filterKeys(g.toSet).toMap, perLoopCap): InputPartition).toArray
+          allStops.view.filterKeys(g.toSet).toMap, perLoopCap): InputPartition).toArray
     }
   }
 
@@ -356,18 +433,29 @@ class StatusLiveMicroBatchStream(scan: StatusLiveScan, url: String)
 
   private val client = new EsHttpClient(url)
 
+  // Highest offset this stream has seen — returned/committed/restored.
+  // latestOffset clamps to it so offsets are MONOTONIC: if the server's
+  // max event time regresses (index shrink, reindex, alias swap), a
+  // lower returned offset would be recorded and the next advance would
+  // re-read the [lower, previous) gap, duplicating documents in the tail
+  // sink. Seeded from every deserialized offset, so a restart restores
+  // the floor from the checkpoint log before the first latestOffset call.
+  private var highWaterMs: Long = Long.MinValue
+
   override def initialOffset(): Offset = StatusLiveOffset(scan.windowStartMs)
 
   /** Next batch's exclusive stop: the server's newest event time + 1,
     * clamped to the pushed window's stop (a bounded stream drains and
-    * idles), never regressing below the current floor.
+    * idles), never regressing below the window floor OR below any offset
+    * already returned/committed/restored (monotonicity).
     */
   override def latestOffset(): Offset = {
     val floor = scan.windowStartMs
     val cap = scan.windowStopMs
     val next = client.maxTimeMs(scan.index0)
       .map(t => math.min(t + 1, cap)).getOrElse(floor)
-    StatusLiveOffset(math.max(floor, next))
+    highWaterMs = math.max(highWaterMs, math.max(floor, next))
+    StatusLiveOffset(highWaterMs)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -377,8 +465,13 @@ class StatusLiveMicroBatchStream(scan: StatusLiveScan, url: String)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = scan.createReaderFactory()
-  override def deserializeOffset(json: String): Offset = StatusLiveOffset.fromJson(json)
-  override def commit(end: Offset): Unit = ()
+  override def deserializeOffset(json: String): Offset = {
+    val off = StatusLiveOffset.fromJson(json)
+    highWaterMs = math.max(highWaterMs, off.stopMs) // restored state floors the stream
+    off
+  }
+  override def commit(end: Offset): Unit =
+    highWaterMs = math.max(highWaterMs, end.asInstanceOf[StatusLiveOffset].stopMs)
   override def stop(): Unit = ()
 }
 

@@ -192,6 +192,37 @@ class ChLiveSourceSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("a retry whose upstream re-batched DIFFERENT rows never silently loses them (content-hashed tokens)") {
+    // ADVICE r12: shuffle-fetch order is nondeterministic, so a retried
+    // task can batch different rows under the same (partition, ordinal).
+    // A position-only token would have the server DROP the retry's first
+    // block by token — silently losing the rows unique to it. The token
+    // binds the content hash, so a changed block lands (at-least-once);
+    // only byte-identical re-sends dedup.
+    val server = graft.queries.ChSignalStub.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val client = new graft.sources.ClickHouseHttpClient(url)
+      client.execute(graft.sources.ClickHouseDdl.signalTableDdl(schema))
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.unsafe.types.UTF8String
+      val factory = new graft.sources.SignalLiveWriterFactory(url, "signal", schema, "q-reorder")
+      def attempt(taskId: Long, names: Seq[String]): Unit = {
+        val w = factory.createWriter(0, taskId)
+        names.zipWithIndex.foreach { case (nm, i) =>
+          w.write(InternalRow(20L + i, 1704000000000000L + i * 1000000L,
+            UTF8String.fromString(nm), 1.0, UTF8String.fromString("v")))
+        }
+        w.commit()
+      }
+      attempt(taskId = 1, Seq("a", "b"))
+      attempt(taskId = 2, Seq("a", "c")) // nondeterministic upstream: batch 0's content changed
+      val got = live(url).select("name").collect().map(_.getString(0)).toSeq
+      assert(Set("a", "b", "c").subsetOf(got.toSet),
+        s"every row of every attempt must survive (at-least-once, no silent loss): $got")
+    } finally server.stop(0)
+  }
+
   test("an empty result plans zero tasks (the planning envelope short-circuits)") {
     withStore(seed(3, 4)) { url =>
       val none = live(url).where(col("token_id") === 999L)

@@ -50,6 +50,16 @@ class ClickHouseHttpSpec extends SparkTestBase {
 
   private def url(s: HttpServer) = s"http://127.0.0.1:${s.getAddress.getPort}"
 
+  test("live clients carry the TLS >= 1.2 floor for https endpoints (the reference's MinVersion)") {
+    // construction-level pin: the shared HttpClient factory restricts the
+    // negotiable protocols to TLS 1.3/1.2 — nothing older can be selected
+    // when a URL upgrades to TLS (clickhouse.go:41-47 [ext] parity); plain
+    // http loopbacks are unaffected (SSL parameters only apply under TLS)
+    val protos = graft.sources.LiveHttp.newClient(1000).sslParameters().getProtocols.toSet
+    assert(protos === Set("TLSv1.3", "TLSv1.2"))
+    assert(!protos.exists(p => p == "TLSv1" || p == "TLSv1.1" || p.startsWith("SSL")))
+  }
+
   test("reference statements: oldest-signal and token-ids SQL round-trip over HTTP") {
     // the exact statements the reference's sqlboiler dialect builds
     assert(ClickHouseHttpClient.oldestSignalSql(42L, Seq.empty) ===
@@ -122,6 +132,105 @@ class ClickHouseHttpSpec extends SparkTestBase {
         if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
       assert(got === want, "the CSV batches must reproduce the DataFrame exactly")
     } finally server.stop(0)
+  }
+
+  test("queryStream consumes rows INCREMENTALLY off the socket (first row arrives before the last byte is sent)") {
+    // the ofLines posture: if the client buffered the whole body
+    // (ofString), the first row could not be observed until the server
+    // released the held tail — this test would time out instead of pass
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val server = graft.queries.LiveQueries.loopbackServer()
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        ex.getRequestBody.readAllBytes()
+        ex.sendResponseHeaders(200, 0) // chunked — total length unknown up front
+        val os = ex.getResponseBody
+        os.write("1\tearly\n".getBytes(StandardCharsets.UTF_8)); os.flush()
+        gate.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        os.write("2\tlate\n".getBytes(StandardCharsets.UTF_8))
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      import scala.concurrent._
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val c = new graft.sources.ClickHouseHttpClient(url(server), timeoutMs = 60000)
+      val it = Await.result(Future(c.queryStream("SELECT `token_id` FROM `signal`")), 15.seconds)
+      val first = Await.result(Future(it.next()), 15.seconds)
+      assert(first.toSeq === Seq("1", "early"),
+        "row 1 must be consumable while the server still holds the tail")
+      gate.countDown()
+      assert(it.next().toSeq === Seq("2", "late"))
+      assert(!it.hasNext)
+    } finally { gate.countDown(); server.stop(0) }
+  }
+
+  test("HTTP-status failures raise typed (no message sniffing) and are never transport-retried") {
+    val hitCount = new java.util.concurrent.atomic.AtomicInteger()
+    val server = graft.queries.LiveQueries.loopbackServer()
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        hitCount.incrementAndGet()
+        ex.getRequestBody.readAllBytes()
+        val err = "Code: 60. DB::Exception: Table default.signal does not exist"
+        val bytes = err.getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(404, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val c = new graft.sources.ClickHouseHttpClient(url(server))
+      val e = intercept[graft.sources.ChHttpStatusException](c.query("SELECT 1"))
+      assert(e.statusCode === 404 && e.getMessage.contains("does not exist"))
+      assert(hitCount.get() === 1, "a semantic failure must not burn transport retries")
+      val es = intercept[graft.sources.ChHttpStatusException](c.queryStream("SELECT 1"))
+      assert(es.statusCode === 404, "the streaming path shares the typed-status contract")
+    } finally server.stop(0)
+  }
+
+  test("transport failures (connection reset — IOExceptions whose message may be null) retry and recover") {
+    // a raw socket that hard-closes the first 2 connections (the classic
+    // null-message IOException producer), then speaks just enough HTTP —
+    // the old `getMessage.startsWith` guard NPE'd here instead of retrying
+    val failures = new java.util.concurrent.atomic.AtomicInteger(2)
+    val ss = new java.net.ServerSocket(0, 16, java.net.InetAddress.getByName("127.0.0.1"))
+    val t = new Thread(() => {
+      try {
+        while (!ss.isClosed) {
+          val s = ss.accept()
+          if (failures.getAndDecrement() > 0) s.close() // reset mid-handshake
+          else {
+            val in = s.getInputStream
+            val buf = new Array[Byte](8192)
+            var seen = new StringBuilder
+            var done = false
+            while (!done && in.read(buf) != -1) {
+              seen ++= new String(buf).takeWhile(_ != 0)
+              // naive: one read usually carries the whole small request
+              done = seen.toString().contains("FORMAT TabSeparated")
+            }
+            val body = "7\n"
+            s.getOutputStream.write(
+              (s"HTTP/1.1 200 OK\r\nContent-Length: ${body.length}\r\nConnection: close\r\n\r\n$body")
+                .getBytes(StandardCharsets.UTF_8))
+            s.getOutputStream.flush()
+            s.close()
+          }
+        }
+      } catch { case _: Throwable => () }
+    }, "ch-reset-stub")
+    t.setDaemon(true); t.start()
+    try {
+      val c = new graft.sources.ClickHouseHttpClient(s"http://127.0.0.1:${ss.getLocalPort}")
+      val rows = c.query("SELECT count() FROM `signal`")
+      assert(rows.map(_.toSeq) === Seq(Seq("7")),
+        "the idempotent SELECT must survive two connection resets via retry")
+      assert(failures.get() <= 0, "the resets must actually have been consumed")
+    } finally ss.close()
   }
 
   test("timestamps ship as zone-independent epoch decimals (micros), never local-time strings") {

@@ -59,7 +59,7 @@ class EsLiveSourceSpec extends SparkTestBase {
     * desc, applies size; optionally fails big pages with Data-too-large.
     */
   private def startStub(docs: Seq[Doc], requests: ConcurrentLinkedQueue[String],
-      tooLargeOver: Int = Int.MaxValue): HttpServer = {
+      tooLargeOver: Int = Int.MaxValue, exactTotals: Boolean = true): HttpServer = {
     val server = graft.queries.LiveQueries.loopbackServer()
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = try handle0(ex) catch {
@@ -117,7 +117,15 @@ class EsLiveSourceSpec extends SparkTestBase {
             val src = if (incl.isEmpty) d.json else projectSource(d.json, incl)
             s"""{"_index":"device-status","_id":"${d.id}","_source":$src}"""
           }
-        val res = s"""{"hits":{"total":{"value":${matched.length}},"hits":[${hits.mkString(",")}]}}"""
+        // real-ES total semantics: exact (relation "eq") only when the
+        // request opts in with track_total_hits; otherwise the default cap
+        // applies and the relation is a lower bound ("gte") — which the
+        // client must treat as UNKNOWN, not as a usable count
+        val track = req.path("track_total_hits").asBoolean(false)
+        val totalJson =
+          if (track && exactTotals) s"""{"value":${matched.length},"relation":"eq"}"""
+          else s"""{"value":${math.min(matched.length, 10000)},"relation":"gte"}"""
+        val res = s"""{"hits":{"total":$totalJson,"hits":[${hits.mkString(",")}]}}"""
         val bytes = res.getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.add("Content-Type", "application/json")
         ex.sendResponseHeaders(200, bytes.length)
@@ -305,14 +313,41 @@ class EsLiveSourceSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("a non-exact total (relation != eq — ES's 10k cap) reports NO statistics") {
+    // ADVICE r12: an under-reported count does not "err safe" — it makes
+    // the planner BROADCAST an arbitrarily large live scan. Anything short
+    // of relation "eq" must leave statistics unreported (planner default).
+    val docs = (0 until 30).map(i =>
+      Doc(s"nx$i", s"s${i % 3}", 1704000000000L + i * 1000L, i * 1.0))
+    val requests = new ConcurrentLinkedQueue[String]()
+    val server = startStub(docs, requests, exactTotals = false)
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+      assert(new graft.sources.EsHttpClient(url).countFor("device-status", Seq.empty) === -1L,
+        "a gte/capped total is unknown, never a usable lower bound")
+      val live = liveDf(server).select("id", "subject")
+      val sz = live.queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(sz > BigInt(1000000L),
+        s"capped totals must fall back to the planner default (no tiny estimate), got $sz")
+    } finally server.stop(0)
+  }
+
   test("reported statistics (hits.total probe) let a small live snapshot broadcast") {
     val docs = (0 until 30).map(i =>
       Doc(s"st$i", s"s${i % 3}", 1704000000000L + i * 1000L, i * 1.0))
-    val server = startStub(docs, new ConcurrentLinkedQueue[String]())
+    val requests = new ConcurrentLinkedQueue[String]()
+    val server = startStub(docs, requests)
     try {
       val live = liveDf(server).select("id", "subject")
       assert(live.queryExecution.optimizedPlan.stats.sizeInBytes === BigInt(30 * 512L),
         "the size-0 probe's hits.total must reach the planner")
+      // the probe itself must OPT IN to exact totals — without
+      // track_total_hits a real ES caps at 10k and the stub answers "gte"
+      import scala.jdk.CollectionConverters._
+      val probe = requests.asScala.map(r => mapper.readTree(r.split("\n", 2)(1)))
+        .find(_.path("size").asInt(-1) == 0).get
+      assert(probe.path("track_total_hits").asBoolean(false),
+        "the count probe must send track_total_hits: true")
       val fact = spark.range(0, 5000).selectExpr("CAST(id % 3 AS STRING) as subject", "id as x")
       val j = fact.join(live, Seq("subject"))
       j.collect()

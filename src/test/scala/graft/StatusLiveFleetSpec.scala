@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{StatusLivePartition, StatusLiveScan, StatusLiveSource, StatusV2Source}
+
+/** Fleet-scale transport for the live sync's per-token state: the subject
+  * census and the watermark map ride as PLANNER-READ FILES
+  * (`subjectsPath` / `stopBySubjectPath`) instead of a pushed IN-set
+  * expression and a JSON option string — at a million tokens the option
+  * string alone is ~30 MB through catalog properties, copied with every
+  * plan transform. Each task still receives ONLY its own group's slice
+  * (the partition case class carries it), so no O(fleet) state crosses
+  * the driver→task boundary either.
+  */
+class StatusLiveFleetSpec extends SparkTestBase {
+
+  test("100k tokens plan into bounded task groups with per-group slices — no O(fleet) option string") {
+    val n = 100000
+    val subjects = (0 until n).map(i => f"veh$i%06d")
+    val stops: Map[String, Long] =
+      subjects.map(s => s -> (1704000000000L + (s.hashCode & 0xffff).toLong)).toMap
+    val subjFile = Files.createTempFile("graft-subjects", ".txt").toString
+    val stopsFile = Files.createTempFile("graft-stops", ".json").toString
+    StatusLiveSource.writeSubjects(subjects, subjFile)
+    StatusLiveSource.writeStops(stops, stopsFile)
+    // the OPTION payloads are the two paths — O(1), not O(fleet)
+    assert(subjFile.length < 256 && stopsFile.length < 256)
+
+    val scan = new StatusLiveScan("http://127.0.0.1:9", "device-status",
+      batchSize = 1000, defaultStartMs = 0L,
+      defaultStopMs = StatusLiveSource.DefaultStopMs,
+      signals = None, stopBySubject = Map.empty,
+      filters = Array.empty, required = StatusV2Source.Schema,
+      stopBySubjectPath = Some(stopsFile), subjectsPath = Some(subjFile))
+    // planning is pure (no HTTP): the census fans into ≤64 bounded groups
+    val parts = scan.planInputPartitions().map(_.asInstanceOf[StatusLivePartition])
+    assert(parts.length === 64, "the bounded task census (maxTasks)")
+    assert(parts.map(_.subjects.get.length).sum === n, "every token exactly once")
+    parts.foreach { p =>
+      val g = p.subjects.get.toSet
+      assert(p.stopBySubject.keySet === g,
+        "each task ships exactly ITS subjects' stop overrides")
+      p.stopBySubject.foreach { case (k, v) => assert(v === stops(k)) }
+    }
+    // round-trip fidelity of the streamed file formats
+    val backStops = parts.iterator.flatMap(_.stopBySubject).toMap
+    assert(backStops === stops)
+  }
+
+  test("path options drive the live read end-to-end (census scopes; per-subject stops apply)") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def doc(id: String, subj: String, ms: Long): String =
+      s"""{"id":"$id","subject":"$subj","source":"x","specversion":"1.0",""" +
+        s""""time":"${java.time.Instant.ofEpochMilli(ms)}",""" +
+        s""""dataschema":"dimo.zone.status/v2.0","type":"c","data":{}}"""
+    val t0 = 1704000000000L
+    val docs = Seq(
+      ("a1", "sA", t0), ("a2", "sA", t0 + 60000),
+      ("b1", "sB", t0), ("b2", "sB", t0 + 60000),
+      ("c1", "sC", t0)) // sC is OUTSIDE the census: must never be fetched
+    val corpus = docs.map { case (id, s, ms) =>
+      graft.queries.LiveQueries.StubDoc(id, s, ms * 1000L, doc(id, s, ms))
+    }.toIndexedSeq
+    val server = graft.queries.LiveQueries.startStub(corpus)
+    try {
+      val subjFile = Files.createTempFile("graft-subjects", ".txt").toString
+      val stopsFile = Files.createTempFile("graft-stops", ".json").toString
+      StatusLiveSource.writeSubjects(Seq("sA", "sB"), subjFile)
+      // sA stops BEFORE its second doc (exclusive watermark); sB is open
+      StatusLiveSource.writeStops(Map("sA" -> (t0 + 60000)), stopsFile)
+      val got = spark.read.format("graft-status-live")
+        .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+        .option("subjectsPath", subjFile)
+        .option("stopBySubjectPath", stopsFile)
+        .load()
+        .select("id").collect().map(_.getString(0)).toSet
+      assert(got === Set("a1", "b1", "b2"),
+        s"census scopes the read; sA's watermark stops its loop early: $got")
+    } finally server.stop(0)
+  }
+
+  test("runLive above the threshold switches to path mode and still resumes below watermarks") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val t0 = 1704000000000L
+    def doc(id: String, subj: String, ms: Long, cents: Long): String =
+      s"""{"id":"$id","subject":"$subj","source":"dimo/integration/live","specversion":"1.0",""" +
+        s""""time":"${java.time.Instant.ofEpochMilli(ms)}",""" +
+        s""""dataschema":"dimo.zone.status/v1.0","type":"c","data":{"speed":$cents,"make":"m"}}"""
+    val tokens = Seq("1", "2", "3")
+    val older = tokens.map(s => graft.queries.LiveQueries.StubDoc(
+      s"o$s", s, t0 * 1000L, doc(s"o$s", s, t0, 10)))
+    val newer = tokens.map(s => graft.queries.LiveQueries.StubDoc(
+      s"n$s", s, (t0 + 60000) * 1000L, doc(s"n$s", s, t0 + 60000, 20)))
+    val opts = graft.jobs.SyncOptions(tokens = tokens,
+      start = Some(new java.sql.Timestamp(0L)),
+      stop = Some(new java.sql.Timestamp(9999999999999L)))
+    val dim = graft.sources.DeviceDim.identityDim(spark, Seq(1L, 2L, 3L))
+    // round 1 (newer only), then round 2 over everything: path mode
+    // (threshold 0 forces it) must fetch ONLY the older backfill
+    val s1 = graft.queries.LiveQueries.startStub(newer.toIndexedSeq)
+    val sink1 = try {
+      graft.jobs.SyncJob.runLive(spark,
+        s"http://127.0.0.1:${s1.getAddress.getPort}", dim, None, opts,
+        pathModeThreshold = 0).localCheckpoint(true)
+    } finally s1.stop(0)
+    assert(sink1.count() === 3 * 2, "2 signals per doc, newer docs only")
+    val s2 = graft.queries.LiveQueries.startStub((newer ++ older).toIndexedSeq)
+    val round2 = try {
+      graft.jobs.SyncJob.runLive(spark,
+        s"http://127.0.0.1:${s2.getAddress.getPort}", dim, Some(sink1), opts,
+        pathModeThreshold = 0).localCheckpoint(true)
+    } finally s2.stop(0)
+    assert(round2.count() === 3 * 2, "path-mode watermarks: only the older backfill crosses")
+    assert(round2.select(max(col("timestamp"))).head().getTimestamp(0).getTime === t0,
+      "everything fetched in round 2 must be strictly below the watermarks")
+  }
+}

@@ -122,6 +122,47 @@ class StatusLiveStreamSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("offsets are monotonic: a server max-time REGRESSION (shrink/reindex) never re-reads the gap") {
+    // ADVICE r12: if the index shrinks (reindex, alias swap) the max-time
+    // probe can return LESS than the committed offset; recording the lower
+    // offset would make the next advance re-read [lower, previous) and
+    // duplicate documents in the tail sink. latestOffset clamps to the
+    // high-water mark instead.
+    val corpus = new CopyOnWriteArrayList[(String, String, Long)]()
+    (0 until 10).foreach(i => corpus.add((s"m$i", "s0", Base + i * 1000L)))
+    val server = startStub(corpus)
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val q = spark.readStream.format("graft-status-live")
+        .option("url", url).option("batchSize", "50").load()
+        .select("id")
+        .writeStream.format("memory").queryName("live_tail_mono")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-live-mono").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("live_tail_mono").count() === 10)
+        // the index SHRINKS: server max regresses from Base+9000 to Base+4000
+        val dropped = new java.util.ArrayList[(String, String, Long)]()
+        corpus.forEach(d => if (d._3 >= Base + 5000L) dropped.add(d))
+        corpus.removeAll(dropped)
+        q.processAllAvailable() // must be a no-op batch, not a rewind
+        assert(spark.table("live_tail_mono").count() === 10)
+        // the docs reappear (reindex completes) plus one genuinely new doc:
+        // only the new doc may arrive — a regressed offset would re-read
+        // the whole [regressed, previous) gap and duplicate m5..m9
+        corpus.addAll(dropped)
+        corpus.add(("new0", "s0", Base + 20000L))
+        q.processAllAvailable()
+        val ids = spark.table("live_tail_mono").collect().map(_.getString(0))
+        assert(ids.length === ids.distinct.length,
+          s"offset regression duplicated: ${ids.groupBy(identity).filter(_._2.length > 1).keys}")
+        assert(ids.toSet === (0 until 10).map(i => s"m$i").toSet + "new0")
+      } finally q.stop()
+    } finally server.stop(0)
+  }
+
   test("a pushed subject filter applies to the tail; offsets round-trip their JSON") {
     val corpus = new CopyOnWriteArrayList[(String, String, Long)]()
     (0 until 12).foreach(i => corpus.add((s"e$i", s"s${i % 3}", Base + i * 1000L)))
