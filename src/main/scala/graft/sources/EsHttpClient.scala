@@ -181,16 +181,17 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     * page size until it fits. Exactly-once, no loss, reference-shaped
     * requests.
     *
-    * Doubling and Data-too-large halving interact through a WIDEN FLOOR:
-    * once a full page of size s came back all-seen, any retry must use
-    * size > s (halving clamps to that floor instead of undershooting it,
-    * which would livelock: halve → all-seen page → double → halve …).
-    * If the server cannot serve even the floor, the loop switches to the
-    * `search_after` TIE DRAIN ([[EsQueryDsl.searchAfterRequest]]): pages
-    * of the tied millisecond ordered by `_id` ascending, cursor = the
-    * last hit's id, already-emitted ids skipped client-side — a tie run
-    * wider than the largest servable page drains at any page size ≥ 1,
-    * completing the protocol the reference silently breaks
+    * Doubling and Data-too-large interact through a WIDEN FLOOR: once a
+    * full page of size s came back all-seen, every size ≤ s is proven
+    * useless (halving back into it would livelock: halve → all-seen page
+    * → double → halve …, and clamping to s+1 could only creep ONE fresh
+    * doc per full re-served page). So the FIRST over-cap failure during a
+    * widen cycle switches the loop to the `search_after` TIE DRAIN
+    * ([[EsQueryDsl.searchAfterRequest]]): pages of the tied millisecond
+    * ordered by `_id` ascending, cursor = the last hit's id,
+    * already-emitted ids skipped client-side — a tie run wider than the
+    * largest servable page drains at any page size ≥ 1 with no re-serve
+    * amplification, completing the protocol the reference silently breaks
     * (sync.go:151-155 [ext]). After the drain the backward loop resumes
     * strictly below the tied millisecond.
     */
@@ -235,12 +236,14 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
           return got
         }
         catch {
-          case e: java.io.IOException if size > floorSize && isDataTooLarge(e) =>
-            // the reference halves and retries (sync.go:168-173); the widen
-            // floor keeps a retry from undershooting a size already proven
-            // all-seen. At size == floorSize with a tie run established,
-            // the caller falls back to the search_after drain.
-            size = math.max(floorSize, size / 2)
+          case e: java.io.IOException if floorSize == 1 && size > 1 && isDataTooLarge(e) =>
+            // the reference halves and retries (sync.go:168-173). Plain
+            // halving applies only OUTSIDE a tie-widen cycle (floorSize
+            // == 1): mid-widen, any servable size ≤ the floor is already
+            // proven all-seen, so halving could only creep one fresh doc
+            // per full page — the error propagates instead and the caller
+            // switches to the search_after drain, which pays no re-serve.
+            size /= 2
         }
       }
       Vector.empty // unreachable

@@ -57,10 +57,27 @@ class EsPaginationFuzzSpec extends AnyFunSuite {
     }
   }
 
-  test("widen floor: doubling past the cap clamps to the floor and still drains (cap between)") {
-    // 10 ties, batch 8, cap 12: widen 8→16 fails, floor is 9, halving
-    // clamps 16→9 (not 8!), page of 9 = 8 seen + 1 new ⇒ progress ⇒ drains
-    // WITHOUT needing the search_after fallback
+  test("a widen that fits under the cap drains on the primary protocol alone") {
+    // 10 ties, batch 8, cap 20: the all-seen full page widens 8→16, the
+    // server serves it (8 seen + 2 fresh, short ⇒ exhausted) — no
+    // search_after needed, reference-shaped requests only
+    val docs = (0 until 10).map(i => FDoc(f"t$i%02d", Some(Base), Base))
+    val requests = new ConcurrentLinkedQueue[String]()
+    val server = PaginationFuzz.serve(docs, cap = 20, requests)
+    try {
+      val got = PaginationFuzz.drain(server, 8, 0L, Base + 1000L)
+      assert(got.toSet === docs.map(_.id).toSet)
+      import scala.jdk.CollectionConverters._
+      assert(!requests.asScala.exists(_.contains("search_after")),
+        "a widen that fits under the cap must drain on the primary protocol alone")
+    } finally server.stop(0)
+  }
+
+  test("the FIRST over-cap failure mid-widen switches to the drain (no one-fresh-doc-per-page creep)") {
+    // 10 ties, batch 8, cap 12: widen 8→16 trips the breaker. Clamping
+    // back under the cap could only creep one fresh doc per re-served
+    // full page; the loop must switch straight to the cursor drain —
+    // bounded total traffic instead of O(tie²/cap) re-serves
     val docs = (0 until 10).map(i => FDoc(f"t$i%02d", Some(Base), Base))
     val requests = new ConcurrentLinkedQueue[String]()
     val server = PaginationFuzz.serve(docs, cap = 12, requests)
@@ -68,8 +85,12 @@ class EsPaginationFuzzSpec extends AnyFunSuite {
       val got = PaginationFuzz.drain(server, 8, 0L, Base + 1000L)
       assert(got.toSet === docs.map(_.id).toSet)
       import scala.jdk.CollectionConverters._
-      assert(!requests.asScala.exists(_.contains("search_after")),
-        "a widen that fits under the cap must drain on the primary protocol alone")
+      val bodies = requests.asScala.toSeq
+      assert(bodies.exists(_.contains("search_after")),
+        "the over-cap widen must fall back to the cursor drain")
+      // total pages stay small: seed + all-seen + failed widen + ~2 drain
+      // pages + empties — the creep would have taken ~10
+      assert(bodies.length <= 8, s"page count must stay bounded, got ${bodies.length}")
     } finally server.stop(0)
   }
 
