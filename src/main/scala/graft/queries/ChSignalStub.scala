@@ -172,10 +172,10 @@ object ChSignalStub {
           val matched = Option(m.group(4)).map(_ => // ORDER BY `timestamp`
             if (order.contains("DESC")) matched0.sortBy(-_.us) else matched0.sortBy(_.us)
           ).getOrElse(matched0)
-          val out: Seq[String] = Option(m.group(3)) match {
-            case Some(g) => // aggregate with GROUP BY
+          Option(m.group(3)) match {
+            case Some(g) => // aggregate with GROUP BY (one row per group)
               val groupExprs = g.split(", ").toSeq
-              matched.groupBy(r => groupExprs.map(ge =>
+              val out = matched.groupBy(r => groupExprs.map(ge =>
                 item(ge, Seq(r), Some(r)).getOrElse {
                   respond(ex, 400, s"unsupported group expr: $ge"); return
                 })).toSeq.sortBy(_._1.mkString("\t"))
@@ -184,20 +184,35 @@ object ChSignalStub {
                     respond(ex, 400, s"unsupported select item: $it"); return
                   }).mkString("\t")
                 }
+              respond(ex, 200, out.mkString("", "\n", if (out.isEmpty) "" else "\n"))
             case None if items.forall(isAggItem) =>
               // global aggregate (no GROUP BY): one row
-              Seq(items.map(it => item(it, matched, matched.headOption).getOrElse {
+              val out = items.map(it => item(it, matched, matched.headOption).getOrElse {
                 respond(ex, 400, s"unsupported select item: $it"); return
-              }).mkString("\t"))
-            case None => // row select
-              val sel = matched.map { r =>
-                items.map(it => item(it, Seq(r), Some(r)).getOrElse {
-                  respond(ex, 400, s"unsupported select item: $it"); return
-                }).mkString("\t")
+              }).mkString("\t")
+              respond(ex, 200, out + "\n")
+            case None => // row select: STREAMED (chunked), like a real CH —
+              // the server never materializes the response either, so an
+              // in-JVM probe of the CLIENT's retention isn't polluted by
+              // the stub's own copy. Items are row-independent, so they
+              // validate BEFORE headers go out (no mid-stream 400s).
+              val rowItems = Set("`token_id`", "toUnixTimestamp64Micro(`timestamp`)",
+                "`name`", "`value_number`", "`value_string`", "1")
+              items.find(it => !rowItems.contains(it)).foreach { bad =>
+                respond(ex, 400, s"unsupported select item: $bad"); return
               }
-              limit.map(sel.take).getOrElse(sel)
+              val sel = matched.iterator.map { r =>
+                items.map(it => item(it, Seq(r), Some(r)).get).mkString("\t")
+              }
+              val capped = limit.map(sel.take).getOrElse(sel)
+              ex.sendResponseHeaders(200, 0) // chunked
+              val os = new java.io.BufferedOutputStream(ex.getResponseBody, 1 << 16)
+              capped.foreach { line =>
+                os.write(line.getBytes(StandardCharsets.UTF_8)); os.write('\n')
+              }
+              os.flush()
+              ex.close()
           }
-          respond(ex, 200, out.mkString("", "\n", if (out.isEmpty) "" else "\n"))
         } else respond(ex, 400, s"unsupported statement: $q$body")
       }
     })

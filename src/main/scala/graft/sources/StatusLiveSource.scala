@@ -376,7 +376,10 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
           startMs, stopMs, Some(g), requiredFields, envelopeIncludes,
           // each task ships only ITS subjects' stop overrides — a
           // million-token watermark map never rides whole inside a task
-          allStops.view.filterKeys(g.toSet).toMap, perLoopCap): InputPartition).toArray
+          // (per-group LOOKUPS, not a full-map scan per group: planning a
+          // 1M-token census must stay O(fleet), not O(fleet × groups))
+          g.iterator.flatMap(s => allStops.get(s).map(v => s -> v)).toMap,
+          perLoopCap): InputPartition).toArray
     }
   }
 

@@ -173,6 +173,120 @@ object LiveProbe {
           f"(wall $wallR%.2f s) — ${nRows.toDouble / (g1 * 8)}%.0fx fewer wire rows")
       } finally server3.stop(0)
     }
+
+    // ── section 4 (r13): the STREAMED row scan's memory posture —
+    // `query()` (BodyHandlers.ofString + materialized Seq) must hold the
+    // whole result; `queryStream` (ofLines) holds ONE line however large
+    // the response. Client-level, same statement, retained-heap sampled
+    // mid-drain. This is the difference between "the declared plans are
+    // safe" and "an unbounded row SELECT per token range is safe".
+    {
+      import org.apache.spark.sql.types._
+      val nRows = 2000000
+      val server4 = graft.queries.ChSignalStub.start()
+      try {
+        val url = s"http://127.0.0.1:${server4.getAddress.getPort}"
+        val client = new graft.sources.ClickHouseHttpClient(url, timeoutMs = 300000)
+        client.execute(graft.sources.ClickHouseDdl.signalTableDdl(StructType(Seq(
+          StructField("token_id", LongType, nullable = false),
+          StructField("timestamp", TimestampType, nullable = false),
+          StructField("name", StringType, nullable = false),
+          StructField("value_number", DoubleType, nullable = true),
+          StructField("value_string", StringType, nullable = true)))))
+        spark.range(0, nRows, 1, 8).selectExpr(
+          "id % 1000 as token_id",
+          "timestamp_micros(1704000000000000 + id * 1000) as timestamp",
+          "'speed' as name", "CAST(id AS DOUBLE) as value_number",
+          "CAST(NULL AS STRING) as value_string")
+          .write.format("graft-signal-live").option("url", url).mode("append").save()
+        val sql = "SELECT `token_id`, toUnixTimestamp64Micro(`timestamp`), `name`, " +
+          "`value_number`, `value_string` FROM `signal`"
+        val rt = Runtime.getRuntime
+        def usedMb(): Long = {
+          System.gc(); Thread.sleep(100)
+          (rt.totalMemory() - rt.freeMemory()) >> 20
+        }
+        val base = usedMb()
+        // buffered: the whole TSV string + the row Seq live at once
+        val t0 = System.nanoTime()
+        val all = client.query(sql)
+        val wallB = (System.nanoTime() - t0) / 1e9
+        val bufMb = usedMb() - base
+        require(all.length == nRows, s"buffered read lost rows: ${all.length}")
+        // streamed: sample retained heap at the drain's midpoint
+        val t1 = System.nanoTime()
+        val it = client.queryStream(sql)
+        var cnt = 0
+        var midMb = -1L
+        while (it.hasNext) {
+          it.next(); cnt += 1
+          if (cnt == nRows / 2) midMb = usedMb() - base
+        }
+        val wallS = (System.nanoTime() - t1) / 1e9
+        require(cnt == nRows, s"streamed read lost rows: $cnt")
+        println(f"[liveprobe] row scan x$nRows: buffered query() retains ~${bufMb}MB " +
+          f"(wall $wallB%.2f s); queryStream retains ~${math.max(midMb, 0)}MB mid-drain " +
+          f"(wall $wallS%.2f s) — the reader's memory is one row, not one partition")
+      } finally server4.stop(0)
+    }
+
+    // ── section 5 (r13): the search_after tie drain's wire shape — a tie
+    // run (one millisecond) wider than the servable cap. The reference
+    // ships ONE page and silently loses the rest (sync.go:151-155); the
+    // drain completes at near-optimal page count (no re-serve creep).
+    {
+      val nTies = 60000
+      val cap = 600
+      val tieDocs = (0 until nTies).map { i =>
+        graft.sources.PaginationFuzz.FDoc(f"t$i%06d", Some(1704000000000L), 1704000000000L)
+      }
+      val requests = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val server5 = graft.sources.PaginationFuzz.serve(tieDocs, cap, requests)
+      try {
+        val t0 = System.nanoTime()
+        val got = graft.sources.PaginationFuzz.drain(server5, 500, 0L, 1704000001000L)
+        val wall = (System.nanoTime() - t0) / 1e9
+        require(got.length == nTies, s"drain lost rows: ${got.length} of $nTies")
+        val pages = requests.size
+        val floor = (nTies + cap - 1) / cap
+        println(f"[liveprobe] tie drain ($nTies ties, cap $cap): $pages pages for " +
+          f"${got.length} rows in $wall%.2f s " +
+          f"(optimal ≥ $floor pages; the reference ships 1 page and silently loses ${nTies - 500})")
+      } finally server5.stop(0)
+    }
+
+    // ── section 6 (r13): the fleet-scale side-channel — 1M tokens of
+    // per-subject watermarks staged to a planner-read file instead of a
+    // catalog-property JSON string. Reported: file size (what the OPTION
+    // string would have been), write/read wall, and planning wall into 64
+    // bounded groups carrying exact slices.
+    {
+      val nTokens = 1000000
+      val subjects = (0 until nTokens).map(i => f"veh$i%07d")
+      val stops: Map[String, Long] =
+        subjects.iterator.map(s => s -> (1704000000000L + (s.hashCode & 0xffffL))).toMap
+      val subjFile = java.nio.file.Files.createTempFile("graft-probe-subj", ".txt").toString
+      val stopsFile = java.nio.file.Files.createTempFile("graft-probe-stops", ".json").toString
+      var t0 = System.nanoTime()
+      graft.sources.StatusLiveSource.writeSubjects(subjects, subjFile)
+      graft.sources.StatusLiveSource.writeStops(stops, stopsFile)
+      val wallW = (System.nanoTime() - t0) / 1e9
+      val mb = (java.nio.file.Files.size(java.nio.file.Paths.get(stopsFile)) +
+        java.nio.file.Files.size(java.nio.file.Paths.get(subjFile))) >> 20
+      t0 = System.nanoTime()
+      val scan = new graft.sources.StatusLiveScan("http://127.0.0.1:9", "device-status",
+        batchSize = 1000, defaultStartMs = 0L, defaultStopMs = 9999999999999L,
+        signals = None, stopBySubject = Map.empty,
+        filters = Array.empty, required = graft.sources.StatusV2Source.Schema,
+        stopBySubjectPath = Some(stopsFile), subjectsPath = Some(subjFile))
+      val parts = scan.planInputPartitions()
+      val wallP = (System.nanoTime() - t0) / 1e9
+      val total = parts.map(_.asInstanceOf[graft.sources.StatusLivePartition].subjects.get.length).sum
+      require(total == nTokens && parts.length == 64)
+      println(f"[liveprobe] fleet side-channel (1M tokens): ${mb}MB staged " +
+        f"(the would-be option string), write $wallW%.2f s, plan into ${parts.length} " +
+        f"groups $wallP%.2f s — options carry two paths, tasks carry only their slices")
+    }
     spark.stop()
   }
 }
