@@ -175,10 +175,11 @@ object SyncJob {
     if (opts.signalNames.nonEmpty)
       reader = reader.option("signals", opts.signalNames.mkString(","))
     val pathMode = subjects.length > pathModeThreshold
+    val staged = scala.collection.mutable.Buffer.empty[java.nio.file.Path]
     if (stops.nonEmpty) {
       if (pathMode) {
         val f = java.nio.file.Files.createTempFile("graft-stops", ".json")
-        f.toFile.deleteOnExit()
+        staged += f
         graft.sources.StatusLiveSource.writeStops(stops, f.toString)
         reader = reader.option("stopBySubjectPath", f.toString)
       } else
@@ -189,11 +190,14 @@ object SyncJob {
         // census via the staged file: per-subject fan-out without an
         // O(fleet) IN expression; run()'s dim join still enforces scope
         val f = java.nio.file.Files.createTempFile("graft-subjects", ".txt")
-        f.toFile.deleteOnExit()
+        staged += f
         graft.sources.StatusLiveSource.writeSubjects(subjects, f.toString)
         reader.option("subjectsPath", f.toString).load()
       } else
         reader.load().where(col("subject").isin(subjects: _*))
+    // the table consumed the staged files at load(): delete them NOW — a
+    // cron-cadence sync must not accumulate a staging file per round
+    staged.foreach(java.nio.file.Files.deleteIfExists(_))
     val docs = base.select(col("subject"), col("source"), col("time"), col("data"))
     run(docs, dim, existingSink, opts)
   }

@@ -52,11 +52,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * reference's configured signal filter; unknown names drop, whitespace
   * trims, sync.go:246), `stopBySubject` (inline JSON per-subject stops),
   * and the FLEET-SCALE side-channel pair `stopBySubjectPath` /
-  * `subjectsPath`: files the PLANNER reads once (the watermark map and
-  * the subject census, [[StatusLiveSource.writeStops]] /
+  * `subjectsPath`: files the TABLE consumes once at load() (the watermark
+  * map and the subject census, [[StatusLiveSource.writeStops]] /
   * [[StatusLiveSource.writeSubjects]]), so a million-token sync never
   * rides a ~30 MB JSON string through catalog properties — each task
-  * still receives only its own group's slice.
+  * still receives only its own group's slice, and the caller may delete
+  * the staged files as soon as load() returns.
   */
 class StatusLiveSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -72,10 +73,16 @@ class StatusLiveSource extends TableProvider
       Option(properties.get("startMs")).map(_.toLong).getOrElse(0L),
       Option(properties.get("stopMs")).map(_.toLong).getOrElse(StatusLiveSource.DefaultStopMs),
       Option(properties.get("signals")).map(_.split(",").toSeq),
+      // the staged side-channel files are consumed HERE, eagerly (load()
+      // resolves the table): the caller may delete them the moment load()
+      // returns — a cron-cadence sync never accumulates staging files —
+      // and what the driver retains is exactly the per-token state the
+      // reference's own loop holds in memory (sync.go:61-100 [ext])
       Option(properties.get("stopBySubject")).map(StatusLiveSource.parseStops)
-        .getOrElse(Map.empty),
-      Option(properties.get("stopBySubjectPath")),
-      Option(properties.get("subjectsPath")))
+        .getOrElse(Map.empty) ++
+        Option(properties.get("stopBySubjectPath"))
+          .map(StatusLiveSource.readStops).getOrElse(Map.empty),
+      Option(properties.get("subjectsPath")).map(StatusLiveSource.readSubjects))
 }
 
 object StatusLiveSource {
@@ -162,22 +169,20 @@ object StatusLiveSource {
 class StatusLiveTable(url: String, index: String, batchSize: Int,
     startMs: Long, stopMs: Long, signals: Option[Seq[String]],
     stopBySubject: Map[String, Long],
-    stopBySubjectPath: Option[String] = None,
-    subjectsPath: Option[String] = None) extends Table with SupportsRead {
+    census: Option[Seq[String]] = None) extends Table with SupportsRead {
   override def name(): String = s"graft_status_live($url/$index)"
   override def schema(): StructType = StatusV2Source.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StatusLiveScanBuilder(url, index, batchSize, startMs, stopMs, signals, stopBySubject,
-      stopBySubjectPath, subjectsPath)
+      census)
 }
 
 class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
     startMs: Long, stopMs: Long, signals: Option[Seq[String]],
     stopBySubject: Map[String, Long],
-    stopBySubjectPath: Option[String] = None,
-    subjectsPath: Option[String] = None)
+    census: Option[Seq[String]] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN {
 
@@ -230,8 +235,7 @@ class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
 
   override def build(): Scan =
     new StatusLiveScan(url, index, batchSize, startMs, stopMs, signals, stopBySubject,
-      pushed, required, limit, topN, topNDesc,
-      stopBySubjectPath = stopBySubjectPath, subjectsPath = subjectsPath)
+      pushed, required, limit, topN, topNDesc, census = census)
 }
 
 /** One live-scan partition: sequential page loops for a GROUP of
@@ -254,8 +258,7 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     filters: Array[Filter], required: StructType,
     limit: Int = -1, topN: Int = -1, topNDesc: Boolean = true,
     maxTasks: Int = 64,
-    stopBySubjectPath: Option[String] = None,
-    subjectsPath: Option[String] = None) extends Scan with Batch
+    census: Option[Seq[String]] = None) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   private[sources] def index0: String = index
@@ -309,13 +312,6 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     filters.collect { case LessThan("time", v) => ms(v) }
       .reduceOption(_ min _).getOrElse(defaultStopMs)
 
-  // the two staged side-channels, read once per scan at PLANNING (lazy:
-  // the stream's per-batch partitionsFor calls share them)
-  private lazy val stagedCensus: Option[Seq[String]] =
-    subjectsPath.map(StatusLiveSource.readSubjects)
-  private lazy val allStops: Map[String, Long] =
-    stopBySubject ++ stopBySubjectPath.map(StatusLiveSource.readStops).getOrElse(Map.empty)
-
   override def planInputPartitions(): Array[InputPartition] =
     partitionsFor(windowStartMs, windowStopMs)
 
@@ -341,13 +337,13 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     // multiple subject constraints (IN-sets and/or equalities) INTERSECT —
     // fetching the first set and dropping the rest returns rows the other
     // conjuncts exclude. A staged census (`subjectsPath` — the fleet-scale
-    // side-channel the planner reads ONCE) intersects like any other
+    // side-channel the table consumed at load()) intersects like any other
     // constraint: a million-token fleet fans into per-subject page loops
     // without a million-literal IN expression or option string anywhere.
     val constraints: Seq[Set[String]] =
       filters.collect { case In("subject", vs) => vs.collect { case s: String => s }.toSet } ++
         filters.collect { case EqualTo("subject", s: String) => Set(s) } ++
-        stagedCensus.map(_.toSet).toSeq
+        census.map(_.toSet).toSeq
     val subjects: Option[Seq[String]] =
       constraints.reduceOption(_ intersect _).map(_.toSeq.sorted)
     // a pushed limit (or DESC top-K) bounds what any one loop can
@@ -378,7 +374,7 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
           // million-token watermark map never rides whole inside a task
           // (per-group LOOKUPS, not a full-map scan per group: planning a
           // 1M-token census must stay O(fleet), not O(fleet × groups))
-          g.iterator.flatMap(s => allStops.get(s).map(v => s -> v)).toMap,
+          g.iterator.flatMap(s => stopBySubject.get(s).map(v => s -> v)).toMap,
           perLoopCap): InputPartition).toArray
     }
   }

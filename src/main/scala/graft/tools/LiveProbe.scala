@@ -274,11 +274,16 @@ object LiveProbe {
       val mb = (java.nio.file.Files.size(java.nio.file.Paths.get(stopsFile)) +
         java.nio.file.Files.size(java.nio.file.Paths.get(subjFile))) >> 20
       t0 = System.nanoTime()
-      val scan = new graft.sources.StatusLiveScan("http://127.0.0.1:9", "device-status",
-        batchSize = 1000, defaultStartMs = 0L, defaultStopMs = 9999999999999L,
-        signals = None, stopBySubject = Map.empty,
-        filters = Array.empty, required = graft.sources.StatusV2Source.Schema,
-        stopBySubjectPath = Some(stopsFile), subjectsPath = Some(subjFile))
+      val props = new java.util.HashMap[String, String]()
+      props.put("url", "http://127.0.0.1:9")
+      props.put("subjectsPath", subjFile)
+      props.put("stopBySubjectPath", stopsFile)
+      val scan = new graft.sources.StatusLiveSource()
+        .getTable(graft.sources.StatusV2Source.Schema, Array.empty, props)
+        .asInstanceOf[graft.sources.StatusLiveTable]
+        .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          new java.util.HashMap[String, String]()))
+        .build().asInstanceOf[graft.sources.StatusLiveScan]
       val parts = scan.planInputPartitions()
       val wallP = (System.nanoTime() - t0) / 1e9
       val total = parts.map(_.asInstanceOf[graft.sources.StatusLivePartition].subjects.get.length).sum

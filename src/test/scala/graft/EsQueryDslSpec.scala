@@ -99,6 +99,39 @@ class EsQueryDslSpec extends AnyFunSuite {
     assert(asc.path("size").asInt() === 10)
   }
 
+  test("the count probe opts into exact totals (track_total_hits), plain requests never do") {
+    val probe = mapper.readTree(EsQueryDsl.searchRequest(filters, Nil, 0, trackTotalHits = true))
+    assert(probe.path("track_total_hits").asBoolean(false),
+      "without it ES caps hits.total at 10k and the count is unusable for statistics")
+    val page = mapper.readTree(EsQueryDsl.searchRequest(filters, Nil, 100))
+    assert(page.path("track_total_hits").isMissingNode,
+      "data pages must not pay exact-count bookkeeping")
+  }
+
+  test("the search_after drain request: _id ascending cursor within the window, projection intact") {
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    val tie = 1704000000123L
+    val win: Seq[org.apache.spark.sql.sources.Filter] =
+      Seq(GreaterThanOrEqual("time", tie), LessThan("time", tie + 1))
+    val first = mapper.readTree(
+      EsQueryDsl.searchAfterRequest(win, Seq("data.speed"), 500, after = None))
+    assert(first.path("sort").get(0).path("_id").asText() === "asc")
+    assert(first.path("search_after").isMissingNode, "no cursor on the first drain page")
+    val range = first.path("query").path("bool").path("filter").get(0).path("range").path("time")
+    assert(range.path("gte").asText() === tie.toString &&
+      range.path("lt").asText() === (tie + 1).toString,
+      "the drain windows EXACTLY the tied millisecond")
+    // a configured signal filter applies to drained pages too
+    assert(first.path("query").path("bool").path("should").get(0)
+      .path("exists").path("field").asText() === "data.speed")
+    assert(first.path("_source").path("includes").size() ===
+      EsQueryDsl.RootFields.size + 1)
+    val next = mapper.readTree(
+      EsQueryDsl.searchAfterRequest(win, Seq.empty, 500, after = Some("doc-0042")))
+    assert(next.path("search_after").get(0).asText() === "doc-0042",
+      "subsequent pages carry the last hit's _id as the exclusive cursor")
+  }
+
   test("pushdown-state round trip: the DSv2 scan's accepted filters translate") {
     // the same filter classes StatusScanBuilder accepts are the inputs here;
     // a subject-only scan emits just the match clause

@@ -30,13 +30,22 @@ class StatusLiveFleetSpec extends SparkTestBase {
     // the OPTION payloads are the two paths — O(1), not O(fleet)
     assert(subjFile.length < 256 && stopsFile.length < 256)
 
-    val scan = new StatusLiveScan("http://127.0.0.1:9", "device-status",
-      batchSize = 1000, defaultStartMs = 0L,
-      defaultStopMs = StatusLiveSource.DefaultStopMs,
-      signals = None, stopBySubject = Map.empty,
-      filters = Array.empty, required = StatusV2Source.Schema,
-      stopBySubjectPath = Some(stopsFile), subjectsPath = Some(subjFile))
+    // through the real table-resolution path: getTable consumes the
+    // staged files EAGERLY (so the caller may delete them after load);
     // planning is pure (no HTTP): the census fans into ≤64 bounded groups
+    val props = new java.util.HashMap[String, String]()
+    props.put("url", "http://127.0.0.1:9")
+    props.put("subjectsPath", subjFile)
+    props.put("stopBySubjectPath", stopsFile)
+    val table = new graft.sources.StatusLiveSource()
+      .getTable(StatusV2Source.Schema, Array.empty, props)
+    val scan = table.asInstanceOf[graft.sources.StatusLiveTable]
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        new java.util.HashMap[String, String]()))
+      .build().asInstanceOf[StatusLiveScan]
+    // the files are consumed: delete them BEFORE planning to prove it
+    java.nio.file.Files.delete(java.nio.file.Paths.get(subjFile))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(stopsFile))
     val parts = scan.planInputPartitions().map(_.asInstanceOf[StatusLivePartition])
     assert(parts.length === 64, "the bounded task census (maxTasks)")
     assert(parts.map(_.subjects.get.length).sum === n, "every token exactly once")
