@@ -832,7 +832,76 @@ object LiveQueries {
                count(*)::BIGINT AS n_docs,
                sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents
              FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
-             GROUP BY 1""")
+             GROUP BY 1"""),
+    ),
+
+    // ── LIVE CH runtime filtering (r13): the DPP shape of q190 against
+    //    the WIRE source — the VIP build side (events → HAVING
+    //    sum(cents) > threshold) is only known after it aggregates; the
+    //    join then hands `graft-signal-live` its ACTUAL token set, the
+    //    scan re-plans, and every CH SELECT carries `token_id IN (…)`:
+    //    the store answers a primary-key point lookup instead of shipping
+    //    the whole table for the join to discard (the reference's
+    //    per-token correlated lookup, clickhouse.go:65-87, arriving from
+    //    the planner). DPP confs forced for the entry (stats heuristics
+    //    must not decide whether the declared feature runs) and restored.
+    QueryDef(
+      "q221_live_ch_dpp",
+      (s, d) => {
+        import graft.sources.{ClickHouseDdl, ClickHouseHttpClient}
+        import org.apache.spark.sql.types._
+        val cents = round(col("value") * 100).cast(LongType)
+        val signals = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id").cast(LongType).as("token_id"),
+            col("ts").cast(TimestampType).as("timestamp"),
+            col("event_type").cast(StringType).as("name"),
+            cents.cast(DoubleType).as("value_number"),
+            col("event_id").cast(StringType).as("value_string"))
+          .repartition(8)
+        val vips = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull &&
+            col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(sum(cents).as("spend"))
+          .where(col("spend") > 120000L)
+          .select(col("user_id").cast(LongType).as("token_id"))
+        val server = ChSignalStub.start()
+        val confs = Seq(
+          "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+          "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "10.0")
+        val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+          val client = new ClickHouseHttpClient(url)
+          client.execute(ClickHouseDdl.signalTableDdl(StructType(Seq(
+            StructField("token_id", LongType, nullable = false),
+            StructField("timestamp", TimestampType, nullable = false),
+            StructField("name", StringType, nullable = false),
+            StructField("value_number", DoubleType, nullable = true),
+            StructField("value_string", StringType, nullable = true)))))
+          signals.write.format("graft-signal-live").option("url", url)
+            .mode("append").save()
+          val joined = s.read.format("graft-signal-live")
+            .option("url", url).option("partitions", "8").load()
+            .join(vips, Seq("token_id"))
+            .groupBy(col("token_id"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("value_number")).cast(LongType).as("cents"))
+          joined.localCheckpoint(true) // materialize THROUGH the runtime-filtered live read
+        } finally {
+          saved.foreach { case (k, v) => v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+          server.stop(0)
+        }
+      },
+      Some("""WITH e AS (SELECT CAST(user_id AS BIGINT) AS token_id, event_type,
+                   CAST(round(value*100) AS BIGINT) AS c
+                 FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        vip AS (SELECT token_id FROM e WHERE event_type = 'purchase'
+                GROUP BY 1 HAVING sum(c) > 120000)
+        SELECT e.token_id, count(*)::BIGINT AS n_rows, sum(e.c)::BIGINT AS cents
+        FROM e JOIN vip USING (token_id) GROUP BY 1""")
     )
   )
 }

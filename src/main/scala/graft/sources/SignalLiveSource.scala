@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, Transform, Expression => V2Expression, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In, IsNotNull, LessThan}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -372,7 +373,7 @@ class SignalLiveScan(url: String, table: String, partitions: Int,
     filters: Array[Filter], required: StructType, limit: Int,
     pushedAgg: Option[ChPushedAgg],
     topN: Int = -1, topNDesc: Boolean = true)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = pushedAgg.map(_.outputSchema).getOrElse(required)
   override def toBatch: Batch = this
@@ -382,16 +383,57 @@ class SignalLiveScan(url: String, table: String, partitions: Int,
       (if (topN >= 0) s" topN=$topN timestamp ${if (topNDesc) "DESC" else "ASC"}" else "") +
       pushedAgg.map(pa => s" agg=[${pa.selectList}]").getOrElse("")
 
-  /** One planning round trip: the pushed-filter token envelope + row
-    * count, cached (estimateStatistics and planInputPartitions share it).
+  /** Runtime token filter (DSv2 DPP): a broadcast join's build side hands
+    * this scan its ACTUAL key set after it materializes — folded into the
+    * planning envelope AND every partition's WHERE, so at 100 TB a join
+    * against a handful of hot tokens sends the store a `token_id IN`
+    * point lookup (its primary-key fast path) instead of reading the
+    * whole pushed range and discarding in the join. The reference's
+    * per-token correlated lookup (clickhouse.go:65-87 [ext]), arriving
+    * from the PLANNER. Advisory: sets past [[SignalLiveScan.MaxRuntimeIn]]
+    * stay unfiltered (an IN of a million literals helps neither the SQL
+    * string nor the server; the join above still applies the predicate).
     */
-  private lazy val envelope: Option[(Long, Long, Long)] = {
-    val client = new ClickHouseHttpClient(url)
-    val sql = s"SELECT min(`token_id`), max(`token_id`), count() FROM `$table`" +
-      SignalLiveSource.whereClause(filters.toSeq)
-    client.query(sql).headOption.flatMap { r =>
-      val n = r(2).toLong
-      if (n == 0) None else Some((r(0).toLong, r(1).toLong, n))
+  private var runtimeTokens: Option[Set[Long]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    (if (readSchema().fieldNames.contains("token_id")) Seq("token_id") else Seq.empty)
+      .map(Expressions.column).toArray
+
+  override def filter(runtime: Array[Filter]): Unit = runtime.foreach {
+    case In("token_id", vs) if vs.length <= SignalLiveScan.MaxRuntimeIn =>
+      runtimeTokens = Some(vs.collect { case n: Number => n.longValue() }.toSet)
+    case EqualTo("token_id", v: Number) => runtimeTokens = Some(Set(v.longValue()))
+    case _ => () // unsupported runtime filter: ignore (advisory)
+  }
+
+  /** Static pushed filters + the runtime token IN-set (sorted: the SQL
+    * text and the envelope cache key must be deterministic).
+    */
+  private def effectiveFilters: Seq[Filter] =
+    filters.toSeq ++ runtimeTokens.map(ts =>
+      In("token_id", ts.toArray.sorted.map(v => Long.box(v): Any)): Filter)
+
+  /** One planning round trip per effective-filter state: the token
+    * envelope + row count (estimateStatistics and planInputPartitions
+    * share it; a runtime filter arriving AFTER statistics invalidates the
+    * cache so partitions re-plan against the narrowed envelope).
+    */
+  private var envCache: Option[(Seq[Filter], Option[(Long, Long, Long)])] = None
+  private def envelope: Option[(Long, Long, Long)] = synchronized {
+    val eff = effectiveFilters
+    envCache match {
+      case Some((key, v)) if key == eff => v
+      case _ =>
+        val client = new ClickHouseHttpClient(url)
+        val sql = s"SELECT min(`token_id`), max(`token_id`), count() FROM `$table`" +
+          SignalLiveSource.whereClause(eff)
+        val v = client.query(sql).headOption.flatMap { r =>
+          val n = r(2).toLong
+          if (n == 0) None else Some((r(0).toLong, r(1).toLong, n))
+        }
+        envCache = Some((eff, v))
+        v
     }
   }
 
@@ -426,7 +468,7 @@ class SignalLiveScan(url: String, table: String, partitions: Int,
         val sql = pushedAgg match {
           case Some(pa) =>
             s"SELECT ${pa.selectList} FROM `$table`" +
-              SignalLiveSource.whereClause(filters.toSeq, range) + pa.groupBy
+              SignalLiveSource.whereClause(effectiveFilters, range) + pa.groupBy
           case None =>
             val cols = required.fields.map(f => SignalLiveSource.selectExpr(f.name))
               .mkString(", ")
@@ -442,13 +484,22 @@ class SignalLiveScan(url: String, table: String, partitions: Int,
               else if (limit >= 0) s" LIMIT $limit"
               else ""
             s"SELECT $sel FROM `$table`" +
-              SignalLiveSource.whereClause(filters.toSeq, range) + orderLimit
+              SignalLiveSource.whereClause(effectiveFilters, range) + orderLimit
         }
         SignalLivePartition(url, table, sql, schema): InputPartition
       }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new SignalLiveReaderFactory
+}
+
+object SignalLiveScan {
+  /** Largest runtime IN-set folded into the CH SQL — beyond it the filter
+    * is ignored (advisory): a million-literal IN helps neither the SQL
+    * string nor the server's index, and the join above still applies the
+    * predicate.
+    */
+  val MaxRuntimeIn: Int = 1000
 }
 
 class SignalLiveReaderFactory extends PartitionReaderFactory {

@@ -223,6 +223,63 @@ class ChLiveSourceSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("runtime filtering (DPP): a selective dim join narrows the CH SQL to a token IN point lookup") {
+    // the build side's ACTUAL key set reaches the scan after planning and
+    // folds into every partition's WHERE — the server answers a primary-
+    // key point lookup instead of shipping the whole range for the join
+    // to discard. numOutputRows == the surviving tokens' rows PROVES the
+    // filter executed SERVER-side (the reader has no row-level token
+    // predicate of its own).
+    val rows = seed(40, 30) // 1200 rows, tokens 0..39
+    withStore(rows) { url =>
+      val old = Seq(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats",
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+        .map(k => k -> spark.conf.getOption(k))
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10.0")
+      try {
+        val dim = spark.range(0, 40).select(col("id").as("token_id"))
+          .where(col("token_id") < 2)
+        val j = live(url, partitions = 8).join(dim, Seq("token_id"))
+        assert(j.collect().length === 2 * 30, "tokens 0 and 1 only")
+        val planStr = j.queryExecution.executedPlan.toString
+        assert(planStr.contains("RuntimeFilters: [dynamicpruning"),
+          s"the dim join must inject a runtime filter into the live scan:\n$planStr")
+        val scan = findScan(j, "graft_signal_live")
+        assert(scan.metrics("numOutputRows").value === 60,
+          s"scan emitted ${scan.metrics("numOutputRows").value} rows — " +
+            "the runtime IN-set must reach the server's WHERE")
+      } finally old.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
+    }
+  }
+
+  test("runtime filtering is advisory: oversized IN-sets are ignored, correctness unaffected") {
+    val rows = seed(6, 5)
+    withStore(rows) { url =>
+      import org.apache.spark.sql.sources.{In => SIn}
+      val scanBuilder = new graft.sources.SignalLiveScanBuilder(url, "signal", 4)
+      val scan = scanBuilder.build().asInstanceOf[graft.sources.SignalLiveScan]
+      scan.filter(Array[org.apache.spark.sql.sources.Filter](SIn("token_id",
+        (0L until (graft.sources.SignalLiveScan.MaxRuntimeIn + 1L))
+          .map(v => Long.box(v): Any).toArray)))
+      val parts = scan.planInputPartitions()
+      assert(parts.nonEmpty)
+      assert(!parts.map(_.asInstanceOf[graft.sources.SignalLivePartition].sql)
+        .exists(_.contains(" IN (")), "an oversized runtime set must not bloat the SQL")
+      // a small set DOES narrow both the envelope and the SQL
+      val scan2 = new graft.sources.SignalLiveScanBuilder(url, "signal", 4)
+        .build().asInstanceOf[graft.sources.SignalLiveScan]
+      scan2.filter(Array[org.apache.spark.sql.sources.Filter](
+        SIn("token_id", Array(Long.box(3L), Long.box(5L)))))
+      val parts2 = scan2.planInputPartitions()
+        .map(_.asInstanceOf[graft.sources.SignalLivePartition])
+      assert(parts2.forall(_.sql.contains("`token_id` IN (3,5)")), parts2.map(_.sql).mkString("\n"))
+    }
+  }
+
   test("an empty result plans zero tasks (the planning envelope short-circuits)") {
     withStore(seed(3, 4)) { url =>
       val none = live(url).where(col("token_id") === 999L)
