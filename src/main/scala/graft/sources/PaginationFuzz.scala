@@ -93,16 +93,16 @@ private[graft] object PaginationFuzz {
     server
   }
 
-  /** Drain one pagedLines loop fully; returns the emitted payload ids. */
+  /** Drain one pagedDocs loop fully; returns the emitted payload ids. */
   def drain(server: HttpServer, batch: Int, startMs: Long, stopMs: Long): Seq[String] = {
     val client = new EsHttpClient(s"http://127.0.0.1:${server.getAddress.getPort}")
-    val src = client.pagedLines("idx", batch, startMs, stopMs, None, Seq.empty)
+    val src = client.pagedDocs("idx", batch, startMs, stopMs, None, Seq.empty)
     val out = Seq.newBuilder[String]
-    var line = src.next()
+    var doc = src.next()
     var guard = 0
-    while (line != null) {
-      out += mapper.readTree(line).path("id").asText()
-      line = src.next()
+    while (doc != null) {
+      out += doc.path("id").asText()
+      doc = src.next()
       guard += 1
       require(guard < 100000, "runaway page loop")
     }

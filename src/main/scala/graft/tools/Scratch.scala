@@ -1,52 +1,69 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
 
-/** Ad-hoc plan/perf probe (not part of the driver contract). */
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Ad-hoc plan/perf probe (not part of the driver contract).
+  *
+  * Current experiment: the live ES decode path's serialize+reparse cost —
+  * each `_search` hit arrives as a PARSED JsonNode, is rendered back to
+  * bytes (`src.toString.getBytes`) to ride the shared [[graft.sources
+  * .LineSource]] transport, and the shared decode re-parses it
+  * (`mapper.readTree(line)`). Measures (a) the full
+  * render→reparse→extract pipeline vs (b) extracting straight from the
+  * already-parsed node — the upper bound a node-level decode core could
+  * recover.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val d = "/root/testdata/sf0.1"
-    val e = graft.queries.Tables.load(spark, d, "events").select(col("event_type"), col("value"))
-
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"[scratch] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    val n = args.lift(0).map(_.toInt).getOrElse(1000000)
+    val mapper = new ObjectMapper()
+    val docs: IndexedSeq[com.fasterxml.jackson.databind.JsonNode] =
+      (0 until n).map { i =>
+        mapper.readTree(
+          s"""{"id":"e$i","subject":"s${i % 1000}","source":"dimo/integration/live",""" +
+            s""""specversion":"1.0","time":"2024-01-01T00:0${i % 6}:00Z",""" +
+            s""""dataschema":"dimo.zone.status/v2.0","type":"com.dimo.device.status",""" +
+            s""""data":{"vehicle":{"cents":$i}}}""")
+      }
+    def extract(node: com.fasterxml.jackson.databind.JsonNode): Long = {
+      var h = 0L
+      val s = node.get("subject"); if (s != null && s.isTextual) h ^= s.asText().hashCode
+      val t = node.get("time"); if (t != null && t.isTextual)
+        h ^= java.time.Instant.parse(t.asText()).toEpochMilli
+      val d = node.get("data"); if (d != null) h ^= d.toString.hashCode
+      h
     }
-
-    time("warmup")(e.count())
-    time("warmup2")(e.count())
-
-    // floor: single hash aggregate
-    time("agg1 (type)")(e.groupBy(col("event_type")).count().count())
-    time("agg1 again")(e.groupBy(col("event_type")).count().count())
-    // floor: hash agg + window
-    def aggw = {
-      import org.apache.spark.sql.expressions.Window
-      val wv = Window.partitionBy(col("event_type")).orderBy(col("value"))
-      e.groupBy(col("event_type"), col("value")).count()
-        .withColumn("cum", sum(col("count")).over(wv))
+    def time(name: String)(f: => Long): Double = {
+      val t0 = System.nanoTime(); val x = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[scratch] $name%-28s $s%6.2f s  (${n / s}%.0f docs/s, $x)")
+      s
     }
-    time("agg+window cold")(aggw.count())
-    time("agg+window warm")(aggw.count())
-
-    time("med warm1")(graft.operators.RobustStats
-      .lowerMedianByKey(e, "event_type", "value", out = "med").count())
-    time("med warm2")(graft.operators.RobustStats
-      .lowerMedianByKey(e, "event_type", "value", out = "med").count())
-
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    time("med noAQE cold")(graft.operators.RobustStats
-      .lowerMedianByKey(e, "event_type", "value", out = "med").count())
-    time("med noAQE warm")(graft.operators.RobustStats
-      .lowerMedianByKey(e, "event_type", "value", out = "med").count())
-    spark.stop()
+    // warm both paths
+    (0 until 2).foreach { _ =>
+      var i = 0; var acc = 0L
+      while (i < math.min(n, 100000)) {
+        val bytes = docs(i).toString.getBytes(StandardCharsets.UTF_8)
+        acc ^= extract(mapper.readTree(bytes)); acc ^= extract(docs(i)); i += 1
+      }
+    }
+    val a = time("render+reparse+extract") {
+      var i = 0; var acc = 0L
+      while (i < n) {
+        val bytes = docs(i).toString.getBytes(StandardCharsets.UTF_8)
+        acc ^= extract(mapper.readTree(bytes))
+        i += 1
+      }
+      acc
+    }
+    val b = time("direct node extract") {
+      var i = 0; var acc = 0L
+      while (i < n) { acc ^= extract(docs(i)); i += 1 }
+      acc
+    }
+    println(f"[scratch] serialize+reparse overhead: ${a / b}%.2fx of the extract-only cost; " +
+      f"savings bound if the decode went node-level: ${(a - b) / a * 100}%.0f%% of decode CPU")
   }
 }

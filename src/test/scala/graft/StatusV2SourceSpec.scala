@@ -205,7 +205,8 @@ class StatusV2SourceSpec extends SparkTestBase {
       .map(_.getAbsolutePath).sorted
     val rows = file.flatMap { f =>
       val r = new graft.sources.StatusPartitionReader(
-        new graft.sources.ByteRangeLines(f, 0, Long.MaxValue), Some(Set("2")),
+        new graft.sources.LineDocSource(
+          new graft.sources.ByteRangeLines(f, 0, Long.MaxValue)), Some(Set("2")),
         Array.empty, graft.sources.StatusV2Source.Schema, -1, 1, true)
       val buf = scala.collection.mutable.Buffer[String]()
       while (r.next()) buf += r.get().getUTF8String(0).toString // id
