@@ -901,7 +901,64 @@ object LiveQueries {
         vip AS (SELECT token_id FROM e WHERE event_type = 'purchase'
                 GROUP BY 1 HAVING sum(c) > 120000)
         SELECT e.token_id, count(*)::BIGINT AS n_rows, sum(e.c)::BIGINT AS cents
-        FROM e JOIN vip USING (token_id) GROUP BY 1""")
+        FROM e JOIN vip USING (token_id) GROUP BY 1"""),
+    ),
+
+    // ── LIVE ES COUNT pushdown (r13): `live.count()` — bare, subject-
+    //    filtered, and time-windowed — answered by size-0 exact-total
+    //    probes (`track_total_hits: true`): not ONE document pages over
+    //    the wire, enforced loudly (the entry raises if the stub's
+    //    served-docs counter moves — a silent regression to paging cannot
+    //    hash-match its way through). At 100 TB the difference is a
+    //    monitoring query costing one request vs re-downloading an index.
+    QueryDef(
+      "q222_live_es_count",
+      (s, d) => {
+        val evs = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id").cast("string").as("subject"),
+            expr("unix_micros(ts)").as("tsu"))
+          .collect() // seeds the TEST DOUBLE; the measured path is below
+        val docs: IndexedSeq[StubDoc] =
+          evs.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+            val (subj, tsu) = (r.getString(0), r.getLong(1))
+            val iso = java.time.Instant.ofEpochSecond(tsu / 1000000L, (tsu % 1000000L) * 1000L)
+            StubDoc(s"n$i", subj, tsu,
+              s"""{"id":"n$i","subject":"$subj","source":"dimo/integration/live",""" +
+                s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v2.0",""" +
+                s""""type":"com.dimo.device.status","data":{}}""")
+          }
+        val served = new java.util.concurrent.atomic.AtomicLong
+        val server = startStub(docs, served = served)
+        try {
+          val live = s.read.format("graft-status-live")
+            .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+            .option("batchSize", "500").load()
+          val nTotal = live.count()
+          val minSubj = evs.map(_.getString(0)).min
+          val us = evs.map(_.getLong(1))
+          val midMs = ((us.min + us.max) / 2) / 1000
+          val nSubj = live.where(col("subject") === minSubj).count()
+          val nWin = live.where(col("time") >= new java.sql.Timestamp(midMs)).count()
+          require(served.get() == 0,
+            s"COUNT pushdown regressed to paging: ${served.get()} docs shipped")
+          import org.apache.spark.sql.types._
+          s.createDataFrame(
+            java.util.List.of(org.apache.spark.sql.Row(nTotal, nSubj, nWin)),
+            StructType(Seq(
+              StructField("n_total", LongType, nullable = false),
+              StructField("n_subj", LongType, nullable = false),
+              StructField("n_window", LongType, nullable = false))))
+        } finally server.stop(0)
+      },
+      Some("""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS subj,
+                   CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us
+                 FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        m AS (SELECT ((min(us)+max(us))//2)//1000*1000 AS wus, min(subj) AS s0 FROM e)
+        SELECT count(*)::BIGINT AS n_total,
+          sum(CASE WHEN e.subj = (SELECT s0 FROM m) THEN 1 ELSE 0 END)::BIGINT AS n_subj,
+          sum(CASE WHEN e.us >= (SELECT wus FROM m) THEN 1 ELSE 0 END)::BIGINT AS n_window
+        FROM e""")
     )
   )
 }

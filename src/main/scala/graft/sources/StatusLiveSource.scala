@@ -184,13 +184,59 @@ class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
     stopBySubject: Map[String, Long],
     census: Option[Seq[String]] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = StatusV2Source.Schema
   private var limit: Int = -1
   private var topN: Int = -1
   private var topNDesc: Boolean = true
+  private var pushedCount: Option[Long] = None
+
+  /** COUNT(*) pushdown: `live.count()` must not page the whole index over
+    * the wire — the exact-total probe ([[EsHttpClient.countFor]],
+    * `track_total_hits: true`) answers it in ONE size-0 request. Accepted
+    * only where the probe's semantics are EXACTLY the row scan's:
+    * ungrouped CountStar, no configured signal filter (`exists` clauses
+    * change the row set), no per-subject stop windows, no staged census,
+    * and every pushed filter one the request DSL translates unambiguously:
+    * at most one subject equality + time bounds. `IsNotNull("time")` is
+    * fine (every probe carries the scan's half-open window, which only
+    * matches docs with an indexed time); `IsNotNull("subject")` only
+    * rides along with a subject equality (the match clause implies it) —
+    * BARE not-null constraints are client-side-only semantics and reject
+    * the pushdown, as do IN-sets. The probe runs HERE, with the scan's
+    * window applied; a non-exact total (-1) or any probe failure rejects
+    * the pushdown and the row scan proceeds unchanged. PARTIAL contract:
+    * Spark's retained final aggregate sums the one partial row this scan
+    * then emits. Like every planning envelope in the live tier, the count
+    * is the INDEX's truth at plan time — the same documents the row scan
+    * would request.
+    */
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val countStarOnly = aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().length == 1 &&
+      aggregation.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    val subjectEqs = pushed.count { case EqualTo("subject", _) => true; case _ => false }
+    val translatable = pushed.forall {
+      case EqualTo("subject", _: String)                      => true
+      case GreaterThanOrEqual("time", _) | LessThan("time", _) => true
+      case IsNotNull("time")                                   => true // the window implies it
+      case IsNotNull("subject")                                => subjectEqs == 1 // the match implies it
+      case _                                                   => false
+    }
+    if (!countStarOnly || signals.nonEmpty || stopBySubject.nonEmpty ||
+      census.nonEmpty || !translatable || subjectEqs > 1) return false
+    val windowed: Seq[Filter] = pushed.toSeq ++
+      Seq(GreaterThanOrEqual("time", startMs): Filter, LessThan("time", stopMs): Filter)
+    val n = try new EsHttpClient(url).countFor(index, windowed)
+    catch { case scala.util.control.NonFatal(_) => -1L }
+    if (n < 0) false // non-exact or unreachable: fall back to the row scan
+    else { pushedCount = Some(n); true }
+  }
 
   // Per-partition early stop only — Spark keeps its global Limit above
   // the scan (same contract as the file source).
@@ -235,7 +281,8 @@ class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
 
   override def build(): Scan =
     new StatusLiveScan(url, index, batchSize, startMs, stopMs, signals, stopBySubject,
-      pushed, required, limit, topN, topNDesc, census = census)
+      pushed, required, limit, topN, topNDesc, census = census,
+      pushedCount = pushedCount)
 }
 
 /** One live-scan partition: sequential page loops for a GROUP of
@@ -252,13 +299,19 @@ case class StatusLivePartition(url: String, index: String, batchSize: Int,
     stopBySubject: Map[String, Long] = Map.empty,
     perLoopCap: Int = -1) extends InputPartition
 
+/** A pushed COUNT(*)'s single partition: the probe already answered at
+  * planning; the task just emits the partial row.
+  */
+case class StatusLiveCountPartition(n: Long) extends InputPartition
+
 class StatusLiveScan(url: String, index: String, batchSize: Int,
     defaultStartMs: Long, defaultStopMs: Long, signals: Option[Seq[String]],
     stopBySubject: Map[String, Long],
     filters: Array[Filter], required: StructType,
     limit: Int = -1, topN: Int = -1, topNDesc: Boolean = true,
     maxTasks: Int = 64,
-    census: Option[Seq[String]] = None) extends Scan with Batch
+    census: Option[Seq[String]] = None,
+    pushedCount: Option[Long] = None) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   private[sources] def index0: String = index
@@ -279,21 +332,28 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
 
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
+      // a pushed COUNT emits exactly one row — no probe needed
+      private def rows: Long = pushedCount.map(_ => 1L).getOrElse(matchCount)
       override def sizeInBytes(): java.util.OptionalLong =
-        if (matchCount < 0) java.util.OptionalLong.empty()
-        else java.util.OptionalLong.of(matchCount * 512L)
+        if (rows < 0) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(math.max(rows, 1L) * (if (pushedCount.isDefined) 8L else 512L))
       override def numRows(): java.util.OptionalLong =
-        if (matchCount < 0) java.util.OptionalLong.empty()
-        else java.util.OptionalLong.of(matchCount)
+        if (rows < 0) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(rows)
     }
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    if (pushedCount.isDefined)
+      StructType(Seq(org.apache.spark.sql.types.StructField("count",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    else required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-status-live $url/$index pushed=[${filters.mkString(", ")}]" +
       signals.map(s => s" signals=[${s.mkString(",")}]").getOrElse("") +
       (if (limit >= 0) s" limit=$limit" else "") +
-      (if (topN >= 0) s" topN=$topN time ${if (topNDesc) "DESC" else "ASC"}" else "")
+      (if (topN >= 0) s" topN=$topN time ${if (topNDesc) "DESC" else "ASC"}" else "") +
+      pushedCount.map(_ => " agg=[count(*) via track_total_hits probe]").getOrElse("")
 
   private def ms(v: Any): Long = v match {
     case t: java.sql.Timestamp => t.getTime
@@ -313,7 +373,13 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
       .reduceOption(_ min _).getOrElse(defaultStopMs)
 
   override def planInputPartitions(): Array[InputPartition] =
-    partitionsFor(windowStartMs, windowStopMs)
+    pushedCount match {
+      // the probe already answered at push time: one task, one row, zero
+      // further wire traffic (the batch-scan snapshot semantics every
+      // planning envelope here already has)
+      case Some(n) => Array(StatusLiveCountPartition(n))
+      case None    => partitionsFor(windowStartMs, windowStopMs)
+    }
 
   /** Partitions for one half-open [startMs, stopMs) window — the batch
     * scan uses the pushed/default window; the micro-batch stream calls
@@ -398,8 +464,11 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     * reference deployment (periodic forward sync + watermark backfill).
     */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(pushedCount.isEmpty,
+      "graft-status-live streaming reads raw documents (a COUNT is the engine's stateful aggregate)")
     new StatusLiveMicroBatchStream(this, url)
+  }
 
   // Wire observability: malformed-doc skips (shared with the file scan)
   // plus the live tier's own shape — `_search` pages fetched and documents
@@ -496,6 +565,16 @@ class StatusLiveReaderFactory(filters: Array[Filter], required: StructType,
     limit: Int = -1, topN: Int = -1, topNDesc: Boolean = true)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    partition match {
+      case StatusLiveCountPartition(n) =>
+        return new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = if (emitted) false else { emitted = true; true }
+          override def get(): InternalRow = InternalRow(n)
+          override def close(): Unit = ()
+        }
+      case _ => ()
+    }
     val p = partition.asInstanceOf[StatusLivePartition]
     val client = new EsHttpClient(p.url)
     def loopFor(subject: Option[String]): DocSource with WireCounters = {

@@ -357,6 +357,59 @@ class EsLiveSourceSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("COUNT(*) pushes as one exact-total probe — no document ever pages over the wire") {
+    val docs = (0 until 35).map(i =>
+      Doc(s"c$i", s"s${i % 3}", 1704000000000L + i * 60000L, i * 1.0))
+    val requests = new ConcurrentLinkedQueue[String]()
+    val server = startStub(docs, requests)
+    try {
+      assert(liveDf(server).count() === 35)
+      // filters ride into the probe: one subject + a half-open window
+      val a = new java.sql.Timestamp(1704000300000L) // >= doc 5
+      val filtered = liveDf(server)
+        .where(col("subject") === "s1" && col("time") >= a)
+      assert(filtered.count() === docs.count(d =>
+        d.subject == "s1" && d.timeMs >= a.getTime))
+      import scala.jdk.CollectionConverters._
+      val sizes = requests.asScala.toSeq.map(r =>
+        mapper.readTree(r.split("\n", 2)(1)).path("size").asInt(-1))
+      assert(sizes.forall(_ === 0),
+        s"a pushed COUNT must be answered by size-0 probes alone, sizes=$sizes")
+      val plan = filtered.groupBy().count().queryExecution.executedPlan.toString
+      assert(plan.contains("count(*) via track_total_hits probe"), plan)
+    } finally server.stop(0)
+  }
+
+  test("COUNT pushdown falls back wherever the probe's semantics could diverge from the row scan") {
+    val docs = (0 until 12).map(i =>
+      Doc(s"f$i", s"s${i % 2}", 1704000000000L + i * 1000L, i * 1.0))
+    val requests = new ConcurrentLinkedQueue[String]()
+    val server = startStub(docs, requests)
+    try {
+      import scala.jdk.CollectionConverters._
+      def pagedRequests(): Int = requests.asScala.count(r =>
+        mapper.readTree(r.split("\n", 2)(1)).path("size").asInt(-1) > 0)
+      // a signal filter changes the row set (exists clauses): must row-scan
+      requests.clear()
+      val withSignals = spark.read.format("graft-status-live")
+        .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+        .option("batchSize", "7").option("signals", "Vehicle.Speed").load()
+      assert(withSignals.count() >= 0 && pagedRequests() > 0,
+        "signals set: the count must come from the decoded rows")
+      // an IsNotNull conjunct is enforced client-side: must row-scan
+      requests.clear()
+      assert(liveDf(server).where(col("subject").isNotNull).count() === 12)
+      assert(pagedRequests() > 0, "IsNotNull: the count must come from the decoded rows")
+      // a capped (non-eq) total: the probe rejects itself, row scan answers
+      requests.clear()
+      val capped = startStub(docs, new ConcurrentLinkedQueue[String](), exactTotals = false)
+      try assert(spark.read.format("graft-status-live")
+        .option("url", s"http://127.0.0.1:${capped.getAddress.getPort}")
+        .option("batchSize", "7").load().count() === 12)
+      finally capped.stop(0)
+    } finally server.stop(0)
+  }
+
   test("wire shape surfaces as scan metrics: pages fetched, docs shipped") {
     val good = (0 until 20).map(i => Doc(s"m$i", "s0", 1704000000000L + i * 1000L, i * 1.0))
     val server = startStub(good, new ConcurrentLinkedQueue[String]())
