@@ -958,7 +958,81 @@ object LiveQueries {
         SELECT count(*)::BIGINT AS n_total,
           sum(CASE WHEN e.subj = (SELECT s0 FROM m) THEN 1 ELSE 0 END)::BIGINT AS n_subj,
           sum(CASE WHEN e.us >= (SELECT wus FROM m) THEN 1 ELSE 0 END)::BIGINT AS n_window
-        FROM e""")
+        FROM e"""),
+    ),
+
+    // ── LIVE CH streaming tail (r13): `readStream` over
+    //    `graft-signal-live` — the CH-side twin of q217, completing the
+    //    live tier's symmetry (every live source is a streaming table).
+    //    Offsets are the server's own `count(), max(timestamp)` aggregate;
+    //    phase 1 tails a store holding only the OLDER half of history into
+    //    a parquet sink, then the stream RESTARTS from its checkpoint
+    //    after the newer half lands and must read ONLY it (a re-read
+    //    duplicates, an offset overshoot loses — either breaks the oracle
+    //    on the final sink, which must equal exactly one pass over the
+    //    whole events table).
+    QueryDef(
+      "q223_live_ch_stream_tail",
+      (s, d) => {
+        import graft.sources.{ClickHouseDdl, ClickHouseHttpClient}
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("token_id", LongType, nullable = false),
+          StructField("timestamp", TimestampType, nullable = false),
+          StructField("name", StringType, nullable = false),
+          StructField("value_number", DoubleType, nullable = true),
+          StructField("value_string", StringType, nullable = true)))
+        val signals = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id").cast(LongType).as("token_id"),
+            col("ts").cast(TimestampType).as("timestamp"),
+            col("event_type").cast(StringType).as("name"),
+            round(col("value") * 100).cast(DoubleType).as("value_number"),
+            col("event_id").cast(StringType).as("value_string"))
+        // split by VALUE at the micro midpoint: halves never share a
+        // microsecond, so the phase-2 floor (olderMax + 1µs) is exact
+        val bounds = signals.agg(expr("min(unix_micros(timestamp))"),
+          expr("max(unix_micros(timestamp))")).head()
+        val midUs = (bounds.getLong(0) + bounds.getLong(1)) / 2
+        val older = signals.where(expr(s"unix_micros(timestamp) < $midUs")).repartition(4)
+        val newer = signals.where(expr(s"unix_micros(timestamp) >= $midUs")).repartition(4)
+        val server = ChSignalStub.start()
+        try {
+          val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+          val client = new ClickHouseHttpClient(url)
+          client.execute(ClickHouseDdl.signalTableDdl(schema))
+          val outDir = java.nio.file.Files
+            .createTempDirectory("graft-q223-out").toString + "/tail"
+          val ckpt = java.nio.file.Files.createTempDirectory("graft-q223-ck").toString
+          def tailOnce(): Unit = {
+            val q = s.readStream.format("graft-signal-live")
+              .option("url", url).option("partitions", "4").load()
+              .select(col("token_id"), expr("unix_micros(timestamp)").as("us"),
+                col("value_number"))
+              .writeStream.format("parquet")
+              .option("path", outDir).option("checkpointLocation", ckpt)
+              .start()
+            try q.processAllAvailable() finally q.stop()
+          }
+          client.insertSignals(older, "signal")
+          tailOnce() // phase 1: the older half
+          client.insertSignals(newer, "signal")
+          tailOnce() // phase 2: restart; only the newer half may arrive
+          s.read.parquet(outDir)
+            .groupBy(col("token_id"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("value_number")).cast(LongType).as("cents"),
+              min(col("us")).as("oldest_us"),
+              max(col("us")).as("newest_us"))
+        } finally server.stop(0)
+      },
+      Some("""SELECT CAST(user_id AS BIGINT) AS token_id,
+               count(*)::BIGINT AS n_rows,
+               sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents,
+               CAST(min(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS oldest_us,
+               CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS newest_us
+             FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             GROUP BY 1""")
     )
   )
 }

@@ -72,11 +72,18 @@ object SignalLiveSource {
   def selectExpr(col: String): String =
     if (col == "timestamp") "toUnixTimestamp64Micro(`timestamp`)" else s"`$col`"
 
-  private def usOf(v: Any): Long = v match {
+  private[sources] def usOf(v: Any): Long = v match {
     case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
     case i: java.time.Instant  => i.getEpochSecond * 1000000L + i.getNano / 1000
     case other => throw new IllegalArgumentException(s"unsupported time literal: $other")
   }
+
+  /** Epoch-micros → the exact Timestamp the filter translation round-trips
+    * (streaming window bounds are built from offsets in micros).
+    */
+  private[sources] def tsOfUs(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
 
   private def longOf(v: Any): Long = v match {
     case l: Long => l; case i: Int => i.toLong
@@ -149,7 +156,8 @@ class SignalLiveTable(url: String, table: String, partitions: Int)
   override def name(): String = s"graft_signal_live($url/$table)"
   override def schema(): StructType = SignalLiveSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SignalLiveScanBuilder(url, table, partitions)
   override def newWriteBuilder(
@@ -491,6 +499,106 @@ class SignalLiveScan(url: String, table: String, partitions: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new SignalLiveReaderFactory
+
+  /** Continuous tail of the signal table:
+    * `readStream.format("graft-signal-live")` — the CH-side twin of the
+    * ES streaming tail ([[StatusLiveMicroBatchStream]]), completing the
+    * symmetry: every live source here is a streaming table too. Offsets
+    * are the SERVER's own newest `timestamp` (`count(), max(timestamp)`
+    * in one aggregate statement — no client clock, deterministic against
+    * any corpus); each micro-batch reads a half-open event-time window
+    * [last, serverMax + 1µs) through the SAME token-range planning and
+    * streamed row readers as the batch scan (pushed filters and pruning
+    * apply; a fresh planning envelope per batch means an empty window
+    * plans zero tasks). Offsets are MONOTONIC (high-water mark fed by
+    * latestOffset/commit/deserializeOffset), so a max-time regression
+    * (TTL expiry, partition drop) never re-reads the gap. Late rows below
+    * a committed offset are the batch path's job — the same
+    * tail-vs-backfill pairing as the ES side.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(pushedAgg.isEmpty && topN < 0 && limit < 0,
+      "graft-signal-live streaming read serves raw rows " +
+        "(filters/columns push; agg/topN/limit are the engine's operators above)")
+    new SignalLiveMicroBatchStream(url, table, partitions, filters, required)
+  }
+}
+
+/** Event-time offset of the CH live tail: everything STRICTLY BELOW
+  * `stopUs` (exclusive, epoch micros) is committed.
+  */
+case class SignalLiveOffset(stopUs: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = "{\"stopUs\":" + stopUs + "}"
+}
+
+object SignalLiveOffset {
+  private val Re = "\\{\"stopUs\":(-?\\d+)\\}".r
+  def fromJson(json: String): SignalLiveOffset = json.trim match {
+    case Re(v) => SignalLiveOffset(v.toLong)
+    case other => throw new IllegalArgumentException(s"bad SignalLiveOffset: $other")
+  }
+}
+
+class SignalLiveMicroBatchStream(url: String, table: String, partitions: Int,
+    filters: Array[Filter], required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  // the stream's floor/cap come from any pushed timestamp bounds (a
+  // bounded tail drains its window and idles)
+  private val floorUs: Long =
+    filters.collect { case GreaterThanOrEqual("timestamp", v) => SignalLiveSource.usOf(v) }
+      .reduceOption(_ max _).getOrElse(0L)
+  private val capUs: Long =
+    filters.collect { case LessThan("timestamp", v) => SignalLiveSource.usOf(v) }
+      .reduceOption(_ min _).getOrElse(Long.MaxValue)
+
+  // monotonic high-water mark: returned, committed, or checkpoint-restored
+  private var highWaterUs: Long = Long.MinValue
+
+  override def initialOffset(): Offset = SignalLiveOffset(floorUs)
+
+  /** One aggregate round trip: `count(), max(timestamp)` under the pushed
+    * filters — count distinguishes "empty" from "rows at epoch 0" (CH
+    * aggregates over an empty set return defaults, not NULL markers, for
+    * non-nullable columns; the stub mirrors that).
+    */
+  override def latestOffset(): Offset = {
+    val client = new ClickHouseHttpClient(url)
+    val sql = "SELECT count(), toUnixTimestamp64Micro(max(`timestamp`)) " +
+      s"FROM `$table`" + SignalLiveSource.whereClause(filters.toSeq)
+    val next = client.query(sql).headOption.collect {
+      case r if r(0).toLong > 0L => math.min(r(1).toLong + 1, capUs)
+    }.getOrElse(floorUs)
+    highWaterUs = math.max(highWaterUs, math.max(floorUs, next))
+    SignalLiveOffset(highWaterUs)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[SignalLiveOffset].stopUs
+    val b = end.asInstanceOf[SignalLiveOffset].stopUs
+    if (b <= a) return Array.empty
+    // the batch scan's own token-range planning over the window — fresh
+    // envelope per batch (an empty window plans zero tasks), same
+    // streamed row readers
+    val window: Array[Filter] = Array(
+      GreaterThanOrEqual("timestamp", SignalLiveSource.tsOfUs(a)),
+      LessThan("timestamp", SignalLiveSource.tsOfUs(b)))
+    new SignalLiveScan(url, table, partitions, filters ++ window, required,
+      limit = -1, pushedAgg = None).planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new SignalLiveReaderFactory
+  override def deserializeOffset(json: String): Offset = {
+    val off = SignalLiveOffset.fromJson(json)
+    highWaterUs = math.max(highWaterUs, off.stopUs) // restored state floors the stream
+    off
+  }
+  override def commit(end: Offset): Unit =
+    highWaterUs = math.max(highWaterUs, end.asInstanceOf[SignalLiveOffset].stopUs)
+  override def stop(): Unit = ()
 }
 
 object SignalLiveScan {
