@@ -120,16 +120,19 @@ object SyncJob {
     * full window and filtering in the plan; with `signalNames` set, the
     * request also carries the `_source.includes`/`exists` projection.
     *
-    * The two driver-side gathers (subjects, watermarks) are one row per
-    * token — exactly the state the reference's loop holds in memory
-    * (sync.go:61-100); tasks receive only their own group's stop slice.
     * Fleet-scale transport: past [[PathModeThreshold]] tokens the census
     * and the watermark map are STAGED TO FILES the planner reads once
     * (`subjectsPath` / `stopBySubjectPath`) instead of riding as an
     * IN-set expression and a JSON option string — a million-token fleet
     * would otherwise push ~30 MB of catalog-property JSON through every
-    * plan copy. Below the threshold the inline options keep the plan
-    * self-contained (no file dependency for ad-hoc use).
+    * plan copy. The staged files are WRITTEN BY THE CLUSTER (a
+    * single-partition `write.text` of the distributed census/watermark
+    * tables), so the driver never materializes one row per token either —
+    * its fleet-sized state is zero; the mode probe itself collects at
+    * most threshold+1 subjects. Below the threshold the inline options
+    * keep the plan self-contained (no file dependency for ad-hoc use) and
+    * the per-token gathers are the reference's own driver state
+    * (sync.go:61-100 [ext]) at a size where it is free.
     * [[run]]'s watermark JOIN filter still applies afterwards (free),
     * which also absorbs the precision gap: the wire window stops at
     * ceil(watermark) in millis (a superset — ES ranges are epoch-millis),
@@ -153,8 +156,12 @@ object SyncJob {
           case Some(sink) => dim.join(SyncOps.tokensFromSink(sink), Seq("tokenId"), "left_semi")
           case None       => dim.limit(0)
         }
-    val subjects: Seq[String] = scopedDim.select("subject").distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    val subjectsDf = scopedDim.select("subject").distinct()
+    // mode probe WITHOUT a fleet-sized collect: fetch at most threshold+1
+    // subjects — enough to decide, and already the full census when small
+    val probe: Seq[String] = subjectsDf.limit(pathModeThreshold + 1)
+      .collect().map(_.getString(0)).toSeq
+    val pathMode = probe.length > pathModeThreshold
     val wmNames =
       if (opts.signalNames.isEmpty) Nil
       else SignalDefinitions.resolve(opts.signalNames).map(_.vssName)
@@ -162,42 +169,69 @@ object SyncJob {
       val us = t.getTime * 1000L + (t.getNanos / 1000) % 1000
       (us + 999) / 1000
     }
-    val stops: Map[String, Long] = existingSink match {
-      case Some(sink) =>
-        SyncOps.watermarks(sink, wmNames)
-          .join(scopedDim.select("tokenId", "subject"), Seq("tokenId"))
-          .select("subject", "watermark").collect()
-          .map(r => r.getString(0) -> ceilMs(r.getTimestamp(1))).toMap
-      case None => Map.empty
-    }
+    def watermarksDf = SyncOps.watermarks(existingSink.get, wmNames)
+      .join(scopedDim.select("tokenId", "subject"), Seq("tokenId"))
     var reader = spark.read.format("graft-status-live")
       .option("url", url).option("index", index).option("batchSize", batchSize.toString)
     if (opts.signalNames.nonEmpty)
       reader = reader.option("signals", opts.signalNames.mkString(","))
-    val pathMode = subjects.length > pathModeThreshold
     val staged = scala.collection.mutable.Buffer.empty[java.nio.file.Path]
-    if (stops.nonEmpty) {
-      if (pathMode) {
-        val f = java.nio.file.Files.createTempFile("graft-stops", ".json")
-        staged += f
-        graft.sources.StatusLiveSource.writeStops(stops, f.toString)
-        reader = reader.option("stopBySubjectPath", f.toString)
-      } else
-        reader = reader.option("stopBySubject", graft.sources.StatusLiveSource.stopsJson(stops))
+    def stageText(df: DataFrame, prefix: String): String = {
+      // staged FROM the cluster: a single-partition text write — the
+      // driver never materializes one row per token (fleet-as-big-data:
+      // the census/watermark table stays distributed until the final
+      // file, and the planner reads that file once at load())
+      val dir = java.nio.file.Files.createTempDirectory(prefix)
+      staged += dir
+      df.coalesce(1).write.mode("overwrite").text(dir.toString)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"no staged part file in $dir"))
+        .toString
     }
+    def deleteStaged(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(p).iterator().asScala.toSeq
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      java.nio.file.Files.deleteIfExists(p)
+      ()
+    }
+    // the table consumes the staged files at load(); they are deleted the
+    // moment that returns — and on ANY failure in between (bad URL, table
+    // resolution error), so a cron-cadence sync that fails every round
+    // still never accumulates staging files in /tmp
     val base =
-      if (pathMode) {
-        // census via the staged file: per-subject fan-out without an
-        // O(fleet) IN expression; run()'s dim join still enforces scope
-        val f = java.nio.file.Files.createTempFile("graft-subjects", ".txt")
-        staged += f
-        graft.sources.StatusLiveSource.writeSubjects(subjects, f.toString)
-        reader.option("subjectsPath", f.toString).load()
-      } else
-        reader.load().where(col("subject").isin(subjects: _*))
-    // the table consumed the staged files at load(): delete them NOW — a
-    // cron-cadence sync must not accumulate a staging file per round
-    staged.foreach(java.nio.file.Files.deleteIfExists(_))
+      try {
+        if (pathMode) {
+          if (existingSink.isDefined) {
+            // watermark map as subject<TAB>ceil-millis lines, computed and
+            // written by the CLUSTER (the exclusive per-token stop,
+            // sync.go:96-100 [ext]; ceil absorbs the micro→milli gap, the
+            // plan's exact `< watermark` filter stays micro-precise)
+            val f = stageText(watermarksDf.select(concat_ws("\t", col("subject"),
+              expr("(unix_micros(watermark) + 999) DIV 1000"))
+              .as("value")).sort("value"), "graft-stops")
+            reader = reader.option("stopBySubjectPath", f)
+          }
+          // census via the staged file: per-subject fan-out without an
+          // O(fleet) IN expression; run()'s dim join still enforces scope
+          val f = stageText(subjectsDf.sort("subject"), "graft-subjects")
+          reader.option("subjectsPath", f).load()
+        } else {
+          if (existingSink.isDefined) {
+            val stops: Map[String, Long] = watermarksDf
+              .select("subject", "watermark").collect()
+              .map(r => r.getString(0) -> ceilMs(r.getTimestamp(1))).toMap
+            if (stops.nonEmpty)
+              reader = reader.option("stopBySubject",
+                graft.sources.StatusLiveSource.stopsJson(stops))
+          }
+          reader.load().where(col("subject").isin(probe.sorted: _*))
+        }
+      } finally staged.foreach(deleteStaged)
     val docs = base.select(col("subject"), col("source"), col("time"), col("data"))
     run(docs, dim, existingSink, opts)
   }

@@ -83,6 +83,19 @@ object LiveQueries {
     lazy val allById = docs.sortBy(_.id)
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
+        if (ex.getRequestURI.getPath.contains("/_stats")) {
+          // the sizing probe (GET {index}/_stats/docs,store): primaries
+          // doc count + stored bytes — deterministic from the corpus, and
+          // carrying ZERO hits (the served counter must not move)
+          val bytes0 = docs.iterator.map(_.json.length.toLong).sum
+          val res = s"""{"_all":{"primaries":{"docs":{"count":${docs.length}},""" +
+            s""""store":{"size_in_bytes":$bytes0}}}}"""
+          val bytes = res.getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+          return
+        }
         val req = mapper.readTree(ex.getRequestBody.readAllBytes())
         if (req.path("aggs").has("max_time")) {
           // the streaming tail's offset probe: size-0 max aggregation
@@ -146,6 +159,34 @@ object LiveQueries {
             gteMs.forall(d.timeUs / 1000 >= _) && ltMs.forall(d.timeUs / 1000 < _) &&
               (!signalMode || d.signalJson.isDefined)
           }
+        if (req.path("aggs").has("group_counts")) {
+          // the grouped-count probe: a size-0 terms aggregation — buckets
+          // by doc_count desc (key asc on ties, real-ES order), capped at
+          // the requested terms size with the spill reported in
+          // sum_other_doc_count (single shard ⇒ error bound 0)
+          val terms = req.path("aggs").path("group_counts").path("terms")
+          if (terms.path("field").asText("") != "subject") {
+            val err = """{"error":"stub terms aggregation supports field subject only"}"""
+            val bytes = err.getBytes(StandardCharsets.UTF_8)
+            ex.sendResponseHeaders(400, bytes.length)
+            ex.getResponseBody.write(bytes)
+            ex.close()
+            return
+          }
+          val tsize = terms.path("size").asInt(10)
+          val grouped = matched.toSeq.groupBy(_.subject).view.mapValues(_.size).toSeq
+          val taken = grouped.sortBy { case (k, n) => (-n, k) }.take(tsize)
+          val other = grouped.map(_._2).sum - taken.map(_._2).sum
+          val buckets = taken.map { case (k, n) => s"""{"key":"$k","doc_count":$n}""" }
+            .mkString(",")
+          val res = s"""{"aggregations":{"group_counts":{"doc_count_error_upper_bound":0,""" +
+            s""""sum_other_doc_count":$other,"buckets":[$buckets]}},"hits":{"hits":[]}}"""
+          val bytes = res.getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+          return
+        }
         if (size == 0) {
           // the stats probe: hits.total for the pushed-filter state
           val res = s"""{"hits":{"total":{"value":${matched.size},"relation":"eq"},"hits":[]}}"""
@@ -959,6 +1000,140 @@ object LiveQueries {
           sum(CASE WHEN e.subj = (SELECT s0 FROM m) THEN 1 ELSE 0 END)::BIGINT AS n_subj,
           sum(CASE WHEN e.us >= (SELECT wus FROM m) THEN 1 ELSE 0 END)::BIGINT AS n_window
         FROM e"""),
+    ),
+
+    // ── LIVE ES runtime filtering (r14): the DPP shape of q221 against
+    //    the WIRE ES source — the VIP build side (purchase spend above a
+    //    threshold) is only known after it aggregates; the broadcast join
+    //    then hands `graft-status-live` its ACTUAL subject set, the scan
+    //    re-plans its per-subject fan-out around it, and ONLY the runtime
+    //    subjects' `_search` page loops run (the reference's per-token
+    //    correlated lookup, sync.go:77-80 + elastic.go:53, arriving from
+    //    the planner). Enforced loudly: the stub's served-docs counter
+    //    must equal EXACTLY the VIP subjects' doc count — one extra
+    //    non-VIP page and the entry raises before any oracle compare.
+    //    DPP confs forced (stats heuristics must not decide whether the
+    //    declared feature runs) and restored.
+    QueryDef(
+      "q224_live_es_dpp",
+      (s, d) => {
+        val cents = round(col("value") * 100).cast(LongType)
+        val evs = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id").cast("string").as("subject"),
+            expr("unix_micros(ts)").as("tsu"),
+            cents.as("cents"),
+            col("event_type").as("etype"))
+          .collect() // seeds the TEST DOUBLE; the measured read is below
+        val docs: IndexedSeq[StubDoc] =
+          evs.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+            val (subj, tsu, c) = (r.getString(0), r.getLong(1), r.getLong(2))
+            val iso = java.time.Instant.ofEpochSecond(tsu / 1000000L, (tsu % 1000000L) * 1000L)
+            StubDoc(s"v$i", subj, tsu,
+              s"""{"id":"v$i","subject":"$subj","source":"dimo/integration/live",""" +
+                s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v2.0",""" +
+                s""""type":"com.dimo.device.status","data":{"cents":$c}}""")
+          }
+        val vips = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull &&
+            col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(sum(cents).as("spend"))
+          .where(col("spend") > 120000L)
+          .select(col("user_id").cast("string").as("subject"))
+        // ground truth for the wire pin: docs belonging to VIP subjects
+        val vipSet = vips.collect().map(_.getString(0)).toSet
+        val expectedServed = evs.count(r => vipSet(r.getString(0))).toLong
+        val served = new java.util.concurrent.atomic.AtomicLong
+        val server = startStub(docs, served = served)
+        val confs = Seq(
+          "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+          "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "10.0")
+        val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val live = s.read.format("graft-status-live")
+            .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+            .option("batchSize", "2000").load()
+            .select(col("subject"),
+              get_json_object(col("data"), "$.cents").cast(LongType).as("cents"))
+          val joined = live.join(vips, Seq("subject"))
+            .groupBy(col("subject"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("cents")).as("cents"))
+          val out = joined.localCheckpoint(true) // materialize THROUGH the runtime-filtered read
+          require(served.get() == expectedServed,
+            s"runtime filtering regressed: ${served.get()} docs shipped, " +
+              s"expected exactly the $expectedServed VIP docs")
+          out
+        } finally {
+          saved.foreach { case (k, v) => v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+          server.stop(0)
+        }
+      },
+      Some("""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS subject, event_type,
+                   CAST(round(value*100) AS BIGINT) AS c
+                 FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        vip AS (SELECT subject FROM e WHERE event_type = 'purchase'
+                GROUP BY 1 HAVING sum(c) > 120000)
+        SELECT e.subject, count(*)::BIGINT AS n_docs, sum(e.c)::BIGINT AS cents
+        FROM e JOIN vip USING (subject) GROUP BY 1"""),
+    ),
+
+    // ── LIVE ES GROUPED COUNT pushdown (r14): `groupBy(subject).count()`
+    //    — the most common fleet-monitoring query — answered by size-0
+    //    `terms` aggregation probes (exact-only: any bucket spill or
+    //    shard error bound rejects back to the row scan), not ONE
+    //    document paging over the wire, enforced loudly via the stub's
+    //    served-docs counter. Two grouped counts (full window + recent
+    //    half) land as two probes; the pushed `subject IS NOT NULL` is
+    //    the null-group guard the terms semantics require.
+    QueryDef(
+      "q225_live_es_group_count",
+      (s, d) => {
+        val evs = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id").cast("string").as("subject"),
+            expr("unix_micros(ts)").as("tsu"))
+          .collect() // seeds the TEST DOUBLE; the measured path is below
+        val docs: IndexedSeq[StubDoc] =
+          evs.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+            val (subj, tsu) = (r.getString(0), r.getLong(1))
+            val iso = java.time.Instant.ofEpochSecond(tsu / 1000000L, (tsu % 1000000L) * 1000L)
+            StubDoc(s"gc$i", subj, tsu,
+              s"""{"id":"gc$i","subject":"$subj","source":"dimo/integration/live",""" +
+                s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v2.0",""" +
+                s""""type":"com.dimo.device.status","data":{}}""")
+          }
+        val served = new java.util.concurrent.atomic.AtomicLong
+        val server = startStub(docs, served = served)
+        try {
+          val live = s.read.format("graft-status-live")
+            .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+            .option("batchSize", "500").load()
+            .where(col("subject").isNotNull)
+          val total = live.groupBy(col("subject"))
+            .agg(count(lit(1)).as("n_docs"))
+          val us = evs.map(_.getLong(1))
+          val midMs = ((us.min + us.max) / 2) / 1000
+          val recent = live.where(col("time") >= new java.sql.Timestamp(midMs))
+            .groupBy(col("subject"))
+            .agg(count(lit(1)).as("n_recent"))
+          val out = total.join(recent, Seq("subject"), "left")
+            .select(col("subject"), col("n_docs"),
+              coalesce(col("n_recent"), lit(0L)).as("n_recent"))
+            .localCheckpoint(true) // materialize THROUGH the probe-backed scans
+          require(served.get() == 0,
+            s"grouped COUNT pushdown regressed to paging: ${served.get()} docs shipped")
+          out
+        } finally server.stop(0)
+      },
+      Some("""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS subject,
+                   CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us
+                 FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        m AS (SELECT ((min(us)+max(us))//2)//1000*1000 AS wus FROM e)
+        SELECT subject, count(*)::BIGINT AS n_docs,
+          sum(CASE WHEN us >= (SELECT wus FROM m) THEN 1 ELSE 0 END)::BIGINT AS n_recent
+        FROM e GROUP BY 1"""),
     ),
 
     // ── LIVE CH streaming tail (r13): `readStream` over

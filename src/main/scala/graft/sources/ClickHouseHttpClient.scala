@@ -195,17 +195,43 @@ private[graft] final class ClickHouseHttpClient(baseUrl: String, timeoutMs: Long
     * regardless of executor or server timezone (a local-time string would
     * silently shift whenever the two differ). Everything else ships
     * verbatim in column order.
+    *
+    * Every batch carries a content-hashed `insert_deduplication_token`
+    * (`graft-<runTag>-p<partition>-b<ordinal>-<sha256/12 of the CSV
+    * bytes>` — the SAME scheme as the DSv2 writer,
+    * [[SignalLiveWriterFactory]]): a retried Spark task whose upstream
+    * re-produces the same rows re-sends byte-identical batches under
+    * identical tokens and the server drops them (exactly-once on a
+    * Replicated*MergeTree / windowed MergeTree); a nondeterministic
+    * upstream hashes differently and every block lands (at-least-once,
+    * never the silent loss a position-only token causes). The reference
+    * client sends no tokens at all and duplicates on every retry
+    * (clickhouse.go:113-130 [ext]).
+    *
+    * @param runTag token namespace for THIS call — defaults to a fresh
+    *        random tag generated ONCE on the driver (task retries reuse
+    *        it via the closure; two different calls inserting identical
+    *        content never dedup each other). Pass an explicit tag to make
+    *        a whole re-RUN idempotent too.
     */
-  def insertSignals(df: DataFrame, table: String): Unit = {
+  def insertSignals(df: DataFrame, table: String, runTag: Option[String] = None): Unit = {
     val columns = df.schema.fieldNames.toSeq
     val url = baseUrl; val tmo = timeoutMs
+    val tag = runTag.getOrElse(java.util.UUID.randomUUID().toString.substring(0, 13))
     df.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
       if (it.hasNext) {
         val sb = new java.lang.StringBuilder(1 << 16)
         val client = new ClickHouseHttpClient(url, tmo)
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var batchOrdinal = 0
         var n = 0
         def flush(): Unit = if (sb.length() > 0) {
-          client.insertCsv(table, columns, sb.toString.getBytes(StandardCharsets.UTF_8))
+          val bytes = sb.toString.getBytes(StandardCharsets.UTF_8)
+          val digest = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+          val hash = digest.take(12).map(b => f"$b%02x").mkString
+          client.insertCsv(table, columns, bytes,
+            dedupToken = Some(s"graft-$tag-p$pid-b$batchOrdinal-$hash"))
+          batchOrdinal += 1
           sb.setLength(0); n = 0
         }
         it.foreach { row =>

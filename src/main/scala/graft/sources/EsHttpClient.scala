@@ -43,6 +43,37 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
   private def isDataTooLarge(e: java.io.IOException): Boolean =
     e.getMessage != null && e.getMessage.contains("Data too large")
 
+  /** A page REJECTED FOR ITS SIZE, whichever way the server says it: the
+    * circuit breaker's "Data too large" (the reference's halving trigger,
+    * sync.go:163-178 [ext]) OR the `index.max_result_window` rejection a
+    * real ES raises for an over-window request ("Result window is too
+    * large", an `illegal_argument_exception` — default window 10,000).
+    * Both mean the same thing to the loop: this size is unservable —
+    * halve outside a widen cycle, switch to the `search_after` drain
+    * inside one. Treating only the breaker message would turn a
+    * production cluster's window rejection into a task failure in exactly
+    * the tie-run case the drain exists for.
+    */
+  private def isPageTooLarge(e: java.io.IOException): Boolean =
+    isDataTooLarge(e) ||
+      (e.getMessage != null && e.getMessage.contains("Result window is too large"))
+
+  /** `(raw hit count, last raw hit's _id, decodable hits)` for one parsed
+    * response. The RAW count/cursor come from the `hits.hits` array
+    * itself, independent of how many hits yielded a usable `_source`:
+    * exhaustion ("short page") and drain-end checks compare the raw count
+    * to the requested size, and the drain cursor advances past
+    * `_source`-less hits — otherwise one such hit makes a full page read
+    * as short (ending the window early, silently losing the remainder)
+    * or pins the cursor (re-fetching the same drain page forever).
+    */
+  private def rawPageOf(root: JsonNode): (Int, Option[String], Vector[(String, Option[Long], JsonNode)]) = {
+    val hits = root.path("hits").path("hits")
+    val raw = if (hits.isArray) hits.size() else 0
+    val lastId = if (raw > 0) Some(hits.get(raw - 1).path("_id").asText("")) else None
+    (raw, lastId, timedHitsOf(root))
+  }
+
   /** Transport-level retry: a search POST is idempotent and a dropped
     * connection under load (reset, empty response) is retryable — up to 4
     * attempts with exponential backoff. HTTP error STATUSES are not
@@ -137,6 +168,60 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     if (exact && v.isNumber) v.asLong() else -1L
   }
 
+  /** Per-key matching-document counts for a pushed-filter state: one
+    * `size: 0` `terms` aggregation ([[EsQueryDsl.termsCountRequest]])
+    * whose buckets answer `groupBy(field).count()` without paging a
+    * single document. EXACT-ONLY, like [[countFor]]: anything short of a
+    * provably complete result — `doc_count_error_upper_bound != 0` (shard
+    * disagreement), `sum_other_doc_count != 0` (keys spilled past
+    * `termsSize`), a missing aggregation, or a malformed bucket — returns
+    * None and the caller row-scans instead. An approximate group count
+    * shipped as truth is the grouped form of the under-reported-total bug
+    * the r12 ADVICE flagged.
+    */
+  def groupCountsFor(index: String, filters: Seq[org.apache.spark.sql.sources.Filter],
+      field: String, termsSize: Int): Option[Vector[(String, Long)]] = {
+    val root = searchTree(index, EsQueryDsl.termsCountRequest(filters, field, termsSize))
+    val agg = root.path("aggregations").path("group_counts")
+    val err = agg.path("doc_count_error_upper_bound")
+    val other = agg.path("sum_other_doc_count")
+    val buckets = agg.path("buckets")
+    if (!err.isNumber || err.asLong() != 0L || !other.isNumber || other.asLong() != 0L ||
+      !buckets.isArray) return None
+    val out = Vector.newBuilder[(String, Long)]
+    var ok = true
+    buckets.forEach { b =>
+      val k = b.path("key")
+      val n = b.path("doc_count")
+      if (k.isTextual && n.isNumber) out += ((k.asText(), n.asLong()))
+      else ok = false
+    }
+    if (ok) Some(out.result()) else None
+  }
+
+  /** `(docs.count, store.size_in_bytes)` from the index-stats API
+    * (`GET {index}/_stats/docs,store`, primaries) — the sizing half of the
+    * planner statistics probe: real stored bytes per document instead of a
+    * guessed constant, at the cost of ZERO documents shipped (an index
+    * stats call carries no hits, so wire-level served-doc pins stay
+    * exact). None on any failure or an empty index — the caller falls
+    * back to its conservative default.
+    */
+  def indexStats(index: String): Option[(Long, Long)] = {
+    val req = HttpRequest.newBuilder(URI.create(s"$baseUrl/$index/_stats/docs,store"))
+      .timeout(Duration.ofMillis(timeoutMs))
+      .GET()
+      .build()
+    val res = sendWithRetry(req)
+    if (res.statusCode() != 200) return None
+    val prim = mapper.readTree(res.body()).path("_all").path("primaries")
+    val docs = prim.path("docs").path("count")
+    val bytes = prim.path("store").path("size_in_bytes")
+    if (docs.isNumber && bytes.isNumber && docs.asLong() > 0L)
+      Some((docs.asLong(), bytes.asLong()))
+    else None
+  }
+
   /** The index's newest event time in epoch millis (None when empty) —
     * [[EsQueryDsl.maxTimeRequest]] round trip; the streaming source's
     * latestOffset probe.
@@ -173,7 +258,29 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     * largest servable page drains at any page size ≥ 1 with no re-serve
     * amplification, completing the protocol the reference silently breaks
     * (sync.go:151-155 [ext]). After the drain the backward loop resumes
-    * strictly below the tied millisecond.
+    * strictly below the tied millisecond. The drain is entered three
+    * ways: a mid-widen size rejection (circuit breaker OR
+    * `max_result_window`), or PROACTIVELY when the widen cycle reaches
+    * [[EsHttpClient.MaxWidenSize]] — a real ES would reject the next
+    * doubling anyway, so the loop switches at the size just proven
+    * servable instead of paying a doomed round trip.
+    *
+    * CONTRACT — untimed documents: a hit whose `_source.time` is missing
+    * or unparseable (index time and source time CAN diverge — the
+    * pathology [[PaginationFuzz]] models) is emitted, but the loop cannot
+    * set the next window's bound from it, so paging STOPS at an untimed
+    * tail: documents older than the first untimed one in sort order are
+    * not fetched. This is the deliberate lossy-input policy (fuzz-pinned):
+    * "skipping" instead would need the window to advance past a document
+    * whose position in time is unknowable from the response, and every
+    * such scheme either re-serves the untimed run on each page
+    * (unbounded-memory id ledger to dedup) or livelocks the widen/drain
+    * machinery when a full window holds only untimed docs. Corollary for
+    * the COUNT pushdown ([[StatusLiveScanBuilder.pushAggregation]]): the
+    * server-side total counts every indexed match, so `count()` and a
+    * collect-then-count agree only on corpora whose matching docs carry
+    * well-formed `_source.time` — malformed-source corpora are out of the
+    * probe's contract, documented there.
     */
   def pagedDocs(index: String, batchSize: Int, startMs: Long, stopMs: Long,
       subject: Option[String], requiredFields: Seq[String],
@@ -183,6 +290,12 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, LessThan}
     private var stop = stopMs
     private var size = batchSize
+    // the widen ceiling: doubling past a real ES's index.max_result_window
+    // would be rejected, not served — a widen cycle that reaches it enters
+    // the search_after drain instead of buying a doomed round trip. A
+    // batchSize configured above the default window is honored (the
+    // operator raised the server's window too, or the breaker will say so).
+    private val maxWiden = math.max(batchSize, EsHttpClient.MaxWidenSize)
     private var floorSize = 1 // halving may not go below this (widen floor)
     private var boundaryTs = Long.MinValue
     private var boundaryIds = Set.empty[String]
@@ -202,32 +315,35 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
 
     // one page at the CURRENT size, with the reference's Data-too-large
     // halving applied to this loop's own `size` — the exhaustion check
-    // below must compare against the size actually requested. Each hit's
-    // time is parsed ONCE (timedHitsOf over the single parsed tree) and
-    // carried — the boundary bookkeeping consults it up to three times
-    // per doc.
-    private def fetchPage(): Vector[(String, Option[Long], JsonNode)] = {
+    // below must compare against the size actually requested, and against
+    // the RAW hit count (a `_source`-less hit still occupied a slot). Each
+    // decodable hit's time is parsed ONCE (timedHitsOf over the single
+    // parsed tree) and carried — the boundary bookkeeping consults it up
+    // to three times per doc.
+    private def fetchPage(): (Int, Vector[(String, Option[Long], JsonNode)]) = {
       while (true) {
         try {
-          val got = timedHitsOf(searchTree(index,
+          val (raw, _, got) = rawPageOf(searchTree(index,
             EsQueryDsl.searchRequest(windowFilters(startMs, stop), requiredFields, size,
               envelopeIncludes = envelopeIncludes)))
           pages += 1
-          docsShipped += got.length
-          return got
+          docsShipped += raw
+          return (raw, got)
         }
         catch {
-          case e: java.io.IOException if floorSize == 1 && size > 1 && isDataTooLarge(e) =>
-            // the reference halves and retries (sync.go:168-173). Plain
-            // halving applies only OUTSIDE a tie-widen cycle (floorSize
-            // == 1): mid-widen, any servable size ≤ the floor is already
-            // proven all-seen, so halving could only creep one fresh doc
-            // per full page — the error propagates instead and the caller
-            // switches to the search_after drain, which pays no re-serve.
+          case e: java.io.IOException if floorSize == 1 && size > 1 && isPageTooLarge(e) =>
+            // the reference halves and retries (sync.go:168-173) — on the
+            // circuit breaker AND on a max_result_window rejection (both
+            // mean "this size is unservable"). Plain halving applies only
+            // OUTSIDE a tie-widen cycle (floorSize == 1): mid-widen, any
+            // servable size ≤ the floor is already proven all-seen, so
+            // halving could only creep one fresh doc per full page — the
+            // error propagates instead and the caller switches to the
+            // search_after drain, which pays no re-serve.
             size /= 2
         }
       }
-      Vector.empty // unreachable
+      (0, Vector.empty) // unreachable
     }
 
     /** One `search_after` page of the tied millisecond; emits unseen ids
@@ -237,26 +353,28 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
       * progress here.
       */
     private def fetchDrainPage(): Unit = {
-      val got =
+      val (raw, lastId, got) =
         try {
-          val t = timedHitsOf(searchTree(index,
+          val t = rawPageOf(searchTree(index,
             EsQueryDsl.searchAfterRequest(windowFilters(boundaryTs, boundaryTs + 1),
               requiredFields, drainSize, drainCursor, envelopeIncludes)))
           pages += 1
-          docsShipped += t.length
+          docsShipped += t._1
           t
         } catch {
-          case e: java.io.IOException if drainSize > 1 && isDataTooLarge(e) =>
+          case e: java.io.IOException if drainSize > 1 && isPageTooLarge(e) =>
             drainSize = math.max(1, drainSize / 2)
             return
         }
-      if (got.nonEmpty) {
-        drainCursor = Some(got.last._1)
+      if (raw > 0) {
+        // the cursor advances by the RAW last hit — a `_source`-less hit
+        // must not pin the drain on the same page forever
+        drainCursor = lastId
         val fresh = got.filterNot { case (id, _, _) => boundaryIds(id) }
         boundaryIds ++= fresh.iterator.map(_._1)
         page = fresh.iterator.map(_._3)
       }
-      if (got.length < drainSize) {
+      if (raw < drainSize) {
         // cursor ran off the tie: resume the backward loop strictly below
         // the tied millisecond, bookkeeping reset (nothing older can share
         // the drained timestamp)
@@ -271,33 +389,48 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     }
 
     private def fetchNormalPage(): Unit = {
-      val docs =
+      val (raw, docs) =
         try fetchPage()
         catch {
-          case e: java.io.IOException if boundaryTs != Long.MinValue && isDataTooLarge(e) =>
+          case e: java.io.IOException if boundaryTs != Long.MinValue && isPageTooLarge(e) =>
             // over-cap tie run: no servable page can widen past it — drain
-            // the tied millisecond via the search_after cursor instead.
-            // The largest size PROVEN servable is floorSize - 1 (that page
-            // came back full); start the drain there.
+            // the tied millisecond via the search_after cursor instead
+            // (whether the server said "Data too large" or "Result window
+            // is too large": both rejections are exactly the case the
+            // drain exists for). The largest size PROVEN servable is
+            // floorSize - 1 (that page came back full); start the drain
+            // there.
             draining = true
             drainCursor = None
             drainSize = math.max(1, floorSize - 1)
             return
         }
-      if (docs.isEmpty) { done = true; return }
+      if (raw == 0) { done = true; return }
       // a SHORT page is the window's entire remainder: whatever survives
       // dedup is the final batch — no further round trip can find more
       // (without this, an exhausted window whose last page is all
-      // boundary duplicates would double `size` forever)
-      val exhausted = docs.length < size
+      // boundary duplicates would double `size` forever). RAW count: a
+      // `_source`-less hit still occupied a page slot, so a full page
+      // with one is NOT the window's end.
+      val exhausted = raw < size
       val fresh = docs.filterNot { case (id, t, _) =>
         t.contains(boundaryTs) && boundaryIds(id) }
       if (fresh.isEmpty) {
         if (exhausted) { done = true; return }
-        // a FULL page of already-seen ties: widen until it fits. Any
-        // page ≤ the current size is now proven useless — floor above it.
-        floorSize = size + 1
-        size *= 2
+        if (size >= maxWiden) {
+          // the widen cap: a real ES rejects pages above
+          // index.max_result_window rather than serving them, so doubling
+          // past the cap only buys a round trip that fails — enter the
+          // drain NOW at the size just proven servable (this full page).
+          draining = true
+          drainCursor = None
+          drainSize = size
+        } else {
+          // a FULL page of already-seen ties: widen until it fits. Any
+          // page ≤ the current size is now proven useless — floor above it.
+          floorSize = size + 1
+          size = math.min(size * 2, maxWiden)
+        }
       } else {
         floorSize = 1 // progress: halving is unrestricted again
         if (exhausted) done = true
@@ -323,4 +456,21 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     }
     override def close(): Unit = ()
   }
+}
+
+private[graft] object EsHttpClient {
+  /** Elasticsearch's default `index.max_result_window`: a `from + size`
+    * above it is REJECTED ("Result window is too large"), not served — so
+    * this is the widen cycle's ceiling: at it, the loop switches to the
+    * `search_after` drain (which a real ES serves at any depth) instead
+    * of doubling into a guaranteed rejection.
+    */
+  val MaxWidenSize: Int = 10000
+
+  /** Default `terms` size for the grouped-count probe: ES's
+    * `search.max_buckets` default — the most buckets one response may
+    * carry. A census larger than this spills (`sum_other_doc_count > 0`)
+    * and the probe rejects itself back to the row scan.
+    */
+  val MaxTermsSize: Int = 65536
 }

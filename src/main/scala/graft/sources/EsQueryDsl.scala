@@ -131,6 +131,29 @@ object EsQueryDsl {
     root
   }
 
+  /** The grouped-count probe: a `size: 0` `terms` aggregation over one
+    * keyword field, under the same `query.bool` body as the row scan —
+    * `groupBy(subject).count()` answered by ONE request whose buckets are
+    * the per-key doc counts. `termsSize` bounds the bucket count the
+    * server returns; the CALLER must verify exactness
+    * (`doc_count_error_upper_bound == 0` AND `sum_other_doc_count == 0`)
+    * before trusting the buckets — a terms agg is approximate by design
+    * when keys spill past `size` or shards disagree, and an approximate
+    * group count must reject the pushdown, not ship wrong answers
+    * ([[EsHttpClient.groupCountsFor]] enforces this). Note the agg itself
+    * only buckets documents CARRYING the field — the pushdown layer pairs
+    * it with a pushed `IS NOT NULL`/equality on the same field so the row
+    * scan it replaces has no null group either.
+    */
+  def termsCountRequest(filters: Seq[Filter], field: String, termsSize: Int): String = {
+    val root = queryBody(filters, Seq.empty, Seq.empty)
+    root.put("size", 0)
+    val terms = root.putObject("aggs").putObject("group_counts").putObject("terms")
+    terms.put("field", field)
+    terms.put("size", termsSize)
+    mapper.writeValueAsString(root)
+  }
+
   /** `size: 0` max-time aggregation — the streaming tail's offset probe:
     * the server's own newest event time bounds the next micro-batch's
     * half-open window (no client clock involved, so batches are

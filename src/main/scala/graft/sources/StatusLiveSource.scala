@@ -82,7 +82,9 @@ class StatusLiveSource extends TableProvider
         .getOrElse(Map.empty) ++
         Option(properties.get("stopBySubjectPath"))
           .map(StatusLiveSource.readStops).getOrElse(Map.empty),
-      Option(properties.get("subjectsPath")).map(StatusLiveSource.readSubjects))
+      Option(properties.get("subjectsPath")).map(StatusLiveSource.readSubjects),
+      Option(properties.get("termsSize")).map(_.toInt)
+        .getOrElse(EsHttpClient.MaxTermsSize))
 }
 
 object StatusLiveSource {
@@ -131,8 +133,35 @@ object StatusLiveSource {
     } finally gen.close()
   }
 
-  /** Read a staged watermark map (planner-side, once per scan). */
+  /** Read a staged watermark map (planner-side, once per scan). Two
+    * formats, sniffed by the first byte: a JSON object (`{...}` — the
+    * driver-streamed [[writeStops]] form) or `subject<TAB>stopMs` LINES —
+    * the cluster-written form ([[graft.jobs.SyncJob.runLive]] stages it
+    * with a single-partition `write.text` so a fleet-as-big-data census
+    * never materializes on the driver). A subject beginning with `{`
+    * would mis-sniff a lines file as JSON and fail LOUDLY at parse — no
+    * silent misread is possible.
+    */
   private[graft] def readStops(path: String): Map[String, Long] = {
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    val isJson = try { in.read() == '{' } finally in.close()
+    if (!isJson) {
+      val b = Map.newBuilder[String, Long]
+      val reader = java.nio.file.Files.newBufferedReader(
+        java.nio.file.Paths.get(path), java.nio.charset.StandardCharsets.UTF_8)
+      try {
+        var line = reader.readLine()
+        while (line != null) {
+          if (line.nonEmpty) {
+            val tab = line.lastIndexOf('\t')
+            require(tab > 0, s"stopBySubjectPath line is not subject<TAB>ms: $line")
+            b += (line.substring(0, tab) -> line.substring(tab + 1).toLong)
+          }
+          line = reader.readLine()
+        }
+      } finally reader.close()
+      return b.result()
+    }
     val p = new com.fasterxml.jackson.core.JsonFactory().createParser(new java.io.File(path))
     try {
       val b = Map.newBuilder[String, Long]
@@ -169,20 +198,22 @@ object StatusLiveSource {
 class StatusLiveTable(url: String, index: String, batchSize: Int,
     startMs: Long, stopMs: Long, signals: Option[Seq[String]],
     stopBySubject: Map[String, Long],
-    census: Option[Seq[String]] = None) extends Table with SupportsRead {
+    census: Option[Seq[String]] = None,
+    termsSize: Int = EsHttpClient.MaxTermsSize) extends Table with SupportsRead {
   override def name(): String = s"graft_status_live($url/$index)"
   override def schema(): StructType = StatusV2Source.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StatusLiveScanBuilder(url, index, batchSize, startMs, stopMs, signals, stopBySubject,
-      census)
+      census, termsSize)
 }
 
 class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
     startMs: Long, stopMs: Long, signals: Option[Seq[String]],
     stopBySubject: Map[String, Long],
-    census: Option[Seq[String]] = None)
+    census: Option[Seq[String]] = None,
+    termsSize: Int = EsHttpClient.MaxTermsSize)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -193,6 +224,7 @@ class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
   private var topN: Int = -1
   private var topNDesc: Boolean = true
   private var pushedCount: Option[Long] = None
+  private var pushedGroupCounts: Option[Seq[(String, Long)]] = None
 
   /** COUNT(*) pushdown: `live.count()` must not page the whole index over
     * the wire — the exact-total probe ([[EsHttpClient.countFor]],
@@ -213,29 +245,65 @@ class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
     * then emits. Like every planning envelope in the live tier, the count
     * is the INDEX's truth at plan time — the same documents the row scan
     * would request.
+    *
+    * CONTRACT — well-formed sources: the probe counts every INDEXED match;
+    * the row scan it replaces stops paging at an untimed tail (a doc whose
+    * `_source.time` is missing/unparseable — the index-time-vs-source-time
+    * divergence [[PaginationFuzz]] models, policy documented at
+    * [[EsHttpClient.pagedDocs]]). On such corpora `count()` and a
+    * collect-then-count can differ; corpora whose matching documents carry
+    * well-formed `_source.time` — every real CloudEvents status index —
+    * are the probe's contract.
     */
   override def pushAggregation(
       aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    val countStarOnly = aggregation.groupByExpressions().isEmpty &&
-      aggregation.aggregateExpressions().length == 1 &&
+    val countStarOnly = aggregation.aggregateExpressions().length == 1 &&
       aggregation.aggregateExpressions()(0)
         .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+    val groups = aggregation.groupByExpressions()
+    // the GROUPED form: groupBy(subject).count() → one terms-agg probe
+    // ([[EsHttpClient.groupCountsFor]]). A terms agg only buckets docs
+    // CARRYING the field, so the pushdown additionally requires a pushed
+    // `subject IS NOT NULL` (or equality) — without one, the row scan it
+    // replaces could emit a null-subject group the probe silently drops.
+    val groupedBySubject = groups.length == 1 && (groups(0) match {
+      case nr: NamedReference => nr.fieldNames().length == 1 && nr.fieldNames()(0) == "subject"
+      case _                  => false
+    })
     val subjectEqs = pushed.count { case EqualTo("subject", _) => true; case _ => false }
+    val subjectNotNull = pushed.exists {
+      case IsNotNull("subject") | EqualTo("subject", _) => true
+      case _                                            => false
+    }
     val translatable = pushed.forall {
       case EqualTo("subject", _: String)                      => true
       case GreaterThanOrEqual("time", _) | LessThan("time", _) => true
       case IsNotNull("time")                                   => true // the window implies it
-      case IsNotNull("subject")                                => subjectEqs == 1 // the match implies it
+      // the match clause implies it; in the grouped form the terms agg
+      // itself enforces it (only field-carrying docs bucket)
+      case IsNotNull("subject")                                => groupedBySubject || subjectEqs == 1
       case _                                                   => false
     }
     if (!countStarOnly || signals.nonEmpty || stopBySubject.nonEmpty ||
       census.nonEmpty || !translatable || subjectEqs > 1) return false
     val windowed: Seq[Filter] = pushed.toSeq ++
       Seq(GreaterThanOrEqual("time", startMs): Filter, LessThan("time", stopMs): Filter)
-    val n = try new EsHttpClient(url).countFor(index, windowed)
-    catch { case scala.util.control.NonFatal(_) => -1L }
-    if (n < 0) false // non-exact or unreachable: fall back to the row scan
-    else { pushedCount = Some(n); true }
+    if (groups.isEmpty) {
+      val n = try new EsHttpClient(url).countFor(index, windowed)
+      catch { case scala.util.control.NonFatal(_) => -1L }
+      if (n < 0) false // non-exact or unreachable: fall back to the row scan
+      else { pushedCount = Some(n); true }
+    } else if (groupedBySubject && subjectNotNull) {
+      val counts = try new EsHttpClient(url)
+        .groupCountsFor(index, windowed, "subject", termsSize)
+      catch { case scala.util.control.NonFatal(_) => None }
+      // None — approximate (bucket spill / shard error) or unreachable:
+      // the row scan answers instead, never a wrong group count
+      counts match {
+        case Some(cs) => pushedGroupCounts = Some(cs); true
+        case None     => false
+      }
+    } else false
   }
 
   // Per-partition early stop only — Spark keeps its global Limit above
@@ -282,7 +350,7 @@ class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
   override def build(): Scan =
     new StatusLiveScan(url, index, batchSize, startMs, stopMs, signals, stopBySubject,
       pushed, required, limit, topN, topNDesc, census = census,
-      pushedCount = pushedCount)
+      pushedCount = pushedCount, pushedGroupCounts = pushedGroupCounts)
 }
 
 /** One live-scan partition: sequential page loops for a GROUP of
@@ -304,6 +372,12 @@ case class StatusLivePartition(url: String, index: String, batchSize: Int,
   */
 case class StatusLiveCountPartition(n: Long) extends InputPartition
 
+/** A pushed grouped COUNT's single partition: the terms-agg probe already
+  * answered at planning; the task emits one partial (subject, count) row
+  * per bucket and Spark's retained final aggregate merges.
+  */
+case class StatusLiveGroupCountPartition(counts: Seq[(String, Long)]) extends InputPartition
+
 class StatusLiveScan(url: String, index: String, batchSize: Int,
     defaultStartMs: Long, defaultStopMs: Long, signals: Option[Seq[String]],
     stopBySubject: Map[String, Long],
@@ -311,16 +385,48 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     limit: Int = -1, topN: Int = -1, topNDesc: Boolean = true,
     maxTasks: Int = 64,
     census: Option[Seq[String]] = None,
-    pushedCount: Option[Long] = None) extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    pushedCount: Option[Long] = None,
+    pushedGroupCounts: Option[Seq[(String, Long)]] = None) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   private[sources] def index0: String = index
+
+  /** Runtime subject filter (DSv2 DPP) — the ES twin of
+    * [[SignalLiveScan.filter]]: a broadcast join's build side hands this
+    * scan its ACTUAL subject set after materializing, and the per-subject
+    * page-loop fan-out re-plans around it — a join against a handful of
+    * hot devices then drives THOSE subjects' `_search` loops (the
+    * reference's own per-token correlated lookup, sync.go:77-80 +
+    * elastic.go:53 [ext]) instead of paging every configured subject's
+    * window over the wire and discarding in the join. The set INTERSECTS
+    * the static constraints (census, pushed IN/eq) like any other
+    * conjunct in [[partitionsFor]]. Advisory: sets past
+    * [[ShardedSignalSource.MaxRuntimeInSet]] are ignored (a million-key
+    * fan-out plan helps nothing; the join above still applies the
+    * predicate), and a pushed COUNT never sees one (its single partition
+    * was answered at push time — no attributes are reported there).
+    */
+  private var runtimeSubjects: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    (if (pushedCount.isEmpty && pushedGroupCounts.isEmpty &&
+      readSchema().fieldNames.contains("subject"))
+      Seq("subject") else Seq.empty)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+
+  override def filter(runtime: Array[Filter]): Unit = runtime.foreach {
+    case In("subject", vs) if vs.length <= ShardedSignalSource.MaxRuntimeInSet =>
+      runtimeSubjects = Some(vs.collect { case s: String => s }.toSet)
+    case EqualTo("subject", s: String) => runtimeSubjects = Some(Set(s))
+    case _ => () // unsupported runtime filter: ignore (advisory)
+  }
 
   /** Reported statistics: one size-0 planning probe for the pushed-filter
     * match count ([[EsHttpClient.countFor]]) with `track_total_hits:
     * true`, so a small live snapshot joined against a big fact BROADCASTS
-    * on data instead of defaulting to never-broadcast. Bytes estimate
-    * ~512/doc (a CloudEvents status envelope + small payload). countFor
+    * on data instead of defaulting to never-broadcast. Bytes:
+    * [[avgDocBytes]] (index-stats probe; 512/doc fallback). countFor
     * returns -1 — and this scan reports NOTHING — unless the total is
     * EXACT (`relation: "eq"`): an under-reported count (ES's default 10k
     * cap) would make the planner broadcast an arbitrarily large live
@@ -330,13 +436,32 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     try new EsHttpClient(url).countFor(index, filters.toSeq)
     catch { case scala.util.control.NonFatal(_) => -1L } // unknown: report nothing
 
+  /** Measured bytes per document (index-stats probe — store bytes over
+    * doc count, primaries), falling back to a conservative 512 when the
+    * endpoint is unavailable. A guessed constant under-sizes a
+    * heavy-payload index and BROADCASTS a scan that then materializes at
+    * its real size — the same optimistic-estimate failure mode as the
+    * r12 count bug, on the bytes axis. Store bytes include index
+    * structures, so the estimate errs large — the safe direction for a
+    * broadcast decision. Memoized: one probe per scan, no documents
+    * shipped (served-doc pins stay exact).
+    */
+  private lazy val avgDocBytes: Long =
+    (try new EsHttpClient(url).indexStats(index)
+    catch { case scala.util.control.NonFatal(_) => None })
+      .map { case (docs, bytes) => math.max(1L, bytes / math.max(1L, docs)) }
+      .getOrElse(512L)
+
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      // a pushed COUNT emits exactly one row — no probe needed
-      private def rows: Long = pushedCount.map(_ => 1L).getOrElse(matchCount)
+      // a pushed COUNT emits exactly one row; a grouped one, its buckets —
+      // no probe needed either way
+      private def rows: Long = pushedCount.map(_ => 1L)
+        .orElse(pushedGroupCounts.map(_.length.toLong)).getOrElse(matchCount)
+      private def aggPushed: Boolean = pushedCount.isDefined || pushedGroupCounts.isDefined
       override def sizeInBytes(): java.util.OptionalLong =
         if (rows < 0) java.util.OptionalLong.empty()
-        else java.util.OptionalLong.of(math.max(rows, 1L) * (if (pushedCount.isDefined) 8L else 512L))
+        else java.util.OptionalLong.of(math.max(rows, 1L) * (if (aggPushed) 32L else avgDocBytes))
       override def numRows(): java.util.OptionalLong =
         if (rows < 0) java.util.OptionalLong.empty()
         else java.util.OptionalLong.of(rows)
@@ -346,6 +471,14 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     if (pushedCount.isDefined)
       StructType(Seq(org.apache.spark.sql.types.StructField("count",
         org.apache.spark.sql.types.LongType, nullable = false)))
+    else if (pushedGroupCounts.isDefined)
+      // groupBy cols first, then the aggregate — the order
+      // V2ScanRelationPushDown zips the retained final aggregate against
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("subject",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("count",
+          org.apache.spark.sql.types.LongType, nullable = false)))
     else required
   override def toBatch: Batch = this
   override def description(): String =
@@ -353,7 +486,9 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
       signals.map(s => s" signals=[${s.mkString(",")}]").getOrElse("") +
       (if (limit >= 0) s" limit=$limit" else "") +
       (if (topN >= 0) s" topN=$topN time ${if (topNDesc) "DESC" else "ASC"}" else "") +
-      pushedCount.map(_ => " agg=[count(*) via track_total_hits probe]").getOrElse("")
+      pushedCount.map(_ => " agg=[count(*) via track_total_hits probe]").getOrElse("") +
+      pushedGroupCounts.map(cs =>
+        s" agg=[groupBy(subject) count(*) via terms probe, ${cs.length} buckets]").getOrElse("")
 
   private def ms(v: Any): Long = v match {
     case t: java.sql.Timestamp => t.getTime
@@ -373,12 +508,13 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
       .reduceOption(_ min _).getOrElse(defaultStopMs)
 
   override def planInputPartitions(): Array[InputPartition] =
-    pushedCount match {
-      // the probe already answered at push time: one task, one row, zero
-      // further wire traffic (the batch-scan snapshot semantics every
-      // planning envelope here already has)
-      case Some(n) => Array(StatusLiveCountPartition(n))
-      case None    => partitionsFor(windowStartMs, windowStopMs)
+    (pushedCount, pushedGroupCounts) match {
+      // the probe already answered at push time: one task, zero further
+      // wire traffic (the batch-scan snapshot semantics every planning
+      // envelope here already has)
+      case (Some(n), _)  => Array(StatusLiveCountPartition(n))
+      case (_, Some(cs)) => Array(StatusLiveGroupCountPartition(cs))
+      case _             => partitionsFor(windowStartMs, windowStopMs)
     }
 
   /** Partitions for one half-open [startMs, stopMs) window — the batch
@@ -409,7 +545,8 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     val constraints: Seq[Set[String]] =
       filters.collect { case In("subject", vs) => vs.collect { case s: String => s }.toSet } ++
         filters.collect { case EqualTo("subject", s: String) => Set(s) } ++
-        census.map(_.toSet).toSeq
+        census.map(_.toSet).toSeq ++
+        runtimeSubjects.toSeq // the join's runtime key set (DPP) intersects too
     val subjects: Option[Seq[String]] =
       constraints.reduceOption(_ intersect _).map(_.toSeq.sorted)
     // a pushed limit (or DESC top-K) bounds what any one loop can
@@ -465,7 +602,7 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    require(pushedCount.isEmpty,
+    require(pushedCount.isEmpty && pushedGroupCounts.isEmpty,
       "graft-status-live streaming reads raw documents (a COUNT is the engine's stateful aggregate)")
     new StatusLiveMicroBatchStream(this, url)
   }
@@ -571,6 +708,20 @@ class StatusLiveReaderFactory(filters: Array[Filter], required: StructType,
           private var emitted = false
           override def next(): Boolean = if (emitted) false else { emitted = true; true }
           override def get(): InternalRow = InternalRow(n)
+          override def close(): Unit = ()
+        }
+      case StatusLiveGroupCountPartition(counts) =>
+        return new PartitionReader[InternalRow] {
+          private val it = counts.iterator
+          private var current: InternalRow = _
+          override def next(): Boolean =
+            if (it.hasNext) {
+              val (k, n) = it.next()
+              current = InternalRow(
+                org.apache.spark.unsafe.types.UTF8String.fromString(k), n)
+              true
+            } else false
+          override def get(): InternalRow = current
           override def close(): Unit = ()
         }
       case _ => ()

@@ -292,6 +292,52 @@ object LiveProbe {
         f"(the would-be option string), write $wallW%.2f s, plan into ${parts.length} " +
         f"groups $wallP%.2f s — options carry two paths, tasks carry only their slices")
     }
+    // ── section 7 (r14): fleet-as-big-data staging — 10M tokens' census +
+    // watermark map written FROM THE CLUSTER (single-partition write.text,
+    // the runLive path-mode shape) instead of a driver-side collect. The
+    // driver's heap must stay FLAT through staging (its fleet-sized state
+    // is zero); the planner-side consume (readStops/readSubjects at
+    // load()) then builds the per-token map — the reference's own loop
+    // state (sync.go:61-100), measured separately.
+    {
+      val nTokens = 10000000L
+      val rt = Runtime.getRuntime
+      def usedMb(): Long = { System.gc(); (rt.totalMemory - rt.freeMemory) >> 20 }
+      val wm = spark.range(nTokens).select(
+        concat(lit("veh"), lpad(col("id").cast("string"), 8, "0")).as("subject"),
+        (lit(1704000000000L) + pmod(col("id") * 31L, lit(65536L))).as("ms"))
+      val dirS = java.nio.file.Files.createTempDirectory("graft-probe7-stops")
+      val dirC = java.nio.file.Files.createTempDirectory("graft-probe7-census")
+      val h0 = usedMb()
+      var t0 = System.nanoTime()
+      wm.select(concat_ws("\t", col("subject"), col("ms")).as("value"))
+        .sort("value").coalesce(1).write.mode("overwrite").text(dirS.toString)
+      wm.select(col("subject").as("value"))
+        .sort("value").coalesce(1).write.mode("overwrite").text(dirC.toString)
+      val wallStage = (System.nanoTime() - t0) / 1e9
+      val h1 = usedMb()
+      import scala.jdk.CollectionConverters._
+      def part(d: java.nio.file.Path): java.nio.file.Path =
+        java.nio.file.Files.list(d).iterator().asScala
+          .find(_.getFileName.toString.startsWith("part-")).get
+      val stagedMb = (java.nio.file.Files.size(part(dirS)) +
+        java.nio.file.Files.size(part(dirC))) >> 20
+      t0 = System.nanoTime()
+      val stops = graft.sources.StatusLiveSource.readStops(part(dirS).toString)
+      val census = graft.sources.StatusLiveSource.readSubjects(part(dirC).toString)
+      val wallRead = (System.nanoTime() - t0) / 1e9
+      val h2 = usedMb()
+      require(stops.size == nTokens && census.length == nTokens)
+      println(f"[liveprobe] fleet-as-big-data (10M tokens): cluster-staged ${stagedMb}MB " +
+        f"in $wallStage%.1f s, driver heap ${h1 - h0}%+d MB through staging (flat); " +
+        f"planner consume $wallRead%.1f s, ${h2 - h1}%+d MB — the per-token map itself " +
+        "(the reference's own loop state, paid only at load())")
+      Seq(dirS, dirC).foreach { d =>
+        java.nio.file.Files.list(d).iterator().asScala.toSeq
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        java.nio.file.Files.deleteIfExists(d)
+      }
+    }
     spark.stop()
   }
 }

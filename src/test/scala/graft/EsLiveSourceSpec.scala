@@ -59,13 +59,29 @@ class EsLiveSourceSpec extends SparkTestBase {
     * desc, applies size; optionally fails big pages with Data-too-large.
     */
   private def startStub(docs: Seq[Doc], requests: ConcurrentLinkedQueue[String],
-      tooLargeOver: Int = Int.MaxValue, exactTotals: Boolean = true): HttpServer = {
+      tooLargeOver: Int = Int.MaxValue, exactTotals: Boolean = true,
+      statsStoreBytes: Option[Long] = None): HttpServer = {
     val server = graft.queries.LiveQueries.loopbackServer()
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = try handle0(ex) catch {
         case e: Throwable => System.err.println(s"STUB HANDLER THREW: $e"); throw e
       }
       private def handle0(ex: HttpExchange): Unit = {
+        if (ex.getRequestURI.getPath.contains("/_stats")) {
+          // sizing probe: configurable store bytes; absent ⇒ 404 (the
+          // client must fall back to its conservative default)
+          statsStoreBytes match {
+            case Some(b) =>
+              val res = s"""{"_all":{"primaries":{"docs":{"count":${docs.length}},""" +
+                s""""store":{"size_in_bytes":$b}}}}"""
+              val bytes = res.getBytes(StandardCharsets.UTF_8)
+              ex.sendResponseHeaders(200, bytes.length)
+              ex.getResponseBody.write(bytes)
+            case None => ex.sendResponseHeaders(404, -1)
+          }
+          ex.close()
+          return
+        }
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         requests.add(ex.getRequestURI.getPath + "\n" + body)
         val req = mapper.readTree(body)
@@ -354,6 +370,47 @@ class EsLiveSourceSpec extends SparkTestBase {
       val nodes = allExecNodes(j.queryExecution.executedPlan).map(_.getClass.getSimpleName)
       assert(nodes.exists(_.contains("BroadcastHashJoin")),
         s"true (tiny) reported stats must yield BHJ, got:\n${nodes.mkString(", ")}")
+    } finally server.stop(0)
+  }
+
+  test("sizeInBytes uses the index-stats probe: heavy-payload indexes must NOT broadcast") {
+    // VERDICT r13 #6: with the old 512 B/doc guess, 3000 fat docs read as
+    // ~1.5 MB and broadcast; their real store size (configured here as
+    // 20 KB/doc = 60 MB) is far past the 10 MB threshold — the probe-fed
+    // estimate must keep the join off the broadcast path.
+    val docs = (0 until 3000).map(i =>
+      Doc(s"fat$i", s"s${i % 3}", 1704000000000L + i * 1000L, i * 1.0))
+    val requests = new ConcurrentLinkedQueue[String]()
+    val server = startStub(docs, requests,
+      statsStoreBytes = Some(3000L * 20480L))
+    try {
+      val live = liveDf(server).select("id", "subject")
+      val sz = live.queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(sz === BigInt(3000L * 20480L),
+        s"rows × measured bytes/doc must reach the planner, got $sz")
+      // the fact side estimates well past the 10 MB broadcast threshold,
+      // so the ONLY broadcast candidate is the live side — under the old
+      // 512 B/doc guess it read as ~1.5 MB and would have broadcast; the
+      // probe-fed 60 MB must keep it off that path entirely
+      val fact = spark.range(0, 2000000).selectExpr("CAST(id AS STRING) as subject", "id as x")
+      val j = fact.join(live, Seq("subject"))
+      j.count()
+      // (even if a side broadcasts, it must never be the live scan)
+      def liveUnderBroadcast(p: org.apache.spark.sql.execution.SparkPlan,
+          under: Boolean): Boolean = {
+        val b = under || p.getClass.getSimpleName.startsWith("BroadcastExchange")
+        val isLiveScan = p.getClass.getSimpleName == "BatchScanExec" &&
+          p.toString.contains("graft_status_live")
+        if (b && isLiveScan) true
+        else (p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }).exists(liveUnderBroadcast(_, b))
+      }
+      assert(!liveUnderBroadcast(j.queryExecution.executedPlan, under = false),
+        s"a 60 MB live side must not broadcast:\n${j.queryExecution.executedPlan}")
     } finally server.stop(0)
   }
 

@@ -92,6 +92,25 @@ class StatusLiveFleetSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("readStops sniffs both staged formats: driver JSON and cluster TSV lines") {
+    // the cluster-written form (runLive path mode stages subject<TAB>ms
+    // lines via a single-partition write.text) and the driver-streamed
+    // JSON object must parse to the same map
+    val want = Map("vehA" -> 1704000000000L, "vehB" -> 1704000060000L)
+    val tsv = Files.createTempFile("graft-stops-tsv", ".txt")
+    Files.writeString(tsv, "vehA\t1704000000000\nvehB\t1704000060000\n")
+    assert(StatusLiveSource.readStops(tsv.toString) === want)
+    val json = Files.createTempFile("graft-stops-json", ".json")
+    StatusLiveSource.writeStops(want, json.toString)
+    assert(StatusLiveSource.readStops(json.toString) === want)
+    // a tab inside the subject: only the LAST tab splits (subjects may
+    // not contain tabs in practice, but the parse must not mis-split)
+    val odd = Files.createTempFile("graft-stops-odd", ".txt")
+    Files.writeString(odd, "veh\tX\t42\n")
+    assert(StatusLiveSource.readStops(odd.toString) === Map("veh\tX" -> 42L))
+    Seq(tsv, json, odd).foreach(Files.deleteIfExists(_))
+  }
+
   test("runLive above the threshold switches to path mode and still resumes below watermarks") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val t0 = 1704000000000L
