@@ -302,6 +302,16 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     private var page: Iterator[JsonNode] = Iterator.empty
     private var done = false
     private var draining = false
+    // full-window drain (vs the one-millisecond tie drain): the fallback
+    // when a widen cycle is blocked WITHOUT a boundary anchor — a run of
+    // `_source`-less hits at the top of the window that the cap won't let
+    // the loop widen past. Nothing below `stop` has been emitted yet
+    // (emitted docs all sit at/above the previous boundary, and `stop`
+    // excludes them), so an `_id`-ordered cursor drain of the whole
+    // remaining [startMs, stop) window is exactly-once by construction
+    // and terminates (the cursor strictly advances); at its end the
+    // window is finished.
+    private var drainWholeWindow = false
     private var drainCursor: Option[String] = None
     private var drainSize = 1
     private var pages = 0L
@@ -353,10 +363,12 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
       * progress here.
       */
     private def fetchDrainPage(): Unit = {
+      val (lo, hi) =
+        if (drainWholeWindow) (startMs, stop) else (boundaryTs, boundaryTs + 1)
       val (raw, lastId, got) =
         try {
           val t = rawPageOf(searchTree(index,
-            EsQueryDsl.searchAfterRequest(windowFilters(boundaryTs, boundaryTs + 1),
+            EsQueryDsl.searchAfterRequest(windowFilters(lo, hi),
               requiredFields, drainSize, drainCursor, envelopeIncludes)))
           pages += 1
           docsShipped += t._1
@@ -375,6 +387,11 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
         page = fresh.iterator.map(_._3)
       }
       if (raw < drainSize) {
+        if (drainWholeWindow) {
+          // the cursor ran off the whole remaining window: finished
+          done = true
+          return
+        }
         // cursor ran off the tie: resume the backward loop strictly below
         // the tied millisecond, bookkeeping reset (nothing older can share
         // the drained timestamp)
@@ -392,15 +409,22 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
       val (raw, docs) =
         try fetchPage()
         catch {
-          case e: java.io.IOException if boundaryTs != Long.MinValue && isPageTooLarge(e) =>
-            // over-cap tie run: no servable page can widen past it — drain
-            // the tied millisecond via the search_after cursor instead
-            // (whether the server said "Data too large" or "Result window
-            // is too large": both rejections are exactly the case the
-            // drain exists for). The largest size PROVEN servable is
-            // floorSize - 1 (that page came back full); start the drain
-            // there.
+          case e: java.io.IOException if floorSize > 1 && isPageTooLarge(e) =>
+            // over-cap tie run mid-widen: no servable page can widen past
+            // it — drain the tied millisecond via the search_after cursor
+            // instead (whether the server said "Data too large" or
+            // "Result window is too large": both rejections are exactly
+            // the case the drain exists for). The largest size PROVEN
+            // servable is floorSize - 1 (that page came back full); start
+            // the drain there. No boundary anchor (a widen cycle driven
+            // entirely by `_source`-less hits — nothing decodable ever set
+            // boundaryTs) ⇒ there is no tied millisecond, so drain the
+            // WHOLE remaining window by `_id` cursor instead: nothing
+            // below `stop` has been emitted yet, so it is exactly-once,
+            // and the strictly-advancing cursor passes the undecodable
+            // run no page size could widen past.
             draining = true
+            drainWholeWindow = boundaryTs == Long.MinValue
             drainCursor = None
             drainSize = math.max(1, floorSize - 1)
             return
@@ -422,7 +446,11 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
           // index.max_result_window rather than serving them, so doubling
           // past the cap only buys a round trip that fails — enter the
           // drain NOW at the size just proven servable (this full page).
+          // Unanchored (all-`_source`-less widen run) ⇒ no tied
+          // millisecond exists: drain the whole remaining window by `_id`
+          // cursor (exactly-once — nothing below `stop` emitted yet).
           draining = true
+          drainWholeWindow = boundaryTs == Long.MinValue
           drainCursor = None
           drainSize = size
         } else {

@@ -29,8 +29,12 @@ private[graft] object PaginationFuzz {
   /** (id, Some(timeMs)) = normal doc; (id, None) = doc whose `_source.time`
     * is MALFORMED but which the server still serves inside any window (the
     * index-time-vs-source-time pathology) — `indexMs` orders it.
+    * `sourceless = true` = the hit carries NO `_source` at all
+    * (stored-fields/_source-disabled responses): it occupies a page slot
+    * (raw-count exhaustion must see it) but can never emit.
     */
-  final case class FDoc(id: String, timeMs: Option[Long], indexMs: Long) {
+  final case class FDoc(id: String, timeMs: Option[Long], indexMs: Long,
+      sourceless: Boolean = false) {
     def json: String = {
       val t = timeMs.map(ms => s""""time":"${java.time.Instant.ofEpochMilli(ms)}",""")
         .getOrElse(""""time":"not-a-timestamp",""")
@@ -40,12 +44,16 @@ private[graft] object PaginationFuzz {
   }
 
   /** Stub: sorts (-indexMs, id), filters the pushed window on indexMs,
-    * rejects any request with size > cap as Data-too-large, and serves
-    * the `search_after` drain grammar (sort `_id` asc + exclusive
+    * rejects any request with size > cap — as the circuit breaker
+    * ("Data too large", 500) or, with `windowError`, as a real ES's
+    * `index.max_result_window` rejection ("Result window is too large",
+    * 400): the loop must treat both as "this size is unservable" — and
+    * serves the `search_after` drain grammar (sort `_id` asc + exclusive
     * cursor) the same way a real ES would.
     */
   def serve(docs: Seq[FDoc], cap: Int,
-      requests: java.util.concurrent.ConcurrentLinkedQueue[String] = null): HttpServer = {
+      requests: java.util.concurrent.ConcurrentLinkedQueue[String] = null,
+      windowError: Boolean = false): HttpServer = {
     val sorted = docs.sortBy(d => (-d.indexMs, d.id))
     val byId = docs.sortBy(_.id)
     val server = graft.queries.LiveQueries.loopbackServer()
@@ -56,9 +64,14 @@ private[graft] object PaginationFuzz {
         val req = mapper.readTree(body)
         val size = req.path("size").asInt(10)
         if (size > cap) {
-          val err = """{"error":"circuit_breaking_exception: Data too large"}"""
-          ex.sendResponseHeaders(500, err.length)
-          ex.getResponseBody.write(err.getBytes(StandardCharsets.UTF_8))
+          val (code, err) =
+            if (windowError)
+              (400, """{"error":{"type":"illegal_argument_exception","reason":""" +
+                s""""Result window is too large, from + size must be less than or equal to: [$cap]"}}""")
+            else (500, """{"error":"circuit_breaking_exception: Data too large"}""")
+          val bytes = err.getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(code, bytes.length)
+          ex.getResponseBody.write(bytes)
           ex.close(); return
         }
         var gte: Option[Long] = None
@@ -80,7 +93,9 @@ private[graft] object PaginationFuzz {
               .take(size)
           } else sorted.iterator.filter(inWindow).take(size)
         val hits = picked
-          .map(d => s"""{"_id":"${d.id}","_source":${d.json}}""")
+          .map(d =>
+            if (d.sourceless) s"""{"_id":"${d.id}"}"""
+            else s"""{"_id":"${d.id}","_source":${d.json}}""")
           .mkString(",")
         val res = s"""{"hits":{"hits":[$hits]}}"""
         val bytes = res.getBytes(StandardCharsets.UTF_8)
@@ -111,19 +126,39 @@ private[graft] object PaginationFuzz {
 
   val Base = 1704000000000L
 
+  /** Standalone soak entry point: `runMain graft.sources.PaginationFuzz
+    * [seed] [trials]` — the end-of-round fresh-seed campaign without a
+    * test harness (defaults: random seed, 300 trials).
+    */
+  def main(args: Array[String]): Unit = {
+    val seed = args.lift(0).map(_.toLong).getOrElse(new java.util.Random().nextLong())
+    val trials = args.lift(1).map(_.toInt).getOrElse(300)
+    val t0 = System.nanoTime()
+    run(seed, trials)
+    println(f"[paginationfuzz] $trials trials clean (seed $seed) in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+  }
+
   /** One seeded fuzz campaign: randomized corpora (tie runs wider than
     * pages AND wider than the server's cap, random windows, random size
-    * caps) checked for exactly-once delivery against the model. Raises on
-    * the first divergence (seeded ⇒ reproducible).
+    * caps, BOTH over-size rejection styles — circuit breaker and
+    * max_result_window — and sprinkled `_source`-less hits) checked for
+    * exactly-once delivery of every decodable doc against the model.
+    * Raises on the first divergence (seeded ⇒ reproducible).
     */
   def run(seed: Long, trials: Int): Unit = {
     val rnd = new scala.util.Random(seed)
     for (trial <- 0 until trials) {
       val nDocs = rnd.nextInt(260)
       val span = 1 + rnd.nextInt(24) // few distinct timestamps ⇒ wide tie runs
+      // a third of trials sprinkle `_source`-less hits (every k-th doc):
+      // they occupy page slots — raw-count exhaustion and the raw drain
+      // cursor must carry the loop past them with zero loss of the rest
+      val sourcelessEvery = if (rnd.nextInt(3) == 0) 1 + rnd.nextInt(20) else 0
       val docs = (0 until nDocs).map { i =>
         val t = Base + rnd.nextInt(span) * 1000L
-        FDoc(f"d$i%04d", Some(t), t)
+        FDoc(f"d$i%04d", Some(t), t,
+          sourceless = sourcelessEvery > 0 && i % sourcelessEvery == 0)
       }
       val batch = 1 + rnd.nextInt(16)
       // caps range from adversarial (often BELOW the widest tie run — the
@@ -136,15 +171,17 @@ private[graft] object PaginationFuzz {
           val b = Base + rnd.nextInt(span) * 1000L
           (math.min(a, b), math.max(a, b) + (if (rnd.nextBoolean()) 1000L else 0L))
         }
-      val expected = docs.filter(d => d.indexMs >= start && d.indexMs < stop).map(_.id)
-      val server = serve(docs, cap)
+      val expected = docs
+        .filter(d => !d.sourceless && d.indexMs >= start && d.indexMs < stop).map(_.id)
+      val server = serve(docs, cap, windowError = rnd.nextBoolean())
       try {
         val got = drain(server, batch, start, stop)
         require(got.sorted == got.distinct.sorted,
           s"pagination fuzz trial $trial (seed $seed): duplicates in $got")
         require(got.toSet == expected.toSet,
           s"pagination fuzz trial $trial (seed $seed, n=$nDocs span=$span batch=$batch " +
-            s"cap=$cap window=[$start,$stop)): got ${got.size}, want ${expected.size}")
+            s"cap=$cap srcless=$sourcelessEvery window=[$start,$stop)): " +
+            s"got ${got.size}, want ${expected.size}")
       } finally server.stop(0)
     }
   }

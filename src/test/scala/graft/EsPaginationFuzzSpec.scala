@@ -122,6 +122,54 @@ class EsPaginationFuzzSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("sourceless hits inside an over-cap tie run: the drain cursor passes them, no loss, no pin") {
+    // 12 ties (3 of them `_source`-less), cap 5: the drain pages by _id
+    // and MUST advance its cursor by the RAW last hit — a post-filter
+    // cursor would pin on a page ending in a sourceless hit and refetch
+    // it forever; a post-filter drain-end check would end the drain early
+    // and lose the decodable tail
+    val docs = (0 until 12).map(i =>
+      FDoc(f"t$i%02d", Some(Base), Base, sourceless = i % 4 == 3))
+    val server = PaginationFuzz.serve(docs, cap = 5)
+    try {
+      val got = PaginationFuzz.drain(server, 5, 0L, Base + 1000L)
+      assert(got.toSet === docs.filterNot(_.sourceless).map(_.id).toSet,
+        s"every decodable tie must drain exactly once: got ${got.size}/9")
+      assert(got.sorted === got.distinct.sorted)
+    } finally server.stop(0)
+  }
+
+  test("a sourceless hit atop the window at cap=1 triggers the FULL-WINDOW drain (found by soak)") {
+    // cap=1, newest hit `_source`-less: no servable page can widen past
+    // it and there is no boundary anchor (nothing decodable emitted in
+    // this window block) — the loop must drain the WHOLE remaining window
+    // by `_id` cursor, delivering every decodable doc exactly once.
+    // Before the fix this lost everything below the sourceless hit
+    // (fresh-seed soak trial, seed -2005648116133169935 trial 90).
+    val docs = Seq(
+      FDoc("top", Some(Base + 5000), Base + 5000, sourceless = true)) ++
+      (0 until 7).map(i => FDoc(f"d$i%02d", Some(Base + i * 500L), Base + i * 500L))
+    val requests = new ConcurrentLinkedQueue[String]()
+    val server = PaginationFuzz.serve(docs, cap = 1, requests)
+    try {
+      val got = PaginationFuzz.drain(server, 1, 0L, Base + 10000L)
+      assert(got.toSet === docs.filterNot(_.sourceless).map(_.id).toSet,
+        s"the full-window drain must deliver every decodable doc: got ${got.size}/7")
+      assert(got.sorted === got.distinct.sorted, "exactly once")
+      import scala.jdk.CollectionConverters._
+      // the fallback really is the full-window id drain, not the tie form
+      val drains = requests.asScala.toSeq.map(mapper.readTree)
+        .filter(r => r.path("sort").size() > 0 && r.path("sort").get(0).has("_id"))
+      assert(drains.nonEmpty)
+      val fullWindow = drains.filter { r =>
+        val range = r.path("query").path("bool").path("filter").get(0)
+          .path("range").path("time")
+        range.path("lt").asText().toLong - range.path("gte").asText().toLong > 1
+      }
+      assert(fullWindow.nonEmpty, "the unanchored fallback drains the whole window")
+    } finally server.stop(0)
+  }
+
   test("an untimed tail (malformed _source.time) stops the loop cleanly after its page") {
     // newest-first: 3 timed docs, then an untimed one, then 2 older timed
     // docs the loop can no longer reach (it cannot advance `stop` past a
