@@ -119,11 +119,18 @@ object LiveQueries {
           return
         }
         var subject: Option[String] = None
+        var subjectSet: Option[Set[String]] = None // `terms` membership clause
         var gteMs: Option[Long] = None
         var ltMs: Option[Long] = None
         req.path("query").path("bool").path("filter").forEach { f =>
           val m = f.path("match").path("subject").path("query")
           if (m.isTextual) subject = Some(m.asText())
+          val t = f.path("terms").path("subject")
+          if (t.isArray) {
+            val b = Set.newBuilder[String]
+            t.forEach(v => b += v.asText())
+            subjectSet = Some(b.result())
+          }
           val r = f.path("range").path("time")
           if (r.has("gte")) gteMs = Some(r.get("gte").asText().toLong)
           if (r.has("lt")) ltMs = Some(r.get("lt").asText().toLong)
@@ -157,6 +164,7 @@ object LiveQueries {
         val matched = base
           .filter { d =>
             gteMs.forall(d.timeUs / 1000 >= _) && ltMs.forall(d.timeUs / 1000 < _) &&
+              subjectSet.forall(_.contains(d.subject)) &&
               (!signalMode || d.signalJson.isDefined)
           }
         if (req.path("aggs").has("group_counts")) {
@@ -1134,6 +1142,56 @@ object LiveQueries {
         SELECT subject, count(*)::BIGINT AS n_docs,
           sum(CASE WHEN us >= (SELECT wus FROM m) THEN 1 ELSE 0 END)::BIGINT AS n_recent
         FROM e GROUP BY 1"""),
+    ),
+
+    // ── LIVE ES FLEET-SUBSET COUNTS (r14): a pushed `subject IN (…)`
+    //    compiles to one `terms` clause in the size-0 probes — counting a
+    //    fleet subset (the everyday "how many docs do MY vehicles have"
+    //    monitoring query) costs ONE request ungrouped and ONE request
+    //    grouped, zero documents paged (enforced via the served counter).
+    //    The row scan is untouched: it fans the same IN into per-subject
+    //    page loops; only probes carry terms.
+    QueryDef(
+      "q226_live_es_subset_count",
+      (s, d) => {
+        val evs = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id").cast("string").as("subject"),
+            expr("unix_micros(ts)").as("tsu"))
+          .collect() // seeds the TEST DOUBLE; the measured path is below
+        val docs: IndexedSeq[StubDoc] =
+          evs.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+            val (subj, tsu) = (r.getString(0), r.getLong(1))
+            val iso = java.time.Instant.ofEpochSecond(tsu / 1000000L, (tsu % 1000000L) * 1000L)
+            StubDoc(s"fs$i", subj, tsu,
+              s"""{"id":"fs$i","subject":"$subj","source":"dimo/integration/live",""" +
+                s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v2.0",""" +
+                s""""type":"com.dimo.device.status","data":{}}""")
+          }
+        // the monitored subset: even token ids (expressible in the oracle)
+        val evens = evs.map(_.getString(0)).distinct.filter(_.toLong % 2 == 0).sorted
+        val served = new java.util.concurrent.atomic.AtomicLong
+        val server = startStub(docs, served = served)
+        try {
+          val live = s.read.format("graft-status-live")
+            .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+            .option("batchSize", "500").load()
+            .where(col("subject").isin(evens: _*))
+          val nSubset = live.count() // ONE terms-scoped exact-total probe
+          val out = live.groupBy(col("subject"))
+            .agg(count(lit(1)).as("n_docs")) // ONE terms-scoped terms-agg probe
+            .withColumn("n_subset", lit(nSubset))
+            .localCheckpoint(true)
+          require(served.get() == 0,
+            s"subset COUNT pushdown regressed to paging: ${served.get()} docs shipped")
+          out
+        } finally server.stop(0)
+      },
+      Some("""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS subject
+                 FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                   AND CAST(user_id AS BIGINT) % 2 = 0),
+        g AS (SELECT subject, count(*)::BIGINT AS n_docs FROM e GROUP BY 1)
+        SELECT subject, n_docs, (SELECT sum(n_docs) FROM g)::BIGINT AS n_subset FROM g"""),
     ),
 
     // ── LIVE CH streaming tail (r13): `readStream` over

@@ -5,7 +5,7 @@ import java.time.Instant
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
 
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, LessThan}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In, LessThan}
 
 /** Elasticsearch search-request generator: the READ-side twin of
   * [[ClickHouseDdl]]. [[StatusV2Source]] proves the pushdown seam
@@ -103,6 +103,19 @@ object EsQueryDsl {
 
     filters.collectFirst { case EqualTo("subject", v: String) => v }.foreach { subject =>
       filterArr.addObject().putObject("match").putObject("subject").put("query", subject)
+    }
+    // a pushed subject IN-set → one `terms` clause (the ES set-membership
+    // query). Only the size-0 PROBES reach here with an IN: the row scan
+    // fans an IN into per-subject page loops (each loop's filters carry
+    // one EqualTo), so a terms clause never changes a row-scan request.
+    // Multiple clauses AND-combine inside bool.filter — an EqualTo and a
+    // terms both present intersect server-side, exactly the plan's
+    // conjunction semantics.
+    filters.foreach {
+      case In("subject", vs) =>
+        val arr = filterArr.addObject().putObject("terms").putArray("subject")
+        vs.foreach { case s: String => arr.add(s); case _ => () }
+      case _ => ()
     }
     val gte = filters.collect { case GreaterThanOrEqual("time", v) => toMillis(v) }
       .reduceOption(_ max _)

@@ -271,17 +271,23 @@ class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
       case _                  => false
     })
     val subjectEqs = pushed.count { case EqualTo("subject", _) => true; case _ => false }
+    val subjectIns = pushed.count { case In("subject", _) => true; case _ => false }
     val subjectNotNull = pushed.exists {
-      case IsNotNull("subject") | EqualTo("subject", _) => true
-      case _                                            => false
+      case IsNotNull("subject") | EqualTo("subject", _) | In("subject", _) => true
+      case _                                                               => false
     }
     val translatable = pushed.forall {
       case EqualTo("subject", _: String)                      => true
+      // a fleet-subset membership → one `terms` clause in the probe body
+      // (the row scan fans the same IN into per-subject loops; for a
+      // size-0 probe the server's set test IS the loop fan-out's row set)
+      case In("subject", vs) => vs.forall(_.isInstanceOf[String])
       case GreaterThanOrEqual("time", _) | LessThan("time", _) => true
       case IsNotNull("time")                                   => true // the window implies it
-      // the match clause implies it; in the grouped form the terms agg
-      // itself enforces it (only field-carrying docs bucket)
-      case IsNotNull("subject")                                => groupedBySubject || subjectEqs == 1
+      // implied by a match/terms clause (matched docs carry the field);
+      // in the grouped form the terms AGG itself enforces it too
+      case IsNotNull("subject") =>
+        groupedBySubject || subjectEqs == 1 || subjectIns >= 1
       case _                                                   => false
     }
     if (!countStarOnly || signals.nonEmpty || stopBySubject.nonEmpty ||

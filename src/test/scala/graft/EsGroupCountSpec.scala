@@ -114,6 +114,24 @@ class EsGroupCountSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("a fleet-subset IN composes: terms clause in the probe, subset buckets only, probe-only") {
+    val docs = mkDocs(40, 4)
+    val served = new java.util.concurrent.atomic.AtomicLong
+    val server = LiveQueries.startStub(docs, served = served)
+    try {
+      val got = liveDf(server)
+        .where(col("subject").isin("s1", "s3"))
+        .groupBy(col("subject")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === Map("s1" -> 10L, "s3" -> 10L))
+      assert(served.get() === 0L,
+        s"an IN-scoped grouped COUNT must stay probe-only: ${served.get()} docs shipped")
+      // ungrouped too: the membership count is one exact-total probe
+      assert(liveDf(server).where(col("subject").isin("s0", "s2")).count() === 20L)
+      assert(served.get() === 0L)
+    } finally server.stop(0)
+  }
+
   test("a subject equality composes: one bucket, probe-only") {
     val docs = mkDocs(30, 3)
     val served = new java.util.concurrent.atomic.AtomicLong

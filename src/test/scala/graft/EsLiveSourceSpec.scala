@@ -93,11 +93,18 @@ class EsLiveSourceSpec extends SparkTestBase {
           ex.close(); return
         }
         var subject: Option[String] = None
+        var subjectSet: Option[Set[String]] = None // `terms` membership clause
         var gte: Option[Long] = None
         var lt: Option[Long] = None
         req.path("query").path("bool").path("filter").forEach { f =>
           val m = f.path("match").path("subject").path("query")
           if (m.isTextual) subject = Some(m.asText())
+          val t = f.path("terms").path("subject")
+          if (t.isArray) {
+            val b = Set.newBuilder[String]
+            t.forEach(v => b += v.asText())
+            subjectSet = Some(b.result())
+          }
           val r = f.path("range").path("time")
           if (!r.isMissingNode) {
             if (r.has("gte")) gte = Some(r.get("gte").asText().toLong)
@@ -124,6 +131,7 @@ class EsLiveSourceSpec extends SparkTestBase {
         }
         val matched = docs
           .filter(d => subject.forall(_ == d.subject) &&
+            subjectSet.forall(_.contains(d.subject)) &&
             gte.forall(d.timeMs >= _) && lt.forall(d.timeMs < _) &&
             (msm == 0 || exists.count(hasPath(d.json, _)) >= msm))
         val hits = matched
