@@ -60,6 +60,25 @@ private[graft] object LifecycleFuzz {
 
   private def asBag(rs: Seq[R]) = rs.groupBy(identity).view.mapValues(_.size).toMap
 
+  /** Standalone soak entry point: `runMain graft.jobs.LifecycleFuzz
+    * [seed] [trials]` — the end-of-round fresh-seed campaign without a
+    * test harness (defaults: random seed, 8 trials).
+    */
+  def main(args: Array[String]): Unit = {
+    val seed = args.lift(0).map(_.toLong).getOrElse(new java.util.Random().nextLong())
+    val trials = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val t0 = System.nanoTime()
+      run(spark, seed, trials)
+      println(f"[lifecyclefuzz] $trials trials clean (seed $seed) in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    } finally spark.stop()
+  }
+
   /** One seeded campaign; raises on the first model divergence. */
   def run(spark: SparkSession, seed: Long, trials: Int): Unit = {
     val rnd = new scala.util.Random(seed)

@@ -92,6 +92,50 @@ class StatusLiveFleetSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("a runtime subject filter (DPP) intersects the staged census — fleet scan, join-scoped loops") {
+    // 10k-token census via the side-channel file; a broadcast join then
+    // hands the scan a 3-subject runtime set (2 inside the census, 1
+    // outside): the planned page loops must be exactly the intersection —
+    // at fleet scale the runtime filter turns a 10k-loop scan into point
+    // lookups, and a runtime key OUTSIDE the census must not widen it
+    val n = 10000
+    val census = (0 until n).map(i => f"veh$i%05d")
+    val subjFile = Files.createTempFile("graft-subjects", ".txt").toString
+    StatusLiveSource.writeSubjects(census, subjFile)
+    val props = new java.util.HashMap[String, String]()
+    props.put("url", "http://127.0.0.1:9")
+    props.put("subjectsPath", subjFile)
+    val scan = new graft.sources.StatusLiveSource()
+      .getTable(StatusV2Source.Schema, Array.empty, props)
+      .asInstanceOf[graft.sources.StatusLiveTable]
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        new java.util.HashMap[String, String]()))
+      .build().asInstanceOf[StatusLiveScan]
+    java.nio.file.Files.delete(java.nio.file.Paths.get(subjFile))
+    import org.apache.spark.sql.sources.{Filter => SFilter, In => SIn}
+    scan.filter(Array[SFilter](SIn("subject",
+      Array[Any]("veh00007", "veh04242", "nope"))))
+    val parts = scan.planInputPartitions().map(_.asInstanceOf[StatusLivePartition])
+    assert(parts.flatMap(_.subjects.get).sorted.toSeq === Seq("veh00007", "veh04242"),
+      "planned loops must be census ∩ runtime set, nothing more")
+    // an oversized runtime set is advisory: the census fan-out stands
+    val scan2 = new graft.sources.StatusLiveSource()
+      .getTable(StatusV2Source.Schema, Array.empty, {
+        val p = new java.util.HashMap[String, String]()
+        p.put("url", "http://127.0.0.1:9"); p
+      })
+      .asInstanceOf[graft.sources.StatusLiveTable]
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        new java.util.HashMap[String, String]()))
+      .build().asInstanceOf[StatusLiveScan]
+    scan2.filter(Array[SFilter](SIn("subject",
+      (0 to graft.sources.ShardedSignalSource.MaxRuntimeInSet)
+        .map(i => f"veh$i%05d": Any).toArray)))
+    val parts2 = scan2.planInputPartitions().map(_.asInstanceOf[StatusLivePartition])
+    assert(parts2.length === 1 && parts2(0).subjects.isEmpty,
+      "an oversized runtime set must be ignored (unfiltered single loop), never wrong")
+  }
+
   test("readStops sniffs both staged formats: driver JSON and cluster TSV lines") {
     // the cluster-written form (runLive path mode stages subject<TAB>ms
     // lines via a single-partition write.text) and the driver-streamed
