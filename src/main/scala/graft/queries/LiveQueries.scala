@@ -61,8 +61,10 @@ object LiveQueries {
       requireSignalClauses: Boolean = false,
       served: java.util.concurrent.atomic.AtomicLong =
         new java.util.concurrent.atomic.AtomicLong,
-      sizeCap: Int = Int.MaxValue): HttpServer = {
+      sizeCap: Int = Int.MaxValue,
+      pitMode: Boolean = false): HttpServer = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val pitSeq = new java.util.concurrent.atomic.AtomicLong()
     val server = loopbackServer(1024)
     val tf = new java.util.concurrent.ThreadFactory {
       override def newThread(r: Runnable): Thread = {
@@ -93,6 +95,24 @@ object LiveQueries {
           val bytes = res.getBytes(StandardCharsets.UTF_8)
           ex.sendResponseHeaders(200, bytes.length)
           ex.getResponseBody.write(bytes)
+          ex.close()
+          return
+        }
+        if (ex.getRequestURI.getPath.endsWith("/_pit") ||
+          ex.getRequestURI.getPath == "/_pit") {
+          // point-in-time lifecycle: offered only in pitMode (the ES 8
+          // posture); a 404 makes the client fall back to the `_id` drain
+          ex.getRequestBody.readAllBytes()
+          if ("POST" == ex.getRequestMethod && pitMode) {
+            val b = s"""{"id":"pit-${pitSeq.incrementAndGet()}"}"""
+              .getBytes(StandardCharsets.UTF_8)
+            ex.sendResponseHeaders(200, b.length)
+            ex.getResponseBody.write(b)
+          } else if ("DELETE" == ex.getRequestMethod) {
+            val b = """{"succeeded":true}""".getBytes(StandardCharsets.UTF_8)
+            ex.sendResponseHeaders(200, b.length)
+            ex.getResponseBody.write(b)
+          } else ex.sendResponseHeaders(404, -1)
           ex.close()
           return
         }
@@ -150,6 +170,52 @@ object LiveQueries {
           return
         }
         val signalMode = hasExists && hasIncludes
+        val pitReq = req.path("pit").path("id").isTextual
+        if (pitReq && !pitMode) {
+          val err = """{"error":"stub has no point-in-time support"}"""
+          val bytes = err.getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(400, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+          return
+        }
+        if (idSort && pitMode) {
+          // the real-ES 8 posture: sorting on _id needs fielddata — once
+          // the server offers PITs, the client must drain on _shard_doc
+          val err = """{"error":{"type":"illegal_argument_exception","reason":""" +
+            """"Fielddata is disabled on [_id] in [device-status]"}}"""
+          val bytes = err.getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(400, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+          return
+        }
+        if (pitReq) {
+          // the _shard_doc drain: stable corpus position as the sort
+          // value, cursor-exclusive; all pushed clauses still apply
+          val after = Option(req.get("search_after")).filter(_.isArray)
+            .map(_.get(0).asLong())
+          val picked = docs.iterator.zipWithIndex
+            .filter { case (d, i) =>
+              subject.forall(_ == d.subject) &&
+                subjectSet.forall(_.contains(d.subject)) &&
+                gteMs.forall(d.timeUs / 1000 >= _) && ltMs.forall(d.timeUs / 1000 < _) &&
+                (!signalMode || d.signalJson.isDefined) &&
+                after.forall(i > _)
+            }.take(size).toSeq
+          served.addAndGet(picked.size.toLong)
+          val hits = picked.map { case (d, i) =>
+            val src = if (signalMode) d.signalJson.get else d.json
+            s"""{"_index":"device-status","_id":"${d.id}","_source":$src,"sort":[$i]}"""
+          }
+          val res = s"""{"hits":{"hits":[${hits.mkString(",")}]}}"""
+          val bytes = res.getBytes(StandardCharsets.UTF_8)
+          ex.getResponseHeaders.add("Content-Type", "application/json")
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+          return
+        }
         val base =
           if (idSort) {
             // the search_after drain grammar: `_id` ascending within the
@@ -1192,6 +1258,55 @@ object LiveQueries {
                    AND CAST(user_id AS BIGINT) % 2 = 0),
         g AS (SELECT subject, count(*)::BIGINT AS n_docs FROM e GROUP BY 1)
         SELECT subject, n_docs, (SELECT sum(n_docs) FROM g)::BIGINT AS n_subset FROM g"""),
+    ),
+
+    // ── LIVE ES tie drain on the ES 8 protocol (r14): q220's over-cap
+    //    tie corpus against a stub in the REAL-ES-8 posture — `_pit` ids
+    //    issued, `_id`-sort requests REJECTED outright (no fielddata on
+    //    _id). The drain must probe the PIT, sort on `_shard_doc`, and
+    //    cursor-page on each hit's own sort values; the reference
+    //    silently skips such tie runs entirely (sync.go:151-155). Same
+    //    oracle as q220: any doc lost to the cap or duplicated by the
+    //    cursor breaks the count/sum hash.
+    QueryDef(
+      "q227_live_es_pit_drain",
+      (s, d) => {
+        val Base = 1704000000000L
+        val evs = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(round(col("value") * 100).cast(LongType).as("cents"))
+          .collect() // seeds the TEST DOUBLE; the measured read is below
+        val docs: IndexedSeq[StubDoc] =
+          evs.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+            val cents = r.getLong(0)
+            val bucket = ((cents % 3) + 3) % 3 // deterministic tie bucket
+            val ms = Base + bucket * 60000L
+            val iso = java.time.Instant.ofEpochMilli(ms)
+            val json =
+              s"""{"id":"p$i","subject":"s0","source":"dimo/integration/live",""" +
+                s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v2.0",""" +
+                s""""type":"com.dimo.device.status","data":{"cents":$cents}}"""
+            StubDoc(f"p$i%07d", "s0", ms * 1000L, json)
+          }
+        val server = startStub(docs, sizeCap = 600, pitMode = true)
+        try {
+          val live = s.read.format("graft-status-live")
+            .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+            .option("batchSize", "500")
+            .load()
+            .select(expr("unix_micros(time)").as("tie_us"),
+              get_json_object(col("data"), "$.cents").cast("long").as("cents"))
+            .groupBy(col("tie_us"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("cents")).as("cents"))
+          live.localCheckpoint(true) // materialize THROUGH the PIT-drained live stack
+        } finally server.stop(0)
+      },
+      Some("""SELECT (1704000000000000 +
+                      ((CAST(round(value*100) AS BIGINT) % 3 + 3) % 3) * 60000000)::BIGINT AS tie_us,
+               count(*)::BIGINT AS n_docs,
+               sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents
+             FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             GROUP BY 1"""),
     ),
 
     // ── LIVE CH streaming tail (r13): `readStream` over

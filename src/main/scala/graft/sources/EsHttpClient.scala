@@ -58,20 +58,25 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     isDataTooLarge(e) ||
       (e.getMessage != null && e.getMessage.contains("Result window is too large"))
 
-  /** `(raw hit count, last raw hit's _id, decodable hits)` for one parsed
-    * response. The RAW count/cursor come from the `hits.hits` array
-    * itself, independent of how many hits yielded a usable `_source`:
-    * exhaustion ("short page") and drain-end checks compare the raw count
-    * to the requested size, and the drain cursor advances past
-    * `_source`-less hits — otherwise one such hit makes a full page read
-    * as short (ending the window early, silently losing the remainder)
-    * or pins the cursor (re-fetching the same drain page forever).
+  /** `(raw hit count, last raw hit's _id, last raw hit's sort values,
+    * decodable hits)` for one parsed response. The RAW count/cursors come
+    * from the `hits.hits` array itself, independent of how many hits
+    * yielded a usable `_source`: exhaustion ("short page") and drain-end
+    * checks compare the raw count to the requested size, and the drain
+    * cursor (the `_id` on the legacy form, the `sort` array on the PIT
+    * form) advances past `_source`-less hits — otherwise one such hit
+    * makes a full page read as short (ending the window early, silently
+    * losing the remainder) or pins the cursor (re-fetching the same
+    * drain page forever).
     */
-  private def rawPageOf(root: JsonNode): (Int, Option[String], Vector[(String, Option[Long], JsonNode)]) = {
+  private def rawPageOf(root: JsonNode)
+      : (Int, Option[String], Option[JsonNode], Vector[(String, Option[Long], JsonNode)]) = {
     val hits = root.path("hits").path("hits")
     val raw = if (hits.isArray) hits.size() else 0
     val lastId = if (raw > 0) Some(hits.get(raw - 1).path("_id").asText("")) else None
-    (raw, lastId, timedHitsOf(root))
+    val lastSort = if (raw > 0) Option(hits.get(raw - 1).get("sort")).filter(_.isArray)
+      else None
+    (raw, lastId, lastSort, timedHitsOf(root))
   }
 
   /** Transport-level retry: a search POST is idempotent and a dropped
@@ -99,8 +104,16 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     * body-level `error` (ES reports shard failures at 200 sometimes)
     * raise with the body included — the reference's failure contract.
     */
-  def searchTree(index: String, body: String): JsonNode = {
-    val req = HttpRequest.newBuilder(URI.create(s"$baseUrl/$index/_search"))
+  def searchTree(index: String, body: String): JsonNode =
+    searchAt(s"$baseUrl/$index/_search", body)
+
+  /** A PIT search posts to the BARE `_search` (the point-in-time id
+    * names the index).
+    */
+  private def pitSearchTree(body: String): JsonNode = searchAt(s"$baseUrl/_search", body)
+
+  private def searchAt(uri: String, body: String): JsonNode = {
+    val req = HttpRequest.newBuilder(URI.create(uri))
       .timeout(Duration.ofMillis(timeoutMs))
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
@@ -116,6 +129,44 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
         s"failed to get records from elasticsearch: ${err.toString}")
     root
   }
+
+  /** Open a point-in-time over the index — the drain's preferred
+    * protocol on a real ES 8 (`_shard_doc` needs one, and sorting on
+    * `_id` is rejected without fielddata). ONE attempt, None on ANY
+    * failure (non-200, no id, transport error): PIT support is probed,
+    * never required — a server without it (older ES, a minimal stub)
+    * falls back to the `_id`-ascending drain form cleanly and cheaply.
+    */
+  def openPit(index: String): Option[String] =
+    try {
+      val req = HttpRequest.newBuilder(URI.create(s"$baseUrl/$index/_pit?keep_alive=1m"))
+        .timeout(Duration.ofMillis(timeoutMs))
+        .POST(HttpRequest.BodyPublishers.noBody())
+        .build()
+      val res = http.send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+      if (res.statusCode() != 200) None
+      else {
+        val id = mapper.readTree(res.body()).path("id")
+        if (id.isTextual) Some(id.asText()) else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Release a point-in-time (best-effort: an expired/unknown id is not
+    * an error — the keep_alive reclaims it anyway).
+    */
+  def closePit(id: String): Unit =
+    try {
+      val body = mapper.createObjectNode()
+      body.put("id", id)
+      val req = HttpRequest.newBuilder(URI.create(s"$baseUrl/_pit"))
+        .timeout(Duration.ofMillis(timeoutMs))
+        .header("Content-Type", "application/json")
+        .method("DELETE", HttpRequest.BodyPublishers.ofString(
+          mapper.writeValueAsString(body), StandardCharsets.UTF_8))
+        .build()
+      http.send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** `(_id, epoch-millis of _source.time, _source NODE)` per hit — the
     * document time is extracted HERE, while the hit is already a parsed
@@ -252,12 +303,18 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     * → double → halve …, and clamping to s+1 could only creep ONE fresh
     * doc per full re-served page). So the FIRST over-cap failure during a
     * widen cycle switches the loop to the `search_after` TIE DRAIN
-    * ([[EsQueryDsl.searchAfterRequest]]): pages of the tied millisecond
-    * ordered by `_id` ascending, cursor = the last hit's id,
-    * already-emitted ids skipped client-side — a tie run wider than the
-    * largest servable page drains at any page size ≥ 1 with no re-serve
-    * amplification, completing the protocol the reference silently breaks
-    * (sync.go:151-155 [ext]). After the drain the backward loop resumes
+    * pages of the tied millisecond in a server-supported total order,
+    * cursor-exclusive, already-emitted ids skipped client-side — a tie
+    * run wider than the largest servable page drains at any page size
+    * ≥ 1 with no re-serve amplification, completing the protocol the
+    * reference silently breaks (sync.go:151-155 [ext]). Each drain
+    * episode PROBES for point-in-time support first
+    * ([[openPit]]/[[EsQueryDsl.pitSearchAfterRequest]]): with a PIT the
+    * order is `_shard_doc` ascending and the cursor is the last hit's
+    * own `sort` values — the form a production ES 8 serves natively (it
+    * REJECTS `_id` sorting without fielddata); without one the
+    * `_id`-ascending form ([[EsQueryDsl.searchAfterRequest]]) is the
+    * dependency-free fallback. After the drain the backward loop resumes
     * strictly below the tied millisecond. The drain is entered three
     * ways: a mid-widen size rejection (circuit breaker OR
     * `max_result_window`), or PROACTIVELY when the widen cycle reaches
@@ -314,6 +371,22 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     private var drainWholeWindow = false
     private var drainCursor: Option[String] = None
     private var drainSize = 1
+    // PIT drain state: every drain episode first PROBES for point-in-time
+    // support (one cheap POST; openPit never retries). With a PIT the
+    // drain sorts on `_shard_doc` — the order a real ES 8 serves natively
+    // (it REJECTS `_id` sorting without fielddata) — and the cursor is
+    // the last hit's own `sort` values; without one (older ES, minimal
+    // stubs) the `_id`-ascending form is the dependency-free fallback.
+    private var pitTried = false
+    private var pitId: Option[String] = None
+    private var pitAfter: Option[JsonNode] = None
+
+    private def endPit(): Unit = {
+      pitId.foreach(closePit)
+      pitId = None
+      pitAfter = None
+      pitTried = false
+    }
     private var pages = 0L
     private var docsShipped = 0L
     override def pagesFetched: Long = pages
@@ -333,7 +406,7 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     private def fetchPage(): (Int, Vector[(String, Option[Long], JsonNode)]) = {
       while (true) {
         try {
-          val (raw, _, got) = rawPageOf(searchTree(index,
+          val (raw, _, _, got) = rawPageOf(searchTree(index,
             EsQueryDsl.searchRequest(windowFilters(startMs, stop), requiredFields, size,
               envelopeIncludes = envelopeIncludes)))
           pages += 1
@@ -363,13 +436,22 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
       * progress here.
       */
     private def fetchDrainPage(): Unit = {
+      if (!pitTried) {
+        pitTried = true
+        pitId = openPit(index) // one probe per drain episode; None ⇒ `_id` form
+      }
       val (lo, hi) =
         if (drainWholeWindow) (startMs, stop) else (boundaryTs, boundaryTs + 1)
-      val (raw, lastId, got) =
+      val (raw, lastId, lastSort, got) =
         try {
-          val t = rawPageOf(searchTree(index,
-            EsQueryDsl.searchAfterRequest(windowFilters(lo, hi),
-              requiredFields, drainSize, drainCursor, envelopeIncludes)))
+          val t = rawPageOf(pitId match {
+            case Some(id) => pitSearchTree(EsQueryDsl.pitSearchAfterRequest(
+              windowFilters(lo, hi), requiredFields, drainSize, id, pitAfter,
+              envelopeIncludes))
+            case None => searchTree(index, EsQueryDsl.searchAfterRequest(
+              windowFilters(lo, hi), requiredFields, drainSize, drainCursor,
+              envelopeIncludes))
+          })
           pages += 1
           docsShipped += t._1
           t
@@ -381,12 +463,24 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
       if (raw > 0) {
         // the cursor advances by the RAW last hit — a `_source`-less hit
         // must not pin the drain on the same page forever
-        drainCursor = lastId
+        (pitId, lastSort) match {
+          case (Some(_), Some(s)) => pitAfter = Some(s); drainCursor = lastId
+          case (Some(_), None) =>
+            // a server that opened a PIT but ships no sort values cannot
+            // be cursor-paged on this form: abandon the PIT, restart this
+            // drain on the `_id` grammar from the top (already-emitted
+            // ids dedup the re-served prefix — exactly-once holds)
+            endPit()
+            pitTried = true
+            drainCursor = None
+          case (None, _) => drainCursor = lastId
+        }
         val fresh = got.filterNot { case (id, _, _) => boundaryIds(id) }
         boundaryIds ++= fresh.iterator.map(_._1)
         page = fresh.iterator.map(_._3)
       }
       if (raw < drainSize) {
+        endPit()
         if (drainWholeWindow) {
           // the cursor ran off the whole remaining window: finished
           done = true
@@ -482,7 +576,7 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
       }
       if (page.hasNext) page.next() else null
     }
-    override def close(): Unit = ()
+    override def close(): Unit = endPit() // abandoned mid-drain: release the PIT
   }
 }
 

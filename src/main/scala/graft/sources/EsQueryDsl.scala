@@ -144,6 +144,30 @@ object EsQueryDsl {
     root
   }
 
+  /** The PIT drain request — the form a production ES 8 serves natively:
+    * a point-in-time id pins the snapshot, `sort: [{"_shard_doc":"asc"}]`
+    * gives a total order every index supports WITHOUT fielddata (real ES
+    * rejects sorting on `_id`), and `search_after` carries the last
+    * hit's own `sort` VALUES verbatim. Same `query.bool` window and
+    * projection clauses as every other request. Note: with a `pit` the
+    * request posts to `{base}/_search` (no index in the path — the PIT
+    * already names it).
+    */
+  def pitSearchAfterRequest(filters: Seq[Filter], requiredFields: Seq[String], size: Int,
+      pitId: String, after: Option[com.fasterxml.jackson.databind.JsonNode],
+      envelopeIncludes: Seq[String] = Seq.empty): String = {
+    val root = queryBody(filters, requiredFields, envelopeIncludes)
+    root.put("size", size)
+    val pit = root.putObject("pit")
+    pit.put("id", pitId)
+    pit.put("keep_alive", "1m")
+    root.putArray("sort").addObject().put("_shard_doc", "asc")
+    after.foreach(a =>
+      root.set[com.fasterxml.jackson.databind.JsonNode](
+        "search_after", a.deepCopy[com.fasterxml.jackson.databind.JsonNode]()))
+    mapper.writeValueAsString(root)
+  }
+
   /** The grouped-count probe: a `size: 0` `terms` aggregation over one
     * keyword field, under the same `query.bool` body as the row scan —
     * `groupBy(subject).count()` answered by ONE request whose buckets are

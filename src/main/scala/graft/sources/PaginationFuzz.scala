@@ -48,17 +48,38 @@ private[graft] object PaginationFuzz {
     * ("Data too large", 500) or, with `windowError`, as a real ES's
     * `index.max_result_window` rejection ("Result window is too large",
     * 400): the loop must treat both as "this size is unservable" — and
-    * serves the `search_after` drain grammar (sort `_id` asc + exclusive
-    * cursor) the same way a real ES would.
+    * serves the drain grammars the way a real ES would. `pitMode` is the
+    * ES 8 posture: `POST {index}/_pit` issues point-in-time ids, drains
+    * arrive at the bare `_search` with `pit` + `sort: _shard_doc` +
+    * `search_after` of the hit's own sort values (shard_doc = the doc's
+    * stable corpus position), and an `_id`-sort request is REJECTED
+    * outright (no fielddata on `_id`); without `pitMode`, `_pit` is 404
+    * and the `_id`-ascending drain is served (the pre-PIT fallback).
     */
   def serve(docs: Seq[FDoc], cap: Int,
       requests: java.util.concurrent.ConcurrentLinkedQueue[String] = null,
-      windowError: Boolean = false): HttpServer = {
+      windowError: Boolean = false, pitMode: Boolean = false): HttpServer = {
     val sorted = docs.sortBy(d => (-d.indexMs, d.id))
     val byId = docs.sortBy(_.id)
+    val pitSeq = new java.util.concurrent.atomic.AtomicLong()
     val server = graft.queries.LiveQueries.loopbackServer()
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
+        val path = ex.getRequestURI.getPath
+        if (path.endsWith("/_pit")) {
+          ex.getRequestBody.readAllBytes() // drain
+          if ("POST" == ex.getRequestMethod && pitMode) {
+            val res = s"""{"id":"pit-${pitSeq.incrementAndGet()}"}"""
+            val b = res.getBytes(StandardCharsets.UTF_8)
+            ex.sendResponseHeaders(200, b.length)
+            ex.getResponseBody.write(b)
+          } else if ("DELETE" == ex.getRequestMethod) {
+            val b = """{"succeeded":true}""".getBytes(StandardCharsets.UTF_8)
+            ex.sendResponseHeaders(200, b.length)
+            ex.getResponseBody.write(b)
+          } else ex.sendResponseHeaders(404, -1)
+          ex.close(); return
+        }
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         if (requests != null) requests.add(body)
         val req = mapper.readTree(body)
@@ -82,21 +103,51 @@ private[graft] object PaginationFuzz {
           if (r.has("lt")) lt = Some(r.get("lt").asText().toLong)
         }
         def inWindow(d: FDoc) = gte.forall(d.indexMs >= _) && lt.forall(d.indexMs < _)
+        def hitJson(d: FDoc, sortVal: Option[Long]): String = {
+          val sort = sortVal.map(v => s""","sort":[$v]""").getOrElse("")
+          if (d.sourceless) s"""{"_id":"${d.id}"$sort}"""
+          else s"""{"_id":"${d.id}","_source":${d.json}$sort}"""
+        }
         val idSort = req.path("sort").size() > 0 && req.path("sort").get(0).has("_id")
-        val picked =
-          if (idSort) {
-            // the drain grammar: `_id` ascending, cursor-exclusive
+        val pitReq = req.path("pit").path("id").isTextual
+        if (pitReq && !pitMode) {
+          val err = """{"error":"stub has no point-in-time support"}"""
+          val bytes = err.getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(400, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close(); return
+        }
+        if (idSort && pitMode) {
+          // the real-ES 8 posture: no fielddata on _id — the client must
+          // be on the PIT grammar once the server offers it
+          val err = """{"error":{"type":"illegal_argument_exception","reason":""" +
+            """"Fielddata is disabled on [_id] in [idx]"}}"""
+          val bytes = err.getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(400, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close(); return
+        }
+        val hits =
+          if (pitReq) {
+            // _shard_doc drain: stable corpus position, cursor-exclusive
+            val after = Option(req.get("search_after")).filter(_.isArray)
+              .map(_.get(0).asLong())
+            docs.iterator.zipWithIndex
+              .filter { case (d, i) => inWindow(d) && after.forall(i > _) }
+              .take(size)
+              .map { case (d, i) => hitJson(d, Some(i.toLong)) }
+              .mkString(",")
+          } else if (idSort) {
+            // the pre-PIT drain grammar: `_id` ascending, cursor-exclusive
             val after = Option(req.get("search_after")).filter(_.isArray)
               .map(_.get(0).asText())
             byId.iterator.filter(inWindow)
               .filter(d => after.forall(d.id > _))
               .take(size)
+              .map(hitJson(_, None))
+              .mkString(",")
           } else sorted.iterator.filter(inWindow).take(size)
-        val hits = picked
-          .map(d =>
-            if (d.sourceless) s"""{"_id":"${d.id}"}"""
-            else s"""{"_id":"${d.id}","_source":${d.json}}""")
-          .mkString(",")
+            .map(hitJson(_, None)).mkString(",")
         val res = s"""{"hits":{"hits":[$hits]}}"""
         val bytes = res.getBytes(StandardCharsets.UTF_8)
         ex.sendResponseHeaders(200, bytes.length)
@@ -173,7 +224,10 @@ private[graft] object PaginationFuzz {
         }
       val expected = docs
         .filter(d => !d.sourceless && d.indexMs >= start && d.indexMs < stop).map(_.id)
-      val server = serve(docs, cap, windowError = rnd.nextBoolean())
+      // half the trials are the ES 8 posture (PIT offered, `_id` sort
+      // REJECTED — drains must ride _shard_doc), half the pre-PIT one
+      val server = serve(docs, cap, windowError = rnd.nextBoolean(),
+        pitMode = rnd.nextBoolean())
       try {
         val got = drain(server, batch, start, stop)
         require(got.sorted == got.distinct.sorted,

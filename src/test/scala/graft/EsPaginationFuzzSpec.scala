@@ -170,6 +170,50 @@ class EsPaginationFuzzSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("ES 8 posture: PIT offered, _id sort REJECTED — drains ride _shard_doc exactly-once") {
+    // the stub issues point-in-time ids and 400s any _id-sort request
+    // (no fielddata on _id — what a real ES 8 does), so completing the
+    // over-cap tie PROVES the drain probed the PIT, sorted on _shard_doc,
+    // and cursor-paged on the hit's own sort values
+    val docs = (0 until 30).map(i => FDoc(f"p$i%02d", Some(Base), Base))
+    val requests = new ConcurrentLinkedQueue[String]()
+    val server = PaginationFuzz.serve(docs, cap = 5, requests, pitMode = true)
+    try {
+      val got = PaginationFuzz.drain(server, 5, 0L, Base + 1000L)
+      assert(got.toSet === docs.map(_.id).toSet, s"got ${got.size}/30")
+      assert(got.sorted === got.distinct.sorted, "exactly once")
+      import scala.jdk.CollectionConverters._
+      val bodies = requests.asScala.toSeq.map(mapper.readTree)
+      val pitReqs = bodies.filter(_.path("pit").path("id").isTextual)
+      assert(pitReqs.nonEmpty, "the drain must have used the PIT grammar")
+      pitReqs.foreach { r =>
+        assert(r.path("sort").get(0).path("_shard_doc").asText() === "asc")
+        assert(r.path("pit").path("keep_alive").asText() === "1m")
+      }
+      // cursors carry the hit's own sort values (numbers, not ids)
+      assert(pitReqs.count(r => r.path("search_after").isArray &&
+        r.path("search_after").get(0).isNumber) >= pitReqs.size - 1)
+      assert(!bodies.exists(b => b.path("sort").size() > 0 &&
+        b.path("sort").get(0).has("_id")),
+        "with a PIT available the _id grammar must never be sent")
+    } finally server.stop(0)
+  }
+
+  test("without PIT support (404) the drain falls back to the _id grammar") {
+    val docs = (0 until 20).map(i => FDoc(f"q$i%02d", Some(Base), Base))
+    val requests = new ConcurrentLinkedQueue[String]()
+    val server = PaginationFuzz.serve(docs, cap = 4, requests, pitMode = false)
+    try {
+      val got = PaginationFuzz.drain(server, 4, 0L, Base + 1000L)
+      assert(got.toSet === docs.map(_.id).toSet)
+      import scala.jdk.CollectionConverters._
+      assert(requests.asScala.exists(_.contains("search_after")),
+        "the fallback drain must still complete the tie")
+      assert(!requests.asScala.exists(_.contains("_shard_doc")),
+        "no PIT ⇒ no _shard_doc requests")
+    } finally server.stop(0)
+  }
+
   test("an untimed tail (malformed _source.time) stops the loop cleanly after its page") {
     // newest-first: 3 timed docs, then an untimed one, then 2 older timed
     // docs the loop can no longer reach (it cannot advance `stop` past a

@@ -51,6 +51,14 @@ class EsPagingEdgeSpec extends SparkTestBase {
         case e: Throwable => System.err.println(s"STUB HANDLER THREW: $e"); throw e
       }
       private def handle0(ex: HttpExchange): Unit = {
+        if (ex.getRequestURI.getPath.endsWith("/_pit")) {
+          // no point-in-time support here: the drain must fall back to
+          // the `_id` grammar (404 is the clean probe answer)
+          ex.getRequestBody.readAllBytes()
+          ex.sendResponseHeaders(404, -1)
+          ex.close()
+          return
+        }
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         requests.add(body)
         val req = mapper.readTree(body)
