@@ -105,8 +105,28 @@ object ChSignalStub {
     }
   }
 
-  /** Start the stub; returns the server. The caller stops it. */
-  def start(): HttpServer = {
+  /** Start the stub; returns the server. The caller stops it.
+    *
+    * @param server the listening server to attach to — the default plain
+    *        loopback, or a caller-built `HttpsServer` (TLS/mTLS gate
+    *        entries run the SAME grammar over a real handshake).
+    * @param gzip when true the stub ENFORCES the compressed wire posture
+    *        end-to-end, like a bandwidth-billed production cluster would
+    *        reward: INSERT bodies must arrive `Content-Encoding: gzip`
+    *        (identity bodies 400), every request must offer
+    *        `Accept-Encoding: gzip`, SELECTs must carry
+    *        `enable_http_compression=1`, and every response body —
+    *        including the streamed row SELECTs — is served gzipped. A
+    *        client whose compression stack is broken in either direction
+    *        cannot pass a single statement.
+    * @param auth when set, every request must carry `Authorization:
+    *        Basic` for exactly these (user, password) credentials — 401
+    *        otherwise, like a real CH with users configured (the
+    *        reference authenticates every connection,
+    *        clickhouse.go:40-43).
+    */
+  def start(server: HttpServer = LiveQueries.loopbackServer(1024),
+      gzip: Boolean = false, auth: Option[(String, String)] = None): HttpServer = {
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[SRow]()
     val created = new java.util.concurrent.atomic.AtomicBoolean(false)
     // insert_deduplication_token semantics (a real CH's insert-block
@@ -125,20 +145,56 @@ object ChSignalStub {
       "SELECT (.+) FROM `signal`(?: WHERE (.+?))?(?: GROUP BY (.+?))?" +
         "(?: ORDER BY `timestamp`( DESC| ASC)?)?(?: LIMIT (\\d+))? " +
         "FORMAT TabSeparated\\s*", java.util.regex.Pattern.DOTALL)
-    val server = LiveQueries.loopbackServer(1024)
+    def acceptsGzip(ex: HttpExchange): Boolean =
+      Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+        .exists(_.toLowerCase.contains("gzip"))
     def respond(ex: HttpExchange, code: Int, body: String): Unit = {
-      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      val plain = body.getBytes(StandardCharsets.UTF_8)
+      val bytes =
+        if (gzip && code == 200 && acceptsGzip(ex) && plain.nonEmpty) {
+          ex.getResponseHeaders.set("Content-Encoding", "gzip")
+          graft.sources.LiveHttp.gzipBytes(plain)
+        } else plain
       ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
       if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
       ex.close()
     }
+    val expectedAuth = auth.map { case (u, pw) =>
+      "Basic " + java.util.Base64.getEncoder.encodeToString(
+        s"$u:$pw".getBytes(StandardCharsets.UTF_8))
+    }
     server.createContext("/", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
-        val q = Option(ex.getRequestURI.getRawQuery).flatMap(_.split("&").collectFirst {
+        expectedAuth.foreach { want =>
+          if (!Option(ex.getRequestHeaders.getFirst("Authorization")).contains(want)) {
+            ex.getRequestBody.readAllBytes()
+            respond(ex, 401, "Code: 516. DB::Exception: Authentication failed"); return
+          }
+        }
+        val rawQuery = Option(ex.getRequestURI.getRawQuery)
+        val q = rawQuery.flatMap(_.split("&").collectFirst {
           case kv if kv.startsWith("query=") =>
             java.net.URLDecoder.decode(kv.substring(6), "UTF-8")
         }).getOrElse("")
-        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val rawBody = ex.getRequestBody.readAllBytes()
+        val bodyGzipped = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+          .exists(_.equalsIgnoreCase("gzip"))
+        val body = new String(
+          if (bodyGzipped) graft.sources.LiveHttp.gunzip(rawBody) else rawBody,
+          StandardCharsets.UTF_8)
+        // compressed-posture enforcement: a gzip stub REJECTS any request
+        // whose wire posture regressed to identity — the gate entry fails
+        // before any oracle compare can accidentally match
+        if (gzip && !acceptsGzip(ex)) {
+          respond(ex, 400, "stub requires Accept-Encoding: gzip"); return
+        }
+        if (gzip && q.startsWith("INSERT") && !bodyGzipped) {
+          respond(ex, 400, "stub requires gzip INSERT bodies"); return
+        }
+        if (gzip && body.startsWith("SELECT ") &&
+          !rawQuery.exists(_.contains("enable_http_compression=1"))) {
+          respond(ex, 400, "stub requires enable_http_compression=1 on SELECTs"); return
+        }
         if (q.startsWith("INSERT INTO `signal`")) {
           if (!created.get()) { respond(ex, 400, "Table signal does not exist"); return }
           val token = Option(ex.getRequestURI.getRawQuery).flatMap(_.split("&").collectFirst {
@@ -205,12 +261,18 @@ object ChSignalStub {
                 items.map(it => item(it, Seq(r), Some(r)).get).mkString("\t")
               }
               val capped = limit.map(sel.take).getOrElse(sel)
+              val compress = gzip && acceptsGzip(ex)
+              if (compress) ex.getResponseHeaders.set("Content-Encoding", "gzip")
               ex.sendResponseHeaders(200, 0) // chunked
-              val os = new java.io.BufferedOutputStream(ex.getResponseBody, 1 << 16)
+              // gzip mode streams through a GZIPOutputStream — compressed
+              // responses stay incremental on the wire, like a real CH
+              val os: java.io.OutputStream =
+                if (compress) new java.util.zip.GZIPOutputStream(ex.getResponseBody, 1 << 13)
+                else new java.io.BufferedOutputStream(ex.getResponseBody, 1 << 16)
               capped.foreach { line =>
                 os.write(line.getBytes(StandardCharsets.UTF_8)); os.write('\n')
               }
-              os.flush()
+              os.close()
               ex.close()
           }
         } else respond(ex, 400, s"unsupported statement: $q$body")

@@ -62,7 +62,9 @@ object LiveQueries {
       served: java.util.concurrent.atomic.AtomicLong =
         new java.util.concurrent.atomic.AtomicLong,
       sizeCap: Int = Int.MaxValue,
-      pitMode: Boolean = false): HttpServer = {
+      pitMode: Boolean = false,
+      sliceSeen: java.util.concurrent.ConcurrentLinkedQueue[Int] =
+        new java.util.concurrent.ConcurrentLinkedQueue[Int]()): HttpServer = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val pitSeq = new java.util.concurrent.atomic.AtomicLong()
     val server = loopbackServer(1024)
@@ -192,15 +194,27 @@ object LiveQueries {
         }
         if (pitReq) {
           // the _shard_doc drain: stable corpus position as the sort
-          // value, cursor-exclusive; all pushed clauses still apply
+          // value, cursor-exclusive; all pushed clauses still apply.
+          // `slice: {id, max}` (the parallel-scan form) partitions docs
+          // into disjoint subsets the way a real ES does server-side —
+          // opaque to the client, modeled here as a hash of the doc id
           val after = Option(req.get("search_after")).filter(_.isArray)
             .map(_.get(0).asLong())
+          val sliceNode = req.path("slice")
+          val inSlice: StubDoc => Boolean =
+            if (sliceNode.isObject) {
+              val sid = sliceNode.path("id").asInt(0)
+              val smax = math.max(1, sliceNode.path("max").asInt(1))
+              sliceSeen.add(sid)
+              d => math.floorMod(d.id.hashCode, smax) == sid
+            } else _ => true
           val picked = docs.iterator.zipWithIndex
             .filter { case (d, i) =>
               subject.forall(_ == d.subject) &&
                 subjectSet.forall(_.contains(d.subject)) &&
                 gteMs.forall(d.timeUs / 1000 >= _) && ltMs.forall(d.timeUs / 1000 < _) &&
                 (!signalMode || d.signalJson.isDefined) &&
+                inSlice(d) &&
                 after.forall(i > _)
             }.take(size).toSeq
           served.addAndGet(picked.size.toLong)
@@ -1303,6 +1317,255 @@ object LiveQueries {
       },
       Some("""SELECT (1704000000000000 +
                       ((CAST(round(value*100) AS BIGINT) % 3 + 3) % 3) * 60000000)::BIGINT AS tie_us,
+               count(*)::BIGINT AS n_docs,
+               sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents
+             FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             GROUP BY 1"""),
+    ),
+
+    // ── LIVE wire tier over MUTUAL TLS (r14): the whole DSv2 CH
+    //    write/read path through a REAL handshake — keytool-generated
+    //    private CA ([[TlsStub]]), `HttpsServer` demanding a client
+    //    certificate, the same grammar-strict [[ChSignalStub]] on top.
+    //    The `tlsTruststore`/`tlsKeystore` options (threaded
+    //    driver→executor as [[graft.sources.LiveWire]]) are the managed-
+    //    cluster deployment posture the reference's TLS floor implies
+    //    (clickhouse.go:41-47 [ext]). The entry RAISES unless BOTH
+    //    negative handshakes fail first: default trust must reject the
+    //    private CA (MITM posture), and a trust-only client must be
+    //    rejected by the server (mTLS is mutual) — only then does the
+    //    configured client write and read the oracle's rows.
+    QueryDef(
+      "q228_live_tls",
+      (s, d) => {
+        import graft.sources.{ClickHouseDdl, ClickHouseHttpClient}
+        import org.apache.spark.sql.types._
+        val signals = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id").cast(LongType).as("token_id"),
+            col("ts").cast(TimestampType).as("timestamp"),
+            col("event_type").cast(StringType).as("name"),
+            round(col("value") * 100).cast(DoubleType).as("value_number"),
+            col("event_id").cast(StringType).as("value_string"))
+          .repartition(8) // the distributed fan-out, every task handshaking
+        val m = TlsStub.shared
+        val server = ChSignalStub.start(TlsStub.httpsServer(m, needClientAuth = true))
+        try {
+          val base = s"https://127.0.0.1:${server.getAddress.getPort}"
+          // negative pins BEFORE any data moves: a silently-succeeding
+          // untrusted or certificate-less client would be the bug
+          val defaultTrust = new ClickHouseHttpClient(base, timeoutMs = 3000)
+          val rejectedByClient =
+            try { defaultTrust.execute("SELECT 1"); false }
+            catch { case _: java.io.IOException => true }
+          require(rejectedByClient, "default trust accepted a private-CA endpoint")
+          val trustOnly = new ClickHouseHttpClient(base, timeoutMs = 3000,
+            wire = TlsStub.clientWire(m, mtls = false))
+          val rejectedByServer =
+            try { trustOnly.execute("SELECT 1"); false }
+            catch { case _: java.io.IOException => true }
+          require(rejectedByServer, "server accepted a client without a certificate")
+          val wire = TlsStub.clientWire(m, mtls = true)
+          new ClickHouseHttpClient(base, wire = wire)
+            .execute(ClickHouseDdl.signalTableDdl(graft.sources.SignalLiveSource.Schema))
+          signals.write.format("graft-signal-live")
+            .option("url", base)
+            .option("tlsTruststore", m.truststore)
+            .option("tlsTruststorePassword", m.password)
+            .option("tlsKeystore", m.clientKeystore)
+            .option("tlsKeystorePassword", m.password)
+            .mode("append").save()
+          s.read.format("graft-signal-live")
+            .option("url", base)
+            .option("tlsTruststore", m.truststore)
+            .option("tlsTruststorePassword", m.password)
+            .option("tlsKeystore", m.clientKeystore)
+            .option("tlsKeystorePassword", m.password)
+            .load()
+            .groupBy(col("token_id"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("value_number")).cast(LongType).as("cents"),
+              expr("min(unix_micros(timestamp))").as("oldest_us"))
+            .localCheckpoint(true) // materialize THROUGH the mTLS wire stack
+        } finally server.stop(0)
+      },
+      Some("""SELECT CAST(user_id AS BIGINT) AS token_id,
+               count(*)::BIGINT AS n_rows,
+               sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents,
+               CAST(min(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS oldest_us
+             FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             GROUP BY 1"""),
+    ),
+
+    // ── LIVE wire tier COMPRESSED end-to-end (r14): the DSv2 CH
+    //    write/read path under `compression=gzip` against a stub that
+    //    REJECTS any identity posture — INSERT bodies must arrive
+    //    `Content-Encoding: gzip`, SELECTs must carry
+    //    `enable_http_compression=1`, every response (including the
+    //    STREAMED row scans, inflated incrementally) is served gzipped.
+    //    At 100 TB the insert/scan fan-out's wire bytes are the egress
+    //    bill; CSV/TSV compress 5-10×, and the dedup token still hashes
+    //    the UNCOMPRESSED bytes (content identity, not encoding). The
+    //    entry RAISES first if an identity client can pass the stub —
+    //    the enforcement is what makes the oracle compare meaningful.
+    QueryDef(
+      "q229_live_gzip",
+      (s, d) => {
+        import graft.sources.{ClickHouseDdl, ClickHouseHttpClient, LiveWire}
+        import org.apache.spark.sql.types._
+        val signals = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id").cast(LongType).as("token_id"),
+            col("ts").cast(TimestampType).as("timestamp"),
+            col("event_type").cast(StringType).as("name"),
+            round(col("value") * 100).cast(DoubleType).as("value_number"),
+            col("event_id").cast(StringType).as("value_string"))
+          .repartition(8)
+        val server = ChSignalStub.start(gzip = true)
+        try {
+          val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+          val gz = LiveWire(gzip = true)
+          new ClickHouseHttpClient(base, wire = gz)
+            .execute(ClickHouseDdl.signalTableDdl(graft.sources.SignalLiveSource.Schema))
+          // negative pin: an identity-posture statement cannot pass
+          val identity = new ClickHouseHttpClient(base)
+          val rejected =
+            try { identity.query("SELECT count() FROM `signal`"); false }
+            catch { case e: graft.sources.ChHttpStatusException =>
+              e.getMessage.contains("enable_http_compression") }
+          require(rejected, "identity client passed the gzip-enforcing stub")
+          signals.write.format("graft-signal-live")
+            .option("url", base).option("compression", "gzip")
+            .mode("append").save()
+          s.read.format("graft-signal-live")
+            .option("url", base).option("compression", "gzip")
+            .load()
+            .groupBy(col("token_id"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("value_number")).cast(LongType).as("cents"),
+              expr("max(unix_micros(timestamp))").as("newest_us"))
+            .localCheckpoint(true) // materialize THROUGH the compressed wire stack
+        } finally server.stop(0)
+      },
+      Some("""SELECT CAST(user_id AS BIGINT) AS token_id,
+               count(*)::BIGINT AS n_rows,
+               sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents,
+               CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS newest_us
+             FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             GROUP BY 1"""),
+    ),
+
+    // ── LIVE wire tier AUTHENTICATED (r14): the reference authenticates
+    //    both connections (elastic.go:29-30, clickhouse.go:40-43 [ext]);
+    //    here the `username`/`password` options ride [[graft.sources
+    //    .LiveWire]] into every executor-side request as standard basic
+    //    auth. The stub enforces credentials on EVERY request (401
+    //    otherwise, a real CH's users.xml posture) and the entry RAISES
+    //    first unless an anonymous client is refused with the typed 401 —
+    //    then the whole DSv2 write/read round runs authenticated
+    //    (envelope probe, DDL, per-partition inserts, streamed scans).
+    QueryDef(
+      "q230_live_auth",
+      (s, d) => {
+        import graft.sources.{ChHttpStatusException, ClickHouseDdl, ClickHouseHttpClient, LiveWire}
+        import org.apache.spark.sql.types._
+        val signals = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id").cast(LongType).as("token_id"),
+            col("ts").cast(TimestampType).as("timestamp"),
+            col("event_type").cast(StringType).as("name"),
+            round(col("value") * 100).cast(DoubleType).as("value_number"),
+            col("event_id").cast(StringType).as("value_string"))
+          .repartition(8)
+        val (user, pass) = ("sync_user", "gate-s3cret")
+        val server = ChSignalStub.start(auth = Some((user, pass)))
+        try {
+          val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+          val wire = LiveWire(username = Some(user), password = Some(pass))
+          new ClickHouseHttpClient(base, wire = wire)
+            .execute(ClickHouseDdl.signalTableDdl(graft.sources.SignalLiveSource.Schema))
+          // negative pin: anonymity must be refused, typed
+          val refused =
+            try { new ClickHouseHttpClient(base).query("SELECT count() FROM `signal`"); false }
+            catch { case e: ChHttpStatusException => e.statusCode == 401 }
+          require(refused, "anonymous client passed the authenticated stub")
+          signals.write.format("graft-signal-live")
+            .option("url", base).option("username", user).option("password", pass)
+            .mode("append").save()
+          s.read.format("graft-signal-live")
+            .option("url", base).option("username", user).option("password", pass)
+            .load()
+            .groupBy(col("name"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("value_number")).cast(LongType).as("cents"),
+              countDistinct(col("token_id")).as("n_tokens"))
+            .localCheckpoint(true) // materialize THROUGH the authenticated wire stack
+        } finally server.stop(0)
+      },
+      Some("""SELECT event_type AS name,
+               count(*)::BIGINT AS n_rows,
+               sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents,
+               count(DISTINCT user_id)::BIGINT AS n_tokens
+             FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             GROUP BY 1"""),
+    ),
+
+    // ── PARALLEL whole-window live ES scan (r14): an unfiltered
+    //    full-index read used to be ONE sequential page loop (the
+    //    reference's loops are per-token; it has no full-index scan at
+    //    all). `slices=8` plans 8 tasks, each draining its own
+    //    server-side slice of a point-in-time (`slice:{id,max}` +
+    //    `sort:_shard_doc` + `search_after` — the protocol a real ES 8
+    //    serves natively), so a 100 TB index drain scales with the
+    //    cluster. Exactly-once is two guarantees composed: the server's
+    //    slice disjointness across tasks, each cursor's strict advance
+    //    within one. The entry RAISES unless all 8 slices were actually
+    //    requested AND the wire served each document exactly once —
+    //    then the DuckDB compare catches any loss/duplication in the
+    //    decode path.
+    QueryDef(
+      "q231_live_es_sliced",
+      (s, d) => {
+        val evs = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id").cast("string").as("subject"),
+            expr("unix_micros(ts)").as("tsu"),
+            round(col("value") * 100).cast(LongType).as("cents"))
+          .collect() // seeds the TEST DOUBLE; the measured read is below
+        val docs: IndexedSeq[StubDoc] =
+          evs.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+            val (subj, tsu, cents) = (r.getString(0), r.getLong(1), r.getLong(2))
+            val iso = java.time.Instant.ofEpochSecond(tsu / 1000000L, (tsu % 1000000L) * 1000L)
+            StubDoc(s"sl$i", subj, tsu,
+              s"""{"id":"sl$i","subject":"$subj","source":"dimo/integration/live",""" +
+                s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v2.0",""" +
+                s""""type":"com.dimo.device.status","data":{"cents":$cents}}""")
+          }
+        val served = new java.util.concurrent.atomic.AtomicLong
+        val sliceSeen = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+        val server = startStub(docs, pitMode = true, served = served,
+          sliceSeen = sliceSeen)
+        try {
+          val live = s.read.format("graft-status-live")
+            .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+            .option("batchSize", "500").option("slices", "8").load()
+          require(live.rdd.getNumPartitions == 8, "sliced scan must plan 8 tasks")
+          val out = live
+            .select(col("subject"),
+              get_json_object(col("data"), "$.cents").cast("long").as("cents"))
+            .groupBy(col("subject"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("cents")).as("cents"))
+            .localCheckpoint(true) // materialize THROUGH the sliced wire stack
+          import scala.jdk.CollectionConverters._
+          require(sliceSeen.asScala.toSet == (0 until 8).toSet,
+            s"expected all 8 slices requested, saw ${sliceSeen.asScala.toSet}")
+          require(served.get() == docs.length.toLong,
+            s"wire served ${served.get()} docs for a ${docs.length}-doc corpus " +
+              "(slice overlap or loss)")
+          out
+        } finally server.stop(0)
+      },
+      Some("""SELECT CAST(user_id AS VARCHAR) AS subject,
                count(*)::BIGINT AS n_docs,
                sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents
              FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL

@@ -45,25 +45,38 @@ private[graft] final class ChHttpStatusException(val statusCode: Int, body: Stri
   * socket. HTTPS endpoints get the TLS ≥ 1.2 floor via [[LiveHttp]] —
   * the reference's own connection posture (clickhouse.go:41-47 [ext]).
   */
-private[graft] final class ClickHouseHttpClient(baseUrl: String, timeoutMs: Long = 30000) {
+private[graft] final class ClickHouseHttpClient(baseUrl: String, timeoutMs: Long = 30000,
+    wire: LiveWire = LiveWire.default) {
 
-  @transient private lazy val http = LiveHttp.newClient(timeoutMs)
+  @transient private lazy val http = LiveHttp.newClient(timeoutMs, wire)
 
   private def request(queryParam: Option[String], body: Array[Byte],
-      extraParams: String = ""): HttpRequest = {
+      extraParams: String = "", bodyGzipped: Boolean = false): HttpRequest = {
+    // response compression is opt-in per CH's contract: the server gzips
+    // only under enable_http_compression=1 AND Accept-Encoding — sniffed
+    // transparently on the way back (LiveHttp.bodyString/lineStream)
+    val compressParam = if (wire.gzip) "&enable_http_compression=1" else ""
     val uri = queryParam match {
-      case Some(q) => s"$baseUrl/?query=${java.net.URLEncoder.encode(q, "UTF-8")}$extraParams"
+      case Some(q) =>
+        s"$baseUrl/?query=${java.net.URLEncoder.encode(q, "UTF-8")}$extraParams$compressParam"
+      case None if wire.gzip => s"$baseUrl/?enable_http_compression=1"
       case None => s"$baseUrl/"
     }
-    HttpRequest.newBuilder(URI.create(uri))
+    val b = HttpRequest.newBuilder(URI.create(uri))
       .timeout(Duration.ofMillis(timeoutMs))
+      .header("Accept-Encoding", "gzip")
       .POST(HttpRequest.BodyPublishers.ofByteArray(body))
-      .build()
+    if (bodyGzipped) b.header("Content-Encoding", "gzip")
+    // the reference's Auth{Username, Password} (clickhouse.go:40-43 [ext])
+    // over the HTTP interface's standard basic-auth form
+    wire.basicAuth.foreach(b.header("Authorization", _))
+    b.build()
   }
 
   private def post(queryParam: Option[String], body: Array[Byte],
-      retryTransport: Boolean = false, extraParams: String = ""): String = {
-    val req = request(queryParam, body, extraParams)
+      retryTransport: Boolean = false, extraParams: String = "",
+      bodyGzipped: Boolean = false): String = {
+    val req = request(queryParam, body, extraParams, bodyGzipped)
     // transport retry for IDEMPOTENT statements only (SELECTs and tokened
     // inserts): a dropped connection around an untokened INSERT must
     // surface — blind re-send would duplicate rows (CH INSERTs are visible
@@ -73,10 +86,10 @@ private[graft] final class ClickHouseHttpClient(baseUrl: String, timeoutMs: Long
     var attempt = 0
     while (true) {
       try {
-        val res = http.send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+        val res = http.send(req, HttpResponse.BodyHandlers.ofByteArray())
         if (res.statusCode() != 200)
-          throw new ChHttpStatusException(res.statusCode(), res.body())
-        return res.body()
+          throw new ChHttpStatusException(res.statusCode(), LiveHttp.bodyString(res))
+        return LiveHttp.bodyString(res)
       } catch {
         case e: ChHttpStatusException => throw e
         case _: java.io.IOException if retryTransport && attempt < 4 =>
@@ -104,10 +117,16 @@ private[graft] final class ClickHouseHttpClient(baseUrl: String, timeoutMs: Long
     val cols = columns.map(c => s"`$c`").mkString(", ")
     val tok = dedupToken.map(t =>
       s"&insert_deduplication_token=${java.net.URLEncoder.encode(t, "UTF-8")}").getOrElse("")
+    // under compression=gzip the CSV body ships gzipped (Content-Encoding:
+    // gzip — CH's HTTP interface inflates natively): the insert fan-out's
+    // wire bytes shrink 5-10×, and the dedup token still hashes the
+    // UNCOMPRESSED bytes (the content's identity, not its encoding)
+    val body = if (wire.gzip) LiveHttp.gzipBytes(csvBody) else csvBody
     // a TOKENED insert is idempotent (the server dedups the re-sent
     // block), so transport errors may retry; an untokened one must not
-    post(Some(s"INSERT INTO `$table` ($cols) FORMAT CSV"), csvBody,
-      retryTransport = dedupToken.isDefined, extraParams = tok)
+    post(Some(s"INSERT INTO `$table` ($cols) FORMAT CSV"), body,
+      retryTransport = dedupToken.isDefined, extraParams = tok,
+      bodyGzipped = wire.gzip)
     ()
   }
 
@@ -134,22 +153,24 @@ private[graft] final class ClickHouseHttpClient(baseUrl: String, timeoutMs: Long
     */
   def queryStream(sql: String): Iterator[Array[String]] with AutoCloseable = {
     val req = request(None, s"$sql FORMAT TabSeparated".getBytes(StandardCharsets.UTF_8))
-    var res: HttpResponse[java.util.stream.Stream[String]] = null
+    var reader: java.io.BufferedReader = null
     var attempt = 0
-    while (res == null) {
+    while (reader == null) {
       try {
-        val r = http.send(req, HttpResponse.BodyHandlers.ofLines())
+        val r = http.send(req, HttpResponse.BodyHandlers.ofInputStream())
         if (r.statusCode() != 200) {
-          // error bodies are small: drain them for the message
-          val body = {
-            val sb = new java.lang.StringBuilder
-            try r.body().forEach(l => { sb.append(l); sb.append('\n') })
-            finally r.body().close()
-            sb.toString.trim
-          }
+          // error bodies are small: drain them for the message (decoding
+          // a gzipped error like any other body)
+          val body = try {
+            val bytes = r.body().readAllBytes()
+            new String(if (LiveHttp.isGzipResponse(r)) LiveHttp.gunzip(bytes) else bytes,
+              StandardCharsets.UTF_8).trim
+          } finally r.body().close()
           throw new ChHttpStatusException(r.statusCode(), body)
         }
-        res = r
+        // gunzip INCREMENTALLY when the server compressed (inflate as
+        // bytes arrive — a compressed response stream stays a stream)
+        reader = LiveHttp.lineStream(r)
       } catch {
         case e: ChHttpStatusException => throw e
         case _: java.io.IOException if attempt < 4 =>
@@ -157,23 +178,21 @@ private[graft] final class ClickHouseHttpClient(baseUrl: String, timeoutMs: Long
           Thread.sleep(25L << attempt)
       }
     }
-    val stream = res.body()
-    val lines = stream.iterator()
+    val in = reader
     new scala.collection.AbstractIterator[Array[String]] with AutoCloseable {
       // LAZY advance: a row is handed out as soon as IT arrives — never
       // held hostage to the next row's bytes (prefetching in next() would
-      // block each row on its successor)
+      // block each row on its successor). BufferedReader.readLine returns
+      // as soon as the line's own bytes are in.
       private var nextLine: String = null
       private var finished = false
       private def advance(): Unit =
         while (nextLine == null && !finished) {
-          if (lines.hasNext) {
-            val l = lines.next()
-            if (l.nonEmpty) nextLine = l
-          } else {
+          val l = in.readLine()
+          if (l == null) {
             finished = true
-            stream.close() // exhausted: release the connection eagerly
-          }
+            in.close() // exhausted: release the connection eagerly
+          } else if (l.nonEmpty) nextLine = l
         }
       override def hasNext: Boolean = { advance(); nextLine != null }
       override def next(): Array[String] = {
@@ -183,7 +202,7 @@ private[graft] final class ClickHouseHttpClient(baseUrl: String, timeoutMs: Long
         nextLine = null
         l.split("\t", -1)
       }
-      override def close(): Unit = stream.close()
+      override def close(): Unit = in.close()
     }
   }
 
@@ -216,12 +235,12 @@ private[graft] final class ClickHouseHttpClient(baseUrl: String, timeoutMs: Long
     */
   def insertSignals(df: DataFrame, table: String, runTag: Option[String] = None): Unit = {
     val columns = df.schema.fieldNames.toSeq
-    val url = baseUrl; val tmo = timeoutMs
+    val url = baseUrl; val tmo = timeoutMs; val w = wire
     val tag = runTag.getOrElse(java.util.UUID.randomUUID().toString.substring(0, 13))
     df.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
       if (it.hasNext) {
         val sb = new java.lang.StringBuilder(1 << 16)
-        val client = new ClickHouseHttpClient(url, tmo)
+        val client = new ClickHouseHttpClient(url, tmo, w)
         val pid = org.apache.spark.TaskContext.getPartitionId()
         var batchOrdinal = 0
         var n = 0

@@ -32,9 +32,10 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * reference's ClickHouse connection enforces the same floor,
   * clickhouse.go:41-47 [ext]).
   */
-private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000) {
+private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000,
+    wire: LiveWire = LiveWire.default) {
 
-  private val http = LiveHttp.newClient(timeoutMs)
+  private val http = LiveHttp.newClient(timeoutMs, wire)
   private val mapper = new ObjectMapper()
 
   /** IOException messages can be null (socket resets commonly are) — a
@@ -85,10 +86,10 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     * retried here (the semantic layer above decides, e.g. the
     * Data-too-large halving).
     */
-  private def sendWithRetry(req: HttpRequest): HttpResponse[String] = {
+  private def sendWithRetry(req: HttpRequest): HttpResponse[Array[Byte]] = {
     var attempt = 0
     while (true) {
-      try return http.send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+      try return http.send(req, HttpResponse.BodyHandlers.ofByteArray())
       catch {
         case e: java.io.IOException =>
           if (attempt >= 4) throw e
@@ -113,16 +114,21 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
   private def pitSearchTree(body: String): JsonNode = searchAt(s"$baseUrl/_search", body)
 
   private def searchAt(uri: String, body: String): JsonNode = {
-    val req = HttpRequest.newBuilder(URI.create(uri))
+    // gzip is always offered (pure wire-bytes win when the server's
+    // http.compression is on) and the response sniffed either way
+    val b = HttpRequest.newBuilder(URI.create(uri))
       .timeout(Duration.ofMillis(timeoutMs))
       .header("Content-Type", "application/json")
+      .header("Accept-Encoding", "gzip")
       .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
-      .build()
-    val res = sendWithRetry(req)
+    // the reference's client credentials (elastic.go:29-30 [ext])
+    wire.basicAuth.foreach(b.header("Authorization", _))
+    val res = sendWithRetry(b.build())
     if (res.statusCode() != 200)
       throw new java.io.IOException(
-        s"failure status code ${res.statusCode()} from Elastic with body: ${res.body()}")
-    val root = mapper.readTree(res.body())
+        s"failure status code ${res.statusCode()} from Elastic with body: " +
+          LiveHttp.bodyString(res))
+    val root = mapper.readTree(LiveHttp.bodyString(res))
     val err = root.get("error")
     if (err != null && !err.isNull)
       throw new java.io.IOException(
@@ -139,14 +145,15 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     */
   def openPit(index: String): Option[String] =
     try {
-      val req = HttpRequest.newBuilder(URI.create(s"$baseUrl/$index/_pit?keep_alive=1m"))
+      val b = HttpRequest.newBuilder(URI.create(s"$baseUrl/$index/_pit?keep_alive=1m"))
         .timeout(Duration.ofMillis(timeoutMs))
+        .header("Accept-Encoding", "gzip")
         .POST(HttpRequest.BodyPublishers.noBody())
-        .build()
-      val res = http.send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+      wire.basicAuth.foreach(b.header("Authorization", _))
+      val res = http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
       if (res.statusCode() != 200) None
       else {
-        val id = mapper.readTree(res.body()).path("id")
+        val id = mapper.readTree(LiveHttp.bodyString(res)).path("id")
         if (id.isTextual) Some(id.asText()) else None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -158,13 +165,13 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     try {
       val body = mapper.createObjectNode()
       body.put("id", id)
-      val req = HttpRequest.newBuilder(URI.create(s"$baseUrl/_pit"))
+      val b = HttpRequest.newBuilder(URI.create(s"$baseUrl/_pit"))
         .timeout(Duration.ofMillis(timeoutMs))
         .header("Content-Type", "application/json")
         .method("DELETE", HttpRequest.BodyPublishers.ofString(
           mapper.writeValueAsString(body), StandardCharsets.UTF_8))
-        .build()
-      http.send(req, HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
+      wire.basicAuth.foreach(b.header("Authorization", _))
+      http.send(b.build(), HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
       ()
     } catch { case scala.util.control.NonFatal(_) => () }
 
@@ -259,13 +266,14 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     * back to its conservative default.
     */
   def indexStats(index: String): Option[(Long, Long)] = {
-    val req = HttpRequest.newBuilder(URI.create(s"$baseUrl/$index/_stats/docs,store"))
+    val b = HttpRequest.newBuilder(URI.create(s"$baseUrl/$index/_stats/docs,store"))
       .timeout(Duration.ofMillis(timeoutMs))
+      .header("Accept-Encoding", "gzip")
       .GET()
-      .build()
-    val res = sendWithRetry(req)
+    wire.basicAuth.foreach(b.header("Authorization", _))
+    val res = sendWithRetry(b.build())
     if (res.statusCode() != 200) return None
-    val prim = mapper.readTree(res.body()).path("_all").path("primaries")
+    val prim = mapper.readTree(LiveHttp.bodyString(res)).path("_all").path("primaries")
     val docs = prim.path("docs").path("count")
     val bytes = prim.path("store").path("size_in_bytes")
     if (docs.isNumber && bytes.isNumber && docs.asLong() > 0L)
@@ -578,6 +586,80 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     }
     override def close(): Unit = endPit() // abandoned mid-drain: release the PIT
   }
+
+  /** One SLICE of a parallel whole-window scan — the scale path for an
+    * unfiltered (subject-less) live read, which the backward-paging loop
+    * serves as ONE sequential task (the reference has no such scan at
+    * all: its loops are per-token, sync.go:60-84 [ext]). ES's sliced
+    * search partitions a point-in-time's documents into `sliceMax`
+    * DISJOINT subsets server-side (`slice: {id, max}` +
+    * `sort: _shard_doc` + `search_after` — the protocol a production
+    * ES 8 serves natively); N Spark partitions each drain their own
+    * slice concurrently, so a full-index drain scales with the cluster
+    * instead of one page loop.
+    *
+    * Returns None when the server has no PIT support (the probe is one
+    * cheap POST): slicing NEEDS the snapshot (slices are defined against
+    * a fixed point-in-time), so the caller degrades to the sequential
+    * loop rather than risking a torn parallel read. Exactly-once within
+    * a slice is the cursor's (strictly advancing `_shard_doc` order);
+    * across slices it is the server's disjointness guarantee.
+    *
+    * Page-size rejections halve like everywhere else (`isPageTooLarge`);
+    * the cursor — not the page size — guarantees progress, so halving
+    * may go to 1. Exhaustion compares the RAW hit count (a
+    * `_source`-less hit must not end the slice early). The PIT is
+    * released at slice end and on abandoned readers (close()).
+    */
+  def slicedDocs(index: String, batchSize: Int, startMs: Long, stopMs: Long,
+      sliceId: Int, sliceMax: Int, requiredFields: Seq[String],
+      envelopeIncludes: Seq[String] = Seq.empty): Option[DocSource with WireCounters] =
+    openPit(index).map { id =>
+      new DocSource with WireCounters {
+        import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual, LessThan}
+        override def skipped: Long = 0
+        private var pit: Option[String] = Some(id)
+        private var after: Option[JsonNode] = None
+        private var size = batchSize
+        private var page: Iterator[JsonNode] = Iterator.empty
+        private var done = false
+        private var pages = 0L
+        private var docsShipped = 0L
+        override def pagesFetched: Long = pages
+        override def docsFetched: Long = docsShipped
+        private val filters: Seq[Filter] = Seq(
+          GreaterThanOrEqual("time", startMs), LessThan("time", stopMs))
+
+        private def endPit(): Unit = { pit.foreach(closePit); pit = None }
+
+        private def fetchPage(): Unit = pit match {
+          case None => done = true
+          case Some(pid) =>
+            try {
+              val (raw, _, lastSort, got) = rawPageOf(pitSearchTree(
+                EsQueryDsl.pitSearchAfterRequest(filters, requiredFields, size, pid,
+                  after, envelopeIncludes, slice = Some((sliceId, sliceMax)))))
+              pages += 1
+              docsShipped += raw
+              after = lastSort
+              // raw count decides exhaustion; a sort-less tail (a server
+              // that stopped returning cursors) must also end the slice
+              // rather than loop on a pinned cursor
+              if (raw < size || lastSort.isEmpty) { done = true; endPit() }
+              page = got.iterator.map(_._3)
+            } catch {
+              case e: java.io.IOException if size > 1 && isPageTooLarge(e) =>
+                size = math.max(1, size / 2)
+            }
+        }
+
+        override def next(): JsonNode = {
+          while (!page.hasNext && !done) fetchPage()
+          if (page.hasNext) page.next() else null
+        }
+        override def close(): Unit = endPit() // abandoned slice: release the PIT
+      }
+    }
 }
 
 private[graft] object EsHttpClient {

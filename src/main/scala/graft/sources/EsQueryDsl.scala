@@ -155,13 +155,24 @@ object EsQueryDsl {
     */
   def pitSearchAfterRequest(filters: Seq[Filter], requiredFields: Seq[String], size: Int,
       pitId: String, after: Option[com.fasterxml.jackson.databind.JsonNode],
-      envelopeIncludes: Seq[String] = Seq.empty): String = {
+      envelopeIncludes: Seq[String] = Seq.empty,
+      slice: Option[(Int, Int)] = None): String = {
     val root = queryBody(filters, requiredFields, envelopeIncludes)
     root.put("size", size)
     val pit = root.putObject("pit")
     pit.put("id", pitId)
     pit.put("keep_alive", "1m")
     root.putArray("sort").addObject().put("_shard_doc", "asc")
+    // sliced search (the parallel-scan form): `slice: {id, max}` makes the
+    // server partition the PIT's documents into `max` DISJOINT subsets —
+    // each Spark partition drains its own subset concurrently, the
+    // server's guarantee (not the client's) being that every document
+    // lands in exactly one slice
+    slice.foreach { case (i, n) =>
+      val sl = root.putObject("slice")
+      sl.put("id", i)
+      sl.put("max", n)
+    }
     after.foreach(a =>
       root.set[com.fasterxml.jackson.databind.JsonNode](
         "search_after", a.deepCopy[com.fasterxml.jackson.databind.JsonNode]()))

@@ -54,7 +54,8 @@ class SignalLiveSource extends TableProvider
       Option(properties.get("url")).getOrElse(
         throw new IllegalArgumentException("graft-signal-live requires option url")),
       Option(properties.get("table")).getOrElse("signal"),
-      Option(properties.get("partitions")).map(_.toInt).getOrElse(8))
+      Option(properties.get("partitions")).map(_.toInt).getOrElse(8),
+      LiveWire.fromOptions(k => Option(properties.get(k))))
 }
 
 object SignalLiveSource {
@@ -150,7 +151,8 @@ object SignalLiveSource {
   }
 }
 
-class SignalLiveTable(url: String, table: String, partitions: Int)
+class SignalLiveTable(url: String, table: String, partitions: Int,
+    wire: LiveWire = LiveWire.default)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_signal_live($url/$table)"
@@ -159,11 +161,11 @@ class SignalLiveTable(url: String, table: String, partitions: Int)
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SignalLiveScanBuilder(url, table, partitions)
+    new SignalLiveScanBuilder(url, table, partitions, wire)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new SignalLiveWriteBuilder(url, table, info.schema(), info.queryId())
+    new SignalLiveWriteBuilder(url, table, info.schema(), info.queryId(), wire)
 }
 
 /** DSv2 append into ClickHouse over HTTP: `df.write.format
@@ -194,7 +196,7 @@ class SignalLiveTable(url: String, table: String, partitions: Int)
   * reference deployment (no tokens at all) duplicates on every retry.
   */
 class SignalLiveWriteBuilder(url: String, table: String, schema: StructType,
-    queryId: String)
+    queryId: String, wire: LiveWire = LiveWire.default)
     extends org.apache.spark.sql.connector.write.WriteBuilder {
   import org.apache.spark.sql.connector.write._
   locally {
@@ -205,7 +207,7 @@ class SignalLiveWriteBuilder(url: String, table: String, schema: StructType,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-        new SignalLiveWriterFactory(url, table, schema, queryId)
+        new SignalLiveWriterFactory(url, table, schema, queryId, wire)
       override def commit(messages: Array[WriterCommitMessage]): Unit = ()
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
     }
@@ -213,12 +215,12 @@ class SignalLiveWriteBuilder(url: String, table: String, schema: StructType,
 }
 
 class SignalLiveWriterFactory(url: String, table: String, schema: StructType,
-    queryId: String)
+    queryId: String, wire: LiveWire = LiveWire.default)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
-      private val client = new ClickHouseHttpClient(url)
+      private val client = new ClickHouseHttpClient(url, wire = wire)
       private val columns = schema.fieldNames.toSeq
       private val sb = new java.lang.StringBuilder(1 << 16)
       private var n = 0
@@ -292,7 +294,8 @@ case class ChPushedAgg(groupCols: Seq[String], aggs: Seq[(String, String)]) {
     if (groupCols.isEmpty) "" else groupCols.map(c => s"`$c`").mkString(" GROUP BY ", ", ", "")
 }
 
-class SignalLiveScanBuilder(url: String, table: String, partitions: Int)
+class SignalLiveScanBuilder(url: String, table: String, partitions: Int,
+    wire: LiveWire = LiveWire.default)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownAggregates with SupportsPushDownTopN {
 
@@ -371,7 +374,7 @@ class SignalLiveScanBuilder(url: String, table: String, partitions: Int)
 
   override def build(): Scan =
     new SignalLiveScan(url, table, partitions, pushed, required, limit, pushedAgg,
-      topN, topNDesc)
+      topN, topNDesc, wire = wire)
 }
 
 case class SignalLivePartition(url: String, table: String, sql: String,
@@ -380,7 +383,8 @@ case class SignalLivePartition(url: String, table: String, sql: String,
 class SignalLiveScan(url: String, table: String, partitions: Int,
     filters: Array[Filter], required: StructType, limit: Int,
     pushedAgg: Option[ChPushedAgg],
-    topN: Int = -1, topNDesc: Boolean = true)
+    topN: Int = -1, topNDesc: Boolean = true,
+    wire: LiveWire = LiveWire.default)
     extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = pushedAgg.map(_.outputSchema).getOrElse(required)
@@ -433,7 +437,7 @@ class SignalLiveScan(url: String, table: String, partitions: Int,
     envCache match {
       case Some((key, v)) if key == eff => v
       case _ =>
-        val client = new ClickHouseHttpClient(url)
+        val client = new ClickHouseHttpClient(url, wire = wire)
         val sql = s"SELECT min(`token_id`), max(`token_id`), count() FROM `$table`" +
           SignalLiveSource.whereClause(eff)
         val v = client.query(sql).headOption.flatMap { r =>
@@ -498,7 +502,8 @@ class SignalLiveScan(url: String, table: String, partitions: Int,
       }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new SignalLiveReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SignalLiveReaderFactory(wire)
 
   /** Continuous tail of the signal table:
     * `readStream.format("graft-signal-live")` — the CH-side twin of the
@@ -521,7 +526,7 @@ class SignalLiveScan(url: String, table: String, partitions: Int,
     require(pushedAgg.isEmpty && topN < 0 && limit < 0,
       "graft-signal-live streaming read serves raw rows " +
         "(filters/columns push; agg/topN/limit are the engine's operators above)")
-    new SignalLiveMicroBatchStream(url, table, partitions, filters, required)
+    new SignalLiveMicroBatchStream(url, table, partitions, filters, required, wire)
   }
 }
 
@@ -542,7 +547,8 @@ object SignalLiveOffset {
 }
 
 class SignalLiveMicroBatchStream(url: String, table: String, partitions: Int,
-    filters: Array[Filter], required: StructType)
+    filters: Array[Filter], required: StructType,
+    wire: LiveWire = LiveWire.default)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -566,7 +572,7 @@ class SignalLiveMicroBatchStream(url: String, table: String, partitions: Int,
     * non-nullable columns; the stub mirrors that).
     */
   override def latestOffset(): Offset = {
-    val client = new ClickHouseHttpClient(url)
+    val client = new ClickHouseHttpClient(url, wire = wire)
     val sql = "SELECT count(), toUnixTimestamp64Micro(max(`timestamp`)) " +
       s"FROM `$table`" + SignalLiveSource.whereClause(filters.toSeq)
     val next = client.query(sql).headOption.collect {
@@ -587,10 +593,11 @@ class SignalLiveMicroBatchStream(url: String, table: String, partitions: Int,
       GreaterThanOrEqual("timestamp", SignalLiveSource.tsOfUs(a)),
       LessThan("timestamp", SignalLiveSource.tsOfUs(b)))
     new SignalLiveScan(url, table, partitions, filters ++ window, required,
-      limit = -1, pushedAgg = None).planInputPartitions()
+      limit = -1, pushedAgg = None, wire = wire).planInputPartitions()
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new SignalLiveReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SignalLiveReaderFactory(wire)
   override def deserializeOffset(json: String): Offset = {
     val off = SignalLiveOffset.fromJson(json)
     highWaterUs = math.max(highWaterUs, off.stopUs) // restored state floors the stream
@@ -610,7 +617,8 @@ object SignalLiveScan {
   val MaxRuntimeIn: Int = 1000
 }
 
-class SignalLiveReaderFactory extends PartitionReaderFactory {
+class SignalLiveReaderFactory(wire: LiveWire = LiveWire.default)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SignalLivePartition]
     new PartitionReader[InternalRow] {
@@ -619,7 +627,7 @@ class SignalLiveReaderFactory extends PartitionReaderFactory {
       // whatever its size (the reference's rows.Next() posture,
       // clickhouse.go:79-84 [ext])
       private lazy val rows: Iterator[Array[String]] with AutoCloseable =
-        new ClickHouseHttpClient(p.url).queryStream(p.sql)
+        new ClickHouseHttpClient(p.url, wire = wire).queryStream(p.sql)
       private var opened = false
       private var current: InternalRow = _
       override def next(): Boolean = {

@@ -84,7 +84,9 @@ class StatusLiveSource extends TableProvider
           .map(StatusLiveSource.readStops).getOrElse(Map.empty),
       Option(properties.get("subjectsPath")).map(StatusLiveSource.readSubjects),
       Option(properties.get("termsSize")).map(_.toInt)
-        .getOrElse(EsHttpClient.MaxTermsSize))
+        .getOrElse(EsHttpClient.MaxTermsSize),
+      LiveWire.fromOptions(k => Option(properties.get(k))),
+      Option(properties.get("slices")).map(_.toInt).getOrElse(1))
 }
 
 object StatusLiveSource {
@@ -199,21 +201,25 @@ class StatusLiveTable(url: String, index: String, batchSize: Int,
     startMs: Long, stopMs: Long, signals: Option[Seq[String]],
     stopBySubject: Map[String, Long],
     census: Option[Seq[String]] = None,
-    termsSize: Int = EsHttpClient.MaxTermsSize) extends Table with SupportsRead {
+    termsSize: Int = EsHttpClient.MaxTermsSize,
+    wire: LiveWire = LiveWire.default,
+    slices: Int = 1) extends Table with SupportsRead {
   override def name(): String = s"graft_status_live($url/$index)"
   override def schema(): StructType = StatusV2Source.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StatusLiveScanBuilder(url, index, batchSize, startMs, stopMs, signals, stopBySubject,
-      census, termsSize)
+      census, termsSize, wire, slices)
 }
 
 class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
     startMs: Long, stopMs: Long, signals: Option[Seq[String]],
     stopBySubject: Map[String, Long],
     census: Option[Seq[String]] = None,
-    termsSize: Int = EsHttpClient.MaxTermsSize)
+    termsSize: Int = EsHttpClient.MaxTermsSize,
+    wire: LiveWire = LiveWire.default,
+    slices: Int = 1)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -295,12 +301,12 @@ class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
     val windowed: Seq[Filter] = pushed.toSeq ++
       Seq(GreaterThanOrEqual("time", startMs): Filter, LessThan("time", stopMs): Filter)
     if (groups.isEmpty) {
-      val n = try new EsHttpClient(url).countFor(index, windowed)
+      val n = try new EsHttpClient(url, wire = wire).countFor(index, windowed)
       catch { case scala.util.control.NonFatal(_) => -1L }
       if (n < 0) false // non-exact or unreachable: fall back to the row scan
       else { pushedCount = Some(n); true }
     } else if (groupedBySubject && subjectNotNull) {
-      val counts = try new EsHttpClient(url)
+      val counts = try new EsHttpClient(url, wire = wire)
         .groupCountsFor(index, windowed, "subject", termsSize)
       catch { case scala.util.control.NonFatal(_) => None }
       // None — approximate (bucket spill / shard error) or unreachable:
@@ -356,7 +362,8 @@ class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
   override def build(): Scan =
     new StatusLiveScan(url, index, batchSize, startMs, stopMs, signals, stopBySubject,
       pushed, required, limit, topN, topNDesc, census = census,
-      pushedCount = pushedCount, pushedGroupCounts = pushedGroupCounts)
+      pushedCount = pushedCount, pushedGroupCounts = pushedGroupCounts, wire = wire,
+      slices = slices)
 }
 
 /** One live-scan partition: sequential page loops for a GROUP of
@@ -371,6 +378,20 @@ case class StatusLivePartition(url: String, index: String, batchSize: Int,
     requiredFields: Seq[String],
     envelopeIncludes: Seq[String] = Seq.empty,
     stopBySubject: Map[String, Long] = Map.empty,
+    perLoopCap: Int = -1) extends InputPartition
+
+/** One slice of a PARALLEL whole-window scan (`slices` option > 1, no
+  * subject constraints): the task drains slice `sliceId` of `sliceMax`
+  * through a sliced-PIT `search_after` loop
+  * ([[EsHttpClient.slicedDocs]]) — the server partitions the
+  * point-in-time's documents into disjoint subsets, so a full-index
+  * drain scales with the cluster. `perLoopCap` here is a pushed LIMIT
+  * (any subset satisfies it); DESC top-K never plans slices.
+  */
+case class StatusLiveSlicePartition(url: String, index: String, batchSize: Int,
+    startMs: Long, stopMs: Long, sliceId: Int, sliceMax: Int,
+    requiredFields: Seq[String],
+    envelopeIncludes: Seq[String] = Seq.empty,
     perLoopCap: Int = -1) extends InputPartition
 
 /** A pushed COUNT(*)'s single partition: the probe already answered at
@@ -392,7 +413,9 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     maxTasks: Int = 64,
     census: Option[Seq[String]] = None,
     pushedCount: Option[Long] = None,
-    pushedGroupCounts: Option[Seq[(String, Long)]] = None) extends Scan with Batch
+    pushedGroupCounts: Option[Seq[(String, Long)]] = None,
+    wire: LiveWire = LiveWire.default,
+    slices: Int = 1) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -439,7 +462,7 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     * scan, the opposite of safe. Memoized — one probe per scan.
     */
   private lazy val matchCount: Long =
-    try new EsHttpClient(url).countFor(index, filters.toSeq)
+    try new EsHttpClient(url, wire = wire).countFor(index, filters.toSeq)
     catch { case scala.util.control.NonFatal(_) => -1L } // unknown: report nothing
 
   /** Measured bytes per document (index-stats probe — store bytes over
@@ -453,7 +476,7 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     * shipped (served-doc pins stay exact).
     */
   private lazy val avgDocBytes: Long =
-    (try new EsHttpClient(url).indexStats(index)
+    (try new EsHttpClient(url, wire = wire).indexStats(index)
     catch { case scala.util.control.NonFatal(_) => None })
       .map { case (docs, bytes) => math.max(1L, bytes / math.max(1L, docs)) }
       .getOrElse(512L)
@@ -568,6 +591,17 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     val perLoopCap = if (topN >= 0 && topNDesc) topN else -1
     subjects match {
       case Some(all) if all.isEmpty => Array.empty // contradictory conjuncts: no rows
+      case None if slices > 1 && topN < 0 =>
+        // the PARALLEL whole-window form: N sliced-PIT drains, one per
+        // task ([[EsHttpClient.slicedDocs]]) — an unfiltered full-index
+        // read scales with the cluster instead of one sequential page
+        // loop. A pushed DESC top-K keeps the sequential loop (its
+        // newest-first early stop reads K docs; slices read everything).
+        // A pushed LIMIT caps each slice (any subset satisfies a limit —
+        // Spark's global Limit re-applies above).
+        Array.tabulate(slices)(i => StatusLiveSlicePartition(url, index, pageSize,
+          startMs, stopMs, i, slices, requiredFields, envelopeIncludes,
+          perLoopCap = limit): InputPartition)
       case None => Array(StatusLivePartition(url, index, pageSize, startMs, stopMs,
         None, requiredFields, envelopeIncludes, Map.empty, perLoopCap))
       case Some(all) =>
@@ -589,7 +623,7 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new StatusLiveReaderFactory(filters, required, limit, topN, topNDesc)
+    new StatusLiveReaderFactory(filters, required, limit, topN, topNDesc, wire)
 
   /** Continuous sync: `readStream.format("graft-status-live")` tails the
     * index as micro-batches of half-open EVENT-TIME windows. Offsets are
@@ -610,7 +644,7 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(pushedCount.isEmpty && pushedGroupCounts.isEmpty,
       "graft-status-live streaming reads raw documents (a COUNT is the engine's stateful aggregate)")
-    new StatusLiveMicroBatchStream(this, url)
+    new StatusLiveMicroBatchStream(this, url, wire)
   }
 
   // Wire observability: malformed-doc skips (shared with the file scan)
@@ -638,11 +672,12 @@ object StatusLiveOffset {
   }
 }
 
-class StatusLiveMicroBatchStream(scan: StatusLiveScan, url: String)
+class StatusLiveMicroBatchStream(scan: StatusLiveScan, url: String,
+    wire: LiveWire = LiveWire.default)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private val client = new EsHttpClient(url)
+  private val client = new EsHttpClient(url, wire = wire)
 
   // Highest offset this stream has seen — returned/committed/restored.
   // latestOffset clamps to it so offsets are MONOTONIC: if the server's
@@ -705,7 +740,8 @@ case class LiveDocsTaskMetric(value: Long) extends CustomTaskMetric {
 }
 
 class StatusLiveReaderFactory(filters: Array[Filter], required: StructType,
-    limit: Int = -1, topN: Int = -1, topNDesc: Boolean = true)
+    limit: Int = -1, topN: Int = -1, topNDesc: Boolean = true,
+    wire: LiveWire = LiveWire.default)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     partition match {
@@ -730,10 +766,38 @@ class StatusLiveReaderFactory(filters: Array[Filter], required: StructType,
           override def get(): InternalRow = current
           override def close(): Unit = ()
         }
+      case sp: StatusLiveSlicePartition =>
+        val client = new EsHttpClient(sp.url, wire = wire)
+        // slicing NEEDS the point-in-time (slices are defined against a
+        // snapshot); without one the read degrades to the sequential loop
+        // on slice 0 — the other slices emit nothing, so the result is the
+        // single-task scan's, never a torn parallel read
+        val inner: DocSource with WireCounters =
+          client.slicedDocs(sp.index, sp.batchSize, sp.startMs, sp.stopMs,
+            sp.sliceId, sp.sliceMax, sp.requiredFields, sp.envelopeIncludes)
+            .getOrElse {
+              if (sp.sliceId == 0)
+                client.pagedDocs(sp.index, sp.batchSize, sp.startMs, sp.stopMs,
+                  None, sp.requiredFields, sp.envelopeIncludes)
+              else new DocSource with WireCounters {
+                override def skipped: Long = 0
+                override def pagesFetched: Long = 0
+                override def docsFetched: Long = 0
+                override def next(): com.fasterxml.jackson.databind.JsonNode = null
+                override def close(): Unit = ()
+              }
+            }
+        val docs = capped(inner, sp.perLoopCap)
+        return new StatusPartitionReader(docs, None, filters, required, limit,
+          topN, topNDesc) {
+          override def currentMetricsValues(): Array[CustomTaskMetric] =
+            super.currentMetricsValues() ++ Array[CustomTaskMetric](
+              LivePagesTaskMetric(docs.pagesFetched), LiveDocsTaskMetric(docs.docsFetched))
+        }
       case _ => ()
     }
     val p = partition.asInstanceOf[StatusLivePartition]
-    val client = new EsHttpClient(p.url)
+    val client = new EsHttpClient(p.url, wire = wire)
     def loopFor(subject: Option[String]): DocSource with WireCounters = {
       // per-token EndTime (sync.go:96-100): an incremental sync's request
       // window stops at the token's oldest-synced watermark
