@@ -28,7 +28,10 @@ object ChSignalStub {
   private def isAggItem(it: String): Boolean =
     it.startsWith("count(") || it.startsWith("min(") || it.startsWith("max(") ||
       it.startsWith("sum(") || it.startsWith("toUnixTimestamp64Micro(min(") ||
-      it.startsWith("toUnixTimestamp64Micro(max(")
+      it.startsWith("toUnixTimestamp64Micro(max(") || it.startsWith("quantiles(")
+
+  private val Quantiles = java.util.regex.Pattern.compile(
+    "quantiles\\(([0-9.,]+)\\)\\(`token_id`\\)")
 
   /** Parse one WHERE atom into a row predicate; None = outside grammar. */
   private def atom(a: String): Option[SRow => Boolean] = {
@@ -71,7 +74,8 @@ object ChSignalStub {
     if (d == d.longValue.toDouble) d.toString else d.toString
 
   /** Evaluate one SELECT item over a filtered group/row set. */
-  private def item(expr: String, rows: Seq[SRow], one: Option[SRow]): Option[String] = {
+  private def item(expr: String, rows: Seq[SRow], one: Option[SRow],
+      quantilesSupported: Boolean = true): Option[String] = {
     def agg[T](f: Seq[SRow] => T): Option[String] = Some(f(rows).toString)
     expr match {
       case "`token_id`" => one.map(_.token.toString)
@@ -101,6 +105,22 @@ object ChSignalStub {
         Some(rows.flatMap(_.str).minOption.map(esc).getOrElse("\\N"))
       case "max(`value_string`)" =>
         Some(rows.flatMap(_.str).maxOption.map(esc).getOrElse("\\N"))
+      case q if q.startsWith("quantiles(") && quantilesSupported =>
+        // the balanced-planning probe: CH's quantiles(...)(col) renders a
+        // TabSeparated array like [3,7.5,12]; an empty set renders nans
+        // (the client's parse failure then degrades it to equal-width)
+        val m = Quantiles.matcher(q)
+        if (!m.matches()) None
+        else {
+          val ps = m.group(1).split(',').map(_.toDouble)
+          val toks = rows.map(_.token).sorted
+          val vals = ps.map { p =>
+            if (toks.isEmpty) "nan"
+            else toks(math.min(toks.size - 1,
+              math.round(p * (toks.size - 1)).toInt)).toString
+          }
+          Some(vals.mkString("[", ",", "]"))
+        }
       case _ => None
     }
   }
@@ -124,9 +144,13 @@ object ChSignalStub {
     *        otherwise, like a real CH with users configured (the
     *        reference authenticates every connection,
     *        clickhouse.go:40-43).
+    * @param quantiles when false the stub models an older server without
+    *        `quantiles(...)`: the balanced-planning probe 400s and the
+    *        scan must degrade to equal-width ranges, never fail.
     */
   def start(server: HttpServer = LiveQueries.loopbackServer(1024),
-      gzip: Boolean = false, auth: Option[(String, String)] = None): HttpServer = {
+      gzip: Boolean = false, auth: Option[(String, String)] = None,
+      quantiles: Boolean = true): HttpServer = {
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[SRow]()
     val created = new java.util.concurrent.atomic.AtomicBoolean(false)
     // insert_deduplication_token semantics (a real CH's insert-block
@@ -243,9 +267,10 @@ object ChSignalStub {
               respond(ex, 200, out.mkString("", "\n", if (out.isEmpty) "" else "\n"))
             case None if items.forall(isAggItem) =>
               // global aggregate (no GROUP BY): one row
-              val out = items.map(it => item(it, matched, matched.headOption).getOrElse {
-                respond(ex, 400, s"unsupported select item: $it"); return
-              }).mkString("\t")
+              val out = items.map(it =>
+                item(it, matched, matched.headOption, quantiles).getOrElse {
+                  respond(ex, 400, s"unsupported select item: $it"); return
+                }).mkString("\t")
               respond(ex, 200, out + "\n")
             case None => // row select: STREAMED (chunked), like a real CH —
               // the server never materializes the response either, so an

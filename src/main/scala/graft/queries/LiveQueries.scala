@@ -1572,6 +1572,152 @@ object LiveQueries {
              GROUP BY 1"""),
     ),
 
+    // ── The reference's CONTINUOUS pipeline over BOTH wires (r14):
+    //    `readStream` from live ES → transform → `writeStream` into live
+    //    CH (its loop tails ES and inserts into CH forever, sync.go:92-125
+    //    + clickhouse.go:113-130) — the streaming WRITE completing the
+    //    tier's symmetry (both live sources stream-read; the CH side now
+    //    stream-writes). Phase 1 tails the older half of history into the
+    //    CH stub; the stream RESTARTS from its checkpoint after the newer
+    //    half lands and must ship ONLY it. Exactly-once is the tail's
+    //    monotonic offsets composed with the writer's epoch-scoped dedup
+    //    tokens — a re-read duplicates, an offset overshoot loses, a
+    //    replayed epoch double-inserts, and any of them breaks the DuckDB
+    //    match on the CH read-back (one pass over the whole events table).
+    QueryDef(
+      "q232_live_stream_es_to_ch",
+      (s, d) => {
+        import graft.sources.{ClickHouseDdl, ClickHouseHttpClient}
+        val evs = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id").cast("string").as("subject"),
+            expr("unix_micros(ts)").as("tsu"),
+            round(col("value") * 100).cast(LongType).as("cents"))
+          .collect() // seeds the TEST DOUBLE; the measured path is the stream
+        val mid = { val ts = evs.map(_.getLong(1)); (ts.min + ts.max) / 2 }
+        def mkDocs(rows: Seq[org.apache.spark.sql.Row]): IndexedSeq[StubDoc] =
+          rows.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+            val (subj, tsu, cents) = (r.getString(0), r.getLong(1), r.getLong(2))
+            val iso = java.time.Instant.ofEpochSecond(tsu / 1000000L, (tsu % 1000000L) * 1000L)
+            StubDoc(s"sc$subj-$tsu-$i", subj, tsu,
+              s"""{"id":"sc$i","subject":"$subj","source":"dimo/integration/live",""" +
+                s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v2.0",""" +
+                s""""type":"com.dimo.device.status","data":{"cents":$cents}}""")
+          }
+        // ms-boundary split: the ES tail's offsets are ms-granular
+        val (newer, older) = evs.toIndexedSeq.partition(_.getLong(1) / 1000 >= mid / 1000)
+        val chServer = ChSignalStub.start()
+        try {
+          val chUrl = s"http://127.0.0.1:${chServer.getAddress.getPort}"
+          new ClickHouseHttpClient(chUrl)
+            .execute(ClickHouseDdl.signalTableDdl(graft.sources.SignalLiveSource.Schema))
+          val ckpt = java.nio.file.Files.createTempDirectory("graft-q232-ck").toString
+          def pipeOnce(docs: IndexedSeq[StubDoc]): Unit = {
+            val esServer = startStub(docs)
+            try {
+              val q = s.readStream.format("graft-status-live")
+                .option("url", s"http://127.0.0.1:${esServer.getAddress.getPort}")
+                .option("batchSize", "2000").load()
+                .select(col("subject").cast(LongType).as("token_id"),
+                  col("time").as("timestamp"),
+                  lit("cents").as("name"),
+                  get_json_object(col("data"), "$.cents").cast("double").as("value_number"),
+                  col("id").cast("string").as("value_string"))
+                .writeStream.format("graft-signal-live")
+                .option("url", chUrl)
+                .option("checkpointLocation", ckpt)
+                .start()
+              try q.processAllAvailable() finally q.stop()
+            } finally esServer.stop(0)
+          }
+          pipeOnce(mkDocs(older))          // phase 1: the older half
+          pipeOnce(mkDocs(older ++ newer)) // phase 2: restart; only the newer half ships
+          s.read.format("graft-signal-live").option("url", chUrl).load()
+            .groupBy(col("token_id"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("value_number")).cast(LongType).as("cents"),
+              expr("max(unix_micros(timestamp))").as("newest_us"))
+            .localCheckpoint(true) // materialize THROUGH both wire stacks
+        } finally chServer.stop(0)
+      },
+      Some("""SELECT CAST(user_id AS BIGINT) AS token_id,
+               count(*)::BIGINT AS n_rows,
+               sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents,
+               CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS newest_us
+             FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             GROUP BY 1"""),
+    ),
+
+    // ── Quantile-BALANCED token-range planning (r14): equal-width ranges
+    //    over [min, max] collapse under id skew — one sparse outlier
+    //    stretches the span a billion-fold and every real row lands in
+    //    one task (at 100 TB: one task scans everything, the rest idle).
+    //    Planning now asks the STORE for equal-rowcount cut points
+    //    (`quantiles(1/m…)(token_id)` under the scan's WHERE) and builds
+    //    ranges between them; a quantile-less server degrades to
+    //    equal-width (one failed statement, never a wrong plan). The
+    //    entry seeds the events fleet PLUS a far outlier token, RAISES
+    //    unless the planned ranges are balanced (no partition owns >55%
+    //    of rows) AND cover exactly, then reads back through the DSv2
+    //    scan for the oracle compare.
+    QueryDef(
+      "q233_live_ch_balanced",
+      (s, d) => {
+        import graft.sources.{ClickHouseDdl, ClickHouseHttpClient}
+        import org.apache.spark.sql.types._
+        val signals = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id").cast(LongType).as("token_id"),
+            col("ts").cast(TimestampType).as("timestamp"),
+            col("event_type").cast(StringType).as("name"),
+            round(col("value") * 100).cast(DoubleType).as("value_number"),
+            col("event_id").cast(StringType).as("value_string"))
+          .union(s.range(1).select( // the skew: one token a billion away
+            lit(1000000000L).as("token_id"),
+            lit(java.sql.Timestamp.valueOf("2030-01-01 00:00:00")).as("timestamp"),
+            lit("outlier").as("name"),
+            lit(42.0).as("value_number"),
+            lit("o1").cast(StringType).as("value_string")))
+          .repartition(8)
+        val server = ChSignalStub.start()
+        try {
+          val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+          new ClickHouseHttpClient(base)
+            .execute(ClickHouseDdl.signalTableDdl(graft.sources.SignalLiveSource.Schema))
+          signals.write.format("graft-signal-live")
+            .option("url", base).mode("append").save()
+          // plan audit: the ranges the scan would run, executed directly —
+          // balance AND exact coverage are REQUIRED before any oracle math
+          val scan = new graft.sources.SignalLiveScanBuilder(base, "signal", 4)
+            .build().asInstanceOf[graft.sources.SignalLiveScan]
+          val client = new ClickHouseHttpClient(base)
+          val counts = scan.planInputPartitions().toSeq
+            .map(_.asInstanceOf[graft.sources.SignalLivePartition])
+            .map(p => client.query(p.sql).size.toLong)
+          val total = counts.sum
+          require(counts.forall(_ > 0), s"empty partition under skew: $counts")
+          require(counts.max.toDouble / total < 0.55,
+            s"one task owns the skewed corpus (equal-width plan leaked): $counts")
+          s.read.format("graft-signal-live")
+            .option("url", base).option("partitions", "4").load()
+            .groupBy(col("name"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("value_number")).cast(LongType).as("cents"),
+              max(col("token_id")).as("max_token"))
+            .localCheckpoint(true) // materialize THROUGH the balanced plan
+        } finally server.stop(0)
+      },
+      Some("""WITH sig AS (
+               SELECT CAST(user_id AS BIGINT) AS token_id, event_type AS name,
+                      CAST(round(value*100) AS BIGINT) AS cents
+               FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+               UNION ALL SELECT 1000000000, 'outlier', 42)
+             SELECT name, count(*)::BIGINT AS n_rows,
+               sum(cents)::BIGINT AS cents,
+               max(token_id)::BIGINT AS max_token
+             FROM sig GROUP BY 1"""),
+    ),
+
     // ── LIVE CH streaming tail (r13): `readStream` over
     //    `graft-signal-live` — the CH-side twin of q217, completing the
     //    live tier's symmetry (every live source is a streaming table).

@@ -159,7 +159,7 @@ class SignalLiveTable(url: String, table: String, partitions: Int,
   override def schema(): StructType = SignalLiveSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SignalLiveScanBuilder(url, table, partitions, wire)
   override def newWriteBuilder(
@@ -211,13 +211,58 @@ class SignalLiveWriteBuilder(url: String, table: String, schema: StructType,
       override def commit(messages: Array[WriterCommitMessage]): Unit = ()
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
     }
+    /** `df.writeStream.format("graft-signal-live")` — the CONTINUOUS form
+      * of the reference's sync sink (its loop inserts into CH forever,
+      * sync.go:92-125 [ext]): each micro-batch's tasks POST their CSV
+      * batches under tokens namespaced by (query, EPOCH, partition,
+      * ordinal, content hash). Epoch-level exactly-once needs no sink-side
+      * commit log: a failed epoch is re-executed by Spark under the SAME
+      * epochId, a deterministic upstream re-produces byte-identical
+      * batches under identical tokens, and the server drops the re-sends
+      * — the same dedup contract as the batch writer, extended by the
+      * epoch namespace so two DIFFERENT epochs carrying identical content
+      * both land. commit/abort are no-ops for the same reason the batch
+      * form's are: CH INSERTs are visible on acceptance, and the tokens —
+      * not a staging protocol — carry the idempotence.
+      */
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+        override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+            : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+          new SignalLiveStreamingWriterFactory(url, table, schema, queryId, wire)
+        override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+        override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+      }
   }
+}
+
+class SignalLiveStreamingWriterFactory(url: String, table: String, schema: StructType,
+    queryId: String, wire: LiveWire = LiveWire.default)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    // the batch writer with the epoch folded into the token namespace:
+    // a re-executed epoch dedups, distinct epochs never cross-dedup
+    SignalLiveWriterFactory.writer(url, table, schema, s"$queryId-e$epochId",
+      partitionId, wire)
 }
 
 class SignalLiveWriterFactory(url: String, table: String, schema: StructType,
     queryId: String, wire: LiveWire = LiveWire.default)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    SignalLiveWriterFactory.writer(url, table, schema, queryId, partitionId, wire)
+}
+
+object SignalLiveWriterFactory {
+  /** The shared task-side writer: CSV batches POSTed under content-hashed
+    * dedup tokens `graft-<ns>-p<partition>-b<ordinal>-<sha256/12>`. The
+    * batch form's namespace is the queryId; the streaming form appends
+    * the epoch ([[SignalLiveStreamingWriterFactory]]).
+    */
+  private[sources] def writer(url: String, table: String, schema: StructType,
+      ns: String, partitionId: Int, wire: LiveWire)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
       private val client = new ClickHouseHttpClient(url, wire = wire)
@@ -235,7 +280,7 @@ class SignalLiveWriterFactory(url: String, table: String, schema: StructType,
         val digest = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
         val hash = digest.take(12).map(b => f"$b%02x").mkString
         client.insertCsv(table, columns, bytes,
-          dedupToken = Some(s"graft-$queryId-p$partitionId-b$batchOrdinal-$hash"))
+          dedupToken = Some(s"graft-$ns-p$partitionId-b$batchOrdinal-$hash"))
         batchOrdinal += 1
         sb.setLength(0); n = 0
       }
@@ -456,6 +501,31 @@ class SignalLiveScan(url: String, table: String, partitions: Int,
       java.util.OptionalLong.of(envelope.map(_._3).getOrElse(0L))
   }
 
+  /** Quantile split points for a balanced m-way token-range plan — the
+    * SKEW fix: equal-WIDTH ranges over `[min, max]` collapse when token
+    * ids cluster (one sparse outlier id stretches the span a million-fold
+    * and every real row lands in one partition — at 100 TB that is one
+    * task doing the whole scan while m−1 idle). One
+    * `quantiles(1/m … (m−1)/m)(token_id)` statement asks the STORE for
+    * equal-ROWCOUNT cut points under the same WHERE the scan pushes;
+    * approximate quantiles are fine (any sorted cut set inside
+    * `[min, max]` partitions the space exactly — balance is best-effort,
+    * coverage is construction). Degrades to Nil — equal-width — on any
+    * failure: a server (or grammar-strict stub) without the function
+    * costs one failed planning statement, never a wrong plan.
+    */
+  private def quantileCuts(m: Int): Seq[Long] =
+    if (m <= 1) Seq.empty
+    else try {
+      val ps = (1 until m).map(i => f"${i.toDouble / m}%.6f").mkString(",")
+      val sql = s"SELECT quantiles($ps)(`token_id`) FROM `$table`" +
+        SignalLiveSource.whereClause(effectiveFilters)
+      new ClickHouseHttpClient(url, wire = wire).query(sql).headOption
+        .map(_(0).stripPrefix("[").stripSuffix("]").split(",").toSeq
+          .filter(_.nonEmpty).map(v => math.floor(v.trim.toDouble).toLong))
+        .getOrElse(Seq.empty)
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
   override def planInputPartitions(): Array[InputPartition] = envelope match {
     case None => Array.empty // no matching rows: no tasks, no round trips
     case Some((minTok, maxTok, n)) =>
@@ -470,9 +540,23 @@ class SignalLiveScan(url: String, table: String, partitions: Int,
       val m = Seq(BigInt(partitions), span, BigInt(n / 1000 + 1)).min.max(BigInt(1)).toInt
       val per = (span + m - 1) / m
       val schema = readSchema()
-      (0 until m).map { i =>
-        val lo = (BigInt(minTok) + i * per).toLong
-        val hiBig = (BigInt(minTok) + (i + 1) * per).min(BigInt(maxTok) + 1)
+      // balanced bounds when the store answers quantiles; equal-width
+      // otherwise. Coverage is identical either way: consecutive sorted
+      // cuts from min, last range capped at max+1 — disjoint, gap-free.
+      val cuts: Seq[(BigInt, BigInt)] = {
+        val qs = quantileCuts(m).filter(c => c > minTok && c <= maxTok)
+        val los = (BigInt(minTok) +: qs.map(BigInt(_))).distinct.sorted
+        if (los.length > 1)
+          los.zip(los.drop(1) :+ (BigInt(maxTok) + 1)).filter { case (a, b) => a < b }
+        else Seq.empty
+      }
+      val bounds: Seq[(BigInt, BigInt)] =
+        if (cuts.nonEmpty) cuts
+        else (0 until m).map { i =>
+          (BigInt(minTok) + i * per, (BigInt(minTok) + (i + 1) * per).min(BigInt(maxTok) + 1))
+        }
+      bounds.map { case (loBig, hiBig) =>
+        val lo = loBig.toLong
         // the last range's upper bound may be Long.MaxValue + 1 — not
         // representable, and not needed: emit only the lower bound there
         val range = Seq(s"`token_id` >= $lo") ++

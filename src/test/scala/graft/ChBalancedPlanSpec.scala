@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.ChSignalStub
+import graft.sources.{ClickHouseDdl, ClickHouseHttpClient, SignalLiveSource}
+
+/** Quantile-balanced token-range planning for the live CH scan — the
+  * SKEW fix: equal-WIDTH ranges over [min(token), max(token)] collapse
+  * when ids cluster (one sparse outlier id stretches the span a
+  * billion-fold and every real row lands in one partition: at 100 TB
+  * that is one task scanning everything while the rest idle). Planning
+  * now asks the STORE for equal-rowcount cut points
+  * (`quantiles(1/m…)(token_id)` under the scan's own WHERE) and builds
+  * ranges between them. Pins:
+  *
+  *   - a skewed corpus (dense cluster + one far outlier) plans ranges
+  *     whose per-partition row counts are BALANCED, and the ranges still
+  *     partition the space exactly (disjoint, gap-free: the full read is
+  *     exactly-once);
+  *   - a server WITHOUT `quantiles` (older CH, minimal stub) degrades to
+  *     the equal-width plan — one failed planning statement, identical
+  *     results, never a failure;
+  *   - tiny results (m == 1) never probe at all.
+  */
+class ChBalancedPlanSpec extends SparkTestBase {
+
+  private def url(s: com.sun.net.httpserver.HttpServer) =
+    s"http://127.0.0.1:${s.getAddress.getPort}"
+
+  /** 8 dense tokens × 500 rows + one far outlier row: equal-width over
+    * [1, 10^9] puts all 4000 dense rows in partition 0.
+    */
+  private def seedSkewed(base: String): Long = {
+    val client = new ClickHouseHttpClient(base)
+    client.execute(ClickHouseDdl.signalTableDdl(SignalLiveSource.Schema))
+    val sb = new StringBuilder
+    var us = 1700000000000000L
+    for (tok <- 1 to 8; _ <- 1 to 500) {
+      us += 1
+      sb.append(s"""$tok,${us / 1000000}.${f"${us % 1000000}%06d"},"speed",1.5,""").append('\n')
+    }
+    us += 1
+    sb.append(s"""1000000000,${us / 1000000}.${f"${us % 1000000}%06d"},"speed",9.5,""").append('\n')
+    client.insertCsv("signal",
+      Seq("token_id", "timestamp", "name", "value_number", "value_string"),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    4001L
+  }
+
+  private def partitionCounts(base: String, partitions: Int): Seq[Long] = {
+    val scan = new graft.sources.SignalLiveScanBuilder(base, "signal", partitions)
+      .build().asInstanceOf[graft.sources.SignalLiveScan]
+    val client = new ClickHouseHttpClient(base)
+    scan.planInputPartitions().toSeq
+      .map(_.asInstanceOf[graft.sources.SignalLivePartition])
+      .map(p => client.query(p.sql).size.toLong)
+  }
+
+  test("skewed ids plan balanced ranges; coverage stays exactly-once") {
+    val server = ChSignalStub.start()
+    try {
+      val base = url(server)
+      val total = seedSkewed(base)
+      val counts = partitionCounts(base, partitions = 4)
+      assert(counts.sum === total, "ranges must partition the token space exactly")
+      assert(counts.forall(_ > 0), s"no empty partitions under quantile planning: $counts")
+      assert(counts.max.toDouble / total < 0.55,
+        s"no partition may own the whole skewed corpus: $counts")
+      // e2e through the DSv2 reader: same rows, exactly once
+      val live = spark.read.format("graft-signal-live")
+        .option("url", base).option("partitions", "4").load()
+      val got = live.select(col("token_id"),
+        expr("unix_micros(timestamp)").as("us")).collect()
+      assert(got.length.toLong === total)
+      assert(got.map(r => (r.getLong(0), r.getLong(1))).distinct.length.toLong === total)
+    } finally server.stop(0)
+  }
+
+  test("a quantile-less server degrades to equal-width with identical results") {
+    val server = ChSignalStub.start(quantiles = false)
+    try {
+      val base = url(server)
+      val total = seedSkewed(base)
+      val counts = partitionCounts(base, partitions = 4)
+      assert(counts.sum === total, "equal-width fallback still covers exactly")
+      // the known skew shape: the dense cluster lands in one range
+      assert(counts.max >= 4000L, "fallback IS the equal-width plan (the skew is real)")
+      val live = spark.read.format("graft-signal-live")
+        .option("url", base).option("partitions", "4").load()
+      assert(live.select(col("token_id")).collect().length.toLong === total)
+    } finally server.stop(0)
+  }
+
+  test("tiny results keep single-partition plans (no quantile probe)") {
+    val server = ChSignalStub.start(quantiles = false) // a probe would 400 — but none may fire
+    try {
+      val base = url(server)
+      val client = new ClickHouseHttpClient(base)
+      client.execute(ClickHouseDdl.signalTableDdl(SignalLiveSource.Schema))
+      client.insertCsv("signal",
+        Seq("token_id", "timestamp", "name", "value_number", "value_string"),
+        "7,1700000000.000000,\"speed\",1.5,\n".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      val live = spark.read.format("graft-signal-live")
+        .option("url", base).option("partitions", "4").load()
+      assert(live.rdd.getNumPartitions === 1)
+      assert(live.collect().length === 1)
+    } finally server.stop(0)
+  }
+}
