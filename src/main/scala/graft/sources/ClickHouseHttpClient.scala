@@ -91,6 +91,16 @@ private[graft] final class ClickHouseHttpClient(baseUrl: String, timeoutMs: Long
           throw new ChHttpStatusException(res.statusCode(), LiveHttp.bodyString(res))
         return LiveHttp.bodyString(res)
       } catch {
+        // a TRANSIENT overload status (429 rate limit, 502-504 proxy /
+        // too-many-queries) retries like a dropped connection — but only
+        // on the idempotent statements transport retry already covers
+        // (SELECTs, tokened inserts); DDL and untokened inserts surface
+        // immediately
+        case e: ChHttpStatusException
+            if retryTransport && attempt < 4 && (e.statusCode == 429 ||
+              (e.statusCode >= 502 && e.statusCode <= 504)) =>
+          attempt += 1
+          Thread.sleep(25L << attempt)
         case e: ChHttpStatusException => throw e
         case _: java.io.IOException if retryTransport && attempt < 4 =>
           attempt += 1
@@ -172,6 +182,13 @@ private[graft] final class ClickHouseHttpClient(baseUrl: String, timeoutMs: Long
         // bytes arrive — a compressed response stream stays a stream)
         reader = LiveHttp.lineStream(r)
       } catch {
+        // transient overload statuses retry here too — no row has flowed
+        // yet (the stream hasn't opened), so an idempotent re-send is safe
+        case e: ChHttpStatusException
+            if attempt < 4 && (e.statusCode == 429 ||
+              (e.statusCode >= 502 && e.statusCode <= 504)) =>
+          attempt += 1
+          Thread.sleep(25L << attempt)
         case e: ChHttpStatusException => throw e
         case _: java.io.IOException if attempt < 4 =>
           attempt += 1

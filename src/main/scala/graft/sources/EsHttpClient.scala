@@ -80,17 +80,35 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     (raw, lastId, lastSort, timedHitsOf(root))
   }
 
-  /** Transport-level retry: a search POST is idempotent and a dropped
-    * connection under load (reset, empty response) is retryable — up to 4
-    * attempts with exponential backoff. HTTP error STATUSES are not
-    * retried here (the semantic layer above decides, e.g. the
-    * Data-too-large halving).
+  /** Transport-level retry: a search POST is idempotent, so both a
+    * dropped connection (reset, empty response) AND a TRANSIENT overload
+    * status retry — up to 4 attempts with exponential backoff, honoring
+    * `Retry-After` when the server names a delay. Transient means
+    * 429/502/503/504 EXCEPT the circuit breaker's own 429 ("Data too
+    * large" — real ES serves CircuitBreakingException as 429): that one
+    * is the HALVING/DRAIN trigger and must surface immediately — burning
+    * four retries on a page the server just said is too big only delays
+    * the recovery built for it. Other error statuses are not retried
+    * (the semantic layer above decides).
     */
   private def sendWithRetry(req: HttpRequest): HttpResponse[Array[Byte]] = {
     var attempt = 0
     while (true) {
-      try return http.send(req, HttpResponse.BodyHandlers.ofByteArray())
-      catch {
+      try {
+        val res = http.send(req, HttpResponse.BodyHandlers.ofByteArray())
+        val code = res.statusCode()
+        val transient = (code == 429 || code == 502 || code == 503 || code == 504) && {
+          val body = LiveHttp.bodyString(res)
+          !(body.contains("Data too large") || body.contains("circuit_breaking_exception") ||
+            body.contains("Result window is too large"))
+        }
+        if (!transient || attempt >= 4) return res
+        val retryAfterMs = res.headers().firstValue("Retry-After").map[Long] { v =>
+          try math.min(v.trim.toLong * 1000L, 15000L) catch { case _: NumberFormatException => 0L }
+        }.orElse(0L)
+        Thread.sleep(math.max(retryAfterMs, 25L << (attempt + 1)).min(15000L))
+        attempt += 1
+      } catch {
         case e: java.io.IOException =>
           if (attempt >= 4) throw e
           attempt += 1

@@ -129,16 +129,26 @@ private[graft] object LiveHttp {
     ctx
   }
 
-  def newClient(timeoutMs: Long, wire: LiveWire = LiveWire.default): HttpClient = {
-    val params = new SSLParameters()
-    params.setProtocols(TlsProtocols)
-    val builder = HttpClient.newBuilder()
-      .connectTimeout(Duration.ofMillis(timeoutMs))
-      .sslParameters(params)
-    if (wire.tlsConfigured)
-      builder.sslContext(contexts.computeIfAbsent(wire.tlsKey, buildContext(_)))
-    builder.build()
-  }
+  // One JDK HttpClient per (timeout, wire) per JVM: the client owns the
+  // connection pool, so sharing it across an executor's tasks reuses
+  // kept-alive sockets and TLS sessions — per-task construction would pay
+  // a fresh handshake for every page loop (at mTLS cost), and the JDK
+  // client has no close() on 17 anyway, so per-task instances just pile
+  // up pools until GC. HttpClient is documented thread-safe; the auth
+  // header is per-request, not per-client, so credential isolation holds.
+  private val clients = new java.util.concurrent.ConcurrentHashMap[(Long, LiveWire), HttpClient]()
+
+  def newClient(timeoutMs: Long, wire: LiveWire = LiveWire.default): HttpClient =
+    clients.computeIfAbsent((timeoutMs, wire.tlsKey), { case (t, w) =>
+      val params = new SSLParameters()
+      params.setProtocols(TlsProtocols)
+      val builder = HttpClient.newBuilder()
+        .connectTimeout(Duration.ofMillis(t))
+        .sslParameters(params)
+      if (w.tlsConfigured)
+        builder.sslContext(contexts.computeIfAbsent(w.tlsKey, buildContext(_)))
+      builder.build()
+    })
 
   /** Did the server gzip this response? (JDK HttpClient never negotiates
     * or decodes content codings itself — the caller owns both sides.)

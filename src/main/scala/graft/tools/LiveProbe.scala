@@ -338,6 +338,55 @@ object LiveProbe {
         java.nio.file.Files.deleteIfExists(d)
       }
     }
+
+    // ── section 8: sliced-PIT parallel whole-window scan vs the
+    // sequential page loop — the UNFILTERED (subject-less) read, which is
+    // ONE task without slices. Same corpus, same stub, same page size;
+    // slices=8 drains 8 disjoint server-side slices concurrently. The
+    // loopback stub serves both shapes from memory, so the ratio bounds
+    // CLIENT-STACK parallelism (page loop + decode), not server fan-out —
+    // a real 100 TB cluster adds the server side's own parallel gains on
+    // top.
+    {
+      val n = 1000000
+      val probeDocs: IndexedSeq[graft.queries.LiveQueries.StubDoc] =
+        (0 until n).map { i =>
+          val subj = (i % 64).toString
+          val tsu = 1704000000000000L + i.toLong * 1000
+          val iso = java.time.Instant.ofEpochSecond(tsu / 1000000L, (tsu % 1000000L) * 1000L)
+          val json =
+            s"""{"id":"s$i","subject":"$subj","source":"dimo/integration/live",""" +
+              s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v2.0",""" +
+              s""""type":"com.dimo.device.status","data":{"i":$i}}"""
+          graft.queries.LiveQueries.StubDoc(f"s$i%07d", subj, tsu, json)
+        }
+      val server = graft.queries.LiveQueries.startStub(probeDocs, pitMode = true)
+      try {
+        // an expression aggregate over `data` forces the ROW path (a bare
+        // count() would be answered by the pushed-COUNT probe in one
+        // size-0 request — no documents would flow at all)
+        val expected = (0L until n).sum
+        def read(slices: Int): Long = spark.read.format("graft-status-live")
+          .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+          .option("batchSize", "1000")
+          .option("slices", slices.toString)
+          .load()
+          .select(get_json_object(col("data"), "$.i").cast("long").as("i"))
+          .agg(sum(col("i"))).head().getLong(0)
+        read(8) // warm
+        def time(slices: Int): Double = {
+          val t0 = System.nanoTime()
+          val got = read(slices)
+          require(got == expected, s"sliced read lost rows: sum $got != $expected")
+          (System.nanoTime() - t0) / 1e9
+        }
+        val seq1 = time(1)
+        val par8 = time(8)
+        println(f"[liveprobe] sliced whole-window scan ($n docs, page 1000, full decode): " +
+          f"sequential loop $seq1%.2f s vs slices=8 $par8%.2f s " +
+          f"(${seq1 / par8}%.1fx end-to-end speedup; a real cluster adds the server side's own)")
+      } finally server.stop(0)
+    }
     spark.stop()
   }
 }
