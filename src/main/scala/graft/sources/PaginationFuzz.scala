@@ -129,11 +129,21 @@ private[graft] object PaginationFuzz {
         }
         val hits =
           if (pitReq) {
-            // _shard_doc drain: stable corpus position, cursor-exclusive
+            // _shard_doc drain: stable corpus position, cursor-exclusive.
+            // `slice: {id, max}` (the parallel-scan form) partitions docs
+            // into disjoint subsets — opaque to the client, modeled as a
+            // hash of the doc id like the gate stub
             val after = Option(req.get("search_after")).filter(_.isArray)
               .map(_.get(0).asLong())
+            val sliceNode = req.path("slice")
+            val inSlice: FDoc => Boolean =
+              if (sliceNode.isObject) {
+                val sid = sliceNode.path("id").asInt(0)
+                val smax = math.max(1, sliceNode.path("max").asInt(1))
+                d => math.floorMod(d.id.hashCode, smax) == sid
+              } else _ => true
             docs.iterator.zipWithIndex
-              .filter { case (d, i) => inWindow(d) && after.forall(i > _) }
+              .filter { case (d, i) => inWindow(d) && inSlice(d) && after.forall(i > _) }
               .take(size)
               .map { case (d, i) => hitJson(d, Some(i.toLong)) }
               .mkString(",")
@@ -173,6 +183,31 @@ private[graft] object PaginationFuzz {
       require(guard < 100000, "runaway page loop")
     }
     out.result()
+  }
+
+  /** Drain every slice of a sliced-PIT whole-window scan sequentially;
+    * None when the server has no PIT support (the production fallback).
+    */
+  def drainSlices(server: HttpServer, batch: Int, startMs: Long, stopMs: Long,
+      sliceMax: Int): Option[Seq[String]] = {
+    val client = new EsHttpClient(s"http://127.0.0.1:${server.getAddress.getPort}")
+    val out = Seq.newBuilder[String]
+    for (sid <- 0 until sliceMax) {
+      client.slicedDocs("idx", batch, startMs, stopMs, sid, sliceMax, Seq.empty) match {
+        case None => return None
+        case Some(src) =>
+          var doc = src.next()
+          var guard = 0
+          while (doc != null) {
+            out += doc.path("id").asText()
+            doc = src.next()
+            guard += 1
+            require(guard < 100000, "runaway slice loop")
+          }
+          src.close()
+      }
+    }
+    Some(out.result())
   }
 
   val Base = 1704000000000L
@@ -228,6 +263,7 @@ private[graft] object PaginationFuzz {
       // REJECTED — drains must ride _shard_doc), half the pre-PIT one
       val server = serve(docs, cap, windowError = rnd.nextBoolean(),
         pitMode = rnd.nextBoolean())
+      val sliceMax = 2 + rnd.nextInt(5) // drawn every trial: seed-stable shape
       try {
         val got = drain(server, batch, start, stop)
         require(got.sorted == got.distinct.sorted,
@@ -236,6 +272,19 @@ private[graft] object PaginationFuzz {
           s"pagination fuzz trial $trial (seed $seed, n=$nDocs span=$span batch=$batch " +
             s"cap=$cap srcless=$sourcelessEvery window=[$start,$stop)): " +
             s"got ${got.size}, want ${expected.size}")
+        // the PARALLEL whole-window form against the same corpus/window:
+        // the union of all slices must be the same exactly-once row set
+        // (server disjointness x strictly-advancing cursors), through the
+        // same size-cap halving and sourceless raw-count machinery
+        drainSlices(server, batch, start, stop, sliceMax) match {
+          case Some(sliced) =>
+            require(sliced.sorted == sliced.distinct.sorted,
+              s"sliced fuzz trial $trial (seed $seed): duplicate across slices")
+            require(sliced.toSet == expected.toSet,
+              s"sliced fuzz trial $trial (seed $seed, slices=$sliceMax batch=$batch " +
+                s"cap=$cap): got ${sliced.size}, want ${expected.size}")
+          case None => // pre-PIT posture: the sliced path correctly declined
+        }
       } finally server.stop(0)
     }
   }
