@@ -102,6 +102,27 @@ class EsSlicedScanSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("the streaming tail slices its micro-batch windows too (exactly-once into the sink)") {
+    val docs = corpus(240)
+    val sliceSeen = new ConcurrentLinkedQueue[Int]()
+    val server = graft.queries.LiveQueries.startStub(docs, pitMode = true,
+      sliceSeen = sliceSeen)
+    try {
+      val q = spark.readStream.format("graft-status-live")
+        .option("url", url(server)).option("batchSize", "64")
+        .option("slices", "4").load()
+        .select(col("id"))
+        .writeStream.format("memory").queryName("sliced_tail").start()
+      try q.processAllAvailable() finally q.stop()
+      val ids = spark.sql("SELECT id FROM sliced_tail").collect().map(_.getString(0))
+      assert(ids.length === 240 && ids.toSet.size === 240,
+        "a sliced micro-batch window delivers exactly once")
+      import scala.jdk.CollectionConverters._
+      assert(sliceSeen.asScala.toSet === Set(0, 1, 2, 3),
+        "the tail's window reads fan into all four slices")
+    } finally server.stop(0)
+  }
+
   test("subject fan-out and DESC top-K keep their own plans (slices never apply)") {
     val docs = corpus(200)
     val server = graft.queries.LiveQueries.startStub(docs, pitMode = true)
