@@ -5,7 +5,11 @@ Runs graft.Verify at a given SF dir, then executes each oracle SQL in DuckDB
 over the same parquet tables and compares: schema (column names), row count,
 and a hash of all values with columns sorted by name and rows sorted.
 
-Usage: python3 tools/check_oracle.py [sfdir] [outdir]
+Usage: python3 tools/check_oracle.py [sfdir] [outdir] [q1,q2,...]
+
+An optional third argument (comma-separated query names) runs and
+compares ONLY that subset — the fast loop while iterating on one entry;
+omit it for the full gate.
 """
 import json
 import math
@@ -19,6 +23,7 @@ import duckdb
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+ONLY = sys.argv[3] if len(sys.argv) > 3 else None
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 # JVM flags mirroring build.sbt's forked-run options (Spark 4 on JDK 17).
@@ -73,7 +78,7 @@ def run_verify_from_snapshot():
         f"-Xmx{os.environ.get('SPARK_DRIVER_MEM', '32g')}",
         "-cp", f"{snap}:/opt/spark/jars/*",
         "graft.Verify", SF, OUT,
-    ]
+    ] + ([ONLY] if ONLY else [])
     r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
     shutil.rmtree(snap, ignore_errors=True)
     if r.returncode != 0:
@@ -111,6 +116,9 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
     oracles = json.load(open(f"{OUT}/oracle_sql.json"))
+    if ONLY:
+        wanted = set(ONLY.split(","))
+        oracles = {k: v for k, v in oracles.items() if k in wanted}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
