@@ -96,6 +96,41 @@ class LiveTlsSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("the full wire posture composes: mTLS + gzip + basic auth in one round") {
+    val server = ChSignalStub.start(TlsStub.httpsServer(m, needClientAuth = true),
+      gzip = true, auth = Some(("ops", "pw-42")))
+    try {
+      val base = url(server)
+      val wire = TlsStub.clientWire(m, mtls = true)
+        .copy(gzip = true, username = Some("ops"), password = Some("pw-42"))
+      val client = new ClickHouseHttpClient(base, timeoutMs = 5000, wire = wire)
+      client.execute(ClickHouseDdl.signalTableDdl(graft.sources.SignalLiveSource.Schema))
+      client.insertCsv("signal",
+        Seq("token_id", "timestamp", "name", "value_number", "value_string"),
+        (1 to 50).map(i => s"""$i,${1700000000L + i}.000000,"speed",$i.0,""")
+          .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
+        dedupToken = Some("graft-compose-1"))
+      assert(client.query("SELECT count() FROM `signal`").head(0).toLong === 50L)
+      // streamed read through handshake + inflater + auth, all at once
+      val it = client.queryStream("SELECT `token_id` FROM `signal` WHERE `token_id` >= 1")
+      try assert(it.map(_(0).toLong).toVector.sorted === (1L to 50L).toVector)
+      finally it.close()
+      // and the DSv2 read plumbs the same composed wire from options
+      import spark.implicits._
+      val live = spark.read.format("graft-signal-live")
+        .option("url", base)
+        .option("tlsTruststore", m.truststore)
+        .option("tlsTruststorePassword", m.password)
+        .option("tlsKeystore", m.clientKeystore)
+        .option("tlsKeystorePassword", m.password)
+        .option("compression", "gzip")
+        .option("username", "ops").option("password", "pw-42")
+        .load()
+      assert(live.select($"token_id").collect().map(_.getLong(0)).sorted
+        === (1L to 50L).toArray)
+    } finally server.stop(0)
+  }
+
   test("graft-signal-live DSv2 write + read runs end-to-end over mTLS") {
     val server = ChSignalStub.start(TlsStub.httpsServer(m, needClientAuth = true))
     try {
