@@ -31,7 +31,7 @@ object ChSignalStub {
       it.startsWith("toUnixTimestamp64Micro(max(") || it.startsWith("quantiles(")
 
   private val Quantiles = java.util.regex.Pattern.compile(
-    "quantiles\\(([0-9.,]+)\\)\\(`token_id`\\)")
+    "quantiles\\(([0-9.,]+)\\)\\((`token_id`|toUnixTimestamp64Micro\\(`timestamp`\\))\\)")
 
   /** Parse one WHERE atom into a row predicate; None = outside grammar. */
   private def atom(a: String): Option[SRow => Boolean] = {
@@ -106,18 +106,21 @@ object ChSignalStub {
       case "max(`value_string`)" =>
         Some(rows.flatMap(_.str).maxOption.map(esc).getOrElse("\\N"))
       case q if q.startsWith("quantiles(") && quantilesSupported =>
-        // the balanced-planning probe: CH's quantiles(...)(col) renders a
+        // the balanced-planning probes: CH's quantiles(...)(col) renders a
         // TabSeparated array like [3,7.5,12]; an empty set renders nans
-        // (the client's parse failure then degrades it to equal-width)
+        // (the client's parse failure then degrades it to equal-width).
+        // Two column forms — token ids (the range plan) and epoch-micro
+        // timestamps (the sub-token cuts a hot token is split by).
         val m = Quantiles.matcher(q)
         if (!m.matches()) None
         else {
           val ps = m.group(1).split(',').map(_.toDouble)
-          val toks = rows.map(_.token).sorted
+          val xs = (if (m.group(2) == "`token_id`") rows.map(_.token)
+            else rows.map(_.us)).sorted
           val vals = ps.map { p =>
-            if (toks.isEmpty) "nan"
-            else toks(math.min(toks.size - 1,
-              math.round(p * (toks.size - 1)).toInt)).toString
+            if (xs.isEmpty) "nan"
+            else xs(math.min(xs.size - 1,
+              math.round(p * (xs.size - 1)).toInt)).toString
           }
           Some(vals.mkString("[", ",", "]"))
         }
@@ -254,13 +257,16 @@ object ChSignalStub {
           ).getOrElse(matched0)
           Option(m.group(3)) match {
             case Some(g) => // aggregate with GROUP BY (one row per group)
+              // the quantiles flag threads through EVERY item() call site:
+              // a quantiles-less server must refuse the function in any
+              // statement shape, or the stub could mask a probe regression
               val groupExprs = g.split(", ").toSeq
               val out = matched.groupBy(r => groupExprs.map(ge =>
-                item(ge, Seq(r), Some(r)).getOrElse {
+                item(ge, Seq(r), Some(r), quantiles).getOrElse {
                   respond(ex, 400, s"unsupported group expr: $ge"); return
                 })).toSeq.sortBy(_._1.mkString("\t"))
                 .map { case (_, rs) =>
-                  items.map(it => item(it, rs, rs.headOption).getOrElse {
+                  items.map(it => item(it, rs, rs.headOption, quantiles).getOrElse {
                     respond(ex, 400, s"unsupported select item: $it"); return
                   }).mkString("\t")
                 }
@@ -283,7 +289,7 @@ object ChSignalStub {
                 respond(ex, 400, s"unsupported select item: $bad"); return
               }
               val sel = matched.iterator.map { r =>
-                items.map(it => item(it, Seq(r), Some(r)).get).mkString("\t")
+                items.map(it => item(it, Seq(r), Some(r), quantiles).get).mkString("\t")
               }
               val capped = limit.map(sel.take).getOrElse(sel)
               val compress = gzip && acceptsGzip(ex)

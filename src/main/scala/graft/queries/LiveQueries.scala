@@ -64,9 +64,21 @@ object LiveQueries {
       sizeCap: Int = Int.MaxValue,
       pitMode: Boolean = false,
       sliceSeen: java.util.concurrent.ConcurrentLinkedQueue[Int] =
-        new java.util.concurrent.ConcurrentLinkedQueue[Int]()): HttpServer = {
+        new java.util.concurrent.ConcurrentLinkedQueue[Int](),
+      pitOpened: java.util.concurrent.atomic.AtomicLong =
+        new java.util.concurrent.atomic.AtomicLong,
+      pitTransientFailures: Int = 0,
+      slicedSubjects: java.util.concurrent.ConcurrentLinkedQueue[String] =
+        new java.util.concurrent.ConcurrentLinkedQueue[String](),
+      servedSliced: java.util.concurrent.atomic.AtomicLong =
+        new java.util.concurrent.atomic.AtomicLong): HttpServer = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val pitSeq = new java.util.concurrent.atomic.AtomicLong()
+    // ids actually ISSUED: a search under an unknown PIT id is a 400,
+    // like a real ES ("No search context found") — pins that every slice
+    // rides the DRIVER's shared snapshot, not a homemade id
+    val issuedPits = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val pitFails = new java.util.concurrent.atomic.AtomicInteger(pitTransientFailures)
     val server = loopbackServer(1024)
     val tf = new java.util.concurrent.ThreadFactory {
       override def newThread(r: Runnable): Thread = {
@@ -106,8 +118,21 @@ object LiveQueries {
           // posture); a 404 makes the client fall back to the `_id` drain
           ex.getRequestBody.readAllBytes()
           if ("POST" == ex.getRequestMethod && pitMode) {
-            val b = s"""{"id":"pit-${pitSeq.incrementAndGet()}"}"""
-              .getBytes(StandardCharsets.UTF_8)
+            if (pitFails.getAndDecrement() > 0) {
+              // an injected transient blip: the client must RETRY (and
+              // surface a task/planning failure if retries exhaust) —
+              // never silently conclude "no PIT support"
+              val b = """{"error":"stub transient overload"}"""
+                .getBytes(StandardCharsets.UTF_8)
+              ex.sendResponseHeaders(503, b.length)
+              ex.getResponseBody.write(b)
+              ex.close()
+              return
+            }
+            pitOpened.incrementAndGet()
+            val id = s"pit-${pitSeq.incrementAndGet()}"
+            issuedPits.add(id)
+            val b = s"""{"id":"$id"}""".getBytes(StandardCharsets.UTF_8)
             ex.sendResponseHeaders(200, b.length)
             ex.getResponseBody.write(b)
           } else if ("DELETE" == ex.getRequestMethod) {
@@ -198,6 +223,15 @@ object LiveQueries {
           // `slice: {id, max}` (the parallel-scan form) partitions docs
           // into disjoint subsets the way a real ES does server-side —
           // opaque to the client, modeled here as a hash of the doc id
+          if (!issuedPits.contains(req.path("pit").path("id").asText(""))) {
+            val err = """{"error":{"type":"search_context_missing_exception",""" +
+              """"reason":"No search context found for id"}}"""
+            val bytes = err.getBytes(StandardCharsets.UTF_8)
+            ex.sendResponseHeaders(400, bytes.length)
+            ex.getResponseBody.write(bytes)
+            ex.close()
+            return
+          }
           val after = Option(req.get("search_after")).filter(_.isArray)
             .map(_.get(0).asLong())
           val sliceNode = req.path("slice")
@@ -206,6 +240,7 @@ object LiveQueries {
               val sid = sliceNode.path("id").asInt(0)
               val smax = math.max(1, sliceNode.path("max").asInt(1))
               sliceSeen.add(sid)
+              subject.foreach(slicedSubjects.add) // hot-subject drains pin here
               d => math.floorMod(d.id.hashCode, smax) == sid
             } else _ => true
           val picked = docs.iterator.zipWithIndex
@@ -218,6 +253,10 @@ object LiveQueries {
                 after.forall(i > _)
             }.take(size).toSeq
           served.addAndGet(picked.size.toLong)
+          // sliced-drain docs tracked separately: a hot subject's
+          // exactly-once-across-slices pin needs the sliced tally alone
+          // (cold loops legitimately re-serve page-boundary docs)
+          if (sliceNode.isObject) servedSliced.addAndGet(picked.size.toLong)
           val hits = picked.map { case (d, i) =>
             val src = if (signalMode) d.signalJson.get else d.json
             s"""{"_index":"device-status","_id":"${d.id}","_source":$src,"sort":[$i]}"""
@@ -1572,6 +1611,80 @@ object LiveQueries {
              GROUP BY 1"""),
     ),
 
+    // ── HOT-SUBJECT sliced drain (r15): a subject-constrained scan fans
+    //    per-subject page loops, so ONE deep-history device serialized
+    //    through a single sequential loop no matter how many executors
+    //    idled — the last single-task shape in the live tier (and the
+    //    reference's own deployment shape: 113 pinned tokens, some far
+    //    hotter than others). With `slices=8`, planning runs ONE terms
+    //    probe over the pushed subject set, spots subjects whose window
+    //    exceeds `hotSubjectPages` pages, and fans EACH across 8
+    //    sliced-PIT tasks (the slice composes with the match clause
+    //    server-side) over ONE shared snapshot; cold subjects keep their
+    //    grouped loops. The entry maps ~20% of users onto one 'hot'
+    //    subject (≥20× any cold one), RAISES unless the stub counters
+    //    prove the hot subject's docs were served across all 8 slices
+    //    EXACTLY once while only it rode the sliced path — then the
+    //    DuckDB compare catches any loss/duplication in the decode.
+    QueryDef(
+      "q234_live_es_hot_subject",
+      (s, d) => {
+        val evs = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(
+            when(col("user_id") % 5 === 0, lit("hot"))
+              .otherwise(col("user_id").cast("string")).as("subject"),
+            expr("unix_micros(ts)").as("tsu"),
+            round(col("value") * 100).cast(LongType).as("cents"))
+          .collect() // seeds the TEST DOUBLE; the measured read is below
+        val docs: IndexedSeq[StubDoc] =
+          evs.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+            val (subj, tsu, cents) = (r.getString(0), r.getLong(1), r.getLong(2))
+            val iso = java.time.Instant.ofEpochSecond(tsu / 1000000L, (tsu % 1000000L) * 1000L)
+            StubDoc(s"hs$i", subj, tsu,
+              s"""{"id":"hs$i","subject":"$subj","source":"dimo/integration/live",""" +
+                s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v2.0",""" +
+                s""""type":"com.dimo.device.status","data":{"cents":$cents}}""")
+          }
+        val hotTotal = docs.count(_.subject == "hot").toLong
+        val subjects = docs.map(_.subject).distinct
+        val sliceSeen = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+        val slicedSubjects = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val servedSliced = new java.util.concurrent.atomic.AtomicLong
+        val server = startStub(docs, pitMode = true, sliceSeen = sliceSeen,
+          slicedSubjects = slicedSubjects, servedSliced = servedSliced)
+        try {
+          val live = s.read.format("graft-status-live")
+            .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+            .option("batchSize", "64").option("slices", "8")
+            .option("hotSubjectPages", "2").load()
+            .where(col("subject").isin(subjects: _*))
+          val out = live
+            .select(col("subject"),
+              get_json_object(col("data"), "$.cents").cast("long").as("cents"))
+            .groupBy(col("subject"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("cents")).as("cents"))
+            .localCheckpoint(true) // materialize THROUGH the hot-sliced stack
+          import scala.jdk.CollectionConverters._
+          require(slicedSubjects.asScala.toSet == Set("hot"),
+            s"only the hot subject may ride the sliced drain, saw ${slicedSubjects.asScala.toSet}")
+          require(sliceSeen.asScala.toSet == (0 until 8).toSet,
+            s"expected the hot subject across all 8 slices, saw ${sliceSeen.asScala.toSet}")
+          require(servedSliced.get() == hotTotal,
+            s"sliced path served ${servedSliced.get()} docs for a $hotTotal-doc hot subject " +
+              "(slice overlap or loss)")
+          out
+        } finally server.stop(0)
+      },
+      Some("""WITH m AS (
+               SELECT CASE WHEN user_id % 5 = 0 THEN 'hot'
+                           ELSE CAST(user_id AS VARCHAR) END AS subject,
+                      CAST(round(value*100) AS BIGINT) AS cents
+               FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+             SELECT subject, count(*)::BIGINT AS n_docs, sum(cents)::BIGINT AS cents
+             FROM m GROUP BY 1"""),
+    ),
+
     // ── The reference's CONTINUOUS pipeline over BOTH wires (r14):
     //    `readStream` from live ES → transform → `writeStream` into live
     //    CH (its loop tails ES and inserts into CH forever, sync.go:92-125
@@ -1716,6 +1829,75 @@ object LiveQueries {
                sum(cents)::BIGINT AS cents,
                max(token_id)::BIGINT AS max_token
              FROM sig GROUP BY 1"""),
+    ),
+
+    // ── SUB-TOKEN timestamp cuts (r15): q233 balances across token
+    //    boundaries, but the commonest real skew is SINGLE-KEY — one hot
+    //    device owning most of the table, which no token-granular cut can
+    //    split (the quantiles collapse onto it and its whole history
+    //    lands in one task). Planning now detects the collapse (a raw
+    //    quantile value repeated ≥3 times), asks the store for that
+    //    token's TIMESTAMP quantiles, and plans
+    //    `token_id = hot AND ts ∈ [a,b)` partitions — still index-local
+    //    reads (the primary key is (token_id, timestamp)), still
+    //    disjoint and gap-free. The entry seeds ~90% of rows into one
+    //    token, RAISES unless the hot token actually planned ≥2
+    //    timestamp sub-ranges AND no partition owns >55% of rows, then
+    //    reads back through the DSv2 scan for the oracle compare.
+    QueryDef(
+      "q235_live_ch_subtoken",
+      (s, d) => {
+        import graft.sources.{ClickHouseDdl, ClickHouseHttpClient}
+        import org.apache.spark.sql.types._
+        val signals = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(
+            // the skew: ~90% of users fold into token 7 (one hot device)
+            when(col("user_id") % 10 =!= 0, lit(7L))
+              .otherwise(col("user_id").cast(LongType)).as("token_id"),
+            col("ts").cast(TimestampType).as("timestamp"),
+            col("event_type").cast(StringType).as("name"),
+            round(col("value") * 100).cast(DoubleType).as("value_number"),
+            col("event_id").cast(StringType).as("value_string"))
+          .repartition(8)
+        val server = ChSignalStub.start()
+        try {
+          val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+          new ClickHouseHttpClient(base)
+            .execute(ClickHouseDdl.signalTableDdl(graft.sources.SignalLiveSource.Schema))
+          signals.write.format("graft-signal-live")
+            .option("url", base).mode("append").save()
+          // plan audit BEFORE any oracle math: the hot token must have
+          // split by timestamp, and the split must actually balance
+          val scan = new graft.sources.SignalLiveScanBuilder(base, "signal", 4)
+            .build().asInstanceOf[graft.sources.SignalLiveScan]
+          val client = new ClickHouseHttpClient(base)
+          val parts = scan.planInputPartitions().toSeq
+            .map(_.asInstanceOf[graft.sources.SignalLivePartition])
+          require(parts.count(_.sql.contains("`token_id` = 7 AND `timestamp`")) >= 2,
+            s"hot token kept one task (sub-token cuts did not plan): ${parts.map(_.sql)}")
+          val counts = parts.map(p => client.query(p.sql).size.toLong)
+          val total = counts.sum
+          require(counts.forall(_ > 0), s"empty partition under single-key skew: $counts")
+          require(counts.max.toDouble / total < 0.55,
+            s"one task owns the hot token's history: $counts")
+          s.read.format("graft-signal-live")
+            .option("url", base).option("partitions", "4").load()
+            .groupBy(col("name"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("value_number")).cast(LongType).as("cents"),
+              countDistinct(col("token_id")).as("n_tokens"),
+              expr("max(unix_micros(timestamp))").as("newest_us"))
+            .localCheckpoint(true) // materialize THROUGH the sub-token plan
+        } finally server.stop(0)
+      },
+      Some("""SELECT event_type AS name, count(*)::BIGINT AS n_rows,
+               sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents,
+               count(DISTINCT CASE WHEN user_id % 10 <> 0 THEN 7
+                                   ELSE user_id END)::BIGINT AS n_tokens,
+               CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS newest_us
+             FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             GROUP BY 1"""),
     ),
 
     // ── LIVE CH streaming tail (r13): `readStream` over

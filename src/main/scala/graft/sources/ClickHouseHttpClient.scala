@@ -13,7 +13,8 @@ import org.apache.spark.sql.DataFrame
   * can legitimately be null on socket resets — an NPE there would replace
   * the original error AND defeat the retry).
   */
-private[graft] final class ChHttpStatusException(val statusCode: Int, body: String)
+private[graft] final class ChHttpStatusException(val statusCode: Int, body: String,
+    val retryAfterMs: Long = 0L)
     extends java.io.IOException(s"ClickHouse HTTP $statusCode: $body")
 
 /** LIVE ClickHouse client over CH's public HTTP interface — the wire half
@@ -73,6 +74,17 @@ private[graft] final class ClickHouseHttpClient(baseUrl: String, timeoutMs: Long
     b.build()
   }
 
+  /** `Retry-After` seconds from a throttling response, clamped to 15 s
+    * (the ES client's clamp, [[EsHttpClient.sendWithRetry]]) — CH's HTTP
+    * interface (or a proxy in front of it) can name a delay under 429,
+    * and honoring the server's own number beats blind exponential
+    * backoff on a genuinely overloaded cluster. Malformed ⇒ 0.
+    */
+  private def retryAfterMsOf[T](res: HttpResponse[T]): Long =
+    res.headers().firstValue("Retry-After").map[Long] { v =>
+      try math.min(v.trim.toLong * 1000L, 15000L) catch { case _: NumberFormatException => 0L }
+    }.orElse(0L)
+
   private def post(queryParam: Option[String], body: Array[Byte],
       retryTransport: Boolean = false, extraParams: String = "",
       bodyGzipped: Boolean = false): String = {
@@ -88,19 +100,21 @@ private[graft] final class ClickHouseHttpClient(baseUrl: String, timeoutMs: Long
       try {
         val res = http.send(req, HttpResponse.BodyHandlers.ofByteArray())
         if (res.statusCode() != 200)
-          throw new ChHttpStatusException(res.statusCode(), LiveHttp.bodyString(res))
+          throw new ChHttpStatusException(res.statusCode(), LiveHttp.bodyString(res),
+            retryAfterMsOf(res))
         return LiveHttp.bodyString(res)
       } catch {
         // a TRANSIENT overload status (429 rate limit, 502-504 proxy /
         // too-many-queries) retries like a dropped connection — but only
         // on the idempotent statements transport retry already covers
         // (SELECTs, tokened inserts); DDL and untokened inserts surface
-        // immediately
+        // immediately. A server-named `Retry-After` floors the delay
+        // (clamped to 15 s), same contract as the ES client.
         case e: ChHttpStatusException
             if retryTransport && attempt < 4 && (e.statusCode == 429 ||
               (e.statusCode >= 502 && e.statusCode <= 504)) =>
           attempt += 1
-          Thread.sleep(25L << attempt)
+          Thread.sleep(math.max(e.retryAfterMs, 25L << attempt).min(15000L))
         case e: ChHttpStatusException => throw e
         case _: java.io.IOException if retryTransport && attempt < 4 =>
           attempt += 1
@@ -176,19 +190,20 @@ private[graft] final class ClickHouseHttpClient(baseUrl: String, timeoutMs: Long
             new String(if (LiveHttp.isGzipResponse(r)) LiveHttp.gunzip(bytes) else bytes,
               StandardCharsets.UTF_8).trim
           } finally r.body().close()
-          throw new ChHttpStatusException(r.statusCode(), body)
+          throw new ChHttpStatusException(r.statusCode(), body, retryAfterMsOf(r))
         }
         // gunzip INCREMENTALLY when the server compressed (inflate as
         // bytes arrive — a compressed response stream stays a stream)
         reader = LiveHttp.lineStream(r)
       } catch {
         // transient overload statuses retry here too — no row has flowed
-        // yet (the stream hasn't opened), so an idempotent re-send is safe
+        // yet (the stream hasn't opened), so an idempotent re-send is
+        // safe; `Retry-After` floors the delay like the buffered path
         case e: ChHttpStatusException
             if attempt < 4 && (e.statusCode == 429 ||
               (e.statusCode >= 502 && e.statusCode <= 504)) =>
           attempt += 1
-          Thread.sleep(25L << attempt)
+          Thread.sleep(math.max(e.retryAfterMs, 25L << attempt).min(15000L))
         case e: ChHttpStatusException => throw e
         case _: java.io.IOException if attempt < 4 =>
           attempt += 1

@@ -154,27 +154,34 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     root
   }
 
-  /** Open a point-in-time over the index — the drain's preferred
-    * protocol on a real ES 8 (`_shard_doc` needs one, and sorting on
-    * `_id` is rejected without fielddata). ONE attempt, None on ANY
-    * failure (non-200, no id, transport error): PIT support is probed,
-    * never required — a server without it (older ES, a minimal stub)
-    * falls back to the `_id`-ascending drain form cleanly and cheaply.
+  /** Open a point-in-time over the index — the drain/slice protocol on a
+    * real ES 8 (`_shard_doc` needs one, and sorting on `_id` is rejected
+    * without fielddata). Support is PROBED, never required — but the two
+    * failure classes are DISTINCT: a server without the endpoint
+    * (400/404/405 — older ES, a minimal stub) returns None and the
+    * caller falls back to the `_id`-ascending drain / sequential loop;
+    * a TRANSIENT failure (connection drop, 429/502/503/504) retries
+    * through [[sendWithRetry]] like every other call and, if retries
+    * exhaust, THROWS. A blip must surface as a task/planning failure —
+    * swallowed into None it would silently decide "no PIT support",
+    * which on a parallel sliced scan means lost or duplicated slices.
     */
-  def openPit(index: String): Option[String] =
-    try {
-      val b = HttpRequest.newBuilder(URI.create(s"$baseUrl/$index/_pit?keep_alive=1m"))
-        .timeout(Duration.ofMillis(timeoutMs))
-        .header("Accept-Encoding", "gzip")
-        .POST(HttpRequest.BodyPublishers.noBody())
-      wire.basicAuth.foreach(b.header("Authorization", _))
-      val res = http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
-      if (res.statusCode() != 200) None
-      else {
+  def openPit(index: String): Option[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"$baseUrl/$index/_pit?keep_alive=1m"))
+      .timeout(Duration.ofMillis(timeoutMs))
+      .header("Accept-Encoding", "gzip")
+      .POST(HttpRequest.BodyPublishers.noBody())
+    wire.basicAuth.foreach(b.header("Authorization", _))
+    val res = sendWithRetry(b.build())
+    res.statusCode() match {
+      case 200 =>
         val id = mapper.readTree(LiveHttp.bodyString(res)).path("id")
         if (id.isTextual) Some(id.asText()) else None
-      }
-    } catch { case scala.util.control.NonFatal(_) => None }
+      case 400 | 404 | 405 => None // no PIT endpoint: the probed-absent answer
+      case other => throw new java.io.IOException(
+        s"failure status code $other opening point-in-time: ${LiveHttp.bodyString(res)}")
+    }
+  }
 
   /** Release a point-in-time (best-effort: an expired/unknown id is not
     * an error — the keep_alive reclaims it anyway).
@@ -605,78 +612,78 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     override def close(): Unit = endPit() // abandoned mid-drain: release the PIT
   }
 
-  /** One SLICE of a parallel whole-window scan — the scale path for an
-    * unfiltered (subject-less) live read, which the backward-paging loop
-    * serves as ONE sequential task (the reference has no such scan at
-    * all: its loops are per-token, sync.go:60-84 [ext]). ES's sliced
-    * search partitions a point-in-time's documents into `sliceMax`
-    * DISJOINT subsets server-side (`slice: {id, max}` +
-    * `sort: _shard_doc` + `search_after` — the protocol a production
-    * ES 8 serves natively); N Spark partitions each drain their own
-    * slice concurrently, so a full-index drain scales with the cluster
-    * instead of one page loop.
+  /** One SLICE of a parallel scan — the scale path for a live read the
+    * backward-paging loop would serve as ONE sequential task: the
+    * unfiltered whole-index drain, or one HOT subject's deep history
+    * (`subject` set — the slice composes with the per-subject match
+    * clause natively; the reference's loops are per-token and
+    * sequential, sync.go:60-84 [ext]). ES's sliced search partitions a
+    * point-in-time's documents into `sliceMax` DISJOINT subsets
+    * server-side (`slice: {id, max}` + `sort: _shard_doc` +
+    * `search_after` — the protocol a production ES 8 serves natively);
+    * N Spark partitions each drain their own slice concurrently.
     *
-    * Returns None when the server has no PIT support (the probe is one
-    * cheap POST): slicing NEEDS the snapshot (slices are defined against
-    * a fixed point-in-time), so the caller degrades to the sequential
-    * loop rather than risking a torn parallel read. Exactly-once within
-    * a slice is the cursor's (strictly advancing `_shard_doc` order);
-    * across slices it is the server's disjointness guarantee.
+    * `pitId` is the snapshot the PLANNER opened — ONCE, shared by every
+    * slice of the scan. Slices are defined against a single
+    * point-in-time: per-task PITs would snapshot N different moments,
+    * and under concurrent indexing a document arriving between two opens
+    * is visible to some slices and not others — exactly the torn
+    * parallel read slicing exists to avoid. For the same reason NO task
+    * closes the PIT (a sibling slice may still be draining); the 1m
+    * keep_alive, refreshed by every request, reclaims it server-side
+    * once the scan's last request lands.
     *
-    * Page-size rejections halve like everywhere else (`isPageTooLarge`);
-    * the cursor — not the page size — guarantees progress, so halving
-    * may go to 1. Exhaustion compares the RAW hit count (a
-    * `_source`-less hit must not end the slice early). The PIT is
-    * released at slice end and on abandoned readers (close()).
+    * Exactly-once within a slice is the cursor's (strictly advancing
+    * `_shard_doc` order); across slices it is the server's disjointness
+    * guarantee over the shared snapshot. Page-size rejections halve like
+    * everywhere else (`isPageTooLarge`); the cursor — not the page size
+    * — guarantees progress, so halving may go to 1. Exhaustion compares
+    * the RAW hit count (a `_source`-less hit must not end the slice
+    * early). Any other failure propagates: a sliced task must fail
+    * loudly, never emit a partial slice.
     */
   def slicedDocs(index: String, batchSize: Int, startMs: Long, stopMs: Long,
       sliceId: Int, sliceMax: Int, requiredFields: Seq[String],
-      envelopeIncludes: Seq[String] = Seq.empty): Option[DocSource with WireCounters] =
-    openPit(index).map { id =>
-      new DocSource with WireCounters {
-        import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual, LessThan}
-        override def skipped: Long = 0
-        private var pit: Option[String] = Some(id)
-        private var after: Option[JsonNode] = None
-        private var size = batchSize
-        private var page: Iterator[JsonNode] = Iterator.empty
-        private var done = false
-        private var pages = 0L
-        private var docsShipped = 0L
-        override def pagesFetched: Long = pages
-        override def docsFetched: Long = docsShipped
-        private val filters: Seq[Filter] = Seq(
-          GreaterThanOrEqual("time", startMs), LessThan("time", stopMs))
+      envelopeIncludes: Seq[String], pitId: String,
+      subject: Option[String] = None): DocSource with WireCounters =
+    new DocSource with WireCounters {
+      import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, LessThan}
+      override def skipped: Long = 0
+      private var after: Option[JsonNode] = None
+      private var size = batchSize
+      private var page: Iterator[JsonNode] = Iterator.empty
+      private var done = false
+      private var pages = 0L
+      private var docsShipped = 0L
+      override def pagesFetched: Long = pages
+      override def docsFetched: Long = docsShipped
+      private val filters: Seq[Filter] =
+        subject.map(s => EqualTo("subject", s): Filter).toSeq ++ Seq(
+          GreaterThanOrEqual("time", startMs): Filter, LessThan("time", stopMs): Filter)
 
-        private def endPit(): Unit = { pit.foreach(closePit); pit = None }
-
-        private def fetchPage(): Unit = pit match {
-          case None => done = true
-          case Some(pid) =>
-            try {
-              val (raw, _, lastSort, got) = rawPageOf(pitSearchTree(
-                EsQueryDsl.pitSearchAfterRequest(filters, requiredFields, size, pid,
-                  after, envelopeIncludes, slice = Some((sliceId, sliceMax)))))
-              pages += 1
-              docsShipped += raw
-              after = lastSort
-              // raw count decides exhaustion; a sort-less tail (a server
-              // that stopped returning cursors) must also end the slice
-              // rather than loop on a pinned cursor
-              if (raw < size || lastSort.isEmpty) { done = true; endPit() }
-              page = got.iterator.map(_._3)
-            } catch {
-              case e: java.io.IOException if size > 1 && isPageTooLarge(e) =>
-                size = math.max(1, size / 2)
-            }
+      private def fetchPage(): Unit =
+        try {
+          val (raw, _, lastSort, got) = rawPageOf(pitSearchTree(
+            EsQueryDsl.pitSearchAfterRequest(filters, requiredFields, size, pitId,
+              after, envelopeIncludes, slice = Some((sliceId, sliceMax)))))
+          pages += 1
+          docsShipped += raw
+          after = lastSort
+          // raw count decides exhaustion; a sort-less tail (a server
+          // that stopped returning cursors) must also end the slice
+          // rather than loop on a pinned cursor
+          if (raw < size || lastSort.isEmpty) done = true
+          page = got.iterator.map(_._3)
+        } catch {
+          case e: java.io.IOException if size > 1 && isPageTooLarge(e) =>
+            size = math.max(1, size / 2)
         }
 
-        override def next(): JsonNode = {
-          while (!page.hasNext && !done) fetchPage()
-          if (page.hasNext) page.next() else null
-        }
-        override def close(): Unit = endPit() // abandoned slice: release the PIT
+      override def next(): JsonNode = {
+        while (!page.hasNext && !done) fetchPage()
+        if (page.hasNext) page.next() else null
       }
+      override def close(): Unit = () // the SHARED pit outlives this slice (see scaladoc)
     }
 }
 

@@ -185,29 +185,31 @@ private[graft] object PaginationFuzz {
     out.result()
   }
 
-  /** Drain every slice of a sliced-PIT whole-window scan sequentially;
+  /** Drain every slice of a sliced-PIT whole-window scan sequentially —
+    * the PLANNER's pattern: one PIT probe up front, the id shared by
+    * every slice (a per-slice open would snapshot different moments).
     * None when the server has no PIT support (the production fallback).
     */
   def drainSlices(server: HttpServer, batch: Int, startMs: Long, stopMs: Long,
       sliceMax: Int): Option[Seq[String]] = {
     val client = new EsHttpClient(s"http://127.0.0.1:${server.getAddress.getPort}")
-    val out = Seq.newBuilder[String]
-    for (sid <- 0 until sliceMax) {
-      client.slicedDocs("idx", batch, startMs, stopMs, sid, sliceMax, Seq.empty) match {
-        case None => return None
-        case Some(src) =>
-          var doc = src.next()
-          var guard = 0
-          while (doc != null) {
-            out += doc.path("id").asText()
-            doc = src.next()
-            guard += 1
-            require(guard < 100000, "runaway slice loop")
-          }
-          src.close()
+    client.openPit("idx").map { pid =>
+      val out = Seq.newBuilder[String]
+      for (sid <- 0 until sliceMax) {
+        val src = client.slicedDocs("idx", batch, startMs, stopMs, sid, sliceMax,
+          Seq.empty, Seq.empty, pid)
+        var doc = src.next()
+        var guard = 0
+        while (doc != null) {
+          out += doc.path("id").asText()
+          doc = src.next()
+          guard += 1
+          require(guard < 100000, "runaway slice loop")
+        }
+        src.close()
       }
+      out.result()
     }
-    Some(out.result())
   }
 
   val Base = 1704000000000L

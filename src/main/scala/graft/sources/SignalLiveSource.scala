@@ -514,17 +514,30 @@ class SignalLiveScan(url: String, table: String, partitions: Int,
     * failure: a server (or grammar-strict stub) without the function
     * costs one failed planning statement, never a wrong plan.
     */
-  private def quantileCuts(m: Int): Seq[Long] =
-    if (m <= 1) Seq.empty
+  private def quantilesOf(fractions: Seq[Double], columnExpr: String,
+      extraWhere: Seq[String] = Nil): Seq[Long] =
+    if (fractions.isEmpty) Seq.empty
     else try {
-      val ps = (1 until m).map(i => f"${i.toDouble / m}%.6f").mkString(",")
-      val sql = s"SELECT quantiles($ps)(`token_id`) FROM `$table`" +
-        SignalLiveSource.whereClause(effectiveFilters)
+      // Locale.ROOT: the fraction literals must render with '.' decimal
+      // points on EVERY JVM locale — a comma-decimal default (de_DE)
+      // would malform the SQL, 400 every probe, and silently disable the
+      // skew fix with no signal
+      val ps = fractions.map(p =>
+        String.format(java.util.Locale.ROOT, "%.6f", Double.box(p))).mkString(",")
+      val sql = s"SELECT quantiles($ps)($columnExpr) FROM `$table`" +
+        SignalLiveSource.whereClause(effectiveFilters, extraWhere)
       new ClickHouseHttpClient(url, wire = wire).query(sql).headOption
         .map(_(0).stripPrefix("[").stripSuffix("]").split(",").toSeq
           .filter(_.nonEmpty).map(v => math.floor(v.trim.toDouble).toLong))
         .getOrElse(Seq.empty)
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** Raw token-id quantiles (duplicates KEPT — a value repeated r times
+    * marks a token owning ≳ (r−1)/m of the matched rows, the single-key
+    * skew signal the sub-token cuts act on).
+    */
+  private def quantileCuts(m: Int): Seq[Long] =
+    quantilesOf((1 until m).map(_.toDouble / m), "`token_id`")
 
   override def planInputPartitions(): Array[InputPartition] = envelope match {
     case None => Array.empty // no matching rows: no tasks, no round trips
@@ -543,8 +556,9 @@ class SignalLiveScan(url: String, table: String, partitions: Int,
       // balanced bounds when the store answers quantiles; equal-width
       // otherwise. Coverage is identical either way: consecutive sorted
       // cuts from min, last range capped at max+1 — disjoint, gap-free.
+      val rawQs = quantileCuts(m)
       val cuts: Seq[(BigInt, BigInt)] = {
-        val qs = quantileCuts(m).filter(c => c > minTok && c <= maxTok)
+        val qs = rawQs.filter(c => c > minTok && c <= maxTok).distinct
         val los = (BigInt(minTok) +: qs.map(BigInt(_))).distinct.sorted
         if (los.length > 1)
           los.zip(los.drop(1) :+ (BigInt(maxTok) + 1)).filter { case (a, b) => a < b }
@@ -555,12 +569,61 @@ class SignalLiveScan(url: String, table: String, partitions: Int,
         else (0 until m).map { i =>
           (BigInt(minTok) + i * per, (BigInt(minTok) + (i + 1) * per).min(BigInt(maxTok) + 1))
         }
-      bounds.map { case (loBig, hiBig) =>
-        val lo = loBig.toLong
-        // the last range's upper bound may be Long.MaxValue + 1 — not
-        // representable, and not needed: emit only the lower bound there
-        val range = Seq(s"`token_id` >= $lo") ++
-          (if (hiBig <= BigInt(Long.MaxValue)) Seq(s"`token_id` < ${hiBig.toLong}") else Nil)
+      // SUB-TOKEN timestamp cuts — the skew one level below q233's fix:
+      // token-granular quantile cuts collapse onto a HOT token (a raw
+      // quantile value repeated r ≥ 3 times ⇒ that token owns ≳ (r−1)/m
+      // of the rows, past 2× the per-partition target), and no token
+      // boundary can split it — the hot token's whole history lands in
+      // one task. One more quantiles statement per hot token asks the
+      // store for ITS timestamp cut points (same primary key: the table
+      // orders by (token_id, timestamp), so each sub-range is still an
+      // index-local read) and the token becomes
+      // `token_id = hot AND ts ∈ [a, b)` partitions. Same degrade
+      // posture as the token probe: a failed statement leaves the token
+      // whole — coarser, never wrong.
+      val hotTokens: Map[Long, Int] = rawQs.groupBy(identity)
+        .collect { case (v, g) if g.size >= 3 => (v, g.size) }
+      def tsRanges(v: Long, mult: Int): Seq[Seq[String]] = {
+        val sub = mult + 1 // ≈ the token's share in per-partition targets
+        val tsCuts = quantilesOf((1 until sub).map(_.toDouble / sub),
+          "toUnixTimestamp64Micro(`timestamp`)", Seq(s"`token_id` = $v"))
+          .distinct.sorted
+        val eq = s"`token_id` = $v"
+        if (tsCuts.isEmpty) Seq(Seq(eq)) // probe failed/degenerate: whole token
+        else (None +: tsCuts.map(Option(_))).zip(tsCuts.map(Option(_)) :+ None)
+          .map { case (a, b) =>
+            // first sub-range unbounded below, last unbounded above —
+            // gap-free over the token's whole history by construction
+            Seq(eq) ++
+              a.map(x => s"`timestamp` >= fromUnixTimestamp64Micro($x)") ++
+              b.map(x => s"`timestamp` < fromUnixTimestamp64Micro($x)")
+          }
+      }
+      def conj(lo: BigInt, hi: BigInt): Seq[String] =
+        // an upper bound past Long.MaxValue is unrepresentable and
+        // unneeded: emit only the lower bound there
+        Seq(s"`token_id` >= ${lo.toLong}") ++
+          (if (hi <= BigInt(Long.MaxValue)) Seq(s"`token_id` < ${hi.toLong}") else Nil)
+      val ranges: Seq[Seq[String]] = bounds.flatMap { case (loBig, hiBig) =>
+        val hotsIn = hotTokens.keysIterator
+          .filter(v => BigInt(v) >= loBig && BigInt(v) < hiBig).toSeq.sorted
+        if (hotsIn.isEmpty) Seq(conj(loBig, hiBig))
+        else {
+          // carve each hot token out of its range: [lo, v) ++ the
+          // token's timestamp sub-ranges ++ [v+1, hi) — disjoint and
+          // gap-free, so coverage is unchanged
+          var lo = loBig
+          val out = Seq.newBuilder[Seq[String]]
+          hotsIn.foreach { v =>
+            if (BigInt(v) > lo) out += conj(lo, BigInt(v))
+            out ++= tsRanges(v, hotTokens(v))
+            lo = BigInt(v) + 1
+          }
+          if (lo < hiBig) out += conj(lo, hiBig)
+          out.result()
+        }
+      }
+      ranges.map { range =>
         val sql = pushedAgg match {
           case Some(pa) =>
             s"SELECT ${pa.selectList} FROM `$table`" +

@@ -86,7 +86,8 @@ class StatusLiveSource extends TableProvider
       Option(properties.get("termsSize")).map(_.toInt)
         .getOrElse(EsHttpClient.MaxTermsSize),
       LiveWire.fromOptions(k => Option(properties.get(k))),
-      Option(properties.get("slices")).map(_.toInt).getOrElse(1))
+      Option(properties.get("slices")).map(_.toInt).getOrElse(1),
+      Option(properties.get("hotSubjectPages")).map(_.toInt).getOrElse(8))
 }
 
 object StatusLiveSource {
@@ -203,14 +204,15 @@ class StatusLiveTable(url: String, index: String, batchSize: Int,
     census: Option[Seq[String]] = None,
     termsSize: Int = EsHttpClient.MaxTermsSize,
     wire: LiveWire = LiveWire.default,
-    slices: Int = 1) extends Table with SupportsRead {
+    slices: Int = 1,
+    hotSubjectPages: Int = 8) extends Table with SupportsRead {
   override def name(): String = s"graft_status_live($url/$index)"
   override def schema(): StructType = StatusV2Source.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StatusLiveScanBuilder(url, index, batchSize, startMs, stopMs, signals, stopBySubject,
-      census, termsSize, wire, slices)
+      census, termsSize, wire, slices, hotSubjectPages)
 }
 
 class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
@@ -219,7 +221,8 @@ class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
     census: Option[Seq[String]] = None,
     termsSize: Int = EsHttpClient.MaxTermsSize,
     wire: LiveWire = LiveWire.default,
-    slices: Int = 1)
+    slices: Int = 1,
+    hotSubjectPages: Int = 8)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -363,7 +366,7 @@ class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
     new StatusLiveScan(url, index, batchSize, startMs, stopMs, signals, stopBySubject,
       pushed, required, limit, topN, topNDesc, census = census,
       pushedCount = pushedCount, pushedGroupCounts = pushedGroupCounts, wire = wire,
-      slices = slices)
+      slices = slices, termsSize = termsSize, hotSubjectPages = hotSubjectPages)
 }
 
 /** One live-scan partition: sequential page loops for a GROUP of
@@ -380,19 +383,27 @@ case class StatusLivePartition(url: String, index: String, batchSize: Int,
     stopBySubject: Map[String, Long] = Map.empty,
     perLoopCap: Int = -1) extends InputPartition
 
-/** One slice of a PARALLEL whole-window scan (`slices` option > 1, no
-  * subject constraints): the task drains slice `sliceId` of `sliceMax`
-  * through a sliced-PIT `search_after` loop
-  * ([[EsHttpClient.slicedDocs]]) — the server partitions the
-  * point-in-time's documents into disjoint subsets, so a full-index
-  * drain scales with the cluster. `perLoopCap` here is a pushed LIMIT
-  * (any subset satisfies it); DESC top-K never plans slices.
+/** One slice of a PARALLEL scan (`slices` option > 1): the task drains
+  * slice `sliceId` of `sliceMax` through a sliced-PIT `search_after`
+  * loop ([[EsHttpClient.slicedDocs]]) — the server partitions the
+  * point-in-time's documents into disjoint subsets. Two shapes plan
+  * this partition: the whole-window scan (no subject constraints —
+  * `subject` None) and ONE HOT SUBJECT's parallel drain (`subject` set:
+  * the slice composes with the per-subject match clause, so one device
+  * with a 100×-deep history stops serializing through a single page
+  * loop). `pitId` is the snapshot the PLANNER opened — shared by every
+  * slice, so all tasks read ONE point-in-time (per-task opens would
+  * tear the read under concurrent indexing). `perLoopCap` here is a
+  * pushed LIMIT (any subset satisfies it); DESC top-K never plans
+  * slices.
   */
 case class StatusLiveSlicePartition(url: String, index: String, batchSize: Int,
     startMs: Long, stopMs: Long, sliceId: Int, sliceMax: Int,
     requiredFields: Seq[String],
     envelopeIncludes: Seq[String] = Seq.empty,
-    perLoopCap: Int = -1) extends InputPartition
+    perLoopCap: Int = -1,
+    pitId: String,
+    subject: Option[String] = None) extends InputPartition
 
 /** A pushed COUNT(*)'s single partition: the probe already answered at
   * planning; the task just emits the partial row.
@@ -415,7 +426,9 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     pushedCount: Option[Long] = None,
     pushedGroupCounts: Option[Seq[(String, Long)]] = None,
     wire: LiveWire = LiveWire.default,
-    slices: Int = 1) extends Scan with Batch
+    slices: Int = 1,
+    termsSize: Int = EsHttpClient.MaxTermsSize,
+    hotSubjectPages: Int = 8) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -548,9 +561,30 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
 
   /** Partitions for one half-open [startMs, stopMs) window — the batch
     * scan uses the pushed/default window; the micro-batch stream calls
-    * this per offset range.
+    * this per offset range. MEMOIZED per (window, runtime-subject)
+    * state: Spark calls planInputPartitions more than once per action
+    * (partitioning inquiries, then execution), and the sliced forms
+    * open a point-in-time — the snapshot must be THE one the executed
+    * partitions carry, not one of several a repeated probe opened and
+    * nobody drains. A DPP runtime filter arriving between calls changes
+    * the key and re-plans; streaming windows differ per micro-batch, so
+    * every batch still opens a FRESH snapshot (new documents stay
+    * visible to the tail).
     */
-  private[sources] def partitionsFor(startMs: Long, stopMs: Long): Array[InputPartition] = {
+  private var planCache: Option[((Long, Long, Option[Set[String]]), Array[InputPartition])] = None
+  private[sources] def partitionsFor(startMs: Long, stopMs: Long): Array[InputPartition] =
+    synchronized {
+      val key = (startMs, stopMs, runtimeSubjects)
+      planCache match {
+        case Some((k, v)) if k == key => v
+        case _ =>
+          val v = planPartitionsFor(startMs, stopMs)
+          planCache = Some((key, v))
+          v
+      }
+    }
+
+  private def planPartitionsFor(startMs: Long, stopMs: Long): Array[InputPartition] = {
     // the reference's required-fields contract: the CONFIGURED signal
     // filter (sync.go:236-256) maps to `data.<originalName>` includes +
     // exists clauses. Without one, a scan whose pruned schema excludes
@@ -595,30 +629,86 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
         // the PARALLEL whole-window form: N sliced-PIT drains, one per
         // task ([[EsHttpClient.slicedDocs]]) — an unfiltered full-index
         // read scales with the cluster instead of one sequential page
-        // loop. A pushed DESC top-K keeps the sequential loop (its
+        // loop. The PIT is probed ONCE here on the DRIVER and the
+        // fallback decision is baked into the partitions: a PIT-less
+        // server (None) plans the single sequential loop — never a torn
+        // parallel read — while a transient probe failure THROWS at
+        // planning (openPit retries first; silence would lose or
+        // duplicate slices task-side). All slices share the one
+        // point-in-time: a single snapshot is what makes the server's
+        // slice disjointness a completeness guarantee under concurrent
+        // indexing. A pushed DESC top-K keeps the sequential loop (its
         // newest-first early stop reads K docs; slices read everything).
         // A pushed LIMIT caps each slice (any subset satisfies a limit —
         // Spark's global Limit re-applies above).
-        Array.tabulate(slices)(i => StatusLiveSlicePartition(url, index, pageSize,
-          startMs, stopMs, i, slices, requiredFields, envelopeIncludes,
-          perLoopCap = limit): InputPartition)
+        new EsHttpClient(url, wire = wire).openPit(index) match {
+          case Some(pid) =>
+            Array.tabulate(slices)(i => StatusLiveSlicePartition(url, index, pageSize,
+              startMs, stopMs, i, slices, requiredFields, envelopeIncludes,
+              perLoopCap = limit, pitId = pid): InputPartition)
+          case None => Array(StatusLivePartition(url, index, pageSize, startMs, stopMs,
+            None, requiredFields, envelopeIncludes, Map.empty, perLoopCap))
+        }
       case None => Array(StatusLivePartition(url, index, pageSize, startMs, stopMs,
         None, requiredFields, envelopeIncludes, Map.empty, perLoopCap))
       case Some(all) =>
+        // HOT-SUBJECT parallel drains (slices > 1): per-subject doc
+        // totals from ONE terms probe pick out subjects whose window
+        // exceeds `hotSubjectPages` pages — the reference's own
+        // deployment shape (113 pinned tokens, some far hotter than
+        // others): one deep-history device would otherwise serialize
+        // through a single sequential page loop no matter how many
+        // executors idle. Each hot subject plans its own slice set over
+        // ONE shared PIT (the slice composes with the match clause
+        // server-side); cold subjects keep their grouped loops. Any
+        // probe shortfall — approximate counts, no PIT endpoint, census
+        // past the terms cap — degrades to all-cold: the sequential
+        // plan, never a wrong one.
+        val hotCounts: Map[String, Long] =
+          if (slices <= 1 || topN >= 0 || all.length > termsSize) Map.empty
+          else {
+            val windowed: Seq[Filter] = Seq(
+              In("subject", all.toArray[Any]),
+              GreaterThanOrEqual("time", startMs), LessThan("time", stopMs))
+            val threshold = hotSubjectPages.toLong * batchSize
+            (try new EsHttpClient(url, wire = wire)
+              .groupCountsFor(index, windowed, "subject", termsSize)
+            catch { case scala.util.control.NonFatal(_) => None })
+              .map(_.iterator.filter(_._2 > threshold).toMap).getOrElse(Map.empty)
+          }
+        val pit: Option[String] =
+          if (hotCounts.isEmpty) None
+          else new EsHttpClient(url, wire = wire).openPit(index)
+        val (hot, cold) = all.partition(s => pit.isDefined && hotCounts.contains(s))
+        val hotParts: Seq[InputPartition] = pit.toSeq.flatMap { pid =>
+          hot.flatMap { s =>
+            // the subject's own watermark tightens its slice windows just
+            // like its sequential loop's
+            val stop = stopBySubject.get(s).map(math.min(_, stopMs)).getOrElse(stopMs)
+            (0 until slices).map(i => StatusLiveSlicePartition(url, index, pageSize,
+              startMs, stop, i, slices, requiredFields, envelopeIncludes,
+              perLoopCap = limit, pitId = pid, subject = Some(s)): InputPartition)
+          }
+        }
         // bounded fan-out: one task per GROUP of subjects (the reference
         // fans one goroutine per token, sync.go:60-84 — a cluster fans
         // tasks, but a 1M-device census must not become 1M tasks or 1M
         // concurrent page loops against the live cluster)
-        val groups = math.max(1, math.min(all.length, maxTasks))
-        val per = (all.length + groups - 1) / groups
-        all.grouped(per).map(g => StatusLivePartition(url, index, pageSize,
-          startMs, stopMs, Some(g), requiredFields, envelopeIncludes,
-          // each task ships only ITS subjects' stop overrides — a
-          // million-token watermark map never rides whole inside a task
-          // (per-group LOOKUPS, not a full-map scan per group: planning a
-          // 1M-token census must stay O(fleet), not O(fleet × groups))
-          g.iterator.flatMap(s => stopBySubject.get(s).map(v => s -> v)).toMap,
-          perLoopCap): InputPartition).toArray
+        val coldParts: Seq[InputPartition] =
+          if (cold.isEmpty) Seq.empty
+          else {
+            val groups = math.max(1, math.min(cold.length, maxTasks))
+            val per = (cold.length + groups - 1) / groups
+            cold.grouped(per).map(g => StatusLivePartition(url, index, pageSize,
+              startMs, stopMs, Some(g), requiredFields, envelopeIncludes,
+              // each task ships only ITS subjects' stop overrides — a
+              // million-token watermark map never rides whole inside a task
+              // (per-group LOOKUPS, not a full-map scan per group: planning a
+              // 1M-token census must stay O(fleet), not O(fleet × groups))
+              g.iterator.flatMap(s => stopBySubject.get(s).map(v => s -> v)).toMap,
+              perLoopCap): InputPartition).toSeq
+          }
+        (coldParts ++ hotParts).toArray
     }
   }
 
@@ -768,25 +858,16 @@ class StatusLiveReaderFactory(filters: Array[Filter], required: StructType,
         }
       case sp: StatusLiveSlicePartition =>
         val client = new EsHttpClient(sp.url, wire = wire)
-        // slicing NEEDS the point-in-time (slices are defined against a
-        // snapshot); without one the read degrades to the sequential loop
-        // on slice 0 — the other slices emit nothing, so the result is the
-        // single-task scan's, never a torn parallel read
+        // the PIT rode in from the PLANNER: one snapshot shared by every
+        // slice (per-task opens would snapshot N different moments — a
+        // torn parallel read under concurrent indexing), and the
+        // PIT-less fallback was already decided at planning (a PIT-less
+        // server never plans this partition). A wire failure here is a
+        // TASK failure — never a silent empty slice.
         val inner: DocSource with WireCounters =
           client.slicedDocs(sp.index, sp.batchSize, sp.startMs, sp.stopMs,
-            sp.sliceId, sp.sliceMax, sp.requiredFields, sp.envelopeIncludes)
-            .getOrElse {
-              if (sp.sliceId == 0)
-                client.pagedDocs(sp.index, sp.batchSize, sp.startMs, sp.stopMs,
-                  None, sp.requiredFields, sp.envelopeIncludes)
-              else new DocSource with WireCounters {
-                override def skipped: Long = 0
-                override def pagesFetched: Long = 0
-                override def docsFetched: Long = 0
-                override def next(): com.fasterxml.jackson.databind.JsonNode = null
-                override def close(): Unit = ()
-              }
-            }
+            sp.sliceId, sp.sliceMax, sp.requiredFields, sp.envelopeIncludes,
+            sp.pitId, sp.subject)
         val docs = capped(inner, sp.perLoopCap)
         return new StatusPartitionReader(docs, None, filters, required, limit,
           topN, topNDesc) {

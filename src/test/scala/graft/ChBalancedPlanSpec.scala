@@ -77,6 +77,52 @@ class ChBalancedPlanSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("a single hot token splits into timestamp sub-ranges (sub-token cuts)") {
+    // 90% of rows in ONE token: token-granular quantile cuts collapse
+    // (0.25/0.5/0.75 all land on the hot token) and no token boundary can
+    // split it — the plan must carve the token into
+    // `token_id = hot AND ts ∈ [a,b)` ranges balanced by the store's own
+    // timestamp quantiles, still disjoint and gap-free
+    val server = ChSignalStub.start()
+    try {
+      val base = url(server)
+      val client = new ClickHouseHttpClient(base)
+      client.execute(ClickHouseDdl.signalTableDdl(SignalLiveSource.Schema))
+      val sb = new StringBuilder
+      var us = 1700000000000000L
+      for (tok <- 1 to 4; _ <- 1 to 100) {
+        us += 1
+        sb.append(s"""$tok,${us / 1000000}.${f"${us % 1000000}%06d"},"speed",1.5,""").append('\n')
+      }
+      for (_ <- 1 to 3600) {
+        us += 1
+        sb.append(s"""7,${us / 1000000}.${f"${us % 1000000}%06d"},"speed",2.5,""").append('\n')
+      }
+      client.insertCsv("signal",
+        Seq("token_id", "timestamp", "name", "value_number", "value_string"),
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val total = 4000L
+      val scan = new graft.sources.SignalLiveScanBuilder(base, "signal", 4)
+        .build().asInstanceOf[graft.sources.SignalLiveScan]
+      val parts = scan.planInputPartitions().toSeq
+        .map(_.asInstanceOf[graft.sources.SignalLivePartition])
+      assert(parts.count(_.sql.contains("`token_id` = 7 AND `timestamp`")) >= 2,
+        s"the hot token must plan timestamp sub-ranges: ${parts.map(_.sql)}")
+      val counts = parts.map(p => client.query(p.sql).size.toLong)
+      assert(counts.sum === total, "sub-token ranges must still cover exactly")
+      assert(counts.forall(_ > 0), s"no empty partitions: $counts")
+      assert(counts.max.toDouble / total < 0.55,
+        s"the hot token's history may not land in one task: $counts")
+      // e2e through the DSv2 reader: same rows, exactly once
+      val live = spark.read.format("graft-signal-live")
+        .option("url", base).option("partitions", "4").load()
+      val got = live.select(col("token_id"),
+        expr("unix_micros(timestamp)").as("us")).collect()
+      assert(got.length.toLong === total)
+      assert(got.map(r => (r.getLong(0), r.getLong(1))).distinct.length.toLong === total)
+    } finally server.stop(0)
+  }
+
   test("a quantile-less server degrades to equal-width with identical results") {
     val server = ChSignalStub.start(quantiles = false)
     try {

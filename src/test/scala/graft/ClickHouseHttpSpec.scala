@@ -233,6 +233,44 @@ class ClickHouseHttpSpec extends SparkTestBase {
     } finally ss.close()
   }
 
+  test("a 429 with Retry-After floors the retry delay (server-named backoff, 15s clamp)") {
+    // first request: 429 + `Retry-After: 1`; second: the answer. The pin
+    // is the ORDERING the header imposes — the retry must not arrive
+    // before the named delay elapses (blind exponential backoff would
+    // re-send after ~50 ms), mirroring the ES client's contract.
+    val arrivals = new ConcurrentLinkedQueue[Long]()
+    val server = graft.queries.LiveQueries.loopbackServer()
+    server.createContext("/", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        arrivals.add(System.nanoTime())
+        ex.getRequestBody.readAllBytes()
+        if (arrivals.size() == 1) {
+          ex.getResponseHeaders.set("Retry-After", "1")
+          val err = "Code: 202. DB::Exception: Too many simultaneous queries"
+            .getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(429, err.length)
+          ex.getResponseBody.write(err)
+        } else {
+          val body = "42\n".getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, body.length)
+          ex.getResponseBody.write(body)
+        }
+        ex.close()
+      }
+    })
+    server.start()
+    try {
+      val c = new graft.sources.ClickHouseHttpClient(url(server))
+      val rows = c.query("SELECT count() FROM `signal`")
+      assert(rows.map(_.toSeq) === Seq(Seq("42")))
+      import scala.jdk.CollectionConverters._
+      val ts = arrivals.asScala.toSeq
+      assert(ts.size === 2, "one throttle, one retry")
+      assert(ts(1) - ts(0) >= 1000L * 1000000L,
+        "the retry arrived before the server-named Retry-After elapsed")
+    } finally server.stop(0)
+  }
+
   test("timestamps ship as zone-independent epoch decimals (micros), never local-time strings") {
     val captured = new ConcurrentLinkedQueue[(String, String)]()
     val server = startStub(captured)

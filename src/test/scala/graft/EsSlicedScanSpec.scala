@@ -46,8 +46,9 @@ class EsSlicedScanSpec extends SparkTestBase {
     val docs = corpus(500)
     val served = new java.util.concurrent.atomic.AtomicLong
     val sliceSeen = new ConcurrentLinkedQueue[Int]()
+    val pitOpened = new java.util.concurrent.atomic.AtomicLong
     val server = graft.queries.LiveQueries.startStub(docs, pitMode = true,
-      served = served, sliceSeen = sliceSeen)
+      served = served, sliceSeen = sliceSeen, pitOpened = pitOpened)
     try {
       val live = spark.read.format("graft-status-live")
         .option("url", url(server)).option("batchSize", "64")
@@ -60,6 +61,36 @@ class EsSlicedScanSpec extends SparkTestBase {
       assert(served.get() === 500L, "no document served twice (disjoint slices)")
       import scala.jdk.CollectionConverters._
       assert(sliceSeen.asScala.toSet === Set(0, 1, 2, 3), "all four slice ids requested")
+      // ONE point-in-time, opened by the planner, shared by every slice:
+      // per-task opens would snapshot 4 different moments — under
+      // concurrent indexing a doc arriving between opens is visible to
+      // some slices and not others (the torn read). The stub also 400s
+      // any search whose pit id it never issued, so the shared id is
+      // structurally enforced, not just counted. (getNumPartitions above
+      // plans once too — without caching this would read 2, not 1.)
+      assert(pitOpened.get() === 2L,
+        s"expected one PIT per planning pass (2 passes), saw ${pitOpened.get()}")
+    } finally server.stop(0)
+  }
+
+  test("a transient _pit failure retries at planning — never a silent fallback") {
+    // the ADVICE-high failure mode: a 503 blip on the PIT probe used to
+    // yield None ("no support") — on a non-zero slice that silently LOST
+    // the slice's rows, on slice 0 it re-read everything (duplicates).
+    // Now the probe retries transients like every other call and the
+    // sliced plan proceeds against the recovered server.
+    val docs = corpus(300)
+    val served = new java.util.concurrent.atomic.AtomicLong
+    val server = graft.queries.LiveQueries.startStub(docs, pitMode = true,
+      served = served, pitTransientFailures = 1)
+    try {
+      val live = spark.read.format("graft-status-live")
+        .option("url", url(server)).option("batchSize", "64")
+        .option("slices", "4").load()
+      val ids = live.select(col("id")).collect().map(_.getString(0))
+      assert(ids.length === 300 && ids.toSet.size === 300,
+        "the sliced plan must survive a transient PIT-probe blip exactly-once")
+      assert(served.get() === 300L, "no slice lost or duplicated after the retry")
     } finally server.stop(0)
   }
 
@@ -85,7 +116,7 @@ class EsSlicedScanSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
-  test("a PIT-less server degrades to the sequential loop with an identical result") {
+  test("a PIT-less server degrades to the sequential loop AT PLANNING with an identical result") {
     val docs = corpus(300)
     val sliceSeen = new ConcurrentLinkedQueue[Int]()
     val server = graft.queries.LiveQueries.startStub(docs, pitMode = false,
@@ -94,10 +125,14 @@ class EsSlicedScanSpec extends SparkTestBase {
       val live = spark.read.format("graft-status-live")
         .option("url", url(server)).option("batchSize", "64")
         .option("slices", "4").load()
-      assert(live.rdd.getNumPartitions === 4, "slices still plan (support is probed per task)")
+      // the fallback decision is the DRIVER's, baked into the plan: one
+      // sequential partition (probing per task left 3 idle tasks and let
+      // a task-side blip silently drop a slice — the ADVICE-high hole)
+      assert(live.rdd.getNumPartitions === 1,
+        "a PIT-less server must plan the single sequential loop")
       val ids = live.select(col("id")).collect().map(_.getString(0))
       assert(ids.length === 300 && ids.toSet.size === 300,
-        "slice 0's sequential fallback reads everything exactly once")
+        "the sequential fallback reads everything exactly once")
       assert(sliceSeen.isEmpty, "no slice request ever reached the PIT-less server")
     } finally server.stop(0)
   }
@@ -120,6 +155,48 @@ class EsSlicedScanSpec extends SparkTestBase {
       import scala.jdk.CollectionConverters._
       assert(sliceSeen.asScala.toSet === Set(0, 1, 2, 3),
         "the tail's window reads fan into all four slices")
+    } finally server.stop(0)
+  }
+
+  test("a HOT subject plans its own slice drains; cold subjects keep their loops") {
+    // one subject with a 20×-deep history: the per-subject page loop was
+    // the last single-task shape in the live tier — with slices=4 the
+    // planner's terms probe spots the hot subject and fans ITS window
+    // across 4 sliced-PIT tasks (the slice composes with the match
+    // clause server-side) over ONE shared snapshot, while cold subjects
+    // keep their grouped sequential loops
+    def doc(subject: String, i: Int): StubDoc = {
+      val ms = BaseMs + i * 1000L
+      val iso = java.time.Instant.ofEpochMilli(ms)
+      StubDoc(f"$subject-d$i%06d", subject, ms * 1000L,
+        s"""{"id":"$subject-$i","subject":"$subject","source":"dimo/integration/live",""" +
+          s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v2.0",""" +
+          s""""type":"com.dimo.device.status","data":{"i":$i}}""")
+    }
+    val docs: IndexedSeq[StubDoc] = (0 until 400).map(doc("hot", _)) ++
+      (0 until 5).flatMap(s => (0 until 20).map(doc(s"c$s", _)))
+    val sliceSeen = new ConcurrentLinkedQueue[Int]()
+    val pitOpened = new java.util.concurrent.atomic.AtomicLong
+    val slicedSubjects = new ConcurrentLinkedQueue[String]()
+    val server = graft.queries.LiveQueries.startStub(docs, pitMode = true,
+      sliceSeen = sliceSeen, pitOpened = pitOpened, slicedSubjects = slicedSubjects)
+    try {
+      val subjects = "hot" +: (0 until 5).map(i => s"c$i")
+      val live = spark.read.format("graft-status-live")
+        .option("url", url(server)).option("batchSize", "16")
+        .option("slices", "4").option("hotSubjectPages", "2").load()
+        .where(col("subject").isin(subjects: _*))
+      // 5 cold subjects → 5 single-subject groups, + 4 slices for the hot
+      assert(live.rdd.getNumPartitions === 9,
+        "cold groups plus one slice set for the hot subject")
+      val ids = live.select(col("id")).collect().map(_.getString(0))
+      assert(ids.length === 500 && ids.toSet.size === 500,
+        "every document exactly once across hot slices AND cold loops")
+      import scala.jdk.CollectionConverters._
+      assert(slicedSubjects.asScala.toSet === Set("hot"),
+        "ONLY the hot subject may ride the sliced drain")
+      assert(sliceSeen.asScala.toSet === Set(0, 1, 2, 3),
+        "the hot subject's docs fanned across all four slices")
     } finally server.stop(0)
   }
 
