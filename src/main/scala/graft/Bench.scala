@@ -16,11 +16,36 @@ object Bench {
     // one-time session cost.
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
+    val syncOsBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
+    // CALIBRATION entry: fixed synthetic pure-CPU work (xxhash64 over a
+    // pinned range, data-independent, deterministic) through the same
+    // 32-thread Spark execution stack as every measured query. Its wall
+    // time is a pure function of the HOST's momentary speed, so
+    // `tools/bench_medians.py --check` normalizes a run's entries by
+    // run_calibration / median_calibration before the 1.5x flag rule —
+    // separating host drift from real regressions mechanically instead
+    // of by hand-run A/Bs (two rounds were spent proving drift that way).
+    val calBench: (String, Double, Double) =
+      try {
+        val c0 = syncOsBean.getProcessCpuTime
+        val t0 = System.nanoTime()
+        // bit_xor, not sum: a sum of 2e9 hashes overflows Long and ANSI
+        // mode (Spark 4's default) THROWS on overflow — xor is total
+        val h = spark.range(0L, 8000000000L, 1L, 32)
+          .selectExpr("bit_xor(xxhash64(id)) AS h").head().getLong(0)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = (syncOsBean.getProcessCpuTime - c0) / 1e9
+        // a degenerate plan (e.g. a constant-folded range timing nothing)
+        // marks the entry invalid (-1) without killing the run
+        if (h != 0L) ("calibration_cpu", wall, cpu)
+        else ("calibration_cpu", -1.0, -1.0)
+      } catch { case _: Throwable => ("calibration_cpu", -1.0, -1.0) }
+
     // Reference-workload ingestion benchmark: the e2e corpus of the
     // reference's CI suite (8,000 docs -> 144,000 signal rows;
     // BASELINE.md "CI e2e workload") through the full sync pipeline.
-    val syncOsBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val syncBench: (String, Double, Double) =
       try {
         val corpus = BenchCorpus.write8000DocCorpus()
@@ -130,7 +155,8 @@ object Bench {
     val resultsCpu: Seq[(String, Double, Double)] =
       firstPass.map { case (n, _, t, c) =>
         val (tf, cf) = retried.getOrElse(n, (t, c)); (n, tf, cf)
-      } :+ ((syncBench._1, syncBench._2, syncBench._3)) :++ fuzzBench
+      } :+ ((calBench._1, calBench._2, calBench._3)) :+
+        ((syncBench._1, syncBench._2, syncBench._3)) :++ fuzzBench
     val results: Seq[(String, Double)] = resultsCpu.map { case (n, t, _) => n -> t }
 
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)

@@ -103,8 +103,10 @@ private[graft] object MaintenanceLock {
       // rename(2)s, and rename REPLACES — two racing movers can both
       // "succeed", the second silently evicting the first (caught by
       // MaintenanceLockSpec's racing-breakers case). The cost is a
-      // momentarily EMPTY lock, which no path misreads: a fresh lock is
-      // never stale-broken, and ownership checks only compare nonces.
+      // momentarily EMPTY lock, which no path misreads: the stale-break
+      // re-verifies instance identity AND current-mtime staleness inside
+      // its claim (a just-created lock's mtime is NOW — unbreakable), and
+      // ownership checks only compare nonces.
       Files.createFile(lock.toPath)
       Files.writeString(lock.toPath, s"$nonce $job ${System.currentTimeMillis()}\n")
       new Held(lock, nonce, heartbeatMs)
@@ -142,7 +144,21 @@ private[graft] object MaintenanceLock {
               val cur =
                 try Some(Files.readString(lock.toPath, java.nio.charset.StandardCharsets.UTF_8))
                 catch { case scala.util.control.NonFatal(_) => None }
-              if (cur.contains(c0)) { lock.delete(); () } // still the stale instance
+              // delete only if the instance is STILL the measured-stale one
+              // AND still stale by its CURRENT mtime. The content check
+              // alone has a hole the racing-breakers spec caught under
+              // load: this breaker's `age` was measured against the OLD
+              // file before the race, so if another breaker already broke
+              // it and a fresh holder is mid-create (createFile done,
+              // content not yet written — the momentarily-empty window),
+              // an empty re-read can collide with an empty c0 and the
+              // fresh holder's lock gets deleted out from under it — two
+              // holders at once. A just-created lock's mtime is NOW, so
+              // the staleness re-check makes it unbreakable regardless of
+              // content coincidence (and a genuinely crashed empty lock
+              // keeps an old mtime and still breaks).
+              val stillStale = System.currentTimeMillis() - lock.lastModified() > staleMs
+              if (cur.contains(c0) && stillStale) { lock.delete(); () }
             } finally claim.delete()
             acquire(lock, job, staleMs, heartbeatMs, retried = true)
         }

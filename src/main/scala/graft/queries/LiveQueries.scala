@@ -584,7 +584,11 @@ object LiveQueries {
             StructField("timestamp", TimestampType, nullable = false),
             StructField("name", StringType, nullable = false),
             StructField("value_cents", LongType, nullable = false)))))
-          client.insertSignals(signals, "signal") // executors POST CSV batches
+          // executors POST CSV batches; the JOB-identity tag (sink table +
+          // window) makes a re-submitted identical run dedup end-to-end,
+          // not just its own task retries
+          client.insertSignals(signals, "signal",
+            runTag = Some(ClickHouseHttpClient.jobRunTag("signal", "q214-full-window")))
           // read-back: the reference's literal statements, driver-side —
           // exactly the sync loop's shape (one DISTINCT scan, then one
           // oldest-signal probe per token)
@@ -1953,9 +1957,13 @@ object LiveQueries {
               .start()
             try q.processAllAvailable() finally q.stop()
           }
-          client.insertSignals(older, "signal")
+          // each phase is its own logical run, tagged by (table, window
+          // identity): a re-submitted phase would dedup end-to-end
+          client.insertSignals(older, "signal",
+            runTag = Some(ClickHouseHttpClient.jobRunTag("signal", "q223-older-half")))
           tailOnce() // phase 1: the older half
-          client.insertSignals(newer, "signal")
+          client.insertSignals(newer, "signal",
+            runTag = Some(ClickHouseHttpClient.jobRunTag("signal", "q223-newer-half")))
           tailOnce() // phase 2: restart; only the newer half may arrive
           s.read.parquet(outDir)
             .groupBy(col("token_id"))

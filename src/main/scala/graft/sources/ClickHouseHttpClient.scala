@@ -312,6 +312,19 @@ private[graft] final class ClickHouseHttpClient(baseUrl: String, timeoutMs: Long
 }
 
 private[graft] object ClickHouseHttpClient {
+  /** Deterministic token namespace for a JOB-identity insert: derive it
+    * from what identifies the logical run — the sink table plus a window
+    * or run descriptor — and a re-SUBMITTED identical job re-derives the
+    * same namespace, so its byte-identical batches dedup server-side
+    * end-to-end (the default random per-call tag only scopes dedup to
+    * task retries WITHIN one run). Keep the random default for ad-hoc
+    * calls: two genuinely different loads of identical content must both
+    * land. The reference client has no tokens at all and duplicates on
+    * every retry (clickhouse.go:113-130 [ext]).
+    */
+  def jobRunTag(table: String, runIdentity: String): String =
+    s"job-$table-${java.lang.Integer.toHexString(runIdentity.hashCode)}"
+
   /** The reference's `QueryOldestSignal` statement (clickhouse.go:65-87
     * [ext]): sqlboiler with the backtick dialect, placeholders inlined.
     */

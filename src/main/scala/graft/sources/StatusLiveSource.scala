@@ -664,18 +664,19 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
         // probe shortfall — approximate counts, no PIT endpoint, census
         // past the terms cap — degrades to all-cold: the sequential
         // plan, never a wrong one.
-        val hotCounts: Map[String, Long] =
-          if (slices <= 1 || topN >= 0 || all.length > termsSize) Map.empty
+        val subjectCounts: Option[Map[String, Long]] =
+          if (slices <= 1 || topN >= 0 || all.length > termsSize) None
           else {
             val windowed: Seq[Filter] = Seq(
               In("subject", all.toArray[Any]),
               GreaterThanOrEqual("time", startMs), LessThan("time", stopMs))
-            val threshold = hotSubjectPages.toLong * batchSize
-            (try new EsHttpClient(url, wire = wire)
-              .groupCountsFor(index, windowed, "subject", termsSize)
-            catch { case scala.util.control.NonFatal(_) => None })
-              .map(_.iterator.filter(_._2 > threshold).toMap).getOrElse(Map.empty)
+            try new EsHttpClient(url, wire = wire)
+              .groupCountsFor(index, windowed, "subject", termsSize).map(_.toMap)
+            catch { case scala.util.control.NonFatal(_) => None }
           }
+        val hotThreshold = hotSubjectPages.toLong * batchSize
+        val hotCounts: Map[String, Long] =
+          subjectCounts.map(_.filter(_._2 > hotThreshold)).getOrElse(Map.empty)
         val pit: Option[String] =
           if (hotCounts.isEmpty) None
           else new EsHttpClient(url, wire = wire).openPit(index)
@@ -699,14 +700,36 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
           else {
             val groups = math.max(1, math.min(cold.length, maxTasks))
             val per = (cold.length + groups - 1) / groups
-            cold.grouped(per).map(g => StatusLivePartition(url, index, pageSize,
+            // group membership: equal-COUNT slicing by default; when the
+            // terms probe answered, groups pack by LOAD instead (greedy
+            // least-loaded, heaviest subject first, ties deterministic) —
+            // equal-count groups straggle whenever a few warm-but-not-hot
+            // subjects land together, and a group's loops run
+            // sequentially inside one task, so the straggler IS the
+            // scan's wall clock. Empty subjects still weigh 1 (each loop
+            // costs a round trip).
+            val grouped: Seq[Seq[String]] = subjectCounts match {
+              case Some(counts) if cold.length > groups =>
+                val bins = Array.fill(groups)(Seq.newBuilder[String])
+                val loads = Array.fill(groups)(0L)
+                cold.sortBy(s => (-counts.getOrElse(s, 0L), s)).foreach { s =>
+                  var b = 0
+                  var i = 1
+                  while (i < groups) { if (loads(i) < loads(b)) b = i; i += 1 }
+                  bins(b) += s
+                  loads(b) += math.max(1L, counts.getOrElse(s, 0L))
+                }
+                bins.iterator.map(_.result()).filter(_.nonEmpty).toSeq
+              case _ => cold.grouped(per).toSeq
+            }
+            grouped.map(g => StatusLivePartition(url, index, pageSize,
               startMs, stopMs, Some(g), requiredFields, envelopeIncludes,
               // each task ships only ITS subjects' stop overrides — a
               // million-token watermark map never rides whole inside a task
               // (per-group LOOKUPS, not a full-map scan per group: planning a
               // 1M-token census must stay O(fleet), not O(fleet × groups))
               g.iterator.flatMap(s => stopBySubject.get(s).map(v => s -> v)).toMap,
-              perLoopCap): InputPartition).toSeq
+              perLoopCap): InputPartition)
           }
         (coldParts ++ hotParts).toArray
     }

@@ -387,6 +387,58 @@ object LiveProbe {
           f"(${seq1 / par8}%.1fx end-to-end speedup; a real cluster adds the server side's own)")
       } finally server.stop(0)
     }
+
+    // ── section 9 (r15): HOT-SUBJECT sliced drain vs the sequential
+    // per-subject loop — the SUBJECT-CONSTRAINED scan, where parallelism
+    // used to be bounded by the subject count: one deep-history device
+    // drained through one loop while every other task idled. One hot
+    // subject (500k docs) among 63 cold ones (1k each); slices=1 keeps
+    // all loops sequential-per-subject, slices=8 fans the hot subject's
+    // window across 8 sliced-PIT tasks over one shared snapshot (the
+    // terms probe plans it; cold subjects keep their loops either way).
+    {
+      val hotN = 500000
+      val coldSubjects = 63
+      val coldN = 1000
+      val probeDocs: IndexedSeq[graft.queries.LiveQueries.StubDoc] = {
+        def doc(subj: String, i: Int, ord: Int): graft.queries.LiveQueries.StubDoc = {
+          val tsu = 1704000000000000L + ord.toLong * 1000
+          val iso = java.time.Instant.ofEpochSecond(tsu / 1000000L, (tsu % 1000000L) * 1000L)
+          graft.queries.LiveQueries.StubDoc(f"h$ord%07d", subj, tsu,
+            s"""{"id":"h$ord","subject":"$subj","source":"dimo/integration/live",""" +
+              s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v2.0",""" +
+              s""""type":"com.dimo.device.status","data":{"i":$i}}""")
+        }
+        ((0 until hotN).map(i => doc("hot", i, i)) ++
+          (0 until coldSubjects).flatMap(s =>
+            (0 until coldN).map(i => doc(s"c$s", i, hotN + s * coldN + i)))).toIndexedSeq
+      }
+      val subjects = "hot" +: (0 until coldSubjects).map(s => s"c$s")
+      val expected = (0L until hotN).sum + coldSubjects.toLong * (0L until coldN).sum
+      val server = graft.queries.LiveQueries.startStub(probeDocs, pitMode = true)
+      try {
+        def read(slices: Int): Long = spark.read.format("graft-status-live")
+          .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+          .option("batchSize", "1000")
+          .option("slices", slices.toString)
+          .load()
+          .where(col("subject").isin(subjects: _*))
+          .select(get_json_object(col("data"), "$.i").cast("long").as("i"))
+          .agg(sum(col("i"))).head().getLong(0)
+        read(8) // warm
+        def time(slices: Int): Double = {
+          val t0 = System.nanoTime()
+          val got = read(slices)
+          require(got == expected, s"hot-subject read lost rows: sum $got != $expected")
+          (System.nanoTime() - t0) / 1e9
+        }
+        val seq1 = time(1)
+        val par8 = time(8)
+        println(f"[liveprobe] hot-subject drain ($hotN hot + ${coldSubjects * coldN} cold docs, " +
+          f"page 1000, full decode): per-subject loops $seq1%.2f s vs slices=8 $par8%.2f s " +
+          f"(${seq1 / par8}%.1fx — the hot device no longer serializes the scan)")
+      } finally server.stop(0)
+    }
     spark.stop()
   }
 }

@@ -200,6 +200,42 @@ class EsSlicedScanSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("probe counts pack cold groups by LOAD, not by count (no straggler group)") {
+    // 6 cold subjects with depths [500,450,60,50,40,30] into 2 groups: a
+    // group's loops run SEQUENTIALLY inside one task, so equal-count
+    // slicing ({500,450,60} = 1010 docs in one task) makes the heavy
+    // group the scan's wall clock. With the terms probe's counts in
+    // hand, planning packs greedy least-loaded: {500,50,30} / {450,60,40}
+    // — deterministic, and the heaviest group shrinks 1010 → 580.
+    val depths = Seq("a" -> 500, "b" -> 450, "c" -> 60, "d" -> 50, "e" -> 40, "f" -> 30)
+    def doc(subject: String, i: Int): StubDoc = {
+      val ms = BaseMs + i * 1000L
+      val iso = java.time.Instant.ofEpochMilli(ms)
+      StubDoc(f"$subject-d$i%06d", subject, ms * 1000L,
+        s"""{"id":"$subject-$i","subject":"$subject","source":"dimo/integration/live",""" +
+          s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v2.0",""" +
+          s""""type":"com.dimo.device.status","data":{"i":$i}}""")
+    }
+    val docs: IndexedSeq[StubDoc] =
+      depths.flatMap { case (s, n) => (0 until n).map(doc(s, _)) }.toIndexedSeq
+    val server = graft.queries.LiveQueries.startStub(docs, pitMode = true)
+    try {
+      val scan = new graft.sources.StatusLiveScan(url(server), "device-status", 64,
+        0L, graft.sources.StatusLiveSource.DefaultStopMs, None, Map.empty,
+        Array(org.apache.spark.sql.sources.In("subject", depths.map(_._1).toArray[Any])),
+        graft.sources.StatusV2Source.Schema,
+        maxTasks = 2, slices = 2, hotSubjectPages = 100) // threshold 6400: nothing hot
+      val parts = scan.planInputPartitions().toSeq
+        .collect { case p: graft.sources.StatusLivePartition => p }
+      assert(parts.length === 2, "still exactly maxTasks groups")
+      val byDepth = depths.toMap
+      val loads = parts.map(_.subjects.get.map(byDepth).sum)
+      assert(loads.toSet === Set(580, 550), s"greedy least-loaded packing: $loads")
+      assert(parts.flatMap(_.subjects.get).sorted === depths.map(_._1).sorted,
+        "every subject lands in exactly one group")
+    } finally server.stop(0)
+  }
+
   test("subject fan-out and DESC top-K keep their own plans (slices never apply)") {
     val docs = corpus(200)
     val server = graft.queries.LiveQueries.startStub(docs, pitMode = true)

@@ -59,26 +59,33 @@ class MaintenanceLockSpec extends AnyFunSuite {
   }
 
   test("stale-break is atomic: N racing breakers admit exactly one holder at a time") {
-    val root = tmp()
-    root.mkdirs()
-    // a crashed job's stale lock
-    Files.writeString(lockOf(root).toPath, "dead-nonce crashed 0\n")
-    assert(lockOf(root).setLastModified(System.currentTimeMillis() - 10_000))
-    val inside = new AtomicInteger(0)
+    // STRESSED over rounds: the 2-holder hole this caught (a breaker
+    // whose staleness was measured against the OLD file winning its
+    // claim inside a fresh holder's create-then-write window) is a
+    // microsecond-wide interleaving — one race seldom lands in it, many
+    // races under thread churn do.
     val maxInside = new AtomicInteger(0)
-    val won = new AtomicInteger(0)
-    val threads = (0 until 8).map { i =>
-      new Thread(() =>
-        try MaintenanceLock.withLock(root, s"racer$i", staleMs = 1000, heartbeatMs = 100) {
-          val n = inside.incrementAndGet()
-          maxInside.updateAndGet(m => math.max(m, n))
-          Thread.sleep(50)
-          inside.decrementAndGet()
-          won.incrementAndGet()
-        } catch { case _: IllegalStateException => () }) // lost the race: refused
+    for (round <- 0 until 20) {
+      val root = tmp()
+      root.mkdirs()
+      // a crashed job's stale lock
+      Files.writeString(lockOf(root).toPath, "dead-nonce crashed 0\n")
+      assert(lockOf(root).setLastModified(System.currentTimeMillis() - 10_000))
+      val inside = new AtomicInteger(0)
+      val won = new AtomicInteger(0)
+      val threads = (0 until 8).map { i =>
+        new Thread(() =>
+          try MaintenanceLock.withLock(root, s"racer$i", staleMs = 1000, heartbeatMs = 100) {
+            val n = inside.incrementAndGet()
+            maxInside.updateAndGet(m => math.max(m, n))
+            Thread.sleep(5)
+            inside.decrementAndGet()
+            won.incrementAndGet()
+          } catch { case _: IllegalStateException => () }) // lost the race: refused
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(won.get() >= 1, s"round $round: the stale lock must be broken, not wedge the store")
     }
-    threads.foreach(_.start()); threads.foreach(_.join())
-    assert(won.get() >= 1, "the stale lock must be broken, not wedge the store")
     assert(maxInside.get() === 1,
       s"mutual exclusion violated: ${maxInside.get()} jobs held the lock at once")
   }
