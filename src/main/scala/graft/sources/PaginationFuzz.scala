@@ -34,11 +34,11 @@ private[graft] object PaginationFuzz {
     * (raw-count exhaustion must see it) but can never emit.
     */
   final case class FDoc(id: String, timeMs: Option[Long], indexMs: Long,
-      sourceless: Boolean = false) {
+      sourceless: Boolean = false, subject: String = "s0") {
     def json: String = {
       val t = timeMs.map(ms => s""""time":"${java.time.Instant.ofEpochMilli(ms)}",""")
         .getOrElse(""""time":"not-a-timestamp",""")
-      s"""{"id":"$id","subject":"s0","source":"x","specversion":"1.0",$t""" +
+      s"""{"id":"$id","subject":"$subject","source":"x","specversion":"1.0",$t""" +
         s""""dataschema":"v2.0","type":"c","data":{}}"""
     }
   }
@@ -97,12 +97,16 @@ private[graft] object PaginationFuzz {
         }
         var gte: Option[Long] = None
         var lt: Option[Long] = None
+        var subj: Option[String] = None
         req.path("query").path("bool").path("filter").forEach { f =>
           val r = f.path("range").path("time")
           if (r.has("gte")) gte = Some(r.get("gte").asText().toLong)
           if (r.has("lt")) lt = Some(r.get("lt").asText().toLong)
+          val m = f.path("match").path("subject").path("query")
+          if (m.isTextual) subj = Some(m.asText()) // the per-subject match clause
         }
-        def inWindow(d: FDoc) = gte.forall(d.indexMs >= _) && lt.forall(d.indexMs < _)
+        def inWindow(d: FDoc) = gte.forall(d.indexMs >= _) && lt.forall(d.indexMs < _) &&
+          subj.forall(_ == d.subject)
         def hitJson(d: FDoc, sortVal: Option[Long]): String = {
           val sort = sortVal.map(v => s""","sort":[$v]""").getOrElse("")
           if (d.sourceless) s"""{"_id":"${d.id}"$sort}"""
@@ -170,9 +174,10 @@ private[graft] object PaginationFuzz {
   }
 
   /** Drain one pagedDocs loop fully; returns the emitted payload ids. */
-  def drain(server: HttpServer, batch: Int, startMs: Long, stopMs: Long): Seq[String] = {
+  def drain(server: HttpServer, batch: Int, startMs: Long, stopMs: Long,
+      subject: Option[String] = None): Seq[String] = {
     val client = new EsHttpClient(s"http://127.0.0.1:${server.getAddress.getPort}")
-    val src = client.pagedDocs("idx", batch, startMs, stopMs, None, Seq.empty)
+    val src = client.pagedDocs("idx", batch, startMs, stopMs, subject, Seq.empty)
     val out = Seq.newBuilder[String]
     var doc = src.next()
     var guard = 0
@@ -191,13 +196,13 @@ private[graft] object PaginationFuzz {
     * None when the server has no PIT support (the production fallback).
     */
   def drainSlices(server: HttpServer, batch: Int, startMs: Long, stopMs: Long,
-      sliceMax: Int): Option[Seq[String]] = {
+      sliceMax: Int, subject: Option[String] = None): Option[Seq[String]] = {
     val client = new EsHttpClient(s"http://127.0.0.1:${server.getAddress.getPort}")
     client.openPit("idx").map { pid =>
       val out = Seq.newBuilder[String]
       for (sid <- 0 until sliceMax) {
         val src = client.slicedDocs("idx", batch, startMs, stopMs, sid, sliceMax,
-          Seq.empty, Seq.empty, pid)
+          Seq.empty, Seq.empty, pid, subject)
         var doc = src.next()
         var guard = 0
         while (doc != null) {
@@ -243,10 +248,15 @@ private[graft] object PaginationFuzz {
       // they occupy page slots — raw-count exhaustion and the raw drain
       // cursor must carry the loop past them with zero loss of the rest
       val sourcelessEvery = if (rnd.nextInt(3) == 0) 1 + rnd.nextInt(20) else 0
+      // subject diversity (r15): docs spread over 1-3 subjects so the
+      // per-subject match clause composes with EVERY drain/slice grammar
+      // under the same random ties/caps/windows
+      val nSubjects = 1 + rnd.nextInt(3)
       val docs = (0 until nDocs).map { i =>
         val t = Base + rnd.nextInt(span) * 1000L
         FDoc(f"d$i%04d", Some(t), t,
-          sourceless = sourcelessEvery > 0 && i % sourcelessEvery == 0)
+          sourceless = sourcelessEvery > 0 && i % sourcelessEvery == 0,
+          subject = s"s${rnd.nextInt(nSubjects)}")
       }
       val batch = 1 + rnd.nextInt(16)
       // caps range from adversarial (often BELOW the widest tie run — the
@@ -286,6 +296,30 @@ private[graft] object PaginationFuzz {
               s"sliced fuzz trial $trial (seed $seed, slices=$sliceMax batch=$batch " +
                 s"cap=$cap): got ${sliced.size}, want ${expected.size}")
           case None => // pre-PIT posture: the sliced path correctly declined
+        }
+        // the PER-SUBJECT forms against one random subject (r15): the
+        // match clause composed with (a) the backward-paging loop + its
+        // drains, (b) the sliced-PIT hot-subject grammar — both must be
+        // the model's per-subject row set exactly-once under the same
+        // ties/caps/sourceless machinery
+        val subj = s"s${rnd.nextInt(nSubjects)}"
+        val expectedSubj = docs.filter(d => !d.sourceless && d.subject == subj &&
+          d.indexMs >= start && d.indexMs < stop).map(_.id)
+        val gotSubj = drain(server, batch, start, stop, Some(subj))
+        require(gotSubj.sorted == gotSubj.distinct.sorted,
+          s"subject fuzz trial $trial (seed $seed): duplicates for $subj")
+        require(gotSubj.toSet == expectedSubj.toSet,
+          s"subject fuzz trial $trial (seed $seed, subj=$subj batch=$batch cap=$cap): " +
+            s"got ${gotSubj.size}, want ${expectedSubj.size}")
+        drainSlices(server, batch, start, stop, sliceMax, Some(subj)) match {
+          case Some(slicedSubj) =>
+            require(slicedSubj.sorted == slicedSubj.distinct.sorted,
+              s"subject-sliced fuzz trial $trial (seed $seed): duplicate across slices")
+            require(slicedSubj.toSet == expectedSubj.toSet,
+              s"subject-sliced fuzz trial $trial (seed $seed, subj=$subj " +
+                s"slices=$sliceMax cap=$cap): got ${slicedSubj.size}, " +
+                s"want ${expectedSubj.size}")
+          case None => // pre-PIT posture: correctly declined
         }
       } finally server.stop(0)
     }

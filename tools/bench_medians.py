@@ -47,7 +47,9 @@ def check(medians_path: str, run_path: str) -> int:
         if name == CAL or name not in medians or medians[name] <= 0 or t < 0:
             continue
         norm = t / scale
-        if norm > FLAG_RATIO * medians[name]:
+        # ratio rule + a small absolute floor: a 0.1s-scale entry's
+        # scheduling noise routinely doubles it — that is not a regression
+        if norm > FLAG_RATIO * medians[name] and norm - medians[name] > 0.5:
             flagged.append((name, t, norm, medians[name]))
     for name, t, norm, med in sorted(flagged, key=lambda x: -x[2] / x[3]):
         print(f"FLAG {name}: {t:.2f}s raw, {norm:.2f}s normalized "
