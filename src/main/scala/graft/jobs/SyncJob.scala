@@ -137,6 +137,16 @@ object SyncJob {
     * which also absorbs the precision gap: the wire window stops at
     * ceil(watermark) in millis (a superset — ES ranges are epoch-millis),
     * the exact `< watermark` comparison stays micro-precise in the plan.
+    *
+    * Past ~10M tokens the planner consume itself becomes the driver's
+    * bottleneck (the per-token map at load() is ~2.1 GB there, LiveProbe
+    * §7). The source's `censusRanges` option is the escape hatch — the
+    * planner records one byte range per group (O(groups) state, LiveProbe
+    * §10) and tasks read their own slices — but it requires the staged
+    * files to OUTLIVE execution, which this method's delete-at-load()
+    * cadence deliberately does not provide: a caller at that scale
+    * manages staging lifetime itself and sets the option on its own
+    * reader (gate q236 is the worked example).
     */
   def runLive(
       spark: org.apache.spark.sql.SparkSession,

@@ -1689,6 +1689,88 @@ object LiveQueries {
              FROM m GROUP BY 1"""),
     ),
 
+    // ── O(groups) RANGED census planning (r15): at 10M tokens the
+    //    materialized census + watermark map costs the DRIVER ~2.1 GB at
+    //    load() (LiveProbe §7 — the reference's own loop state). With
+    //    `censusRanges=G` the planner streams the SORTED staged files
+    //    once and records one BYTE RANGE per group — O(groups) driver
+    //    state — and each task reads its own slice before driving the
+    //    same per-subject page loops, per-token watermarks included. The
+    //    entry stages an events census + a watermark cutting every EVEN
+    //    user at the corpus midpoint, RAISES unless exactly G ranged
+    //    tasks planned AND the wire shipped exactly the surviving rows
+    //    (a watermark that failed to ride a byte range would overship),
+    //    then the DuckDB compare re-derives the same cut independently.
+    QueryDef(
+      "q236_live_es_ranged_census",
+      (s, d) => {
+        import org.apache.spark.sql.types.LongType
+        val evs = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id").cast("string").as("subject"),
+            expr("unix_micros(ts)").as("tsu"),
+            round(col("value") * 100).cast(LongType).as("cents"),
+            col("user_id").cast(LongType).as("uid"))
+          .collect() // seeds the TEST DOUBLE; the measured read is below
+        val msAll = evs.map(_.getLong(1) / 1000)
+        val cut = (msAll.min + msAll.max) / 2 // the even-user watermark
+        val docs: IndexedSeq[StubDoc] =
+          evs.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+            val (subj, tsu, cents) = (r.getString(0), r.getLong(1), r.getLong(2))
+            val iso = java.time.Instant.ofEpochSecond(tsu / 1000000L, (tsu % 1000000L) * 1000L)
+            StubDoc(s"rc$i", subj, tsu,
+              s"""{"id":"rc$i","subject":"$subj","source":"dimo/integration/live",""" +
+                s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v2.0",""" +
+                s""""type":"com.dimo.device.status","data":{"cents":$cents}}""")
+          }
+        val census = evs.map(_.getString(0)).distinct.sorted
+        val stops = census.filter(_.toLong % 2 == 0).map(sub => s"$sub\t$cut")
+        def stage(lines: Seq[String]): java.nio.file.Path = {
+          val f = java.nio.file.Files.createTempFile("graft-q236", ".txt")
+          java.nio.file.Files.write(f, lines.mkString("", "\n", "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          f
+        }
+        val cPath = stage(census)
+        val sPath = stage(stops)
+        val expected = evs.count(r => r.getLong(3) % 2 == 1 || r.getLong(1) / 1000 < cut)
+        val served = new java.util.concurrent.atomic.AtomicLong
+        val server = startStub(docs, served = served)
+        try {
+          val live = s.read.format("graft-status-live")
+            .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+            .option("batchSize", "200")
+            .option("subjectsPath", cPath.toString)
+            .option("stopBySubjectPath", sPath.toString)
+            .option("censusRanges", "6").load()
+          require(live.rdd.getNumPartitions == 6,
+            s"expected 6 byte-range groups, planned ${live.rdd.getNumPartitions}")
+          val out = live
+            .select(col("subject"),
+              get_json_object(col("data"), "$.cents").cast("long").as("cents"))
+            .groupBy(col("subject"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("cents")).as("cents"))
+            .localCheckpoint(true) // materialize THROUGH the ranged plan
+          require(served.get() == expected.toLong,
+            s"wire served ${served.get()} docs, watermark-surviving set is $expected " +
+              "(a stop failed to ride its byte range, or a range re-read subjects)")
+          out
+        } finally {
+          server.stop(0)
+          java.nio.file.Files.deleteIfExists(cPath)
+          java.nio.file.Files.deleteIfExists(sPath)
+        }
+      },
+      Some("""WITH e AS (SELECT CAST(user_id AS BIGINT) uid,
+                      CAST(round(value*100) AS BIGINT) cents,
+                      epoch_us(CAST(ts AS TIMESTAMP))//1000 AS ms
+               FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+             c AS (SELECT (min(ms)+max(ms))//2 AS cut FROM e)
+             SELECT CAST(uid AS VARCHAR) AS subject, count(*)::BIGINT AS n_docs,
+               sum(cents)::BIGINT AS cents
+             FROM e, c WHERE uid % 2 = 1 OR ms < cut GROUP BY 1"""),
+    ),
+
     // ── The reference's CONTINUOUS pipeline over BOTH wires (r14):
     //    `readStream` from live ES → transform → `writeStream` into live
     //    CH (its loop tails ES and inserts into CH forever, sync.go:92-125

@@ -571,18 +571,22 @@ class SignalLiveScan(url: String, table: String, partitions: Int,
         }
       // SUB-TOKEN timestamp cuts — the skew one level below q233's fix:
       // token-granular quantile cuts collapse onto a HOT token (a raw
-      // quantile value repeated r ≥ 3 times ⇒ that token owns ≳ (r−1)/m
-      // of the rows, past 2× the per-partition target), and no token
-      // boundary can split it — the hot token's whole history lands in
-      // one task. One more quantiles statement per hot token asks the
-      // store for ITS timestamp cut points (same primary key: the table
-      // orders by (token_id, timestamp), so each sub-range is still an
-      // index-local read) and the token becomes
-      // `token_id = hot AND ts ∈ [a, b)` partitions. Same degrade
-      // posture as the token probe: a failed statement leaves the token
-      // whole — coarser, never wrong.
+      // quantile value repeated r ≥ 2 times ⇒ that token straddles at
+      // least one full inter-quantile gap — it owns ≳ r−1 partition
+      // targets' worth of rows, e.g. a 60%-of-rows token at m=4 repeats
+      // twice; requiring 3 would let it keep a 60% partition), and no
+      // token boundary can split it — the hot token's whole history
+      // lands in one task. One more quantiles statement per hot token
+      // asks the store for ITS timestamp cut points (same primary key:
+      // the table orders by (token_id, timestamp), so each sub-range is
+      // still an index-local read) and the token becomes
+      // `token_id = hot AND ts ∈ [a, b)` partitions — r+1 of them, ≈ its
+      // share in targets. A merely-warm token that sneaks past the
+      // trigger costs a few extra index-local statements, never a wrong
+      // plan. Same degrade posture as the token probe: a failed
+      // statement leaves the token whole — coarser, never wrong.
       val hotTokens: Map[Long, Int] = rawQs.groupBy(identity)
-        .collect { case (v, g) if g.size >= 3 => (v, g.size) }
+        .collect { case (v, g) if g.size >= 2 => (v, g.size) }
       def tsRanges(v: Long, mult: Int): Seq[Seq[String]] = {
         val sub = mult + 1 // ≈ the token's share in per-partition targets
         val tsCuts = quantilesOf((1 until sub).map(_.toDouble / sub),

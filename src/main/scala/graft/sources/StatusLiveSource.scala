@@ -57,7 +57,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[StatusLiveSource.writeSubjects]]), so a million-token sync never
   * rides a ~30 MB JSON string through catalog properties — each task
   * still receives only its own group's slice, and the caller may delete
-  * the staged files as soon as load() returns.
+  * the staged files as soon as load() returns. `slices` (default 1):
+  * parallel sliced-PIT drains — the whole-window scan fans N tasks over
+  * one driver-opened snapshot, and subject-constrained scans fan each
+  * HOT subject (past `hotSubjectPages` pages by the terms probe,
+  * default 8) across N slices while cold subjects keep their loops.
+  * `censusRanges` (default 0 = off): the O(groups) MEGA-FLEET form of
+  * the staged census — the planner records one byte range per group
+  * instead of materializing a per-token map (~2.1 GB at 10M tokens) and
+  * each task reads its own slice of the staged files; the files must
+  * then OUTLIVE the scan's execution and be executor-readable (shared
+  * storage / `--files`) — see [[RangedCensus]].
   */
 class StatusLiveSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -73,21 +83,34 @@ class StatusLiveSource extends TableProvider
       Option(properties.get("startMs")).map(_.toLong).getOrElse(0L),
       Option(properties.get("stopMs")).map(_.toLong).getOrElse(StatusLiveSource.DefaultStopMs),
       Option(properties.get("signals")).map(_.split(",").toSeq),
-      // the staged side-channel files are consumed HERE, eagerly (load()
-      // resolves the table): the caller may delete them the moment load()
-      // returns — a cron-cadence sync never accumulates staging files —
-      // and what the driver retains is exactly the per-token state the
-      // reference's own loop holds in memory (sync.go:61-100 [ext])
-      Option(properties.get("stopBySubject")).map(StatusLiveSource.parseStops)
-        .getOrElse(Map.empty) ++
-        Option(properties.get("stopBySubjectPath"))
-          .map(StatusLiveSource.readStops).getOrElse(Map.empty),
-      Option(properties.get("subjectsPath")).map(StatusLiveSource.readSubjects),
+      {
+        // the staged side-channel files are consumed HERE, eagerly (load()
+        // resolves the table): the caller may delete them the moment load()
+        // returns — a cron-cadence sync never accumulates staging files —
+        // and what the driver retains is exactly the per-token state the
+        // reference's own loop holds in memory (sync.go:61-100 [ext]).
+        // EXCEPT under `censusRanges` (the O(groups) mega-fleet form):
+        // there the files are NOT read here — the planner records group
+        // byte ranges and each task reads ITS slice, so the files must
+        // outlive the scan's execution (the caller owns that lifetime).
+        val ranged = Option(properties.get("censusRanges")).exists(_.toInt > 0)
+        Option(properties.get("stopBySubject")).map(StatusLiveSource.parseStops)
+          .getOrElse(Map.empty) ++
+          (if (ranged) Map.empty
+          else Option(properties.get("stopBySubjectPath"))
+            .map(StatusLiveSource.readStops).getOrElse(Map.empty))
+      },
+      if (Option(properties.get("censusRanges")).exists(_.toInt > 0)) None
+      else Option(properties.get("subjectsPath")).map(StatusLiveSource.readSubjects),
       Option(properties.get("termsSize")).map(_.toInt)
         .getOrElse(EsHttpClient.MaxTermsSize),
       LiveWire.fromOptions(k => Option(properties.get(k))),
       Option(properties.get("slices")).map(_.toInt).getOrElse(1),
-      Option(properties.get("hotSubjectPages")).map(_.toInt).getOrElse(8))
+      Option(properties.get("hotSubjectPages")).map(_.toInt).getOrElse(8),
+      for {
+        g <- Option(properties.get("censusRanges")).map(_.toInt) if g > 0
+        path <- Option(properties.get("subjectsPath"))
+      } yield RangedCensus(path, Option(properties.get("stopBySubjectPath")), g))
 }
 
 object StatusLiveSource {
@@ -196,7 +219,137 @@ object StatusLiveSource {
     java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path),
       java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq.filter(_.nonEmpty)
   }
+
+  /** One byte-range group of a ranged census plan: `[cStart, cEnd)` of
+    * the census file and `[sStart, sEnd)` of the stops file (0,0 when no
+    * stops file).
+    */
+  private[graft] case class CensusRange(cStart: Long, cEnd: Long, sStart: Long, sEnd: Long)
+
+  /** Stream a staged file's non-empty lines with their BYTE offsets
+    * (O(1) memory — the mega-fleet planner pass must not materialize a
+    * line per token); returns the file's total byte length.
+    */
+  private def eachLineWithOffset(path: String)(f: (String, Long) => Unit): Long = {
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    try {
+      // chunked newline scan, not per-byte reads: a 10M-token census is
+      // ~360 MB and this walk runs up to three times per planning pass
+      val chunk = new Array[Byte](1 << 16)
+      val carry = new java.io.ByteArrayOutputStream(64)
+      var lineStart = 0L
+      var pos = 0L
+      var n = in.read(chunk)
+      while (n != -1) {
+        var i = 0
+        var segStart = 0
+        while (i < n) {
+          if (chunk(i) == '\n') {
+            carry.write(chunk, segStart, i - segStart)
+            if (carry.size() > 0)
+              f(new String(carry.toByteArray, java.nio.charset.StandardCharsets.UTF_8),
+                lineStart)
+            carry.reset()
+            lineStart = pos + i + 1
+            segStart = i + 1
+          }
+          i += 1
+        }
+        carry.write(chunk, segStart, n - segStart)
+        pos += n
+        n = in.read(chunk)
+      }
+      if (carry.size() > 0)
+        f(new String(carry.toByteArray, java.nio.charset.StandardCharsets.UTF_8), lineStart)
+      pos
+    } finally in.close()
+  }
+
+  /** The O(groups) planner pass over the SORTED staged files: two
+    * streaming reads of the census (line count, then one boundary offset
+    * per group) and one of the stops file (merge-walked in lockstep —
+    * both files sort by subject, so group g's stops range is
+    * [first stops line ≥ g's first subject, first stops line ≥ g+1's) —
+    * an exact partition of the stops file in which every stop for a
+    * group-g subject lies in group g's range; strays outside any group's
+    * subject set are inert, tasks look stops up BY SUBJECT). Driver
+    * state: O(groups) offsets — never a map entry per token.
+    */
+  private[graft] def planCensusRanges(censusPath: String, stopsPath: Option[String],
+      groups: Int): Seq[CensusRange] = {
+    var n = 0L
+    val censusLen = eachLineWithOffset(censusPath)((_, _) => n += 1)
+    if (n == 0L) return Seq.empty
+    val g = math.max(1L, math.min(groups.toLong, n)).toInt
+    val per = (n + g - 1) / g
+    val cStartsB = Seq.newBuilder[Long]
+    val boundsB = Seq.newBuilder[String]
+    var i = 0L
+    eachLineWithOffset(censusPath) { (line, off) =>
+      if (i % per == 0L) { cStartsB += off; boundsB += line }
+      i += 1
+    }
+    val cStarts = cStartsB.result()
+    val cEnds = cStarts.drop(1) :+ censusLen
+    val bounds = boundsB.result()
+    val (sStarts, sEnds): (Seq[Long], Seq[Long]) = stopsPath match {
+      case None => (Seq.fill(cStarts.size)(0L), Seq.fill(cStarts.size)(0L))
+      case Some(sp) =>
+        val starts = Array.fill[Long](bounds.size)(-1L)
+        var next = 0
+        val totalS = eachLineWithOffset(sp) { (line, off) =>
+          val tab = line.lastIndexOf('\t')
+          require(tab > 0, s"stopBySubjectPath line is not subject<TAB>ms: $line")
+          val subj = line.substring(0, tab)
+          while (next < bounds.size && bounds(next) <= subj) {
+            starts(next) = off
+            next += 1
+          }
+        }
+        // groups whose bound exceeds every stops subject get empty ranges
+        var fill = totalS
+        var k = starts.length - 1
+        while (k >= 0) {
+          if (starts(k) < 0L) starts(k) = fill else fill = starts(k)
+          k -= 1
+        }
+        (starts.toSeq, starts.toSeq.drop(1) :+ totalS)
+    }
+    cStarts.indices.map(j => CensusRange(cStarts(j), cEnds(j), sStarts(j), sEnds(j)))
+  }
+
+  /** Task-side read of one byte range of a staged file → its non-empty
+    * lines (each task reads ONLY its own slice — the per-token state the
+    * driver no longer holds, paid where it parallelizes).
+    */
+  private[graft] def readRange(path: String, start: Long, end: Long): Seq[String] = {
+    if (end <= start) return Seq.empty
+    val ch = java.nio.file.Files.newByteChannel(java.nio.file.Paths.get(path))
+    try {
+      ch.position(start)
+      val buf = java.nio.ByteBuffer.allocate((end - start).toInt)
+      while (buf.hasRemaining && ch.read(buf) != -1) {}
+      new String(buf.array(), 0, buf.position(), java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n", -1).toSeq.filter(_.nonEmpty)
+    } finally ch.close()
+  }
 }
+
+/** The O(groups) mega-fleet census form (`censusRanges` option): instead
+  * of materializing a 10M-token census + watermark map on the driver at
+  * load() (~2.1 GB at 10M tokens, LiveProbe §7 — the reference's own
+  * loop state, sync.go:61-100 [ext]), the planner streams the SORTED
+  * staged files once, records one byte range per group, and each task
+  * reads ITS slice — driver state O(groups). The trade is the file
+  * lifetime: the staged files must OUTLIVE the scan's execution and be
+  * readable from executors (shared storage, or `--files` distribution);
+  * a caller that deletes staging the moment load() returns (the default
+  * [[graft.jobs.SyncJob.runLive]] cadence) must not set `censusRanges`.
+  * Pushed subject constraints (IN/equality/DPP) fall back to the
+  * materialized census so the intersect semantics stay identical.
+  */
+private[graft] case class RangedCensus(censusPath: String, stopsPath: Option[String],
+    groups: Int)
 
 class StatusLiveTable(url: String, index: String, batchSize: Int,
     startMs: Long, stopMs: Long, signals: Option[Seq[String]],
@@ -205,14 +358,15 @@ class StatusLiveTable(url: String, index: String, batchSize: Int,
     termsSize: Int = EsHttpClient.MaxTermsSize,
     wire: LiveWire = LiveWire.default,
     slices: Int = 1,
-    hotSubjectPages: Int = 8) extends Table with SupportsRead {
+    hotSubjectPages: Int = 8,
+    rangedCensus: Option[RangedCensus] = None) extends Table with SupportsRead {
   override def name(): String = s"graft_status_live($url/$index)"
   override def schema(): StructType = StatusV2Source.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StatusLiveScanBuilder(url, index, batchSize, startMs, stopMs, signals, stopBySubject,
-      census, termsSize, wire, slices, hotSubjectPages)
+      census, termsSize, wire, slices, hotSubjectPages, rangedCensus)
 }
 
 class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
@@ -222,7 +376,8 @@ class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
     termsSize: Int = EsHttpClient.MaxTermsSize,
     wire: LiveWire = LiveWire.default,
     slices: Int = 1,
-    hotSubjectPages: Int = 8)
+    hotSubjectPages: Int = 8,
+    rangedCensus: Option[RangedCensus] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -300,7 +455,7 @@ class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
       case _                                                   => false
     }
     if (!countStarOnly || signals.nonEmpty || stopBySubject.nonEmpty ||
-      census.nonEmpty || !translatable || subjectEqs > 1) return false
+      census.nonEmpty || rangedCensus.nonEmpty || !translatable || subjectEqs > 1) return false
     val windowed: Seq[Filter] = pushed.toSeq ++
       Seq(GreaterThanOrEqual("time", startMs): Filter, LessThan("time", stopMs): Filter)
     if (groups.isEmpty) {
@@ -366,7 +521,8 @@ class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
     new StatusLiveScan(url, index, batchSize, startMs, stopMs, signals, stopBySubject,
       pushed, required, limit, topN, topNDesc, census = census,
       pushedCount = pushedCount, pushedGroupCounts = pushedGroupCounts, wire = wire,
-      slices = slices, termsSize = termsSize, hotSubjectPages = hotSubjectPages)
+      slices = slices, termsSize = termsSize, hotSubjectPages = hotSubjectPages,
+      rangedCensus = rangedCensus)
 }
 
 /** One live-scan partition: sequential page loops for a GROUP of
@@ -405,6 +561,22 @@ case class StatusLiveSlicePartition(url: String, index: String, batchSize: Int,
     pitId: String,
     subject: Option[String] = None) extends InputPartition
 
+/** One byte-range group of a RANGED census scan (`censusRanges`): the
+  * task reads subjects from `[censusStart, censusEnd)` of the staged
+  * census file and its watermark slice from `[stopsStart, stopsEnd)` of
+  * the staged stops file, then drives the same sequential page loops a
+  * [[StatusLivePartition]] group does — the partition itself carries
+  * OFFSETS, never a subject list or stop map, so a 10M-token plan ships
+  * O(groups) driver state.
+  */
+case class StatusLiveRangedPartition(url: String, index: String, batchSize: Int,
+    startMs: Long, stopMs: Long,
+    censusPath: String, censusStart: Long, censusEnd: Long,
+    stopsPath: Option[String], stopsStart: Long, stopsEnd: Long,
+    requiredFields: Seq[String],
+    envelopeIncludes: Seq[String] = Seq.empty,
+    perLoopCap: Int = -1) extends InputPartition
+
 /** A pushed COUNT(*)'s single partition: the probe already answered at
   * planning; the task just emits the partial row.
   */
@@ -428,7 +600,8 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     wire: LiveWire = LiveWire.default,
     slices: Int = 1,
     termsSize: Int = EsHttpClient.MaxTermsSize,
-    hotSubjectPages: Int = 8) extends Scan with Batch
+    hotSubjectPages: Int = 8,
+    rangedCensus: Option[RangedCensus] = None) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -599,19 +772,6 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
       if (requiredFields.nonEmpty || required.fieldNames.contains("data")) Seq.empty
       else EsQueryDsl.RootFields ++
         (if (required.fieldNames.contains("location")) Seq("location") else Nil)
-    // multiple subject constraints (IN-sets and/or equalities) INTERSECT —
-    // fetching the first set and dropping the rest returns rows the other
-    // conjuncts exclude. A staged census (`subjectsPath` — the fleet-scale
-    // side-channel the table consumed at load()) intersects like any other
-    // constraint: a million-token fleet fans into per-subject page loops
-    // without a million-literal IN expression or option string anywhere.
-    val constraints: Seq[Set[String]] =
-      filters.collect { case In("subject", vs) => vs.collect { case s: String => s }.toSet } ++
-        filters.collect { case EqualTo("subject", s: String) => Set(s) } ++
-        census.map(_.toSet).toSeq ++
-        runtimeSubjects.toSeq // the join's runtime key set (DPP) intersects too
-    val subjects: Option[Seq[String]] =
-      constraints.reduceOption(_ intersect _).map(_.toSeq.sorted)
     // a pushed limit (or DESC top-K) bounds what any one loop can
     // usefully request: the reference sends size = its page limit
     // (elastic.go:58). An ASC top-K still reads its whole window (the
@@ -623,6 +783,46 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     // its top-K — stop each subject loop there (ASC cannot stop early;
     // the reader's heap still bounds its output)
     val perLoopCap = if (topN >= 0 && topNDesc) topN else -1
+    // RANGED census (the O(groups) mega-fleet plan): with no other
+    // subject constraint in play, plan one BYTE-RANGE group per task over
+    // the SORTED staged files — the driver records offsets, never a map
+    // entry per token, and each task reads ITS slice of the census and
+    // watermark files ([[StatusLiveSource.planCensusRanges]]). A pushed
+    // IN/equality/DPP constraint instead falls back to materializing the
+    // census below: those shapes are point lookups, not fleet drains,
+    // and the intersect semantics must stay identical to the
+    // materialized path.
+    val otherSubjectConstraints = filters.exists {
+      case In("subject", _) | EqualTo("subject", _) => true
+      case _                                        => false
+    } || runtimeSubjects.isDefined || census.isDefined
+    rangedCensus match {
+      case Some(rc) if !otherSubjectConstraints =>
+        return StatusLiveSource.planCensusRanges(rc.censusPath, rc.stopsPath, rc.groups)
+          .map(r => StatusLiveRangedPartition(url, index, pageSize, startMs, stopMs,
+            rc.censusPath, r.cStart, r.cEnd, rc.stopsPath, r.sStart, r.sEnd,
+            requiredFields, envelopeIncludes, perLoopCap): InputPartition).toArray
+      case _ => ()
+    }
+    val (censusEff, stopsEff): (Option[Seq[String]], Map[String, Long]) = rangedCensus match {
+      case Some(rc) => // constrained fallback: materialize the staged files once
+        (Some(StatusLiveSource.readSubjects(rc.censusPath)),
+          stopBySubject ++ rc.stopsPath.map(StatusLiveSource.readStops).getOrElse(Map.empty))
+      case None => (census, stopBySubject)
+    }
+    // multiple subject constraints (IN-sets and/or equalities) INTERSECT —
+    // fetching the first set and dropping the rest returns rows the other
+    // conjuncts exclude. A staged census (`subjectsPath` — the fleet-scale
+    // side-channel the table consumed at load()) intersects like any other
+    // constraint: a million-token fleet fans into per-subject page loops
+    // without a million-literal IN expression or option string anywhere.
+    val constraints: Seq[Set[String]] =
+      filters.collect { case In("subject", vs) => vs.collect { case s: String => s }.toSet } ++
+        filters.collect { case EqualTo("subject", s: String) => Set(s) } ++
+        censusEff.map(_.toSet).toSeq ++
+        runtimeSubjects.toSeq // the join's runtime key set (DPP) intersects too
+    val subjects: Option[Seq[String]] =
+      constraints.reduceOption(_ intersect _).map(_.toSeq.sorted)
     subjects match {
       case Some(all) if all.isEmpty => Array.empty // contradictory conjuncts: no rows
       case None if slices > 1 && topN < 0 =>
@@ -685,7 +885,7 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
           hot.flatMap { s =>
             // the subject's own watermark tightens its slice windows just
             // like its sequential loop's
-            val stop = stopBySubject.get(s).map(math.min(_, stopMs)).getOrElse(stopMs)
+            val stop = stopsEff.get(s).map(math.min(_, stopMs)).getOrElse(stopMs)
             (0 until slices).map(i => StatusLiveSlicePartition(url, index, pageSize,
               startMs, stop, i, slices, requiredFields, envelopeIncludes,
               perLoopCap = limit, pitId = pid, subject = Some(s)): InputPartition)
@@ -728,7 +928,7 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
               // million-token watermark map never rides whole inside a task
               // (per-group LOOKUPS, not a full-map scan per group: planning a
               // 1M-token census must stay O(fleet), not O(fleet × groups))
-              g.iterator.flatMap(s => stopBySubject.get(s).map(v => s -> v)).toMap,
+              g.iterator.flatMap(s => stopsEff.get(s).map(v => s -> v)).toMap,
               perLoopCap): InputPartition)
           }
         (coldParts ++ hotParts).toArray
@@ -900,22 +1100,43 @@ class StatusLiveReaderFactory(filters: Array[Filter], required: StructType,
         }
       case _ => ()
     }
-    val p = partition.asInstanceOf[StatusLivePartition]
-    val client = new EsHttpClient(p.url, wire = wire)
+    // common per-subject loop machinery for BOTH group partition shapes:
+    // the inline-group form carries its subjects/stops in the partition;
+    // the byte-RANGE form ([[StatusLiveRangedPartition]]) reads them from
+    // the task's own slices of the staged files — the per-token state the
+    // driver's O(groups) plan no longer holds, paid here where it
+    // parallelizes across the cluster
+    val (pUrl, pIndex, pBatch, pStart, pStop, subjectsOpt, stopsMap, reqFields, envInc, cap) =
+      partition match {
+        case p: StatusLivePartition =>
+          (p.url, p.index, p.batchSize, p.startMs, p.stopMs, p.subjects, p.stopBySubject,
+            p.requiredFields, p.envelopeIncludes, p.perLoopCap)
+        case p: StatusLiveRangedPartition =>
+          val subs = StatusLiveSource.readRange(p.censusPath, p.censusStart, p.censusEnd)
+          val stops = p.stopsPath.map { sp =>
+            StatusLiveSource.readRange(sp, p.stopsStart, p.stopsEnd).map { line =>
+              val tab = line.lastIndexOf('\t')
+              require(tab > 0, s"stopBySubjectPath line is not subject<TAB>ms: $line")
+              line.substring(0, tab) -> line.substring(tab + 1).toLong
+            }.toMap
+          }.getOrElse(Map.empty[String, Long])
+          (p.url, p.index, p.batchSize, p.startMs, p.stopMs,
+            Some(subs): Option[Seq[String]], stops,
+            p.requiredFields, p.envelopeIncludes, p.perLoopCap)
+      }
+    val client = new EsHttpClient(pUrl, wire = wire)
     def loopFor(subject: Option[String]): DocSource with WireCounters = {
       // per-token EndTime (sync.go:96-100): an incremental sync's request
       // window stops at the token's oldest-synced watermark
-      val stop = subject.flatMap(p.stopBySubject.get)
-        .map(math.min(_, p.stopMs)).getOrElse(p.stopMs)
-      client.pagedDocs(
-        p.index, p.batchSize, p.startMs, stop, subject, p.requiredFields,
-        p.envelopeIncludes)
+      val stop = subject.flatMap(stopsMap.get)
+        .map(math.min(_, pStop)).getOrElse(pStop)
+      client.pagedDocs(pIndex, pBatch, pStart, stop, subject, reqFields, envInc)
     }
     // sequential page loops over the task's subject group (or the one
     // unfiltered loop), chained lazily into a single PARSED-document
     // stream — hits decoded once per page, never re-serialized
-    val docs: DocSource with WireCounters = p.subjects match {
-      case None => capped(loopFor(None), p.perLoopCap)
+    val docs: DocSource with WireCounters = subjectsOpt match {
+      case None => capped(loopFor(None), cap)
       case Some(group) => new DocSource with WireCounters {
         private val it = group.iterator
         private var cur: DocSource with WireCounters = _
@@ -930,7 +1151,7 @@ class StatusLiveReaderFactory(filters: Array[Filter], required: StructType,
           while (true) {
             if (cur == null) {
               if (!it.hasNext) return null
-              cur = capped(loopFor(Some(it.next())), p.perLoopCap)
+              cur = capped(loopFor(Some(it.next())), cap)
             }
             val doc = cur.next()
             if (doc != null) return doc

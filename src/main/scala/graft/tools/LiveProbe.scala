@@ -323,8 +323,10 @@ object LiveProbe {
       val stagedMb = (java.nio.file.Files.size(part(dirS)) +
         java.nio.file.Files.size(part(dirC))) >> 20
       t0 = System.nanoTime()
-      val stops = graft.sources.StatusLiveSource.readStops(part(dirS).toString)
-      val census = graft.sources.StatusLiveSource.readSubjects(part(dirC).toString)
+      var stops: Map[String, Long] =
+        graft.sources.StatusLiveSource.readStops(part(dirS).toString)
+      var census: Seq[String] =
+        graft.sources.StatusLiveSource.readSubjects(part(dirC).toString)
       val wallRead = (System.nanoTime() - t0) / 1e9
       val h2 = usedMb()
       require(stops.size == nTokens && census.length == nTokens)
@@ -332,6 +334,22 @@ object LiveProbe {
         f"in $wallStage%.1f s, driver heap ${h1 - h0}%+d MB through staging (flat); " +
         f"planner consume $wallRead%.1f s, ${h2 - h1}%+d MB — the per-token map itself " +
         "(the reference's own loop state, paid only at load())")
+      // ── section 10 (r15): the O(groups) RANGED plan over the SAME 10M
+      // staged tokens — `censusRanges` replaces the materialized map with
+      // one byte range per group (tasks read their own slices), so the
+      // driver's planning state must be offsets, not tokens
+      stops = null
+      census = null
+      val h3 = usedMb() // the map released: the ranged pass starts clean
+      t0 = System.nanoTime()
+      val ranges = graft.sources.StatusLiveSource.planCensusRanges(
+        part(dirC).toString, Some(part(dirS).toString), 64)
+      val wallRanged = (System.nanoTime() - t0) / 1e9
+      val h4 = usedMb()
+      require(ranges.length == 64, s"expected 64 ranges, got ${ranges.length}")
+      println(f"[liveprobe] ranged census plan (same 10M tokens, 64 groups): " +
+        f"$wallRanged%.1f s, driver heap ${h4 - h3}%+d MB (offsets only) vs the " +
+        f"materialized map's ${h2 - h1}%+d MB — the load() state is O(groups)")
       Seq(dirS, dirC).foreach { d =>
         java.nio.file.Files.list(d).iterator().asScala.toSeq
           .foreach(java.nio.file.Files.deleteIfExists(_))

@@ -123,6 +123,49 @@ class ChBalancedPlanSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("TWO hot tokens split independently (60/30/10): no partition above the target band") {
+    // 60% in token 5, 30% in token 9, 10% across 4 cold tokens at m=4:
+    // the 60% token repeats only TWO quantile points (0.25, 0.5 — a
+    // r>=3 trigger would let it keep a 60% partition); the 30% token
+    // rides its own range. Both must end below the 55% ceiling, coverage
+    // exact, and only the dominant token needs timestamp sub-ranges.
+    val server = ChSignalStub.start()
+    try {
+      val base = url(server)
+      val client = new ClickHouseHttpClient(base)
+      client.execute(ClickHouseDdl.signalTableDdl(SignalLiveSource.Schema))
+      val sb = new StringBuilder
+      var us = 1700000000000000L
+      def add(tok: Long, n: Int): Unit = (1 to n).foreach { _ =>
+        us += 1
+        sb.append(s"""$tok,${us / 1000000}.${f"${us % 1000000}%06d"},"speed",1.5,""").append('\n')
+      }
+      for (tok <- 1 to 4) add(tok, 100) // 10% cold
+      add(5, 2400) // 60%
+      add(9, 1200) // 30%
+      client.insertCsv("signal",
+        Seq("token_id", "timestamp", "name", "value_number", "value_string"),
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val total = 4000L
+      val scan = new graft.sources.SignalLiveScanBuilder(base, "signal", 4)
+        .build().asInstanceOf[graft.sources.SignalLiveScan]
+      val parts = scan.planInputPartitions().toSeq
+        .map(_.asInstanceOf[graft.sources.SignalLivePartition])
+      assert(parts.count(_.sql.contains("`token_id` = 5 AND `timestamp`")) >= 2,
+        s"the dominant token must split by timestamp: ${parts.map(_.sql)}")
+      val counts = parts.map(p => client.query(p.sql).size.toLong)
+      assert(counts.sum === total, "still exact coverage with two hot tokens")
+      assert(counts.max.toDouble / total < 0.55,
+        s"no partition may keep a hot token whole above the ceiling: $counts")
+      val live = spark.read.format("graft-signal-live")
+        .option("url", base).option("partitions", "4").load()
+      val got = live.select(col("token_id"),
+        expr("unix_micros(timestamp)").as("us")).collect()
+      assert(got.length.toLong === total)
+      assert(got.map(r => (r.getLong(0), r.getLong(1))).distinct.length.toLong === total)
+    } finally server.stop(0)
+  }
+
   test("a quantile-less server degrades to equal-width with identical results") {
     val server = ChSignalStub.start(quantiles = false)
     try {
