@@ -285,7 +285,17 @@ object StatusLiveSource {
     val cStartsB = Seq.newBuilder[Long]
     val boundsB = Seq.newBuilder[String]
     var i = 0L
+    // SORTEDNESS IS LOAD-BEARING, so it is VERIFIED, not assumed: group
+    // tiling covers an unsorted census too (byte ranges tile the file
+    // whatever its order), but the stops merge-walk below aligns by
+    // subject order — an unsorted file would silently park a watermark
+    // outside its subject's group, the scan would overship rows past the
+    // stop, and nothing downstream would know. Fail loudly instead.
+    var prevC: String = null
     eachLineWithOffset(censusPath) { (line, off) =>
+      require(prevC == null || prevC <= line,
+        s"censusRanges requires a SORTED census file: '$prevC' precedes '$line' in $censusPath")
+      prevC = line
       if (i % per == 0L) { cStartsB += off; boundsB += line }
       i += 1
     }
@@ -297,10 +307,14 @@ object StatusLiveSource {
       case Some(sp) =>
         val starts = Array.fill[Long](bounds.size)(-1L)
         var next = 0
+        var prevS: String = null
         val totalS = eachLineWithOffset(sp) { (line, off) =>
           val tab = line.lastIndexOf('\t')
           require(tab > 0, s"stopBySubjectPath line is not subject<TAB>ms: $line")
           val subj = line.substring(0, tab)
+          require(prevS == null || prevS <= subj,
+            s"censusRanges requires a SORTED stops file: '$prevS' precedes '$subj' in $sp")
+          prevS = subj
           while (next < bounds.size && bounds(next) <= subj) {
             starts(next) = off
             next += 1

@@ -161,4 +161,45 @@ class StatusLiveRangedSpec extends SparkTestBase {
     val empty = stage(Seq.empty)
     assert(StatusLiveSource.planCensusRanges(empty, None, 4).isEmpty)
   }
+
+  test("the streaming tail plans ranged groups per micro-batch (census bounds the stream)") {
+    // the census applies to the TAIL too: each micro-batch window plans
+    // its own byte-range groups (the plan cache keys per window, so a
+    // fresh batch re-plans), census subjects flow, strangers never do
+    val docs: IndexedSeq[StubDoc] =
+      ((for (s <- 0 until 6; i <- 0 until 5) yield doc(f"e$s", i)) ++
+        (0 until 5).map(doc("zz", _))).toIndexedSeq // zz: NOT in the census
+    val census = (0 until 6).map(s => s"e$s")
+    val cPath = stage(census)
+    val server = graft.queries.LiveQueries.startStub(docs)
+    try {
+      val q = spark.readStream.format("graft-status-live")
+        .option("url", url(server)).option("batchSize", "50")
+        .option("subjectsPath", cPath).option("censusRanges", "3").load()
+        .select(col("subject"), col("id"))
+        .writeStream.format("memory").queryName("ranged_tail").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.sql("SELECT subject, id FROM ranged_tail").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val expected = (for (s <- 0 until 6; i <- 0 until 5)
+        yield (s"e$s", s"e$s-$i")).toSet
+      assert(got.toSet === expected && got.length === expected.size,
+        "census subjects exactly once; out-of-census subjects never flow")
+    } finally server.stop(0)
+  }
+
+  test("UNSORTED staged files are rejected loudly (a misaligned watermark would overship silently)") {
+    // group tiling survives any order, but the stops merge-walk aligns by
+    // subject order — an unsorted input would park a watermark outside
+    // its subject's group and the scan would quietly read past the stop
+    val sortedC = stage(Seq("n1", "n2", "n3", "n4"))
+    val unsortedC = stage(Seq("n2", "n1", "n3", "n4"))
+    val unsortedS = stage(Seq("n3\t5", "n1\t7"))
+    val e1 = intercept[IllegalArgumentException](
+      StatusLiveSource.planCensusRanges(unsortedC, None, 2))
+    assert(e1.getMessage.contains("SORTED census"))
+    val e2 = intercept[IllegalArgumentException](
+      StatusLiveSource.planCensusRanges(sortedC, Some(unsortedS), 2))
+    assert(e2.getMessage.contains("SORTED stops"))
+  }
 }
