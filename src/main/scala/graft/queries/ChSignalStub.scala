@@ -153,7 +153,9 @@ object ChSignalStub {
     */
   def start(server: HttpServer = LiveQueries.loopbackServer(1024),
       gzip: Boolean = false, auth: Option[(String, String)] = None,
-      quantiles: Boolean = true): HttpServer = {
+      quantiles: Boolean = true,
+      statements: java.util.concurrent.ConcurrentLinkedQueue[String] =
+        new java.util.concurrent.ConcurrentLinkedQueue[String]()): HttpServer = {
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[SRow]()
     val created = new java.util.concurrent.atomic.AtomicBoolean(false)
     // insert_deduplication_token semantics (a real CH's insert-block
@@ -243,6 +245,7 @@ object ChSignalStub {
         } else if (body.startsWith("CREATE TABLE")) {
           created.set(true); respond(ex, 200, "")
         } else if (body.startsWith("SELECT ")) {
+          statements.add(body) // statement ledger: probe-economy pins read it
           val m = Select.matcher(body)
           if (!m.matches()) { respond(ex, 400, s"outside the declared grammar: $body"); return }
           val items = m.group(1).split(", ").toSeq

@@ -539,7 +539,26 @@ class SignalLiveScan(url: String, table: String, partitions: Int,
   private def quantileCuts(m: Int): Seq[Long] =
     quantilesOf((1 until m).map(_.toDouble / m), "`token_id`")
 
-  override def planInputPartitions(): Array[InputPartition] = envelope match {
+  // One planning pass per effective-filter state: Spark calls
+  // planInputPartitions more than once per action (partitioning
+  // inquiries, then execution), and this pass issues real statements —
+  // the quantile probe plus one timestamp probe per hot token. Memoized
+  // like the envelope (a DPP runtime filter changes the key and
+  // re-plans); the streaming tail constructs a fresh scan per
+  // micro-batch, so every batch still plans against current data.
+  private var partsCache: Option[(Seq[Filter], Array[InputPartition])] = None
+  override def planInputPartitions(): Array[InputPartition] = synchronized {
+    val key = effectiveFilters
+    partsCache match {
+      case Some((k, v)) if k == key => v
+      case _ =>
+        val v = planPartitions()
+        partsCache = Some((key, v))
+        v
+    }
+  }
+
+  private def planPartitions(): Array[InputPartition] = envelope match {
     case None => Array.empty // no matching rows: no tasks, no round trips
     case Some((minTok, maxTok, n)) =>
       // contiguous token ranges: each task's WHERE lands inside the

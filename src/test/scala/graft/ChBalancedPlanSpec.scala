@@ -181,6 +181,42 @@ class ChBalancedPlanSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("planning probes fire ONCE per action (memoized against Spark's repeated planning calls)") {
+    // Spark calls planInputPartitions 2+ times per action; un-memoized,
+    // every call re-issued the quantile probe AND the hot token's
+    // timestamp probe against the live store. One .collect() through the
+    // single-hot corpus must cost exactly one of each.
+    val statements = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = ChSignalStub.start(statements = statements)
+    try {
+      val base = url(server)
+      val client = new ClickHouseHttpClient(base)
+      client.execute(ClickHouseDdl.signalTableDdl(SignalLiveSource.Schema))
+      val sb = new StringBuilder
+      var us = 1700000000000000L
+      for (tok <- 1 to 4; _ <- 1 to 100) {
+        us += 1
+        sb.append(s"""$tok,${us / 1000000}.${f"${us % 1000000}%06d"},"speed",1.5,""").append('\n')
+      }
+      for (_ <- 1 to 3600) {
+        us += 1
+        sb.append(s"""7,${us / 1000000}.${f"${us % 1000000}%06d"},"speed",2.5,""").append('\n')
+      }
+      client.insertCsv("signal",
+        Seq("token_id", "timestamp", "name", "value_number", "value_string"),
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val live = spark.read.format("graft-signal-live")
+        .option("url", base).option("partitions", "4").load()
+      assert(live.select(col("token_id")).collect().length === 4000)
+      import scala.jdk.CollectionConverters._
+      val qstmts = statements.asScala.toSeq.filter(_.contains("quantiles("))
+      assert(qstmts.count(_.contains("(`token_id`)")) === 1,
+        s"one token-quantile probe per action, got: $qstmts")
+      assert(qstmts.count(_.contains("toUnixTimestamp64Micro(`timestamp`)")) === 1,
+        s"one timestamp probe for the one hot token, got: $qstmts")
+    } finally server.stop(0)
+  }
+
   test("tiny results keep single-partition plans (no quantile probe)") {
     val server = ChSignalStub.start(quantiles = false) // a probe would 400 — but none may fire
     try {
