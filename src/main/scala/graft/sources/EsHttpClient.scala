@@ -167,7 +167,7 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     * which on a parallel sliced scan means lost or duplicated slices.
     */
   def openPit(index: String): Option[String] = {
-    val b = HttpRequest.newBuilder(URI.create(s"$baseUrl/$index/_pit?keep_alive=1m"))
+    val b = HttpRequest.newBuilder(URI.create(s"$baseUrl/$index/_pit?keep_alive=${wire.pitKeepAlive}"))
       .timeout(Duration.ofMillis(timeoutMs))
       .header("Accept-Encoding", "gzip")
       .POST(HttpRequest.BodyPublishers.noBody())
@@ -480,7 +480,7 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
           val t = rawPageOf(pitId match {
             case Some(id) => pitSearchTree(EsQueryDsl.pitSearchAfterRequest(
               windowFilters(lo, hi), requiredFields, drainSize, id, pitAfter,
-              envelopeIncludes))
+              envelopeIncludes, keepAlive = wire.pitKeepAlive))
             case None => searchTree(index, EsQueryDsl.searchAfterRequest(
               windowFilters(lo, hi), requiredFields, drainSize, drainCursor,
               envelopeIncludes))
@@ -665,7 +665,8 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
         try {
           val (raw, _, lastSort, got) = rawPageOf(pitSearchTree(
             EsQueryDsl.pitSearchAfterRequest(filters, requiredFields, size, pitId,
-              after, envelopeIncludes, slice = Some((sliceId, sliceMax)))))
+              after, envelopeIncludes, slice = Some((sliceId, sliceMax)),
+              keepAlive = wire.pitKeepAlive)))
           pages += 1
           docsShipped += raw
           after = lastSort

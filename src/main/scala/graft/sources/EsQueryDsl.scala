@@ -156,12 +156,16 @@ object EsQueryDsl {
   def pitSearchAfterRequest(filters: Seq[Filter], requiredFields: Seq[String], size: Int,
       pitId: String, after: Option[com.fasterxml.jackson.databind.JsonNode],
       envelopeIncludes: Seq[String] = Seq.empty,
-      slice: Option[(Int, Int)] = None): String = {
+      slice: Option[(Int, Int)] = None,
+      keepAlive: String = "1m"): String = {
     val root = queryBody(filters, requiredFields, envelopeIncludes)
     root.put("size", size)
     val pit = root.putObject("pit")
     pit.put("id", pitId)
-    pit.put("keep_alive", "1m")
+    // every PIT request REFRESHES the keep-alive, so it bounds the gap
+    // between requests, not the scan's total length — raised via the
+    // `pitKeepAlive` wire option for stall-prone downstreams
+    pit.put("keep_alive", keepAlive)
     root.putArray("sort").addObject().put("_shard_doc", "asc")
     // sliced search (the parallel-scan form): `slice: {id, max}` makes the
     // server partition the PIT's documents into `max` DISJOINT subsets —

@@ -38,11 +38,21 @@ private[graft] final case class LiveWire(
     keystorePassword: Option[String] = None,
     gzip: Boolean = false,
     username: Option[String] = None,
-    password: Option[String] = None) {
+    password: Option[String] = None,
+    /** Point-in-time keep-alive (`pitKeepAlive` option, ES time-unit
+      * grammar, default 1m): every PIT request refreshes it, so it only
+      * needs to outlast the LONGEST GAP between one task's page
+      * requests — but a production scan whose downstream can stall
+      * (backpressure, GC) raises it: a PIT expiring mid-scan surfaces as
+      * a search_context_missing task failure whose retries reuse the
+      * same dead snapshot id. Validated against the ES duration grammar
+      * at parse so a typo cannot 400 every drain at runtime.
+      */
+    pitKeepAlive: String = "1m") {
   def tlsConfigured: Boolean = truststore.isDefined || keystore.isDefined
   /** The SSLContext cache key: TLS material only (gzip/auth orthogonal). */
   private[sources] def tlsKey: LiveWire =
-    copy(gzip = false, username = None, password = None)
+    copy(gzip = false, username = None, password = None, pitKeepAlive = "1m")
 
   /** The `Authorization: Basic` header value when credentials are set —
     * the reference authenticates BOTH clients this way (elastic.go:29-30
@@ -79,7 +89,13 @@ private[graft] object LiveWire {
           s"unsupported compression '$other' (supported: gzip, none)")
     },
     username = get("username"),
-    password = get("password"))
+    password = get("password"),
+    pitKeepAlive = get("pitKeepAlive").map { v =>
+      val t = v.trim
+      require(t.matches("\\d+(d|h|m|s|ms|micros|nanos)"),
+        s"pitKeepAlive must be an ES duration like 1m/5m/90s, got: $v")
+      t
+    }.getOrElse("1m"))
 }
 
 /** Shared JDK-HttpClient factory for the live wire clients

@@ -74,7 +74,13 @@ class StatusLiveSource extends TableProvider
   override def shortName(): String = "graft-status-live"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = StatusV2Source.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
+      properties: JMap[String, String]): Table = {
+    // censusRanges WITHOUT a census is a contradiction — and it must not
+    // quietly fall back while ALSO skipping the stops-file read (a
+    // silently dropped watermark map overships past every stop)
+    require(!Option(properties.get("censusRanges")).exists(_.toInt > 0) ||
+      properties.get("subjectsPath") != null,
+      "censusRanges requires subjectsPath (the staged census the ranges partition)")
     new StatusLiveTable(
       Option(properties.get("url")).getOrElse(
         throw new IllegalArgumentException("graft-status-live requires option url")),
@@ -111,6 +117,7 @@ class StatusLiveSource extends TableProvider
         g <- Option(properties.get("censusRanges")).map(_.toInt) if g > 0
         path <- Option(properties.get("subjectsPath"))
       } yield RangedCensus(path, Option(properties.get("stopBySubjectPath")), g))
+  }
 }
 
 object StatusLiveSource {

@@ -132,6 +132,24 @@ class EsQueryDslSpec extends AnyFunSuite {
       "subsequent pages carry the last hit's _id as the exclusive cursor")
   }
 
+  test("configurable PIT keep-alive rides every PIT request (and bad durations are rejected at parse)") {
+    // every PIT request REFRESHES the keep-alive, so it bounds the gap
+    // between one task's page requests — a stall-prone downstream raises
+    // it via the `pitKeepAlive` wire option instead of dying on a
+    // search_context_missing whose retries reuse the same dead snapshot
+    val req = mapper.readTree(EsQueryDsl.pitSearchAfterRequest(
+      Seq(EqualTo("subject", "veh-1")), Nil, 100, "pit-7", None, keepAlive = "5m"))
+    assert(req.path("pit").path("keep_alive").asText() === "5m")
+    assert(req.path("pit").path("id").asText() === "pit-7")
+    val wire = graft.sources.LiveWire.fromOptions(
+      Map("pitKeepAlive" -> "90s").get(_))
+    assert(wire.pitKeepAlive === "90s")
+    // a typo must fail at option parse, not 400 every drain at runtime
+    val e = intercept[IllegalArgumentException](
+      graft.sources.LiveWire.fromOptions(Map("pitKeepAlive" -> "five minutes").get(_)))
+    assert(e.getMessage.contains("pitKeepAlive"))
+  }
+
   test("pushdown-state round trip: the DSv2 scan's accepted filters translate") {
     // the same filter classes StatusScanBuilder accepts are the inputs here;
     // a subject-only scan emits just the match clause

@@ -202,4 +202,13 @@ class StatusLiveRangedSpec extends SparkTestBase {
       StatusLiveSource.planCensusRanges(sortedC, Some(unsortedS), 2))
     assert(e2.getMessage.contains("SORTED stops"))
   }
+
+  test("censusRanges without subjectsPath is refused at load (a dropped stops file would overship)") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-status-live")
+        .option("url", "http://127.0.0.1:9").option("censusRanges", "4")
+        .option("stopBySubjectPath", "/nonexistent").load()
+    }
+    assert(e.getMessage.contains("censusRanges requires subjectsPath"))
+  }
 }
