@@ -368,6 +368,16 @@ object StatusLiveSource {
   * [[graft.jobs.SyncJob.runLive]] cadence) must not set `censusRanges`.
   * Pushed subject constraints (IN/equality/DPP) fall back to the
   * materialized census so the intersect semantics stay identical.
+  *
+  * Balance trade, stated honestly: ranged groups are equal-SUBJECT-count
+  * (the hot-subject terms probe cannot enumerate a 10M-token fleet, so
+  * neither load packing nor per-subject slicing applies here). That is
+  * the right default for the workload this mode exists for — an
+  * incremental mega-fleet sync, where each subject's window is its
+  * unsynced suffix and per-subject work is short and roughly uniform; a
+  * fleet with a few known deep-history devices syncs those separately
+  * through the constrained path, where the probe and slicing machinery
+  * apply.
   */
 private[graft] case class RangedCensus(censusPath: String, stopsPath: Option[String],
     groups: Int)
