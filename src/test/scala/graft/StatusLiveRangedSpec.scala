@@ -203,6 +203,53 @@ class StatusLiveRangedSpec extends SparkTestBase {
     assert(e2.getMessage.contains("SORTED stops"))
   }
 
+  test("property: random censuses and stops tile and align exactly (seeded, 500 trials)") {
+    // byte-offset math is where off-by-ones hide, and multi-byte UTF-8
+    // subjects are where byte offsets and character counts diverge — the
+    // alphabet mixes 1-, 2- and 3-byte code points deliberately. Three
+    // invariants per trial: tiles reconstruct the census exactly; every
+    // stop lands in the range whose tile owns its subject; every stop
+    // appears in exactly one range.
+    val rnd = new scala.util.Random(20260816L)
+    val alphabet = "abXYZ0189éü中"
+    for (trial <- 0 until 500) {
+      val n = 1 + rnd.nextInt(60)
+      def subj(): String =
+        (0 to rnd.nextInt(6)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val census = Seq.fill(n)(subj()).distinct.sorted
+      val stopsSubjects = census.filter(_ => rnd.nextBoolean())
+      val stops = stopsSubjects.map(s => s"$s\t${1700000000000L + rnd.nextInt(1000)}")
+      val cPath = stage(census)
+      val sPath = stage(stops)
+      try {
+        val g = 1 + rnd.nextInt(8)
+        val ranges = StatusLiveSource.planCensusRanges(cPath, Some(sPath), g)
+        // per-group size rounds UP (ceil(n/g) subjects each), so the
+        // group count is ceil(n/per) — at most g, never more
+        val per = (census.length + math.min(g, census.length) - 1) /
+          math.min(g, census.length)
+        assert(ranges.length === (census.length + per - 1) / per,
+          s"trial $trial group count (n=${census.length} g=$g)")
+        assert(ranges.length <= g, s"trial $trial: more groups than requested")
+        val tiles = ranges.map(r => StatusLiveSource.readRange(cPath, r.cStart, r.cEnd))
+        assert(tiles.flatten === census, s"trial $trial: tiles must reconstruct the census")
+        val stopsOf = ranges.zip(tiles).flatMap { case (r, tile) =>
+          StatusLiveSource.readRange(sPath, r.sStart, r.sEnd).map { line =>
+            (line.takeWhile(_ != '\t'), tile)
+          }
+        }
+        stopsOf.foreach { case (s, tile) =>
+          assert(tile.contains(s), s"trial $trial: stop for '$s' landed outside its tile")
+        }
+        assert(stopsOf.map(_._1).sorted === stopsSubjects.sorted,
+          s"trial $trial: every stop in exactly one range")
+      } finally {
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(cPath))
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(sPath))
+      }
+    }
+  }
+
   test("censusRanges without subjectsPath is refused at load (a dropped stops file would overship)") {
     val e = intercept[IllegalArgumentException] {
       spark.read.format("graft-status-live")
