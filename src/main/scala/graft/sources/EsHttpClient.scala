@@ -629,9 +629,10 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     * and under concurrent indexing a document arriving between two opens
     * is visible to some slices and not others — exactly the torn
     * parallel read slicing exists to avoid. For the same reason NO task
-    * closes the PIT (a sibling slice may still be draining); the 1m
-    * keep_alive, refreshed by every request, reclaims it server-side
-    * once the scan's last request lands.
+    * closes the PIT (a sibling slice may still be draining); the
+    * keep_alive (`pitKeepAlive` wire option, default 1m), refreshed by
+    * every request, reclaims it server-side once the scan's last
+    * request lands.
     *
     * Exactly-once within a slice is the cursor's (strictly advancing
     * `_shard_doc` order); across slices it is the server's disjointness
