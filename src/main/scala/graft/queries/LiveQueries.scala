@@ -71,7 +71,11 @@ object LiveQueries {
       slicedSubjects: java.util.concurrent.ConcurrentLinkedQueue[String] =
         new java.util.concurrent.ConcurrentLinkedQueue[String](),
       servedSliced: java.util.concurrent.atomic.AtomicLong =
-        new java.util.concurrent.atomic.AtomicLong): HttpServer = {
+        new java.util.concurrent.atomic.AtomicLong,
+      pitClosedIds: java.util.concurrent.ConcurrentLinkedQueue[String] =
+        new java.util.concurrent.ConcurrentLinkedQueue[String](),
+      servedSlicedAtFirstClose: java.util.concurrent.atomic.AtomicLong =
+        new java.util.concurrent.atomic.AtomicLong(-1)): HttpServer = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val pitSeq = new java.util.concurrent.atomic.AtomicLong()
     // ids actually ISSUED: a search under an unknown PIT id is a 400,
@@ -116,7 +120,7 @@ object LiveQueries {
           ex.getRequestURI.getPath == "/_pit") {
           // point-in-time lifecycle: offered only in pitMode (the ES 8
           // posture); a 404 makes the client fall back to the `_id` drain
-          ex.getRequestBody.readAllBytes()
+          val pitBody = ex.getRequestBody.readAllBytes()
           if ("POST" == ex.getRequestMethod && pitMode) {
             if (pitFails.getAndDecrement() > 0) {
               // an injected transient blip: the client must RETRY (and
@@ -136,6 +140,17 @@ object LiveQueries {
             ex.sendResponseHeaders(200, b.length)
             ex.getResponseBody.write(b)
           } else if ("DELETE" == ex.getRequestMethod) {
+            // the query-end release hook lands here: record WHICH id was
+            // closed and how many sliced docs had been served by then —
+            // a release firing before the last slice request would show
+            // as a short tally (and the 400-on-unknown-pit search guard
+            // above would fail any still-draining sibling loudly)
+            val closedId = mapper.readTree(pitBody).path("id").asText("")
+            pitClosedIds.add(closedId)
+            // a real ES frees the search context: any later search under
+            // this id is a search_context_missing 400
+            issuedPits.remove(closedId)
+            servedSlicedAtFirstClose.compareAndSet(-1L, servedSliced.get())
             val b = """{"succeeded":true}""".getBytes(StandardCharsets.UTF_8)
             ex.sendResponseHeaders(200, b.length)
             ex.getResponseBody.write(b)
@@ -1771,6 +1786,111 @@ object LiveQueries {
              FROM e, c WHERE uid % 2 = 1 OR ms < cut GROUP BY 1"""),
     ),
 
+    // ── HOT-LIST composition for the RANGED census (r16): q236's
+    //    byte-range groups are equal-SUBJECT-count and never probe for
+    //    hot devices (a terms probe cannot enumerate a 10M-token fleet),
+    //    so a mega-fleet with a few deep-history whales still straggled
+    //    its byte-range group. `hotSubjectsPath` — the operator usually
+    //    knows its whales, or one prior groupBy(subject).count() run
+    //    does — carves each listed subject OUT of the tiles at planning
+    //    (zero extra passes: they are lines the sortedness walk already
+    //    visits) and drains it through the q234 sliced-PIT path, its
+    //    stops-file watermark applied ON the slice windows. The entry
+    //    maps ~20% of rows onto one 'hot' subject, watermarks it at its
+    //    midpoint, and RAISES unless the whale rode all 8 slices (only
+    //    it), its watermark reached the slice windows, AND the ranged
+    //    tiles excluded it exactly (total served = surviving set — a
+    //    tile re-looping the whale would double-serve); the DuckDB
+    //    compare then re-derives the cut independently.
+    QueryDef(
+      "q237_live_es_ranged_hotlist",
+      (s, d) => {
+        import org.apache.spark.sql.types.LongType
+        val evs = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(
+            when(col("user_id") % 5 === 0, lit("hot"))
+              .otherwise(col("user_id").cast("string")).as("subject"),
+            expr("unix_micros(ts)").as("tsu"),
+            round(col("value") * 100).cast(LongType).as("cents"))
+          .collect() // seeds the TEST DOUBLE; the measured read is below
+        val docs: IndexedSeq[StubDoc] =
+          evs.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+            val (subj, tsu, cents) = (r.getString(0), r.getLong(1), r.getLong(2))
+            val iso = java.time.Instant.ofEpochSecond(tsu / 1000000L, (tsu % 1000000L) * 1000L)
+            StubDoc(s"rh$i", subj, tsu,
+              s"""{"id":"rh$i","subject":"$subj","source":"dimo/integration/live",""" +
+                s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v2.0",""" +
+                s""""type":"com.dimo.device.status","data":{"cents":$cents}}""")
+          }
+        val hotMs = evs.filter(_.getString(0) == "hot").map(_.getLong(1) / 1000)
+        val cut = (hotMs.min + hotMs.max) / 2 // the whale's midpoint watermark
+        val census = evs.map(_.getString(0)).distinct.sorted
+        def stage(lines: Seq[String]): java.nio.file.Path = {
+          val f = java.nio.file.Files.createTempFile("graft-q237", ".txt")
+          java.nio.file.Files.write(f, lines.mkString("", "\n", "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          f
+        }
+        val cPath = stage(census)
+        val sPath = stage(Seq(s"hot\t$cut"))
+        val hPath = stage(Seq("hot"))
+        val hotSurviving = evs.count(r =>
+          r.getString(0) == "hot" && r.getLong(1) / 1000 < cut)
+        val expected = evs.count(_.getString(0) != "hot") + hotSurviving
+        val served = new java.util.concurrent.atomic.AtomicLong
+        val servedSliced = new java.util.concurrent.atomic.AtomicLong
+        val sliceSeen = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+        val slicedSubjects = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val server = startStub(docs, pitMode = true, served = served,
+          servedSliced = servedSliced, sliceSeen = sliceSeen,
+          slicedSubjects = slicedSubjects)
+        try {
+          val live = s.read.format("graft-status-live")
+            .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+            .option("batchSize", "200")
+            .option("subjectsPath", cPath.toString)
+            .option("stopBySubjectPath", sPath.toString)
+            .option("hotSubjectsPath", hPath.toString)
+            .option("censusRanges", "6").option("slices", "8").load()
+          require(live.rdd.getNumPartitions == 14,
+            s"expected 6 byte-range groups + 8 whale slices, planned ${live.rdd.getNumPartitions}")
+          val out = live
+            .select(col("subject"),
+              get_json_object(col("data"), "$.cents").cast("long").as("cents"))
+            .groupBy(col("subject"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("cents")).as("cents"))
+            .localCheckpoint(true) // materialize THROUGH the hot-list ranged plan
+          import scala.jdk.CollectionConverters._
+          require(slicedSubjects.asScala.toSet == Set("hot"),
+            s"only the hot-list may ride the sliced drain, saw ${slicedSubjects.asScala.toSet}")
+          require(sliceSeen.asScala.toSet == (0 until 8).toSet,
+            s"expected the whale across all 8 slices, saw ${sliceSeen.asScala.toSet}")
+          require(servedSliced.get() == hotSurviving.toLong,
+            s"sliced path served ${servedSliced.get()} of a $hotSurviving-doc watermarked whale " +
+              "(the stops-file watermark must ride the slice windows)")
+          require(served.get() == expected.toLong,
+            s"wire served ${served.get()}, surviving set is $expected " +
+              "(a tile failed to exclude the whale, or excluded a cold subject)")
+          out
+        } finally {
+          server.stop(0)
+          java.nio.file.Files.deleteIfExists(cPath)
+          java.nio.file.Files.deleteIfExists(sPath)
+          java.nio.file.Files.deleteIfExists(hPath)
+        }
+      },
+      Some("""WITH m AS (
+               SELECT CASE WHEN user_id % 5 = 0 THEN 'hot'
+                           ELSE CAST(user_id AS VARCHAR) END AS subject,
+                      CAST(round(value*100) AS BIGINT) AS cents,
+                      epoch_us(CAST(ts AS TIMESTAMP))//1000 AS ms
+               FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+             c AS (SELECT (min(ms)+max(ms))//2 AS cut FROM m WHERE subject = 'hot')
+             SELECT subject, count(*)::BIGINT AS n_docs, sum(cents)::BIGINT AS cents
+             FROM m, c WHERE subject <> 'hot' OR ms < cut GROUP BY 1"""),
+    ),
+
     // ── The reference's CONTINUOUS pipeline over BOTH wires (r14):
     //    `readStream` from live ES → transform → `writeStream` into live
     //    CH (its loop tails ES and inserts into CH forever, sync.go:92-125
@@ -1922,7 +2042,8 @@ object LiveQueries {
     //    device owning most of the table, which no token-granular cut can
     //    split (the quantiles collapse onto it and its whole history
     //    lands in one task). Planning now detects the collapse (a raw
-    //    quantile value repeated ≥3 times), asks the store for that
+    //    quantile value repeated ≥2 times — at m=4 even a 60%-of-rows
+    //    token repeats only twice, SignalLiveSource), asks the store for that
     //    token's TIMESTAMP quantiles, and plans
     //    `token_id = hot AND ts ∈ [a,b)` partitions — still index-local
     //    reads (the primary key is (token_id, timestamp)), still

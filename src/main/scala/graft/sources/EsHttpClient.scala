@@ -405,7 +405,9 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     private var drainCursor: Option[String] = None
     private var drainSize = 1
     // PIT drain state: every drain episode first PROBES for point-in-time
-    // support (one cheap POST; openPit never retries). With a PIT the
+    // support (one POST through sendWithRetry — openPit retries transient
+    // failures and THROWS on exhaustion; only a probed-absent endpoint
+    // answers None). With a PIT the
     // drain sorts on `_shard_doc` — the order a real ES 8 serves natively
     // (it REJECTS `_id` sorting without fielddata) — and the cursor is
     // the last hit's own `sort` values; without one (older ES, minimal
@@ -629,10 +631,12 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     * and under concurrent indexing a document arriving between two opens
     * is visible to some slices and not others — exactly the torn
     * parallel read slicing exists to avoid. For the same reason NO task
-    * closes the PIT (a sibling slice may still be draining); the
-    * keep_alive (`pitKeepAlive` wire option, default 1m), refreshed by
-    * every request, reclaims it server-side once the scan's last
-    * request lands.
+    * closes the PIT (a sibling slice may still be draining): release is
+    * the DRIVER's — the scan's query-end hook best-effort DELETEs it
+    * once the action completes ([[StatusLiveScan]]), with the
+    * keep_alive (`pitKeepAlive` wire option, default 1m, refreshed by
+    * every request) as the server-side backstop for plans that never
+    * execute or streams whose events bypass the listener bus.
     *
     * Exactly-once within a slice is the cursor's (strictly advancing
     * `_shard_doc` order); across slices it is the server's disjointness
@@ -679,6 +683,18 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
         } catch {
           case e: java.io.IOException if size > 1 && isPageTooLarge(e) =>
             size = math.max(1, size / 2)
+          case e: java.io.IOException
+              if Option(e.getMessage).exists(_.contains("search_context_missing")) =>
+            // the shared snapshot is gone — expired keep-alive (task
+            // scheduling lagged planning), or a RE-EXECUTION of a cached
+            // physical plan whose PIT the query-end release hook already
+            // closed. No task-side recovery is sound (a fresh per-task
+            // PIT tears the parallel read), so fail with the remedy.
+            throw new java.io.IOException(
+              "the sliced scan's shared point-in-time is gone (keep-alive expired before this " +
+                "task ran, or the plan was re-executed after its query-end PIT release) — " +
+                "re-run the action as a FRESH read (a new plan opens a new snapshot), and raise " +
+                "the pitKeepAlive option if planning-to-execution lag can exceed it", e)
         }
 
       override def next(): JsonNode = {

@@ -67,7 +67,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * instead of materializing a per-token map (~2.1 GB at 10M tokens) and
   * each task reads its own slice of the staged files; the files must
   * then OUTLIVE the scan's execution and be executor-readable (shared
-  * storage / `--files`) — see [[RangedCensus]].
+  * storage / `--files`) — see [[RangedCensus]]. `hotSubjectsPath`
+  * (ranged mode only): a small staged file of KNOWN deep-history
+  * subjects — each is carved out of its byte-range tile and drained in
+  * parallel instead (sliced-PIT fan-out under `slices` > 1, an isolated
+  * per-subject task otherwise), so one whale no longer straggles its
+  * equal-subject-count group.
   */
 class StatusLiveSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -81,6 +86,12 @@ class StatusLiveSource extends TableProvider
     require(!Option(properties.get("censusRanges")).exists(_.toInt > 0) ||
       properties.get("subjectsPath") != null,
       "censusRanges requires subjectsPath (the staged census the ranges partition)")
+    // a hot-list outside ranged mode would be silently ignored — the
+    // constrained paths probe hot subjects themselves (q234 machinery)
+    require(properties.get("hotSubjectsPath") == null ||
+      Option(properties.get("censusRanges")).exists(_.toInt > 0),
+      "hotSubjectsPath composes with censusRanges (subject-constrained scans probe " +
+        "hot subjects themselves via the terms probe)")
     new StatusLiveTable(
       Option(properties.get("url")).getOrElse(
         throw new IllegalArgumentException("graft-status-live requires option url")),
@@ -116,7 +127,8 @@ class StatusLiveSource extends TableProvider
       for {
         g <- Option(properties.get("censusRanges")).map(_.toInt) if g > 0
         path <- Option(properties.get("subjectsPath"))
-      } yield RangedCensus(path, Option(properties.get("stopBySubjectPath")), g))
+      } yield RangedCensus(path, Option(properties.get("stopBySubjectPath")), g,
+        Option(properties.get("hotSubjectsPath"))))
   }
 }
 
@@ -283,10 +295,30 @@ object StatusLiveSource {
     * state: O(groups) offsets — never a map entry per token.
     */
   private[graft] def planCensusRanges(censusPath: String, stopsPath: Option[String],
-      groups: Int): Seq[CensusRange] = {
+      groups: Int): Seq[CensusRange] =
+    planCensusRangesHot(censusPath, stopsPath, groups, Set.empty).ranges
+
+  /** A ranged plan with the caller-supplied hot-list resolved against the
+    * staged files: `hotPresent` — the hot subjects the census actually
+    * contains (in census order; a listed subject absent from the fleet
+    * plans nothing), and `hotStops` — those subjects' watermarks lifted
+    * out of the stops file. Both ride the SAME walks the sortedness
+    * check already makes — zero extra passes. The byte-range tiles are
+    * UNCHANGED by the hot-list (hot lines stay inside their tiles; the
+    * task-side `excludeSubjects` filter is what keeps a tile from
+    * looping a whale the planner drains in parallel) — so every tiling
+    * invariant holds with or without a hot-list.
+    */
+  private[graft] case class RangedHotPlan(ranges: Seq[CensusRange],
+      hotPresent: Seq[String], hotStops: Map[String, Long])
+
+  private[graft] def planCensusRangesHot(censusPath: String, stopsPath: Option[String],
+      groups: Int, hot: Set[String]): RangedHotPlan = {
+    val hotPresentB = Seq.newBuilder[String]
+    val hotStopsB = Map.newBuilder[String, Long]
     var n = 0L
     val censusLen = eachLineWithOffset(censusPath)((_, _) => n += 1)
-    if (n == 0L) return Seq.empty
+    if (n == 0L) return RangedHotPlan(Seq.empty, Seq.empty, Map.empty)
     val g = math.max(1L, math.min(groups.toLong, n)).toInt
     val per = (n + g - 1) / g
     val cStartsB = Seq.newBuilder[Long]
@@ -298,11 +330,19 @@ object StatusLiveSource {
     // subject order — an unsorted file would silently park a watermark
     // outside its subject's group, the scan would overship rows past the
     // stop, and nothing downstream would know. Fail loudly instead.
+    // STRICTLY sorted: subjects are identifiers and must be unique —
+    // unlike the materialized path (which dedups through a Set), ranged
+    // tasks drain their slice's RAW lines, so a duplicated census line
+    // would drain twice (duplicate output rows), and a duplicate
+    // straddling a group boundary parks its watermark in only the later
+    // group, overshipping in the earlier one.
     var prevC: String = null
     eachLineWithOffset(censusPath) { (line, off) =>
-      require(prevC == null || prevC <= line,
-        s"censusRanges requires a SORTED census file: '$prevC' precedes '$line' in $censusPath")
+      require(prevC == null || prevC < line,
+        s"censusRanges requires a STRICTLY sorted census file (unique subjects): " +
+          s"'$prevC' precedes '$line' in $censusPath")
       prevC = line
+      if (hot.contains(line)) hotPresentB += line
       if (i % per == 0L) { cStartsB += off; boundsB += line }
       i += 1
     }
@@ -319,9 +359,13 @@ object StatusLiveSource {
           val tab = line.lastIndexOf('\t')
           require(tab > 0, s"stopBySubjectPath line is not subject<TAB>ms: $line")
           val subj = line.substring(0, tab)
-          require(prevS == null || prevS <= subj,
-            s"censusRanges requires a SORTED stops file: '$prevS' precedes '$subj' in $sp")
+          // strict for the same reason: a duplicated stops subject would
+          // make the task-side map's winner an accident of line order
+          require(prevS == null || prevS < subj,
+            s"censusRanges requires a STRICTLY sorted stops file (unique subjects): " +
+              s"'$prevS' precedes '$subj' in $sp")
           prevS = subj
+          if (hot.contains(subj)) hotStopsB += (subj -> line.substring(tab + 1).toLong)
           while (next < bounds.size && bounds(next) <= subj) {
             starts(next) = off
             next += 1
@@ -336,7 +380,9 @@ object StatusLiveSource {
         }
         (starts.toSeq, starts.toSeq.drop(1) :+ totalS)
     }
-    cStarts.indices.map(j => CensusRange(cStarts(j), cEnds(j), sStarts(j), sEnds(j)))
+    RangedHotPlan(
+      cStarts.indices.map(j => CensusRange(cStarts(j), cEnds(j), sStarts(j), sEnds(j))),
+      hotPresentB.result(), hotStopsB.result())
   }
 
   /** Task-side read of one byte range of a staged file → its non-empty
@@ -345,6 +391,14 @@ object StatusLiveSource {
     */
   private[graft] def readRange(path: String, start: Long, end: Long): Seq[String] = {
     if (end <= start) return Seq.empty
+    // the slice materializes as one buffer, so its length must fit an
+    // Int: past 2 GiB the toInt below would throw (2–4 GiB, negative)
+    // or WRAP to a small positive (>4 GiB) and silently truncate the
+    // slice — dropped subjects with no error, in exactly the mega-fleet
+    // regime this mode exists for. A per-task slice that large is a
+    // planning mistake anyway (it is the per-token state ONE task holds).
+    require(end - start <= Int.MaxValue,
+      s"staged-file slice [$start,$end) of $path exceeds 2 GiB per task — raise censusRanges")
     val ch = java.nio.file.Files.newByteChannel(java.nio.file.Paths.get(path))
     try {
       ch.position(start)
@@ -374,13 +428,19 @@ object StatusLiveSource {
   * neither load packing nor per-subject slicing applies here). That is
   * the right default for the workload this mode exists for — an
   * incremental mega-fleet sync, where each subject's window is its
-  * unsynced suffix and per-subject work is short and roughly uniform; a
-  * fleet with a few known deep-history devices syncs those separately
-  * through the constrained path, where the probe and slicing machinery
-  * apply.
+  * unsynced suffix and per-subject work is short and roughly uniform.
+  * For a fleet with a few KNOWN deep-history devices, `hotPath`
+  * (`hotSubjectsPath` option — the operator usually knows its whales, or
+  * one prior `groupBy(subject).count()` run does) carves those subjects
+  * OUT of the byte-range tiles at planning (they are lines the
+  * sortedness walk already visits — zero extra passes) and plans them
+  * through the hot-subject machinery instead: sliced-PIT parallel drains
+  * when `slices` > 1 and the server offers PITs, one isolated page-loop
+  * task each otherwise — either way a whale no longer straggles its
+  * byte-range group.
   */
 private[graft] case class RangedCensus(censusPath: String, stopsPath: Option[String],
-    groups: Int)
+    groups: Int, hotPath: Option[String] = None)
 
 class StatusLiveTable(url: String, index: String, batchSize: Int,
     startMs: Long, stopMs: Long, signals: Option[Seq[String]],
@@ -597,8 +657,14 @@ case class StatusLiveSlicePartition(url: String, index: String, batchSize: Int,
   * census file and its watermark slice from `[stopsStart, stopsEnd)` of
   * the staged stops file, then drives the same sequential page loops a
   * [[StatusLivePartition]] group does — the partition itself carries
-  * OFFSETS, never a subject list or stop map, so a 10M-token plan ships
-  * O(groups) driver state.
+  * OFFSETS, never a subject list or FLEET-scale stop map, so a
+  * 10M-token plan ships O(groups) driver state. Two small exceptions
+  * ride inline because they CANNOT live in the staged files:
+  * `inlineStops` — the `stopBySubject` OPTION's map (bounded by what
+  * fits a catalog property string; task-side it merges UNDER the
+  * file-slice stops, same right-bias as the materialized path), and
+  * `excludeSubjects` — hot subjects (`hotSubjectsPath`) carved out of
+  * this tile because they planned their own parallel drains.
   */
 case class StatusLiveRangedPartition(url: String, index: String, batchSize: Int,
     startMs: Long, stopMs: Long,
@@ -606,7 +672,9 @@ case class StatusLiveRangedPartition(url: String, index: String, batchSize: Int,
     stopsPath: Option[String], stopsStart: Long, stopsEnd: Long,
     requiredFields: Seq[String],
     envelopeIncludes: Seq[String] = Seq.empty,
-    perLoopCap: Int = -1) extends InputPartition
+    perLoopCap: Int = -1,
+    inlineStops: Map[String, Long] = Map.empty,
+    excludeSubjects: Set[String] = Set.empty) extends InputPartition
 
 /** A pushed COUNT(*)'s single partition: the probe already answered at
   * planning; the task just emits the partial row.
@@ -782,11 +850,82 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
       planCache match {
         case Some((k, v)) if k == key => v
         case _ =>
+          // a SUPERSEDED plan's PITs are dead weight: in batch, a DPP
+          // runtime filter arrived before execution (the old partitions
+          // never run); in streaming, the previous micro-batch finished
+          // before the next one plans. Release them here so a
+          // long-running sliced tail holds at most ONE batch's search
+          // contexts instead of accumulating one per micro-batch.
+          if (openedPits.nonEmpty) releasePits()
           val v = planPartitionsFor(startMs, stopMs)
           planCache = Some((key, v))
           v
       }
     }
+
+  /** PITs this scan's planning opened and has not yet released. No TASK
+    * may close a shared PIT (a sibling slice may still be draining) and
+    * DSv2 gives the Scan no completion hook, so reclamation used to ride
+    * the keep-alive alone (`pitKeepAlive`, default 1m, refreshed per
+    * request) — correct, but a production scan that RAISES the keep-alive
+    * holds server search contexts that long after every read. The
+    * QUERY-END hook closes the gap: opening a PIT arms a one-shot
+    * [[org.apache.spark.sql.util.QueryExecutionListener]] that, when an
+    * ACTION whose optimized plan contains THIS scan completes (success or
+    * failure), best-effort DELETEs every tracked PIT and invalidates the
+    * plan cache — the memoized plan must never hand a now-closed PIT id
+    * to a later action on the same scan object (a task would fail
+    * `search_context_missing` with no recovery path); the next action
+    * re-plans and opens a fresh snapshot. Failures closing are ignored
+    * (the keep-alive still reclaims); plannings that never execute (a
+    * bare `.rdd.getNumPartitions`) and streaming micro-batches (whose
+    * QueryExecution events bypass the listener bus) also fall back to the
+    * keep-alive — never worse than before the hook.
+    */
+  private val openedPits = scala.collection.mutable.ArrayBuffer[String]()
+  private var releaseHookArmed = false
+
+  private def trackPit(pit: Option[String]): Option[String] = {
+    pit.foreach { id =>
+      openedPits += id
+      if (!releaseHookArmed)
+        org.apache.spark.sql.SparkSession.getActiveSession.foreach { session =>
+          val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+            private def fire(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+              val mine = qe.optimizedPlan.collectFirst {
+                case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+                  if r.scan eq StatusLiveScan.this => r
+              }.nonEmpty
+              if (mine) {
+                releasePits()
+                session.listenerManager.unregister(this)
+              }
+            }
+            override def onSuccess(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+              fire(qe)
+            override def onFailure(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
+              fire(qe)
+          }
+          session.listenerManager.register(listener)
+          releaseHookArmed = true
+        }
+    }
+    pit
+  }
+
+  private def releasePits(): Unit = synchronized {
+    openedPits.foreach { id =>
+      try new EsHttpClient(url, wire = wire).closePit(id)
+      catch { case scala.util.control.NonFatal(_) => () } // keep-alive reclaims
+    }
+    openedPits.clear()
+    planCache = None // a later action must re-plan: its PIT ids are gone
+    // releaseHookArmed stays true: ONE listener per scan for its whole
+    // life (a sliced streaming tail re-plans every micro-batch — re-arming
+    // would register a listener per batch and none would ever fire)
+  }
 
   private def planPartitionsFor(startMs: Long, stopMs: Long): Array[InputPartition] = {
     // the reference's required-fields contract: the CONFIGURED signal
@@ -829,10 +968,55 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     } || runtimeSubjects.isDefined || census.isDefined
     rangedCensus match {
       case Some(rc) if !otherSubjectConstraints =>
-        return StatusLiveSource.planCensusRanges(rc.censusPath, rc.stopsPath, rc.groups)
-          .map(r => StatusLiveRangedPartition(url, index, pageSize, startMs, stopMs,
+        // the caller-supplied hot-list (`hotSubjectsPath`): ranged groups
+        // are equal-subject-count and never probe for hot devices (a
+        // terms probe cannot enumerate a 10M-token fleet), so a few
+        // deep-history whales would straggle their byte-range group. The
+        // planner resolves the list against the census and stops files
+        // ON the walks it already makes, carves those subjects out of
+        // every tile (task-side `excludeSubjects` — the tiles themselves
+        // are unchanged), and drains each whale in parallel: sliced-PIT
+        // fan-out when `slices` > 1 and the server offers PITs, one
+        // isolated page-loop task each otherwise (never a wrong plan —
+        // a listed subject absent from the census plans nothing).
+        val hotList: Set[String] =
+          rc.hotPath.map(StatusLiveSource.readSubjects(_).toSet).getOrElse(Set.empty)
+        val plan = StatusLiveSource.planCensusRangesHot(
+          rc.censusPath, rc.stopsPath, rc.groups, hotList)
+        // a hot subject's watermark: the stops FILE wins over the inline
+        // option — the same right-bias as every other stops merge here
+        val hotStops: Map[String, Long] = stopBySubject ++ plan.hotStops
+        val pit: Option[String] =
+          if (plan.hotPresent.isEmpty || slices <= 1 || topN >= 0) None
+          else trackPit(new EsHttpClient(url, wire = wire).openPit(index))
+        val hotParts: Seq[InputPartition] = plan.hotPresent.flatMap { s =>
+          pit match {
+            case Some(pid) =>
+              val stop = hotStops.get(s).map(math.min(_, stopMs)).getOrElse(stopMs)
+              (0 until slices).map(i => StatusLiveSlicePartition(url, index, pageSize,
+                startMs, stop, i, slices, requiredFields, envelopeIncludes,
+                perLoopCap = limit, pitId = pid, subject = Some(s)): InputPartition)
+            case None => // PIT-less server, slices=1, or a pushed top-K:
+              // the whale still gets its OWN task (isolation from its
+              // group is most of the win; the loop stays sequential)
+              Seq(StatusLivePartition(url, index, pageSize, startMs, stopMs,
+                Some(Seq(s)), requiredFields, envelopeIncludes,
+                hotStops.get(s).map(v => s -> v).toMap, perLoopCap): InputPartition)
+          }
+        }
+        // the inline `stopBySubject` OPTION (bounded small — it rode a
+        // catalog property) cannot live in the staged files, so it rides
+        // whole in every ranged partition and merges task-side — dropping
+        // it would silently overship rows past every inline stop, the
+        // exact hazard the getTable require guards on the missing-census
+        // side
+        val exclude = plan.hotPresent.toSet
+        return (plan.ranges.map(r =>
+          StatusLiveRangedPartition(url, index, pageSize, startMs, stopMs,
             rc.censusPath, r.cStart, r.cEnd, rc.stopsPath, r.sStart, r.sEnd,
-            requiredFields, envelopeIncludes, perLoopCap): InputPartition).toArray
+            requiredFields, envelopeIncludes, perLoopCap,
+            inlineStops = stopBySubject,
+            excludeSubjects = exclude): InputPartition) ++ hotParts).toArray
       case _ => ()
     }
     val (censusEff, stopsEff): (Option[Seq[String]], Map[String, Long]) = rangedCensus match {
@@ -872,7 +1056,7 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
         // newest-first early stop reads K docs; slices read everything).
         // A pushed LIMIT caps each slice (any subset satisfies a limit —
         // Spark's global Limit re-applies above).
-        new EsHttpClient(url, wire = wire).openPit(index) match {
+        trackPit(new EsHttpClient(url, wire = wire).openPit(index)) match {
           case Some(pid) =>
             Array.tabulate(slices)(i => StatusLiveSlicePartition(url, index, pageSize,
               startMs, stopMs, i, slices, requiredFields, envelopeIncludes,
@@ -910,7 +1094,7 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
           subjectCounts.map(_.filter(_._2 > hotThreshold)).getOrElse(Map.empty)
         val pit: Option[String] =
           if (hotCounts.isEmpty) None
-          else new EsHttpClient(url, wire = wire).openPit(index)
+          else trackPit(new EsHttpClient(url, wire = wire).openPit(index))
         val (hot, cold) = all.partition(s => pit.isDefined && hotCounts.contains(s))
         val hotParts: Seq[InputPartition] = pit.toSeq.flatMap { pid =>
           hot.flatMap { s =>
@@ -1143,7 +1327,10 @@ class StatusLiveReaderFactory(filters: Array[Filter], required: StructType,
           (p.url, p.index, p.batchSize, p.startMs, p.stopMs, p.subjects, p.stopBySubject,
             p.requiredFields, p.envelopeIncludes, p.perLoopCap)
         case p: StatusLiveRangedPartition =>
+          // hot subjects planned their own parallel drains — this tile
+          // must not loop them a second time
           val subs = StatusLiveSource.readRange(p.censusPath, p.censusStart, p.censusEnd)
+            .filterNot(p.excludeSubjects)
           val stops = p.stopsPath.map { sp =>
             StatusLiveSource.readRange(sp, p.stopsStart, p.stopsEnd).map { line =>
               val tab = line.lastIndexOf('\t')
@@ -1152,7 +1339,7 @@ class StatusLiveReaderFactory(filters: Array[Filter], required: StructType,
             }.toMap
           }.getOrElse(Map.empty[String, Long])
           (p.url, p.index, p.batchSize, p.startMs, p.stopMs,
-            Some(subs): Option[Seq[String]], stops,
+            Some(subs): Option[Seq[String]], p.inlineStops ++ stops,
             p.requiredFields, p.envelopeIncludes, p.perLoopCap)
       }
     val client = new EsHttpClient(pUrl, wire = wire)

@@ -457,6 +457,71 @@ object LiveProbe {
           f"(${seq1 / par8}%.1fx — the hot device no longer serializes the scan)")
       } finally server.stop(0)
     }
+
+    // ── section 11 (r16): the HOT-LIST under the RANGED census — the
+    // mega-fleet composition. Byte-range groups are equal-SUBJECT-count
+    // and never probe for hot devices, so one whale's history lands
+    // whole in its tile and the tile IS the scan's wall clock.
+    // `hotSubjectsPath` carves the whale out of its tile at planning
+    // (on the walks the planner already makes) and drains it through
+    // the sliced-PIT path. Same corpus, same staged files, same stub;
+    // the only change is the option.
+    {
+      val coldSubjects = 2000
+      val coldN = 250
+      val whaleN = 250000
+      val probeDocs: IndexedSeq[graft.queries.LiveQueries.StubDoc] = {
+        def doc(subj: String, i: Int, ord: Int): graft.queries.LiveQueries.StubDoc = {
+          val tsu = 1704000000000000L + ord.toLong * 1000
+          val iso = java.time.Instant.ofEpochSecond(tsu / 1000000L, (tsu % 1000000L) * 1000L)
+          graft.queries.LiveQueries.StubDoc(f"r$ord%07d", subj, tsu,
+            s"""{"id":"r$ord","subject":"$subj","source":"dimo/integration/live",""" +
+              s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v2.0",""" +
+              s""""type":"com.dimo.device.status","data":{"i":$i}}""")
+        }
+        ((0 until whaleN).map(i => doc("whale", i, i)) ++
+          (0 until coldSubjects).flatMap(s =>
+            (0 until coldN).map(i => doc(f"v$s%05d", i, whaleN + s * coldN + i)))).toIndexedSeq
+      }
+      val census = ((0 until coldSubjects).map(s => f"v$s%05d") :+ "whale").sorted
+      val cFile = java.nio.file.Files.createTempFile("graft-probe11-census", ".txt")
+      val hFile = java.nio.file.Files.createTempFile("graft-probe11-hot", ".txt")
+      graft.sources.StatusLiveSource.writeSubjects(census, cFile.toString)
+      graft.sources.StatusLiveSource.writeSubjects(Seq("whale"), hFile.toString)
+      val expected = (0L until whaleN).sum + coldSubjects.toLong * (0L until coldN).sum
+      val server = graft.queries.LiveQueries.startStub(probeDocs, pitMode = true)
+      try {
+        def read(hotList: Boolean): Long = {
+          var r = spark.read.format("graft-status-live")
+            .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+            .option("batchSize", "1000")
+            .option("subjectsPath", cFile.toString)
+            .option("censusRanges", "32")
+            .option("slices", "8")
+          if (hotList) r = r.option("hotSubjectsPath", hFile.toString)
+          r.load()
+            .select(get_json_object(col("data"), "$.i").cast("long").as("i"))
+            .agg(sum(col("i"))).head().getLong(0)
+        }
+        read(hotList = true) // warm
+        def time(hotList: Boolean): Double = {
+          val t0 = System.nanoTime()
+          val got = read(hotList)
+          require(got == expected, s"ranged hot-list read lost rows: sum $got != $expected")
+          (System.nanoTime() - t0) / 1e9
+        }
+        val plain = time(hotList = false)
+        val hot = time(hotList = true)
+        println(f"[liveprobe] ranged census + whale ($whaleN-doc whale in a " +
+          f"$coldSubjects-subject fleet, 32 groups, page 1000, full decode): " +
+          f"equal-count tiles $plain%.2f s vs hotSubjectsPath + slices=8 $hot%.2f s " +
+          f"(${plain / hot}%.1fx — the whale no longer straggles its byte-range group)")
+      } finally {
+        server.stop(0)
+        java.nio.file.Files.deleteIfExists(cFile)
+        java.nio.file.Files.deleteIfExists(hFile)
+      }
+    }
     spark.stop()
   }
 }

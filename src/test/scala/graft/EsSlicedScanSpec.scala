@@ -236,6 +236,70 @@ class EsSlicedScanSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("the planner-opened PIT is RELEASED at query end — after the last slice request, never before") {
+    // DSv2 gives the Scan no completion hook and no task may close a
+    // shared PIT (siblings may still drain), so the scan arms a one-shot
+    // QueryExecutionListener at open time: when the ACTION whose plan
+    // contains this scan completes, the driver best-effort DELETEs the
+    // PIT — a production scan that raises pitKeepAlive no longer holds
+    // server search contexts for the whole keep-alive after every read
+    val docs = corpus(500)
+    val servedSliced = new java.util.concurrent.atomic.AtomicLong
+    val pitClosedIds = new ConcurrentLinkedQueue[String]()
+    val servedAtClose = new java.util.concurrent.atomic.AtomicLong(-1)
+    val server = graft.queries.LiveQueries.startStub(docs, pitMode = true,
+      servedSliced = servedSliced, pitClosedIds = pitClosedIds,
+      servedSlicedAtFirstClose = servedAtClose)
+    try {
+      val ds = spark.read.format("graft-status-live")
+        .option("url", url(server)).option("batchSize", "64")
+        .option("slices", "4").load().select(col("id"))
+      assert(ds.collect().length === 500)
+      // the listener bus delivers asynchronously: poll for the DELETE
+      val deadline = System.currentTimeMillis() + 20000
+      while (pitClosedIds.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(25)
+      import scala.jdk.CollectionConverters._
+      assert(pitClosedIds.asScala.nonEmpty, "query end must DELETE the planner-opened PIT")
+      // ...and ONLY after the scan finished: at the moment of the first
+      // DELETE every one of the 500 docs had already been served (a
+      // premature release would also 400 a still-draining sibling — the
+      // stub frees the context on DELETE like a real ES)
+      assert(servedAtClose.get() === 500L,
+        s"PIT released after ${servedAtClose.get()} of 500 sliced docs — before the last request")
+      // a FRESH read after the release plans a new snapshot and works
+      val again = spark.read.format("graft-status-live")
+        .option("url", url(server)).option("batchSize", "64")
+        .option("slices", "4").load().select(col("id")).collect()
+      assert(again.length === 500, "a new plan opens a new PIT — the release never strands reads")
+    } finally server.stop(0)
+  }
+
+  test("re-executing a CACHED plan after its PIT release fails LOUDLY with the remedy") {
+    // a second action on the SAME Dataset re-executes the cached physical
+    // plan, whose partitions carry the now-closed PIT id — the same
+    // failure a keep-alive lapse always caused, now deterministic. No
+    // task-side recovery is sound (a per-task PIT tears the snapshot),
+    // so the contract is a loud, actionable failure — never wrong rows.
+    val docs = corpus(200)
+    val pitClosedIds = new ConcurrentLinkedQueue[String]()
+    val server = graft.queries.LiveQueries.startStub(docs, pitMode = true,
+      pitClosedIds = pitClosedIds)
+    try {
+      val ds = spark.read.format("graft-status-live")
+        .option("url", url(server)).option("batchSize", "64")
+        .option("slices", "4").load().select(col("id"))
+      assert(ds.collect().length === 200)
+      val deadline = System.currentTimeMillis() + 20000
+      while (pitClosedIds.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(25)
+      assert(!pitClosedIds.isEmpty, "precondition: the release hook fired")
+      val e = intercept[org.apache.spark.SparkException](ds.collect())
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("re-run the action as a FRESH read")),
+        s"the failure must carry the remedy, got: ${messages(e).mkString(" | ")}")
+    } finally server.stop(0)
+  }
+
   test("subject fan-out and DESC top-K keep their own plans (slices never apply)") {
     val docs = corpus(200)
     val server = graft.queries.LiveQueries.startStub(docs, pitMode = true)

@@ -197,10 +197,68 @@ class StatusLiveRangedSpec extends SparkTestBase {
     val unsortedS = stage(Seq("n3\t5", "n1\t7"))
     val e1 = intercept[IllegalArgumentException](
       StatusLiveSource.planCensusRanges(unsortedC, None, 2))
-    assert(e1.getMessage.contains("SORTED census"))
+    assert(e1.getMessage.contains("sorted census"))
     val e2 = intercept[IllegalArgumentException](
       StatusLiveSource.planCensusRanges(sortedC, Some(unsortedS), 2))
-    assert(e2.getMessage.contains("SORTED stops"))
+    assert(e2.getMessage.contains("sorted stops"))
+  }
+
+  test("DUPLICATE subjects are rejected loudly (ranged tasks drain raw lines — a dup drains twice)") {
+    // the materialized path dedups through a Set; ranged tasks do not,
+    // and a duplicate straddling a group boundary would park its
+    // watermark in only the later group — strictly-sorted means unique
+    val dupC = stage(Seq("p1", "p2", "p2", "p3"))
+    val e1 = intercept[IllegalArgumentException](
+      StatusLiveSource.planCensusRanges(dupC, None, 2))
+    assert(e1.getMessage.contains("STRICTLY sorted census"))
+    val cleanC = stage(Seq("p1", "p2", "p3"))
+    val dupS = stage(Seq("p1\t5", "p2\t6", "p2\t7"))
+    val e2 = intercept[IllegalArgumentException](
+      StatusLiveSource.planCensusRanges(cleanC, Some(dupS), 2))
+    assert(e2.getMessage.contains("STRICTLY sorted stops"))
+  }
+
+  test("a >2 GiB staged-file slice is refused, not silently truncated") {
+    // (end-start).toInt past 2 GiB throws ugly (2–4 GiB) or WRAPS small
+    // and silently drops subjects (>4 GiB) — the guard fires first, with
+    // the remedy (raise censusRanges) in the message
+    val p = stage(Seq("x1"))
+    val e = intercept[IllegalArgumentException](
+      StatusLiveSource.readRange(p, 0L, (Int.MaxValue.toLong + 10L)))
+    assert(e.getMessage.contains("raise censusRanges"))
+  }
+
+  test("the inline stopBySubject OPTION rides ranged partitions (merged under the file stops)") {
+    // censusRanges skips the load()-time stops read, but the INLINE map
+    // arrives through a catalog property and must still apply — dropped,
+    // the scan would overship past every inline stop. a1 stops inline at
+    // doc 4; a2 stops from the FILE at doc 6; a3 carries both and the
+    // file wins (same right-bias as the materialized path).
+    val docs: IndexedSeq[StubDoc] =
+      (for (s <- 1 to 4; i <- 0 until 12) yield doc(s"a$s", i)).toIndexedSeq
+    val census = (1 to 4).map(s => s"a$s")
+    val stops = Seq(s"a2\t${BaseMs + 6000}", s"a3\t${BaseMs + 6000}")
+    val cPath = stage(census)
+    val sPath = stage(stops)
+    val served = new java.util.concurrent.atomic.AtomicLong
+    val server = graft.queries.LiveQueries.startStub(docs, served = served)
+    try {
+      val inline = StatusLiveSource.stopsJson(
+        Map("a1" -> (BaseMs + 4000), "a3" -> (BaseMs + 2000)))
+      val live = spark.read.format("graft-status-live")
+        .option("url", url(server)).option("batchSize", "50")
+        .option("subjectsPath", cPath).option("stopBySubjectPath", sPath)
+        .option("stopBySubject", inline)
+        .option("censusRanges", "2").load()
+      val got = live.select(col("id")).collect().map(_.getString(0)).toSet
+      val expected = (for {
+        (s, n) <- Seq(("a1", 4), ("a2", 6), ("a3", 6), ("a4", 12))
+        i <- 0 until n
+      } yield s"$s-$i").toSet
+      assert(got === expected, "inline + file stops both apply; file wins a conflict")
+      assert(served.get() === expected.size.toLong,
+        "inline stops must reach the WIRE, not be filtered after shipping")
+    } finally server.stop(0)
   }
 
   test("property: random censuses and stops tile and align exactly (seeded, 500 trials)") {
@@ -219,11 +277,27 @@ class StatusLiveRangedSpec extends SparkTestBase {
       val census = Seq.fill(n)(subj()).distinct.sorted
       val stopsSubjects = census.filter(_ => rnd.nextBoolean())
       val stops = stopsSubjects.map(s => s"$s\t${1700000000000L + rnd.nextInt(1000)}")
+      // a random hot-list: census members mixed with strangers — the
+      // plan must resolve it to census ∩ hot (in census order), lift
+      // exactly those subjects' stops, and leave every tile UNCHANGED
+      val hot = (census.filter(_ => rnd.nextInt(4) == 0) ++
+        Seq.fill(rnd.nextInt(3))(subj() + "~stranger")).toSet
       val cPath = stage(census)
       val sPath = stage(stops)
       try {
         val g = 1 + rnd.nextInt(8)
-        val ranges = StatusLiveSource.planCensusRanges(cPath, Some(sPath), g)
+        val hotPlan = StatusLiveSource.planCensusRangesHot(cPath, Some(sPath), g, hot)
+        val ranges = hotPlan.ranges
+        assert(hotPlan.hotPresent === census.filter(hot),
+          s"trial $trial: hotPresent must be census ∩ hot, in census order")
+        val stopOf = stops.map { l =>
+          (l.takeWhile(_ != '\t'), l.dropWhile(_ != '\t').drop(1).toLong)
+        }.toMap
+        assert(hotPlan.hotStops ===
+          stopOf.view.filterKeys(s => hot(s) && census.contains(s)).toMap,
+          s"trial $trial: hotStops must lift exactly the present hot subjects' stops")
+        assert(ranges === StatusLiveSource.planCensusRanges(cPath, Some(sPath), g),
+          s"trial $trial: the hot-list must leave the byte-range tiles unchanged")
         // per-group size rounds UP (ceil(n/g) subjects each), so the
         // group count is ceil(n/per) — at most g, never more
         val per = (census.length + math.min(g, census.length) - 1) /
@@ -246,6 +320,161 @@ class StatusLiveRangedSpec extends SparkTestBase {
       } finally {
         java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(cPath))
         java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(sPath))
+      }
+    }
+  }
+
+  test("hotSubjectsPath carves whales OUT of the tiles and drains them through slices") {
+    // ranged groups are equal-SUBJECT-count and never probe for hot
+    // devices — a known deep-history whale would straggle its byte-range
+    // group. The caller-supplied hot-list plans the whale through the
+    // sliced-PIT path instead, carved out of every tile, with its
+    // watermark still applied ON the slice windows.
+    val docs: IndexedSeq[StubDoc] =
+      ((0 until 60).map(doc("hot", _)) ++
+        (for (s <- 0 until 6; i <- 0 until 8) yield doc(s"c$s", i))).toIndexedSeq
+    val census = ((0 until 6).map(s => s"c$s") :+ "hot").sorted
+    val stops = Seq(s"c2\t${BaseMs + 4000}", s"hot\t${BaseMs + 30000}")
+    val cPath = stage(census)
+    val sPath = stage(stops)
+    val hPath = stage(Seq("hot"))
+    val served = new java.util.concurrent.atomic.AtomicLong
+    val servedSliced = new java.util.concurrent.atomic.AtomicLong
+    val sliceSeen = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val slicedSubjects = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = graft.queries.LiveQueries.startStub(docs, pitMode = true,
+      served = served, servedSliced = servedSliced, sliceSeen = sliceSeen,
+      slicedSubjects = slicedSubjects)
+    try {
+      val live = spark.read.format("graft-status-live")
+        .option("url", url(server)).option("batchSize", "64")
+        .option("subjectsPath", cPath).option("stopBySubjectPath", sPath)
+        .option("hotSubjectsPath", hPath)
+        .option("censusRanges", "3").option("slices", "4").load()
+      assert(live.rdd.getNumPartitions === 7, "3 byte-range groups + 4 slices for the whale")
+      val got = live.select(col("id")).collect().map(_.getString(0)).toSet
+      val expected = ((0 until 30).map(i => s"hot-$i") ++
+        (for {
+          s <- 0 until 6
+          i <- 0 until (if (s == 2) 4 else 8)
+        } yield s"c$s-$i")).toSet
+      assert(got === expected, "whale via slices + fleet via tiles, watermarks applied, no overlap")
+      import scala.jdk.CollectionConverters._
+      assert(slicedSubjects.asScala.toSet === Set("hot"), "ONLY the hot-list rides slices")
+      assert(sliceSeen.asScala.toSet === Set(0, 1, 2, 3), "the whale fanned across all 4 slices")
+      // exactly-once split across the two paths: the tiles must NOT loop
+      // the whale again (served counts everything; servedSliced the slices)
+      assert(servedSliced.get() === 30L, "the whale's watermark rode its slice windows")
+      assert(served.get() === expected.size.toLong,
+        "tiles excluded the whale exactly — no doc served twice across paths")
+    } finally server.stop(0)
+  }
+
+  test("a PIT-less server still isolates the whale: its OWN sequential task, tiles exclude it") {
+    val docs: IndexedSeq[StubDoc] =
+      ((0 until 40).map(doc("hot", _)) ++
+        (for (s <- 0 until 4; i <- 0 until 6) yield doc(s"c$s", i))).toIndexedSeq
+    val census = ((0 until 4).map(s => s"c$s") :+ "hot").sorted
+    val stops = Seq(s"hot\t${BaseMs + 20000}")
+    val cPath = stage(census)
+    val sPath = stage(stops)
+    val hPath = stage(Seq("hot"))
+    val served = new java.util.concurrent.atomic.AtomicLong
+    val sliceSeen = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val server = graft.queries.LiveQueries.startStub(docs, pitMode = false,
+      served = served, sliceSeen = sliceSeen)
+    try {
+      val live = spark.read.format("graft-status-live")
+        .option("url", url(server)).option("batchSize", "64")
+        .option("subjectsPath", cPath).option("stopBySubjectPath", sPath)
+        .option("hotSubjectsPath", hPath)
+        .option("censusRanges", "2").option("slices", "4").load()
+      assert(live.rdd.getNumPartitions === 3, "2 byte-range groups + 1 isolated whale task")
+      val got = live.select(col("id")).collect().map(_.getString(0)).toSet
+      val expected = ((0 until 20).map(i => s"hot-$i") ++
+        (for (s <- 0 until 4; i <- 0 until 6) yield s"c$s-$i")).toSet
+      assert(got === expected, "identical rows — isolation, never a torn parallel read")
+      assert(sliceSeen.isEmpty, "no slice request ever reached the PIT-less server")
+      assert(served.get() === expected.size.toLong, "watermark on the wire; no double-serve")
+    } finally server.stop(0)
+  }
+
+  test("a hot-list subject ABSENT from the census plans nothing (never a phantom drain)") {
+    val docs: IndexedSeq[StubDoc] =
+      (for (s <- 0 until 4; i <- 0 until 5) yield doc(s"d$s", i)).toIndexedSeq
+    val census = (0 until 4).map(s => s"d$s")
+    val cPath = stage(census)
+    val hPath = stage(Seq("zz"))
+    val server = graft.queries.LiveQueries.startStub(docs, pitMode = true)
+    try {
+      val live = spark.read.format("graft-status-live")
+        .option("url", url(server)).option("batchSize", "64")
+        .option("subjectsPath", cPath).option("hotSubjectsPath", hPath)
+        .option("censusRanges", "2").option("slices", "4").load()
+      assert(live.rdd.getNumPartitions === 2, "no census member is hot: plain ranged groups")
+      assert(live.count() === 20L)
+    } finally server.stop(0)
+  }
+
+  test("hotSubjectsPath without censusRanges is refused at load") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-status-live")
+        .option("url", "http://127.0.0.1:9")
+        .option("hotSubjectsPath", "/nonexistent").load()
+    }
+    assert(e.getMessage.contains("hotSubjectsPath composes with censusRanges"))
+  }
+
+  test("property: randomized fleets drain exactly-once END-TO-END under ranged + hot-list (seeded, 25 trials)") {
+    // the planner fuzz above pins the byte-offset math; this one drives
+    // the WHOLE composition through the DSv2 scan against a brute-force
+    // model: random fleet sizes and depths, a random subset watermarked,
+    // a random hot-list (members + strangers), random group and slice
+    // counts, PIT support coin-flipped. Invariants per trial: the read
+    // equals the model exactly-once, and the wire never ships a doc the
+    // watermarks exclude (served == model size — stops rode the wire on
+    // BOTH the tile loops and the slice windows).
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 0 until 25) {
+      val nSubjects = 2 + rnd.nextInt(12)
+      val subjects = (0 until nSubjects).map(s => f"t$s%02d")
+      val depth = subjects.map(s => s -> (1 + rnd.nextInt(30))).toMap
+      val docs: IndexedSeq[StubDoc] =
+        subjects.flatMap(s => (0 until depth(s)).map(i => doc(s, i))).toIndexedSeq
+      val stopsMap = subjects.filter(_ => rnd.nextBoolean())
+        .map(s => s -> (BaseMs + rnd.nextInt(32) * 1000L)).toMap
+      val hot = (subjects.filter(_ => rnd.nextInt(3) == 0) ++
+        (if (rnd.nextBoolean()) Seq("zz-stranger") else Nil)).toSet
+      val pitMode = rnd.nextBoolean()
+      val groups = 1 + rnd.nextInt(5)
+      val slices = 1 + rnd.nextInt(4)
+      val expected: Set[String] = subjects.flatMap { s =>
+        val stopMs = stopsMap.getOrElse(s, Long.MaxValue)
+        (0 until depth(s)).filter(i => BaseMs + i * 1000L < stopMs).map(i => s"$s-$i")
+      }.toSet
+      val cPath = stage(subjects)
+      val sPath = stage(stopsMap.toSeq.sortBy(_._1).map { case (s, ms) => s"$s\t$ms" })
+      val hPath = stage(hot.toSeq.sorted)
+      val served = new java.util.concurrent.atomic.AtomicLong
+      val server = graft.queries.LiveQueries.startStub(docs, pitMode = pitMode,
+        served = served)
+      try {
+        val live = spark.read.format("graft-status-live")
+          .option("url", url(server)).option("batchSize", "64")
+          .option("subjectsPath", cPath).option("stopBySubjectPath", sPath)
+          .option("hotSubjectsPath", hPath)
+          .option("censusRanges", groups.toString)
+          .option("slices", slices.toString).load()
+        val got = live.select(col("id")).collect().map(_.getString(0))
+        assert(got.length === expected.size && got.toSet === expected,
+          s"trial $trial (pit=$pitMode g=$groups sl=$slices hot=${hot.size}): " +
+            s"got ${got.length}, expected ${expected.size}")
+        assert(served.get() === expected.size.toLong,
+          s"trial $trial: wire shipped ${served.get()} for a ${expected.size}-doc surviving set")
+      } finally {
+        server.stop(0)
+        Seq(cPath, sPath, hPath).foreach(p =>
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
       }
     }
   }
