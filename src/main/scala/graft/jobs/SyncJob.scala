@@ -144,9 +144,10 @@ object SyncJob {
     * planner records one byte range per group (O(groups) state, LiveProbe
     * §10) and tasks read their own slices — but it requires the staged
     * files to OUTLIVE execution, which this method's delete-at-load()
-    * cadence deliberately does not provide: a caller at that scale
-    * manages staging lifetime itself and sets the option on its own
-    * reader (gate q236 is the worked example).
+    * cadence deliberately does not provide: at that scale use
+    * [[runLiveRanged]], which stages into a CALLER-OWNED directory and
+    * reads through `censusRanges` (+ `hotSubjectsPath` for known whales;
+    * gate q236/q237 are the worked examples).
     */
   def runLive(
       spark: org.apache.spark.sql.SparkSession,
@@ -250,6 +251,92 @@ object SyncJob {
     * map to planner-read files instead of inline options/expressions.
     */
   val PathModeThreshold: Int = 1000
+
+  /** The MEGA-FLEET form of [[runLive]]: past ~10M tokens the planner's
+    * load()-time consume is the driver's own bottleneck (the per-token
+    * map is ~2.1 GB there, LiveProbe §7), so this variant reads through
+    * `censusRanges` — the planner records one byte range per group
+    * (O(groups) driver state, LiveProbe §10) and each TASK reads its own
+    * slice of the staged files. That flips the staging lifetime:
+    * [[runLive]] deletes at load() because the planner consumed
+    * everything; here tasks read the files DURING the action, so they
+    * are staged into a CALLER-OWNED `stagingDir` and nothing is deleted —
+    * the caller clears the directory after its action completes, and on
+    * a real cluster the directory must be executor-readable (shared
+    * storage, or `--files` distribution).
+    *
+    * `hotSubjects`: KNOWN deep-history whales (the operator usually
+    * knows them, or one prior `groupBy(subject).count()` run does).
+    * Ranged groups are equal-subject-count and never probe for hot
+    * devices, so a whale would straggle its byte-range group; listed
+    * subjects are carved out of the tiles and drained through the
+    * sliced-PIT path (`slices` > 1) or one isolated task each
+    * (`hotSubjectsPath` machinery — gate q237). [[run]]'s watermark
+    * JOIN still applies afterwards, absorbing the milli-ceil gap exactly
+    * as in [[runLive]].
+    */
+  def runLiveRanged(
+      spark: org.apache.spark.sql.SparkSession,
+      url: String,
+      dim: DataFrame,
+      existingSink: Option[DataFrame],
+      opts: SyncOptions = SyncOptions(),
+      stagingDir: String,
+      index: String = "device-status",
+      batchSize: Int = 1000,
+      censusRanges: Int = 64,
+      slices: Int = 1,
+      hotSubjects: Seq[String] = Nil
+  ): DataFrame = {
+    val explicitTokens = SyncOps.parseTokenList(opts.tokens)
+    val scopedDim =
+      if (explicitTokens.nonEmpty) dim.where(col("tokenId").isin(explicitTokens: _*))
+      else
+        existingSink match {
+          case Some(sink) => dim.join(SyncOps.tokensFromSink(sink), Seq("tokenId"), "left_semi")
+          case None       => dim.limit(0)
+        }
+    val wmNames =
+      if (opts.signalNames.isEmpty) Nil
+      else SignalDefinitions.resolve(opts.signalNames).map(_.vssName)
+    // cluster-staged, caller-owned: a single-partition sorted text write
+    // per file (the strictly-sorted form the ranged planner verifies),
+    // left in place for the tasks to slice
+    def stageTo(df: DataFrame, name: String): String = {
+      val dir = java.nio.file.Paths.get(stagingDir, name)
+      df.coalesce(1).write.mode("overwrite").text(dir.toString)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"no staged part file in $dir"))
+        .toString
+    }
+    var reader = spark.read.format("graft-status-live")
+      .option("url", url).option("index", index).option("batchSize", batchSize.toString)
+      .option("censusRanges", censusRanges.toString)
+      .option("slices", slices.toString)
+    if (opts.signalNames.nonEmpty)
+      reader = reader.option("signals", opts.signalNames.mkString(","))
+    if (existingSink.isDefined) {
+      val f = stageTo(SyncOps.watermarks(existingSink.get, wmNames)
+        .join(scopedDim.select("tokenId", "subject"), Seq("tokenId"))
+        .select(concat_ws("\t", col("subject"),
+          expr("(unix_micros(watermark) + 999) DIV 1000")).as("value"))
+        .sort("value"), "stops")
+      reader = reader.option("stopBySubjectPath", f)
+    }
+    val censusFile = stageTo(
+      scopedDim.select("subject").distinct().sort("subject"), "census")
+    reader = reader.option("subjectsPath", censusFile)
+    if (hotSubjects.nonEmpty) {
+      // the whale list is operator knowledge — small, driver-side
+      val hf = java.nio.file.Paths.get(stagingDir, "hot.txt").toString
+      graft.sources.StatusLiveSource.writeSubjects(hotSubjects.distinct.sorted, hf)
+      reader = reader.option("hotSubjectsPath", hf)
+    }
+    val docs = reader.load().select(col("subject"), col("source"), col("time"), col("data"))
+    run(docs, dim, existingSink, opts)
+  }
 
   def runObserved(
       docs: DataFrame,

@@ -1891,6 +1891,106 @@ object LiveQueries {
              FROM m, c WHERE subject <> 'hot' OR ms < cut GROUP BY 1"""),
     ),
 
+    // ── The MEGA-FLEET sync e2e (r16): q215's two-round pipeline driven
+    //    through SyncJob.runLiveRanged — the job-layer entry for fleets
+    //    past the ~10M-token load() wall, where the census and watermark
+    //    map stage into a CALLER-OWNED directory and the scan plans
+    //    O(groups) byte-range tiles (censusRanges) with the fleet's one
+    //    whale (~20% of rows, folded onto token 1) carved out via
+    //    hotSubjectsPath and drained across 8 sliced-PIT tasks. Round 1
+    //    syncs the newer half; the backfill appears and round 2 must
+    //    fetch ONLY strictly below each token's watermark THROUGH the
+    //    ranged machinery — the stops file rides byte ranges, the
+    //    whale's watermark rides its slice windows. RAISES unless only
+    //    the whale sliced (across all 8) and staging survived round 1
+    //    (tasks read it — deletion at load() would be the r15 cadence
+    //    bug); the DuckDB compare then equals one explosion of the whole
+    //    events table, exactly once.
+    QueryDef(
+      "q238_live_sync_ranged",
+      (s, d) => {
+        import graft.jobs.{SyncJob, SyncOptions}
+        import graft.sources.{DeviceDim, SignalSink}
+        val evs = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(
+            when(col("user_id") % 5 === 0, lit("1"))
+              .otherwise(col("user_id").cast("string")).as("subject"),
+            expr("unix_micros(ts)").as("tsu"),
+            round(col("value") * 100).cast(LongType).as("cents"))
+          .collect() // seeds the TEST DOUBLE; the measured path is below
+        val mid = { val ts = evs.map(_.getLong(1)); (ts.min + ts.max) / 2 }
+        def mkDocs(rows: Seq[org.apache.spark.sql.Row]): IndexedSeq[StubDoc] =
+          rows.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+            val (subj, tsu, cents) = (r.getString(0), r.getLong(1), r.getLong(2))
+            val iso = java.time.Instant.ofEpochSecond(tsu / 1000000L, (tsu % 1000000L) * 1000L)
+            StubDoc(s"g$subj-$tsu-$i", subj, tsu,
+              s"""{"id":"g$i","subject":"$subj","source":"dimo/integration/live",""" +
+                s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v1.0",""" +
+                s""""type":"com.dimo.device.status","data":{"speed":$cents,"make":"m"}}""")
+          }
+        val (newer, older) = evs.toIndexedSeq.partition(_.getLong(1) >= mid)
+        val tokens = evs.map(_.getString(0)).distinct.sorted
+        val dim = DeviceDim.identityDim(s, tokens.map(_.toLong).toSeq.sorted)
+        val opts = SyncOptions(tokens = tokens.toSeq,
+          start = Some(new java.sql.Timestamp(0L)),
+          stop = Some(new java.sql.Timestamp(9999999999999L)))
+        val sinkDir = java.nio.file.Files
+          .createTempDirectory("graft-q238-sink").resolve("signals").toString
+        val staging = java.nio.file.Files.createTempDirectory("graft-q238-staging")
+        def url(server: HttpServer) = s"http://127.0.0.1:${server.getAddress.getPort}"
+        try {
+          val sliceSeen = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+          val slicedSubjects = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+          val server1 = startStub(mkDocs(newer), pitMode = true,
+            sliceSeen = sliceSeen, slicedSubjects = slicedSubjects)
+          try {
+            val round1 = SyncJob.runLiveRanged(s, url(server1), dim, existingSink = None,
+              opts, stagingDir = staging.toString, batchSize = 2000,
+              censusRanges = 6, slices = 8, hotSubjects = Seq("1"))
+            SignalSink.appendParquet(round1, sinkDir, buckets = 8)
+          } finally server1.stop(0)
+          import scala.jdk.CollectionConverters._
+          require(slicedSubjects.asScala.toSet == Set("1"),
+            s"only the whale may ride the sliced drain, saw ${slicedSubjects.asScala.toSet}")
+          require(sliceSeen.asScala.toSet == (0 until 8).toSet,
+            s"expected the whale across all 8 slices, saw ${sliceSeen.asScala.toSet}")
+          require(java.nio.file.Files.list(staging).iterator().asScala.nonEmpty,
+            "caller-owned staging must survive the action (tasks read it mid-flight)")
+          val server2 = startStub(mkDocs(newer ++ older), pitMode = true)
+          try {
+            val sink1 = SignalSink.readParquet(s, sinkDir)
+            val round2 = SyncJob.runLiveRanged(s, url(server2), dim,
+              existingSink = Some(sink1), opts, stagingDir = staging.toString,
+              batchSize = 2000, censusRanges = 6, slices = 8, hotSubjects = Seq("1"))
+            SignalSink.appendParquet(round2, sinkDir, buckets = 8)
+          } finally server2.stop(0)
+          SignalSink.readParquet(s, sinkDir)
+            .groupBy(col("tokenId").as("token_id"))
+            .agg(count(lit(1)).as("n_signals"),
+              sum(when(col("name") === "Vehicle.Speed", col("valueNumber"))
+                .otherwise(lit(0.0))).cast(LongType).as("speed_sum"),
+              expr("min(unix_micros(timestamp))").as("oldest_us"),
+              expr("max(unix_micros(timestamp))").as("newest_us"))
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(staging).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      },
+      Some("""WITH m AS (
+               SELECT CASE WHEN user_id % 5 = 0 THEN 1
+                           ELSE CAST(user_id AS BIGINT) END AS token_id,
+                      CAST(round(value*100) AS BIGINT) AS cents,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS us
+               FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+             SELECT token_id, (count(*) * 2)::BIGINT AS n_signals,
+               sum(cents)::BIGINT AS speed_sum,
+               CAST(min(us) AS BIGINT) AS oldest_us,
+               CAST(max(us) AS BIGINT) AS newest_us
+             FROM m GROUP BY 1"""),
+    ),
+
     // ── The reference's CONTINUOUS pipeline over BOTH wires (r14):
     //    `readStream` from live ES → transform → `writeStream` into live
     //    CH (its loop tails ES and inserts into CH forever, sync.go:92-125

@@ -915,7 +915,7 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     pit
   }
 
-  private def releasePits(): Unit = synchronized {
+  private[sources] def releasePits(): Unit = synchronized {
     openedPits.foreach { id =>
       try new EsHttpClient(url, wire = wire).closePit(id)
       catch { case scala.util.control.NonFatal(_) => () } // keep-alive reclaims
@@ -1246,7 +1246,12 @@ class StatusLiveMicroBatchStream(scan: StatusLiveScan, url: String,
   }
   override def commit(end: Offset): Unit =
     highWaterMs = math.max(highWaterMs, end.asInstanceOf[StatusLiveOffset].stopMs)
-  override def stop(): Unit = ()
+  // the stream's shutdown hook IS the completion callback DSv2 denies the
+  // batch Scan: a sliced tail's superseded batches already released at
+  // the next planning ([[StatusLiveScan.partitionsFor]]), so at most the
+  // LAST micro-batch's PIT is outstanding here — close it rather than
+  // holding its server search context for the keep-alive.
+  override def stop(): Unit = scan.releasePits()
 }
 
 class LivePagesMetric extends CustomSumMetric {

@@ -140,8 +140,10 @@ class EsSlicedScanSpec extends SparkTestBase {
   test("the streaming tail slices its micro-batch windows too (exactly-once into the sink)") {
     val docs = corpus(240)
     val sliceSeen = new ConcurrentLinkedQueue[Int]()
+    val pitOpened = new java.util.concurrent.atomic.AtomicLong
+    val pitClosedIds = new ConcurrentLinkedQueue[String]()
     val server = graft.queries.LiveQueries.startStub(docs, pitMode = true,
-      sliceSeen = sliceSeen)
+      sliceSeen = sliceSeen, pitOpened = pitOpened, pitClosedIds = pitClosedIds)
     try {
       val q = spark.readStream.format("graft-status-live")
         .option("url", url(server)).option("batchSize", "64")
@@ -155,6 +157,12 @@ class EsSlicedScanSpec extends SparkTestBase {
       import scala.jdk.CollectionConverters._
       assert(sliceSeen.asScala.toSet === Set(0, 1, 2, 3),
         "the tail's window reads fan into all four slices")
+      // a long-lived tail must not leak server search contexts: superseded
+      // batches release at the NEXT planning, the LAST at stream stop() —
+      // so by here every PIT the stub ever issued has been DELETEd
+      assert(pitClosedIds.asScala.toSet.size.toLong === pitOpened.get(),
+        s"stream teardown must release every PIT: opened ${pitOpened.get()}, " +
+          s"closed ${pitClosedIds.asScala.toSet.size}")
     } finally server.stop(0)
   }
 

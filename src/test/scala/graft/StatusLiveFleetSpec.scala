@@ -155,6 +155,66 @@ class StatusLiveFleetSpec extends SparkTestBase {
     Seq(tsv, json, odd).foreach(Files.deleteIfExists(_))
   }
 
+  test("runLiveRanged: caller-owned staging, ranged groups, whale slices, watermark resume") {
+    // the MEGA-FLEET job entry: censusRanges + hotSubjectsPath driven
+    // from the job layer — staged files land in a CALLER-OWNED dir (they
+    // must outlive the action: tasks read them), the whale rides sliced
+    // drains, and round 2 still resumes below the sink's watermarks
+    val t0 = 1704000000000L
+    def doc(id: String, subj: String, ms: Long, speed: Long): String =
+      s"""{"id":"$id","subject":"$subj","source":"dimo/integration/live","specversion":"1.0",""" +
+        s""""time":"${java.time.Instant.ofEpochMilli(ms)}",""" +
+        s""""dataschema":"dimo.zone.status/v1.0","type":"c","data":{"speed":$speed,"make":"m"}}"""
+    val tokens = Seq("1", "2", "3")
+    // token 1 is the whale: 40 newer docs; tokens 2-3 get one each
+    val newer = (0 until 40).map(i => graft.queries.LiveQueries.StubDoc(
+      f"n1-$i%02d", "1", (t0 + 60000 + i) * 1000L, doc(s"n1-$i", "1", t0 + 60000 + i, 20))) ++
+      Seq("2", "3").map(s => graft.queries.LiveQueries.StubDoc(
+        s"n$s", s, (t0 + 60000) * 1000L, doc(s"n$s", s, t0 + 60000, 20)))
+    val older = tokens.map(s => graft.queries.LiveQueries.StubDoc(
+      s"o$s", s, t0 * 1000L, doc(s"o$s", s, t0, 10)))
+    val opts = graft.jobs.SyncOptions(tokens = tokens,
+      start = Some(new java.sql.Timestamp(0L)),
+      stop = Some(new java.sql.Timestamp(9999999999999L)))
+    val dim = graft.sources.DeviceDim.identityDim(spark, Seq(1L, 2L, 3L))
+    val staging = Files.createTempDirectory("graft-ranged-staging")
+    try {
+      val sliceSeen = new ConcurrentLinkedQueue[Int]()
+      val slicedSubjects = new ConcurrentLinkedQueue[String]()
+      val s1 = graft.queries.LiveQueries.startStub(newer.toIndexedSeq, pitMode = true,
+        sliceSeen = sliceSeen, slicedSubjects = slicedSubjects)
+      val sink1 = try {
+        graft.jobs.SyncJob.runLiveRanged(spark,
+          s"http://127.0.0.1:${s1.getAddress.getPort}", dim, None, opts,
+          stagingDir = staging.toString, censusRanges = 2, slices = 2,
+          hotSubjects = Seq("1")).localCheckpoint(true)
+      } finally s1.stop(0)
+      assert(sink1.count() === (40 + 2) * 2, "2 signals per doc, newer docs only")
+      import scala.jdk.CollectionConverters._
+      assert(slicedSubjects.asScala.toSet === Set("1"), "the whale rode the sliced drain")
+      assert(sliceSeen.asScala.toSet === Set(0, 1), "both slices requested")
+      // the staged files are the CALLER's to clear — still on disk here
+      assert(Files.list(staging).iterator().asScala.nonEmpty,
+        "runLiveRanged must not delete caller-owned staging")
+      // round 2 over everything resumes below the per-token watermarks
+      val s2 = graft.queries.LiveQueries.startStub((newer ++ older).toIndexedSeq,
+        pitMode = true)
+      val round2 = try {
+        graft.jobs.SyncJob.runLiveRanged(spark,
+          s"http://127.0.0.1:${s2.getAddress.getPort}", dim, Some(sink1), opts,
+          stagingDir = staging.toString, censusRanges = 2, slices = 2,
+          hotSubjects = Seq("1")).localCheckpoint(true)
+      } finally s2.stop(0)
+      assert(round2.count() === 3 * 2, "only the older backfill crosses the watermarks")
+      assert(round2.select(max(col("timestamp"))).head().getTimestamp(0).getTime === t0,
+        "everything fetched in round 2 must be strictly below the watermarks")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(staging).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+  }
+
   test("runLive above the threshold switches to path mode and still resumes below watermarks") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val t0 = 1704000000000L
