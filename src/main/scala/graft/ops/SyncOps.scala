@@ -61,4 +61,28 @@ object SyncOps {
       .join(broadcast(wm), Seq("tokenId"), "left_outer")
       .where(col("watermark").isNull || col("time") < col("watermark"))
       .drop("watermark")
+
+  /** Known-whale discovery for [[graft.jobs.SyncJob.runLiveRanged]]'s
+    * `hotSubjects` — "one prior `groupBy(subject).count()` run" as a
+    * one-liner: subjects whose already-synced row count exceeds
+    * `minRows`, deepest first. The count runs ON the cluster; only the
+    * whale rows broadcast into the dim join and only they reach the
+    * driver (a fleet has FEW whales by definition — `maxSubjects` caps a
+    * mis-tuned threshold so a low cutoff cannot collect the fleet).
+    * History depth in the SINK is the proxy for depth in the source —
+    * exact for steady-state incremental syncs (everything but the
+    * unsynced suffix is in the sink), and merely suboptimal when wrong
+    * (a missed whale straggles its tile as before; a false whale costs
+    * one needless slice fan-out — never a wrong row either way).
+    */
+  def hotSubjectsFromSink(sink: DataFrame, dim: DataFrame, minRows: Long,
+      maxSubjects: Int = 1000): Seq[String] = {
+    val whales = sink.groupBy(col("tokenId")).agg(count(lit(1)).as("n"))
+      .where(col("n") > minRows)
+    dim.select("tokenId", "subject")
+      .join(broadcast(whales), Seq("tokenId"))
+      .orderBy(col("n").desc, col("subject"))
+      .limit(maxSubjects)
+      .select("subject").collect().map(_.getString(0)).toSeq
+  }
 }

@@ -215,6 +215,29 @@ class StatusLiveFleetSpec extends SparkTestBase {
     }
   }
 
+  test("hotSubjectsFromSink: whales by synced depth, deepest first, capped, never the fleet") {
+    // the discovery half of the hot-list story: one cluster-side count
+    // over the sink, only rows past the threshold reach the driver
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val sinkSchema = StructType(Seq(
+      StructField("tokenId", LongType), StructField("timestamp", TimestampType),
+      StructField("name", StringType)))
+    val rows = (1L to 4L).flatMap { tok =>
+      val n = tok match { case 1L => 500; case 2L => 80; case 3L => 70; case _ => 3 }
+      (0 until n).map(i => Row(tok, new java.sql.Timestamp(1704000000000L + i), "s"))
+    }
+    val sink = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), sinkSchema)
+    val dim = graft.sources.DeviceDim.identityDim(spark, Seq(1L, 2L, 3L, 4L))
+    assert(graft.ops.SyncOps.hotSubjectsFromSink(sink, dim, minRows = 50) ===
+      Seq("1", "2", "3"), "past the threshold, deepest first")
+    assert(graft.ops.SyncOps.hotSubjectsFromSink(sink, dim, minRows = 50, maxSubjects = 1) ===
+      Seq("1"), "the cap keeps a mis-tuned threshold from collecting the fleet")
+    assert(graft.ops.SyncOps.hotSubjectsFromSink(sink, dim, minRows = 1000).isEmpty,
+      "no whales past the bar: empty, and runLiveRanged plans plain tiles")
+  }
+
   test("runLive above the threshold switches to path mode and still resumes below watermarks") {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val t0 = 1704000000000L
