@@ -385,6 +385,43 @@ object StatusLiveSource {
       hotPresentB.result(), hotStopsB.result())
   }
 
+  /** Planner-side CONSTRAINED resolve of the staged files: the subjects
+    * of `keep` that the census contains (in census order) and their
+    * stops. The ranged scan's point-lookup fallback (pushed IN/equality,
+    * DPP) needs only `census ∩ keep` — `keep` is bounded small
+    * (≤ [[ShardedSignalSource.MaxRuntimeInSet]] runtime keys, IN-sets of
+    * the same cap, or one equality) — so this STREAMS both files with
+    * O(keep) memory instead of materializing a 10M-token census for a
+    * 3-subject lookup (the exact driver wall `censusRanges` exists to
+    * avoid). The stops file streams when it is the cluster-staged TSV
+    * form; a driver-written JSON stops map (sniffed like [[readStops]])
+    * parses whole — it was driver-held at write time, so that is no new
+    * state. Neither file needs to be sorted here (membership lookups).
+    */
+  private[graft] def filterStaged(censusPath: String, stopsPath: Option[String],
+      keep: Set[String]): (Seq[String], Map[String, Long]) = {
+    val present = Seq.newBuilder[String]
+    eachLineWithOffset(censusPath)((line, _) => if (keep.contains(line)) present += line)
+    val stops: Map[String, Long] = stopsPath match {
+      case None => Map.empty
+      case Some(sp) =>
+        val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(sp))
+        val isJson = try in.read() == '{' finally in.close()
+        if (isJson) readStops(sp).view.filterKeys(keep).toMap
+        else {
+          val b = Map.newBuilder[String, Long]
+          eachLineWithOffset(sp) { (line, _) =>
+            val tab = line.lastIndexOf('\t')
+            require(tab > 0, s"stopBySubjectPath line is not subject<TAB>ms: $line")
+            val subj = line.substring(0, tab)
+            if (keep.contains(subj)) b += (subj -> line.substring(tab + 1).toLong)
+          }
+          b.result()
+        }
+    }
+    (present.result(), stops)
+  }
+
   /** Task-side read of one byte range of a staged file → its non-empty
     * lines (each task reads ONLY its own slice — the per-token state the
     * driver no longer holds, paid where it parallelizes).
@@ -892,12 +929,22 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
         org.apache.spark.sql.SparkSession.getActiveSession.foreach { session =>
           val listener = new org.apache.spark.sql.util.QueryExecutionListener {
             private def fire(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+              // a listener whose scan has nothing left to release is dead
+              // weight on the bus (the superseded-plan release may have
+              // beaten the action hook, or the scan was planned but never
+              // executed and its pits lapsed to the keep-alive): drop off
+              // without walking the plan — the next trackPit re-arms
+              val stale = StatusLiveScan.this.synchronized {
+                if (openedPits.isEmpty) { releaseHookArmed = false; true } else false
+              }
+              if (stale) { session.listenerManager.unregister(this); return }
               val mine = qe.optimizedPlan.collectFirst {
                 case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
                   if r.scan eq StatusLiveScan.this => r
               }.nonEmpty
               if (mine) {
                 releasePits()
+                StatusLiveScan.this.synchronized { releaseHookArmed = false }
                 session.listenerManager.unregister(this)
               }
             }
@@ -922,9 +969,11 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     }
     openedPits.clear()
     planCache = None // a later action must re-plan: its PIT ids are gone
-    // releaseHookArmed stays true: ONE listener per scan for its whole
-    // life (a sliced streaming tail re-plans every micro-batch — re-arming
-    // would register a listener per batch and none would ever fire)
+    // releaseHookArmed is NOT reset here: the registered listener stays
+    // live (a sliced streaming tail re-plans every micro-batch — re-arming
+    // would register a listener per batch and none would ever fire). It
+    // disarms itself when it unregisters: on its own scan's action end,
+    // or on the first foreign action that finds nothing left to release.
   }
 
   private def planPartitionsFor(startMs: Long, stopMs: Long): Array[InputPartition] = {
@@ -1020,9 +1069,28 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
       case _ => ()
     }
     val (censusEff, stopsEff): (Option[Seq[String]], Map[String, Long]) = rangedCensus match {
-      case Some(rc) => // constrained fallback: materialize the staged files once
-        (Some(StatusLiveSource.readSubjects(rc.censusPath)),
-          stopBySubject ++ rc.stopsPath.map(StatusLiveSource.readStops).getOrElse(Map.empty))
+      case Some(rc) =>
+        // constrained fallback — a point-lookup shape against the staged
+        // fleet. The constraint sets are bounded small (IN/runtime sets
+        // cap at MaxRuntimeInSet; equality is one subject), so the staged
+        // files are STREAM-INTERSECTED with O(constraint) driver memory:
+        // materializing a 10M-token census for a 3-subject lookup would
+        // be the exact load() wall censusRanges exists to avoid.
+        val small: Seq[Set[String]] =
+          filters.collect { case In("subject", vs) =>
+            vs.collect { case s: String => s }.toSet } ++
+            filters.collect { case EqualTo("subject", s: String) => Set(s) } ++
+            runtimeSubjects.toSeq
+        small.reduceOption(_ intersect _) match {
+          case Some(keep) =>
+            val (present, stops) = StatusLiveSource.filterStaged(
+              rc.censusPath, rc.stopsPath, keep)
+            (Some(present), stopBySubject ++ stops)
+          case None => // unreachable under ranged (census is never inline
+            // here), kept as the safe whole-file form
+            (Some(StatusLiveSource.readSubjects(rc.censusPath)),
+              stopBySubject ++ rc.stopsPath.map(StatusLiveSource.readStops).getOrElse(Map.empty))
+        }
       case None => (census, stopBySubject)
     }
     // multiple subject constraints (IN-sets and/or equalities) INTERSECT —

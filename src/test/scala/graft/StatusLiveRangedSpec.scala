@@ -324,6 +324,44 @@ class StatusLiveRangedSpec extends SparkTestBase {
     }
   }
 
+  test("the constrained fallback STREAM-intersects the staged files (O(keep) driver state)") {
+    // a point lookup against a mega-fleet ranged census must not
+    // materialize the census to intersect 3 subjects — filterStaged
+    // streams both files and keeps only the constraint's members
+    val cPath = stage(Seq("k1", "k2", "k3", "k4"))
+    val sPath = stage(Seq("k1\t5", "k3\t7", "zz\t9"))
+    val (present, stops) = StatusLiveSource.filterStaged(cPath, Some(sPath),
+      Set("k3", "k1", "stranger"))
+    assert(present === Seq("k1", "k3"), "census ∩ keep, in census order; strangers dropped")
+    assert(stops === Map("k1" -> 5L, "k3" -> 7L), "stops lifted for kept subjects only")
+    // the driver-written JSON stops form sniffs and filters too
+    val jPath = java.nio.file.Files.createTempFile("graft-json-stops", ".json").toString
+    StatusLiveSource.writeStops(Map("k1" -> 5L, "k2" -> 6L), jPath)
+    assert(StatusLiveSource.filterStaged(cPath, Some(jPath), Set("k2"))._2 ===
+      Map("k2" -> 6L))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(jPath))
+    // and through the SCAN: a DPP runtime set against a 5000-token ranged
+    // census plans exactly the intersection's point loops
+    val census = (0 until 5000).map(i => f"w$i%04d")
+    val bigC = stage(census)
+    val props = new java.util.HashMap[String, String]()
+    props.put("url", "http://127.0.0.1:9")
+    props.put("subjectsPath", bigC)
+    props.put("censusRanges", "8")
+    val scan = new graft.sources.StatusLiveSource()
+      .getTable(graft.sources.StatusV2Source.Schema, Array.empty, props)
+      .asInstanceOf[graft.sources.StatusLiveTable]
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        new java.util.HashMap[String, String]()))
+      .build().asInstanceOf[graft.sources.StatusLiveScan]
+    import org.apache.spark.sql.sources.{Filter => SFilter, In => SIn}
+    scan.filter(Array[SFilter](SIn("subject", Array[Any]("w0007", "w4242", "nope"))))
+    val parts = scan.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.StatusLivePartition])
+    assert(parts.flatMap(_.subjects.get).sorted.toSeq === Seq("w0007", "w4242"),
+      "planned loops must be census ∩ runtime set — via the stream, never a materialize")
+  }
+
   test("hotSubjectsPath carves whales OUT of the tiles and drains them through slices") {
     // ranged groups are equal-SUBJECT-count and never probe for hot
     // devices — a known deep-history whale would straggle its byte-range
