@@ -75,7 +75,8 @@ object LiveQueries {
       pitClosedIds: java.util.concurrent.ConcurrentLinkedQueue[String] =
         new java.util.concurrent.ConcurrentLinkedQueue[String](),
       servedSlicedAtFirstClose: java.util.concurrent.atomic.AtomicLong =
-        new java.util.concurrent.atomic.AtomicLong(-1)): HttpServer = {
+        new java.util.concurrent.atomic.AtomicLong(-1),
+      timeCutsMode: Boolean = true): HttpServer = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val pitSeq = new java.util.concurrent.atomic.AtomicLong()
     // ids actually ISSUED: a search under an unknown PIT id is a 400,
@@ -159,6 +160,43 @@ object LiveQueries {
           return
         }
         val req = mapper.readTree(ex.getRequestBody.readAllBytes())
+        if (req.path("aggs").has("time_cuts") && timeCutsMode) {
+          // the PIT-less drain's cut probe: time percentiles of the
+          // matching docs (nearest-rank — any estimate is valid, cuts
+          // only place window boundaries); size-0, zero hits served.
+          // `timeCutsMode=false` drops to the generic handler, whose
+          // agg-less response makes the client keep the single loop —
+          // the graceful posture of a server without the aggregation.
+          var subj: Option[String] = None
+          var gte: Option[Long] = None
+          var lt: Option[Long] = None
+          req.path("query").path("bool").path("filter").forEach { f =>
+            val m = f.path("match").path("subject").path("query")
+            if (m.isTextual) subj = Some(m.asText())
+            val r = f.path("range").path("time")
+            if (r.has("gte")) gte = Some(r.get("gte").asText().toLong)
+            if (r.has("lt")) lt = Some(r.get("lt").asText().toLong)
+          }
+          val ms = docs.iterator
+            .filter(d => subj.forall(_ == d.subject) &&
+              gte.forall(d.timeUs / 1000 >= _) && lt.forall(d.timeUs / 1000 < _))
+            .map(_.timeUs / 1000).toVector.sorted
+          val vals = Seq.newBuilder[String]
+          req.path("aggs").path("time_cuts").path("percentiles").path("percents").forEach { p =>
+            val v =
+              if (ms.isEmpty) "null"
+              else ms(math.min(ms.size - 1,
+                math.max(0, math.ceil(p.asDouble() / 100.0 * ms.size).toInt - 1))).toString
+            vals += s"""{"key":${p.asDouble()},"value":$v}"""
+          }
+          val res = s"""{"aggregations":{"time_cuts":{"values":[${vals.result().mkString(",")}]}},""" +
+            s""""hits":{"hits":[]}}"""
+          val bytes = res.getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+          return
+        }
         if (req.path("aggs").has("max_time")) {
           // the streaming tail's offset probe: size-0 max aggregation
           val v = if (docs.isEmpty) "null" else (docs.map(_.timeUs).max / 1000).toString
@@ -1784,6 +1822,77 @@ object LiveQueries {
              SELECT CAST(uid AS VARCHAR) AS subject, count(*)::BIGINT AS n_docs,
                sum(cents)::BIGINT AS cents
              FROM e, c WHERE uid % 2 = 1 OR ms < cut GROUP BY 1"""),
+    ),
+
+    // ── PIT-less hot drain via TIME-WINDOW CUTS (r16): q234's parallel
+    //    whale drain rides sliced-PIT — an ES 8 feature. On a server
+    //    WITHOUT point-in-time support (an ES 7 posture, or a PIT-less
+    //    proxy) the whale used to serialize through one loop again.
+    //    Planning now probes the server's own time PERCENTILES for the
+    //    whale's window and tiles it into DISJOINT half-open sub-ranges —
+    //    each tile is the ordinary exactly-once page loop, disjoint BY
+    //    FILTER (no snapshot to tear; an approximate percentile only
+    //    unbalances tiles, never rows). The entry replays q234's corpus
+    //    against a PIT-LESS stub and RAISES unless the whale actually
+    //    planned ≥2 time tiles while NO slice or PIT request ever hit
+    //    the wire; the DuckDB compare then catches any tile overlap or
+    //    gap (a duplicated or lost document breaks the grouped sums).
+    QueryDef(
+      "q239_live_es_window_cuts",
+      (s, d) => {
+        val evs = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(
+            when(col("user_id") % 5 === 0, lit("hot"))
+              .otherwise(col("user_id").cast("string")).as("subject"),
+            expr("unix_micros(ts)").as("tsu"),
+            round(col("value") * 100).cast(LongType).as("cents"))
+          .collect() // seeds the TEST DOUBLE; the measured read is below
+        val docs: IndexedSeq[StubDoc] =
+          evs.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+            val (subj, tsu, cents) = (r.getString(0), r.getLong(1), r.getLong(2))
+            val iso = java.time.Instant.ofEpochSecond(tsu / 1000000L, (tsu % 1000000L) * 1000L)
+            StubDoc(s"wc$i", subj, tsu,
+              s"""{"id":"wc$i","subject":"$subj","source":"dimo/integration/live",""" +
+                s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v2.0",""" +
+                s""""type":"com.dimo.device.status","data":{"cents":$cents}}""")
+          }
+        val subjects = docs.map(_.subject).distinct
+        val coldGroups = math.min(64, subjects.length - 1)
+        val sliceSeen = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+        val pitOpened = new java.util.concurrent.atomic.AtomicLong
+        val server = startStub(docs, pitMode = false, sliceSeen = sliceSeen,
+          pitOpened = pitOpened)
+        try {
+          val live = s.read.format("graft-status-live")
+            .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+            .option("batchSize", "64").option("slices", "8")
+            .option("hotSubjectPages", "2").load()
+            .where(col("subject").isin(subjects: _*))
+          val parts = live.rdd.getNumPartitions
+          require(parts > coldGroups + 1 && parts <= coldGroups + 8,
+            s"expected $coldGroups cold groups + 2..8 whale time tiles, planned $parts")
+          val out = live
+            .select(col("subject"),
+              get_json_object(col("data"), "$.cents").cast("long").as("cents"))
+            .groupBy(col("subject"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("cents")).as("cents"))
+            .localCheckpoint(true) // materialize THROUGH the tiled plan
+          import scala.jdk.CollectionConverters._
+          require(sliceSeen.asScala.isEmpty,
+            "no slice request may reach a PIT-less server")
+          require(pitOpened.get() == 0L,
+            "no PIT may be opened against a PIT-less server")
+          out
+        } finally server.stop(0)
+      },
+      Some("""WITH m AS (
+               SELECT CASE WHEN user_id % 5 = 0 THEN 'hot'
+                           ELSE CAST(user_id AS VARCHAR) END AS subject,
+                      CAST(round(value*100) AS BIGINT) AS cents
+               FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+             SELECT subject, count(*)::BIGINT AS n_docs, sum(cents)::BIGINT AS cents
+             FROM m GROUP BY 1"""),
     ),
 
     // ── HOT-LIST composition for the RANGED census (r16): q236's

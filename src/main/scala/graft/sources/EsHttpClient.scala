@@ -306,6 +306,35 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     else None
   }
 
+  /** Time-quantile cut positions (epoch millis) for one pushed-filter
+    * state — the PIT-less parallel drain's planning probe
+    * ([[EsQueryDsl.timePercentilesRequest]]): `parts - 1` interior cuts
+    * that tile the window into roughly equal-mass half-open sub-ranges.
+    * None on any shortfall (no agg support, an empty window's null
+    * values, fewer than 2 parts, any wire failure) — the caller keeps
+    * the un-cut sequential plan, coarser but never wrong. Unlike
+    * [[countFor]]/[[groupCountsFor]], APPROXIMATE values are acceptable:
+    * a percentile estimate only places a window boundary, and half-open
+    * tiles cover the window exactly wherever the boundaries land.
+    */
+  def timeCutsMs(index: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter], parts: Int): Option[Seq[Long]] = {
+    if (parts < 2) return None
+    val percents = (1 until parts).map(i => i * 100.0 / parts)
+    try {
+      val vals = searchTree(index, EsQueryDsl.timePercentilesRequest(filters, percents))
+        .path("aggregations").path("time_cuts").path("values")
+      if (!vals.isArray || vals.size() == 0) return None
+      val out = Seq.newBuilder[Long]
+      var ok = true
+      vals.forEach { v =>
+        val n = v.path("value")
+        if (n.isNumber) out += n.asDouble().toLong else ok = false
+      }
+      if (ok) Some(out.result()) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** The index's newest event time in epoch millis (None when empty) —
     * [[EsQueryDsl.maxTimeRequest]] round trip; the streaming source's
     * latestOffset probe.

@@ -213,4 +213,24 @@ object EsQueryDsl {
     */
   def maxTimeRequest: String =
     """{"size":0,"aggs":{"max_time":{"max":{"field":"time"}}}}"""
+
+  /** `size: 0` `percentiles` aggregation over `time` under the same
+    * `query.bool` body as the row scan — the PIT-LESS parallel drain's
+    * cut probe: the returned positions become half-open window
+    * BOUNDARIES, so unlike [[termsCountRequest]]'s counts an
+    * APPROXIMATE estimate is fine here — the tiles partition
+    * [start, stop) exactly wherever the cuts land; a bad estimate only
+    * unbalances the tiles, never the rows. `keyed: false` for
+    * positional parsing.
+    */
+  def timePercentilesRequest(filters: Seq[Filter], percents: Seq[Double]): String = {
+    val root = queryBody(filters, Seq.empty, Seq.empty)
+    root.put("size", 0)
+    val pct = root.putObject("aggs").putObject("time_cuts").putObject("percentiles")
+    pct.put("field", "time")
+    pct.put("keyed", false)
+    val arr = pct.putArray("percents")
+    percents.foreach(arr.add)
+    mapper.writeValueAsString(root)
+  }
 }

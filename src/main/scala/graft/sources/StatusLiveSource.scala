@@ -962,6 +962,39 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     pit
   }
 
+  /** PIT-less parallel drain: tile one loop's window into DISJOINT
+    * half-open time sub-ranges cut at the server's own time percentiles
+    * ([[EsHttpClient.timeCutsMs]]) — window filters compose per request,
+    * so this parallel form needs NO snapshot: the tiles partition
+    * [startMs, stopMs) exactly for any corpus (each document's
+    * millisecond falls in exactly one tile, and each tile is the same
+    * exactly-once page loop the sequential plan runs). Consistency under
+    * CONCURRENT indexing equals the sequential loop's — neither holds a
+    * point-in-time, so a document arriving mid-scan may or may not be
+    * seen; none duplicates. Approximate percentile estimates only
+    * unbalance tiles, never rows. Any shortfall — no percentiles
+    * support, an empty window, equal/degenerate cuts, a wire failure —
+    * keeps the SINGLE loop: coarser, never wrong.
+    */
+  private def windowCutParts(subject: Option[String], startMs: Long, stopMs: Long,
+      pageSize: Int, requiredFields: Seq[String], envelopeIncludes: Seq[String],
+      cap: Int): Seq[InputPartition] = {
+    def single = Seq(StatusLivePartition(url, index, pageSize, startMs, stopMs,
+      subject.map(Seq(_)), requiredFields, envelopeIncludes, Map.empty, cap): InputPartition)
+    if (slices <= 1 || topN >= 0) return single
+    val probeFilters: Seq[Filter] =
+      subject.map(s => EqualTo("subject", s): Filter).toSeq ++
+        Seq(GreaterThanOrEqual("time", startMs): Filter, LessThan("time", stopMs): Filter)
+    val cuts = new EsHttpClient(url, wire = wire).timeCutsMs(index, probeFilters, slices)
+      .getOrElse(Seq.empty)
+      .filter(c => c > startMs && c < stopMs).distinct.sorted
+    if (cuts.isEmpty) single
+    else ((startMs +: cuts) :+ stopMs).sliding(2).map { case Seq(a, b) =>
+      StatusLivePartition(url, index, pageSize, a, b, subject.map(Seq(_)),
+        requiredFields, envelopeIncludes, Map.empty, cap): InputPartition
+    }.toSeq
+  }
+
   private[sources] def releasePits(): Unit = synchronized {
     openedPits.foreach { id =>
       try new EsHttpClient(url, wire = wire).closePit(id)
@@ -1039,18 +1072,22 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
           if (plan.hotPresent.isEmpty || slices <= 1 || topN >= 0) None
           else trackPit(new EsHttpClient(url, wire = wire).openPit(index))
         val hotParts: Seq[InputPartition] = plan.hotPresent.flatMap { s =>
+          val stop = hotStops.get(s).map(math.min(_, stopMs)).getOrElse(stopMs)
           pit match {
             case Some(pid) =>
-              val stop = hotStops.get(s).map(math.min(_, stopMs)).getOrElse(stopMs)
               (0 until slices).map(i => StatusLiveSlicePartition(url, index, pageSize,
                 startMs, stop, i, slices, requiredFields, envelopeIncludes,
                 perLoopCap = limit, pitId = pid, subject = Some(s)): InputPartition)
-            case None => // PIT-less server, slices=1, or a pushed top-K:
-              // the whale still gets its OWN task (isolation from its
-              // group is most of the win; the loop stays sequential)
-              Seq(StatusLivePartition(url, index, pageSize, startMs, stopMs,
+            case None if topN >= 0 => // a pushed top-K keeps the whale's
+              // own early-stopping loop (tiles would read everything)
+              Seq(StatusLivePartition(url, index, pageSize, startMs, stop,
                 Some(Seq(s)), requiredFields, envelopeIncludes,
-                hotStops.get(s).map(v => s -> v).toMap, perLoopCap): InputPartition)
+                Map.empty, perLoopCap): InputPartition)
+            case None => // PIT-less server or slices=1: filter-disjoint
+              // time tiles when they apply, else one ISOLATED loop —
+              // isolation from its byte-range group is most of the win
+              windowCutParts(Some(s), startMs, stop, pageSize,
+                requiredFields, envelopeIncludes, limit)
           }
         }
         // the inline `stopBySubject` OPTION (bounded small — it rode a
@@ -1114,10 +1151,13 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
         // read scales with the cluster instead of one sequential page
         // loop. The PIT is probed ONCE here on the DRIVER and the
         // fallback decision is baked into the partitions: a PIT-less
-        // server (None) plans the single sequential loop — never a torn
-        // parallel read — while a transient probe failure THROWS at
-        // planning (openPit retries first; silence would lose or
-        // duplicate slices task-side). All slices share the one
+        // server (None) plans TIME-WINDOW CUT partitions instead
+        // ([[windowCutParts]] — filter-disjoint half-open tiles at the
+        // server's own time percentiles; no snapshot required, so no
+        // torn read is possible, and any probe shortfall keeps the
+        // single sequential loop) — while a transient PIT-probe failure
+        // THROWS at planning (openPit retries first; silence would lose
+        // or duplicate slices task-side). All slices share the one
         // point-in-time: a single snapshot is what makes the server's
         // slice disjointness a completeness guarantee under concurrent
         // indexing. A pushed DESC top-K keeps the sequential loop (its
@@ -1129,8 +1169,8 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
             Array.tabulate(slices)(i => StatusLiveSlicePartition(url, index, pageSize,
               startMs, stopMs, i, slices, requiredFields, envelopeIncludes,
               perLoopCap = limit, pitId = pid): InputPartition)
-          case None => Array(StatusLivePartition(url, index, pageSize, startMs, stopMs,
-            None, requiredFields, envelopeIncludes, Map.empty, perLoopCap))
+          case None => windowCutParts(None, startMs, stopMs, pageSize,
+            requiredFields, envelopeIncludes, limit).toArray
         }
       case None => Array(StatusLivePartition(url, index, pageSize, startMs, stopMs,
         None, requiredFields, envelopeIncludes, Map.empty, perLoopCap))
@@ -1143,10 +1183,12 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
         // through a single sequential page loop no matter how many
         // executors idle. Each hot subject plans its own slice set over
         // ONE shared PIT (the slice composes with the match clause
-        // server-side); cold subjects keep their grouped loops. Any
-        // probe shortfall — approximate counts, no PIT endpoint, census
-        // past the terms cap — degrades to all-cold: the sequential
-        // plan, never a wrong one.
+        // server-side); cold subjects keep their grouped loops. A
+        // PIT-less server drains each hot subject through TIME-WINDOW
+        // CUTS instead ([[windowCutParts]] — filter-disjoint tiles, no
+        // snapshot needed); any other probe shortfall — approximate
+        // counts, census past the terms cap, failed cuts — degrades to
+        // sequential loops, never a wrong plan.
         val subjectCounts: Option[Map[String, Long]] =
           if (slices <= 1 || topN >= 0 || all.length > termsSize) None
           else {
@@ -1163,15 +1205,21 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
         val pit: Option[String] =
           if (hotCounts.isEmpty) None
           else trackPit(new EsHttpClient(url, wire = wire).openPit(index))
-        val (hot, cold) = all.partition(s => pit.isDefined && hotCounts.contains(s))
-        val hotParts: Seq[InputPartition] = pit.toSeq.flatMap { pid =>
-          hot.flatMap { s =>
-            // the subject's own watermark tightens its slice windows just
-            // like its sequential loop's
-            val stop = stopsEff.get(s).map(math.min(_, stopMs)).getOrElse(stopMs)
-            (0 until slices).map(i => StatusLiveSlicePartition(url, index, pageSize,
-              startMs, stop, i, slices, requiredFields, envelopeIncludes,
-              perLoopCap = limit, pitId = pid, subject = Some(s)): InputPartition)
+        val (hot, cold) = all.partition(hotCounts.contains)
+        val hotParts: Seq[InputPartition] = hot.flatMap { s =>
+          // the subject's own watermark tightens its slice windows just
+          // like its sequential loop's
+          val stop = stopsEff.get(s).map(math.min(_, stopMs)).getOrElse(stopMs)
+          pit match {
+            case Some(pid) =>
+              (0 until slices).map(i => StatusLiveSlicePartition(url, index, pageSize,
+                startMs, stop, i, slices, requiredFields, envelopeIncludes,
+                perLoopCap = limit, pitId = pid, subject = Some(s)): InputPartition)
+            case None => // PIT-less: filter-disjoint time tiles (or one
+              // ISOLATED loop if the cut probe falls short — isolation
+              // from its group is still most of the win)
+              windowCutParts(Some(s), startMs, stop, pageSize,
+                requiredFields, envelopeIncludes, limit)
           }
         }
         // bounded fan-out: one task per GROUP of subjects (the reference

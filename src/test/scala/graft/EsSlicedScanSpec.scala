@@ -116,7 +116,12 @@ class EsSlicedScanSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
-  test("a PIT-less server degrades to the sequential loop AT PLANNING with an identical result") {
+  test("a PIT-less server parallelizes via TIME-WINDOW CUTS — filter-disjoint, never torn") {
+    // no point-in-time endpoint, but percentiles answer: the planner
+    // tiles [start, stop) into half-open sub-ranges at the server's own
+    // time quantiles — each tile is the ordinary exactly-once page loop,
+    // tiles are disjoint BY FILTER (no snapshot to tear), and the
+    // decision is still the DRIVER's, baked into the plan
     val docs = corpus(300)
     val sliceSeen = new ConcurrentLinkedQueue[Int]()
     val server = graft.queries.LiveQueries.startStub(docs, pitMode = false,
@@ -125,14 +130,65 @@ class EsSlicedScanSpec extends SparkTestBase {
       val live = spark.read.format("graft-status-live")
         .option("url", url(server)).option("batchSize", "64")
         .option("slices", "4").load()
-      // the fallback decision is the DRIVER's, baked into the plan: one
-      // sequential partition (probing per task left 3 idle tasks and let
-      // a task-side blip silently drop a slice — the ADVICE-high hole)
+      assert(live.rdd.getNumPartitions === 4,
+        "PIT-less + percentiles: one task per time tile")
+      val ids = live.select(col("id")).collect().map(_.getString(0))
+      assert(ids.length === 300 && ids.toSet.size === 300,
+        "disjoint half-open tiles deliver everything exactly once")
+      assert(sliceSeen.isEmpty, "no slice request ever reached the PIT-less server")
+    } finally server.stop(0)
+  }
+
+  test("a PIT-less server WITHOUT percentiles degrades to the sequential loop at planning") {
+    val docs = corpus(300)
+    val sliceSeen = new ConcurrentLinkedQueue[Int]()
+    val server = graft.queries.LiveQueries.startStub(docs, pitMode = false,
+      sliceSeen = sliceSeen, timeCutsMode = false)
+    try {
+      val live = spark.read.format("graft-status-live")
+        .option("url", url(server)).option("batchSize", "64")
+        .option("slices", "4").load()
+      // every parallel feeler probed absent: one sequential partition —
+      // coarser, never wrong (and never a torn read)
       assert(live.rdd.getNumPartitions === 1,
-        "a PIT-less server must plan the single sequential loop")
+        "no PIT and no percentiles must plan the single sequential loop")
       val ids = live.select(col("id")).collect().map(_.getString(0))
       assert(ids.length === 300 && ids.toSet.size === 300,
         "the sequential fallback reads everything exactly once")
+      assert(sliceSeen.isEmpty, "no slice request ever reached the PIT-less server")
+    } finally server.stop(0)
+  }
+
+  test("a HOT subject on a PIT-less server drains through time tiles; cold keep their loops") {
+    // the q234 shape without PIT support (an ES 7 posture): the terms
+    // probe still spots the whale, but its parallel drain is the
+    // filter-disjoint time tiling instead of sliced-PIT — same bounded
+    // wall clock, no snapshot required
+    def doc(subject: String, i: Int): StubDoc = {
+      val ms = BaseMs + i * 1000L
+      val iso = java.time.Instant.ofEpochMilli(ms)
+      StubDoc(f"$subject-d$i%06d", subject, ms * 1000L,
+        s"""{"id":"$subject-$i","subject":"$subject","source":"dimo/integration/live",""" +
+          s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v2.0",""" +
+          s""""type":"com.dimo.device.status","data":{"i":$i}}""")
+    }
+    val docs: IndexedSeq[StubDoc] = (0 until 400).map(doc("hot", _)) ++
+      (0 until 5).flatMap(s => (0 until 20).map(doc(s"c$s", _)))
+    val sliceSeen = new ConcurrentLinkedQueue[Int]()
+    val server = graft.queries.LiveQueries.startStub(docs, pitMode = false,
+      sliceSeen = sliceSeen)
+    try {
+      val subjects = "hot" +: (0 until 5).map(i => s"c$i")
+      val live = spark.read.format("graft-status-live")
+        .option("url", url(server)).option("batchSize", "16")
+        .option("slices", "4").option("hotSubjectPages", "2").load()
+        .where(col("subject").isin(subjects: _*))
+      // 5 cold single-subject groups + 4 time tiles for the hot subject
+      assert(live.rdd.getNumPartitions === 9,
+        "cold groups plus one time-tile set for the hot subject")
+      val ids = live.select(col("id")).collect().map(_.getString(0))
+      assert(ids.length === 500 && ids.toSet.size === 500,
+        "every document exactly once across hot tiles AND cold loops")
       assert(sliceSeen.isEmpty, "no slice request ever reached the PIT-less server")
     } finally server.stop(0)
   }

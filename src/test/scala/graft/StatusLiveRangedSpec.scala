@@ -408,7 +408,7 @@ class StatusLiveRangedSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
-  test("a PIT-less server still isolates the whale: its OWN sequential task, tiles exclude it") {
+  test("a PIT-less, percentiles-less server still isolates the whale: its OWN task, tiles exclude it") {
     val docs: IndexedSeq[StubDoc] =
       ((0 until 40).map(doc("hot", _)) ++
         (for (s <- 0 until 4; i <- 0 until 6) yield doc(s"c$s", i))).toIndexedSeq
@@ -420,7 +420,7 @@ class StatusLiveRangedSpec extends SparkTestBase {
     val served = new java.util.concurrent.atomic.AtomicLong
     val sliceSeen = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
     val server = graft.queries.LiveQueries.startStub(docs, pitMode = false,
-      served = served, sliceSeen = sliceSeen)
+      served = served, sliceSeen = sliceSeen, timeCutsMode = false)
     try {
       val live = spark.read.format("graft-status-live")
         .option("url", url(server)).option("batchSize", "64")
