@@ -522,6 +522,51 @@ object LiveProbe {
         java.nio.file.Files.deleteIfExists(hFile)
       }
     }
+
+    // ── section 12 (r16): PIT-LESS parallel drain via TIME-WINDOW CUTS —
+    // the same whole-window scan as §8 but against a server WITHOUT the
+    // point-in-time endpoint (an ES 7 posture): sliced-PIT cannot plan,
+    // so the window tiles at the server's own time percentiles instead
+    // (filter-disjoint half-open sub-ranges; no snapshot to tear). The
+    // comparison is the shape that used to be forced (one sequential
+    // loop) vs the tiled plan, same corpus, same page size.
+    {
+      val n = 1000000
+      val probeDocs: IndexedSeq[graft.queries.LiveQueries.StubDoc] =
+        (0 until n).map { i =>
+          val subj = (i % 64).toString
+          val tsu = 1704000000000000L + i.toLong * 1000
+          val iso = java.time.Instant.ofEpochSecond(tsu / 1000000L, (tsu % 1000000L) * 1000L)
+          val json =
+            s"""{"id":"w$i","subject":"$subj","source":"dimo/integration/live",""" +
+              s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v2.0",""" +
+              s""""type":"com.dimo.device.status","data":{"i":$i}}"""
+          graft.queries.LiveQueries.StubDoc(f"w$i%07d", subj, tsu, json)
+        }
+      val server = graft.queries.LiveQueries.startStub(probeDocs, pitMode = false)
+      try {
+        val expected = (0L until n).sum
+        def read(slices: Int): Long = spark.read.format("graft-status-live")
+          .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+          .option("batchSize", "1000")
+          .option("slices", slices.toString)
+          .load()
+          .select(get_json_object(col("data"), "$.i").cast("long").as("i"))
+          .agg(sum(col("i"))).head().getLong(0)
+        read(8) // warm
+        def time(slices: Int): Double = {
+          val t0 = System.nanoTime()
+          val got = read(slices)
+          require(got == expected, s"window-cut read lost rows: sum $got != $expected")
+          (System.nanoTime() - t0) / 1e9
+        }
+        val seq1 = time(1)
+        val cut8 = time(8)
+        println(f"[liveprobe] PIT-less window cuts ($n docs, page 1000, full decode): " +
+          f"sequential loop $seq1%.2f s vs 8 time tiles $cut8%.2f s " +
+          f"(${seq1 / cut8}%.1fx on an ES-7-posture server — no snapshot required)")
+      } finally server.stop(0)
+    }
     spark.stop()
   }
 }
