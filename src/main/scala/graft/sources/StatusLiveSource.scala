@@ -58,10 +58,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * rides a ~30 MB JSON string through catalog properties — each task
   * still receives only its own group's slice, and the caller may delete
   * the staged files as soon as load() returns. `slices` (default 1):
-  * parallel sliced-PIT drains — the whole-window scan fans N tasks over
-  * one driver-opened snapshot, and subject-constrained scans fan each
+  * parallel drains — the whole-window scan fans N tasks over one
+  * driver-opened PIT snapshot, and subject-constrained scans fan each
   * HOT subject (past `hotSubjectPages` pages by the terms probe,
-  * default 8) across N slices while cold subjects keep their loops.
+  * default 8) across N slices while cold subjects keep their loops; a
+  * PIT-LESS server (ES 7 posture) parallelizes the same shapes through
+  * TIME-WINDOW CUTS at the server's own `time` percentiles instead —
+  * filter-disjoint half-open tiles, no snapshot required — and with no
+  * percentiles support either keeps the sequential loops.
   * `censusRanges` (default 0 = off): the O(groups) MEGA-FLEET form of
   * the staged census — the planner records one byte range per group
   * instead of materializing a per-token map (~2.1 GB at 10M tokens) and

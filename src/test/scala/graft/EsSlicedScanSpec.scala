@@ -18,8 +18,11 @@ import graft.queries.LiveQueries.StubDoc
   *     partitions, every slice id requested;
   *   - pushed time windows and LIMIT still apply (window in every slice
   *     request; limit caps each slice, Spark's global Limit above);
-  *   - a PIT-less server DEGRADES to the sequential loop on slice 0 —
-  *     identical result, never a torn parallel read;
+  *   - a PIT-less server parallelizes through TIME-WINDOW CUTS instead
+  *     (filter-disjoint half-open tiles at the server's own time
+  *     percentiles — no snapshot exists to tear), and with no
+  *     percentiles support either DEGRADES to the sequential loop —
+  *     identical result every way;
   *   - subject-constrained scans keep the per-subject fan-out and a
   *     pushed DESC top-K keeps the sequential early-stopping loop
   *     (slices read everything; the loop reads K).
