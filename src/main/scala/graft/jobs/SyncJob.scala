@@ -157,7 +157,13 @@ object SyncJob {
       opts: SyncOptions = SyncOptions(),
       index: String = "device-status",
       batchSize: Int = 1000,
-      pathModeThreshold: Int = PathModeThreshold
+      pathModeThreshold: Int = PathModeThreshold,
+      // `slices` > 1 engages the scan's hot-subject machinery (one terms
+      // probe marks devices past `hotSubjectPages` pages; each drains in
+      // parallel — sliced-PIT on an ES 8, time-window cuts on a PIT-less
+      // server) so one deep-history device stops serializing the sync
+      slices: Int = 1,
+      hotSubjectPages: Int = 8
   ): DataFrame = {
     val explicitTokens = SyncOps.parseTokenList(opts.tokens)
     val scopedDim =
@@ -184,6 +190,8 @@ object SyncJob {
       .join(scopedDim.select("tokenId", "subject"), Seq("tokenId"))
     var reader = spark.read.format("graft-status-live")
       .option("url", url).option("index", index).option("batchSize", batchSize.toString)
+      .option("slices", slices.toString)
+      .option("hotSubjectPages", hotSubjectPages.toString)
     if (opts.signalNames.nonEmpty)
       reader = reader.option("signals", opts.signalNames.mkString(","))
     val staged = scala.collection.mutable.Buffer.empty[java.nio.file.Path]

@@ -215,6 +215,38 @@ class StatusLiveFleetSpec extends SparkTestBase {
     }
   }
 
+  test("runLive with slices engages the hot-subject drain (whale parallel, cold loops intact)") {
+    // the reference-shaped job entry can now name its parallelism: with
+    // slices > 1 the scan's terms probe spots the whale and fans it —
+    // sliced-PIT here; time-window cuts on a PIT-less server
+    val t0 = 1704000000000L
+    def doc(id: String, subj: String, ms: Long, speed: Long): String =
+      s"""{"id":"$id","subject":"$subj","source":"dimo/integration/live","specversion":"1.0",""" +
+        s""""time":"${java.time.Instant.ofEpochMilli(ms)}",""" +
+        s""""dataschema":"dimo.zone.status/v1.0","type":"c","data":{"speed":$speed,"make":"m"}}"""
+    val docs = ((0 until 40).map(i => graft.queries.LiveQueries.StubDoc(
+      f"w1-$i%02d", "1", (t0 + i) * 1000L, doc(s"w1-$i", "1", t0 + i, 20))) ++
+      Seq("2", "3").map(s => graft.queries.LiveQueries.StubDoc(
+        s"c$s", s, t0 * 1000L, doc(s"c$s", s, t0, 10)))).toIndexedSeq
+    val opts = graft.jobs.SyncOptions(tokens = Seq("1", "2", "3"),
+      start = Some(new java.sql.Timestamp(0L)),
+      stop = Some(new java.sql.Timestamp(9999999999999L)))
+    val dim = graft.sources.DeviceDim.identityDim(spark, Seq(1L, 2L, 3L))
+    val sliceSeen = new ConcurrentLinkedQueue[Int]()
+    val slicedSubjects = new ConcurrentLinkedQueue[String]()
+    val server = graft.queries.LiveQueries.startStub(docs, pitMode = true,
+      sliceSeen = sliceSeen, slicedSubjects = slicedSubjects)
+    try {
+      val out = graft.jobs.SyncJob.runLive(spark,
+        s"http://127.0.0.1:${server.getAddress.getPort}", dim, None, opts,
+        batchSize = 8, slices = 2, hotSubjectPages = 2).localCheckpoint(true)
+      assert(out.count() === 42 * 2, "2 signals per doc, whale + cold, exactly once")
+      import scala.jdk.CollectionConverters._
+      assert(slicedSubjects.asScala.toSet === Set("1"), "the whale rode the sliced drain")
+      assert(sliceSeen.asScala.toSet === Set(0, 1), "both slices requested")
+    } finally server.stop(0)
+  }
+
   test("hotSubjectsFromSink: whales by synced depth, deepest first, capped, never the fleet") {
     // the discovery half of the hot-list story: one cluster-side count
     // over the sink, only rows past the threshold reach the driver
