@@ -202,12 +202,7 @@ object SyncJob {
       // file, and the planner reads that file once at load())
       val dir = java.nio.file.Files.createTempDirectory(prefix)
       staged += dir
-      df.coalesce(1).write.mode("overwrite").text(dir.toString)
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(dir).iterator().asScala
-        .find(_.getFileName.toString.startsWith("part-"))
-        .getOrElse(throw new IllegalStateException(s"no staged part file in $dir"))
-        .toString
+      writeSingleText(df, dir)
     }
     def deleteStaged(p: java.nio.file.Path): Unit = {
       if (java.nio.file.Files.isDirectory(p)) {
@@ -260,6 +255,25 @@ object SyncJob {
     */
   val PathModeThreshold: Int = 1000
 
+  /** One single-partition text write into `dir` → the part file's path —
+    * the cluster-staging primitive [[runLive]] (tracked temp dirs,
+    * deleted at load()) and [[runLiveRanged]] (caller-owned dirs that
+    * outlive the action) share. The directory listing is CLOSED (a
+    * leaked stream holds the descriptor for the JVM's life on some
+    * filesystems).
+    */
+  private def writeSingleText(df: DataFrame, dir: java.nio.file.Path): String = {
+    df.coalesce(1).write.mode("overwrite").text(dir.toString)
+    val listing = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"no staged part file in $dir"))
+        .toString
+    } finally listing.close()
+  }
+
   /** The MEGA-FLEET form of [[runLive]]: past ~10M tokens the planner's
     * load()-time consume is the driver's own bottleneck (the per-token
     * map is ~2.1 GB there, LiveProbe §7), so this variant reads through
@@ -310,15 +324,8 @@ object SyncJob {
     // cluster-staged, caller-owned: a single-partition sorted text write
     // per file (the strictly-sorted form the ranged planner verifies),
     // left in place for the tasks to slice
-    def stageTo(df: DataFrame, name: String): String = {
-      val dir = java.nio.file.Paths.get(stagingDir, name)
-      df.coalesce(1).write.mode("overwrite").text(dir.toString)
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(dir).iterator().asScala
-        .find(_.getFileName.toString.startsWith("part-"))
-        .getOrElse(throw new IllegalStateException(s"no staged part file in $dir"))
-        .toString
-    }
+    def stageTo(df: DataFrame, name: String): String =
+      writeSingleText(df, java.nio.file.Paths.get(stagingDir, name))
     var reader = spark.read.format("graft-status-live")
       .option("url", url).option("index", index).option("batchSize", batchSize.toString)
       .option("censusRanges", censusRanges.toString)

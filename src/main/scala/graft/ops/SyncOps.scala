@@ -77,12 +77,18 @@ object SyncOps {
     */
   def hotSubjectsFromSink(sink: DataFrame, dim: DataFrame, minRows: Long,
       maxSubjects: Int = 1000): Seq[String] = {
+    // the cap applies BEFORE the broadcast build: a mis-tuned low
+    // threshold makes `n > minRows` match most of the fleet, and
+    // broadcasting THAT would collect millions of rows to the driver —
+    // the exact wall this helper's caller exists to avoid. Capped first,
+    // the build side is ≤ maxSubjects rows whatever the threshold.
     val whales = sink.groupBy(col("tokenId")).agg(count(lit(1)).as("n"))
       .where(col("n") > minRows)
+      .orderBy(col("n").desc, col("tokenId"))
+      .limit(maxSubjects)
     dim.select("tokenId", "subject")
       .join(broadcast(whales), Seq("tokenId"))
       .orderBy(col("n").desc, col("subject"))
-      .limit(maxSubjects)
       .select("subject").collect().map(_.getString(0)).toSeq
   }
 }

@@ -919,52 +919,47 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     * `search_context_missing` with no recovery path); the next action
     * re-plans and opens a fresh snapshot. Failures closing are ignored
     * (the keep-alive still reclaims); plannings that never execute (a
-    * bare `.rdd.getNumPartitions`) and streaming micro-batches (whose
-    * QueryExecution events bypass the listener bus) also fall back to the
-    * keep-alive — never worse than before the hook.
+    * bare `.rdd.getNumPartitions`) fall back to the keep-alive
+    * server-side, with the weakly-held listener dropping off the bus
+    * once the scan is collected; streaming micro-batches (whose
+    * QueryExecution events bypass the listener bus) release superseded
+    * pits at the next planning and the last at stream stop().
     */
   private val openedPits = scala.collection.mutable.ArrayBuffer[String]()
   private var releaseHookArmed = false
 
+  /** The listener holds only a WEAK reference to this scan
+    * ([[PitReleaseListener]]): an inner/anonymous listener would retain
+    * the scan — plan cache and partitions included — on the session's
+    * listener bus for the application's lifetime whenever a planned scan
+    * never executes (a bare `.rdd.getNumPartitions`, an abandoned
+    * Dataset). Weakly held, a collected scan's listener drops off at the
+    * next action; a still-referenced never-executed scan leaks only
+    * while the caller itself holds it.
+    */
   private def trackPit(pit: Option[String]): Option[String] = {
     pit.foreach { id =>
       openedPits += id
       if (!releaseHookArmed)
         org.apache.spark.sql.SparkSession.getActiveSession.foreach { session =>
-          val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-            private def fire(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
-              // a listener whose scan has nothing left to release is dead
-              // weight on the bus (the superseded-plan release may have
-              // beaten the action hook, or the scan was planned but never
-              // executed and its pits lapsed to the keep-alive): drop off
-              // without walking the plan — the next trackPit re-arms
-              val stale = StatusLiveScan.this.synchronized {
-                if (openedPits.isEmpty) { releaseHookArmed = false; true } else false
-              }
-              if (stale) { session.listenerManager.unregister(this); return }
-              val mine = qe.optimizedPlan.collectFirst {
-                case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
-                  if r.scan eq StatusLiveScan.this => r
-              }.nonEmpty
-              if (mine) {
-                releasePits()
-                StatusLiveScan.this.synchronized { releaseHookArmed = false }
-                session.listenerManager.unregister(this)
-              }
-            }
-            override def onSuccess(funcName: String,
-                qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-              fire(qe)
-            override def onFailure(funcName: String,
-                qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
-              fire(qe)
-          }
-          session.listenerManager.register(listener)
+          session.listenerManager.register(new PitReleaseListener(
+            new java.lang.ref.WeakReference(this), session))
           releaseHookArmed = true
         }
     }
     pit
   }
+
+  /** True (and disarms) when there is nothing left to release — the
+    * superseded-plan release beat the action hook, or the pits lapsed to
+    * the keep-alive: the listener drops off the bus without walking the
+    * plan, and the next [[trackPit]] re-arms a fresh one.
+    */
+  private[sources] def hookStale(): Boolean = synchronized {
+    if (openedPits.isEmpty) { releaseHookArmed = false; true } else false
+  }
+
+  private[sources] def disarmHook(): Unit = synchronized { releaseHookArmed = false }
 
   /** PIT-less parallel drain: tile one loop's window into DISJOINT
     * half-open time sub-ranges cut at the server's own time percentiles
@@ -999,18 +994,31 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     }.toSeq
   }
 
-  private[sources] def releasePits(): Unit = synchronized {
-    openedPits.foreach { id =>
-      try new EsHttpClient(url, wire = wire).closePit(id)
-      catch { case scala.util.control.NonFatal(_) => () } // keep-alive reclaims
+  private[sources] def releasePits(): Unit = {
+    // client state flips under the lock; the wire DELETEs run on the
+    // shared daemon thread — a close must never block the session's
+    // listener bus (an unreachable endpoint would stall every
+    // QueryExecutionListener for the wire timeout) nor a planning thread
+    // holding this monitor. The keep-alive remains the backstop if the
+    // release thread lags or the process exits first.
+    val ids = synchronized {
+      val snapshot = openedPits.toList
+      openedPits.clear()
+      planCache = None // a later action must re-plan: its PIT ids are gone
+      // releaseHookArmed is NOT reset here: the registered listener stays
+      // live (a sliced streaming tail re-plans every micro-batch —
+      // re-arming would register a listener per batch and none would ever
+      // fire). It disarms itself when it unregisters: on its own scan's
+      // action end, or on the first foreign action that finds nothing
+      // left to release.
+      snapshot
     }
-    openedPits.clear()
-    planCache = None // a later action must re-plan: its PIT ids are gone
-    // releaseHookArmed is NOT reset here: the registered listener stays
-    // live (a sliced streaming tail re-plans every micro-batch — re-arming
-    // would register a listener per batch and none would ever fire). It
-    // disarms itself when it unregisters: on its own scan's action end,
-    // or on the first foreign action that finds nothing left to release.
+    if (ids.nonEmpty) StatusLiveScan.pitCloser.execute { () =>
+      ids.foreach { id =>
+        try new EsHttpClient(url, wire = wire).closePit(id)
+        catch { case scala.util.control.NonFatal(_) => () } // keep-alive reclaims
+      }
+    }
   }
 
   private def planPartitionsFor(startMs: Long, stopMs: Long): Array[InputPartition] = {
@@ -1302,6 +1310,51 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
   // in the SQL UI).
   override def supportedCustomMetrics(): Array[CustomMetric] =
     Array(new SkippedLinesMetric, new LivePagesMetric, new LiveDocsMetric)
+}
+
+private[sources] object StatusLiveScan {
+  /** One shared daemon thread for best-effort PIT DELETEs across every
+    * scan in the JVM — bounded, ordered, and off every latency-sensitive
+    * thread (listener bus, planning, stream teardown).
+    */
+  private[sources] val pitCloser: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newSingleThreadExecutor((r: Runnable) => {
+      val t = new Thread(r, "graft-pit-release")
+      t.setDaemon(true)
+      t
+    })
+}
+
+/** The query-end PIT release hook — a STANDALONE listener class so the
+  * scan is held only WEAKLY (see [[StatusLiveScan]] trackPit): fires
+  * when an action whose optimized plan contains the scan completes
+  * (success or failure), releasing its PITs and invalidating its plan
+  * cache; drops off the bus when the scan was collected or has nothing
+  * left to release.
+  */
+private class PitReleaseListener(
+    scanRef: java.lang.ref.WeakReference[StatusLiveScan],
+    session: org.apache.spark.sql.SparkSession)
+    extends org.apache.spark.sql.util.QueryExecutionListener {
+  private def fire(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+    scanRef.get() match {
+      case null => session.listenerManager.unregister(this) // scan collected
+      case scan =>
+        if (scan.hookStale()) { session.listenerManager.unregister(this); return }
+        val mine = qe.optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+            if r.scan eq scan => r
+        }.nonEmpty
+        if (mine) {
+          scan.releasePits()
+          scan.disarmHook()
+          session.listenerManager.unregister(this)
+        }
+    }
+  override def onSuccess(funcName: String,
+      qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = fire(qe)
+  override def onFailure(funcName: String,
+      qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = fire(qe)
 }
 
 /** Event-time offset of the live tail: everything below `stopMs` is

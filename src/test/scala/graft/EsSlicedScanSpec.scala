@@ -218,7 +218,11 @@ class EsSlicedScanSpec extends SparkTestBase {
         "the tail's window reads fan into all four slices")
       // a long-lived tail must not leak server search contexts: superseded
       // batches release at the NEXT planning, the LAST at stream stop() —
-      // so by here every PIT the stub ever issued has been DELETEd
+      // every PIT the stub ever issued gets DELETEd (the wire close rides
+      // a daemon thread so teardown never blocks on it: poll)
+      val deadline = System.currentTimeMillis() + 20000
+      while (pitClosedIds.asScala.toSet.size.toLong < pitOpened.get() &&
+        System.currentTimeMillis() < deadline) Thread.sleep(25)
       assert(pitClosedIds.asScala.toSet.size.toLong === pitOpened.get(),
         s"stream teardown must release every PIT: opened ${pitOpened.get()}, " +
           s"closed ${pitClosedIds.asScala.toSet.size}")

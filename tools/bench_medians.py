@@ -33,9 +33,16 @@ plan):
 An entry FLAGS only when BOTH axes exceed 1.5x their medians (each with
 a 0.5 s absolute floor — scheduling noise routinely doubles a 0.1 s
 entry).  An entry past the wall rule alone is printed as a demoted
-`wall-only` NOTE (the bursty-contention signature), never a flag.
-Entries or medians without CPU data fall back to the wall-only rule so
-pre-CPU runs still check.
+`wall-only` NOTE, never a flag.  Stated limitation: a REAL regression
+that adds blocked time without CPU (lost parallelism, extra round
+trips, retry sleeps) has the same wall-up/CPU-flat signature as host
+contention and lands in the notes too — so a wall-only note that
+PERSISTS across runs deserves a human look, and the parallel plan
+shapes themselves are guarded structurally where it matters: the gate
+entries RAISE in-entry when a sliced/tiled/ranged plan silently
+degrades (q231/q234/q236/q237/q239), failing CORRECTNESS rather than
+waiting on a bench delta.  Entries or medians without CPU data fall
+back to the wall-only rule so pre-CPU runs still check.
 """
 import json
 import statistics
@@ -100,7 +107,8 @@ def check(medians_path: str, run_path: str) -> int:
     for name, t, norm, med, cn, cm in sorted(wall_only, key=lambda x: -x[2] / x[3]):
         print(f"note (wall-only, not flagged) {name}: wall {norm:.2f}s vs {med:.2f}s "
               f"({norm / med:.2f}x) but cpu {cn:.2f}s vs {cm:.2f}s "
-              f"({cn / cm:.2f}x) — bursty host contention signature")
+              f"({cn / cm:.2f}x) — host contention OR a blocking/parallelism "
+              f"change; investigate if it persists across runs")
     print(f"{len(flagged)} flagged of {len(run['queries'])} entries "
           f"(rule: BOTH normalized wall AND cpu > {FLAG_RATIO}x median; "
           f"{len(wall_only)} wall-only notes)")
