@@ -1,6 +1,7 @@
 #!/usr/bin/env python3
-"""Compute per-entry medians across several clean bench runs, and check a
-new run against them with a TWO-AXIS (wall + CPU) flag rule.
+"""Compute per-entry medians across several clean bench runs, and check
+new runs against them with a TWO-AXIS (wall + CPU) flag rule plus a
+TWO-RUN persistence escalation.
 
 Median mode:
     python3 tools/bench_medians.py OUT.json RUN1.json [RUN2.json ...]
@@ -10,8 +11,11 @@ Each RUN*.json is a BENCH_FULL.json (one line: {"metric":"total",
 ...}).  Writes OUT.json with per-entry wall medians, per-entry CPU
 medians (when the runs carry `cpu_queries`), plus run metadata.
 
-Check mode (the flag rule):
+Check mode (single run):
     python3 tools/bench_medians.py --check MEDIANS.json RUN.json
+
+Pair mode (two consecutive runs — the persistence rule):
+    python3 tools/bench_medians.py --check-pair MEDIANS.json RUN1.json RUN2.json
 
 Two axes, both host-normalized by the `calibration_cpu` entry (fixed
 synthetic pure-CPU work, so its times measure the HOST, not any query's
@@ -26,23 +30,39 @@ plan):
           calibration while one entry's effective cores collapsed from
           ~28 to 8.4).
   cpu   — run CPU seconds / (run_cal_cpu / median_cal_cpu), vs the CPU
-          median.  Process CPU time is contention-IMMUNE for CPU-bound
-          work: a core-starved entry takes longer on the clock but burns
-          the same cycles; a real plan regression burns MORE.
+          median.  Process CPU time is contention-immune for the
+          contention the wall axis suffers FIRST (core starvation: same
+          cycles, longer clock), but NOT noise-free: a 32-thread JVM's
+          CPU-seconds inflate under GC pressure and memory-bandwidth
+          stalls too — the r16 driver run put 11 both-axis flags on
+          byte-identical sub-second entries because a flat 0.5 s floor
+          is tight when 32 ways each contribute jitter.  So the CPU
+          axis gets its OWN absolute floor, scaled to the entry:
+          max(2.0 s, 0.3 x the entry's CPU median).
 
-An entry FLAGS only when BOTH axes exceed 1.5x their medians (each with
-a 0.5 s absolute floor — scheduling noise routinely doubles a 0.1 s
-entry).  An entry past the wall rule alone is printed as a demoted
-`wall-only` NOTE, never a flag.  Stated limitation: a REAL regression
-that adds blocked time without CPU (lost parallelism, extra round
-trips, retry sleeps) has the same wall-up/CPU-flat signature as host
-contention and lands in the notes too — so a wall-only note that
-PERSISTS across runs deserves a human look, and the parallel plan
-shapes themselves are guarded structurally where it matters: the gate
-entries RAISE in-entry when a sliced/tiled/ranged plan silently
-degrades (q231/q234/q236/q237/q239), failing CORRECTNESS rather than
-waiting on a bench delta.  Entries or medians without CPU data fall
-back to the wall-only rule so pre-CPU runs still check.
+Single-run rule (--check): an entry FLAGS only when BOTH axes exceed
+1.5x their medians past their floors (wall floor 0.5 s; CPU floor as
+above).  An entry past the wall rule alone prints as a demoted
+`wall-only` NOTE, never a flag.
+
+Pair rule (--check-pair): transient noise does not repeat, real
+regressions do.  An entry FLAGS when
+  (a) it trips BOTH axes in BOTH runs (persistent both-axis), or
+  (b) its WALL axis trips in both runs with the CPU axis flat in at
+      least one (persistent wall-only, ESCALATED) — this closes the
+      stated single-run blind spot: a real regression that only adds
+      blocked time (lost parallelism, retry sleeps, extra round trips)
+      has a wall-up/CPU-flat signature indistinguishable from host
+      contention in ONE run, but host contention does not follow the
+      same entry across two separate runs.
+Anything tripping in only one of the two runs prints as a transient
+note.  Entries or medians without CPU data fall back to the wall-only
+rule per run, so pre-CPU runs still check.
+
+The parallel plan shapes themselves remain guarded structurally where
+it matters: the gate entries RAISE in-entry when a sliced/tiled/ranged
+plan silently degrades (q231/q234/q236/q237/q239), failing CORRECTNESS
+rather than waiting on a bench delta.
 """
 import json
 import statistics
@@ -50,7 +70,12 @@ import sys
 
 CAL = "calibration_cpu"
 FLAG_RATIO = 1.5
-ABS_FLOOR = 0.5
+WALL_ABS_FLOOR = 0.5
+# CPU floor: scheduling/GC jitter sums over 32 ways, so the absolute
+# floor scales with the entry's own CPU median (judge r16: 11 spurious
+# both-axis flags on byte-identical sub-second entries under 0.5 s flat)
+CPU_ABS_FLOOR_MIN = 2.0
+CPU_ABS_FLOOR_FRAC = 0.3
 
 
 def load(path):
@@ -65,8 +90,56 @@ def scale_of(run_vals: dict, med_vals: dict) -> float:
     return 1.0
 
 
-def exceeds(norm: float, median: float) -> bool:
-    return norm > FLAG_RATIO * median and norm - median > ABS_FLOOR
+def exceeds_wall(norm: float, median: float) -> bool:
+    return norm > FLAG_RATIO * median and norm - median > WALL_ABS_FLOOR
+
+
+def exceeds_cpu(norm: float, median: float) -> bool:
+    floor = max(CPU_ABS_FLOOR_MIN, CPU_ABS_FLOOR_FRAC * median)
+    return norm > FLAG_RATIO * median and norm - median > floor
+
+
+def classify(med_doc: dict, run: dict) -> dict:
+    """One run's per-entry verdicts: name -> ('both'|'wall'|'flag_nocpu',
+    detail dict).  'both' = both axes tripped; 'wall' = wall tripped,
+    CPU flat; 'flag_nocpu' = wall tripped and no CPU data exists (the
+    wall rule alone decides).  Entries below the wall rule are absent.
+    """
+    medians = med_doc["medians"]
+    cpu_medians = med_doc.get("cpu_medians", {})
+    run_cpu = run.get("cpu_queries", {})
+    wall_scale = scale_of(run["queries"], medians)
+    cpu_scale = scale_of(run_cpu, cpu_medians)
+    out = {}
+    for name, t in run["queries"].items():
+        if name == CAL or name not in medians or medians[name] <= 0 or t < 0:
+            continue
+        norm = t / wall_scale
+        if not exceeds_wall(norm, medians[name]):
+            continue
+        cpu_med = cpu_medians.get(name, 0)
+        cpu_t = run_cpu.get(name, -1)
+        detail = {"t": t, "norm": norm, "med": medians[name],
+                  "cpu_norm": -1.0, "cpu_med": -1.0}
+        if cpu_med > 0 and cpu_t >= 0:
+            cpu_norm = cpu_t / cpu_scale
+            detail["cpu_norm"], detail["cpu_med"] = cpu_norm, cpu_med
+            kind = "both" if exceeds_cpu(cpu_norm, cpu_med) else "wall"
+        else:
+            kind = "flag_nocpu"
+        out[name] = (kind, detail)
+    return out
+
+
+def fmt(detail: dict) -> str:
+    base = (f"{detail['t']:.2f}s raw, {detail['norm']:.2f}s normalized "
+            f"vs median {detail['med']:.2f}s "
+            f"({detail['norm'] / detail['med']:.2f}x)")
+    if detail["cpu_med"] > 0:
+        return (base + f", cpu {detail['cpu_norm']:.2f}s vs median "
+                f"{detail['cpu_med']:.2f}s "
+                f"({detail['cpu_norm'] / detail['cpu_med']:.2f}x)")
+    return base + ", no cpu medians (wall rule alone)"
 
 
 def check(medians_path: str, run_path: str) -> int:
@@ -80,44 +153,54 @@ def check(medians_path: str, run_path: str) -> int:
           f"(run {run['queries'].get(CAL, -1)}s / median {medians.get(CAL, -1)}s), "
           f"cpu {cpu_scale:.3f} "
           f"(run {run_cpu.get(CAL, -1)}s / median {cpu_medians.get(CAL, -1)}s)")
-    flagged, wall_only = [], []
-    for name, t in sorted(run["queries"].items()):
-        if name == CAL or name not in medians or medians[name] <= 0 or t < 0:
-            continue
-        norm = t / wall_scale
-        if not exceeds(norm, medians[name]):
-            continue
-        # the wall axis tripped — decide on the CPU axis
-        cpu_med = cpu_medians.get(name, 0)
-        cpu_t = run_cpu.get(name, -1)
-        if cpu_med > 0 and cpu_t >= 0:
-            cpu_norm = cpu_t / cpu_scale
-            if exceeds(cpu_norm, cpu_med):
-                flagged.append((name, t, norm, medians[name], cpu_norm, cpu_med))
-            else:
-                wall_only.append((name, t, norm, medians[name], cpu_norm, cpu_med))
-        else:
-            # no CPU data for this entry: the wall rule alone decides
-            flagged.append((name, t, norm, medians[name], -1.0, -1.0))
-    for name, t, norm, med, cn, cm in sorted(flagged, key=lambda x: -x[2] / x[3]):
-        cpu_part = (f", cpu {cn:.2f}s vs median {cm:.2f}s ({cn / cm:.2f}x)"
-                    if cm > 0 else ", no cpu medians (wall rule alone)")
-        print(f"FLAG {name}: {t:.2f}s raw, {norm:.2f}s normalized "
-              f"vs median {med:.2f}s ({norm / med:.2f}x){cpu_part}")
-    for name, t, norm, med, cn, cm in sorted(wall_only, key=lambda x: -x[2] / x[3]):
-        print(f"note (wall-only, not flagged) {name}: wall {norm:.2f}s vs {med:.2f}s "
-              f"({norm / med:.2f}x) but cpu {cn:.2f}s vs {cm:.2f}s "
-              f"({cn / cm:.2f}x) — host contention OR a blocking/parallelism "
-              f"change; investigate if it persists across runs")
+    verdicts = classify(med_doc, run)
+    flagged = sorted((n, d) for n, (k, d) in verdicts.items()
+                     if k in ("both", "flag_nocpu"))
+    wall_only = sorted((n, d) for n, (k, d) in verdicts.items() if k == "wall")
+    for name, d in sorted(flagged, key=lambda x: -x[1]["norm"] / x[1]["med"]):
+        print(f"FLAG {name}: {fmt(d)}")
+    for name, d in sorted(wall_only, key=lambda x: -x[1]["norm"] / x[1]["med"]):
+        print(f"note (wall-only, not flagged) {name}: {fmt(d)} — host "
+              f"contention OR a blocking/parallelism change; the pair rule "
+              f"(--check-pair) escalates it if the NEXT run repeats it")
     print(f"{len(flagged)} flagged of {len(run['queries'])} entries "
-          f"(rule: BOTH normalized wall AND cpu > {FLAG_RATIO}x median; "
+          f"(rule: BOTH normalized wall AND cpu > {FLAG_RATIO}x median, cpu floor "
+          f"max({CPU_ABS_FLOOR_MIN}, {CPU_ABS_FLOOR_FRAC}x cpu median) s; "
           f"{len(wall_only)} wall-only notes)")
+    return 0
+
+
+def check_pair(medians_path: str, run1_path: str, run2_path: str) -> int:
+    med_doc = load(medians_path)
+    v1 = classify(med_doc, load(run1_path))
+    v2 = classify(med_doc, load(run2_path))
+    flagged, transient = [], []
+    for name in sorted(set(v1) | set(v2)):
+        k1 = v1.get(name, (None,))[0]
+        k2 = v2.get(name, (None,))[0]
+        d = (v2.get(name) or v1.get(name))[1]
+        if k1 is None or k2 is None:
+            transient.append((name, (k1 or k2), d))
+        elif {k1, k2} <= {"both", "flag_nocpu"}:
+            flagged.append((name, "persistent both-axis", d))
+        else:
+            # the wall axis tripped in BOTH runs; cpu flat in at least one —
+            # host contention does not follow one entry across two runs
+            flagged.append((name, "persistent wall — escalated", d))
+    for name, why, d in sorted(flagged, key=lambda x: -x[2]["norm"] / x[2]["med"]):
+        print(f"FLAG {name} ({why}): latest run {fmt(d)}")
+    for name, kind, d in transient:
+        print(f"note (transient, one run of two) {name} [{kind}]: {fmt(d)}")
+    print(f"{len(flagged)} flagged over two consecutive runs "
+          f"({len(transient)} transient single-run notes)")
     return 0
 
 
 def main() -> None:
     if sys.argv[1] == "--check":
         sys.exit(check(sys.argv[2], sys.argv[3]))
+    if sys.argv[1] == "--check-pair":
+        sys.exit(check_pair(sys.argv[2], sys.argv[3], sys.argv[4]))
     out_path, run_paths = sys.argv[1], sys.argv[2:]
     runs = [load(p) for p in run_paths]
     names = sorted({n for r in runs for n in r["queries"]})
@@ -137,9 +220,12 @@ def main() -> None:
         "median_total": round(statistics.median([r["value"] for r in runs]), 3),
         "sf": runs[0].get("sf", ""),
         "rule": "flag an entry only when a new run exceeds 1.5x BOTH its wall median "
-                "(calibration_cpu-normalized) AND its cpu median — bursty host "
-                "contention inflates wall alone, a real regression inflates both "
-                "(tools/bench_medians.py --check MEDIANS.json RUN.json)",
+                "(calibration_cpu-normalized, +0.5s floor) AND its cpu median "
+                "(+max(2.0, 0.3x median)s floor) — or, across TWO consecutive runs "
+                "(--check-pair), when its wall axis trips in both: bursty host "
+                "contention inflates one run, a real regression follows the entry "
+                "(tools/bench_medians.py --check MEDIANS.json RUN.json | "
+                "--check-pair MEDIANS.json RUN1.json RUN2.json)",
         "medians": medians,
         "cpu_medians": cpu_medians,
     }
