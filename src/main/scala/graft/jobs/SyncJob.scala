@@ -296,6 +296,17 @@ object SyncJob {
     * (`hotSubjectsPath` machinery — gate q237). [[run]]'s watermark
     * JOIN still applies afterwards, absorbing the milli-ceil gap exactly
     * as in [[runLive]].
+    *
+    * `hotMinRows` (default -1 = off): whale AUTO-DISCOVERY — with a sink
+    * present, subjects whose already-synced depth exceeds the threshold
+    * ([[SyncOps.hotSubjectsFromSink]], one bounded cluster-side count)
+    * join the `hotSubjects` list without the caller naming them, making
+    * whale handling the mega-fleet DEFAULT rather than operator
+    * knowledge. Sink depth proxies source depth — exact for
+    * steady-state incremental syncs; a missed whale merely straggles its
+    * tile as before, a false whale costs one needless parallel drain —
+    * never a wrong row. Explicit `hotSubjects` and discovered whales
+    * UNION (first round has no sink: only the explicit list applies).
     */
   def runLiveRanged(
       spark: org.apache.spark.sql.SparkSession,
@@ -308,7 +319,8 @@ object SyncJob {
       batchSize: Int = 1000,
       censusRanges: Int = 64,
       slices: Int = 1,
-      hotSubjects: Seq[String] = Nil
+      hotSubjects: Seq[String] = Nil,
+      hotMinRows: Long = -1L
   ): DataFrame = {
     val explicitTokens = SyncOps.parseTokenList(opts.tokens)
     val scopedDim =
@@ -343,10 +355,18 @@ object SyncJob {
     val censusFile = stageTo(
       scopedDim.select("subject").distinct().sort("subject"), "census")
     reader = reader.option("subjectsPath", censusFile)
-    if (hotSubjects.nonEmpty) {
-      // the whale list is operator knowledge — small, driver-side
+    // explicit whales (operator knowledge) ∪ discovered whales (sink
+    // depth past hotMinRows — the prior rounds' own output is the probe,
+    // so round 2 carves out the whale round 1 revealed, unnamed)
+    val discovered: Seq[String] =
+      if (hotMinRows < 0L) Nil
+      else existingSink.map(SyncOps.hotSubjectsFromSink(_, dim, hotMinRows)).getOrElse(Nil)
+    val allHot = (hotSubjects ++ discovered).distinct
+    if (allHot.nonEmpty) {
+      // the whale list is small, driver-side (hotSubjectsFromSink caps
+      // before its broadcast; the explicit list is operator-typed)
       val hf = java.nio.file.Paths.get(stagingDir, "hot.txt").toString
-      graft.sources.StatusLiveSource.writeSubjects(hotSubjects.distinct.sorted, hf)
+      graft.sources.StatusLiveSource.writeSubjects(allHot.sorted, hf)
       reader = reader.option("hotSubjectsPath", hf)
     }
     val docs = reader.load().select(col("subject"), col("source"), col("time"), col("data"))

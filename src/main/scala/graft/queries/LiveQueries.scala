@@ -2100,6 +2100,116 @@ object LiveQueries {
              FROM m GROUP BY 1"""),
     ),
 
+    // ── Whale AUTO-DISCOVERY in the mega-fleet sync (r17): q238 names
+    //    its whale (`hotSubjects = Seq("1")` — operator knowledge). With
+    //    `hotMinRows` set, runLiveRanged instead asks the SINK: subjects
+    //    whose already-synced depth exceeds the threshold
+    //    (SyncOps.hotSubjectsFromSink — one bounded cluster-side count,
+    //    capped BEFORE its broadcast) join the hot-list unnamed, making
+    //    whale handling the mega-fleet default. Round 1 has no sink —
+    //    nothing to discover, plain ranged tiles (RAISED). Round 2 must
+    //    discover token 1 from round 1's own output and fan it across
+    //    all 8 slices while fetching ONLY below the watermarks (RAISED);
+    //    the DuckDB compare then equals one explosion of the whole
+    //    events table, exactly once — a tile double-draining the
+    //    discovered whale, or the discovery misfiring on a cold token,
+    //    breaks the grouped sums.
+    QueryDef(
+      "q240_live_sync_hot_discovery",
+      (s, d) => {
+        import graft.jobs.{SyncJob, SyncOptions}
+        import graft.sources.{DeviceDim, SignalSink}
+        val evs = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(
+            when(col("user_id") % 5 === 0, lit("1"))
+              .otherwise(col("user_id").cast("string")).as("subject"),
+            expr("unix_micros(ts)").as("tsu"),
+            round(col("value") * 100).cast(LongType).as("cents"))
+          .collect() // seeds the TEST DOUBLE; the measured path is below
+        val mid = { val ts = evs.map(_.getLong(1)); (ts.min + ts.max) / 2 }
+        def mkDocs(rows: Seq[org.apache.spark.sql.Row]): IndexedSeq[StubDoc] =
+          rows.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+            val (subj, tsu, cents) = (r.getString(0), r.getLong(1), r.getLong(2))
+            val iso = java.time.Instant.ofEpochSecond(tsu / 1000000L, (tsu % 1000000L) * 1000L)
+            StubDoc(s"h$subj-$tsu-$i", subj, tsu,
+              s"""{"id":"h$i","subject":"$subj","source":"dimo/integration/live",""" +
+                s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v1.0",""" +
+                s""""type":"com.dimo.device.status","data":{"speed":$cents,"make":"m"}}""")
+          }
+        val (newer, older) = evs.toIndexedSeq.partition(_.getLong(1) >= mid)
+        // the discovery threshold, derived from the fixture itself: the
+        // whale's round-1 sink depth (2 signal rows per doc) must clear
+        // it, every cold token must not — the midpoint is the widest
+        // margin both ways
+        val sinkDepths = newer.groupBy(_.getString(0)).map { case (k, v) => k -> v.size * 2L }
+        val whaleRows = sinkDepths("1")
+        val maxCold = (sinkDepths - "1").values.maxOption.getOrElse(0L)
+        require(whaleRows > maxCold,
+          s"fixture: the folded whale ($whaleRows rows) must out-weigh every cold token ($maxCold)")
+        val hotMin = (whaleRows + maxCold) / 2
+        val tokens = evs.map(_.getString(0)).distinct.sorted
+        val dim = DeviceDim.identityDim(s, tokens.map(_.toLong).toSeq.sorted)
+        val opts = SyncOptions(tokens = tokens.toSeq,
+          start = Some(new java.sql.Timestamp(0L)),
+          stop = Some(new java.sql.Timestamp(9999999999999L)))
+        val sinkDir = java.nio.file.Files
+          .createTempDirectory("graft-q240-sink").resolve("signals").toString
+        val staging = java.nio.file.Files.createTempDirectory("graft-q240-staging")
+        def url(server: HttpServer) = s"http://127.0.0.1:${server.getAddress.getPort}"
+        try {
+          import scala.jdk.CollectionConverters._
+          val sliced1 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+          val server1 = startStub(mkDocs(newer), pitMode = true, slicedSubjects = sliced1)
+          try {
+            val round1 = SyncJob.runLiveRanged(s, url(server1), dim, existingSink = None,
+              opts, stagingDir = staging.toString, batchSize = 2000,
+              censusRanges = 6, slices = 8, hotMinRows = hotMin)
+            SignalSink.appendParquet(round1, sinkDir, buckets = 8)
+          } finally server1.stop(0)
+          require(sliced1.asScala.isEmpty,
+            s"round 1 has no sink to probe — plain tiles, saw sliced ${sliced1.asScala.toSet}")
+          val sliceSeen = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+          val sliced2 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+          val server2 = startStub(mkDocs(newer ++ older), pitMode = true,
+            sliceSeen = sliceSeen, slicedSubjects = sliced2)
+          try {
+            val sink1 = SignalSink.readParquet(s, sinkDir)
+            val round2 = SyncJob.runLiveRanged(s, url(server2), dim,
+              existingSink = Some(sink1), opts, stagingDir = staging.toString,
+              batchSize = 2000, censusRanges = 6, slices = 8, hotMinRows = hotMin)
+            SignalSink.appendParquet(round2, sinkDir, buckets = 8)
+          } finally server2.stop(0)
+          require(sliced2.asScala.toSet == Set("1"),
+            s"round 2 must discover EXACTLY the whale from the sink, saw ${sliced2.asScala.toSet}")
+          require(sliceSeen.asScala.toSet == (0 until 8).toSet,
+            s"expected the discovered whale across all 8 slices, saw ${sliceSeen.asScala.toSet}")
+          SignalSink.readParquet(s, sinkDir)
+            .groupBy(col("tokenId").as("token_id"))
+            .agg(count(lit(1)).as("n_signals"),
+              sum(when(col("name") === "Vehicle.Speed", col("valueNumber"))
+                .otherwise(lit(0.0))).cast(LongType).as("speed_sum"),
+              expr("min(unix_micros(timestamp))").as("oldest_us"),
+              expr("max(unix_micros(timestamp))").as("newest_us"))
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(staging).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      },
+      Some("""WITH m AS (
+               SELECT CASE WHEN user_id % 5 = 0 THEN 1
+                           ELSE CAST(user_id AS BIGINT) END AS token_id,
+                      CAST(round(value*100) AS BIGINT) AS cents,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS us
+               FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+             SELECT token_id, (count(*) * 2)::BIGINT AS n_signals,
+               sum(cents)::BIGINT AS speed_sum,
+               CAST(min(us) AS BIGINT) AS oldest_us,
+               CAST(max(us) AS BIGINT) AS newest_us
+             FROM m GROUP BY 1"""),
+    ),
+
     // ── The reference's CONTINUOUS pipeline over BOTH wires (r14):
     //    `readStream` from live ES → transform → `writeStream` into live
     //    CH (its loop tails ES and inserts into CH forever, sync.go:92-125

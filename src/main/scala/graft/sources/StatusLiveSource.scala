@@ -76,7 +76,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * subjects — each is carved out of its byte-range tile and drained in
   * parallel instead (sliced-PIT fan-out under `slices` > 1, an isolated
   * per-subject task otherwise), so one whale no longer straggles its
-  * equal-subject-count group.
+  * equal-subject-count group. `pitReleaseAtQueryEnd` (default true):
+  * opened PITs are closed the moment an action on the scan completes —
+  * the production posture (a raised keep-alive no longer holds server
+  * search contexts after every read). The trade is a SECOND action on
+  * the same sliced Dataset (`ds.collect()` then `ds.count()`): Spark
+  * reuses the cached physical plan whose partitions carry the released
+  * PIT id, so it fails loudly (`search_context_missing`, with the
+  * remedy in the message). Multi-action consumers should `cache()` /
+  * `localCheckpoint()` the first action's result or re-derive the
+  * Dataset — or set this option false to keep the keep-alive-only
+  * lifecycle, where repeated actions work for `pitKeepAlive` after the
+  * last request (superseded plans and stream stop() still release).
   */
 class StatusLiveSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -132,7 +143,8 @@ class StatusLiveSource extends TableProvider
         g <- Option(properties.get("censusRanges")).map(_.toInt) if g > 0
         path <- Option(properties.get("subjectsPath"))
       } yield RangedCensus(path, Option(properties.get("stopBySubjectPath")), g,
-        Option(properties.get("hotSubjectsPath"))))
+        Option(properties.get("hotSubjectsPath"))),
+      Option(properties.get("pitReleaseAtQueryEnd")).forall(_.toBoolean))
   }
 }
 
@@ -288,6 +300,28 @@ object StatusLiveSource {
     } finally in.close()
   }
 
+  /** Strict UTF-8 byte order (= code-point order) — the order Spark's
+    * UTF8String binary sort STAGED the files in. Java `String` `<` is
+    * UTF-16 code-unit order, which disagrees exactly where a surrogate
+    * pair meets a BMP char in [U+E000, U+FFFF]: a non-BMP subject (lead
+    * surrogate 0xD800–0xDBFF) compares BELOW U+E000+ under compareTo
+    * but ABOVE it in UTF-8 bytes (4-byte 0xF0+ lead vs 3-byte 0xEE/0xEF)
+    * — so the planner's sortedness validation must compare the way the
+    * writer sorted, or such fleets spuriously fail the strict require.
+    */
+  private[graft] def utf8Lt(a: String, b: String): Boolean = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    i >= a.length && j < b.length // a strict prefix sorts first
+  }
+
   /** The O(groups) planner pass over the SORTED staged files: two
     * streaming reads of the census (line count, then one boundary offset
     * per group) and one of the stops file (merge-walked in lockstep —
@@ -340,11 +374,13 @@ object StatusLiveSource {
     // would drain twice (duplicate output rows), and a duplicate
     // straddling a group boundary parks its watermark in only the later
     // group, overshipping in the earlier one.
+    // UTF-8/code-point order ([[utf8Lt]]) — the writer is Spark's binary
+    // UTF8String sort, and compareTo disagrees with it around surrogates
     var prevC: String = null
     eachLineWithOffset(censusPath) { (line, off) =>
-      require(prevC == null || prevC < line,
-        s"censusRanges requires a STRICTLY sorted census file (unique subjects): " +
-          s"'$prevC' precedes '$line' in $censusPath")
+      require(prevC == null || utf8Lt(prevC, line),
+        s"censusRanges requires a STRICTLY sorted census file (unique subjects, " +
+          s"UTF-8 byte order): '$prevC' precedes '$line' in $censusPath")
       prevC = line
       if (hot.contains(line)) hotPresentB += line
       if (i % per == 0L) { cStartsB += off; boundsB += line }
@@ -365,12 +401,15 @@ object StatusLiveSource {
           val subj = line.substring(0, tab)
           // strict for the same reason: a duplicated stops subject would
           // make the task-side map's winner an accident of line order
-          require(prevS == null || prevS < subj,
-            s"censusRanges requires a STRICTLY sorted stops file (unique subjects): " +
-              s"'$prevS' precedes '$subj' in $sp")
+          require(prevS == null || utf8Lt(prevS, subj),
+            s"censusRanges requires a STRICTLY sorted stops file (unique subjects, " +
+              s"UTF-8 byte order): '$prevS' precedes '$subj' in $sp")
           prevS = subj
           if (hot.contains(subj)) hotStopsB += (subj -> line.substring(tab + 1).toLong)
-          while (next < bounds.size && bounds(next) <= subj) {
+          // bounds(next) <= subj, in the SAME UTF-8 order the files sort in
+          // (a compareTo walk would misalign a group boundary at exactly
+          // the surrogate/BMP seam the strict checks now admit)
+          while (next < bounds.size && !utf8Lt(subj, bounds(next))) {
             starts(next) = off
             next += 1
           }
@@ -491,14 +530,15 @@ class StatusLiveTable(url: String, index: String, batchSize: Int,
     wire: LiveWire = LiveWire.default,
     slices: Int = 1,
     hotSubjectPages: Int = 8,
-    rangedCensus: Option[RangedCensus] = None) extends Table with SupportsRead {
+    rangedCensus: Option[RangedCensus] = None,
+    pitReleaseAtQueryEnd: Boolean = true) extends Table with SupportsRead {
   override def name(): String = s"graft_status_live($url/$index)"
   override def schema(): StructType = StatusV2Source.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StatusLiveScanBuilder(url, index, batchSize, startMs, stopMs, signals, stopBySubject,
-      census, termsSize, wire, slices, hotSubjectPages, rangedCensus)
+      census, termsSize, wire, slices, hotSubjectPages, rangedCensus, pitReleaseAtQueryEnd)
 }
 
 class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
@@ -509,7 +549,8 @@ class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
     wire: LiveWire = LiveWire.default,
     slices: Int = 1,
     hotSubjectPages: Int = 8,
-    rangedCensus: Option[RangedCensus] = None)
+    rangedCensus: Option[RangedCensus] = None,
+    pitReleaseAtQueryEnd: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownTopN
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -654,7 +695,7 @@ class StatusLiveScanBuilder(url: String, index: String, batchSize: Int,
       pushed, required, limit, topN, topNDesc, census = census,
       pushedCount = pushedCount, pushedGroupCounts = pushedGroupCounts, wire = wire,
       slices = slices, termsSize = termsSize, hotSubjectPages = hotSubjectPages,
-      rangedCensus = rangedCensus)
+      rangedCensus = rangedCensus, pitReleaseAtQueryEnd = pitReleaseAtQueryEnd)
 }
 
 /** One live-scan partition: sequential page loops for a GROUP of
@@ -669,7 +710,13 @@ case class StatusLivePartition(url: String, index: String, batchSize: Int,
     requiredFields: Seq[String],
     envelopeIncludes: Seq[String] = Seq.empty,
     stopBySubject: Map[String, Long] = Map.empty,
-    perLoopCap: Int = -1) extends InputPartition
+    perLoopCap: Int = -1,
+    // one tile of a PIT-less window-cut drain ([[StatusLiveScan]]
+    // windowCutParts) — its task reports the `liveWindowTiles` metric so
+    // a degenerate tiling (one tile carrying most docs under a skewed
+    // `time` distribution) is visible in the SQL UI next to the per-task
+    // liveDocs breakdown
+    windowTile: Boolean = false) extends InputPartition
 
 /** One slice of a PARALLEL scan (`slices` option > 1): the task drains
   * slice `sliceId` of `sliceMax` through a sliced-PIT `search_after`
@@ -741,7 +788,8 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     slices: Int = 1,
     termsSize: Int = EsHttpClient.MaxTermsSize,
     hotSubjectPages: Int = 8,
-    rangedCensus: Option[RangedCensus] = None) extends Scan with Batch
+    rangedCensus: Option[RangedCensus] = None,
+    pitReleaseAtQueryEnd: Boolean = true) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -940,7 +988,11 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
   private def trackPit(pit: Option[String]): Option[String] = {
     pit.foreach { id =>
       openedPits += id
-      if (!releaseHookArmed)
+      // `pitReleaseAtQueryEnd` false: keep-alive-only lifecycle — no
+      // query-end hook, so a multi-action consumer can re-collect the
+      // same sliced Dataset for `pitKeepAlive` after the last request
+      // (superseded plannings and stream stop() still release)
+      if (!releaseHookArmed && pitReleaseAtQueryEnd)
         org.apache.spark.sql.SparkSession.getActiveSession.foreach { session =>
           session.listenerManager.register(new PitReleaseListener(
             new java.lang.ref.WeakReference(this), session))
@@ -959,7 +1011,26 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     if (openedPits.isEmpty) { releaseHookArmed = false; true } else false
   }
 
-  private[sources] def disarmHook(): Unit = synchronized { releaseHookArmed = false }
+  /** The listener's query-end release: drain + plan-cache invalidation +
+    * DISARM under ONE monitor acquisition. Separate release-then-disarm
+    * calls race a concurrent planning on the same scan: a trackPit
+    * landing between them sees `releaseHookArmed` still true, skips
+    * re-registering, and the listener then unregisters — leaving the new
+    * PIT with no query-end hook (keep-alive backstop only). Atomically,
+    * a concurrent trackPit either lands BEFORE (its pit drains in this
+    * very release) or AFTER (it finds the flag down and arms a fresh
+    * listener).
+    */
+  private[sources] def releaseAtQueryEnd(): Unit = {
+    val ids = synchronized {
+      val snapshot = openedPits.toList
+      openedPits.clear()
+      planCache = None // a later action must re-plan: its PIT ids are gone
+      releaseHookArmed = false
+      snapshot
+    }
+    closePitsAsync(ids)
+  }
 
   /** PIT-less parallel drain: tile one loop's window into DISJOINT
     * half-open time sub-ranges cut at the server's own time percentiles
@@ -990,9 +1061,44 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     if (cuts.isEmpty) single
     else ((startMs +: cuts) :+ stopMs).sliding(2).map { case Seq(a, b) =>
       StatusLivePartition(url, index, pageSize, a, b, subject.map(Seq(_)),
-        requiredFields, envelopeIncludes, Map.empty, cap): InputPartition
+        requiredFields, envelopeIncludes, Map.empty, cap,
+        windowTile = true): InputPartition
     }.toSeq
   }
+
+  /** Bounded order-preserving parallel planning map for the hot-list
+    * shapes: on a PIT-less server each hot subject's [[windowCutParts]]
+    * issues one synchronous percentiles probe, so a long hot-list
+    * (`hotSubjectsPath`, or many terms-probe whales) would serialize
+    * O(hot) wire round trips on the driver before any task runs. Probes
+    * run on at most [[StatusLiveScan.CutProbeThreads]] daemon threads —
+    * parallel enough to hide the round trips, bounded so a
+    * thousand-whale list cannot stampede the server at planning time.
+    * Per-subject degradation is unchanged (a probe shortfall keeps THAT
+    * subject's sequential loop); a thrown planning error propagates.
+    */
+  private def planHotParallel(subjects: Seq[String])(
+      f: String => Seq[InputPartition]): Seq[InputPartition] =
+    if (subjects.lengthCompare(2) < 0) subjects.flatMap(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(subjects.size, StatusLiveScan.CutProbeThreads),
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-cut-probe")
+          t.setDaemon(true)
+          t
+        })
+      try {
+        val futures = subjects.map(s =>
+          pool.submit(new java.util.concurrent.Callable[Seq[InputPartition]] {
+            override def call(): Seq[InputPartition] = f(s)
+          }))
+        futures.flatMap { fu =>
+          try fu.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
+      } finally pool.shutdownNow()
+    }
 
   private[sources] def releasePits(): Unit = {
     // client state flips under the lock; the wire DELETEs run on the
@@ -1013,13 +1119,16 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
       // left to release.
       snapshot
     }
+    closePitsAsync(ids)
+  }
+
+  private def closePitsAsync(ids: List[String]): Unit =
     if (ids.nonEmpty) StatusLiveScan.pitCloser.execute { () =>
       ids.foreach { id =>
         try new EsHttpClient(url, wire = wire).closePit(id)
         catch { case scala.util.control.NonFatal(_) => () } // keep-alive reclaims
       }
     }
-  }
 
   private def planPartitionsFor(startMs: Long, stopMs: Long): Array[InputPartition] = {
     // the reference's required-fields contract: the CONFIGURED signal
@@ -1083,7 +1192,7 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
         val pit: Option[String] =
           if (plan.hotPresent.isEmpty || slices <= 1 || topN >= 0) None
           else trackPit(new EsHttpClient(url, wire = wire).openPit(index))
-        val hotParts: Seq[InputPartition] = plan.hotPresent.flatMap { s =>
+        val hotParts: Seq[InputPartition] = planHotParallel(plan.hotPresent) { s =>
           val stop = hotStops.get(s).map(math.min(_, stopMs)).getOrElse(stopMs)
           pit match {
             case Some(pid) =>
@@ -1218,7 +1327,7 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
           if (hotCounts.isEmpty) None
           else trackPit(new EsHttpClient(url, wire = wire).openPit(index))
         val (hot, cold) = all.partition(hotCounts.contains)
-        val hotParts: Seq[InputPartition] = hot.flatMap { s =>
+        val hotParts: Seq[InputPartition] = planHotParallel(hot) { s =>
           // the subject's own watermark tightens its slice windows just
           // like its sequential loop's
           val stop = stopsEff.get(s).map(math.min(_, stopMs)).getOrElse(stopMs)
@@ -1309,10 +1418,17 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
   // `liveDocs - output rows` IS the pagination overhead, visible per scan
   // in the SQL UI).
   override def supportedCustomMetrics(): Array[CustomMetric] =
-    Array(new SkippedLinesMetric, new LivePagesMetric, new LiveDocsMetric)
+    Array(new SkippedLinesMetric, new LivePagesMetric, new LiveDocsMetric,
+      new LiveWindowTilesMetric)
 }
 
 private[sources] object StatusLiveScan {
+  /** Concurrency cap for planning-time per-subject cut probes
+    * ([[StatusLiveScan]] planHotParallel) — hides the wire round trips
+    * without stampeding the server.
+    */
+  private[sources] val CutProbeThreads: Int = 8
+
   /** One shared daemon thread for best-effort PIT DELETEs across every
     * scan in the JVM — bounded, ordered, and off every latency-sensitive
     * thread (listener bus, planning, stream teardown).
@@ -1346,8 +1462,10 @@ private class PitReleaseListener(
             if r.scan eq scan => r
         }.nonEmpty
         if (mine) {
-          scan.releasePits()
-          scan.disarmHook()
+          // one atomic drain+disarm — a separate release-then-disarm pair
+          // would let a concurrent planning trackPit between the two and
+          // skip re-arming ([[StatusLiveScan.releaseAtQueryEnd]])
+          scan.releaseAtQueryEnd()
           session.listenerManager.unregister(this)
         }
     }
@@ -1437,12 +1555,31 @@ class LiveDocsMetric extends CustomSumMetric {
   override def description(): String = "documents shipped in _search responses"
 }
 
+/** Window-cut balance telemetry: tiles EXECUTED by the PIT-less parallel
+  * drains. The percentile tiling inherits whatever the estimate gives —
+  * on a skewed `time` distribution one tile can carry most of the
+  * window's docs with every row still exactly-once. This count plus the
+  * existing per-task `liveDocs` breakdown (each tile is one task) makes
+  * a degenerate tiling VISIBLE in the SQL UI: tiles ≫ 0 with one task's
+  * liveDocs dominating says re-slice or fix the time distribution, with
+  * no signal lost when the plan kept sequential loops (0 tiles).
+  */
+class LiveWindowTilesMetric extends CustomSumMetric {
+  override def name(): String = "liveWindowTiles"
+  override def description(): String =
+    "PIT-less time-window-cut tiles executed (per-tile docs = that task's liveDocs)"
+}
+
 case class LivePagesTaskMetric(value: Long) extends CustomTaskMetric {
   override def name(): String = "livePages"
 }
 
 case class LiveDocsTaskMetric(value: Long) extends CustomTaskMetric {
   override def name(): String = "liveDocs"
+}
+
+case class LiveWindowTilesTaskMetric(value: Long) extends CustomTaskMetric {
+  override def name(): String = "liveWindowTiles"
 }
 
 class StatusLiveReaderFactory(filters: Array[Filter], required: StructType,
@@ -1520,6 +1657,10 @@ class StatusLiveReaderFactory(filters: Array[Filter], required: StructType,
             Some(subs): Option[Seq[String]], p.inlineStops ++ stops,
             p.requiredFields, p.envelopeIncludes, p.perLoopCap)
       }
+    val isWindowTile = partition match {
+      case p: StatusLivePartition => p.windowTile
+      case _                      => false
+    }
     val client = new EsHttpClient(pUrl, wire = wire)
     def loopFor(subject: Option[String]): DocSource with WireCounters = {
       // per-token EndTime (sync.go:96-100): an incremental sync's request
@@ -1566,7 +1707,8 @@ class StatusLiveReaderFactory(filters: Array[Filter], required: StructType,
     new StatusPartitionReader(docs, None, filters, required, limit, topN, topNDesc) {
       override def currentMetricsValues(): Array[CustomTaskMetric] =
         super.currentMetricsValues() ++ Array[CustomTaskMetric](
-          LivePagesTaskMetric(docs.pagesFetched), LiveDocsTaskMetric(docs.docsFetched))
+          LivePagesTaskMetric(docs.pagesFetched), LiveDocsTaskMetric(docs.docsFetched),
+          LiveWindowTilesTaskMetric(if (isWindowTile) 1L else 0L))
     }
   }
 

@@ -135,10 +135,20 @@ class EsSlicedScanSpec extends SparkTestBase {
         .option("slices", "4").load()
       assert(live.rdd.getNumPartitions === 4,
         "PIT-less + percentiles: one task per time tile")
-      val ids = live.select(col("id")).collect().map(_.getString(0))
+      val proj = live.select(col("id"))
+      val ids = proj.collect().map(_.getString(0))
       assert(ids.length === 300 && ids.toSet.size === 300,
         "disjoint half-open tiles deliver everything exactly once")
       assert(sliceSeen.isEmpty, "no slice request ever reached the PIT-less server")
+      // balance telemetry: the tiling inherits whatever the percentile
+      // estimate gives — tiles executed surface as a scan metric so a
+      // degenerate tiling (one tile hoarding the window on a skewed time
+      // distribution) is visible in the SQL UI next to each task's
+      // liveDocs breakdown
+      val scanNode = proj.queryExecution.executedPlan.collectLeaves()
+        .find(_.getClass.getSimpleName == "BatchScanExec").get
+      assert(scanNode.metrics("liveWindowTiles").value === 4L,
+        "each executed tile reports itself")
     } finally server.stop(0)
   }
 
@@ -155,10 +165,17 @@ class EsSlicedScanSpec extends SparkTestBase {
       // coarser, never wrong (and never a torn read)
       assert(live.rdd.getNumPartitions === 1,
         "no PIT and no percentiles must plan the single sequential loop")
-      val ids = live.select(col("id")).collect().map(_.getString(0))
+      val proj = live.select(col("id"))
+      val ids = proj.collect().map(_.getString(0))
       assert(ids.length === 300 && ids.toSet.size === 300,
         "the sequential fallback reads everything exactly once")
       assert(sliceSeen.isEmpty, "no slice request ever reached the PIT-less server")
+      // the fallback is NOT a tile — zero keeps the telemetry honest
+      // (tiles>0 must mean a window-cut plan actually ran)
+      val scanNode = proj.queryExecution.executedPlan.collectLeaves()
+        .find(_.getClass.getSimpleName == "BatchScanExec").get
+      assert(scanNode.metrics("liveWindowTiles").value === 0L,
+        "a sequential fallback reports zero tiles")
     } finally server.stop(0)
   }
 
@@ -189,10 +206,60 @@ class EsSlicedScanSpec extends SparkTestBase {
       // 5 cold single-subject groups + 4 time tiles for the hot subject
       assert(live.rdd.getNumPartitions === 9,
         "cold groups plus one time-tile set for the hot subject")
-      val ids = live.select(col("id")).collect().map(_.getString(0))
+      val proj = live.select(col("id"))
+      val ids = proj.collect().map(_.getString(0))
       assert(ids.length === 500 && ids.toSet.size === 500,
         "every document exactly once across hot tiles AND cold loops")
       assert(sliceSeen.isEmpty, "no slice request ever reached the PIT-less server")
+      // telemetry separates the shapes: the whale's 4 tiles report, the
+      // 5 cold sequential loops do not
+      val scanNode = proj.queryExecution.executedPlan.collectLeaves()
+        .find(_.getClass.getSimpleName == "BatchScanExec").get
+      assert(scanNode.metrics("liveWindowTiles").value === 4L,
+        "only the hot subject's window-cut tiles count")
+    } finally server.stop(0)
+  }
+
+  test("a LONG hot-list on a PIT-less server: cut probes run bounded-parallel, plan unchanged") {
+    // 10 whales exceed the 8-thread probe pool (CutProbeThreads): the
+    // planner's per-subject percentiles probes run concurrently instead
+    // of serializing 10 wire round trips before any task starts — and
+    // the RESULT is byte-identical to the sequential planning: one tile
+    // set per whale, cold loops intact, every document exactly once
+    def doc(subject: String, i: Int): StubDoc = {
+      val ms = BaseMs + i * 1000L
+      val iso = java.time.Instant.ofEpochMilli(ms)
+      StubDoc(f"$subject-d$i%06d", subject, ms * 1000L,
+        s"""{"id":"$subject-$i","subject":"$subject","source":"dimo/integration/live",""" +
+          s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v2.0",""" +
+          s""""type":"com.dimo.device.status","data":{"i":$i}}""")
+    }
+    val whales = (0 until 10).map(i => f"w$i")
+    val docs: IndexedSeq[StubDoc] =
+      whales.flatMap(w => (0 until 40).map(doc(w, _))).toIndexedSeq ++
+        (0 until 3).flatMap(c => (0 until 20).map(doc(s"c$c", _)))
+    val sliceSeen = new ConcurrentLinkedQueue[Int]()
+    val server = graft.queries.LiveQueries.startStub(docs, pitMode = false,
+      sliceSeen = sliceSeen)
+    try {
+      val subjects = whales ++ (0 until 3).map(i => s"c$i")
+      val live = spark.read.format("graft-status-live")
+        .option("url", url(server)).option("batchSize", "16")
+        .option("slices", "2").option("hotSubjectPages", "2").load()
+        .where(col("subject").isin(subjects: _*))
+      // 40 docs > 2 pages x 16: all ten whales are hot; each tiles into
+      // 2 half-open sub-ranges; the 3 cold subjects keep 3 loops
+      assert(live.rdd.getNumPartitions === 23,
+        "10 whales x 2 tiles + 3 cold single-subject groups")
+      val proj = live.select(col("id"))
+      val ids = proj.collect().map(_.getString(0))
+      assert(ids.length === 460 && ids.toSet.size === 460,
+        "every document exactly once across 20 tiles and 3 loops")
+      assert(sliceSeen.isEmpty, "no slice request ever reached the PIT-less server")
+      val scanNode = proj.queryExecution.executedPlan.collectLeaves()
+        .find(_.getClass.getSimpleName == "BatchScanExec").get
+      assert(scanNode.metrics("liveWindowTiles").value === 20L,
+        "all twenty whale tiles report; cold loops do not")
     } finally server.stop(0)
   }
 
@@ -368,6 +435,32 @@ class EsSlicedScanSpec extends SparkTestBase {
         if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
       assert(messages(e).exists(_.contains("re-run the action as a FRESH read")),
         s"the failure must carry the remedy, got: ${messages(e).mkString(" | ")}")
+    } finally server.stop(0)
+  }
+
+  test("pitReleaseAtQueryEnd=false keeps the keep-alive lifecycle: repeated actions on one Dataset work") {
+    // the eager-release trade, now an OPTION (default on): a caller that
+    // re-executes the same sliced Dataset (collect then count, a notebook
+    // re-run) can opt back into keep-alive-only reclamation — no
+    // query-end hook is armed, the cached plan's PIT stays live for
+    // pitKeepAlive after the last request, and superseded plannings plus
+    // stream stop() still release
+    val docs = corpus(200)
+    val pitClosedIds = new ConcurrentLinkedQueue[String]()
+    val server = graft.queries.LiveQueries.startStub(docs, pitMode = true,
+      pitClosedIds = pitClosedIds)
+    try {
+      val ds = spark.read.format("graft-status-live")
+        .option("url", url(server)).option("batchSize", "64")
+        .option("slices", "4").option("pitReleaseAtQueryEnd", "false")
+        .load().select(col("id"))
+      assert(ds.collect().length === 200)
+      // give an (erroneously) armed hook ample time to fire on the bus —
+      // then the cached physical plan must still drain its live PIT
+      Thread.sleep(500)
+      assert(ds.collect().length === 200,
+        "the second action re-executes the cached plan against the still-open PIT")
+      assert(pitClosedIds.isEmpty, "no query-end DELETE was ever issued")
     } finally server.stop(0)
   }
 

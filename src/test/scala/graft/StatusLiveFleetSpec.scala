@@ -215,6 +215,64 @@ class StatusLiveFleetSpec extends SparkTestBase {
     }
   }
 
+  test("runLiveRanged hotMinRows: round 2 discovers the whale from round 1's sink, unnamed") {
+    // whale handling as the mega-fleet DEFAULT: with hotMinRows set, a
+    // sync with a sink feeds hotSubjectsFromSink's depth census into the
+    // hot-list automatically — the operator never names the whale round
+    // 1's own output already revealed. Round 1 (no sink) has nothing to
+    // probe and plans plain tiles; the explicit hotSubjects list still
+    // unions in when given.
+    val t0 = 1704000000000L
+    def doc(id: String, subj: String, ms: Long, speed: Long): String =
+      s"""{"id":"$id","subject":"$subj","source":"dimo/integration/live","specversion":"1.0",""" +
+        s""""time":"${java.time.Instant.ofEpochMilli(ms)}",""" +
+        s""""dataschema":"dimo.zone.status/v1.0","type":"c","data":{"speed":$speed,"make":"m"}}"""
+    val tokens = Seq("1", "2", "3")
+    // token 1 is the whale: 40 newer docs (80 sink rows); tokens 2-3 get
+    // one each (2 rows — below the bar)
+    val newer = (0 until 40).map(i => graft.queries.LiveQueries.StubDoc(
+      f"n1-$i%02d", "1", (t0 + 60000 + i) * 1000L, doc(s"n1-$i", "1", t0 + 60000 + i, 20))) ++
+      Seq("2", "3").map(s => graft.queries.LiveQueries.StubDoc(
+        s"n$s", s, (t0 + 60000) * 1000L, doc(s"n$s", s, t0 + 60000, 20)))
+    val older = tokens.map(s => graft.queries.LiveQueries.StubDoc(
+      s"o$s", s, t0 * 1000L, doc(s"o$s", s, t0, 10)))
+    val opts = graft.jobs.SyncOptions(tokens = tokens,
+      start = Some(new java.sql.Timestamp(0L)),
+      stop = Some(new java.sql.Timestamp(9999999999999L)))
+    val dim = graft.sources.DeviceDim.identityDim(spark, Seq(1L, 2L, 3L))
+    val staging = Files.createTempDirectory("graft-hotmin-staging")
+    try {
+      val sliced1 = new ConcurrentLinkedQueue[String]()
+      val s1 = graft.queries.LiveQueries.startStub(newer.toIndexedSeq, pitMode = true,
+        slicedSubjects = sliced1)
+      val sink1 = try {
+        graft.jobs.SyncJob.runLiveRanged(spark,
+          s"http://127.0.0.1:${s1.getAddress.getPort}", dim, None, opts,
+          stagingDir = staging.toString, censusRanges = 2, slices = 2,
+          hotMinRows = 10L).localCheckpoint(true)
+      } finally s1.stop(0)
+      assert(sink1.count() === (40 + 2) * 2, "round 1 ships everything")
+      import scala.jdk.CollectionConverters._
+      assert(sliced1.isEmpty, "no sink yet: nothing to discover, plain ranged tiles")
+      val sliced2 = new ConcurrentLinkedQueue[String]()
+      val s2 = graft.queries.LiveQueries.startStub((newer ++ older).toIndexedSeq,
+        pitMode = true, slicedSubjects = sliced2)
+      val round2 = try {
+        graft.jobs.SyncJob.runLiveRanged(spark,
+          s"http://127.0.0.1:${s2.getAddress.getPort}", dim, Some(sink1), opts,
+          stagingDir = staging.toString, censusRanges = 2, slices = 2,
+          hotMinRows = 10L).localCheckpoint(true)
+      } finally s2.stop(0)
+      assert(sliced2.asScala.toSet === Set("1"),
+        "round 2 must discover token 1's depth from the sink and fan it — unnamed")
+      assert(round2.count() === 3 * 2, "watermark resume is unchanged by discovery")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(staging).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+  }
+
   test("runLive with slices engages the hot-subject drain (whale parallel, cold loops intact)") {
     // the reference-shaped job entry can now name its parallelism: with
     // slices > 1 the scan's terms probe spots the whale and fans it —

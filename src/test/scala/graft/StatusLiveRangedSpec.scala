@@ -203,6 +203,46 @@ class StatusLiveRangedSpec extends SparkTestBase {
     assert(e2.getMessage.contains("sorted stops"))
   }
 
+  test("sortedness is validated in UTF-8 byte order — the order Spark's binary sort actually staged") {
+    // the surrogate seam: U+F000 (BMP private-use, 3-byte UTF-8 0xEF…)
+    // sorts BELOW U+1F600 (non-BMP, 4-byte 0xF0…) in UTF-8 bytes — the
+    // order Spark's UTF8String sort writes — but Java compareTo (UTF-16
+    // code units: lead surrogate 0xD83D < 0xF000) says the opposite, so
+    // a compareTo-validating planner would spuriously reject exactly the
+    // files the writer stages
+    val bmp = "s"
+    val astral = "s😀" // U+1F600
+    // premise, pinned against Spark itself: its binary sort puts the BMP
+    // private-use subject first
+    val sparkOrder = spark.createDataset(Seq(astral, bmp))(
+      org.apache.spark.sql.Encoders.STRING).sort("value").collect().toSeq
+    assert(sparkOrder === Seq(bmp, astral),
+      "premise: Spark's UTF8String sort is UTF-8 byte / code-point order")
+    val cPath = stage(Seq(bmp, astral))
+    val sPath = stage(Seq(s"$bmp\t5", s"$astral\t7"))
+    val plan = StatusLiveSource.planCensusRangesHot(cPath, Some(sPath), 2, Set(astral))
+    assert(plan.ranges.length === 2, "the staged order must be ACCEPTED")
+    assert(plan.ranges.flatMap(r =>
+      StatusLiveSource.readRange(cPath, r.cStart, r.cEnd)) === Seq(bmp, astral))
+    // the stops merge-walk aligns in the SAME order: each subject's stop
+    // lands in its own group's slice (a compareTo walk would park the
+    // astral subject's watermark in the wrong group — silent overship)
+    val stopLines = plan.ranges.map(r =>
+      StatusLiveSource.readRange(sPath, r.sStart, r.sEnd))
+    assert(stopLines(0) === Seq(s"$bmp\t5") && stopLines(1) === Seq(s"$astral\t7"),
+      s"stops must align per group in UTF-8 order, got $stopLines")
+    assert(plan.hotStops === Map(astral -> 7L), "the hot walk reads the same order")
+    // genuinely unsorted (in UTF-8 terms) still fails loudly, both files
+    val badC = stage(Seq(astral, bmp))
+    val e1 = intercept[IllegalArgumentException](
+      StatusLiveSource.planCensusRanges(badC, None, 2))
+    assert(e1.getMessage.contains("UTF-8 byte order"))
+    val badS = stage(Seq(s"$astral\t7", s"$bmp\t5"))
+    val e2 = intercept[IllegalArgumentException](
+      StatusLiveSource.planCensusRanges(cPath, Some(badS), 2))
+    assert(e2.getMessage.contains("STRICTLY sorted stops"))
+  }
+
   test("DUPLICATE subjects are rejected loudly (ranged tasks drain raw lines — a dup drains twice)") {
     // the materialized path dedups through a Set; ranged tasks do not,
     // and a duplicate straddling a group boundary would park its
