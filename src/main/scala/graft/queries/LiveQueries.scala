@@ -76,7 +76,10 @@ object LiveQueries {
         new java.util.concurrent.ConcurrentLinkedQueue[String](),
       servedSlicedAtFirstClose: java.util.concurrent.atomic.AtomicLong =
         new java.util.concurrent.atomic.AtomicLong(-1),
-      timeCutsMode: Boolean = true): HttpServer = {
+      timeCutsMode: Boolean = true,
+      msearchMode: Boolean = true,
+      msearchRequests: java.util.concurrent.atomic.AtomicLong =
+        new java.util.concurrent.atomic.AtomicLong): HttpServer = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val pitSeq = new java.util.concurrent.atomic.AtomicLong()
     // ids actually ISSUED: a search under an unknown PIT id is a 400,
@@ -159,14 +162,14 @@ object LiveQueries {
           ex.close()
           return
         }
-        val req = mapper.readTree(ex.getRequestBody.readAllBytes())
-        if (req.path("aggs").has("time_cuts") && timeCutsMode) {
-          // the PIT-less drain's cut probe: time percentiles of the
-          // matching docs (nearest-rank — any estimate is valid, cuts
-          // only place window boundaries); size-0, zero hits served.
-          // `timeCutsMode=false` drops to the generic handler, whose
-          // agg-less response makes the client keep the single loop —
-          // the graceful posture of a server without the aggregation.
+        // the PIT-less drain's cut probe: time percentiles of the
+        // matching docs (nearest-rank — any estimate is valid, cuts
+        // only place window boundaries); size-0, zero hits served.
+        // `timeCutsMode=false` drops to the generic handler, whose
+        // agg-less response makes the client keep the single loop —
+        // the graceful posture of a server without the aggregation.
+        // Shared by the single `_search` form and each `_msearch` slot.
+        def cutsAggResponse(req: com.fasterxml.jackson.databind.JsonNode): String = {
           var subj: Option[String] = None
           var gte: Option[Long] = None
           var lt: Option[Long] = None
@@ -189,9 +192,37 @@ object LiveQueries {
                 math.max(0, math.ceil(p.asDouble() / 100.0 * ms.size).toInt - 1))).toString
             vals += s"""{"key":${p.asDouble()},"value":$v}"""
           }
-          val res = s"""{"aggregations":{"time_cuts":{"values":[${vals.result().mkString(",")}]}},""" +
+          s"""{"aggregations":{"time_cuts":{"values":[${vals.result().mkString(",")}]}},""" +
             s""""hits":{"hits":[]}}"""
-          val bytes = res.getBytes(StandardCharsets.UTF_8)
+        }
+        if (ex.getRequestURI.getPath.endsWith("/_msearch")) {
+          // the batched cut probe: NDJSON header/body pairs in, a
+          // positionally-aligned `responses` array out — offered only
+          // when the server has the percentiles agg at all; without
+          // `_msearch` (msearchMode=false) a 404 sends the client to
+          // per-request probes, like an older ES or a strict proxy
+          if (!msearchMode || !timeCutsMode) {
+            ex.sendResponseHeaders(404, -1)
+            ex.close()
+            return
+          }
+          msearchRequests.incrementAndGet()
+          val lines = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+            .split("\n").filter(_.nonEmpty)
+          val resp = lines.grouped(2).map { pair =>
+            val body = mapper.readTree(pair(1))
+            if (body.path("aggs").has("time_cuts")) cutsAggResponse(body)
+            else """{"error":{"type":"unsupported msearch body"}}"""
+          }.mkString("""{"responses":[""", ",", "]}")
+          val bytes = resp.getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+          return
+        }
+        val req = mapper.readTree(ex.getRequestBody.readAllBytes())
+        if (req.path("aggs").has("time_cuts") && timeCutsMode) {
+          val bytes = cutsAggResponse(req).getBytes(StandardCharsets.UTF_8)
           ex.sendResponseHeaders(200, bytes.length)
           ex.getResponseBody.write(bytes)
           ex.close()

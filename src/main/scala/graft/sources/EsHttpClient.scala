@@ -335,6 +335,51 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Batched [[timeCutsMs]] over the standard `_msearch` endpoint: ONE
+    * round trip carries every hot subject's percentile probe (NDJSON
+    * header/body pairs, [[EsQueryDsl.msearchBody]]) and `responses[i]`
+    * aligns positionally — a mega-fleet hot-list's PIT-less planning
+    * costs O(1) wire round trips instead of O(hot). Outer None — no
+    * `_msearch` (404/405), any non-200, a response array that does not
+    * align with the requests — sends the caller to per-request probes
+    * (bounded-parallel there); an INDIVIDUAL slot's shortfall (an error
+    * object, null values on an empty window) degrades to an empty cut
+    * list, so only that subject keeps its sequential loop. Approximate
+    * values are fine for the same reason as [[timeCutsMs]]: cuts place
+    * window boundaries, never rows.
+    */
+  def timeCutsMsBatch(index: String, filtersPer: Seq[Seq[org.apache.spark.sql.sources.Filter]],
+      parts: Int): Option[Seq[Seq[Long]]] = {
+    if (parts < 2 || filtersPer.isEmpty) return None
+    val percents = (1 until parts).map(i => i * 100.0 / parts)
+    val body = EsQueryDsl.msearchBody(
+      filtersPer.map(fs => EsQueryDsl.timePercentilesRequest(fs, percents)))
+    try {
+      val b = HttpRequest.newBuilder(URI.create(s"$baseUrl/$index/_msearch"))
+        .timeout(Duration.ofMillis(timeoutMs))
+        .header("Content-Type", "application/x-ndjson")
+        .header("Accept-Encoding", "gzip")
+        .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+      wire.basicAuth.foreach(b.header("Authorization", _))
+      val res = sendWithRetry(b.build())
+      if (res.statusCode() != 200) return None
+      val rs = mapper.readTree(LiveHttp.bodyString(res)).path("responses")
+      if (!rs.isArray || rs.size() != filtersPer.size) return None
+      val out = Seq.newBuilder[Seq[Long]]
+      rs.forEach { r =>
+        val vals = r.path("aggregations").path("time_cuts").path("values")
+        val slot = Seq.newBuilder[Long]
+        var ok = vals.isArray && vals.size() > 0
+        if (ok) vals.forEach { v =>
+          val n = v.path("value")
+          if (n.isNumber) slot += n.asDouble().toLong else ok = false
+        }
+        out += (if (ok) slot.result() else Seq.empty)
+      }
+      Some(out.result())
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** The index's newest event time in epoch millis (None when empty) —
     * [[EsQueryDsl.maxTimeRequest]] round trip; the streaming source's
     * latestOffset probe.

@@ -233,4 +233,13 @@ object EsQueryDsl {
     percents.foreach(arr.add)
     mapper.writeValueAsString(root)
   }
+
+  /** `_msearch` NDJSON framing: one empty header line + one single-line
+    * body per search (the index rides the URL path, so headers carry
+    * nothing), newline-terminated — the standard multi-search grammar.
+    * Jackson serialization above is single-line by construction, which
+    * the NDJSON frame depends on.
+    */
+  def msearchBody(bodies: Seq[String]): String =
+    bodies.iterator.map(b => "{}\n" + b + "\n").mkString
 }

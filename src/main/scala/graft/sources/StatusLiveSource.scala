@@ -1049,21 +1049,64 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
   private def windowCutParts(subject: Option[String], startMs: Long, stopMs: Long,
       pageSize: Int, requiredFields: Seq[String], envelopeIncludes: Seq[String],
       cap: Int): Seq[InputPartition] = {
-    def single = Seq(StatusLivePartition(url, index, pageSize, startMs, stopMs,
-      subject.map(Seq(_)), requiredFields, envelopeIncludes, Map.empty, cap): InputPartition)
-    if (slices <= 1 || topN >= 0) return single
+    if (slices <= 1 || topN >= 0)
+      return tilePartitions(subject, startMs, stopMs, pageSize, requiredFields,
+        envelopeIncludes, cap, Seq.empty)
     val probeFilters: Seq[Filter] =
       subject.map(s => EqualTo("subject", s): Filter).toSeq ++
         Seq(GreaterThanOrEqual("time", startMs): Filter, LessThan("time", stopMs): Filter)
     val cuts = new EsHttpClient(url, wire = wire).timeCutsMs(index, probeFilters, slices)
       .getOrElse(Seq.empty)
-      .filter(c => c > startMs && c < stopMs).distinct.sorted
-    if (cuts.isEmpty) single
+    tilePartitions(subject, startMs, stopMs, pageSize, requiredFields,
+      envelopeIncludes, cap, cuts)
+  }
+
+  /** Tile construction from already-probed cuts: interior cuts clamp to
+    * the open interval, dedup, and sort; none surviving keeps the single
+    * sequential loop — coarser, never wrong.
+    */
+  private def tilePartitions(subject: Option[String], startMs: Long, stopMs: Long,
+      pageSize: Int, requiredFields: Seq[String], envelopeIncludes: Seq[String],
+      cap: Int, rawCuts: Seq[Long]): Seq[InputPartition] = {
+    val cuts = rawCuts.filter(c => c > startMs && c < stopMs).distinct.sorted
+    if (cuts.isEmpty)
+      Seq(StatusLivePartition(url, index, pageSize, startMs, stopMs,
+        subject.map(Seq(_)), requiredFields, envelopeIncludes, Map.empty, cap): InputPartition)
     else ((startMs +: cuts) :+ stopMs).sliding(2).map { case Seq(a, b) =>
       StatusLivePartition(url, index, pageSize, a, b, subject.map(Seq(_)),
         requiredFields, envelopeIncludes, Map.empty, cap,
         windowTile = true): InputPartition
     }.toSeq
+  }
+
+  /** The hot-list's PIT-less parallel drains: ONE `_msearch` round trip
+    * probes every subject's time cuts ([[EsHttpClient.timeCutsMsBatch]] —
+    * O(1) planning round trips for any hot-list length), each slot
+    * tiling its subject's own [startMs, stop) window; a server without
+    * `_msearch` falls back to per-subject probes on the bounded pool
+    * ([[planHotParallel]]). Per-subject degradation is identical either
+    * way: an empty/failed slot keeps THAT subject's sequential loop.
+    */
+  private def hotPartsPitless(subjects: Seq[String], startMs: Long,
+      stopFor: String => Long, pageSize: Int, requiredFields: Seq[String],
+      envelopeIncludes: Seq[String], cap: Int): Seq[InputPartition] = {
+    val batched: Option[Seq[Seq[Long]]] =
+      if (subjects.lengthCompare(2) < 0 || slices <= 1 || topN >= 0) None
+      else new EsHttpClient(url, wire = wire).timeCutsMsBatch(index,
+        subjects.map { s =>
+          Seq(EqualTo("subject", s): Filter,
+            GreaterThanOrEqual("time", startMs): Filter,
+            LessThan("time", stopFor(s)): Filter)
+        }, slices)
+    batched match {
+      case Some(slots) => subjects.lazyZip(slots).flatMap { (s, cuts) =>
+        tilePartitions(Some(s), startMs, stopFor(s), pageSize, requiredFields,
+          envelopeIncludes, cap, cuts)
+      }
+      case None => planHotParallel(subjects)(s =>
+        windowCutParts(Some(s), startMs, stopFor(s), pageSize, requiredFields,
+          envelopeIncludes, cap))
+    }
   }
 
   /** Bounded order-preserving parallel planning map for the hot-list
@@ -1192,24 +1235,25 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
         val pit: Option[String] =
           if (plan.hotPresent.isEmpty || slices <= 1 || topN >= 0) None
           else trackPit(new EsHttpClient(url, wire = wire).openPit(index))
-        val hotParts: Seq[InputPartition] = planHotParallel(plan.hotPresent) { s =>
-          val stop = hotStops.get(s).map(math.min(_, stopMs)).getOrElse(stopMs)
-          pit match {
-            case Some(pid) =>
-              (0 until slices).map(i => StatusLiveSlicePartition(url, index, pageSize,
-                startMs, stop, i, slices, requiredFields, envelopeIncludes,
-                perLoopCap = limit, pitId = pid, subject = Some(s)): InputPartition)
-            case None if topN >= 0 => // a pushed top-K keeps the whale's
-              // own early-stopping loop (tiles would read everything)
-              Seq(StatusLivePartition(url, index, pageSize, startMs, stop,
-                Some(Seq(s)), requiredFields, envelopeIncludes,
-                Map.empty, perLoopCap): InputPartition)
-            case None => // PIT-less server or slices=1: filter-disjoint
-              // time tiles when they apply, else one ISOLATED loop —
-              // isolation from its byte-range group is most of the win
-              windowCutParts(Some(s), startMs, stop, pageSize,
-                requiredFields, envelopeIncludes, limit)
+        val hotStopFor: String => Long =
+          s => hotStops.get(s).map(math.min(_, stopMs)).getOrElse(stopMs)
+        val hotParts: Seq[InputPartition] = pit match {
+          case Some(pid) => plan.hotPresent.flatMap { s =>
+            (0 until slices).map(i => StatusLiveSlicePartition(url, index, pageSize,
+              startMs, hotStopFor(s), i, slices, requiredFields, envelopeIncludes,
+              perLoopCap = limit, pitId = pid, subject = Some(s)): InputPartition)
           }
+          case None if topN >= 0 => // a pushed top-K keeps each whale's
+            // own early-stopping loop (tiles would read everything)
+            plan.hotPresent.map(s => StatusLivePartition(url, index, pageSize,
+              startMs, hotStopFor(s), Some(Seq(s)), requiredFields,
+              envelopeIncludes, Map.empty, perLoopCap): InputPartition)
+          case None => // PIT-less server or slices=1: filter-disjoint
+            // time tiles when they apply (one batched _msearch probe, the
+            // bounded pool when the server lacks it), else one ISOLATED
+            // loop — isolation from its byte-range group is most of the win
+            hotPartsPitless(plan.hotPresent, startMs, hotStopFor, pageSize,
+              requiredFields, envelopeIncludes, limit)
         }
         // the inline `stopBySubject` OPTION (bounded small — it rode a
         // catalog property) cannot live in the staged files, so it rides
@@ -1327,21 +1371,22 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
           if (hotCounts.isEmpty) None
           else trackPit(new EsHttpClient(url, wire = wire).openPit(index))
         val (hot, cold) = all.partition(hotCounts.contains)
-        val hotParts: Seq[InputPartition] = planHotParallel(hot) { s =>
-          // the subject's own watermark tightens its slice windows just
-          // like its sequential loop's
-          val stop = stopsEff.get(s).map(math.min(_, stopMs)).getOrElse(stopMs)
-          pit match {
-            case Some(pid) =>
-              (0 until slices).map(i => StatusLiveSlicePartition(url, index, pageSize,
-                startMs, stop, i, slices, requiredFields, envelopeIncludes,
-                perLoopCap = limit, pitId = pid, subject = Some(s)): InputPartition)
-            case None => // PIT-less: filter-disjoint time tiles (or one
-              // ISOLATED loop if the cut probe falls short — isolation
-              // from its group is still most of the win)
-              windowCutParts(Some(s), startMs, stop, pageSize,
-                requiredFields, envelopeIncludes, limit)
+        // the subject's own watermark tightens its slice windows just
+        // like its sequential loop's
+        val stopFor: String => Long =
+          s => stopsEff.get(s).map(math.min(_, stopMs)).getOrElse(stopMs)
+        val hotParts: Seq[InputPartition] = pit match {
+          case Some(pid) => hot.flatMap { s =>
+            (0 until slices).map(i => StatusLiveSlicePartition(url, index, pageSize,
+              startMs, stopFor(s), i, slices, requiredFields, envelopeIncludes,
+              perLoopCap = limit, pitId = pid, subject = Some(s)): InputPartition)
           }
+          case None => // PIT-less: filter-disjoint time tiles (one batched
+            // _msearch probe; bounded-parallel per-subject probes when the
+            // server lacks it; an ISOLATED loop per shortfall subject —
+            // isolation from its group is still most of the win)
+            hotPartsPitless(hot, startMs, stopFor, pageSize,
+              requiredFields, envelopeIncludes, limit)
         }
         // bounded fan-out: one task per GROUP of subjects (the reference
         // fans one goroutine per token, sync.go:60-84 — a cluster fans

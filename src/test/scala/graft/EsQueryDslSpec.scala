@@ -150,6 +150,28 @@ class EsQueryDslSpec extends AnyFunSuite {
     assert(e.getMessage.contains("pitKeepAlive"))
   }
 
+  test("_msearch framing: empty header + single-line body per probe, newline-terminated") {
+    // the NDJSON grammar the batched cut probe rides: each search is one
+    // `{}` header line and ONE body line — a multi-line body would shear
+    // the frame and the server would parse garbage
+    val bodies = Seq(
+      EsQueryDsl.timePercentilesRequest(
+        Seq(EqualTo("subject", "a")), Seq(50.0)),
+      EsQueryDsl.timePercentilesRequest(
+        Seq(EqualTo("subject", "b")), Seq(25.0, 75.0)))
+    bodies.foreach(b => assert(!b.contains("\n"), "bodies must be single-line JSON"))
+    val frame = EsQueryDsl.msearchBody(bodies)
+    val lines = frame.split("\n", -1)
+    assert(frame.endsWith("\n"), "NDJSON is newline-terminated")
+    assert(lines.length === 5 && lines(4).isEmpty, "2 probes = 4 lines + terminator")
+    assert(lines(0) === "{}" && lines(2) === "{}", "headers are empty objects")
+    val b0 = mapper.readTree(lines(1))
+    assert(b0.path("size").asInt(-1) === 0 &&
+      b0.path("aggs").has("time_cuts"), "slot 0 is its percentiles probe")
+    assert(mapper.readTree(lines(3)).path("aggs").path("time_cuts")
+      .path("percentiles").path("percents").size() === 2, "slot order is preserved")
+  }
+
   test("pushdown-state round trip: the DSv2 scan's accepted filters translate") {
     // the same filter classes StatusScanBuilder accepts are the inputs here;
     // a subject-only scan emits just the match clause

@@ -220,12 +220,13 @@ class EsSlicedScanSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
-  test("a LONG hot-list on a PIT-less server: cut probes run bounded-parallel, plan unchanged") {
-    // 10 whales exceed the 8-thread probe pool (CutProbeThreads): the
-    // planner's per-subject percentiles probes run concurrently instead
-    // of serializing 10 wire round trips before any task starts — and
-    // the RESULT is byte-identical to the sequential planning: one tile
-    // set per whale, cold loops intact, every document exactly once
+  test("a LONG hot-list on a PIT-less server: one _msearch probe, or the bounded pool without it") {
+    // 10 whales: with `_msearch` the planner batches every percentiles
+    // probe into ONE round trip per planning pass (O(1) for any hot-list
+    // length); a server without the endpoint (404) falls back to
+    // per-subject probes on the bounded 8-thread pool — and the PLAN is
+    // identical either way: one tile set per whale, cold loops intact,
+    // every document exactly once
     def doc(subject: String, i: Int): StubDoc = {
       val ms = BaseMs + i * 1000L
       val iso = java.time.Instant.ofEpochMilli(ms)
@@ -238,29 +239,38 @@ class EsSlicedScanSpec extends SparkTestBase {
     val docs: IndexedSeq[StubDoc] =
       whales.flatMap(w => (0 until 40).map(doc(w, _))).toIndexedSeq ++
         (0 until 3).flatMap(c => (0 until 20).map(doc(s"c$c", _)))
-    val sliceSeen = new ConcurrentLinkedQueue[Int]()
-    val server = graft.queries.LiveQueries.startStub(docs, pitMode = false,
-      sliceSeen = sliceSeen)
-    try {
-      val subjects = whales ++ (0 until 3).map(i => s"c$i")
-      val live = spark.read.format("graft-status-live")
-        .option("url", url(server)).option("batchSize", "16")
-        .option("slices", "2").option("hotSubjectPages", "2").load()
-        .where(col("subject").isin(subjects: _*))
-      // 40 docs > 2 pages x 16: all ten whales are hot; each tiles into
-      // 2 half-open sub-ranges; the 3 cold subjects keep 3 loops
-      assert(live.rdd.getNumPartitions === 23,
-        "10 whales x 2 tiles + 3 cold single-subject groups")
-      val proj = live.select(col("id"))
-      val ids = proj.collect().map(_.getString(0))
-      assert(ids.length === 460 && ids.toSet.size === 460,
-        "every document exactly once across 20 tiles and 3 loops")
-      assert(sliceSeen.isEmpty, "no slice request ever reached the PIT-less server")
-      val scanNode = proj.queryExecution.executedPlan.collectLeaves()
-        .find(_.getClass.getSimpleName == "BatchScanExec").get
-      assert(scanNode.metrics("liveWindowTiles").value === 20L,
-        "all twenty whale tiles report; cold loops do not")
-    } finally server.stop(0)
+    for (msearch <- Seq(true, false)) {
+      val sliceSeen = new ConcurrentLinkedQueue[Int]()
+      val msearchRequests = new java.util.concurrent.atomic.AtomicLong
+      val server = graft.queries.LiveQueries.startStub(docs, pitMode = false,
+        sliceSeen = sliceSeen, msearchMode = msearch,
+        msearchRequests = msearchRequests)
+      try {
+        val subjects = whales ++ (0 until 3).map(i => s"c$i")
+        val live = spark.read.format("graft-status-live")
+          .option("url", url(server)).option("batchSize", "16")
+          .option("slices", "2").option("hotSubjectPages", "2").load()
+          .where(col("subject").isin(subjects: _*))
+        // 40 docs > 2 pages x 16: all ten whales are hot; each tiles into
+        // 2 half-open sub-ranges; the 3 cold subjects keep 3 loops
+        assert(live.rdd.getNumPartitions === 23,
+          s"10 whales x 2 tiles + 3 cold single-subject groups (msearch=$msearch)")
+        val proj = live.select(col("id"))
+        val ids = proj.collect().map(_.getString(0))
+        assert(ids.length === 460 && ids.toSet.size === 460,
+          s"every document exactly once across 20 tiles and 3 loops (msearch=$msearch)")
+        assert(sliceSeen.isEmpty, "no slice request ever reached the PIT-less server")
+        // O(1) round trips with the endpoint: getNumPartitions and the
+        // collect each planned once -> exactly one batch per pass; the
+        // 404 fallback never retries the endpoint per subject either
+        assert(msearchRequests.get() === (if (msearch) 2L else 0L),
+          s"one batched probe per planning pass, got ${msearchRequests.get()} (msearch=$msearch)")
+        val scanNode = proj.queryExecution.executedPlan.collectLeaves()
+          .find(_.getClass.getSimpleName == "BatchScanExec").get
+        assert(scanNode.metrics("liveWindowTiles").value === 20L,
+          s"all twenty whale tiles report; cold loops do not (msearch=$msearch)")
+      } finally server.stop(0)
+    }
   }
 
   test("the streaming tail slices its micro-batch windows too (exactly-once into the sink)") {

@@ -525,6 +525,7 @@ class StatusLiveRangedSpec extends SparkTestBase {
         (if (rnd.nextBoolean()) Seq("zz-stranger") else Nil)).toSet
       val pitMode = rnd.nextBoolean()
       val cutsMode = rnd.nextBoolean() // PIT-less whales: tiles vs isolation
+      val msearch = rnd.nextBoolean() // batched cut probes vs bounded pool
       val groups = 1 + rnd.nextInt(5)
       val slices = 1 + rnd.nextInt(4)
       val expected: Set[String] = subjects.flatMap { s =>
@@ -536,7 +537,7 @@ class StatusLiveRangedSpec extends SparkTestBase {
       val hPath = stage(hot.toSeq.sorted)
       val served = new java.util.concurrent.atomic.AtomicLong
       val server = graft.queries.LiveQueries.startStub(docs, pitMode = pitMode,
-        served = served, timeCutsMode = cutsMode)
+        served = served, timeCutsMode = cutsMode, msearchMode = msearch)
       try {
         val live = spark.read.format("graft-status-live")
           .option("url", url(server)).option("batchSize", "64")
@@ -546,7 +547,7 @@ class StatusLiveRangedSpec extends SparkTestBase {
           .option("slices", slices.toString).load()
         val got = live.select(col("id")).collect().map(_.getString(0))
         assert(got.length === expected.size && got.toSet === expected,
-          s"trial $trial (pit=$pitMode cuts=$cutsMode g=$groups sl=$slices hot=${hot.size}): " +
+          s"trial $trial (pit=$pitMode cuts=$cutsMode ms=$msearch g=$groups sl=$slices hot=${hot.size}): " +
             s"got ${got.length}, expected ${expected.size}")
         assert(served.get() === expected.size.toLong,
           s"trial $trial: wire shipped ${served.get()} for a ${expected.size}-doc surviving set")
