@@ -307,6 +307,17 @@ object SyncJob {
     * tile as before, a false whale costs one needless parallel drain —
     * never a wrong row. Explicit `hotSubjects` and discovered whales
     * UNION (first round has no sink: only the explicit list applies).
+    *
+    * `weightBySinkDepth` (default false): LOAD-BALANCED group boundaries
+    * for the skew the hot-list does not name — each token's sink depth
+    * stages as a `subject<TAB>weight` file (cluster-written, like the
+    * stops file) and the planner cuts the byte-range groups at equal
+    * cumulative weight instead of equal subject count
+    * (`censusWeightsPath`). The proxy is the same as `hotMinRows`'s:
+    * depth already synced stands in for depth left to sync — exact in
+    * steady state, and an imbalance when wrong costs straggle time,
+    * never rows. Tokens absent from the sink weigh 1 (a fresh token's
+    * window is unknown until its first sync).
     */
   def runLiveRanged(
       spark: org.apache.spark.sql.SparkSession,
@@ -320,7 +331,8 @@ object SyncJob {
       censusRanges: Int = 64,
       slices: Int = 1,
       hotSubjects: Seq[String] = Nil,
-      hotMinRows: Long = -1L
+      hotMinRows: Long = -1L,
+      weightBySinkDepth: Boolean = false
   ): DataFrame = {
     val explicitTokens = SyncOps.parseTokenList(opts.tokens)
     val scopedDim =
@@ -351,6 +363,17 @@ object SyncJob {
           expr("(unix_micros(watermark) + 999) DIV 1000")).as("value"))
         .sort("value"), "stops")
       reader = reader.option("stopBySubjectPath", f)
+    }
+    if (weightBySinkDepth && existingSink.isDefined) {
+      // per-token sink depth as subject<TAB>rows, computed and sorted BY
+      // THE CLUSTER like the stops file — the driver never holds a
+      // per-token map; the planner streams the file once per pass
+      val wf = stageTo(existingSink.get.groupBy(col("tokenId"))
+        .agg(count(lit(1)).as("n"))
+        .join(scopedDim.select("tokenId", "subject"), Seq("tokenId"))
+        .select(concat_ws("\t", col("subject"), col("n")).as("value"))
+        .sort("value"), "weights")
+      reader = reader.option("censusWeightsPath", wf)
     }
     val censusFile = stageTo(
       scopedDim.select("subject").distinct().sort("subject"), "census")

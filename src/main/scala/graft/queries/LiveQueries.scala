@@ -2241,6 +2241,115 @@ object LiveQueries {
              FROM m GROUP BY 1"""),
     ),
 
+    // ── LOAD-BALANCED ranged groups (r17): q236's byte-range groups are
+    //    equal-SUBJECT-count, so a moderately-skewed fleet packs its
+    //    heavy devices into straggler groups unless the operator names
+    //    every one in a hot-list. `censusWeightsPath` — a cluster-staged
+    //    subject<TAB>weight file (sink depth via runLiveRanged's
+    //    weightBySinkDepth, or any census the caller has) — moves the
+    //    group boundaries to equal CUMULATIVE weight: the planner
+    //    merge-walks the weights file in lockstep with the census
+    //    (O(groups) driver state unchanged). The entry folds ~20% of
+    //    rows onto one first-sorting subject, weights by true doc
+    //    counts, and RAISES unless the whale got a group of its OWN
+    //    (its weight exceeds one equal-weight share) while every other
+    //    group respects the provable bound ceil(W/g) + max cold weight;
+    //    the DuckDB compare then pins exactly-once through the weighted
+    //    tiling.
+    QueryDef(
+      "q241_live_es_ranged_weighted",
+      (s, d) => {
+        val evs = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(
+            when(col("user_id") % 5 === 0, lit("0-hot"))
+              .otherwise(col("user_id").cast("string")).as("subject"),
+            expr("unix_micros(ts)").as("tsu"),
+            round(col("value") * 100).cast(LongType).as("cents"))
+          .collect() // seeds the TEST DOUBLE; the measured read is below
+        val docs: IndexedSeq[StubDoc] =
+          evs.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+            val (subj, tsu, cents) = (r.getString(0), r.getLong(1), r.getLong(2))
+            val iso = java.time.Instant.ofEpochSecond(tsu / 1000000L, (tsu % 1000000L) * 1000L)
+            StubDoc(s"wb$i", subj, tsu,
+              s"""{"id":"wb$i","subject":"$subj","source":"dimo/integration/live",""" +
+                s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v2.0",""" +
+                s""""type":"com.dimo.device.status","data":{"cents":$cents}}""")
+          }
+        val wOf: Map[String, Long] =
+          evs.groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+        val census = wOf.keys.toSeq.sorted
+        val g = 8
+        val total = wOf.values.sum
+        val share = (total + g - 1) / g
+        val maxCold = (wOf - "0-hot").values.max
+        // fixture invariants, RAISED loudly if testdata generation drifts:
+        // the whale must out-weigh one equal-weight share (else isolation
+        // is not the deterministic outcome) and sort FIRST in the census
+        require(wOf("0-hot") > share && census.head == "0-hot",
+          s"fixture: whale ${wOf("0-hot")} must exceed share $share and sort first")
+        def stage(lines: Seq[String]): java.nio.file.Path = {
+          val f = java.nio.file.Files.createTempFile("graft-q241", ".txt")
+          java.nio.file.Files.write(f, lines.mkString("", "\n", "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          f
+        }
+        val cPath = stage(census)
+        val wPath = stage(census.map(sub => s"$sub\t${wOf(sub)}"))
+        // the planner's own tiling, checked against the model BEFORE the
+        // read: whale isolated, every cold group within the provable bound
+        val ranges = graft.sources.StatusLiveSource.planCensusRangesHot(
+          cPath.toString, None, g, Set.empty, Some(wPath.toString)).ranges
+        val tiles = ranges.map(r => graft.sources.StatusLiveSource.readRange(
+          cPath.toString, r.cStart, r.cEnd))
+        require(tiles.flatten == census, "weighted tiles must reconstruct the census")
+        require(tiles.head == Seq("0-hot"),
+          s"the whale must own its group, got head tile ${tiles.head.take(3)}…")
+        val coldLoads = tiles.tail.map(_.map(wOf).sum)
+        require(coldLoads.forall(_ <= share + maxCold),
+          s"cold group past the provable bound ${share + maxCold}: $coldLoads")
+        val served = new java.util.concurrent.atomic.AtomicLong
+        val server = startStub(docs, served = served)
+        try {
+          val live = s.read.format("graft-status-live")
+            .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+            .option("batchSize", "500")
+            .option("subjectsPath", cPath.toString)
+            .option("censusWeightsPath", wPath.toString)
+            .option("censusRanges", g.toString).load()
+          require(live.rdd.getNumPartitions == ranges.length,
+            s"expected ${ranges.length} weighted groups, planned ${live.rdd.getNumPartitions}")
+          val out = live
+            .select(col("subject"),
+              get_json_object(col("data"), "$.cents").cast("long").as("cents"))
+            .groupBy(col("subject"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("cents")).as("cents"))
+            .localCheckpoint(true) // materialize THROUGH the weighted ranged plan
+          // exactly-once on the WIRE, modulo the page loop's deliberate
+          // boundary overlap: each page beyond a loop's first may
+          // re-serve one boundary-tie doc (deduped by id in the reader),
+          // so the ceiling is the modeled extra-page count — a tile
+          // lost to the tiling (under) or re-read whole (over by a
+          // subject's weight) breaks either side
+          val extraPages = wOf.values.map(w => (w + 499) / 500 - 1).sum
+          require(served.get() >= total && served.get() - total <= extraPages,
+            s"wire served ${served.get()} of $total docs (allowed overlap $extraPages)")
+          out
+        } finally {
+          server.stop(0)
+          java.nio.file.Files.deleteIfExists(cPath)
+          java.nio.file.Files.deleteIfExists(wPath)
+        }
+      },
+      Some("""WITH m AS (
+               SELECT CASE WHEN user_id % 5 = 0 THEN '0-hot'
+                           ELSE CAST(user_id AS VARCHAR) END AS subject,
+                      CAST(round(value*100) AS BIGINT) AS cents
+               FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+             SELECT subject, count(*)::BIGINT AS n_docs, sum(cents)::BIGINT AS cents
+             FROM m GROUP BY 1"""),
+    ),
+
     // ── The reference's CONTINUOUS pipeline over BOTH wires (r14):
     //    `readStream` from live ES → transform → `writeStream` into live
     //    CH (its loop tails ES and inserts into CH forever, sync.go:92-125

@@ -76,7 +76,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * subjects — each is carved out of its byte-range tile and drained in
   * parallel instead (sliced-PIT fan-out under `slices` > 1, an isolated
   * per-subject task otherwise), so one whale no longer straggles its
-  * equal-subject-count group. `pitReleaseAtQueryEnd` (default true):
+  * equal-subject-count group. `censusWeightsPath` (ranged mode only): a
+  * strictly-sorted `subject<TAB>weight` staged file — group boundaries
+  * fall at equal CUMULATIVE weight instead of equal subject count, so a
+  * moderately-skewed fleet balances without naming every heavy device
+  * in a hot-list; missing subjects weigh 1, strays are inert.
+  * `pitReleaseAtQueryEnd` (default true):
   * opened PITs are closed the moment an action on the scan completes —
   * the production posture (a raised keep-alive no longer holds server
   * search contexts after every read). The trade is a SECOND action on
@@ -107,6 +112,13 @@ class StatusLiveSource extends TableProvider
       Option(properties.get("censusRanges")).exists(_.toInt > 0),
       "hotSubjectsPath composes with censusRanges (subject-constrained scans probe " +
         "hot subjects themselves via the terms probe)")
+    // weights only move RANGED group boundaries; anywhere else they would
+    // be silently ignored — refuse rather than let a caller believe a
+    // load-balanced plan is in effect
+    require(properties.get("censusWeightsPath") == null ||
+      Option(properties.get("censusRanges")).exists(_.toInt > 0),
+      "censusWeightsPath composes with censusRanges (it places the byte-range " +
+        "group boundaries at equal cumulative weight)")
     new StatusLiveTable(
       Option(properties.get("url")).getOrElse(
         throw new IllegalArgumentException("graft-status-live requires option url")),
@@ -143,7 +155,8 @@ class StatusLiveSource extends TableProvider
         g <- Option(properties.get("censusRanges")).map(_.toInt) if g > 0
         path <- Option(properties.get("subjectsPath"))
       } yield RangedCensus(path, Option(properties.get("stopBySubjectPath")), g,
-        Option(properties.get("hotSubjectsPath"))),
+        Option(properties.get("hotSubjectsPath")),
+        Option(properties.get("censusWeightsPath"))),
       Option(properties.get("pitReleaseAtQueryEnd")).forall(_.toBoolean))
   }
 }
@@ -322,6 +335,47 @@ object StatusLiveSource {
     i >= a.length && j < b.length // a strict prefix sorts first
   }
 
+  /** Streaming merge cursor over a strictly-sorted `subject<TAB>long`
+    * file — the weights file's side of the census lockstep walk
+    * ([[planCensusRangesHot]]). Callers present subjects in the files'
+    * own UTF-8 order, so one forward pass serves every lookup: strays
+    * (weights for subjects outside the census) skip inert, absences
+    * return `default`. Validates strict sortedness and positive values
+    * as it goes — a zero/negative weight or an unsorted line is a
+    * staging bug that must fail loudly, not quietly misplace a boundary.
+    */
+  private final class SortedWeightCursor(path: String, default: Long) {
+    private val reader = java.nio.file.Files.newBufferedReader(
+      java.nio.file.Paths.get(path), java.nio.charset.StandardCharsets.UTF_8)
+    private var curSubj: String = null
+    private var curVal: Long = default
+    private var prev: String = null
+    advance()
+    private def advance(): Unit = {
+      var line = reader.readLine()
+      while (line != null && line.isEmpty) line = reader.readLine()
+      if (line == null) { curSubj = null; return }
+      val tab = line.lastIndexOf('\t')
+      require(tab > 0, s"censusWeightsPath line is not subject<TAB>weight: $line")
+      val subj = line.substring(0, tab)
+      require(prev == null || utf8Lt(prev, subj),
+        s"censusWeightsPath requires a STRICTLY sorted weights file (unique subjects, " +
+          s"UTF-8 byte order): '$prev' precedes '$subj' in $path")
+      prev = subj
+      val v = line.substring(tab + 1).toLong
+      require(v > 0L, s"censusWeightsPath weight for '$subj' must be positive, got $v")
+      curSubj = subj
+      curVal = v
+    }
+    /** Weight for `subject` (callers ascend in UTF-8 order). */
+    def valueFor(subject: String): Long = {
+      while (curSubj != null && utf8Lt(curSubj, subject)) advance() // inert strays
+      if (curSubj != null && curSubj == subject) { val v = curVal; advance(); v }
+      else default
+    }
+    def close(): Unit = reader.close()
+  }
+
   /** The O(groups) planner pass over the SORTED staged files: two
     * streaming reads of the census (line count, then one boundary offset
     * per group) and one of the stops file (merge-walked in lockstep —
@@ -350,12 +404,35 @@ object StatusLiveSource {
   private[graft] case class RangedHotPlan(ranges: Seq[CensusRange],
       hotPresent: Seq[String], hotStops: Map[String, Long])
 
+  /** `weightsPath` (the LOAD-BALANCED form): a strictly-sorted
+    * `subject<TAB>weight` file — typically each token's sink depth,
+    * staged by the cluster exactly like the stops file
+    * ([[graft.jobs.SyncJob.runLiveRanged]] `weightBySinkDepth`). Group
+    * boundaries then fall at equal CUMULATIVE WEIGHT instead of equal
+    * line count, so a moderately-skewed fleet (not just the hot-list's
+    * named whales) stops packing its heavy subjects into one straggler
+    * group — the straggler IS the scan's wall clock. Subjects missing
+    * from the file weigh 1 (an honest default: a FRESH token's unsynced
+    * window is unknown — the proxy is stated where the weights are
+    * staged); strays are inert; one subject heavier than a whole
+    * group's share still cannot split (a boundary falls only between
+    * lines), it just earns a group of its own. Driver state stays
+    * O(groups); the weights file streams once per pass in lockstep with
+    * the census — no map materializes.
+    */
   private[graft] def planCensusRangesHot(censusPath: String, stopsPath: Option[String],
-      groups: Int, hot: Set[String]): RangedHotPlan = {
+      groups: Int, hot: Set[String],
+      weightsPath: Option[String] = None): RangedHotPlan = {
     val hotPresentB = Seq.newBuilder[String]
     val hotStopsB = Map.newBuilder[String, Long]
     var n = 0L
-    val censusLen = eachLineWithOffset(censusPath)((_, _) => n += 1)
+    var totalW = 0L
+    val preCursor = weightsPath.map(new SortedWeightCursor(_, 1L))
+    val censusLen =
+      try eachLineWithOffset(censusPath) { (line, _) =>
+        n += 1
+        preCursor.foreach(c => totalW += c.valueFor(line))
+      } finally preCursor.foreach(_.close())
     if (n == 0L) return RangedHotPlan(Seq.empty, Seq.empty, Map.empty)
     val g = math.max(1L, math.min(groups.toLong, n)).toInt
     val per = (n + g - 1) / g
@@ -377,15 +454,31 @@ object StatusLiveSource {
     // UTF-8/code-point order ([[utf8Lt]]) — the writer is Spark's binary
     // UTF8String sort, and compareTo disagrees with it around surrogates
     var prevC: String = null
-    eachLineWithOffset(censusPath) { (line, off) =>
+    // weighted boundaries: a new group starts at the first line whose
+    // CUMULATIVE weight-before reaches the next equal-weight cut
+    // (totalW*k/g) — a subject heavier than passed cuts advances k past
+    // all of them (it cannot split, it just owns its group). Unweighted
+    // keeps the exact line-count boundaries of before, byte-identical.
+    val cursor = weightsPath.map(new SortedWeightCursor(_, 1L))
+    var cum = 0L
+    var k = 1
+    try eachLineWithOffset(censusPath) { (line, off) =>
       require(prevC == null || utf8Lt(prevC, line),
         s"censusRanges requires a STRICTLY sorted census file (unique subjects, " +
           s"UTF-8 byte order): '$prevC' precedes '$line' in $censusPath")
       prevC = line
       if (hot.contains(line)) hotPresentB += line
-      if (i % per == 0L) { cStartsB += off; boundsB += line }
+      val boundary = cursor match {
+        case Some(c) =>
+          val here = i == 0L || (k < g && cum >= totalW * k / g)
+          if (i > 0L && here) { while (k < g && cum >= totalW * k / g) k += 1 }
+          cum += c.valueFor(line)
+          here
+        case None => i % per == 0L
+      }
+      if (boundary) { cStartsB += off; boundsB += line }
       i += 1
-    }
+    } finally cursor.foreach(_.close())
     val cStarts = cStartsB.result()
     val cEnds = cStarts.drop(1) :+ censusLen
     val bounds = boundsB.result()
@@ -520,7 +613,8 @@ object StatusLiveSource {
   * byte-range group.
   */
 private[graft] case class RangedCensus(censusPath: String, stopsPath: Option[String],
-    groups: Int, hotPath: Option[String] = None)
+    groups: Int, hotPath: Option[String] = None,
+    weightsPath: Option[String] = None)
 
 class StatusLiveTable(url: String, index: String, batchSize: Int,
     startMs: Long, stopMs: Long, signals: Option[Seq[String]],
@@ -1228,7 +1322,7 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
         val hotList: Set[String] =
           rc.hotPath.map(StatusLiveSource.readSubjects(_).toSet).getOrElse(Set.empty)
         val plan = StatusLiveSource.planCensusRangesHot(
-          rc.censusPath, rc.stopsPath, rc.groups, hotList)
+          rc.censusPath, rc.stopsPath, rc.groups, hotList, rc.weightsPath)
         // a hot subject's watermark: the stops FILE wins over the inline
         // option — the same right-bias as every other stops merge here
         val hotStops: Map[String, Long] = stopBySubject ++ plan.hotStops

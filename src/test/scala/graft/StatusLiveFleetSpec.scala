@@ -273,6 +273,63 @@ class StatusLiveFleetSpec extends SparkTestBase {
     }
   }
 
+  test("runLiveRanged weightBySinkDepth: round 2 stages sink depths as the planner's weights file") {
+    // the load-balance analog of hotMinRows: each token's synced depth
+    // stages as subject<TAB>rows (cluster-written, sorted) and rides
+    // censusWeightsPath — boundaries at equal cumulative weight. The
+    // sync's rows are unchanged (weights move boundaries, never rows);
+    // this pins the staging contract and the exactly-once resume
+    val t0 = 1704000000000L
+    def doc(id: String, subj: String, ms: Long, speed: Long): String =
+      s"""{"id":"$id","subject":"$subj","source":"dimo/integration/live","specversion":"1.0",""" +
+        s""""time":"${java.time.Instant.ofEpochMilli(ms)}",""" +
+        s""""dataschema":"dimo.zone.status/v1.0","type":"c","data":{"speed":$speed,"make":"m"}}"""
+    val tokens = Seq("1", "2", "3")
+    val newer = ((0 until 12).map(i => graft.queries.LiveQueries.StubDoc(
+      f"n1-$i%02d", "1", (t0 + 60000 + i) * 1000L, doc(s"n1-$i", "1", t0 + 60000 + i, 20))) ++
+      Seq("2", "3").map(s => graft.queries.LiveQueries.StubDoc(
+        s"n$s", s, (t0 + 60000) * 1000L, doc(s"n$s", s, t0 + 60000, 20)))).toIndexedSeq
+    val older = tokens.map(s => graft.queries.LiveQueries.StubDoc(
+      s"o$s", s, t0 * 1000L, doc(s"o$s", s, t0, 10)))
+    val opts = graft.jobs.SyncOptions(tokens = tokens,
+      start = Some(new java.sql.Timestamp(0L)),
+      stop = Some(new java.sql.Timestamp(9999999999999L)))
+    val dim = graft.sources.DeviceDim.identityDim(spark, Seq(1L, 2L, 3L))
+    val staging = Files.createTempDirectory("graft-weighted-staging")
+    try {
+      val s1 = graft.queries.LiveQueries.startStub(newer, pitMode = true)
+      val sink1 = try {
+        graft.jobs.SyncJob.runLiveRanged(spark,
+          s"http://127.0.0.1:${s1.getAddress.getPort}", dim, None, opts,
+          stagingDir = staging.toString, censusRanges = 2,
+          weightBySinkDepth = true).localCheckpoint(true)
+      } finally s1.stop(0)
+      assert(sink1.count() === (12 + 2) * 2)
+      assert(!Files.isDirectory(staging.resolve("weights")),
+        "round 1 has no sink — nothing to weigh")
+      val s2 = graft.queries.LiveQueries.startStub(newer ++ older, pitMode = true)
+      val round2 = try {
+        graft.jobs.SyncJob.runLiveRanged(spark,
+          s"http://127.0.0.1:${s2.getAddress.getPort}", dim, Some(sink1), opts,
+          stagingDir = staging.toString, censusRanges = 2,
+          weightBySinkDepth = true).localCheckpoint(true)
+      } finally s2.stop(0)
+      assert(round2.count() === 3 * 2, "weights move boundaries, never rows")
+      // the staged weights file IS the sink's depth census: one
+      // subject<TAB>rows line per synced token, subject-sorted
+      import scala.jdk.CollectionConverters._
+      val wFile = Files.list(staging.resolve("weights")).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      val lines = Files.readAllLines(wFile).asScala.filter(_.nonEmpty)
+      assert(lines.toSeq === Seq("1\t24", "2\t2", "3\t2"),
+        s"weights must be round 1's per-token sink depths, sorted: $lines")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(staging).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+  }
+
   test("runLive with slices engages the hot-subject drain (whale parallel, cold loops intact)") {
     // the reference-shaped job entry can now name its parallelism: with
     // slices > 1 the scan's terms probe spots the whale and fans it —

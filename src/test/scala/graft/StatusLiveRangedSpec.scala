@@ -503,6 +503,112 @@ class StatusLiveRangedSpec extends SparkTestBase {
     assert(e.getMessage.contains("hotSubjectsPath composes with censusRanges"))
   }
 
+  test("censusWeightsPath: boundaries fall at equal cumulative weight — a skewed fleet balances") {
+    // 10 subjects, one 10x-deep: equal-subject-count groups pack the
+    // whale with a neighbor (its group carries ~58% of the fleet);
+    // weighted boundaries give it a group of its own and spread the rest
+    val census = (0 until 10).map(i => f"w$i%02d")
+    val weights = census.map(s => s"$s\t${if (s == "w00") 100 else 10}")
+    val cPath = stage(census)
+    val wPath = stage(weights)
+    // strays below, between, and past every census subject are inert;
+    // absences default to weight 1 (w09 is deliberately missing)
+    val wStray = stage(Seq("a-stray\t5") ++ weights.filterNot(_.startsWith("w09")) ++
+      Seq("zz-stray\t7"))
+    try {
+      val plain = StatusLiveSource.planCensusRanges(cPath, None, 5)
+      val weighted = StatusLiveSource.planCensusRangesHot(
+        cPath, None, 5, Set.empty, Some(wPath)).ranges
+      def tiles(rs: Seq[StatusLiveSource.CensusRange]) =
+        rs.map(r => StatusLiveSource.readRange(cPath, r.cStart, r.cEnd))
+      assert(tiles(plain).flatten === census && tiles(weighted).flatten === census,
+        "both plans must tile the census exactly")
+      val wOf = census.map(s => s -> (if (s == "w00") 100L else 10L)).toMap
+      def loads(rs: Seq[StatusLiveSource.CensusRange]) = tiles(rs).map(_.map(wOf).sum)
+      // plain: ceil(10/5)=2 per group -> the whale's group weighs 110 of 190
+      assert(loads(plain).max === 110L, s"equal-count packing straggles: ${loads(plain)}")
+      // weighted: the whale is alone; no other group exceeds ideal+max
+      assert(loads(weighted).max === 100L,
+        s"weighted boundaries must isolate the whale: ${loads(weighted)}")
+      assert(tiles(weighted).count(_.contains("w00")) === 1 &&
+        tiles(weighted).find(_.contains("w00")).get === Seq("w00"),
+        "the whale owns its group")
+      // strays skip, absences weigh 1, and the plan still tiles exactly
+      val strayPlan = StatusLiveSource.planCensusRangesHot(
+        cPath, None, 5, Set.empty, Some(wStray)).ranges
+      assert(strayPlan.map(r => StatusLiveSource.readRange(cPath, r.cStart, r.cEnd))
+        .flatten === census, "strays/absences must not shift the tiling's coverage")
+      // staging bugs fail loudly: zero weight, unsorted file
+      val wZero = stage(Seq("w00\t0"))
+      val e1 = intercept[IllegalArgumentException](
+        StatusLiveSource.planCensusRangesHot(cPath, None, 5, Set.empty, Some(wZero)))
+      assert(e1.getMessage.contains("must be positive"))
+      val wBad = stage(Seq("w05\t3", "w01\t2"))
+      val e2 = intercept[IllegalArgumentException](
+        StatusLiveSource.planCensusRangesHot(cPath, None, 5, Set.empty, Some(wBad)))
+      assert(e2.getMessage.contains("STRICTLY sorted weights"))
+      Seq(wZero, wBad).foreach(p =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+    } finally Seq(cPath, wPath, wStray).foreach(p =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+  }
+
+  test("property: weighted boundaries keep every tiling invariant and a provable balance bound (seeded, 300 trials)") {
+    // the weighted fork of the planner fuzz: random fleets, random
+    // positive weights (some subjects absent — they weigh 1), random
+    // stray weight lines. Invariants: tiles reconstruct the census
+    // exactly; stops align exactly as unweighted (boundary placement is
+    // the only thing weights may move); group count ≤ g; and the greedy
+    // equal-cumulative-weight rule's provable bound — no group heavier
+    // than ceil(W/g) + the heaviest single subject (one subject cannot
+    // split, so that is the best any contiguous partition guarantees).
+    val rnd = new scala.util.Random(20260817L)
+    val alphabet = "abXYZ0189éü中"
+    for (trial <- 0 until 300) {
+      val n = 1 + rnd.nextInt(60)
+      def subj(): String =
+        (0 to rnd.nextInt(6)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val census = Seq.fill(n)(subj()).distinct.sorted
+      val wOf: Map[String, Long] = census.map(s =>
+        s -> (if (rnd.nextBoolean()) 1L + rnd.nextInt(100) else 1L)).toMap
+      val weightLines = census.filter(s => wOf(s) > 1L).map(s => s"$s\t${wOf(s)}") ++
+        (if (rnd.nextBoolean()) Seq(s"~~stray\t9") else Nil)
+      val stopsSubjects = census.filter(_ => rnd.nextBoolean())
+      val stops = stopsSubjects.map(s => s"$s\t${1700000000000L + rnd.nextInt(1000)}")
+      val cPath = stage(census)
+      val sPath = stage(stops)
+      val wPath = stage(weightLines.sorted)
+      try {
+        val g = 1 + rnd.nextInt(8)
+        val ranges = StatusLiveSource.planCensusRangesHot(
+          cPath, Some(sPath), g, Set.empty, Some(wPath)).ranges
+        assert(ranges.length <= g, s"trial $trial: more groups than requested")
+        val tiles = ranges.map(r => StatusLiveSource.readRange(cPath, r.cStart, r.cEnd))
+        assert(tiles.flatten === census, s"trial $trial: tiles must reconstruct the census")
+        assert(tiles.forall(_.nonEmpty), s"trial $trial: no empty group")
+        val W = census.map(wOf).sum
+        val effG = math.min(g, census.length) // the planner clamps g to n
+        val bound = (W + effG - 1) / effG + census.map(wOf).max
+        tiles.foreach { t =>
+          assert(t.map(wOf).sum <= bound,
+            s"trial $trial: group weight ${t.map(wOf).sum} exceeds ceil(W/g)+max = $bound " +
+              s"(W=$W g=$g loads=${tiles.map(_.map(wOf).sum)})")
+        }
+        val stopsOf = ranges.zip(tiles).flatMap { case (r, tile) =>
+          StatusLiveSource.readRange(sPath, r.sStart, r.sEnd).map { line =>
+            (line.takeWhile(_ != '\t'), tile)
+          }
+        }
+        stopsOf.foreach { case (s, tile) =>
+          assert(tile.contains(s), s"trial $trial: stop for '$s' landed outside its tile")
+        }
+        assert(stopsOf.map(_._1).sorted === stopsSubjects.sorted,
+          s"trial $trial: every stop in exactly one range")
+      } finally Seq(cPath, sPath, wPath).foreach(p =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+    }
+  }
+
   test("property: randomized fleets drain exactly-once END-TO-END under ranged + hot-list (seeded, 25 trials)") {
     // the planner fuzz above pins the byte-offset math; this one drives
     // the WHOLE composition through the DSv2 scan against a brute-force
