@@ -567,6 +567,77 @@ object LiveProbe {
           f"(${seq1 / cut8}%.1fx on an ES-7-posture server — no snapshot required)")
       } finally server.stop(0)
     }
+
+    // ── section 13 (r17): LOAD-BALANCED ranged groups — skew the
+    // hot-list does not name. A fleet where device age correlates with
+    // history depth (older ids sort first AND run deeper — a common
+    // real shape) packs its heavy subjects into the FIRST equal-count
+    // byte-range groups, and the heaviest group is the scan's wall
+    // clock; no single subject is whale-sized, so `hotSubjectsPath`
+    // has nothing to carve. `censusWeightsPath` (each subject's depth,
+    // the file `runLiveRanged(weightBySinkDepth=true)` stages) moves
+    // the boundaries to equal cumulative weight. Same corpus, same
+    // staged census, same stub; the only change is the weights option.
+    {
+      val heavies = (0 until 16).map(i => f"a$i%02d")     // sort FIRST
+      val lights = (0 until 1984).map(i => f"v$i%05d")
+      val heavyN = 4000
+      val lightN = 150
+      val probeDocs: IndexedSeq[graft.queries.LiveQueries.StubDoc] = {
+        var ord = -1
+        def doc(subj: String, i: Int): graft.queries.LiveQueries.StubDoc = {
+          ord += 1
+          val tsu = 1704000000000000L + ord.toLong * 1000
+          val iso = java.time.Instant.ofEpochSecond(tsu / 1000000L, (tsu % 1000000L) * 1000L)
+          graft.queries.LiveQueries.StubDoc(f"b$ord%07d", subj, tsu,
+            s"""{"id":"b$ord","subject":"$subj","source":"dimo/integration/live",""" +
+              s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v2.0",""" +
+              s""""type":"com.dimo.device.status","data":{"i":$ord}}""")
+        }
+        (heavies.flatMap(s => (0 until heavyN).map(doc(s, _))) ++
+          lights.flatMap(s => (0 until lightN).map(doc(s, _)))).toIndexedSeq
+      }
+      val census = (heavies ++ lights).sorted
+      val cFile = java.nio.file.Files.createTempFile("graft-probe13-census", ".txt")
+      val wFile = java.nio.file.Files.createTempFile("graft-probe13-weights", ".txt")
+      graft.sources.StatusLiveSource.writeSubjects(census, cFile.toString)
+      java.nio.file.Files.write(wFile, census.map(s =>
+        s"$s\t${if (s.startsWith("a")) heavyN else lightN}")
+        .mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val total = heavies.size.toLong * heavyN + lights.size.toLong * lightN
+      val expected = (0L until total).sum
+      val server = graft.queries.LiveQueries.startStub(probeDocs, pitMode = true)
+      try {
+        def read(weighted: Boolean): Long = {
+          var r = spark.read.format("graft-status-live")
+            .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+            .option("batchSize", "1000")
+            .option("subjectsPath", cFile.toString)
+            .option("censusRanges", "32")
+          if (weighted) r = r.option("censusWeightsPath", wFile.toString)
+          r.load()
+            .select(get_json_object(col("data"), "$.i").cast("long").as("i"))
+            .agg(sum(col("i"))).head().getLong(0)
+        }
+        read(weighted = true) // warm
+        def time(weighted: Boolean): Double = {
+          val t0 = System.nanoTime()
+          val got = read(weighted)
+          require(got == expected, s"weighted ranged read lost rows: sum $got != $expected")
+          (System.nanoTime() - t0) / 1e9
+        }
+        val plain = time(weighted = false)
+        val weighted = time(weighted = true)
+        println(f"[liveprobe] weighted ranged groups (16 heavy x $heavyN + 1984 light x " +
+          f"$lightN docs, heavies sort first, 32 groups, page 1000, full decode): " +
+          f"equal-count tiles $plain%.2f s vs equal-weight tiles $weighted%.2f s " +
+          f"(${plain / weighted}%.1fx — the straggler group was the scan's wall clock)")
+      } finally {
+        server.stop(0)
+        java.nio.file.Files.deleteIfExists(cFile)
+        java.nio.file.Files.deleteIfExists(wFile)
+      }
+    }
     spark.stop()
   }
 }
