@@ -416,7 +416,10 @@ object StatusLiveSource {
     * window is unknown — the proxy is stated where the weights are
     * staged); strays are inert; one subject heavier than a whole
     * group's share still cannot split (a boundary falls only between
-    * lines), it just earns a group of its own. Driver state stays
+    * lines), it just earns a group of its own. Composes with the
+    * hot-list: a carved-out subject weighs ZERO in the boundary walk —
+    * its docs drain through its own parallel tasks, and counting it
+    * would under-load the tile it was carved from. Driver state stays
     * O(groups); the weights file streams once per pass in lockstep with
     * the census — no map materializes.
     */
@@ -431,7 +434,15 @@ object StatusLiveSource {
     val censusLen =
       try eachLineWithOffset(censusPath) { (line, _) =>
         n += 1
-        preCursor.foreach(c => totalW += c.valueFor(line))
+        // a hot-carved subject weighs ZERO in the boundary walk: its
+        // docs drain through its own parallel tasks, not its tile —
+        // counting it would under-load the group it was carved from
+        // (the cursor still advances, keeping the lockstep and the
+        // file's own validation)
+        preCursor.foreach { c =>
+          val w = c.valueFor(line)
+          if (!hot.contains(line)) totalW += w
+        }
       } finally preCursor.foreach(_.close())
     if (n == 0L) return RangedHotPlan(Seq.empty, Seq.empty, Map.empty)
     val g = math.max(1L, math.min(groups.toLong, n)).toInt
@@ -472,7 +483,8 @@ object StatusLiveSource {
         case Some(c) =>
           val here = i == 0L || (k < g && cum >= totalW * k / g)
           if (i > 0L && here) { while (k < g && cum >= totalW * k / g) k += 1 }
-          cum += c.valueFor(line)
+          val w = c.valueFor(line) // always advance the lockstep cursor
+          if (!hot.contains(line)) cum += w // carved-out whales weigh 0
           here
         case None => i % per == 0L
       }

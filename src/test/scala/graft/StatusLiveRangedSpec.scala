@@ -553,6 +553,31 @@ class StatusLiveRangedSpec extends SparkTestBase {
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
   }
 
+  test("weights compose with the hot-list: a carved-out whale weighs ZERO in the boundary walk") {
+    // the whale's docs drain through its own parallel tasks, not its
+    // tile — counting its weight would under-load the group it was
+    // carved from and pack the remaining cold subjects 2:1
+    val census = "w00" +: (1 to 9).map(i => f"c$i%02d")
+    val sorted = census.sorted // w00 sorts last ('w' > 'c')
+    val weights = sorted.map(s => s"$s\t${if (s == "w00") 100 else 10}")
+    val cPath = stage(sorted)
+    val wPath = stage(weights)
+    try {
+      val plan = StatusLiveSource.planCensusRangesHot(
+        cPath, None, 3, Set("w00"), Some(wPath))
+      assert(plan.hotPresent === Seq("w00"))
+      val tiles = plan.ranges.map(r =>
+        StatusLiveSource.readRange(cPath, r.cStart, r.cEnd))
+      assert(tiles.flatten === sorted, "tiles still cover every line (exclusion is task-side)")
+      // the 9 cold subjects (weight 10 each) split 3/3/3 — the whale's
+      // 100 is invisible to the cuts
+      val coldLoads = tiles.map(_.count(_ != "w00") * 10L)
+      assert(coldLoads === Seq(30L, 30L, 30L),
+        s"carved-out weight must not skew the cold balance: $coldLoads")
+    } finally Seq(cPath, wPath).foreach(p =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+  }
+
   test("property: weighted boundaries keep every tiling invariant and a provable balance bound (seeded, 300 trials)") {
     // the weighted fork of the planner fuzz: random fleets, random
     // positive weights (some subjects absent — they weigh 1), random
@@ -632,6 +657,11 @@ class StatusLiveRangedSpec extends SparkTestBase {
       val pitMode = rnd.nextBoolean()
       val cutsMode = rnd.nextBoolean() // PIT-less whales: tiles vs isolation
       val msearch = rnd.nextBoolean() // batched cut probes vs bounded pool
+      // random weights (half the trials): boundary placement must never
+      // change WHAT ships, only where groups fall
+      val weighted = rnd.nextBoolean()
+      val weightLines = subjects.filter(_ => rnd.nextBoolean())
+        .map(s => s"$s\t${1 + rnd.nextInt(50)}")
       val groups = 1 + rnd.nextInt(5)
       val slices = 1 + rnd.nextInt(4)
       val expected: Set[String] = subjects.flatMap { s =>
@@ -641,25 +671,28 @@ class StatusLiveRangedSpec extends SparkTestBase {
       val cPath = stage(subjects)
       val sPath = stage(stopsMap.toSeq.sortBy(_._1).map { case (s, ms) => s"$s\t$ms" })
       val hPath = stage(hot.toSeq.sorted)
+      val wPath = stage(weightLines)
       val served = new java.util.concurrent.atomic.AtomicLong
       val server = graft.queries.LiveQueries.startStub(docs, pitMode = pitMode,
         served = served, timeCutsMode = cutsMode, msearchMode = msearch)
       try {
-        val live = spark.read.format("graft-status-live")
+        var r = spark.read.format("graft-status-live")
           .option("url", url(server)).option("batchSize", "64")
           .option("subjectsPath", cPath).option("stopBySubjectPath", sPath)
           .option("hotSubjectsPath", hPath)
           .option("censusRanges", groups.toString)
-          .option("slices", slices.toString).load()
+          .option("slices", slices.toString)
+        if (weighted) r = r.option("censusWeightsPath", wPath)
+        val live = r.load()
         val got = live.select(col("id")).collect().map(_.getString(0))
         assert(got.length === expected.size && got.toSet === expected,
-          s"trial $trial (pit=$pitMode cuts=$cutsMode ms=$msearch g=$groups sl=$slices hot=${hot.size}): " +
+          s"trial $trial (pit=$pitMode cuts=$cutsMode ms=$msearch w=$weighted g=$groups sl=$slices hot=${hot.size}): " +
             s"got ${got.length}, expected ${expected.size}")
         assert(served.get() === expected.size.toLong,
           s"trial $trial: wire shipped ${served.get()} for a ${expected.size}-doc surviving set")
       } finally {
         server.stop(0)
-        Seq(cPath, sPath, hPath).foreach(p =>
+        Seq(cPath, sPath, hPath, wPath).foreach(p =>
           java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
       }
     }
