@@ -380,10 +380,19 @@ object SyncJob {
     reader = reader.option("subjectsPath", censusFile)
     // explicit whales (operator knowledge) ∪ discovered whales (sink
     // depth past hotMinRows — the prior rounds' own output is the probe,
-    // so round 2 carves out the whale round 1 revealed, unnamed)
+    // so round 2 carves out the whale round 1 revealed, unnamed).
+    // Discovery is SCOPED like everything else in this sync: the sink
+    // semi-joins to the scoped tokens BEFORE the count, and the scoped
+    // dim maps the survivors — against the raw sink, a token-scoped
+    // sync over a shared store would fill hotSubjectsFromSink's cap
+    // with out-of-scope whales and silently crowd out in-scope ones
     val discovered: Seq[String] =
       if (hotMinRows < 0L) Nil
-      else existingSink.map(SyncOps.hotSubjectsFromSink(_, dim, hotMinRows)).getOrElse(Nil)
+      else existingSink.map { sink =>
+        SyncOps.hotSubjectsFromSink(
+          sink.join(scopedDim.select("tokenId"), Seq("tokenId"), "left_semi"),
+          scopedDim, hotMinRows)
+      }.getOrElse(Nil)
     val allHot = (hotSubjects ++ discovered).distinct
     if (allHot.nonEmpty) {
       // the whale list is small, driver-side (hotSubjectsFromSink caps

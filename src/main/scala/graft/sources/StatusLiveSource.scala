@@ -350,7 +350,10 @@ object StatusLiveSource {
     private var curSubj: String = null
     private var curVal: Long = default
     private var prev: String = null
-    advance()
+    // the first advance is LAZY (first valueFor, inside the caller's
+    // try/finally) — advance() validates and can throw, and a throw in
+    // the constructor would leak the just-opened reader
+    private var started = false
     private def advance(): Unit = {
       var line = reader.readLine()
       while (line != null && line.isEmpty) line = reader.readLine()
@@ -369,6 +372,7 @@ object StatusLiveSource {
     }
     /** Weight for `subject` (callers ascend in UTF-8 order). */
     def valueFor(subject: String): Long = {
+      if (!started) { started = true; advance() }
       while (curSubj != null && utf8Lt(curSubj, subject)) advance() // inert strays
       if (curSubj != null && curSubj == subject) { val v = curVal; advance(); v }
       else default
@@ -465,11 +469,19 @@ object StatusLiveSource {
     // UTF-8/code-point order ([[utf8Lt]]) — the writer is Spark's binary
     // UTF8String sort, and compareTo disagrees with it around surrogates
     var prevC: String = null
-    // weighted boundaries: a new group starts at the first line whose
-    // CUMULATIVE weight-before reaches the next equal-weight cut
-    // (totalW*k/g) — a subject heavier than passed cuts advances k past
-    // all of them (it cannot split, it just owns its group). Unweighted
-    // keeps the exact line-count boundaries of before, byte-identical.
+    // weighted boundaries, MIDPOINT rule: a new group starts at the
+    // first line whose weight MIDPOINT (cum + w/2) crosses the next
+    // equal-weight cut (totalW*k/g), and the line advances k past every
+    // cut its midpoint crosses. Testing only the weight BEFORE a line
+    // would never let a heavy subject in the middle or TAIL of the
+    // census start its own group (it merges backward; a trailing whale
+    // collapses the whole plan to one group — the exact heavy-last
+    // shape of fleets where newer ids run deeper). The midpoint isolates
+    // a heavier-than-share subject wherever it sorts: the boundary lands
+    // ON it (its midpoint crosses the pending cut) and again on the line
+    // after it (the whale's own mass crosses the next). Comparisons run
+    // at 2x in Long (no fractions; 2*W*k stays far below overflow).
+    // Unweighted keeps the exact line-count boundaries, byte-identical.
     val cursor = weightsPath.map(new SortedWeightCursor(_, 1L))
     var cum = 0L
     var k = 1
@@ -481,10 +493,12 @@ object StatusLiveSource {
       if (hot.contains(line)) hotPresentB += line
       val boundary = cursor match {
         case Some(c) =>
-          val here = i == 0L || (k < g && cum >= totalW * k / g)
-          if (i > 0L && here) { while (k < g && cum >= totalW * k / g) k += 1 }
-          val w = c.valueFor(line) // always advance the lockstep cursor
-          if (!hot.contains(line)) cum += w // carved-out whales weigh 0
+          val w0 = c.valueFor(line) // always advance the lockstep cursor
+          val w = if (hot.contains(line)) 0L else w0 // carved-out whales weigh 0
+          def crosses = k < g && 2 * cum + w > 2 * (totalW * k / g)
+          val here = i == 0L || crosses
+          while (crosses) k += 1
+          cum += w
           here
         case None => i % per == 0L
       }
@@ -1196,8 +1210,13 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
   private def hotPartsPitless(subjects: Seq[String], startMs: Long,
       stopFor: String => Long, pageSize: Int, requiredFields: Seq[String],
       envelopeIncludes: Seq[String], cap: Int): Seq[InputPartition] = {
+    // no probes will run (windowCutParts returns each subject's single
+    // isolated loop) — skip the batch AND the pool, plain flatMap
+    if (slices <= 1 || topN >= 0)
+      return subjects.flatMap(s => windowCutParts(Some(s), startMs, stopFor(s),
+        pageSize, requiredFields, envelopeIncludes, cap))
     val batched: Option[Seq[Seq[Long]]] =
-      if (subjects.lengthCompare(2) < 0 || slices <= 1 || topN >= 0) None
+      if (subjects.lengthCompare(2) < 0) None
       else new EsHttpClient(url, wire = wire).timeCutsMsBatch(index,
         subjects.map { s =>
           Seq(EqualTo("subject", s): Filter,

@@ -538,6 +538,26 @@ class StatusLiveRangedSpec extends SparkTestBase {
         cPath, None, 5, Set.empty, Some(wStray)).ranges
       assert(strayPlan.map(r => StatusLiveSource.readRange(cPath, r.cStart, r.cEnd))
         .flatten === census, "strays/absences must not shift the tiling's coverage")
+      // the whale must be isolated WHEREVER it sorts — a boundary rule
+      // testing only the weight BEFORE a line would merge a mid-census
+      // whale backward and collapse a TRAILING whale's plan to one group
+      // (the heavy-last shape of fleets where newer ids run deeper)
+      for (whaleAt <- Seq(4, 9)) {
+        val c2 = (0 until 10).map(i => f"m$i%02d")
+        val w2 = stage(c2.map(s =>
+          s"$s\t${if (s == f"m$whaleAt%02d") 100 else 10}"))
+        val p2 = stage(c2)
+        try {
+          val t2 = StatusLiveSource.planCensusRangesHot(
+            p2, None, 5, Set.empty, Some(w2)).ranges
+            .map(r => StatusLiveSource.readRange(p2, r.cStart, r.cEnd))
+          assert(t2.flatten === c2, s"whaleAt=$whaleAt: coverage")
+          assert(t2.find(_.contains(f"m$whaleAt%02d")).get === Seq(f"m$whaleAt%02d"),
+            s"whaleAt=$whaleAt: the whale must own its group, got $t2")
+          assert(t2.length > 1, s"whaleAt=$whaleAt: the plan must not collapse: $t2")
+        } finally Seq(w2, p2).foreach(p =>
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+      }
       // staging bugs fail loudly: zero weight, unsorted file
       val wZero = stage(Seq("w00\t0"))
       val e1 = intercept[IllegalArgumentException](
