@@ -2350,6 +2350,104 @@ object LiveQueries {
              FROM m GROUP BY 1"""),
     ),
 
+    // ── Heavy-LAST weighted tiling (r17): the boundary rule's hard
+    //    case. Fleets where newer ids run deeper put their heaviest
+    //    subject at the END of the sorted census — a rule that tests
+    //    only the cumulative weight BEFORE a line (the round's first
+    //    cut) never places a boundary there and collapses the whole
+    //    plan to ONE sequential group, exactly where the balance
+    //    matters most. The MIDPOINT rule (boundary on the first line
+    //    whose cum + w/2 crosses the next equal-weight cut) isolates
+    //    the trailing whale; this entry folds ~20% of rows onto one
+    //    LAST-sorting subject and RAISES unless it got a group of its
+    //    own with every other group inside the provable bound — then
+    //    the DuckDB compare pins exactly-once through the tiling.
+    //    Fixture window: W/8 < whale < W/4 (both bounds RAISED — below,
+    //    isolation is not the deterministic outcome; above, the
+    //    midpoint crosses the last cut early and the whale may merge).
+    QueryDef(
+      "q242_live_es_ranged_weighted_tail",
+      (s, d) => {
+        val evs = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(
+            when(col("user_id") % 5 === 0, lit("z-hot"))
+              .otherwise(col("user_id").cast("string")).as("subject"),
+            expr("unix_micros(ts)").as("tsu"),
+            round(col("value") * 100).cast(LongType).as("cents"))
+          .collect() // seeds the TEST DOUBLE; the measured read is below
+        val docs: IndexedSeq[StubDoc] =
+          evs.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+            val (subj, tsu, cents) = (r.getString(0), r.getLong(1), r.getLong(2))
+            val iso = java.time.Instant.ofEpochSecond(tsu / 1000000L, (tsu % 1000000L) * 1000L)
+            StubDoc(s"wt$i", subj, tsu,
+              s"""{"id":"wt$i","subject":"$subj","source":"dimo/integration/live",""" +
+                s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v2.0",""" +
+                s""""type":"com.dimo.device.status","data":{"cents":$cents}}""")
+          }
+        val wOf: Map[String, Long] =
+          evs.groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+        val census = wOf.keys.toSeq.sorted
+        val g = 8
+        val total = wOf.values.sum
+        val share = (total + g - 1) / g
+        val maxCold = (wOf - "z-hot").values.max
+        require(census.last == "z-hot" && wOf("z-hot") > share && wOf("z-hot") < total / 4,
+          s"fixture: trailing whale ${wOf("z-hot")} must sit in (share=$share, W/4=${total / 4})")
+        def stage(lines: Seq[String]): java.nio.file.Path = {
+          val f = java.nio.file.Files.createTempFile("graft-q242", ".txt")
+          java.nio.file.Files.write(f, lines.mkString("", "\n", "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          f
+        }
+        val cPath = stage(census)
+        val wPath = stage(census.map(sub => s"$sub\t${wOf(sub)}"))
+        val ranges = graft.sources.StatusLiveSource.planCensusRangesHot(
+          cPath.toString, None, g, Set.empty, Some(wPath.toString)).ranges
+        val tiles = ranges.map(r => graft.sources.StatusLiveSource.readRange(
+          cPath.toString, r.cStart, r.cEnd))
+        require(tiles.flatten == census, "weighted tiles must reconstruct the census")
+        require(tiles.last == Seq("z-hot"),
+          s"the TRAILING whale must own its group, got last tile ${tiles.last.takeRight(3)}")
+        val coldLoads = tiles.init.map(_.map(wOf).sum)
+        require(coldLoads.forall(_ <= share + maxCold),
+          s"cold group past the provable bound ${share + maxCold}: $coldLoads")
+        val served = new java.util.concurrent.atomic.AtomicLong
+        val server = startStub(docs, served = served)
+        try {
+          val live = s.read.format("graft-status-live")
+            .option("url", s"http://127.0.0.1:${server.getAddress.getPort}")
+            .option("batchSize", "500")
+            .option("subjectsPath", cPath.toString)
+            .option("censusWeightsPath", wPath.toString)
+            .option("censusRanges", g.toString).load()
+          require(live.rdd.getNumPartitions == ranges.length,
+            s"expected ${ranges.length} weighted groups, planned ${live.rdd.getNumPartitions}")
+          val out = live
+            .select(col("subject"),
+              get_json_object(col("data"), "$.cents").cast("long").as("cents"))
+            .groupBy(col("subject"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("cents")).as("cents"))
+            .localCheckpoint(true) // materialize THROUGH the weighted ranged plan
+          val extraPages = wOf.values.map(w => (w + 499) / 500 - 1).sum
+          require(served.get() >= total && served.get() - total <= extraPages,
+            s"wire served ${served.get()} of $total docs (allowed overlap $extraPages)")
+          out
+        } finally {
+          server.stop(0)
+          java.nio.file.Files.deleteIfExists(cPath)
+          java.nio.file.Files.deleteIfExists(wPath)
+        }
+      },
+      Some("""WITH m AS (
+               SELECT CASE WHEN user_id % 5 = 0 THEN 'z-hot'
+                           ELSE CAST(user_id AS VARCHAR) END AS subject,
+                      CAST(round(value*100) AS BIGINT) AS cents
+               FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+             SELECT subject, count(*)::BIGINT AS n_docs, sum(cents)::BIGINT AS cents
+             FROM m GROUP BY 1"""),
+    ),
+
     // ── The reference's CONTINUOUS pipeline over BOTH wires (r14):
     //    `readStream` from live ES → transform → `writeStream` into live
     //    CH (its loop tails ES and inserts into CH forever, sync.go:92-125
