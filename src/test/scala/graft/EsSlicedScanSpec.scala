@@ -474,6 +474,35 @@ class EsSlicedScanSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("pitReleaseAtQueryEnd=false disables ONLY the query-end hook — a stopped tail still releases") {
+    // the option must not widen into a leak: superseded micro-batch
+    // plannings and stream stop() are separate release paths, and a
+    // stopped sliced tail must leave ZERO server search contexts behind
+    // whatever the query-end posture
+    val docs = corpus(240)
+    val pitOpened = new java.util.concurrent.atomic.AtomicLong
+    val pitClosedIds = new ConcurrentLinkedQueue[String]()
+    val server = graft.queries.LiveQueries.startStub(docs, pitMode = true,
+      pitOpened = pitOpened, pitClosedIds = pitClosedIds)
+    try {
+      val q = spark.readStream.format("graft-status-live")
+        .option("url", url(server)).option("batchSize", "64")
+        .option("slices", "4").option("pitReleaseAtQueryEnd", "false").load()
+        .select(col("id"))
+        .writeStream.format("memory").queryName("sliced_tail_noqe").start()
+      try q.processAllAvailable() finally q.stop()
+      val ids = spark.sql("SELECT id FROM sliced_tail_noqe").collect().map(_.getString(0))
+      assert(ids.length === 240 && ids.toSet.size === 240, "exactly-once unchanged")
+      import scala.jdk.CollectionConverters._
+      val deadline = System.currentTimeMillis() + 20000
+      while (pitClosedIds.asScala.toSet.size.toLong < pitOpened.get() &&
+        System.currentTimeMillis() < deadline) Thread.sleep(25)
+      assert(pitClosedIds.asScala.toSet.size.toLong === pitOpened.get(),
+        s"stop() must still release every PIT under the keep-alive-only option: " +
+          s"opened ${pitOpened.get()}, closed ${pitClosedIds.asScala.toSet.size}")
+    } finally server.stop(0)
+  }
+
   test("subject fan-out and DESC top-K keep their own plans (slices never apply)") {
     val docs = corpus(200)
     val server = graft.queries.LiveQueries.startStub(docs, pitMode = true)
