@@ -224,10 +224,17 @@ object SyncJob {
             // watermark map as subject<TAB>ceil-millis lines, computed and
             // written by the CLUSTER (the exclusive per-token stop,
             // sync.go:96-100 [ext]; ceil absorbs the micro→milli gap, the
-            // plan's exact `< watermark` filter stays micro-precise)
-            val f = stageText(watermarksDf.select(concat_ws("\t", col("subject"),
-              expr("(unix_micros(watermark) + 999) DIV 1000"))
-              .as("value")).sort("value"), "graft-stops")
+            // plan's exact `< watermark` filter stays micro-precise).
+            // MAX per subject: a dim mapping several tokenIds to one
+            // subject must stage ONE stop line, and the backfill's
+            // `time < watermark` fetch needs the union of every token's
+            // window — the max (overshipped overlap is clipped by run()'s
+            // per-token watermark join; undershipping must not happen)
+            val f = stageText(watermarksDf
+              .groupBy(col("subject"))
+              .agg(max(expr("(unix_micros(watermark) + 999) DIV 1000")).as("ms"))
+              .select(concat_ws("\t", col("subject"), col("ms")).as("value"))
+              .sort("value"), "graft-stops")
             reader = reader.option("stopBySubjectPath", f)
           }
           // census via the staged file: per-subject fan-out without an
@@ -236,9 +243,14 @@ object SyncJob {
           reader.option("subjectsPath", f).load()
         } else {
           if (existingSink.isDefined) {
+            // max per subject for the same reason the staged form
+            // aggregates: a multi-token subject's backfill window is the
+            // union of its tokens' `< watermark` needs — the max (a
+            // plain toMap would keep an arbitrary token's and undership)
             val stops: Map[String, Long] = watermarksDf
               .select("subject", "watermark").collect()
-              .map(r => r.getString(0) -> ceilMs(r.getTimestamp(1))).toMap
+              .map(r => r.getString(0) -> ceilMs(r.getTimestamp(1)))
+              .groupMapReduce(_._1)(_._2)(math.max)
             if (stops.nonEmpty)
               reader = reader.option("stopBySubject",
                 graft.sources.StatusLiveSource.stopsJson(stops))
@@ -261,9 +273,26 @@ object SyncJob {
     * outlive the action) share. The directory listing is CLOSED (a
     * leaked stream holds the descriptor for the JVM's life on some
     * filesystems).
+    *
+    * FRAMING GUARD: every staged file is newline-framed, so a line
+    * containing `\n` (or `\r` — `BufferedReader.readLine` terminates on
+    * both) would split into phantom lines. For the tabbed stops/weights
+    * forms the phantom's missing tab fails the planner's parse loudly,
+    * but a newline-bearing SUBJECT in the census splits into two
+    * census lines whose terms match nothing — the scan silently
+    * UNDER-ships that subject's documents. So the write itself raises,
+    * in-plan (no extra pass, no driver materialization), on any line
+    * carrying a frame byte. Tabs are safe by construction:
+    * `lastIndexOf('\t')` parsing keeps a tabbed subject intact.
     */
   private def writeSingleText(df: DataFrame, dir: java.nio.file.Path): String = {
-    df.coalesce(1).write.mode("overwrite").text(dir.toString)
+    val c = col(df.columns.head)
+    val guarded = df.select(
+      when(c.contains("\n") || c.contains("\r"),
+        raise_error(concat(lit("staged line breaks the newline framing contract "
+          + "(subject contains \\n or \\r): "), c)))
+        .otherwise(c).as(df.columns.head))
+    guarded.coalesce(1).write.mode("overwrite").text(dir.toString)
     val listing = java.nio.file.Files.list(dir)
     try {
       import scala.jdk.CollectionConverters._
@@ -356,11 +385,24 @@ object SyncJob {
       .option("slices", slices.toString)
     if (opts.signalNames.nonEmpty)
       reader = reader.option("signals", opts.signalNames.mkString(","))
+    // Both staged tables RE-AGGREGATE BY SUBJECT after the dim join: the
+    // census stages distinct subjects, so a dim mapping several tokenIds
+    // to one subject (aliases, re-registrations) must stage ONE line per
+    // subject here too — per-token lines would duplicate the subject and
+    // the planner's strict-sorted require would fail the sync. The
+    // backfill fetches `time < watermark` (the token's OLDEST synced
+    // signal), so the subject's wire stop is the MAX over its tokens —
+    // the union of every token's need: the token with the newer
+    // watermark must not be undershipped, and the overlap the other
+    // token re-receives is clipped exactly by [[run]]'s per-token
+    // watermark join. Weights SUM (the subject's total sink depth is
+    // what its tile drains).
     if (existingSink.isDefined) {
       val f = stageTo(SyncOps.watermarks(existingSink.get, wmNames)
         .join(scopedDim.select("tokenId", "subject"), Seq("tokenId"))
-        .select(concat_ws("\t", col("subject"),
-          expr("(unix_micros(watermark) + 999) DIV 1000")).as("value"))
+        .groupBy(col("subject"))
+        .agg(max(expr("(unix_micros(watermark) + 999) DIV 1000")).as("ms"))
+        .select(concat_ws("\t", col("subject"), col("ms")).as("value"))
         .sort("value"), "stops")
       reader = reader.option("stopBySubjectPath", f)
     }
@@ -371,6 +413,7 @@ object SyncJob {
       val wf = stageTo(existingSink.get.groupBy(col("tokenId"))
         .agg(count(lit(1)).as("n"))
         .join(scopedDim.select("tokenId", "subject"), Seq("tokenId"))
+        .groupBy(col("subject")).agg(sum(col("n")).as("n"))
         .select(concat_ws("\t", col("subject"), col("n")).as("value"))
         .sort("value"), "weights")
       reader = reader.option("censusWeightsPath", wf)

@@ -253,11 +253,24 @@ object StatusLiveSource {
   /** Stage a subject census for the `subjectsPath` option: one subject
     * per line, the planner's input for per-subject page-loop fan-out when
     * the census is too large to ride as a pushed IN-set expression.
+    *
+    * NEWLINE FRAMING CONTRACT: staged subjects must not contain `\n` or
+    * `\r` — the files are line-framed and a frame byte inside a subject
+    * splits it into phantom lines whose terms match nothing, silently
+    * UNDER-shipping that subject's documents. Validated here (and
+    * in-plan at the cluster-staged writes) so the failure is loud at
+    * staging, not a missing-rows mystery at read. Tabs are safe: the
+    * tabbed forms parse by `lastIndexOf('\t')`.
     */
   def writeSubjects(subjects: Seq[String], path: String): Unit = {
     val w = java.nio.file.Files.newBufferedWriter(java.nio.file.Paths.get(path),
       java.nio.charset.StandardCharsets.UTF_8)
-    try subjects.foreach { s => w.write(s); w.write('\n') }
+    try subjects.foreach { s =>
+      require(!s.contains('\n') && !s.contains('\r'),
+        s"staged subject breaks the newline framing contract (contains \\n or \\r): " +
+          s.replace("\n", "\\n").replace("\r", "\\r"))
+      w.write(s); w.write('\n')
+    }
     finally w.close()
   }
 
@@ -389,6 +402,13 @@ object StatusLiveSource {
     * group-g subject lies in group g's range; strays outside any group's
     * subject set are inert, tasks look stops up BY SUBJECT). Driver
     * state: O(groups) offsets — never a map entry per token.
+    *
+    * NEWLINE FRAMING CONTRACT: all staged inputs (census, stops,
+    * weights, hot-list) are newline-framed — subjects must contain no
+    * `\n`/`\r`. The staging writers enforce this loudly
+    * ([[writeSubjects]]; the cluster writes guard in-plan); a frame
+    * byte smuggled past them would split a subject into phantom census
+    * lines that match nothing and silently under-ship its documents.
     */
   private[graft] def planCensusRanges(censusPath: String, stopsPath: Option[String],
       groups: Int): Seq[CensusRange] =
@@ -480,7 +500,14 @@ object StatusLiveSource {
     // a heavier-than-share subject wherever it sorts: the boundary lands
     // ON it (its midpoint crosses the pending cut) and again on the line
     // after it (the whale's own mass crosses the next). Comparisons run
-    // at 2x in Long (no fractions; 2*W*k stays far below overflow).
+    // at 2x in Long (no fractions), MULTIPLYING before dividing —
+    // 2*W*k/g, not 2*(W*k/g): the inner division truncates first, so
+    // the parenthesized form lowers the cut by up to 2 whenever
+    // W*k mod g >= g/2 and a boundary can land one line early
+    // (balance-only drift, but the rule would no longer be the exact
+    // midpoint rule this comment states). Overflow headroom: the
+    // largest product is 2*W*(g-1), safe while totalW < 2^62/g — a
+    // 4096-group plan tolerates a cumulative weight over 10^15 rows.
     // Unweighted keeps the exact line-count boundaries, byte-identical.
     val cursor = weightsPath.map(new SortedWeightCursor(_, 1L))
     var cum = 0L
@@ -495,7 +522,7 @@ object StatusLiveSource {
         case Some(c) =>
           val w0 = c.valueFor(line) // always advance the lockstep cursor
           val w = if (hot.contains(line)) 0L else w0 // carved-out whales weigh 0
-          def crosses = k < g && 2 * cum + w > 2 * (totalW * k / g)
+          def crosses = k < g && 2 * cum + w > 2 * totalW * k / g
           val here = i == 0L || crosses
           while (crosses) k += 1
           cum += w
@@ -1131,25 +1158,57 @@ class StatusLiveScan(url: String, index: String, batchSize: Int,
     if (openedPits.isEmpty) { releaseHookArmed = false; true } else false
   }
 
+  /** True when `parts` IS the memoized planning (element identity) —
+    * callers must hold the scan monitor. The query-end drain's guard
+    * against sweeping a CONCURRENT action's just-opened snapshot
+    * ([[releaseAtQueryEnd]]).
+    */
+  private def isCurrentPlanning(parts: Seq[InputPartition]): Boolean =
+    planCache.exists { case (_, arr) =>
+      arr.length == parts.length && arr.indices.forall(i => arr(i) eq parts(i))
+    }
+
   /** The listener's query-end release: drain + plan-cache invalidation +
     * DISARM under ONE monitor acquisition. Separate release-then-disarm
     * calls race a concurrent planning on the same scan: a trackPit
     * landing between them sees `releaseHookArmed` still true, skips
     * re-registering, and the listener then unregisters — leaving the new
     * PIT with no query-end hook (keep-alive backstop only). Atomically,
-    * a concurrent trackPit either lands BEFORE (its pit drains in this
-    * very release) or AFTER (it finds the flag down and arms a fresh
-    * listener).
+    * a concurrent trackPit either lands BEFORE (this release then SKIPS,
+    * below) or AFTER (it finds the flag down and arms a fresh listener).
+    *
+    * `executed` — the partitions the COMPLETED query actually ran
+    * (listener-extracted from its physical plan; None when the plan
+    * shape hides them). The drain proceeds only when they ARE the
+    * current planning ([[isCurrentPlanning]], checked under the SAME
+    * monitor acquisition as the drain — no check-then-sweep window): a
+    * concurrent action that re-planned this scan (new window, DPP key)
+    * owns the tracked pits now, its query has NOT ended, and sweeping
+    * them would fail its tasks `search_context_missing` mid-drain
+    * (advice r17). Returns true when it drained (the listener
+    * unregisters) and false when the completed query's planning was
+    * superseded (the listener stays armed for the owning action's own
+    * completion; the superseded pits were already drained at re-plan).
+    * Two actions sharing ONE planning remain the documented limitation:
+    * their partitions are indistinguishable, so the first completion
+    * still releases — loud (`search_context_missing`), rare (two
+    * threads executing one cached Dataset concurrently), and
+    * recoverable by re-running the action.
     */
-  private[sources] def releaseAtQueryEnd(): Unit = {
+  private[sources] def releaseAtQueryEnd(
+      executed: Option[Seq[InputPartition]] = None): Boolean = {
     val ids = synchronized {
-      val snapshot = openedPits.toList
-      openedPits.clear()
-      planCache = None // a later action must re-plan: its PIT ids are gone
-      releaseHookArmed = false
-      snapshot
+      if (executed.exists(parts => !isCurrentPlanning(parts))) None
+      else {
+        val snapshot = openedPits.toList
+        openedPits.clear()
+        planCache = None // a later action must re-plan: its PIT ids are gone
+        releaseHookArmed = false
+        Some(snapshot)
+      }
     }
-    closePitsAsync(ids)
+    ids.foreach(closePitsAsync)
+    ids.isDefined
   }
 
   /** PIT-less parallel drain: tile one loop's window into DISJOINT
@@ -1632,13 +1691,36 @@ private class PitReleaseListener(
             if r.scan eq scan => r
         }.nonEmpty
         if (mine) {
-          // one atomic drain+disarm — a separate release-then-disarm pair
-          // would let a concurrent planning trackPit between the two and
-          // skip re-arming ([[StatusLiveScan.releaseAtQueryEnd]])
-          scan.releaseAtQueryEnd()
-          session.listenerManager.unregister(this)
+          // one atomic guard+drain+disarm under the scan monitor
+          // ([[StatusLiveScan.releaseAtQueryEnd]]): drains only when the
+          // COMPLETED query executed the scan's current planning — a
+          // concurrent action that re-planned owns the tracked pits, and
+          // its query has not ended. False keeps this listener armed for
+          // the owning action's own completion; an executed plan whose
+          // BatchScanExec can't be located (None) drains as before.
+          if (scan.releaseAtQueryEnd(executedParts(qe.executedPlan, scan)))
+            session.listenerManager.unregister(this)
         }
     }
+
+  /** The partitions the completed query EXECUTED for `scan`, from its
+    * physical plan. AQE and query stages are leaf nodes hiding their
+    * subtrees, so the walk descends explicitly; None when no
+    * BatchScanExec for this scan is reachable.
+    */
+  private def executedParts(p: org.apache.spark.sql.execution.SparkPlan,
+      scan: StatusLiveScan):
+      Option[Seq[org.apache.spark.sql.connector.read.InputPartition]] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    p match {
+      case b: BatchScanExec if b.scan eq scan => Some(b.inputPartitions)
+      case a: AdaptiveSparkPlanExec           => executedParts(a.executedPlan, scan)
+      case q: QueryStageExec                  => executedParts(q.plan, scan)
+      case other =>
+        other.children.view.flatMap(c => executedParts(c, scan)).headOption
+    }
+  }
   override def onSuccess(funcName: String,
       qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = fire(qe)
   override def onFailure(funcName: String,

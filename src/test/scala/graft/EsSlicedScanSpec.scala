@@ -503,6 +503,66 @@ class EsSlicedScanSpec extends SparkTestBase {
     } finally server.stop(0)
   }
 
+  test("query-end release refuses a SUPERSEDED planning's completion (advice r17 interleaving)") {
+    // two actions on one scan can interleave so that action B re-plans
+    // (new runtime key / window) and opens a fresh PIT while action A's
+    // completion listener fires: the tracked pits then belong to B's
+    // planning, whose query has NOT ended — sweeping them would fail B's
+    // tasks `search_context_missing` mid-drain. The drain therefore
+    // checks WHAT the completed query executed against the CURRENT
+    // planning under ONE monitor acquisition; this drives that guard
+    // deterministically (the bus interleaving itself is a race by
+    // definition).
+    val docs = corpus(200)
+    val pitOpened = new java.util.concurrent.atomic.AtomicLong
+    val pitClosedIds = new ConcurrentLinkedQueue[String]()
+    val server = graft.queries.LiveQueries.startStub(docs, pitMode = true,
+      pitOpened = pitOpened, pitClosedIds = pitClosedIds)
+    try {
+      val props = new java.util.HashMap[String, String]()
+      props.put("url", url(server))
+      props.put("batchSize", "64")
+      props.put("slices", "4")
+      val scan = new graft.sources.StatusLiveSource()
+        .getTable(graft.sources.StatusV2Source.Schema, Array.empty, props)
+        .asInstanceOf[graft.sources.StatusLiveTable]
+        .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          new java.util.HashMap[String, String]()))
+        .build().asInstanceOf[graft.sources.StatusLiveScan]
+      val parts1 = scan.planInputPartitions()
+      assert(pitOpened.get() === 1L, "one shared PIT per planning pass")
+      // a completion whose executed partitions are NOT the current
+      // planning must be refused: nothing drains, the hook stays armed
+      assert(!graft.sources.TestHooks.releaseAtQueryEnd(scan, Some(parts1.toSeq.tail)),
+        "a stale/foreign planning's completion must not sweep the live snapshot")
+      assert(pitClosedIds.isEmpty, "the current planning's PIT survived the stale fire")
+      // the owning planning's completion drains as before
+      assert(graft.sources.TestHooks.releaseAtQueryEnd(scan, Some(parts1.toSeq)),
+        "the current planning's completion drains")
+      import scala.jdk.CollectionConverters._
+      var deadline = System.currentTimeMillis() + 20000
+      while (pitClosedIds.asScala.toSet.size < 1 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(25)
+      assert(pitClosedIds.asScala.toSet.size.toLong === pitOpened.get(),
+        "the owning completion released the snapshot")
+      // after the drain the plan cache is invalid: the next planning
+      // opens a FRESH snapshot; the OLD partitions are refused again and
+      // an unlocatable executed plan (None) falls back to the full drain
+      val parts2 = scan.planInputPartitions()
+      assert(pitOpened.get() === 2L, "post-drain planning opened a fresh PIT")
+      assert(!(parts2.head eq parts1.head), "a re-plan builds fresh partition instances")
+      assert(!graft.sources.TestHooks.releaseAtQueryEnd(scan, Some(parts1.toSeq)),
+        "the superseded planning keeps being refused")
+      assert(graft.sources.TestHooks.releaseAtQueryEnd(scan, None),
+        "an unlocatable executed plan falls back to the unguarded drain")
+      deadline = System.currentTimeMillis() + 20000
+      while (pitClosedIds.asScala.toSet.size.toLong < pitOpened.get() &&
+        System.currentTimeMillis() < deadline) Thread.sleep(25)
+      assert(pitClosedIds.asScala.toSet.size.toLong === pitOpened.get(),
+        "every issued PIT released by the end")
+    } finally server.stop(0)
+  }
+
   test("subject fan-out and DESC top-K keep their own plans (slices never apply)") {
     val docs = corpus(200)
     val server = graft.queries.LiveQueries.startStub(docs, pitMode = true)

@@ -330,6 +330,114 @@ class StatusLiveFleetSpec extends SparkTestBase {
     }
   }
 
+  test("a dim mapping two tokens to ONE subject stages single stops/weights lines (max watermark, summed depth)") {
+    // alias / re-registration shape: tokens 1 and 2 are the same physical
+    // subject "sX"; token 3 owns "sY". The staged stops/weights files are
+    // keyed BY SUBJECT, so the cluster staging must re-aggregate after
+    // the dim join — per-token lines would duplicate the subject and fail
+    // the ranged planner's strict-sorted require (advice r17). The
+    // backfill fetches `time < watermark` (oldest synced signal), so the
+    // subject's wire stop is the MAX over its tokens — the union of both
+    // windows; run()'s per-token watermark join clips the overlap
+    // exactly. Weights SUM (the subject's total sink depth).
+    val t0 = 1704000000000L
+    def doc(id: String, subj: String, ms: Long, speed: Long): String =
+      s"""{"id":"$id","subject":"$subj","source":"dimo/integration/live","specversion":"1.0",""" +
+        s""""time":"${java.time.Instant.ofEpochMilli(ms)}",""" +
+        s""""dataschema":"dimo.zone.status/v1.0","type":"c","data":{"speed":$speed,"make":"m"}}"""
+    // wire corpus: sX at t0 (old) and t0+61.5s (between the two tokens'
+    // watermarks — the max-vs-min discriminator); sY at t0
+    val corpus = IndexedSeq(
+      graft.queries.LiveQueries.StubDoc("oX", "sX", t0 * 1000L, doc("oX", "sX", t0, 10)),
+      graft.queries.LiveQueries.StubDoc("mX", "sX", (t0 + 61500) * 1000L,
+        doc("mX", "sX", t0 + 61500, 15)),
+      graft.queries.LiveQueries.StubDoc("oY", "sY", t0 * 1000L, doc("oY", "sY", t0, 10)))
+    val dim = graft.sources.DeviceDim.fromPairs(spark,
+      Seq((1L, "sX"), (2L, "sX"), (3L, "sY")))
+    // fabricated round-1 sink: token 1 resumed down to t0+62s, token 2
+    // only to t0+61s, token 3 to t0+61s — DIFFERENT watermarks on one
+    // subject, so the aggregate choice is observable
+    val sink1 = spark.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, new java.sql.Timestamp(t0 + 62000), "speed"),
+        org.apache.spark.sql.Row(2L, new java.sql.Timestamp(t0 + 61000), "speed"),
+        org.apache.spark.sql.Row(3L, new java.sql.Timestamp(t0 + 61000), "speed")),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("tokenId",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("timestamp",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("name",
+            org.apache.spark.sql.types.StringType))))
+    val opts = graft.jobs.SyncOptions(tokens = Seq("1", "2", "3"),
+      start = Some(new java.sql.Timestamp(0L)),
+      stop = Some(new java.sql.Timestamp(9999999999999L)))
+    val staging = Files.createTempDirectory("graft-alias-staging")
+    try {
+      val server = graft.queries.LiveQueries.startStub(corpus, pitMode = true)
+      val out = try {
+        graft.jobs.SyncJob.runLiveRanged(spark,
+          s"http://127.0.0.1:${server.getAddress.getPort}", dim, Some(sink1), opts,
+          stagingDir = staging.toString, censusRanges = 2,
+          weightBySinkDepth = true).localCheckpoint(true)
+      } finally server.stop(0)
+      import scala.jdk.CollectionConverters._
+      def stagedLines(name: String): Seq[String] = {
+        val f = Files.list(staging.resolve(name)).iterator().asScala
+          .find(_.getFileName.toString.startsWith("part-")).get
+        Files.readAllLines(f).asScala.filter(_.nonEmpty).toSeq
+      }
+      assert(stagedLines("stops") === Seq(s"sX\t${t0 + 62000}", s"sY\t${t0 + 61000}"),
+        "ONE stop line per subject, at the MAX (union) watermark")
+      assert(stagedLines("weights") === Seq("sX\t2", "sY\t1"),
+        "ONE weight line per subject, depths summed across its tokens")
+      // exact per-token clipping: token 1 keeps oX+mX (wm 62s), token 2
+      // keeps only oX (mX at 61.5s is at/after its 61s watermark),
+      // token 3 keeps oY — 2 signals per doc
+      val perToken = out.groupBy(col("tokenId")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(perToken === Map(1L -> 4L, 2L -> 2L, 3L -> 2L),
+        s"max-stop overlap must be clipped per token, never undershipped: $perToken")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(staging).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  test("a newline-bearing subject fails LOUDLY at staging — never silent under-shipping") {
+    // the staged files are newline-framed: a subject containing \n (or
+    // \r — BufferedReader.readLine ends on both) would split into
+    // phantom census lines whose terms match nothing, silently dropping
+    // that subject's documents. The staging write itself must raise.
+    val dim = graft.sources.DeviceDim.fromPairs(spark, Seq((1L, "veh\nA"), (2L, "ok")))
+    val opts = graft.jobs.SyncOptions(tokens = Seq("1", "2"),
+      start = Some(new java.sql.Timestamp(0L)),
+      stop = Some(new java.sql.Timestamp(9999999999999L)))
+    val staging = Files.createTempDirectory("graft-frame-staging")
+    try {
+      val e = intercept[Exception] {
+        // the census stages (and fails) before any wire contact: the URL
+        // never resolves and must never need to
+        graft.jobs.SyncJob.runLiveRanged(spark, "http://127.0.0.1:9", dim, None, opts,
+          stagingDir = staging.toString, censusRanges = 2)
+      }
+      def msgs(t: Throwable): String =
+        if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+      assert(msgs(e).contains("framing contract"),
+        s"staging a newline-bearing subject must raise the framing guard: ${msgs(e)}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(staging).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+    // the driver-side writer enforces the same contract
+    val p = Files.createTempFile("graft-frame", ".txt")
+    val e2 = intercept[IllegalArgumentException](
+      StatusLiveSource.writeSubjects(Seq("ok", "bad\rsubject"), p.toString))
+    assert(e2.getMessage.contains("framing contract"))
+    Files.deleteIfExists(p)
+  }
+
   test("runLive with slices engages the hot-subject drain (whale parallel, cold loops intact)") {
     // the reference-shaped job entry can now name its parallelism: with
     // slices > 1 the scan's terms probe spots the whale and fans it —

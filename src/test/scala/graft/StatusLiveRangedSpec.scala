@@ -573,6 +573,28 @@ class StatusLiveRangedSpec extends SparkTestBase {
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
   }
 
+  test("midpoint boundary arithmetic is EXACT: multiply before dividing (advice r17)") {
+    // W=3 (odd), g=2: the k=1 equal-weight cut sits at exactly W*k/g =
+    // 1.5. Line b's midpoint (cum + w/2 = 1.5) does NOT strictly cross
+    // it, so b belongs to group 1 and the boundary falls on c:
+    // [a,b] / [c]. Truncate-FIRST arithmetic — 2*(W*k/g) = 2 instead of
+    // 2*W*k/g = 3 — sees b's doubled midpoint 3 > 2 and cuts one line
+    // early ([a] / [b,c]), contradicting the documented rule whenever
+    // W*k mod g >= g/2. Balance-only drift, but the rule must be the
+    // rule it states.
+    val census = Seq("a", "b", "c")
+    val cPath = stage(census)
+    val wPath = stage(census.map(s => s"$s\t1"))
+    try {
+      val tiles = StatusLiveSource.planCensusRangesHot(
+        cPath, None, 2, Set.empty, Some(wPath)).ranges
+        .map(r => StatusLiveSource.readRange(cPath, r.cStart, r.cEnd))
+      assert(tiles === Seq(Seq("a", "b"), Seq("c")),
+        s"the exact midpoint rule keeps b in group 1: $tiles")
+    } finally Seq(cPath, wPath).foreach(p =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+  }
+
   test("weights compose with the hot-list: a carved-out whale weighs ZERO in the boundary walk") {
     // the whale's docs drain through its own parallel tasks, not its
     // tile — counting its weight would under-load the group it was

@@ -10,4 +10,14 @@ object TestHooks {
     val inner = new ByteRangeLines(path, start, end)
     () => inner.next()
   }
+
+  /** Drive [[StatusLiveScan.releaseAtQueryEnd]]'s executed-planning
+    * guard directly: the listener's drain with a caller-chosen "what the
+    * completed query executed" argument — the concurrency the guard
+    * exists for is two actions interleaving, which a spec can state
+    * deterministically this way but not reproduce on the listener bus.
+    */
+  def releaseAtQueryEnd(scan: StatusLiveScan,
+      executed: Option[Seq[org.apache.spark.sql.connector.read.InputPartition]]): Boolean =
+    scan.releaseAtQueryEnd(executed)
 }
