@@ -59,6 +59,16 @@ Anything tripping in only one of the two runs prints as a transient
 note.  Entries or medians without CPU data fall back to the wall-only
 rule per run, so pre-CPU runs still check.
 
+A second calibration entry, `calibration_serial` (ONE partition, 1/32
+the work), separates two host conditions the 32-way `calibration_cpu`
+alone conflates: a merely-SLOW host moves both calibrations together,
+while co-tenancy that steals CORES slows the 32-way wall beyond the
+single-core one.  Both checkers print the effective-core ratio
+(CAL scale / serial scale) and annotate wall trips it explains; the
+ratio only sees contention present AT calibration time — a burst that
+misses the calibration window still reads 1.0, which is the honest
+answer (the pair rule is what demotes bursts).
+
 The parallel plan shapes themselves remain guarded structurally where
 it matters: the gate entries RAISE in-entry when a sliced/tiled/ranged
 plan silently degrades (q231/q234/q236/q237/q239), failing CORRECTNESS
@@ -69,6 +79,16 @@ import statistics
 import sys
 
 CAL = "calibration_cpu"
+# The serial twin (ONE partition, 1/32 the work): its wall tracks
+# single-core speed where CAL's 32-way wall tracks aggregate throughput.
+# The PAIR separates "host is slow" (both move together) from "host lost
+# cores to co-tenancy" (CAL moves, serial doesn't) — the signature behind
+# the recurring driver-run wall-only noise (judge r17: calibration 0.97x
+# while 43 byte-identical entries ran 1.5-3x wall medians at flat CPU).
+CAL_SERIAL = "calibration_serial"
+# effective-core ratio (CAL wall scale / serial wall scale) above which a
+# wall trip is annotated as explained by lost parallelism
+EFF_CORE_NOTE = 1.25
 FLAG_RATIO = 1.5
 WALL_ABS_FLOOR = 0.5
 # CPU floor: scheduling/GC jitter sums over 32 ways, so the absolute
@@ -83,11 +103,23 @@ def load(path):
         return json.load(f)
 
 
-def scale_of(run_vals: dict, med_vals: dict) -> float:
-    """Host-speed ratio from the calibration entry; 1.0 when absent."""
-    if med_vals.get(CAL, 0) > 0 and run_vals.get(CAL, 0) > 0:
-        return run_vals[CAL] / med_vals[CAL]
+def scale_of(run_vals: dict, med_vals: dict, key: str = CAL) -> float:
+    """Host-speed ratio from a calibration entry; 1.0 when absent."""
+    if med_vals.get(key, 0) > 0 and run_vals.get(key, 0) > 0:
+        return run_vals[key] / med_vals[key]
     return 1.0
+
+
+def eff_core_ratio(run_vals: dict, med_vals: dict) -> float:
+    """CAL wall drift / CAL_SERIAL wall drift: ~1.0 on a merely-slow host
+    (both calibrations move together), >1 when the 32-way calibration
+    lost throughput the single-core one did not — lost effective cores.
+    1.0 when either entry is missing (pre-serial runs/medians).
+    """
+    serial = scale_of(run_vals, med_vals, CAL_SERIAL)
+    if serial <= 0 or CAL_SERIAL not in med_vals or CAL_SERIAL not in run_vals:
+        return 1.0
+    return scale_of(run_vals, med_vals, CAL) / serial
 
 
 def exceeds_wall(norm: float, median: float) -> bool:
@@ -112,7 +144,8 @@ def classify(med_doc: dict, run: dict) -> dict:
     cpu_scale = scale_of(run_cpu, cpu_medians)
     out = {}
     for name, t in run["queries"].items():
-        if name == CAL or name not in medians or medians[name] <= 0 or t < 0:
+        if (name in (CAL, CAL_SERIAL) or name not in medians
+                or medians[name] <= 0 or t < 0):
             continue
         norm = t / wall_scale
         if not exceeds_wall(norm, medians[name]):
@@ -149,20 +182,28 @@ def check(medians_path: str, run_path: str) -> int:
     run_cpu = run.get("cpu_queries", {})
     wall_scale = scale_of(run["queries"], medians)
     cpu_scale = scale_of(run_cpu, cpu_medians)
+    eff = eff_core_ratio(run["queries"], medians)
     print(f"calibration scale: wall {wall_scale:.3f} "
           f"(run {run['queries'].get(CAL, -1)}s / median {medians.get(CAL, -1)}s), "
+          f"serial {scale_of(run['queries'], medians, CAL_SERIAL):.3f}, "
           f"cpu {cpu_scale:.3f} "
-          f"(run {run_cpu.get(CAL, -1)}s / median {cpu_medians.get(CAL, -1)}s)")
+          f"(run {run_cpu.get(CAL, -1)}s / median {cpu_medians.get(CAL, -1)}s), "
+          f"effective-core ratio {eff:.3f}"
+          + (" — the host lost PARALLELISM at calibration time (the 32-way "
+             "calibration slowed beyond the single-core one); wall trips "
+             "below are annotated" if eff > EFF_CORE_NOTE else ""))
     verdicts = classify(med_doc, run)
     flagged = sorted((n, d) for n, (k, d) in verdicts.items()
                      if k in ("both", "flag_nocpu"))
     wall_only = sorted((n, d) for n, (k, d) in verdicts.items() if k == "wall")
+    eff_note = (f" [effective-core ratio {eff:.2f} explains lost "
+                f"parallelism]" if eff > EFF_CORE_NOTE else "")
     for name, d in sorted(flagged, key=lambda x: -x[1]["norm"] / x[1]["med"]):
         print(f"FLAG {name}: {fmt(d)}")
     for name, d in sorted(wall_only, key=lambda x: -x[1]["norm"] / x[1]["med"]):
         print(f"note (wall-only, not flagged) {name}: {fmt(d)} — host "
               f"contention OR a blocking/parallelism change; the pair rule "
-              f"(--check-pair) escalates it if the NEXT run repeats it")
+              f"(--check-pair) escalates it if the NEXT run repeats it{eff_note}")
     print(f"{len(flagged)} flagged of {len(run['queries'])} entries "
           f"(rule: BOTH normalized wall AND cpu > {FLAG_RATIO}x median, cpu floor "
           f"max({CPU_ABS_FLOOR_MIN}, {CPU_ABS_FLOOR_FRAC}x cpu median) s; "
@@ -172,8 +213,15 @@ def check(medians_path: str, run_path: str) -> int:
 
 def check_pair(medians_path: str, run1_path: str, run2_path: str) -> int:
     med_doc = load(medians_path)
-    v1 = classify(med_doc, load(run1_path))
-    v2 = classify(med_doc, load(run2_path))
+    run1, run2 = load(run1_path), load(run2_path)
+    v1 = classify(med_doc, run1)
+    v2 = classify(med_doc, run2)
+    effs = (eff_core_ratio(run1["queries"], med_doc["medians"]),
+            eff_core_ratio(run2["queries"], med_doc["medians"]))
+    print(f"effective-core ratio: run1 {effs[0]:.3f}, run2 {effs[1]:.3f}")
+    # a wall-only escalation is ANNOTATED (not demoted) when BOTH runs'
+    # calibrations show lost parallelism — the adjudicator weighs it
+    both_lost = all(e > EFF_CORE_NOTE for e in effs)
     flagged, transient = [], []
     for name in sorted(set(v1) | set(v2)):
         k1 = v1.get(name, (None,))[0]
@@ -186,7 +234,11 @@ def check_pair(medians_path: str, run1_path: str, run2_path: str) -> int:
         else:
             # the wall axis tripped in BOTH runs; cpu flat in at least one —
             # host contention does not follow one entry across two runs
-            flagged.append((name, "persistent wall — escalated", d))
+            why = "persistent wall — escalated"
+            if both_lost:
+                why += (f" [both runs lost effective cores at calibration: "
+                        f"{effs[0]:.2f}/{effs[1]:.2f}]")
+            flagged.append((name, why, d))
     for name, why, d in sorted(flagged, key=lambda x: -x[2]["norm"] / x[2]["med"]):
         print(f"FLAG {name} ({why}): latest run {fmt(d)}")
     for name, kind, d in transient:
