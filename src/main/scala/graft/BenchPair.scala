@@ -23,6 +23,21 @@ object BenchPair {
   private val CpuAbsFloorMin = 2.0
   private val CpuAbsFloorFrac = 0.3
 
+  /** Adjudicated environment-sensitive entries (must mirror
+    * `tools/bench_medians.py` CANARIES): their trips print as canary
+    * notes, never flags. q121 — the one entry flagging on driver-class
+    * hosts across r16/r17 on byte-identical code — was attributed by
+    * BenchOne isolation (r18, idle host): ~15-20 CPU-seconds of
+    * one-time codegen + JIT tier-up of its fused md5 hash expressions
+    * hide inside ~0.5s wall idle but stretch 2-4x on both axes when
+    * co-tenancy starves the C2 compiler threads.
+    */
+  private val Canaries = Map(
+    "q121_bloom_filter" ->
+      ("JIT-compilation canary — one-time codegen+tier-up of its fused " +
+        "md5 hash expressions (~15-20 cpu-s) amplifies compiler-thread " +
+        "starvation under co-tenancy; environmental, see NOTES.md"))
+
   private final case class Detail(t: Double, norm: Double, med: Double,
       cpuNorm: Double, cpuMed: Double) {
     def fmt: String = {
@@ -120,8 +135,13 @@ object BenchPair {
       val names = (v1.keySet ++ v2.keySet).toSeq.sorted
       var flagged = 0
       var transient = 0
+      var canary = 0
       names.foreach { name =>
         (v1.get(name), v2.get(name)) match {
+          case (Some(_), Some((_, d2))) if Canaries.contains(name) =>
+            canary += 1
+            println(s"[pair] note (canary, not flagged) $name: ${d2.fmt} — " +
+              Canaries(name))
           case (Some((k1, _)), Some((k2, d2))) =>
             flagged += 1
             val why =
@@ -135,7 +155,7 @@ object BenchPair {
         }
       }
       println(s"[pair] verdict: $flagged flagged over two consecutive runs " +
-        s"($transient transient single-run notes)")
+        s"($transient transient single-run notes, $canary canary notes)")
     } catch { case e: Throwable =>
       println(s"[pair] verdict failed reading $mediansPath: $e")
     }

@@ -11,6 +11,8 @@ import org.scalatest.funsuite.AnyFunSuite
   *   qB — wall trips in both, cpu flat -> FLAG persistent wall (escalated)
   *   qC — trips in run 1 only          -> transient note
   *   qD — below the wall rule          -> absent
+  *   q121_bloom_filter — both axes in both runs but a NAMED CANARY
+  *        (adjudicated environment-sensitive) -> canary note, never a flag
   *
   * and the python tool is run on the SAME fixture (json files) to pin
   * cross-implementation agreement, not just the Scala port's own
@@ -20,17 +22,19 @@ class BenchPairSpec extends AnyFunSuite {
 
   private val medians =
     """{"medians":{"calibration_cpu":10.0,"calibration_serial":10.0,
-      |"qA":1.0,"qB":1.0,"qC":1.0,"qD":1.0},
+      |"qA":1.0,"qB":1.0,"qC":1.0,"qD":1.0,"q121_bloom_filter":0.5},
       |"cpu_medians":{"calibration_cpu":320.0,
-      |"qA":10.0,"qB":10.0,"qC":10.0,"qD":10.0}}""".stripMargin
+      |"qA":10.0,"qB":10.0,"qC":10.0,"qD":10.0,"q121_bloom_filter":2.5}}""".stripMargin
 
   // (name, wall, cpu) — calibrations at their medians (scale 1.0)
   private val run1: Seq[(String, Double, Double)] = Seq(
     ("calibration_cpu", 10.0, 320.0), ("calibration_serial", 10.0, 10.0),
-    ("qA", 3.0, 30.0), ("qB", 3.0, 10.0), ("qC", 3.0, 30.0), ("qD", 1.2, 10.0))
+    ("qA", 3.0, 30.0), ("qB", 3.0, 10.0), ("qC", 3.0, 30.0), ("qD", 1.2, 10.0),
+    ("q121_bloom_filter", 2.4, 20.0))
   private val run2: Seq[(String, Double, Double)] = Seq(
     ("calibration_cpu", 10.0, 320.0), ("calibration_serial", 10.0, 10.0),
-    ("qA", 3.1, 31.0), ("qB", 3.1, 10.0), ("qC", 1.0, 10.0), ("qD", 1.2, 10.0))
+    ("qA", 3.1, 31.0), ("qB", 3.1, 10.0), ("qC", 1.0, 10.0), ("qD", 1.2, 10.0),
+    ("q121_bloom_filter", 1.2, 12.0))
 
   private def runJson(r: Seq[(String, Double, Double)]): String = {
     def m(f: ((String, Double, Double)) => Double) =
@@ -59,8 +63,11 @@ class BenchPairSpec extends AnyFunSuite {
     assert(lines.exists(l => l.contains("transient, one run of two) qC")),
       s"qC must demote to a transient note: $lines")
     assert(!lines.exists(_.contains("qD")), s"qD is below the rule: $lines")
+    assert(lines.exists(l => l.contains("note (canary, not flagged) q121_bloom_filter")),
+      s"a named canary must demote to a canary note: $lines")
+    assert(!lines.exists(l => l.contains("FLAG q121")), s"canaries never flag: $lines")
     assert(lines.exists(_.contains("verdict: 2 flagged over two consecutive runs " +
-      "(1 transient single-run notes)")), s"summary line: $lines")
+      "(1 transient single-run notes, 1 canary notes)")), s"summary line: $lines")
     assert(lines.exists(l => l.contains("effective-core ratio 1.000")),
       s"calibrations at medians read ratio 1.0: $lines")
   }
@@ -91,6 +98,8 @@ class BenchPairSpec extends AnyFunSuite {
       assert(py.contains("FLAG qB (persistent wall"), py)
       assert(py.contains("transient, one run of two) qC"), py)
       assert(!py.contains("qD"), py)
+      assert(py.contains("note (canary, not flagged) q121_bloom_filter"), py)
+      assert(!py.contains("FLAG q121"), py)
       assert(py.contains("2 flagged over two consecutive runs"), py)
     } finally Seq(medPath, r1Path, r2Path)
       .foreach(java.nio.file.Files.deleteIfExists(_))

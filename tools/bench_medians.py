@@ -89,6 +89,24 @@ CAL_SERIAL = "calibration_serial"
 # effective-core ratio (CAL wall scale / serial wall scale) above which a
 # wall trip is annotated as explained by lost parallelism
 EFF_CORE_NOTE = 1.25
+# Named CANARY entries: adjudicated environment-sensitive (VERDICT r17
+# Next #2), their trips print as canary notes and never escalate to
+# flags.  q121 is the one entry that flagged on driver-class hosts in
+# r16 AND both r17 adjudication runs on byte-identical code; BenchOne
+# isolation (r18, idle host) attributed it: ~15-20 CPU-seconds of
+# ONE-TIME codegen + JIT tier-up of its fused md5 hash expressions
+# (cold 2.8s wall / 21s cpu -> warm 0.42s / 2s over ten runs) hide
+# inside ~0.5s wall on an idle 32-way host but stretch 2-4x on BOTH
+# axes when co-tenancy starves the C2 compiler threads — the largest
+# per-suite marginal-compilation entry, so it amplifies compile-thread
+# starvation that already-warm generic-Tungsten entries don't see.
+# The Scala port (graft.BenchPair) must keep an identical set.
+CANARIES = {
+    "q121_bloom_filter":
+        "JIT-compilation canary — one-time codegen+tier-up of its fused "
+        "md5 hash expressions (~15-20 cpu-s) amplifies compiler-thread "
+        "starvation under co-tenancy; environmental, see NOTES.md",
+}
 FLAG_RATIO = 1.5
 WALL_ABS_FLOOR = 0.5
 # CPU floor: scheduling/GC jitter sums over 32 ways, so the absolute
@@ -194,12 +212,16 @@ def check(medians_path: str, run_path: str) -> int:
              "below are annotated" if eff > EFF_CORE_NOTE else ""))
     verdicts = classify(med_doc, run)
     flagged = sorted((n, d) for n, (k, d) in verdicts.items()
-                     if k in ("both", "flag_nocpu"))
+                     if k in ("both", "flag_nocpu") and n not in CANARIES)
+    canary = sorted((n, d) for n, (k, d) in verdicts.items()
+                    if k in ("both", "flag_nocpu") and n in CANARIES)
     wall_only = sorted((n, d) for n, (k, d) in verdicts.items() if k == "wall")
     eff_note = (f" [effective-core ratio {eff:.2f} explains lost "
                 f"parallelism]" if eff > EFF_CORE_NOTE else "")
     for name, d in sorted(flagged, key=lambda x: -x[1]["norm"] / x[1]["med"]):
         print(f"FLAG {name}: {fmt(d)}")
+    for name, d in canary:
+        print(f"note (canary, not flagged) {name}: {fmt(d)} — {CANARIES[name]}")
     for name, d in sorted(wall_only, key=lambda x: -x[1]["norm"] / x[1]["med"]):
         print(f"note (wall-only, not flagged) {name}: {fmt(d)} — host "
               f"contention OR a blocking/parallelism change; the pair rule "
@@ -222,13 +244,15 @@ def check_pair(medians_path: str, run1_path: str, run2_path: str) -> int:
     # a wall-only escalation is ANNOTATED (not demoted) when BOTH runs'
     # calibrations show lost parallelism — the adjudicator weighs it
     both_lost = all(e > EFF_CORE_NOTE for e in effs)
-    flagged, transient = [], []
+    flagged, transient, canary = [], [], []
     for name in sorted(set(v1) | set(v2)):
         k1 = v1.get(name, (None,))[0]
         k2 = v2.get(name, (None,))[0]
         d = (v2.get(name) or v1.get(name))[1]
         if k1 is None or k2 is None:
             transient.append((name, (k1 or k2), d))
+        elif name in CANARIES:
+            canary.append((name, d))
         elif {k1, k2} <= {"both", "flag_nocpu"}:
             flagged.append((name, "persistent both-axis", d))
         else:
@@ -241,10 +265,13 @@ def check_pair(medians_path: str, run1_path: str, run2_path: str) -> int:
             flagged.append((name, why, d))
     for name, why, d in sorted(flagged, key=lambda x: -x[2]["norm"] / x[2]["med"]):
         print(f"FLAG {name} ({why}): latest run {fmt(d)}")
+    for name, d in canary:
+        print(f"note (canary, not flagged) {name}: {fmt(d)} — {CANARIES[name]}")
     for name, kind, d in transient:
         print(f"note (transient, one run of two) {name} [{kind}]: {fmt(d)}")
     print(f"{len(flagged)} flagged over two consecutive runs "
-          f"({len(transient)} transient single-run notes)")
+          f"({len(transient)} transient single-run notes, "
+          f"{len(canary)} canary notes)")
     return 0
 
 
@@ -278,6 +305,7 @@ def main() -> None:
                 "contention inflates one run, a real regression follows the entry "
                 "(tools/bench_medians.py --check MEDIANS.json RUN.json | "
                 "--check-pair MEDIANS.json RUN1.json RUN2.json)",
+        "canaries": CANARIES,
         "medians": medians,
         "cpu_medians": cpu_medians,
     }
