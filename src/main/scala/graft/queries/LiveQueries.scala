@@ -2448,6 +2448,126 @@ object LiveQueries {
              FROM m GROUP BY 1"""),
     ),
 
+    // ── ALIAS-FLEET sync (r18): a dim mapping SEVERAL tokenIds to one
+    //    subject (re-registrations, integration aliases — the reference's
+    //    dim tolerates it, deviceapi/service.go:62-70 keys by subject).
+    //    The cluster-staged stops/weights files are keyed BY SUBJECT, so
+    //    the staging must re-aggregate after the dim join: per-token
+    //    lines would duplicate the subject and crash the ranged planner's
+    //    strict-sorted require. Tokens here carry DIFFERENT watermarks on
+    //    one subject, so the aggregate CHOICE is observable: the backfill
+    //    fetches `time < watermark`, so the subject's wire stop must be
+    //    the MAX over its tokens (the union of their windows — an
+    //    arbitrary or MIN pick UNDERSHIPS the newer-watermark token), and
+    //    run()'s per-token watermark join clips the overlap exactly. The
+    //    entry RAISES unless the staged files carry exactly ONE line per
+    //    subject with the max-stop / summed-depth contents; the DuckDB
+    //    compare then pins the exact per-token clipping.
+    QueryDef(
+      "q243_live_sync_alias_fleet",
+      (s, d) => {
+        import graft.jobs.{SyncJob, SyncOptions}
+        import graft.sources.DeviceDim
+        val evs = Tables.load(s, d, "events")
+          .where(col("ts").isNotNull && col("user_id").isNotNull)
+          .select(col("user_id").cast(LongType).as("token"),
+            concat(lit("v"), (col("user_id") % 7).cast("string")).as("subject"),
+            expr("unix_micros(ts)").as("tsu"),
+            round(col("value") * 100).cast(LongType).as("cents"))
+          .collect() // seeds the TEST DOUBLE; the measured sync is below
+        val docs: IndexedSeq[StubDoc] =
+          evs.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+            val (subj, tsu, cents) = (r.getString(1), r.getLong(2), r.getLong(3))
+            val iso = java.time.Instant.ofEpochSecond(tsu / 1000000L, (tsu % 1000000L) * 1000L)
+            StubDoc(s"al$i", subj, tsu,
+              s"""{"id":"al$i","subject":"$subj","source":"dimo/integration/live",""" +
+                s""""specversion":"1.0","time":"$iso","dataschema":"dimo.zone.status/v1.0",""" +
+                s""""type":"com.dimo.device.status","data":{"speed":$cents,"make":"m"}}""")
+          }
+        val tokens = evs.map(_.getLong(0)).distinct.sorted.toSeq
+        val subjOf: Map[Long, String] = tokens.map(t => t -> s"v${t % 7}").toMap
+        // per-TOKEN watermarks, deterministically spread so tokens of one
+        // subject DIFFER (integer arithmetic mirrored exactly in the
+        // oracle SQL's // divisions)
+        val tsAll = evs.map(_.getLong(2))
+        val wmin = tsAll.min
+        val span = tsAll.max - wmin
+        def wOfTok(t: Long): Long = wmin + span / 2 + (t % 3) * (span / 8)
+        // fixture invariants, RAISED if testdata generation drifts: real
+        // aliasing, and a subject whose tokens carry DIFFERENT watermarks
+        val bySubj = tokens.groupBy(subjOf)
+        require(bySubj.values.exists(_.size > 1), "fixture: no aliased subject")
+        require(span > 8 && bySubj.values.exists(_.map(_ % 3).distinct.size > 1),
+          "fixture: no subject with divergent per-token watermarks")
+        import s.implicits._
+        val sink = tokens.map(t => (t, wOfTok(t))).toDF("tokenId", "wus")
+          .select(col("tokenId"), expr("timestamp_micros(wus)").as("timestamp"))
+        val dim = DeviceDim.fromPairs(s, tokens.map(t => (t, subjOf(t))))
+        val opts = SyncOptions(tokens = tokens.map(_.toString),
+          start = Some(new java.sql.Timestamp(0L)),
+          stop = Some(new java.sql.Timestamp(9999999999999L)))
+        val staging = java.nio.file.Files.createTempDirectory("graft-q243-staging")
+        val server = startStub(docs, pitMode = true)
+        try {
+          val out = SyncJob.runLiveRanged(s,
+            s"http://127.0.0.1:${server.getAddress.getPort}", dim,
+            existingSink = Some(sink), opts, stagingDir = staging.toString,
+            batchSize = 2000, censusRanges = 4, weightBySinkDepth = true)
+            .groupBy(col("tokenId").as("token_id"))
+            .agg(count(lit(1)).as("n_signals"),
+              sum(when(col("name") === "Vehicle.Speed", col("valueNumber"))
+                .otherwise(lit(0.0))).cast(LongType).as("speed_sum"),
+              expr("min(unix_micros(timestamp))").as("oldest_us"),
+              expr("max(unix_micros(timestamp))").as("newest_us"))
+            .localCheckpoint(true) // materialize THROUGH the staged plan
+          // the staging contract, RAISED: exactly ONE line per subject —
+          // stops at the ceil-ms of the subject's MAX token watermark,
+          // weights at the subject's SUMMED sink depth (1 row per token)
+          import scala.jdk.CollectionConverters._
+          def staged(name: String): Seq[String] = {
+            val f = java.nio.file.Files.list(staging.resolve(name)).iterator().asScala
+              .find(_.getFileName.toString.startsWith("part-")).get
+            java.nio.file.Files.readAllLines(f).asScala.filter(_.nonEmpty).toSeq
+          }
+          val subjects = bySubj.keys.toSeq.sorted
+          val wantStops = subjects.map { sub =>
+            val stopMs = (bySubj(sub).map(wOfTok).max + 999L) / 1000L
+            s"$sub\t$stopMs"
+          }
+          require(staged("stops") == wantStops,
+            s"stops must stage ONE max-watermark line per subject: ${staged("stops")}")
+          val wantWeights = subjects.map(sub => s"$sub\t${bySubj(sub).size}")
+          require(staged("weights") == wantWeights,
+            s"weights must stage ONE summed-depth line per subject: ${staged("weights")}")
+          out
+        } finally {
+          server.stop(0)
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(staging).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      },
+      Some("""WITH e AS (
+               SELECT 'v' || CAST(user_id % 7 AS VARCHAR) AS subj,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                      CAST(round(value*100) AS BIGINT) AS cents
+               FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+             b AS (SELECT min(us) AS wmin, max(us) - min(us) AS span FROM e),
+             tok AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS token_id,
+                            'v' || CAST(user_id % 7 AS VARCHAR) AS subj
+                     FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+             wm AS (SELECT token_id, subj,
+                           wmin + span // 2 + (token_id % 3) * (span // 8) AS w
+                    FROM tok, b),
+             x AS (SELECT wm.token_id, e.cents, e.us
+                   FROM wm JOIN e ON e.subj = wm.subj WHERE e.us < wm.w)
+             SELECT token_id, (count(*) * 2)::BIGINT AS n_signals,
+               sum(cents)::BIGINT AS speed_sum,
+               CAST(min(us) AS BIGINT) AS oldest_us,
+               CAST(max(us) AS BIGINT) AS newest_us
+             FROM x GROUP BY 1"""),
+    ),
+
     // ── The reference's CONTINUOUS pipeline over BOTH wires (r14):
     //    `readStream` from live ES → transform → `writeStream` into live
     //    CH (its loop tails ES and inserts into CH forever, sync.go:92-125
