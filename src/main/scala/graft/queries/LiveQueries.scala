@@ -2468,10 +2468,16 @@ object LiveQueries {
       (s, d) => {
         import graft.jobs.{SyncJob, SyncOptions}
         import graft.sources.DeviceDim
+        // pair CONSECUTIVE ids onto one subject: aliasing is guaranteed
+        // at every SF, every aliased pair's (t % 3) differ (consecutive
+        // ints), and the doc fan-out in the per-token watermark join
+        // stays exactly 2x — a modulus-style mapping packs hundreds of
+        // tokens per subject at sf0.1 and turns the join into the
+        // fixture's own blow-up (first bench run: 18.9 s)
         val evs = Tables.load(s, d, "events")
           .where(col("ts").isNotNull && col("user_id").isNotNull)
           .select(col("user_id").cast(LongType).as("token"),
-            concat(lit("v"), (col("user_id") % 7).cast("string")).as("subject"),
+            concat(lit("v"), expr("user_id DIV 2").cast("string")).as("subject"),
             expr("unix_micros(ts)").as("tsu"),
             round(col("value") * 100).cast(LongType).as("cents"))
           .collect() // seeds the TEST DOUBLE; the measured sync is below
@@ -2485,7 +2491,7 @@ object LiveQueries {
                 s""""type":"com.dimo.device.status","data":{"speed":$cents,"make":"m"}}""")
           }
         val tokens = evs.map(_.getLong(0)).distinct.sorted.toSeq
-        val subjOf: Map[Long, String] = tokens.map(t => t -> s"v${t % 7}").toMap
+        val subjOf: Map[Long, String] = tokens.map(t => t -> s"v${t / 2}").toMap
         // per-TOKEN watermarks, deterministically spread so tokens of one
         // subject DIFFER (integer arithmetic mirrored exactly in the
         // oracle SQL's // divisions)
@@ -2548,13 +2554,13 @@ object LiveQueries {
         }
       },
       Some("""WITH e AS (
-               SELECT 'v' || CAST(user_id % 7 AS VARCHAR) AS subj,
+               SELECT 'v' || CAST(user_id // 2 AS VARCHAR) AS subj,
                       epoch_us(CAST(ts AS TIMESTAMP)) AS us,
                       CAST(round(value*100) AS BIGINT) AS cents
                FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
              b AS (SELECT min(us) AS wmin, max(us) - min(us) AS span FROM e),
              tok AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS token_id,
-                            'v' || CAST(user_id % 7 AS VARCHAR) AS subj
+                            'v' || CAST(user_id // 2 AS VARCHAR) AS subj
                      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
              wm AS (SELECT token_id, subj,
                            wmin + span // 2 + (token_id % 3) * (span // 8) AS w
