@@ -182,12 +182,13 @@ object SyncJob {
     val wmNames =
       if (opts.signalNames.isEmpty) Nil
       else SignalDefinitions.resolve(opts.signalNames).map(_.vssName)
-    def ceilMs(t: Timestamp): Long = {
-      val us = t.getTime * 1000L + (t.getNanos / 1000) % 1000
-      (us + 999) / 1000
-    }
-    def watermarksDf = SyncOps.watermarks(existingSink.get, wmNames)
-      .join(scopedDim.select("tokenId", "subject"), Seq("tokenId"))
+    // LEFT from the scoped dim so a never-synced token SURVIVES the join
+    // with a null watermark — the per-subject stop aggregation must SEE
+    // it to withhold the subject's stop line (a stop derived from a
+    // synced sibling alone would silently drop the sinkless token's
+    // rows at/after it)
+    def watermarksDf = scopedDim.select("tokenId", "subject")
+      .join(SyncOps.watermarks(existingSink.get, wmNames), Seq("tokenId"), "left_outer")
     var reader = spark.read.format("graft-status-live")
       .option("url", url).option("index", index).option("batchSize", batchSize.toString)
       .option("slices", slices.toString)
@@ -225,14 +226,19 @@ object SyncJob {
             // written by the CLUSTER (the exclusive per-token stop,
             // sync.go:96-100 [ext]; ceil absorbs the micro→milli gap, the
             // plan's exact `< watermark` filter stays micro-precise).
-            // MAX per subject: a dim mapping several tokenIds to one
-            // subject must stage ONE stop line, and the backfill's
+            // MAX per subject, and ONLY for subjects whose EVERY token
+            // has a watermark: a dim mapping several tokenIds to one
+            // subject must stage ONE stop line, the backfill's
             // `time < watermark` fetch needs the union of every token's
-            // window — the max (overshipped overlap is clipped by run()'s
-            // per-token watermark join; undershipping must not happen)
+            // window (overshipped overlap is clipped by run()'s
+            // per-token watermark join; undershipping must not happen),
+            // and a never-synced alias needs the FULL window — a stop
+            // derived from its sibling would silently drop its rows
             val f = stageText(watermarksDf
               .groupBy(col("subject"))
-              .agg(max(expr("(unix_micros(watermark) + 999) DIV 1000")).as("ms"))
+              .agg(max(expr("(unix_micros(watermark) + 999) DIV 1000")).as("ms"),
+                sum(when(col("watermark").isNull, 1).otherwise(0)).as("missing"))
+              .where(col("missing") === 0)
               .select(concat_ws("\t", col("subject"), col("ms")).as("value"))
               .sort("value"), "graft-stops")
             reader = reader.option("stopBySubjectPath", f)
@@ -244,13 +250,18 @@ object SyncJob {
         } else {
           if (existingSink.isDefined) {
             // max per subject for the same reason the staged form
-            // aggregates: a multi-token subject's backfill window is the
-            // union of its tokens' `< watermark` needs — the max (a
-            // plain toMap would keep an arbitrary token's and undership)
+            // aggregates — and only when every token has a watermark: a
+            // multi-token subject's backfill window is the union of its
+            // tokens' `< watermark` needs (a plain toMap would keep an
+            // arbitrary token's and undership), and a sinkless alias
+            // needs the full window (no stop at all)
             val stops: Map[String, Long] = watermarksDf
-              .select("subject", "watermark").collect()
-              .map(r => r.getString(0) -> ceilMs(r.getTimestamp(1)))
-              .groupMapReduce(_._1)(_._2)(math.max)
+              .groupBy(col("subject"))
+              .agg(max(expr("(unix_micros(watermark) + 999) DIV 1000")).as("ms"),
+                sum(when(col("watermark").isNull, 1).otherwise(0)).as("missing"))
+              .where(col("missing") === 0)
+              .select("subject", "ms").collect()
+              .map(r => r.getString(0) -> r.getLong(1)).toMap
             if (stops.nonEmpty)
               reader = reader.option("stopBySubject",
                 graft.sources.StatusLiveSource.stopsJson(stops))
@@ -395,13 +406,21 @@ object SyncJob {
     // the union of every token's need: the token with the newer
     // watermark must not be undershipped, and the overlap the other
     // token re-receives is clipped exactly by [[run]]'s per-token
-    // watermark join. Weights SUM (the subject's total sink depth is
-    // what its tile drains).
+    // watermark join. A subject gets a stop line ONLY when EVERY one of
+    // its tokens has a watermark (LEFT join from the scoped dim + null
+    // guard): a never-synced alias must fetch the FULL window — a stop
+    // derived from its sibling's watermark would silently drop every
+    // doc at/after it for the sinkless token, rows nothing downstream
+    // can recover. Weights SUM (the subject's total sink depth is what
+    // its tile drains; a sinkless sibling just contributes 0 —
+    // balance-only).
     if (existingSink.isDefined) {
-      val f = stageTo(SyncOps.watermarks(existingSink.get, wmNames)
-        .join(scopedDim.select("tokenId", "subject"), Seq("tokenId"))
+      val f = stageTo(scopedDim.select("tokenId", "subject")
+        .join(SyncOps.watermarks(existingSink.get, wmNames), Seq("tokenId"), "left_outer")
         .groupBy(col("subject"))
-        .agg(max(expr("(unix_micros(watermark) + 999) DIV 1000")).as("ms"))
+        .agg(max(expr("(unix_micros(watermark) + 999) DIV 1000")).as("ms"),
+          sum(when(col("watermark").isNull, 1).otherwise(0)).as("missing"))
+        .where(col("missing") === 0)
         .select(concat_ws("\t", col("subject"), col("ms")).as("value"))
         .sort("value"), "stops")
       reader = reader.option("stopBySubjectPath", f)

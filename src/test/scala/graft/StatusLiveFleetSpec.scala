@@ -404,6 +404,161 @@ class StatusLiveFleetSpec extends SparkTestBase {
     }
   }
 
+  test("a never-synced alias token fetches the FULL window — its subject stages NO stop line") {
+    // the r18 reflection bug: tokens 1 (synced) and 2 (never synced)
+    // share subject sX. A stop derived from token 1's watermark alone
+    // would clip the WIRE at it — and token 2, whose correct window is
+    // everything, silently loses every doc at/after the sibling's
+    // watermark (rows nothing downstream can recover). The staging must
+    // withhold a subject's stop line unless EVERY token has a
+    // watermark; the overlap token 1 re-receives is clipped exactly by
+    // run()'s per-token join.
+    val t0 = 1704000000000L
+    def doc(id: String, subj: String, ms: Long, speed: Long): String =
+      s"""{"id":"$id","subject":"$subj","source":"dimo/integration/live","specversion":"1.0",""" +
+        s""""time":"${java.time.Instant.ofEpochMilli(ms)}",""" +
+        s""""dataschema":"dimo.zone.status/v1.0","type":"c","data":{"speed":$speed,"make":"m"}}"""
+    // sX: one doc below the synced sibling's watermark, one ABOVE it —
+    // the above-doc is exactly what a wrongly-staged stop would drop
+    val corpus = IndexedSeq(
+      graft.queries.LiveQueries.StubDoc("oX", "sX", t0 * 1000L, doc("oX", "sX", t0, 10)),
+      graft.queries.LiveQueries.StubDoc("nX", "sX", (t0 + 120000) * 1000L,
+        doc("nX", "sX", t0 + 120000, 20)),
+      graft.queries.LiveQueries.StubDoc("oY", "sY", t0 * 1000L, doc("oY", "sY", t0, 10)),
+      graft.queries.LiveQueries.StubDoc("nY", "sY", (t0 + 120000) * 1000L,
+        doc("nY", "sY", t0 + 120000, 20)))
+    val dim = graft.sources.DeviceDim.fromPairs(spark,
+      Seq((1L, "sX"), (2L, "sX"), (3L, "sY")))
+    // sink rows for tokens 1 and 3 only (watermark t0+61s); token 2 has
+    // NO sink presence
+    val sink1 = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, new java.sql.Timestamp(t0 + 61000), "speed"),
+      org.apache.spark.sql.Row(3L, new java.sql.Timestamp(t0 + 61000), "speed")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tokenId",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("timestamp",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType))))
+    val opts = graft.jobs.SyncOptions(tokens = Seq("1", "2", "3"),
+      start = Some(new java.sql.Timestamp(0L)),
+      stop = Some(new java.sql.Timestamp(9999999999999L)))
+    def perToken(out: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      out.groupBy(col("tokenId")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // token 1 (wm 61s): oX only; token 2 (no wm): BOTH sX docs;
+    // token 3: oY only — 2 signals per doc
+    val want = Map(1L -> 2L, 2L -> 4L, 3L -> 2L)
+    val staging = Files.createTempDirectory("graft-sinkless-staging")
+    try {
+      val s1 = graft.queries.LiveQueries.startStub(corpus, pitMode = true)
+      val ranged = try {
+        graft.jobs.SyncJob.runLiveRanged(spark,
+          s"http://127.0.0.1:${s1.getAddress.getPort}", dim, Some(sink1), opts,
+          stagingDir = staging.toString, censusRanges = 2).localCheckpoint(true)
+      } finally s1.stop(0)
+      import scala.jdk.CollectionConverters._
+      val stopsFile = Files.list(staging.resolve("stops")).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      assert(Files.readAllLines(stopsFile).asScala.filter(_.nonEmpty).toSeq ===
+        Seq(s"sY\t${t0 + 61000}"),
+        "sX has a sinkless token: its stop line must be WITHHELD")
+      assert(perToken(ranged) === want,
+        s"the sinkless alias must receive the full window: ${perToken(ranged)}")
+      // the small-fleet entry (runLive, inline-stops branch) must agree
+      val s2 = graft.queries.LiveQueries.startStub(corpus, pitMode = true)
+      val small = try {
+        graft.jobs.SyncJob.runLive(spark,
+          s"http://127.0.0.1:${s2.getAddress.getPort}", dim, Some(sink1), opts)
+          .localCheckpoint(true)
+      } finally s2.stop(0)
+      assert(perToken(small) === want,
+        s"runLive's inline stops must withhold sX identically: ${perToken(small)}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(staging).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  test("property: random alias fleets with PARTIAL sinks sync exactly (seeded, 12 trials)") {
+    // the alias staging's whole state space at once: random token→subject
+    // maps (1 subject per token up to all tokens on one subject), random
+    // per-token watermarks with random SINKLESS tokens, random group
+    // counts, weights coin-flipped. The model is per-token set algebra:
+    // a synced token keeps its subject's docs strictly below ITS
+    // watermark, a sinkless token keeps them all — whatever its siblings
+    // synced. Any staging aggregation mistake (duplicate subject line,
+    // MIN/arbitrary instead of MAX, a stop leaking onto a sinkless
+    // token's subject) breaks a trial.
+    val t0 = 1704000000000L
+    def doc(id: String, subj: String, ms: Long): String =
+      s"""{"id":"$id","subject":"$subj","source":"dimo/integration/live","specversion":"1.0",""" +
+        s""""time":"${java.time.Instant.ofEpochMilli(ms)}",""" +
+        s""""dataschema":"dimo.zone.status/v1.0","type":"c","data":{"speed":7,"make":"m"}}"""
+    val rnd = new scala.util.Random(20260817L)
+    for (trial <- 0 until 12) {
+      val nTokens = 2 + rnd.nextInt(8)
+      val nSubj = 1 + rnd.nextInt(nTokens)
+      val tokens = (1 to nTokens).map(_.toLong)
+      val subjOf: Map[Long, String] = tokens.map(t => t -> s"fs${rnd.nextInt(nSubj)}").toMap
+      val docsBySubj: Map[String, Seq[Long]] = subjOf.values.toSeq.distinct.map { sub =>
+        sub -> (0 until rnd.nextInt(5)).map(k => t0 + k * 1000L)
+      }.toMap
+      val corpus: IndexedSeq[graft.queries.LiveQueries.StubDoc] =
+        docsBySubj.toIndexedSeq.sortBy(_._1).flatMap { case (sub, times) =>
+          times.map(ms => graft.queries.LiveQueries.StubDoc(
+            s"$sub-$ms", sub, ms * 1000L, doc(s"$sub-$ms", sub, ms)))
+        }
+      val wmOf: Map[Long, Long] = tokens.filter(_ => rnd.nextBoolean())
+        .map(t => t -> (t0 + rnd.nextInt(6) * 1000L)).toMap
+      val sinkRows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(wmOf.toSeq.map { case (t, ms) =>
+          org.apache.spark.sql.Row(t, new java.sql.Timestamp(ms), "speed")
+        }: _*)
+      val sink = spark.createDataFrame(sinkRows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("tokenId",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("timestamp",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("name",
+            org.apache.spark.sql.types.StringType))))
+      val dim = graft.sources.DeviceDim.fromPairs(spark, tokens.map(t => (t, subjOf(t))))
+      val opts = graft.jobs.SyncOptions(tokens = tokens.map(_.toString),
+        start = Some(new java.sql.Timestamp(0L)),
+        stop = Some(new java.sql.Timestamp(9999999999999L)))
+      val expected: Set[(Long, Long)] = tokens.flatMap { t =>
+        val times = docsBySubj(subjOf(t))
+        wmOf.get(t) match {
+          case Some(wm) => times.filter(_ < wm).map(ms => t -> ms)
+          case None     => times.map(ms => t -> ms)
+        }
+      }.toSet
+      val staging = Files.createTempDirectory(s"graft-aliasfuzz-$trial")
+      try {
+        val server = graft.queries.LiveQueries.startStub(corpus, pitMode = true)
+        val out = try {
+          graft.jobs.SyncJob.runLiveRanged(spark,
+            s"http://127.0.0.1:${server.getAddress.getPort}", dim, Some(sink), opts,
+            stagingDir = staging.toString, censusRanges = 1 + rnd.nextInt(3),
+            weightBySinkDepth = rnd.nextBoolean()).localCheckpoint(true)
+        } finally server.stop(0)
+        val got: Set[(Long, Long)] = out
+          .select(col("tokenId"), expr("unix_micros(timestamp) DIV 1000").as("ms"))
+          .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got === expected,
+          s"trial $trial (tokens=$nTokens subjects=$nSubj synced=${wmOf.keySet.toSeq.sorted} " +
+            s"subjOf=$subjOf): missing=${expected -- got} extra=${got -- expected}")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        Files.walk(staging).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
   test("a newline-bearing subject fails LOUDLY at staging — never silent under-shipping") {
     // the staged files are newline-framed: a subject containing \n (or
     // \r — BufferedReader.readLine ends on both) would split into
