@@ -196,6 +196,13 @@ object Bench {
     // under the repo's validated two-run rule (bench_medians.py
     // --check-pair): transient noise does not repeat, real regressions
     // do. Single-run invocations are byte-for-byte the old behavior.
+    // Run-2 caveats (measured, NOTES.md r18): sharing the JVM makes run
+    // 2's CALIBRATION read warm (~0.7x the cold median), deflating its
+    // wall scale and inflating every normalized run-2 wall — more
+    // transient NOTES — and run 2 inherits run 1's tenured heap (late
+    // modules GC-pressured). Pair FLAGS are unaffected (they need the
+    // cold run 1 to agree); use run 1 for medians, run 2 only as the
+    // repeat check.
     val pairMode = args.contains("--pair") ||
       sys.env.get("SPARK_GRAFT_BENCH_PAIR").exists(v => v == "1" || v == "true")
     val mediansPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_MEDIANS", "BENCH_MEDIANS.json")
