@@ -213,6 +213,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // in-process chmod for local writes (no libhadoop here — the stock
+      // LocalFileSystem forks one `chmod` per created file/dir; r18 JFR
+      // counted 1,557 forks in two q215 runs). Same bytes, same perms.
+      .config("spark.hadoop.fs.file.impl", classOf[graft.sources.NioLocalFileSystem].getName)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl", classOf[graft.sources.NioLocalFs].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query isn't charged ~3s of

@@ -241,19 +241,30 @@ object Analytics3 {
     QueryDef(
       "q68_recursive_capped_balance",
       (s, d) => {
-        ord(s, d).createOrReplaceTempView("q68_orders")
-        s.sql("""WITH RECURSIVE o AS (
-            SELECT o_custkey k,
-                   row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) rn,
-                   CAST(o_totalprice AS DECIMAL(18,2)) price
-            FROM q68_orders WHERE o_custkey < 500),
+        // r18 OPT: the work table `o` (filter + row_number window over
+        // orders) used to be a plain CTE INSIDE the recursion — Spark's
+        // UnionLoop re-evaluates referenced CTEs each round, so every
+        // recursion step re-scanned orders and re-ran the window (~40
+        // rounds × full window = the query's entire cost). Materialize
+        // `o` ONCE (localCheckpoint: one job, lineage truncated so each
+        // round reads blocks, not the scan) and keep the recursive walk
+        // itself — the declared capability — bit-identical.
+        val o = ord(s, d).where(col("o_custkey") < 500)
+          .select(col("o_custkey").as("k"),
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("o_custkey"))
+              .orderBy(col("o_orderdate"), col("o_orderkey"))).as("rn"),
+            col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+          .localCheckpoint()
+        o.createOrReplaceTempView("q68_o")
+        s.sql("""WITH RECURSIVE
           walk(k, rn, bal) AS (
             SELECT k, rn, CAST(least(CAST(500000.00 AS DECIMAL(18,2)), price) AS DECIMAL(18,2))
-            FROM o WHERE rn = 1
+            FROM q68_o WHERE rn = 1
             UNION ALL
             SELECT /*+ BROADCAST(w) */ o.k, o.rn,
                    CAST(least(CAST(500000.00 AS DECIMAL(18,2)), w.bal + o.price) AS DECIMAL(18,2))
-            FROM walk w JOIN o ON o.k = w.k AND o.rn = w.rn + 1)
+            FROM walk w JOIN q68_o o ON o.k = w.k AND o.rn = w.rn + 1)
           SELECT k AS custkey, rn, CAST(bal AS DOUBLE) AS capped_balance FROM walk""")
       },
       Some("""WITH RECURSIVE o AS (

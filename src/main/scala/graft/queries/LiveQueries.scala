@@ -180,7 +180,11 @@ object LiveQueries {
             if (r.has("gte")) gte = Some(r.get("gte").asText().toLong)
             if (r.has("lt")) lt = Some(r.get("lt").asText().toLong)
           }
-          val ms = docs.iterator
+          // per-subject probes cost their bucket, not a corpus scan (same
+          // inverted-index posture as the page handler)
+          val probeBase = subj.map(s => bySubject.getOrElse(s, IndexedSeq.empty))
+            .getOrElse(docs)
+          val ms = probeBase.iterator
             .filter(d => subj.forall(_ == d.subject) &&
               gte.forall(d.timeUs / 1000 >= _) && lt.forall(d.timeUs / 1000 < _))
             .map(_.timeUs / 1000).toVector.sorted
@@ -327,7 +331,13 @@ object LiveQueries {
               subject.foreach(slicedSubjects.add) // hot-subject drains pin here
               d => math.floorMod(d.id.hashCode, smax) == sid
             } else _ => true
-          val picked = docs.iterator.zipWithIndex
+          // cursor-aware: the sort value IS the corpus position, so the
+          // drain resumes AT the cursor instead of re-scanning from doc 0
+          // every page (a real ES resumes from the PIT context the same
+          // way; the old form made each drain O(corpus) PER PAGE)
+          val startIdx = after.map(a => (a + 1).toInt.max(0)).getOrElse(0)
+          val picked = Iterator.range(startIdx, docs.length)
+            .map(i => (docs(i), i))
             .filter { case (d, i) =>
               subject.forall(_ == d.subject) &&
                 subjectSet.forall(_.contains(d.subject)) &&
@@ -356,14 +366,41 @@ object LiveQueries {
         val base =
           if (idSort) {
             // the search_after drain grammar: `_id` ascending within the
-            // window, cursor-exclusive
+            // window, cursor-exclusive. The bucket is sorted by `_id`, so
+            // the cursor position binary-searches instead of rescanning
+            // the bucket head every page (what a real ES's search_after
+            // does against the index); the original `id > after` filter
+            // stays on as the exactness check.
+            val arr = subject.map(s => bySubjectId.getOrElse(s, IndexedSeq.empty))
+              .getOrElse(allById)
             val after = Option(req.get("search_after")).filter(_.isArray)
               .map(_.get(0).asText())
-            subject.map(s => bySubjectId.getOrElse(s, IndexedSeq.empty))
-              .getOrElse(allById).iterator
+            val from = after match {
+              case Some(a) =>
+                var lo = 0; var hi = arr.length
+                while (lo < hi) { val m = (lo + hi) >>> 1; if (arr(m).id > a) hi = m else lo = m + 1 }
+                lo
+              case None => 0
+            }
+            Iterator.range(from, arr.length).map(arr(_))
               .filter(d => after.forall(d.id > _))
-          } else subject.map(s => bySubject.getOrElse(s, IndexedSeq.empty))
-            .getOrElse(allSorted).iterator
+          } else {
+            // newest-first buckets are sorted by (-timeUs, id) and the
+            // pushed window is a half-open [gte, lt) on epoch-millis —
+            // monotone along the sort — so both window edges binary-search
+            // to a slice (the index lookup a real ES does); the original
+            // per-doc window filter stays on as the exactness check.
+            val arr = subject.map(s => bySubject.getOrElse(s, IndexedSeq.empty))
+              .getOrElse(allSorted)
+            def firstIdxBelow(bound: Long): Int = {
+              var lo = 0; var hi = arr.length
+              while (lo < hi) { val m = (lo + hi) >>> 1; if (arr(m).timeUs / 1000 < bound) hi = m else lo = m + 1 }
+              lo
+            }
+            val from = ltMs.map(firstIdxBelow).getOrElse(0)
+            val end = gteMs.map(firstIdxBelow).getOrElse(arr.length)
+            Iterator.range(from, end).map(arr(_))
+          }
         val matched = base
           .filter { d =>
             gteMs.forall(d.timeUs / 1000 >= _) && ltMs.forall(d.timeUs / 1000 < _) &&

@@ -51,22 +51,26 @@ object Pipeline3Queries {
     */
   private def lpaCommunities(s: org.apache.spark.sql.SparkSession, d: String,
       e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // r18 OPT: localCheckpoint, not cache. cache() stops RE-EXECUTION but
+    // the analyzer/optimizer still walks the full accumulated tree every
+    // round (the q140 before-plan was 2,847 lines / 263 Exchange nodes of
+    // nested InMemoryRelations; q184's was 5,045) — on a 3k-row graph the
+    // driver-side planning of that tree WAS the query. localCheckpoint
+    // materializes the same rows AND truncates lineage, so each round
+    // plans a 3-operator tree over an RDD leaf. Same rows, same rounds,
+    // same tie-breaks — the oracle replay is untouched.
     val und = e.select(col("u"), col("v"))
       .union(e.select(col("v").as("u"), col("u").as("v")))
-      .cache()
+      .localCheckpoint()
     var labels = und.select(col("u").as("w")).distinct()
       .withColumn("lbl", col("w"))
     for (_ <- 1 to 3) {
       val fromNbr = und.join(labels.withColumnRenamed("w", "v")
           .withColumnRenamed("lbl", "vl"), "v")
         .groupBy(col("u").as("w")).agg(min(col("vl")).as("nl"))
-      // cache per round (q113's iterative discipline): `labels` feeds
-      // BOTH the carry-forward and the neighbor aggregate, so without
-      // the cache each round doubles the replayed lineage (2^rounds
-      // copies of the edge subtree by round 3)
       labels = labels.join(fromNbr, Seq("w"), "left_outer")
         .select(col("w"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-        .cache()
+        .localCheckpoint()
     }
     val mem = labels.join(
       emb(s, d).select(col("vec_id").as("w"), col("label")), "w")

@@ -43,4 +43,24 @@ object Tables {
     */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Fan a narrow projection out to the session's full parallelism WHEN the
+    * physical plan would otherwise run it on fewer partitions than cores.
+    *
+    * Why (r18, guide §2.5/§6): every sf-dir table is ONE parquet file with
+    * ONE row group, so a scan stage is a single task no matter what
+    * `maxPartitionBytes`/`minPartitionNum` say — a scan-side aggregation
+    * then runs serially on a 32-core session (q159's one-pass moment matrix
+    * measured cpu/wall ≈ 1.3). The fix must be a PLAN step (an exchange),
+    * not a config, and must vanish at scale: this helper repartitions only
+    * when the input's partition count is below the session's default
+    * parallelism — at 100 TB a scan has thousands of row groups, the
+    * condition is false, and the plan is byte-identical to before. Call it
+    * on a PROJECTED (narrow) input so the exchange moves key bytes, not
+    * payloads (§2.3).
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

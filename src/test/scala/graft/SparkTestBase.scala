@@ -33,5 +33,10 @@ object SparkSessionHolder {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // the bench/verify sessions run on the fork-free local FS (r18); the
+    // whole spec suite runs through it too so any behavior drift from the
+    // stock LocalFileSystem fails loudly here
+    .config("spark.hadoop.fs.file.impl", classOf[graft.sources.NioLocalFileSystem].getName)
+    .config("spark.hadoop.fs.AbstractFileSystem.file.impl", classOf[graft.sources.NioLocalFs].getName)
     .getOrCreate()
 }
