@@ -66,7 +66,11 @@ object SyncJob {
       docs: DataFrame,
       dim: DataFrame,
       existingSink: Option[DataFrame],
-      opts: SyncOptions = SyncOptions()
+      opts: SyncOptions = SyncOptions(),
+      // live callers that already computed the per-token watermark table
+      // (for wire-window staging) pass it here so the sink is scanned ONCE
+      // per round instead of once per consumer (r18, guide §2.4/§5)
+      precomputedWatermarks: Option[DataFrame] = None
   ): DataFrame = {
     val stop = opts.stop.getOrElse(Timestamp.from(Instant.now()))
     val start = opts.start.getOrElse {
@@ -91,7 +95,8 @@ object SyncJob {
       if (opts.signalNames.isEmpty) Nil else defs.map(_.vssName)
     val scoped = existingSink match {
       case Some(sink) =>
-        SyncOps.applyWatermarks(bounded, scopedDim, SyncOps.watermarks(sink, wmNames))
+        SyncOps.applyWatermarks(bounded, scopedDim,
+          precomputedWatermarks.getOrElse(SyncOps.watermarks(sink, wmNames)))
       case None =>
         bounded.join(broadcast(scopedDim.select("tokenId", "subject")), Seq("subject"), "inner")
     }
@@ -175,20 +180,33 @@ object SyncJob {
         }
     val subjectsDf = scopedDim.select("subject").distinct()
     // mode probe WITHOUT a fleet-sized collect: fetch at most threshold+1
-    // subjects — enough to decide, and already the full census when small
-    val probe: Seq[String] = subjectsDf.limit(pathModeThreshold + 1)
-      .collect().map(_.getString(0)).toSeq
-    val pathMode = probe.length > pathModeThreshold
+    // subjects — enough to decide, and already the full census when small.
+    // An explicit token list past the threshold answers the question with
+    // NO probe job at all: the staged path is correct at any census size,
+    // so a large list goes straight there (r18 — one fewer Spark action
+    // per round on fleet-scale syncs)
+    val probe: Seq[String] =
+      if (explicitTokens.length > pathModeThreshold) Nil
+      else subjectsDf.limit(pathModeThreshold + 1).collect().map(_.getString(0)).toSeq
+    val pathMode =
+      explicitTokens.length > pathModeThreshold || probe.length > pathModeThreshold
     val wmNames =
       if (opts.signalNames.isEmpty) Nil
       else SignalDefinitions.resolve(opts.signalNames).map(_.vssName)
+    // ONE watermark aggregate per round, shared by the wire-window staging
+    // AND run()'s exact `< watermark` join (r18, guide §2.4): the lazy
+    // localCheckpoint materializes at the staging write's action and the
+    // append's plan reuses the tiny per-token table instead of re-scanning
+    // the whole sink a second time.
+    val wmShared: Option[DataFrame] =
+      existingSink.map(sk => SyncOps.watermarks(sk, wmNames).localCheckpoint(false))
     // LEFT from the scoped dim so a never-synced token SURVIVES the join
     // with a null watermark — the per-subject stop aggregation must SEE
     // it to withhold the subject's stop line (a stop derived from a
     // synced sibling alone would silently drop the sinkless token's
     // rows at/after it)
     def watermarksDf = scopedDim.select("tokenId", "subject")
-      .join(SyncOps.watermarks(existingSink.get, wmNames), Seq("tokenId"), "left_outer")
+      .join(wmShared.get, Seq("tokenId"), "left_outer")
     var reader = spark.read.format("graft-status-live")
       .option("url", url).option("index", index).option("batchSize", batchSize.toString)
       .option("slices", slices.toString)
@@ -239,13 +257,13 @@ object SyncJob {
               .agg(max(expr("(unix_micros(watermark) + 999) DIV 1000")).as("ms"),
                 sum(when(col("watermark").isNull, 1).otherwise(0)).as("missing"))
               .where(col("missing") === 0)
-              .select(concat_ws("\t", col("subject"), col("ms")).as("value"))
-              .sort("value"), "graft-stops")
+              .select(concat_ws("\t", col("subject"), col("ms")).as("value")),
+              "graft-stops")
             reader = reader.option("stopBySubjectPath", f)
           }
           // census via the staged file: per-subject fan-out without an
           // O(fleet) IN expression; run()'s dim join still enforces scope
-          val f = stageText(subjectsDf.sort("subject"), "graft-subjects")
+          val f = stageText(subjectsDf, "graft-subjects")
           reader.option("subjectsPath", f).load()
         } else {
           if (existingSink.isDefined) {
@@ -270,7 +288,7 @@ object SyncJob {
         }
       } finally staged.foreach(deleteStaged)
     val docs = base.select(col("subject"), col("source"), col("time"), col("data"))
-    run(docs, dim, existingSink, opts)
+    run(docs, dim, existingSink, opts, wmShared)
   }
 
   /** Token count above which [[runLive]] stages the census and watermark
@@ -303,7 +321,14 @@ object SyncJob {
         raise_error(concat(lit("staged line breaks the newline framing contract "
           + "(subject contains \\n or \\r): "), c)))
         .otherwise(c).as(df.columns.head))
-    guarded.coalesce(1).write.mode("overwrite").text(dir.toString)
+    // The single sorted file the ranged planner verifies, produced by ONE
+    // exchange-to-1 + in-task sort (r18, guide §2.4): a global .sort() at
+    // the call sites cost an extra range-sampling pass over the input plus
+    // a range exchange, only for coalesce(1) to merge the ranges again.
+    // sortWithinPartitions on strings is the same UTF8String binary
+    // (UTF-8 byte) order the planner's utf8Lt validation expects.
+    guarded.repartition(1).sortWithinPartitions(df.columns.head)
+      .write.mode("overwrite").text(dir.toString)
     val listing = java.nio.file.Files.list(dir)
     try {
       import scala.jdk.CollectionConverters._
@@ -414,31 +439,44 @@ object SyncJob {
     // can recover. Weights SUM (the subject's total sink depth is what
     // its tile drains; a sinkless sibling just contributes 0 —
     // balance-only).
+    // ONE aggregate pass over the sink feeds every consumer this method
+    // has (r18, guide §2.4/§1.2): per-token watermark (the stops file +
+    // run()'s exact `< watermark` join), per-token depth (the weights
+    // file), and whale discovery all read the SAME tiny lazily-checkpointed
+    // table instead of each re-scanning the whole sink. min(when(...))
+    // yields a NULL watermark where the filtered form yielded an absent
+    // row — identical through the left-outer joins and the null guards.
+    val perToken: Option[DataFrame] = existingSink.map { sk =>
+      val wmExpr =
+        if (wmNames.isEmpty) min(col("timestamp"))
+        else min(when(col("name").isin(wmNames: _*), col("timestamp")))
+      sk.groupBy(col("tokenId"))
+        .agg(wmExpr.as("watermark"), count(lit(1)).as("n"))
+        .localCheckpoint(false)
+    }
+    val wmShared = perToken.map(_.select("tokenId", "watermark"))
     if (existingSink.isDefined) {
       val f = stageTo(scopedDim.select("tokenId", "subject")
-        .join(SyncOps.watermarks(existingSink.get, wmNames), Seq("tokenId"), "left_outer")
+        .join(wmShared.get, Seq("tokenId"), "left_outer")
         .groupBy(col("subject"))
         .agg(max(expr("(unix_micros(watermark) + 999) DIV 1000")).as("ms"),
           sum(when(col("watermark").isNull, 1).otherwise(0)).as("missing"))
         .where(col("missing") === 0)
-        .select(concat_ws("\t", col("subject"), col("ms")).as("value"))
-        .sort("value"), "stops")
+        .select(concat_ws("\t", col("subject"), col("ms")).as("value")), "stops")
       reader = reader.option("stopBySubjectPath", f)
     }
     if (weightBySinkDepth && existingSink.isDefined) {
       // per-token sink depth as subject<TAB>rows, computed and sorted BY
       // THE CLUSTER like the stops file — the driver never holds a
       // per-token map; the planner streams the file once per pass
-      val wf = stageTo(existingSink.get.groupBy(col("tokenId"))
-        .agg(count(lit(1)).as("n"))
+      val wf = stageTo(perToken.get.select(col("tokenId"), col("n"))
         .join(scopedDim.select("tokenId", "subject"), Seq("tokenId"))
         .groupBy(col("subject")).agg(sum(col("n")).as("n"))
-        .select(concat_ws("\t", col("subject"), col("n")).as("value"))
-        .sort("value"), "weights")
+        .select(concat_ws("\t", col("subject"), col("n")).as("value")), "weights")
       reader = reader.option("censusWeightsPath", wf)
     }
     val censusFile = stageTo(
-      scopedDim.select("subject").distinct().sort("subject"), "census")
+      scopedDim.select("subject").distinct(), "census")
     reader = reader.option("subjectsPath", censusFile)
     // explicit whales (operator knowledge) ∪ discovered whales (sink
     // depth past hotMinRows — the prior rounds' own output is the probe,
@@ -450,9 +488,10 @@ object SyncJob {
     // with out-of-scope whales and silently crowd out in-scope ones
     val discovered: Seq[String] =
       if (hotMinRows < 0L) Nil
-      else existingSink.map { sink =>
-        SyncOps.hotSubjectsFromSink(
-          sink.join(scopedDim.select("tokenId"), Seq("tokenId"), "left_semi"),
+      else perToken.map { pt =>
+        SyncOps.hotSubjectsFromCounts(
+          pt.select(col("tokenId"), col("n"))
+            .join(scopedDim.select("tokenId"), Seq("tokenId"), "left_semi"),
           scopedDim, hotMinRows)
       }.getOrElse(Nil)
     val allHot = (hotSubjects ++ discovered).distinct
@@ -464,7 +503,7 @@ object SyncJob {
       reader = reader.option("hotSubjectsPath", hf)
     }
     val docs = reader.load().select(col("subject"), col("source"), col("time"), col("data"))
-    run(docs, dim, existingSink, opts)
+    run(docs, dim, existingSink, opts, wmShared)
   }
 
   def runObserved(

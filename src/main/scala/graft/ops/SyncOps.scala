@@ -76,13 +76,23 @@ object SyncOps {
     * one needless slice fan-out — never a wrong row either way).
     */
   def hotSubjectsFromSink(sink: DataFrame, dim: DataFrame, minRows: Long,
+      maxSubjects: Int = 1000): Seq[String] =
+    hotSubjectsFromCounts(
+      sink.groupBy(col("tokenId")).agg(count(lit(1)).as("n")), dim, minRows, maxSubjects)
+
+  /** [[hotSubjectsFromSink]] over an ALREADY-AGGREGATED per-token count
+    * table (`tokenId`, `n`) — callers that computed the counts for another
+    * purpose (e.g. [[graft.jobs.SyncJob.runLiveRanged]]'s weight staging)
+    * reuse them here instead of re-scanning the sink (r18, guide §2.4).
+    */
+  def hotSubjectsFromCounts(counts: DataFrame, dim: DataFrame, minRows: Long,
       maxSubjects: Int = 1000): Seq[String] = {
     // the cap applies BEFORE the broadcast build: a mis-tuned low
     // threshold makes `n > minRows` match most of the fleet, and
     // broadcasting THAT would collect millions of rows to the driver —
     // the exact wall this helper's caller exists to avoid. Capped first,
     // the build side is ≤ maxSubjects rows whatever the threshold.
-    val whales = sink.groupBy(col("tokenId")).agg(count(lit(1)).as("n"))
+    val whales = counts
       .where(col("n") > minRows)
       .orderBy(col("n").desc, col("tokenId"))
       .limit(maxSubjects)

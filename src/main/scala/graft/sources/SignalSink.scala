@@ -50,11 +50,18 @@ object SignalSink {
       .select(Columns.map(col): _*)
       .withColumn("token_bucket", pmod(col("tokenId"), lit(buckets)))
       .withColumn("day", date_trunc("DAY", col("timestamp")))
-      // One task per output partition, rows sorted by (tokenId, timestamp):
-      // fewer files and run-length-friendly pages — the MergeTree ORDER BY
-      // analog of the reference's signal table.
+      // One task per output partition, rows sorted by (tokenId, timestamp)
+      // within each (bucket, day) file: fewer files and run-length-friendly
+      // pages — the MergeTree ORDER BY analog of the reference's signal
+      // table. The sort LEADS with the partition columns (r18): the dynamic
+      // partitionBy writer requires its task input ordered by them and
+      // silently inserts its own (tokenId-order-destroying) sort when they
+      // are not — leading with (token_bucket, day) satisfies that required
+      // ordering, so ONE sort runs and the per-file (tokenId, timestamp)
+      // clustering actually holds.
       .repartition(col("token_bucket"), col("day"))
-      .sortWithinPartitions(col("tokenId"), col("timestamp"))
+      .sortWithinPartitions(
+        col("token_bucket"), col("day"), col("tokenId"), col("timestamp"))
       .write
       .mode(SaveMode.Append)
       .partitionBy("token_bucket", "day")
