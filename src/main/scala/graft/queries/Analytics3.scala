@@ -555,14 +555,23 @@ object Analytics3 {
         // dev is recomputed (3-column pruned scan + tiny broadcast join)
         // rather than cached: at 100 TB a cache is a corpus write.
         val e = ev(s, d).select(col("event_type"), col("value"))
+        // med/mad are PER-KEY tables (one row per event type) — lazily
+        // checkpointing them truncates the rank-select machinery out of
+        // every downstream reuse (r18, guide §2.4/§3.3): uncheckpointed,
+        // `dev` (which embeds med's 3-pass subtree) is recomputed by mad's
+        // pass 1, mad's pass 3, AND the final aggregate — the declared plan
+        // read 18 parquet scans; checkpointed it reads 5. O(keys) state,
+        // never a corpus write, exact same values.
         val med = graft.operators.RobustStats
           .lowerMedianByKey(e, "event_type", "value", out = "med")
+          .localCheckpoint(false)
         val dev = e.join(broadcast(med), "event_type")
           .select(col("event_type"), col("med"),
             abs(col("value") - col("med")).as("dev"))
         val mad = graft.operators.RobustStats
           .lowerMedianByKey(dev.select(col("event_type"), col("dev")),
             "event_type", "dev", out = "mad")
+          .localCheckpoint(false)
         dev.join(broadcast(mad), "event_type")
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),

@@ -162,13 +162,28 @@ object ChSignalStub {
     // dedup): a re-sent tokened block is acknowledged but not re-stored
     val seenTokens = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val dirty = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val rebuildLock = new Object
     @volatile var snapshot: IndexedSeq[SRow] = IndexedSeq.empty
+    // per-token index, rebuilt with the snapshot: a real CH's primary key
+    // (ORDER BY token_id) answers a `token_id = N` probe from the index,
+    // not a full scan — the reference's per-token oldest-signal loop
+    // (clickhouse.go:65-87) issues exactly that shape once per token, and
+    // a stub that rescans the corpus per probe turns an O(fleet) loop
+    // into O(fleet × corpus) (r18; same test-double floor as the ES
+    // stub's cursor resume)
+    @volatile var byToken: Map[Long, IndexedSeq[SRow]] = Map.empty
     def all(): IndexedSeq[SRow] = {
-      if (dirty.getAndSet(false)) {
-        import scala.jdk.CollectionConverters._
-        snapshot = rows.asScala.toIndexedSeq
+      if (dirty.get()) rebuildLock.synchronized {
+        if (dirty.getAndSet(false)) {
+          import scala.jdk.CollectionConverters._
+          snapshot = rows.asScala.toIndexedSeq
+          byToken = snapshot.groupBy(_.token)
+        }
       }
       snapshot
+    }
+    def tokenSlice(t: Long): IndexedSeq[SRow] = {
+      all(); byToken.getOrElse(t, IndexedSeq.empty)
     }
     val Select = java.util.regex.Pattern.compile(
       "SELECT (.+) FROM `signal`(?: WHERE (.+?))?(?: GROUP BY (.+?))?" +
@@ -249,12 +264,19 @@ object ChSignalStub {
           val m = Select.matcher(body)
           if (!m.matches()) { respond(ex, 400, s"outside the declared grammar: $body"); return }
           val items = m.group(1).split(", ").toSeq
-          val preds = Option(m.group(2)).toSeq.flatMap(_.split(" AND ").toSeq).map { a =>
+          val whereAtoms = Option(m.group(2)).toSeq.flatMap(_.split(" AND ").toSeq)
+          val preds = whereAtoms.map { a =>
             atom(a).getOrElse { respond(ex, 400, s"unsupported WHERE atom: $a"); return }
           }
           val order = Option(m.group(4)).map(_.trim)
           val limit = Option(m.group(5)).map(_.toInt)
-          val matched0 = all().filter(r => preds.forall(_(r)))
+          // token-equality probes start from the per-token index slice (the
+          // primary-key read path of a real CH); every predicate still
+          // applies — the equality atom just re-verifies on the slice
+          val TokEqAtom = """`token_id` = (\d+)""".r
+          val base = whereAtoms.collectFirst { case TokEqAtom(v) => v.toLong }
+            .map(tokenSlice).getOrElse(all())
+          val matched0 = base.filter(r => preds.forall(_(r)))
           val matched = Option(m.group(4)).map(_ => // ORDER BY `timestamp`
             if (order.contains("DESC")) matched0.sortBy(-_.us) else matched0.sortBy(_.us)
           ).getOrElse(matched0)
@@ -312,6 +334,15 @@ object ChSignalStub {
         } else respond(ex, 400, s"unsupported statement: $q$body")
       }
     })
+    // concurrent request handling, like the ES stub (and a real CH): the
+    // default HttpServer executor runs handlers ON the dispatcher thread,
+    // serializing every probe in the reference's per-token loop (r18)
+    val tf = new java.util.concurrent.ThreadFactory {
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, "live-ch-stub"); t.setDaemon(true); t
+      }
+    }
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(32, tf))
     server.start()
     server
   }
