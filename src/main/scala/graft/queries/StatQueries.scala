@@ -357,8 +357,13 @@ object StatQueries {
           .where(col("event_type").isin("click", "purchase"))
           .select(col("event_type"), cents(col("value")).cast(DoubleType).as("v"))
         val fracs = (1 to 9).map(i => (i, 10, s"d$i"))
+        // 18 rows (2 types × 9 deciles) — lazily checkpointed because the
+        // click/purchase pivot self-join below consumes it TWICE: without
+        // the checkpoint each side re-embeds the whole rank-select
+        // machinery and the declared plan read 40 parquet scans (r18,
+        // guide §2.4); with it, 2. Same exact values, O(deciles) state.
         val qs = graft.operators.RobustStats.rankSelectMultiByKey(
-          pts, "event_type", "v", fracs)
+          pts, "event_type", "v", fracs).localCheckpoint(false)
         val dec = qs.select(col("event_type"), col("_q"),
           col("_value").cast(LongType).as("c"))
         dec.where(col("event_type") === "click")

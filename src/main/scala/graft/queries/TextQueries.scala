@@ -554,6 +554,10 @@ object TextQueries {
             .groupBy(col("v"))
             .agg(sum(expr("r div d")).as("s"))
             .selectExpr("v AS w", "150000L + (17L * s) div 20 AS r")
+            // truncated lineage per round (vocab-sized rows) — without it
+            // the final action re-analyzes a plan nesting all five rounds
+            // (the q113/q140 iterative-plan discipline)
+            .localCheckpoint()
         }
         ranks
           .orderBy(col("r").desc, col("w").asc)
@@ -601,7 +605,12 @@ object TextQueries {
           .groupBy(col("word")).agg(count(lit(1)).as("wn"))
           .withColumn("syms",
             expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-          .cache()
+          // localCheckpoint, not cache: caching stops re-EXECUTION but the
+          // plan still nests one full round per iteration — the analyzer
+          // walked a 1,160-line tree at the final action (r18 plan audit;
+          // the q140/q184 iterative-plan blowup, same fix). Each round's
+          // vocab/top are vocab-sized/1-row — O(vocab) state, same rows.
+          .localCheckpoint()
         var merges: org.apache.spark.sql.DataFrame = null
         for (r <- 1 to 5) {
           val pairs = vocab.where(size(col("syms")) > 1)
@@ -611,6 +620,7 @@ object TextQueries {
             .agg(sum(col("wn")).as("pn"))
           val top = pairs.orderBy(col("pn").desc, col("a").asc, col("b").asc).limit(1)
             .select(lit(r).as("round"), col("a"), col("b"), col("pn"))
+            .localCheckpoint() // consumed twice: merges union + the merge fold
           merges = if (merges == null) top else merges.union(top)
           vocab = vocab
             .crossJoin(broadcast(top.select(col("a").as("ma"), col("b").as("mb"))))
@@ -625,7 +635,7 @@ object TextQueries {
                    st -> CASE WHEN st.p = '' THEN st.acc
                               ELSE concat(st.acc, array(st.p)) END)"""))
             .select(col("word"), col("wn"), col("syms"))
-            .cache()
+            .localCheckpoint()
         }
         merges
       },
