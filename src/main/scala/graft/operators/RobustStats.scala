@@ -88,13 +88,22 @@ object RobustStats {
     val grid = bucketCounts
       .withColumn("_cum", sum(col("_c")).over(wb))
       .withColumn("_n", sum(col("_c")).over(wAll))
-    val targets = fracs.map { case (num, den, name) =>
-      grid
-        .withColumn("_rk", expr(s"(_n * $num + ${den - 1}) div $den"))
-        .where(col("_cum") >= col("_rk") && col("_cum") - col("_c") < col("_rk"))
-        .select(col(keyCol), lit(name).as("_q"), col("_b").as("_tb"),
-          (col("_rk") - (col("_cum") - col("_c"))).as("_r"))
-    }.reduce(_ union _)
+    // ONE grid pass emits every fraction's target row: each grid line
+    // explodes over the (literal, tiny) fraction list and keeps the
+    // fractions whose rank lands in its bucket. The previous
+    // union-of-filters form re-ran the cumsum WINDOW once per fraction —
+    // ReuseExchange shares only the exchange below a duplicated subtree,
+    // not the window/filter above it, so nine deciles cost nine window
+    // passes (r18 plan audit: q123's declared plan was 708 lines, q162's
+    // 1,462 with its pivot; one pass each now). Same rows out.
+    val fracArr = array(fracs.map { case (num, den, name) =>
+      struct(lit(name).as("q"), expr(s"(_n * $num + ${den - 1}) div $den").as("rk"))
+    }: _*)
+    val targets = grid
+      .select(col(keyCol), col("_b"), col("_c"), col("_cum"), explode(fracArr).as("f"))
+      .where(col("_cum") >= col("f.rk") && col("_cum") - col("_c") < col("f.rk"))
+      .select(col(keyCol), col("f.q").as("_q"), col("_b").as("_tb"),
+        (col("f.rk") - (col("_cum") - col("_c"))).as("_r"))
 
     // pass 3: ONE refine over all target buckets — per-(key, fraction,
     // value) counts + the same bounded cumsum picks each exact rank-r
