@@ -78,12 +78,19 @@ object Dedup {
         size(array_intersect(col("sa"), col("sb"))).cast("double").as("i"),
         size(col("sa")).cast("double").as("na"),
         size(col("sb")).cast("double").as("nb"))
+    // both directions from ONE verify pass: the union-of-two-projections
+    // form re-ran the candidate join AND the per-pair array_intersect for
+    // each direction (the plan audit read the whole verify subtree twice
+    // under the Union) — one row explodes into its ≤2 passing directions
+    // instead (r18, guide §2.4). Same row set.
     verified
-      .select(col("id_a"), col("id_b"), (col("i") / col("na")).as("containment"))
+      .select(explode(array(
+        struct(col("id_a"), col("id_b"), (col("i") / col("na")).as("containment")),
+        struct(col("id_b").as("id_a"), col("id_a").as("id_b"),
+          (col("i") / col("nb")).as("containment")))).as("e"))
+      .select(col("e.id_a").as("id_a"), col("e.id_b").as("id_b"),
+        col("e.containment").as("containment"))
       .where(col("containment") >= threshold)
-      .union(verified
-        .select(col("id_b").as("id_a"), col("id_a").as("id_b"), (col("i") / col("nb")).as("containment"))
-        .where(col("i") / col("nb") >= threshold))
   }
 
   /** Exact duplicate groups by content hash: every row keyed by md5(text),

@@ -210,10 +210,15 @@ class PlanSpec extends SparkTestBase {
 
   test("q113 BPE: corpus collapses to vocab once; merge rounds are vocab-sized") {
     val p = plan("q113_bpe_train")
-    // the winning pair is a deterministic TakeOrdered top-1, not a global sort
-    assert(p.contains("TakeOrderedAndProject"), p)
-    // the 1-row merge rule attaches via broadcast (the scalar-attach shape,
-    // same as centroids/codebooks); a true cartesian would be a defect
+    // r18: each merge round localCheckpoints (the winning-pair TakeOrdered
+    // top-1 and the 1-row broadcast merge fold now run INSIDE the round
+    // jobs — the per-iteration nesting that made the declared plan walk
+    // 1,160 lines is gone). The declared plan must therefore be exactly
+    // the union of the five checkpointed round results: lineage-free — no
+    // corpus re-scan, no global sort, no cartesian can survive here.
+    assert(p.contains("ExistingRDD"), s"q113 rounds must be checkpointed\n$p")
+    assert(!p.contains("Scan parquet"), s"q113's final plan must not re-scan the corpus\n$p")
+    assert(!p.contains("Sort "), s"the merge list needs no global sort\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
 
