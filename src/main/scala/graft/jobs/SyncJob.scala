@@ -213,14 +213,16 @@ object SyncJob {
       .option("hotSubjectPages", hotSubjectPages.toString)
     if (opts.signalNames.nonEmpty)
       reader = reader.option("signals", opts.signalNames.mkString(","))
-    val staged = scala.collection.mutable.Buffer.empty[java.nio.file.Path]
+    // thread-safe: the census write is submitted from a second thread so
+    // the two independent staging jobs overlap (guide §2.6)
+    val staged = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
     def stageText(df: DataFrame, prefix: String): String = {
       // staged FROM the cluster: a single-partition text write — the
       // driver never materializes one row per token (fleet-as-big-data:
       // the census/watermark table stays distributed until the final
       // file, and the planner reads that file once at load())
       val dir = java.nio.file.Files.createTempDirectory(prefix)
-      staged += dir
+      staged.add(dir)
       writeSingleText(df, dir)
     }
     def deleteStaged(p: java.nio.file.Path): Unit = {
@@ -236,9 +238,21 @@ object SyncJob {
     // moment that returns — and on ANY failure in between (bad URL, table
     // resolution error), so a cron-cadence sync that fails every round
     // still never accumulates staging files in /tmp
+    var censusInFlight: Option[java.util.concurrent.CompletableFuture[String]] = None
     val base =
       try {
         if (pathMode) {
+          // the census write and the stops write are INDEPENDENT Spark
+          // jobs on disjoint inputs — submit the census from a second
+          // thread so they overlap instead of serializing two rounds of
+          // fixed job latency (guide §2.6; actions are only sequential
+          // because driver code calls them sequentially). Joined before
+          // load(); a census failure surfaces there, and the cleanup
+          // below first settles the future so a stops-side failure can
+          // never race the deletion against an in-flight write.
+          val censusStaged = java.util.concurrent.CompletableFuture.supplyAsync(
+            () => stageText(subjectsDf, "graft-subjects"))
+          censusInFlight = Some(censusStaged)
           if (existingSink.isDefined) {
             // watermark map as subject<TAB>ceil-millis lines, computed and
             // written by the CLUSTER (the exclusive per-token stop,
@@ -263,8 +277,7 @@ object SyncJob {
           }
           // census via the staged file: per-subject fan-out without an
           // O(fleet) IN expression; run()'s dim join still enforces scope
-          val f = stageText(subjectsDf, "graft-subjects")
-          reader.option("subjectsPath", f).load()
+          reader.option("subjectsPath", censusStaged.join()).load()
         } else {
           if (existingSink.isDefined) {
             // max per subject for the same reason the staged form
@@ -286,7 +299,10 @@ object SyncJob {
           }
           reader.load().where(col("subject").isin(probe.sorted: _*))
         }
-      } finally staged.foreach(deleteStaged)
+      } finally {
+        censusInFlight.foreach(f => try f.join() catch { case _: Throwable => () })
+        staged.forEach(p => deleteStaged(p))
+      }
     val docs = base.select(col("subject"), col("source"), col("time"), col("data"))
     run(docs, dim, existingSink, opts, wmShared)
   }
@@ -455,29 +471,39 @@ object SyncJob {
         .localCheckpoint(false)
     }
     val wmShared = perToken.map(_.select("tokenId", "watermark"))
-    if (existingSink.isDefined) {
-      val f = stageTo(scopedDim.select("tokenId", "subject")
-        .join(wmShared.get, Seq("tokenId"), "left_outer")
-        .groupBy(col("subject"))
-        .agg(max(expr("(unix_micros(watermark) + 999) DIV 1000")).as("ms"),
-          sum(when(col("watermark").isNull, 1).otherwise(0)).as("missing"))
-        .where(col("missing") === 0)
-        .select(concat_ws("\t", col("subject"), col("ms")).as("value")), "stops")
-      reader = reader.option("stopBySubjectPath", f)
+    // the census write only reads the dim — overlap it with the
+    // stops/weights staging jobs (guide §2.6), joined where the option is
+    // set; settled in the finally so a staging failure cannot leave the
+    // write racing the caller's directory cleanup
+    val censusStaged = java.util.concurrent.CompletableFuture.supplyAsync(
+      () => stageTo(scopedDim.select("subject").distinct(), "census"))
+    try {
+      if (existingSink.isDefined) {
+        val f = stageTo(scopedDim.select("tokenId", "subject")
+          .join(wmShared.get, Seq("tokenId"), "left_outer")
+          .groupBy(col("subject"))
+          .agg(max(expr("(unix_micros(watermark) + 999) DIV 1000")).as("ms"),
+            sum(when(col("watermark").isNull, 1).otherwise(0)).as("missing"))
+          .where(col("missing") === 0)
+          .select(concat_ws("\t", col("subject"), col("ms")).as("value")), "stops")
+        reader = reader.option("stopBySubjectPath", f)
+      }
+      if (weightBySinkDepth && existingSink.isDefined) {
+        // per-token sink depth as subject<TAB>rows, computed and sorted BY
+        // THE CLUSTER like the stops file — the driver never holds a
+        // per-token map; the planner streams the file once per pass
+        val wf = stageTo(perToken.get.select(col("tokenId"), col("n"))
+          .join(scopedDim.select("tokenId", "subject"), Seq("tokenId"))
+          .groupBy(col("subject")).agg(sum(col("n")).as("n"))
+          .select(concat_ws("\t", col("subject"), col("n")).as("value")), "weights")
+        reader = reader.option("censusWeightsPath", wf)
+      }
+      reader = reader.option("subjectsPath", censusStaged.join())
+    } finally {
+      // settle the census write whatever happened above — never leave it
+      // racing the caller's staging-directory lifecycle
+      try { censusStaged.join(); () } catch { case _: Throwable => () }
     }
-    if (weightBySinkDepth && existingSink.isDefined) {
-      // per-token sink depth as subject<TAB>rows, computed and sorted BY
-      // THE CLUSTER like the stops file — the driver never holds a
-      // per-token map; the planner streams the file once per pass
-      val wf = stageTo(perToken.get.select(col("tokenId"), col("n"))
-        .join(scopedDim.select("tokenId", "subject"), Seq("tokenId"))
-        .groupBy(col("subject")).agg(sum(col("n")).as("n"))
-        .select(concat_ws("\t", col("subject"), col("n")).as("value")), "weights")
-      reader = reader.option("censusWeightsPath", wf)
-    }
-    val censusFile = stageTo(
-      scopedDim.select("subject").distinct(), "census")
-    reader = reader.option("subjectsPath", censusFile)
     // explicit whales (operator knowledge) ∪ discovered whales (sink
     // depth past hotMinRows — the prior rounds' own output is the probe,
     // so round 2 carves out the whale round 1 revealed, unnamed).
