@@ -181,6 +181,12 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("sv")))).as("arr"))
       .select(col("cid").as("vid"), transform(col("arr"), a => a.getField("sv")).as("v"))
       .withColumn("nrm", norm(col("v")))
+      // O(lists) rows — lazily checkpointed because every downstream
+      // search consumes the trained quantizer at least twice (corpus
+      // assignment + query probes) and each consumption re-ran the whole
+      // corpus-wide refinement and re-planned its subtree (q53's 538-line
+      // declared plan; r18, guide §1.2)
+      .localCheckpoint(false)
   }
 
   /** Random-hyperplane LSH — the second scale path next to IVF. 16
@@ -343,7 +349,12 @@ object Similarity {
       threshold: Double,
       m: Int = 1
   ): DataFrame = {
-    val listed = if (m <= 1) assignLists(corpus, centroids) else assignListsMulti(corpus, centroids, m)
+    // cached: both self-join sides consumed the assignment, and each side
+    // re-ran the corpus×centroids scoring (cache, not checkpoint — the
+    // corpus-sized-table lesson from the dedup family applies; r18)
+    val listed =
+      (if (m <= 1) assignLists(corpus, centroids) else assignListsMulti(corpus, centroids, m))
+        .cache()
     val a = listed.select(col("cid"), col("vid").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = listed.select(col("cid"), col("vid").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("cid"))
@@ -388,6 +399,7 @@ object Similarity {
     val listed =
       (if (m <= 1) assignLists(corpus, centroids) else assignListsMulti(corpus, centroids, m))
         .withColumn("is_test", isTest)
+        .cache() // train and test sides both read the assignment (r18)
     val train = listed.where(!col("is_test"))
       .select(col("cid"), col("vid").as("train_id"), col("v").as("va"), col("nrm").as("na"))
     val test = listed.where(col("is_test"))

@@ -783,8 +783,11 @@ object Analytics3 {
             col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
           .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
           .agg(count(lit(1)).as("n"))
+        // lazy localCheckpoint, not cache: ≤20k rows of two ints, but the
+        // co-occurrence join + top-20k subtree was re-planned under all
+        // THREE triangle-join aliases (r18 plan audit)
         val e = w.orderBy(col("n").desc, col("u").asc, col("v").asc).limit(20000)
-          .select(col("u"), col("v")).cache()
+          .select(col("u"), col("v")).localCheckpoint(false)
         e.as("e1")
           .join(e.as("e2"), col("e1.v") === col("e2.u"))
           .join(e.as("e3"), col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))

@@ -77,10 +77,13 @@ object Analytics5 {
       (s, d) => {
         import org.apache.spark.sql.SparkSession
         val k = 16
+        // cached: the projected-distance and original-distance branches
+        // both consume the quantized explode (corpus-sized ⇒ cache, r18)
         val q = emb(s, d)
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
           .select(col("vec_id"), col("dim").cast(LongType).as("dim"),
             expr("CAST(floor(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT)").as("q"))
+          .cache()
         val signs = s.range(64).toDF("dim").crossJoin(s.range(k).toDF("j"))
           .select(col("dim"), col("j"),
             (lit(1L) - lit(2L) * pmod(graft.functions.TextFunctions.hash32(
@@ -282,7 +285,11 @@ object Analytics5 {
     QueryDef(
       "q175_assoc_lift",
       (s, d) => {
+        // the distinct basket is consumed FOUR times (user total, per-type
+        // counts, both self-join sides) and re-ran the events scan +
+        // distinct each time; checkpoint once (narrow post-agg table, r18)
         val basket = events(s, d).select(col("user_id"), col("event_type")).distinct()
+          .localCheckpoint(false)
         val nTot = basket.select(col("user_id")).distinct().agg(count(lit(1)).as("nu"))
         val per = basket.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
         basket.toDF("user_id", "ta")

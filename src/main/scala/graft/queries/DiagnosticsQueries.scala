@@ -119,9 +119,29 @@ object DiagnosticsQueries {
             .select(lit(tag).as("fk"), col("n_child"), col("n_orphans"),
               expr("(n_orphans * 1000000) div n_child").as("orphan_ppm"))
         }
-        edge("lineitem.orderkey", t("lineitem"), "l_orderkey", t("orders"), "o_orderkey")
-          .unionAll(edge("lineitem.partkey", t("lineitem"), "l_partkey", t("part"), "p_partkey"))
-          .unionAll(edge("lineitem.suppkey", t("lineitem"), "l_suppkey", t("supplier"), "s_suppkey"))
+        // all three lineitem FKs audited in ONE scan: the union-of-edges
+        // form scanned the child fact table once per FK (3× the dominant
+        // I/O; r18, guide §2.4). Each parent joins on a DISTINCT key, so
+        // the chained left joins cannot fan out and the per-FK counts are
+        // exactly the per-edge ones.
+        def pset(parent: org.apache.spark.sql.DataFrame, pk: String, tag: String) =
+          broadcast(parent.select(col(pk)).distinct().withColumn(s"pr_$tag", lit(1)))
+        val li = t("lineitem").select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+        val liEdges = li
+          .join(pset(t("orders"), "o_orderkey", "ok"), col("l_orderkey") === col("o_orderkey"), "left_outer")
+          .join(pset(t("part"), "p_partkey", "pk"), col("l_partkey") === col("p_partkey"), "left_outer")
+          .join(pset(t("supplier"), "s_suppkey", "sk"), col("l_suppkey") === col("s_suppkey"), "left_outer")
+          .agg(count(lit(1)).as("nc"),
+            sum(when(col("pr_ok").isNull, 1L).otherwise(0L)).as("m_ok"),
+            sum(when(col("pr_pk").isNull, 1L).otherwise(0L)).as("m_pk"),
+            sum(when(col("pr_sk").isNull, 1L).otherwise(0L)).as("m_sk"))
+          .select(explode(array(
+            struct(lit("lineitem.orderkey").as("fk"), col("nc"), col("m_ok").as("m")),
+            struct(lit("lineitem.partkey").as("fk"), col("nc"), col("m_pk").as("m")),
+            struct(lit("lineitem.suppkey").as("fk"), col("nc"), col("m_sk").as("m")))).as("e"))
+          .select(col("e.fk").as("fk"), col("e.nc").as("n_child"), col("e.m").as("n_orphans"),
+            expr("(e.m * 1000000) div e.nc").as("orphan_ppm"))
+        liEdges
           .unionAll(edge("orders.custkey", t("orders"), "o_custkey", t("customer"), "c_custkey"))
       },
       Some("""SELECT 'lineitem.orderkey' fk, count(*)::BIGINT n_child,

@@ -40,7 +40,11 @@ object Pipeline3Queries {
     knn.select(least(col("query_id"), col("neighbor_id")).as("u"),
         greatest(col("query_id"), col("neighbor_id")).as("v"))
       .distinct()
-      .cache()
+      // lazy localCheckpoint, not cache: the edge table is TINY (≤ k·|V|
+      // rows of two longs) but its kNN-graph subtree was re-planned under
+      // every consumer — q141 reads it four times (both union branches ×
+      // degree/pair sides), the 495-line declared plan of the r18 audit
+      .localCheckpoint(false)
   }
 
   /** 3-round min-label LPA over an undirected edge set `e(u, v)` plus the

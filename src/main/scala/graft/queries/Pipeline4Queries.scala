@@ -204,11 +204,15 @@ object Pipeline4Queries {
       (s, d) => {
         val t = graft.functions.TextFunctions.tokens(col("text"))
         val canon = graft.functions.CanonicalizeExpressions.canonAlnum(col("text"))
+        // cached: the keeper aggregate AND the stage join both consume the
+        // flagged corpus, and the canon/tokenize/md5 expressions are the
+        // expensive part — they ran twice (corpus-sized ⇒ cache, r18)
         val flagged = docs(s, d)
           .withColumn("canon_hash", md5(canon))
           .withColumn("s1", size(t) >= 10)
           .withColumn("s2", size(filter(t, x => length(x) > 20)) === 0)
           .withColumn("s3", size(filter(t, x => x.isin(TextQueries.Stop: _*))) > 0)
+          .cache()
         val keepers = flagged.groupBy(col("canon_hash"))
           .agg(min(col("doc_id")).as("keep_id"))
         val staged = flagged.join(keepers, "canon_hash")
@@ -216,6 +220,8 @@ object Pipeline4Queries {
           .select(when(!col("s1"), 1).when(!col("s2"), 2).when(!col("s3"), 3)
             .when(!col("s4"), 4).otherwise(5).as("first_fail"))
           .groupBy(col("first_fail")).agg(count(lit(1)).as("n"))
+          // ≤5 rows, consumed by the total AND the stage join (r18)
+          .localCheckpoint(false)
         val names = Seq("r_min_words", "r_word_len", "r_stopword",
           "dedup_keep_first")
         val stageDim = {

@@ -67,9 +67,13 @@ object StatQueries {
           .where(col("event_type").isin("click", "purchase"))
           .select(cents(col("value")).as("c"),
             when(col("event_type") === "click", 1L).otherwise(0L).as("ia"))
+        // O(distinct cents) histogram consumed THREE times (bucket
+        // offsets, totals, the per-cent cumsum) — each re-ran the events
+        // scan + aggregate; checkpoint once (tiny post-agg table, r18)
         val perv = pts.groupBy(col("c"))
           .agg(sum(col("ia")).as("an"), sum(lit(1L) - col("ia")).as("bn"))
           .withColumn("bkt", expr("c div 1000"))
+          .localCheckpoint(false)
         val offs = perv.groupBy(col("bkt"))
           .agg(sum(col("an")).as("ba"), sum(col("bn")).as("bb"))
           .select(col("bkt"),
@@ -232,11 +236,15 @@ object StatQueries {
           .rowsBetween(Window.unboundedPreceding, 0)
         val cum = vc.withColumn("cum", sum(col("n")).over(wc))
           .join(broadcast(tot), "event_type")
-        val lo = cum.where(col("cum") >= expr("(nt + 9) div 10"))
-          .groupBy(col("event_type")).agg(min(col("c")).as("lo"))
-        val hi = cum.where(col("cum") >= expr("(9 * nt + 9) div 10"))
-          .groupBy(col("event_type")).agg(min(col("c")).as("hi"))
-        vc.join(broadcast(lo), "event_type").join(broadcast(hi), "event_type")
+        // BOTH order statistics from ONE pass over the cumsum: the lo/hi
+        // sub-dataframes each re-ran the window + join (two full passes,
+        // two broadcast joins downstream — the q123 duplicated-rank-select
+        // disease in two-fraction form; r18, guide §2.4). min(when(...))
+        // ignores rows below the rank exactly like the filtered form.
+        val bounds = cum.groupBy(col("event_type")).agg(
+          min(when(col("cum") >= expr("(nt + 9) div 10"), col("c"))).as("lo"),
+          min(when(col("cum") >= expr("(9 * nt + 9) div 10"), col("c"))).as("hi"))
+        vc.join(broadcast(bounds), "event_type")
           .select(col("event_type"), col("n"), col("lo"), col("hi"),
             greatest(col("lo"), least(col("hi"), col("c"))).as("cc"))
           .groupBy(col("event_type"), col("lo"), col("hi"))
