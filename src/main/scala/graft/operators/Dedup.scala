@@ -209,7 +209,16 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("dh"))
       .select(col(idCol), transform(col("dh"), x => x.getField("h")).as("sh"))
-      .cache()
+      // lazy localCheckpoint, not cache: EVERYTHING downstream (both
+      // prefix sides + both verify sides) reads only `sets`, so the
+      // checkpoint truncates the shingle+df+reorder subtree out of four
+      // consumers' plans (q41 366-line plan, q65 535 — the cascade nests
+      // the rep-selection under each copy). Unlike `base` above — where a
+      // checkpoint barrier would serialize on the one-row-group corpus
+      // scan, measured slower than cache — `sets` sits BEHIND two
+      // exchanges, so its materialization is already post-shuffle
+      // parallel and the barrier costs nothing extra (r18, guide §3.3)
+      .localCheckpoint(false)
     val n = size(col("sh"))
     // ceil(x/y) with integer arithmetic: (x + y - 1) div y
     val probeLen = (n - floor((n * tNum + tDen - 1) / tDen) + 1).cast(IntegerType)

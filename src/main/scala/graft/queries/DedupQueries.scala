@@ -384,7 +384,12 @@ object DedupQueries {
     //    (min(50, nextPos − pos) per sorted position).
     QueryDef(
       "q92_dedup_substring",
-      (s, d) => Dedup.substringDupSpans(docs(s, d), "doc_id", "text", gramLen = 50),
+      // fanOut BEFORE the gram explode: unlike the PPJoin/containment
+      // entries (where fanOut measured slower — their expensive verify
+      // already runs post-shuffle), q92's dominant CPU is the per-char
+      // CharGramHash32 explode itself, which otherwise runs inside the
+      // single-task one-row-group corpus scan (r18, guide §2.6)
+      (s, d) => Dedup.substringDupSpans(Tables.fanOut(docs(s, d)), "doc_id", "text", gramLen = 50),
       Some("""WITH d AS (SELECT doc_id, text, (length(text) - 49)::BIGINT n_grams
             FROM documents WHERE length(text) >= 50),
         g AS (SELECT doc_id, n_grams, i pos,
