@@ -158,17 +158,24 @@ object Analytics4 {
           .select(col("user_id"), col("ts"),
             round(col("value") * 100).cast(LongType).as("c"))
         val gmax = p.agg(max(col("ts")).as("gmax"))
-        // cached: the three metric arms of `tall` each consume u — uncached,
-        // the purchase scan + aggregate would run three times
+        // lazy localCheckpoint, not cache (r18): the three metric arms of
+        // `tall` each consume u, and the rank-select + bucketing consume
+        // tall 3× — with cache every consumer still RE-PLANNED the whole
+        // purchase-scan subtree (534-line declared plan, 20 scans, 10
+        // broadcast-nested-loop gmax joins); both tables are O(users)
+        // post-aggregate rows (never corpus-sized), so the checkpoint
+        // barrier is cheap and the plan truncation is the point. No other
+        // Analytics4 entry shares these subtrees, so no cross-entry cache
+        // reuse is lost.
         val u = p.crossJoin(broadcast(gmax))
           .groupBy(col("user_id"))
           .agg(min(datediff(col("gmax"), col("ts"))).as("rr"),
             count(lit(1)).as("f"), sum(col("c")).as("m"))
-          .cache()
+          .localCheckpoint(false)
         val tall = u.select(col("user_id"), lit("r").as("metric"), col("rr").cast(DoubleType).as("v"))
           .unionAll(u.select(col("user_id"), lit("f").as("metric"), col("f").cast(DoubleType).as("v")))
           .unionAll(u.select(col("user_id"), lit("m").as("metric"), col("m").cast(DoubleType).as("v")))
-          .cache()
+          .localCheckpoint(false)
         val bounds = graft.operators.RobustStats.rankSelectMultiByKey(
           tall, "metric", "v", Seq((1, 5, "b1"), (2, 5, "b2"), (3, 5, "b3"), (4, 5, "b4")))
         val wide = bounds.groupBy(col("metric"))

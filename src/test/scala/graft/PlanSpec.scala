@@ -82,7 +82,13 @@ class PlanSpec extends SparkTestBase {
       val p = plan("q43_dedup_simhash")
       val fused = p.split("\n").exists(l => l.contains("*(") && l.toLowerCase.contains("simhashword"))
       assert(fused, "SimHashWord fell out of whole-stage codegen\n" + p)
-      val p41 = plan("q41_dedup_ngram_jaccard")
+      // q41's declared plan no longer SHOWS the shingle stage (the
+      // frequency-reordered set table is localCheckpointed, so consumers
+      // read an RDD leaf — r18); the fusion property is pinned where the
+      // expression actually executes, the shingle-set subtree's own plan.
+      val p41 = graft.operators.Dedup
+        .shingleSets(graft.queries.Tables.load(spark, sf, "documents"), "doc_id", "text", 3)
+        .queryExecution.executedPlan.toString
       val fused41 = p41.split("\n").exists(l => l.contains("*(") && l.toLowerCase.contains("shinglehash"))
       assert(fused41, "ShingleHash32 fell out of whole-stage codegen\n" + p41)
       val p92 = plan("q92_dedup_substring")
