@@ -496,6 +496,44 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
       pitAfter = None
       pitTried = false
     }
+    // One-page drain PREFETCH (r18, guide §2.6): after a FULL drain page,
+    // the next request is fully determined by already-updated state
+    // (cursor, drainSize, window) — issue it on the shared daemon pool so
+    // the server computes page N+1 while this task decodes and ships page
+    // N (a ~200-round-trip tie drain is otherwise strictly
+    // request-then-decode serial). The REQUEST SEQUENCE is byte-identical
+    // to the serial loop's: a prefetch is issued only when the episode is
+    // guaranteed to need exactly that page next (raw == drainSize keeps
+    // the episode alive, and only fetchDrainPage mutates drain state), so
+    // wire counters, served-doc pins, and exactly-once semantics are
+    // untouched. At most ONE page is in flight per source.
+    private var inFlight: Option[(String, String, java.util.concurrent.Future[JsonNode])] = None
+
+    /** The CURRENT drain state's (uri, body) — shared by the synchronous
+      * fetch and the prefetch so a consumed prefetch is provably the same
+      * request the serial loop would have sent.
+      */
+    private def drainUriBody(): (String, String) = {
+      val (lo, hi) =
+        if (drainWholeWindow) (startMs, stop) else (boundaryTs, boundaryTs + 1)
+      pitId match {
+        case Some(id) => (s"$baseUrl/_search", EsQueryDsl.pitSearchAfterRequest(
+          windowFilters(lo, hi), requiredFields, drainSize, id, pitAfter,
+          envelopeIncludes, keepAlive = wire.pitKeepAlive))
+        case None => (s"$baseUrl/$index/_search", EsQueryDsl.searchAfterRequest(
+          windowFilters(lo, hi), requiredFields, drainSize, drainCursor,
+          envelopeIncludes))
+      }
+    }
+
+    private def issueDrainPrefetch(): Unit = {
+      val (uri, body) = drainUriBody()
+      val fut = EsHttpClient.prefetchPool.submit(
+        new java.util.concurrent.Callable[JsonNode] {
+          override def call(): JsonNode = searchAt(uri, body)
+        })
+      inFlight = Some((uri, body, fut))
+    }
     private var pages = 0L
     private var docsShipped = 0L
     override def pagesFetched: Long = pages
@@ -549,18 +587,30 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
         pitTried = true
         pitId = openPit(index) // one probe per drain episode; None ⇒ `_id` form
       }
-      val (lo, hi) =
-        if (drainWholeWindow) (startMs, stop) else (boundaryTs, boundaryTs + 1)
       val (raw, lastId, lastSort, got) =
         try {
-          val t = rawPageOf(pitId match {
-            case Some(id) => pitSearchTree(EsQueryDsl.pitSearchAfterRequest(
-              windowFilters(lo, hi), requiredFields, drainSize, id, pitAfter,
-              envelopeIncludes, keepAlive = wire.pitKeepAlive))
-            case None => searchTree(index, EsQueryDsl.searchAfterRequest(
-              windowFilters(lo, hi), requiredFields, drainSize, drainCursor,
-              envelopeIncludes))
-          })
+          val (uri, body) = drainUriBody()
+          val tree = inFlight match {
+            // the prefetched page IS this state's request (same uri+body
+            // by construction); surface its failure exactly as the
+            // synchronous send would
+            case Some((u, b, fut)) if u == uri && b == body =>
+              inFlight = None
+              try fut.get()
+              catch {
+                case e: java.util.concurrent.ExecutionException => e.getCause match {
+                  case io: java.io.IOException => throw io
+                  case t: Throwable => throw t
+                }
+              }
+            case stale =>
+              // defensive: drain state can only be mutated by this method,
+              // so a mismatch should not occur — never consume it anyway
+              stale.foreach(_._3.cancel(true))
+              inFlight = None
+              searchAt(uri, body)
+          }
+          val t = rawPageOf(tree)
           pages += 1
           docsShipped += t._1
           t
@@ -606,6 +656,14 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
         size = batchSize
         if (stop <= startMs) done = true
       }
+      // a FULL page keeps the episode alive and every input of the next
+      // request is already final — overlap the server's page N+1 with
+      // shipping page N. Only at/above the floor: the overlap's win
+      // scales with page size (decode + ship time), while the thread
+      // handoff is a fixed cost — at the fuzz harness's 1-10-doc pages
+      // the handoff measurably exceeds the overlap.
+      if (raw == drainSize && drainSize >= EsHttpClient.PrefetchMinPage &&
+        draining && !done) issueDrainPrefetch()
     }
 
     private def fetchNormalPage(): Unit = {
@@ -685,7 +743,12 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
       }
       if (page.hasNext) page.next() else null
     }
-    override def close(): Unit = endPit() // abandoned mid-drain: release the PIT
+    override def close(): Unit = {
+      // abandoned mid-drain: drop the in-flight prefetch, release the PIT
+      inFlight.foreach(_._3.cancel(true))
+      inFlight = None
+      endPit()
+    }
   }
 
   /** One SLICE of a parallel scan — the scale path for a live read the
@@ -740,6 +803,11 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
         subject.map(s => EqualTo("subject", s): Filter).toSeq ++ Seq(
           GreaterThanOrEqual("time", startMs): Filter, LessThan("time", stopMs): Filter)
 
+      // NO prefetch here, deliberately (r18): the drain loop's one-page
+      // prefetch was A/B'd on this path too and measured a LOSS (q234
+      // 1.00 → 1.32 s min) — slices already run in parallel, so the
+      // server is saturated and extra in-flight pages only add
+      // contention. §2.6's overlap pays only where execution was serial.
       private def fetchPage(): Unit =
         try {
           val (raw, _, lastSort, got) = rawPageOf(pitSearchTree(
@@ -780,6 +848,21 @@ private[graft] final class EsHttpClient(baseUrl: String, timeoutMs: Long = 30000
 }
 
 private[graft] object EsHttpClient {
+  /** Shared daemon pool for the drain's one-page prefetch: each DocSource
+    * keeps at most ONE page in flight, so the pool's live thread count is
+    * bounded by concurrently-draining tasks (cached pool, 60 s idle
+    * reap). Daemon threads: an abandoned prefetch must never pin the JVM.
+    */
+  private val prefetchPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(
+      new java.util.concurrent.ThreadFactory {
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, "es-drain-prefetch")
+          t.setDaemon(true)
+          t
+        }
+      })
+
   /** Elasticsearch's default `index.max_result_window`: a `from + size`
     * above it is REJECTED ("Result window is too large"), not served — so
     * this is the widen cycle's ceiling: at it, the loop switches to the
@@ -787,6 +870,13 @@ private[graft] object EsHttpClient {
     * of doubling into a guaranteed rejection.
     */
   val MaxWidenSize: Int = 10000
+
+  /** Smallest drain page worth prefetching: below this the fixed thread
+    * handoff exceeds the decode/ship overlap the prefetch buys (measured
+    * on the fuzz harness's 1-10-doc pages); production drain pages are
+    * hundreds of docs and sit far above it.
+    */
+  val PrefetchMinPage: Int = 64
 
   /** Default `terms` size for the grouped-count probe: ES's
     * `search.max_buckets` default — the most buckets one response may
