@@ -352,7 +352,7 @@ object Dedup {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // Seed with min(self, direct neighbors) — one aggregate that saves a
     // full propagation round on shallow graphs (the common dup-cluster
     // case).
@@ -360,7 +360,7 @@ object Dedup {
       .groupBy(col("src"))
       .agg(least(min(col("dst")), col("src")).as("cluster"))
       .withColumnRenamed("src", "id")
-      .localCheckpoint()
+      .localCheckpoint(false)
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -381,7 +381,7 @@ object Dedup {
           col("cluster"),
           least(col("cluster"), coalesce(col("min_nbr"), col("cluster"))).as("new_cluster")
         )
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = updated.where(col("new_cluster") < col("cluster")).count()
       labels = updated.select(col("id"), col("new_cluster").as("cluster"))
       rounds += 1

@@ -255,7 +255,7 @@ object Analytics3 {
               .partitionBy(col("o_custkey"))
               .orderBy(col("o_orderdate"), col("o_orderkey"))).as("rn"),
             col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         o.createOrReplaceTempView("q68_o")
         s.sql("""WITH RECURSIVE
           walk(k, rn, bal) AS (

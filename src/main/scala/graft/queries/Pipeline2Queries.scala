@@ -378,7 +378,7 @@ object Pipeline2Queries {
           // localCheckpoint per round, not cache — truncated lineage, same
           // rows (the q113/q140 iterative-plan-blowup fix; the audit read a
           // 1,132-line declared plan here before it)
-          .localCheckpoint()
+          .localCheckpoint(false)
         for (_ <- 1 to 5) {
           val pairs = vocab.where(size(col("syms")) > 1)
             .select(col("wn"), explode(expr(
@@ -399,7 +399,7 @@ object Pipeline2Queries {
                    st -> CASE WHEN st.p = '' THEN st.acc
                               ELSE concat(st.acc, array(st.p)) END)"""))
             .select(col("word"), col("wn"), col("syms"))
-            .localCheckpoint()
+            .localCheckpoint(false)
         }
         val perWord = vocab.select(col("word"), size(col("syms")).cast(LongType).as("n_tok"))
         docs(s, d)

@@ -65,7 +65,7 @@ object Pipeline3Queries {
     // same tie-breaks — the oracle replay is untouched.
     val und = e.select(col("u"), col("v"))
       .union(e.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var labels = und.select(col("u").as("w")).distinct()
       .withColumn("lbl", col("w"))
     for (_ <- 1 to 3) {
@@ -74,7 +74,7 @@ object Pipeline3Queries {
         .groupBy(col("u").as("w")).agg(min(col("vl")).as("nl"))
       labels = labels.join(fromNbr, Seq("w"), "left_outer")
         .select(col("w"), least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     val mem = labels.join(
       emb(s, d).select(col("vec_id").as("w"), col("label")), "w")

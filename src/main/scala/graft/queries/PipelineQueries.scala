@@ -615,6 +615,7 @@ object PipelineQueries {
           .select(col("doc_id"), col("lang"), pmod(hash32(col("w")), lit(65536)).as("f"))
           .groupBy(col("doc_id"), col("lang"), col("f"))
           .agg(count(lit(1)).as("n"))
+          .localCheckpoint(false)
         val weights = docFeat
           .groupBy(col("f"))
           .agg(sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("n_target"),

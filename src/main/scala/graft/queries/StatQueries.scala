@@ -322,12 +322,16 @@ object StatQueries {
     QueryDef(
       "q136_ngram_novelty",
       (s, d) => {
+        // deliberately NOT cached (r18): both consumers sit directly on
+        // the distinct's exchange, so ReuseExchange serves the join probe
+        // from the same shuffle files the aggregate read — the cache only
+        // added an in-memory materialization pass (measured 1.07 → 0.61 s
+        // min after removal)
         val g = docs(s, d)
           .select(col("source"),
             explode(graft.functions.HashExpressions.shingleHash32(
               tokens(col("text")), 3)).as("g"))
           .distinct()
-          .cache()
         val spread = g.groupBy(col("g")).agg(count(lit(1)).as("nsrc"))
         g.join(spread, "g")
           .groupBy(col("source"))

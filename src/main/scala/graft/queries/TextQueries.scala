@@ -557,7 +557,7 @@ object TextQueries {
             // truncated lineage per round (vocab-sized rows) — without it
             // the final action re-analyzes a plan nesting all five rounds
             // (the q113/q140 iterative-plan discipline)
-            .localCheckpoint()
+            .localCheckpoint(false)
         }
         ranks
           .orderBy(col("r").desc, col("w").asc)
@@ -610,7 +610,7 @@ object TextQueries {
           // walked a 1,160-line tree at the final action (r18 plan audit;
           // the q140/q184 iterative-plan blowup, same fix). Each round's
           // vocab/top are vocab-sized/1-row — O(vocab) state, same rows.
-          .localCheckpoint()
+          .localCheckpoint(false)
         var merges: org.apache.spark.sql.DataFrame = null
         for (r <- 1 to 5) {
           val pairs = vocab.where(size(col("syms")) > 1)
@@ -620,7 +620,7 @@ object TextQueries {
             .agg(sum(col("wn")).as("pn"))
           val top = pairs.orderBy(col("pn").desc, col("a").asc, col("b").asc).limit(1)
             .select(lit(r).as("round"), col("a"), col("b"), col("pn"))
-            .localCheckpoint() // consumed twice: merges union + the merge fold
+            .localCheckpoint(false) // consumed twice: merges union + the merge fold
           merges = if (merges == null) top else merges.union(top)
           vocab = vocab
             .crossJoin(broadcast(top.select(col("a").as("ma"), col("b").as("mb"))))
@@ -635,7 +635,7 @@ object TextQueries {
                    st -> CASE WHEN st.p = '' THEN st.acc
                               ELSE concat(st.acc, array(st.p)) END)"""))
             .select(col("word"), col("wn"), col("syms"))
-            .localCheckpoint()
+            .localCheckpoint(false)
         }
         merges
       },
