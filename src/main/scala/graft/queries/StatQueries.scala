@@ -30,16 +30,17 @@ object StatQueries {
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * lit(100)).cast(LongType)
 
-  /** Per-(source, word) counts — the shared base of q131/q132. Cached so
-    * the module's two consumers pay the tokenize+shuffle once (CacheManager
-    * matches the canonicalized subplan across QueryDefs within the module).
+  /** Per-(source, word) counts — the shared base of q131/q132.
+    * Deliberately NOT cached (r18): materializing the vocab-sized table
+    * cost more than each consumer re-running the tokenize+count (q131
+    * 0.88 → 0.61 s min, q132 0.35 → 0.30 after removal) — the same
+    * recompute-beats-materialize result as q136/q174.
     */
   private def unigrams(s: org.apache.spark.sql.SparkSession, d: String) =
     docs(s, d)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) > 0)
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
-      .cache()
 
   private val unigramsSql =
     """u AS (SELECT source, w, count(*)::BIGINT n FROM
@@ -711,19 +712,16 @@ object StatQueries {
     //    source's novelty against everyone; this localizes it — for every
     //    source PAIR, the shared trigram count and Jaccard overlap in ppm
     //    (mirror detection, license-leak attribution, "which feed copies
-    //    which"). The per-source distinct-gram set is the SAME cached
-    //    subtree q136 builds (CacheManager matches the canonicalized
-    //    plan, so within the module the corpus tokenize+shuffle runs
-    //    once). The pair join explodes per-gram SOURCE pairs, never doc
-    //    pairs — candidate volume is ≤ sources²/2 per gram, independent
-    //    of corpus size; union sizes come arithmetically from the
-    //    per-source counts (|A∪B| = |A|+|B|−|A∩B|), no second corpus
-    //    pass. Cache lifetime (ADVICE r5): the cache() below is reused 3×
-    //    within THIS plan (sizes + both self-join sides) and dedups with
-    //    q136's identical canonicalized subtree; it is released by the
-    //    harness contract — Verify clearCache()s after every query, Bench
-    //    after every module — so it never outlives its sharing window.
-    //    Library callers embedding this query own the same contract.
+    //    which"). The per-source distinct-gram set is the SAME subtree
+    //    q136 builds. The pair join explodes per-gram SOURCE pairs, never
+    //    doc pairs — candidate volume is ≤ sources²/2 per gram,
+    //    independent of corpus size; union sizes come arithmetically from
+    //    the per-source counts (|A∪B| = |A|+|B|−|A∩B|), no second corpus
+    //    pass. Deliberately NOT cached (r18, like q136): materializing
+    //    the corpus-sized distinct-gram table cost more than its three
+    //    consumers re-running the fused tokenize+hash (measured
+    //    1.25 → 0.86 s min after removal), and dropping both caches also
+    //    drops the cross-entry materialization the module no longer needs.
     QueryDef(
       "q174_source_overlap",
       (s, d) => {
@@ -732,7 +730,6 @@ object StatQueries {
             explode(graft.functions.HashExpressions.shingleHash32(
               tokens(col("text")), 3)).as("g"))
           .distinct()
-          .cache()
         val sizes = g.groupBy(col("source")).agg(count(lit(1)).as("sz"))
         val common = g.toDF("src_a", "g")
           .join(g.toDF("src_b", "g2"), col("g") === col("g2") && col("src_a") < col("src_b"))
